@@ -1,0 +1,232 @@
+package graft.view
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+import graft.collation.CollationCodec
+import graft.gfunctions.collation_key
+
+/** Built-in and custom reduce functions, mirroring the reference's
+  * `_sum` / `_count` / `_stats` builtins plus user-defined reduces
+  * (pouchdb/mapreduce builtin reduce surface). A custom reduce is a
+  * Catalyst aggregate Column — it distributes via partial aggregation the
+  * same way the builtins do, rather than a driver-side rereduce. */
+sealed trait Reduce
+object Reduce {
+  case object Count extends Reduce
+  case object Sum extends Reduce
+  /** `{sum, count, min, max, sumsqr}` exactly as the reference's `_stats`. */
+  case object Stats extends Reduce
+  final case class Custom(agg: Column => Column) extends Reduce
+}
+
+/** Query options — the reference's `db.query(view, opts)` surface. */
+final case class QueryOpts(
+    startKey: Option[Any] = None,
+    endKey: Option[Any] = None,
+    inclusiveEnd: Boolean = true,
+    key: Option[Any] = None,
+    keys: Option[Seq[Any]] = None,
+    descending: Boolean = false,
+    limit: Option[Long] = None,
+    skip: Long = 0L,
+    reduce: Boolean = true,
+    group: Boolean = false,
+    groupLevel: Option[Int] = None,
+    includeDocs: Boolean = false)
+
+/** CouchDB's "high key" sentinel (`{}` in practice): sorts after every real
+  * key, usable inside array keys for prefix ranges, e.g.
+  * `endKey = Seq(2024, View.MaxKey)`. */
+case object MaxKey
+
+/** A map/reduce view: the reference's `emit(key, value)` map phase declared
+  * as Catalyst columns (so the whole view is one declarative plan — filter
+  * pushdown, column pruning and partial aggregation are Catalyst's job, and
+  * everything stays inside whole-stage codegen).
+  *
+  * View rows carry `_ck = collation_key(key)`: a binary column whose
+  * unsigned-lexicographic order is CouchDB collation. Sorting, range
+  * filtering (startkey/endkey), point lookups (key/keys) and index min/max
+  * pruning all operate on `_ck`.
+  */
+final class View private (
+    val docs: DataFrame,
+    idCol: Column,
+    mapPhase: DataFrame => DataFrame,
+    reduceFn: Option[Reduce],
+    indexRows: Option[DataFrame]) {
+
+  /** The view index rows: `_id, key, value, _ck` (lazy plan, or the
+    * materialized index when opened via [[fromIndex]]). */
+  val rows: DataFrame = indexRows.getOrElse(mapPhase(docs))
+
+  private def ck: Column = col("_ck")
+
+  private def enc(k: Any): Column = lit(View.encodeKey(k))
+
+  /** Reference `total_rows`: number of rows in the view index. */
+  def totalRows: Long = rows.count()
+
+  /** Run a query. Returns `(id, key, value)` rows in collation order for
+    * map-only queries, `(key, value)` for reduced queries; `includeDocs`
+    * appends a `doc` struct (following a linked document when the emitted
+    * value is a struct with an `_id` field — the reference's linked-docs
+    * behavior). */
+  def query(opts: QueryOpts = QueryOpts()): DataFrame = {
+    var r = rows
+    opts.key.foreach(k => r = r.filter(ck === enc(k)))
+    opts.keys.foreach(ks => r = r.filter(ck.isin(ks.map(View.encodeKey): _*)))
+    if (!opts.descending) {
+      opts.startKey.foreach(k => r = r.filter(ck >= enc(k)))
+      opts.endKey.foreach(k =>
+        r = r.filter(if (opts.inclusiveEnd) ck <= enc(k) else ck < enc(k)))
+    } else {
+      // CouchDB swaps the roles when descending: startkey is the upper bound.
+      opts.startKey.foreach(k => r = r.filter(ck <= enc(k)))
+      opts.endKey.foreach(k =>
+        r = r.filter(if (opts.inclusiveEnd) ck >= enc(k) else ck > enc(k)))
+    }
+
+    val reduced = opts.reduce && reduceFn.isDefined
+    var out =
+      if (!reduced) {
+        var m = r.select(col("_id").as("id"), col("key"), col("value"), ck)
+        if (opts.includeDocs) {
+          // Join before the final sort: the sort (+offset/limit) must be the
+          // last thing that touches row order — CouchDB returns rows in key
+          // order even with include_docs. A small limit still plans as
+          // TakeOrderedAndProject over the join.
+          val valueType = rows.schema("value").dataType
+          val linkId = valueType match {
+            case st: StructType if st.fieldNames.contains("_id") =>
+              coalesce(col("value").getField("_id"), col("id"))
+            case _ => col("id")
+          }
+          val docDf = docs.select(idCol.as("_doc_id"),
+            struct(docs.columns.map(col): _*).as("doc"))
+          m = m.join(docDf, linkId === col("_doc_id"), "left").drop("_doc_id")
+        }
+        if (opts.descending) m.orderBy(ck.desc, col("id").desc)
+        else m.orderBy(ck.asc, col("id").asc)
+      } else {
+        val aggCol = aggFor(reduceFn.get)
+        val grouped: DataFrame =
+          if (opts.group || opts.groupLevel.isDefined) {
+            val keyCol = opts.groupLevel match {
+              case Some(l) if r.schema("key").dataType.isInstanceOf[ArrayType] =>
+                slice(col("key"), 1, l)
+              case _ => col("key")
+            }
+            r.groupBy(keyCol.as("key")).agg(aggCol)
+              .withColumn("_ck", collation_key(col("key")))
+          } else {
+            r.groupBy().agg(aggCol)
+              .select(lit(null).as("key"), col("value"),
+                lit(Array.emptyByteArray).as("_ck"))
+          }
+        if (opts.descending) grouped.orderBy(col("_ck").desc)
+        else grouped.orderBy(col("_ck").asc)
+      }
+
+    if (opts.skip > 0) out = out.offset(opts.skip.toInt)
+    opts.limit.foreach(l => out = out.limit(l.toInt))
+    out.drop("_ck")
+  }
+
+  /** Persist the view index as parquet range-partitioned and sorted by the
+    * collation key. At scale this is the reference's persistent (design-doc)
+    * view: parquet min/max statistics on `_ck` turn startkey/endkey queries
+    * into partition- and row-group-pruned index scans instead of full scans.
+    */
+  def materialize(path: String, numPartitions: Int = 0): Unit = {
+    val n = if (numPartitions > 0) numPartitions
+            else rows.sparkSession.sessionState.conf.numShufflePartitions
+    rows.repartitionByRange(n, ck)
+      .sortWithinPartitions(ck)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a materialized index as a queryable view. */
+  def fromIndex(spark: SparkSession, path: String): View =
+    new View(docs, idCol, mapPhase, reduceFn, Some(spark.read.parquet(path)))
+
+  /** Incremental index maintenance — the reference's change-feed driven view
+    * update: drop index rows for changed/deleted docs, re-run the map phase
+    * on just the changed docs, append. Batch formulation of the same merge
+    * the streaming maintainer does per micro-batch. */
+  def updateIndex(
+      spark: SparkSession,
+      path: String,
+      changedDocs: DataFrame,
+      deletedIds: Seq[Any] = Nil): Unit = {
+    val old = spark.read.parquet(path)
+    val changedIds = changedDocs.select(idCol.as("_id")).distinct()
+    val kept = old.join(changedIds, Seq("_id"), "left_anti")
+      .filter(if (deletedIds.isEmpty) lit(true) else !col("_id").isin(deletedIds: _*))
+    val merged = kept.unionByName(mapPhase(changedDocs))
+    val tmp = path + "._tmp"
+    val n = spark.sessionState.conf.numShufflePartitions
+    merged.repartitionByRange(n, ck).sortWithinPartitions(ck)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  private def aggFor(rf: Reduce): Column = rf match {
+    case Reduce.Count => count(lit(1)).as("value")
+    case Reduce.Sum => sum(col("value")).as("value")
+    case Reduce.Stats =>
+      struct(
+        sum(col("value")).as("sum"),
+        count(col("value")).as("count"),
+        min(col("value")).as("min"),
+        max(col("value")).as("max"),
+        sum(col("value") * col("value")).as("sumsqr")).as("value")
+    case Reduce.Custom(f) => f(col("value")).as("value")
+  }
+}
+
+object View {
+
+  private[view] def encodeKey(k: Any): Array[Byte] = k match {
+    case MaxKey => CollationCodec.MaxKey
+    case s: Seq[_] if s.contains(MaxKey) =>
+      // Encode the array prefix then the high sentinel: an upper bound for
+      // every array extending that prefix (CouchDB's `[x, {}]` idiom).
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(CollationCodec.TArr.toInt)
+      s.takeWhile(_ != MaxKey).foreach { e =>
+        val b = CollationCodec.encodeScala(e)
+        out.write(b, 0, b.length)
+      }
+      out.write(0xFF)
+      out.toByteArray
+    case other => CollationCodec.encodeScala(other)
+  }
+
+  /** Define a view with a single emit per document (the common case). */
+  def apply(docs: DataFrame, id: Column, key: Column, value: Column,
+            reduce: Option[Reduce] = None): View = {
+    val phase = (d: DataFrame) =>
+      d.select(id.as("_id"), key.as("key"), value.as("value"))
+        .withColumn("_ck", collation_key(col("key")))
+    new View(docs, id, phase, reduce, None)
+  }
+
+  /** Define a view emitting zero-or-more rows per document:
+    * `emits` is an `array<struct<key:…, value:…>>` column; nulls and empty
+    * arrays emit nothing — the reference's multi-`emit` map functions,
+    * expressed as an explode that stays inside codegen. */
+  def multi(docs: DataFrame, id: Column, emits: Column,
+            reduce: Option[Reduce] = None): View = {
+    val phase = (d: DataFrame) => d
+      .select(id.as("_id"), explode(coalesce(emits, array())).as("_e"))
+      .select(col("_id"), col("_e.key").as("key"), col("_e.value").as("value"))
+      .withColumn("_ck", collation_key(col("key")))
+    new View(docs, id, phase, reduce, None)
+  }
+}

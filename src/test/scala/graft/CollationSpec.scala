@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.collation.CollationCodec
+
+/** Property: unsigned byte order of the encoding == CouchDB collation model
+  * order, over randomly generated JSON-ish keys (nested arrays, mixed types).
+  */
+class CollationSpec extends AnyFunSuite {
+
+  private val scalar: Gen[Any] = Gen.oneOf(
+    Gen.const(null),
+    Gen.oneOf(true, false),
+    Gen.chooseNum(-1e9, 1e9).map(_.asInstanceOf[Any]),
+    Gen.chooseNum(-1000000L, 1000000L).map(_.toDouble),
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf("", "a", "a b", "ab", "b", "é", "中文")
+  )
+
+  private def keyGen(depth: Int): Gen[Any] =
+    if (depth <= 0) scalar
+    else Gen.frequency(
+      3 -> scalar,
+      2 -> Gen.listOfN(3, Gen.lzy(keyGen(depth - 1))).flatMap(l =>
+        Gen.choose(0, 3).map(n => l.take(n)))
+    )
+
+  private def samples(g: Gen[Any], n: Int): Seq[Any] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("byte order equals model collation order") {
+    val xs = samples(keyGen(2), 400)
+    for (a <- xs; b <- xs) {
+      val ba = CollationCodec.encodeScala(a)
+      val bb = CollationCodec.encodeScala(b)
+      val byteCmp = Integer.signum(CollationCodec.compareBytes(ba, bb))
+      val modelCmp = Integer.signum(CollationCodec.modelCompare(a, b))
+      assert(byteCmp == modelCmp, s"a=$a b=$b byte=$byteCmp model=$modelCmp")
+    }
+  }
+
+  test("type ranks: null < false < true < number < string < array") {
+    val ordered = Seq(null, false, true, -1e308, -1.0, 0.0, 1.0, 1e308,
+      "", "a", "a ", "ab", "b", Seq(), Seq(null), Seq(1.0), Seq(1.0, 2.0), Seq("a"))
+    val encoded = ordered.map(CollationCodec.encodeScala)
+    encoded.sliding(2).foreach { case Seq(x, y) =>
+      assert(CollationCodec.compareBytes(x, y) < 0)
+    }
+  }
+
+  test("MinKey/MaxKey are total bounds") {
+    samples(keyGen(2), 300).foreach { a =>
+      val e = CollationCodec.encodeScala(a)
+      assert(CollationCodec.compareBytes(CollationCodec.MinKey, e) < 0 || e.isEmpty)
+      assert(CollationCodec.compareBytes(e, CollationCodec.MaxKey) < 0)
+    }
+  }
+
+  test("equal values encode equal") {
+    samples(keyGen(2), 300).foreach { a =>
+      assert(CollationCodec.compareBytes(
+        CollationCodec.encodeScala(a), CollationCodec.encodeScala(a)) == 0)
+    }
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.collation.CollationCodec
+import graft.gfunctions._
+import graft.view.{MaxKey, QueryOpts, Reduce, View}
+
+class ViewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+  test("collation_key expression (codegen path) matches driver-side encoding") {
+    val df = Seq(("a", 1.0), ("b", -2.5), ("", 0.0)).toDF("s", "d")
+    val got = df.select(collation_key($"s"), collation_key($"d"),
+      collation_key(array($"d", $"d" * 2)), collation_key(lit(null))).collect()
+    val exp = Seq(("a", 1.0), ("b", -2.5), ("", 0.0)).map { case (s, d) =>
+      (CollationCodec.encodeScala(s), CollationCodec.encodeScala(d),
+       CollationCodec.encodeScala(Seq(d, d * 2)), CollationCodec.encodeScala(null))
+    }
+    got.zip(exp).foreach { case (row, (a, b, c, n)) =>
+      assert(row.getAs[Array[Byte]](0).sameElements(a))
+      assert(row.getAs[Array[Byte]](1).sameElements(b))
+      assert(row.getAs[Array[Byte]](2).sameElements(c))
+      assert(row.getAs[Array[Byte]](3).sameElements(n))
+    }
+  }
+
+  test("DataFrame sort by collation_key equals CouchDB order across types") {
+    // Mixed-type keys via a unioned view: numbers < strings.
+    val nums = Seq(3.0, 1.0, 2.0).toDF("v").select(collation_key($"v").as("ck"), $"v".cast("string").as("orig"))
+    val strs = Seq("b", "a").toDF("v").select(collation_key($"v").as("ck"), $"v".as("orig"))
+    val sorted = nums.union(strs).orderBy($"ck").select($"orig").as[String].collect()
+    assert(sorted.toSeq == Seq("1.0", "2.0", "3.0", "a", "b"))
+  }
+
+  test("emit + _sum + group") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus",
+      $"o_totalprice".cast("decimal(18,2)"), Some(Reduce.Sum))
+    val got = v.query(QueryOpts(group = true)).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val exp = orders.groupBy($"o_orderstatus")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(got == exp)
+    // group keys come back in collation (string) order
+    val keys = v.query(QueryOpts(group = true)).collect().map(_.getString(0)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("_count without group reduces to a single row with null key") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1), Some(Reduce.Count))
+    val rows = v.query().collect()
+    assert(rows.length == 1)
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getLong(1) == orders.count())
+  }
+
+  test("_stats matches manual aggregation") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", $"o_totalprice", Some(Reduce.Stats))
+    val r = v.query(QueryOpts(group = true)).collect()
+      .map(x => x.getString(0) -> x.getStruct(1)).toMap
+    val exp = orders.groupBy($"o_orderstatus").agg(
+      sum($"o_totalprice"), count($"o_totalprice"), min($"o_totalprice"),
+      max($"o_totalprice"), sum($"o_totalprice" * $"o_totalprice")).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))).toMap
+    r.foreach { case (k, s) =>
+      val (sm, c, mn, mx, sq) = exp(k)
+      assert(s.getDouble(0) == sm && s.getLong(1) == c &&
+        s.getDouble(2) == mn && s.getDouble(3) == mx && s.getDouble(4) == sq)
+    }
+  }
+
+  test("group_level on [year, month] array keys") {
+    val v = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double"), month($"o_orderdate").cast("double")),
+      lit(1L), Some(Reduce.Count))
+    val byYear = v.query(QueryOpts(groupLevel = Some(1))).collect()
+    val expYear = orders.groupBy(year($"o_orderdate")).count().collect()
+      .map(r => r.getInt(0).toDouble -> r.getLong(1)).toMap
+    assert(byYear.length == expYear.size)
+    byYear.foreach { r =>
+      val k = r.getSeq[Double](0)
+      assert(k.length == 1 && r.getLong(1) == expYear(k.head))
+    }
+    // keys in ascending collation order
+    val years = byYear.map(_.getSeq[Double](0).head).toSeq
+    assert(years == years.sorted)
+  }
+
+  test("startkey/endkey range with inclusive_end variants") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    def ids(o: QueryOpts) = v.query(o.copy(reduce = false)).collect().map(_.getLong(0)).toSet
+    val all = ids(QueryOpts())
+    val incl = ids(QueryOpts(startKey = Some("F"), endKey = Some("O")))
+    val excl = ids(QueryOpts(startKey = Some("F"), endKey = Some("O"), inclusiveEnd = false))
+    val expIncl = orders.filter($"o_orderstatus" >= "F" && $"o_orderstatus" <= "O")
+      .select($"o_orderkey").as[Long].collect().toSet
+    val expExcl = orders.filter($"o_orderstatus" >= "F" && $"o_orderstatus" < "O")
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(incl == expIncl && excl == expExcl && all.size >= incl.size)
+  }
+
+  test("array-prefix endkey with MaxKey sentinel") {
+    val v = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double"), month($"o_orderdate").cast("double")), lit(1))
+    val got = v.query(QueryOpts(
+      startKey = Some(Seq(1996.0)),
+      endKey = Some(Seq(1996.0, MaxKey)), reduce = false)).collect()
+    val exp = orders.filter(year($"o_orderdate") === 1996).count()
+    assert(got.length == exp.toInt)
+  }
+
+  test("descending + limit + skip") {
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    val got = v.query(QueryOpts(descending = true, limit = Some(5), skip = 2, reduce = false))
+      .collect().map(_.getDouble(1)).toSeq
+    val exp = orders.orderBy($"o_totalprice".desc, $"o_orderkey".desc)
+      .select($"o_totalprice").as[Double].collect().slice(2, 7).toSeq
+    assert(got == exp)
+  }
+
+  test("key= and keys= lookups") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val one = v.query(QueryOpts(key = Some("F"), reduce = false)).count()
+    assert(one == orders.filter($"o_orderstatus" === "F").count())
+    val two = v.query(QueryOpts(keys = Some(Seq("F", "O")), reduce = false)).count()
+    assert(two == orders.filter($"o_orderstatus".isin("F", "O")).count())
+  }
+
+  test("include_docs joins the source document and preserves key order") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val r = v.query(QueryOpts(reduce = false, includeDocs = true, limit = Some(3))).collect()
+    r.foreach { row =>
+      val doc = row.getAs[Row]("doc")
+      assert(doc.getAs[Long]("o_orderkey") == row.getLong(0))
+    }
+    // order guarantee survives the doc join (descending + skip + limit)
+    val v2 = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    val got = v2.query(QueryOpts(descending = true, skip = 2, limit = Some(3),
+      reduce = false, includeDocs = true)).collect().map(_.getDouble(1)).toSeq
+    val exp = orders.orderBy($"o_totalprice".desc, $"o_orderkey".desc)
+      .select($"o_totalprice").as[Double].collect().slice(2, 5).toSeq
+    assert(got == exp)
+  }
+
+  test("linked documents: value {_id} pulls the linked doc") {
+    // orders emit value {_id: o_custkey}; include_docs resolves the customer.
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val v = View(customer, $"c_custkey", $"c_name",
+      struct($"c_nationkey".as("_id")))
+    val r = v.query(QueryOpts(reduce = false, includeDocs = true, limit = Some(5)))
+    // linked doc is the nation... need docs table = customer; link points into same docs
+    // here _id refers to c_custkey space; craft: link every customer to customer 1
+    val v2 = View(customer, $"c_custkey", $"c_name", struct(lit(1L).as("_id")))
+    val rows = v2.query(QueryOpts(reduce = false, includeDocs = true, limit = Some(4))).collect()
+    rows.foreach { row =>
+      assert(row.getAs[Row]("doc").getAs[Long]("c_custkey") == 1L)
+    }
+    assert(r.count() == 5)
+  }
+
+  test("multi-emit explodes into several view rows per doc") {
+    val v = View.multi(orders, $"o_orderkey",
+      array(
+        struct($"o_orderstatus".as("key"), $"o_totalprice".as("value")),
+        struct($"o_orderpriority".as("key"), $"o_totalprice".as("value"))),
+      Some(Reduce.Count))
+    assert(v.totalRows == orders.count() * 2)
+  }
+
+  test("materialize + fromIndex + incremental updateIndex") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val path = s"$dir/v1"
+    val v = View(orders, $"o_orderkey", $"o_orderstatus",
+      $"o_totalprice".cast("decimal(18,2)"), Some(Reduce.Sum))
+    v.materialize(path)
+    val vi = v.fromIndex(spark, path)
+    val a = vi.query(QueryOpts(group = true)).collect().map(_.toSeq).toSet
+    val b = v.query(QueryOpts(group = true)).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // incremental: change one order's price; index must reflect only that
+    val changed = orders.limit(1).withColumn("o_totalprice", lit(999999.0))
+    v.updateIndex(spark, path, changed)
+    val vi2 = v.fromIndex(spark, path)
+    assert(vi2.totalRows == orders.count())
+    val changedKey = changed.select($"o_orderkey").as[Long].head()
+    val row = vi2.rows.filter($"_id" === changedKey).collect()
+    assert(row.length == 1 && row(0).getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("999999.00")) == 0)
+  }
+}
