@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators a production user of a map/reduce view engine also
+  * needs — expressed as declarative DataFrame plans so Catalyst handles
+  * pushdown/pruning and AQE handles skew. Every operator here is designed
+  * for the 100 TB posture described in SURVEY.md §4: dims broadcast, facts
+  * shuffle at most once on their natural key, no inequality-join blowups.
+  *
+  * Time parameters are epoch-micros long columns (`tsMicros`) — integral,
+  * engine-portable, and immune to timestamp-precision mismatches.
+  */
+object Relational {
+
+  /** Top-k rows per group by the given ordering (reference pattern:
+    * "first k view rows per key prefix"). One shuffle on the partition
+    * keys; rank assigned within each group after the shuffle. */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Tumbling time-window aggregation: one shuffle on the bucket,
+    * partial aggregation map-side. */
+  def tumblingAgg(df: DataFrame, tsMicros: Column, widthHours: Int,
+                  value: Column): DataFrame = {
+    val width = widthHours * 3600L * 1000000L
+    df.groupBy(floor(tsMicros / width).cast("long").as("bucket")).agg(
+      count(lit(1)).as("cnt"),
+      sum(value.cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  /** Gap-based sessionization: a session breaks when the time since the
+    * previous row of the same key exceeds `gapMicros`. Two window passes
+    * over a single shuffle on the key — no state store needed in batch. */
+  def sessionize(df: DataFrame, key: Column, tsMicros: Column,
+                 gapMicros: Long): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(tsMicros)
+    val gap = tsMicros - lag(tsMicros, 1).over(byKey)
+    df.withColumn("_new_session",
+        when(gap.isNull || gap > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new_session")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_session")
+  }
+
+  /** As-of join via the union+window trick: tag both streams, union them,
+    * and carry the last right-side timestamp forward with a running window —
+    * one shuffle on the key, NO inequality join (which would plan as a
+    * broadcast-nested-loop and explode at scale). For every left row,
+    * attaches `asof_ts` = the greatest right `tsMicros` &lt;= the left
+    * row's, per key. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               tsMicros: Column, leftCols: Seq[String]): DataFrame = {
+    val l = left.select(col(key), tsMicros.as("_ts"),
+      struct(leftCols.map(col): _*).as("_l"))
+      .withColumn("_side", lit(0))
+      .withColumn("_rts", lit(null).cast("long"))
+    val r = right.select(col(key), tsMicros.as("_ts"))
+      .withColumn("_l", lit(null))
+      .withColumn("_side", lit(1))
+      .withColumn("_rts", col("_ts"))
+    val w = Window.partitionBy(col(key))
+      // right rows sort before left rows at the same timestamp, so a
+      // same-instant right row IS visible to the left row (asof <=)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lSchema = l.schema("_l").dataType
+    l.unionByName(r.withColumn("_l", col("_l").cast(lSchema)))
+      .withColumn("asof_ts", last(col("_rts"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col(key) +: col("_ts").as("ts_us") +: col("asof_ts") +:
+        leftCols.map(c => col("_l").getField(c).as(c)): _*)
+  }
+
+  /** Range join: count right rows whose ts falls in
+    * [left.ts, left.ts + windowMicros). Planned as an equi-join on the key
+    * with the range as a post-join filter (sort-merge on the key) — scales
+    * with key cardinality, never a nested-loop cross product. */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
+                     tsMicros: Column, idCol: String,
+                     windowMicros: Long): DataFrame = {
+    val l = left.select(col(key).as("_k"), tsMicros.as("_lts"),
+      col(idCol).as(idCol))
+    val r = right.select(col(key).as("_k"), tsMicros.as("_rts"))
+    l.join(r, Seq("_k"))
+      .filter(col("_rts") >= col("_lts") &&
+        col("_rts") < col("_lts") + windowMicros)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact interpolated percentiles (sort-based, distributed). */
+  def percentiles(df: DataFrame, key: Column, value: Column,
+                  ps: Seq[(String, Double)]): DataFrame = {
+    val aggs = ps.map { case (name, p) =>
+      round(percentile(value, lit(p)), 4).as(name)
+    }
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pivot with a FIXED value list: keeps the output schema static (no
+    * extra driver-side distinct scan) — mandatory at 100 TB. */
+  def pivotCount(df: DataFrame, rowKey: String, pivotCol: String,
+                 values: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey)).pivot(pivotCol, values).agg(count(lit(1)))
+      .select(col(rowKey) +: values.map(v =>
+        coalesce(col(s"`$v`"), lit(0L))
+          .as(s"n_${v.replaceAll("[^A-Za-z0-9]", "_")}")): _*)
+
+  /** Equi-width histogram via integral bucket arithmetic. */
+  def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
+    df.groupBy(floor(value / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  test("asofJoin matches brute-force inequality join") {
+    val purchases = events.filter($"event_type" === "purchase")
+    val signups = events.filter($"event_type" === "signup")
+    val got = Relational.asofJoin(purchases, signups, "user_id",
+      col("ts_us"), Seq("event_id"))
+      .select($"event_id", $"asof_ts").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    // brute force: max signup ts <= purchase ts per user (test-only oracle;
+    // the production operator must never plan an inequality join)
+    val brute = purchases.as("p").join(signups.as("s"),
+        $"p.user_id" === $"s.user_id" && $"s.ts_us" <= $"p.ts_us", "left")
+      .groupBy($"p.event_id").agg(max($"s.ts_us").as("asof_ts"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("sessionize: session ids are contiguous from 1 and break on gaps") {
+    val s = Relational.sessionize(events, $"user_id", $"ts_us", 1800L * 1000000L)
+      .select($"user_id", $"ts_us", $"session_id")
+      .orderBy($"user_id", $"ts_us").collect()
+    var prevUser = -1L; var prevTs = 0L; var prevSess = 0L
+    s.foreach { r =>
+      val (u, ts, sess) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (u != prevUser) assert(sess == 1L)
+      else if (ts - prevTs > 1800L * 1000000L) assert(sess == prevSess + 1)
+      else assert(sess == prevSess)
+      prevUser = u; prevTs = ts; prevSess = sess
+    }
+  }
+
+  test("topKPerGroup returns exactly k ranked rows per group") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val r = Relational.topKPerGroup(orders, Seq($"o_orderpriority"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+    val counts = r.groupBy($"o_orderpriority").count().collect()
+    counts.foreach(row => assert(row.getLong(1) == 3))
+    val ranks = r.select($"rank").distinct().as[Long].collect().sorted
+    assert(ranks.toSeq == Seq(1L, 2L, 3L))
+  }
+}
