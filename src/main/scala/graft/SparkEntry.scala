@@ -214,6 +214,82 @@ object SparkEntry {
     Relational.histogram(t(s, dir, "orders"), col("o_totalprice"), 50000.0)
       .orderBy(col("bucket"))
 
+  // ------------------------------------- C/D/E. dedup, similarity, text ops
+
+  import graft.operators.{Dedup, Similarity, Text}
+
+  /** C1: exact dedup — hash groupBy, keep min id. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+
+  /** C2: MinHash+LSH near-dup candidate pairs (no O(n²)). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C3 (rows-only gate): 64-bit SimHash per document —
+    * engine-specific token hash, spec-verified instead. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+
+  /** C4: exact n-gram Jaccard on the LSH candidates. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      threshold = 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C5: exact embedding near-dup pairs inside a blocking key. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), col("label"), 0.3)
+      .select(col("blk").as("label"), col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+
+  /** D1: brute-force exact cosine top-5 for a broadcast query set. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D2 (rows-only gate): LSH-bucketed approximate NN — recall-bearing
+    * approximation, spec-verified against the brute-force baseline. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E1: token/char counting. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** E2: stopword-hit language ID. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      Text.langId(col("text")).as("pred"))
+      .orderBy(col("doc_id"))
+
+  /** E3: composite quality score. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.punctCount(col("text")).as("punct"),
+      Text.qualityScore(col("text")).as("score"))
+      .orderBy(col("doc_id"))
+
+  /** E4: md5 content fingerprint. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -236,7 +312,18 @@ object SparkEntry {
     "q17_range_join" -> (q17 _),
     "q18_percentiles" -> (q18 _),
     "q19_pivot" -> (q19 _),
-    "q20_histogram" -> (q20 _)
+    "q20_histogram" -> (q20 _),
+    "q21_dedup_exact" -> (q21 _),
+    "q22_minhash_lsh" -> (q22 _),
+    "q23_simhash" -> (q23 _),
+    "q24_jaccard_pairs" -> (q24 _),
+    "q25_cos_neardup" -> (q25 _),
+    "q26_ann_brute" -> (q26 _),
+    "q27_ann_lsh" -> (q27 _),
+    "q28_tokens" -> (q28 _),
+    "q29_langid" -> (q29 _),
+    "q30_quality" -> (q30 _),
+    "q31_fingerprint" -> (q31 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -351,6 +438,119 @@ object SparkEntry {
     "q20_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS cnt
-        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "q22_minhash_lsh" ->
+      (minhashCte +
+       """SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""),
+    "q24_jaccard_pairs" ->
+      (minhashCte +
+       """, sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |          len(list_distinct(sa.s || sb.s)), 4) AS jac
+         |  FROM pairs p
+         |  JOIN sets sa ON sa.doc_id = p.doc_a
+         |  JOIN sets sb ON sb.doc_id = p.doc_b)
+         |WHERE jac >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
+    "q25_cos_neardup" ->
+      """SELECT label, id_a, id_b, cos FROM (
+        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+        |                           list_transform(b.embedding, x -> x::DOUBLE)) /
+        |      (sqrt(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+        |                             list_transform(a.embedding, x -> x::DOUBLE))) *
+        |       sqrt(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+        |                             list_transform(b.embedding, x -> x::DOUBLE)))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.3 ORDER BY label, id_a, id_b""".stripMargin,
+    "q26_ann_brute" ->
+      """WITH j AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+        |                     list_transform(e.embedding, x -> x::DOUBLE)) /
+        |      (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+        |                             list_transform(q.embedding, x -> x::DOUBLE))) *
+        |       sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+        |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |  JOIN embeddings e ON e.vec_id != q.vec_id)
+        |SELECT q_id, rank, n_id, ROUND(cosf, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q28_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                       w -> w != '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|que|una|por)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(text), '\b(的|是|在|了|和)\b')) AS h_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |    WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |    WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |    WHEN h_es >= h_zh THEN 'es'
+        |    ELSE 'zh' END AS pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q30_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         w -> w != '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, punct,
+        |  ROUND(
+        |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+        |    (1.0 - LEAST(1.0, CAST(punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 0.3 +
+        |    LEAST(1.0, CAST(stops AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 0.3,
+        |  4) AS score
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q31_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared DuckDB CTE defining the MinHash+LSH pipeline (word 3-shingles,
+    * k=8 seeded-md5 minima, 4 bands × 2 rows). */
+  private val minhashCte: String =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |    ELSE list_transform(range(1, len(ws) - 1),
+      |                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh
+      |  FROM words),
+      |sigs AS (
+      |  SELECT doc_id, list_transform(range(0, 8),
+      |    i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, j, md5(sig[2*j+1] || '|' || sig[2*j+2]) AS band
+      |  FROM sigs, range(0, 4) t(j)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id)
+      |""".stripMargin
 }

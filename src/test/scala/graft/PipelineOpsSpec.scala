@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, Text}
+
+/** Specs for the LLM-pipeline operators with synthetic inputs where the
+  * testdata lacks structure (e.g. exact duplicates). */
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup groups duplicates regardless of case/whitespace") {
+    val d = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO\tWORLD"),
+      (4L, "different doc")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(d, $"doc_id", $"text").collect()
+    assert(g.length == 2)
+    val big = g.find(_.getLong(2) == 3L).get
+    assert(big.getLong(1) == 1L) // keeps the smallest id
+  }
+
+  test("minhash candidates find a near-duplicate and its jaccard is high") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val d = docs.select($"doc_id" + 10000, $"text").toDF("doc_id", "text")
+      .unionByName(Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text"))
+    val cands = Dedup.minhashCandidatePairs(d, $"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    val jac = Dedup.jaccardPairs(d, $"doc_id", $"text", threshold = 0.2)
+      .filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .select($"jac").as[Double].collect()
+    assert(jac.nonEmpty && jac.head > 0.5)
+  }
+
+  test("simhash of identical docs equal; near-dups within small hamming") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "completely unrelated words about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val h = Dedup.withSimhash(d, "text").select($"doc_id", $"simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) < 16)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 8)
+    val pairs = Dedup.simhashNearDups(d, $"doc_id", "text", maxHamming = 3)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("winnow fingerprints overlap heavily for near-dup docs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (3L, "entirely different content with no shared phrases at all here"))
+      .toDF("doc_id", "text")
+    val fp = d.select($"doc_id", Text.winnow($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sim12 = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).union(fp(2L)).size
+    val sim13 = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).union(fp(3L)).size
+    assert(sim12 > 0.5 && sim13 < 0.2)
+  }
+
+  test("langId is deterministic and favors stopword hits") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house to be in place"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "le chat et la maison les arbres des fleurs"))
+      .toDF("doc_id", "text")
+    val r = d.select($"doc_id", Text.langId($"text").as("p")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("LSH topk achieves reasonable recall against brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 5, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // random vectors: bucket pruning trades recall for candidate count;
+    // 4 planes + multi-probe scans ~5/16 of the corpus per query
+    assert(recall > 0.15, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("cosine is 1 for identical vectors, -1 for opposite") {
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f),
+      Array(-1.0f, -2.0f, -3.0f))).toDF("a", "b", "c")
+    val r = d.select(Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+}
