@@ -290,6 +290,18 @@ object SparkEntry {
       Text.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** F1/F2: multimodal plumbing — binary payload + typed metadata, feature
+    * extraction through the real mapPartitions batch path (decode step is
+    * a deterministic stub; see [[graft.operators.Multimodal]]). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractFeatures(
+      Multimodal.assetsFromDocs(t(s, dir, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("head_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,7 +335,8 @@ object SparkEntry {
     "q28_tokens" -> (q28 _),
     "q29_langid" -> (q29 _),
     "q30_quality" -> (q30 _),
-    "q31_fingerprint" -> (q31 _)
+    "q31_fingerprint" -> (q31 _),
+    "q32_multimodal" -> (q32 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -526,6 +539,10 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "q31_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  upper(hex(encode(substring(text, 1, 8)))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

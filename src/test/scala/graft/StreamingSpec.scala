@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.view.{QueryOpts, Reduce, View}
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Doc(ts: Timestamp, fp: String, text: String)
+case class Change(_docid: Long, status: String, price: Double)
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts with watermark aggregate per window+type") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.windowedCounts(in.toDF(), width = "10 minutes",
+      lateness = "20 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete")
+      .start()
+    in.addData(Ev(ts(1), "click", 1.0), Ev(ts(2), "click", 2.0),
+      Ev(ts(12), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select(col("event_type"), col("cnt"), col("sum_value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("streaming dedup drops repeated fingerprints within watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streams.dedupStream(in.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode("append")
+      .start()
+    in.addData(Doc(ts(0), "a", "first"), Doc(ts(1), "a", "dup of first"),
+      Doc(ts(2), "b", "second"))
+    q.processAllAvailable()
+    val got = spark.table("dd").select(col("fp")).as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b"))
+    q.stop()
+  }
+
+  test("incremental view maintenance merges micro-batches into the index") {
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val path = s"$dir/idx"
+    val in = MemoryStream[Change]
+    val emit = (batch: org.apache.spark.sql.DataFrame) =>
+      batch.select(col("_docid").as("_id"), col("status").as("key"),
+        col("price").as("value"))
+    val q = Streams.maintainViewIndex(spark, in.toDF(), emit, path,
+      s"$dir/ckpt")
+    in.addData(Change(1, "F", 10.0), Change(2, "O", 20.0))
+    q.processAllAvailable()
+    in.addData(Change(1, "F", 99.0), Change(3, "P", 30.0)) // doc 1 updated
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == 3)
+    val v1 = idx.filter(col("_id") === 1).select(col("value")).as[Double].head()
+    assert(v1 == 99.0)
+    // and the index is queryable through the View API
+    val docs = Seq((1L, "F", 99.0), (2L, "O", 20.0), (3L, "P", 30.0))
+      .toDF("_docid", "status", "price")
+    val view = View(docs, col("_docid"), col("status"), col("price"),
+      Some(Reduce.Sum)).fromIndex(spark, path)
+    val sums = view.query(QueryOpts(group = true)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sums == Map("F" -> 99.0, "O" -> 20.0, "P" -> 30.0))
+  }
+}
