@@ -232,9 +232,8 @@ object SparkEntry {
   /** C3 (rows-only gate): 64-bit SimHash per document —
     * engine-specific token hash, spec-verified instead. */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    Dedup.withSimhash(
-      t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
-      .select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+    Dedup.simhashValues(t(s, dir, "documents"), col("doc_id"), "text")
+      .orderBy(col("doc_id"))
 
   /** C4: exact n-gram Jaccard on the LSH candidates. */
   private def q24(s: SparkSession, dir: String): DataFrame =

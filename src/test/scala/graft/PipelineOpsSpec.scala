@@ -43,7 +43,7 @@ class PipelineOpsSpec extends SparkSpecBase {
       (3L, "alpha beta gamma delta epsilon zeta eta iota"),
       (4L, "completely unrelated words about spark engines and parquet files"))
       .toDF("doc_id", "text")
-    val h = Dedup.withSimhash(d, "text").select($"doc_id", $"simhash")
+    val h = Dedup.simhashValues(d, $"doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) == h(2L))
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) < 16)
