@@ -301,6 +301,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- B(cont). breadth ops
+
+  /** B10: ROLLUP hierarchical aggregation (status × priority). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"), col("cnt"))
+      .orderBy(col("st"), col("pri"))
+
+  /** B11: min_by / max_by argmin-argmax aggregates. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("dearest"),
+        count_distinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+
+  /** B12: JSON extraction from the events props column. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** B13: running cumulative sum per user over event time. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("running", sum(col("value").cast("decimal(18,2)"))
+        .over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"))
+      .select(col("event_id"), col("user_id"), col("running"))
+      .orderBy(col("event_id"))
+
+  /** B14: ntile decile assignment. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("decile"))
+      .orderBy(col("o_orderkey"))
+
+  /** B15: INTERSECT / EXCEPT set operations. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey"))
+    val both = urgent.intersect(high).withColumn("tag", lit("both"))
+    val only = urgent.except(high).withColumn("tag", lit("urgent_only"))
+    both.unionByName(only).orderBy(col("tag"), col("o_custkey"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,7 +392,13 @@ object SparkEntry {
     "q29_langid" -> (q29 _),
     "q30_quality" -> (q30 _),
     "q31_fingerprint" -> (q31 _),
-    "q32_multimodal" -> (q32 _)
+    "q32_multimodal" -> (q32 _),
+    "q33_rollup" -> (q33 _),
+    "q34_minby_maxby" -> (q34 _),
+    "q35_json_extract" -> (q35 _),
+    "q36_running_sum" -> (q36 _),
+    "q37_ntile" -> (q37 _),
+    "q38_set_ops" -> (q38 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -539,6 +602,41 @@ object SparkEntry {
     "q31_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q34_minby_maxby" ->
+      """SELECT o_orderstatus,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest,
+        |  arg_max(o_orderkey, o_totalprice) AS dearest,
+        |  COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q35_json_extract" ->
+      """SELECT event_id, CAST(props ->> '$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q36_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q37_ntile" ->
+      """SELECT o_orderkey,
+        |  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q38_set_ops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q32_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(encode(substring(text, 1, 8)))) AS head_hex
