@@ -176,6 +176,13 @@ final class View private (
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
 
+  /** Reference `viewCleanup`/`destroy`: drop a materialized index. */
+  def cleanup(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
   private def aggFor(rf: Reduce): Column = rf match {
     case Reduce.Count => count(lit(1)).as("value")
     case Reduce.Sum => sum(col("value")).as("value")
