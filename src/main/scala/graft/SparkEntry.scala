@@ -358,6 +358,67 @@ object SparkEntry {
     both.unionByName(only).orderBy(col("tag"), col("o_custkey"))
   }
 
+  /** A1 (multi-emit): one doc emits two view rows; reduce sums per key —
+    * the reference's map functions calling emit() twice. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    View.multi(o, col("o_orderkey"),
+      array(
+        struct(col("o_orderstatus").as("key"),
+          col("o_totalprice").cast("decimal(18,2)").as("value")),
+        struct(col("o_orderpriority").as("key"),
+          col("o_totalprice").cast("decimal(18,2)").as("value"))),
+      Some(Reduce.Sum))
+      .query(QueryOpts(group = true))
+      .select(col("key"), col("value").cast("double").as("sum_price"))
+  }
+
+  /** B16: skew-safe salted two-phase aggregation — result identical to a
+    * direct group-sum, so the oracle is the plain GROUP BY. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedSum(t(s, dir, "lineitem"), col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)"), pmod(col("l_orderkey"), lit(16)))
+      .select(col("key").as("l_returnflag"),
+        col("sum_value").cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** B17: latest row per key ("current revision wins"). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Relational.latestByKey(events(s, dir), col("user_id"),
+      Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .orderBy(col("user_id"))
+
+  /** B18: CUBE aggregation over two dimensions. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"), col("cnt"))
+      .orderBy(col("st"), col("pri"))
+
+  /** B19: deterministic modular sampling (engine-portable "hash"
+    * sample: multiply by a large prime, bucket, keep 10%). */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey") * 2654435761L, lit(1000)) < 100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** E5: text cleaning — strip non-alphanumerics, collapse whitespace;
+    * emits the cleaned fingerprint + post-clean token count. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    t(s, dir, "documents").select(col("doc_id"),
+      cleaned.as("_c"))
+      .select(col("doc_id"),
+        size(split(col("_c"), " ")).cast("long").as("n_tokens_clean"),
+        md5(col("_c").cast("binary")).as("fp_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -398,7 +459,13 @@ object SparkEntry {
     "q35_json_extract" -> (q35 _),
     "q36_running_sum" -> (q36 _),
     "q37_ntile" -> (q37 _),
-    "q38_set_ops" -> (q38 _)
+    "q38_set_ops" -> (q38 _),
+    "q39_multi_emit" -> (q39 _),
+    "q40_salted_agg" -> (q40 _),
+    "q41_latest_by_key" -> (q41 _),
+    "q42_cube" -> (q42 _),
+    "q43_sample" -> (q43 _),
+    "q44_clean_text" -> (q44 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -640,7 +707,42 @@ object SparkEntry {
     "q32_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(encode(substring(text, 1, 8)))) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_multi_emit" ->
+      """SELECT key, CAST(SUM(v) AS DOUBLE) AS sum_price FROM (
+        |  SELECT o_orderstatus AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "q40_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_latest_by_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q42_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q43_sample" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE (o_orderkey * 2654435761) % 1000 < 100
+        |ORDER BY o_orderkey""".stripMargin,
+    "q44_clean_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS _c
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(_c, ' ')) AS BIGINT) AS n_tokens_clean,
+        |  md5(_c) AS fp_clean
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** Shared DuckDB CTE defining the MinHash+LSH pipeline (word 3-shingles,

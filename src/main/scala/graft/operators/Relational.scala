@@ -113,6 +113,25 @@ object Relational {
         coalesce(col(s"`$v`"), lit(0L))
           .as(s"n_${v.replaceAll("[^A-Za-z0-9]", "_")}")): _*)
 
+  /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt), then
+    * combine partials per key. A hot key's rows spread over `salt`
+    * distinct reducers in phase 1, so no single task absorbs the whole
+    * key — the standard defense when one view key dominates (decimal
+    * partials keep the result exactly equal to a direct groupBy sum). */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+                salt: Column): DataFrame =
+    df.groupBy(key.as("key"), salt.as("_salt"))
+      .agg(sum(value).as("_partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("_partial")).as("sum_value"))
+
+  /** Keep the latest row per key by a time ordering (the reference's
+    * "current revision wins" read semantics, batch form). */
+  def latestByKey(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(key).orderBy(order.map(_.desc): _*)))
+      .filter(col("_rn") === 1).drop("_rn")
+
   /** Equi-width histogram via integral bucket arithmetic. */
   def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
     df.groupBy(floor(value / width).cast("long").as("bucket"))
