@@ -85,17 +85,34 @@ object Dedup {
         array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
+  /** Enumerate ordered pairs within each bucket's sorted member list.
+    * `ids` must be a bound attribute (small per-bucket arrays, so the
+    * interpreted lambda cost is bounded by bucket size). */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b =>
+        struct(a.as("doc_a"), b.as("doc_b")))))
+
+  /** MinHash+LSH near-duplicate candidate pairs (doc_a &lt; doc_b),
+    * deduplicated across bands.
+    *
+    * Pair enumeration is bucket-local via collect_list + in-bucket pair
+    * expansion — ONE pass over the signature pipeline, no self-join (a
+    * self-join re-executes the whole upstream pipeline per branch:
+    * exchange reuse does not fire across AQE stages here, observed as
+    * doubled scans). Buckets larger than `maxBucket` are dropped as
+    * too-common (boilerplate shingles), bounding the quadratic
+    * expansion — the standard LSH skew guard. */
   def minhashCandidatePairs(docs: DataFrame, id: Column, text: Column,
-                            k: Int = 8, bands: Int = 4): DataFrame = {
+                            k: Int = 8, bands: Int = 4,
+                            maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSigs(shingleRows(docs, id, text), k)
-    // Second barrier: band rows materialize once; ReuseExchange serves
-    // both self-join branches from the same shuffle output.
-    val b = lshBands(sigs, k, bands).repartition(col("j"), col("band"))
-    val x = b.select(col("j"), col("band"), col("doc_id").as("doc_a"))
-    val y = b.select(col("j"), col("band"), col("doc_id").as("doc_b"))
-    x.join(y, Seq("j", "band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    lshBands(sigs, k, bands)
+      .groupBy(col("j"), col("band"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(bucketPairs(col("ids"))).as("_p"))
+      .select(col("_p.doc_a"), col("_p.doc_b")).distinct()
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs: distinct
@@ -163,13 +180,19 @@ object Dedup {
             .bitwiseAND(lit(0xFFFFL)).as("b"))): _*)).as("_x"))
       .select(col("doc_id"), col("simhash"),
         col("_x.i").as("i"), col("_x.b").as("b"))
-    val x = banded.select(col("i"), col("b"), col("doc_id").as("doc_a"),
-      col("simhash").as("h_a"))
-    val y = banded.select(col("i"), col("b"), col("doc_id").as("doc_b"),
-      col("simhash").as("h_b"))
-    x.join(y, Seq("i", "b")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+    // bucket-local pair expansion, one pass — same rationale as
+    // minhashCandidatePairs (no self-join, no pipeline re-execution)
+    val members = struct(col("doc_id"), col("simhash"))
+    banded.groupBy(col("i"), col("b"))
+      .agg(sort_array(collect_list(members)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, ix) =>
+        transform(slice(col("ms"), ix + 2, size(col("ms"))), m =>
+          struct(a.getField("doc_id").as("doc_a"),
+            m.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("simhash")
+              .bitwiseXOR(m.getField("simhash"))).as("hamming")))))).as("_p"))
+      .select(col("_p.doc_a"), col("_p.doc_b"), col("_p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
