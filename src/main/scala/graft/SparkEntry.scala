@@ -419,6 +419,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** B20: GROUPING SETS through the raw SQL surface. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin)
+  }
+
+  /** B21: ordered distinct string aggregation per group. */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"))
+      .orderBy(col("o_orderstatus"))
+
+  /** B22: LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withU = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+      "left_semi").select(col("c_custkey"), lit("has_urgent").as("tag"))
+    val without = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+      "left_anti").select(col("c_custkey"), lit("none").as("tag"))
+    withU.unionByName(without).orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** D3: per-vector stats over the embedding column (sum via the native
+    * dot product against a ones vector — deterministic in both engines).
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val ones = lit(Array.fill(64)(1.0))
+    t(s, dir, "embeddings").select(col("vec_id"),
+      round(Similarity.dot(col("embedding"), ones), 4).as("v_sum"),
+      round(array_min(col("embedding")).cast("double"), 4).as("v_min"),
+      round(array_max(col("embedding")).cast("double"), 4).as("v_max"))
+      .orderBy(col("vec_id"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -465,7 +509,11 @@ object SparkEntry {
     "q41_latest_by_key" -> (q41 _),
     "q42_cube" -> (q42 _),
     "q43_sample" -> (q43 _),
-    "q44_clean_text" -> (q44 _)
+    "q44_clean_text" -> (q44 _),
+    "q45_grouping_sets" -> (q45 _),
+    "q46_string_agg" -> (q46 _),
+    "q47_semi_anti" -> (q47 _),
+    "q48_vector_stats" -> (q48 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -742,7 +790,40 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(string_split(_c, ' ')) AS BIGINT) AS n_tokens_clean,
         |  md5(_c) AS fp_clean
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q45_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
+    "q46_string_agg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q47_semi_anti" ->
+      """SELECT c_custkey, 'has_urgent' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, 'none' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q48_vector_stats" ->
+      """SELECT vec_id,
+        |  ROUND(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+        |    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]), 4) AS v_sum,
+        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS v_min,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS v_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 
   /** Shared DuckDB CTE defining the MinHash+LSH pipeline (word 3-shingles,

@@ -24,6 +24,20 @@ object Streams {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Streaming `_stats` reduce: the reference's stats builtin maintained
+    * continuously per window+key with bounded state. */
+  def windowedStats(events: DataFrame, width: String = "1 hour",
+                    lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        sum(col("value")).as("sum"),
+        count(col("value")).as("count"),
+        min(col("value")).as("min"),
+        max(col("value")).as("max"),
+        sum(col("value") * col("value")).as("sumsqr"))
+
   /** Streaming exact dedup on a content key with bounded state: documents
     * whose fingerprint was already seen inside the watermark horizon are
     * dropped — the streaming form of [[graft.operators.Dedup.exactGroups]].

@@ -41,6 +41,10 @@ final case class QueryOpts(
   * `endKey = Seq(2024, View.MaxKey)`. */
 case object MaxKey
 
+/** The reference's query-response envelope: rows + total_rows + offset. */
+final case class ViewQueryResult(rows: DataFrame, totalRows: Long,
+                                 offset: Long)
+
 /** A map/reduce view: the reference's `emit(key, value)` map phase declared
   * as Catalyst columns (so the whole view is one declarative plan — filter
   * pushdown, column pruning and partial aggregation are Catalyst's job, and
@@ -175,6 +179,12 @@ final class View private (
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
+
+  /** Reference query-response metadata: the result rows plus
+    * `total_rows` (size of the whole view index) and `offset` (the
+    * skip applied) — CouchDB's response envelope. */
+  def queryResult(opts: QueryOpts = QueryOpts()): ViewQueryResult =
+    ViewQueryResult(query(opts), totalRows, opts.skip)
 
   /** Reference `viewCleanup`/`destroy`: drop a materialized index. */
   def cleanup(spark: SparkSession, path: String): Boolean = {

@@ -35,6 +35,22 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("windowed _stats maintains sum/count/min/max/sumsqr per window") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.windowedStats(in.toDF(), width = "10 minutes",
+      lateness = "20 minutes")
+      .writeStream.format("memory").queryName("ws").outputMode("complete")
+      .start()
+    in.addData(Ev(ts(1), "click", 2.0), Ev(ts(2), "click", 4.0))
+    q.processAllAvailable()
+    val r = spark.table("ws").select(col("sum"), col("count"), col("min"),
+      col("max"), col("sumsqr")).collect().head
+    assert(r.getDouble(0) == 6.0 && r.getLong(1) == 2L &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0 && r.getDouble(4) == 20.0)
+    q.stop()
+  }
+
   test("streaming dedup drops repeated fingerprints within watermark") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Doc]

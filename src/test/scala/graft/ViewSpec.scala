@@ -171,6 +171,14 @@ class ViewSpec extends SparkSpecBase {
     assert(v.totalRows == orders.count() * 2)
   }
 
+  test("queryResult carries total_rows and offset metadata") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val r = v.queryResult(QueryOpts(reduce = false, skip = 5, limit = Some(10)))
+    assert(r.totalRows == orders.count())
+    assert(r.offset == 5)
+    assert(r.rows.count() == 10)
+  }
+
   test("materialize + fromIndex + incremental updateIndex") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val path = s"$dir/v1"
