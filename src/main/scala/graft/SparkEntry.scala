@@ -56,7 +56,9 @@ object SparkEntry {
         col("value.count").as("count_v"),
         col("value.min").cast("double").as("min_v"),
         col("value.max").cast("double").as("max_v"),
-        col("value.sumsqr").cast("double").as("sumsqr_v"))
+        // decimal→string, not →double: casting huge exact decimals to
+        // double rounds differently per engine (observed at sf0.1)
+        col("value.sumsqr").cast("string").as("sumsqr_v"))
 
   /** A5: custom reduce (max) distributes like the builtins. */
   private def q04(s: SparkSession, dir: String): DataFrame =
@@ -457,9 +459,9 @@ object SparkEntry {
     import graft.operators.Similarity
     val ones = lit(Array.fill(64)(1.0))
     t(s, dir, "embeddings").select(col("vec_id"),
-      round(Similarity.dot(col("embedding"), ones), 4).as("v_sum"),
-      round(array_min(col("embedding")).cast("double"), 4).as("v_min"),
-      round(array_max(col("embedding")).cast("double"), 4).as("v_max"))
+      graft.gfunctions.round4(Similarity.dot(col("embedding"), ones)).as("v_sum"),
+      graft.gfunctions.round4(array_min(col("embedding")).cast("double")).as("v_min"),
+      graft.gfunctions.round4(array_max(col("embedding")).cast("double")).as("v_max"))
       .orderBy(col("vec_id"))
   }
 
@@ -529,7 +531,7 @@ object SparkEntry {
         |  COUNT(*) AS count_v,
         |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sumsqr_v
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sumsqr_v
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q04_custom_reduce" ->
       """SELECT o_orderstatus, MAX(o_totalprice) AS max_price
@@ -614,8 +616,8 @@ object SparkEntry {
         |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin,
     "q18_percentiles" ->
       """SELECT o_orderstatus,
-        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |  FLOOR((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+        |  FLOOR((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q19_pivot" ->
       """SELECT o_orderstatus,
@@ -641,8 +643,8 @@ object SparkEntry {
        """, sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
          |SELECT doc_a, doc_b, jac FROM (
          |  SELECT p.doc_a, p.doc_b,
-         |    ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-         |          len(list_distinct(sa.s || sb.s)), 4) AS jac
+         |    FLOOR((CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |          len(list_distinct(sa.s || sb.s))) * 10000 + 0.5) / 10000 AS jac
          |  FROM pairs p
          |  JOIN sets sa ON sa.doc_id = p.doc_a
          |  JOIN sets sb ON sb.doc_id = p.doc_b)
@@ -650,12 +652,12 @@ object SparkEntry {
     "q25_cos_neardup" ->
       """SELECT label, id_a, id_b, cos FROM (
         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |    ROUND(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+        |    FLOOR((list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
         |                           list_transform(b.embedding, x -> x::DOUBLE)) /
         |      (sqrt(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
         |                             list_transform(a.embedding, x -> x::DOUBLE))) *
         |       sqrt(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
-        |                             list_transform(b.embedding, x -> x::DOUBLE)))), 4) AS cos
+        |                             list_transform(b.embedding, x -> x::DOUBLE))))) * 10000 + 0.5) / 10000 AS cos
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.3 ORDER BY label, id_a, id_b""".stripMargin,
@@ -670,7 +672,7 @@ object SparkEntry {
         |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
         |  JOIN embeddings e ON e.vec_id != q.vec_id)
-        |SELECT q_id, rank, n_id, ROUND(cosf, 4) AS cos FROM (
+        |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j)
@@ -708,11 +710,11 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
         |  FROM documents)
         |SELECT doc_id, n_tokens, punct,
-        |  ROUND(
+        |  FLOOR((
         |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
         |    (1.0 - LEAST(1.0, CAST(punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 0.3 +
-        |    LEAST(1.0, CAST(stops AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 0.3,
-        |  4) AS score
+        |    LEAST(1.0, CAST(stops AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 0.3
+        |  ) * 10000 + 0.5) / 10000 AS score
         |FROM b ORDER BY doc_id""".stripMargin,
     "q31_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -812,7 +814,7 @@ object SparkEntry {
         |ORDER BY tag, c_custkey""".stripMargin,
     "q48_vector_stats" ->
       """SELECT vec_id,
-        |  ROUND(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+        |  FLOOR(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
         |    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
         |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
         |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
@@ -820,9 +822,9 @@ object SparkEntry {
         |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
         |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
         |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
-        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]), 4) AS v_sum,
-        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS v_min,
-        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS v_max
+        |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) * 10000 + 0.5) / 10000 AS v_sum,
+        |  FLOOR(CAST(list_min(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS v_min,
+        |  FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS v_max
         |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 

@@ -14,4 +14,15 @@ object gfunctions {
 
   /** Driver-side encoding of a literal key (for startkey/endkey/key/keys). */
   def collation_key_lit(v: Any): Array[Byte] = CollationCodec.encodeScala(v)
+
+  /** Engine-portable 4-decimal rounding: `floor(x*10000 + 0.5)/10000`.
+    * `round(x, 4)` half-up semantics differ between engines at exact
+    * .00005 boundaries (observed at sf0.1); this formula is the same
+    * double-op sequence everywhere, so results are bit-identical.
+    * (Rounds toward +inf at ties, including for negatives — consistent
+    * across engines, which is what the correctness gate needs.) */
+  def round4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * 10000.0 + lit(0.5)).cast("double") / 10000.0
+  }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.gfunctions.round4
+
 /** Deduplication operators for web-scale corpora. The cardinal rule at
   * 100 TB: never materialize O(n²) — exact dedup is a hash groupBy,
   * near-dup goes shingle → MinHash signature → LSH band buckets →
@@ -132,9 +134,9 @@ object Dedup {
         .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jac", round(
+      .withColumn("jac", round4(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+          size(array_union(col("sh_a"), col("sh_b")))))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }

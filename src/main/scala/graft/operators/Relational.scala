@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.gfunctions.round4
+
 /** Relational operators a production user of a map/reduce view engine also
   * needs — expressed as declarative DataFrame plans so Catalyst handles
   * pushdown/pruning and AQE handles skew. Every operator here is designed
@@ -99,7 +101,7 @@ object Relational {
   def percentiles(df: DataFrame, key: Column, value: Column,
                   ps: Seq[(String, Double)]): DataFrame = {
     val aggs = ps.map { case (name, p) =>
-      round(percentile(value, lit(p)), 4).as(name)
+      round4(percentile(value, lit(p))).as(name)
     }
     df.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.DotProduct
+import graft.gfunctions.round4
 
 /** Similarity search over embedding columns (`array<float>`).
   * Scalar math runs through the native [[graft.functions.DotProduct]]
@@ -49,7 +50,7 @@ object Similarity {
           .orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cos"), 4).as("cos"))
+        round4(col("cos")).as("cos"))
   }
 
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
@@ -65,8 +66,8 @@ object Similarity {
     val b = e.select(col("blk"), col("vec_id").as("id_b"),
       col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4))
+      .withColumn("cos", round4(
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos"))
   }
@@ -124,6 +125,6 @@ object Similarity {
           .orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cos"), 4).as("cos"))
+        round4(col("cos")).as("cos"))
   }
 }

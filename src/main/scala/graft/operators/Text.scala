@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.gfunctions.round4
+
 /** Text-analysis functions for large-scale training-data pipelines.
   * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
   * no UDFs in any per-row path — and expressed so the same formula is
@@ -54,11 +56,10 @@ object Text {
     val chars = length(text).cast("double")
     val punct = punctCount(text).cast("double")
     val stops = langHits(text, langWords.head._2).cast("double")
-    round(
+    round4(
       least(lit(1.0), tok / 50.0) * 0.4 +
       (lit(1.0) - least(lit(1.0), punct / greatest(chars, lit(1.0)) * 10.0)) * 0.3 +
-      least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0) * 0.3,
-      4)
+      least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0) * 0.3)
   }
 
   /** Whitespace-normalized lowercase form used for content hashing. */
