@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.gfunctions.collation_key
 
+/** A closed user session emitted by [[Streams.sessionizeStream]]. */
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                            n_events: Long)
+
+/** Per-key state carried between micro-batches by the sessionizer. */
+final case class SessionState(start_us: Long, last_us: Long, n: Long)
+
 /** Structured Streaming formulations of the engine's operators: the
   * reference's change-feed-driven incremental view maintenance,
   * continuous windowed aggregation, and streaming dedup — all standard
@@ -46,6 +53,58 @@ object Streams {
     docs
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Continuous gap sessionization with custom state —
+    * `flatMapGroupsWithState` over a `KeyValueGroupedDataset`: one state
+    * record per user carries (session start, last seen, count); a session
+    * closes and is EMITTED when the gap to the next event exceeds
+    * `gapSeconds`, or when the EVENT-TIME timeout fires (the watermark
+    * passed last-seen + gap, so no on-time event can extend it) — state
+    * is bounded by active users. Event-time timeouts, not processing
+    * time: processing-time timeouts self-trigger endless empty
+    * micro-batches. The streaming form of
+    * [[graft.operators.Relational.sessionize]]. Expects columns
+    * `user_id: long`, `ts: timestamp`. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long,
+                       lateness: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.withWatermark("ts", lateness)
+      .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = rows.map(_._2.getTime * 1000L).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { ts =>
+              cur match {
+                case Some(s) if ts - s.last_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, ts, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start_us, s.last_us, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapSeconds * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Incremental view-index maintenance — the reference's design-doc view
     * updater driven by the change feed, as a streaming upsert: each

@@ -10,6 +10,7 @@ import graft.streaming.Streams
 import graft.view.{QueryOpts, Reduce, View}
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UserEv(user_id: Long, ts: Timestamp)
 case class Doc(ts: Timestamp, fp: String, text: String)
 case class Change(_docid: Long, status: String, price: Double)
 
@@ -62,6 +63,28 @@ class StreamingSpec extends SparkSpecBase {
     q.processAllAvailable()
     val got = spark.table("dd").select(col("fp")).as[String].collect().sorted
     assert(got.toSeq == Seq("a", "b"))
+    q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[UserEv]
+    def us(min: Int) = ts(min).getTime * 1000L
+    val q = Streams.sessionizeStream(
+      in.toDF(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .start()
+    // user 1: two events close together...
+    in.addData(UserEv(1L, ts(0)), UserEv(1L, ts(2)))
+    q.processAllAvailable()
+    // ...then an event after a >10min gap closes the first session;
+    // user 2's session stays open (same event time, nothing to time out)
+    in.addData(UserEv(1L, ts(20)), UserEv(2L, ts(20)))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.contains((1L, us(0), us(2), 2L)))
+    assert(!rows.exists(_._1 == 2L))
     q.stop()
   }
 
