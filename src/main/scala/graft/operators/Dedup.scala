@@ -125,15 +125,21 @@ object Dedup {
                    threshold: Double, k: Int = 8, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidatePairs(docs, id, text, k, bands)
-    // collect_set aggregates shingle rows back into distinct sets; the
-    // aggregation is itself an exchange both join branches reuse.
     val sets = shingleRows(docs, id, text, shingleN)
       .groupBy(col("doc_id")).agg(collect_set(col("_s")).as("sh"))
-    cands
-      .join(sets.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(sets.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+    // melt the pair into (pair, role, doc) rows so the shingle-set table
+    // is joined ONCE, then fold the two roles back — joining sets twice
+    // (doc_a branch + doc_b branch) would execute the whole shingle
+    // pipeline twice (no cross-branch exchange reuse; see SURVEY §6)
+    val melted = cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, Seq("doc_id"))
+    melted
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        min(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
+        min(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"))
       .withColumn("jac", round4(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))))

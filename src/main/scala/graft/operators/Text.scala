@@ -70,17 +70,39 @@ object Text {
     * in the oracle engine). */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
-  /** Winnowing document fingerprints: xxhash64 over character k-grams,
-    * then the minimum of each sliding window of `w` hashes, de-duplicated.
-    * Spark-only (xxhash64 is engine-specific) — covered by spec, not the
-    * SQL oracle. */
-  def winnow(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val n = normalize(text)
-    val count = greatest(length(n) - (k - 1), lit(1))
-    val grams = transform(sequence(lit(1), count),
-      i => xxhash64(n.substr(i, lit(k))))
-    val windows = transform(sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      j => array_min(slice(grams, j + 1, lit(w))))
-    array_distinct(windows)
+  /** Winnowing document fingerprints as (doc_id, fp) rows: xxhash64 over
+    * character k-grams, then the minimum of each sliding window of `w`
+    * hashes, de-duplicated per document. Spark-only (xxhash64 is
+    * engine-specific) — covered by spec, not the SQL oracle.
+    *
+    * Rows + window-min formulation, NOT nested array lambdas: Spark
+    * higher-order functions evaluate interpreted per element and would
+    * re-evaluate the gram array per window — O(chars²) per document
+    * (see SURVEY.md §6). */
+  def winnowRows(docs: org.apache.spark.sql.DataFrame,
+                 id: Column, text: Column,
+                 k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs
+      .select(id.cast("long").as("doc_id"), normalize(text).as("_n"))
+      .repartition(parts, col("doc_id"))
+    val grams = base.select(col("doc_id"),
+        posexplode(sequence(lit(1),
+          greatest(length(col("_n")) - (k - 1), lit(1)))).as(Seq("_i", "_p")),
+        col("_n"))
+      .select(col("doc_id"), col("_p"),
+        xxhash64(col("_n").substr(col("_p"), lit(k))).as("_h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("_h")).over(win))
+      .withColumn("_wc", count(col("_h")).over(win))
+      .withColumn("_tot", count(col("_h")).over(
+        Window.partitionBy(col("doc_id"))))
+      // full windows only (winnowing proper); a doc with fewer than w
+      // grams contributes its single global minimum
+      .filter(col("_wc") === w || (col("_tot") < w && col("_p") === 1))
+      .select(col("doc_id"), col("fp")).distinct()
   }
 }

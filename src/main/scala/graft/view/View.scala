@@ -234,6 +234,22 @@ object View {
     new View(docs, id, phase, reduce, None)
   }
 
+  /** Union two views into one mixed-key view: CouchDB keys are dynamic
+    * JSON, Spark columns are monomorphic — the collation byte encoding
+    * bridges the gap. Keys (and values) are carried as their canonical
+    * JSON text; ordering, range filters and lookups all operate on the
+    * precomputed `_ck` bytes, so cross-type collation (numbers before
+    * strings before arrays) is preserved exactly. */
+  def union(a: View, b: View): View = {
+    def norm(v: View): DataFrame = v.rows.select(
+      col("_id"),
+      to_json(struct(col("key"))).as("key"),
+      to_json(struct(col("value"))).as("value"),
+      col("_ck"))
+    val rows = norm(a).unionByName(norm(b))
+    new View(a.docs, col("_id"), _ => rows, None, Some(rows))
+  }
+
   /** Define a view emitting zero-or-more rows per document:
     * `emits` is an `array<struct<key:…, value:…>>` column; nulls and empty
     * arrays emit nothing — the reference's multi-`emit` map functions,

@@ -60,8 +60,9 @@ class PipelineOpsSpec extends SparkSpecBase {
       (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
       (3L, "entirely different content with no shared phrases at all here"))
       .toDF("doc_id", "text")
-    val fp = d.select($"doc_id", Text.winnow($"text").as("fp")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val fp = Text.winnowRows(d, $"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val sim12 = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).union(fp(2L)).size
     val sim13 = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).union(fp(3L)).size
     assert(sim12 > 0.5 && sim13 < 0.2)

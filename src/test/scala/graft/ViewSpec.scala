@@ -171,6 +171,22 @@ class ViewSpec extends SparkSpecBase {
     assert(v.totalRows == orders.count() * 2)
   }
 
+  test("View.union merges mixed-key views in cross-type collation order") {
+    val va = View(orders.filter($"o_orderstatus" === "F"), $"o_orderkey",
+      $"o_totalprice", lit(1))
+    val vb = View(orders.filter($"o_orderstatus" === "O"), $"o_orderkey",
+      $"o_orderpriority", lit(1))
+    val rows = View.union(va, vb)
+      .query(QueryOpts(reduce = false)).select($"key").as[String].collect()
+    val nF = orders.filter($"o_orderstatus" === "F").count().toInt
+    // all number keys sort before all string keys
+    rows.take(nF).foreach(k => assert(!k.contains("\"key\":\""), "numbers first"))
+    rows.drop(nF).foreach(k => assert(k.contains("\"key\":\""), "strings after"))
+    // numbers ascend
+    val nums = rows.take(nF).map(k => k.stripPrefix("{\"key\":").stripSuffix("}").toDouble)
+    assert(nums.toSeq == nums.sorted.toSeq)
+  }
+
   test("queryResult carries total_rows and offset metadata") {
     val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
     val r = v.queryResult(QueryOpts(reduce = false, skip = 5, limit = Some(10)))
