@@ -465,6 +465,23 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** B23 (rows-only gate): HyperLogLog++ approximate distinct counts —
+    * sketch-based, engine-specific; the spec bounds the relative error
+    * against exact counts. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** E4b (rows-only gate): winnowing fingerprints at corpus scale —
+    * xxhash64-based, engine-specific; overlap behavior spec-verified. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.winnowRows(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -515,7 +532,9 @@ object SparkEntry {
     "q45_grouping_sets" -> (q45 _),
     "q46_string_agg" -> (q46 _),
     "q47_semi_anti" -> (q47 _),
-    "q48_vector_stats" -> (q48 _)
+    "q48_vector_stats" -> (q48 _),
+    "q49_approx_distinct" -> (q49 _),
+    "q50_winnow" -> (q50 _)
   )
 
   def oracleSql: Map[String, String] = Map(

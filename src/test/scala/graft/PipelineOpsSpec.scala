@@ -92,6 +92,16 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
   }
 
+  test("approx_count_distinct stays within the configured error bound") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct($"l_partkey", 0.02).as("approx"),
+      count_distinct($"l_partkey").as("exact")).collect().head
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("cosine is 1 for identical vectors, -1 for opposite") {
     val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f),
       Array(-1.0f, -2.0f, -3.0f))).toDF("a", "b", "c")
