@@ -131,9 +131,9 @@ object SparkEntry {
       col("o_orderpriority"), lit(1))
     val unioned = va.rows.select(col("_id"), col("_ck"))
       .unionByName(vb.rows.select(col("_id"), col("_ck")))
-    unioned
-      .withColumn("pos",
-        row_number().over(Window.orderBy(col("_ck"), col("_id"))).cast("long"))
+    // distributed two-phase global rank — not a single-partition window
+    graft.operators.Relational
+      .withGlobalRowNumber(unioned, Seq(col("_ck"), col("_id")), "pos")
       .select(col("pos"), col("_id").as("o_orderkey"))
   }
 
@@ -340,13 +340,22 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("running"))
       .orderBy(col("event_id"))
 
-  /** B14: ntile decile assignment. */
-  private def q37(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(col("o_orderkey"),
-        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
-          .cast("long").as("decile"))
+  /** B14: ntile decile assignment — via the distributed two-phase global
+    * rank plus the exact NTILE bucket formula (first n%k buckets get one
+    * extra row), instead of a single-partition window. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val n = o.count(); val k = 10L
+    val base = n / k; val rem = n % k; val cut = (base + 1) * rem
+    val r = col("decile_rank")
+    val decile = (when(r <= cut, (r - 1) / (base + 1))
+      .otherwise(lit(rem) + (r - 1 - cut) / math.max(base, 1L)))
+      .cast("long") + 1
+    Relational.withGlobalRowNumber(o.select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), "decile_rank")
+      .select(col("o_orderkey"), decile.as("decile"))
       .orderBy(col("o_orderkey"))
+  }
 
   /** B15: INTERSECT / EXCEPT set operations. */
   private def q38(s: SparkSession, dir: String): DataFrame = {

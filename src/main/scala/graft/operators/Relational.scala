@@ -134,6 +134,40 @@ object Relational {
         Window.partitionBy(key).orderBy(order.map(_.desc): _*)))
       .filter(col("_rn") === 1).drop("_rn")
 
+  /** Exact global row numbers WITHOUT a single-partition window: range-
+    * partition by the ordering, sort within partitions, then add each
+    * partition's offset (computed from a cheap counting pass) — the
+    * two-phase formulation that keeps total ordering distributed. A
+    * global `Window.orderBy` pulls the whole dataset through ONE task;
+    * this scales with the cluster. `order` must be a total order
+    * (include a unique tie-break column) or ranks at partition
+    * boundaries are nondeterministic. The one `mapPartitionsWithIndex`
+    * in the codebase — per-partition imperative offset assignment is
+    * exactly the case the RDD escape hatch exists for. Returns the
+    * input columns plus `out` (1-based rank) and leaves the data sorted.
+    */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
+                          out: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      // two passes follow (count, then rank): persist so the sort runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
   /** Equi-width histogram via integral bucket arithmetic. */
   def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
     df.groupBy(floor(value / width).cast("long").as("bucket"))

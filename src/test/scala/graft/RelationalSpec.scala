@@ -46,6 +46,20 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("withGlobalRowNumber equals a window row_number without the single partition") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val got = Relational.withGlobalRowNumber(
+      orders.select($"o_orderkey", $"o_totalprice"),
+      Seq($"o_totalprice", $"o_orderkey")).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("rank")).toMap
+    val exp = orders.select($"o_orderkey",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"o_totalprice", $"o_orderkey")).cast("long").as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   test("topKPerGroup returns exactly k ranked rows per group") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val r = Relational.topKPerGroup(orders, Seq($"o_orderpriority"),
