@@ -26,6 +26,8 @@ final case class QueryOpts(
     startKey: Option[Any] = None,
     endKey: Option[Any] = None,
     inclusiveEnd: Boolean = true,
+    startKeyDocId: Option[Any] = None,
+    endKeyDocId: Option[Any] = None,
     key: Option[Any] = None,
     keys: Option[Seq[Any]] = None,
     descending: Boolean = false,
@@ -82,15 +84,44 @@ final class View private (
     var r = rows
     opts.key.foreach(k => r = r.filter(ck === enc(k)))
     opts.keys.foreach(ks => r = r.filter(ck.isin(ks.map(View.encodeKey): _*)))
+    // startkey_docid/endkey_docid refine the bound WITHIN duplicate keys
+    // (the reference's resume-pagination options): rows strictly past the
+    // bound key pass unconditionally; rows AT the bound key also compare
+    // their doc id.
+    val id = col("_id")
     if (!opts.descending) {
-      opts.startKey.foreach(k => r = r.filter(ck >= enc(k)))
-      opts.endKey.foreach(k =>
-        r = r.filter(if (opts.inclusiveEnd) ck <= enc(k) else ck < enc(k)))
+      opts.startKey.foreach { k =>
+        r = opts.startKeyDocId match {
+          case Some(d) => r.filter(ck > enc(k) ||
+            (ck === enc(k) && id >= lit(d)))
+          case None => r.filter(ck >= enc(k))
+        }
+      }
+      opts.endKey.foreach { k =>
+        r = (opts.endKeyDocId, opts.inclusiveEnd) match {
+          case (Some(d), _) => r.filter(ck < enc(k) ||
+            (ck === enc(k) && id <= lit(d)))
+          case (None, true) => r.filter(ck <= enc(k))
+          case (None, false) => r.filter(ck < enc(k))
+        }
+      }
     } else {
       // CouchDB swaps the roles when descending: startkey is the upper bound.
-      opts.startKey.foreach(k => r = r.filter(ck <= enc(k)))
-      opts.endKey.foreach(k =>
-        r = r.filter(if (opts.inclusiveEnd) ck >= enc(k) else ck > enc(k)))
+      opts.startKey.foreach { k =>
+        r = opts.startKeyDocId match {
+          case Some(d) => r.filter(ck < enc(k) ||
+            (ck === enc(k) && id <= lit(d)))
+          case None => r.filter(ck <= enc(k))
+        }
+      }
+      opts.endKey.foreach { k =>
+        r = (opts.endKeyDocId, opts.inclusiveEnd) match {
+          case (Some(d), _) => r.filter(ck > enc(k) ||
+            (ck === enc(k) && id >= lit(d)))
+          case (None, true) => r.filter(ck >= enc(k))
+          case (None, false) => r.filter(ck > enc(k))
+        }
+      }
     }
 
     val reduced = opts.reduce && reduceFn.isDefined

@@ -187,6 +187,28 @@ class ViewSpec extends SparkSpecBase {
     assert(nums.toSeq == nums.sorted.toSeq)
   }
 
+  test("startkey_docid / endkey_docid paginate within duplicate keys") {
+    // keys = o_orderstatus (heavily duplicated); docid = o_orderkey
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val fIds = orders.filter($"o_orderstatus" === "F")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val resumeAt = fIds(fIds.length / 2)
+    val got = v.query(QueryOpts(startKey = Some("F"), endKey = Some("F"),
+      startKeyDocId = Some(resumeAt), reduce = false))
+      .select($"id").as[Long].collect().toSeq
+    assert(got == fIds.dropWhile(_ < resumeAt).toSeq)
+    // descending: startkey is the upper bound, docid bounds from above
+    val gotDesc = v.query(QueryOpts(startKey = Some("F"), endKey = Some("F"),
+      startKeyDocId = Some(resumeAt), descending = true, reduce = false))
+      .select($"id").as[Long].collect().toSeq
+    assert(gotDesc == fIds.takeWhile(_ <= resumeAt).reverse.toSeq)
+    // endkey_docid caps the id range at the end key
+    val gotEnd = v.query(QueryOpts(startKey = Some("F"), endKey = Some("F"),
+      endKeyDocId = Some(resumeAt), reduce = false))
+      .select($"id").as[Long].collect().toSeq
+    assert(gotEnd == fIds.takeWhile(_ <= resumeAt).toSeq)
+  }
+
   test("queryResult carries total_rows and offset metadata") {
     val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
     val r = v.queryResult(QueryOpts(reduce = false, skip = 5, limit = Some(10)))
