@@ -79,7 +79,11 @@ final class View private (
     * map-only queries, `(key, value)` for reduced queries; `includeDocs`
     * appends a `doc` struct (following a linked document when the emitted
     * value is a struct with an `_id` field — the reference's linked-docs
-    * behavior). */
+    * behavior).
+    *
+    * Scale note: `skip` is inherently O(skip) (a global offset) — page
+    * large result sets with `startKeyDocId` resume bounds instead, which
+    * stay index-pruned (same guidance as the reference). */
   def query(opts: QueryOpts = QueryOpts()): DataFrame = {
     var r = rows
     opts.key.foreach(k => r = r.filter(ck === enc(k)))
