@@ -82,8 +82,11 @@ object SparkEntry {
     View(t(s, dir, "orders"), col("o_orderkey"),
       col("o_orderdate"), col("o_totalprice"))
       .query(QueryOpts(
-        startKey = Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
-        endKey = Some(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+        // Instant literals, not Timestamp.valueOf: the latter's epoch value
+        // depends on the JVM default timezone, silently shifting the range
+        // on non-UTC hosts (stored naive timestamps read as UTC micros)
+        startKey = Some(java.time.Instant.parse("1996-01-01T00:00:00Z")),
+        endKey = Some(java.time.Instant.parse("1997-01-01T00:00:00Z")),
         inclusiveEnd = false, reduce = false))
       .select(col("id").as("o_orderkey"),
         (year(col("key")) * 10000 + month(col("key")) * 100 +
@@ -784,7 +787,7 @@ object SparkEntry {
         |ORDER BY tag, o_custkey""".stripMargin,
     "q32_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  upper(hex(encode(substring(text, 1, 8)))) AS head_hex
+        |  substring(upper(hex(encode(text))), 1, 16) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_multi_emit" ->
       """SELECT key, CAST(SUM(v) AS DOUBLE) AS sum_price FROM (

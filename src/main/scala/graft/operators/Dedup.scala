@@ -162,7 +162,10 @@ object Dedup {
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
       .select(col("doc_id"), explode_outer(Text.tokens(col(textCol))).as("_w"))
-      .withColumn("_h", xxhash64(col("_w")))
+      // xxhash64(NULL) returns the SEED (42), not null — guard explicitly
+      // so empty/null-text docs get simhash 0, not the seed's bit pattern
+      .withColumn("_h",
+        when(col("_w").isNull, lit(null)).otherwise(xxhash64(col("_w"))))
     val votes = (0 until 64).map { b =>
       sum(when(col("_h").isNull, 0L)
         .when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)

@@ -152,10 +152,13 @@ object Relational {
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    // two passes follow (count, then rank); both re-execute this sort.
+    // Deliberately NOT persisted: a cached copy would stay pinned in the
+    // block manager for the session (no safe point to unpersist a lazily
+    // consumed result), and determinism is already guaranteed by the
+    // total order, so both passes see identical partitions.
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      // two passes follow (count, then rank): persist so the sort runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)

@@ -62,7 +62,8 @@ final class View private (
     idCol: Column,
     mapPhase: DataFrame => DataFrame,
     reduceFn: Option[Reduce],
-    indexRows: Option[DataFrame]) {
+    indexRows: Option[DataFrame],
+    isUnion: Boolean = false) {
 
   /** The view index rows: `_id, key, value, _ck` (lazy plan, or the
     * materialized index when opened via [[fromIndex]]). */
@@ -85,9 +86,30 @@ final class View private (
     * large result sets with `startKeyDocId` resume bounds instead, which
     * stay index-pruned (same guidance as the reference). */
   def query(opts: QueryOpts = QueryOpts()): DataFrame = {
+    require(opts.skip <= Int.MaxValue && opts.limit.forall(_ <= Int.MaxValue),
+      "skip/limit beyond Int.MaxValue: use startKeyDocId resume pagination")
+    require(!(opts.includeDocs && isUnion),
+      "includeDocs is undefined for union views (two doc spaces)")
     var r = rows
     opts.key.foreach(k => r = r.filter(ck === enc(k)))
-    opts.keys.foreach(ks => r = r.filter(ck.isin(ks.map(View.encodeKey): _*)))
+    // keys= returns row groups in REQUESTED order, honoring repeats (the
+    // reference's multi-key fetch semantics): join against the request
+    // list with its position, which both filters and duplicates.
+    var keyOrder: Option[Column] = None
+    opts.keys.foreach { ks =>
+      if (opts.reduce && reduceFn.isDefined) {
+        // reduced queries group per distinct key; requested order applies
+        // to map-only queries
+        r = r.filter(ck.isin(ks.map(View.encodeKey).distinct: _*))
+      } else {
+        val spark = r.sparkSession
+        import spark.implicits._
+        val req = ks.map(View.encodeKey).zipWithIndex
+          .toDF("_ck", "_req_idx")
+        r = r.join(broadcast(req), Seq("_ck"))
+        keyOrder = Some(col("_req_idx"))
+      }
+    }
     // startkey_docid/endkey_docid refine the bound WITHIN duplicate keys
     // (the reference's resume-pagination options): rows strictly past the
     // bound key pass unconditionally; rows AT the bound key also compare
@@ -147,12 +169,21 @@ final class View private (
             struct(docs.columns.map(col): _*).as("doc"))
           m = m.join(docDf, linkId === col("_doc_id"), "left").drop("_doc_id")
         }
-        if (opts.descending) m.orderBy(ck.desc, col("id").desc)
-        else m.orderBy(ck.asc, col("id").asc)
+        val sortCols = keyOrder match {
+          // requested-key order first, then id within each key group
+          case Some(kidx) =>
+            if (opts.descending) Seq(kidx.asc, col("id").desc)
+            else Seq(kidx.asc, col("id").asc)
+          case None =>
+            if (opts.descending) Seq(ck.desc, col("id").desc)
+            else Seq(ck.asc, col("id").asc)
+        }
+        m.orderBy(sortCols: _*)
       } else {
         val aggCol = aggFor(reduceFn.get)
         val grouped: DataFrame =
-          if (opts.group || opts.groupLevel.isDefined) {
+          // group_level=0 IS the global reduce (null key) in the reference
+          if (opts.group || opts.groupLevel.exists(_ > 0)) {
             val keyCol = opts.groupLevel match {
               case Some(l) if r.schema("key").dataType.isInstanceOf[ArrayType] =>
                 slice(col("key"), 1, l)
@@ -171,7 +202,7 @@ final class View private (
 
     if (opts.skip > 0) out = out.offset(opts.skip.toInt)
     opts.limit.foreach(l => out = out.limit(l.toInt))
-    out.drop("_ck")
+    out.drop("_ck").drop("_req_idx")
   }
 
   /** Persist the view index as parquet range-partitioned and sorted by the
@@ -209,10 +240,15 @@ final class View private (
     val n = spark.sessionState.conf.numShufflePartitions
     merged.repartitionByRange(n, ck).sortWithinPartitions(ck)
       .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // resolve the fs FROM the path (an index on s3a/hdfs must not hit the
+    // default filesystem), and never leave the index destroyed on a
+    // failed swap
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+      throw new java.io.IOException(
+        s"index swap failed: new index left at $tmp, old index deleted")
   }
 
   /** Reference query-response metadata: the result rows plus
@@ -223,9 +259,8 @@ final class View private (
 
   /** Reference `viewCleanup`/`destroy`: drop a materialized index. */
   def cleanup(spark: SparkSession, path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   private def aggFor(rf: Reduce): Column = rf match {
@@ -282,7 +317,8 @@ object View {
       to_json(struct(col("value"))).as("value"),
       col("_ck"))
     val rows = norm(a).unionByName(norm(b))
-    new View(a.docs, col("_id"), _ => rows, None, Some(rows))
+    new View(a.docs, col("_id"), _ => rows, None, Some(rows),
+      isUnion = true)
   }
 
   /** Define a view emitting zero-or-more rows per document:

@@ -130,6 +130,33 @@ class ViewSpec extends SparkSpecBase {
     assert(two == orders.filter($"o_orderstatus".isin("F", "O")).count())
   }
 
+  test("keys= returns groups in requested order and honors repeats") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val got = v.query(QueryOpts(keys = Some(Seq("O", "F")), reduce = false))
+      .select($"key").as[String].collect()
+    val nO = orders.filter($"o_orderstatus" === "O").count().toInt
+    assert(got.take(nO).forall(_ == "O") && got.drop(nO).forall(_ == "F"))
+    // a repeated key duplicates its row group
+    val rep = v.query(QueryOpts(keys = Some(Seq("F", "F")), reduce = false)).count()
+    assert(rep == 2 * orders.filter($"o_orderstatus" === "F").count())
+  }
+
+  test("group_level=0 is the global reduce with a null key") {
+    val v = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double")), lit(1L), Some(Reduce.Count))
+    val r = v.query(QueryOpts(groupLevel = Some(0))).collect()
+    assert(r.length == 1 && r(0).isNullAt(0) && r(0).getLong(1) == orders.count())
+  }
+
+  test("union views reject includeDocs with a clear error") {
+    val va = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    val vb = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      View.union(va, vb).query(QueryOpts(reduce = false, includeDocs = true))
+    }
+    assert(e.getMessage.contains("union views"))
+  }
+
   test("include_docs joins the source document and preserves key order") {
     val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
     val r = v.query(QueryOpts(reduce = false, includeDocs = true, limit = Some(3))).collect()
