@@ -494,6 +494,18 @@ object SparkEntry {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       .orderBy(col("doc_id"))
 
+  /** E6: corpus vocabulary — global top-25 token frequencies
+    * (explode → partial-aggregating count → distributed top-k via
+    * ordered limit, deterministic tie-break). */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Text
+    t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(25)
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -546,7 +558,8 @@ object SparkEntry {
     "q47_semi_anti" -> (q47 _),
     "q48_vector_stats" -> (q48 _),
     "q49_approx_distinct" -> (q49 _),
-    "q50_winnow" -> (q50 _)
+    "q50_winnow" -> (q50 _),
+    "q51_top_tokens" -> (q51 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -843,6 +856,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |ORDER BY tag, c_custkey""".stripMargin,
+    "q51_top_tokens" ->
+      """SELECT w, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            x -> x != '')) AS w
+        |  FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 25""".stripMargin,
     "q48_vector_stats" ->
       """SELECT vec_id,
         |  FLOOR(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
