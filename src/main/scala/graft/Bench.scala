@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -12,17 +12,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Time a FULL materialization through the noop sink, not .count():
+    // under a bare count Catalyst drops final sorts (EliminateSorts) and
+    // prunes every unconsumed projection, so queries whose cost is in the
+    // projection (e.g. JSON extraction) under-report. The noop sink
+    // consumes every row and column, measuring what a real write pays
+    // minus the disk.
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     // Warm each plan once at the smallest SF: JIT + codegen compilation +
     // session init land here, so the timed runs measure the operators,
     // not JVM warmup. Generated-class caching is keyed by plan structure,
     // which is identical across SF dirs.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { run(fn, sfDir); true }
                catch { case _: Throwable => false }
       // a failed query reports -1, not a plausible-looking duration
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

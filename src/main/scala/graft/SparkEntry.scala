@@ -360,17 +360,24 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
-  /** B15: INTERSECT / EXCEPT set operations. */
-  private def q38(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey"))
-    val high = o.filter(col("o_orderpriority") === "2-HIGH")
-      .select(col("o_custkey"))
-    val both = urgent.intersect(high).withColumn("tag", lit("both"))
-    val only = urgent.except(high).withColumn("tag", lit("urgent_only"))
-    both.unionByName(only).orderBy(col("tag"), col("o_custkey"))
-  }
+  /** B15: INTERSECT / EXCEPT semantics in ONE scan + ONE shuffle — a
+    * single conditional aggregation per customer replaces the two-branch
+    * intersect/except formulation (which scans `orders` twice and
+    * shuffles twice). Equivalence to the built-in `intersect`/`except`
+    * operators is spec-asserted in RelationalSpec. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .as("_u"),
+        max(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0))
+          .as("_h"))
+      .filter(col("_u") === 1)
+      .select(col("o_custkey"),
+        when(col("_h") === 1, "both").otherwise("urgent_only").as("tag"))
+      .orderBy(col("tag"), col("o_custkey"))
 
   /** A1 (multi-emit): one doc emits two view rows; reduce sums per key —
     * the reference's map functions calling emit() twice. */
@@ -451,17 +458,22 @@ object SparkEntry {
         .as("priorities"))
       .orderBy(col("o_orderstatus"))
 
-  /** B22: LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS). */
+  /** B22: SEMI + ANTI semantics in ONE scan of each table — a single
+    * left join against the distinct EXISTS keys tags every customer as
+    * matched or not, instead of separate left_semi and left_anti joins
+    * that each rescan both inputs. AQE broadcasts the distinct key set
+    * when small. Equivalence to `left_semi`/`left_anti` is spec-asserted
+    * in RelationalSpec. */
   private def q47(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val urgent = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey"))
-    val withU = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
-      "left_semi").select(col("c_custkey"), lit("has_urgent").as("tag"))
-    val without = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
-      "left_anti").select(col("c_custkey"), lit("none").as("tag"))
-    withU.unionByName(without).orderBy(col("tag"), col("c_custkey"))
+      .select(col("o_custkey")).distinct()
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left")
+      .select(col("c_custkey"),
+        when(col("o_custkey").isNotNull, "has_urgent").otherwise("none")
+          .as("tag"))
+      .orderBy(col("tag"), col("c_custkey"))
   }
 
   /** D3: per-vector stats over the embedding column (sum via the native

@@ -52,6 +52,23 @@ object Dedup {
     full.unionByName(short)
   }
 
+  /** (doc_id, sh) DISTINCT shingle sets — the shared materialization of
+    * the shingle pipeline. Both the MinHash signature branch and the
+    * Jaccard verification branch consume this one aggregate: the trailing
+    * explicit-count repartition is the exchange both consumers reuse
+    * (ReuseExchange), so the shingle pipeline executes ONCE per query
+    * instead of once per branch (SURVEY §6 trick 2). MinHash minima are
+    * unaffected by deduplication (min over a set == min over the
+    * multiset), so signatures computed from these sets are identical to
+    * signatures computed from raw shingle rows. */
+  def shingleSets(docs: DataFrame, id: Column, text: Column,
+                  n: Int = 3): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    shingleRows(docs, id, text, n)
+      .groupBy(col("doc_id")).agg(collect_set(col("_s")).as("sh"))
+      .repartition(parts, col("doc_id"))
+  }
+
   /** LSH banding: split the k-element signature into `bands` bands of
     * k/bands rows, hash each band. Docs sharing any (band index, band
     * hash) bucket become candidate pairs. Returns (doc_id, j, band). */
@@ -107,8 +124,19 @@ object Dedup {
     * expansion — the standard LSH skew guard. */
   def minhashCandidatePairs(docs: DataFrame, id: Column, text: Column,
                             k: Int = 8, bands: Int = 4,
-                            maxBucket: Int = 1000): DataFrame = {
-    val sigs = minhashSigs(shingleRows(docs, id, text), k)
+                            maxBucket: Int = 1000): DataFrame =
+    minhashCandidatePairsFromSets(shingleSets(docs, id, text), k, bands,
+      maxBucket)
+
+  /** Same candidate pairs, starting from a [[shingleSets]] table — the
+    * entry point for callers that also need the shingle sets themselves
+    * (e.g. [[jaccardPairs]]), so the shingle pipeline is shared rather
+    * than re-executed per consumer. */
+  def minhashCandidatePairsFromSets(sets: DataFrame,
+                                    k: Int = 8, bands: Int = 4,
+                                    maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSigs(
+      sets.select(col("doc_id"), explode(col("sh")).as("_s")), k)
     lshBands(sigs, k, bands)
       .groupBy(col("j"), col("band"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -124,9 +152,10 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
                    threshold: Double, k: Int = 8, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidatePairs(docs, id, text, k, bands)
-    val sets = shingleRows(docs, id, text, shingleN)
-      .groupBy(col("doc_id")).agg(collect_set(col("_s")).as("sh"))
+    // ONE shingle pipeline feeds both the candidate branch and the
+    // verification branch via the shared shingleSets exchange
+    val sets = shingleSets(docs, id, text, shingleN)
+    val cands = minhashCandidatePairsFromSets(sets, k, bands)
     // melt the pair into (pair, role, doc) rows so the shingle-set table
     // is joined ONCE, then fold the two roles back — joining sets twice
     // (doc_a branch + doc_b branch) would execute the whole shingle

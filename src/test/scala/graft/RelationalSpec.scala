@@ -60,6 +60,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("q38 conditional aggregation equals INTERSECT/EXCEPT operators") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val high = o.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey")
+    val exp = urgent.intersect(high).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(high).withColumn("tag", lit("urgent_only")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = SparkEntry.queries("q38_set_ops")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("q47 single left join equals LEFT SEMI / LEFT ANTI joins") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+      "left_semi").select($"c_custkey", lit("has_urgent").as("tag"))
+    val anti = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+      "left_anti").select($"c_custkey", lit("none").as("tag"))
+    val exp = semi.unionByName(anti)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = SparkEntry.queries("q47_semi_anti")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("topKPerGroup returns exactly k ranked rows per group") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val r = Relational.topKPerGroup(orders, Seq($"o_orderpriority"),
