@@ -107,43 +107,43 @@ object Streams {
   }
 
   /** Incremental view-index maintenance — the reference's design-doc view
-    * updater driven by the change feed, as a streaming upsert: each
-    * micro-batch's docs are mapped through the view's emit columns and
-    * merged into the parquet index (delete-then-append per `_id`, the
-    * same merge `View.updateIndex` does in batch).
+    * updater driven by the change feed, as a streaming upsert into an
+    * [[graft.view.IndexStore]] index: the first non-empty micro-batch
+    * creates the bucketed index; every later batch maps ONLY its docs
+    * through the view's emit columns and rewrites ONLY the key buckets
+    * those docs touch (old rows found via the by-id sidecar) — the same
+    * O(changed buckets) merge `View.updateIndex` runs in batch, never a
+    * full-index rewrite. Filesystem is resolved from the index path and
+    * swap failures throw inside `foreachBatch`, failing the batch so the
+    * checkpoint retries it (the merge is idempotent).
     *
     * `emit` maps a batch of docs to view rows `(_id, key, value)`.
-    * Returns the started query; the index at `path` stays sorted by
-    * collation key per batch so range queries keep pruning. */
+    * The index's update_seq tracks the number of batches applied. */
   def maintainViewIndex(spark: SparkSession, changeFeed: DataFrame,
                         emit: DataFrame => DataFrame, path: String,
-                        checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                        checkpoint: String, buckets: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.view.IndexStore
     changeFeed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val rows = emit(batch)
           .withColumn("_ck", collation_key(col("key")))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val p = new org.apache.hadoop.fs.Path(path)
-        val merged =
-          if (fs.exists(p)) {
-            val ids = rows.select(col("_id")).distinct()
-            spark.read.parquet(path)
-              .join(ids, Seq("_id"), "left_anti")
-              .unionByName(rows)
-          } else rows
-        val tmp = path + "._tmp"
-        merged
-          .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
-            col("_ck"))
-          .sortWithinPartitions(col("_ck"))
-          .write.mode("overwrite").parquet(tmp)
-        fs.delete(p, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        val n = if (buckets > 0) buckets
+                else spark.sessionState.conf.numShufflePartitions
+        if (!IndexStore.exists(spark, path)) {
+          if (!rows.isEmpty)
+            IndexStore.create(spark, path, rows, n, seq = batchId + 1)
+        } else {
+          val meta = IndexStore.readMeta(spark, path)
+          val newRows =
+            rows.withColumn("_kb", IndexStore.bucketCol(col("_ck"), meta))
+          IndexStore.merge(spark, path, meta, newRows,
+            rows.select(col("_id")).distinct(), newSeq = batchId + 1)
+        }
         ()
       }
       .start()
+  }
 }

@@ -1,0 +1,224 @@
+package graft.view
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index metadata persisted alongside the data: the change-feed sequence
+  * the index is current through (CouchDB's `update_seq`), the bucket
+  * count, and the per-bucket minimum collation key (the range bounds new
+  * keys are routed by). `bounds` holds (bucketId, min `_ck`) for every
+  * bucket that was non-empty at creation, in key order. */
+final case class IndexMeta(updateSeq: Long, buckets: Int,
+                           bounds: Seq[(Int, Array[Byte])])
+
+/** On-disk layout and maintenance of a persistent view index — the
+  * reference's design-doc view storage (pouchdb-abstract-mapreduce's
+  * by-key + by-id btrees), re-expressed as range-bucketed parquet:
+  *
+  * {{{
+  * path/
+  *   _graft_meta        update_seq + bucket range bounds (text)
+  *   data/_kb=<b>/      view rows (_id, key, value, _ck), range-bucketed
+  *                      by _ck, sorted by _ck within each file
+  *   ids/_ib=<b>/       by-id sidecar (_id, _kb): which key buckets each
+  *                      doc emitted into (the role of CouchDB's by-id
+  *                      btree: find a changed doc's OLD rows without
+  *                      scanning the index)
+  * }}}
+  *
+  * The layout is what makes maintenance O(changed buckets), not
+  * O(index): an incremental update reads the by-id sidecar (pruned to
+  * the changed ids' hash buckets) to find which key buckets hold the
+  * changed docs' old rows, then rewrites ONLY those `_kb` directories.
+  * Untouched bucket directories are never read or written — at 100 TB a
+  * small change-feed batch touches a handful of buckets, not the index.
+  * Queries prune the same way: `startkey`/`endkey` become a `_kb` range
+  * (directory-level partition pruning) plus a binary `_ck` range pushed
+  * to parquet (row-group min/max pruning within the bucket).
+  *
+  * A failed update is safe to retry: the merge is idempotent (affected
+  * buckets are rebuilt from surviving rows + the batch's new rows), and
+  * each bucket directory is swapped by rename with failures thrown, so
+  * a crash leaves buckets either old or new, never truncated.
+  */
+object IndexStore {
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    // resolve the filesystem FROM the path: an index on s3a/hdfs must
+    // not hit the default filesystem namespace
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataDir(path: String) = s"$path/data"
+  private def idsDir(path: String) = s"$path/ids"
+
+  /** Unsigned-lexicographic byte compare — the collation order. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Driver-side bucket routing for a literal key: the last bucket whose
+    * minimum is at-or-below the key (keys below every bound route to the
+    * first bucket). Used to turn startkey/endkey into `_kb` partition
+    * filters. */
+  def bucketOf(meta: IndexMeta, key: Array[Byte]): Int =
+    if (meta.bounds.isEmpty) 0
+    else meta.bounds.takeWhile(b => cmp(b._2, key) <= 0)
+      .lastOption.map(_._1).getOrElse(meta.bounds.head._1)
+
+  /** Column-side bucket routing for new index rows (same function as
+    * [[bucketOf]], as a codegen'd when-chain over the literal bounds —
+    * O(buckets) comparisons per NEW row only; maintenance batches are
+    * small relative to the index). */
+  def bucketCol(ck: Column, meta: IndexMeta): Column =
+    if (meta.bounds.isEmpty) lit(0)
+    else meta.bounds.drop(1).foldLeft(lit(meta.bounds.head._1): Column) {
+      case (acc, (id, lo)) => when(ck >= lit(lo), lit(id)).otherwise(acc)
+    }
+
+  /** Hash bucket of a doc id for the by-id sidecar layout. */
+  def idBucket(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id.cast("string")), lit(buckets.toLong)).cast("int")
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new Path(path, "_graft_meta"))
+
+  def writeMeta(spark: SparkSession, path: String, meta: IndexMeta): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val sb = new StringBuilder("v1\n")
+    sb.append(s"updateSeq=${meta.updateSeq}\n")
+    sb.append(s"buckets=${meta.buckets}\n")
+    meta.bounds.foreach { case (b, lo) =>
+      sb.append(s"bound=$b:${enc.encodeToString(lo)}\n")
+    }
+    val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readMeta(spark: SparkSession, path: String): IndexMeta = {
+    val in = fsFor(spark, path).open(new Path(path, "_graft_meta"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val dec = java.util.Base64.getDecoder
+    var seq = 0L; var buckets = 0
+    val bounds = Seq.newBuilder[(Int, Array[Byte])]
+    text.linesIterator.foreach {
+      case l if l.startsWith("updateSeq=") => seq = l.drop(10).toLong
+      case l if l.startsWith("buckets=") => buckets = l.drop(8).toInt
+      case l if l.startsWith("bound=") =>
+        val Array(b, b64) = l.drop(6).split(":", 2)
+        bounds += ((b.toInt, dec.decode(b64)))
+      case _ => ()
+    }
+    IndexMeta(seq, buckets, bounds.result())
+  }
+
+  /** Full (re)build: range-bucket the view rows by collation key, write
+    * each bucket as its own partition directory sorted by `_ck`, derive
+    * the bucket bounds and the by-id sidecar, stamp the metadata. */
+  def create(spark: SparkSession, path: String, rows: DataFrame,
+             buckets: Int, seq: Long): Unit = {
+    val fs = fsFor(spark, path)
+    fs.delete(new Path(path), true)
+    rows
+      .repartitionByRange(buckets, col("_ck"))
+      .withColumn("_kb", spark_partition_id())
+      // the _kb prefix satisfies the writer's partition-column ordering
+      // requirement, so the writer does not re-sort and break _ck order
+      .sortWithinPartitions(col("_kb"), col("_ck"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(dataDir(path))
+    val data = spark.read.parquet(dataDir(path))
+    val bounds = data.groupBy(col("_kb")).agg(min(col("_ck")).as("lo"))
+      .orderBy(col("_kb")).collect()
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]]("lo"))).toSeq
+    data.select(col("_id"), col("_kb")).distinct()
+      .withColumn("_ib", idBucket(col("_id"), buckets))
+      .repartition(buckets, col("_ib"))
+      .sortWithinPartitions(col("_ib"), col("_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(idsDir(path))
+    writeMeta(spark, path, IndexMeta(seq, buckets, bounds))
+  }
+
+  /** Incremental merge of one change batch. `newRows` are the mapped
+    * view rows of the changed docs (with `_kb` routed via [[bucketCol]]);
+    * `changedIds` holds every changed OR deleted doc id. Only the key
+    * buckets that contain old rows of changed ids (found via the by-id
+    * sidecar) or receive new rows are read and rewritten. */
+  def merge(spark: SparkSession, path: String, meta: IndexMeta,
+            newRows: DataFrame, changedIds: DataFrame, newSeq: Long): Unit = {
+    val fs = fsFor(spark, path)
+    val cids = changedIds.toDF("_id").distinct()
+    val withIb = cids.withColumn("_ib", idBucket(col("_id"), meta.buckets))
+    val ibs = withIb.select(col("_ib")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // by-id lookup, pruned to the changed ids' hash buckets — O(batch),
+    // never a scan of the whole sidecar, let alone the index
+    val oldKbs = spark.read.parquet(idsDir(path))
+      .filter(col("_ib").isin(ibs: _*))
+      .join(cids, Seq("_id"), "left_semi")
+      .select(col("_kb")).distinct().collect().map(_.getInt(0)).toSeq
+    val newKbs = newRows.select(col("_kb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val affected = (oldKbs ++ newKbs).distinct.sorted
+    if (affected.nonEmpty) {
+      val merged = spark.read.parquet(dataDir(path))
+        .filter(col("_kb").isin(affected: _*))
+        .join(cids, Seq("_id"), "left_anti")
+        .unionByName(newRows)
+      writeSwap(spark, fs, merged, dataDir(path), "_kb", affected,
+        Seq(col("_kb"), col("_ck")))
+      val mergedIds = spark.read.parquet(idsDir(path))
+        .filter(col("_ib").isin(ibs: _*))
+        .join(cids, Seq("_id"), "left_anti")
+        .unionByName(
+          newRows.select(col("_id"), col("_kb")).distinct()
+            .withColumn("_ib", idBucket(col("_id"), meta.buckets)))
+      writeSwap(spark, fs, mergedIds, idsDir(path), "_ib", ibs,
+        Seq(col("_ib"), col("_id")))
+    }
+    writeMeta(spark, path, meta.copy(updateSeq = newSeq))
+  }
+
+  /** Rebuild the `affected` partition directories of `destDir` from
+    * `df`: write to a temp dir, then swap each affected directory by
+    * rename. An affected bucket with no surviving rows is deleted (a
+    * dynamic-partition overwrite would silently leave its stale
+    * directory behind). Rename/delete failures throw — a failed swap
+    * must never pass silently. */
+  private def writeSwap(spark: SparkSession, fs: FileSystem, df: DataFrame,
+                        destDir: String, pcol: String, affected: Seq[Int],
+                        sortCols: Seq[Column]): Unit = {
+    val tmp = destDir + "._tmp"
+    fs.delete(new Path(tmp), true)
+    df.repartition(math.max(affected.size, 1), col(pcol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").partitionBy(pcol).parquet(tmp)
+    affected.foreach { b =>
+      val dst = new Path(s"$destDir/$pcol=$b")
+      val src = new Path(s"$tmp/$pcol=$b")
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new IOException(s"index update: could not drop stale bucket $dst")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new IOException(
+          s"index update: bucket swap failed ($src -> $dst); rerun the update")
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Build a one-column `_id` DataFrame for literal deleted ids, typed
+    * like `idsLike`'s `_id` column. */
+  def idsDf(spark: SparkSession, idsLike: DataFrame,
+            ids: Seq[Any]): DataFrame = {
+    val schema = idsLike.select(col("_id")).schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_)), 1), schema)
+  }
+}

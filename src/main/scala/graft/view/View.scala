@@ -21,6 +21,15 @@ object Reduce {
   final case class Custom(agg: Column => Column) extends Reduce
 }
 
+/** Index-freshness request — the reference's `stale` query option. */
+sealed trait Stale
+object Stale {
+  /** Serve the index as-is; do not fold in pending changes first. */
+  case object Ok extends Stale
+  /** Serve the index as-is, then apply pending changes afterwards. */
+  case object UpdateAfter extends Stale
+}
+
 /** Query options — the reference's `db.query(view, opts)` surface. */
 final case class QueryOpts(
     startKey: Option[Any] = None,
@@ -36,16 +45,26 @@ final case class QueryOpts(
     reduce: Boolean = true,
     group: Boolean = false,
     groupLevel: Option[Int] = None,
-    includeDocs: Boolean = false)
+    includeDocs: Boolean = false,
+    stale: Option[Stale] = None)
+
+/** A pending change-feed batch: documents changed (or created) and ids
+  * deleted since sequence `seq` — the input to the freshness contract of
+  * [[View.queryWithChanges]] and to [[View.updateIndex]]. */
+final case class ChangeSet(seq: Long, docs: org.apache.spark.sql.DataFrame,
+                           deletedIds: Seq[Any] = Nil)
 
 /** CouchDB's "high key" sentinel (`{}` in practice): sorts after every real
   * key, usable inside array keys for prefix ranges, e.g.
   * `endKey = Seq(2024, View.MaxKey)`. */
 case object MaxKey
 
-/** The reference's query-response envelope: rows + total_rows + offset. */
+/** The reference's query-response envelope: rows + total_rows + offset,
+  * plus the index's `update_seq` when served from a materialized index
+  * (None for temporary/unmaterialized views). */
 final case class ViewQueryResult(rows: DataFrame, totalRows: Long,
-                                 offset: Long)
+                                 offset: Long,
+                                 updateSeq: Option[Long] = None)
 
 /** A map/reduce view: the reference's `emit(key, value)` map phase declared
   * as Catalyst columns (so the whole view is one declarative plan — filter
@@ -63,7 +82,9 @@ final class View private (
     mapPhase: DataFrame => DataFrame,
     reduceFn: Option[Reduce],
     indexRows: Option[DataFrame],
-    isUnion: Boolean = false) {
+    isUnion: Boolean = false,
+    indexMeta: Option[IndexMeta] = None,
+    indexPath: Option[String] = None) {
 
   /** The view index rows: `_id, key, value, _ck` (lazy plan, or the
     * materialized index when opened via [[fromIndex]]). */
@@ -73,8 +94,16 @@ final class View private (
 
   private def enc(k: Any): Column = lit(View.encodeKey(k))
 
-  /** Reference `total_rows`: number of rows in the view index. */
+  /** Reference `total_rows`: number of rows in the view index.
+    * Scale note: on an unmaterialized view this re-executes the map
+    * phase (so [[queryResult]] runs it twice — once for the envelope,
+    * once for the rows); on an indexed view it is a parquet
+    * metadata-level count. */
   def totalRows: Long = rows.count()
+
+  /** The change-feed sequence a materialized index is current through
+    * (the reference's `update_seq`); None for temporary views. */
+  def updateSeq: Option[Long] = indexMeta.map(_.updateSeq)
 
   /** Run a query. Returns `(id, key, value)` rows in collation order for
     * map-only queries, `(key, value)` for reduced queries; `includeDocs`
@@ -150,6 +179,23 @@ final class View private (
       }
     }
 
+    // Materialized-index partition pruning: key bounds become a `_kb`
+    // bucket range (directory-level pruning via the stored bounds) on
+    // top of the `_ck` binary range already pushed to parquet row-group
+    // min/max stats — the two levels that turn a startkey/endkey query
+    // into an index scan at 100 TB.
+    indexMeta.filter(_.bounds.nonEmpty).foreach { meta =>
+      val kb = col("_kb")
+      def bk(k: Any): Int = IndexStore.bucketOf(meta, View.encodeKey(k))
+      opts.key.foreach(k => r = r.filter(kb === bk(k)))
+      opts.keys.foreach(ks =>
+        r = r.filter(kb.isin(ks.map(bk).distinct: _*)))
+      val lowKey = if (opts.descending) opts.endKey else opts.startKey
+      val highKey = if (opts.descending) opts.startKey else opts.endKey
+      lowKey.foreach(k => r = r.filter(kb >= bk(k)))
+      highKey.foreach(k => r = r.filter(kb <= bk(k)))
+    }
+
     val reduced = opts.reduce && reduceFn.isDefined
     var out =
       if (!reduced) {
@@ -205,57 +251,90 @@ final class View private (
     out.drop("_ck").drop("_req_idx")
   }
 
-  /** Persist the view index as parquet range-partitioned and sorted by the
-    * collation key. At scale this is the reference's persistent (design-doc)
-    * view: parquet min/max statistics on `_ck` turn startkey/endkey queries
-    * into partition- and row-group-pruned index scans instead of full scans.
-    */
-  def materialize(path: String, numPartitions: Int = 0): Unit = {
-    val n = if (numPartitions > 0) numPartitions
-            else rows.sparkSession.sessionState.conf.numShufflePartitions
-    rows.repartitionByRange(n, ck)
-      .sortWithinPartitions(ck)
-      .write.mode("overwrite").parquet(path)
+  /** Persist the view index — the reference's persistent (design-doc)
+    * view build. See [[IndexStore]] for the layout: range-bucketed
+    * parquet sorted by collation key, a by-id sidecar for incremental
+    * maintenance, and an update-seq stamp. `seq` records the change-feed
+    * sequence the build is current through. */
+  def materialize(path: String, numBuckets: Int = 0, seq: Long = 0L): Unit = {
+    val spark = rows.sparkSession
+    val n = if (numBuckets > 0) numBuckets
+            else spark.sessionState.conf.numShufflePartitions
+    IndexStore.create(spark, path, rows, n, seq)
   }
 
-  /** Reopen a materialized index as a queryable view. */
-  def fromIndex(spark: SparkSession, path: String): View =
-    new View(docs, idCol, mapPhase, reduceFn, Some(spark.read.parquet(path)))
+  /** Reopen a materialized index as a queryable view (startkey/endkey
+    * queries prune to the bucket directories and row groups in range). */
+  def fromIndex(spark: SparkSession, path: String): View = {
+    val meta = IndexStore.readMeta(spark, path)
+    new View(docs, idCol, mapPhase, reduceFn,
+      Some(spark.read.parquet(path + "/data")),
+      indexMeta = Some(meta), indexPath = Some(path))
+  }
 
-  /** Incremental index maintenance — the reference's change-feed driven view
-    * update: drop index rows for changed/deleted docs, re-run the map phase
-    * on just the changed docs, append. Batch formulation of the same merge
-    * the streaming maintainer does per micro-batch. */
+  /** Incremental index maintenance — the reference's change-feed driven
+    * view update. Maps ONLY the changed docs, locates their old rows via
+    * the by-id sidecar, and rewrites ONLY the affected key buckets —
+    * O(changed buckets) per batch, not O(index). Batch formulation of
+    * the same merge the streaming maintainer runs per micro-batch.
+    * `newSeq` stamps the index's new update_seq (defaults to old+1). */
   def updateIndex(
       spark: SparkSession,
       path: String,
       changedDocs: DataFrame,
-      deletedIds: Seq[Any] = Nil): Unit = {
-    val old = spark.read.parquet(path)
-    val changedIds = changedDocs.select(idCol.as("_id")).distinct()
-    val kept = old.join(changedIds, Seq("_id"), "left_anti")
-      .filter(if (deletedIds.isEmpty) lit(true) else !col("_id").isin(deletedIds: _*))
-    val merged = kept.unionByName(mapPhase(changedDocs))
-    val tmp = path + "._tmp"
-    val n = spark.sessionState.conf.numShufflePartitions
-    merged.repartitionByRange(n, ck).sortWithinPartitions(ck)
-      .write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    // resolve the fs FROM the path (an index on s3a/hdfs must not hit the
-    // default filesystem), and never leave the index destroyed on a
-    // failed swap
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
-      throw new java.io.IOException(
-        s"index swap failed: new index left at $tmp, old index deleted")
+      deletedIds: Seq[Any] = Nil,
+      newSeq: Long = -1L): Unit = {
+    val meta = IndexStore.readMeta(spark, path)
+    val newRows = mapPhase(changedDocs)
+      .withColumn("_kb", IndexStore.bucketCol(col("_ck"), meta))
+    val cids = changedDocs.select(idCol.as("_id")).distinct()
+    val allIds =
+      if (deletedIds.isEmpty) cids
+      else cids.unionByName(IndexStore.idsDf(spark, cids, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, newRows, allIds, seq)
   }
 
   /** Reference query-response metadata: the result rows plus
-    * `total_rows` (size of the whole view index) and `offset` (the
-    * skip applied) — CouchDB's response envelope. */
+    * `total_rows` (size of the whole view index), `offset` (the skip
+    * applied) and, for indexed views, the index `update_seq` —
+    * CouchDB's response envelope. */
   def queryResult(opts: QueryOpts = QueryOpts()): ViewQueryResult =
-    ViewQueryResult(query(opts), totalRows, opts.skip)
+    ViewQueryResult(query(opts), totalRows, opts.skip, updateSeq)
+
+  /** CouchDB's index-freshness contract for a materialized view given
+    * the pending [[ChangeSet]]:
+    *  - default (stale=None): fold pending changes into the index
+    *    FIRST, then answer — the reference's fresh-by-default behavior;
+    *  - `stale=Ok`: answer from the index as-is (updateSeq in the
+    *    envelope tells the caller how stale);
+    *  - `stale=UpdateAfter`: answer from the current index, then apply
+    *    the update. The served rows are pinned (persist + force) before
+    *    the on-disk swap so the snapshot survives it. */
+  def queryWithChanges(opts: QueryOpts, changes: ChangeSet): ViewQueryResult = {
+    val path = indexPath.getOrElse(throw new IllegalStateException(
+      "queryWithChanges requires a view opened via fromIndex"))
+    val spark = rows.sparkSession
+    val cur = indexMeta.map(_.updateSeq).getOrElse(0L)
+    val pending = changes.seq > cur
+    opts.stale match {
+      case Some(Stale.Ok) => queryResult(opts)
+      case Some(Stale.UpdateAfter) =>
+        val r = queryResult(opts)
+        if (pending) {
+          r.rows.persist(); r.rows.count()
+          updateIndex(spark, path, changes.docs, changes.deletedIds,
+            changes.seq)
+        }
+        r
+      case None =>
+        if (pending) {
+          updateIndex(spark, path, changes.docs, changes.deletedIds,
+            changes.seq)
+          fromIndex(spark, path).queryResult(opts)
+        } else queryResult(opts)
+    }
+  }
 
   /** Reference `viewCleanup`/`destroy`: drop a materialized index. */
   def cleanup(spark: SparkSession, path: String): Boolean = {

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.view.{ChangeSet, QueryOpts, Reduce, Stale, View}
+
+/** The load-bearing 100 TB claims of the persistent index:
+  * incremental maintenance rewrites ONLY the buckets containing changed
+  * keys, and range queries prune to the bucket directories + row groups
+  * in range. */
+class IndexStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+  /** (relative file path -> md5) for every parquet data file under dir. */
+  private def fileHashes(dir: String): Map[String, String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) Map.empty
+    else Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map { p =>
+        val md = MessageDigest.getInstance("MD5")
+        root.relativize(p).toString ->
+          md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("updateIndex rewrites only the buckets containing changed keys") {
+    val dir = Files.createTempDirectory("graft-inc").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val before = fileHashes(s"$path/data")
+    assert(before.keys.map(_.split("/")(0)).toSet.size == 4,
+      "expected 4 populated bucket directories")
+
+    // change ONE doc: the one holding the lowest key, re-emitted with an
+    // even lower key — both its old and new rows live in the first bucket
+    val lowest = orders.orderBy($"o_totalprice".asc).limit(1)
+    val changed = lowest.withColumn("o_totalprice", lit(0.01))
+    v.updateIndex(spark, path, changed, newSeq = 2)
+
+    val after = fileHashes(s"$path/data")
+    val changedDirs = (before.keySet ++ after.keySet)
+      .filter(f => before.get(f) != after.get(f))
+      .map(_.split("/")(0))
+    assert(changedDirs == Set("_kb=0"),
+      s"only the first bucket may be rewritten, got $changedDirs")
+
+    // the merged index is correct and complete
+    val vi = v.fromIndex(spark, path)
+    assert(vi.totalRows == orders.count())
+    assert(vi.updateSeq.contains(2L))
+    val changedId = lowest.select($"o_orderkey").as[Long].head()
+    val row = vi.rows.filter($"_id" === changedId).collect()
+    assert(row.length == 1 && row(0).getAs[Double]("key") == 0.01)
+  }
+
+  test("updateIndex with deletions drops rows and stays bucket-local") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_orderkey".cast("double"), lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val victims = orders.orderBy($"o_orderkey".asc).limit(2)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    val before = fileHashes(s"$path/data")
+    v.updateIndex(spark, path, orders.filter(lit(false)),
+      deletedIds = victims, newSeq = 2)
+    val after = fileHashes(s"$path/data")
+    val vi = v.fromIndex(spark, path)
+    assert(vi.totalRows == orders.count() - 2)
+    assert(vi.rows.filter($"_id".isin(victims: _*)).count() == 0)
+    val changedDirs = (before.keySet ++ after.keySet)
+      .filter(f => before.get(f) != after.get(f)).map(_.split("/")(0))
+    assert(changedDirs == Set("_kb=0"),
+      s"deleting the two lowest keys must only rewrite bucket 0, got $changedDirs")
+  }
+
+  test("range query on a materialized index prunes buckets and row groups") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val vi = v.fromIndex(spark, path)
+    val total = orders.count()
+    // a narrow range around the global minimum: one bucket's territory
+    val lo = orders.agg(min($"o_totalprice")).as[Double].head()
+    val q = vi.query(QueryOpts(startKey = Some(lo), endKey = Some(lo + 1000.0),
+      reduce = false))
+    // AQE wraps the plan; disable it for this one query so the scan node
+    // and its metrics are directly observable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q2 = vi.query(QueryOpts(startKey = Some(lo),
+        endKey = Some(lo + 1000.0), reduce = false))
+      val n = q2.count()
+      assert(n > 0 && n < total)
+      val scans = q2.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      // directory-level pruning: the _kb partition filter kept 1 of 4
+      assert(scan.partitionFilters.nonEmpty, "expected _kb partition filters")
+      assert(scan.metrics("numFiles").value < 4,
+        s"expected <4 files scanned, got ${scan.metrics("numFiles").value}")
+      // row-group level: the binary _ck range is pushed to parquet
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(_ck"),
+        s"expected _ck range in PushedFilters: ${scan.metadata("PushedFilters")}")
+      assert(scan.metrics("numOutputRows").value < total,
+        "scan must not read the whole index")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(q.count() > 0)
+  }
+
+  test("stale=ok serves the old index; fresh folds changes in first") {
+    val dir = Files.createTempDirectory("graft-stale").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_orderstatus",
+      $"o_totalprice".cast("decimal(18,2)"), Some(Reduce.Sum))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val vi = v.fromIndex(spark, path)
+    val id = orders.orderBy($"o_orderkey".asc).limit(1)
+      .select($"o_orderkey").as[Long].head()
+    val changed = orders.filter($"o_orderkey" === id)
+      .withColumn("o_totalprice", lit(1000000.0))
+    val changes = ChangeSet(seq = 2, docs = changed)
+    def sumFor(r: graft.view.ViewQueryResult): Map[String, java.math.BigDecimal] =
+      r.rows.collect().map(x => x.getString(0) -> x.getDecimal(1)).toMap
+
+    // stale=ok: the change is NOT visible, updateSeq still 1
+    val staleR = vi.queryWithChanges(
+      QueryOpts(group = true, stale = Some(Stale.Ok)), changes)
+    assert(staleR.updateSeq.contains(1L))
+    val fresh0 = sumFor(staleR)
+
+    // fresh (default): the index is updated first, updateSeq advances
+    val freshR = vi.queryWithChanges(QueryOpts(group = true), changes)
+    assert(freshR.updateSeq.contains(2L))
+    val fresh1 = sumFor(freshR)
+    assert(fresh0 != fresh1, "the price change must shift one group sum")
+
+    // idempotence: same ChangeSet again is a no-op (seq not newer)
+    val vi2 = v.fromIndex(spark, path)
+    val again = vi2.queryWithChanges(QueryOpts(group = true), changes)
+    assert(again.updateSeq.contains(2L))
+    assert(sumFor(again) == fresh1)
+  }
+
+  test("stale=update_after answers from the snapshot then updates") {
+    val dir = Files.createTempDirectory("graft-ua").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_orderkey".cast("double"), lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val vi = v.fromIndex(spark, path)
+    val id = orders.orderBy($"o_orderkey".asc).limit(1)
+      .select($"o_orderkey").as[Long].head()
+    val changes = ChangeSet(seq = 2, docs = orders.filter(lit(false)),
+      deletedIds = Seq(id))
+    val r = vi.queryWithChanges(
+      QueryOpts(reduce = false, stale = Some(Stale.UpdateAfter)), changes)
+    // served from the pre-update snapshot…
+    assert(r.updateSeq.contains(1L))
+    assert(r.rows.filter($"id" === id).count() == 1)
+    // …but the on-disk index has been updated behind it
+    val vi2 = v.fromIndex(spark, path)
+    assert(vi2.updateSeq.contains(2L))
+    assert(vi2.rows.filter($"_id" === id).count() == 0)
+    r.rows.unpersist()
+  }
+}

@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpecBase {
     in.addData(Change(1, "F", 99.0), Change(3, "P", 30.0)) // doc 1 updated
     q.processAllAvailable()
     q.stop()
-    val idx = spark.read.parquet(path)
+    val idx = spark.read.parquet(s"$path/data")
     assert(idx.count() == 3)
     val v1 = idx.filter(col("_id") === 1).select(col("value")).as[Double].head()
     assert(v1 == 99.0)
