@@ -234,8 +234,9 @@ object SparkEntry {
       col("text"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** C3 (rows-only gate): 64-bit SimHash per document —
-    * engine-specific token hash, spec-verified instead. */
+  /** C3: 64-bit SimHash per document — md5-derived token hashes, so the
+    * whole operator replays in the DuckDB oracle (plus the hamming-band
+    * near-dup spec). */
   private def q23(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashValues(t(s, dir, "documents"), col("doc_id"), "text")
       .orderBy(col("doc_id"))
@@ -259,8 +260,11 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** D2 (rows-only gate): LSH-bucketed approximate NN — recall-bearing
-    * approximation, spec-verified against the brute-force baseline. */
+  /** D2: LSH-bucketed approximate NN — the seeded hyperplane matrix is a
+    * deterministic literal, so the approximation itself is exactly
+    * reproducible: the oracle SQL embeds the same planes and replays the
+    * bucketing + multi-probe + rank. Recall vs brute force is
+    * additionally spec-bounded. */
   private def q27(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -498,13 +502,29 @@ object SparkEntry {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
-  /** E4b (rows-only gate): winnowing fingerprints at corpus scale —
-    * xxhash64-based, engine-specific; overlap behavior spec-verified. */
+  /** E4b: winnowing fingerprints at corpus scale — md5-gram window
+    * minima, engine-portable, so the full (doc_id, fp) fingerprint
+    * relation is oracle-gated (overlap behavior additionally
+    * spec-verified). */
   private def q50(s: SparkSession, dir: String): DataFrame =
     graft.operators.Text.winnowRows(t(s, dir, "documents"),
       col("doc_id"), col("text"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  /** D2b: ANN against the PERSISTED LSH signature index — identical
+    * results to q27's on-the-fly formulation (same oracle SQL), but the
+    * corpus signatures/norms are built once ([[graft.operators
+    * .Similarity.buildLshIndex]]) and the query scan prunes to the
+    * probed bucket directories — the amortized 100 TB serving path. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_" +
+      Integer.toHexString(dir.hashCode)
+    Similarity.buildLshIndex(emb, path)
+    Similarity.lshTopKIndexed(s, path, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   /** E6: corpus vocabulary — global top-25 token frequencies
     * (explode → partial-aggregating count → distributed top-k via
@@ -571,7 +591,8 @@ object SparkEntry {
     "q48_vector_stats" -> (q48 _),
     "q49_approx_distinct" -> (q49 _),
     "q50_winnow" -> (q50 _),
-    "q51_top_tokens" -> (q51 _)
+    "q51_top_tokens" -> (q51 _),
+    "q52_ann_indexed" -> (q52 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -694,6 +715,27 @@ object SparkEntry {
     "q22_minhash_lsh" ->
       (minhashCte +
        """SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""),
+    "q23_simhash" -> simhashOracle,
+    "q27_ann_lsh" -> annLshOracle,
+    "q52_ann_indexed" -> annLshOracle,
+    "q50_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i AS p, md5(substr(t, u.i, 8)) AS h
+        |  FROM n, LATERAL (SELECT unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS i) u),
+        |w AS (
+        |  SELECT doc_id, p, h,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    COUNT(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wc,
+        |    COUNT(h) OVER (PARTITION BY doc_id) AS tot
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM w
+        |WHERE wc = 4 OR (tot < 4 AND p = 1)
+        |ORDER BY doc_id, fp""".stripMargin,
     "q24_jaccard_pairs" ->
       (minhashCte +
        """, sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
@@ -889,6 +931,81 @@ object SparkEntry {
         |  FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS v_max
         |FROM embeddings ORDER BY vec_id""".stripMargin
   )
+
+  /** DuckDB replay of the portable SimHash: first 16 md5 hex digits as
+    * two 32-bit halves (digits 1-8 = bits 32-63, digits 9-16 = bits
+    * 0-31), 64 per-bit vote sums, bit 63 contributing the BIGINT
+    * minimum (two's complement) — the exact construction of
+    * [[graft.operators.Dedup.simhashValues]]. */
+  private val simhashOracle: String = {
+    def half(lo: Int): String = (0 until 8).map { j =>
+      val coef = math.pow(16, 7 - j).toLong
+      s"(strpos('0123456789abcdef', substr(m,${lo + j},1))-1)::BIGINT*$coef"
+    }.mkString(" + ")
+    val votes = (0 until 64).map { b =>
+      val bit = if (b < 32) s"((lo >> $b) & 1)" else s"((hi >> ${b - 32}) & 1)"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val bits = (0 until 64).map { b =>
+      val v = if (b == 63) "-9223372036854775808" else (1L << b).toString
+      s"(CASE WHEN b$b > 0 THEN $v ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                                    x -> x != '')) AS w
+       |  FROM documents),
+       |hv AS (SELECT doc_id, md5(w) AS m FROM toks),
+       |d AS (SELECT doc_id, ${half(1)} AS hi, ${half(9)} AS lo FROM hv),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM d GROUP BY doc_id),
+       |s AS (SELECT doc_id, $bits AS simhash FROM v)
+       |SELECT dd.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+       |FROM documents dd LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of the LSH-bucketed ANN: the same literal hyperplane
+    * matrix, signature bucketing, 1-bit multi-probe, candidate dedup and
+    * cosine rank as [[graft.operators.Similarity.lshTopK]]. */
+  private val annLshOracle: String = {
+    val m = graft.operators.Similarity.planeMatrix(8, 64)
+    def planeLit(p: Int): String = m(p).map(_.toString).mkString("[", ", ", "]")
+    val sig = (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeArms = (0 until 8).map(p =>
+      s"  UNION ALL SELECT q_id, xor(sig, ${1L << p}) AS bucket FROM qs")
+      .mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cs AS (
+       |  SELECT vec_id AS n_id, v AS n_vec, $sig AS sig,
+       |    sqrt(list_dot_product(v, v)) AS n_nrm
+       |  FROM e),
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS q_vec, $sig AS sig,
+       |    sqrt(list_dot_product(v, v)) AS q_nrm
+       |  FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, sig AS bucket FROM qs
+       |$probeArms),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.n_id
+       |  FROM probes p JOIN cs c ON c.sig = p.bucket
+       |  WHERE c.n_id != p.q_id),
+       |j AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    list_dot_product(q.q_vec, c.n_vec) / (q.q_nrm * c.n_nrm) AS cosf
+       |  FROM cand
+       |  JOIN qs q ON q.q_id = cand.q_id
+       |  JOIN cs c ON c.n_id = cand.n_id)
+       |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+       |  SELECT q_id, n_id, cosf,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+       |  FROM j)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Shared DuckDB CTE defining the MinHash+LSH pipeline (word 3-shingles,
     * k=8 seeded-md5 minima, 4 bands × 2 rows). */

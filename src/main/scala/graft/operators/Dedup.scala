@@ -176,33 +176,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes,
-    * per-bit majority vote). Engine-specific hash → spec-gated, not
-    * oracle-gated.
+  /** 64-bit SimHash over whitespace tokens (md5-derived token hashes,
+    * per-bit majority vote). The token hash is the first 16 hex digits
+    * of md5(token), read as two 32-bit halves (digits 1-8 = high bits
+    * 32-63, digits 9-16 = low bits 0-31) — an engine-portable
+    * construction (the same md5-derivation trick as MinHash), so the
+    * operator is DuckDB-oracle-gated, not just spec-gated.
     *
     * Vectorized formulation: explode tokens, hash each once, one
     * partial-aggregating groupBy with 64 per-bit vote sums — everything
     * stays in whole-stage codegen (a nested higher-order-function
     * formulation would interpret and recompute the token hashes 64×
-    * per document). Returns (doc_id, simhash). */
+    * per document). Bit 63 contributes Long.MinValue (two's complement)
+    * so the sum never overflows checked arithmetic in either engine.
+    * Returns (doc_id, simhash). */
   def simhashValues(docs: DataFrame, id: Column, textCol: String): DataFrame = {
     val toks = docs.select(id.cast("long").as("doc_id"), col(textCol))
       // parallelism for single-partition small-file scans (see shingleSets)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
       .select(col("doc_id"), explode_outer(Text.tokens(col(textCol))).as("_w"))
-      // xxhash64(NULL) returns the SEED (42), not null — guard explicitly
-      // so empty/null-text docs get simhash 0, not the seed's bit pattern
-      .withColumn("_h",
-        when(col("_w").isNull, lit(null)).otherwise(xxhash64(col("_w"))))
+      // md5(NULL) is NULL, so empty/null-text docs vote 0 on every bit
+      // and get simhash 0
+      .withColumn("_m", md5(col("_w").cast("binary")))
+      .withColumn("_hi", conv(substring(col("_m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("_lo", conv(substring(col("_m"), 9, 8), 16, 10).cast("long"))
+    def bit(b: Int): Column =
+      if (b < 32) shiftright(col("_lo"), b).bitwiseAND(lit(1L))
+      else shiftright(col("_hi"), b - 32).bitwiseAND(lit(1L))
     val votes = (0 until 64).map { b =>
-      sum(when(col("_h").isNull, 0L)
-        .when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+      sum(when(col("_m").isNull, 0L)
+        .when(bit(b) === 1L, 1L)
         .otherwise(-1L)).as(s"_b$b")
     }
-    val bits = (0 until 64).map { b =>
+    val bits = (0 until 63).map { b =>
       when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
+    } :+ when(col("_b63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }

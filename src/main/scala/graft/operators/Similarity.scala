@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -74,8 +74,9 @@ object Similarity {
 
   /** Deterministic seeded hyperplane matrix (driver-side constants,
     * broadcast as literals into the plan): plane p is a fixed
-    * pseudo-random vector in [-0.5, 0.5)^dims. */
-  private def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] = {
+    * pseudo-random vector in [-0.5, 0.5)^dims. Exposed so the oracle
+    * SQL can embed the same literal planes. */
+  private[graft] def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(0x5eed)
     Array.fill(planes, dims)(rnd.nextDouble() - 0.5)
   }
@@ -105,15 +106,27 @@ object Similarity {
       asDouble(col("embedding")).as("n_vec"),
       lshSignature(col("embedding"), planes).as("bucket"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    rankWithinBuckets(c, probeRows(queries, planes), k)
+  }
+
+  /** (q_id, q_vec, q_nrm, bucket) probe rows: each query's own signature
+    * bucket plus every 1-bit-flipped bucket (multi-probe). */
+  private def probeRows(queries: DataFrame, planes: Int): DataFrame = {
     val probes = (0 until planes).foldLeft(array(col("_sig"))) {
       (acc, p) => array_append(acc, col("_sig").bitwiseXOR(lit(1L << p)))
     }
-    val q = queries.select(col("vec_id").as("q_id"),
+    queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"),
       lshSignature(col("embedding"), planes).as("_sig"))
       .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
         explode(probes).as("bucket"))
+  }
+
+  /** Bucket-join probes with corpus signature rows, dedup candidates
+    * across probes, exact-cosine rank, keep top k. */
+  private def rankWithinBuckets(c: DataFrame, q: DataFrame,
+                                k: Int): DataFrame =
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("n_id"),
@@ -126,5 +139,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"),
         round4(col("cos")).as("cos"))
+
+  /** Persist the corpus LSH signature index: (n_id, n_vec, n_nrm) rows
+    * in parquet partitioned by signature bucket. The 100 TB posture:
+    * signatures and norms are computed ONCE at build time and amortized
+    * over every query — [[lshTopKIndexed]] reads only the probed bucket
+    * directories instead of recomputing signatures corpus-wide per
+    * query (the gap flagged in round 1). */
+  def buildLshIndex(corpus: DataFrame, path: String,
+                    planes: Int = 8): Unit =
+    corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_vec"),
+      lshSignature(col("embedding"), planes).cast("int").as("bucket"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN against a persisted [[buildLshIndex]] index. The probe bucket
+    * ids are collected driver-side — O(|queries| × (planes+1)) ints for
+    * an interactive query set — and pushed as literal partition filters,
+    * so the scan touches only the probed bucket directories (partition
+    * pruning visible in the plan). Results are identical to [[lshTopK]]
+    * over the same corpus. */
+  def lshTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, planes: Int = 8): DataFrame = {
+    val q = probeRows(queries, planes)
+    val buckets = q.select(col("bucket").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+    rankWithinBuckets(c, q, k)
   }
 }

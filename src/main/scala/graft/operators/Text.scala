@@ -70,10 +70,12 @@ object Text {
     * in the oracle engine). */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
-  /** Winnowing document fingerprints as (doc_id, fp) rows: xxhash64 over
+  /** Winnowing document fingerprints as (doc_id, fp) rows: md5 hex over
     * character k-grams, then the minimum of each sliding window of `w`
-    * hashes, de-duplicated per document. Spark-only (xxhash64 is
-    * engine-specific) — covered by spec, not the SQL oracle.
+    * hashes, de-duplicated per document. md5 hex strings compare
+    * bytewise-lexicographically the same in every engine ([0-9a-f]
+    * ASCII), so the window minimum — and therefore the fingerprint set —
+    * is engine-portable and DuckDB-oracle-gated.
     *
     * Rows + window-min formulation, NOT nested array lambdas: Spark
     * higher-order functions evaluate interpreted per element and would
@@ -92,7 +94,7 @@ object Text {
           greatest(length(col("_n")) - (k - 1), lit(1)))).as(Seq("_i", "_p")),
         col("_n"))
       .select(col("doc_id"), col("_p"),
-        xxhash64(col("_n").substr(col("_p"), lit(k))).as("_h"))
+        md5(col("_n").substr(col("_p"), lit(k)).cast("binary")).as("_h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
       .rowsBetween(Window.currentRow, w - 1)
     grams

@@ -61,7 +61,7 @@ class PipelineOpsSpec extends SparkSpecBase {
       (3L, "entirely different content with no shared phrases at all here"))
       .toDF("doc_id", "text")
     val fp = Text.winnowRows(d, $"doc_id", $"text").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val sim12 = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).union(fp(2L)).size
     val sim13 = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).union(fp(3L)).size
@@ -90,6 +90,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     // 4 planes + multi-probe scans ~5/16 of the corpus per query
     assert(recall > 0.15, s"recall=$recall")
     assert(lsh.nonEmpty)
+  }
+
+  test("persisted LSH index: identical results, partition-pruned scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ann").toString +
+      "/idx"
+    Similarity.buildLshIndex(emb, path)
+    val queries = emb.filter($"vec_id" < 10)
+    val direct = Similarity.lshTopK(emb, queries, 5)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val viaIdx = Similarity.lshTopKIndexed(spark, path, queries, 5)
+      assert(viaIdx.collect().map(_.toSeq).toSet == direct)
+      val scans = viaIdx.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val idxScan = scans.find(_.metadata("Location").contains("graft-ann"))
+      assert(idxScan.isDefined, "expected a scan of the persisted index")
+      assert(idxScan.get.partitionFilters.nonEmpty,
+        "index scan must be pruned to the probe buckets")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("approx_count_distinct stays within the configured error bound") {
