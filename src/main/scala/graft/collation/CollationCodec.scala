@@ -30,6 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Documented deviation from CouchDB: string order is UTF-8 code-point order
   * rather than ICU collation (PouchDB's practical behavior for ASCII keys).
+  *
+  * Numbers follow JSON semantics: every numeric key encodes through
+  * `Double`, so integral keys beyond 2^53 lose precision — two longs that
+  * differ only below double granularity collate as the SAME key (their
+  * rows remain distinct and doc id breaks the tie), exactly as a
+  * JavaScript engine would treat them.
   */
 object CollationCodec {
   final val TNull: Byte = 0x01

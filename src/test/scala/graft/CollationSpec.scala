@@ -59,6 +59,19 @@ class CollationSpec extends AnyFunSuite {
     }
   }
 
+  test("integral keys beyond 2^53 collate at double precision (JSON model)") {
+    val base = 1L << 53 // 9007199254740992: largest exactly-representable run
+    // below the bound: adjacent longs stay distinct and ordered
+    assert(CollationCodec.compareBytes(
+      CollationCodec.encodeScala(base - 2), CollationCodec.encodeScala(base - 1)) < 0)
+    // above the bound: longs differing below double granularity collate EQUAL
+    assert(CollationCodec.compareBytes(
+      CollationCodec.encodeScala(base + 1), CollationCodec.encodeScala(base)) == 0)
+    // but magnitude order is still preserved at representable distances
+    assert(CollationCodec.compareBytes(
+      CollationCodec.encodeScala(base), CollationCodec.encodeScala(base + 2)) < 0)
+  }
+
   test("equal values encode equal") {
     samples(keyGen(2), 300).foreach { a =>
       assert(CollationCodec.compareBytes(

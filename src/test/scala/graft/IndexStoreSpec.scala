@@ -100,7 +100,9 @@ class IndexStoreSpec extends SparkSpecBase {
     try {
       val q2 = vi.query(QueryOpts(startKey = Some(lo),
         endKey = Some(lo + 1000.0), reduce = false))
-      val n = q2.count()
+      // collect() (not count()) so THIS plan executes and its scan
+      // metrics populate — a bare count plans a separate aggregation
+      val n = q2.collect().length
       assert(n > 0 && n < total)
       val scans = q2.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec => f
@@ -109,13 +111,15 @@ class IndexStoreSpec extends SparkSpecBase {
       val scan = scans.head
       // directory-level pruning: the _kb partition filter kept 1 of 4
       assert(scan.partitionFilters.nonEmpty, "expected _kb partition filters")
-      assert(scan.metrics("numFiles").value < 4,
-        s"expected <4 files scanned, got ${scan.metrics("numFiles").value}")
+      val files = scan.metrics("numFiles").value
+      assert(files >= 1 && files < 4,
+        s"expected 1..3 of 4 bucket files scanned, got $files")
       // row-group level: the binary _ck range is pushed to parquet
       assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(_ck"),
         s"expected _ck range in PushedFilters: ${scan.metadata("PushedFilters")}")
-      assert(scan.metrics("numOutputRows").value < total,
-        "scan must not read the whole index")
+      val scanRows = scan.metrics("numOutputRows").value
+      assert(scanRows > 0 && scanRows < total,
+        s"scan must read some rows but not the whole index, got $scanRows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(q.count() > 0)
   }
