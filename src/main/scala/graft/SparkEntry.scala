@@ -526,6 +526,21 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D2c: IVF (inverted-file) ANN — the coarse-quantizer alternative to
+    * the LSH index: deterministic centroids, nearest-centroid inverted
+    * lists partitioned by centroid, queries probe the 4 nearest lists.
+    * The whole approximation (assignment, probe choice, rank) replays
+    * in the oracle. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+      Integer.toHexString(dir.hashCode)
+    Similarity.buildIvfIndex(emb, path)
+    Similarity.ivfTopK(s, path, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** E6: corpus vocabulary — global top-25 token frequencies
     * (explode → partial-aggregating count → distributed top-k via
     * ordered limit, deterministic tie-break). */
@@ -592,7 +607,8 @@ object SparkEntry {
     "q49_approx_distinct" -> (q49 _),
     "q50_winnow" -> (q50 _),
     "q51_top_tokens" -> (q51 _),
-    "q52_ann_indexed" -> (q52 _)
+    "q52_ann_indexed" -> (q52 _),
+    "q53_ann_ivf" -> (q53 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -718,6 +734,40 @@ object SparkEntry {
     "q23_simhash" -> simhashOracle,
     "q27_ann_lsh" -> annLshOracle,
     "q52_ann_indexed" -> annLshOracle,
+    "q53_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.n_id != p.q_id),
+        |j AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n q ON q.vec_id = cand.q_id
+        |  JOIN n x ON x.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q50_winnow" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -170,4 +170,72 @@ object Similarity {
       .filter(col("bucket").isin(buckets: _*))
     rankWithinBuckets(c, q, k)
   }
+
+  /** Per-centroid cosine scores as sortable (score, cid) structs; the
+    * centroid norms are computed by the same native dot-product fold as
+    * everything else, so scores are engine-reproducible. */
+  private def centroidScores(v: Column, nrm: Column,
+                             cents: Seq[(Int, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct((dot(v, lit(cv)) / (nrm * sqrt(dot(lit(cv), lit(cv)))))
+        .as("s"), lit(cid).as("cid"))
+    }
+
+  /** Top-`n` centroid ids by cosine, descending, ties → larger cid
+    * (ascending struct sort, take the last n) — deterministic and
+    * replayable in the oracle as ORDER BY score DESC, cid DESC. */
+  private def topCentroids(v: Column, nrm: Column,
+                           cents: Seq[(Int, Array[Double])],
+                           n: Int): Column =
+    slice(array_sort(array(centroidScores(v, nrm, cents): _*)),
+      cents.length - n + 1, n)
+
+  /** Build an IVF (inverted-file) ANN index: a deterministic centroid
+    * set (the `nCentroids` lowest vec_ids — stable and oracle-
+    * replayable; production would plug in k-means centroids, the
+    * plumbing is identical), every corpus vector assigned to its
+    * nearest-by-cosine centroid, inverted lists written as parquet
+    * partitioned by centroid id. The coarse-quantizer alternative to
+    * [[buildLshIndex]]: fewer, data-adaptive buckets. */
+  def buildIvfIndex(corpus: DataFrame, path: String,
+                    nCentroids: Int = 16): Unit = {
+    val cents = corpus.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").cast("int").as("cid"),
+        asDouble(col("embedding")).as("cvec"))
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    val cArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_vec"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .withColumn("bucket",
+        element_at(topCentroids(col("n_vec"), col("n_nrm"), cArr, 1), 1)
+          .getField("cid"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/lists")
+  }
+
+  /** ANN against a persisted [[buildIvfIndex]] index: each query scores
+    * the (small, broadcast-literal) centroid table, probes its `nProbe`
+    * nearest inverted lists — partition-pruned like [[lshTopKIndexed]] —
+    * and ranks exactly within them. */
+  def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
+              k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(path + "/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("_p",
+        explode(topCentroids(col("q_vec"), col("q_nrm"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        col("_p.cid").as("bucket"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path + "/lists")
+      .filter(col("bucket").isin(buckets: _*))
+    rankWithinBuckets(c, q, k)
+  }
 }

@@ -113,6 +113,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF index: nearest lists probed, pruned scan, sane results") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString +
+      "/idx"
+    Similarity.buildIvfIndex(emb, path)
+    val queries = emb.filter($"vec_id" < 10)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val r = Similarity.ivfTopK(spark, path, queries, 5)
+      val rows = r.collect()
+      assert(rows.nonEmpty && rows.forall(_.getLong(1) <= 5))
+      // every query got a full top-5 (probing 4 of 16 lists over 500
+      // vectors always yields >= 5 candidates)
+      val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perQ.values.forall(_ == 5))
+      val idxScan = r.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.find(_.metadata("Location").contains("lists"))
+      assert(idxScan.isDefined && idxScan.get.partitionFilters.nonEmpty,
+        "inverted-list scan must be pruned to the probed centroids")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("approx_count_distinct stays within the configured error bound") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val r = li.agg(
