@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CollationKey(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("collation_key_locale"),
+      new ExpressionInfo(classOf[CollationKey].getName, "collation_key_locale"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "collation_key_locale(value) takes one argument")
+        CollationKey(args.head, locale = true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => {

@@ -60,6 +60,25 @@ object CollationCodec {
     while (i >= 0) { out.write(((bits >>> i) & 0xFF).toInt); i -= 8 }
   }
 
+  /** Locale-aware string weight bytes (java.text.Collator, root locale,
+    * tertiary strength) — the optional stand-in for CouchDB's ICU
+    * collation: accented letters group with their base letter ("é"
+    * between "e…" and "f…"), case differences rank below letter
+    * differences. Collator instances are not thread-safe → one per
+    * thread. The weight bytes are escaped/terminated exactly like UTF-8
+    * payloads, so order preservation carries over unchanged. */
+  private val rootCollator = new ThreadLocal[java.text.Collator] {
+    override def initialValue(): java.text.Collator = {
+      val c = java.text.Collator.getInstance(java.util.Locale.ROOT)
+      c.setStrength(java.text.Collator.TERTIARY)
+      c
+    }
+  }
+
+  private def stringPayload(s: String, locale: Boolean): Array[Byte] =
+    if (locale) rootCollator.get.getCollationKey(s).toByteArray
+    else s.getBytes("UTF-8")
+
   private def writeStringBytes(out: ByteArrayOutputStream, bytes: Array[Byte]): Unit = {
     var i = 0
     while (i < bytes.length) {
@@ -71,15 +90,21 @@ object CollationCodec {
   }
 
   /** Encode a Catalyst-internal value of the given DataType. Used by the
-    * [[CollationKey]] expression (both interpreted eval and codegen call here).
+    * [[CollationKey]] expression (both interpreted eval and codegen call
+    * here). `locale = true` switches string payloads to collator weight
+    * bytes (see [[stringPayload]]).
     */
-  def encodeInternal(v: Any, dt: DataType): Array[Byte] = {
+  def encodeInternal(v: Any, dt: DataType, locale: Boolean): Array[Byte] = {
     val out = new ByteArrayOutputStream(32)
-    writeInternal(out, v, dt)
+    writeInternal(out, v, dt, locale)
     out.toByteArray
   }
 
-  private def writeInternal(out: ByteArrayOutputStream, v: Any, dt: DataType): Unit = {
+  def encodeInternal(v: Any, dt: DataType): Array[Byte] =
+    encodeInternal(v, dt, locale = false)
+
+  private def writeInternal(out: ByteArrayOutputStream, v: Any, dt: DataType,
+                            locale: Boolean): Unit = {
     if (v == null) { out.write(TNull.toInt); return }
     dt match {
       case BooleanType =>
@@ -95,7 +120,10 @@ object CollationCodec {
       case TimestampType | TimestampNTZType => writeNum(out, v.asInstanceOf[Long].toDouble)
       case StringType =>
         out.write(TStr.toInt)
-        writeStringBytes(out, v.asInstanceOf[UTF8String].getBytes)
+        val u = v.asInstanceOf[UTF8String]
+        // fast path: UTF8String bytes are already the UTF-8 payload
+        writeStringBytes(out,
+          if (locale) stringPayload(u.toString, locale = true) else u.getBytes)
       case BinaryType =>
         out.write(TStr.toInt)
         writeStringBytes(out, v.asInstanceOf[Array[Byte]])
@@ -104,7 +132,8 @@ object CollationCodec {
         val arr = v.asInstanceOf[ArrayData]
         var i = 0
         while (i < arr.numElements()) {
-          writeInternal(out, if (arr.isNullAt(i)) null else arr.get(i, et), et)
+          writeInternal(out, if (arr.isNullAt(i)) null else arr.get(i, et), et,
+            locale)
           i += 1
         }
         out.write(0x00)
@@ -114,9 +143,10 @@ object CollationCodec {
         var i = 0
         while (i < st.length) {
           out.write(TStr.toInt)
-          writeStringBytes(out, st(i).name.getBytes("UTF-8"))
+          writeStringBytes(out, stringPayload(st(i).name, locale))
           val fdt = st(i).dataType
-          writeInternal(out, if (row.isNullAt(i)) null else row.get(i, fdt), fdt)
+          writeInternal(out, if (row.isNullAt(i)) null else row.get(i, fdt),
+            fdt, locale)
           i += 1
         }
         out.write(0x00)
@@ -126,8 +156,10 @@ object CollationCodec {
         val ks = m.keyArray(); val vs = m.valueArray()
         var i = 0
         while (i < m.numElements()) {
-          writeInternal(out, if (ks.isNullAt(i)) null else ks.get(i, kt), kt)
-          writeInternal(out, if (vs.isNullAt(i)) null else vs.get(i, vt), vt)
+          writeInternal(out, if (ks.isNullAt(i)) null else ks.get(i, kt), kt,
+            locale)
+          writeInternal(out, if (vs.isNullAt(i)) null else vs.get(i, vt), vt,
+            locale)
           i += 1
         }
         out.write(0x00)
@@ -142,13 +174,14 @@ object CollationCodec {
 
   /** Encode a plain Scala/JVM value (driver-side literals for
     * startkey/endkey/key/keys query options). Mirrors [[encodeInternal]]. */
-  def encodeScala(v: Any): Array[Byte] = {
+  def encodeScala(v: Any, locale: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream(32)
-    writeScala(out, v)
+    writeScala(out, v, locale)
     out.toByteArray
   }
 
-  private def writeScala(out: ByteArrayOutputStream, v: Any): Unit = v match {
+  private def writeScala(out: ByteArrayOutputStream, v: Any,
+                         locale: Boolean): Unit = v match {
     case null => out.write(TNull.toInt)
     case b: Boolean => out.write(if (b) TTrue.toInt else TFalse.toInt)
     case n: Byte => writeNum(out, n.toDouble)
@@ -165,15 +198,17 @@ object CollationCodec {
       writeNum(out, (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble)
     case t: java.time.Instant =>
       writeNum(out, (t.getEpochSecond * 1000000L + t.getNano / 1000).toDouble)
-    case s: String => out.write(TStr.toInt); writeStringBytes(out, s.getBytes("UTF-8"))
+    case s: String =>
+      out.write(TStr.toInt); writeStringBytes(out, stringPayload(s, locale))
     case bytes: Array[Byte] => out.write(TStr.toInt); writeStringBytes(out, bytes)
     case seq: Seq[_] =>
-      out.write(TArr.toInt); seq.foreach(writeScala(out, _)); out.write(0x00)
+      out.write(TArr.toInt); seq.foreach(writeScala(out, _, locale)); out.write(0x00)
     case arr: Array[_] =>
-      out.write(TArr.toInt); arr.foreach(writeScala(out, _)); out.write(0x00)
+      out.write(TArr.toInt); arr.foreach(writeScala(out, _, locale)); out.write(0x00)
     case m: scala.collection.Map[_, _] =>
       out.write(TObj.toInt)
-      m.foreach { case (k, x) => writeScala(out, k); writeScala(out, x) }
+      m.foreach { case (k, x) =>
+        writeScala(out, k, locale); writeScala(out, x, locale) }
       out.write(0x00)
     case other =>
       throw new IllegalArgumentException(

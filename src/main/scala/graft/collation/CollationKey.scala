@@ -18,13 +18,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * unlike a Scala UDF which would break the codegen pipeline and pay
   * serialization per row.
   */
-case class CollationKey(child: Expression) extends UnaryExpression {
+case class CollationKey(child: Expression, locale: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
-  override def prettyName: String = "collation_key"
+  override def prettyName: String =
+    if (locale) "collation_key_locale" else "collation_key"
 
   override def eval(input: InternalRow): Any =
-    CollationCodec.encodeInternal(child.eval(input), child.dataType)
+    CollationCodec.encodeInternal(child.eval(input), child.dataType, locale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dtRef = ctx.addReferenceObj("ckType", child.dataType, classOf[DataType].getName)
@@ -34,7 +36,7 @@ case class CollationKey(child: Expression) extends UnaryExpression {
       code"""
          |${c.code}
          |Object $in = ${c.isNull} ? null : (Object) ${c.value};
-         |byte[] ${ev.value} = graft.collation.CollationCodec.encodeInternal($in, $dtRef);
+         |byte[] ${ev.value} = graft.collation.CollationCodec.encodeInternal($in, $dtRef, $locale);
        """.stripMargin
     ev.copy(code = resultCode, isNull = FalseLiteral)
   }

@@ -12,6 +12,13 @@ object gfunctions {
     * result implement CouchDB view key order. */
   def collation_key(c: Column): Column = Bridge.column(CollationKey(Bridge.expression(c)))
 
+  /** Locale-aware variant: string payloads use java.text.Collator weight
+    * bytes (root locale) instead of UTF-8 code points — the optional
+    * ICU-style mode for CouchDB-faithful non-ASCII ordering ("é" sorts
+    * with "e", not after "z"). Cross-type order is unchanged. */
+  def collation_key_locale(c: Column): Column =
+    Bridge.column(CollationKey(Bridge.expression(c), locale = true))
+
   /** Driver-side encoding of a literal key (for startkey/endkey/key/keys). */
   def collation_key_lit(v: Any): Array[Byte] = CollationCodec.encodeScala(v)
 

@@ -84,7 +84,8 @@ final class View private (
     indexRows: Option[DataFrame],
     isUnion: Boolean = false,
     indexMeta: Option[IndexMeta] = None,
-    indexPath: Option[String] = None) {
+    indexPath: Option[String] = None,
+    locale: Boolean = false) {
 
   /** The view index rows: `_id, key, value, _ck` (lazy plan, or the
     * materialized index when opened via [[fromIndex]]). */
@@ -92,7 +93,7 @@ final class View private (
 
   private def ck: Column = col("_ck")
 
-  private def enc(k: Any): Column = lit(View.encodeKey(k))
+  private def enc(k: Any): Column = lit(View.encodeKey(k, locale))
 
   /** Reference `total_rows`: number of rows in the view index.
     * Scale note: on an unmaterialized view this re-executes the map
@@ -129,11 +130,11 @@ final class View private (
       if (opts.reduce && reduceFn.isDefined) {
         // reduced queries group per distinct key; requested order applies
         // to map-only queries
-        r = r.filter(ck.isin(ks.map(View.encodeKey).distinct: _*))
+        r = r.filter(ck.isin(ks.map(View.encodeKey(_, locale)).distinct: _*))
       } else {
         val spark = r.sparkSession
         import spark.implicits._
-        val req = ks.map(View.encodeKey).zipWithIndex
+        val req = ks.map(View.encodeKey(_, locale)).zipWithIndex
           .toDF("_ck", "_req_idx")
         r = r.join(broadcast(req), Seq("_ck"))
         keyOrder = Some(col("_req_idx"))
@@ -186,7 +187,7 @@ final class View private (
     // into an index scan at 100 TB.
     indexMeta.filter(_.bounds.nonEmpty).foreach { meta =>
       val kb = col("_kb")
-      def bk(k: Any): Int = IndexStore.bucketOf(meta, View.encodeKey(k))
+      def bk(k: Any): Int = IndexStore.bucketOf(meta, View.encodeKey(k, locale))
       opts.key.foreach(k => r = r.filter(kb === bk(k)))
       opts.keys.foreach(ks =>
         r = r.filter(kb.isin(ks.map(bk).distinct: _*)))
@@ -269,7 +270,7 @@ final class View private (
     val meta = IndexStore.readMeta(spark, path)
     new View(docs, idCol, mapPhase, reduceFn,
       Some(spark.read.parquet(path + "/data")),
-      indexMeta = Some(meta), indexPath = Some(path))
+      indexMeta = Some(meta), indexPath = Some(path), locale = locale)
   }
 
   /** Incremental index maintenance — the reference's change-feed driven
@@ -358,29 +359,35 @@ final class View private (
 
 object View {
 
-  private[view] def encodeKey(k: Any): Array[Byte] = k match {
-    case MaxKey => CollationCodec.MaxKey
-    case s: Seq[_] if s.contains(MaxKey) =>
-      // Encode the array prefix then the high sentinel: an upper bound for
-      // every array extending that prefix (CouchDB's `[x, {}]` idiom).
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(CollationCodec.TArr.toInt)
-      s.takeWhile(_ != MaxKey).foreach { e =>
-        val b = CollationCodec.encodeScala(e)
-        out.write(b, 0, b.length)
-      }
-      out.write(0xFF)
-      out.toByteArray
-    case other => CollationCodec.encodeScala(other)
-  }
+  private[view] def encodeKey(k: Any, locale: Boolean = false): Array[Byte] =
+    k match {
+      case MaxKey => CollationCodec.MaxKey
+      case s: Seq[_] if s.contains(MaxKey) =>
+        // Encode the array prefix then the high sentinel: an upper bound for
+        // every array extending that prefix (CouchDB's `[x, {}]` idiom).
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(CollationCodec.TArr.toInt)
+        s.takeWhile(_ != MaxKey).foreach { e =>
+          val b = CollationCodec.encodeScala(e, locale)
+          out.write(b, 0, b.length)
+        }
+        out.write(0xFF)
+        out.toByteArray
+      case other => CollationCodec.encodeScala(other, locale)
+    }
 
-  /** Define a view with a single emit per document (the common case). */
+  /** Define a view with a single emit per document (the common case).
+    * `locale = true` switches string key ordering from UTF-8 code-point
+    * order to locale-aware collator order (the CouchDB/ICU-style mode,
+    * see [[graft.gfunctions.collation_key_locale]]). */
   def apply(docs: DataFrame, id: Column, key: Column, value: Column,
-            reduce: Option[Reduce] = None): View = {
+            reduce: Option[Reduce] = None, locale: Boolean = false): View = {
+    val keyFn = if (locale) graft.gfunctions.collation_key_locale _
+                else collation_key _
     val phase = (d: DataFrame) =>
       d.select(id.as("_id"), key.as("key"), value.as("value"))
-        .withColumn("_ck", collation_key(col("key")))
-    new View(docs, id, phase, reduce, None)
+        .withColumn("_ck", keyFn(col("key")))
+    new View(docs, id, phase, reduce, None, locale = locale)
   }
 
   /** Union two views into one mixed-key view: CouchDB keys are dynamic
@@ -405,11 +412,13 @@ object View {
     * arrays emit nothing — the reference's multi-`emit` map functions,
     * expressed as an explode that stays inside codegen. */
   def multi(docs: DataFrame, id: Column, emits: Column,
-            reduce: Option[Reduce] = None): View = {
+            reduce: Option[Reduce] = None, locale: Boolean = false): View = {
+    val keyFn = if (locale) graft.gfunctions.collation_key_locale _
+                else collation_key _
     val phase = (d: DataFrame) => d
       .select(id.as("_id"), explode(coalesce(emits, array())).as("_e"))
       .select(col("_id"), col("_e.key").as("key"), col("_e.value").as("value"))
-      .withColumn("_ck", collation_key(col("key")))
-    new View(docs, id, phase, reduce, None)
+      .withColumn("_ck", keyFn(col("key")))
+    new View(docs, id, phase, reduce, None, locale = locale)
   }
 }

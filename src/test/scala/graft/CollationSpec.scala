@@ -45,7 +45,7 @@ class CollationSpec extends AnyFunSuite {
   test("type ranks: null < false < true < number < string < array") {
     val ordered = Seq(null, false, true, -1e308, -1.0, 0.0, 1.0, 1e308,
       "", "a", "a ", "ab", "b", Seq(), Seq(null), Seq(1.0), Seq(1.0, 2.0), Seq("a"))
-    val encoded = ordered.map(CollationCodec.encodeScala)
+    val encoded = ordered.map(v => CollationCodec.encodeScala(v))
     encoded.sliding(2).foreach { case Seq(x, y) =>
       assert(CollationCodec.compareBytes(x, y) < 0)
     }
@@ -70,6 +70,22 @@ class CollationSpec extends AnyFunSuite {
     // but magnitude order is still preserved at representable distances
     assert(CollationCodec.compareBytes(
       CollationCodec.encodeScala(base), CollationCodec.encodeScala(base + 2)) < 0)
+  }
+
+  test("locale mode groups accents with base letters, case below letters") {
+    def enc(s: String) = CollationCodec.encodeScala(s, locale = true)
+    // UTF-8 mode banishes 'é' past 'z'; locale mode slots it into 'e'
+    assert(CollationCodec.compareBytes(
+      CollationCodec.encodeScala("é"), CollationCodec.encodeScala("z")) > 0)
+    assert(CollationCodec.compareBytes(enc("e"), enc("é")) < 0)
+    assert(CollationCodec.compareBytes(enc("é"), enc("f")) < 0)
+    // primary letter difference outranks case: a < B (UTF-8: 'B' < 'a')
+    assert(CollationCodec.compareBytes(enc("a"), enc("B")) < 0)
+    assert(CollationCodec.compareBytes(
+      CollationCodec.encodeScala("B"), CollationCodec.encodeScala("a")) < 0)
+    // cross-type order unchanged: numbers still sort before strings
+    assert(CollationCodec.compareBytes(
+      CollationCodec.encodeScala(1.0, locale = true), enc("a")) < 0)
   }
 
   test("equal values encode equal") {

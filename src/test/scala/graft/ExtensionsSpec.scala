@@ -36,6 +36,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("collation_key_locale is callable from SQL and groups accents") {
+    spark.sql(
+      """SELECT * FROM VALUES ('zebra'), ('été'), ('eager'), ('fig') AS t(k)
+        |""".stripMargin).createOrReplaceTempView("accents")
+    val got = spark.sql(
+      "SELECT k FROM accents ORDER BY collation_key_locale(k)")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("eager", "été", "fig", "zebra"))
+    // UTF-8 mode would banish 'été' past 'zebra'
+    val utf8 = spark.sql(
+      "SELECT k FROM accents ORDER BY collation_key(k)")
+      .collect().map(_.getString(0)).toSeq
+    assert(utf8 == Seq("eager", "fig", "zebra", "été"))
+  }
+
   test("SQL ORDER BY collation_key sorts numbers before strings") {
     spark.sql(
       """SELECT * FROM VALUES ('b'), ('2'), ('a'), ('10') AS t(k)

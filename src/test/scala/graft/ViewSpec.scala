@@ -244,6 +244,21 @@ class ViewSpec extends SparkSpecBase {
     assert(r.rows.count() == 10)
   }
 
+  test("locale=true view orders accented keys with their base letter") {
+    val docs = Seq((1L, "zebra"), (2L, "été"), (3L, "eager"), (4L, "fig"))
+      .toDF("id", "w")
+    val v = View(docs, $"id", $"w", lit(1), locale = true)
+    val keys = v.query(QueryOpts(reduce = false))
+      .select($"key").as[String].collect().toSeq
+    assert(keys == Seq("eager", "été", "fig", "zebra"))
+    // range bounds encode with the same collator: [e, f) captures both
+    // e-words including the accented one
+    val r = v.query(QueryOpts(startKey = Some("e"), endKey = Some("f"),
+      inclusiveEnd = false, reduce = false))
+      .select($"key").as[String].collect().toSeq
+    assert(r == Seq("eager", "été"))
+  }
+
   test("materialize + fromIndex + incremental updateIndex") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val path = s"$dir/v1"
