@@ -213,6 +213,38 @@ object IndexStore {
     fs.delete(new Path(tmp), true)
   }
 
+  /** Per-bucket row counts — the skew diagnostic that tells an operator
+    * (or a maintenance policy) when to [[compact]]. */
+  def bucketStats(spark: SparkSession, path: String): Map[Int, Long] =
+    spark.read.parquet(dataDir(path))
+      .groupBy(col("_kb")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Rebalance a long-lived index: full rebuild with FRESH range bounds
+    * sampled from the current data (optionally a new bucket count for a
+    * grown index), preserving the update_seq. Incremental merges route
+    * new keys into the fixed creation-time bounds, so a skewed change
+    * feed eventually overloads one bucket — compaction is the periodic
+    * amortized fix (run it like any table-maintenance job). The rebuilt
+    * index is written beside the live one and swapped in two renames;
+    * a crash between them leaves the old index at `path + "._old"`. */
+  def compact(spark: SparkSession, path: String, numBuckets: Int = 0): Unit = {
+    val meta = readMeta(spark, path)
+    val n = if (numBuckets > 0) numBuckets else meta.buckets
+    val rows = spark.read.parquet(dataDir(path)).drop("_kb")
+    val tmp = path + "._compact"
+    create(spark, tmp, rows, n, meta.updateSeq)
+    val fs = fsFor(spark, path)
+    val old = new Path(path + "._old")
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new IOException(s"compact: could not move live index aside ($path)")
+    if (!fs.rename(new Path(tmp), new Path(path)))
+      throw new IOException(
+        s"compact: swap failed — old index preserved at $old, new at $tmp")
+    fs.delete(old, true)
+  }
+
   /** Build a one-column `_id` DataFrame for literal deleted ids, typed
     * like `idsLike`'s `_id` column. */
   def idsDf(spark: SparkSession, idsLike: DataFrame,

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-import graft.view.{ChangeSet, QueryOpts, Reduce, Stale, View}
+import graft.view.{ChangeSet, IndexStore, QueryOpts, Reduce, Stale, View}
 
 /** The load-bearing 100 TB claims of the persistent index:
   * incremental maintenance rewrites ONLY the buckets containing changed
@@ -122,6 +122,39 @@ class IndexStoreSpec extends SparkSpecBase {
         s"scan must read some rows but not the whole index, got $scanRows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(q.count() > 0)
+  }
+
+  test("compact rebalances a skewed index and preserves update_seq") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    // a skewed change feed: 200 NEW docs whose keys sort below every
+    // existing key — the fixed creation-time bounds route them all into
+    // bucket 0
+    val flood = orders.limit(200)
+      .withColumn("o_orderkey", $"o_orderkey" + 1000000L)
+      .withColumn("o_totalprice", -$"o_totalprice")
+    v.updateIndex(spark, path, flood, newSeq = 2)
+    val skewed = IndexStore.bucketStats(spark, path)
+    val n = orders.count()
+    assert(skewed(0) >= n / 4 + 200, s"flood must land in bucket 0: $skewed")
+
+    IndexStore.compact(spark, path, numBuckets = 4)
+    assert(IndexStore.readMeta(spark, path).updateSeq == 2L)
+    val balanced = IndexStore.bucketStats(spark, path)
+    assert(balanced.size == 4)
+    assert(balanced.values.max < skewed.values.max,
+      s"compaction must shrink the hottest bucket: $skewed -> $balanced")
+    // the rebuilt index stays complete, queryable and incrementally
+    // updatable (fresh bounds + by-id sidecar were rebuilt together)
+    val vi = v.fromIndex(spark, path)
+    assert(vi.totalRows == n + 200)
+    val first = vi.query(QueryOpts(reduce = false, limit = Some(1)))
+      .collect()(0)
+    assert(first.getDouble(1) < 0, "negative keys must sort first")
+    v.updateIndex(spark, path, orders.limit(1), newSeq = 3)
+    assert(v.fromIndex(spark, path).totalRows == n + 200)
   }
 
   test("stale=ok serves the old index; fresh folds changes in first") {
