@@ -541,6 +541,23 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A14b: query served from the materialized REDUCED index (CouchDB's
+    * reduce btree): group_level=1 rollup merges stored per-(year,month)
+    * counts — never touching raw rows — with the same two-level range
+    * pruning as the raw index. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_red_idx_" +
+      Integer.toHexString(dir.hashCode)
+    val v = View(t(s, dir, "orders"), col("o_orderkey"),
+      array(year(col("o_orderdate")).cast("double"),
+        month(col("o_orderdate")).cast("double")),
+      lit(1L), Some(Reduce.Count))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    v.materializeReduced(s, path)
+    v.fromReducedIndex(s, path).query(QueryOpts(groupLevel = Some(1)))
+      .select(element_at(col("key"), 1).as("yr"), col("value").as("cnt"))
+  }
+
   /** E6: corpus vocabulary — global top-25 token frequencies
     * (explode → partial-aggregating count → distributed top-k via
     * ordered limit, deterministic tie-break). */
@@ -608,7 +625,8 @@ object SparkEntry {
     "q50_winnow" -> (q50 _),
     "q51_top_tokens" -> (q51 _),
     "q52_ann_indexed" -> (q52 _),
-    "q53_ann_ivf" -> (q53 _)
+    "q53_ann_ivf" -> (q53 _),
+    "q54_reduced_index" -> (q54 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -630,6 +648,9 @@ object SparkEntry {
       """SELECT o_orderstatus, MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q05_group_level" ->
+      """SELECT CAST(YEAR(o_orderdate) AS DOUBLE) AS yr, COUNT(*) AS cnt
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q54_reduced_index" ->
       """SELECT CAST(YEAR(o_orderdate) AS DOUBLE) AS yr, COUNT(*) AS cnt
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
     "q06_range_rows" ->

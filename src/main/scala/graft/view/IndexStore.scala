@@ -53,6 +53,12 @@ object IndexStore {
 
   private def dataDir(path: String) = s"$path/data"
   private def idsDir(path: String) = s"$path/ids"
+  private[view] def reducedDir(path: String) = s"$path/reduced"
+
+  /** True if a materialized reduced index (per-key aggregates) exists
+    * alongside the raw index. */
+  def hasReduced(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new Path(reducedDir(path)))
 
   /** Unsigned-lexicographic byte compare — the collation order. */
   private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
@@ -153,7 +159,8 @@ object IndexStore {
     * buckets that contain old rows of changed ids (found via the by-id
     * sidecar) or receive new rows are read and rewritten. */
   def merge(spark: SparkSession, path: String, meta: IndexMeta,
-            newRows: DataFrame, changedIds: DataFrame, newSeq: Long): Unit = {
+            newRows: DataFrame, changedIds: DataFrame,
+            newSeq: Long): Seq[Int] = {
     val fs = fsFor(spark, path)
     val cids = changedIds.toDF("_id").distinct()
     val withIb = cids.withColumn("_ib", idBucket(col("_id"), meta.buckets))
@@ -185,6 +192,7 @@ object IndexStore {
         Seq(col("_ib"), col("_id")))
     }
     writeMeta(spark, path, meta.copy(updateSeq = newSeq))
+    affected
   }
 
   /** Rebuild the `affected` partition directories of `destDir` from
@@ -193,9 +201,11 @@ object IndexStore {
     * dynamic-partition overwrite would silently leave its stale
     * directory behind). Rename/delete failures throw — a failed swap
     * must never pass silently. */
-  private def writeSwap(spark: SparkSession, fs: FileSystem, df: DataFrame,
-                        destDir: String, pcol: String, affected: Seq[Int],
-                        sortCols: Seq[Column]): Unit = {
+  private[view] def writeSwap(spark: SparkSession, fs: FileSystem,
+                              df: DataFrame,
+                              destDir: String, pcol: String,
+                              affected: Seq[Int],
+                              sortCols: Seq[Column]): Unit = {
     val tmp = destDir + "._tmp"
     fs.delete(new Path(tmp), true)
     df.repartition(math.max(affected.size, 1), col(pcol))

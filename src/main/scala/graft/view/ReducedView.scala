@@ -1,0 +1,105 @@
+package graft.view
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** A view served from the materialized REDUCED index (per-key
+  * aggregates, see [[View.materializeReduced]]) — the role of CouchDB's
+  * reduce btree. `group=true` queries return the stored aggregates
+  * directly; `group_level` rollups and the global reduce RE-AGGREGATE
+  * the stored per-key values with the reduce's merge function
+  * (CouchDB's rereduce), touching only the aggregates in range — never
+  * the raw rows. Range options prune exactly like the raw index: bucket
+  * directories via the shared bounds, row groups via the `_ck` binary
+  * range.
+  *
+  * Builtin reduces merge as: `_count` → sum, `_sum` → sum, `_stats` →
+  * (sum, sum, min, max, sum). Custom reduces have no general merge
+  * function, so `group_level`/global queries on them must use the raw
+  * path ([[View.query]]); `group=true` still works (stored values are
+  * served as-is).
+  */
+final class ReducedView private[view] (
+    rows: DataFrame,
+    meta: IndexMeta,
+    reduce: Reduce,
+    locale: Boolean) {
+
+  /** The change-feed sequence the index is current through. */
+  def updateSeq: Long = meta.updateSeq
+
+  private def ck: Column = col("_ck")
+  private def enc(k: Any): Column = lit(View.encodeKey(k, locale))
+
+  /** CouchDB's rereduce for the builtin reduces. */
+  private def mergeAgg: Column = reduce match {
+    case Reduce.Count => sum(col("value")).as("value")
+    case Reduce.Sum => sum(col("value")).as("value")
+    case Reduce.Stats =>
+      struct(
+        sum(col("value.sum")).as("sum"),
+        sum(col("value.count")).as("count"),
+        min(col("value.min")).as("min"),
+        max(col("value.max")).as("max"),
+        sum(col("value.sumsqr")).as("sumsqr")).as("value")
+    case Reduce.Custom(_) =>
+      throw new IllegalArgumentException(
+        "custom reduces have no merge function: use the raw index for " +
+          "group_level/global queries (group=true serves stored values)")
+  }
+
+  /** Query the reduced index. Supported options: `group`, `groupLevel`,
+    * `key`/`keys`, `startKey`/`endKey`/`inclusiveEnd`, `descending`,
+    * `limit`, `skip`. Returns `(key, value)` rows in collation order. */
+  def query(opts: QueryOpts = QueryOpts()): DataFrame = {
+    var r = rows
+    opts.key.foreach(k => r = r.filter(ck === enc(k)))
+    opts.keys.foreach(ks =>
+      r = r.filter(ck.isin(ks.map(View.encodeKey(_, locale)).distinct: _*)))
+    if (!opts.descending) {
+      opts.startKey.foreach(k => r = r.filter(ck >= enc(k)))
+      opts.endKey.foreach(k => r = r.filter(
+        if (opts.inclusiveEnd) ck <= enc(k) else ck < enc(k)))
+    } else {
+      opts.startKey.foreach(k => r = r.filter(ck <= enc(k)))
+      opts.endKey.foreach(k => r = r.filter(
+        if (opts.inclusiveEnd) ck >= enc(k) else ck > enc(k)))
+    }
+    // bucket-directory pruning via the bounds shared with the raw index
+    if (meta.bounds.nonEmpty) {
+      val kb = col("_kb")
+      def bk(k: Any): Int = IndexStore.bucketOf(meta, View.encodeKey(k, locale))
+      opts.key.foreach(k => r = r.filter(kb === bk(k)))
+      opts.keys.foreach(ks => r = r.filter(kb.isin(ks.map(bk).distinct: _*)))
+      val lowKey = if (opts.descending) opts.endKey else opts.startKey
+      val highKey = if (opts.descending) opts.startKey else opts.endKey
+      lowKey.foreach(k => r = r.filter(kb >= bk(k)))
+      highKey.foreach(k => r = r.filter(kb <= bk(k)))
+    }
+
+    var out: DataFrame = opts.groupLevel match {
+      case Some(0) =>
+        r.groupBy().agg(mergeAgg)
+          .select(lit(null).as("key"), col("value"),
+            lit(Array.emptyByteArray).as("_ck"))
+      case Some(l) if r.schema("key").dataType.isInstanceOf[ArrayType] =>
+        r.groupBy(slice(col("key"), 1, l).as("key")).agg(mergeAgg)
+          .withColumn("_ck",
+            if (locale) graft.gfunctions.collation_key_locale(col("key"))
+            else graft.gfunctions.collation_key(col("key")))
+      case _ if opts.group || opts.groupLevel.isDefined =>
+        r.select(col("key"), col("value"), ck)
+      case _ =>
+        r.groupBy().agg(mergeAgg)
+          .select(lit(null).as("key"), col("value"),
+            lit(Array.emptyByteArray).as("_ck"))
+    }
+    out =
+      if (opts.descending) out.orderBy(col("_ck").desc)
+      else out.orderBy(col("_ck").asc)
+    if (opts.skip > 0) out = out.offset(opts.skip.toInt)
+    opts.limit.foreach(l => out = out.limit(l.toInt))
+    out.drop("_ck")
+  }
+}

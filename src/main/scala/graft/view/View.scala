@@ -278,6 +278,9 @@ final class View private (
     * the by-id sidecar, and rewrites ONLY the affected key buckets —
     * O(changed buckets) per batch, not O(index). Batch formulation of
     * the same merge the streaming maintainer runs per micro-batch.
+    * If a materialized reduced index exists alongside the raw one, its
+    * affected buckets are re-aggregated in the same pass (a key's rows
+    * never span buckets, so bucket-local re-aggregation is complete).
     * `newSeq` stamps the index's new update_seq (defaults to old+1). */
   def updateIndex(
       spark: SparkSession,
@@ -293,7 +296,48 @@ final class View private (
       if (deletedIds.isEmpty) cids
       else cids.unionByName(IndexStore.idsDf(spark, cids, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, newRows, allIds, seq)
+    val affected = IndexStore.merge(spark, path, meta, newRows, allIds, seq)
+    if (affected.nonEmpty && reduceFn.isDefined &&
+        IndexStore.hasReduced(spark, path)) {
+      val data = spark.read.parquet(path + "/data")
+        .filter(col("_kb").isin(affected: _*))
+      IndexStore.writeSwap(spark,
+        new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        reducedRowsOf(data), IndexStore.reducedDir(path), "_kb", affected,
+        Seq(col("_kb"), col("_ck")))
+    }
+  }
+
+  /** (_kb, key, value, _ck) per-key aggregate rows of raw index rows. */
+  private def reducedRowsOf(data: DataFrame): DataFrame =
+    data.groupBy(col("_kb"), col("key"))
+      .agg(aggFor(reduceFn.get), min(col("_ck")).as("_ck"))
+
+  /** Materialize the REDUCED index — CouchDB's reduce-btree role: the
+    * per-key aggregates of a reduced view, stored sorted by collation
+    * key in the SAME bucket layout as the raw index (so both prune and
+    * maintain together). `group=true` queries and `group_level` rollups
+    * then serve from precomputed aggregates via [[fromReducedIndex]]
+    * instead of re-aggregating raw rows — the 100 TB answer for
+    * reduce-heavy views. Kept in sync bucket-locally by [[updateIndex]];
+    * dropped by [[IndexStore.compact]] (re-materialize after). */
+  def materializeReduced(spark: SparkSession, path: String): Unit = {
+    require(reduceFn.isDefined, "materializeReduced requires a reduce")
+    val data = spark.read.parquet(path + "/data")
+    reducedRowsOf(data)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_ck"))
+      .write.mode("overwrite").partitionBy("_kb")
+      .parquet(IndexStore.reducedDir(path))
+  }
+
+  /** Open the materialized reduced index for querying. */
+  def fromReducedIndex(spark: SparkSession, path: String): ReducedView = {
+    require(reduceFn.isDefined, "fromReducedIndex requires a reduce")
+    new ReducedView(
+      spark.read.parquet(IndexStore.reducedDir(path)),
+      IndexStore.readMeta(spark, path), reduceFn.get, locale)
   }
 
   /** Reference query-response metadata: the result rows plus

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-import graft.view.{ChangeSet, IndexStore, QueryOpts, Reduce, Stale, View}
+import graft.view.{ChangeSet, IndexStore, MaxKey, QueryOpts, Reduce, Stale, View}
 
 /** The load-bearing 100 TB claims of the persistent index:
   * incremental maintenance rewrites ONLY the buckets containing changed
@@ -124,11 +124,58 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(q.count() > 0)
   }
 
+  test("reduced index: group/group_level served from stored aggregates") {
+    val dir = Files.createTempDirectory("graft-red").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double"),
+        month($"o_orderdate").cast("double")),
+      lit(1L), Some(Reduce.Count))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    v.materializeReduced(spark, path)
+    val rv = v.fromReducedIndex(spark, path)
+
+    // group=true: stored aggregates == recomputed aggregates, key order
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getSeq[Double](0).toList -> r.getLong(1)).toSeq
+    assert(keyed(rv.query(QueryOpts(group = true))) ==
+      keyed(v.query(QueryOpts(group = true))))
+    // group_level rollup: merged from per-key aggregates
+    assert(keyed(rv.query(QueryOpts(groupLevel = Some(1)))) ==
+      keyed(v.query(QueryOpts(groupLevel = Some(1)))))
+    // global reduce with null key
+    val g = rv.query(QueryOpts()).collect()
+    assert(g.length == 1 && g(0).isNullAt(0) &&
+      g(0).getLong(1) == orders.count())
+    // range query on the reduced rows
+    val r96 = rv.query(QueryOpts(group = true,
+      startKey = Some(Seq(1996.0)), endKey = Some(Seq(1996.0, MaxKey))))
+      .collect()
+    assert(r96.forall(_.getSeq[Double](0).head == 1996.0) && r96.nonEmpty)
+
+    // incremental: moving one order to another month updates BOTH months'
+    // stored counts through the bucket-local re-aggregation
+    val before = keyed(rv.query(QueryOpts(group = true))).toMap
+    val one = orders.orderBy($"o_orderkey".asc).limit(1)
+    val oldKey = one.select(
+      year($"o_orderdate").cast("double"),
+      month($"o_orderdate").cast("double")).collect()
+      .map(r => List(r.getDouble(0), r.getDouble(1))).head
+    val moved = one.withColumn("o_orderdate",
+      add_months($"o_orderdate", 1))
+    v.updateIndex(spark, path, moved, newSeq = 2)
+    val after = keyed(v.fromReducedIndex(spark, path)
+      .query(QueryOpts(group = true))).toMap
+    assert(after.getOrElse(oldKey, 0L) == before(oldKey) - 1)
+    assert(after.values.sum == before.values.sum)
+  }
+
   test("compact rebalances a skewed index and preserves update_seq") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val path = s"$dir/v"
     val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
     v.materialize(path, numBuckets = 4, seq = 1)
+    val pre = IndexStore.bucketStats(spark, path)
     // a skewed change feed: 200 NEW docs whose keys sort below every
     // existing key — the fixed creation-time bounds route them all into
     // bucket 0
@@ -138,7 +185,7 @@ class IndexStoreSpec extends SparkSpecBase {
     v.updateIndex(spark, path, flood, newSeq = 2)
     val skewed = IndexStore.bucketStats(spark, path)
     val n = orders.count()
-    assert(skewed(0) >= n / 4 + 200, s"flood must land in bucket 0: $skewed")
+    assert(skewed(0) == pre(0) + 200, s"flood must land in bucket 0: $skewed")
 
     IndexStore.compact(spark, path, numBuckets = 4)
     assert(IndexStore.readMeta(spark, path).updateSeq == 2L)
