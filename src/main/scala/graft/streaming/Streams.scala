@@ -118,10 +118,14 @@ object Streams {
     * checkpoint retries it (the merge is idempotent).
     *
     * `emit` maps a batch of docs to view rows `(_id, key, value)`.
-    * The index's update_seq tracks the number of batches applied. */
+    * The index's update_seq tracks the number of batches applied.
+    * When `reduce` is given and a materialized reduced index exists
+    * alongside the raw one (see [[graft.view.View.materializeReduced]]),
+    * its affected buckets are re-aggregated in the same batch. */
   def maintainViewIndex(spark: SparkSession, changeFeed: DataFrame,
                         emit: DataFrame => DataFrame, path: String,
-                        checkpoint: String, buckets: Int = 0)
+                        checkpoint: String, buckets: Int = 0,
+                        reduce: Option[graft.view.Reduce] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.view.IndexStore
     changeFeed.writeStream
@@ -139,8 +143,10 @@ object Streams {
           val meta = IndexStore.readMeta(spark, path)
           val newRows =
             rows.withColumn("_kb", IndexStore.bucketCol(col("_ck"), meta))
-          IndexStore.merge(spark, path, meta, newRows,
+          val affected = IndexStore.merge(spark, path, meta, newRows,
             rows.select(col("_id")).distinct(), newSeq = batchId + 1)
+          reduce.foreach(rf =>
+            IndexStore.refreshReduced(spark, path, rf, affected))
         }
         ()
       }

@@ -159,40 +159,49 @@ object IndexStore {
     * buckets that contain old rows of changed ids (found via the by-id
     * sidecar) or receive new rows are read and rewritten. */
   def merge(spark: SparkSession, path: String, meta: IndexMeta,
-            newRows: DataFrame, changedIds: DataFrame,
+            newRows0: DataFrame, changedIds: DataFrame,
             newSeq: Long): Seq[Int] = {
     val fs = fsFor(spark, path)
-    val cids = changedIds.toDF("_id").distinct()
-    val withIb = cids.withColumn("_ib", idBucket(col("_id"), meta.buckets))
-    val ibs = withIb.select(col("_ib")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // by-id lookup, pruned to the changed ids' hash buckets — O(batch),
-    // never a scan of the whole sidecar, let alone the index
-    val oldKbs = spark.read.parquet(idsDir(path))
-      .filter(col("_ib").isin(ibs: _*))
-      .join(cids, Seq("_id"), "left_semi")
-      .select(col("_kb")).distinct().collect().map(_.getInt(0)).toSeq
-    val newKbs = newRows.select(col("_kb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val affected = (oldKbs ++ newKbs).distinct.sorted
-    if (affected.nonEmpty) {
-      val merged = spark.read.parquet(dataDir(path))
-        .filter(col("_kb").isin(affected: _*))
-        .join(cids, Seq("_id"), "left_anti")
-        .unionByName(newRows)
-      writeSwap(spark, fs, merged, dataDir(path), "_kb", affected,
-        Seq(col("_kb"), col("_ck")))
-      val mergedIds = spark.read.parquet(idsDir(path))
+    // the batch rows and ids feed several jobs (bucket discovery, data
+    // swap, sidecar swap) — pin them so the upstream map phase runs
+    // once per batch, not once per consumer
+    val cids = changedIds.toDF("_id").distinct().persist()
+    val newRows = newRows0.persist()
+    try {
+      val withIb = cids.withColumn("_ib", idBucket(col("_id"), meta.buckets))
+      val ibs = withIb.select(col("_ib")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // by-id lookup, pruned to the changed ids' hash buckets — O(batch),
+      // never a scan of the whole sidecar, let alone the index
+      val oldKbs = spark.read.parquet(idsDir(path))
         .filter(col("_ib").isin(ibs: _*))
-        .join(cids, Seq("_id"), "left_anti")
-        .unionByName(
-          newRows.select(col("_id"), col("_kb")).distinct()
-            .withColumn("_ib", idBucket(col("_id"), meta.buckets)))
-      writeSwap(spark, fs, mergedIds, idsDir(path), "_ib", ibs,
-        Seq(col("_ib"), col("_id")))
+        .join(cids, Seq("_id"), "left_semi")
+        .select(col("_kb")).distinct().collect().map(_.getInt(0)).toSeq
+      val newKbs = newRows.select(col("_kb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val affected = (oldKbs ++ newKbs).distinct.sorted
+      if (affected.nonEmpty) {
+        val merged = spark.read.parquet(dataDir(path))
+          .filter(col("_kb").isin(affected: _*))
+          .join(cids, Seq("_id"), "left_anti")
+          .unionByName(newRows)
+        writeSwap(spark, fs, merged, dataDir(path), "_kb", affected,
+          Seq(col("_kb"), col("_ck")))
+        val mergedIds = spark.read.parquet(idsDir(path))
+          .filter(col("_ib").isin(ibs: _*))
+          .join(cids, Seq("_id"), "left_anti")
+          .unionByName(
+            newRows.select(col("_id"), col("_kb")).distinct()
+              .withColumn("_ib", idBucket(col("_id"), meta.buckets)))
+        writeSwap(spark, fs, mergedIds, idsDir(path), "_ib", ibs,
+          Seq(col("_ib"), col("_id")))
+      }
+      writeMeta(spark, path, meta.copy(updateSeq = newSeq))
+      affected
+    } finally {
+      cids.unpersist()
+      newRows.unpersist()
     }
-    writeMeta(spark, path, meta.copy(updateSeq = newSeq))
-    affected
   }
 
   /** Rebuild the `affected` partition directories of `destDir` from
@@ -222,6 +231,24 @@ object IndexStore {
     }
     fs.delete(new Path(tmp), true)
   }
+
+  /** (_kb, key, value, _ck) per-key aggregate rows of raw index rows —
+    * the content of the materialized reduced index. */
+  private[graft] def reducedRowsOf(data: DataFrame, rf: Reduce): DataFrame =
+    data.groupBy(col("_kb"), col("key"))
+      .agg(Reduce.aggFor(rf), min(col("_ck")).as("_ck"))
+
+  /** Re-aggregate the reduced index for the `affected` raw buckets (a
+    * key's rows never span buckets, so bucket-local re-aggregation is
+    * complete). No-op when no reduced index exists. */
+  private[graft] def refreshReduced(spark: SparkSession, path: String,
+                                    rf: Reduce, affected: Seq[Int]): Unit =
+    if (affected.nonEmpty && hasReduced(spark, path)) {
+      val data = spark.read.parquet(dataDir(path))
+        .filter(col("_kb").isin(affected: _*))
+      writeSwap(spark, fsFor(spark, path), reducedRowsOf(data, rf),
+        reducedDir(path), "_kb", affected, Seq(col("_kb"), col("_ck")))
+    }
 
   /** Per-bucket row counts — the skew diagnostic that tells an operator
     * (or a maintenance policy) when to [[compact]]. */

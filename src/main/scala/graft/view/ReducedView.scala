@@ -15,10 +15,10 @@ import org.apache.spark.sql.types.ArrayType
   * range.
   *
   * Builtin reduces merge as: `_count` → sum, `_sum` → sum, `_stats` →
-  * (sum, sum, min, max, sum). Custom reduces have no general merge
-  * function, so `group_level`/global queries on them must use the raw
-  * path ([[View.query]]); `group=true` still works (stored values are
-  * served as-is).
+  * (sum, sum, min, max, sum). Custom reduces supply their own merge via
+  * `Reduce.Custom(agg, merge = Some(...))` — CouchDB's `rereduce=true`
+  * contract; without one, `group_level`/global queries must use the raw
+  * path ([[View.query]]) while `group=true` still serves stored values.
   */
 final class ReducedView private[view] (
     rows: DataFrame,
@@ -43,10 +43,12 @@ final class ReducedView private[view] (
         min(col("value.min")).as("min"),
         max(col("value.max")).as("max"),
         sum(col("value.sumsqr")).as("sumsqr")).as("value")
-    case Reduce.Custom(_) =>
+    case Reduce.Custom(_, Some(m)) => m(col("value")).as("value")
+    case Reduce.Custom(_, None) =>
       throw new IllegalArgumentException(
-        "custom reduces have no merge function: use the raw index for " +
-          "group_level/global queries (group=true serves stored values)")
+        "custom reduce without a merge (rereduce) function: use the raw " +
+          "index for group_level/global queries (group=true serves " +
+          "stored values), or supply Reduce.Custom(agg, merge = Some(...))")
   }
 
   /** Query the reduced index. Supported options: `group`, `groupLevel`,

@@ -18,7 +18,30 @@ object Reduce {
   case object Sum extends Reduce
   /** `{sum, count, min, max, sumsqr}` exactly as the reference's `_stats`. */
   case object Stats extends Reduce
-  final case class Custom(agg: Column => Column) extends Reduce
+  /** A user reduce. `merge` is the rereduce: how to combine already-
+    * reduced values (CouchDB's `rereduce=true` contract) — required for
+    * group_level/global queries against a materialized reduced index;
+    * omitted, such queries must use the raw index. */
+  final case class Custom(agg: Column => Column,
+                          merge: Option[Column => Column] = None)
+      extends Reduce
+
+  /** The aggregation Column computing `rf` over raw `value` rows. */
+  private[graft] def aggFor(rf: Reduce): Column = {
+    import org.apache.spark.sql.functions._
+    rf match {
+      case Count => count(lit(1)).as("value")
+      case Sum => sum(col("value")).as("value")
+      case Stats =>
+        struct(
+          sum(col("value")).as("sum"),
+          count(col("value")).as("count"),
+          min(col("value")).as("min"),
+          max(col("value")).as("max"),
+          sum(col("value") * col("value")).as("sumsqr")).as("value")
+      case Custom(f, _) => f(col("value")).as("value")
+    }
+  }
 }
 
 /** Index-freshness request — the reference's `stale` query option. */
@@ -297,22 +320,9 @@ final class View private (
       else cids.unionByName(IndexStore.idsDf(spark, cids, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
     val affected = IndexStore.merge(spark, path, meta, newRows, allIds, seq)
-    if (affected.nonEmpty && reduceFn.isDefined &&
-        IndexStore.hasReduced(spark, path)) {
-      val data = spark.read.parquet(path + "/data")
-        .filter(col("_kb").isin(affected: _*))
-      IndexStore.writeSwap(spark,
-        new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration),
-        reducedRowsOf(data), IndexStore.reducedDir(path), "_kb", affected,
-        Seq(col("_kb"), col("_ck")))
-    }
+    reduceFn.foreach(rf =>
+      IndexStore.refreshReduced(spark, path, rf, affected))
   }
-
-  /** (_kb, key, value, _ck) per-key aggregate rows of raw index rows. */
-  private def reducedRowsOf(data: DataFrame): DataFrame =
-    data.groupBy(col("_kb"), col("key"))
-      .agg(aggFor(reduceFn.get), min(col("_ck")).as("_ck"))
 
   /** Materialize the REDUCED index — CouchDB's reduce-btree role: the
     * per-key aggregates of a reduced view, stored sorted by collation
@@ -325,7 +335,7 @@ final class View private (
   def materializeReduced(spark: SparkSession, path: String): Unit = {
     require(reduceFn.isDefined, "materializeReduced requires a reduce")
     val data = spark.read.parquet(path + "/data")
-    reducedRowsOf(data)
+    IndexStore.reducedRowsOf(data, reduceFn.get)
       .repartition(col("_kb"))
       .sortWithinPartitions(col("_kb"), col("_ck"))
       .write.mode("overwrite").partitionBy("_kb")
@@ -387,18 +397,7 @@ final class View private (
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  private def aggFor(rf: Reduce): Column = rf match {
-    case Reduce.Count => count(lit(1)).as("value")
-    case Reduce.Sum => sum(col("value")).as("value")
-    case Reduce.Stats =>
-      struct(
-        sum(col("value")).as("sum"),
-        count(col("value")).as("count"),
-        min(col("value")).as("min"),
-        max(col("value")).as("max"),
-        sum(col("value") * col("value")).as("sumsqr")).as("value")
-    case Reduce.Custom(f) => f(col("value")).as("value")
-  }
+  private def aggFor(rf: Reduce): Column = Reduce.aggFor(rf)
 }
 
 object View {

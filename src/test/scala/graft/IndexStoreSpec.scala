@@ -170,6 +170,27 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(after.values.sum == before.values.sum)
   }
 
+  test("custom reduce with a merge (rereduce) works via the reduced index") {
+    val dir = Files.createTempDirectory("graft-red-custom").toString
+    val path = s"$dir/v"
+    // custom max reduce with max as its own rereduce
+    val v = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double"),
+        month($"o_orderdate").cast("double")),
+      $"o_totalprice",
+      Some(Reduce.Custom(vv => max(vv).as("value"),
+        merge = Some(vv => max(vv).as("value")))))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    v.materializeReduced(spark, path)
+    val got = v.fromReducedIndex(spark, path)
+      .query(QueryOpts(groupLevel = Some(1))).collect()
+      .map(r => r.getSeq[Double](0).head -> r.getDouble(1)).toMap
+    val exp = orders.groupBy(year($"o_orderdate").cast("double"))
+      .agg(max($"o_totalprice")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == exp)
+  }
+
   test("compact rebalances a skewed index and preserves update_seq") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val path = s"$dir/v"

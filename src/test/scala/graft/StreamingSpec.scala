@@ -97,12 +97,22 @@ class StreamingSpec extends SparkSpecBase {
       batch.select(col("_docid").as("_id"), col("status").as("key"),
         col("price").as("value"))
     val q = Streams.maintainViewIndex(spark, in.toDF(), emit, path,
-      s"$dir/ckpt")
+      s"$dir/ckpt", reduce = Some(Reduce.Sum))
     in.addData(Change(1, "F", 10.0), Change(2, "O", 20.0))
     q.processAllAvailable()
+    // materialize the reduced index mid-stream; later batches keep it
+    // in sync bucket-locally
+    val docs0 = Seq((1L, "F", 10.0), (2L, "O", 20.0))
+      .toDF("_docid", "status", "price")
+    View(docs0, col("_docid"), col("status"), col("price"),
+      Some(Reduce.Sum)).materializeReduced(spark, path)
     in.addData(Change(1, "F", 99.0), Change(3, "P", 30.0)) // doc 1 updated
     q.processAllAvailable()
     q.stop()
+    val red = spark.read.parquet(s"$path/reduced")
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(red == Map("F" -> 99.0, "O" -> 20.0, "P" -> 30.0))
     val idx = spark.read.parquet(s"$path/data")
     assert(idx.count() == 3)
     val v1 = idx.filter(col("_id") === 1).select(col("value")).as[Double].head()
