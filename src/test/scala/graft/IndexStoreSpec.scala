@@ -170,6 +170,31 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(after.values.sum == before.values.sum)
   }
 
+  test("multi-emit docs update across ALL their buckets (sidecar fan-out)") {
+    val dir = Files.createTempDirectory("graft-multi").toString
+    val path = s"$dir/v"
+    // each doc emits TWO rows at far-apart keys: its (low) orderkey and
+    // its (high) totalprice+1e9 — old rows of one doc live in different
+    // buckets and BOTH must be found via the by-id sidecar and replaced
+    val v = View.multi(orders, $"o_orderkey",
+      array(
+        struct($"o_orderkey".cast("double").as("key"),
+          lit(1.0).as("value")),
+        struct(($"o_totalprice" + 1e9).as("key"), lit(2.0).as("value"))))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val one = orders.orderBy($"o_orderkey".asc).limit(1)
+    val id = one.select($"o_orderkey").as[Long].head()
+    val changed = one.withColumn("o_totalprice", lit(77.0))
+    v.updateIndex(spark, path, changed, newSeq = 2)
+    val vi = v.fromIndex(spark, path)
+    assert(vi.totalRows == orders.count() * 2)
+    val mine = vi.rows.filter($"_id" === id)
+      .select($"key").as[Double].collect().sorted
+    assert(mine.length == 2)
+    assert(mine(0) == id.toDouble && mine(1) == 1e9 + 77.0,
+      s"both emitted rows must be replaced, got ${mine.toSeq}")
+  }
+
   test("custom reduce with a merge (rereduce) works via the reduced index") {
     val dir = Files.createTempDirectory("graft-red-custom").toString
     val path = s"$dir/v"
