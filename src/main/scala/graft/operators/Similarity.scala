@@ -42,15 +42,28 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
       .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
-    c.join(broadcast(q), col("n_id") =!= col("q_id"))
-      .withColumn("cos",
-        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round4(col("cos")).as("cos"))
+    rankTopK(
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("cos",
+          dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
+      k)
+  }
+
+  /** Distributed top-k per query via the bounded [[graft.functions
+    * .TopKPairs]] aggregate: map-side partial aggregation keeps k pairs
+    * per query per partition, so the shuffle carries partitions×k rows
+    * per query instead of every scored candidate (a window rank would
+    * move them ALL to one partition per query — the n/k scale fix the
+    * round-1 audit called out). Identical output to the window form:
+    * same score ordering, same id tie-break. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new graft.functions.TopKPairs(k))
+    scored
+      .groupBy(col("q_id"))
+      .agg(agg(col("cos"), col("n_id")).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_t._2").as("n_id"), round4(col("_t._1")).as("cos"))
   }
 
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
@@ -124,21 +137,17 @@ object Similarity {
   }
 
   /** Bucket-join probes with corpus signature rows, dedup candidates
-    * across probes, exact-cosine rank, keep top k. */
+    * across probes, exact-cosine rank via the bounded top-k aggregate. */
   private def rankWithinBuckets(c: DataFrame, q: DataFrame,
                                 k: Int): DataFrame =
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("n_id"),
-        col("n_vec"), col("n_nrm")).distinct()
-      .withColumn("cos",
-        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round4(col("cos")).as("cos"))
+    rankTopK(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_vec"), col("q_nrm"), col("n_id"),
+          col("n_vec"), col("n_nrm")).distinct()
+        .withColumn("cos",
+          dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
+      k)
 
   /** Persist the corpus LSH signature index: (n_id, n_vec, n_nrm) rows
     * in parquet partitioned by signature bucket. The 100 TB posture:

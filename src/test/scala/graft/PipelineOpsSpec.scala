@@ -145,6 +145,34 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("bounded top-k aggregate equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter($"vec_id" < 20)
+    val got = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // reference: the window-rank form this aggregate replaced
+    val c = emb.select($"vec_id".as("n_id"),
+      $"embedding".cast("array<double>").as("n_vec"))
+      .withColumn("n_nrm", sqrt(Similarity.dot($"n_vec", $"n_vec")))
+    val q = queries.select($"vec_id".as("q_id"),
+      $"embedding".cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", sqrt(Similarity.dot($"q_vec", $"q_vec")))
+    val exp = c.join(broadcast(q), $"n_id" =!= $"q_id")
+      .withColumn("cos",
+        Similarity.dot($"q_vec", $"n_vec") / ($"q_nrm" * $"n_nrm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc))
+        .cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"n_id",
+        graft.gfunctions.round4($"cos").as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == exp && got.size == 20 * 5)
+  }
+
   test("cosine is 1 for identical vectors, -1 for opposite") {
     val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f),
       Array(-1.0f, -2.0f, -3.0f))).toDF("a", "b", "c")
