@@ -19,12 +19,40 @@ object Relational {
 
   /** Top-k rows per group by the given ordering (reference pattern:
     * "first k view rows per key prefix"). One shuffle on the partition
-    * keys; rank assigned within each group after the shuffle. */
+    * keys; rank assigned within each group after the shuffle. Fine when
+    * group cardinality is high (rows spread over many partitions); for
+    * FEW groups over a huge table use [[topKPerGroupBounded]], which
+    * never funnels a whole group through one partition. */
   def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column],
                    k: Int): DataFrame = {
     val w = Window.partitionBy(part: _*).orderBy(order: _*)
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Top-k per group for LOW group cardinality over huge tables: the
+    * window form above shuffles every row of a group to one partition;
+    * this one keeps k (score, id) pairs per group per partition
+    * map-side (the bounded [[graft.functions.TopKPairs]] aggregate) and
+    * joins only the winners back for their full rows. Ranking is score
+    * DESC with id ASC tie-break — identical to
+    * `row_number over (order by score desc, id asc)`. `id` must be a
+    * unique long. */
+  def topKPerGroupBounded(df: DataFrame, groupCols: Seq[String],
+                          score: Column, id: Column, k: Int): DataFrame = {
+    val agg = udaf(new graft.functions.TopKPairs(k))
+    val winners = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(score.cast("double"), id.cast("long")).as("_top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("_top")).as(Seq("_i", "_t")): _*)
+      .select(groupCols.map(col) :+
+        (col("_i") + 1).cast("long").as("rank") :+
+        col("_t._2").as("_win_id"): _*)
+      .select(col("_win_id"), col("rank"))
+    df.withColumn("_row_id", id.cast("long"))
+      .join(broadcast(winners), col("_row_id") === col("_win_id"))
+      .drop("_row_id", "_win_id")
   }
 
   /** Tumbling time-window aggregation: one shuffle on the bucket,

@@ -87,6 +87,18 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("topKPerGroupBounded equals the window form (few-group top-k)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"o_orderpriority", $"rank", $"o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val win = norm(Relational.topKPerGroup(orders, Seq($"o_orderpriority"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 3))
+    val bounded = norm(Relational.topKPerGroupBounded(orders,
+      Seq("o_orderpriority"), $"o_totalprice", $"o_orderkey", 3))
+    assert(bounded == win && bounded.nonEmpty)
+  }
+
   test("topKPerGroup returns exactly k ranked rows per group") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val r = Relational.topKPerGroup(orders, Seq($"o_orderpriority"),
