@@ -132,6 +132,13 @@ object IndexStore {
     * the bucket bounds and the by-id sidecar, stamp the metadata. */
   def create(spark: SparkSession, path: String, rows: DataFrame,
              buckets: Int, seq: Long): Unit = {
+    // a zero-row build would write no bucket files and leave the index
+    // unreadable — fail with intent instead of an obscure schema error
+    // (the streaming maintainer skips empty batches for this reason)
+    require(!rows.isEmpty,
+      "cannot build an index from an empty view: materialize after the " +
+        "first documents exist (the streaming maintainer defers creation " +
+        "past empty batches)")
     val fs = fsFor(spark, path)
     fs.delete(new Path(path), true)
     rows

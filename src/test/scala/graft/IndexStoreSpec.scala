@@ -170,6 +170,16 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(after.values.sum == before.values.sum)
   }
 
+  test("materializing an empty view fails with a clear message") {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    val v = View(orders.filter(lit(false)), $"o_orderkey",
+      $"o_orderstatus", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      v.materialize(s"$dir/v", numBuckets = 4, seq = 1)
+    }
+    assert(e.getMessage.contains("empty view"))
+  }
+
   test("multi-emit docs update across ALL their buckets (sidecar fan-out)") {
     val dir = Files.createTempDirectory("graft-multi").toString
     val path = s"$dir/v"
