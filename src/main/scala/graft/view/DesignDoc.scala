@@ -1,0 +1,46 @@
+package graft.view
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A design document: a named group of views over one docs table that
+  * materialize and update TOGETHER — the reference's unit of index
+  * maintenance (all views in a CouchDB design doc share one indexer
+  * pass over the change feed and advance one update_seq).
+  *
+  * Layout: each view's [[IndexStore]] index lives under
+  * `root/<viewName>`; one [[update]] call folds a change batch into
+  * every index, materializing the batch once (persist) so the change
+  * feed is scanned once per batch, not once per view.
+  */
+final class DesignDoc(val views: Map[String, View]) {
+  require(views.nonEmpty, "a design doc needs at least one view")
+
+  private def pathOf(root: String, name: String) = s"$root/$name"
+
+  /** Build every view's index, stamped with the same `seq`. */
+  def materialize(root: String, numBuckets: Int = 0, seq: Long = 0L): Unit =
+    views.foreach { case (n, v) =>
+      v.materialize(pathOf(root, n), numBuckets, seq)
+    }
+
+  /** Apply one change batch to every view's index (the ddoc indexer
+    * pass). The batch is pinned so each view's merge reads it from the
+    * block manager instead of re-scanning the feed. */
+  def update(spark: SparkSession, root: String, changedDocs: DataFrame,
+             deletedIds: Seq[Any] = Nil, newSeq: Long = -1L): Unit = {
+    val batch = changedDocs.persist()
+    try views.foreach { case (n, v) =>
+      v.updateIndex(spark, pathOf(root, n), batch, deletedIds, newSeq)
+    } finally batch.unpersist()
+  }
+
+  /** Reopen every view from its materialized index. */
+  def open(spark: SparkSession, root: String): Map[String, View] =
+    views.map { case (n, v) => n -> v.fromIndex(spark, pathOf(root, n)) }
+
+  /** The reference's `viewCleanup`/ddoc-delete: drop all indexes. */
+  def cleanup(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}

@@ -259,6 +259,29 @@ class ViewSpec extends SparkSpecBase {
     assert(r == Seq("eager", "été"))
   }
 
+  test("design doc: grouped views build, update and reopen together") {
+    import graft.view.DesignDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddoc").toString
+    val root = s"$dir/ddoc"
+    val dd = new DesignDoc(Map(
+      "by_status" -> View(orders, $"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("double"), Some(Reduce.Sum)),
+      "by_price" -> View(orders, $"o_orderkey", $"o_totalprice", lit(1))))
+    dd.materialize(root, numBuckets = 4, seq = 1)
+    val opened = dd.open(spark, root)
+    assert(opened.values.forall(_.updateSeq.contains(1L)))
+    // one update pass advances BOTH views' indexes
+    val changed = orders.orderBy($"o_orderkey".asc).limit(1)
+      .withColumn("o_totalprice", lit(123456.0))
+    dd.update(spark, root, changed, newSeq = 2)
+    val reopened = dd.open(spark, root)
+    assert(reopened.values.forall(_.updateSeq.contains(2L)))
+    val id = changed.select($"o_orderkey").as[Long].head()
+    assert(reopened("by_price").rows.filter($"_id" === id)
+      .select($"key").as[Double].head() == 123456.0)
+    assert(dd.cleanup(spark, root))
+  }
+
   test("materialize + fromIndex + incremental updateIndex") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val path = s"$dir/v1"
