@@ -304,7 +304,16 @@ final class View private (
     * If a materialized reduced index exists alongside the raw one, its
     * affected buckets are re-aggregated in the same pass (a key's rows
     * never span buckets, so bucket-local re-aggregation is complete).
-    * `newSeq` stamps the index's new update_seq (defaults to old+1). */
+    * `newSeq` stamps the index's new update_seq (defaults to old+1).
+    *
+    * Conditional views: the map phase captures only the emit COLUMNS —
+    * a view built over a pre-filtered docs DataFrame does not re-apply
+    * that filter to `changedDocs`. For incremental maintenance of
+    * conditional views, express the condition INSIDE the map phase
+    * (CouchDB's "map function decides to emit"):
+    * `View.multi(docs, id, when(cond, array(struct(…))).otherwise(array()))`
+    * — a changed doc that stops matching then emits zero rows, so its
+    * old rows are dropped and nothing replaces them. */
   def updateIndex(
       spark: SparkSession,
       path: String,

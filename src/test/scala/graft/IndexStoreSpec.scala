@@ -170,6 +170,33 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(after.values.sum == before.values.sum)
   }
 
+  test("conditional view: a doc that stops matching leaves the index") {
+    val dir = Files.createTempDirectory("graft-cond").toString
+    val path = s"$dir/v"
+    // the condition lives INSIDE the map phase (conditional emit), so
+    // incremental updates apply it to changed docs too
+    val v = View.multi(orders, $"o_orderkey",
+      when($"o_orderstatus" === "F",
+        array(struct($"o_orderkey".cast("double").as("key"),
+          $"o_totalprice".as("value"))))
+        .otherwise(array()))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val nF = orders.filter($"o_orderstatus" === "F").count()
+    assert(v.fromIndex(spark, path).totalRows == nF)
+    // one F doc flips to O: it must VANISH from the index…
+    val one = orders.filter($"o_orderstatus" === "F")
+      .orderBy($"o_orderkey".asc).limit(1)
+    val id = one.select($"o_orderkey").as[Long].head()
+    v.updateIndex(spark, path, one.withColumn("o_orderstatus", lit("O")),
+      newSeq = 2)
+    val vi = v.fromIndex(spark, path)
+    assert(vi.totalRows == nF - 1)
+    assert(vi.rows.filter($"_id" === id).count() == 0)
+    // …and flip back: it reappears
+    v.updateIndex(spark, path, one, newSeq = 3)
+    assert(v.fromIndex(spark, path).totalRows == nF)
+  }
+
   test("materializing an empty view fails with a clear message") {
     val dir = Files.createTempDirectory("graft-empty").toString
     val v = View(orders.filter(lit(false)), $"o_orderkey",
