@@ -199,25 +199,65 @@ object Similarity {
     slice(array_sort(array(centroidScores(v, nrm, cents): _*)),
       cents.length - n + 1, n)
 
+  /** Spherical-k-means (Lloyd) refinement of IVF centroids: assign
+    * every vector to its nearest-by-cosine centroid, replace each
+    * centroid with the NORMALIZED elementwise mean of its members
+    * (direction only — cosine assignment is scale-invariant, and the
+    * normalized-mean update is the monotone spherical k-means step).
+    * Empty clusters keep their centroid. Deterministic: fixed init,
+    * fixed iteration count, per-dimension means. The per-iteration
+    * driver traffic is nCentroids × dims doubles — the same size as the
+    * centroid literals the plan embeds anyway. */
+  private def lloydRefine(vecs: DataFrame /* n_vec, n_nrm */,
+                          cents0: Seq[(Int, Array[Double])],
+                          iters: Int): Seq[(Int, Array[Double])] = {
+    var cents = cents0
+    for (_ <- 1 to iters) {
+      val byDim = vecs
+        .withColumn("cid",
+          element_at(topCentroids(col("n_vec"), col("n_nrm"), cents, 1), 1)
+            .getField("cid"))
+        .select(col("cid"), posexplode(col("n_vec")).as(Seq("_d", "_x")))
+        .groupBy(col("cid"), col("_d")).agg(avg(col("_x")).as("_m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val means = byDim.groupBy(_._1).map { case (cid, rows) =>
+        val v = rows.sortBy(_._2).map(_._3)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        cid -> (if (nrm > 0) v.map(_ / nrm) else v)
+      }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** Build an IVF (inverted-file) ANN index: a deterministic centroid
-    * set (the `nCentroids` lowest vec_ids — stable and oracle-
-    * replayable; production would plug in k-means centroids, the
-    * plumbing is identical), every corpus vector assigned to its
-    * nearest-by-cosine centroid, inverted lists written as parquet
-    * partitioned by centroid id. The coarse-quantizer alternative to
-    * [[buildLshIndex]]: fewer, data-adaptive buckets. */
+    * init (the `nCentroids` lowest vec_ids — stable and oracle-
+    * replayable), optionally refined with `refineIters` spherical
+    * k-means iterations ([[lloydRefine]]), every corpus vector assigned
+    * to its nearest-by-cosine centroid, inverted lists written as
+    * parquet partitioned by centroid id. The coarse-quantizer
+    * alternative to [[buildLshIndex]]: fewer, data-adaptive buckets.
+    * Queries read the STORED centroids, so refinement is transparent to
+    * [[ivfTopK]]. */
   def buildIvfIndex(corpus: DataFrame, path: String,
-                    nCentroids: Int = 16): Unit = {
-    val cents = corpus.orderBy(col("vec_id").asc).limit(nCentroids)
+                    nCentroids: Int = 16, refineIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val init = corpus.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").cast("int").as("cid"),
         asDouble(col("embedding")).as("cvec"))
-    cents.write.mode("overwrite").parquet(path + "/centroids")
-    val cArr = cents.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
       .sortBy(_._1)
-    corpus.select(col("vec_id").as("n_id"),
+    val vecs = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_vec"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    val cArr =
+      if (refineIters > 0) lloydRefine(vecs, init, refineIters) else init
+    import spark.implicits._
+    cArr.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/centroids")
+    vecs
       .withColumn("bucket",
         element_at(topCentroids(col("n_vec"), col("n_nrm"), cArr, 1), 1)
           .getField("cid"))

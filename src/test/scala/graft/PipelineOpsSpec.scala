@@ -145,6 +145,31 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("spherical k-means refinement improves IVF assignment quality") {
+    def build(iters: Int): String = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-ivf$iters")
+        .toString + "/idx"
+      Similarity.buildIvfIndex(emb, p, nCentroids = 16, refineIters = iters)
+      p
+    }
+    // mean cosine between each vector and its assigned centroid
+    def quality(path: String): Double = {
+      val lists = spark.read.parquet(s"$path/lists")
+      val cents = spark.read.parquet(s"$path/centroids")
+      lists.join(cents, lists("bucket") === cents("cid"))
+        .select((Similarity.dot($"n_vec", $"cvec") /
+          ($"n_nrm" * sqrt(Similarity.dot($"cvec", $"cvec")))).as("c"))
+        .agg(avg($"c")).collect().head.getDouble(0)
+    }
+    val q0 = quality(build(0))
+    val q2 = quality(build(2))
+    assert(q2 >= q0 - 1e-9, s"refined=$q2 must not degrade init=$q0")
+    // and the refined index still answers queries with full top-5s
+    val r = Similarity.ivfTopK(spark, build(2), emb.filter($"vec_id" < 5), 5)
+      .collect()
+    assert(r.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+
   test("bounded top-k aggregate equals the window-rank formulation") {
     import org.apache.spark.sql.expressions.Window
     val queries = emb.filter($"vec_id" < 20)
