@@ -80,15 +80,18 @@ object IndexStore {
     else meta.bounds.takeWhile(b => cmp(b._2, key) <= 0)
       .lastOption.map(_._1).getOrElse(meta.bounds.head._1)
 
-  /** Column-side bucket routing for new index rows (same function as
-    * [[bucketOf]], as a codegen'd when-chain over the literal bounds —
-    * O(buckets) comparisons per NEW row only; maintenance batches are
-    * small relative to the index). */
+  /** Column-side bucket routing for new index rows: the native
+    * [[RangeBucket]] binary-search expression over the stored bounds —
+    * O(log buckets) per row with constant-size generated code (a
+    * when-chain would be O(buckets) per row AND per plan, breaking down
+    * at the bucket counts a 100 TB index needs). Same routing as the
+    * driver-side [[bucketOf]]. */
   def bucketCol(ck: Column, meta: IndexMeta): Column =
     if (meta.bounds.isEmpty) lit(0)
-    else meta.bounds.drop(1).foldLeft(lit(meta.bounds.head._1): Column) {
-      case (acc, (id, lo)) => when(ck >= lit(lo), lit(id)).otherwise(acc)
-    }
+    else org.apache.spark.sql.graft.Bridge.column(RangeBucket(
+      org.apache.spark.sql.graft.Bridge.expression(ck),
+      meta.bounds.map(_._1).toArray,
+      meta.bounds.map(_._2).toArray))
 
   /** Hash bucket of a doc id for the by-id sidecar layout. */
   def idBucket(id: Column, buckets: Int): Column =

@@ -170,6 +170,29 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(after.values.sum == before.values.sum)
   }
 
+  test("RangeBucket expression routes identically to driver-side bucketOf") {
+    import graft.collation.CollationCodec
+    import graft.view.IndexMeta
+    // sparse bucket ids + bounds over double keys (like a real index
+    // whose creation-time partitions 1 and 4 were empty)
+    val bounds = Seq(0 -> 10.0, 2 -> 25.0, 3 -> 99.5, 5 -> 1000.0)
+      .map { case (id, k) => (id, CollationCodec.encodeScala(k)) }
+    val meta = IndexMeta(1L, 6, bounds)
+    val keys = Seq(-5.0, 10.0, 17.2, 25.0, 25.1, 99.4, 99.5, 500.0,
+      1000.0, 1e9)
+    val df = keys.toDF("k")
+      .select($"k", graft.gfunctions.collation_key($"k").as("ck"))
+      .withColumn("b", IndexStore.bucketCol($"ck", meta))
+    val got = df.select($"k", $"b").collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      val exp = IndexStore.bucketOf(meta, CollationCodec.encodeScala(k))
+      assert(got(k) == exp, s"key $k: expr ${got(k)} vs driver $exp")
+    }
+    assert(got(-5.0) == 0 && got(17.2) == 0 && got(25.0) == 2 &&
+      got(99.5) == 3 && got(1e9) == 5)
+  }
+
   test("conditional view: a doc that stops matching leaves the index") {
     val dir = Files.createTempDirectory("graft-cond").toString
     val path = s"$dir/v"
