@@ -55,6 +55,8 @@ final class ReducedView private[view] (
     * `key`/`keys`, `startKey`/`endKey`/`inclusiveEnd`, `descending`,
     * `limit`, `skip`. Returns `(key, value)` rows in collation order. */
   def query(opts: QueryOpts = QueryOpts()): DataFrame = {
+    require(opts.skip <= Int.MaxValue && opts.limit.forall(_ <= Int.MaxValue),
+      "skip/limit beyond Int.MaxValue: page with startKey resume bounds")
     var r = rows
     opts.key.foreach(k => r = r.filter(ck === enc(k)))
     opts.keys.foreach(ks =>
