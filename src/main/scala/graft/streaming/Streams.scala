@@ -117,34 +117,59 @@ object Streams {
     * swap failures throw inside `foreachBatch`, failing the batch so the
     * checkpoint retries it (the merge is idempotent).
     *
-    * `emit` maps a batch of docs to view rows `(_id, key, value)`.
+    * `emit` maps a batch of LIVE docs to view rows `(_id, key, value)`.
     * The index's update_seq tracks the number of batches applied.
     * When `reduce` is given and a materialized reduced index exists
     * alongside the raw one (see [[graft.view.View.materializeReduced]]),
-    * its affected buckets are re-aggregated in the same batch. */
+    * its affected buckets are re-aggregated in the same batch.
+    *
+    * Deletes (the reference change feed's `deleted: true` entries): when
+    * the change feed carries a boolean `_deleted` column, tombstone rows
+    * are NOT mapped through `emit`; their ids (the `id` column on the
+    * RAW feed) join the batch's changed-id set, so the merge drops their
+    * old index rows — exactly the batch path
+    * ([[graft.view.View.updateIndex]]'s `deletedIds`). With `_deleted`
+    * present, live docs' ids also come from the raw feed via `id`, so a
+    * doc whose conditional map phase stops emitting still has its old
+    * rows retired. Tombstones before the index exists are no-ops.
+    *
+    * `locale = true` keys the index with the locale-aware collator,
+    * matching a view declared with `View(..., locale = true)`. */
   def maintainViewIndex(spark: SparkSession, changeFeed: DataFrame,
                         emit: DataFrame => DataFrame, path: String,
                         checkpoint: String, buckets: Int = 0,
-                        reduce: Option[graft.view.Reduce] = None)
+                        reduce: Option[graft.view.Reduce] = None,
+                        id: org.apache.spark.sql.Column = col("_id"),
+                        locale: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.view.IndexStore
+    val keyFn = if (locale) graft.gfunctions.collation_key_locale _
+                else collation_key _
     changeFeed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = emit(batch)
-          .withColumn("_ck", collation_key(col("key")))
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val rows = emit(live)
+          .withColumn("_ck", keyFn(col("key")))
         val n = if (buckets > 0) buckets
                 else spark.sessionState.conf.numShufflePartitions
         if (!IndexStore.exists(spark, path)) {
+          // deletes can't refer to anything yet — creation considers
+          // only the batch's live rows
           if (!rows.isEmpty)
             IndexStore.create(spark, path, rows, n, seq = batchId + 1)
         } else {
           val meta = IndexStore.readMeta(spark, path)
           val newRows =
             rows.withColumn("_kb", IndexStore.bucketCol(col("_ck"), meta))
+          val changedIds =
+            if (hasDel) batch.select(id.as("_id")).distinct()
+            else rows.select(col("_id")).distinct()
           val affected = IndexStore.merge(spark, path, meta, newRows,
-            rows.select(col("_id")).distinct(), newSeq = batchId + 1)
+            changedIds, newSeq = batchId + 1)
           reduce.foreach(rf =>
             IndexStore.refreshReduced(spark, path, rf, affected))
         }

@@ -83,6 +83,9 @@ final class ReducedView private[view] (
     }
 
     var out: DataFrame = opts.groupLevel match {
+      // keys= implies group=true (exact per-key rows), as in [[View.query]]
+      case _ if opts.keys.isDefined =>
+        r.select(col("key"), col("value"), ck)
       case Some(0) =>
         r.groupBy().agg(mergeAgg)
           .select(lit(null).as("key"), col("value"),
@@ -99,9 +102,21 @@ final class ReducedView private[view] (
           .select(lit(null).as("key"), col("value"),
             lit(Array.emptyByteArray).as("_ck"))
     }
-    out =
-      if (opts.descending) out.orderBy(col("_ck").desc)
-      else out.orderBy(col("_ck").asc)
+    out = opts.keys match {
+      case Some(ks) =>
+        // Multi-key fetch: one reduced row per REQUESTED key in request
+        // order, repeats honored (the reference's group=true + keys
+        // semantics) — join the aggregates back against the request list.
+        val spark = out.sparkSession
+        import spark.implicits._
+        val req = ks.map(View.encodeKey(_, locale)).zipWithIndex
+          .toDF("_ck", "_req_idx")
+        out.join(broadcast(req), Seq("_ck"))
+          .orderBy(col("_req_idx").asc).drop("_req_idx")
+      case None =>
+        if (opts.descending) out.orderBy(col("_ck").desc)
+        else out.orderBy(col("_ck").asc)
+    }
     if (opts.skip > 0) out = out.offset(opts.skip.toInt)
     opts.limit.foreach(l => out = out.limit(l.toInt))
     out.drop("_ck")

@@ -149,10 +149,13 @@ final class View private (
     // reference's multi-key fetch semantics): join against the request
     // list with its position, which both filters and duplicates.
     var keyOrder: Option[Column] = None
+    var reducedKeys: Option[Seq[Any]] = None
     opts.keys.foreach { ks =>
       if (opts.reduce && reduceFn.isDefined) {
-        // reduced queries group per distinct key; requested order applies
-        // to map-only queries
+        // Reduced multi-key fetch (the reference requires group=true here;
+        // we imply it): one reduced row PER REQUESTED KEY, in request
+        // order, repeats honored — resolved after the per-key aggregation.
+        reducedKeys = Some(ks)
         r = r.filter(ck.isin(ks.map(View.encodeKey(_, locale)).distinct: _*))
       } else {
         val spark = r.sparkSession
@@ -178,8 +181,12 @@ final class View private (
       }
       opts.endKey.foreach { k =>
         r = (opts.endKeyDocId, opts.inclusiveEnd) match {
-          case (Some(d), _) => r.filter(ck < enc(k) ||
+          case (Some(d), true) => r.filter(ck < enc(k) ||
             (ck === enc(k) && id <= lit(d)))
+          // inclusive_end=false makes the (endkey, endkey_docid) bound
+          // itself exclusive: strict id comparison at the bound key.
+          case (Some(d), false) => r.filter(ck < enc(k) ||
+            (ck === enc(k) && id < lit(d)))
           case (None, true) => r.filter(ck <= enc(k))
           case (None, false) => r.filter(ck < enc(k))
         }
@@ -195,8 +202,10 @@ final class View private (
       }
       opts.endKey.foreach { k =>
         r = (opts.endKeyDocId, opts.inclusiveEnd) match {
-          case (Some(d), _) => r.filter(ck > enc(k) ||
+          case (Some(d), true) => r.filter(ck > enc(k) ||
             (ck === enc(k) && id >= lit(d)))
+          case (Some(d), false) => r.filter(ck > enc(k) ||
+            (ck === enc(k) && id > lit(d)))
           case (None, true) => r.filter(ck >= enc(k))
           case (None, false) => r.filter(ck > enc(k))
         }
@@ -253,21 +262,38 @@ final class View private (
         val aggCol = aggFor(reduceFn.get)
         val grouped: DataFrame =
           // group_level=0 IS the global reduce (null key) in the reference
-          if (opts.group || opts.groupLevel.exists(_ > 0)) {
+          if (opts.group || opts.groupLevel.exists(_ > 0) ||
+              reducedKeys.isDefined) {
             val keyCol = opts.groupLevel match {
-              case Some(l) if r.schema("key").dataType.isInstanceOf[ArrayType] =>
+              case Some(l) if reducedKeys.isEmpty &&
+                  r.schema("key").dataType.isInstanceOf[ArrayType] =>
                 slice(col("key"), 1, l)
               case _ => col("key")
             }
+            val keyFn = if (locale) graft.gfunctions.collation_key_locale _
+                        else collation_key _
             r.groupBy(keyCol.as("key")).agg(aggCol)
-              .withColumn("_ck", collation_key(col("key")))
+              .withColumn("_ck", keyFn(col("key")))
           } else {
             r.groupBy().agg(aggCol)
               .select(lit(null).as("key"), col("value"),
                 lit(Array.emptyByteArray).as("_ck"))
           }
-        if (opts.descending) grouped.orderBy(col("_ck").desc)
-        else grouped.orderBy(col("_ck").asc)
+        reducedKeys match {
+          case Some(ks) =>
+            // Join the per-key aggregates back against the request list
+            // with its position: filters (again, harmlessly), duplicates
+            // repeated keys, and carries the requested order.
+            val spark = grouped.sparkSession
+            import spark.implicits._
+            val req = ks.map(View.encodeKey(_, locale)).zipWithIndex
+              .toDF("_ck", "_req_idx")
+            grouped.join(broadcast(req), Seq("_ck"))
+              .orderBy(col("_req_idx").asc)
+          case None =>
+            if (opts.descending) grouped.orderBy(col("_ck").desc)
+            else grouped.orderBy(col("_ck").asc)
+        }
       }
 
     if (opts.skip > 0) out = out.offset(opts.skip.toInt)

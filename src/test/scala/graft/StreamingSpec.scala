@@ -13,6 +13,8 @@ case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UserEv(user_id: Long, ts: Timestamp)
 case class Doc(ts: Timestamp, fp: String, text: String)
 case class Change(_docid: Long, status: String, price: Double)
+case class ChangeDel(_docid: Long, status: String, price: Double,
+                     _deleted: Boolean)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -125,5 +127,38 @@ class StreamingSpec extends SparkSpecBase {
     val sums = view.query(QueryOpts(group = true)).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sums == Map("F" -> 99.0, "O" -> 20.0, "P" -> 30.0))
+  }
+
+  test("streaming tombstones retire rows from the index and reduced index") {
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-del").toString
+    val path = s"$dir/idx"
+    val in = MemoryStream[ChangeDel]
+    val emit = (batch: org.apache.spark.sql.DataFrame) =>
+      batch.select(col("_docid").as("_id"), col("status").as("key"),
+        col("price").as("value"))
+    val q = Streams.maintainViewIndex(spark, in.toDF(), emit, path,
+      s"$dir/ckpt", reduce = Some(Reduce.Sum), id = col("_docid"))
+    in.addData(ChangeDel(1, "F", 10.0, _deleted = false),
+      ChangeDel(2, "O", 20.0, _deleted = false),
+      ChangeDel(3, "F", 5.0, _deleted = false))
+    q.processAllAvailable()
+    val docs0 = Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 5.0))
+      .toDF("_docid", "status", "price")
+    View(docs0, col("_docid"), col("status"), col("price"),
+      Some(Reduce.Sum)).materializeReduced(spark, path)
+    // delete doc 1 and update doc 2 in the same micro-batch
+    in.addData(ChangeDel(1, "F", 10.0, _deleted = true),
+      ChangeDel(2, "O", 25.0, _deleted = false))
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(s"$path/data")
+    assert(idx.filter(col("_id") === 1).count() == 0)
+    assert(idx.count() == 2)
+    val red = spark.read.parquet(s"$path/reduced")
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(red == Map("F" -> 5.0, "O" -> 25.0))
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
   }
 }

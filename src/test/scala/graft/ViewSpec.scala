@@ -236,6 +236,33 @@ class ViewSpec extends SparkSpecBase {
     assert(gotEnd == fIds.takeWhile(_ <= resumeAt).toSeq)
   }
 
+  test("inclusive_end=false + endkey_docid excludes the boundary row") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val fIds = orders.filter($"o_orderstatus" === "F")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val bound = fIds(fIds.length / 2)
+    // ascending: rows AT (F, bound) must be excluded, ids below kept
+    val asc = v.query(QueryOpts(startKey = Some("F"), endKey = Some("F"),
+      endKeyDocId = Some(bound), inclusiveEnd = false, reduce = false))
+      .select($"id").as[Long].collect().toSeq
+    assert(asc == fIds.takeWhile(_ < bound).toSeq)
+    // descending: endkey bounds from below; the boundary id is excluded
+    val desc = v.query(QueryOpts(startKey = Some("F"), endKey = Some("F"),
+      endKeyDocId = Some(bound), inclusiveEnd = false, descending = true,
+      reduce = false)).select($"id").as[Long].collect().toSeq
+    assert(desc == fIds.dropWhile(_ <= bound).reverse.toSeq)
+  }
+
+  test("reduced keys= returns one row per requested key in request order") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1L),
+      Some(Reduce.Count))
+    val exp = orders.groupBy($"o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = v.query(QueryOpts(keys = Some(Seq("O", "F", "O"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("O" -> exp("O"), "F" -> exp("F"), "O" -> exp("O")))
+  }
+
   test("queryResult carries total_rows and offset metadata") {
     val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
     val r = v.queryResult(QueryOpts(reduce = false, skip = 5, limit = Some(10)))
