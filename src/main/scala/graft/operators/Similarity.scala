@@ -223,7 +223,12 @@ object Similarity {
       val means = byDim.groupBy(_._1).map { case (cid, rows) =>
         val v = rows.sortBy(_._2).map(_._3)
         val nrm = math.sqrt(v.map(x => x * x).sum)
-        cid -> (if (nrm > 0) v.map(_ / nrm) else v)
+        val nv = if (nrm > 0) v.map(_ / nrm) else v
+        // Round at 1e-6: double summation order differs across engines
+        // (and across partition counts) at ~1e-15 relative — far below
+        // the grain — so the refined centroids, and everything assigned
+        // against them, replay exactly in an oracle engine.
+        cid -> nv.map(x => math.floor(x * 1e6 + 0.5) / 1e6)
       }
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
