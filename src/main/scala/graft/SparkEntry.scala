@@ -502,6 +502,19 @@ object SparkEntry {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
+  /** A20 (rows-only gate): the view-level `_approx_count_distinct`
+    * builtin — distinct customers per order status as a mergeable HLL
+    * sketch reduce ([[Reduce.ApproxCountDistinct]]); sketch-specific
+    * like q49, so gated rows-only; the spec bounds the error and
+    * verifies the rereduce (sketch-union) path against the
+    * materialized reduced index. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    View(t(s, dir, "orders"), col("o_orderkey"), col("o_orderstatus"),
+      col("o_custkey"), Some(Reduce.ApproxCountDistinct()))
+      .query(QueryOpts(group = true))
+      .select(col("key").as("o_orderstatus"),
+        col("value.count").as("approx_cust"))
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -688,7 +701,8 @@ object SparkEntry {
     "q52_ann_indexed" -> (q52 _),
     "q53_ann_ivf" -> (q53 _),
     "q54_reduced_index" -> (q54 _),
-    "q55_ann_ivf_refined" -> (q55 _)
+    "q55_ann_ivf_refined" -> (q55 _),
+    "q56_view_approx_distinct" -> (q56 _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -43,6 +43,11 @@ final class ReducedView private[view] (
         min(col("value.min")).as("min"),
         max(col("value.max")).as("max"),
         sum(col("value.sumsqr")).as("sumsqr")).as("value")
+    case Reduce.ApproxCountDistinct(_) =>
+      // rereduce = sketch union: HLL registers merge losslessly, so a
+      // rollup estimate equals the estimate a flat pass would produce
+      val u = hll_union_agg(col("value.hll"))
+      struct(hll_sketch_estimate(u).as("count"), u.as("hll")).as("value")
     case Reduce.Custom(_, Some(m)) => m(col("value")).as("value")
     case Reduce.Custom(_, None) =>
       throw new IllegalArgumentException(

@@ -18,6 +18,15 @@ object Reduce {
   case object Sum extends Reduce
   /** `{sum, count, min, max, sumsqr}` exactly as the reference's `_stats`. */
   case object Stats extends Reduce
+  /** CouchDB 2.2's fourth builtin, `_approx_count_distinct`: a
+    * HyperLogLog estimate of the number of distinct values per key.
+    * The reduced `value` is a struct `{count, hll}` — the estimate
+    * plus the Datasketches sketch bytes — so a materialized reduced
+    * index REREDUCES by sketch union (group_level rollups and the
+    * global estimate never touch raw rows), exactly the
+    * filter-in-the-btree design of the reference builtin. */
+  final case class ApproxCountDistinct(lgK: Int = 12) extends Reduce
+
   /** A user reduce. `merge` is the rereduce: how to combine already-
     * reduced values (CouchDB's `rereduce=true` contract) — required for
     * group_level/global queries against a materialized reduced index;
@@ -39,6 +48,9 @@ object Reduce {
           min(col("value")).as("min"),
           max(col("value")).as("max"),
           sum(col("value") * col("value")).as("sumsqr")).as("value")
+      case ApproxCountDistinct(lgK) =>
+        val sk = hll_sketch_agg(col("value"), lgK)
+        struct(hll_sketch_estimate(sk).as("count"), sk.as("hll")).as("value")
       case Custom(f, _) => f(col("value")).as("value")
     }
   }

@@ -263,6 +263,34 @@ class ViewSpec extends SparkSpecBase {
     assert(got == Seq("O" -> exp("O"), "F" -> exp("F"), "O" -> exp("O")))
   }
 
+  test("_approx_count_distinct builtin: error bound + sketch-union rereduce") {
+    val v = View(orders, $"o_orderkey", $"o_orderstatus", $"o_custkey",
+      Some(Reduce.ApproxCountDistinct()))
+    val exact = orders.groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = v.query(QueryOpts(group = true)).collect()
+      .map(r => r.getString(0) -> r.getStruct(1).getLong(0)).toMap
+    got.foreach { case (k, est) =>
+      assert(math.abs(est.toDouble - exact(k)) / exact(k) < 0.05,
+        s"$k: est=$est exact=${exact(k)}")
+    }
+    // materialized reduced index: group=true serves the stored sketches;
+    // the global rollup REREDUCES by sketch union, never touching raw rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val path = s"$dir/v"
+    v.materialize(path, numBuckets = 4)
+    v.materializeReduced(spark, path)
+    val rv = v.fromReducedIndex(spark, path)
+    val served = rv.query(QueryOpts(group = true)).collect()
+      .map(r => r.getString(0) -> r.getStruct(1).getLong(0)).toMap
+    assert(served == got, "stored per-key estimates differ from raw path")
+    val exactAll = orders.select(countDistinct($"o_custkey")).as[Long].head()
+    val global = rv.query().collect().head.getStruct(1).getLong(0)
+    assert(math.abs(global.toDouble - exactAll) / exactAll < 0.05,
+      s"union rollup: est=$global exact=$exactAll")
+  }
+
   test("queryResult carries total_rows and offset metadata") {
     val v = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
     val r = v.queryResult(QueryOpts(reduce = false, skip = 5, limit = Some(10)))
