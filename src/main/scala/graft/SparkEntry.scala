@@ -427,7 +427,12 @@ object SparkEntry {
     * sample: multiply by a large prime, bucket, keep 10%). */
   private def q43(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .filter(pmod(col("o_orderkey") * 2654435761L, lit(1000)) < 100)
+      // reduce mod 1000 BEFORE the multiply: same residue (modular
+      // arithmetic), but the product stays < 2^42 — a raw key*constant
+      // wraps Long at sf≥1000 keys while the oracle engine promotes to
+      // int128, silently diverging
+      .filter(pmod(pmod(col("o_orderkey"), lit(1000)) * 2654435761L,
+        lit(1000)) < 100)
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
@@ -1089,7 +1094,7 @@ object SparkEntry {
         |ORDER BY st, pri""".stripMargin,
     "q43_sample" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE (o_orderkey * 2654435761) % 1000 < 100
+        |WHERE ((o_orderkey % 1000) * 2654435761) % 1000 < 100
         |ORDER BY o_orderkey""".stripMargin,
     "q44_clean_text" ->
       """WITH c AS (

@@ -134,13 +134,21 @@ object Streams {
     * rows retired. Tombstones before the index exists are no-ops.
     *
     * `locale = true` keys the index with the locale-aware collator,
-    * matching a view declared with `View(..., locale = true)`. */
+    * matching a view declared with `View(..., locale = true)`.
+    *
+    * `autoCompactSkew > 0` enables the bucket-skew compaction policy
+    * after each batch ([[graft.view.IndexStore.maybeCompact]]): a
+    * change feed whose keys drift away from the creation-time range
+    * bounds eventually overloads one bucket; when max/median row count
+    * exceeds the threshold, the index is rebuilt with freshly sampled
+    * bounds (and the reduced index re-derived) as part of the batch. */
   def maintainViewIndex(spark: SparkSession, changeFeed: DataFrame,
                         emit: DataFrame => DataFrame, path: String,
                         checkpoint: String, buckets: Int = 0,
                         reduce: Option[graft.view.Reduce] = None,
                         id: org.apache.spark.sql.Column = col("_id"),
-                        locale: Boolean = false)
+                        locale: Boolean = false,
+                        autoCompactSkew: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.view.IndexStore
     val keyFn = if (locale) graft.gfunctions.collation_key_locale _
@@ -172,6 +180,8 @@ object Streams {
             changedIds, newSeq = batchId + 1)
           reduce.foreach(rf =>
             IndexStore.refreshReduced(spark, path, rf, affected))
+          if (autoCompactSkew > 0)
+            IndexStore.maybeCompact(spark, path, reduce, autoCompactSkew)
         }
         ()
       }

@@ -261,11 +261,48 @@ object IndexStore {
     }
 
   /** Per-bucket row counts — the skew diagnostic that tells an operator
-    * (or a maintenance policy) when to [[compact]]. */
+    * (or a maintenance policy) when to [[compact]]. Scans only the
+    * partition column, so the cost is footer metadata per file, not the
+    * data. */
   def bucketStats(spark: SparkSession, path: String): Map[Int, Long] =
     spark.read.parquet(dataDir(path))
       .groupBy(col("_kb")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Derive (or re-derive) the materialized reduced index from the
+    * current raw data — used by [[graft.view.View.materializeReduced]]
+    * and after [[compact]] re-sampled the bucket layout. */
+  private[graft] def writeReduced(spark: SparkSession, path: String,
+                                  rf: Reduce): Unit =
+    reducedRowsOf(spark.read.parquet(dataDir(path)), rf)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_ck"))
+      .write.mode("overwrite").partitionBy("_kb")
+      .parquet(reducedDir(path))
+
+  /** Automatic compaction policy for long-lived maintained indexes:
+    * incremental merges route new keys into the CREATION-TIME range
+    * bounds, so a drifting change feed slowly overloads one bucket.
+    * When the largest bucket exceeds `maxSkew` × the median bucket row
+    * count, rebuild with fresh sampled bounds ([[compact]]) and
+    * re-derive the reduced index if one existed (compaction drops it —
+    * its layout is bucket-aligned). Returns true when compaction ran.
+    * Run from the maintainers per batch: the stats pass is footer
+    * metadata, the rebuild amortizes like any table-maintenance job. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   rf: Option[Reduce] = None, maxSkew: Double = 8.0,
+                   numBuckets: Int = 0): Boolean = {
+    val counts = bucketStats(spark, path).values.toSeq.sorted
+    if (counts.size < 2) return false
+    val median = math.max(counts(counts.size / 2), 1L)
+    if (counts.last.toDouble / median <= maxSkew) false
+    else {
+      val hadReduced = hasReduced(spark, path)
+      compact(spark, path, numBuckets)
+      if (hadReduced) rf.foreach(writeReduced(spark, path, _))
+      true
+    }
+  }
 
   /** Rebalance a long-lived index: full rebuild with FRESH range bounds
     * sampled from the current data (optionally a new bucket count for a

@@ -381,12 +381,7 @@ final class View private (
     * dropped by [[IndexStore.compact]] (re-materialize after). */
   def materializeReduced(spark: SparkSession, path: String): Unit = {
     require(reduceFn.isDefined, "materializeReduced requires a reduce")
-    val data = spark.read.parquet(path + "/data")
-    IndexStore.reducedRowsOf(data, reduceFn.get)
-      .repartition(col("_kb"))
-      .sortWithinPartitions(col("_kb"), col("_ck"))
-      .write.mode("overwrite").partitionBy("_kb")
-      .parquet(IndexStore.reducedDir(path))
+    IndexStore.writeReduced(spark, path, reduceFn.get)
   }
 
   /** Open the materialized reduced index for querying. */

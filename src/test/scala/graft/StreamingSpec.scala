@@ -161,4 +161,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(red == Map("F" -> 5.0, "O" -> 25.0))
     assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
   }
+
+  test("skewed change feed triggers auto-compaction with re-sampled bounds") {
+    import graft.view.IndexStore
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-cmp").toString
+    val path = s"$dir/idx"
+    val in = MemoryStream[Change]
+    val emit = (batch: org.apache.spark.sql.DataFrame) =>
+      batch.select(col("_docid").as("_id"), col("status").as("key"),
+        col("price").as("value"))
+    val q = Streams.maintainViewIndex(spark, in.toDF(), emit, path,
+      s"$dir/ckpt", buckets = 4, reduce = Some(Reduce.Sum),
+      id = col("_docid"), autoCompactSkew = 4.0)
+    // batch 1: keys spread across the range -> balanced creation bounds
+    in.addData((1 to 8).map(i => Change(i.toLong, ('a' + i - 1).toChar.toString, i.toDouble)): _*)
+    q.processAllAvailable()
+    val bounds0 = IndexStore.readMeta(spark, path).bounds.map(_._2.toSeq)
+    View(Seq((1L, "a", 1.0)).toDF("_docid", "status", "price"),
+      col("_docid"), col("status"), col("price"), Some(Reduce.Sum))
+      .materializeReduced(spark, path)
+    // batch 2: 40 new docs all ABOVE the old key range -> one bucket
+    // takes everything -> max/median breaches 4.0 -> compaction
+    in.addData((101 to 140).map(i => Change(i.toLong, f"z$i%03d", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val meta1 = IndexStore.readMeta(spark, path)
+    assert(meta1.bounds.map(_._2.toSeq) != bounds0, "bounds not re-sampled")
+    val counts = IndexStore.bucketStats(spark, path).values.toSeq.sorted
+    assert(counts.sum == 48)
+    assert(counts.last.toDouble / math.max(counts(counts.size / 2), 1L) <= 4.0,
+      s"still skewed after compaction: $counts")
+    // queries stay correct: every row present, reduced index re-derived
+    val docs = spark.emptyDataFrame
+    val red = spark.read.parquet(s"$path/reduced")
+    assert(red.count() == 48)
+    assert(red.filter(col("key") === "z101").select(col("value"))
+      .collect().head.getDouble(0) == 1.0)
+    val rows = spark.read.parquet(s"$path/data")
+    assert(rows.count() == 48 && rows.filter(col("key") === "d").count() == 1)
+  }
 }
