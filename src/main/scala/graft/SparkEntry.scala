@@ -579,7 +579,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ann", dir, "embeddings")
-    if (!hasFile(s"$path/_SUCCESS"))
+    if (!hasFile(s"$path/data/_SUCCESS"))
       Similarity.buildLshIndex(emb, path)
     Similarity.lshTopKIndexed(s, path, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))
@@ -594,7 +594,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivf", dir, "embeddings")
-    if (!hasFile(s"$path/lists/_SUCCESS"))
+    if (!hasFile(s"$path/data/_SUCCESS"))
       Similarity.buildIvfIndex(emb, path)
     Similarity.ivfTopK(s, path, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))
@@ -609,7 +609,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivfr", dir, "embeddings")
-    if (!hasFile(s"$path/lists/_SUCCESS"))
+    if (!hasFile(s"$path/data/_SUCCESS"))
       Similarity.buildIvfIndex(emb, path, refineIters = 1)
     Similarity.ivfTopK(s, path, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))

@@ -149,20 +149,70 @@ object Similarity {
           dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
       k)
 
-  /** Persist the corpus LSH signature index: (n_id, n_vec, n_nrm) rows
-    * in parquet partitioned by signature bucket. The 100 TB posture:
-    * signatures and norms are computed ONCE at build time and amortized
-    * over every query — [[lshTopKIndexed]] reads only the probed bucket
-    * directories instead of recomputing signatures corpus-wide per
-    * query (the gap flagged in round 1). */
-  def buildLshIndex(corpus: DataFrame, path: String,
-                    planes: Int = 8): Unit =
-    corpus.select(col("vec_id").as("n_id"),
+  import graft.view.{IndexMeta, IndexStore}
+
+  /** Signature rows of a corpus batch in the persisted-index shape:
+    * `(_id, n_vec, n_nrm, _kb)` where `_kb` is the signature bucket. */
+  private def lshRows(corpus: DataFrame, planes: Int): DataFrame =
+    corpus.select(col("vec_id").as("_id"),
       asDouble(col("embedding")).as("n_vec"),
-      lshSignature(col("embedding"), planes).cast("int").as("bucket"))
+      lshSignature(col("embedding"), planes).cast("int").as("_kb"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Write the vector by-id sidecar + metadata beside a freshly built
+    * ANN index — the same incremental-maintenance layout as view
+    * indexes ([[graft.view.IndexStore]]): `data/_kb=*` holds the
+    * bucketed vectors, `ids/_ib=*` maps each vector id to the bucket
+    * holding its CURRENT row (so an upsert finds old rows without
+    * scanning), `_graft_meta` stamps update_seq + id-bucket count. */
+  private def writeAnnSidecar(spark: SparkSession, path: String,
+                              idBuckets: Int, seq: Long): Unit = {
+    spark.read.parquet(path + "/data")
+      .select(col("_id"), col("_kb")).distinct()
+      .withColumn("_ib", IndexStore.idBucket(col("_id"), idBuckets))
+      .repartition(idBuckets, col("_ib"))
+      .sortWithinPartitions(col("_ib"), col("_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(path + "/ids")
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, idBuckets, Nil))
+  }
+
+  /** Persist the corpus LSH signature index: (_id, n_vec, n_nrm) rows
+    * in parquet partitioned by signature bucket, plus the by-id sidecar
+    * for incremental maintenance ([[upsertLshVectors]]). The 100 TB
+    * posture: signatures and norms are computed ONCE at build time and
+    * amortized over every query — [[lshTopKIndexed]] reads only the
+    * probed bucket directories instead of recomputing signatures
+    * corpus-wide per query (the gap flagged in round 1). */
+  def buildLshIndex(corpus: DataFrame, path: String,
+                    planes: Int = 8, idBuckets: Int = 16,
+                    seq: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    lshRows(corpus, planes)
+      .repartition(col("_kb"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(path + "/data")
+    writeAnnSidecar(spark, path, idBuckets, seq)
+  }
+
+  /** Incremental maintenance of a [[buildLshIndex]] index — the same
+    * by-id-sidecar merge as view indexes: changed vectors are re-signed
+    * and ONLY the buckets holding their old or new rows are rewritten
+    * (a re-embedded vector moves buckets; the sidecar finds the old
+    * one). `deletedIds` retire vectors. O(changed buckets), never a
+    * rebuild — embedding corpora get the same incremental story as
+    * views. Returns the affected bucket ids. */
+  def upsertLshVectors(spark: SparkSession, path: String,
+                       changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                       planes: Int = 8, newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, lshRows(changed, planes), cids, seq,
+      dataSortCols = Seq(col("_kb"), col("_id")))
+  }
 
   /** ANN against a persisted [[buildLshIndex]] index. The probe bucket
     * ids are collected driver-side — O(|queries| × (planes+1)) ints for
@@ -175,8 +225,10 @@ object Similarity {
     val q = probeRows(queries, planes)
     val buckets = q.select(col("bucket").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
+    val c = spark.read.parquet(path + "/data")
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),
+        col("_kb").as("bucket"))
     rankWithinBuckets(c, q, k)
   }
 
@@ -235,18 +287,39 @@ object Similarity {
     cents
   }
 
+  /** `(_id, n_vec, n_nrm, _kb)` rows of a corpus batch assigned to
+    * their nearest stored centroid. */
+  private def ivfRows(corpus: DataFrame,
+                      cents: Seq[(Int, Array[Double])]): DataFrame =
+    corpus.select(col("vec_id").as("_id"),
+      asDouble(col("embedding")).as("n_vec"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .withColumn("_kb",
+        element_at(topCentroids(col("n_vec"), col("n_nrm"), cents, 1), 1)
+          .getField("cid"))
+
+  private def readCentroids(spark: SparkSession,
+                            path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(path + "/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+
   /** Build an IVF (inverted-file) ANN index: a deterministic centroid
     * init (the `nCentroids` lowest vec_ids — stable and oracle-
     * replayable), optionally refined with `refineIters` spherical
     * k-means iterations ([[lloydRefine]]), every corpus vector assigned
     * to its nearest-by-cosine centroid, inverted lists written as
-    * parquet partitioned by centroid id. The coarse-quantizer
-    * alternative to [[buildLshIndex]]: fewer, data-adaptive buckets.
-    * Queries read the STORED centroids, so refinement is transparent to
-    * [[ivfTopK]]. */
+    * parquet partitioned by centroid id under `data/`, plus the by-id
+    * sidecar for incremental maintenance ([[upsertIvfVectors]]). The
+    * coarse-quantizer alternative to [[buildLshIndex]]: fewer,
+    * data-adaptive buckets. Queries read the STORED centroids, so
+    * refinement is transparent to [[ivfTopK]]. */
   def buildIvfIndex(corpus: DataFrame, path: String,
-                    nCentroids: Int = 16, refineIters: Int = 0): Unit = {
+                    nCentroids: Int = 16, refineIters: Int = 0,
+                    idBuckets: Int = 16, seq: Long = 0L): Unit = {
     val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val init = corpus.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").cast("int").as("cid"),
         asDouble(col("embedding")).as("cvec"))
@@ -262,12 +335,28 @@ object Similarity {
       .toDF("cid", "cvec")
       .coalesce(1)
       .write.mode("overwrite").parquet(path + "/centroids")
-    vecs
-      .withColumn("bucket",
-        element_at(topCentroids(col("n_vec"), col("n_nrm"), cArr, 1), 1)
-          .getField("cid"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/lists")
+    ivfRows(corpus, cArr)
+      .repartition(col("_kb"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(path + "/data")
+    writeAnnSidecar(spark, path, idBuckets, seq)
+  }
+
+  /** Incremental maintenance of a [[buildIvfIndex]] index: changed
+    * vectors are assigned against the STORED centroids (the quantizer
+    * is fixed between compactions, as in any deployed IVF) and merged
+    * bucket-locally via the by-id sidecar; `deletedIds` retire vectors.
+    * Returns the affected list ids. */
+  def upsertIvfVectors(spark: SparkSession, path: String,
+                       changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                       newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val cents = readCentroids(spark, path)
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, ivfRows(changed, cents), cids, seq,
+      dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
   /** ANN against a persisted [[buildIvfIndex]] index: each query scores
@@ -276,9 +365,7 @@ object Similarity {
     * and ranks exactly within them. */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
               k: Int, nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(path + "/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
-      .sortBy(_._1)
+    val cents = readCentroids(spark, path)
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
       .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
@@ -288,8 +375,10 @@ object Similarity {
         col("_p.cid").as("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(path + "/lists")
-      .filter(col("bucket").isin(buckets: _*))
+    val c = spark.read.parquet(path + "/data")
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),
+        col("_kb").as("bucket"))
     rankWithinBuckets(c, q, k)
   }
 }

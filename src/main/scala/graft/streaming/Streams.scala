@@ -187,4 +187,52 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming maintenance of a persisted ANN index — the embedding-
+    * corpus analogue of [[maintainViewIndex]]: the first non-empty
+    * micro-batch builds the index ([[graft.operators.Similarity
+    * .buildLshIndex]] or, with `ivf = true`, `buildIvfIndex` — whose
+    * quantizer is then FIXED across batches, as in any deployed IVF);
+    * every later batch upserts bucket-locally via the vector by-id
+    * sidecar (`upsertLshVectors`/`upsertIvfVectors`), so re-embedded
+    * vectors move buckets and `_deleted` tombstones retire, touching
+    * only the affected bucket directories. The change feed needs
+    * `vec_id` + `embedding` columns, plus optional boolean `_deleted`.
+    * update_seq tracks batches, exactly like view indexes. */
+  def maintainAnnIndex(spark: SparkSession, changeFeed: DataFrame,
+                       path: String, checkpoint: String,
+                       ivf: Boolean = false, planes: Int = 8,
+                       nCentroids: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+            .distinct().collect().map(_.get(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty) {
+            if (ivf) Similarity.buildIvfIndex(live, path, nCentroids,
+              seq = batchId + 1)
+            else Similarity.buildLshIndex(live, path, planes,
+              seq = batchId + 1)
+          }
+        } else if (ivf) {
+          Similarity.upsertIvfVectors(spark, path, live, delIds,
+            newSeq = batchId + 1)
+        } else {
+          Similarity.upsertLshVectors(spark, path, live, delIds, planes,
+            newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -170,7 +170,8 @@ object IndexStore {
     * sidecar) or receive new rows are read and rewritten. */
   def merge(spark: SparkSession, path: String, meta: IndexMeta,
             newRows0: DataFrame, changedIds: DataFrame,
-            newSeq: Long): Seq[Int] = {
+            newSeq: Long,
+            dataSortCols: Seq[Column] = Seq(col("_kb"), col("_ck"))): Seq[Int] = {
     val fs = fsFor(spark, path)
     // the batch rows and ids feed several jobs (bucket discovery, data
     // swap, sidecar swap) — pin them so the upstream map phase runs
@@ -196,7 +197,7 @@ object IndexStore {
           .join(cids, Seq("_id"), "left_anti")
           .unionByName(newRows)
         writeSwap(spark, fs, merged, dataDir(path), "_kb", affected,
-          Seq(col("_kb"), col("_ck")))
+          dataSortCols)
         val mergedIds = spark.read.parquet(idsDir(path))
           .filter(col("_ib").isin(ibs: _*))
           .join(cids, Seq("_id"), "left_anti")

@@ -129,10 +129,73 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(perQ.values.forall(_ == 5))
       val idxScan = r.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.find(_.metadata("Location").contains("lists"))
+      }.find(_.metadata("Location").contains("graft-ivf"))
       assert(idxScan.isDefined && idxScan.get.partitionFilters.nonEmpty,
         "inverted-list scan must be pruned to the probed centroids")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ANN upsert rewrites only affected buckets and matches a rebuild") {
+    import graft.view.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-annup").toString
+    // per-bucket-directory file state: (name, mtime, length) per file
+    def state(p: String): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("_kb="))
+        .map(d => d.getName -> d.listFiles()
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet).toMap
+    val queries = emb.filter($"vec_id" < 10)
+    def negated(lo: Long, hi: Long) =
+      emb.filter($"vec_id".between(lo, hi))
+        .withColumn("embedding", transform($"embedding", x => -x))
+
+    // LSH: re-embed 20..24 (negation moves every one to a new bucket),
+    // delete 25; only their old+new buckets may change on disk
+    val path = s"$dir/lsh"
+    Similarity.buildLshIndex(emb, path)
+    val before = state(s"$path/data")
+    val affected = Similarity.upsertLshVectors(spark, path, negated(20, 24),
+      deletedIds = Seq(25L))
+    val after = state(s"$path/data")
+    val touched = affected.map(b => s"_kb=$b").toSet
+    before.keySet.filterNot(touched).foreach { d =>
+      assert(after(d) == before(d), s"untouched bucket $d was rewritten")
+    }
+    assert(IndexStore.readMeta(spark, path).updateSeq == 1L)
+    // results equal a fresh rebuild over the post-upsert corpus
+    val corpus2 = emb.filter(!$"vec_id".between(20, 25))
+      .unionByName(negated(20, 24))
+    val fresh = s"$dir/lsh_fresh"
+    Similarity.buildLshIndex(corpus2, fresh)
+    assert(
+      Similarity.lshTopKIndexed(spark, path, queries, 5)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.lshTopKIndexed(spark, fresh, queries, 5)
+        .collect().map(_.toSeq).toSet,
+      "maintained LSH index diverges from rebuild")
+
+    // IVF: non-centroid vectors 30..33 re-embedded, 34 deleted; the
+    // stored quantizer is fixed, so a rebuild over the same corpus
+    // (whose init centroids vec_id<16 are unchanged) must agree
+    val ipath = s"$dir/ivf"
+    Similarity.buildIvfIndex(emb, ipath)
+    val ibefore = state(s"$ipath/data")
+    val iaffected = Similarity.upsertIvfVectors(spark, ipath, negated(30, 33),
+      deletedIds = Seq(34L))
+    val iafter = state(s"$ipath/data")
+    val itouched = iaffected.map(b => s"_kb=$b").toSet
+    ibefore.keySet.filterNot(itouched).foreach { d =>
+      assert(iafter(d) == ibefore(d), s"untouched list $d was rewritten")
+    }
+    val icorpus2 = emb.filter(!$"vec_id".between(30, 34))
+      .unionByName(negated(30, 33))
+    val ifresh = s"$dir/ivf_fresh"
+    Similarity.buildIvfIndex(icorpus2, ifresh)
+    assert(
+      Similarity.ivfTopK(spark, ipath, queries, 5)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.ivfTopK(spark, ifresh, queries, 5)
+        .collect().map(_.toSeq).toSet,
+      "maintained IVF index diverges from rebuild")
   }
 
   test("approx_count_distinct stays within the configured error bound") {
@@ -154,9 +217,9 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
     // mean cosine between each vector and its assigned centroid
     def quality(path: String): Double = {
-      val lists = spark.read.parquet(s"$path/lists")
+      val lists = spark.read.parquet(s"$path/data")
       val cents = spark.read.parquet(s"$path/centroids")
-      lists.join(cents, lists("bucket") === cents("cid"))
+      lists.join(cents, lists("_kb") === cents("cid"))
         .select((Similarity.dot($"n_vec", $"cvec") /
           ($"n_nrm" * sqrt(Similarity.dot($"cvec", $"cvec")))).as("c"))
         .agg(avg($"c")).collect().head.getDouble(0)

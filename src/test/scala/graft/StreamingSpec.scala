@@ -15,6 +15,7 @@ case class Doc(ts: Timestamp, fp: String, text: String)
 case class Change(_docid: Long, status: String, price: Double)
 case class ChangeDel(_docid: Long, status: String, price: Double,
                      _deleted: Boolean)
+case class VecChg(vec_id: Long, embedding: Array[Float], _deleted: Boolean)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -200,5 +201,43 @@ class StreamingSpec extends SparkSpecBase {
       .collect().head.getDouble(0) == 1.0)
     val rows = spark.read.parquet(s"$path/data")
     assert(rows.count() == 48 && rows.filter(col("key") === "d").count() == 1)
+  }
+
+  test("streaming ANN maintenance: upserts and tombstones match a rebuild") {
+    import graft.operators.Similarity
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-ann").toString
+    val path = s"$dir/lsh"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[VecChg]
+    val q = Streams.maintainAnnIndex(spark, in.toDF(), path, s"$dir/ckpt")
+    // batch 1 builds the index from the full corpus
+    in.addData(all.map { case (id, e) => VecChg(id, e, _deleted = false) }
+      .toSeq: _*)
+    q.processAllAvailable()
+    // batch 2: vectors 20..24 re-embedded (negation moves buckets),
+    // 25 tombstoned
+    val changed = all.filter(x => x._1 >= 20 && x._1 <= 24)
+      .map { case (id, e) => VecChg(id, e.map(-_), _deleted = false) }
+    in.addData(
+      (changed :+ VecChg(25L, Array.empty[Float], _deleted = true)).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+    val corpus2 = emb.filter(!$"vec_id".between(20, 25))
+      .select($"vec_id", $"embedding")
+      .unionByName(changed.toSeq.toDF("vec_id", "embedding", "_deleted")
+        .select($"vec_id", $"embedding"))
+    val fresh = s"$dir/lsh_fresh"
+    Similarity.buildLshIndex(corpus2, fresh)
+    val queries = emb.filter($"vec_id" < 10)
+    assert(
+      Similarity.lshTopKIndexed(spark, path, queries, 5)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.lshTopKIndexed(spark, fresh, queries, 5)
+        .collect().map(_.toSeq).toSet,
+      "streamed ANN index diverges from rebuild")
   }
 }
