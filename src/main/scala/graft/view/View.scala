@@ -65,7 +65,9 @@ object Stale {
   case object UpdateAfter extends Stale
 }
 
-/** Query options — the reference's `db.query(view, opts)` surface. */
+/** Query options — the reference's `db.query(view, opts)` surface.
+  * `resumeAfter` is internal: set via [[View.queryPage]]'s token, it
+  * continues STRICTLY after a (collation key, doc id) cursor. */
 final case class QueryOpts(
     startKey: Option[Any] = None,
     endKey: Option[Any] = None,
@@ -81,7 +83,48 @@ final case class QueryOpts(
     group: Boolean = false,
     groupLevel: Option[Int] = None,
     includeDocs: Boolean = false,
-    stale: Option[Stale] = None)
+    stale: Option[Stale] = None,
+    resumeAfter: Option[(Array[Byte], Any)] = None)
+
+/** Opaque keyset-pagination token ([[View.queryPage]]): pins the index
+  * `update_seq` the page was served at plus the last row's (collation
+  * key, doc id). Resuming filters STRICTLY after that cursor, so an
+  * interleaved index update never shifts, skips, or duplicates the rows
+  * ahead of the cursor — the failure mode of offset (`skip`)
+  * pagination — and the seq tells the caller how fresh page N was. */
+object ResumeToken {
+  private val enc = java.util.Base64.getEncoder
+  private val dec = java.util.Base64.getDecoder
+
+  private[view] def encode(seq: Long, ck: Array[Byte], id: Any): String = {
+    val idPart = id match {
+      case l: Long => "L" + l
+      case i: Int => "I" + i
+      case d: Double => "D" + d
+      case s: String => "S" + enc.encodeToString(s.getBytes("UTF-8"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported doc id type for resume token: ${other.getClass}")
+    }
+    enc.encodeToString(
+      s"$seq|${enc.encodeToString(ck)}|$idPart".getBytes("UTF-8"))
+  }
+
+  private[view] def decode(token: String): (Long, Array[Byte], Any) = {
+    val Array(seq, ckB64, idPart) =
+      new String(dec.decode(token), "UTF-8").split("\\|", 3)
+    val id: Any = idPart.charAt(0) match {
+      case 'L' => idPart.drop(1).toLong
+      case 'I' => idPart.drop(1).toInt
+      case 'D' => idPart.drop(1).toDouble
+      case 'S' => new String(dec.decode(idPart.drop(1)), "UTF-8")
+    }
+    (seq.toLong, dec.decode(ckB64), id)
+  }
+
+  /** The index `update_seq` a token was issued at (for callers that
+    * want to detect or bound staleness across pages). */
+  def seqOf(token: String): Long = decode(token)._1
+}
 
 /** A pending change-feed batch: documents changed (or created) and ids
   * deleted since sequence `seq` — the input to the freshness contract of
@@ -96,10 +139,13 @@ case object MaxKey
 
 /** The reference's query-response envelope: rows + total_rows + offset,
   * plus the index's `update_seq` when served from a materialized index
-  * (None for temporary/unmaterialized views). */
+  * (None for temporary/unmaterialized views) and, for paged queries
+  * ([[View.queryPage]]), the opaque [[ResumeToken]] continuing after
+  * the last served row (None once exhausted). */
 final case class ViewQueryResult(rows: DataFrame, totalRows: Long,
                                  offset: Long,
-                                 updateSeq: Option[Long] = None)
+                                 updateSeq: Option[Long] = None,
+                                 nextToken: Option[String] = None)
 
 /** A map/reduce view: the reference's `emit(key, value)` map phase declared
   * as Catalyst columns (so the whole view is one declarative plan — filter
@@ -150,7 +196,10 @@ final class View private (
     * Scale note: `skip` is inherently O(skip) (a global offset) — page
     * large result sets with `startKeyDocId` resume bounds instead, which
     * stay index-pruned (same guidance as the reference). */
-  def query(opts: QueryOpts = QueryOpts()): DataFrame = {
+  def query(opts: QueryOpts = QueryOpts()): DataFrame =
+    queryKeepCk(opts).drop("_ck")
+
+  private def queryKeepCk(opts: QueryOpts): DataFrame = {
     require(opts.skip <= Int.MaxValue && opts.limit.forall(_ <= Int.MaxValue),
       "skip/limit beyond Int.MaxValue: use startKeyDocId resume pagination")
     require(!(opts.includeDocs && isUnion),
@@ -224,6 +273,16 @@ final class View private (
       }
     }
 
+    // Keyset-pagination cursor ([[queryPage]]): strictly after the last
+    // served (collation key, doc id).
+    opts.resumeAfter.foreach { case (ckB, lastId) =>
+      r =
+        if (!opts.descending) r.filter(ck > lit(ckB) ||
+          (ck === lit(ckB) && id > lit(lastId)))
+        else r.filter(ck < lit(ckB) ||
+          (ck === lit(ckB) && id < lit(lastId)))
+    }
+
     // Materialized-index partition pruning: key bounds become a `_kb`
     // bucket range (directory-level pruning via the stored bounds) on
     // top of the `_ck` binary range already pushed to parquet row-group
@@ -239,6 +298,11 @@ final class View private (
       val highKey = if (opts.descending) opts.startKey else opts.endKey
       lowKey.foreach(k => r = r.filter(kb >= bk(k)))
       highKey.foreach(k => r = r.filter(kb <= bk(k)))
+      // the resume cursor bounds the scan from the cursor side too
+      opts.resumeAfter.foreach { case (ckB, _) =>
+        val b = IndexStore.bucketOf(meta, ckB)
+        r = if (!opts.descending) r.filter(kb >= b) else r.filter(kb <= b)
+      }
     }
 
     val reduced = opts.reduce && reduceFn.isDefined
@@ -310,7 +374,47 @@ final class View private (
 
     if (opts.skip > 0) out = out.offset(opts.skip.toInt)
     opts.limit.foreach(l => out = out.limit(l.toInt))
-    out.drop("_ck").drop("_req_idx")
+    out.drop("_req_idx")
+  }
+
+  /** Keyset-paginated map-only query — the scale-safe alternative to
+    * `skip` (which is O(skip) however deep the page). Each page is
+    * `pageSize` rows in collation order; `resume` continues strictly
+    * after the previous page's last row via the envelope's opaque
+    * [[ResumeToken]] (`nextToken` — None once exhausted). The cursor is
+    * a (key, docid) bound, so it stays index-pruned at any depth, and an
+    * index update between pages cannot shift, skip, or duplicate the
+    * rows ahead of the cursor; the token's pinned `update_seq` tells the
+    * caller which index version served each page. */
+  def queryPage(opts: QueryOpts = QueryOpts(), pageSize: Int = 1000,
+                resume: Option[String] = None): ViewQueryResult = {
+    require(pageSize > 0, "pageSize must be positive")
+    val cursor = resume.map(ResumeToken.decode)
+    val o = opts.copy(reduce = false, skip = 0,
+      limit = Some(pageSize.toLong),
+      resumeAfter = cursor.map(t => (t._2, t._3)))
+    val page = queryKeepCk(o)
+    val rows = page.collect()
+    val seq = updateSeq.getOrElse(0L)
+    val next =
+      if (rows.length < pageSize) None
+      else {
+        val last = rows.last
+        Some(ResumeToken.encode(seq,
+          last.getAs[Array[Byte]]("_ck"), last.getAs[Any]("id")))
+      }
+    val spark = page.sparkSession
+    val ckIdx = page.schema.fieldIndex("_ck")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      page.schema.fields.zipWithIndex.filter(_._2 != ckIdx).map(_._1))
+    val stripped = rows.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.zipWithIndex.filter(_._2 != ckIdx).map(_._1))
+    }
+    ViewQueryResult(
+      spark.createDataFrame(
+        java.util.Arrays.asList(stripped: _*), outSchema),
+      totalRows, 0L, updateSeq, next)
   }
 
   /** Persist the view index — the reference's persistent (design-doc)

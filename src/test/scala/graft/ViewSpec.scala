@@ -337,6 +337,42 @@ class ViewSpec extends SparkSpecBase {
     assert(dd.cleanup(spark, root))
   }
 
+  test("queryPage: keyset resume survives an interleaved index update") {
+    import graft.view.ResumeToken
+    val dir = java.nio.file.Files.createTempDirectory("graft-page").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val vi = v.fromIndex(spark, path)
+    val p1 = vi.queryPage(pageSize = 100)
+    val served = p1.rows.select($"id").as[Long].collect().toSeq
+    assert(served.length == 100 && p1.nextToken.isDefined)
+    assert(ResumeToken.seqOf(p1.nextToken.get) == 1L)
+    // delete an ALREADY-SERVED doc between pages: offset pagination
+    // would shift the remaining rows and silently drop one
+    val victim = served.head
+    v.updateIndex(spark, path, orders.limit(0), deletedIds = Seq(victim),
+      newSeq = 2)
+    val vi2 = v.fromIndex(spark, path)
+    val rest = scala.collection.mutable.ArrayBuffer[Long]()
+    var token = p1.nextToken
+    while (token.isDefined) {
+      val p = vi2.queryPage(pageSize = 100, resume = token)
+      rest ++= p.rows.select($"id").as[Long].collect()
+      token = p.nextToken
+    }
+    val all = served ++ rest
+    assert(all.size == all.toSet.size, "a row was served twice")
+    assert(all.toSet ==
+      orders.select($"o_orderkey").as[Long].collect().toSet,
+      "a row was skipped") // every order exactly once across pages
+    // pages continue in collation order across the resume boundary
+    val prices = orders.filter(!$"o_orderkey".isin(served: _*))
+      .orderBy($"o_totalprice", $"o_orderkey")
+      .select($"o_orderkey").as[Long].collect().toSeq
+    assert(rest.toSeq == prices)
+  }
+
   test("materialize + fromIndex + incremental updateIndex") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val path = s"$dir/v1"
