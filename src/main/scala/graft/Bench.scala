@@ -52,7 +52,11 @@ object Bench {
     // 15 s run-to-run with an idle container); time each query in every
     // pass and report the per-query MINIMUM — the standard
     // noisy-machine practice that measures the code, not the neighbor.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Three passes by default: round-3's driver run hit a sustained
+    // external load spike that poisoned BOTH passes of several queries
+    // (13 s for a query that times 2 s idle); a third sample makes the
+    // per-query minimum much more robust for ~35 s extra wall time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timed = (1 to passes).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

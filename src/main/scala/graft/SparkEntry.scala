@@ -520,6 +520,46 @@ object SparkEntry {
       .select(col("key").as("o_orderstatus"),
         col("value.count").as("approx_cust"))
 
+  /** A20: attachment-style binary payloads through the doc/view surface
+    * (CouchDB `_attachments` + `attachments=true` — see
+    * [[graft.view.Attachments]]): docs carry a named binary payload with
+    * typed metadata (content type, byte length, md5 digest), and an
+    * `include_docs` query with `attachments=true` ships the bytes. The
+    * digest proves the payload round-trips bit-exactly ('md5-' + hex of
+    * the text's UTF-8 bytes, reproduced by the oracle's md5 over the
+    * same text). */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.Attachments
+    val docs = Attachments.put(t(s, dir, "documents"), "body",
+      encode(col("text"), "UTF-8"), "text/plain")
+    View(docs, col("doc_id"), col("doc_id"), lit(1))
+      .query(QueryOpts(reduce = false, includeDocs = true,
+        attachments = true))
+      .select(col("id").cast("long").as("doc_id"),
+        element_at(col("doc._attachments"), "body").as("a"))
+      .select(col("doc_id"),
+        col("a.content_type").as("content_type"),
+        col("a.length").as("length"),
+        col("a.digest").as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C6: near-duplicate CLUSTERS — the transitive closure of the
+    * MinHash+LSH pair graph via distributed min-label propagation
+    * ([[graft.operators.Dedup.connectedComponents]]). Emits every
+    * clustered doc with its component's canonical id (min doc id) and
+    * the component size — the table a keep-one-per-group dedup filter
+    * joins against. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -707,7 +747,9 @@ object SparkEntry {
     "q53_ann_ivf" -> (q53 _),
     "q54_reduced_index" -> (q54 _),
     "q55_ann_ivf_refined" -> (q55 _),
-    "q56_view_approx_distinct" -> (q56 _)
+    "q56_view_approx_distinct" -> (q56 _),
+    "q57_attachments" -> (q57 _),
+    "q58_dup_clusters" -> (q58 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1144,7 +1186,36 @@ object SparkEntry {
         |     1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) * 10000 + 0.5) / 10000 AS v_sum,
         |  FLOOR(CAST(list_min(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS v_min,
         |  FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS v_max
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // The attachment digest is md5 over the payload bytes; the payload
+    // IS the text's UTF-8 encoding, and DuckDB's md5(varchar) hashes the
+    // string's UTF-8 bytes — so the digests agree iff the payload
+    // round-trips bit-exactly through put → doc struct → query.
+    "q57_attachments" ->
+      """SELECT doc_id, 'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  'md5-' || md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Transitive closure of the SAME LSH pair graph the q22 oracle
+    // derives, via a recursive CTE: reach(id, r) = r is reachable from
+    // id; cluster id = min reachable; sizes by group. Mirrors
+    // connectedComponents' min-label fixpoint exactly.
+    "q58_dup_clusters" ->
+      (minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+       """, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |          FROM comp GROUP BY cluster_id)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)
+         |ORDER BY comp.cluster_id, doc_id""".stripMargin)
   )
 
   /** DuckDB replay of the portable SimHash: first 16 md5 hex digits as

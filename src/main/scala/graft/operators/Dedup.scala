@@ -176,6 +176,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Connected components over a near-duplicate PAIR table — the
+    * clustering step a production dedup pipeline needs between
+    * candidate generation and keep-one-per-group: LSH/Jaccard emit
+    * pairs, but `a≈b, b≈c ⇒ {a,b,c}` must dedup as ONE group, which is
+    * the transitive closure of the pair graph.
+    *
+    * Iterative min-label propagation: every vertex repeatedly adopts
+    * the minimum label in its closed neighborhood until a fixpoint.
+    * Each round is one shuffle join of the label table against the
+    * (symmetrized) edge table plus a partial-aggregating min — no
+    * driver-side graph state; the only driver action per round is the
+    * scalar convergence probe. Converges in O(component diameter)
+    * rounds; near-dup components are dense and shallow (dups of a
+    * common source), so the practical round count is 2-4. Long-chain
+    * graphs would want the alternating large-star/small-star variant
+    * (O(log n) rounds); for dedup clustering the simple propagation is
+    * the right cost. Lineage is cut with an eager `localCheckpoint`
+    * every round so the plan stays O(1) deep across iterations — the
+    * classic iterative-Spark failure mode (exponentially growing plans)
+    * — and superseded label tables are unpersisted as soon as the next
+    * round is materialized. Throws after `maxIters` non-converged
+    * rounds rather than returning a wrong (partially propagated)
+    * clustering.
+    *
+    * Returns `(doc_id, cluster_id)` for every doc appearing in a pair,
+    * where `cluster_id` is the component's minimum doc id (the
+    * conventional canonical representative). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("lbl").as("_sl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("_sl")).as("_nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("lbl").as("_old")), "id")
+        .filter(col("lbl") < col("_old")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIters rounds " +
+        "(component diameter exceeds maxIters — raise it)")
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (md5-derived token hashes,
     * per-bit majority vote). The token hash is the first 16 hex digits
     * of md5(token), read as two 32-bit halves (digits 1-8 = high bits

@@ -83,6 +83,10 @@ final case class QueryOpts(
     group: Boolean = false,
     groupLevel: Option[Int] = None,
     includeDocs: Boolean = false,
+    /** With `includeDocs`: return full attachment payloads (reference
+      * `attachments=true`). Default false returns stub entries —
+      * metadata without the bytes (see [[Attachments]]). */
+    attachments: Boolean = false,
     stale: Option[Stale] = None,
     resumeAfter: Option[(Array[Byte], Any)] = None)
 
@@ -320,8 +324,15 @@ final class View private (
               coalesce(col("value").getField("_id"), col("id"))
             case _ => col("id")
           }
+          // Attachments ship as stubs unless attachments=true (the
+          // reference's default response shape — see [[Attachments]]).
+          val docCols = docs.columns.map { c =>
+            if (c == Attachments.ATT && !opts.attachments)
+              Attachments.stubbed(col(c)).as(c)
+            else col(c)
+          }
           val docDf = docs.select(idCol.as("_doc_id"),
-            struct(docs.columns.map(col): _*).as("doc"))
+            struct(docCols.toIndexedSeq: _*).as("doc"))
           m = m.join(docDf, linkId === col("_doc_id"), "left").drop("_doc_id")
         }
         val sortCols = keyOrder match {

@@ -373,6 +373,54 @@ class ViewSpec extends SparkSpecBase {
     assert(rest.toSeq == prices)
   }
 
+  test("attachments: put/get/remove round-trip; include_docs stubs by default") {
+    import graft.view.Attachments
+    val docs0 = Seq((1L, "alpha"), (2L, "bravo-longer")).toDF("id", "txt")
+    val docs = Attachments.put(
+      Attachments.put(docs0, "body", encode($"txt", "UTF-8"), "text/plain"),
+      "meta", encode(lit("m"), "UTF-8"), "application/json")
+    // put upserts: replacing an existing name keeps map size at 2
+    val docs2 = Attachments.put(docs, "body",
+      encode(lit("replaced"), "UTF-8"), "text/plain")
+    assert(docs2.select(size(map_keys(col(Attachments.ATT))))
+      .as[Int].collect().forall(_ == 2))
+    assert(docs2.filter($"id" === 1)
+      .select(decode(element_at(col(Attachments.ATT), "body")
+        .getField("data"), "UTF-8")).as[String].head() == "replaced")
+    // getAttachment surface: entry with digest + length + bytes
+    val got = Attachments.get(docs, $"id", "body")
+      .filter($"_id" === 2).select($"attachment.*").head()
+    assert(got.getAs[Long]("length") == "bravo-longer".length.toLong)
+    assert(got.getAs[String]("digest").startsWith("md5-"))
+    assert(new String(got.getAs[Array[Byte]]("data"), "UTF-8")
+      == "bravo-longer")
+    assert(!got.getAs[Boolean]("stub"))
+    // removeAttachment drops only that name
+    val removed = Attachments.remove(docs, "meta")
+    assert(removed.select(map_keys(col(Attachments.ATT)))
+      .as[Seq[String]].collect().forall(_ == Seq("body")))
+
+    // include_docs: default response carries STUBS (no payload bytes);
+    // attachments=true ships the data — the reference's two shapes
+    val v = View(docs, $"id", $"txt", lit(1))
+    val stub = v.query(QueryOpts(reduce = false, includeDocs = true))
+      .filter($"id" === 1)
+      .select(element_at($"doc._attachments", "body").as("a"))
+      .select($"a.*").head()
+    assert(stub.getAs[Boolean]("stub") && stub.isNullAt(stub.fieldIndex("data")))
+    assert(stub.getAs[Long]("length") == "alpha".length.toLong)
+    assert(stub.getAs[String]("digest").startsWith("md5-"))
+    val full = v.query(QueryOpts(reduce = false, includeDocs = true,
+        attachments = true))
+      .filter($"id" === 1)
+      .select(element_at($"doc._attachments", "body").as("a"))
+      .select($"a.*").head()
+    assert(!full.getAs[Boolean]("stub"))
+    assert(new String(full.getAs[Array[Byte]]("data"), "UTF-8") == "alpha")
+    // stub and full agree on the metadata (digest is over the same bytes)
+    assert(stub.getAs[String]("digest") == full.getAs[String]("digest"))
+  }
+
   test("materialize + fromIndex + incremental updateIndex") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val path = s"$dir/v1"
