@@ -560,6 +560,31 @@ object SparkEntry {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** The fixed demo search query: three mid-frequency corpus terms. */
+  private val searchTerms = Seq("hash", "join", "stream")
+
+  /** E7: BM25 keyword search, corpus-scan path — term/document
+    * frequencies, lengths and the full Okapi weight computed in one
+    * declarative pass ([[graft.operators.TextSearch.search]]); the
+    * per-term float fold is fixed-order so the oracle replays it
+    * exactly. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.search(t(s, dir, "documents"),
+      col("doc_id"), col("text"), searchTerms, 20)
+
+  /** E7b: the same BM25 top-k served from the PERSISTED inverted index
+    * ([[graft.operators.TextSearch.searchIndexed]]): term-bucket
+    * directory pruning + term row-group pruning + one-row stats —
+    * the amortized serving path (same oracle as q59). */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!hasFile(s"$path/stats/_SUCCESS"))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.searchIndexed(s, path, searchTerms, 20)
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -607,7 +632,10 @@ object SparkEntry {
       val v = q54View(s, dir)
       v.materialize(path, numBuckets = 4, seq = 1)
       v.materializeReduced(s, path)
-    }))
+    }),
+    "q60_text_search" -> ((s, dir) => graft.operators.TextSearch
+      .buildTextIndex(t(s, dir, "documents"), col("doc_id"), col("text"),
+        idxPath("txt", dir, "documents"))))
 
   /** D2b: ANN against the PERSISTED LSH signature index — identical
     * results to q27's on-the-fly formulation (same oracle SQL), but the
@@ -749,7 +777,9 @@ object SparkEntry {
     "q55_ann_ivf_refined" -> (q55 _),
     "q56_view_approx_distinct" -> (q56 _),
     "q57_attachments" -> (q57 _),
-    "q58_dup_clusters" -> (q58 _)
+    "q58_dup_clusters" -> (q58 _),
+    "q59_bm25" -> (q59 _),
+    "q60_text_search" -> (q60 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1215,8 +1245,46 @@ object SparkEntry {
          |          FROM comp GROUP BY cluster_id)
          |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
          |FROM comp JOIN sizes USING (cluster_id)
-         |ORDER BY comp.cluster_id, doc_id""".stripMargin)
+         |ORDER BY comp.cluster_id, doc_id""".stripMargin),
+    "q59_bm25" -> bm25Oracle,
+    // identical semantics: the inverted index must reproduce the
+    // corpus-scan BM25 bit-for-bit
+    "q60_text_search" -> bm25Oracle
   )
+
+  /** DuckDB replay of the Okapi BM25 scoring: same token split, same
+    * df/N/avgdl derivation, the weight written in the same
+    * left-associated double arithmetic as [[graft.operators.TextSearch
+    * .bm25Weight]], per-term conditional aggregates added in
+    * sorted-term order (hash < join < stream) before the shared
+    * round-half-up — so both engines produce identical doubles. */
+  private val bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+      |  WHERE term IN ('hash', 'join', 'stream')
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+      |p AS (
+      |  SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0) AS t0,
+      |    COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0) AS t1,
+      |    COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0) AS t2
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, FLOOR((t0 + t1 + t2) * 10000 + 0.5) / 10000 AS score
+      |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** DuckDB replay of the portable SimHash: first 16 md5 hex digits as
     * two 32-bit halves (digits 1-8 = bits 32-63, digits 9-16 = bits

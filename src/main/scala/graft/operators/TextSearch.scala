@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gfunctions.round4
+
+/** Full-text keyword search: BM25 relevance scoring, both as a direct
+  * corpus-scan operator and served from a PERSISTED inverted index —
+  * the text counterpart of the ANN signature/IVF indexes (build once,
+  * probe-prune at serve time).
+  *
+  * Everything is builtin-function composition over [[Text.tokens]]
+  * (codegen'd, oracle-replayable). Scoring keeps every floating-point
+  * step in a FIXED expression order (per-term conditional aggregates
+  * summed in sorted-term order) so the oracle engine reproduces the
+  * doubles bit-for-bit before the final round4.
+  */
+object TextSearch {
+
+  /** `(doc_id, term, tf, dl)` term-frequency rows; `dl` (the document's
+    * token count) is denormalized onto every row so scoring never joins
+    * a separate lengths table. The leading explicit-count repartition
+    * parallelizes the explode over small single-partition file scans
+    * (same rationale as [[Dedup.shingleRows]]). */
+  def termFreqs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(id.cast("long").as("doc_id"), text.as("_text"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("_text")).as("_ws"))
+      .select(col("doc_id"), size(col("_ws")).cast("long").as("dl"),
+        explode(col("_ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Okapi BM25 per-term weight. All operands double, left-associated
+    * exactly as the oracle SQL writes it. */
+  private def bm25Weight(tf: Column, dl: Column, df: Column, n: Column,
+                         avgdl: Column, k1: Double, b: Double): Column = {
+    val idf = log(((n - df).cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5)) + lit(1.0))
+    idf * (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * dl.cast("double") / avgdl))
+  }
+
+  /** Per-doc BM25 scores for a LITERAL query (the scan path: computes
+    * df/N/avgdl from the corpus in the same pass). Returns
+    * `(doc_id, score)` for docs matching ≥1 term. The per-term partial
+    * scores are assembled with one conditional aggregate per query term
+    * and added in sorted-term order — a fixed fold the oracle mirrors,
+    * immune to Spark's unordered-aggregation float nondeterminism. */
+  def bm25Scores(docs: DataFrame, id: Column, text: Column,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val all = termFreqs(docs, id, text)
+    // corpus stats from the SAME termFreqs pass (n = docs with ≥1 token;
+    // dl is constant per doc so max(dl) == dl)
+    val stats = all.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = all.filter(col("term").isin(queryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        col("n"), col("avgdl"), k1, b))
+    sumInTermOrder(scored, queryTerms)
+  }
+
+  /** Fold per-(doc, term) partial scores into one score per doc:
+    * max-of-one conditional aggregate per term (each (doc, term) is
+    * unique), then a left-associated sum over terms in SORTED order —
+    * deterministic addition order in both engines. */
+  private def sumInTermOrder(scored: DataFrame,
+                             queryTerms: Seq[String]): DataFrame = {
+    val terms = queryTerms.sorted
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("_s"))), lit(0.0))
+        .as(s"_t$i")
+    }
+    scored.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        round4(terms.indices.map(i => col(s"_t$i"))
+          .reduceLeft(_ + _)).as("score"))
+  }
+
+  /** Top-k BM25 search over the corpus scan path: global ordered limit
+    * (plans as TakeOrderedAndProject — partitions ship only their local
+    * top k), rounded-score ties broken by doc id. */
+  def search(docs: DataFrame, id: Column, text: Column,
+             queryTerms: Seq[String], k: Int): DataFrame =
+    bm25Scores(docs, id, text, queryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+
+  // ------------------------------------------------- persisted inverted index
+
+  /** Term → bucket routing: first 8 md5 hex digits mod `n` — the same
+    * engine-portable construction as the MinHash/SimHash hashes, and
+    * computable driver-side ([[termBucketJvm]]) so literal query terms
+    * become literal partition filters without touching the cluster. */
+  private def termBucket(term: Column, n: Int): Column =
+    pmod(conv(substring(md5(term.cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(n.toLong)).cast("int")
+
+  private[graft] def termBucketJvm(term: String, n: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Math.floorMod(java.lang.Long.parseLong(hex, 16), n.toLong).toInt
+  }
+
+  /** Build the inverted index at `path`:
+    *  - `postings/` — `(term, doc_id, tf, dl)` partitioned by `_tb`
+    *    (term bucket) directories, sorted by term within each partition
+    *    so a term lookup prunes to one directory and then to the parquet
+    *    row groups whose term min/max cover it;
+    *  - `terms/` — `(term, df)` document frequencies, same bucketing;
+    *  - `stats/` — one row `(n, avgdl, n_buckets)`.
+    * Serving reads ONLY the probed bucket directories plus the one-row
+    * stats — at 100 TB a query touches |terms| directories, never the
+    * corpus. */
+  def buildTextIndex(docs: DataFrame, id: Column, text: Column,
+                     path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val tfRows = termFreqs(docs, id, text)
+      .withColumn("_tb", termBucket(col("term"), nBuckets))
+    tfRows.repartition(col("_tb")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(path + "/postings")
+    val posts = spark.read.parquet(path + "/postings")
+    posts.groupBy(col("_tb"), col("term")).agg(count(lit(1)).as("df"))
+      .repartition(col("_tb")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(path + "/terms")
+    posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Top-k BM25 served from a [[buildTextIndex]] index: the query
+    * terms' buckets are computed driver-side and pushed as literal
+    * `_tb` partition filters (directory pruning) with the `term IN`
+    * filter reaching the parquet scan (row-group pruning); corpus
+    * stats come from the one-row stats table as literals. Identical
+    * results to [[search]] over the same corpus. */
+  def searchIndexed(spark: SparkSession, path: String,
+                    queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val st = spark.read.parquet(path + "/stats").head()
+    val n = st.getAs[Long]("n")
+    val avgdl = st.getAs[Double]("avgdl")
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val buckets = queryTerms.map(termBucketJvm(_, nBuckets)).distinct
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("_tb").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*))
+    val scored = pruned("postings")
+      .join(broadcast(pruned("terms").select(col("term"), col("df"))),
+        Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(n), lit(avgdl), k1, b))
+    sumInTermOrder(scored, queryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+}

@@ -269,4 +269,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
   }
+
+  test("connected components: chains merge transitively, min id labels") {
+    import graft.operators.Dedup
+    // two components: a 5-chain (exercises multi-round propagation —
+    // label 10 must travel 4 hops) and a disjoint pair; 99 is isolated
+    // from the chain but pairs with 40
+    val pairs = Seq((50L, 40L), (10L, 20L), (20L, 30L), (30L, 40L),
+      (99L, 40L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 10L, 99L -> 10L))
+    // a genuinely split graph keeps separate labels
+    val two = Seq((1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val g2 = Dedup.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+    // refusing to return a half-propagated clustering: a long chain
+    // cannot reach fixpoint in one round
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIters = 1)
+    }
+  }
 }
