@@ -121,15 +121,23 @@ object TextSearch {
     *    so a term lookup prunes to one directory and then to the parquet
     *    row groups whose term min/max cover it;
     *  - `terms/` — `(term, df)` document frequencies, same bucketing;
-    *  - `stats/` — one row `(n, avgdl, n_buckets)`.
+    *  - `ids/` — by-doc sidecar `(doc_id, _tb, dl)` hash-bucketed by
+    *    doc id: which term buckets each doc posted into — the CouchDB
+    *    by-id-btree role that makes [[upsertTextDocs]] O(changed
+    *    buckets), not O(index);
+    *  - `stats/` — one row `(n, sum_dl, avgdl, n_buckets)` (`sum_dl`
+    *    kept exact so maintenance adjusts the average incrementally);
+    *  - `_graft_meta` — update_seq stamp (shared IndexStore format).
     * Serving reads ONLY the probed bucket directories plus the one-row
     * stats — at 100 TB a query touches |terms| directories, never the
     * corpus. */
   def buildTextIndex(docs: DataFrame, id: Column, text: Column,
-                     path: String, nBuckets: Int = 64): Unit = {
+                     path: String, nBuckets: Int = 64,
+                     seq: Long = 0L): Unit = {
+    import graft.view.{IndexMeta, IndexStore}
     val spark = docs.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
     val tfRows = termFreqs(docs, id, text)
       .withColumn("_tb", termBucket(col("term"), nBuckets))
     tfRows.repartition(col("_tb")).sortWithinPartitions(col("term"))
@@ -138,11 +146,113 @@ object TextSearch {
     posts.groupBy(col("_tb"), col("term")).agg(count(lit(1)).as("df"))
       .repartition(col("_tb")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("_tb").parquet(path + "/terms")
-    posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
+    posts.select(col("doc_id"), col("_tb"), col("dl")).distinct()
+      .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nBuckets))
+      .repartition(col("_ib")).sortWithinPartitions(col("_ib"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(path + "/ids")
+    val st = posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head()
+    writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets)
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** One-row stats table; `avgdl` is always re-derived as
+    * `sum_dl/n` in the same double division, so a maintained index
+    * serves the identical average a fresh build would. */
+  private def writeStats(spark: SparkSession, path: String, n: Long,
+                         sumDl: Long, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((n, sumDl)).toDF("n", "sum_dl")
+      .select(col("n"), col("sum_dl"),
+        (col("sum_dl").cast("double") / col("n")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Incremental maintenance of a [[buildTextIndex]] index — the same
+    * by-id-sidecar merge discipline as view and ANN indexes: changed
+    * docs' NEW postings are term-bucket-routed, their OLD postings are
+    * located via the sidecar (pruned to the changed ids' hash buckets),
+    * and only the union of old∪new term-bucket directories is rewritten
+    * — O(distinct terms of the changed docs), never an index scan or
+    * rebuild. Per-term dfs are re-aggregated for exactly those buckets,
+    * and the corpus stats (`n`, `sum_dl`) are adjusted by exact integer
+    * deltas, so a maintained index serves bit-identical BM25 scores to
+    * a fresh rebuild. `deletedIds` retire docs (tombstones); a changed
+    * doc that now has zero tokens is equivalent to a delete. Returns
+    * the affected term buckets. */
+  def upsertTextDocs(spark: SparkSession, path: String,
+                     changedDocs: DataFrame, id: Column, text: Column,
+                     deletedIds: Seq[Long] = Nil,
+                     newSeq: Long = -1L): Seq[Int] = {
+    import spark.implicits._
+    import graft.view.IndexStore
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = IndexStore.readMeta(spark, path)
+    val st = spark.read.parquet(path + "/stats").head()
+    val nB = st.getAs[Int]("n_buckets")
+    val newTf = termFreqs(changedDocs, id, text)
+      .withColumn("_tb", termBucket(col("term"), nB)).persist()
+    val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
+    val cids = (if (deletedIds.isEmpty) cids0
+                else cids0.unionByName(deletedIds.toDF("doc_id")))
+      .distinct().persist()
+    try {
+      val ibs = cids
+        .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
+      val oldSide = spark.read.parquet(path + "/ids")
+        .filter(col("_ib").isin(ibs: _*))
+        .join(cids, Seq("doc_id"), "left_semi").persist()
+      val oldTbs = oldSide.select(col("_tb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val newTbs = newTf.select(col("_tb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val affected = (oldTbs ++ newTbs).distinct.sorted
+      if (affected.nonEmpty) {
+        val survivors = spark.read.parquet(path + "/postings")
+          .filter(col("_tb").isin(affected: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("_tb"))
+        IndexStore.writeSwap(spark, fs,
+          survivors.unionByName(newTf
+            .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+              col("_tb"))),
+          path + "/postings", "_tb", affected,
+          Seq(col("_tb"), col("term")))
+        // dfs re-derived from the rewritten buckets only
+        IndexStore.writeSwap(spark, fs,
+          spark.read.parquet(path + "/postings")
+            .filter(col("_tb").isin(affected: _*))
+            .groupBy(col("_tb"), col("term")).agg(count(lit(1)).as("df")),
+          path + "/terms", "_tb", affected, Seq(col("_tb"), col("term")))
+        val sideSurvivors = spark.read.parquet(path + "/ids")
+          .filter(col("_ib").isin(ibs: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("_tb"), col("dl"), col("_ib"))
+        IndexStore.writeSwap(spark, fs,
+          sideSurvivors.unionByName(
+            newTf.select(col("doc_id"), col("_tb"), col("dl")).distinct()
+              .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))),
+          path + "/ids", "_ib", ibs, Seq(col("_ib"), col("doc_id")))
+      }
+      // exact integer deltas to the corpus stats: a changed doc is
+      // first removed (old dl from the sidecar) then re-added (new dl)
+      val rem = oldSide.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val add = newTf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      writeStats(spark, path,
+        st.getAs[Long]("n") - rem.getLong(0) + add.getLong(0),
+        st.getAs[Long]("sum_dl") - rem.getLong(1) + add.getLong(1), nB)
+      oldSide.unpersist()
+      val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
+      affected
+    } finally {
+      newTf.unpersist()
+      cids.unpersist()
+    }
   }
 
   /** Top-k BM25 served from a [[buildTextIndex]] index: the query

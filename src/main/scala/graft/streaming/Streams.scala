@@ -235,4 +235,43 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming maintenance of a persisted inverted text index — the
+    * document-corpus analogue of [[maintainViewIndex]]: the first
+    * non-empty micro-batch builds the index ([[graft.operators
+    * .TextSearch.buildTextIndex]]); every later batch upserts
+    * term-bucket-locally via the by-doc sidecar
+    * (`TextSearch.upsertTextDocs`), so edited docs re-post, `_deleted`
+    * tombstones retire, and the BM25 stats stay exact. The change feed
+    * needs `doc_id` + `text` columns, plus optional boolean
+    * `_deleted`. update_seq tracks batches, like every graft index. */
+  def maintainTextIndex(spark: SparkSession, changeFeed: DataFrame,
+                        path: String, checkpoint: String,
+                        nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextSearch
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("doc_id"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            TextSearch.buildTextIndex(live, col("doc_id"), col("text"),
+              path, nBuckets, seq = batchId + 1)
+        } else {
+          TextSearch.upsertTextDocs(spark, path, live, col("doc_id"),
+            col("text"), delIds, newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -46,7 +46,7 @@ final case class IndexMeta(updateSeq: Long, buckets: Int,
   */
 object IndexStore {
 
-  private def fsFor(spark: SparkSession, path: String): FileSystem =
+  private[graft] def fsFor(spark: SparkSession, path: String): FileSystem =
     // resolve the filesystem FROM the path: an index on s3a/hdfs must
     // not hit the default filesystem namespace
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -221,7 +221,7 @@ object IndexStore {
     * dynamic-partition overwrite would silently leave its stale
     * directory behind). Rename/delete failures throw — a failed swap
     * must never pass silently. */
-  private[view] def writeSwap(spark: SparkSession, fs: FileSystem,
+  private[graft] def writeSwap(spark: SparkSession, fs: FileSystem,
                               df: DataFrame,
                               destDir: String, pcol: String,
                               affected: Seq[Int],

@@ -16,6 +16,7 @@ case class Change(_docid: Long, status: String, price: Double)
 case class ChangeDel(_docid: Long, status: String, price: Double,
                      _deleted: Boolean)
 case class VecChg(vec_id: Long, embedding: Array[Float], _deleted: Boolean)
+case class TextChg(doc_id: Long, text: String, _deleted: Boolean)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -239,5 +240,43 @@ class StreamingSpec extends SparkSpecBase {
       Similarity.lshTopKIndexed(spark, fresh, queries, 5)
         .collect().map(_.toSeq).toSet,
       "streamed ANN index diverges from rebuild")
+  }
+
+  test("streamed text index builds then upserts; matches a rebuild") {
+    import graft.operators.TextSearch
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-txt").toString
+    val path = s"$dir/idx"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = docs.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[TextChg]
+    val q = Streams.maintainTextIndex(spark, in.toDF(), path, s"$dir/ckpt",
+      nBuckets = 16)
+    // batch 1 builds from the first half of the corpus
+    val (h1, h2) = all.splitAt(all.size / 2)
+    in.addData(h1.map { case (i, t) => TextChg(i, t, _deleted = false) }: _*)
+    q.processAllAvailable()
+    // batch 2: second half arrives, first doc edited, second tombstoned
+    in.addData((h2.map { case (i, t) => TextChg(i, t, _deleted = false) } :+
+      TextChg(h1.head._1, "hash stream zebra", _deleted = false) :+
+      TextChg(h1(1)._1, "", _deleted = true)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+    val corpus2 = all.filterNot(x => x._1 == h1.head._1 || x._1 == h1(1)._1)
+      .toDF("doc_id", "text")
+      .unionByName(Seq((h1.head._1, "hash stream zebra"))
+        .toDF("doc_id", "text"))
+    val fresh = s"$dir/fresh"
+    TextSearch.buildTextIndex(corpus2, $"doc_id", $"text", fresh,
+      nBuckets = 16)
+    for (t <- Seq(Seq("hash", "join", "stream"), Seq("zebra"))) {
+      assert(TextSearch.searchIndexed(spark, path, t, 10)
+        .collect().map(_.toSeq).toSeq ==
+        TextSearch.searchIndexed(spark, fresh, t, 10)
+          .collect().map(_.toSeq).toSeq,
+        s"streamed text index diverges from rebuild for $t")
+    }
   }
 }

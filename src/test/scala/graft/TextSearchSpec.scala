@@ -61,6 +61,65 @@ class TextSearchSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  private def fileHashes(dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Map.empty
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet"))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        root.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("upsert rewrites only affected term buckets and matches a rebuild") {
+    val path = Files.createTempDirectory("graft-txt-up").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
+    val before = fileHashes(s"$path/postings")
+
+    // doc 1 rewritten with new content, doc 2 deleted
+    val changed = Seq((1L, "hash hash stream zebra quagga")).toDF("doc_id", "text")
+    val affected = TextSearch.upsertTextDocs(spark, path, changed,
+      $"doc_id", $"text", deletedIds = Seq(2L))
+    assert(affected.nonEmpty)
+
+    // postings dirs outside the affected set are byte-identical
+    val after = fileHashes(s"$path/postings")
+    val touched = (before.keySet ++ after.keySet)
+      .filter(f => before.get(f) != after.get(f)).map(_.split("/")(0))
+    assert(touched.subsetOf(affected.map(b => s"_tb=$b").toSet),
+      s"rewrote dirs outside the affected set: $touched vs $affected")
+
+    // the maintained index equals a fresh build over the same corpus
+    val corpus2 = docs.filter(!$"doc_id".isin(1L, 2L))
+      .select($"doc_id", $"text").unionByName(changed)
+    val path2 = Files.createTempDirectory("graft-txt-rb").toString + "/idx"
+    TextSearch.buildTextIndex(corpus2, $"doc_id", $"text", path2,
+      nBuckets = 16)
+    for (q <- Seq(terms, Seq("zebra"), Seq("quagga", "hash"))) {
+      val got = TextSearch.searchIndexed(spark, path, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exp = TextSearch.searchIndexed(spark, path2, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exp, s"maintained index diverged from rebuild for $q")
+    }
+    // exact stats parity (n, sum_dl drive every BM25 weight)
+    val s1 = spark.read.parquet(s"$path/stats")
+      .select($"n", $"sum_dl").head()
+    val s2 = spark.read.parquet(s"$path2/stats")
+      .select($"n", $"sum_dl").head()
+    assert(s1 == s2, s"stats diverged: $s1 vs $s2")
+    // deleted doc is gone from postings and sidecar
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"doc_id" === 2L).count() == 0)
+    assert(spark.read.parquet(s"$path/ids")
+      .filter($"doc_id" === 2L).count() == 0)
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
