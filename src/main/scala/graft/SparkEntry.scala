@@ -579,10 +579,37 @@ object SparkEntry {
   private def q60(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextSearch
     val path = idxPath("txt", dir, "documents")
-    if (!hasFile(s"$path/stats/_SUCCESS"))
+    if (!TextSearch.indexCurrent(s, path))
       TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
         col("text"), path)
     TextSearch.searchIndexed(s, path, searchTerms, 20)
+  }
+
+  /** E7c: exact-phrase search from the POSITIONAL inverted index —
+    * adjacency resolved inside the posting rows' position arrays
+    * ([[graft.operators.TextSearch.phraseSearchIndexed]]); the oracle
+    * replays the phrase count by scanning the corpus token lists, so a
+    * green row proves the positional index reproduces the documents. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.phraseSearchIndexed(s, path, Seq("hash", "join"), 20)
+  }
+
+  /** E7d: boolean BM25 — docs with EVERY must term and NO mustNot
+    * term, ranked by the must-terms BM25 sum
+    * ([[graft.operators.TextSearch.searchBoolean]]). */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.searchBoolean(s, path, must = Seq("hash", "stream"),
+      mustNot = Seq("batch"), 20)
   }
 
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
@@ -779,7 +806,9 @@ object SparkEntry {
     "q57_attachments" -> (q57 _),
     "q58_dup_clusters" -> (q58 _),
     "q59_bm25" -> (q59 _),
-    "q60_text_search" -> (q60 _)
+    "q60_text_search" -> (q60 _),
+    "q61_phrase" -> (q61 _),
+    "q62_boolean_search" -> (q62 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1249,7 +1278,56 @@ object SparkEntry {
     "q59_bm25" -> bm25Oracle,
     // identical semantics: the inverted index must reproduce the
     // corpus-scan BM25 bit-for-bit
-    "q60_text_search" -> bm25Oracle
+    "q60_text_search" -> bm25Oracle,
+    // The oracle counts phrase starts by scanning the corpus token
+    // lists (1-based DuckDB list indexing); the Spark side counts them
+    // from the positional index's per-term position arrays — equality
+    // proves the index losslessly encodes token adjacency.
+    "q61_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(ws)),
+        |      i -> ws[i] = 'hash' AND ws[i+1] = 'join')) AS BIGINT) AS n_occ
+        |  FROM toks)
+        |SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+        |ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin,
+    // boolean: BOTH must terms present (non-null partials), no doc
+    // containing the mustNot term; score = the must-terms BM25 fold
+    "q62_boolean_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE term IN ('hash', 'stream')
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN term = 'hash' THEN sc END) AS t0,
+        |    MAX(CASE WHEN term = 'stream' THEN sc END) AS t1
+        |  FROM s GROUP BY doc_id)
+        |SELECT p.doc_id, FLOOR((t0 + t1) * 10000 + 0.5) / 10000 AS score
+        |FROM p
+        |WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM toks
+        |                  WHERE toks.doc_id = p.doc_id
+        |                    AND list_contains(toks.ws, 'batch'))
+        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

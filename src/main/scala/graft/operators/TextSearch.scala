@@ -18,20 +18,25 @@ import graft.gfunctions.round4
   */
 object TextSearch {
 
-  /** `(doc_id, term, tf, dl)` term-frequency rows; `dl` (the document's
-    * token count) is denormalized onto every row so scoring never joins
-    * a separate lengths table. The leading explicit-count repartition
-    * parallelizes the explode over small single-partition file scans
-    * (same rationale as [[Dedup.shingleRows]]). */
+  /** `(doc_id, term, tf, dl, pos)` POSITIONAL term-frequency rows;
+    * `dl` (the document's token count) is denormalized onto every row
+    * so scoring never joins a separate lengths table, and `pos` (the
+    * sorted 0-based token positions, |pos| = tf) makes the postings a
+    * positional index — phrase adjacency resolves inside the posting
+    * rows, the classic inverted-index design. The leading
+    * explicit-count repartition parallelizes the explode over small
+    * single-partition file scans (same rationale as
+    * [[Dedup.shingleRows]]). */
   def termFreqs(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     docs.select(id.cast("long").as("doc_id"), text.as("_text"))
       .repartition(parts, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("_text")).as("_ws"))
       .select(col("doc_id"), size(col("_ws")).cast("long").as("dl"),
-        explode(col("_ws")).as("term"))
+        posexplode(col("_ws")).as(Seq("_p", "term")))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        sort_array(collect_list(col("_p"))).as("pos"))
   }
 
   /** Okapi BM25 per-term weight. All operands double, left-associated
@@ -156,6 +161,21 @@ object TextSearch {
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }
 
+  /** On-disk layout version, stamped into the stats row. Bumped when
+    * the postings schema changes (v2 = positional postings), so an
+    * artifact from an older library never serves silently-wrong
+    * results — [[indexCurrent]] tells callers to rebuild. */
+  val FormatVersion = 2
+
+  /** True iff a readable text index of the CURRENT layout exists at
+    * `path` — the check lazily-building callers should gate on. */
+  def indexCurrent(spark: SparkSession, path: String): Boolean =
+    try {
+      val st = spark.read.parquet(path + "/stats")
+      st.columns.contains("fmt") &&
+        st.head().getAs[Int]("fmt") == FormatVersion
+    } catch { case _: Exception => false }
+
   /** One-row stats table; `avgdl` is always re-derived as
     * `sum_dl/n` in the same double division, so a maintained index
     * serves the identical average a fresh build would. */
@@ -165,7 +185,7 @@ object TextSearch {
     Seq((n, sumDl)).toDF("n", "sum_dl")
       .select(col("n"), col("sum_dl"),
         (col("sum_dl").cast("double") / col("n")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
+        lit(nBuckets).as("n_buckets"), lit(FormatVersion).as("fmt"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
   }
 
@@ -213,11 +233,12 @@ object TextSearch {
         val survivors = spark.read.parquet(path + "/postings")
           .filter(col("_tb").isin(affected: _*))
           .join(cids, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("_tb"))
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+            col("pos"), col("_tb"))
         IndexStore.writeSwap(spark, fs,
           survivors.unionByName(newTf
             .select(col("doc_id"), col("term"), col("tf"), col("dl"),
-              col("_tb"))),
+              col("pos"), col("_tb"))),
           path + "/postings", "_tb", affected,
           Seq(col("_tb"), col("term")))
         // dfs re-derived from the rewritten buckets only
@@ -270,17 +291,97 @@ object TextSearch {
     val n = st.getAs[Long]("n")
     val avgdl = st.getAs[Double]("avgdl")
     val nBuckets = st.getAs[Int]("n_buckets")
-    val buckets = queryTerms.map(termBucketJvm(_, nBuckets)).distinct
-    def pruned(sub: String): DataFrame =
-      spark.read.parquet(s"$path/$sub")
-        .filter(col("_tb").isin(buckets: _*) &&
-          col("term").isin(queryTerms: _*))
-    val scored = pruned("postings")
-      .join(broadcast(pruned("terms").select(col("term"), col("df"))),
-        Seq("term"))
+    val scored = readPruned(spark, path, "postings", queryTerms, nBuckets)
+      .join(broadcast(readPruned(spark, path, "terms", queryTerms, nBuckets)
+        .select(col("term"), col("df"))), Seq("term"))
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         lit(n), lit(avgdl), k1, b))
     sumInTermOrder(scored, queryTerms)
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** Read an index sub-table pruned to the literal terms: their
+    * driver-side-computed buckets become `_tb` partition filters
+    * (directory pruning) and `term IN` reaches the parquet row groups. */
+  private def readPruned(spark: SparkSession, path: String, sub: String,
+                         terms: Seq[String], nBuckets: Int): DataFrame = {
+    val buckets = terms.map(termBucketJvm(_, nBuckets)).distinct
+    spark.read.parquet(s"$path/$sub")
+      .filter(col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))
+  }
+
+  private def statsOf(spark: SparkSession,
+                      path: String): (Long, Double, Int) = {
+    val st = spark.read.parquet(path + "/stats").head()
+    (st.getAs[Long]("n"), st.getAs[Double]("avgdl"),
+      st.getAs[Int]("n_buckets"))
+  }
+
+  /** Exact-phrase occurrence counts served from the POSITIONAL index:
+    * each phrase term's sorted token positions come from its posting
+    * row (no document access); occurrences fold left-to-right as
+    * `occ_j = intersect(occ_(j-1) + 1, pos(term_j))` — after step j,
+    * `occ` holds the positions where the length-(j+1) prefix ends, so
+    * `|occ|` at the last term is the exact phrase count (repeated
+    * terms fall out naturally). The per-element HOF cost is bounded by
+    * tf, not document length. Returns the top-k docs by occurrence
+    * count (ties by doc id). */
+  def phraseSearchIndexed(spark: SparkSession, path: String,
+                          phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two tokens")
+    val (_, _, nB) = statsOf(spark, path)
+    val terms = phrase.distinct
+    val idx = terms.zipWithIndex.toMap
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("pos")), ignoreNulls = true)
+        .as(s"_pos$i")
+    }
+    val g = readPruned(spark, path, "postings", terms, nB)
+      .groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+      // phrase semantics: every distinct term must be present
+      .filter(terms.indices.map(i => col(s"_pos$i").isNotNull)
+        .reduce(_ && _))
+    val occ = phrase.tail.foldLeft(col(s"_pos${idx(phrase.head)}")) {
+      (acc, t) => array_intersect(transform(acc, _ + 1),
+        col(s"_pos${idx(t)}"))
+    }
+    g.select(col("doc_id"), size(occ).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** Boolean BM25 search from the index: docs containing EVERY `must`
+    * term and NO `mustNot` term, ranked by the BM25 sum over the
+    * `must` terms (same fixed-order fold as [[searchIndexed]]). The
+    * exclusion is a doc-id anti-join against the `mustNot` postings —
+    * still only probed-bucket reads. */
+  def searchBoolean(spark: SparkSession, path: String, must: Seq[String],
+                    mustNot: Seq[String] = Nil, k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(must.nonEmpty && must.distinct == must,
+      "must terms must be non-empty and distinct")
+    require(mustNot.distinct == mustNot && must.intersect(mustNot).isEmpty,
+      "mustNot terms must be distinct and disjoint from must")
+    val (n, avgdl, nB) = statsOf(spark, path)
+    val scored = readPruned(spark, path, "postings", must, nB)
+      .join(broadcast(readPruned(spark, path, "terms", must, nB)
+        .select(col("term"), col("df"))), Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(n), lit(avgdl), k1, b))
+    val terms = must.sorted
+    // NO coalesce here: a null partial marks a missing must term
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("_s"))).as(s"_t$i")
+    }
+    val g = scored.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+      .filter(terms.indices.map(i => col(s"_t$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        round4(terms.indices.map(i => col(s"_t$i"))
+          .reduceLeft(_ + _)).as("score"))
+    val out =
+      if (mustNot.isEmpty) g
+      else g.join(readPruned(spark, path, "postings", mustNot, nB)
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    out.orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 }

@@ -120,6 +120,50 @@ class TextSearchSpec extends SparkSpecBase {
       .filter($"doc_id" === 2L).count() == 0)
   }
 
+  test("phrase search: positional adjacency, repeats, and boolean filters") {
+    val tiny = Seq(
+      (1L, "big data data pipeline"),      // "data data" once
+      (2L, "data big data data data end"), // "data data" twice
+      (3L, "big data only"),
+      (4L, "hash join hash join hash")     // "hash join" twice
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-phr").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+
+    val dd = TextSearch.phraseSearchIndexed(spark, path,
+        Seq("data", "data"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dd == Map(2L -> 2L, 1L -> 1L),
+      s"repeated-token phrase counts wrong: $dd")
+    val hj = TextSearch.phraseSearchIndexed(spark, path,
+        Seq("hash", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hj == Map(4L -> 2L))
+    // three-token phrase spans the fold
+    val bdd = TextSearch.phraseSearchIndexed(spark, path,
+        Seq("big", "data", "data"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bdd == Map(1L -> 1L, 2L -> 1L))
+
+    // boolean: must both, excluded by mustNot
+    val bool = TextSearch.searchBoolean(spark, path,
+      must = Seq("big", "data"), mustNot = Seq("end"), k = 10)
+    val ids = bool.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"boolean result wrong: $ids")
+    // must-all semantics: a doc with only one term never appears
+    val strict = TextSearch.searchBoolean(spark, path,
+      must = Seq("pipeline", "end"), k = 10).collect()
+    assert(strict.isEmpty)
+  }
+
+  test("stale-layout artifacts are detected, not silently served") {
+    val path = Files.createTempDirectory("graft-fmt").toString + "/idx"
+    assert(!TextSearch.indexCurrent(spark, path), "missing index = stale")
+    TextSearch.buildTextIndex(docs.limit(5), $"doc_id", $"text", path,
+      nBuckets = 4)
+    assert(TextSearch.indexCurrent(spark, path))
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
