@@ -612,6 +612,16 @@ object SparkEntry {
       mustNot = Seq("batch"), 20)
   }
 
+  /** B24: exact stratified sampling — 20% quota per language via the
+    * scale-safe two-phase global rank ([[graft.operators.Relational
+    * .stratifiedSampleExact]]); the md5 hash order and integer quota
+    * test replay exactly in the oracle. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.stratifiedSampleExact(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), 1, 5)
+      .orderBy(col("lang"), col("doc_id"))
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -808,7 +818,8 @@ object SparkEntry {
     "q59_bm25" -> (q59 _),
     "q60_text_search" -> (q60 _),
     "q61_phrase" -> (q61 _),
-    "q62_boolean_search" -> (q62 _)
+    "q62_boolean_search" -> (q62 _),
+    "q63_stratified_sample" -> (q63 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1327,7 +1338,20 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM toks
         |                  WHERE toks.doc_id = p.doc_id
         |                    AND list_contains(toks.ws, 'batch'))
-        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin,
+    // within-stratum rank over the SAME portable hash order, integer
+    // quota test — replays the two-phase rank + broadcast offsets
+    "q63_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM r)
+        |SELECT doc_id, lang FROM rk WHERE r * 5 <= cnt * 1
+        |ORDER BY lang, doc_id""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

@@ -199,6 +199,34 @@ object Relational {
     spark.createDataFrame(ranked, schema)
   }
 
+  /** Exact per-stratum quota sampling — the train/val split primitive
+    * a corpus pipeline needs: from every stratum (language, source,
+    * domain …) keep exactly `floor(count * num / den)` rows, chosen by
+    * a deterministic portable hash order (md5 of the id), so the
+    * sample is reproducible across engines and runs.
+    *
+    * Scale-safe formulation: ONE global two-phase rank ordered by
+    * (stratum, hash, id) — [[withGlobalRowNumber]], so each stratum
+    * spans many partitions; no per-stratum single-partition window —
+    * then per-stratum offsets/counts (one tiny aggregate, broadcast
+    * back) convert the global rank to a within-stratum rank. The
+    * quota test `(rank * den <= count * num)` is pure integer math —
+    * no float fraction boundary to diverge on. */
+  def stratifiedSampleExact(df: DataFrame, stratum: Column, id: Column,
+                            num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0, "quota must be num/den with den > 0")
+    val withH = df.withColumn("_strat", stratum)
+      .withColumn("_h", md5(id.cast("string").cast("binary")))
+    val ranked = withGlobalRowNumber(withH,
+      Seq(col("_strat"), col("_h"), id), "_gr")
+    val offs = ranked.groupBy(col("_strat"))
+      .agg(min(col("_gr")).as("_off"), count(lit(1)).as("_cnt"))
+    ranked.join(broadcast(offs), Seq("_strat"))
+      .filter((col("_gr") - col("_off") + lit(1L)) * den <=
+        col("_cnt") * num)
+      .drop("_strat", "_h", "_gr", "_off", "_cnt")
+  }
+
   /** Equi-width histogram via integral bucket arithmetic. */
   def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
     df.groupBy(floor(value / width).cast("long").as("bucket"))

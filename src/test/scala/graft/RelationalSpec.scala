@@ -108,4 +108,27 @@ class RelationalSpec extends SparkSpecBase {
     val ranks = r.select($"rank").distinct().as[Long].collect().sorted
     assert(ranks.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("stratified sample: exact floor quota per stratum, deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang")
+    val expected = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 5).toMap
+    val got = Relational.stratifiedSampleExact(docs, $"lang", $"doc_id", 1, 5)
+    val perStratum = got.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum == expected.filter(_._2 > 0),
+      s"quota mismatch: $perStratum vs $expected")
+    // deterministic: same rows on a second run
+    val a = got.select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Relational.stratifiedSampleExact(docs, $"lang", $"doc_id", 1, 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // a 4/5 quota keeps everything the 1/5 quota keeps growing: the
+    // hash order makes quotas NESTED (a bigger split contains the
+    // smaller) — what incremental train-set growth relies on
+    val big = Relational.stratifiedSampleExact(docs, $"lang", $"doc_id", 4, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a.toSet.subsetOf(big))
+  }
 }
