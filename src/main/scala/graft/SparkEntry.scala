@@ -622,6 +622,20 @@ object SparkEntry {
       col("lang"), col("doc_id"), 1, 5)
       .orderBy(col("lang"), col("doc_id"))
 
+  /** E8: hashed TF-IDF vectors → cosine ANN — the full text-to-vector
+    * pipeline in one query: documents become 64-dim hashed TF-IDF
+    * embeddings ([[graft.operators.TextSearch.tfidfVectors]]) and the
+    * standard cosine top-k runs over them; the oracle rebuilds the
+    * vectors (integer-weight construction, map-based densification)
+    * and replays the ranking. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Similarity, TextSearch}
+    val vecs = TextSearch.tfidfVectors(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+    Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -819,7 +833,8 @@ object SparkEntry {
     "q60_text_search" -> (q60 _),
     "q61_phrase" -> (q61 _),
     "q62_boolean_search" -> (q62 _),
-    "q63_stratified_sample" -> (q63 _)
+    "q63_stratified_sample" -> (q63 _),
+    "q64_tfidf_ann" -> (q64 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1351,7 +1366,49 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY lang) AS cnt
         |  FROM r)
         |SELECT doc_id, lang FROM rk WHERE r * 5 <= cnt * 1
-        |ORDER BY lang, doc_id""".stripMargin
+        |ORDER BY lang, doc_id""".stripMargin,
+    // Rebuild the hashed TF-IDF vectors: same md5 feature slot (256 ≡ 0
+    // mod 64, so only the 7th/8th md5 hex digits matter), same integer
+    // idf weights (order-free collision sums), dense 64-slot lists in
+    // slot order, then the q26 cosine-rank replay.
+    "q64_tfidf_ann" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |st AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
+        |     (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
+        |    SUM(tf * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
+        |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st
+        |  GROUP BY doc_id, feat),
+        |m AS (SELECT doc_id, map(list(feat ORDER BY feat),
+        |                         list(wi ORDER BY feat)) AS mp
+        |      FROM wt GROUP BY doc_id),
+        |dense AS (
+        |  SELECT doc_id, list_transform(range(0, 64),
+        |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS v
+        |  FROM m),
+        |j AS (
+        |  SELECT q.doc_id AS q_id, e.doc_id AS n_id,
+        |    list_dot_product(q.v, e.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(e.v, e.v))) AS cosf
+        |  FROM (SELECT * FROM dense WHERE doc_id < 10) q
+        |  JOIN dense e ON e.doc_id != q.doc_id)
+        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

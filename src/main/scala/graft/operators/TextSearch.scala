@@ -300,6 +300,43 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Hashed TF-IDF document vectors — the text→embedding bridge: every
+    * doc becomes a dense `dim`-dimensional `Array[Double]` usable by
+    * every Similarity operator (brute/LSH/IVF ANN, cosine near-dup),
+    * so search → vectorize → dedup runs as one pipeline with no
+    * external model. Feature hashing (the same md5 bucket routing as
+    * the inverted index) folds the open vocabulary into `dim` slots;
+    * weights are smooth TF-IDF `tf * (ln((n+1)/(df+1)) + 1)`.
+    *
+    * Engine-portable by construction: the idf is rounded to 1e-6 and
+    * carried as an INTEGER weight, so hash-collision sums are exact
+    * integer adds (no float addition-order nondeterminism), divided
+    * back to double once per slot. The dense array is `dim`
+    * conditional integer sums (the SimHash vote pattern — codegen'd,
+    * no per-element HOF). */
+  def tfidfVectors(docs: DataFrame, id: Column, text: Column,
+                   dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
+    val tf = termFreqs(docs, id, text)
+    val nDocs = tf.groupBy(col("doc_id")).agg(lit(1).as("_one"))
+      .agg(count(lit(1)).as("n"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dft, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("_feat", termBucket(col("term"), dim))
+      .withColumn("_idf6", floor(
+        (log((col("n").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) + lit(1.0)) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("_wi", col("tf") * col("_idf6"))
+    val sums = (0 until dim).map(i =>
+      sum(when(col("_feat") === i, col("_wi"))).as(s"_f$i"))
+    w.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id").as("vec_id"),
+        array((0 until dim).map(i =>
+          coalesce(col(s"_f$i"), lit(0L)).cast("double") / 1000000.0): _*)
+          .as("embedding"))
+  }
+
   /** Read an index sub-table pruned to the literal terms: their
     * driver-side-computed buckets become `_tb` partition filters
     * (directory pruning) and `term IN` reaches the parquet row groups. */

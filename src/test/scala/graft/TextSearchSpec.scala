@@ -164,6 +164,33 @@ class TextSearchSpec extends SparkSpecBase {
     assert(TextSearch.indexCurrent(spark, path))
   }
 
+  test("tfidf vectors: dense, deterministic, similarity-meaningful") {
+    val tiny = Seq(
+      (1L, "spark query engine spark"),
+      (2L, "spark query engine"),       // near-dup of 1
+      (3L, "violin sonata orchestra")   // unrelated
+    ).toDF("doc_id", "text")
+    val v = TextSearch.tfidfVectors(tiny, $"doc_id", $"text", dim = 32)
+    val rows = v.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size == 3 && rows.values.forall(_.length == 32))
+    // deterministic across runs
+    val again = TextSearch.tfidfVectors(tiny, $"doc_id", $"text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows == again)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // near-dups measurably closer than unrelated docs
+    assert(cos(rows(1L), rows(2L)) > 0.9)
+    assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)) + 0.3)
+    // the vectors plug straight into the Similarity operators
+    val knn = graft.operators.Similarity.bruteForceTopK(v,
+      v.filter($"vec_id" === 1L), 1).collect()
+    assert(knn.length == 1 && knn(0).getAs[Long]("n_id") == 2L)
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
