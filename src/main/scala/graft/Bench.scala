@@ -75,7 +75,17 @@ object Bench {
     val bs = builds.map { case (k, v) => s"\"build_" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", which has broken the driver's
+    // JSON parse every round (BENCH_r*.json: "parsed": null) — also
+    // drop the bare line next to the sources so the exact numbers are
+    // readable without scraping the log tail
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -624,14 +624,19 @@ object SparkEntry {
 
   /** E8: hashed TF-IDF vectors → cosine ANN — the full text-to-vector
     * pipeline in one query: documents become 64-dim hashed TF-IDF
-    * embeddings ([[graft.operators.TextSearch.tfidfVectors]]) and the
-    * standard cosine top-k runs over them; the oracle rebuilds the
-    * vectors (integer-weight construction, map-based densification)
-    * and replays the ranking. */
+    * embeddings served from the inverted index's stored postings/dfs
+    * ([[graft.operators.TextSearch.tfidfVectorsIndexed]] — one pass,
+    * no tokenization) and the standard cosine top-k runs over them;
+    * the oracle rebuilds the vectors from the raw text (integer-weight
+    * construction, map-based densification) and replays the ranking —
+    * green means the index-derived vectors equal corpus-derived ones. */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Similarity, TextSearch}
-    val vecs = TextSearch.tfidfVectors(t(s, dir, "documents"),
-      col("doc_id"), col("text"))
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    val vecs = TextSearch.tfidfVectorsIndexed(s, path)
     Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))
   }

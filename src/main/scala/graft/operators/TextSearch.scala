@@ -35,7 +35,9 @@ object TextSearch {
       .select(col("doc_id"), size(col("_ws")).cast("long").as("dl"),
         posexplode(col("_ws")).as(Seq("_p", "term")))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+      // dl is constant per doc; max() rather than first() so the plan
+      // is deterministic by construction, not by argument
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         sort_array(collect_list(col("_p"))).as("pos"))
   }
 
@@ -61,9 +63,16 @@ object TextSearch {
                  b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be non-empty and distinct")
+    // Scan-path note: the stats/df/tf branches prune DIFFERENT columns,
+    // so their exchange subplans differ and ReuseExchange cannot fire
+    // (unlike shingleSets, whose consumers read identical columns) —
+    // the tokenize pipeline executes per consumer here. That is the
+    // accepted cost of the one-shot scan path; the amortized path is
+    // [[searchIndexed]]/[[tfidfVectorsIndexed]], which read the stored
+    // postings/dfs/stats in one pass.
     val all = termFreqs(docs, id, text)
-    // corpus stats from the SAME termFreqs pass (n = docs with ≥1 token;
-    // dl is constant per doc so max(dl) == dl)
+    // corpus stats from the SAME termFreqs shape (n = docs with ≥1
+    // token; dl is constant per doc so max(dl) == dl)
     val stats = all.groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"),
@@ -322,12 +331,42 @@ object TextSearch {
       .agg(count(lit(1)).as("n"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = tf.join(dft, Seq("term")).crossJoin(broadcast(nDocs))
+    densify(weighted(w, col("n"), dim), dim)
+  }
+
+  /** TF-IDF vectors served from a [[buildTextIndex]] index — ONE pass
+    * over the stored postings with the per-term dfs joined from the
+    * stored terms table and `n` from the one-row stats: no
+    * tokenization, no repeated corpus passes (the scan path executes
+    * its pipeline once per stats/df/tf consumer — see [[tfidfVectors]]).
+    * Identical vectors to the scan path over the same corpus. */
+  def tfidfVectorsIndexed(spark: SparkSession, path: String,
+                          dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
+    val (n, _, _) = statsOf(spark, path)
+    val w = spark.read.parquet(path + "/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .join(spark.read.parquet(path + "/terms")
+        .select(col("term"), col("df")), Seq("term"))
+    densify(weighted(w, lit(n), dim), dim)
+  }
+
+  /** `(doc_id, _feat, _wi)` integer hashed-TF-IDF weights. The idf is
+    * rounded at 1e-6 and carried as an integer so downstream
+    * collision sums are order-free exact adds. */
+  private def weighted(tfdf: DataFrame, n: Column, dim: Int): DataFrame =
+    tfdf
       .withColumn("_feat", termBucket(col("term"), dim))
       .withColumn("_idf6", floor(
-        (log((col("n").cast("double") + lit(1.0)) /
+        (log((n.cast("double") + lit(1.0)) /
           (col("df").cast("double") + lit(1.0))) + lit(1.0)) *
           lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("_wi", col("tf") * col("_idf6"))
+
+  /** Dense `dim`-slot vectors from integer slot weights: `dim`
+    * conditional integer sums (the SimHash vote pattern — codegen'd,
+    * no per-element HOF), divided back to double once per slot. */
+  private def densify(w: DataFrame, dim: Int): DataFrame = {
     val sums = (0 until dim).map(i =>
       sum(when(col("_feat") === i, col("_wi"))).as(s"_f$i"))
     w.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)

@@ -189,6 +189,12 @@ class TextSearchSpec extends SparkSpecBase {
     val knn = graft.operators.Similarity.bruteForceTopK(v,
       v.filter($"vec_id" === 1L), 1).collect()
     assert(knn.length == 1 && knn(0).getAs[Long]("n_id") == 2L)
+    // index-derived vectors equal scan-derived vectors
+    val path = Files.createTempDirectory("graft-tv").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+    val vi = TextSearch.tfidfVectorsIndexed(spark, path, dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vi == rows, "indexed tfidf diverged from the scan path")
   }
 
   test("driver-side term bucket matches the Column-side routing") {
