@@ -641,6 +641,20 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** E9: hybrid retrieval — BM25 (min-max normalized) fused with
+    * TF-IDF-vector cosine at alpha=0.5, every input served from the
+    * inverted index ([[graft.operators.TextSearch.hybridSearch]]); the
+    * oracle rebuilds both signals from raw text and replays the
+    * fusion, so the whole modern-retrieval stack is hash-gated. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.hybridSearch(s, path, searchTerms, 20)
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -839,7 +853,8 @@ object SparkEntry {
     "q61_phrase" -> (q61 _),
     "q62_boolean_search" -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
-    "q64_tfidf_ann" -> (q64 _)
+    "q64_tfidf_ann" -> (q64 _),
+    "q65_hybrid_search" -> (q65 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1413,7 +1428,80 @@ object SparkEntry {
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Hybrid fusion: the bm25 CTEs (rounded per-doc score + max) and
+    // the q64 vector CTEs (dense doc vectors + the query's own tf=1
+    // vector from corpus dfs), fused 0.5/0.5 with the shared rounding.
+    "q65_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |st AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |sa AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qtf AS (SELECT doc_id, term, tf FROM tf
+        |        WHERE term IN ('hash', 'join', 'stream')),
+        |df3 AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+        |s AS (
+        |  SELECT qtf.doc_id, qtf.term,
+        |    ln((CAST(st.n - df3.df AS DOUBLE) + 0.5) / (CAST(df3.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(qtf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(qtf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / sa.avgdl)) AS sc
+        |  FROM qtf JOIN dl USING (doc_id) JOIN df3 USING (term)
+        |  CROSS JOIN st CROSS JOIN sa),
+        |p AS (
+        |  SELECT doc_id,
+        |    FLOOR((COALESCE(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0)
+        |         + COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0)
+        |         + COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0))
+        |      * 10000 + 0.5) / 10000 AS bm
+        |  FROM s GROUP BY doc_id),
+        |mx AS (SELECT MAX(bm) AS maxb FROM p),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
+        |     (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
+        |    SUM(tf * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
+        |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st
+        |  GROUP BY doc_id, feat),
+        |m AS (SELECT doc_id, map(list(feat ORDER BY feat),
+        |                         list(wi ORDER BY feat)) AS mp
+        |      FROM wt GROUP BY doc_id),
+        |dense AS (
+        |  SELECT doc_id, list_transform(range(0, 64),
+        |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS v
+        |  FROM m),
+        |qwt AS (
+        |  SELECT ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
+        |    SUM(1 * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
+        |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
+        |  FROM dft CROSS JOIN st
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY feat),
+        |qm AS (SELECT map(list(feat ORDER BY feat),
+        |                  list(wi ORDER BY feat)) AS mp FROM qwt),
+        |qdense AS (
+        |  SELECT list_transform(range(0, 64),
+        |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS qv
+        |  FROM qm),
+        |f AS (
+        |  SELECT p.doc_id,
+        |    FLOOR((0.5 * (p.bm / mx.maxb) +
+        |           0.5 * (list_dot_product(d.v, q.qv) /
+        |                  (sqrt(list_dot_product(d.v, d.v)) *
+        |                   sqrt(list_dot_product(q.qv, q.qv)))))
+        |      * 10000 + 0.5) / 10000 AS score
+        |  FROM p JOIN dense d ON d.doc_id = p.doc_id
+        |  CROSS JOIN qdense q CROSS JOIN mx)
+        |SELECT doc_id, score FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

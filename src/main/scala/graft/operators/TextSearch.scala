@@ -351,6 +351,55 @@ object TextSearch {
     densify(weighted(w, lit(n), dim), dim)
   }
 
+  /** Hybrid retrieval — the modern search stack's score fusion, served
+    * entirely from the index: candidates and their BM25 scores come
+    * from the inverted postings ([[searchIndexed]] semantics, no
+    * limit), lexical-vector similarity comes from the hashed TF-IDF
+    * embeddings ([[tfidfVectorsIndexed]]) against the QUERY's own
+    * TF-IDF vector (tf=1 per term, stored dfs), and the final score is
+    * `alpha * bm25/max(bm25) + (1-alpha) * cosine` — min-max-
+    * normalized BM25 so both signals live on [0,1]. Every float step
+    * is a fixed-order expression (max is order-free, the fusion is one
+    * literal-weighted sum), so the whole hybrid ranking replays in the
+    * oracle engine. */
+  def hybridSearch(spark: SparkSession, path: String,
+                   queryTerms: Seq[String], k: Int, alpha: Double = 0.5,
+                   dim: Int = 64): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val (n, avgdl, nB) = statsOf(spark, path)
+    // lexical candidates + raw BM25 (searchIndexed without the limit)
+    val scored = readPruned(spark, path, "postings", queryTerms, nB)
+      .join(broadcast(readPruned(spark, path, "terms", queryTerms, nB)
+        .select(col("term"), col("df"))), Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(n), lit(avgdl), 1.2, 0.75))
+    val bm = sumInTermOrder(scored, queryTerms)
+      .withColumnRenamed("score", "bm25")
+    val maxB = bm.agg(max(col("bm25")).as("_maxb"))
+    // the query's own TF-IDF vector: tf=1 per term, stored dfs
+    val qv = weighted(
+      readPruned(spark, path, "terms", queryTerms, nB)
+        .select(lit(-1L).as("doc_id"), col("term"), lit(1L).as("tf"),
+          col("df")), lit(n), dim)
+    val qvec = densify(qv, dim)
+      .select(col("embedding").as("_qv"))
+    val dv = tfidfVectorsIndexed(spark, path, dim)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("_dv"))
+    import graft.operators.Similarity.dot
+    bm.join(dv, Seq("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .crossJoin(broadcast(maxB))
+      .withColumn("_cos", dot(col("_dv"), col("_qv")) /
+        (sqrt(dot(col("_dv"), col("_dv"))) *
+          sqrt(dot(col("_qv"), col("_qv")))))
+      .select(col("doc_id"), round4(
+        lit(alpha) * (col("bm25") / col("_maxb")) +
+          lit(1.0 - alpha) * col("_cos")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** `(doc_id, _feat, _wi)` integer hashed-TF-IDF weights. The idf is
     * rounded at 1e-6 and carried as an integer so downstream
     * collision sums are order-free exact adds. */

@@ -197,6 +197,31 @@ class TextSearchSpec extends SparkSpecBase {
     assert(vi == rows, "indexed tfidf diverged from the scan path")
   }
 
+  test("hybrid search: interpolates between pure BM25 and pure vector rank") {
+    val path = Files.createTempDirectory("graft-hyb").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
+    val hybrid = TextSearch.hybridSearch(spark, path, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hybrid.length == 20)
+    assert(hybrid.map(_._2).sameElements(hybrid.map(_._2).sorted.reverse))
+    assert(hybrid.forall { case (_, s) => s > 0.0 && s <= 1.0001 },
+      "both fused signals are normalized to [0,1]")
+    // alpha=1 reduces to the BM25 ranking over the same candidates
+    val alpha1 = TextSearch.hybridSearch(spark, path, terms, 20, alpha = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    val bm = TextSearch.searchIndexed(spark, path, terms, 20)
+      .collect().map(_.getLong(0)).toSeq
+    // same doc set; order may differ only where normalized-rounded
+    // scores tie (the bm25/maxb rounding can merge adjacent scores)
+    assert(alpha1.toSet == bm.toSet,
+      s"alpha=1 must select the BM25 top-k: $alpha1 vs $bm")
+    // the fused ranking actually uses the vector signal: alpha=0 and
+    // alpha=1 must not produce identical orderings on this corpus
+    val alpha0 = TextSearch.hybridSearch(spark, path, terms, 20, alpha = 0.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(alpha0 != alpha1, "vector signal had no effect on the ranking")
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
