@@ -655,6 +655,21 @@ object SparkEntry {
     TextSearch.hybridSearch(s, path, searchTerms, 20)
   }
 
+  /** C3b: banded near-dup pairs served from the PERSISTED SimHash
+    * index ([[graft.operators.Dedup.simhashPairsIndexed]]) — same
+    * results as the on-the-fly q23-family banding, but signatures are
+    * hashed once at build and pair expansion reads only stored band
+    * rows; the oracle recomputes everything from raw text. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val path = idxPath("shx", dir, "documents")
+    if (!graft.view.IndexStore.exists(s, path))
+      Dedup.buildSimhashIndex(t(s, dir, "documents"), col("doc_id"),
+        "text", path)
+    Dedup.simhashPairsIndexed(s, path)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -854,7 +869,8 @@ object SparkEntry {
     "q62_boolean_search" -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
     "q64_tfidf_ann" -> (q64 _),
-    "q65_hybrid_search" -> (q65 _)
+    "q65_hybrid_search" -> (q65 _),
+    "q66_simhash_indexed" -> (q66 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1501,7 +1517,23 @@ object SparkEntry {
         |      * 10000 + 0.5) / 10000 AS score
         |  FROM p JOIN dense d ON d.doc_id = p.doc_id
         |  CROSS JOIN qdense q CROSS JOIN mx)
-        |SELECT doc_id, score FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |SELECT doc_id, score FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Banded near-dup replay over the shared simhash derivation: two
+    // docs pair iff they agree on ≥1 of the four 16-bit bands; hamming
+    // verified on the full hashes. The index's bucket routing is an
+    // internal detail — the band equality join is the exact semantics.
+    "q66_simhash_indexed" ->
+      (simhashCte.stripSuffix("\n") +
+       """, bands AS (
+         |  SELECT doc_id, simhash, i, (simhash >> (16 * i)) & 65535 AS v
+         |  FROM sfull, range(0, 4) t(i)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same
@@ -1556,6 +1588,27 @@ object SparkEntry {
       val v = if (b == 63) "-9223372036854775808" else (1L << b).toString
       s"(CASE WHEN b$b > 0 THEN $v ELSE 0 END)"
     }.mkString(" + ")
+    simhashCte +
+      """SELECT doc_id, simhash FROM sfull ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shared per-doc simhash derivation (see [[simhashOracle]]) up
+    * to `sfull(doc_id, simhash)` — also the base of the banded
+    * near-dup replay (q66). Lazy: referenced by vals declared ABOVE
+    * it (initialization order). */
+  private lazy val simhashCte: String = {
+    def half(lo: Int): String = (0 until 8).map { j =>
+      val coef = math.pow(16, 7 - j).toLong
+      s"(strpos('0123456789abcdef', substr(m,${lo + j},1))-1)::BIGINT*$coef"
+    }.mkString(" + ")
+    val votes = (0 until 64).map { b =>
+      val bit = if (b < 32) s"((lo >> $b) & 1)" else s"((hi >> ${b - 32}) & 1)"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val bits = (0 until 64).map { b =>
+      val v = if (b == 63) "-9223372036854775808" else (1L << b).toString
+      s"(CASE WHEN b$b > 0 THEN $v ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |                                    x -> x != '')) AS w
@@ -1566,9 +1619,11 @@ object SparkEntry {
        |  SELECT doc_id,
        |    $votes
        |  FROM d GROUP BY doc_id),
-       |s AS (SELECT doc_id, $bits AS simhash FROM v)
-       |SELECT dd.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
-       |FROM documents dd LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+       |s AS (SELECT doc_id, $bits AS simhash FROM v),
+       |sfull AS (
+       |  SELECT dd.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+       |  FROM documents dd LEFT JOIN s USING (doc_id))
+       |""".stripMargin
   }
 
   /** DuckDB replay of the LSH-bucketed ANN: the same literal hyperplane

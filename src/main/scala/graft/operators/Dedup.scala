@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gfunctions.round4
@@ -274,6 +274,98 @@ object Dedup {
     } :+ when(col("_b63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Band decomposition of a simhash column: rows `(i, v)` for the
+    * four 16-bit bands (arithmetic shift + mask — sign extension is
+    * masked away, so band 3 of negative hashes is exact). */
+  private def bandRows(simhash: Column): Column =
+    explode(array((0 to 3).map(i =>
+      struct(lit(i).as("i"),
+        shiftright(simhash, 16 * i).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
+
+  /** Bucket of a band `(i, v)` — the q43 portable modular mix (the
+    * product stays < 2^48, no overflow in either engine). */
+  private def bandBucket(i: Column, v: Column, nBuckets: Int): Column =
+    pmod((i * lit(65536L) + v) * lit(2654435761L), lit(nBuckets.toLong))
+      .cast("int")
+
+  /** Persist a banded SimHash index: each doc's 64-bit simhash exploded
+    * into its four 16-bit bands, partitioned by band bucket — the C3
+    * analogue of the LSH/IVF/text indexes: signatures are computed once
+    * at build, and a near-dup probe reads only the probed docs' band
+    * buckets, never re-hashing (or even rereading) the corpus. */
+  def buildSimhashIndex(docs: DataFrame, id: Column, textCol: String,
+                        path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    graft.view.IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    simhashValues(docs, id, textCol)
+      .select(col("doc_id"), col("simhash"), bandRows(col("simhash")).as("_b"))
+      .select(col("doc_id"), col("simhash"),
+        col("_b.i").as("i"), col("_b.v").as("v"))
+      .withColumn("_sb", bandBucket(col("i"), col("v"), nBuckets))
+      .repartition(col("_sb"))
+      .sortWithinPartitions(col("_sb"), col("i"), col("v"))
+      .write.mode("overwrite").partitionBy("_sb").parquet(path + "/bands")
+    graft.view.IndexStore.writeMeta(spark, path,
+      graft.view.IndexMeta(0L, nBuckets, Nil))
+  }
+
+  /** Whole-corpus banded near-dup pairs served from a
+    * [[buildSimhashIndex]] index — identical results to
+    * [[simhashNearDups]] without re-hashing a single token: bucket-
+    * local pair expansion over the stored band rows. */
+  def simhashPairsIndexed(spark: SparkSession, path: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val members = struct(col("doc_id"), col("simhash"))
+    spark.read.parquet(path + "/bands")
+      .groupBy(col("i"), col("v"))
+      .agg(sort_array(collect_list(members)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, ix) =>
+        transform(slice(col("ms"), ix + 2, size(col("ms"))), m =>
+          struct(a.getField("doc_id").as("doc_a"),
+            m.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("simhash")
+              .bitwiseXOR(m.getField("simhash"))).cast("long")
+              .as("hamming")))))).as("_p"))
+      .select(col("_p.doc_a"), col("_p.doc_b"), col("_p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Probe the index for near-dups of a SMALL query set: the queries'
+    * band buckets are collected driver-side (≤ 4×|queries| ints) and
+    * pushed as `_sb` partition filters, so the scan touches only the
+    * probed bucket directories — the interactive serving path.
+    * `queries` needs `(doc_id, simhash)` (e.g. from
+    * [[simhashValues]]). Returns `(q_id, n_id, hamming)`. */
+  def simhashProbeIndexed(spark: SparkSession, path: String,
+                          queries: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    val q = queries
+      .select(col("doc_id").as("q_id"), col("simhash").as("q_sh"),
+        bandRows(col("simhash")).as("_b"))
+      .select(col("q_id"), col("q_sh"),
+        col("_b.i").as("i"), col("_b.v").as("v"))
+    // the build-time bucket count comes from the stored meta (deriving
+    // it from observed directory names would break when top buckets
+    // happen to be empty)
+    val nBuckets = graft.view.IndexStore.readMeta(spark, path).buckets
+    val probes = q
+      .withColumn("_sb", bandBucket(col("i"), col("v"), nBuckets))
+      .select(col("_sb")).distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path + "/bands")
+      .filter(col("_sb").isin(probes: _*))
+      .select(col("doc_id").as("n_id"), col("simhash").as("n_sh"),
+        col("i"), col("v"))
+    q.join(c, Seq("i", "v"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        bit_count(col("q_sh").bitwiseXOR(col("n_sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup candidates: bucket by each of the four 16-bit

@@ -270,6 +270,35 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
   }
 
+  test("simhash index: pairs match the on-the-fly operator; probes prune") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-shx")
+      .toString + "/idx"
+    Dedup.buildSimhashIndex(docs, $"doc_id", "text", path, nBuckets = 32)
+    val fly = Dedup.simhashNearDups(docs, $"doc_id", "text")
+      .select($"doc_a", $"doc_b", $"hamming".cast("long"))
+      .collect().map(_.toSeq).toSet
+    val idx = Dedup.simhashPairsIndexed(spark, path)
+      .collect().map(_.toSeq).toSet
+    assert(idx == fly, "indexed pairs diverge from the on-the-fly banding")
+    // probing: a one-doc query set reads at most 4 of 32 bucket dirs
+    val q = Dedup.simhashValues(docs.limit(1), $"doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val res = Dedup.simhashProbeIndexed(spark, path, q)
+      res.collect()
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("bands") => f
+      }
+      assert(scans.nonEmpty)
+      val files = scans.map(_.metrics("numFiles").value).max
+      assert(files >= 1 && files <= 4,
+        s"probe must read <=4 of 32 band buckets, read $files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("connected components: chains merge transitively, min id labels") {
     import graft.operators.Dedup
     // two components: a 5-chain (exercises multi-round propagation —
