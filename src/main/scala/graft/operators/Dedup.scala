@@ -295,21 +295,99 @@ object Dedup {
     * analogue of the LSH/IVF/text indexes: signatures are computed once
     * at build, and a near-dup probe reads only the probed docs' band
     * buckets, never re-hashing (or even rereading) the corpus. */
-  def buildSimhashIndex(docs: DataFrame, id: Column, textCol: String,
-                        path: String, nBuckets: Int = 64): Unit = {
-    val spark = docs.sparkSession
-    graft.view.IndexStore.fsFor(spark, path)
-      .delete(new org.apache.hadoop.fs.Path(path), true)
+  /** The stored band rows of a doc batch: simhash → four (i, v) bands
+    * → `_sb` bucket routing. */
+  private def simhashBandRows(docs: DataFrame, id: Column, textCol: String,
+                              nBuckets: Int): DataFrame =
     simhashValues(docs, id, textCol)
       .select(col("doc_id"), col("simhash"), bandRows(col("simhash")).as("_b"))
       .select(col("doc_id"), col("simhash"),
         col("_b.i").as("i"), col("_b.v").as("v"))
       .withColumn("_sb", bandBucket(col("i"), col("v"), nBuckets))
+
+  def buildSimhashIndex(docs: DataFrame, id: Column, textCol: String,
+                        path: String, nBuckets: Int = 64,
+                        seq: Long = 0L): Unit = {
+    import graft.view.IndexStore
+    val spark = docs.sparkSession
+    IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    simhashBandRows(docs, id, textCol, nBuckets)
       .repartition(col("_sb"))
       .sortWithinPartitions(col("_sb"), col("i"), col("v"))
       .write.mode("overwrite").partitionBy("_sb").parquet(path + "/bands")
-    graft.view.IndexStore.writeMeta(spark, path,
-      graft.view.IndexMeta(0L, nBuckets, Nil))
+    // by-doc sidecar: which band buckets hold each doc's rows — the
+    // same O(changed buckets) maintenance key as every graft index
+    spark.read.parquet(path + "/bands")
+      .select(col("doc_id"), col("_sb")).distinct()
+      .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nBuckets))
+      .repartition(col("_ib"))
+      .sortWithinPartitions(col("_ib"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(path + "/ids")
+    IndexStore.writeMeta(spark, path,
+      graft.view.IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** Incremental maintenance of a [[buildSimhashIndex]] index — the
+    * sidecar-pruned merge every graft index uses: changed docs are
+    * re-hashed, their old band rows located via the by-doc sidecar,
+    * and only old∪new `_sb` directories rewritten; `deletedIds`
+    * tombstone docs out. Returns the affected band buckets. */
+  def upsertSimhashDocs(spark: SparkSession, path: String,
+                        changedDocs: DataFrame, id: Column,
+                        textCol: String, deletedIds: Seq[Long] = Nil,
+                        newSeq: Long = -1L): Seq[Int] = {
+    import spark.implicits._
+    import graft.view.IndexStore
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = IndexStore.readMeta(spark, path)
+    val nB = meta.buckets
+    val newRows = simhashBandRows(changedDocs, id, textCol, nB).persist()
+    val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
+    val cids = (if (deletedIds.isEmpty) cids0
+                else cids0.unionByName(deletedIds.toDF("doc_id")))
+      .distinct().persist()
+    try {
+      val ibs = cids
+        .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
+      val oldSide = spark.read.parquet(path + "/ids")
+        .filter(col("_ib").isin(ibs: _*))
+        .join(cids, Seq("doc_id"), "left_semi")
+      val oldSbs = oldSide.select(col("_sb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val newSbs = newRows.select(col("_sb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val affected = (oldSbs ++ newSbs).distinct.sorted
+      if (affected.nonEmpty) {
+        val survivors = spark.read.parquet(path + "/bands")
+          .filter(col("_sb").isin(affected: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("simhash"), col("i"), col("v"),
+            col("_sb"))
+        IndexStore.writeSwap(spark, fs,
+          survivors.unionByName(newRows
+            .select(col("doc_id"), col("simhash"), col("i"), col("v"),
+              col("_sb"))),
+          path + "/bands", "_sb", affected, Seq(col("_sb"), col("i"),
+            col("v")))
+        val sideSurvivors = spark.read.parquet(path + "/ids")
+          .filter(col("_ib").isin(ibs: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("_sb"), col("_ib"))
+        IndexStore.writeSwap(spark, fs,
+          sideSurvivors.unionByName(
+            newRows.select(col("doc_id"), col("_sb")).distinct()
+              .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))),
+          path + "/ids", "_ib", ibs, Seq(col("_ib"), col("doc_id")))
+      }
+      val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
+      affected
+    } finally {
+      newRows.unpersist()
+      cids.unpersist()
+    }
   }
 
   /** Whole-corpus banded near-dup pairs served from a

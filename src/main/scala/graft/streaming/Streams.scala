@@ -274,4 +274,40 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming maintenance of a persisted SimHash band index — same
+    * contract as the other index maintainers: first non-empty batch
+    * builds ([[graft.operators.Dedup.buildSimhashIndex]]), later
+    * batches re-hash changed docs and rewrite only their old∪new band
+    * buckets (`Dedup.upsertSimhashDocs`), `_deleted` tombstones
+    * retire. Change feed: `doc_id` + `text` (+ optional `_deleted`). */
+  def maintainSimhashIndex(spark: SparkSession, changeFeed: DataFrame,
+                           path: String, checkpoint: String,
+                           nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("doc_id"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Dedup.buildSimhashIndex(live, col("doc_id"), "text", path,
+              nBuckets, seq = batchId + 1)
+        } else {
+          Dedup.upsertSimhashDocs(spark, path, live, col("doc_id"),
+            "text", delIds, newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -299,6 +299,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("simhash upsert: bucket-local, matches a rebuild") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-shx-up")
+      .toString + "/idx"
+    Dedup.buildSimhashIndex(docs, $"doc_id", "text", path, nBuckets = 32)
+    val changed = Seq((0L, "completely new text about violins"))
+      .toDF("doc_id", "text")
+    val affected = Dedup.upsertSimhashDocs(spark, path, changed,
+      $"doc_id", "text", deletedIds = Seq(1L))
+    assert(affected.nonEmpty && affected.size <= 16,
+      s"a one-doc upsert touches at most old+new band buckets: $affected")
+    val corpus2 = docs.filter(!$"doc_id".isin(0L, 1L))
+      .select($"doc_id", $"text").unionByName(changed)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-shx-rb")
+      .toString + "/idx"
+    Dedup.buildSimhashIndex(corpus2, $"doc_id", "text", fresh,
+      nBuckets = 32)
+    assert(Dedup.simhashPairsIndexed(spark, path).collect().map(_.toSeq).toSet
+      == Dedup.simhashPairsIndexed(spark, fresh).collect().map(_.toSeq).toSet,
+      "maintained simhash index diverges from rebuild")
+    assert(spark.read.parquet(s"$path/bands")
+      .filter($"doc_id" === 1L).count() == 0, "tombstone not applied")
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 1L)
+  }
+
   test("connected components: chains merge transitively, min id labels") {
     import graft.operators.Dedup
     // two components: a 5-chain (exercises multi-round propagation —

@@ -242,6 +242,33 @@ class StreamingSpec extends SparkSpecBase {
       "streamed ANN index diverges from rebuild")
   }
 
+  test("streamed simhash index builds then upserts; matches a rebuild") {
+    import graft.operators.Dedup
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-shx").toString
+    val path = s"$dir/idx"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = docs.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[TextChg]
+    val q = Streams.maintainSimhashIndex(spark, in.toDF(), path,
+      s"$dir/ckpt", nBuckets = 16)
+    val (h1, h2) = all.splitAt(all.size / 2)
+    in.addData(h1.map { case (i, t) => TextChg(i, t, _deleted = false) }: _*)
+    q.processAllAvailable()
+    in.addData((h2.map { case (i, t) => TextChg(i, t, _deleted = false) } :+
+      TextChg(h1.head._1, "", _deleted = true)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fresh = s"$dir/fresh"
+    Dedup.buildSimhashIndex(
+      all.filterNot(_._1 == h1.head._1).toDF("doc_id", "text"),
+      $"doc_id", "text", fresh, nBuckets = 16)
+    assert(Dedup.simhashPairsIndexed(spark, path).collect().map(_.toSeq).toSet
+      == Dedup.simhashPairsIndexed(spark, fresh).collect().map(_.toSeq).toSet)
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+  }
+
   test("streamed text index builds then upserts; matches a rebuild") {
     import graft.operators.TextSearch
     implicit val sql = spark.sqlContext
