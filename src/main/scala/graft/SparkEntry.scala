@@ -670,6 +670,16 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C7: the composed end-to-end dedup pipeline
+    * ([[graft.operators.Dedup.dedupCorpus]]): exact → MinHash over
+    * keepers → connected components → canonical mapping, one operator;
+    * the oracle replays all four stages (exact CTE + the minhash CTE
+    * over the keeper subset + recursive closure). */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupCorpus(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -870,7 +880,8 @@ object SparkEntry {
     "q63_stratified_sample" -> (q63 _),
     "q64_tfidf_ann" -> (q64 _),
     "q65_hybrid_search" -> (q65 _),
-    "q66_simhash_indexed" -> (q66 _)
+    "q66_simhash_indexed" -> (q66 _),
+    "q67_dedup_corpus" -> (q67 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1533,7 +1544,34 @@ object SparkEntry {
          |  FROM bands a JOIN bands b
          |    ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pairs
-         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    // Full pipeline replay: exact keepers (q21's fingerprint), the
+    // minhash pair CTEs rebased onto the keeper subset, the q58
+    // recursive closure, then every doc mapped through exact keeper →
+    // cluster canonical.
+    "q67_dedup_corpus" ->
+      ("""WITH RECURSIVE fpm AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |keepx AS (SELECT fp, MIN(doc_id) AS keeper FROM fpm GROUP BY fp),
+         |em AS (SELECT doc_id, keeper FROM fpm JOIN keepx USING (fp)),
+         |keptdocs AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN em ON em.doc_id = d.doc_id AND em.doc_id = em.keeper),
+         |""".stripMargin +
+       minhashCte.stripPrefix("WITH ").replace("FROM documents", "FROM keptdocs") +
+       """, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
+         |FROM em LEFT JOIN comp c ON c.id = em.keeper
+         |ORDER BY em.doc_id""".stripMargin)
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

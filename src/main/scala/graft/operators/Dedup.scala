@@ -236,6 +236,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** END-TO-END corpus dedup — the composed pipeline a training-data
+    * run actually executes, as one operator:
+    *  1. exact dedup (normalized-md5 fingerprint, keep min id),
+    *  2. MinHash+LSH near-dup candidate pairs over the exact KEEPERS
+    *     only (exact dups never re-enter the quadratic stage),
+    *  3. transitive clustering ([[connectedComponents]]),
+    *  4. canonical = the cluster's min keeper.
+    * Returns `(doc_id, kept_id)` for EVERY input doc — the join table
+    * that filters a corpus to survivors (`doc_id === kept_id`) or
+    * rewrites references to canonical docs. All stages are the
+    * bucket-local scale-safe operators above. */
+  def dedupCorpus(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val fp = docs.select(id.cast("long").as("doc_id"),
+      Text.fingerprint(text).as("_fp"), text.as("_text"))
+    val keep = fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
+    val exactMap = fp.join(keep, Seq("_fp"))
+    val keepers = exactMap.filter(col("doc_id") === col("_keeper"))
+      .select(col("doc_id"), col("_text"))
+    val pairs = minhashCandidatePairs(keepers, col("doc_id"), col("_text"))
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "_keeper")
+      .withColumnRenamed("cluster_id", "_rep")
+    exactMap.select(col("doc_id"), col("_keeper"))
+      .join(cc, Seq("_keeper"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_rep"), col("_keeper")).as("kept_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (md5-derived token hashes,
     * per-bit majority vote). The token hash is the first 16 hex digits
     * of md5(token), read as two 32-bit halves (digits 1-8 = high bits

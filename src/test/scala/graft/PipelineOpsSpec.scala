@@ -325,6 +325,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 1L)
   }
 
+  test("dedupCorpus: total mapping, idempotent canonicals, strict shrink") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = Dedup.dedupCorpus(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == docs.count(), "every doc must map to a canonical")
+    // canonicals are fixpoints: kept ids map to themselves
+    m.values.toSet.foreach((k: Long) => assert(m(k) == k,
+      s"canonical $k maps to ${m(k)}"))
+    assert(m.values.toSet.size < m.size,
+      "corpus with known dups must shrink")
+    // a doc and its exact duplicate map to the same canonical
+    val fp = docs.select($"doc_id",
+      graft.operators.Text.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    fp.groupBy(_._2).values.filter(_.length > 1).take(3).foreach { grp =>
+      val ks = grp.map(x => m(x._1)).toSet
+      assert(ks.size == 1, s"exact dups split canonicals: $grp -> $ks")
+    }
+  }
+
   test("connected components: chains merge transitively, min id labels") {
     import graft.operators.Dedup
     // two components: a 5-chain (exercises multi-round propagation —
