@@ -680,6 +680,20 @@ object SparkEntry {
       col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** C8: cluster labels served from the PERSISTED dedup-cluster index
+    * ([[graft.operators.DedupIndex]]): MinHash bands + connected-
+    * component labels stored once, maintained incrementally; the
+    * oracle recomputes the full closure from raw text, so green means
+    * the stored labels equal a from-scratch clustering. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupIndex
+    val path = idxPath("dcx", dir, "documents")
+    if (!graft.view.IndexStore.exists(s, path))
+      DedupIndex.build(t(s, dir, "documents"), col("doc_id"), col("text"),
+        path)
+    DedupIndex.clusters(s, path).orderBy(col("doc_id"))
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -881,7 +895,8 @@ object SparkEntry {
     "q64_tfidf_ann" -> (q64 _),
     "q65_hybrid_search" -> (q65 _),
     "q66_simhash_indexed" -> (q66 _),
-    "q67_dedup_corpus" -> (q67 _)
+    "q67_dedup_corpus" -> (q67 _),
+    "q68_cluster_labels" -> (q68 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1571,7 +1586,23 @@ object SparkEntry {
          |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
          |FROM em LEFT JOIN comp c ON c.id = em.keeper
-         |ORDER BY em.doc_id""".stripMargin)
+         |ORDER BY em.doc_id""".stripMargin),
+    // Stored cluster labels == the full from-scratch closure (q58's
+    // CTEs) extended to singletons (label = own id).
+    "q68_cluster_labels" ->
+      (minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+       """, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.view.{IndexMeta, IndexStore}
+
+/** Persisted, incrementally-maintained near-duplicate CLUSTERS — the
+  * amortized form of [[Dedup.dedupCorpus]]'s quadratic-ish stages: the
+  * MinHash band rows and the connected-component labels live on disk,
+  * and a change batch re-hashes only the changed docs and re-clusters
+  * only the components they touch (plus their band-mates), not the
+  * corpus. At 100 TB a daily crawl delta re-clusters thousands of
+  * docs, never billions.
+  *
+  * Layout (the standard graft index discipline — partition-pruned
+  * reads, by-id sidecar, rename-swapped updates):
+  * {{{
+  * path/
+  *   bands/_bb=<b>/   (doc_id, j, band) MinHash band rows, bucketed by
+  *                    a portable hash of the band value
+  *   ids/_ib=<b>/     (doc_id, _bb) — which band buckets hold each doc
+  *   labels/_lb=<b>/  (doc_id, cluster_id) by DOC hash — point lookups
+  *   members/_cb=<b>/ (doc_id, cluster_id) by CLUSTER hash — member
+  *                    expansion without scanning labels
+  *   _graft_meta      update_seq + bucket count
+  * }}}
+  *
+  * Cluster ids are the component's min doc id. Maintenance soundness:
+  * the re-clustered set M = every member of every cluster containing a
+  * changed/deleted doc or a NEW band-mate of one. Any near-dup pair
+  * with exactly one endpoint outside M is impossible — the outside
+  * endpoint would share a band with an M doc, which (pairs being
+  * symmetric and pre-existing pairs being intra-cluster) pulls its
+  * whole cluster into M — so re-clustering M in isolation is exact. */
+object DedupIndex {
+
+  private def bandBucket(band: Column, n: Int): Column =
+    pmod(conv(substring(band, 1, 8), 16, 10).cast("long"), lit(n.toLong))
+      .cast("int")
+
+  private def bandRowsOf(docs: DataFrame, id: Column, text: Column,
+                         k: Int, bands: Int, nB: Int): DataFrame =
+    Dedup.lshBands(Dedup.minhashSigs(
+        Dedup.shingleRows(docs, id, text), k), k, bands)
+      .withColumn("_bb", bandBucket(col("band"), nB))
+
+  /** In-bucket candidate pairs over stored band rows (both directions
+    * deduplicated; `maxBucket` guards boilerplate-shingle buckets). */
+  private def pairsOf(bandRows: DataFrame, maxBucket: Int): DataFrame =
+    bandRows.groupBy(col("j"), col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("_p"))
+      .select(col("_p.doc_a"), col("_p.doc_b")).distinct()
+
+  /** Labels for every doc in `allIds`: component min where paired,
+    * self where singleton. */
+  private def labelsOf(allIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("cluster_id", "_cl")
+    allIds.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_cl"), col("doc_id")).as("cluster_id"))
+  }
+
+  private def writeLabelLayouts(spark: SparkSession, path: String,
+                                labels: DataFrame, nB: Int): Unit = {
+    labels.withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))
+      .repartition(col("_lb"))
+      .sortWithinPartitions(col("_lb"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_lb").parquet(path + "/labels")
+    labels.withColumn("_cb", IndexStore.idBucket(col("cluster_id"), nB))
+      .repartition(col("_cb"))
+      .sortWithinPartitions(col("_cb"), col("cluster_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_cb").parquet(path + "/members")
+  }
+
+  def build(docs: DataFrame, id: Column, text: Column, path: String,
+            k: Int = 8, bands: Int = 4, nBuckets: Int = 64,
+            maxBucket: Int = 1000, seq: Long = 0L): Unit = {
+    val spark = docs.sparkSession
+    IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    bandRowsOf(docs, id, text, k, bands, nBuckets)
+      .repartition(col("_bb"))
+      .sortWithinPartitions(col("_bb"), col("j"), col("band"))
+      .write.mode("overwrite").partitionBy("_bb").parquet(path + "/bands")
+    val stored = spark.read.parquet(path + "/bands")
+    stored.select(col("doc_id"), col("_bb")).distinct()
+      .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nBuckets))
+      .repartition(col("_ib"))
+      .sortWithinPartitions(col("_ib"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(path + "/ids")
+    val allIds = docs.select(id.cast("long").as("doc_id")).distinct()
+    writeLabelLayouts(spark, path,
+      labelsOf(allIds, pairsOf(stored, maxBucket)), nBuckets)
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** The stored `(doc_id, cluster_id)` mapping. */
+  def clusters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/labels")
+      .select(col("doc_id"), col("cluster_id"))
+
+  /** Apply one change batch: re-hash `changedDocs`, rewrite their
+    * old∪new band buckets, and re-cluster ONLY the affected membership
+    * (see the soundness note above). Returns the re-clustered doc
+    * count. */
+  def upsert(spark: SparkSession, path: String, changedDocs: DataFrame,
+             id: Column, text: Column, deletedIds: Seq[Long] = Nil,
+             k: Int = 8, bands: Int = 4, maxBucket: Int = 1000,
+             newSeq: Long = -1L): Long = {
+    import spark.implicits._
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = IndexStore.readMeta(spark, path)
+    val nB = meta.buckets
+    val newRows = bandRowsOf(changedDocs, id, text, k, bands, nB).persist()
+    val liveIds = changedDocs.select(id.cast("long").as("doc_id"))
+      .distinct().persist()
+    val cids = (if (deletedIds.isEmpty) liveIds
+                else liveIds.unionByName(deletedIds.toDF("doc_id")))
+      .distinct().persist()
+    try {
+      // ---- band + sidecar merge (the standard sidecar-pruned swap)
+      val ibs = cids.withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
+      val oldSide = spark.read.parquet(path + "/ids")
+        .filter(col("_ib").isin(ibs: _*))
+        .join(cids, Seq("doc_id"), "left_semi")
+      val affBb = (oldSide.select(col("_bb")).distinct()
+          .collect().map(_.getInt(0)) ++
+        newRows.select(col("_bb")).distinct()
+          .collect().map(_.getInt(0))).distinct.sorted
+      if (affBb.nonEmpty) {
+        val survivors = spark.read.parquet(path + "/bands")
+          .filter(col("_bb").isin(affBb: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("j"), col("band"), col("_bb"))
+        IndexStore.writeSwap(spark, fs,
+          survivors.unionByName(newRows
+            .select(col("doc_id"), col("j"), col("band"), col("_bb"))),
+          path + "/bands", "_bb", affBb,
+          Seq(col("_bb"), col("j"), col("band")))
+        val sideSurv = spark.read.parquet(path + "/ids")
+          .filter(col("_ib").isin(ibs: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("_bb"), col("_ib"))
+        IndexStore.writeSwap(spark, fs,
+          sideSurv.unionByName(
+            newRows.select(col("doc_id"), col("_bb")).distinct()
+              .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))),
+          path + "/ids", "_ib", ibs, Seq(col("_ib"), col("doc_id")))
+      }
+      // ---- affected membership: clusters of changed docs + clusters
+      // of their current band-mates
+      val mates = spark.read.parquet(path + "/bands")
+        .filter(col("_bb").isin(affBb: _*))
+        .join(newRows.select(col("j"), col("band")).distinct(),
+          Seq("j", "band"))
+        .select(col("doc_id"))
+      val seeds = cids.unionByName(mates).distinct().persist()
+      val slbs = seeds.withColumn("_lb",
+          IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_lb")).distinct().collect().map(_.getInt(0)).toSeq
+      val affClusters = spark.read.parquet(path + "/labels")
+        .filter(col("_lb").isin(slbs: _*))
+        .join(seeds, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct().persist()
+      val cbs = affClusters.withColumn("_cb",
+          IndexStore.idBucket(col("cluster_id"), nB))
+        .select(col("_cb")).distinct().collect().map(_.getInt(0)).toSeq
+      val oldMembers = spark.read.parquet(path + "/members")
+        .filter(col("_cb").isin(cbs: _*))
+        .join(affClusters, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"))
+      // M = surviving old members + live changed docs (deleted drop out)
+      val m = oldMembers.unionByName(liveIds).distinct()
+        .join(if (deletedIds.isEmpty) liveIds.limit(0)
+              else deletedIds.toDF("doc_id"),
+          Seq("doc_id"), "left_anti").persist()
+      // ---- re-cluster M from its stored bands
+      val mibs = m.withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
+      val mbbs =
+        if (mibs.isEmpty) Seq.empty[Int]
+        else spark.read.parquet(path + "/ids")
+          .filter(col("_ib").isin(mibs: _*))
+          .join(m, Seq("doc_id"), "left_semi")
+          .select(col("_bb")).distinct().collect().map(_.getInt(0)).toSeq
+      val mPairs =
+        if (mbbs.isEmpty)
+          Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else pairsOf(
+          spark.read.parquet(path + "/bands")
+            .filter(col("_bb").isin(mbbs: _*))
+            .join(m, Seq("doc_id"), "left_semi"), maxBucket)
+      val newLabels = labelsOf(m, mPairs).persist()
+      // ---- swap BOTH label layouts for the touched buckets
+      val lbs = (slbs ++ m.withColumn("_lb",
+          IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_lb")).distinct().collect().map(_.getInt(0)))
+        .distinct.sorted
+      val dropIds = m.unionByName(cids).distinct()
+      val labelSurv = spark.read.parquet(path + "/labels")
+        .filter(col("_lb").isin(lbs: _*))
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"), col("_lb"))
+      IndexStore.writeSwap(spark, fs,
+        labelSurv.unionByName(newLabels
+          .withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))),
+        path + "/labels", "_lb", lbs, Seq(col("_lb"), col("doc_id")))
+      val newCbs = (cbs ++ newLabels.withColumn("_cb",
+          IndexStore.idBucket(col("cluster_id"), nB))
+        .select(col("_cb")).distinct().collect().map(_.getInt(0)))
+        .distinct.sorted
+      val memberSurv = spark.read.parquet(path + "/members")
+        .filter(col("_cb").isin(newCbs: _*))
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"), col("_cb"))
+      IndexStore.writeSwap(spark, fs,
+        memberSurv.unionByName(newLabels
+          .withColumn("_cb", IndexStore.idBucket(col("cluster_id"), nB))),
+        path + "/members", "_cb", newCbs,
+        Seq(col("_cb"), col("cluster_id"), col("doc_id")))
+      val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
+      val n = newLabels.count()
+      Seq(seeds, affClusters, m, newLabels).foreach(_.unpersist())
+      n
+    } finally {
+      newRows.unpersist()
+      liveIds.unpersist()
+      cids.unpersist()
+    }
+  }
+}

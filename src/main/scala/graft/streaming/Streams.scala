@@ -310,4 +310,39 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming maintenance of the persisted dedup-cluster index
+    * ([[graft.operators.DedupIndex]]): a crawl delta re-hashes only
+    * its docs and re-clusters only the components it touches —
+    * continuously-correct near-dup clusters over a live corpus.
+    * Change feed: `doc_id` + `text` (+ optional `_deleted`). */
+  def maintainDedupClusters(spark: SparkSession, changeFeed: DataFrame,
+                            path: String, checkpoint: String,
+                            nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupIndex
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("doc_id"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            DedupIndex.build(live, col("doc_id"), col("text"), path,
+              nBuckets = nBuckets, seq = batchId + 1)
+        } else {
+          DedupIndex.upsert(spark, path, live, col("doc_id"),
+            col("text"), delIds, newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
 }

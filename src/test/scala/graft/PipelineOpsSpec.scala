@@ -346,6 +346,45 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup cluster index: upserts merge/split exactly like a rebuild") {
+    import graft.operators.DedupIndex
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val path = java.nio.file.Files.createTempDirectory("graft-dcx")
+      .toString + "/idx"
+    DedupIndex.build(docs, $"doc_id", $"text", path, nBuckets = 16)
+    def labelMap(p: String) = DedupIndex.clusters(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = labelMap(path)
+    assert(base.size == docs.count())
+
+    // MERGE: a new doc with an existing doc's exact text must join its
+    // cluster (band rows identical => pairs with it)
+    val donor = docs.filter($"doc_id" === base.keys.min).head().getString(1)
+    val newDoc = Seq((100000L, donor)).toDF("doc_id", "text")
+    DedupIndex.upsert(spark, path, newDoc, $"doc_id", $"text")
+    val merged = labelMap(path)
+    assert(merged.size == base.size + 1)
+    assert(merged(100000L) == merged(base.keys.min),
+      "identical doc must share its donor's cluster")
+
+    // SPLIT/DELETE: tombstone the new doc again; labels return exactly
+    // to the baseline, and a changed doc re-clusters like a rebuild
+    val eds = Seq((base.keys.max, "completely fresh content zebra"))
+      .toDF("doc_id", "text")
+    DedupIndex.upsert(spark, path, eds, $"doc_id", $"text",
+      deletedIds = Seq(100000L))
+    val after = labelMap(path)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-dcx2")
+      .toString + "/idx"
+    DedupIndex.build(docs.filter($"doc_id" =!= base.keys.max)
+      .unionByName(eds), $"doc_id", $"text", fresh, nBuckets = 16)
+    assert(after == labelMap(fresh),
+      "maintained cluster index diverges from a rebuild")
+    assert(!after.contains(100000L), "tombstoned doc still labeled")
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+  }
+
   test("connected components: chains merge transitively, min id labels") {
     import graft.operators.Dedup
     // two components: a 5-chain (exercises multi-round propagation —

@@ -269,6 +269,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
   }
 
+  test("streamed dedup clusters: delta batches keep labels rebuild-exact") {
+    import graft.operators.DedupIndex
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-dcx").toString
+    val path = s"$dir/idx"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = docs.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[TextChg]
+    val q = Streams.maintainDedupClusters(spark, in.toDF(), path,
+      s"$dir/ckpt", nBuckets = 16)
+    val (h1, h2) = all.splitAt(all.size / 2)
+    in.addData(h1.map { case (i, t) => TextChg(i, t, _deleted = false) }: _*)
+    q.processAllAvailable()
+    in.addData((h2.map { case (i, t) => TextChg(i, t, _deleted = false) } :+
+      TextChg(h1.head._1, "", _deleted = true)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fresh = s"$dir/fresh"
+    DedupIndex.build(
+      all.filterNot(_._1 == h1.head._1).toDF("doc_id", "text"),
+      $"doc_id", $"text", fresh, nBuckets = 16)
+    assert(DedupIndex.clusters(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      DedupIndex.clusters(spark, fresh).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "streamed cluster labels diverge from a rebuild")
+  }
+
   test("streamed text index builds then upserts; matches a rebuild") {
     import graft.operators.TextSearch
     implicit val sql = spark.sqlContext
