@@ -87,6 +87,12 @@ final case class QueryOpts(
       * `attachments=true`). Default false returns stub entries —
       * metadata without the bytes (see [[Attachments]]). */
     attachments: Boolean = false,
+    /** Reference `sorted=false`: map-only rows come back in ARBITRARY
+      * order — drops the global collation sort (at scale, the one
+      * all-to-one stage of a full-view read). Ignored for reduced
+      * queries and when an option implies an order (keys=, skip,
+      * descending). */
+    sorted: Boolean = true,
     stale: Option[Stale] = None,
     resumeAfter: Option[(Array[Byte], Any)] = None)
 
@@ -344,7 +350,12 @@ final class View private (
             if (opts.descending) Seq(ck.desc, col("id").desc)
             else Seq(ck.asc, col("id").asc)
         }
-        m.orderBy(sortCols: _*)
+        // sorted=false drops the global sort only when nothing else
+        // depends on row order (no pagination offset, no requested-key
+        // order, no descending role-swap)
+        if (!opts.sorted && keyOrder.isEmpty && !opts.descending &&
+            opts.skip == 0L && opts.resumeAfter.isEmpty) m
+        else m.orderBy(sortCols: _*)
       } else {
         val aggCol = aggFor(reduceFn.get)
         val grouped: DataFrame =

@@ -373,6 +373,27 @@ class ViewSpec extends SparkSpecBase {
     assert(rest.toSeq == prices)
   }
 
+  test("sorted=false: same rows, no global sort in the plan") {
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    val opts = QueryOpts(reduce = false,
+      startKey = Some(1000.0), endKey = Some(50000.0))
+    val sortedRows = v.query(opts)
+    val unsorted = v.query(opts.copy(sorted = false))
+    assert(unsorted.collect().map(_.getLong(0)).toSet ==
+      sortedRows.collect().map(_.getLong(0)).toSet,
+      "sorted=false must return the same row set")
+    def hasSort(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort])
+    assert(hasSort(sortedRows), "default query must sort")
+    assert(!hasSort(unsorted), "sorted=false must not plan a sort")
+    // order-dependent options keep their order even with sorted=false
+    val desc = v.query(opts.copy(sorted = false, descending = true,
+      limit = Some(10)))
+    val ks = desc.select($"key").as[Double].collect()
+    assert(ks.sameElements(ks.sorted.reverse))
+  }
+
   test("attachments: put/get/remove round-trip; include_docs stubs by default") {
     import graft.view.Attachments
     val docs0 = Seq((1L, "alpha"), (2L, "bravo-longer")).toDF("id", "txt")
