@@ -310,6 +310,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** F3: frame sampling metrics — every `stride`-th fixed-size payload
+    * slice through [[graft.operators.Multimodal.sampleFrames]]'s REAL
+    * binary plumbing (codegen `substr` on binary), summarized as frame
+    * count + total sampled bytes. The oracle cannot slice blobs
+    * (DuckDB 1.0), so it replays the slicing arithmetic over the
+    * payload's byte length — equality proves the emitted frames have
+    * exactly the prescribed count and sizes. A payload shorter than
+    * one stride still emits one (possibly short) frame — the
+    * documented at-least-one behavior, mirrored by the oracle. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(
+        Multimodal.assetsFromDocs(t(s, dir, "documents")))
+      .select(col("doc_id"), col("frames"))
+      .select(col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        aggregate(col("frames"), lit(0L),
+          (acc, f) => acc + octet_length(f).cast("long")).as("frame_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------- B(cont). breadth ops
 
   /** B10: ROLLUP hierarchical aggregation (status × priority). */
@@ -896,7 +917,8 @@ object SparkEntry {
     "q65_hybrid_search" -> (q65 _),
     "q66_simhash_indexed" -> (q66 _),
     "q67_dedup_corpus" -> (q67 _),
-    "q68_cluster_labels" -> (q68 _)
+    "q68_cluster_labels" -> (q68 _),
+    "q69_frame_sampling" -> (q69 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1602,7 +1624,18 @@ object SparkEntry {
          |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin),
+    // Slicing arithmetic replay (DuckDB 1.0 cannot substring blobs):
+    // chunk = frameBytes*stride = 64; emitted frames = max(L//64, 1);
+    // all full-chunk frames carry exactly frameBytes=16 bytes, the
+    // at-least-one short case carries min(16, L).
+    "q69_frame_sampling" ->
+      """SELECT doc_id,
+        |  CAST(GREATEST(octet_length(encode(text)) // 64, 1) AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN octet_length(encode(text)) >= 64
+        |            THEN 16 * (octet_length(encode(text)) // 64)
+        |            ELSE LEAST(16, octet_length(encode(text))) END AS BIGINT) AS frame_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same
