@@ -154,6 +154,9 @@ object TextSearch {
       .delete(new org.apache.hadoop.fs.Path(path), true)
     val tfRows = termFreqs(docs, id, text)
       .withColumn("_tb", termBucket(col("term"), nBuckets))
+    require(!tfRows.isEmpty,
+      "cannot build a text index from a corpus with no tokens " +
+        "(the streaming maintainer defers creation past empty batches)")
     tfRows.repartition(col("_tb")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("_tb").parquet(path + "/postings")
     val posts = spark.read.parquet(path + "/postings")
@@ -165,7 +168,8 @@ object TextSearch {
       .repartition(col("_ib")).sortWithinPartitions(col("_ib"), col("doc_id"))
       .write.mode("overwrite").partitionBy("_ib").parquet(path + "/ids")
     val st = posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
     writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets)
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }

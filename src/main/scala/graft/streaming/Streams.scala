@@ -263,7 +263,10 @@ object Streams {
             .distinct().collect().map(_.getLong(0)).toSeq
           else Nil
         if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
+          // defer creation past batches with no tokens (build requires
+          // a non-empty vocabulary — same deferral as the view maintainer)
+          if (!live.filter(
+              size(graft.operators.Text.tokens(col("text"))) > 0).isEmpty)
             TextSearch.buildTextIndex(live, col("doc_id"), col("text"),
               path, nBuckets, seq = batchId + 1)
         } else {

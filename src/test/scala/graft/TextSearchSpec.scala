@@ -156,6 +156,15 @@ class TextSearchSpec extends SparkSpecBase {
     assert(strict.isEmpty)
   }
 
+  test("token-less corpus fails the build loudly, not with an NPE") {
+    val empty = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-empty").toString + "/idx"
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.buildTextIndex(empty, $"doc_id", $"text", path)
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("stale-layout artifacts are detected, not silently served") {
     val path = Files.createTempDirectory("graft-fmt").toString + "/idx"
     assert(!TextSearch.indexCurrent(spark, path), "missing index = stale")
