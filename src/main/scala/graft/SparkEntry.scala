@@ -715,6 +715,25 @@ object SparkEntry {
     DedupIndex.clusters(s, path).orderBy(col("doc_id"))
   }
 
+  /** E8b: IVF ANN over the hashed TF-IDF vectors — the SCALE path for
+    * lexical-vector search (q64's brute rank probes 4 inverted lists
+    * instead of the corpus): vectors derive from the text index,
+    * the IVF index persists them, and the oracle replays vectors +
+    * quantization + probes + rank from raw text. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Similarity, TextSearch}
+    val tpath = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, tpath))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), tpath)
+    val vecs = TextSearch.tfidfVectorsIndexed(s, tpath)
+    val path = idxPath("tvx", dir, "documents")
+    if (!graft.view.IndexStore.exists(s, path))
+      Similarity.buildIvfIndex(vecs, path)
+    Similarity.ivfTopK(s, path, vecs.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -765,7 +784,18 @@ object SparkEntry {
     }),
     "q60_text_search" -> ((s, dir) => graft.operators.TextSearch
       .buildTextIndex(t(s, dir, "documents"), col("doc_id"), col("text"),
-        idxPath("txt", dir, "documents"))))
+        idxPath("txt", dir, "documents"))),
+    "q70_tfidf_ivf" -> ((s, dir) => {
+      // vectors come from the text index built just above (map order
+      // is not guaranteed — ensure it, then quantize)
+      val tpath = idxPath("txt", dir, "documents")
+      if (!graft.operators.TextSearch.indexCurrent(s, tpath))
+        graft.operators.TextSearch.buildTextIndex(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tpath)
+      graft.operators.Similarity.buildIvfIndex(
+        graft.operators.TextSearch.tfidfVectorsIndexed(s, tpath),
+        idxPath("tvx", dir, "documents"))
+    }))
 
   /** D2b: ANN against the PERSISTED LSH signature index — identical
     * results to q27's on-the-fly formulation (same oracle SQL), but the
@@ -918,7 +948,8 @@ object SparkEntry {
     "q66_simhash_indexed" -> (q66 _),
     "q67_dedup_corpus" -> (q67 _),
     "q68_cluster_labels" -> (q68 _),
-    "q69_frame_sampling" -> (q69 _)
+    "q69_frame_sampling" -> (q69 _),
+    "q70_tfidf_ivf" -> (q70 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1455,33 +1486,8 @@ object SparkEntry {
     // mod 64, so only the 7th/8th md5 hex digits matter), same integer
     // idf weights (order-free collision sums), dense 64-slot lists in
     // slot order, then the q26 cosine-rank replay.
-    "q64_tfidf_ann" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             w -> w != '') AS ws
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
-        |  GROUP BY doc_id, term),
-        |st AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
-        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |wt AS (
-        |  SELECT doc_id,
-        |    ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
-        |     (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
-        |    SUM(tf * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
-        |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
-        |  FROM tf JOIN dft USING (term) CROSS JOIN st
-        |  GROUP BY doc_id, feat),
-        |m AS (SELECT doc_id, map(list(feat ORDER BY feat),
-        |                         list(wi ORDER BY feat)) AS mp
-        |      FROM wt GROUP BY doc_id),
-        |dense AS (
-        |  SELECT doc_id, list_transform(range(0, 64),
-        |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS v
-        |  FROM m),
-        |j AS (
+    "q64_tfidf_ann" -> (tfidfDenseCte +
+      """, j AS (
         |  SELECT q.doc_id AS q_id, e.doc_id AS n_id,
         |    list_dot_product(q.v, e.v) /
         |      (sqrt(list_dot_product(q.v, q.v)) *
@@ -1492,7 +1498,7 @@ object SparkEntry {
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     // Hybrid fusion: the bm25 CTEs (rounded per-doc score + max) and
     // the q64 vector CTEs (dense doc vectors + the query's own tf=1
     // vector from corpus dfs), fused 0.5/0.5 with the shared rounding.
@@ -1635,7 +1641,44 @@ object SparkEntry {
         |  CAST(CASE WHEN octet_length(encode(text)) >= 64
         |            THEN 16 * (octet_length(encode(text)) // 64)
         |            ELSE LEAST(16, octet_length(encode(text))) END AS BIGINT) AS frame_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The q53 IVF replay with the vector source swapped from raw
+    // embeddings to the TF-IDF dense chain: same deterministic init
+    // (vec_id < 16), nearest-centroid assignment (ties larger cid),
+    // 4 probes, exact in-list rank.
+    "q70_tfidf_ivf" -> (tfidfDenseCte +
+      """, e AS (SELECT doc_id AS vec_id, v FROM dense),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.n_id != p.q_id),
+        |j AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n q ON q.vec_id = cand.q_id
+        |  JOIN n x ON x.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same
@@ -1693,6 +1736,38 @@ object SparkEntry {
     simhashCte +
       """SELECT doc_id, simhash FROM sfull ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared hashed-TF-IDF CTE chain up to `dense(doc_id, v)` — the
+    * oracle twin of [[graft.operators.TextSearch.tfidfVectors]]
+    * (integer idf weights, md5 slot routing with 256 ≡ 0 mod 64, map
+    * densification). Base of q64's cosine rank, q65's fusion vectors,
+    * and q70's IVF replay. Lazy: referenced by vals declared above. */
+  private lazy val tfidfDenseCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+      |  GROUP BY doc_id, term),
+      |st AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |wt AS (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
+      |     (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
+      |    SUM(tf * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
+      |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
+      |  FROM tf JOIN dft USING (term) CROSS JOIN st
+      |  GROUP BY doc_id, feat),
+      |m AS (SELECT doc_id, map(list(feat ORDER BY feat),
+      |                         list(wi ORDER BY feat)) AS mp
+      |      FROM wt GROUP BY doc_id),
+      |dense AS (
+      |  SELECT doc_id, list_transform(range(0, 64),
+      |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS v
+      |  FROM m)""".stripMargin
 
   /** The shared per-doc simhash derivation (see [[simhashOracle]]) up
     * to `sfull(doc_id, simhash)` — also the base of the banded
