@@ -726,11 +726,16 @@ object SparkEntry {
     if (!TextSearch.indexCurrent(s, tpath))
       TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
         col("text"), tpath)
-    val vecs = TextSearch.tfidfVectorsIndexed(s, tpath)
     val path = idxPath("tvx", dir, "documents")
     if (!graft.view.IndexStore.exists(s, path))
-      Similarity.buildIvfIndex(vecs, path)
-    Similarity.ivfTopK(s, path, vecs.filter(col("vec_id") < 10), 5)
+      Similarity.buildIvfIndex(TextSearch.tfidfVectorsIndexed(s, tpath),
+        path)
+    // query-by-id serving: the query docs' vectors are FETCHED from
+    // the index (they are stored with the inverted lists), not
+    // re-derived from postings — the amortized interactive path
+    val q = s.read.parquet(s"$path/data").filter(col("_id") < 10)
+      .select(col("_id").as("vec_id"), col("n_vec").as("embedding"))
+    Similarity.ivfTopK(s, path, q, 5)
       .orderBy(col("q_id"), col("rank"))
   }
 
