@@ -739,6 +739,20 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** E7e: proximity-boosted BM25 — the positional index's position
+    * arrays feed the SCORE (`bm25 * (1 + 1/(1+minDist))`), not just
+    * phrase predicates ([[graft.operators.TextSearch
+    * .proximitySearch]]); the oracle recomputes positions, the Okapi
+    * weights and the boost from raw text. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.proximitySearch(s, path, "hash", "stream", 20)
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -954,7 +968,8 @@ object SparkEntry {
     "q67_dedup_corpus" -> (q67 _),
     "q68_cluster_labels" -> (q68 _),
     "q69_frame_sampling" -> (q69 _),
-    "q70_tfidf_ivf" -> (q70 _)
+    "q70_tfidf_ivf" -> (q70 _),
+    "q71_proximity" -> (q71 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1683,7 +1698,49 @@ object SparkEntry {
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+    // BM25 weights for hash/stream (the q62 CTEs) times the proximity
+    // boost; positions are 1-based here vs 0-based in the index, but
+    // DISTANCES are identical. Sum order mirrors (_sa + _sb).
+    "q71_proximity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE term IN ('hash', 'stream')
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN term = 'hash' THEN sc END) AS t0,
+        |    MAX(CASE WHEN term = 'stream' THEN sc END) AS t1
+        |  FROM s GROUP BY doc_id),
+        |pos AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'hash') AS pa,
+        |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'stream') AS pb
+        |  FROM toks),
+        |prox AS (
+        |  SELECT doc_id, list_min(flatten(list_transform(pa,
+        |    a -> list_transform(pb, b -> abs(a - b))))) AS md
+        |  FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
+        |SELECT p.doc_id,
+        |  FLOOR(((t0 + t1) * (1.0 + 1.0 / (1.0 + CAST(md AS DOUBLE))))
+        |    * 10000 + 0.5) / 10000 AS score
+        |FROM p JOIN prox ON prox.doc_id = p.doc_id
+        |WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

@@ -313,6 +313,42 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Proximity-boosted BM25 for a two-term query: docs containing BOTH
+    * terms, scored `bm25 * (1 + 1/(1 + minDist))` where `minDist` is
+    * the minimum token distance between any occurrence of the two
+    * terms — resolved entirely from the positional index's stored
+    * position arrays (the per-pair HOF cost is tf₁×tf₂, bounded by
+    * posting-row term frequencies, never document length). Near-phrase
+    * docs can double their score; far-apart co-occurrence converges to
+    * plain BM25. */
+  def proximitySearch(spark: SparkSession, path: String, termA: String,
+                      termB: String, k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    require(termA != termB, "proximity needs two distinct terms")
+    val terms = Seq(termA, termB)
+    val (n, avgdl, nB) = statsOf(spark, path)
+    val scored = readPruned(spark, path, "postings", terms, nB)
+      .join(broadcast(readPruned(spark, path, "terms", terms, nB)
+        .select(col("term"), col("df"))), Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(n), lit(avgdl), k1, b))
+    val g = scored.groupBy(col("doc_id")).agg(
+        max(when(col("term") === termA, col("_s"))).as("_sa"),
+        max(when(col("term") === termB, col("_s"))).as("_sb"),
+        first(when(col("term") === termA, col("pos")),
+          ignoreNulls = true).as("_pa"),
+        first(when(col("term") === termB, col("pos")),
+          ignoreNulls = true).as("_pb"))
+      .filter(col("_sa").isNotNull && col("_sb").isNotNull)
+      .withColumn("_md", array_min(flatten(transform(col("_pa"),
+        a => transform(col("_pb"), b2 => abs(a - b2))))))
+    g.select(col("doc_id"), round4(
+        (col("_sa") + col("_sb")) *
+          (lit(1.0) + lit(1.0) / (lit(1.0) + col("_md").cast("double"))))
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Hashed TF-IDF document vectors — the text→embedding bridge: every
     * doc becomes a dense `dim`-dimensional `Array[Double]` usable by
     * every Similarity operator (brute/LSH/IVF ANN, cosine near-dup),

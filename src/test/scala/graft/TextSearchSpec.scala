@@ -231,6 +231,24 @@ class TextSearchSpec extends SparkSpecBase {
     assert(alpha0 != alpha1, "vector signal had no effect on the ranking")
   }
 
+  test("proximity search: adjacency beats distance at equal BM25") {
+    // identical tf and dl for both docs => identical BM25; only the
+    // minimum token distance differs
+    val tiny = Seq(
+      (1L, "hash stream aa bb cc dd ee ff"),
+      (2L, "hash aa bb cc dd ee ff stream"),
+      (3L, "hash only here no second term")
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-prox").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+    val r = TextSearch.proximitySearch(spark, path, "hash", "stream", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!r.contains(3L), "single-term doc must not match")
+    assert(r(1L) > r(2L), s"adjacent pair must outrank distant: $r")
+    // boost bounds: adjacent doubles at most, distant converges to bm25
+    assert(r(1L) / r(2L) > 1.2 && r(1L) / r(2L) < 2.1)
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
