@@ -753,6 +753,21 @@ object SparkEntry {
     TextSearch.proximitySearch(s, path, "hash", "stream", 20)
   }
 
+  /** E7f: compound text+attribute search — BM25 candidates restricted
+    * to an attribute predicate (lang='en') between scoring and ranking
+    * ([[graft.operators.TextSearch.searchWhere]]), so the top-k is the
+    * filtered set's top-k. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.searchWhere(s, path, searchTerms, 20,
+      t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id")))
+  }
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -969,7 +984,8 @@ object SparkEntry {
     "q68_cluster_labels" -> (q68 _),
     "q69_frame_sampling" -> (q69 _),
     "q70_tfidf_ivf" -> (q70 _),
-    "q71_proximity" -> (q71 _)
+    "q71_proximity" -> (q71 _),
+    "q72_filtered_search" -> (q72 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1740,7 +1756,14 @@ object SparkEntry {
         |    * 10000 + 0.5) / 10000 AS score
         |FROM p JOIN prox ON prox.doc_id = p.doc_id
         |WHERE t0 IS NOT NULL AND t1 IS NOT NULL
-        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin,
+    // the bm25 replay with the attribute predicate applied BEFORE the
+    // limit — the filtered set's own top-20
+    "q72_filtered_search" -> bm25Oracle.replace(
+      "FROM p ORDER BY score DESC, doc_id LIMIT 20",
+      """FROM p
+        |WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

@@ -313,6 +313,30 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Attribute-filtered BM25: [[searchIndexed]] restricted to an
+    * allowed-doc set (one `doc_id` column — e.g. `docs.filter(lang ===
+    * "en")`), applied BETWEEN scoring and ranking so the top-k is the
+    * top-k OF THE FILTERED SET (post-limit filtering would
+    * under-return). The allowed set joins as a semi-join — broadcast
+    * when small, shuffle otherwise; the postings read stays
+    * bucket-pruned either way. */
+  def searchWhere(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], k: Int, allowed: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val (n, avgdl, nB) = statsOf(spark, path)
+    val scored = readPruned(spark, path, "postings", queryTerms, nB)
+      .join(broadcast(readPruned(spark, path, "terms", queryTerms, nB)
+        .select(col("term"), col("df"))), Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(n), lit(avgdl), k1, b))
+    sumInTermOrder(scored, queryTerms)
+      .join(allowed.select(allowed.columns.head).toDF("doc_id")
+        .distinct(), Seq("doc_id"), "left_semi")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Proximity-boosted BM25 for a two-term query: docs containing BOTH
     * terms, scored `bm25 * (1 + 1/(1 + minDist))` where `minDist` is
     * the minimum token distance between any occurrence of the two
