@@ -768,6 +768,15 @@ object SparkEntry {
         .select(col("doc_id")))
   }
 
+  /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
+    * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
+    * guard against LSH false positives chaining unrelated docs);
+    * otherwise identical to q67. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupCorpus(t(s, dir, "documents"),
+      col("doc_id"), col("text"), jaccardThreshold = Some(0.5))
+      .orderBy(col("doc_id"))
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -985,7 +994,8 @@ object SparkEntry {
     "q69_frame_sampling" -> (q69 _),
     "q70_tfidf_ivf" -> (q70 _),
     "q71_proximity" -> (q71 _),
-    "q72_filtered_search" -> (q72 _)
+    "q72_filtered_search" -> (q72 _),
+    "q73_dedup_verified" -> (q73 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1763,7 +1773,42 @@ object SparkEntry {
       "FROM p ORDER BY score DESC, doc_id LIMIT 20",
       """FROM p
         |WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    // q67's replay with the q24 Jaccard verification (rounded-compare,
+    // threshold 0.5) gating the pair graph
+    "q73_dedup_verified" ->
+      ("""WITH RECURSIVE fpm AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |keepx AS (SELECT fp, MIN(doc_id) AS keeper FROM fpm GROUP BY fp),
+         |em AS (SELECT doc_id, keeper FROM fpm JOIN keepx USING (fp)),
+         |keptdocs AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN em ON em.doc_id = d.doc_id AND em.doc_id = em.keeper),
+         |""".stripMargin +
+       minhashCte.stripPrefix("WITH ").replace("FROM documents", "FROM keptdocs") +
+       """, sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |vpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |      FLOOR((CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |            len(list_distinct(sa.s || sb.s))) * 10000 + 0.5) / 10000 AS jac
+         |    FROM pairs p
+         |    JOIN sets sa ON sa.doc_id = p.doc_a
+         |    JOIN sets sb ON sb.doc_id = p.doc_b)
+         |  WHERE jac >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM vpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
+         |FROM em LEFT JOIN comp c ON c.id = em.keeper
+         |ORDER BY em.doc_id""".stripMargin)
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

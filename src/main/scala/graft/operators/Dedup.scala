@@ -247,14 +247,23 @@ object Dedup {
     * that filters a corpus to survivors (`doc_id === kept_id`) or
     * rewrites references to canonical docs. All stages are the
     * bucket-local scale-safe operators above. */
-  def dedupCorpus(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def dedupCorpus(docs: DataFrame, id: Column, text: Column,
+                  jaccardThreshold: Option[Double] = None): DataFrame = {
     val fp = docs.select(id.cast("long").as("doc_id"),
       Text.fingerprint(text).as("_fp"), text.as("_text"))
     val keep = fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
     val exactMap = fp.join(keep, Seq("_fp"))
     val keepers = exactMap.filter(col("doc_id") === col("_keeper"))
       .select(col("doc_id"), col("_text"))
-    val pairs = minhashCandidatePairs(keepers, col("doc_id"), col("_text"))
+    // precision mode: verify every LSH candidate's exact shingle
+    // Jaccard before it may merge clusters — the standard guard
+    // against LSH false positives chaining unrelated docs together
+    val pairs = jaccardThreshold match {
+      case Some(t) => jaccardPairs(keepers, col("doc_id"), col("_text"), t)
+        .select(col("doc_a"), col("doc_b"))
+      case None => minhashCandidatePairs(keepers, col("doc_id"),
+        col("_text"))
+    }
     val cc = connectedComponents(pairs)
       .withColumnRenamed("doc_id", "_keeper")
       .withColumnRenamed("cluster_id", "_rep")
