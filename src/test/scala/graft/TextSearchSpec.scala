@@ -249,6 +249,21 @@ class TextSearchSpec extends SparkSpecBase {
     assert(r(1L) / r(2L) > 1.2 && r(1L) / r(2L) < 2.1)
   }
 
+  test("searchWhere: top-k of the FILTERED set, not a post-filtered top-k") {
+    val path = Files.createTempDirectory("graft-sw").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
+    val allowed = docs.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val got = TextSearch.searchWhere(spark, path, terms, 15, allowed)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0),
+      "returned a doc outside the allowed set")
+    // equals filtering the FULL ranking then taking 15
+    val full = TextSearch.searchIndexed(spark, path, terms, 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 % 2 == 0).take(15).toSeq
+    assert(got == full, "searchWhere must be the filtered set's own top-k")
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
