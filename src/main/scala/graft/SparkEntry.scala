@@ -777,6 +777,16 @@ object SparkEntry {
       col("doc_id"), col("text"), jaccardThreshold = Some(0.5))
       .orderBy(col("doc_id"))
 
+  /** E10: bigram LM quality scoring ([[graft.operators.Text
+    * .bigramLmScores]]) — the corpus-trained add-one bigram model's
+    * average log-probability per doc, the LM-filter signal of
+    * CCNet/Gopher-style data pipelines; integer fixed-point log-probs
+    * make the per-doc sum order-free so the oracle replays it. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.bigramLmScores(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** E4b: winnowing fingerprints at corpus scale — md5-gram window
     * minima, engine-portable, so the full (doc_id, fp) fingerprint
     * relation is oracle-gated (overlap behavior additionally
@@ -995,7 +1005,8 @@ object SparkEntry {
     "q70_tfidf_ivf" -> (q70 _),
     "q71_proximity" -> (q71 _),
     "q72_filtered_search" -> (q72 _),
-    "q73_dedup_verified" -> (q73 _)
+    "q73_dedup_verified" -> (q73 _),
+    "q74_lm_quality" -> (q74 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1808,7 +1819,34 @@ object SparkEntry {
          |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
          |FROM em LEFT JOIN comp c ON c.id = em.keeper
-         |ORDER BY em.doc_id""".stripMargin)
+         |ORDER BY em.doc_id""".stripMargin),
+    // Corpus-trained add-one bigram model: same counts, same smoothed
+    // log-prob rounded to integer micro-nats (order-free sums), same
+    // division order for the per-doc average.
+    "q74_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |bix AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bix GROUP BY w1, w2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bix GROUP BY w1),
+        |vt AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |  (SELECT w1 AS w FROM bix UNION ALL SELECT w2 FROM bix)),
+        |sc AS (
+        |  SELECT bix.doc_id,
+        |    CAST(FLOOR(ln((CAST(c2.c2 AS DOUBLE) + 1.0) /
+        |        (CAST(c1t.c1 AS DOUBLE) + CAST(vt.v AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS lp6
+        |  FROM bix JOIN c2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vt)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(((CAST(SUM(lp6) AS DOUBLE) / 1000000.0) / COUNT(*))
+        |    * 10000 + 0.5) / 10000 AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

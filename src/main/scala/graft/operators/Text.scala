@@ -62,6 +62,52 @@ object Text {
       least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0) * 0.3)
   }
 
+  /** Bigram language-model quality score — the CCNet/Gopher-style LM
+    * filter for training-data pipelines: an add-one-smoothed bigram
+    * model is "trained" on the corpus itself (two aggregations: bigram
+    * counts and unigram counts), and each doc is scored by its average
+    * bigram log-probability `avg ln((c2+1)/(c1+V))` — formulaic text
+    * (repeated high-probability transitions) scores high, token salad
+    * scores low.
+    *
+    * Engine-portable by construction: each bigram's log-prob is
+    * rounded at 1e-6 and summed as an INTEGER (order-free exact adds —
+    * a plain double sum over an unordered group would be
+    * nondeterministic in the last ulp), divided back once per doc.
+    * Scale shape: one explode + lead window for bigram rows, two
+    * partial-aggregating groupBys for the model, one broadcast-or-
+    * shuffle join to score — never a per-doc loop. Returns
+    * `(doc_id, n_bigrams, lm_score)` for docs with ≥1 bigram. */
+  def bigramLmScores(docs: org.apache.spark.sql.DataFrame,
+                     id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = docs.select(id.cast("long").as("doc_id"), text.as("_t"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("_t"))).as(Seq("_p", "_w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val bi = toks
+      .select(col("doc_id"), col("_w").as("w1"),
+        lead(col("_w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(fcount(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(fcount(lit(1)).as("c1"))
+    val v = bi.select(col("w1")).unionByName(bi.select(col("w2").as("w1")))
+      .distinct().count()
+    bi.join(c2, Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+      .withColumn("_lp6", floor(log(
+        (col("c2").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + lit(v.toDouble))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(fcount(lit(1)).as("n_bigrams"), sum(col("_lp6")).as("_s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.gfunctions.round4((col("_s6").cast("double") / 1000000.0) /
+          col("n_bigrams")).as("lm_score"))
+  }
+
   /** Whitespace-normalized lowercase form used for content hashing. */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

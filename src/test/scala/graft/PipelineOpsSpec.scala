@@ -385,6 +385,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
   }
 
+  test("bigram LM score: formulaic text outranks token salad") {
+    import graft.operators.Text
+    // corpus where "big data" is a common transition and doc 3 is a
+    // rare-transition permutation of the same vocabulary
+    val docs = Seq(
+      (1L, "big data big data big data"),
+      (2L, "big data big data"),
+      (3L, "data big salad token big"),
+      (4L, "solo")                      // no bigrams -> excluded
+    ).toDF("doc_id", "text")
+    val s = Text.bigramLmScores(docs, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val m = s.map(x => x._1 -> x._3).toMap
+    assert(!m.contains(4L), "a doc without bigrams has no LM score")
+    assert(m(1L) > m(3L),
+      s"high-probability transitions must outrank rare ones: $m")
+    assert(s.forall(_._3 < 0.0), "log-probs are negative")
+    // n_bigrams is tokens-1
+    assert(s.find(_._1 == 1L).get._2 == 5L)
+  }
+
   test("connected components: chains merge transitively, min id labels") {
     import graft.operators.Dedup
     // two components: a 5-chain (exercises multi-round propagation —
