@@ -93,13 +93,21 @@ object Text {
         lead(col("_w"), 1).over(w).as("w2"))
       .filter(col("w2").isNotNull)
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(fcount(lit(1)).as("c2"))
+    // NO broadcast hint on the unigram (or bigram) model joins: both
+    // tables are one row per distinct corpus token/bigram — unbounded
+    // at corpus scale (hundreds of millions of rows at 100 TB), so a
+    // forced broadcast would OOM outright. AQE picks broadcast at
+    // runtime whenever the model actually fits.
     val c1 = bi.groupBy(col("w1")).agg(fcount(lit(1)).as("c1"))
-    val v = bi.select(col("w1")).unionByName(bi.select(col("w2").as("w1")))
-      .distinct().count()
-    bi.join(c2, Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+    // vocabulary size as a one-row frame fused into the scoring plan
+    // (one job), not a separate driver-side count() action (two jobs)
+    val vdf = bi.select(col("w1")).unionByName(bi.select(col("w2").as("w1")))
+      .distinct().agg(fcount(lit(1)).cast("double").as("_v"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdf))
       .withColumn("_lp6", floor(log(
         (col("c2").cast("double") + lit(1.0)) /
-          (col("c1").cast("double") + lit(v.toDouble))) *
+          (col("c1").cast("double") + col("_v"))) *
           lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(fcount(lit(1)).as("n_bigrams"), sum(col("_lp6")).as("_s6"))

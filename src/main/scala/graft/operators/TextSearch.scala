@@ -325,6 +325,11 @@ object TextSearch {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be non-empty and distinct")
+    require(allowed.columns.length == 1,
+      s"allowed must be a single doc-id column; got " +
+        s"[${allowed.columns.mkString(", ")}] — select the id column " +
+        "explicitly (a silent columns.head guess would filter on the " +
+        "wrong column)")
     val (n, avgdl, nB) = statsOf(spark, path)
     val scored = readPruned(spark, path, "postings", queryTerms, nB)
       .join(broadcast(readPruned(spark, path, "terms", queryTerms, nB)
@@ -332,7 +337,7 @@ object TextSearch {
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         lit(n), lit(avgdl), k1, b))
     sumInTermOrder(scored, queryTerms)
-      .join(allowed.select(allowed.columns.head).toDF("doc_id")
+      .join(allowed.toDF("doc_id")
         .distinct(), Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
@@ -415,11 +420,36 @@ object TextSearch {
     densify(weighted(w, lit(n), dim), dim)
   }
 
+  /** TF-IDF vectors for ONLY the docs in `candidates` (one doc-id
+    * column) — the serving-path variant: the postings read is
+    * semi-joined to the candidate set BEFORE the dim-wide densify
+    * aggregation, so the aggregation (the expensive stage) processes
+    * candidate docs' postings only, never the corpus. dfs and `n` come
+    * from the stored tables, so each candidate's vector is
+    * bit-identical to the full [[tfidfVectorsIndexed]] output. */
+  def tfidfVectorsFor(spark: SparkSession, path: String,
+                      candidates: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
+    require(candidates.columns.length == 1,
+      s"candidates must be a single doc-id column; got " +
+        s"[${candidates.columns.mkString(", ")}]")
+    val (n, _, _) = statsOf(spark, path)
+    val w = spark.read.parquet(path + "/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .join(candidates.toDF("doc_id").distinct(), Seq("doc_id"),
+        "left_semi")
+      .join(spark.read.parquet(path + "/terms")
+        .select(col("term"), col("df")), Seq("term"))
+    densify(weighted(w, lit(n), dim), dim)
+  }
+
   /** Hybrid retrieval — the modern search stack's score fusion, served
     * entirely from the index: candidates and their BM25 scores come
     * from the inverted postings ([[searchIndexed]] semantics, no
     * limit), lexical-vector similarity comes from the hashed TF-IDF
-    * embeddings ([[tfidfVectorsIndexed]]) against the QUERY's own
+    * embeddings of the CANDIDATES ONLY ([[tfidfVectorsFor]] — the
+    * densify aggregation is bounded by the query terms' posting
+    * lists, never the corpus) against the QUERY's own
     * TF-IDF vector (tf=1 per term, stored dfs), and the final score is
     * `alpha * bm25/max(bm25) + (1-alpha) * cosine` — min-max-
     * normalized BM25 so both signals live on [0,1]. Every float step
@@ -449,7 +479,12 @@ object TextSearch {
           col("df")), lit(n), dim)
     val qvec = densify(qv, dim)
       .select(col("embedding").as("_qv"))
-    val dv = tfidfVectorsIndexed(spark, path, dim)
+    // candidate-bounded vectors: docs matching ≥1 query term (the BM25
+    // candidate set, bounded by the query terms' posting lists) — NOT
+    // the full-corpus tfidfVectorsIndexed, whose dim-wide densify
+    // aggregation over every document would make each hybrid query pay
+    // a whole-index aggregation at scale
+    val dv = tfidfVectorsFor(spark, path, bm.select(col("doc_id")), dim)
       .select(col("vec_id").as("doc_id"), col("embedding").as("_dv"))
     import graft.operators.Similarity.dot
     bm.join(dv, Seq("doc_id"))

@@ -264,6 +264,68 @@ class TextSearchSpec extends SparkSpecBase {
     assert(got == full, "searchWhere must be the filtered set's own top-k")
   }
 
+  test("tfidfVectorsFor: densify input bounded by candidates, not corpus") {
+    val path = Files.createTempDirectory("graft-tvf").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
+    val candIds = Seq(2L, 4L, 6L, 8L, 10L)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = TextSearch.tfidfVectorsFor(spark, path,
+        candIds.toDF("doc_id"), dim = 32)
+      val rows = q.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(rows.keySet == candIds.toSet)
+      // bit-identical to the full-corpus vectors for the same ids
+      val full = TextSearch.tfidfVectorsIndexed(spark, path, dim = 32)
+        .filter($"vec_id".isin(candIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(rows == full,
+        "candidate-bounded vectors diverged from the full computation")
+      // the semi-join bounds what flows into the densify aggregation:
+      // its output rows == the CANDIDATES' posting rows, a small
+      // fraction of the corpus postings the old full-index path fed in
+      val semis = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, "expected a LeftSemi join below the densify")
+      val candPostings = spark.read.parquet(s"$path/postings")
+        .filter($"doc_id".isin(candIds: _*)).count()
+      val totalPostings = spark.read.parquet(s"$path/postings").count()
+      assert(semis.head.metrics("numOutputRows").value == candPostings,
+        s"semi-join must pass exactly the candidates' postings: " +
+          s"${semis.head.metrics("numOutputRows").value} vs $candPostings")
+      assert(candPostings < totalPostings / 10,
+        "test corpus too small to distinguish candidate from corpus scan")
+
+      // hybridSearch itself is served through the bounded path
+      val h = TextSearch.hybridSearch(spark, path, terms, 10)
+      assert(h.collect().length == 10)
+      val hSemis = h.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(hSemis.nonEmpty,
+        "hybridSearch must bound its vector computation to the candidates")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("searchWhere: multi-column allowed frame fails loudly") {
+    val tiny = Seq((1L, "hash join"), (2L, "hash stream"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-swm").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.searchWhere(spark, path, Seq("hash"), 5,
+        tiny.select($"text", $"doc_id"))
+    }
+    assert(e.getMessage.contains("single doc-id column"))
+    // the single-column contract still works end-to-end
+    val ok = TextSearch.searchWhere(spark, path, Seq("hash"), 5,
+      tiny.filter($"doc_id" === 2L).select($"doc_id"))
+    assert(ok.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
