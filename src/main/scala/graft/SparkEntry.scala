@@ -753,6 +753,20 @@ object SparkEntry {
     TextSearch.proximitySearch(s, path, "hash", "stream", 20)
   }
 
+  /** E7e-N: N-term proximity — the minimum-window generalization of
+    * q71: three terms, span = the smallest token window containing one
+    * occurrence of each, boost `1/(1+span)`; the oracle replays the
+    * positions, the per-term running maxes and the window fold with
+    * DuckDB window functions. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.proximitySearch(s, path, searchTerms, 20)
+  }
+
   /** E7f: compound text+attribute search — BM25 candidates restricted
     * to an attribute predicate (lang='en') between scoring and ranking
     * ([[graft.operators.TextSearch.searchWhere]]), so the top-k is the
@@ -1006,7 +1020,8 @@ object SparkEntry {
     "q71_proximity" -> (q71 _),
     "q72_filtered_search" -> (q72 _),
     "q73_dedup_verified" -> (q73 _),
-    "q74_lm_quality" -> (q74 _)
+    "q74_lm_quality" -> (q74 _),
+    "q75_proximity_n" -> (q75 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1846,7 +1861,59 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  FLOOR(((CAST(SUM(lp6) AS DOUBLE) / 1000000.0) / COUNT(*))
         |    * 10000 + 0.5) / 10000 AS lm_score
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q71's BM25 replay extended to three required terms, with the
+    // minimum-window span computed by the same merged-stream running-
+    // max scan the engine runs (positions are 1-based here vs 0-based
+    // in the index, but window SPANS are identical). Sum order is the
+    // sorted-term fold t0+t1+t2.
+    "q75_proximity_n" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN term = 'hash' THEN sc END) AS t0,
+        |    MAX(CASE WHEN term = 'join' THEN sc END) AS t1,
+        |    MAX(CASE WHEN term = 'stream' THEN sc END) AS t2
+        |  FROM s GROUP BY doc_id),
+        |posr AS (
+        |  SELECT doc_id, i AS p, ws[i] AS term FROM (
+        |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+        |  WHERE ws[i] IN ('hash', 'join', 'stream')),
+        |run AS (
+        |  SELECT doc_id, p,
+        |    MAX(CASE WHEN term = 'hash' THEN p END) OVER w AS m0,
+        |    MAX(CASE WHEN term = 'join' THEN p END) OVER w AS m1,
+        |    MAX(CASE WHEN term = 'stream' THEN p END) OVER w AS m2
+        |  FROM posr
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |spans AS (
+        |  SELECT doc_id, MIN(p - LEAST(m0, m1, m2)) AS md
+        |  FROM run WHERE m0 IS NOT NULL AND m1 IS NOT NULL AND m2 IS NOT NULL
+        |  GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  FLOOR(((t0 + t1 + t2) * (1.0 + 1.0 / (1.0 + CAST(md AS DOUBLE))))
+        |    * 10000 + 0.5) / 10000 AS score
+        |FROM p JOIN spans ON spans.doc_id = p.doc_id
+        |WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

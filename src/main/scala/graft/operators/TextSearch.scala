@@ -342,41 +342,66 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
-  /** Proximity-boosted BM25 for a two-term query: docs containing BOTH
-    * terms, scored `bm25 * (1 + 1/(1 + minDist))` where `minDist` is
-    * the minimum token distance between any occurrence of the two
-    * terms — resolved entirely from the positional index's stored
-    * position arrays (the per-pair HOF cost is tf₁×tf₂, bounded by
-    * posting-row term frequencies, never document length). Near-phrase
-    * docs can double their score; far-apart co-occurrence converges to
-    * plain BM25. */
-  def proximitySearch(spark: SparkSession, path: String, termA: String,
-                      termB: String, k: Int, k1: Double = 1.2,
+  /** Proximity-boosted BM25 for an N-term query (N ≥ 2): docs
+    * containing EVERY term, scored `bm25 * (1 + 1/(1 + span))` where
+    * `span` is the MINIMUM WINDOW — the smallest token distance
+    * `max(pᵢ) - min(pᵢ)` over any choice of one occurrence per term —
+    * resolved entirely from the positional index's stored position
+    * arrays. Computed by the classic merged-stream scan: the terms'
+    * positions explode into one sorted stream per doc, each row carries
+    * a running conditional max per term, and the candidate window
+    * ending at position `p` spans `p - least(running maxes)`; the
+    * per-doc cost is Σtf·log(Σtf) (the sort) — never document length.
+    * For two terms the window span IS the minimum pairwise distance,
+    * so this is a strict generalization. Near-phrase docs can double
+    * their score; far-apart co-occurrence converges to plain BM25. */
+  def proximitySearch(spark: SparkSession, path: String,
+                      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
                       b: Double = 0.75): DataFrame = {
-    require(termA != termB, "proximity needs two distinct terms")
-    val terms = Seq(termA, termB)
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.size >= 2 && queryTerms.distinct == queryTerms,
+      "proximity needs at least two distinct terms")
+    val terms = queryTerms.sorted
     val (n, avgdl, nB) = statsOf(spark, path)
     val scored = readPruned(spark, path, "postings", terms, nB)
       .join(broadcast(readPruned(spark, path, "terms", terms, nB)
         .select(col("term"), col("df"))), Seq("term"))
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         lit(n), lit(avgdl), k1, b))
-    val g = scored.groupBy(col("doc_id")).agg(
-        max(when(col("term") === termA, col("_s"))).as("_sa"),
-        max(when(col("term") === termB, col("_s"))).as("_sb"),
-        first(when(col("term") === termA, col("pos")),
-          ignoreNulls = true).as("_pa"),
-        first(when(col("term") === termB, col("pos")),
-          ignoreNulls = true).as("_pb"))
-      .filter(col("_sa").isNotNull && col("_sb").isNotNull)
-      .withColumn("_md", array_min(flatten(transform(col("_pa"),
-        a => transform(col("_pb"), b2 => abs(a - b2))))))
-    g.select(col("doc_id"), round4(
-        (col("_sa") + col("_sb")) *
+    // BM25 partials: every term required (no coalesce — a null partial
+    // marks a missing term), summed in sorted-term order
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("_s"))).as(s"_t$i")
+    }
+    val g = scored.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+      .filter(terms.indices.map(i => col(s"_t$i").isNotNull).reduce(_ && _))
+    // minimum window span over the merged position stream
+    val pos = scored.select(col("doc_id"), col("term"),
+      explode(col("pos")).as("_p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = terms.zipWithIndex.foldLeft(pos) { case (d, (t, i)) =>
+      d.withColumn(s"_m$i", max(when(col("term") === t, col("_p"))).over(w))
+    }
+    val spans = run
+      .filter(terms.indices.map(i => col(s"_m$i").isNotNull).reduce(_ && _))
+      // the current row's own term has running max == _p, so the
+      // window ending here spans _p - least(all running maxes)
+      .withColumn("_span", col("_p") -
+        least(terms.indices.map(i => col(s"_m$i")): _*))
+      .groupBy(col("doc_id")).agg(min(col("_span")).as("_md"))
+    g.join(spans, Seq("doc_id"))
+      .select(col("doc_id"), round4(
+        terms.indices.map(i => col(s"_t$i")).reduceLeft(_ + _) *
           (lit(1.0) + lit(1.0) / (lit(1.0) + col("_md").cast("double"))))
         .as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
+
+  /** Two-term convenience overload of [[proximitySearch]]. */
+  def proximitySearch(spark: SparkSession, path: String, termA: String,
+                      termB: String, k: Int): DataFrame =
+    proximitySearch(spark, path, Seq(termA, termB), k)
 
   /** Hashed TF-IDF document vectors — the text→embedding bridge: every
     * doc becomes a dense `dim`-dimensional `Array[Double]` usable by

@@ -249,6 +249,44 @@ class TextSearchSpec extends SparkSpecBase {
     assert(r(1L) / r(2L) > 1.2 && r(1L) / r(2L) < 2.1)
   }
 
+  test("proximity search: N-term minimum window span") {
+    val tiny = Seq(
+      // positions: hash=0 join=1 stream=2 → window span 2
+      (1L, "hash join stream x x x x x"),
+      // hash=0 join=2 stream=5 → span 5
+      (2L, "hash x join x x stream x x"),
+      // order doesn't matter: stream=0 join=1 hash=2 → span 2
+      (3L, "stream join hash x x x x x"),
+      // the best window is NOT at the first occurrences:
+      // hash={0,6} join=4 stream=5 → min window [4,6] span 2
+      (4L, "hash x x x join stream hash x"),
+      // missing stream → excluded
+      (5L, "hash join only here x x x x")
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-proxn").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+    val r = TextSearch.proximitySearch(spark, path,
+        Seq("hash", "join", "stream"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!r.contains(5L), "doc missing a term must not match")
+    // doc 4 has equal dl and tf(join)=tf(stream)=1 but tf(hash)=2, so
+    // compare via span relations instead of absolute scores: docs with
+    // span 2 must beat the span-5 doc at equal BM25 (docs 1,2,3 share
+    // identical tf/dl → identical BM25)
+    assert(r(1L) == r(3L), "same span + same BM25 must tie exactly")
+    assert(r(1L) > r(2L), s"tighter window must outrank: $r")
+    // span-2 boost vs span-5 boost on the same BM25 base:
+    // (1 + 1/3) / (1 + 1/6) = 8/7
+    assert(math.abs(r(1L) / r(2L) - 8.0 / 7.0) < 0.001, s"boost ratio: $r")
+    // two-term overload still equals the old behavior (min pairwise
+    // distance == two-term window span)
+    val two = TextSearch.proximitySearch(spark, path, "hash", "stream", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two.contains(5L) == false || two(5L) > 0)
+    assert(two(4L) > two(2L),
+      "doc 4's adjacent hash-stream pair (span 1) must outrank doc 2's span 5")
+  }
+
   test("searchWhere: top-k of the FILTERED set, not a post-filtered top-k") {
     val path = Files.createTempDirectory("graft-sw").toString + "/idx"
     TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
