@@ -767,6 +767,22 @@ object SparkEntry {
     TextSearch.proximitySearch(s, path, searchTerms, 20)
   }
 
+  /** E6: analyzed text index — stopword removal is part of the INDEX
+    * identity (stamped into its stats alongside the format version)
+    * and re-applied to query terms at serve time; BM25 stats (dl, n,
+    * avgdl, dfs) all reflect the analyzed token stream, which the
+    * oracle replays by filtering the same stopword list out of the
+    * token split. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txa", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path, analyzer =
+          TextSearch.Analyzer(stopwords = graft.operators.Text.langWords.head._2))
+    TextSearch.searchIndexed(s, path, searchTerms, 20)
+  }
+
   /** E7f: compound text+attribute search — BM25 candidates restricted
     * to an attribute predicate (lang='en') between scoring and ranking
     * ([[graft.operators.TextSearch.searchWhere]]), so the top-k is the
@@ -1021,7 +1037,8 @@ object SparkEntry {
     "q72_filtered_search" -> (q72 _),
     "q73_dedup_verified" -> (q73 _),
     "q74_lm_quality" -> (q74 _),
-    "q75_proximity_n" -> (q75 _)
+    "q75_proximity_n" -> (q75 _),
+    "q76_analyzed_search" -> (q76 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1913,7 +1930,13 @@ object SparkEntry {
         |    * 10000 + 0.5) / 10000 AS score
         |FROM p JOIN spans ON spans.doc_id = p.doc_id
         |WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
-        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin,
+    // the bm25 replay with the stopword analyzer applied to the token
+    // split — dl/n/avgdl/df all derive from the ANALYZED stream, same
+    // as the stamped index
+    "q76_analyzed_search" -> bm25Oracle.replace("w -> w != ''",
+      "w -> w != '' AND w != 'the' AND w != 'and' " +
+        "AND w != 'of' AND w != 'to' AND w != 'in'")
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

@@ -25,6 +25,11 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
 
+  /** Case-preserving variant of [[tokens]] (for
+    * `TextSearch.Analyzer(lowercase = false)` indexes). */
+  def tokensCased(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= lit(""))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def langHits(text: Column, words: Seq[String]): Column =

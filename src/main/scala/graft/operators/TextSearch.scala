@@ -18,6 +18,96 @@ import graft.gfunctions.round4
   */
 object TextSearch {
 
+  /** Token-analysis options for a text index: lowercasing, stopword
+    * removal and light suffix stemming (the Harman "S-stemmer" —
+    * `-ies→-y`, `-es→-e`, `-s→∅` with the standard exception lists; a
+    * deterministic rule set expressible identically as Spark Columns,
+    * driver-side JVM string ops, and oracle SQL). The analyzer is
+    * STAMPED into the index's stats row at build time and re-applied
+    * to query terms at serve time, so two differently-analyzed
+    * artifacts are distinguishable on disk and a query can never be
+    * tokenized differently from the corpus it searches.
+    *
+    * Note the must-match semantics downstream: a query term that IS a
+    * stopword of the index has no postings — it contributes zero to
+    * BM25 sums and (correctly) empties must-all operators like phrase
+    * and boolean search, the standard behavior of stopworded indexes. */
+  final case class Analyzer(lowercase: Boolean = true,
+                            stopwords: Seq[String] = Nil,
+                            stem: Boolean = false) {
+    require(stopwords.distinct == stopwords,
+      "stopwords must be distinct")
+    /** Canonical (sorted) stopword list — the stored form. */
+    def sortedStop: Seq[String] = stopwords.sorted
+    /** Canonical form (stopwords sorted) — what the index stamps and
+      * what [[requireAnalyzer]] compares; stopword ORDER never changes
+      * analysis. */
+    def canonical: Analyzer = copy(stopwords = sortedStop)
+    /** Column-side token pipeline: raw text → analyzed token array.
+      * With the default options this IS [[Text.tokens]], so default
+      * indexes are bit-compatible with pre-analyzer builds. */
+    def tokens(text: Column): Column = {
+      val base = if (lowercase) Text.tokens(text) else Text.tokensCased(text)
+      val stopped =
+        if (stopwords.isEmpty) base
+        else filter(base, w => !w.isin(stopwords: _*))
+      if (!stem) stopped else transform(stopped, Analyzer.stemCol(_))
+    }
+    /** Driver-side normalization of ONE query term — must mirror the
+      * Column pipeline exactly (bucket routing hashes the normalized
+      * term). Stopword terms pass through: they simply have no
+      * postings. */
+    def queryTerm(t: String): String = {
+      val l = if (lowercase) t.toLowerCase(java.util.Locale.ROOT) else t
+      if (stem) Analyzer.stemJvm(l) else l
+    }
+    /** Normalize a distinct query-term list; terms that collapse to
+      * the same analyzed form deduplicate (first occurrence wins). */
+    def queryTerms(ts: Seq[String]): Seq[String] =
+      ts.map(queryTerm).distinct
+  }
+
+  object Analyzer {
+    /** Harman S-stemmer, Column side. */
+    private[TextSearch] def stemCol(w: Column): Column =
+      when(length(w) >= 4 && w.endsWith("ies") &&
+           !w.endsWith("eies") && !w.endsWith("aies"),
+        concat(w.substr(lit(1), length(w) - 3), lit("y")))
+      .when(length(w) >= 3 && w.endsWith("es") &&
+            !w.endsWith("aes") && !w.endsWith("ees") && !w.endsWith("oes"),
+        w.substr(lit(1), length(w) - 1))
+      .when(length(w) >= 3 && w.endsWith("s") &&
+            !w.endsWith("us") && !w.endsWith("ss"),
+        w.substr(lit(1), length(w) - 1))
+      .otherwise(w)
+    /** Harman S-stemmer, JVM side — mirrors [[stemCol]] rule for rule. */
+    private[graft] def stemJvm(w: String): String =
+      if (w.length >= 4 && w.endsWith("ies") &&
+          !w.endsWith("eies") && !w.endsWith("aies")) w.dropRight(3) + "y"
+      else if (w.length >= 3 && w.endsWith("es") &&
+               !w.endsWith("aes") && !w.endsWith("ees") &&
+               !w.endsWith("oes")) w.dropRight(1)
+      else if (w.length >= 3 && w.endsWith("s") &&
+               !w.endsWith("us") && !w.endsWith("ss")) w.dropRight(1)
+      else w
+  }
+
+  /** The analyzer stamped into the index at `path`. */
+  def analyzerOf(spark: SparkSession, path: String): Analyzer =
+    statsOf(spark, path).analyzer
+
+  /** Loud guard for callers that EXPECT a specific analyzer: opening
+    * an index built with different options fails with the two
+    * identities side by side instead of silently under-recalling. */
+  def requireAnalyzer(spark: SparkSession, path: String,
+                      expected: Analyzer): Unit = {
+    val stored = analyzerOf(spark, path)
+    require(stored == expected.canonical,
+      s"analyzer mismatch at $path: index was built with $stored " +
+        s"but the caller expects ${expected.canonical} — rebuild the " +
+        "index or query with the stored analyzer")
+  }
+
   /** `(doc_id, term, tf, dl, pos)` POSITIONAL term-frequency rows;
     * `dl` (the document's token count) is denormalized onto every row
     * so scoring never joins a separate lengths table, and `pos` (the
@@ -27,11 +117,12 @@ object TextSearch {
     * explicit-count repartition parallelizes the explode over small
     * single-partition file scans (same rationale as
     * [[Dedup.shingleRows]]). */
-  def termFreqs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def termFreqs(docs: DataFrame, id: Column, text: Column,
+                analyzer: Analyzer = Analyzer()): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     docs.select(id.cast("long").as("doc_id"), text.as("_text"))
       .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), Text.tokens(col("_text")).as("_ws"))
+      .select(col("doc_id"), analyzer.tokens(col("_text")).as("_ws"))
       .select(col("doc_id"), size(col("_ws")).cast("long").as("dl"),
         posexplode(col("_ws")).as(Seq("_p", "term")))
       .groupBy(col("doc_id"), col("term"))
@@ -147,12 +238,13 @@ object TextSearch {
     * corpus. */
   def buildTextIndex(docs: DataFrame, id: Column, text: Column,
                      path: String, nBuckets: Int = 64,
-                     seq: Long = 0L): Unit = {
+                     seq: Long = 0L,
+                     analyzer: Analyzer = Analyzer()): Unit = {
     import graft.view.{IndexMeta, IndexStore}
     val spark = docs.sparkSession
     IndexStore.fsFor(spark, path)
       .delete(new org.apache.hadoop.fs.Path(path), true)
-    val tfRows = termFreqs(docs, id, text)
+    val tfRows = termFreqs(docs, id, text, analyzer)
       .withColumn("_tb", termBucket(col("term"), nBuckets))
     require(!tfRows.isEmpty,
       "cannot build a text index from a corpus with no tokens " +
@@ -170,15 +262,17 @@ object TextSearch {
     val st = posts.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
-    writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets)
+    writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets,
+      analyzer)
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }
 
   /** On-disk layout version, stamped into the stats row. Bumped when
-    * the postings schema changes (v2 = positional postings), so an
-    * artifact from an older library never serves silently-wrong
-    * results — [[indexCurrent]] tells callers to rebuild. */
-  val FormatVersion = 2
+    * the postings/stats schema changes (v2 = positional postings, v3 =
+    * analyzer identity in stats), so an artifact from an older library
+    * never serves silently-wrong results — [[indexCurrent]] tells
+    * callers to rebuild. */
+  val FormatVersion = 3
 
   /** True iff a readable text index of the CURRENT layout exists at
     * `path` — the check lazily-building callers should gate on. */
@@ -191,14 +285,19 @@ object TextSearch {
 
   /** One-row stats table; `avgdl` is always re-derived as
     * `sum_dl/n` in the same double division, so a maintained index
-    * serves the identical average a fresh build would. */
+    * serves the identical average a fresh build would. Carries the
+    * analyzer identity (`an_lc`, `an_stem`, sorted `an_stop`) so
+    * serve-time term normalization always matches the build. */
   private def writeStats(spark: SparkSession, path: String, n: Long,
-                         sumDl: Long, nBuckets: Int): Unit = {
+                         sumDl: Long, nBuckets: Int,
+                         an: Analyzer): Unit = {
     import spark.implicits._
     Seq((n, sumDl)).toDF("n", "sum_dl")
       .select(col("n"), col("sum_dl"),
         (col("sum_dl").cast("double") / col("n")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"), lit(FormatVersion).as("fmt"))
+        lit(nBuckets).as("n_buckets"), lit(FormatVersion).as("fmt"),
+        lit(an.lowercase).as("an_lc"), lit(an.stem).as("an_stem"),
+        typedLit(an.sortedStop).as("an_stop"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
   }
 
@@ -224,7 +323,10 @@ object TextSearch {
     val meta = IndexStore.readMeta(spark, path)
     val st = spark.read.parquet(path + "/stats").head()
     val nB = st.getAs[Int]("n_buckets")
-    val newTf = termFreqs(changedDocs, id, text)
+    // changed docs tokenize under the STORED analyzer — a maintained
+    // index must stay homogeneous with its build
+    val an = analyzerFromRow(st)
+    val newTf = termFreqs(changedDocs, id, text, an)
       .withColumn("_tb", termBucket(col("term"), nB)).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
     val cids = (if (deletedIds.isEmpty) cids0
@@ -278,7 +380,8 @@ object TextSearch {
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       writeStats(spark, path,
         st.getAs[Long]("n") - rem.getLong(0) + add.getLong(0),
-        st.getAs[Long]("sum_dl") - rem.getLong(1) + add.getLong(1), nB)
+        st.getAs[Long]("sum_dl") - rem.getLong(1) + add.getLong(1), nB,
+        an)
       oldSide.unpersist()
       val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
       IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
@@ -300,18 +403,23 @@ object TextSearch {
                     b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be non-empty and distinct")
-    val st = spark.read.parquet(path + "/stats").head()
-    val n = st.getAs[Long]("n")
-    val avgdl = st.getAs[Double]("avgdl")
-    val nBuckets = st.getAs[Int]("n_buckets")
-    val scored = readPruned(spark, path, "postings", queryTerms, nBuckets)
-      .join(broadcast(readPruned(spark, path, "terms", queryTerms, nBuckets)
-        .select(col("term"), col("df"))), Seq("term"))
-      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
-        lit(n), lit(avgdl), k1, b))
-    sumInTermOrder(scored, queryTerms)
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    sumInTermOrder(bm25Partials(spark, path, terms, st, k1, b), terms)
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
+
+  /** Pruned postings ⋈ dfs for the (already-normalized) `terms`, with
+    * the per-(doc, term) BM25 partial `_s` attached — the shared front
+    * half of every indexed search operator. */
+  private def bm25Partials(spark: SparkSession, path: String,
+                           terms: Seq[String], st: TextStats,
+                           k1: Double, b: Double): DataFrame =
+    readPruned(spark, path, "postings", terms, st.nBuckets)
+      .join(broadcast(readPruned(spark, path, "terms", terms, st.nBuckets)
+        .select(col("term"), col("df"))), Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(st.n), lit(st.avgdl), k1, b))
 
   /** Attribute-filtered BM25: [[searchIndexed]] restricted to an
     * allowed-doc set (one `doc_id` column — e.g. `docs.filter(lang ===
@@ -330,13 +438,9 @@ object TextSearch {
         s"[${allowed.columns.mkString(", ")}] — select the id column " +
         "explicitly (a silent columns.head guess would filter on the " +
         "wrong column)")
-    val (n, avgdl, nB) = statsOf(spark, path)
-    val scored = readPruned(spark, path, "postings", queryTerms, nB)
-      .join(broadcast(readPruned(spark, path, "terms", queryTerms, nB)
-        .select(col("term"), col("df"))), Seq("term"))
-      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
-        lit(n), lit(avgdl), k1, b))
-    sumInTermOrder(scored, queryTerms)
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    sumInTermOrder(bm25Partials(spark, path, terms, st, k1, b), terms)
       .join(allowed.toDF("doc_id")
         .distinct(), Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
@@ -361,13 +465,11 @@ object TextSearch {
     import org.apache.spark.sql.expressions.Window
     require(queryTerms.size >= 2 && queryTerms.distinct == queryTerms,
       "proximity needs at least two distinct terms")
-    val terms = queryTerms.sorted
-    val (n, avgdl, nB) = statsOf(spark, path)
-    val scored = readPruned(spark, path, "postings", terms, nB)
-      .join(broadcast(readPruned(spark, path, "terms", terms, nB)
-        .select(col("term"), col("df"))), Seq("term"))
-      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
-        lit(n), lit(avgdl), k1, b))
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms).sorted
+    require(terms.size >= 2,
+      "query terms collapsed to fewer than two analyzed terms")
+    val scored = bm25Partials(spark, path, terms, st, k1, b)
     // BM25 partials: every term required (no coalesce — a null partial
     // marks a missing term), summed in sorted-term order
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
@@ -437,7 +539,7 @@ object TextSearch {
   def tfidfVectorsIndexed(spark: SparkSession, path: String,
                           dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
-    val (n, _, _) = statsOf(spark, path)
+    val n = statsOf(spark, path).n
     val w = spark.read.parquet(path + "/postings")
       .select(col("doc_id"), col("term"), col("tf"))
       .join(spark.read.parquet(path + "/terms")
@@ -458,7 +560,7 @@ object TextSearch {
     require(candidates.columns.length == 1,
       s"candidates must be a single doc-id column; got " +
         s"[${candidates.columns.mkString(", ")}]")
-    val (n, _, _) = statsOf(spark, path)
+    val n = statsOf(spark, path).n
     val w = spark.read.parquet(path + "/postings")
       .select(col("doc_id"), col("term"), col("tf"))
       .join(candidates.toDF("doc_id").distinct(), Seq("doc_id"),
@@ -487,21 +589,18 @@ object TextSearch {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be non-empty and distinct")
-    val (n, avgdl, nB) = statsOf(spark, path)
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
     // lexical candidates + raw BM25 (searchIndexed without the limit)
-    val scored = readPruned(spark, path, "postings", queryTerms, nB)
-      .join(broadcast(readPruned(spark, path, "terms", queryTerms, nB)
-        .select(col("term"), col("df"))), Seq("term"))
-      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
-        lit(n), lit(avgdl), 1.2, 0.75))
-    val bm = sumInTermOrder(scored, queryTerms)
+    val bm = sumInTermOrder(
+        bm25Partials(spark, path, terms, st, 1.2, 0.75), terms)
       .withColumnRenamed("score", "bm25")
     val maxB = bm.agg(max(col("bm25")).as("_maxb"))
     // the query's own TF-IDF vector: tf=1 per term, stored dfs
     val qv = weighted(
-      readPruned(spark, path, "terms", queryTerms, nB)
+      readPruned(spark, path, "terms", terms, st.nBuckets)
         .select(lit(-1L).as("doc_id"), col("term"), lit(1L).as("tf"),
-          col("df")), lit(n), dim)
+          col("df")), lit(st.n), dim)
     val qvec = densify(qv, dim)
       .select(col("embedding").as("_qv"))
     // candidate-bounded vectors: docs matching ≥1 query term (the BM25
@@ -559,11 +658,20 @@ object TextSearch {
       .filter(col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))
   }
 
-  private def statsOf(spark: SparkSession,
-                      path: String): (Long, Double, Int) = {
+  /** The one-row stats in typed form: corpus stats + the analyzer the
+    * index was built with. */
+  private final case class TextStats(n: Long, avgdl: Double,
+                                     nBuckets: Int, analyzer: Analyzer)
+
+  private def analyzerFromRow(st: org.apache.spark.sql.Row): Analyzer =
+    Analyzer(st.getAs[Boolean]("an_lc"),
+      st.getAs[scala.collection.Seq[String]]("an_stop").toSeq,
+      st.getAs[Boolean]("an_stem"))
+
+  private def statsOf(spark: SparkSession, path: String): TextStats = {
     val st = spark.read.parquet(path + "/stats").head()
-    (st.getAs[Long]("n"), st.getAs[Double]("avgdl"),
-      st.getAs[Int]("n_buckets"))
+    TextStats(st.getAs[Long]("n"), st.getAs[Double]("avgdl"),
+      st.getAs[Int]("n_buckets"), analyzerFromRow(st))
   }
 
   /** Exact-phrase occurrence counts served from the POSITIONAL index:
@@ -576,9 +684,14 @@ object TextSearch {
     * tf, not document length. Returns the top-k docs by occurrence
     * count (ties by doc id). */
   def phraseSearchIndexed(spark: SparkSession, path: String,
-                          phrase: Seq[String], k: Int): DataFrame = {
-    require(phrase.size >= 2, "a phrase needs at least two tokens")
-    val (_, _, nB) = statsOf(spark, path)
+                          rawPhrase: Seq[String], k: Int): DataFrame = {
+    require(rawPhrase.size >= 2, "a phrase needs at least two tokens")
+    val st = statsOf(spark, path)
+    val nB = st.nBuckets
+    // normalize each token in place (order and repeats preserved); a
+    // stopword token has no postings, so — as in any stopworded index —
+    // a phrase containing one cannot match
+    val phrase = rawPhrase.map(st.analyzer.queryTerm)
     val terms = phrase.distinct
     val idx = terms.zipWithIndex.toMap
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
@@ -611,13 +724,14 @@ object TextSearch {
       "must terms must be non-empty and distinct")
     require(mustNot.distinct == mustNot && must.intersect(mustNot).isEmpty,
       "mustNot terms must be distinct and disjoint from must")
-    val (n, avgdl, nB) = statsOf(spark, path)
-    val scored = readPruned(spark, path, "postings", must, nB)
-      .join(broadcast(readPruned(spark, path, "terms", must, nB)
-        .select(col("term"), col("df"))), Seq("term"))
-      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
-        lit(n), lit(avgdl), k1, b))
-    val terms = must.sorted
+    val st = statsOf(spark, path)
+    val nB = st.nBuckets
+    val mustN = st.analyzer.queryTerms(must)
+    val mustNotN = st.analyzer.queryTerms(mustNot)
+    require(mustN.intersect(mustNotN).isEmpty,
+      "must and mustNot terms collide after analysis")
+    val scored = bm25Partials(spark, path, mustN, st, k1, b)
+    val terms = mustN.sorted
     // NO coalesce here: a null partial marks a missing must term
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("_s"))).as(s"_t$i")
@@ -628,8 +742,8 @@ object TextSearch {
         round4(terms.indices.map(i => col(s"_t$i"))
           .reduceLeft(_ + _)).as("score"))
     val out =
-      if (mustNot.isEmpty) g
-      else g.join(readPruned(spark, path, "postings", mustNot, nB)
+      if (mustNotN.isEmpty) g
+      else g.join(readPruned(spark, path, "postings", mustNotN, nB)
         .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     out.orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }

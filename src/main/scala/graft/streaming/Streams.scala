@@ -247,7 +247,9 @@ object Streams {
     * `_deleted`. update_seq tracks batches, like every graft index. */
   def maintainTextIndex(spark: SparkSession, changeFeed: DataFrame,
                         path: String, checkpoint: String,
-                        nBuckets: Int = 64)
+                        nBuckets: Int = 64,
+                        analyzer: graft.operators.TextSearch.Analyzer =
+                          graft.operators.TextSearch.Analyzer())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.TextSearch
     import graft.view.IndexStore
@@ -263,13 +265,16 @@ object Streams {
             .distinct().collect().map(_.getLong(0)).toSeq
           else Nil
         if (!IndexStore.exists(spark, path)) {
-          // defer creation past batches with no tokens (build requires
-          // a non-empty vocabulary — same deferral as the view maintainer)
+          // defer creation past batches with no ANALYZED tokens (build
+          // requires a non-empty vocabulary — same deferral as the view
+          // maintainer; a stopword-only batch must also defer)
           if (!live.filter(
-              size(graft.operators.Text.tokens(col("text"))) > 0).isEmpty)
+              size(analyzer.tokens(col("text"))) > 0).isEmpty)
             TextSearch.buildTextIndex(live, col("doc_id"), col("text"),
-              path, nBuckets, seq = batchId + 1)
+              path, nBuckets, seq = batchId + 1, analyzer = analyzer)
         } else {
+          // upsert re-reads the STORED analyzer; the param only governs
+          // the initial build
           TextSearch.upsertTextDocs(spark, path, live, col("doc_id"),
             col("text"), delIds, newSeq = batchId + 1)
         }

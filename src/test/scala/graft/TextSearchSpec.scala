@@ -364,6 +364,97 @@ class TextSearchSpec extends SparkSpecBase {
     assert(ok.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("analyzer: stamped at build, honored at query time, loud on mismatch") {
+    import TextSearch.Analyzer
+    val tiny = Seq(
+      (1L, "The Hash Join and the Stream"),
+      (2L, "hash hash stream of streams"),
+      (3L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val stop = Seq("the", "and", "of", "to", "in")
+    val path = Files.createTempDirectory("graft-an").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path,
+      nBuckets = 8, analyzer = Analyzer(stopwords = stop))
+    // query terms are normalized with the STORED analyzer: a
+    // mixed-case query matches lowercased postings
+    val up = TextSearch.searchIndexed(spark, path, Seq("HASH"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lo = TextSearch.searchIndexed(spark, path, Seq("hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(up.nonEmpty && up == lo,
+      "serve-time normalization must match build-time analysis")
+    // stopwords were never indexed: no postings, no dl contribution
+    assert(TextSearch.searchIndexed(spark, path, Seq("the"), 10)
+      .collect().isEmpty)
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"term".isin(stop: _*)).count() == 0)
+    // doc 1 has 3 analyzed tokens (hash join stream), not 6 raw ones
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"doc_id" === 1L).head().getAs[Long]("dl") == 3L)
+    // identity is readable and the mismatch guard is loud both ways
+    assert(TextSearch.analyzerOf(spark, path) ==
+      Analyzer(stopwords = stop).canonical)
+    TextSearch.requireAnalyzer(spark, path, Analyzer(stopwords = stop))
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.requireAnalyzer(spark, path, Analyzer())
+    }
+    assert(e.getMessage.contains("analyzer mismatch"))
+    // a pre-analyzer (v2) artifact reads as stale, not silently served
+    assert(TextSearch.indexCurrent(spark, path))
+  }
+
+  test("analyzer: stemmed index — JVM query stemming mirrors the build") {
+    import TextSearch.Analyzer
+    // one doc per word; querying the SAME word must hit its own doc,
+    // which proves stemJvm(word) == the Column-side stem at build for
+    // every rule branch (ies→y, es→e, s→∅, exceptions us/ss, short)
+    val words = Seq("queries", "query", "hashes", "joins", "classes",
+      "glasses", "bus", "buses", "ties", "dies", "stream", "as", "is")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-stem").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path,
+      nBuckets = 8, analyzer = Analyzer(stem = true))
+    words.zipWithIndex.foreach { case (w, i) =>
+      val hits = TextSearch.searchIndexed(spark, path, Seq(w), 20)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits.contains(i.toLong),
+        s"query '$w' must match its own doc after stemming")
+    }
+    // plural and singular collapse: "queries" finds the "query" doc
+    val q = TextSearch.searchIndexed(spark, path, Seq("queries"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(q.contains(1L), "'queries' must stem to 'query' and match")
+  }
+
+  test("analyzer: upsert keeps the stored analyzer (maintained == rebuild)") {
+    import TextSearch.Analyzer
+    val an = Analyzer(stopwords = Seq("the", "of"))
+    val base = Seq(
+      (1L, "the hash of the stream"),
+      (2L, "hash join"),
+      (3L, "stream processing")
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-anup").toString + "/idx"
+    TextSearch.buildTextIndex(base, $"doc_id", $"text", path,
+      nBuckets = 8, analyzer = an)
+    val changed = Seq((1L, "the hash of the hash join")).toDF("doc_id", "text")
+    TextSearch.upsertTextDocs(spark, path, changed, $"doc_id", $"text")
+    val path2 = Files.createTempDirectory("graft-anrb").toString + "/idx"
+    TextSearch.buildTextIndex(
+      base.filter($"doc_id" =!= 1L).unionByName(changed),
+      $"doc_id", $"text", path2, nBuckets = 8, analyzer = an)
+    for (q <- Seq(Seq("hash"), Seq("hash", "join"), Seq("stream"))) {
+      val got = TextSearch.searchIndexed(spark, path, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exp = TextSearch.searchIndexed(spark, path2, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exp, s"maintained analyzed index diverged for $q")
+    }
+    assert(TextSearch.analyzerOf(spark, path) == an.canonical,
+      "upsert must preserve the stored analyzer")
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
