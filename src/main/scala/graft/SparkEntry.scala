@@ -709,7 +709,7 @@ object SparkEntry {
   private def q68(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.DedupIndex
     val path = idxPath("dcx", dir, "documents")
-    if (!graft.view.IndexStore.exists(s, path))
+    if (!DedupIndex.indexCurrent(s, path))
       DedupIndex.build(t(s, dir, "documents"), col("doc_id"), col("text"),
         path)
     DedupIndex.clusters(s, path).orderBy(col("doc_id"))
@@ -878,7 +878,18 @@ object SparkEntry {
       graft.operators.Similarity.buildIvfIndex(
         graft.operators.TextSearch.tfidfVectorsIndexed(s, tpath),
         idxPath("tvx", dir, "documents"))
-    }))
+    }),
+    "q66_simhash_indexed" -> ((s, dir) => graft.operators.Dedup
+      .buildSimhashIndex(t(s, dir, "documents"), col("doc_id"), "text",
+        idxPath("shx", dir, "documents"))),
+    "q68_cluster_labels" -> ((s, dir) => graft.operators.DedupIndex
+      .build(t(s, dir, "documents"), col("doc_id"), col("text"),
+        idxPath("dcx", dir, "documents"))),
+    "q76_analyzed_search" -> ((s, dir) => graft.operators.TextSearch
+      .buildTextIndex(t(s, dir, "documents"), col("doc_id"), col("text"),
+        idxPath("txa", dir, "documents"), analyzer =
+          graft.operators.TextSearch.Analyzer(
+            stopwords = graft.operators.Text.langWords.head._2))))
 
   /** D2b: ANN against the PERSISTED LSH signature index — identical
     * results to q27's on-the-fly formulation (same oracle SQL), but the

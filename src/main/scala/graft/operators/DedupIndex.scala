@@ -21,8 +21,12 @@ import graft.view.{IndexMeta, IndexStore}
   *                    a portable hash of the band value
   *   ids/_ib=<b>/     (doc_id, _bb) — which band buckets hold each doc
   *   labels/_lb=<b>/  (doc_id, cluster_id) by DOC hash — point lookups
-  *   members/_cb=<b>/ (doc_id, cluster_id) by CLUSTER hash — member
-  *                    expansion without scanning labels
+  *   members/_cm=<b>/ (doc_id, cluster_id) by CLUSTER hash × MEMBER
+  *                    hash (`_cm = cb·nB + mb`) — member expansion
+  *                    prunes to one cluster's nB sub-buckets, and a
+  *                    membership delta rewrites only the sub-buckets
+  *                    its changed docs hash into, never a huge
+  *                    cluster's whole member list
   *   _graft_meta      update_seq + bucket count
   * }}}
   *
@@ -32,8 +36,25 @@ import graft.view.{IndexMeta, IndexStore}
   * with exactly one endpoint outside M is impossible — the outside
   * endpoint would share a band with an M doc, which (pairs being
   * symmetric and pre-existing pairs being intra-cluster) pulls its
-  * whole cluster into M — so re-clustering M in isolation is exact. */
+  * whole cluster into M — so re-clustering M in isolation is exact.
+  * Rewrite soundness: docs whose (doc_id, cluster_id) row is UNCHANGED
+  * after re-clustering keep byte-identical label/member rows, so only
+  * rows that actually changed (plus deletions) swap buckets — at crawl
+  * scale a delta brushing a million-doc boilerplate family rewrites
+  * the handful of sub-buckets its docs land in, not millions of rows. */
 object DedupIndex {
+
+  /** On-disk layout version (one-row `/fmt` table). Bumped when the
+    * layout changes (v2 = composite `_cm` members sub-buckets), so an
+    * old artifact reads as stale and rebuilds instead of crashing an
+    * upsert or serving a wrong-layout read. */
+  val FormatVersion = 2
+
+  /** True iff a readable cluster index of the CURRENT layout exists. */
+  def indexCurrent(spark: SparkSession, path: String): Boolean =
+    try spark.read.parquet(path + "/fmt").head()
+      .getAs[Int]("fmt") == FormatVersion
+    catch { case _: Exception => false }
 
   private def bandBucket(band: Column, n: Int): Column =
     pmod(conv(substring(band, 1, 8), 16, 10).cast("long"), lit(n.toLong))
@@ -66,16 +87,30 @@ object DedupIndex {
         coalesce(col("_cl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Composite members partition: cluster hash × member hash. A
+    * cluster's rows span nB sub-buckets, so a membership delta
+    * rewrites 1/nB of a big cluster, and a cluster-pruned read lists
+    * its nB sub-bucket ids driver-side ([[cmsOfClusters]]). */
+  private def memberBucket(clusterId: Column, docId: Column,
+                           nB: Int): Column =
+    (IndexStore.idBucket(clusterId, nB) * nB +
+      IndexStore.idBucket(docId, nB)).cast("int")
+
+  /** All `_cm` values under the given cluster buckets. */
+  private def cmsOfClusterBuckets(cbs: Seq[Int], nB: Int): Seq[Int] =
+    cbs.flatMap(cb => (0 until nB).map(cb * nB + _))
+
   private def writeLabelLayouts(spark: SparkSession, path: String,
                                 labels: DataFrame, nB: Int): Unit = {
     labels.withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))
       .repartition(col("_lb"))
       .sortWithinPartitions(col("_lb"), col("doc_id"))
       .write.mode("overwrite").partitionBy("_lb").parquet(path + "/labels")
-    labels.withColumn("_cb", IndexStore.idBucket(col("cluster_id"), nB))
-      .repartition(col("_cb"))
-      .sortWithinPartitions(col("_cb"), col("cluster_id"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("_cb").parquet(path + "/members")
+    labels.withColumn("_cm",
+        memberBucket(col("cluster_id"), col("doc_id"), nB))
+      .repartition(col("_cm"))
+      .sortWithinPartitions(col("_cm"), col("cluster_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_cm").parquet(path + "/members")
   }
 
   def build(docs: DataFrame, id: Column, text: Column, path: String,
@@ -97,6 +132,9 @@ object DedupIndex {
     val allIds = docs.select(id.cast("long").as("doc_id")).distinct()
     writeLabelLayouts(spark, path,
       labelsOf(allIds, pairsOf(stored, maxBucket)), nBuckets)
+    import spark.implicits._
+    Seq(FormatVersion).toDF("fmt").coalesce(1)
+      .write.mode("overwrite").parquet(path + "/fmt")
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }
 
@@ -173,7 +211,7 @@ object DedupIndex {
           IndexStore.idBucket(col("cluster_id"), nB))
         .select(col("_cb")).distinct().collect().map(_.getInt(0)).toSeq
       val oldMembers = spark.read.parquet(path + "/members")
-        .filter(col("_cb").isin(cbs: _*))
+        .filter(col("_cm").isin(cmsOfClusterBuckets(cbs, nB): _*))
         .join(affClusters, Seq("cluster_id"), "left_semi")
         .select(col("doc_id"))
       // M = surviving old members + live changed docs (deleted drop out)
@@ -198,37 +236,73 @@ object DedupIndex {
             .filter(col("_bb").isin(mbbs: _*))
             .join(m, Seq("doc_id"), "left_semi"), maxBucket)
       val newLabels = labelsOf(m, mPairs).persist()
-      // ---- swap BOTH label layouts for the touched buckets
-      val lbs = (slbs ++ m.withColumn("_lb",
-          IndexStore.idBucket(col("doc_id"), nB))
-        .select(col("_lb")).distinct().collect().map(_.getInt(0)))
-        .distinct.sorted
-      val dropIds = m.unionByName(cids).distinct()
-      val labelSurv = spark.read.parquet(path + "/labels")
-        .filter(col("_lb").isin(lbs: _*))
-        .join(dropIds, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"), col("_lb"))
-      IndexStore.writeSwap(spark, fs,
-        labelSurv.unionByName(newLabels
-          .withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))),
-        path + "/labels", "_lb", lbs, Seq(col("_lb"), col("doc_id")))
-      val newCbs = (cbs ++ newLabels.withColumn("_cb",
-          IndexStore.idBucket(col("cluster_id"), nB))
-        .select(col("_cb")).distinct().collect().map(_.getInt(0)))
-        .distinct.sorted
-      val memberSurv = spark.read.parquet(path + "/members")
-        .filter(col("_cb").isin(newCbs: _*))
-        .join(dropIds, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"), col("_cb"))
-      IndexStore.writeSwap(spark, fs,
-        memberSurv.unionByName(newLabels
-          .withColumn("_cb", IndexStore.idBucket(col("cluster_id"), nB))),
-        path + "/members", "_cb", newCbs,
-        Seq(col("_cb"), col("cluster_id"), col("doc_id")))
+      // ---- rename-efficient swaps: only rows whose LABEL CHANGED (or
+      // whose doc was deleted) rewrite. Unchanged M docs keep identical
+      // (doc_id, cluster_id) rows, so leaving their buckets on disk is
+      // exact — a delta brushing a huge stable cluster rewrites the
+      // changed docs' sub-buckets, not the cluster.
+      val mlbs = m.withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_lb")).distinct().collect().map(_.getInt(0)).toSeq
+      val oldLabelsM =
+        if (mlbs.isEmpty)
+          Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+        else spark.read.parquet(path + "/labels")
+          .filter(col("_lb").isin(mlbs: _*))
+          .join(m, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("cluster_id"))
+      val changed = newLabels
+        .join(oldLabelsM, Seq("doc_id", "cluster_id"), "left_anti")
+        .persist()
+      val delDf =
+        if (deletedIds.isEmpty) liveIds.limit(0)
+        else deletedIds.toDF("doc_id")
+      val touched = changed.select(col("doc_id")).unionByName(delDf)
+        .distinct().persist()
+      val lbs = touched
+        .withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_lb")).distinct().collect().map(_.getInt(0))
+        .toSeq.sorted
+      // the touched docs' OLD member rows drop from their sub-buckets;
+      // their _cm ids are collected BEFORE the labels swap replaces
+      // the rows they derive from
+      val cmsOld =
+        if (lbs.isEmpty) Seq.empty[Int]
+        else spark.read.parquet(path + "/labels")
+          .filter(col("_lb").isin(lbs: _*))
+          .join(touched, Seq("doc_id"), "left_semi")
+          .select(memberBucket(col("cluster_id"), col("doc_id"), nB)
+            .as("_cm")).distinct().collect().map(_.getInt(0)).toSeq
+      val cmsNew = changed
+        .select(memberBucket(col("cluster_id"), col("doc_id"), nB)
+          .as("_cm")).distinct().collect().map(_.getInt(0)).toSeq
+      if (lbs.nonEmpty) {
+        val labelSurv = spark.read.parquet(path + "/labels")
+          .filter(col("_lb").isin(lbs: _*))
+          .join(touched, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"), col("_lb"))
+        IndexStore.writeSwap(spark, fs,
+          labelSurv.unionByName(changed
+            .withColumn("_lb", IndexStore.idBucket(col("doc_id"), nB))),
+          path + "/labels", "_lb", lbs, Seq(col("_lb"), col("doc_id")))
+      }
+      val cms = (cmsOld ++ cmsNew).distinct.sorted
+      if (cms.nonEmpty) {
+        val memberSurv = spark.read.parquet(path + "/members")
+          .filter(col("_cm").isin(cms: _*))
+          .join(touched, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"), col("_cm"))
+        IndexStore.writeSwap(spark, fs,
+          memberSurv.unionByName(changed
+            .withColumn("_cm",
+              memberBucket(col("cluster_id"), col("doc_id"), nB))),
+          path + "/members", "_cm", cms,
+          Seq(col("_cm"), col("cluster_id"), col("doc_id")))
+      }
       val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
       IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
       val n = newLabels.count()
-      Seq(seeds, affClusters, m, newLabels).foreach(_.unpersist())
+      Seq(seeds, affClusters, m, newLabels, changed, touched)
+        .foreach(_.unpersist())
       n
     } finally {
       newRows.unpersist()

@@ -385,6 +385,63 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
   }
 
+  test("dedup index: delta into a big cluster rewrites only changed sub-buckets") {
+    import graft.operators.DedupIndex
+    def fileHashes(dir: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          root.relativize(p).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    // one big duplicate family (identical text => one cluster spanning
+    // many member sub-buckets) plus unrelated singletons
+    val boiler = "big template family shared boilerplate text body"
+    val docs = ((1L to 60L).map(i => (i, boiler)) ++
+      (1000L to 1009L).map(i => (i, s"unique independent document $i")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-dcm")
+      .toString + "/idx"
+    DedupIndex.build(docs, $"doc_id", $"text", path, nBuckets = 8)
+    // the family is one cluster spread over several _cm sub-buckets
+    val fam = spark.read.parquet(s"$path/members")
+      .filter($"cluster_id" === 1L)
+    assert(fam.count() == 60)
+    val famBuckets = fam.select($"_cm").distinct().count()
+    assert(famBuckets >= 4,
+      s"test needs the cluster to span sub-buckets, got $famBuckets")
+    val beforeM = fileHashes(s"$path/members")
+    val beforeL = fileHashes(s"$path/labels")
+
+    // one new doc joins the family: only ITS label row changes
+    val nd = Seq((2000L, boiler)).toDF("doc_id", "text")
+    DedupIndex.upsert(spark, path, nd, $"doc_id", $"text")
+    assert(spark.read.parquet(s"$path/labels")
+      .filter($"doc_id" === 2000L).head().getAs[Long]("cluster_id") == 1L)
+
+    val afterM = fileHashes(s"$path/members")
+    val afterL = fileHashes(s"$path/labels")
+    def touchedDirs(b: Map[String, String], a: Map[String, String]) =
+      (b.keySet ++ a.keySet).filter(f => b.get(f) != a.get(f))
+        .map(_.split("/")(0))
+    // labels: exactly the new doc's hash bucket
+    val lt = touchedDirs(beforeL, afterL)
+    assert(lt.size <= 1, s"labels rewrote extra buckets: $lt")
+    // members: exactly the (cluster, new doc) sub-bucket — the other
+    // sub-buckets of the 60-doc family are byte-identical on disk
+    val newCm = spark.read.parquet(s"$path/members")
+      .filter($"doc_id" === 2000L).head().getAs[Int]("_cm")
+    val mt = touchedDirs(beforeM, afterM)
+    assert(mt == Set(s"_cm=$newCm"),
+      s"members rewrote beyond the changed sub-bucket: $mt")
+  }
+
   test("bigram LM score: formulaic text outranks token salad") {
     import graft.operators.Text
     // corpus where "big data" is a common transition and doc 3 is a
