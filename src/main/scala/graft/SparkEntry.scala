@@ -798,6 +798,21 @@ object SparkEntry {
         .select(col("doc_id")))
   }
 
+  /** A22b: CHUNKED attachment payloads — the blob stored as ordered
+    * ≤64-byte chunk rows ([[graft.view.Attachments.chunkRows]]) and
+    * recomposed by [[graft.view.Attachments.reassemble]]; the oracle
+    * computes the chunk count arithmetically and the whole-payload
+    * digest directly from the text, so a green row proves the
+    * chunk → reassemble cycle bit-exact. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.Attachments
+    val ch = Attachments.chunkRows(t(s, dir, "documents"), col("doc_id"),
+      encode(col("text"), "UTF-8"), "body", "text/plain", chunkSize = 64)
+    Attachments.reassemble(ch)
+      .select(col("doc_id"), col("n_chunks"), col("length"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1049,7 +1064,8 @@ object SparkEntry {
     "q73_dedup_verified" -> (q73 _),
     "q74_lm_quality" -> (q74 _),
     "q75_proximity_n" -> (q75 _),
-    "q76_analyzed_search" -> (q76 _)
+    "q76_analyzed_search" -> (q76 _),
+    "q77_chunked_attachments" -> (q77 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1947,7 +1963,15 @@ object SparkEntry {
     // as the stamped index
     "q76_analyzed_search" -> bm25Oracle.replace("w -> w != ''",
       "w -> w != '' AND w != 'the' AND w != 'and' " +
-        "AND w != 'of' AND w != 'to' AND w != 'in'")
+        "AND w != 'of' AND w != 'to' AND w != 'in'"),
+    // chunk count replayed arithmetically, digest computed over the
+    // WHOLE payload — green means the chunked bytes recompose exactly
+    "q77_chunked_attachments" ->
+      """SELECT doc_id,
+        |  GREATEST(CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 64.0) AS BIGINT), 1) AS n_chunks,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  'md5-' || md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same

@@ -65,4 +65,70 @@ object Attachments {
       v.getField("length").as("length"),
       v.getField("digest").as("digest"),
       lit(true).as("stub")))
+
+  // ----------------------------------------------------- chunked payloads
+
+  /** Chunked payload rows — the scale path for large blobs: instead of
+    * one row CELL holding the whole payload (a multi-GB cell blows row
+    * groups, shuffle blocks and executor memory), the payload becomes
+    * ordered `(doc_id, name, content_type, chunk_idx, n_chunks, data,
+    * chunk_digest)` rows of at most `chunkSize` bytes each, safe to
+    * partition, shuffle and store like any other relation. The slicing
+    * is the codegen'd binary `substr` (the q69 frame-sampling
+    * pattern) — one explode per blob, cost O(chunks). An empty payload
+    * keeps one empty chunk so the blob round-trips (0 rows would read
+    * as a missing attachment). Per-chunk md5 digests localize
+    * corruption to a chunk; [[reassemble]] proves the composed payload
+    * bit-exact against the whole-payload digest. */
+  def chunkRows(docs: DataFrame, id: Column, data: Column, name: String,
+                contentType: String, chunkSize: Int = 1 << 20): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be positive")
+    val bin = data.cast(BinaryType)
+    docs.select(id.cast("long").as("doc_id"), bin.as("_b"),
+        greatest(ceil(octet_length(bin).cast("double") / chunkSize)
+          .cast("int"), lit(1)).as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("_b"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), lit(name).as("name"),
+        lit(contentType).as("content_type"),
+        col("chunk_idx"), col("n_chunks").cast("long").as("n_chunks"),
+        col("_b").substr(col("chunk_idx") * chunkSize + 1,
+          lit(chunkSize)).as("data"))
+      .withColumn("chunk_digest", concat(lit("md5-"), md5(col("data"))))
+  }
+
+  /** Reassemble [[chunkRows]] back into whole payloads: chunks sort by
+    * index and concatenate left-to-right; `digest` is md5 over the
+    * COMPOSED bytes, so equality with the original whole-payload
+    * digest proves the chunk cycle bit-exact. Docs with missing or
+    * duplicated chunks are EXCLUDED (an incomplete payload must never
+    * serve as complete) — [[chunkIntegrity]] lists them. Reassembly is
+    * the serve-one-attachment path; set operations should stay on the
+    * chunk rows. */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("doc_id"), col("name"), col("content_type"))
+      .agg(count(lit(1)).as("_got"),
+        count_distinct(col("chunk_idx")).as("_dis"),
+        max(col("n_chunks")).as("n_chunks"),
+        sort_array(collect_list(struct(col("chunk_idx"), col("data"))))
+          .as("_cs"))
+      .filter(col("_got") === col("n_chunks") &&
+        col("_dis") === col("n_chunks"))
+      .select(col("doc_id"), col("name"), col("content_type"),
+        col("n_chunks"),
+        aggregate(col("_cs"), lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("data"))).as("data"))
+      .withColumn("length", octet_length(col("data")).cast("long"))
+      .withColumn("digest", concat(lit("md5-"), md5(col("data"))))
+
+  /** Integrity report over [[chunkRows]]: one row per (doc, name)
+    * whose stored chunks are incomplete or duplicated — the rows
+    * [[reassemble]] refuses to serve. */
+  def chunkIntegrity(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("doc_id"), col("name"))
+      .agg(max(col("n_chunks")).as("expected"),
+        count(lit(1)).as("stored"),
+        count_distinct(col("chunk_idx")).as("distinct_idx"))
+      .filter(col("stored") =!= col("expected") ||
+        col("distinct_idx") =!= col("expected"))
 }

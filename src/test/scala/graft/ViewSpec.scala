@@ -442,6 +442,57 @@ class ViewSpec extends SparkSpecBase {
     assert(stub.getAs[String]("digest") == full.getAs[String]("digest"))
   }
 
+  test("chunked attachments: uneven chunks recompose bit-exact; gaps refuse") {
+    import graft.view.Attachments
+    val docs0 = Seq(
+      (1L, "0123456789abcdef012"), // 19 bytes -> chunks of 7: 7,7,5
+      (2L, "short"),               // 5 bytes  -> 1 chunk
+      (3L, "")                     // empty    -> 1 empty chunk
+    ).toDF("id", "txt")
+    val ch = Attachments.chunkRows(docs0, $"id",
+      encode($"txt", "UTF-8"), "body", "text/plain", chunkSize = 7)
+    val perDoc = ch.groupBy($"doc_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(perDoc == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"chunking: $perDoc")
+    // no chunk exceeds the chunk size; every chunk carries its digest
+    assert(ch.filter(octet_length($"data") > 7).count() == 0)
+    assert(ch.filter(!$"chunk_digest".startsWith("md5-")).count() == 0)
+
+    // reassembly equals the original bytes AND the single-cell digest
+    val re = Attachments.reassemble(ch)
+    val byId = re.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    val single = Attachments.put(docs0, "body",
+        encode($"txt", "UTF-8"), "text/plain")
+      .select($"id", element_at(col(Attachments.ATT), "body").as("a"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val got = byId(id)
+      val exp = single(id)
+      assert(got.getAs[String]("digest") == exp.getAs[String]("digest"),
+        s"doc $id digest diverged after the chunk cycle")
+      assert(got.getAs[Long]("length") == exp.getAs[Long]("length"))
+      assert(java.util.Arrays.equals(got.getAs[Array[Byte]]("data"),
+        exp.getAs[Array[Byte]]("data")))
+    }
+
+    // a missing chunk makes the payload unservable, and integrity
+    // reports exactly that (doc, name)
+    val gappy = ch.filter(!($"doc_id" === 1L && $"chunk_idx" === 1))
+    assert(Attachments.reassemble(gappy).filter($"doc_id" === 1L)
+      .count() == 0, "incomplete payload must not serve")
+    val bad = Attachments.chunkIntegrity(gappy).collect()
+    assert(bad.length == 1 && bad(0).getAs[Long]("doc_id") == 1L &&
+      bad(0).getAs[Long]("expected") == 3L &&
+      bad(0).getAs[Long]("stored") == 2L)
+    // a duplicated chunk equally refuses (exactly-once, not at-least-once)
+    val dup = ch.unionByName(ch.filter($"doc_id" === 2L))
+    assert(Attachments.reassemble(dup).filter($"doc_id" === 2L)
+      .count() == 0, "duplicated chunks must not serve")
+  }
+
   test("materialize + fromIndex + incremental updateIndex") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val path = s"$dir/v1"
