@@ -813,6 +813,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** G1 gated: the streaming windowed-count pipeline
+    * ([[graft.streaming.Streams.windowedCounts]]) driven through a
+    * REAL micro-batch file stream — the events table is staged as four
+    * time-ordered parquet files, `maxFilesPerTrigger=1` makes each a
+    * micro-batch, and the SETTLED complete-mode table is returned. The
+    * oracle replays the same 1-hour windowed counts/sums in batch SQL,
+    * so a green row proves the incremental micro-batch aggregation
+    * converges to the batch answer (lateness is set beyond the data
+    * span so no row is dropped — the determinism condition). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the raw table stores nanosecond longs; the stream needs a real
+    // TimestampType event-time column (micros floor == epoch_us)
+    val ev = events(s, dir)
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        col("event_type"), col("value"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q78").toString
+    val inDir = tmp + "/in"
+    val chunked = ev.withColumn("_c",
+      ntile(4).over(Window.orderBy(col("ts"))))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("_c") === i).drop("_c")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val qname = s"q78_wc_${System.nanoTime()}"
+    val q = graft.streaming.Streams
+      .windowedCounts(stream, width = "1 hour", lateness = "100000 hours")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", tmp + "/ck").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(
+        floor(col("window").getField("start").cast("long") / 3600.0)
+          .cast("long").as("bucket"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1065,7 +1107,8 @@ object SparkEntry {
     "q74_lm_quality" -> (q74 _),
     "q75_proximity_n" -> (q75 _),
     "q76_analyzed_search" -> (q76 _),
-    "q77_chunked_attachments" -> (q77 _)
+    "q77_chunked_attachments" -> (q77 _),
+    "q78_streaming_window" -> (q78 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1971,7 +2014,17 @@ object SparkEntry {
         |  GREATEST(CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 64.0) AS BIGINT), 1) AS n_chunks,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  'md5-' || md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the batch replay of the micro-batch-settled streaming windows:
+    // same 1-hour buckets (epoch-aligned), counts and decimal-exact
+    // sums per event type
+    "q78_streaming_window" ->
+      """SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+        |  event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin
   )
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same
