@@ -284,14 +284,18 @@ final class View private (
     }
 
     // Keyset-pagination cursor ([[queryPage]]): strictly after the last
-    // served (collation key, doc id).
-    opts.resumeAfter.foreach { case (ckB, lastId) =>
-      r =
-        if (!opts.descending) r.filter(ck > lit(ckB) ||
-          (ck === lit(ckB) && id > lit(lastId)))
-        else r.filter(ck < lit(ckB) ||
-          (ck === lit(ckB) && id < lit(lastId)))
-    }
+    // served (collation key, doc id). For REDUCED grouped queries the
+    // cursor addresses whole GROUPS — a raw-row filter here would let
+    // the boundary key's remaining rows form a PARTIAL group on the
+    // next page — so it applies post-aggregation in the reduce branch.
+    if (!(opts.reduce && reduceFn.isDefined))
+      opts.resumeAfter.foreach { case (ckB, lastId) =>
+        r =
+          if (!opts.descending) r.filter(ck > lit(ckB) ||
+            (ck === lit(ckB) && id > lit(lastId)))
+          else r.filter(ck < lit(ckB) ||
+            (ck === lit(ckB) && id < lit(lastId)))
+      }
 
     // Materialized-index partition pruning: key bounds become a `_kb`
     // bucket range (directory-level pruning via the stored bounds) on
@@ -377,20 +381,28 @@ final class View private (
               .select(lit(null).as("key"), col("value"),
                 lit(Array.emptyByteArray).as("_ck"))
           }
+        // group-page cursor: strictly past the last served GROUP key
+        // (the map-side raw-row cursor is skipped for reduced queries)
+        val paged = opts.resumeAfter match {
+          case Some((ckB, _)) if reducedKeys.isEmpty =>
+            if (opts.descending) grouped.filter(col("_ck") < lit(ckB))
+            else grouped.filter(col("_ck") > lit(ckB))
+          case _ => grouped
+        }
         reducedKeys match {
           case Some(ks) =>
             // Join the per-key aggregates back against the request list
             // with its position: filters (again, harmlessly), duplicates
             // repeated keys, and carries the requested order.
-            val spark = grouped.sparkSession
+            val spark = paged.sparkSession
             import spark.implicits._
             val req = ks.map(View.encodeKey(_, locale)).zipWithIndex
               .toDF("_ck", "_req_idx")
-            grouped.join(broadcast(req), Seq("_ck"))
+            paged.join(broadcast(req), Seq("_ck"))
               .orderBy(col("_req_idx").asc)
           case None =>
-            if (opts.descending) grouped.orderBy(col("_ck").desc)
-            else grouped.orderBy(col("_ck").asc)
+            if (opts.descending) paged.orderBy(col("_ck").desc)
+            else paged.orderBy(col("_ck").asc)
         }
       }
 
@@ -399,22 +411,35 @@ final class View private (
     out.drop("_req_idx")
   }
 
-  /** Keyset-paginated map-only query — the scale-safe alternative to
-    * `skip` (which is O(skip) however deep the page). Each page is
-    * `pageSize` rows in collation order; `resume` continues strictly
-    * after the previous page's last row via the envelope's opaque
-    * [[ResumeToken]] (`nextToken` — None once exhausted). The cursor is
-    * a (key, docid) bound, so it stays index-pruned at any depth, and an
-    * index update between pages cannot shift, skip, or duplicate the
-    * rows ahead of the cursor; the token's pinned `update_seq` tells the
-    * caller which index version served each page. */
+  /** Keyset-paginated query — the scale-safe alternative to `skip`
+    * (which is O(skip) however deep the page). Each page is `pageSize`
+    * rows in collation order; `resume` continues strictly after the
+    * previous page's last row via the envelope's opaque [[ResumeToken]]
+    * (`nextToken` — None once exhausted). Map-only pages cursor on
+    * (key, docid); REDUCED `group=true`/`group_level` pages cursor on
+    * the group key alone (group keys are distinct), continuing strictly
+    * past the last served group. Either cursor stays index-pruned at
+    * any depth, and an index update between pages cannot shift, skip,
+    * or duplicate the rows ahead of the cursor; the token's pinned
+    * `update_seq` tells the caller which index version served each
+    * page. */
   def queryPage(opts: QueryOpts = QueryOpts(), pageSize: Int = 1000,
                 resume: Option[String] = None): ViewQueryResult = {
     require(pageSize > 0, "pageSize must be positive")
     val cursor = resume.map(ResumeToken.decode)
-    val o = opts.copy(reduce = false, skip = 0,
-      limit = Some(pageSize.toLong),
-      resumeAfter = cursor.map(t => (t._2, t._3)))
+    // reduced GROUP rows page the same way — by (key collation) cursor;
+    // the doc-id half of the token is unused (group keys are distinct)
+    val groupedPage = opts.reduce && reduceFn.isDefined &&
+      (opts.group || opts.groupLevel.exists(_ > 0))
+    require(!groupedPage || opts.keys.isEmpty,
+      "queryPage cannot page a keys= reduced fetch (request order, " +
+        "not collation order) — page the keys list caller-side")
+    val o =
+      if (groupedPage) opts.copy(skip = 0, limit = Some(pageSize.toLong),
+        resumeAfter = cursor.map(t => (t._2, t._3)))
+      else opts.copy(reduce = false, skip = 0,
+        limit = Some(pageSize.toLong),
+        resumeAfter = cursor.map(t => (t._2, t._3)))
     val page = queryKeepCk(o)
     val rows = page.collect()
     val seq = updateSeq.getOrElse(0L)
@@ -422,8 +447,8 @@ final class View private (
       if (rows.length < pageSize) None
       else {
         val last = rows.last
-        Some(ResumeToken.encode(seq,
-          last.getAs[Array[Byte]]("_ck"), last.getAs[Any]("id")))
+        Some(ResumeToken.encode(seq, last.getAs[Array[Byte]]("_ck"),
+          if (groupedPage) 0L else last.getAs[Any]("id")))
       }
     val spark = page.sparkSession
     val ckIdx = page.schema.fieldIndex("_ck")

@@ -373,6 +373,73 @@ class ViewSpec extends SparkSpecBase {
     assert(rest.toSeq == prices)
   }
 
+  test("queryPage: reduced group=true pages equal the unpaged query") {
+    import graft.view.ResumeToken
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpage")
+      .toString
+    val path = s"$dir/v"
+    // many distinct keys: one group per order key
+    val v = View(orders, $"o_orderkey", $"o_orderkey".cast("double"),
+      $"o_totalprice".cast("decimal(18,2)"), Some(Reduce.Sum))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val vi = v.fromIndex(spark, path)
+    val opts = QueryOpts(group = true)
+    val unpaged = vi.query(opts).collect()
+      .map(r => r.getDouble(0) -> r.get(1)).toSeq
+
+    val p1 = vi.queryPage(opts, pageSize = 70)
+    val first = p1.rows.collect().map(r => r.getDouble(0) -> r.get(1)).toSeq
+    assert(first.length == 70 && p1.nextToken.isDefined)
+    assert(ResumeToken.seqOf(p1.nextToken.get) == 1L)
+
+    // interleave an update that changes an ALREADY-SERVED group's value
+    // and deletes another served group: rows ahead of the cursor must
+    // not shift, skip, or duplicate
+    val servedKeys = first.map(_._1.toLong)
+    val changed = orders.filter($"o_orderkey" === servedKeys.head)
+      .withColumn("o_totalprice", lit(999999.0))
+    v.updateIndex(spark, path, changed,
+      deletedIds = Seq(servedKeys(1)), newSeq = 2)
+    val vi2 = v.fromIndex(spark, path)
+
+    val rest = scala.collection.mutable.ArrayBuffer[(Double, Any)]()
+    var token = p1.nextToken
+    var guard = 0
+    while (token.isDefined && guard < 1000) {
+      val p = vi2.queryPage(opts, pageSize = 70, resume = token)
+      rest ++= p.rows.collect().map(r => r.getDouble(0) -> r.get(1))
+      token = p.nextToken
+      guard += 1
+    }
+    val all = first ++ rest
+    assert(all.map(_._1).distinct.length == all.length,
+      "a group was served twice")
+    // pages before the update + pages after == the ORIGINAL unpaged
+    // groups for the tail (groups past the cursor were untouched)
+    assert(all.toMap.keySet == unpaged.toMap.keySet,
+      "a group was skipped or invented")
+    assert(rest.toSeq ==
+      unpaged.filter(_._1 > first.last._1), "tail pages diverged")
+
+    // group_level pages too: array keys rolled to level 1
+    val va = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double"),
+        month($"o_orderdate").cast("double")),
+      lit(1L), Some(Reduce.Count))
+    val lv = QueryOpts(groupLevel = Some(1))
+    val unpagedL = va.query(lv).collect().map(_.toString).toSeq
+    val pagedL = scala.collection.mutable.ArrayBuffer[String]()
+    var tok: Option[String] = None
+    var first2 = true
+    while (first2 || tok.isDefined) {
+      val p = va.queryPage(lv, pageSize = 3, resume = tok)
+      pagedL ++= p.rows.collect().map(_.toString)
+      tok = p.nextToken
+      first2 = false
+    }
+    assert(pagedL.toSeq == unpagedL, "group_level paging diverged")
+  }
+
   test("sorted=false: same rows, no global sort in the plan") {
     val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
     val opts = QueryOpts(reduce = false,
