@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation sidecar: times the heaviest document pipelines at
+  * the base SF and at a synthetic 10× replication of the same corpus,
+  * and reports the scale RATIOS — the guard against operators whose
+  * cost is accidentally superlinear (a hazard invisible at any single
+  * SF; round 4 shipped two such, both caught only by code audit).
+  *
+  * The 10× corpus is BENCH-ONLY: ids are offset per copy and odd
+  * copies get a one-token perturbation (so the duplicate population
+  * grows 5× instead of trivially 10×); correctness stays gated on the
+  * driver's own testdata. Emits one JSON line and BENCH_SCALE.json:
+  * per-pipeline seconds at both scales plus the ratio. With ~10× rows
+  * a healthy ratio sits well under ~20 (linear + log factors + fixed
+  * overheads); a quadratic stage would post 50-100×. */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = System.getProperty("java.io.tmpdir")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // 10× replication: distinct ids per copy; odd copies perturbed
+    val bigPath = s"$tmp/graft_scale10x_docs"
+    (0 until 10).map { c =>
+      docs.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        (if (c % 2 == 1) concat(col("text"), lit(s" variantmark$c"))
+         else col("text")).as("text"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(bigPath)
+    val big = spark.read.parquet(bigPath)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    import graft.operators.{Dedup, Text, TextSearch}
+    val terms = Seq("hash", "join", "stream")
+    def pipelines(d: DataFrame, idx: String): Seq[(String, () => Unit)] =
+      Seq(
+        "dedup_corpus" -> (() =>
+          noop(Dedup.dedupCorpus(d, col("doc_id"), col("text")))),
+        "dedup_verified" -> (() =>
+          noop(Dedup.dedupCorpus(d, col("doc_id"), col("text"),
+            jaccardThreshold = Some(0.5)))),
+        "lm_quality" -> (() =>
+          noop(Text.bigramLmScores(d, col("doc_id"), col("text")))),
+        "text_index_build" -> (() =>
+          TextSearch.buildTextIndex(d, col("doc_id"), col("text"), idx)),
+        "hybrid_search" -> (() =>
+          noop(TextSearch.hybridSearch(spark, idx, terms, 20))))
+
+    // JIT/codegen warmup on the small corpus so the base timings are
+    // not dominated by first-compile costs the 10× run then skips
+    pipelines(docs.limit(200), s"$tmp/graft_scale_warm_idx")
+      .foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+
+    def best2(f: () => Unit): Double = math.min(time(f()), time(f()))
+    val base = pipelines(docs, s"$tmp/graft_scale_base_idx")
+      .map { case (n, f) => n -> best2(f) }
+    val big10 = pipelines(big, s"$tmp/graft_scale_10x_idx")
+      .map { case (n, f) => n -> best2(f) }
+
+    val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
+      n -> (if (b > 0) g / b else -1.0)
+    }
+    def js(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale10x","base_sf":"$sfDir",""" +
+      s""""base":${js(base)},"x10":${js(big10)},"ratio":${js(ratios)}}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("BENCH_SCALE.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Exception => () }
+    spark.stop()
+  }
+}
