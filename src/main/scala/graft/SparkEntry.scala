@@ -979,6 +979,22 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D2e: attribute-FILTERED ANN — the vector-database metadata-filter
+    * pattern: [[graft.operators.Similarity.ivfTopKWhere]] restricts
+    * the probed inverted lists to an allowed-id set (even ids here)
+    * between the pruned read and ranking, so the top-k is the filtered
+    * set's own top-k within the probed lists. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("ivf", dir, "embeddings")
+    if (!hasFile(s"$path/data/_SUCCESS"))
+      Similarity.buildIvfIndex(emb, path)
+    Similarity.ivfTopKWhere(s, path, emb.filter(col("vec_id") < 10), 5,
+      emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D2c+: IVF with ONE spherical-k-means refinement iteration — the
     * same serve path as q53 (refinement is transparent: queries read the
     * STORED centroids), but the centroids are the normalized per-
@@ -1108,7 +1124,8 @@ object SparkEntry {
     "q75_proximity_n" -> (q75 _),
     "q76_analyzed_search" -> (q76 _),
     "q77_chunked_attachments" -> (q77 _),
-    "q78_streaming_window" -> (q78 _)
+    "q78_streaming_window" -> (q78 _),
+    "q79_filtered_ann" -> (q79 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1237,40 +1254,13 @@ object SparkEntry {
     "q23_simhash" -> simhashOracle,
     "q27_ann_lsh" -> annLshOracle,
     "q52_ann_indexed" -> annLshOracle,
-    "q53_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-        |assign AS (
-        |  SELECT vec_id AS n_id, cid FROM (
-        |    SELECT n.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
-        |                 c.cid DESC) AS rn
-        |    FROM n CROSS JOIN c) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, cid FROM (
-        |    SELECT n.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
-        |                 c.cid DESC) AS rn
-        |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, a.n_id
-        |  FROM probes p JOIN assign a ON a.cid = p.cid
-        |  WHERE a.n_id != p.q_id),
-        |j AS (
-        |  SELECT cand.q_id, cand.n_id,
-        |    list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cosf
-        |  FROM cand
-        |  JOIN n q ON q.vec_id = cand.q_id
-        |  JOIN n x ON x.vec_id = cand.n_id)
-        |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
-        |  SELECT q_id, n_id, cosf,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
-        |  FROM j)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q53_ann_ivf" -> ivfOracle,
+    // the q53 chain with the candidate lists restricted to the allowed
+    // ids (even vec_ids) BETWEEN probing and ranking — the filtered
+    // set's own top-k within the probed lists
+    "q79_filtered_ann" -> ivfOracle.replace(
+      "WHERE a.n_id != p.q_id",
+      "WHERE a.n_id != p.q_id AND a.n_id % 2 = 0"),
     // q55 replays the ENTIRE refined-IVF approximation: init centroids
     // (vec_id < 16), one spherical-k-means step (assign by cosine, ties
     // larger cid; normalized per-dimension means rounded at 1e-6; empty
@@ -2026,6 +2016,45 @@ object SparkEntry {
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin
   )
+
+  /** DuckDB replay of the q53 IVF serving chain: deterministic init
+    * (vec_id < 16), nearest-centroid assignment (ties to the larger
+    * cid), 4 probes per query (vec_id < 10), exact cosine rank within
+    * the probed lists. Shared by q53 and the filtered variant q79. */
+  private val ivfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT vec_id AS n_id, cid FROM (
+      |    SELECT n.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+      |                 c.cid DESC) AS rn
+      |    FROM n CROSS JOIN c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cid FROM (
+      |    SELECT n.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+      |                 c.cid DESC) AS rn
+      |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT p.q_id, a.n_id
+      |  FROM probes p JOIN assign a ON a.cid = p.cid
+      |  WHERE a.n_id != p.q_id),
+      |j AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |    list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cosf
+      |  FROM cand
+      |  JOIN n q ON q.vec_id = cand.q_id
+      |  JOIN n x ON x.vec_id = cand.n_id)
+      |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+      |  SELECT q_id, n_id, cosf,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+      |  FROM j)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB replay of the Okapi BM25 scoring: same token split, same
     * df/N/avgdl derivation, the weight written in the same

@@ -381,4 +381,39 @@ object Similarity {
         col("_kb").as("bucket"))
     rankWithinBuckets(c, q, k)
   }
+
+  /** Attribute-FILTERED ANN from the IVF index — the vector-database
+    * metadata-filter pattern (`lang = 'en' AND similar to q`): the
+    * probed inverted lists are semi-joined to an allowed-id set (one
+    * `vec_id` column) BETWEEN the pruned read and ranking, so the
+    * top-k is the top-k OF THE FILTERED SET within the probed lists
+    * (post-limit filtering would under-return, the same contract as
+    * `TextSearch.searchWhere`). The scan stays pruned to the probe
+    * buckets; the filter joins broadcast-or-shuffle as its size
+    * dictates. Recall caveat is the IVF one, unchanged: candidates
+    * come from `nProbe` lists — raise `nProbe` when the filter is
+    * highly selective so enough allowed candidates survive. */
+  def ivfTopKWhere(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, allowed: DataFrame,
+                   nProbe: Int = 4): DataFrame = {
+    require(allowed.columns.length == 1,
+      s"allowed must be a single vec-id column; got " +
+        s"[${allowed.columns.mkString(", ")}]")
+    val cents = readCentroids(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("_p",
+        explode(topCentroids(col("q_vec"), col("q_nrm"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        col("_p.cid").as("bucket"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path + "/data")
+      .filter(col("_kb").isin(buckets: _*))
+      .join(allowed.toDF("_id").distinct(), Seq("_id"), "left_semi")
+      .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),
+        col("_kb").as("bucket"))
+    rankWithinBuckets(c, q, k)
+  }
 }

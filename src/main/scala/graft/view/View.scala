@@ -546,7 +546,13 @@ final class View private (
   /** Reference query-response metadata: the result rows plus
     * `total_rows` (size of the whole view index), `offset` (the skip
     * applied) and, for indexed views, the index `update_seq` —
-    * CouchDB's response envelope. */
+    * CouchDB's response envelope.
+    *
+    * Scale note: on an UNMATERIALIZED view the `total_rows` count is a
+    * second execution of the map phase (see [[totalRows]]) — the
+    * envelope costs one extra pass there. Materialize the view (or
+    * call [[query]] directly when the envelope isn't needed) to avoid
+    * it; on an indexed view the count is parquet metadata, free. */
   def queryResult(opts: QueryOpts = QueryOpts()): ViewQueryResult =
     ViewQueryResult(query(opts), totalRows, opts.skip, updateSeq)
 

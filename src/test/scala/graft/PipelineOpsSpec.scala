@@ -442,6 +442,38 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"members rewrote beyond the changed sub-bucket: $mt")
   }
 
+  test("filtered ANN: top-k of the allowed set within the probed lists") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-fann")
+      .toString + "/idx"
+    Similarity.buildIvfIndex(emb, path)
+    val queries = emb.filter($"vec_id" < 10)
+    val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val got = Similarity.ivfTopKWhere(spark, path, queries, 5, allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty && got.forall(_._3 % 2 == 0),
+      "returned a neighbor outside the allowed set")
+    // equals filtering the UNfiltered ranking then re-ranking: the
+    // filter sits between probing and ranking, so the filtered top-5
+    // is the allowed prefix of the full candidate ranking
+    val full = Similarity.ivfTopK(spark, path, queries, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val exp = full.filter(_._3 % 2 == 0).groupBy(_._1).toSeq.flatMap {
+      case (q, rows) => rows.sortBy(_._2).take(5).zipWithIndex.map {
+        case ((qid, _, nid, cos), i) => (qid, i + 1L, nid, cos)
+      }
+    }.toSet
+    assert(got == exp, "filtered ANN must be the allowed set's own top-k")
+    // multi-column allowed frame fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWhere(spark, path, queries, 5, emb)
+    }
+    assert(e.getMessage.contains("single vec-id column"))
+  }
+
   test("bigram LM score: formulaic text outranks token salad") {
     import graft.operators.Text
     // corpus where "big data" is a common transition and doc 3 is a
