@@ -715,6 +715,24 @@ object SparkEntry {
     DedupIndex.clusters(s, path).orderBy(col("doc_id"))
   }
 
+  /** C8c: cluster MEMBER EXPANSION from the persisted index
+    * ([[graft.operators.DedupIndex.membersOf]]): the first ten docs'
+    * cluster labels are looked up, then their whole families are
+    * served from the by-cluster sub-bucketed layout (reads prune to
+    * the clusters' sub-buckets). The oracle recomputes the closure
+    * from raw text and filters to the same clusters. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupIndex
+    val path = idxPath("dcx", dir, "documents")
+    if (!DedupIndex.indexCurrent(s, path))
+      DedupIndex.build(t(s, dir, "documents"), col("doc_id"), col("text"),
+        path)
+    val cids = DedupIndex.clusters(s, path).filter(col("doc_id") < 10)
+      .select(col("cluster_id")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    DedupIndex.membersOf(s, path, cids).orderBy(col("doc_id"))
+  }
+
   /** E8b: IVF ANN over the hashed TF-IDF vectors — the SCALE path for
     * lexical-vector search (q64's brute rank probes 4 inverted lists
     * instead of the corpus): vectors derive from the text index,
@@ -1125,7 +1143,8 @@ object SparkEntry {
     "q76_analyzed_search" -> (q76 _),
     "q77_chunked_attachments" -> (q77 _),
     "q78_streaming_window" -> (q78 _),
-    "q79_filtered_ann" -> (q79 _)
+    "q79_filtered_ann" -> (q79 _),
+    "q80_cluster_members" -> (q80 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2005,6 +2024,25 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  'md5-' || md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the q68 closure restricted to the clusters containing docs 0-9 —
+    // exactly what membersOf serves from the by-cluster layout
+    "q80_cluster_members" ->
+      (minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+       """, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, cluster_id FROM lab
+         |WHERE cluster_id IN (SELECT DISTINCT cluster_id FROM lab WHERE doc_id < 10)
+         |ORDER BY doc_id""".stripMargin),
     // the batch replay of the micro-batch-settled streaming windows:
     // same 1-hour buckets (epoch-aligned), counts and decimal-exact
     // sums per event type

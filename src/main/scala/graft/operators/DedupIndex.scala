@@ -143,6 +143,28 @@ object DedupIndex {
     spark.read.parquet(path + "/labels")
       .select(col("doc_id"), col("cluster_id"))
 
+  /** Member expansion: every `(doc_id, cluster_id)` row of the given
+    * clusters, served from the by-cluster `members/` layout with the
+    * read pruned to each cluster's nB sub-bucket directories — a
+    * point lookup per cluster, never a labels scan. The duplicate-
+    * family review workflow: look up a doc's label ([[clusters]]),
+    * expand its family here. */
+  def membersOf(spark: SparkSession, path: String,
+                clusterIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(clusterIds.nonEmpty, "clusterIds must be non-empty")
+    val nB = IndexStore.readMeta(spark, path).buckets
+    // bucket routing runs as a tiny local job so the driver-side ids
+    // use the exact same hash expression as the stored layout
+    val cbs = clusterIds.toDF("cluster_id")
+      .select(IndexStore.idBucket(col("cluster_id"), nB).as("_cb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path + "/members")
+      .filter(col("_cm").isin(cmsOfClusterBuckets(cbs, nB): _*) &&
+        col("cluster_id").isin(clusterIds: _*))
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
   /** Apply one change batch: re-hash `changedDocs`, rewrite their
     * old∪new band buckets, and re-cluster ONLY the affected membership
     * (see the soundness note above). Returns the re-clustered doc

@@ -440,6 +440,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     val mt = touchedDirs(beforeM, afterM)
     assert(mt == Set(s"_cm=$newCm"),
       s"members rewrote beyond the changed sub-bucket: $mt")
+
+    // member expansion serves the whole family from a PRUNED read
+    val fam2 = DedupIndex.membersOf(spark, path, Seq(1L))
+    assert(fam2.collect().map(_.getLong(0)).toSet ==
+      ((1L to 60L).toSet + 2000L), "family expansion wrong")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = DedupIndex.membersOf(spark, path, Seq(1L))
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "membersOf must prune member sub-buckets")
+      // one cluster reads at most its nB=8 sub-bucket dirs (≤8 files),
+      // not the full 8×8 layout
+      val files = scans.head.metrics("numFiles").value
+      assert(files >= 1 && files <= 8,
+        s"expected ≤8 pruned sub-bucket files, scanned $files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("filtered ANN: top-k of the allowed set within the probed lists") {
