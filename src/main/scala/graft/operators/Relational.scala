@@ -65,6 +65,32 @@ object Relational {
       sum(value.cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Hopping (sliding) window aggregation: windows of `widthHours`
+    * advancing every `slideHours` — each event lands in
+    * `width/slide` overlapping windows, materialized by exploding the
+    * covering window-start sequence per row (a bounded fan-out of
+    * width/slide, not a self-join or a per-window pass) and partial-
+    * aggregating by window start. `slide` must divide `width` (the
+    * aligned-hop contract — same as Spark's own `window()`); decimal-
+    * exact sums. Returns `(win_start, cnt, sum_value)` with
+    * `win_start` in hop units since epoch. */
+  def hoppingAgg(df: DataFrame, tsMicros: Column, widthHours: Int,
+                 slideHours: Int, value: Column): DataFrame = {
+    require(widthHours > 0 && slideHours > 0 &&
+      widthHours % slideHours == 0,
+      "slide must divide width (aligned hopping windows)")
+    val slide = slideHours * 3600L * 1000000L
+    val hops = widthHours / slideHours
+    // the hop-aligned window starts covering ts:
+    // floor(ts/slide) - (hops-1) .. floor(ts/slide)
+    val lastHop = floor(tsMicros / slide).cast("long")
+    df.select(value.cast("decimal(18,2)").as("_v"),
+        explode(sequence(lastHop - (hops - 1), lastHop)).as("win_start"))
+      .groupBy(col("win_start")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("_v")).cast("double").as("sum_value"))
+  }
+
   /** Gap-based sessionization: a session breaks when the time since the
     * previous row of the same key exceeds `gapMicros`. Two window passes
     * over a single shuffle on the key — no state store needed in batch. */

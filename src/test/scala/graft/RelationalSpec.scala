@@ -46,6 +46,36 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("hoppingAgg: each event covers width/slide windows; reduces to tumbling") {
+    val hour = 3600L * 1000000L
+    val tiny = Seq(
+      (0L * hour + 10L, 1.0),  // hour 0 → windows starting at -1, 0
+      (1L * hour + 10L, 2.0),  // hour 1 → windows 0, 1
+      (3L * hour + 10L, 4.0)   // hour 3 → windows 2, 3
+    ).toDF("ts_us", "value")
+    val got = Relational.hoppingAgg(tiny, $"ts_us", 2, 1, $"value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // window 0 holds hours 0 and 1; window 1 holds hour 1 only
+    assert(got(0L) == (2L, 3.0), s"window 0: ${got(0L)}")
+    assert(got(1L) == (1L, 2.0))
+    assert(got(2L) == (1L, 4.0) && got(3L) == (1L, 4.0))
+    // every event lands in exactly width/slide = 2 windows
+    assert(got.values.map(_._1).sum == 3 * 2)
+    // width == slide degenerates to the tumbling aggregation
+    val hop1 = Relational.hoppingAgg(events, $"ts_us", 1, 1, $"value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val tum = Relational.tumblingAgg(events, $"ts_us", 1, $"value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(hop1 == tum, "slide==width must equal tumbling")
+    // slide must divide width
+    intercept[IllegalArgumentException] {
+      Relational.hoppingAgg(events, $"ts_us", 3, 2, $"value")
+    }
+  }
+
   test("withGlobalRowNumber equals a window row_number without the single partition") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val got = Relational.withGlobalRowNumber(
