@@ -891,6 +891,51 @@ object SparkEntry {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** G1b gated: the streaming `_stats` reduce
+    * ([[graft.streaming.Streams.windowedStats]]) through the same
+    * 4-micro-batch file-stream drive as q78 (staged input reused);
+    * the settled complete-mode table carries the full CouchDB stats
+    * tuple per window+type, replayed by the batch oracle. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        col("event_type"), col("value"))
+    val inDir = idxPath("q78in", dir, "events") + "/in"
+    if (!hasFile(s"$inDir/_STAGED")) {
+      import org.apache.spark.sql.expressions.Window
+      val chunked = ev.withColumn("_c",
+        ntile(4).over(Window.orderBy(col("ts"))))
+      (1 to 4).foreach { i =>
+        chunked.filter(col("_c") === i).drop("_c")
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$inDir/_STAGED"))
+    }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q82").toString
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val qname = s"q82_ws_${System.nanoTime()}"
+    val q = graft.streaming.Streams
+      .windowedStats(stream, width = "1 hour", lateness = "100000 hours")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", tmp + "/ck").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(
+        floor(col("window").getField("start").cast("long") / 3600.0)
+          .cast("long").as("bucket"),
+        col("event_type"),
+        // decimal-exact inside the operator → every column is
+        // arrival-order-free and replayable without rounding
+        col("sum").as("sum_v"), col("count").as("count_v"),
+        col("min").as("min_v"), col("max").as("max_v"),
+        col("sumsqr").as("sumsqr_v"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1163,7 +1208,8 @@ object SparkEntry {
     "q78_streaming_window" -> (q78 _),
     "q79_filtered_ann" -> (q79 _),
     "q80_cluster_members" -> (q80 _),
-    "q81_hopping_window" -> (q81 _)
+    "q81_hopping_window" -> (q81 _),
+    "q82_streaming_stats" -> (q82 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2082,6 +2128,18 @@ object SparkEntry {
         |  event_type,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    // the settled streaming _stats tuple replayed in batch — decimal-
+    // exact sums cast to double in both engines
+    "q82_streaming_stats" ->
+      """SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+        |  event_type,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(*) AS count_v,
+        |  MIN("value") AS min_v,
+        |  MAX("value") AS max_v,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sumsqr_v
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin
   )

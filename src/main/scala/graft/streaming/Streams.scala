@@ -32,18 +32,23 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
   /** Streaming `_stats` reduce: the reference's stats builtin maintained
-    * continuously per window+key with bounded state. */
+    * continuously per window+key with bounded state. The sums
+    * accumulate as DECIMALS internally (exact, order-free — a plain
+    * double sum would make the settled table depend on micro-batch
+    * arrival order in the last ulp) and surface as doubles. */
   def windowedStats(events: DataFrame, width: String = "1 hour",
-                    lateness: String = "2 hours"): DataFrame =
+                    lateness: String = "2 hours"): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(
-        sum(col("value")).as("sum"),
+        sum(v).cast("double").as("sum"),
         count(col("value")).as("count"),
         min(col("value")).as("min"),
         max(col("value")).as("max"),
-        sum(col("value") * col("value")).as("sumsqr"))
+        sum(v * v).cast("double").as("sumsqr"))
+  }
 
   /** Streaming exact dedup on a content key with bounded state: documents
     * whose fingerprint was already seen inside the watermark horizon are
