@@ -183,6 +183,34 @@ object SparkEntry {
       col("value"))
       .orderBy(col("win_start"))
 
+  /** B26: skew-safe salted JOIN ([[graft.operators.Relational
+    * .saltedJoin]]) — the big side salted, the small side replicated
+    * per salt; the oracle is the PLAIN join (the result is
+    * salt-independent by construction, which is exactly the
+    * correctness claim). */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("ok"), col("l_extendedprice"),
+      col("l_discount"))
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey").as("ok"), col("o_orderpriority"))
+    Relational.saltedJoin(li, o, "ok", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** E11: PMI-ranked bigram collocations ([[graft.operators.Text
+    * .pmiBigrams]]) — phrase-vocabulary mining over the documents
+    * corpus; counts are exact integers and the PMI is one scalar
+    * expression per pair, replayed by the oracle. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.pmiBigrams(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+
   /** B4: gap sessionization (30 min) → sessions per user. */
   private def q15(s: SparkSession, dir: String): DataFrame =
     Relational.sessionize(events(s, dir), col("user_id"), col("ts_us"),
@@ -1209,7 +1237,9 @@ object SparkEntry {
     "q79_filtered_ann" -> (q79 _),
     "q80_cluster_members" -> (q80 _),
     "q81_hopping_window" -> (q81 _),
-    "q82_streaming_stats" -> (q82 _)
+    "q82_streaming_stats" -> (q82 _),
+    "q83_salted_join" -> (q83 _),
+    "q84_pmi_bigrams" -> (q84 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2130,6 +2160,37 @@ object SparkEntry {
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    // the PLAIN join is the oracle: the salted join's result is
+    // salt-independent by construction
+    "q83_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST((1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // exact integer bigram counts + left/right marginals; one scalar
+    // ln per surviving pair, rounded identically
+    "q84_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |bix AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bix GROUP BY w1, w2),
+        |cl AS (SELECT w1, COUNT(*) AS cl FROM bix GROUP BY w1),
+        |cr AS (SELECT w2, COUNT(*) AS cr FROM bix GROUP BY w2),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bix)
+        |SELECT w1, w2, c2,
+        |  FLOOR(ln((CAST(c2 AS DOUBLE) * n) /
+        |           (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS pmi
+        |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nt
+        |WHERE c2 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
     // the settled streaming _stats tuple replayed in batch — decimal-
     // exact sums cast to double in both engines
     "q82_streaming_stats" ->

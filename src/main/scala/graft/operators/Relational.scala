@@ -181,6 +181,26 @@ object Relational {
       .groupBy(col("key"))
       .agg(sum(col("_partial")).as("sum_value"))
 
+  /** Skew-safe salted JOIN — the companion of [[saltedSum]] for joins:
+    * the BIG side's rows get a pseudo-random salt in [0, salts) and
+    * the SMALL side is replicated once per salt value, so one hot join
+    * key's probe rows spread over `salts` reducers instead of one task
+    * absorbing the whole key. The join RESULT is salt-independent
+    * (every big row still meets every matching small row exactly once),
+    * which is what the oracle gate checks; only the row distribution
+    * changes. Cost: the small side shuffles `salts`× — size it so
+    * replicated-small ≪ big (the precondition for salting to pay). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts >= 2, "salts must be >= 2 (1 is a plain join)")
+    val b = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+        .cast("int"))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Keep the latest row per key by a time ordering (the reference's
     * "current revision wins" read semantics, batch form). */
   def latestByKey(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =

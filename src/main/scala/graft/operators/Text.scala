@@ -83,20 +83,29 @@ object Text {
     * partial-aggregating groupBys for the model, one broadcast-or-
     * shuffle join to score — never a per-doc loop. Returns
     * `(doc_id, n_bigrams, lm_score)` for docs with ≥1 bigram. */
-  def bigramLmScores(docs: org.apache.spark.sql.DataFrame,
-                     id: Column, text: Column)
+  /** `(doc_id, w1, w2)` adjacent-token bigram rows — the shared front
+    * of [[bigramLmScores]] and [[pmiBigrams]]: one explode + one lead
+    * window per doc. */
+  private def bigramRows(docs: org.apache.spark.sql.DataFrame,
+                         id: Column, text: Column)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{broadcast, count => fcount}
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val toks = docs.select(id.cast("long").as("doc_id"), text.as("_t"))
       .repartition(parts, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("_t"))).as(Seq("_p", "_w")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
-    val bi = toks
+    toks
       .select(col("doc_id"), col("_w").as("w1"),
         lead(col("_w"), 1).over(w).as("w2"))
       .filter(col("w2").isNotNull)
+  }
+
+  def bigramLmScores(docs: org.apache.spark.sql.DataFrame,
+                     id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val bi = bigramRows(docs, id, text)
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(fcount(lit(1)).as("c2"))
     // NO broadcast hint on the unigram (or bigram) model joins: both
     // tables are one row per distinct corpus token/bigram — unbounded
@@ -119,6 +128,39 @@ object Text {
       .select(col("doc_id"), col("n_bigrams"),
         graft.gfunctions.round4((col("_s6").cast("double") / 1000000.0) /
           col("n_bigrams")).as("lm_score"))
+  }
+
+  /** PMI-ranked bigram collocations — phrase-vocabulary mining for
+    * training-data pipelines (tokenizer merge candidates, stop-phrase
+    * lists): `pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2)))` over the
+    * corpus bigram table, with the unigram marginals counted as
+    * left/right bigram positions. `minCount` suppresses the classic
+    * PMI rare-pair blowup. Per-pair cost is one scalar expression (no
+    * unordered float sums — the counts are exact integers), so the
+    * ranking replays in the oracle engine; doubles throughout the
+    * ratio so counts at 100 TB never overflow an integer product.
+    * Returns the top-`k` `(w1, w2, c2, pmi)` by rounded PMI, ties by
+    * the pair. */
+  def pmiBigrams(docs: org.apache.spark.sql.DataFrame,
+                 id: Column, text: Column, minCount: Long = 5L,
+                 k: Int = 25): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val bi = bigramRows(docs, id, text)
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(fcount(lit(1)).as("c2"))
+    // marginals from the bigram table's own positions (each bigram
+    // occurrence contributes one left and one right observation)
+    val cl = bi.groupBy(col("w1")).agg(fcount(lit(1)).as("_cl"))
+    val cr = bi.groupBy(col("w2")).agg(fcount(lit(1)).as("_cr"))
+    val nt = bi.agg(fcount(lit(1)).cast("double").as("_n"))
+    c2.filter(col("c2") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("c2"),
+        round4(log((col("c2").cast("double") * col("_n")) /
+          (col("_cl").cast("double") * col("_cr").cast("double"))))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
   }
 
   /** Whitespace-normalized lowercase form used for content hashing. */

@@ -494,6 +494,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("single vec-id column"))
   }
 
+  test("pmiBigrams: collocations outrank chance pairs; minCount filters") {
+    import graft.operators.Text
+    // "san francisco" always co-occurs; "the" pairs with everything
+    val docs = (1L to 20L).map { i =>
+      (i, s"san francisco is the city the fog the hills item$i end")
+    }.toDF("doc_id", "text")
+    val top = Text.pmiBigrams(docs, $"doc_id", $"text",
+        minCount = 5L, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getDouble(3)))
+    val pairs = top.map(_._1)
+    assert(pairs.contains(("san", "francisco")),
+      s"perfect collocation missing from $pairs")
+    val byPair = top.map(t => t._1 -> t._3).toMap
+    // a deterministic pair (always together) must outrank a
+    // promiscuous one ("the" pairs with 3+ different right sides)
+    assert(byPair(("san", "francisco")) > byPair.getOrElse(("the", "fog"),
+      Double.NegativeInfinity))
+    // every returned pair respects minCount
+    assert(top.forall(_._2 >= 5L))
+    // rare pairs (unique item$i bigrams, count 1) never appear
+    assert(pairs.forall { case (a, b) => !a.startsWith("item") })
+  }
+
   test("bigram LM score: formulaic text outranks token salad") {
     import graft.operators.Text
     // corpus where "big data" is a common transition and doc 3 is a

@@ -76,6 +76,26 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("saltedJoin: result equals the plain join, rows spread over salts") {
+    val big = (1L to 1000L).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val got = Relational.saltedJoin(big, small, "k", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == plain, "salted join must equal the plain join")
+    // the salted big side actually uses >1 salt per hot key (the whole
+    // point — one reducer no longer absorbs a hot key)
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
+    assert(salted.select($"_salt").distinct().count() > 1)
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(big, small, "k", 1)
+    }
+  }
+
   test("withGlobalRowNumber equals a window row_number without the single partition") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val got = Relational.withGlobalRowNumber(
