@@ -211,6 +211,14 @@ object SparkEntry {
     graft.operators.Text.pmiBigrams(t(s, dir, "documents"),
       col("doc_id"), col("text"))
 
+  /** E12: Gopher-style repetition filters ([[graft.operators.Text
+    * .repetitionScores]]) — duplicate-token fraction and top-bigram
+    * fraction per doc; exact integer-count ratios the oracle replays. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.repetitionScores(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** B4: gap sessionization (30 min) → sessions per user. */
   private def q15(s: SparkSession, dir: String): DataFrame =
     Relational.sessionize(events(s, dir), col("user_id"), col("ts_us"),
@@ -1239,7 +1247,8 @@ object SparkEntry {
     "q81_hopping_window" -> (q81 _),
     "q82_streaming_stats" -> (q82 _),
     "q83_salted_join" -> (q83 _),
-    "q84_pmi_bigrams" -> (q84 _)
+    "q84_pmi_bigrams" -> (q84 _),
+    "q85_repetition" -> (q85 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2191,6 +2200,33 @@ object SparkEntry {
         |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nt
         |WHERE c2 >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
+    // exact integer token/bigram counts; two ratios per doc
+    "q85_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tokstats AS (
+        |  SELECT doc_id, COUNT(*) AS ntok, COUNT(DISTINCT w) AS dtok
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |bc AS (
+        |  SELECT doc_id, b.w1, b.w2, COUNT(*) AS c FROM bi
+        |  GROUP BY doc_id, b.w1, b.w2),
+        |bistats AS (
+        |  SELECT doc_id, SUM(c) AS nbi, MAX(c) AS maxbi FROM bc
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  FLOOR((1.0 - CAST(t.dtok AS DOUBLE) / CAST(t.ntok AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS dup_token_frac,
+        |  FLOOR((CAST(b.maxbi AS DOUBLE) / CAST(b.nbi AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS top_bigram_frac
+        |FROM bistats b JOIN tokstats t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // the settled streaming _stats tuple replayed in batch — decimal-
     // exact sums cast to double in both engines
     "q82_streaming_stats" ->

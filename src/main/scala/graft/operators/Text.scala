@@ -163,6 +163,41 @@ object Text {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
   }
 
+  /** Gopher-style repetition signals — the "repetitive junk" filters
+    * that complement [[qualityScore]] (surface heuristics) and
+    * [[bigramLmScores]] (LM signal): per doc,
+    *  - `dup_token_frac` = 1 - distinct_tokens/tokens (near 1 ⇒ the
+    *    same few tokens looped);
+    *  - `top_bigram_frac` = occurrences of the doc's most frequent
+    *    bigram / total bigrams (near 1 ⇒ one phrase repeated).
+    * Both are exact integer-count ratios divided once per doc (no
+    * unordered float sums) and rounded for the gate; docs need ≥1
+    * bigram. Cost: one explode + two partial aggregations — never a
+    * per-doc loop. */
+  def repetitionScores(docs: org.apache.spark.sql.DataFrame,
+                       id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = docs.select(id.cast("long").as("doc_id"), text.as("_t"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("_t"))).as("_w"))
+    val tokStats = toks.groupBy(col("doc_id"))
+      .agg(fcount(lit(1)).as("_ntok"),
+        count_distinct(col("_w")).as("_dtok"))
+    val biStats = bigramRows(docs, id, text)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(fcount(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("_nbi"), max(col("_c")).as("_maxbi"))
+    biStats.join(tokStats, Seq("doc_id"))
+      .select(col("doc_id"),
+        round4(lit(1.0) - col("_dtok").cast("double") /
+          col("_ntok").cast("double")).as("dup_token_frac"),
+        round4(col("_maxbi").cast("double") /
+          col("_nbi").cast("double")).as("top_bigram_frac"))
+  }
+
   /** Whitespace-normalized lowercase form used for content hashing. */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -518,6 +518,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(pairs.forall { case (a, b) => !a.startsWith("item") })
   }
 
+  test("repetitionScores: looped phrases score high, diverse text low") {
+    import graft.operators.Text
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),      // one phrase looped
+      (2L, "the quick brown fox jumps over dogs"),  // all distinct
+      (3L, "a a a a a a a a")                       // one token looped
+    ).toDF("doc_id", "text")
+    val r = Text.repetitionScores(docs, $"doc_id", $"text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2))).toMap
+    // doc 1: 8 tokens, 2 distinct → dup 0.75; bigrams: "buy now" 4 of 7
+    assert(r(1L)._1 == 0.75 && math.abs(r(1L)._2 - 4.0 / 7.0) < 1e-3,
+      s"doc 1: ${r(1L)}")
+    // doc 2: fully diverse → dup 0, top bigram 1 of 6
+    assert(r(2L)._1 == 0.0 && math.abs(r(2L)._2 - 1.0 / 6.0) < 1e-3)
+    // doc 3: extreme repetition → both near 1
+    assert(r(3L)._1 == 0.875 && r(3L)._2 == 1.0)
+    // the filter separates junk from prose
+    assert(r(1L)._2 > r(2L)._2 && r(3L)._1 > r(2L)._1)
+  }
+
   test("bigram LM score: formulaic text outranks token salad") {
     import graft.operators.Text
     // corpus where "big data" is a common transition and doc 3 is a
