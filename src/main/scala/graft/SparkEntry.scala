@@ -877,100 +877,98 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** G1 gated: the streaming windowed-count pipeline
-    * ([[graft.streaming.Streams.windowedCounts]]) driven through a
-    * REAL micro-batch file stream — the events table is staged as four
-    * time-ordered parquet files, `maxFilesPerTrigger=1` makes each a
-    * micro-batch, and the SETTLED complete-mode table is returned. The
-    * oracle replays the same 1-hour windowed counts/sums in batch SQL,
-    * so a green row proves the incremental micro-batch aggregation
-    * converges to the batch answer (lateness is set beyond the data
-    * span so no row is dropped — the determinism condition). */
-  private def q78(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the events table as four time-ordered parquet files (one
+    * micro-batch each) under a content-keyed dir, shared by q78/q82.
+    * The files are written to a TEMP dir and renamed into place with
+    * the `_STAGED` marker inside — an interrupted staging can never
+    * leave a partial (or, on retry, doubled) input behind, because the
+    * destination only ever appears complete. Returns (inputDir,
+    * schema). */
+  private def stagedEventStream(s: SparkSession,
+                                dir: String): (String,
+      org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.expressions.Window
     // the raw table stores nanosecond longs; the stream needs a real
     // TimestampType event-time column (micros floor == epoch_us)
     val ev = events(s, dir)
       .select(timestamp_micros(col("ts_us")).as("ts"),
         col("event_type"), col("value"))
-    // stream input staged ONCE per dataset (content-keyed like
-    // idxPath) — repeated bench passes re-run the 4 micro-batches but
-    // not the staging writes; the checkpoint is fresh per run so the
-    // stream always replays from batch 0
     val inDir = idxPath("q78in", dir, "events") + "/in"
     if (!hasFile(s"$inDir/_STAGED")) {
+      val fs = graft.view.IndexStore.fsFor(s, inDir)
+      val tmp = new org.apache.hadoop.fs.Path(inDir + "._tmp")
+      fs.delete(tmp, true)
       val chunked = ev.withColumn("_c",
         ntile(4).over(Window.orderBy(col("ts"))))
       (1 to 4).foreach { i =>
         chunked.filter(col("_c") === i).drop("_c")
-          .coalesce(1).write.mode("append").parquet(inDir)
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
       }
-      java.nio.file.Files.createFile(
-        java.nio.file.Paths.get(s"$inDir/_STAGED"))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_STAGED")).close()
+      val dst = new org.apache.hadoop.fs.Path(inDir)
+      fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"stream staging rename failed: $tmp -> $dst")
     }
+    (inDir, ev.schema)
+  }
+
+  /** Drive a streaming aggregation over the staged event stream to its
+    * SETTLED complete-mode table: one staged file per trigger (4 real
+    * micro-batches), fresh checkpoint per run, memory sink. */
+  private def settledStream(s: SparkSession, dir: String, tag: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val (inDir, schema) = stagedEventStream(s, dir)
     val tmp = java.nio.file.Files
-      .createTempDirectory("graft-q78").toString
-    val stream = s.readStream.schema(ev.schema)
+      .createTempDirectory(s"graft-$tag").toString
+    val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val qname = s"q78_wc_${System.nanoTime()}"
-    val q = graft.streaming.Streams
-      .windowedCounts(stream, width = "1 hour", lateness = "100000 hours")
+    val qname = s"${tag}_${System.nanoTime()}"
+    val q = agg(stream)
       .writeStream.format("memory").queryName(qname)
       .outputMode("complete")
       .option("checkpointLocation", tmp + "/ck").start()
     try q.processAllAvailable() finally q.stop()
     s.table(qname)
+  }
+
+  /** G1 gated: the streaming windowed-count pipeline
+    * ([[graft.streaming.Streams.windowedCounts]]) driven through a
+    * REAL micro-batch file stream — `maxFilesPerTrigger=1` over the
+    * four staged files, and the SETTLED complete-mode table is
+    * returned. The oracle replays the same 1-hour windowed counts/sums
+    * in batch SQL, so a green row proves the incremental micro-batch
+    * aggregation converges to the batch answer (lateness is set beyond
+    * the data span so no row is dropped — the determinism condition). */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    settledStream(s, dir, "q78wc")(st => graft.streaming.Streams
+        .windowedCounts(st, width = "1 hour", lateness = "100000 hours"))
       .select(
         floor(col("window").getField("start").cast("long") / 3600.0)
           .cast("long").as("bucket"),
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
-  }
 
   /** G1b gated: the streaming `_stats` reduce
     * ([[graft.streaming.Streams.windowedStats]]) through the same
-    * 4-micro-batch file-stream drive as q78 (staged input reused);
+    * 4-micro-batch file-stream drive as q78 (staged input shared);
     * the settled complete-mode table carries the full CouchDB stats
-    * tuple per window+type, replayed by the batch oracle. */
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-      .select(timestamp_micros(col("ts_us")).as("ts"),
-        col("event_type"), col("value"))
-    val inDir = idxPath("q78in", dir, "events") + "/in"
-    if (!hasFile(s"$inDir/_STAGED")) {
-      import org.apache.spark.sql.expressions.Window
-      val chunked = ev.withColumn("_c",
-        ntile(4).over(Window.orderBy(col("ts"))))
-      (1 to 4).foreach { i =>
-        chunked.filter(col("_c") === i).drop("_c")
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      java.nio.file.Files.createFile(
-        java.nio.file.Paths.get(s"$inDir/_STAGED"))
-    }
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-q82").toString
-    val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val qname = s"q82_ws_${System.nanoTime()}"
-    val q = graft.streaming.Streams
-      .windowedStats(stream, width = "1 hour", lateness = "100000 hours")
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .option("checkpointLocation", tmp + "/ck").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(qname)
+    * tuple per window+type — decimal-exact inside the operator, so
+    * every column is arrival-order-free and the batch oracle replays
+    * it without rounding. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    settledStream(s, dir, "q82ws")(st => graft.streaming.Streams
+        .windowedStats(st, width = "1 hour", lateness = "100000 hours"))
       .select(
         floor(col("window").getField("start").cast("long") / 3600.0)
           .cast("long").as("bucket"),
         col("event_type"),
-        // decimal-exact inside the operator → every column is
-        // arrival-order-free and replayable without rounding
         col("sum").as("sum_v"), col("count").as("count_v"),
         col("min").as("min_v"), col("max").as("max_v"),
         col("sumsqr").as("sumsqr_v"))
       .orderBy(col("bucket"), col("event_type"))
-  }
 
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the

@@ -272,9 +272,20 @@ object DedupIndex {
           .filter(col("_lb").isin(mlbs: _*))
           .join(m, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("cluster_id"))
-      val changed = newLabels
+      // SNAPSHOT the changed-labels delta to disk before any swap:
+      // its lineage reads the pre-swap labels/, and the members swap
+      // below runs AFTER labels/ is replaced — a lost cached partition
+      // would otherwise recompute against the NEW labels, see an empty
+      // delta, and silently drop the changed docs' member rows. The
+      // snapshot makes every post-swap consumer read immutable bytes.
+      val snap = path + "._changed_tmp"
+      newLabels
         .join(oldLabelsM, Seq("doc_id", "cluster_id"), "left_anti")
-        .persist()
+        .write.mode("overwrite").parquet(snap)
+      val changed = spark.read.parquet(snap)
+      // the re-clustered count is also pinned pre-swap (a post-swap
+      // recompute of m/newLabels would read the already-swapped layouts)
+      val n = newLabels.count()
       val delDf =
         if (deletedIds.isEmpty) liveIds.limit(0)
         else deletedIds.toDF("doc_id")
@@ -322,9 +333,9 @@ object DedupIndex {
       }
       val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
       IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
-      val n = newLabels.count()
-      Seq(seeds, affClusters, m, newLabels, changed, touched)
+      Seq(seeds, affClusters, m, newLabels, touched)
         .foreach(_.unpersist())
+      fs.delete(new org.apache.hadoop.fs.Path(snap), true)
       n
     } finally {
       newRows.unpersist()

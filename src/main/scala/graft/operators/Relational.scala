@@ -188,14 +188,21 @@ object Relational {
     * absorbing the whole key. The join RESULT is salt-independent
     * (every big row still meets every matching small row exactly once),
     * which is what the oracle gate checks; only the row distribution
-    * changes. Cost: the small side shuffles `salts`× — size it so
+    * changes. The salt hashes the big row's OWN columns — a
+    * DETERMINISTIC expression, so a retried map task re-salts rows
+    * identically (salting via `rand()`/`monotonically_increasing_id()`
+    * makes the stage indeterminate: a shuffle-fetch failure then forces
+    * whole-stage rollback, in the very large-shuffle environment this
+    * operator targets). Fully duplicate rows share a salt — the spread
+    * keys on row CONTENT diversity, which skewed real keys have.
+    * Cost: the small side shuffles `salts`× — size it so
     * replicated-small ≪ big (the precondition for salting to pay). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts >= 2, "salts must be >= 2 (1 is a plain join)")
     val b = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
-        .cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*),
+        lit(salts.toLong)).cast("int"))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, "_salt")).drop("_salt")

@@ -67,6 +67,36 @@ object Text {
       least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0) * 0.3)
   }
 
+  /** `(doc_id, _p, _w)` positional token rows — the shared tokenized
+    * frame behind [[bigramRows]] and [[repetitionScores]]. */
+  private def tokenRows(docs: org.apache.spark.sql.DataFrame,
+                        id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(id.cast("long").as("doc_id"), text.as("_t"))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("_t"))).as(Seq("_p", "_w")))
+  }
+
+  /** `(doc_id, w1, w2)` adjacent-token bigram rows from an already-
+    * tokenized [[tokenRows]] frame — the shared front of
+    * [[bigramLmScores]], [[pmiBigrams]] and [[repetitionScores]]: one
+    * lead window per doc. */
+  private def bigramsOf(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    toks
+      .select(col("doc_id"), col("_w").as("w1"),
+        lead(col("_w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+  }
+
+  private def bigramRows(docs: org.apache.spark.sql.DataFrame,
+                         id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame =
+    bigramsOf(tokenRows(docs, id, text))
+
   /** Bigram language-model quality score — the CCNet/Gopher-style LM
     * filter for training-data pipelines: an add-one-smoothed bigram
     * model is "trained" on the corpus itself (two aggregations: bigram
@@ -83,24 +113,6 @@ object Text {
     * partial-aggregating groupBys for the model, one broadcast-or-
     * shuffle join to score — never a per-doc loop. Returns
     * `(doc_id, n_bigrams, lm_score)` for docs with ≥1 bigram. */
-  /** `(doc_id, w1, w2)` adjacent-token bigram rows — the shared front
-    * of [[bigramLmScores]] and [[pmiBigrams]]: one explode + one lead
-    * window per doc. */
-  private def bigramRows(docs: org.apache.spark.sql.DataFrame,
-                         id: Column, text: Column)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val toks = docs.select(id.cast("long").as("doc_id"), text.as("_t"))
-      .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), posexplode(tokens(col("_t"))).as(Seq("_p", "_w")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
-    toks
-      .select(col("doc_id"), col("_w").as("w1"),
-        lead(col("_w"), 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-  }
-
   def bigramLmScores(docs: org.apache.spark.sql.DataFrame,
                      id: Column, text: Column)
       : org.apache.spark.sql.DataFrame = {
@@ -178,14 +190,12 @@ object Text {
                        id: Column, text: Column)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{count => fcount}
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val toks = docs.select(id.cast("long").as("doc_id"), text.as("_t"))
-      .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col("_t"))).as("_w"))
+    // ONE tokenize pass feeds both statistics (token- and bigram-side)
+    val toks = tokenRows(docs, id, text)
     val tokStats = toks.groupBy(col("doc_id"))
       .agg(fcount(lit(1)).as("_ntok"),
         count_distinct(col("_w")).as("_dtok"))
-    val biStats = bigramRows(docs, id, text)
+    val biStats = bigramsOf(toks)
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(fcount(lit(1)).as("_c"))
       .groupBy(col("doc_id"))

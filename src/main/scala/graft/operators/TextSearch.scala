@@ -344,6 +344,14 @@ object TextSearch {
       val newTbs = newTf.select(col("_tb")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val affected = (oldTbs ++ newTbs).distinct.sorted
+      // the exact integer stat deltas are pinned BEFORE any swap:
+      // oldSide's lineage reads the pre-swap sidecar, and a cached
+      // partition lost after the ids/ swap would recompute against the
+      // already-merged sidecar and corrupt n/sum_dl silently
+      val rem = oldSide.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val add = newTf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       if (affected.nonEmpty) {
         val survivors = spark.read.parquet(path + "/postings")
           .filter(col("_tb").isin(affected: _*))
@@ -373,11 +381,8 @@ object TextSearch {
           path + "/ids", "_ib", ibs, Seq(col("_ib"), col("doc_id")))
       }
       // exact integer deltas to the corpus stats: a changed doc is
-      // first removed (old dl from the sidecar) then re-added (new dl)
-      val rem = oldSide.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-      val add = newTf.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      // first removed (old dl from the sidecar) then re-added (new dl);
+      // rem/add were computed before the swaps above
       writeStats(spark, path,
         st.getAs[Long]("n") - rem.getLong(0) + add.getLong(0),
         st.getAs[Long]("sum_dl") - rem.getLong(1) + add.getLong(1), nB,

@@ -278,6 +278,15 @@ object Streams {
             TextSearch.buildTextIndex(live, col("doc_id"), col("text"),
               path, nBuckets, seq = batchId + 1, analyzer = analyzer)
         } else {
+          // same stale-layout contract as the dedup maintainer: a v2
+          // (pre-analyzer) artifact would crash the upsert on missing
+          // analyzer stats columns — fail actionably instead
+          if (!TextSearch.indexCurrent(spark, path))
+            throw new IllegalStateException(
+              s"text index at $path has a stale on-disk layout " +
+                s"(expected fmt ${TextSearch.FormatVersion}) — rebuild " +
+                "it with TextSearch.buildTextIndex over the full " +
+                "corpus before resuming streaming maintenance")
           // upsert re-reads the STORED analyzer; the param only governs
           // the initial build
           TextSearch.upsertTextDocs(spark, path, live, col("doc_id"),
@@ -351,6 +360,17 @@ object Streams {
             DedupIndex.build(live, col("doc_id"), col("text"), path,
               nBuckets = nBuckets, seq = batchId + 1)
         } else {
+          // a present-but-stale-layout artifact CANNOT be upgraded from
+          // a change feed (the stream doesn't carry the corpus) and
+          // must not be rebuilt from one batch (that would drop every
+          // doc outside it) — fail with the actionable error, not a
+          // crash-loop on a missing-column AnalysisException
+          if (!DedupIndex.indexCurrent(spark, path))
+            throw new IllegalStateException(
+              s"dedup-cluster index at $path has a stale on-disk " +
+                s"layout (expected fmt ${DedupIndex.FormatVersion}) — " +
+                "rebuild it with DedupIndex.build over the full corpus " +
+                "before resuming streaming maintenance")
           DedupIndex.upsert(spark, path, live, col("doc_id"),
             col("text"), delIds, newSeq = batchId + 1)
         }

@@ -87,10 +87,14 @@ class RelationalSpec extends SparkSpecBase {
       .toSet
     assert(got == plain, "salted join must equal the plain join")
     // the salted big side actually uses >1 salt per hot key (the whole
-    // point — one reducer no longer absorbs a hot key)
+    // point — one reducer no longer absorbs a hot key), and the salt
+    // is DETERMINISTIC (content-hashed) so retried tasks re-salt alike
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
-    assert(salted.select($"_salt").distinct().count() > 1)
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8L))
+        .cast("int"))
+    assert(salted.filter($"k" === 0L).select($"_salt").distinct()
+      .count() > 1, "a hot key must spread over multiple salts")
+    assert(salted.collect().toSeq == salted.collect().toSeq)
     intercept[IllegalArgumentException] {
       Relational.saltedJoin(big, small, "k", 1)
     }

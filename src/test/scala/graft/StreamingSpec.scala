@@ -335,4 +335,50 @@ class StreamingSpec extends SparkSpecBase {
         s"streamed text index diverges from rebuild for $t")
     }
   }
+
+  test("maintainers fail ACTIONABLY on a stale-layout artifact") {
+    import graft.operators.{DedupIndex, TextSearch}
+    implicit val sql = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(20)
+
+    // dedup clusters: a present artifact whose layout marker is gone
+    // (simulating a pre-versioning build) must fail with the rebuild
+    // message, not crash-loop on a missing-column AnalysisException
+    val d1 = Files.createTempDirectory("graft-stale-dcx").toString
+    DedupIndex.build(docs, $"doc_id", $"text", s"$d1/idx", nBuckets = 8)
+    val fs = graft.view.IndexStore.fsFor(spark, s"$d1/idx")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d1/idx/fmt"), true)
+    assert(!DedupIndex.indexCurrent(spark, s"$d1/idx"))
+    val in1 = MemoryStream[TextChg]
+    val q1 = Streams.maintainDedupClusters(spark, in1.toDF(),
+      s"$d1/idx", s"$d1/ckpt", nBuckets = 8)
+    in1.addData(TextChg(1L, "some changed text", _deleted = false))
+    val e1 = intercept[Exception] { q1.processAllAvailable() }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(e1).contains("stale on-disk layout"),
+      s"wanted the actionable stale-layout error, got: ${rootMsg(e1)}")
+    q1.stop()
+
+    // text index: same contract when the stats row predates the
+    // analyzer columns
+    val d2 = Files.createTempDirectory("graft-stale-txt").toString
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", s"$d2/idx",
+      nBuckets = 8)
+    val fs2 = graft.view.IndexStore.fsFor(spark, s"$d2/idx")
+    fs2.delete(new org.apache.hadoop.fs.Path(s"$d2/idx/stats"), true)
+    assert(!TextSearch.indexCurrent(spark, s"$d2/idx"))
+    val in2 = MemoryStream[TextChg]
+    val q2 = Streams.maintainTextIndex(spark, in2.toDF(),
+      s"$d2/idx", s"$d2/ckpt", nBuckets = 8)
+    in2.addData(TextChg(1L, "some changed text", _deleted = false))
+    val e2 = intercept[Exception] { q2.processAllAvailable() }
+    assert(rootMsg(e2).contains("stale on-disk layout"),
+      s"wanted the actionable stale-layout error, got: ${rootMsg(e2)}")
+    q2.stop()
+  }
 }
