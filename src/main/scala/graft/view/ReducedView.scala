@@ -59,10 +59,25 @@ final class ReducedView private[view] (
   /** Query the reduced index. Supported options: `group`, `groupLevel`,
     * `key`/`keys`, `startKey`/`endKey`/`inclusiveEnd`, `descending`,
     * `limit`, `skip`. Returns `(key, value)` rows in collation order. */
-  def query(opts: QueryOpts = QueryOpts()): DataFrame = {
+  def query(opts: QueryOpts = QueryOpts()): DataFrame =
+    queryKeepCk(opts, None).drop("_ck")
+
+  private def queryKeepCk(opts: QueryOpts,
+                          after: Option[Array[Byte]]): DataFrame = {
     require(opts.skip <= Int.MaxValue && opts.limit.forall(_ <= Int.MaxValue),
       "skip/limit beyond Int.MaxValue: page with startKey resume bounds")
     var r = rows
+    // keyset cursor ([[queryPage]]): strictly past the last served
+    // group key, with the matching bucket-directory pruning
+    after.foreach { b =>
+      r = if (opts.descending) r.filter(ck < lit(b))
+          else r.filter(ck > lit(b))
+      if (meta.bounds.nonEmpty) {
+        val cb = IndexStore.bucketOf(meta, b)
+        r = if (opts.descending) r.filter(col("_kb") <= cb)
+            else r.filter(col("_kb") >= cb)
+      }
+    }
     opts.key.foreach(k => r = r.filter(ck === enc(k)))
     opts.keys.foreach(ks =>
       r = r.filter(ck.isin(ks.map(View.encodeKey(_, locale)).distinct: _*)))
@@ -124,6 +139,42 @@ final class ReducedView private[view] (
     }
     if (opts.skip > 0) out = out.offset(opts.skip.toInt)
     opts.limit.foreach(l => out = out.limit(l.toInt))
-    out.drop("_ck")
+    out
+  }
+
+  /** Keyset-paginated reduced query — group rows page by a group-key
+    * cursor exactly as [[View.queryPage]]'s reduced mode, but served
+    * from the STORED aggregates with the cursor pruning bucket
+    * directories (the scale path: page N of a billion-group view reads
+    * from the cursor's bucket onward, never re-aggregates, never
+    * scans the skipped prefix). `keys=` fetches are request-ordered
+    * and cannot cursor. */
+  def queryPage(opts: QueryOpts = QueryOpts(group = true),
+                pageSize: Int = 1000,
+                resume: Option[String] = None): ViewQueryResult = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(opts.keys.isEmpty,
+      "queryPage cannot page a keys= fetch (request order, not " +
+        "collation order) — page the keys list caller-side")
+    val cursor = resume.map(ResumeToken.decode)
+    val o = opts.copy(skip = 0, limit = Some(pageSize.toLong))
+    val page = queryKeepCk(o, cursor.map(_._2))
+    val got = page.collect()
+    val next =
+      if (got.length < pageSize) None
+      else Some(ResumeToken.encode(meta.updateSeq,
+        got.last.getAs[Array[Byte]]("_ck"), 0L))
+    val spark = page.sparkSession
+    val ckIdx = page.schema.fieldIndex("_ck")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      page.schema.fields.zipWithIndex.filter(_._2 != ckIdx).map(_._1))
+    val stripped = got.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.zipWithIndex.filter(_._2 != ckIdx).map(_._1))
+    }
+    ViewQueryResult(
+      spark.createDataFrame(
+        java.util.Arrays.asList(stripped: _*), outSchema),
+      rows.count(), 0L, Some(meta.updateSeq), next)
   }
 }

@@ -124,6 +124,49 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(q.count() > 0)
   }
 
+  test("reduced index: queryPage pages stored groups to the unpaged result") {
+    val dir = Files.createTempDirectory("graft-redpage").toString
+    val path = s"$dir/v"
+    // one group per order key → plenty of pages
+    val v = View(orders, $"o_orderkey", $"o_orderkey".cast("double"),
+      $"o_totalprice".cast("decimal(18,2)"), Some(Reduce.Sum))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    v.materializeReduced(spark, path)
+    val rv = v.fromReducedIndex(spark, path)
+    val opts = graft.view.QueryOpts(group = true)
+    val unpaged = rv.query(opts).collect().map(_.toString).toSeq
+    assert(unpaged.length > 200)
+    val paged = scala.collection.mutable.ArrayBuffer[String]()
+    var tok: Option[String] = None
+    var first = true
+    while (first || tok.isDefined) {
+      val p = rv.queryPage(opts, pageSize = 100, resume = tok)
+      paged ++= p.rows.collect().map(_.toString)
+      assert(p.updateSeq.contains(1L))
+      tok = p.nextToken
+      first = false
+    }
+    assert(paged.toSeq == unpaged,
+      s"paged reduced groups diverged: ${paged.length} vs ${unpaged.length}")
+    // descending pages too
+    val dOpts = opts.copy(descending = true)
+    val dUnpaged = rv.query(dOpts).collect().map(_.toString).toSeq
+    val dPaged = scala.collection.mutable.ArrayBuffer[String]()
+    tok = None; first = true
+    while (first || tok.isDefined) {
+      val p = rv.queryPage(dOpts, pageSize = 100, resume = tok)
+      dPaged ++= p.rows.collect().map(_.toString)
+      tok = p.nextToken
+      first = false
+    }
+    assert(dPaged.toSeq == dUnpaged, "descending reduced paging diverged")
+    // keys= fetches cannot cursor (request order) — loud error
+    val e = intercept[IllegalArgumentException] {
+      rv.queryPage(opts.copy(keys = Some(Seq(1.0))), 10, None)
+    }
+    assert(e.getMessage.contains("keys="))
+  }
+
   test("reduced index: group/group_level served from stored aggregates") {
     val dir = Files.createTempDirectory("graft-red").toString
     val path = s"$dir/v"
