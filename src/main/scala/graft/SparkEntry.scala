@@ -884,43 +884,55 @@ object SparkEntry {
     * leave a partial (or, on retry, doubled) input behind, because the
     * destination only ever appears complete. Returns (inputDir,
     * schema). */
+  /** Stage `df` as four `order`-sorted parquet files under `inDir`
+    * (one micro-batch each). The files are written to a TEMP dir and
+    * renamed into place with the `_STAGED` marker inside — an
+    * interrupted staging can never leave a partial (or, on retry,
+    * doubled) input behind, because the destination only ever appears
+    * complete. Idempotent per content-keyed `inDir`. */
+  private def stageChunks(s: SparkSession, df: DataFrame,
+                          order: org.apache.spark.sql.Column,
+                          inDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    if (hasFile(s"$inDir/_STAGED")) return
+    val fs = graft.view.IndexStore.fsFor(s, inDir)
+    val tmp = new org.apache.hadoop.fs.Path(inDir + "._tmp")
+    fs.delete(tmp, true)
+    val chunked = df.withColumn("_c", ntile(4).over(Window.orderBy(order)))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("_c") === i).drop("_c")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_STAGED")).close()
+    val dst = new org.apache.hadoop.fs.Path(inDir)
+    fs.delete(dst, true)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"stream staging rename failed: $tmp -> $dst")
+  }
+
+  /** The events table staged for q78/q82: the raw table stores
+    * nanosecond longs; the stream needs a real TimestampType
+    * event-time column (micros floor == epoch_us). */
   private def stagedEventStream(s: SparkSession,
                                 dir: String): (String,
       org.apache.spark.sql.types.StructType) = {
-    import org.apache.spark.sql.expressions.Window
-    // the raw table stores nanosecond longs; the stream needs a real
-    // TimestampType event-time column (micros floor == epoch_us)
     val ev = events(s, dir)
       .select(timestamp_micros(col("ts_us")).as("ts"),
         col("event_type"), col("value"))
     val inDir = idxPath("q78in", dir, "events") + "/in"
-    if (!hasFile(s"$inDir/_STAGED")) {
-      val fs = graft.view.IndexStore.fsFor(s, inDir)
-      val tmp = new org.apache.hadoop.fs.Path(inDir + "._tmp")
-      fs.delete(tmp, true)
-      val chunked = ev.withColumn("_c",
-        ntile(4).over(Window.orderBy(col("ts"))))
-      (1 to 4).foreach { i =>
-        chunked.filter(col("_c") === i).drop("_c")
-          .coalesce(1).write.mode("append").parquet(tmp.toString)
-      }
-      fs.create(new org.apache.hadoop.fs.Path(tmp, "_STAGED")).close()
-      val dst = new org.apache.hadoop.fs.Path(inDir)
-      fs.delete(dst, true)
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(
-          s"stream staging rename failed: $tmp -> $dst")
-    }
+    stageChunks(s, ev, col("ts"), inDir)
     (inDir, ev.schema)
   }
 
-  /** Drive a streaming aggregation over the staged event stream to its
-    * SETTLED complete-mode table: one staged file per trigger (4 real
-    * micro-batches), fresh checkpoint per run, memory sink. */
-  private def settledStream(s: SparkSession, dir: String, tag: String)(
+  /** Drive a streaming transform over a staged input to its SETTLED
+    * table: one staged file per trigger (4 real micro-batches), fresh
+    * checkpoint per run, memory sink. */
+  private def settledFrom(s: SparkSession, inDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          tag: String, mode: String)(
       agg: DataFrame => DataFrame): DataFrame = {
-    val (inDir, schema) = stagedEventStream(s, dir)
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft-$tag").toString
     val stream = s.readStream.schema(schema)
@@ -928,10 +940,16 @@ object SparkEntry {
     val qname = s"${tag}_${System.nanoTime()}"
     val q = agg(stream)
       .writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", tmp + "/ck").start()
     try q.processAllAvailable() finally q.stop()
     s.table(qname)
+  }
+
+  private def settledStream(s: SparkSession, dir: String, tag: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val (inDir, schema) = stagedEventStream(s, dir)
+    settledFrom(s, inDir, schema, tag, "complete")(agg)
   }
 
   /** G1 gated: the streaming windowed-count pipeline
@@ -969,6 +987,27 @@ object SparkEntry {
         col("min").as("min_v"), col("max").as("max_v"),
         col("sumsqr").as("sumsqr_v"))
       .orderBy(col("bucket"), col("event_type"))
+
+  /** G2 gated: streaming exact dedup
+    * ([[graft.streaming.Streams.dedupStream]]) through a REAL
+    * 4-micro-batch drive over the documents corpus (synthetic
+    * monotone event times, append mode): the settled output holds
+    * exactly one row per content fingerprint — the WINNER within a
+    * micro-batch is arrival-order dependent, so the gate compares the
+    * deduplicated FINGERPRINT SET, which is deterministic — against
+    * the batch distinct. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    // +1: a doc at ts == epoch 0 would equal the stream's INITIAL
+    // watermark and be dropped as late before any data arrives
+    val docs = t(s, dir, "documents")
+      .select(timestamp_micros((col("doc_id") + 1) * 1000000L).as("ts"),
+        graft.operators.Text.fingerprint(col("text")).as("fp"))
+    val inDir = idxPath("q86in", dir, "documents") + "/in"
+    stageChunks(s, docs, col("ts"), inDir)
+    settledFrom(s, inDir, docs.schema, "q86dd", "append")(st =>
+      graft.streaming.Streams.dedupStream(st, lateness = "100000 hours"))
+      .select(col("fp")).orderBy(col("fp"))
+  }
 
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
@@ -1246,7 +1285,8 @@ object SparkEntry {
     "q82_streaming_stats" -> (q82 _),
     "q83_salted_join" -> (q83 _),
     "q84_pmi_bigrams" -> (q84 _),
-    "q85_repetition" -> (q85 _)
+    "q85_repetition" -> (q85 _),
+    "q86_streaming_dedup" -> (q86 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2225,6 +2265,11 @@ object SparkEntry {
         |    * 10000 + 0.5) / 10000 AS top_bigram_frac
         |FROM bistats b JOIN tokstats t USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // the streamed dedup keeps exactly one row per fingerprint: the
+    // settled fp set equals the batch distinct
+    "q86_streaming_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     // the settled streaming _stats tuple replayed in batch — decimal-
     // exact sums cast to double in both engines
     "q82_streaming_stats" ->
