@@ -59,6 +59,10 @@ object BenchScale {
             jaccardThreshold = Some(0.5)))),
         "lm_quality" -> (() =>
           noop(Text.bigramLmScores(d, col("doc_id"), col("text")))),
+        "pmi_bigrams" -> (() =>
+          noop(Text.pmiBigrams(d, col("doc_id"), col("text")))),
+        "repetition" -> (() =>
+          noop(Text.repetitionScores(d, col("doc_id"), col("text")))),
         "text_index_build" -> (() =>
           TextSearch.buildTextIndex(d, col("doc_id"), col("text"), idx)),
         "hybrid_search" -> (() =>
