@@ -93,6 +93,25 @@ object SparkEntry {
           dayofmonth(col("key"))).cast("long").as("o_date"),
         col("value").as("o_totalprice"))
 
+  /** A8b: startkey_docid/endkey_docid — the bound refined WITHIN
+    * duplicate keys (the reference's resume-pagination option): rows
+    * at the bound DATE also compare their doc id; `inclusive_end=false`
+    * makes the (endkey, endkey_docid) pair itself exclusive. Many
+    * orders share each date, so both refinements bite. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    View(t(s, dir, "orders"), col("o_orderkey"),
+      col("o_orderdate"), col("o_totalprice"))
+      .query(QueryOpts(
+        startKey = Some(java.time.Instant.parse("1996-03-01T00:00:00Z")),
+        startKeyDocId = Some(5000L),
+        endKey = Some(java.time.Instant.parse("1996-06-01T00:00:00Z")),
+        endKeyDocId = Some(5000L),
+        inclusiveEnd = false, reduce = false))
+      .select(col("id").as("o_orderkey"),
+        (year(col("key")) * 10000 + month(col("key")) * 100 +
+          dayofmonth(col("key"))).cast("long").as("o_date"),
+        col("value").as("o_totalprice"))
+
   /** A9: keys= multi-key lookup. */
   private def q07(s: SparkSession, dir: String): DataFrame =
     View(t(s, dir, "orders"), col("o_orderkey"), col("o_orderpriority"), lit(1))
@@ -1286,7 +1305,8 @@ object SparkEntry {
     "q83_salted_join" -> (q83 _),
     "q84_pmi_bigrams" -> (q84 _),
     "q85_repetition" -> (q85 _),
-    "q86_streaming_dedup" -> (q86 _)
+    "q86_streaming_dedup" -> (q86 _),
+    "q87_startkey_docid" -> (q87 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2265,6 +2285,19 @@ object SparkEntry {
         |    * 10000 + 0.5) / 10000 AS top_bigram_frac
         |FROM bistats b JOIN tokstats t USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // the docid-refined range bounds: rows strictly past the bound
+    // date pass; rows AT the bound date also compare their key, and
+    // inclusive_end=false makes the end pair itself exclusive
+    "q87_startkey_docid" ->
+      """SELECT o_orderkey,
+        |  YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100 + DAY(o_orderdate) AS o_date,
+        |  o_totalprice
+        |FROM orders
+        |WHERE (o_orderdate > TIMESTAMP '1996-03-01'
+        |       OR (o_orderdate = TIMESTAMP '1996-03-01' AND o_orderkey >= 5000))
+        |  AND (o_orderdate < TIMESTAMP '1996-06-01'
+        |       OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey < 5000))
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
     // the streamed dedup keeps exactly one row per fingerprint: the
     // settled fp set equals the batch distinct
     "q86_streaming_dedup" ->
