@@ -67,8 +67,16 @@ final class ReducedView private[view] (
     require(opts.skip <= Int.MaxValue && opts.limit.forall(_ <= Int.MaxValue),
       "skip/limit beyond Int.MaxValue: page with startKey resume bounds")
     var r = rows
-    // keyset cursor ([[queryPage]]): strictly past the last served
-    // group key, with the matching bucket-directory pruning
+    // Keyset cursor ([[queryPage]]): the token holds the GROUP key's
+    // collation — for group_level rollups that is a truncated array
+    // prefix, which collates strictly BELOW every stored full key of
+    // its own group (TArr prefix terminator < any element tag). The
+    // stored-row filters here are therefore only PRUNING: ascending
+    // `_ck > cursor` keeps every row of every wanted group (their full
+    // keys extend a prefix > cursor) but also the boundary group's own
+    // rows; the exact cut happens post-aggregation on the recomputed
+    // group `_ck` below. Descending `_ck < cursor` is already exact
+    // (the boundary group's full keys collate above its prefix).
     after.foreach { b =>
       r = if (opts.descending) r.filter(ck < lit(b))
           else r.filter(ck > lit(b))
@@ -121,6 +129,15 @@ final class ReducedView private[view] (
         r.groupBy().agg(mergeAgg)
           .select(lit(null).as("key"), col("value"),
             lit(Array.emptyByteArray).as("_ck"))
+    }
+    // Exact cursor cut on the GROUP key (see the pruning note above):
+    // for group_level rollups the aggregation recomputes the truncated
+    // `_ck`, and only here can "strictly past the last served group" be
+    // decided — without this the boundary group would be re-aggregated
+    // and re-served on every page (never advancing at pageSize=1).
+    after.foreach { b =>
+      out = if (opts.descending) out.filter(col("_ck") < lit(b))
+            else out.filter(col("_ck") > lit(b))
     }
     out = opts.keys match {
       case Some(ks) =>

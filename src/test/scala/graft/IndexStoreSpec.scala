@@ -167,6 +167,54 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(e.getMessage.contains("keys="))
   }
 
+  test("reduced index: queryPage pages group_level rollups (boundary group not re-served)") {
+    val dir = Files.createTempDirectory("graft-redpage-gl").toString
+    val path = s"$dir/v"
+    // array keys: stored rows are FULL (year, month) keys, the page
+    // cursor carries the TRUNCATED year key — the case where a
+    // pre-aggregation cursor filter re-serves the boundary group forever
+    val v = View(orders, $"o_orderkey",
+      array(year($"o_orderdate").cast("double"),
+        month($"o_orderdate").cast("double")),
+      lit(1L), Some(Reduce.Count))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    v.materializeReduced(spark, path)
+    val rv = v.fromReducedIndex(spark, path)
+    val opts = QueryOpts(groupLevel = Some(1))
+    val unpaged = rv.query(opts).collect().map(_.toString).toSeq
+    assert(unpaged.length > 3, s"need several year groups, got $unpaged")
+    // pageSize=1 is the degenerate case: with the bug the token never
+    // advances past the first group; bound the loop so a regression
+    // fails loudly instead of hanging
+    val paged = scala.collection.mutable.ArrayBuffer[String]()
+    var tok: Option[String] = None
+    var first = true
+    var pages = 0
+    while ((first || tok.isDefined) && pages <= unpaged.length + 2) {
+      val p = rv.queryPage(opts, pageSize = 1, resume = tok)
+      paged ++= p.rows.collect().map(_.toString)
+      tok = p.nextToken
+      first = false
+      pages += 1
+    }
+    assert(pages <= unpaged.length + 1,
+      s"cursor did not advance: $pages pages for ${unpaged.length} groups")
+    assert(paged.toSeq == unpaged,
+      s"group_level paging diverged: ${paged.length} vs ${unpaged.length}")
+    // descending group_level pages too
+    val dOpts = opts.copy(descending = true)
+    val dUnpaged = rv.query(dOpts).collect().map(_.toString).toSeq
+    val dPaged = scala.collection.mutable.ArrayBuffer[String]()
+    tok = None; first = true
+    while (first || tok.isDefined) {
+      val p = rv.queryPage(dOpts, pageSize = 2, resume = tok)
+      dPaged ++= p.rows.collect().map(_.toString)
+      tok = p.nextToken
+      first = false
+    }
+    assert(dPaged.toSeq == dUnpaged, "descending group_level paging diverged")
+  }
+
   test("reduced index: group/group_level served from stored aggregates") {
     val dir = Files.createTempDirectory("graft-red").toString
     val path = s"$dir/v"
