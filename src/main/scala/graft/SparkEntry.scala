@@ -896,13 +896,6 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Stage the events table as four time-ordered parquet files (one
-    * micro-batch each) under a content-keyed dir, shared by q78/q82.
-    * The files are written to a TEMP dir and renamed into place with
-    * the `_STAGED` marker inside — an interrupted staging can never
-    * leave a partial (or, on retry, doubled) input behind, because the
-    * destination only ever appears complete. Returns (inputDir,
-    * schema). */
   /** Stage `df` as four `order`-sorted parquet files under `inDir`
     * (one micro-batch each). The files are written to a TEMP dir and
     * renamed into place with the `_STAGED` marker inside — an

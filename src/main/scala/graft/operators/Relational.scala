@@ -195,17 +195,26 @@ object Relational {
     * whole-stage rollback, in the very large-shuffle environment this
     * operator targets). Fully duplicate rows share a salt — the spread
     * keys on row CONTENT diversity, which skewed real keys have.
+    * `saltCols` names the columns the salt hashes (default: ALL of the
+    * big side's columns) — on a wide fact table pass the key plus a
+    * high-cardinality discriminator (line number, timestamp) so each
+    * probe row hashes a few cells, not fifty.
     * Cost: the small side shuffles `salts`× — size it so
     * replicated-small ≪ big (the precondition for salting to pay). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int): DataFrame = {
+                 salts: Int, saltCols: Seq[Column] = Nil): DataFrame = {
     require(salts >= 2, "salts must be >= 2 (1 is a plain join)")
-    val b = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*),
-        lit(salts.toLong)).cast("int"))
-    val s = small.withColumn("_salt",
+    // the working column must not collide with (and silently clobber)
+    // a real column of either input
+    val sc = Iterator.from(0).map(i => s"_salt$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+    val src = if (saltCols.nonEmpty) saltCols
+              else big.columns.map(col).toIndexedSeq
+    val b = big.withColumn(sc,
+      pmod(xxhash64(src: _*), lit(salts.toLong)).cast("int"))
+    val s = small.withColumn(sc,
       explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, Seq(key, "_salt")).drop("_salt")
+    b.join(s, Seq(key, sc)).drop(sc)
   }
 
   /** Keep the latest row per key by a time ordering (the reference's

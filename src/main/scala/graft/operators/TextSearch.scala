@@ -55,11 +55,15 @@ object TextSearch {
     }
     /** Driver-side normalization of ONE query term — must mirror the
       * Column pipeline exactly (bucket routing hashes the normalized
-      * term). Stopword terms pass through: they simply have no
+      * term). Stopword terms pass through UN-STEMMED: the index removes
+      * stopwords BEFORE stemming, so a stopword never reaches
+      * [[Analyzer.stemCol]] — stemming it here could collide with some
+      * other term's indexed form (e.g. stopword "ties" stems to "ty")
+      * and break the contract that a stopword query term has no
       * postings. */
     def queryTerm(t: String): String = {
       val l = if (lowercase) t.toLowerCase(java.util.Locale.ROOT) else t
-      if (stem) Analyzer.stemJvm(l) else l
+      if (stem && !stopwords.contains(l)) Analyzer.stemJvm(l) else l
     }
     /** Normalize a distinct query-term list; terms that collapse to
       * the same analyzed form deduplicate (first occurrence wins). */

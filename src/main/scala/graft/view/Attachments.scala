@@ -77,14 +77,17 @@ object Attachments {
     * is the codegen'd binary `substr` (the q69 frame-sampling
     * pattern) — one explode per blob, cost O(chunks). An empty payload
     * keeps one empty chunk so the blob round-trips (0 rows would read
-    * as a missing attachment). Per-chunk md5 digests localize
+    * as a missing attachment); a NULL payload means NO attachment and
+    * emits no rows (the alternative — a row with null data and null
+    * digest — would reassemble as a phantom). Per-chunk md5 digests localize
     * corruption to a chunk; [[reassemble]] proves the composed payload
     * bit-exact against the whole-payload digest. */
   def chunkRows(docs: DataFrame, id: Column, data: Column, name: String,
                 contentType: String, chunkSize: Int = 1 << 20): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be positive")
     val bin = data.cast(BinaryType)
-    docs.select(id.cast("long").as("doc_id"), bin.as("_b"),
+    docs.filter(bin.isNotNull)
+      .select(id.cast("long").as("doc_id"), bin.as("_b"),
         greatest(ceil(octet_length(bin).cast("double") / chunkSize)
           .cast("int"), lit(1)).as("n_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("_b"),
@@ -121,11 +124,12 @@ object Attachments {
       .withColumn("length", octet_length(col("data")).cast("long"))
       .withColumn("digest", concat(lit("md5-"), md5(col("data"))))
 
-  /** Integrity report over [[chunkRows]]: one row per (doc, name)
-    * whose stored chunks are incomplete or duplicated — the rows
-    * [[reassemble]] refuses to serve. */
+  /** Integrity report over [[chunkRows]]: one row per
+    * (doc, name, content_type) — the SAME grain [[reassemble]] groups
+    * on, so "incomplete" here is exactly "refused there" — whose
+    * stored chunks are incomplete or duplicated. */
   def chunkIntegrity(chunks: DataFrame): DataFrame =
-    chunks.groupBy(col("doc_id"), col("name"))
+    chunks.groupBy(col("doc_id"), col("name"), col("content_type"))
       .agg(max(col("n_chunks")).as("expected"),
         count(lit(1)).as("stored"),
         count_distinct(col("chunk_idx")).as("distinct_idx"))

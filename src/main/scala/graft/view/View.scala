@@ -187,11 +187,12 @@ final class View private (
   private def enc(k: Any): Column = lit(View.encodeKey(k, locale))
 
   /** Reference `total_rows`: number of rows in the view index.
-    * Scale note: on an unmaterialized view this re-executes the map
-    * phase (so [[queryResult]] runs it twice — once for the envelope,
-    * once for the rows); on an indexed view it is a parquet
-    * metadata-level count. */
-  def totalRows: Long = rows.count()
+    * Scale note: on an indexed view this is a parquet metadata-level
+    * count; on an unmaterialized view the FIRST evaluation executes
+    * the map phase once and the count is cached for the life of this
+    * (immutable) View instance — repeated envelopes ([[queryResult]])
+    * never re-run the map phase for `total_rows`. */
+  lazy val totalRows: Long = rows.count()
 
   /** The change-feed sequence a materialized index is current through
     * (the reference's `update_seq`); None for temporary views. */
@@ -240,24 +241,29 @@ final class View private (
     // startkey_docid/endkey_docid refine the bound WITHIN duplicate keys
     // (the reference's resume-pagination options): rows strictly past the
     // bound key pass unconditionally; rows AT the bound key also compare
-    // their doc id.
+    // their doc id. Each OR refinement carries a REDUNDANT range
+    // conjunct (`ck >= K` / `ck <= K`, implied by both branches):
+    // parquet cannot derive row-group min/max pruning from the OR shape
+    // itself, but the conjunct is a plain comparison it pushes down —
+    // without it a docid-refined query would keep directory-level `_kb`
+    // pruning yet scan every row group inside the surviving buckets.
     val id = col("_id")
     if (!opts.descending) {
       opts.startKey.foreach { k =>
         r = opts.startKeyDocId match {
-          case Some(d) => r.filter(ck > enc(k) ||
-            (ck === enc(k) && id >= lit(d)))
+          case Some(d) => r.filter(ck >= enc(k) && (ck > enc(k) ||
+            (ck === enc(k) && id >= lit(d))))
           case None => r.filter(ck >= enc(k))
         }
       }
       opts.endKey.foreach { k =>
         r = (opts.endKeyDocId, opts.inclusiveEnd) match {
-          case (Some(d), true) => r.filter(ck < enc(k) ||
-            (ck === enc(k) && id <= lit(d)))
+          case (Some(d), true) => r.filter(ck <= enc(k) && (ck < enc(k) ||
+            (ck === enc(k) && id <= lit(d))))
           // inclusive_end=false makes the (endkey, endkey_docid) bound
           // itself exclusive: strict id comparison at the bound key.
-          case (Some(d), false) => r.filter(ck < enc(k) ||
-            (ck === enc(k) && id < lit(d)))
+          case (Some(d), false) => r.filter(ck <= enc(k) && (ck < enc(k) ||
+            (ck === enc(k) && id < lit(d))))
           case (None, true) => r.filter(ck <= enc(k))
           case (None, false) => r.filter(ck < enc(k))
         }
@@ -266,17 +272,17 @@ final class View private (
       // CouchDB swaps the roles when descending: startkey is the upper bound.
       opts.startKey.foreach { k =>
         r = opts.startKeyDocId match {
-          case Some(d) => r.filter(ck < enc(k) ||
-            (ck === enc(k) && id <= lit(d)))
+          case Some(d) => r.filter(ck <= enc(k) && (ck < enc(k) ||
+            (ck === enc(k) && id <= lit(d))))
           case None => r.filter(ck <= enc(k))
         }
       }
       opts.endKey.foreach { k =>
         r = (opts.endKeyDocId, opts.inclusiveEnd) match {
-          case (Some(d), true) => r.filter(ck > enc(k) ||
-            (ck === enc(k) && id >= lit(d)))
-          case (Some(d), false) => r.filter(ck > enc(k) ||
-            (ck === enc(k) && id > lit(d)))
+          case (Some(d), true) => r.filter(ck >= enc(k) && (ck > enc(k) ||
+            (ck === enc(k) && id >= lit(d))))
+          case (Some(d), false) => r.filter(ck >= enc(k) && (ck > enc(k) ||
+            (ck === enc(k) && id > lit(d))))
           case (None, true) => r.filter(ck >= enc(k))
           case (None, false) => r.filter(ck > enc(k))
         }
@@ -290,11 +296,13 @@ final class View private (
     // next page — so it applies post-aggregation in the reduce branch.
     if (!(opts.reduce && reduceFn.isDefined))
       opts.resumeAfter.foreach { case (ckB, lastId) =>
+        // same redundant range conjunct as the docid-refined bounds
+        // above: keeps parquet row-group pruning under the OR shape
         r =
-          if (!opts.descending) r.filter(ck > lit(ckB) ||
-            (ck === lit(ckB) && id > lit(lastId)))
-          else r.filter(ck < lit(ckB) ||
-            (ck === lit(ckB) && id < lit(lastId)))
+          if (!opts.descending) r.filter(ck >= lit(ckB) && (ck > lit(ckB) ||
+            (ck === lit(ckB) && id > lit(lastId))))
+          else r.filter(ck <= lit(ckB) && (ck < lit(ckB) ||
+            (ck === lit(ckB) && id < lit(lastId))))
       }
 
     // Materialized-index partition pruning: key bounds become a `_kb`
@@ -548,11 +556,11 @@ final class View private (
     * applied) and, for indexed views, the index `update_seq` —
     * CouchDB's response envelope.
     *
-    * Scale note: on an UNMATERIALIZED view the `total_rows` count is a
-    * second execution of the map phase (see [[totalRows]]) — the
-    * envelope costs one extra pass there. Materialize the view (or
-    * call [[query]] directly when the envelope isn't needed) to avoid
-    * it; on an indexed view the count is parquet metadata, free. */
+    * Scale note: on an UNMATERIALIZED view the first envelope costs
+    * one extra map-phase pass for `total_rows`; the count is cached on
+    * this View instance so later envelopes pay only for their rows
+    * (see [[totalRows]]). On an indexed view the count is parquet
+    * metadata, free. */
   def queryResult(opts: QueryOpts = QueryOpts()): ViewQueryResult =
     ViewQueryResult(query(opts), totalRows, opts.skip, updateSeq)
 

@@ -124,6 +124,44 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(q.count() > 0)
   }
 
+  test("docid-refined range bounds keep row-group (_ck) pruning") {
+    val dir = Files.createTempDirectory("graft-docid-prune").toString
+    val path = s"$dir/v"
+    val v = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    v.materialize(path, numBuckets = 4, seq = 1)
+    val vi = v.fromIndex(spark, path)
+    val lo = orders.agg(min($"o_totalprice")).as[Double].head()
+    val anyId = orders.select($"o_orderkey").as[Long].head()
+    // the OR refinement `ck > K || (ck === K && id >= d)` alone is not
+    // pushable to parquet row-group stats; the redundant `ck >= K`
+    // conjunct must appear in PushedFilters so min/max pruning survives
+    val opts = QueryOpts(startKey = Some(lo), startKeyDocId = Some(anyId),
+      endKey = Some(lo + 1000.0), endKeyDocId = Some(anyId),
+      reduce = false)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = vi.query(opts)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      val pushed = scan.metadata("PushedFilters")
+      assert(pushed.contains("GreaterThanOrEqual(_ck"),
+        s"lower _ck bound must be pushed under startkey_docid: $pushed")
+      assert(pushed.contains("LessThanOrEqual(_ck"),
+        s"upper _ck bound must be pushed under endkey_docid: $pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the refinement itself still filters: same rows as the manual
+    // predicate over the unrefined range
+    val got = vi.query(opts).collect().map(_.toSeq).toSet
+    val exp = vi.query(QueryOpts(startKey = Some(lo),
+        endKey = Some(lo + 1000.0), reduce = false))
+      .filter($"key" > lo || $"id" >= anyId)
+      .filter($"key" < lo + 1000.0 || $"id" <= anyId)
+      .collect().map(_.toSeq).toSet
+    assert(got == exp, "docid refinement must keep its exact semantics")
+  }
+
   test("reduced index: queryPage pages stored groups to the unpaged result") {
     val dir = Files.createTempDirectory("graft-redpage").toString
     val path = s"$dir/v"

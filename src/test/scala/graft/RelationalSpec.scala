@@ -100,6 +100,39 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("saltedJoin: user _salt column survives; saltCols narrows the hash input") {
+    // an input that already carries a `_salt` column must not be
+    // clobbered by the working column
+    val big = (1L to 100L).map(i => (i % 3, i, s"mine$i"))
+      .toDF("k", "v", "_salt")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val got = Relational.saltedJoin(big, small, "k", 4)
+    assert(got.columns.toSeq == Seq("k", "v", "_salt", "name"))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(rows == plain, "user _salt data must pass through unchanged")
+    // wide fact table: saltCols restricts the per-row hash to the named
+    // columns — the plan's xxhash64 must reference only those
+    val wide = (1L to 100L).map(i =>
+      (i % 3, i, "w1" * 10, "w2" * 10, "w3" * 10))
+      .toDF("k", "seq", "wide1", "wide2", "wide3")
+    val narrow = Relational.saltedJoin(wide, small, "k", 4,
+      saltCols = Seq($"k", $"seq"))
+    val plan = narrow.queryExecution.analyzed.toString
+    val hashExpr = "xxhash64\\([^)]*\\)".r.findFirstIn(plan)
+      .getOrElse(fail(s"no xxhash64 in plan: $plan"))
+    assert(hashExpr.contains("k#") && hashExpr.contains("seq#"),
+      s"salt must hash the named columns: $hashExpr")
+    assert(!hashExpr.contains("wide"),
+      s"salt must NOT hash the wide payload columns: $hashExpr")
+    val nRows = wide.join(small, Seq("k")).count()
+    assert(narrow.count() == nRows, "narrowed salt keeps the join exact")
+  }
+
   test("withGlobalRowNumber equals a window row_number without the single partition") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val got = Relational.withGlobalRowNumber(

@@ -427,6 +427,29 @@ class TextSearchSpec extends SparkSpecBase {
     assert(q.contains(1L), "'queries' must stem to 'query' and match")
   }
 
+  test("analyzer: a stopword query term never stems into another term's postings") {
+    import TextSearch.Analyzer
+    // the index removes stopwords BEFORE stemming, so "ties" (a
+    // stopword here) never reaches the stemmer at build time; a query
+    // for "ties" must NOT stem to "ty" and borrow that term's postings
+    val an = Analyzer(stopwords = Seq("ties"), stem = true)
+    assert(an.queryTerm("ties") == "ties",
+      "stopword query term must stay un-stemmed (postings-less)")
+    assert(an.queryTerm("Ties") == "ties", "lowercase precedes the check")
+    assert(an.queryTerm("queries") == "query",
+      "non-stopword terms still stem")
+    val docs = Seq((1L, "ty knot rope"), (2L, "ties knot rope")).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-stopstem").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path,
+      nBuckets = 8, analyzer = an)
+    assert(TextSearch.searchIndexed(spark, path, Seq("ties"), 10)
+      .collect().isEmpty,
+      "a stopword query term has no postings and must match nothing")
+    assert(TextSearch.searchIndexed(spark, path, Seq("ty"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "the real 'ty' postings are untouched")
+  }
+
   test("analyzer: upsert keeps the stored analyzer (maintained == rebuild)") {
     import TextSearch.Analyzer
     val an = Analyzer(stopwords = Seq("the", "of"))

@@ -299,6 +299,31 @@ class ViewSpec extends SparkSpecBase {
     assert(r.rows.count() == 10)
   }
 
+  test("totalRows on an unmaterialized view counts the map phase only once") {
+    // instrument the source with a per-row accumulator; nondeterministic
+    // so Catalyst can never prune or collapse the probe away
+    val acc = spark.sparkContext.longAccumulator("map-phase-rows")
+    val n = 1000L
+    val touch = udf { (_: Long) => acc.add(1L); true }.asNondeterministic()
+    val docs = spark.range(n).filter(touch($"id"))
+      .select($"id", ($"id" % 10).cast("double").as("g"))
+    val v = View(docs, $"id", $"g", lit(1))
+    // first envelope: one pass for total_rows + one for the rows
+    val r1 = v.queryResult(QueryOpts(reduce = false))
+    assert(r1.rows.count() == n)
+    val afterFirst = acc.value
+    assert(afterFirst == 2 * n,
+      s"first envelope = count pass + rows pass, got $afterFirst")
+    // second envelope: total_rows is served from the cached count —
+    // ONLY the rows pass runs
+    val r2 = v.queryResult(QueryOpts(reduce = false))
+    assert(r2.rows.count() == n)
+    assert(acc.value - afterFirst == n,
+      s"second envelope must not re-run the map phase for total_rows: " +
+        s"${acc.value - afterFirst} extra rows touched")
+    assert(r1.totalRows == n && r2.totalRows == n)
+  }
+
   test("locale=true view orders accented keys with their base letter") {
     val docs = Seq((1L, "zebra"), (2L, "été"), (3L, "eager"), (4L, "fig"))
       .toDF("id", "w")
@@ -558,6 +583,23 @@ class ViewSpec extends SparkSpecBase {
     val dup = ch.unionByName(ch.filter($"doc_id" === 2L))
     assert(Attachments.reassemble(dup).filter($"doc_id" === 2L)
       .count() == 0, "duplicated chunks must not serve")
+
+    // a NULL payload is NO attachment: zero chunk rows, not a phantom
+    // row with null data/digest
+    val withNull = Seq((9L, null.asInstanceOf[String])).toDF("id", "txt")
+    assert(Attachments.chunkRows(withNull, $"id",
+      encode($"txt", "UTF-8"), "body", "text/plain", 7).count() == 0)
+
+    // integrity reports on the SAME (doc, name, content_type) grain
+    // reassemble serves: two complete chunk sets under one name but
+    // different content types are each servable — integrity is clean
+    val twoTypes = Attachments.chunkRows(docs0.filter($"id" === 2L), $"id",
+        encode($"txt", "UTF-8"), "body", "text/plain", 7)
+      .unionByName(Attachments.chunkRows(docs0.filter($"id" === 2L), $"id",
+        encode($"txt", "UTF-8"), "body", "application/json", 7))
+    assert(Attachments.reassemble(twoTypes).count() == 2)
+    assert(Attachments.chunkIntegrity(twoTypes).count() == 0,
+      "per-content-type-complete chunk sets must not be flagged")
   }
 
   test("materialize + fromIndex + incremental updateIndex") {
