@@ -293,6 +293,26 @@ object SparkEntry {
     Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("fp"))
 
+  /** C9: span-level EXACT-substring dedup — the Lee-et-al-style pass:
+    * maximal cross-document duplicated token spans of length ≥ 8 over
+    * the documents corpus. The whole pipeline (position-stamped gram
+    * hash → cross-doc duplicate group → semi-join → session-merge)
+    * replays as joins + windows in the oracle. */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), col("doc_id"),
+      col("text"), n = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** C9b: the span REWRITE — every document with its duplicated spans
+    * removed (ALL copies, whitespace-normalized), fully-covered and
+    * token-less docs included as empty rewrites. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val spans = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), n = 8)
+    Dedup.removeSpans(docs, col("doc_id"), col("text"), spans)
+      .orderBy(col("doc_id"))
+  }
+
   /** C2: MinHash+LSH near-dup candidate pairs (no O(n²)). */
   private def q22(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(t(s, dir, "documents"), col("doc_id"),
@@ -1299,7 +1319,9 @@ object SparkEntry {
     "q84_pmi_bigrams" -> (q84 _),
     "q85_repetition" -> (q85 _),
     "q86_streaming_dedup" -> (q86 _),
-    "q87_startkey_docid" -> (q87 _)
+    "q87_startkey_docid" -> (q87 _),
+    "q88_span_dedup" -> (q88 _),
+    "q89_span_clean" -> (q89 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2291,6 +2313,68 @@ object SparkEntry {
         |  AND (o_orderdate < TIMESTAMP '1996-06-01'
         |       OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey < 5000))
         |ORDER BY o_orderdate, o_orderkey""".stripMargin,
+    // span-level exact-substring dedup: position-stamped 8-gram rows,
+    // grams shared by >1 distinct doc, overlapping/adjacent hits
+    // session-merged into maximal spans (the q15 lag/running-sum shape)
+    "q88_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i - 1 AS p, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+        |  FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i) u),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        |hits AS (SELECT g.doc_id, g.p FROM g SEMI JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM m)
+        |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 8 AS span_end
+        |FROM r GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // the rewrite: tokens NOT covered by any span, reassembled in
+    // position order; every doc appears (empty when fully covered)
+    "q89_span_clean" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i - 1 AS p, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+        |  FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i) u),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        |hits AS (SELECT g.doc_id, g.p FROM g SEMI JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, MIN(p) AS s, MAX(p) + 8 AS e
+        |  FROM r GROUP BY doc_id, grp),
+        |toks AS (
+        |  SELECT doc_id, u.i - 1 AS p, ws[u.i] AS w
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.w FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.p >= s.s AND t.p < s.e))
+        |SELECT w.doc_id,
+        |  coalesce(k.ct, '') AS clean_text
+        |FROM words w LEFT JOIN (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS ct
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // the streamed dedup keeps exactly one row per fingerprint: the
     // settled fp set equals the batch distinct
     "q86_streaming_dedup" ->

@@ -512,4 +512,107 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // --------------------------------------------- span-level exact dedup
+
+  /** `(doc_id, _p, _h)` position-stamped word n-gram rows: like
+    * [[shingleRows]] (same codegen'd posexplode + window-lead form,
+    * same load-bearing leading repartition) but keeping the 0-based
+    * token position and hashing the gram to its 16-byte md5 — the
+    * shuffle key for the cross-document duplicate group is fixed-width
+    * instead of carrying the n-token string (at corpus scale the gram
+    * group shuffles one row per corpus TOKEN, so the payload width is
+    * the bill). Docs shorter than `n` tokens contribute nothing — a
+    * span of length ≥ n cannot exist in them. */
+  private def spanGramRows(docs: DataFrame, id: Column, text: Column,
+                           n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(id.cast("long").as("doc_id"), text.as("_text"))
+      .repartition(parts, col("doc_id"))
+    val toks = base.select(col("doc_id"),
+      posexplode(Text.tokens(col("_text"))).as(Seq("_p", "_w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val withLeads = toks.select(col("doc_id") +: col("_p") +: col("_w") +:
+      (1 until n).map(o => lead(col("_w"), o).over(w).as(s"_l$o")): _*)
+    withLeads.filter(col(s"_l${n - 1}").isNotNull)
+      .select(col("doc_id"), col("_p"),
+        unhex(md5(concat_ws(" ",
+          col("_w") +: (1 until n).map(o => col(s"_l$o")): _*))).as("_h"))
+  }
+
+  /** Span-level EXACT-substring duplicate detection — the
+    * Lee-et-al-style pass modern LLM pipelines run AFTER doc-level
+    * dedup: boilerplate, license headers and quoted chains repeat as
+    * long token SPANS across otherwise-distinct documents, and
+    * doc-level fingerprints never see them.
+    *
+    * Returns `(doc_id, span_start, span_end)` — maximal 0-based
+    * token-position spans `[start, end)` of length ≥ n such that every
+    * length-n window inside the span also occurs in at least one OTHER
+    * document. Construction: hash every n-gram with its position, keep
+    * grams whose md5 occurs in > 1 distinct doc (cross-document only;
+    * an intra-doc repeat is repetition, not contamination — see
+    * [[Text.repetitionScores]]), then merge overlapping/adjacent hits
+    * (`p2 ≤ p1 + n`) into maximal spans with the lag/running-sum
+    * session pattern (q15). Every copy is reported, in every doc.
+    *
+    * Scale: one shuffle on the 16-byte gram hash (row count = corpus
+    * tokens, the same class as the MinHash shingle group), a semi-join
+    * back, and per-doc windows — no all-pairs stage anywhere. */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
+                      n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "span gram length n must be >= 2")
+    val grams = spanGramRows(docs, id, text, n)
+    val dup = grams.groupBy(col("_h"))
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") > 1).select(col("_h"))
+    val hits = grams.join(dup, Seq("_h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val lagP = lag(col("_p"), 1).over(w)
+    val marked = hits
+      .withColumn("_new",
+        when(lagP.isNull || col("_p") > lagP + n, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(w))
+    marked.groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("_p")).cast("long").as("span_start"),
+        (max(col("_p")) + n).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Rewrite: drop every token covered by a [[duplicatedSpans]] span
+    * (ALL copies are removed, the Lee-et-al choice — removing the
+    * duplicated text everywhere is reported there as harmless to
+    * model quality and needs no cross-doc "which copy keeps it"
+    * coordination). Returns `(doc_id, clean_text)` for EVERY input
+    * doc, `clean_text` being the surviving tokens joined by single
+    * spaces (whitespace-normalized, like every tokenized pipeline
+    * stage here).
+    *
+    * Row form throughout: tokens anti-join the span table on
+    * `doc_id` + position-in-range, then reassemble per doc — the
+    * per-token work stays in codegen; no higher-order-function
+    * membership probe per token. */
+  def removeSpans(docs: DataFrame, id: Column, text: Column,
+                  spans: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(id.cast("long").as("doc_id"), text.as("_text"))
+      .repartition(parts, col("doc_id"))
+    val toks = base.select(col("doc_id"),
+      posexplode(Text.tokens(col("_text"))).as(Seq("_p", "_w")))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("_p") >= col("span_start") && col("_p") < col("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("_p"), col("_w")))),
+          x => x.getField("_w"))).as("clean_text"))
+    // docs whose every token was covered (or that had no tokens) must
+    // still appear, with an empty rewrite
+    base.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -36,6 +36,64 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(jac.nonEmpty && jac.head > 0.5)
   }
 
+  test("duplicatedSpans: maximal cross-doc spans; removeSpans leaves no repeats") {
+    val license = "this software is provided as is without warranty of any " +
+      "kind express or implied" // 14 tokens
+    val blockA = "one two three four five six seven eight nine ten" // 10
+    val blockB = "red orange yellow green blue indigo violet umber sepia ochre"
+    val d = Seq(
+      (1L, s"alpha beta $license gamma delta"),
+      (2L, s"$license epsilon zeta eta"),
+      (3L, "unique content about streams and hash joins nothing shared"),
+      (4L, s"prefix words then $license"),
+      // two shared blocks separated by per-doc-unique filler longer
+      // than n: must stay TWO spans, not merge across the gap
+      (5L, s"$blockA f1 f2 f3 f4 f5 f6 f7 f8 f9 $blockB"),
+      (6L, s"$blockA g1 g2 g3 g4 g5 g6 g7 g8 g9 $blockB"),
+      // an intra-doc repeat is NOT cross-doc contamination
+      (7L, "solo phrase repeating here solo phrase repeating here solo " +
+        "phrase repeating here solo phrase repeating here")
+    ).toDF("doc_id", "text")
+    val n = 8
+    val spans = Dedup.duplicatedSpans(d, $"doc_id", $"text", n)
+    val byDoc = spans.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    // each license copy is reported at its own offset, maximal
+    assert(byDoc(1L) == Set((2L, 16L)), s"doc1: ${byDoc.get(1L)}")
+    assert(byDoc(2L) == Set((0L, 14L)), s"doc2: ${byDoc.get(2L)}")
+    assert(byDoc(4L) == Set((3L, 17L)), s"doc4: ${byDoc.get(4L)}")
+    // two blocks with a > n gap stay separate spans
+    assert(byDoc(5L) == Set((0L, 10L), (19L, 29L)), s"doc5: ${byDoc.get(5L)}")
+    assert(byDoc(6L) == Set((0L, 10L), (19L, 29L)), s"doc6: ${byDoc.get(6L)}")
+    // no spans for the unique doc or the intra-doc repeater
+    assert(!byDoc.contains(3L) && !byDoc.contains(7L))
+
+    // the rewrite drops exactly the spanned tokens, for every doc
+    val clean = Dedup.removeSpans(d, $"doc_id", $"text", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "alpha beta gamma delta")
+    assert(clean(2L) == "epsilon zeta eta")
+    assert(clean(3L) == "unique content about streams and hash joins nothing shared")
+    assert(clean(4L) == "prefix words then")
+    assert(clean(5L) == "f1 f2 f3 f4 f5 f6 f7 f8 f9")
+    assert(clean(7L).startsWith("solo phrase"), "doc7 untouched")
+    assert(clean.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "every input doc must appear in the rewrite")
+
+    // the cleaned corpus contains NO repeated n-gram across documents
+    val cleaned = clean.toSeq.toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(cleaned, $"doc_id", $"text", n).isEmpty,
+      "span-cleaned text must have no cross-doc n-gram left")
+
+    // a doc that is ENTIRELY a shared span rewrites to empty, not absent
+    val total = Seq((10L, license), (11L, license)).toDF("doc_id", "text")
+    val tSpans = Dedup.duplicatedSpans(total, $"doc_id", $"text", n)
+    val tClean = Dedup.removeSpans(total, $"doc_id", $"text", tSpans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tClean == Map(10L -> "", 11L -> ""))
+  }
+
   test("simhash of identical docs equal; near-dups within small hamming") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
