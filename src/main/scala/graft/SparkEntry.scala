@@ -691,6 +691,55 @@ object SparkEntry {
     TextSearch.searchIndexed(s, path, searchTerms, 20)
   }
 
+  /** E10b: trigram LM quality with stupid backoff (minCount=2 pruned
+    * model, α=0.4) — [[graft.operators.Text.trigramLmScores]]; the
+    * oracle replays counts, pruning and both backoff tiers in SQL on
+    * the same integer micro-nat fixed point. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Text.trigramLmScores(t(s, dir, "documents"), col("doc_id"),
+      col("text"), minCount = 2L)
+      .orderBy(col("doc_id"))
+
+  /** E7g: phrase-with-slop — "hash ... join", in order, each gap at
+    * most 1+slop tokens ([[graft.operators.TextSearch
+    * .phraseSearchIndexed]] with slop=2), counted as distinct match
+    * END positions from the positional index; the oracle counts the
+    * same ends by joining the corpus token positions. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.phraseSearchIndexed(s, path, Seq("hash", "join"), 20,
+      slop = 2)
+  }
+
+  /** E13: FIELDED BM25F search — the documents corpus split into a
+    * `head` field (first 12 tokens, weight 3) and a `tail` field (the
+    * rest, weight 1), indexed with per-field postings/dfs/stats
+    * ([[graft.operators.TextSearch.buildFieldedTextIndex]]) and scored
+    * as the weighted sum of per-field BM25 — the structured-document
+    * relevance model (title hits outrank body hits). The oracle
+    * replays the full per-field BM25F fold. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txtf", dir, "documents")
+    if (!TextSearch.fieldedCurrent(s, path)) {
+      val toks = Text.tokens(col("text"))
+      TextSearch.buildFieldedTextIndex(t(s, dir, "documents"),
+        col("doc_id"),
+        Seq(
+          ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+          // slice length as a Column: `Int.MaxValue` overflows inside
+          // slice's start+length arithmetic and yields empty arrays
+          ("tail", concat_ws(" ", slice(toks, lit(13),
+            greatest(size(toks) - 12, lit(0)))), 1.0)),
+        path)
+    }
+    TextSearch.searchFielded(s, path, searchTerms, 20)
+  }
+
   /** E7c: exact-phrase search from the POSITIONAL inverted index —
     * adjacency resolved inside the posting rows' position arrays
     * ([[graft.operators.TextSearch.phraseSearchIndexed]]); the oracle
@@ -1041,6 +1090,35 @@ object SparkEntry {
       .select(col("fp")).orderBy(col("fp"))
   }
 
+  /** G4 gated: STATEFUL streaming sessionization
+    * ([[graft.streaming.Streams.sessionizeStream]],
+    * flatMapGroupsWithState) through a REAL 4-micro-batch file-stream
+    * drive over the events table. A per-user SENTINEL event staged
+    * after every real event closes every real session by GAP-BREAK —
+    * deterministic in append mode regardless of watermark progress,
+    * unlike timeout-flushed trailing sessions, which a settled gate
+    * could never rely on (lateness is huge, so the watermark pins at
+    * the epoch and no row is ever dropped by arrival order). Sentinel
+    * sessions start AT the sentinel timestamp and are filtered out.
+    * The oracle replays gap sessionization over the raw events with
+    * the q15 lag/running-sum windows, full session tuples. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val ev = events(s, dir).select(col("user_id"), col("ts_us"))
+    val sentinelUs = ev.agg(max(col("ts_us"))).head().getLong(0) + 10L * gapUs
+    val staged = ev.unionByName(
+        ev.select(col("user_id")).distinct()
+          .withColumn("ts_us", lit(sentinelUs)))
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val inDir = idxPath("q93in", dir, "events") + "/in"
+    stageChunks(s, staged, col("ts"), inDir)
+    settledFrom(s, inDir, staged.schema, "q93ss", "append")(st =>
+      graft.streaming.Streams.sessionizeStream(st, gapSeconds = 1800L,
+        lateness = "100000 hours").toDF())
+      .filter(col("start_us") < sentinelUs)
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1321,7 +1399,11 @@ object SparkEntry {
     "q86_streaming_dedup" -> (q86 _),
     "q87_startkey_docid" -> (q87 _),
     "q88_span_dedup" -> (q88 _),
-    "q89_span_clean" -> (q89 _)
+    "q89_span_clean" -> (q89 _),
+    "q90_fielded_search" -> (q90 _),
+    "q91_phrase_slop" -> (q91 _),
+    "q92_trigram_lm" -> (q92 _),
+    "q93_streaming_sessions" -> (q93 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2375,6 +2457,130 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS ct
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // the settled streaming session table: gap sessionization replayed
+    // with lag/running-sum windows (q15's shape, full session tuples)
+    "q93_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS grp
+        |  FROM m)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_us""".stripMargin,
+    // trigram stupid-backoff LM: pruned at minCount=2, contexts from
+    // the corpus bigram/unigram tables, alpha=0.4, micro-nat integer
+    // fixed point (the q74 construction one order higher)
+    "q92_trigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u.i AS p, ws[u.i] AS w
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+        |tri AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, w AS w1, lead(w) OVER win AS w2,
+        |      lead(w, 2) OVER win AS w3
+        |    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY p))
+        |  WHERE w3 IS NOT NULL),
+        |bi AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, w AS w1, lead(w) OVER win AS w2
+        |    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY p))
+        |  WHERE w2 IS NOT NULL),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+        |typed AS (
+        |  SELECT c3.w1, c3.w2, c3.w3,
+        |    CAST(FLOOR(ln(
+        |      CASE WHEN c3.c3 >= 2 THEN CAST(c3.c3 AS DOUBLE) / CAST(ctx.cb AS DOUBLE)
+        |           WHEN b23.cb >= 2 THEN 0.4 * (CAST(b23.cb AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+        |           ELSE 0.4 * 0.4 * (CAST(u3.c1 AS DOUBLE) / nt.n) END)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
+        |  FROM c3
+        |  JOIN cb ctx ON ctx.w1 = c3.w1 AND ctx.w2 = c3.w2
+        |  JOIN cb b23 ON b23.w1 = c3.w2 AND b23.w2 = c3.w3
+        |  JOIN c1 u2 ON u2.w = c3.w2
+        |  JOIN c1 u3 ON u3.w = c3.w3
+        |  CROSS JOIN nt),
+        |sc AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_trigrams, SUM(ty.lp6) AS s6
+        |  FROM tri t JOIN typed ty USING (w1, w2, w3)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_trigrams,
+        |  FLOOR(((CAST(s6 AS DOUBLE) / 1000000.0) / n_trigrams) * 10000 + 0.5) / 10000 AS lm3_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // phrase-with-slop: ordered pair "hash ... join" with gap <= 3
+    // (slop=2); n_occ = DISTINCT match end positions, the same count
+    // the positional-index fold produces
+    "q91_phrase_slop" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.i AS p, ws[u.i] AS w
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+        |a AS (SELECT doc_id, p FROM pos WHERE w = 'hash'),
+        |b AS (SELECT doc_id, p FROM pos WHERE w = 'join'),
+        |m AS (
+        |  SELECT DISTINCT b.doc_id, b.p
+        |  FROM b JOIN a ON a.doc_id = b.doc_id
+        |    AND b.p - a.p BETWEEN 1 AND 3)
+        |SELECT doc_id, COUNT(*) AS n_occ FROM m GROUP BY doc_id
+        |ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin,
+    // BM25F: per-field BM25 universes (field-local tf/df/n/avgdl over
+    // the head = first-12-tokens / tail = rest split), weighted 3:1 and
+    // summed in the field-major, sorted-term fold order of searchFielded
+    "q90_fielded_search" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, 'head' AS field, ws[1:12] AS fs FROM words
+        |  UNION ALL
+        |  SELECT doc_id, 'tail' AS field, ws[13:len(ws)] AS fs FROM words),
+        |tf AS (
+        |  SELECT doc_id, field, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, field, unnest(fs) AS term FROM f)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, field, term),
+        |dl AS (SELECT doc_id, field, len(fs) AS dl FROM f WHERE len(fs) > 0),
+        |st AS (SELECT field, COUNT(*) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |       FROM dl GROUP BY field),
+        |df AS (SELECT field, term, COUNT(*) AS df FROM tf GROUP BY field, term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.field, tf.term,
+        |    (CASE WHEN tf.field = 'head' THEN 3.0 ELSE 1.0 END)
+        |      * ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id, field) JOIN df USING (field, term)
+        |  JOIN st USING (field)),
+        |p AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'hash' THEN sc END), 0.0) AS c00,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'join' THEN sc END), 0.0) AS c01,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'stream' THEN sc END), 0.0) AS c02,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'hash' THEN sc END), 0.0) AS c10,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'join' THEN sc END), 0.0) AS c11,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'stream' THEN sc END), 0.0) AS c12
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id,
+        |  FLOOR((c00 + c01 + c02 + c10 + c11 + c12) * 10000 + 0.5) / 10000 AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // the streamed dedup keeps exactly one row per fingerprint: the
     // settled fp set equals the batch distinct
     "q86_streaming_dedup" ->

@@ -142,6 +142,77 @@ object Text {
           col("n_bigrams")).as("lm_score"))
   }
 
+  /** Trigram language-model quality score with STUPID BACKOFF — the
+    * higher-order upgrade of [[bigramLmScores]] a CCNet-grade filter
+    * uses. The model is trained on the corpus itself and PRUNED at
+    * `minCount` (real n-gram models drop rare counts for size — and
+    * the pruning is what makes backoff live when scoring the training
+    * corpus, where every observed trigram otherwise has count ≥ 1):
+    *
+    *   S(w3|w1w2) = c3/c(w1w2)            if c3 ≥ minCount
+    *              = α · S(w3|w2)          otherwise
+    *   S(w3|w2)   = c(w2w3)/c(w2)         if c(w2w3) ≥ minCount
+    *              = α · c(w3)/N           otherwise
+    *
+    * (Brants et al. 2007's score, α = 0.4 conventionally; contexts
+    * from the plain corpus bigram/unigram tables, N = corpus tokens.)
+    * Per-doc score = avg ln S over the doc's trigrams, in the same
+    * integer micro-nat fixed point as [[bigramLmScores]] (each
+    * trigram's ln rounded at 1e-6 and summed as a long — order-free
+    * exact adds), divided back once per doc.
+    *
+    * Scale shape: scores are computed per trigram TYPE (the c3 table
+    * joins the context/backoff tables at type grain, far smaller than
+    * occurrence grain), then one join scores occurrences; no broadcast
+    * hints anywhere — every model table is unbounded at corpus scale
+    * (the q74/bigram lesson), AQE picks broadcast when one fits.
+    * Returns `(doc_id, n_trigrams, lm3_score)` for docs with ≥ 1
+    * trigram. */
+  def trigramLmScores(docs: org.apache.spark.sql.DataFrame,
+                      id: Column, text: Column, minCount: Long = 2L,
+                      alpha: Double = 0.4)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1, "minCount must be >= 1")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val toks = tokenRows(docs, id, text)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val tri = toks.select(col("doc_id"), col("_w").as("w1"),
+        lead(col("_w"), 1).over(w).as("w2"),
+        lead(col("_w"), 2).over(w).as("w3"))
+      .filter(col("w3").isNotNull)
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(fcount(lit(1)).as("c3"))
+    val bi = bigramsOf(toks)
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(fcount(lit(1)).as("cb"))
+    val c1 = toks.groupBy(col("_w")).agg(fcount(lit(1)).as("c1"))
+    val nt = toks.agg(fcount(lit(1)).cast("double").as("_n"))
+    // per-TYPE stupid-backoff score: every join at n-gram-type grain
+    val typed = c3
+      .join(cb, Seq("w1", "w2")) // context always exists (prefix of c3)
+      .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"))
+      .join(c1.select(col("_w").as("w2"), col("c1").as("c1_2")), Seq("w2"))
+      .join(c1.select(col("_w").as("w3"), col("c1").as("c1_3")), Seq("w3"))
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("w3"),
+        floor(log(
+          when(col("c3") >= minCount,
+            col("c3").cast("double") / col("cb").cast("double"))
+          .when(col("c23") >= minCount, lit(alpha) *
+            (col("c23").cast("double") / col("c1_2").cast("double")))
+          .otherwise(lit(alpha) * lit(alpha) *
+            (col("c1_3").cast("double") / col("_n")))) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("_lp6"))
+    tri.join(typed, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(fcount(lit(1)).as("n_trigrams"), sum(col("_lp6")).as("_s6"))
+      .select(col("doc_id"), col("n_trigrams"),
+        graft.gfunctions.round4((col("_s6").cast("double") / 1000000.0) /
+          col("n_trigrams")).as("lm3_score"))
+  }
+
   /** PMI-ranked bigram collocations — phrase-vocabulary mining for
     * training-data pipelines (tokenizer merge candidates, stop-phrase
     * lists): `pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2)))` over the

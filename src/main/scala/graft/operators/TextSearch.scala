@@ -683,18 +683,25 @@ object TextSearch {
       st.getAs[Int]("n_buckets"), analyzerFromRow(st))
   }
 
-  /** Exact-phrase occurrence counts served from the POSITIONAL index:
-    * each phrase term's sorted token positions come from its posting
-    * row (no document access); occurrences fold left-to-right as
-    * `occ_j = intersect(occ_(j-1) + 1, pos(term_j))` — after step j,
-    * `occ` holds the positions where the length-(j+1) prefix ends, so
-    * `|occ|` at the last term is the exact phrase count (repeated
-    * terms fall out naturally). The per-element HOF cost is bounded by
-    * tf, not document length. Returns the top-k docs by occurrence
-    * count (ties by doc id). */
+  /** Phrase occurrence counts served from the POSITIONAL index, with
+    * optional SLOP: each phrase term's sorted token positions come
+    * from its posting row (no document access); occurrences fold
+    * left-to-right as `occ_j = intersect(∪_{p∈occ_(j-1)} [p+1, p+1+slop],
+    * pos(term_j))` — after step j, `occ` holds the DISTINCT positions
+    * where a length-(j+1) prefix match ends, so `|occ|` at the last
+    * term counts match end positions. `slop = 0` (default) is the
+    * exact phrase: every gap exactly 1; `slop = s` allows each
+    * consecutive pair to sit up to `s` extra tokens apart, IN ORDER —
+    * the middle ground between exact phrase and proximity boost
+    * ([[proximitySearch]]), resolved from the same stored position
+    * arrays. The per-element HOF cost is bounded by tf·(1+slop), not
+    * document length. Returns the top-k docs by occurrence count
+    * (ties by doc id). */
   def phraseSearchIndexed(spark: SparkSession, path: String,
-                          rawPhrase: Seq[String], k: Int): DataFrame = {
+                          rawPhrase: Seq[String], k: Int,
+                          slop: Int = 0): DataFrame = {
     require(rawPhrase.size >= 2, "a phrase needs at least two tokens")
+    require(slop >= 0, "slop must be >= 0")
     val st = statsOf(spark, path)
     val nB = st.nBuckets
     // normalize each token in place (order and repeats preserved); a
@@ -712,8 +719,12 @@ object TextSearch {
       // phrase semantics: every distinct term must be present
       .filter(terms.indices.map(i => col(s"_pos$i").isNotNull)
         .reduce(_ && _))
+    // array_intersect returns distinct elements, so the expanded
+    // candidate windows collapse back to distinct end positions at
+    // every step; slop=0 degenerates to transform(acc, _ + 1)
     val occ = phrase.tail.foldLeft(col(s"_pos${idx(phrase.head)}")) {
-      (acc, t) => array_intersect(transform(acc, _ + 1),
+      (acc, t) => array_intersect(
+        flatten(transform(acc, p => sequence(p + 1, p + lit(1 + slop)))),
         col(s"_pos${idx(t)}"))
     }
     g.select(col("doc_id"), size(occ).cast("long").as("n_occ"))
@@ -755,5 +766,162 @@ object TextSearch {
       else g.join(readPruned(spark, path, "postings", mustNotN, nB)
         .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     out.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  // ----------------------------------------------- fielded index (BM25F)
+
+  /** On-disk layout version for FIELDED indexes (distinct from the
+    * single-field [[FormatVersion]] line so neither artifact kind can
+    * ever serve as the other). */
+  val FieldedFormatVersion = 101
+
+  /** Build a FIELDED inverted index — real corpora carry structured
+    * text (title/body/anchor), and relevance weights them differently
+    * (a title hit outranks a body hit). Layout mirrors
+    * [[buildTextIndex]] with a `field` tag on every posting and df
+    * row, and a PER-FIELD stats row `(field, ord, weight, n, sum_dl,
+    * avgdl)` — each field is its own BM25 universe (own df, own doc
+    * count, own average length), the fields+weights stamped into the
+    * index exactly like the analyzer so a serve can never assume a
+    * different field map than the build ([[requireFields]]).
+    *
+    * `fields` is the ordered `(name, column, weight)` spec; a doc
+    * whose field analyzes to zero tokens simply has no postings (and
+    * no length) in that field. Serving ([[searchFielded]]) reads only
+    * the probed term-bucket directories plus the per-field stats rows.
+    */
+  def buildFieldedTextIndex(docs: DataFrame, id: Column,
+                            fields: Seq[(String, Column, Double)],
+                            path: String, nBuckets: Int = 64,
+                            seq: Long = 0L,
+                            analyzer: Analyzer = Analyzer()): Unit = {
+    import graft.view.{IndexMeta, IndexStore}
+    require(fields.nonEmpty, "at least one field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "field names must be distinct")
+    require(fields.forall(_._3 > 0.0), "field weights must be positive")
+    val spark = docs.sparkSession
+    IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val tfRows = fields.map { case (nm, c, _) =>
+      termFreqs(docs, id, c, analyzer).withColumn("field", lit(nm))
+    }.reduce(_.unionByName(_))
+      .withColumn("_tb", termBucket(col("term"), nBuckets))
+    require(!tfRows.isEmpty,
+      "cannot build a fielded text index from a corpus with no tokens")
+    tfRows.repartition(col("_tb"))
+      .sortWithinPartitions(col("term"), col("field"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(path + "/postings")
+    val posts = spark.read.parquet(path + "/postings")
+    posts.groupBy(col("_tb"), col("field"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("_tb")).sortWithinPartitions(col("term"), col("field"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(path + "/terms")
+    // per-field corpus stats: n = docs with >=1 token IN THAT FIELD
+    val fst = posts.groupBy(col("field"), col("doc_id"))
+      .agg(max(col("dl")).as("dl"))
+      .groupBy(col("field"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    import spark.implicits._
+    fields.zipWithIndex.map { case ((nm, _, w), i) =>
+      val (n, sd) = fst.getOrElse(nm, (0L, 0L))
+      // driver-side guard: ANSI division would throw on an all-empty
+      // field; the double division itself matches writeStats's
+      (nm, i, w, n, sd, if (n > 0) sd.toDouble / n else 0.0)
+    }.toDF("field", "ord", "weight", "n", "sum_dl", "avgdl")
+      .select(col("field"), col("ord"), col("weight"), col("n"),
+        col("sum_dl"), col("avgdl"),
+        lit(nBuckets).as("n_buckets"), lit(FieldedFormatVersion).as("fmt"),
+        lit(analyzer.lowercase).as("an_lc"), lit(analyzer.stem).as("an_stem"),
+        typedLit(analyzer.sortedStop).as("an_stop"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** True iff a readable FIELDED text index of the current layout
+    * exists at `path`. */
+  def fieldedCurrent(spark: SparkSession, path: String): Boolean =
+    try {
+      val st = spark.read.parquet(path + "/stats")
+      st.columns.contains("ord") && st.columns.contains("fmt") &&
+        st.head().getAs[Int]("fmt") == FieldedFormatVersion
+    } catch { case _: Exception => false }
+
+  private final case class FieldStat(name: String, weight: Double,
+                                     n: Long, avgdl: Double)
+  private final case class FieldedStats(fields: Seq[FieldStat],
+                                        nBuckets: Int, analyzer: Analyzer)
+
+  private def fieldedStatsOf(spark: SparkSession,
+                             path: String): FieldedStats = {
+    val rows = spark.read.parquet(path + "/stats")
+      .orderBy(col("ord")).collect()
+    require(rows.nonEmpty, s"no fielded stats at $path")
+    FieldedStats(
+      rows.map(r => FieldStat(r.getAs[String]("field"),
+        r.getAs[Double]("weight"), r.getAs[Long]("n"),
+        r.getAs[Double]("avgdl"))).toSeq,
+      rows.head.getAs[Int]("n_buckets"), analyzerFromRow(rows.head))
+  }
+
+  /** The `(field, weight)` map stamped into the fielded index at
+    * `path`, in build order. */
+  def fieldsOf(spark: SparkSession, path: String): Seq[(String, Double)] =
+    fieldedStatsOf(spark, path).fields.map(f => (f.name, f.weight))
+
+  /** Loud guard for callers that EXPECT a specific field map: opening
+    * an index built with different fields or weights fails with both
+    * identities side by side (the [[requireAnalyzer]] contract for
+    * fields). */
+  def requireFields(spark: SparkSession, path: String,
+                    expected: Seq[(String, Double)]): Unit = {
+    val stored = fieldsOf(spark, path)
+    require(stored == expected,
+      s"field map mismatch at $path: index was built with $stored " +
+        s"but the caller expects $expected — rebuild the index or " +
+        "query with the stored fields")
+  }
+
+  /** Top-k BM25F search from a [[buildFieldedTextIndex]] index:
+    * score(doc) = Σ_field weight_f · BM25_f(doc) — each field scored
+    * as its own BM25 universe (field-local tf, df, doc count and
+    * average length from the stamped stats), then summed with the
+    * stamped weights. The fold is one conditional aggregate per
+    * (field, term) cell, added field-major (build order) then
+    * sorted-term — a fixed order both engines reproduce. Reads stay
+    * term-bucket-pruned exactly like [[searchIndexed]]. */
+  def searchFielded(spark: SparkSession, path: String,
+                    queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val fs = fieldedStatsOf(spark, path)
+    val terms = fs.analyzer.queryTerms(queryTerms).sorted
+    def perField(g: FieldStat => Column): Column =
+      fs.fields.tail.foldLeft(
+        when(col("field") === fs.fields.head.name, g(fs.fields.head))) {
+        (acc, f) => acc.when(col("field") === f.name, g(f))
+      }
+    val scored = readPruned(spark, path, "postings", terms, fs.nBuckets)
+      .join(broadcast(readPruned(spark, path, "terms", terms, fs.nBuckets)
+        .select(col("field"), col("term"), col("df"))),
+        Seq("field", "term"))
+      .withColumn("_s", perField(f => lit(f.weight)) *
+        bm25Weight(col("tf"), col("dl"), col("df"),
+          perField(f => lit(f.n)), perField(f => lit(f.avgdl)), k1, b))
+    val cells = for {
+      (f, fi) <- fs.fields.zipWithIndex
+      (t, ti) <- terms.zipWithIndex
+    } yield coalesce(max(when(col("field") === f.name &&
+        col("term") === t, col("_s"))), lit(0.0)).as(s"_c${fi}_$ti")
+    val names = for {
+      fi <- fs.fields.indices; ti <- terms.indices
+    } yield s"_c${fi}_$ti"
+    scored.groupBy(col("doc_id")).agg(cells.head, cells.tail: _*)
+      .select(col("doc_id"),
+        round4(names.map(col).reduceLeft(_ + _)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 }

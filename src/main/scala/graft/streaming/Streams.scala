@@ -76,19 +76,24 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     val gapUs = gapSeconds * 1000000L
+    // the exact micros ride along as a THIRD column: extracting them
+    // from java.sql.Timestamp.getTime (milliseconds) would silently
+    // truncate sub-millisecond event times, and the watermark column
+    // itself must stay in place for EventTimeTimeout
     events.withWatermark("ts", lateness)
-      .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS us")
+      .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(SessionOut(user, s.start_us, s.last_us, s.n))
           } else {
-            val sorted = rows.map(_._2.getTime * 1000L).toSeq.sorted
+            val sorted = rows.map(_._3).toSeq.sorted
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { ts =>

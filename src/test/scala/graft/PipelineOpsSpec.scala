@@ -618,6 +618,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(s.find(_._1 == 1L).get._2 == 5L)
   }
 
+  test("trigram LM with stupid backoff: pruning makes rare text back off and sink") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "zebra quartz violin nebula crimson harbor tunnel velvet meadow")
+    ).toDF("doc_id", "text")
+    val m2 = Text.trigramLmScores(d, $"doc_id", $"text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(m2(1L)._1 == 7L, "9 tokens yield 7 trigrams")
+    assert(m2(1L) == m2(2L) && m2(2L) == m2(3L))
+    // the repeated sentence's trigrams have c3 = cb = 3: trigram path,
+    // ln(1) = 0 — maximally predictable under its own model
+    assert(m2(1L)._2 == 0.0, s"formulaic: ${m2(1L)}")
+    // all-singleton text is PRUNED out of the trigram and bigram
+    // models and double-backs-off to alpha^2 * c1/N — strongly negative
+    assert(m2(4L)._2 < -3.0, s"salad must sink: ${m2(4L)}")
+    assert(m2(1L)._2 > m2(4L)._2)
+    // without pruning, a self-trained trigram LM is DEGENERATE on
+    // unique text (every singleton trigram is 'perfectly predicted') —
+    // the reason minCount exists
+    val m1 = Text.trigramLmScores(d, $"doc_id", $"text", minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m1(4L) == 0.0)
+  }
+
   test("connected components: chains merge transitively, min id labels") {
     import graft.operators.Dedup
     // two components: a 5-chain (exercises multi-round propagation —

@@ -156,6 +156,37 @@ class TextSearchSpec extends SparkSpecBase {
     assert(strict.isEmpty)
   }
 
+  test("phrase with slop: ordered within-gap matches; slop=0 is the exact phrase") {
+    val d = Seq(
+      (1L, "alpha beta end here now"),        // adjacent
+      (2L, "alpha filler beta end here"),     // gap 1: slop >= 1
+      (3L, "alpha f1 f2 beta end"),           // gap 2: slop >= 2
+      (4L, "beta alpha end something here"),  // reversed: never
+      (5L, "alpha beta then alpha beta again"), // two exact occurrences
+      (6L, "alpha alpha beta end word")       // two starts, ONE end
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-slop").toString + "/idx"
+    TextSearch.buildTextIndex(d, $"doc_id", $"text", path, nBuckets = 8)
+    def hits(slop: Int): Map[Long, Long] =
+      TextSearch.phraseSearchIndexed(spark, path, Seq("alpha", "beta"),
+        10, slop).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(0) == Map(1L -> 1L, 5L -> 2L, 6L -> 1L), s"slop0: ${hits(0)}")
+    assert(hits(1) == Map(1L -> 1L, 2L -> 1L, 5L -> 2L, 6L -> 1L),
+      s"slop1: ${hits(1)}")
+    assert(hits(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 2L, 6L -> 1L),
+      s"slop2: ${hits(2)}")
+    // n_occ counts DISTINCT match end positions: doc6's two alphas
+    // both reach the one beta, still one occurrence at slop=1
+    assert(hits(1)(6L) == 1L)
+    // a reversed pair never matches at any slop (order is required)
+    assert(!hits(3).contains(4L))
+    // a 3-term slopped phrase chains the gaps independently
+    val d3 = TextSearch.phraseSearchIndexed(spark, path,
+      Seq("alpha", "beta", "end"), 10, slop = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(1L -> 1L, 2L -> 1L, 6L -> 1L), s"3-term slop1: $d3")
+  }
+
   test("token-less corpus fails the build loudly, not with an NPE") {
     val empty = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
     val path = Files.createTempDirectory("graft-empty").toString + "/idx"
@@ -476,6 +507,45 @@ class TextSearchSpec extends SparkSpecBase {
     }
     assert(TextSearch.analyzerOf(spark, path) == an.canonical,
       "upsert must preserve the stored analyzer")
+  }
+
+  test("fielded BM25F: weights reorder the top-k; field map stamped and guarded") {
+    import TextSearch.{buildFieldedTextIndex, searchFielded}
+    val d = Seq(
+      (1L, "spark tuning", "a guide about many other things entirely unrelated"),
+      (2L, "unrelated title", "spark spark spark mentioned often in the body text here"),
+      (3L, "another title", "no relevant content at all in this one truly")
+    ).toDF("doc_id", "title", "body")
+    val dir = Files.createTempDirectory("graft-bm25f").toString
+    val heavy = s"$dir/heavy" // title outranks body 5:1
+    val flat = s"$dir/flat"
+    buildFieldedTextIndex(d, $"doc_id",
+      Seq(("title", $"title", 5.0), ("body", $"body", 1.0)), heavy, 8)
+    buildFieldedTextIndex(d, $"doc_id",
+      Seq(("title", $"title", 1.0), ("body", $"body", 1.0)), flat, 8)
+    // the SAME corpus and query, reordered purely by the field weights:
+    // doc1 has one title hit, doc2 three body hits
+    val topHeavy = searchFielded(spark, heavy, Seq("spark"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    val topFlat = searchFielded(spark, flat, Seq("spark"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topHeavy.head == 1L, s"title-weighted order: $topHeavy")
+    assert(topFlat.head == 2L, s"flat order: $topFlat")
+    assert(topHeavy.toSet == Set(1L, 2L) && topFlat.toSet == Set(1L, 2L),
+      "only docs containing the term may rank")
+    // the field map is stamped and guarded, requireAnalyzer-style
+    assert(TextSearch.fieldsOf(spark, heavy) ==
+      Seq(("title", 5.0), ("body", 1.0)))
+    TextSearch.requireFields(spark, heavy, Seq(("title", 5.0), ("body", 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.requireFields(spark, heavy, Seq(("title", 1.0), ("body", 1.0)))
+    }
+    assert(e.getMessage.contains("field map mismatch"))
+    // artifact kinds are mutually unreadable (distinct format stamps)
+    assert(!TextSearch.indexCurrent(spark, heavy))
+    assert(TextSearch.fieldedCurrent(spark, heavy))
+    assert(!TextSearch.fieldedCurrent(spark,
+      Files.createTempDirectory("graft-nope").toString + "/missing"))
   }
 
   test("driver-side term bucket matches the Column-side routing") {
