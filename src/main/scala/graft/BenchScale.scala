@@ -48,7 +48,7 @@ object BenchScale {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    import graft.operators.{Dedup, Text, TextSearch}
+    import graft.operators.{Dedup, DedupIndex, Similarity, Text, TextSearch}
     val terms = Seq("hash", "join", "stream")
     def pipelines(d: DataFrame, idx: String): Seq[(String, () => Unit)] =
       Seq(
@@ -57,8 +57,12 @@ object BenchScale {
         "dedup_verified" -> (() =>
           noop(Dedup.dedupCorpus(d, col("doc_id"), col("text"),
             jaccardThreshold = Some(0.5)))),
+        "span_dedup" -> (() =>
+          noop(Dedup.duplicatedSpans(d, col("doc_id"), col("text"), 8))),
         "lm_quality" -> (() =>
           noop(Text.bigramLmScores(d, col("doc_id"), col("text")))),
+        "trigram_lm" -> (() =>
+          noop(Text.trigramLmScores(d, col("doc_id"), col("text")))),
         "pmi_bigrams" -> (() =>
           noop(Text.pmiBigrams(d, col("doc_id"), col("text")))),
         "repetition" -> (() =>
@@ -74,11 +78,57 @@ object BenchScale {
       .foreach { case (_, f) => try f() catch { case _: Throwable => () } }
 
     def best2(f: () => Unit): Double = math.min(time(f()), time(f()))
-    val base = pipelines(docs, s"$tmp/graft_scale_base_idx")
+    val base0 = pipelines(docs, s"$tmp/graft_scale_base_idx")
       .map { case (n, f) => n -> best2(f) }
-    val big10 = pipelines(big, s"$tmp/graft_scale_10x_idx")
+    val big0 = pipelines(big, s"$tmp/graft_scale_10x_idx")
       .map { case (n, f) => n -> best2(f) }
 
+    // ---- SERVING probes: queries against a 10× INDEX must stay ~flat
+    // (probe-pruned reads touch the queried buckets, never the corpus;
+    // a ratio near 10 here would mean a serve path secretly scans).
+    // Index builds are setup, timed once (they are the ~linear part).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bigEmbPath = s"$tmp/graft_scale10x_emb"
+    (0 until 10).map(c =>
+        emb.withColumn("vec_id", col("vec_id") + lit(c * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(bigEmbPath)
+    val bigEmb = spark.read.parquet(bigEmbPath)
+    def servingSetup(d: DataFrame, e: DataFrame, tag: String)
+        : (Seq[(String, Double)], Seq[(String, () => Unit)]) = {
+      val txt = s"$tmp/graft_scale_${tag}_idx" // built by the pipeline pass
+      val dc = s"$tmp/graft_scale_${tag}_dc"
+      val ivf = s"$tmp/graft_scale_${tag}_ivf"
+      val builds = Seq(
+        "build_dedup_index" -> time(
+          DedupIndex.build(d, col("doc_id"), col("text"), dc, nBuckets = 8)),
+        "build_ivf_index" -> time(Similarity.buildIvfIndex(e, ivf)))
+      // 3 smallest cluster labels: a fixed, comparable probe set
+      val labels = DedupIndex.clusters(spark, dc)
+        .groupBy(col("cluster_id")).count()
+        .orderBy(col("cluster_id")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val probes = Seq(
+        "serve_bm25" -> (() =>
+          noop(TextSearch.searchIndexed(spark, txt, terms, 20))),
+        "serve_phrase_slop" -> (() =>
+          noop(TextSearch.phraseSearchIndexed(spark, txt,
+            Seq("hash", "join"), 20, slop = 2))),
+        "serve_members" -> (() =>
+          noop(DedupIndex.membersOf(spark, dc, labels))),
+        "serve_ivf_filtered" -> (() =>
+          noop(Similarity.ivfTopKWhere(spark, ivf,
+            e.filter(col("vec_id") < 5), 3,
+            e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))))))
+      (builds, probes)
+    }
+    val (baseBuilds, baseProbes) = servingSetup(docs, emb, "base")
+    val baseServe = baseProbes.map { case (n, f) => n -> best2(f) }
+    val (bigBuilds, bigProbes) = servingSetup(big, bigEmb, "10x")
+    val bigServe = bigProbes.map { case (n, f) => n -> best2(f) }
+
+    val base = base0 ++ baseBuilds ++ baseServe
+    val big10 = big0 ++ bigBuilds ++ bigServe
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

@@ -1210,7 +1210,17 @@ object SparkEntry {
       .buildTextIndex(t(s, dir, "documents"), col("doc_id"), col("text"),
         idxPath("txa", dir, "documents"), analyzer =
           graft.operators.TextSearch.Analyzer(
-            stopwords = graft.operators.Text.langWords.head._2))))
+            stopwords = graft.operators.Text.langWords.head._2))),
+    "q90_fielded_search" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      graft.operators.TextSearch.buildFieldedTextIndex(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq(
+          ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+          ("tail", concat_ws(" ", slice(toks, lit(13),
+            greatest(size(toks) - 12, lit(0)))), 1.0)),
+        idxPath("txtf", dir, "documents"))
+    }))
 
   /** D2b: ANN against the PERSISTED LSH signature index — identical
     * results to q27's on-the-fly formulation (same oracle SQL), but the
