@@ -1119,6 +1119,87 @@ object SparkEntry {
       .orderBy(col("user_id"), col("start_us"))
   }
 
+  /** G3 gated: INCREMENTAL VIEW MAINTENANCE — the reference's
+    * change-feed-driven design-doc updater
+    * ([[graft.streaming.Streams.maintainViewIndex]]) driven through a
+    * REAL 4-micro-batch file stream over the orders table: batch 1
+    * creates the bucketed index, batches 2-4 merge bucket-locally via
+    * the by-id sidecar, and the GROUPED SUM view served from the
+    * maintained index must equal the batch oracle (re-runs upsert the
+    * same docs — idempotent by the merge's replace-by-id contract). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val inDir = idxPath("q94in", dir, "orders") + "/in"
+    stageChunks(s, orders, col("o_orderkey"), inDir)
+    val idx = idxPath("q94vx", dir, "orders") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q94ck").toString
+    val feed = s.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val emit = (batch: DataFrame) => batch.select(
+      col("o_orderkey").as("_id"),
+      col("o_orderpriority").as("key"),
+      col("o_totalprice").cast("decimal(18,2)").as("value"))
+    val q = graft.streaming.Streams.maintainViewIndex(s, feed, emit, idx,
+      ck, reduce = Some(Reduce.Sum))
+    try q.processAllAvailable() finally q.stop()
+    View(orders, col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)"), Some(Reduce.Sum))
+      .fromIndex(s, idx)
+      .query(QueryOpts(group = true))
+      .select(col("key").as("o_orderpriority"),
+        col("value").cast("double").as("sum_price"))
+  }
+
+  /** G6 gated: STREAMING TEXT-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.maintainTextIndex]]) — the documents
+    * corpus arrives as a 4-micro-batch file stream; batch 1 builds the
+    * positional inverted index, batches 2-4 upsert bucket-locally with
+    * exact stat deltas; BM25 served from the maintained index must
+    * match the corpus-scan oracle bit-for-bit (q59's oracle). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = idxPath("q95in", dir, "documents") + "/in"
+    stageChunks(s, docs, col("doc_id"), inDir)
+    val idx = idxPath("q95tx", dir, "documents") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q95ck").toString
+    val feed = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainTextIndex(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    TextSearch.searchIndexed(s, idx, searchTerms, 20)
+  }
+
+  /** E13b gated: FIELDED-INDEX MAINTENANCE
+    * ([[graft.operators.TextSearch.upsertFieldedDocs]]) — docs with
+    * `doc_id % 7 = 0` re-indexed with appended text, docs with
+    * `doc_id % 13 = 5` deleted, BM25F served from the MAINTAINED
+    * index; the oracle replays the full per-field fold over the
+    * equivalently-modified corpus, so a green row proves maintained ==
+    * rebuilt through the scores (idempotent: re-runs re-apply the
+    * same deterministic delta). */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("q96tf", dir, "documents")
+    val toks = Text.tokens(col("text"))
+    val fields = Seq(
+      ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+      ("tail", concat_ws(" ", slice(toks, lit(13),
+        greatest(size(toks) - 12, lit(0)))), 1.0))
+    val docs = t(s, dir, "documents")
+    if (!TextSearch.fieldedCurrent(s, path))
+      TextSearch.buildFieldedTextIndex(docs, col("doc_id"), fields, path)
+    val changed = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        concat(col("text"), lit(" graftmark graftmark extra tokens")))
+    val delIds = docs.filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    TextSearch.upsertFieldedDocs(s, path, changed, col("doc_id"),
+      fields.map { case (n, c, _) => (n, c) }, deletedIds = delIds)
+    TextSearch.searchFielded(s, path, searchTerms, 20)
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1413,7 +1494,10 @@ object SparkEntry {
     "q90_fielded_search" -> (q90 _),
     "q91_phrase_slop" -> (q91 _),
     "q92_trigram_lm" -> (q92 _),
-    "q93_streaming_sessions" -> (q93 _)
+    "q93_streaming_sessions" -> (q93 _),
+    "q94_view_maintenance" -> (q94 _),
+    "q95_streaming_text_index" -> (q95 _),
+    "q96_fielded_upsert" -> (q96 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2467,6 +2551,64 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS ct
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // the maintained view index serves the same grouped sum the batch
+    // view computes — creation + 3 bucket-local merges == one build
+    "q94_view_maintenance" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the maintained text index must reproduce the corpus-scan BM25
+    // bit-for-bit (same oracle as q59/q60)
+    "q95_streaming_text_index" -> bm25Oracle,
+    // BM25F over the DELTA-MODIFIED corpus: %7 docs re-indexed with
+    // appended text, %13=5 docs deleted — the oracle rebuilds what the
+    // maintained index merged
+    "q96_fielded_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' graftmark graftmark extra tokens'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 != 5),
+        |words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, 'head' AS field, ws[1:12] AS fs FROM words
+        |  UNION ALL
+        |  SELECT doc_id, 'tail' AS field, ws[13:len(ws)] AS fs FROM words),
+        |tf AS (
+        |  SELECT doc_id, field, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, field, unnest(fs) AS term FROM f)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, field, term),
+        |dl AS (SELECT doc_id, field, len(fs) AS dl FROM f WHERE len(fs) > 0),
+        |st AS (SELECT field, COUNT(*) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |       FROM dl GROUP BY field),
+        |df AS (SELECT field, term, COUNT(*) AS df FROM tf GROUP BY field, term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.field, tf.term,
+        |    (CASE WHEN tf.field = 'head' THEN 3.0 ELSE 1.0 END)
+        |      * ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id, field) JOIN df USING (field, term)
+        |  JOIN st USING (field)),
+        |p AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'hash' THEN sc END), 0.0) AS c00,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'join' THEN sc END), 0.0) AS c01,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'stream' THEN sc END), 0.0) AS c02,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'hash' THEN sc END), 0.0) AS c10,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'join' THEN sc END), 0.0) AS c11,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'stream' THEN sc END), 0.0) AS c12
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id,
+        |  FLOOR((c00 + c01 + c02 + c10 + c11 + c12) * 10000 + 0.5) / 10000 AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // the settled streaming session table: gap sessionization replayed
     // with lag/running-sum windows (q15's shape, full session tuples)
     "q93_streaming_sessions" ->

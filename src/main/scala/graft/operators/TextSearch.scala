@@ -772,8 +772,9 @@ object TextSearch {
 
   /** On-disk layout version for FIELDED indexes (distinct from the
     * single-field [[FormatVersion]] line so neither artifact kind can
-    * ever serve as the other). */
-  val FieldedFormatVersion = 101
+    * ever serve as the other). v102 = by-doc sidecar (`ids/`) for
+    * incremental maintenance. */
+  val FieldedFormatVersion = 102
 
   /** Build a FIELDED inverted index — real corpora carry structured
     * text (title/body/anchor), and relevance weights them differently
@@ -817,6 +818,14 @@ object TextSearch {
       .agg(count(lit(1)).as("df"))
       .repartition(col("_tb")).sortWithinPartitions(col("term"), col("field"))
       .write.mode("overwrite").partitionBy("_tb").parquet(path + "/terms")
+    // by-doc sidecar: which term buckets each (doc, field) posted into,
+    // with the field length — [[upsertFieldedDocs]]'s O(changed
+    // buckets) locator and exact per-field stat-delta source
+    posts.select(col("doc_id"), col("field"), col("_tb"), col("dl"))
+      .distinct()
+      .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nBuckets))
+      .repartition(col("_ib")).sortWithinPartitions(col("_ib"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(path + "/ids")
     // per-field corpus stats: n = docs with >=1 token IN THAT FIELD
     val fst = posts.groupBy(col("field"), col("doc_id"))
       .agg(max(col("dl")).as("dl"))
@@ -824,20 +833,140 @@ object TextSearch {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2))).toMap
+    writeFieldedStats(spark, path,
+      fields.zipWithIndex.map { case ((nm, _, w), i) =>
+        val (n, sd) = fst.getOrElse(nm, (0L, 0L))
+        (nm, i, w, n, sd)
+      }, nBuckets, analyzer)
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** Per-field stats rows; `avgdl` always re-derived as `sum_dl/n` in
+    * the same double division (driver-side guard: ANSI division would
+    * throw on an all-empty field), so a maintained index serves the
+    * identical averages a fresh build would. */
+  private def writeFieldedStats(spark: SparkSession, path: String,
+                                rows: Seq[(String, Int, Double, Long, Long)],
+                                nBuckets: Int, an: Analyzer): Unit = {
     import spark.implicits._
-    fields.zipWithIndex.map { case ((nm, _, w), i) =>
-      val (n, sd) = fst.getOrElse(nm, (0L, 0L))
-      // driver-side guard: ANSI division would throw on an all-empty
-      // field; the double division itself matches writeStats's
+    rows.map { case (nm, i, w, n, sd) =>
       (nm, i, w, n, sd, if (n > 0) sd.toDouble / n else 0.0)
     }.toDF("field", "ord", "weight", "n", "sum_dl", "avgdl")
       .select(col("field"), col("ord"), col("weight"), col("n"),
         col("sum_dl"), col("avgdl"),
         lit(nBuckets).as("n_buckets"), lit(FieldedFormatVersion).as("fmt"),
-        lit(analyzer.lowercase).as("an_lc"), lit(analyzer.stem).as("an_stem"),
-        typedLit(analyzer.sortedStop).as("an_stop"))
+        lit(an.lowercase).as("an_lc"), lit(an.stem).as("an_stem"),
+        typedLit(an.sortedStop).as("an_stop"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** Incremental maintenance of a [[buildFieldedTextIndex]] index —
+    * the [[upsertTextDocs]] merge discipline with a field tag: changed
+    * docs' new per-field postings are term-bucket-routed, old postings
+    * located via the by-doc sidecar (pruned to the changed ids' hash
+    * buckets), and only the union of old∪new term buckets is rewritten;
+    * per-field `(n, sum_dl)` adjust by exact integer deltas so a
+    * maintained index serves bit-identical BM25F scores to a rebuild.
+    * `changedFields` must name the STORED fields in build order (the
+    * index stays homogeneous — weights and analyzer come from the
+    * stamp, never the caller). `deletedIds` retire docs. Returns the
+    * affected term buckets. */
+  def upsertFieldedDocs(spark: SparkSession, path: String,
+                        changedDocs: DataFrame, id: Column,
+                        changedFields: Seq[(String, Column)],
+                        deletedIds: Seq[Long] = Nil,
+                        newSeq: Long = -1L): Seq[Int] = {
+    import spark.implicits._
+    import graft.view.IndexStore
+    import org.apache.spark.sql.functions.{count => fcount}
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = IndexStore.readMeta(spark, path)
+    val stRows = spark.read.parquet(path + "/stats")
+      .orderBy(col("ord")).collect()
+    val nB = stRows.head.getAs[Int]("n_buckets")
+    val an = analyzerFromRow(stRows.head)
+    val stored = stRows.map(_.getAs[String]("field")).toSeq
+    require(changedFields.map(_._1) == stored,
+      s"changed fields ${changedFields.map(_._1)} must match the " +
+        s"stored field map $stored (in build order)")
+    val newTf = changedFields.map { case (nm, c) =>
+      termFreqs(changedDocs, id, c, an).withColumn("field", lit(nm))
+    }.reduce(_ unionByName _)
+      .withColumn("_tb", termBucket(col("term"), nB)).persist()
+    val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
+    val cids = (if (deletedIds.isEmpty) cids0
+                else cids0.unionByName(deletedIds.toDF("doc_id")))
+      .distinct().persist()
+    try {
+      val ibs = cids
+        .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
+      val oldSide = spark.read.parquet(path + "/ids")
+        .filter(col("_ib").isin(ibs: _*))
+        .join(cids, Seq("doc_id"), "left_semi").persist()
+      val oldTbs = oldSide.select(col("_tb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val newTbs = newTf.select(col("_tb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val affected = (oldTbs ++ newTbs).distinct.sorted
+      // per-FIELD exact integer stat deltas, pinned before any swap
+      // (the same lost-cache hazard as upsertTextDocs)
+      def fieldDeltas(df: DataFrame): Map[String, (Long, Long)] =
+        df.select(col("doc_id"), col("field"), col("dl")).distinct()
+          .groupBy(col("field"))
+          .agg(fcount(lit(1)).as("_n"),
+            coalesce(sum(col("dl")), lit(0L)).as("_sd"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rem = fieldDeltas(oldSide)
+      val add = fieldDeltas(newTf)
+      if (affected.nonEmpty) {
+        val cols = Seq("doc_id", "field", "term", "tf", "dl", "pos", "_tb")
+          .map(col)
+        val survivors = spark.read.parquet(path + "/postings")
+          .filter(col("_tb").isin(affected: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(cols: _*)
+        IndexStore.writeSwap(spark, fs,
+          survivors.unionByName(newTf.select(cols: _*)),
+          path + "/postings", "_tb", affected,
+          Seq(col("_tb"), col("term"), col("field")))
+        IndexStore.writeSwap(spark, fs,
+          spark.read.parquet(path + "/postings")
+            .filter(col("_tb").isin(affected: _*))
+            .groupBy(col("_tb"), col("field"), col("term"))
+            .agg(fcount(lit(1)).as("df")),
+          path + "/terms", "_tb", affected,
+          Seq(col("_tb"), col("term"), col("field")))
+        val sideSurvivors = spark.read.parquet(path + "/ids")
+          .filter(col("_ib").isin(ibs: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("field"), col("_tb"), col("dl"),
+            col("_ib"))
+        IndexStore.writeSwap(spark, fs,
+          sideSurvivors.unionByName(
+            newTf.select(col("doc_id"), col("field"), col("_tb"),
+              col("dl")).distinct()
+              .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))),
+          path + "/ids", "_ib", ibs, Seq(col("_ib"), col("doc_id")))
+      }
+      writeFieldedStats(spark, path,
+        stRows.map { r =>
+          val f = r.getAs[String]("field")
+          val (rn, rs) = rem.getOrElse(f, (0L, 0L))
+          val (dn, ds) = add.getOrElse(f, (0L, 0L))
+          (f, r.getAs[Int]("ord"), r.getAs[Double]("weight"),
+            r.getAs[Long]("n") - rn + dn,
+            r.getAs[Long]("sum_dl") - rs + ds)
+        }.toSeq, nB, an)
+      oldSide.unpersist()
+      val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
+      affected
+    } finally {
+      newTf.unpersist()
+      cids.unpersist()
+    }
   }
 
   /** True iff a readable FIELDED text index of the current layout

@@ -548,6 +548,63 @@ class TextSearchSpec extends SparkSpecBase {
       Files.createTempDirectory("graft-nope").toString + "/missing"))
   }
 
+  test("fielded upsert: bucket-local, matches a rebuild, per-field stats exact") {
+    import TextSearch.{buildFieldedTextIndex, searchFielded, upsertFieldedDocs}
+    val toks = graft.operators.Text.tokens($"text")
+    val fields = Seq(
+      ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+      ("tail", concat_ws(" ", slice(toks, lit(13),
+        greatest(size(toks) - 12, lit(0)))), 1.0))
+    val changedFs = fields.map { case (n, c, _) => (n, c) }
+    val path = Files.createTempDirectory("graft-bm25f-up").toString + "/idx"
+    buildFieldedTextIndex(docs, $"doc_id", fields, path, nBuckets = 16)
+    val before = fileHashes(s"$path/postings")
+
+    // doc 1 rewritten (every field re-derives), doc 2 deleted
+    val changed = Seq((1L, "hash hash stream zebra quagga wolf lynx " +
+      "otter stoat marten puffin auk tail tokens land here after twelve"))
+      .toDF("doc_id", "text")
+    val affected = upsertFieldedDocs(spark, path, changed, $"doc_id",
+      changedFs, deletedIds = Seq(2L))
+    assert(affected.nonEmpty)
+    val after = fileHashes(s"$path/postings")
+    val touched = (before.keySet ++ after.keySet)
+      .filter(f => before.get(f) != after.get(f)).map(_.split("/")(0))
+    assert(touched.subsetOf(affected.map(b => s"_tb=$b").toSet),
+      s"rewrote dirs outside the affected set: $touched vs $affected")
+
+    // maintained == rebuilt over the same corpus: identical BM25F
+    val corpus2 = docs.filter(!$"doc_id".isin(1L, 2L))
+      .select($"doc_id", $"text").unionByName(changed)
+    val path2 = Files.createTempDirectory("graft-bm25f-rb").toString + "/idx"
+    buildFieldedTextIndex(corpus2, $"doc_id", fields, path2, nBuckets = 16)
+    for (q <- Seq(terms, Seq("zebra"), Seq("quagga", "hash"))) {
+      val got = searchFielded(spark, path, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exp = searchFielded(spark, path2, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exp, s"maintained fielded index diverged for $q")
+    }
+    // per-field stats parity and stamp preservation
+    def st(p: String) = spark.read.parquet(s"$p/stats")
+      .orderBy($"ord").select($"field", $"weight", $"n", $"sum_dl")
+      .collect().toSeq
+    assert(st(path) == st(path2), s"${st(path)} vs ${st(path2)}")
+    assert(TextSearch.fieldsOf(spark, path) ==
+      Seq(("head", 3.0), ("tail", 1.0)))
+    // deleted doc gone from postings and sidecar
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"doc_id" === 2L).count() == 0)
+    assert(spark.read.parquet(s"$path/ids")
+      .filter($"doc_id" === 2L).count() == 0)
+    // a field-map mismatch in the changed columns fails loudly
+    val e = intercept[IllegalArgumentException] {
+      upsertFieldedDocs(spark, path, changed, $"doc_id",
+        changedFs.reverse)
+    }
+    assert(e.getMessage.contains("stored field map"))
+  }
+
   test("driver-side term bucket matches the Column-side routing") {
     val n = 64
     val ts = Seq("hash", "join", "stream", "a", "zebra", "", "日本語")
