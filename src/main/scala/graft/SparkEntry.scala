@@ -1200,6 +1200,21 @@ object SparkEntry {
     TextSearch.searchFielded(s, path, searchTerms, 20)
   }
 
+  /** C10: benchmark DECONTAMINATION — docs with `doc_id % 7 = 0` act
+    * as the held-out benchmark; every other document is scored by how
+    * many of its distinct 8-grams leak from the benchmark set. The
+    * whole pass (gram → distinct → left join → one aggregation)
+    * replays as plain SQL, so totals, hit counts AND the rounded
+    * fraction are all hash-gated. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
+      n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1497,7 +1512,8 @@ object SparkEntry {
     "q93_streaming_sessions" -> (q93 _),
     "q94_view_maintenance" -> (q94 _),
     "q95_streaming_text_index" -> (q95 _),
-    "q96_fielded_upsert" -> (q96 _)
+    "q96_fielded_upsert" -> (q96 _),
+    "q97_decontaminate" -> (q97 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2609,6 +2625,25 @@ object SparkEntry {
         |SELECT doc_id,
         |  FLOOR((c00 + c01 + c02 + c10 + c11 + c12) * 10000 + 0.5) / 10000 AS score
         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // decontamination: distinct 8-grams per corpus doc, hit = gram
+    // also present in the %7 benchmark split; fraction rounded half-up
+    // to 4 decimals exactly as the Spark side does
+    "q97_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+        |  FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i) u),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 != 0)
+        |SELECT c.doc_id, COUNT(*) AS grams,
+        |  CAST(COALESCE(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+        |  FLOOR(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*) * 10000 + 0.5) / 10000 AS contamination
+        |FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // the settled streaming session table: gap sessionization replayed
     // with lag/running-sum windows (q15's shape, full session tuples)
     "q93_streaming_sessions" ->

@@ -615,4 +615,42 @@ object Dedup {
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Benchmark DECONTAMINATION — the train/test-overlap pass an LLM
+    * data pipeline runs before training: for every corpus document,
+    * how many of its DISTINCT token n-grams also appear anywhere in a
+    * held-out benchmark corpus (the n-gram-overlap decontamination of
+    * GPT-3 appendix C / PaLM-style reports). Returns one row per
+    * corpus doc with ≥1 full n-gram:
+    * `(doc_id, grams, hits, contamination)` where `grams` is the
+    * distinct n-gram count, `hits` how many of those occur in the
+    * benchmark set, and `contamination = hits/grams` rounded half-up
+    * to 4 decimals (the cross-engine-stable construction used by every
+    * ratio gate here). Callers drop or quarantine docs above a
+    * threshold.
+    *
+    * Shape for 100 TB: grams travel as 16-byte md5 hashes
+    * ([[spanGramRows]]), never as strings, so the corpus-side shuffle
+    * is narrow; the benchmark gram set is distinct-reduced BEFORE the
+    * join (benchmarks are small — AQE broadcasts the build side when
+    * it fits, and the join stays a hash semi-probe otherwise); the
+    * LEFT join + single groupBy computes totals and hits in ONE
+    * aggregation pass instead of two scans of the gram table. No
+    * collect, no cross product; cost is O(corpus grams). */
+  def decontaminate(corpus: DataFrame, cid: Column, ctext: Column,
+                    benchmark: DataFrame, bid: Column, btext: Column,
+                    n: Int = 8): DataFrame = {
+    require(n >= 2, s"decontamination gram length n must be >= 2, got $n")
+    val cg = spanGramRows(corpus, cid, ctext, n)
+      .select(col("doc_id"), col("_h")).distinct()
+    val bg = spanGramRows(benchmark, bid, btext, n)
+      .select(col("_h")).distinct().withColumn("_inb", lit(1L))
+    cg.join(bg, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("grams"),
+        coalesce(sum(col("_inb")), lit(0L)).as("hits"))
+      .withColumn("contamination",
+        floor(col("hits").cast("double") / col("grams") * 10000 + 0.5)
+          / 10000)
+  }
 }

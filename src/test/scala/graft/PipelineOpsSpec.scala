@@ -669,4 +669,41 @@ class PipelineOpsSpec extends SparkSpecBase {
       Dedup.connectedComponents(chain, maxIters = 1)
     }
   }
+
+  test("decontaminate: per-doc distinct-gram hits against a benchmark set") {
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val bench = Seq(
+      (100L, s"benchmark question one $leak and some closing words"),
+      (101L, "totally different benchmark prompt about nothing shared")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 8 tokens of leak + 4 unique → grams: positions 0..4 of a
+      // 12-token doc = 5 grams, 1 contaminated (the pure-leak gram)
+      (1L, s"$leak unique tail words here"),
+      // the full leak twice: distinct grams collapse duplicates
+      (2L, s"$leak $leak"),
+      (3L, "no overlap with anything in the benchmark corpus at all"),
+      (4L, "short doc") // < n tokens → no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, $"doc_id", $"text",
+      bench, $"doc_id", $"text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L), "sub-n docs carry no grams")
+    assert(out(1L) == ((5L, 1L, 0.2)), s"doc1: ${out.get(1L)}")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // doc2: 16 tokens → 9 window grams, but duplicated content means
+    // distinct grams = 9 (each window distinct: leak-leak crossings
+    // differ) — the contaminated one is the pure-leak gram appearing
+    // twice, counted ONCE
+    val (g2, h2, c2) = out(2L)
+    assert(h2 == 1L, s"doc2 hits: $h2")
+    assert(c2 == math.floor(h2.toDouble / g2 * 10000 + 0.5) / 10000)
+    // a doc that IS a benchmark doc's text scores full contamination
+    val twin = Seq((9L, s"benchmark question one $leak and some closing words"))
+      .toDF("doc_id", "text")
+    val tw = Dedup.decontaminate(twin, $"doc_id", $"text",
+      bench, $"doc_id", $"text", n = 8).collect().head
+    assert(tw.getDouble(3) == 1.0, s"twin contamination: $tw")
+  }
 }
