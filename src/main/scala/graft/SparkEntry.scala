@@ -1215,6 +1215,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** E14: SEQUENCE PACKING — the documents corpus packed into
+    * 128-token training sequences across 32 shards (`doc_id % 32`,
+    * concatenated in doc_id order within a shard). Every span row —
+    * including docs cut across sequence boundaries — replays as a
+    * running-sum + integer-division unnest in SQL. */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    Text.packSequences(t(s, dir, "documents"), col("doc_id"),
+      col("text"), seqLen = 128, group = col("doc_id") % 32)
+      .orderBy(col("grp"), col("seq"), col("doc_id"), col("seq_start"))
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1513,7 +1523,8 @@ object SparkEntry {
     "q94_view_maintenance" -> (q94 _),
     "q95_streaming_text_index" -> (q95 _),
     "q96_fielded_upsert" -> (q96 _),
-    "q97_decontaminate" -> (q97 _)
+    "q97_decontaminate" -> (q97 _),
+    "q98_pack_sequences" -> (q98 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2644,6 +2655,31 @@ object SparkEntry {
         |        / COUNT(*) * 10000 + 0.5) / 10000 AS contamination
         |FROM corp c LEFT JOIN bench b ON c.gram = b.gram
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // sequence packing: exclusive prefix-sum of token counts per shard,
+    // window index by integer division, slice bounds by clamping
+    "q98_pack_sequences" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, doc_id % 32 AS grp, CAST(len(ws) AS BIGINT) AS len
+        |  FROM words WHERE len(ws) > 0),
+        |o AS (
+        |  SELECT doc_id, grp, len,
+        |    CAST(SUM(len) OVER (PARTITION BY grp ORDER BY doc_id) - len
+        |         AS BIGINT) AS off
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, grp, off, len,
+        |    unnest(range(off // 128, (off + len - 1) // 128 + 1)) AS seq
+        |  FROM o)
+        |SELECT doc_id, grp, seq,
+        |  greatest(off, seq * 128) - seq * 128 AS seq_start,
+        |  least(off + len, (seq + 1) * 128) - seq * 128 AS seq_end,
+        |  greatest(seq * 128 - off, 0) AS tok_start,
+        |  least(len, (seq + 1) * 128 - off) AS tok_end
+        |FROM e ORDER BY grp, seq, doc_id, seq_start""".stripMargin,
     // the settled streaming session table: gap sessionization replayed
     // with lag/running-sum windows (q15's shape, full session tuples)
     "q93_streaming_sessions" ->

@@ -324,4 +324,50 @@ object Text {
       .filter(col("_wc") === w || (col("_tot") < w && col("_p") === 1))
       .select(col("doc_id"), col("fp")).distinct()
   }
+
+  /** SEQUENCE PACKING — the concat-and-chunk step that turns a
+    * tokenized corpus into fixed-length training sequences (the
+    * GPT-style pack: documents are concatenated in a deterministic
+    * order and the token stream is cut every `seqLen` tokens, so a
+    * document may span sequence boundaries). `group` names the packing
+    * shard — documents are concatenated in `id` order WITHIN a group,
+    * groups pack independently in parallel.
+    *
+    * Returns one row per (document, sequence) overlap:
+    * `(doc_id, grp, seq, seq_start, seq_end, tok_start, tok_end)` —
+    * the doc's token slice `[tok_start, tok_end)` lands at
+    * `[seq_start, seq_end)` of packed sequence `seq` of its group.
+    * Zero-token docs pack nothing and emit no row.
+    *
+    * Scale shape: ONE shuffle (by group), a per-group running sum —
+    * each group's prefix-sum is a sorted within-partition scan, so
+    * `group` cardinality bounds parallelism; pick ≥ cluster cores
+    * (a hash of the id is fine — packing order stays deterministic
+    * per group). The boundary-span fan-out is `explode(sequence(…))`
+    * over at most `len/seqLen + 1` windows per doc — codegen'd, no
+    * join, no driver state. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, id: Column,
+                    text: Column, seqLen: Int, group: Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val base = docs.select(group.cast("long").as("grp"),
+        id.cast("long").as("doc_id"),
+        size(tokens(text)).cast("long").as("_len"))
+      .filter(col("_len") > 0)
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+    val L = lit(seqLen.toLong)
+    base.withColumn("_off", sum(col("_len")).over(w) - col("_len"))
+      .withColumn("seq", explode(sequence(
+        expr(s"_off DIV $seqLen"),
+        expr(s"(_off + _len - 1) DIV $seqLen"))))
+      .select(col("doc_id"), col("grp"), col("seq"),
+        (greatest(col("_off"), col("seq") * L) - col("seq") * L)
+          .as("seq_start"),
+        (least(col("_off") + col("_len"), (col("seq") + 1) * L)
+          - col("seq") * L).as("seq_end"),
+        greatest(col("seq") * L - col("_off"), lit(0L)).as("tok_start"),
+        least(col("_len"), (col("seq") + 1) * L - col("_off"))
+          .as("tok_end"))
+  }
 }

@@ -670,6 +670,53 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("packSequences: concat-and-chunk with boundary spans, per-group") {
+    def words(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val d = Seq(
+      (1L, words(3, "a")), (3L, words(4, "b")), (5L, words(6, "c")), // grp 1
+      (2L, words(5, "d")), (4L, ""),                                  // grp 0
+      (6L, words(11, "e"))                                            // grp 0
+    ).toDF("doc_id", "text")
+    val out = Text.packSequences(d, $"doc_id", $"text", seqLen = 5,
+        group = $"doc_id" % 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // grp 1: lens 3,4,6 at offsets 0,3,7 → doc3 and doc5 cross cuts
+    val g1 = out.filter(_._2 == 1L).toSet
+    assert(g1 == Set(
+      (1L, 1L, 0L, 0L, 3L, 0L, 3L),
+      (3L, 1L, 0L, 3L, 5L, 0L, 2L), (3L, 1L, 1L, 0L, 2L, 2L, 4L),
+      (5L, 1L, 1L, 2L, 5L, 0L, 3L), (5L, 1L, 2L, 0L, 3L, 3L, 6L)),
+      s"grp1: $g1")
+    // grp 0: empty doc 4 emits nothing; lens 5,11 at offsets 0,5
+    val g0 = out.filter(_._2 == 0L).toSet
+    assert(g0 == Set(
+      (2L, 0L, 0L, 0L, 5L, 0L, 5L),
+      (6L, 0L, 1L, 0L, 5L, 0L, 5L), (6L, 0L, 2L, 0L, 5L, 5L, 10L),
+      (6L, 0L, 3L, 0L, 1L, 10L, 11L)), s"grp0: $g0")
+    // invariants on a larger random-ish corpus: full coverage, no
+    // overlap, every non-final window exactly seqLen tokens
+    val big = (1L to 40L).map(i =>
+      (i, words((i % 13).toInt + 1, s"w$i"))).toDF("doc_id", "text")
+    val L = 7
+    val rows = Text.packSequences(big, $"doc_id", $"text", L,
+      group = $"doc_id" % 3).collect()
+    val sliceLens = rows.map(r => r.getLong(4) - r.getLong(3))
+    assert(sliceLens.sum == (1L to 40L).map(i => (i % 13) + 1).sum)
+    assert(rows.forall(r =>
+      r.getLong(4) - r.getLong(3) == r.getLong(6) - r.getLong(5)))
+    for (((grp, seq), rs) <- rows.groupBy(r => (r.getLong(1), r.getLong(2)))) {
+      val spans = rs.map(r => (r.getLong(3), r.getLong(4))).sortBy(_._1)
+      assert(spans.head._1 == 0L, s"grp $grp seq $seq starts at 0")
+      assert(spans.sliding(2).forall {
+        case Array((_, e), (s2, _)) => e == s2; case _ => true
+      }, s"grp $grp seq $seq contiguous")
+      val maxSeq = rows.filter(_.getLong(1) == grp).map(_.getLong(2)).max
+      if (seq < maxSeq)
+        assert(spans.last._2 == L, s"non-final window grp $grp seq $seq full")
+    }
+  }
+
   test("decontaminate: per-doc distinct-gram hits against a benchmark set") {
     val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val bench = Seq(
