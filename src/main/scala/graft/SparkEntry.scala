@@ -1225,6 +1225,30 @@ object SparkEntry {
       col("text"), seqLen = 128, group = col("doc_id") % 32)
       .orderBy(col("grp"), col("seq"), col("doc_id"), col("seq_start"))
 
+  /** E15: PII REDACTION — the synthetic customer table carries no PII
+    * columns, so a phone, an email and an IP are derived
+    * deterministically per row (all three pattern classes fire on
+    * every row, embedded in real name/segment words). The staged
+    * count-then-redact chain replays as regexp functions in SQL, and
+    * the full redacted TEXT is part of the hash. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val txt = concat_ws(" ", col("c_name"), lit("of segment"),
+      col("c_mktsegment"), lit("call"),
+      concat(lit("+"), ((col("c_nationkey") % 89) + 10).cast("string"),
+        lit("-"), ((col("c_custkey") % 900) + 100).cast("string"),
+        lit("-"), ((col("c_custkey") % 9000) + 1000).cast("string")),
+      lit("mail"),
+      concat(lit("user"), col("c_custkey").cast("string"),
+        lit("@corp.example.com")),
+      lit("from"),
+      concat(lit("10."), ((col("c_custkey") % 200) + 1).cast("string"),
+        lit("."), (col("c_nationkey") + 1).cast("string"), lit(".25")))
+    Text.redactPii(cust.select(col("c_custkey"), txt.as("t")),
+      col("c_custkey"), col("t"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1524,7 +1548,8 @@ object SparkEntry {
     "q95_streaming_text_index" -> (q95 _),
     "q96_fielded_upsert" -> (q96 _),
     "q97_decontaminate" -> (q97 _),
-    "q98_pack_sequences" -> (q98 _)
+    "q98_pack_sequences" -> (q98 _),
+    "q99_pii_redaction" -> (q99 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2680,6 +2705,36 @@ object SparkEntry {
         |  greatest(seq * 128 - off, 0) AS tok_start,
         |  least(len, (seq + 1) * 128 - off) AS tok_end
         |FROM e ORDER BY grp, seq, doc_id, seq_start""".stripMargin,
+    // staged PII redaction: emails counted+replaced on the raw text,
+    // IPs on the email-redacted text, phones on the email+IP-redacted
+    // text; the final clean_text is hashed too
+    "q99_pii_redaction" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+        |    c_name || ' of segment ' || c_mktsegment || ' call ' ||
+        |    '+' || CAST(c_nationkey % 89 + 10 AS VARCHAR) ||
+        |    '-' || CAST(c_custkey % 900 + 100 AS VARCHAR) ||
+        |    '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR) ||
+        |    ' mail user' || CAST(c_custkey AS VARCHAR) || '@corp.example.com' ||
+        |    ' from 10.' || CAST(c_custkey % 200 + 1 AS VARCHAR) || '.' ||
+        |    CAST(c_nationkey + 1 AS VARCHAR) || '.25' AS t0
+        |  FROM customer),
+        |s1 AS (
+        |  SELECT doc_id, t0,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '<EMAIL>', 'g') AS t1
+        |  FROM t),
+        |s2 AS (
+        |  SELECT doc_id, t0, t1,
+        |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |                   '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS emails,
+        |  CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS ips,
+        |  CAST(len(regexp_extract_all(t2, '\+?\d[\d-]{6,}\d')) AS INTEGER) AS phones,
+        |  regexp_replace(t2, '\+?\d[\d-]{6,}\d', '<PHONE>', 'g') AS clean_text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     // the settled streaming session table: gap sessionization replayed
     // with lag/running-sum windows (q15's shape, full session tuples)
     "q93_streaming_sessions" ->

@@ -325,6 +325,41 @@ object Text {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** Default PII patterns for [[redactPii]]. Kept to constructs whose
+    * semantics are identical between Java regex and RE2 (character
+    * classes, bounded/greedy quantifiers, ASCII `\b`, `\d`) so the
+    * redaction replays bit-for-bit in the DuckDB oracle and in any
+    * RE2-based downstream validator. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d-]{6,}\\d"
+
+  /** PII REDACTION — the scrub pass a training-data pipeline runs
+    * before packing: emails, IPv4 addresses and phone-like digit runs
+    * replaced by `<EMAIL>` / `<IP>` / `<PHONE>` placeholders, with
+    * per-type match counts. Matching is STAGED — emails are counted
+    * and redacted first, IPs on the email-redacted text, phones on the
+    * email+IP-redacted text — so the counts always equal what the
+    * returned `clean_text` actually replaced (an email's digit-dash
+    * local part can never double-count as a phone).
+    *
+    * Pure codegen'd `regexp_extract_all`/`regexp_replace` row maps —
+    * no shuffle, no UDF; scales as a straight scan at any corpus
+    * size. */
+  def redactPii(docs: org.apache.spark.sql.DataFrame, id: Column,
+                text: Column, email: String = EmailPattern,
+                ip: String = Ipv4Pattern, phone: String = PhonePattern)
+      : org.apache.spark.sql.DataFrame = {
+    val t0 = text
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ip, "<IP>")
+    docs.select(id.cast("long").as("doc_id"),
+      size(regexp_extract_all(t0, lit(email), lit(0))).as("emails"),
+      size(regexp_extract_all(t1, lit(ip), lit(0))).as("ips"),
+      size(regexp_extract_all(t2, lit(phone), lit(0))).as("phones"),
+      regexp_replace(t2, phone, "<PHONE>").as("clean_text"))
+  }
+
   /** SEQUENCE PACKING — the concat-and-chunk step that turns a
     * tokenized corpus into fixed-length training sequences (the
     * GPT-style pack: documents are concatenated in a deterministic

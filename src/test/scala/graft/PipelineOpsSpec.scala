@@ -717,6 +717,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("redactPii: staged email/ip/phone redaction with exact counts") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.com or 555-123-4567 ok"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 no phones here"),
+      // digit-dash local part: must redact as ONE email, zero phones
+      (3L, "mail 123-456-7890a@ex.org thanks"),
+      (4L, "nothing sensitive at all"),
+      (5L, "+49-170-555-0123 and bare 12345678 both phone-shaped")
+    ).toDF("doc_id", "text")
+    val out = Text.redactPii(d, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == ((1, 0, 1, "reach me at <EMAIL> or <PHONE> ok")))
+    assert(out(2L) == ((0, 2, 0, "server <IP> and <IP> no phones here")))
+    assert(out(3L) == ((1, 0, 0, "mail <EMAIL> thanks")), s"${out(3L)}")
+    assert(out(4L) == ((0, 0, 0, "nothing sensitive at all")))
+    assert(out(5L) == ((0, 0, 2, "<PHONE> and bare <PHONE> both phone-shaped")))
+  }
+
   test("decontaminate: per-doc distinct-gram hits against a benchmark set") {
     val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val bench = Seq(
