@@ -1249,6 +1249,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** B27: DOMAIN MIXING — the documents corpus re-weighted by source:
+    * half of src0, NONE of src1 (a zero-rate domain drop), all of
+    * src2, a third of src3, and the 2/3 default for the other sixteen
+    * sources. Exact md5-ranked quotas, replayed with window functions
+    * and a CASE rate table in SQL. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.mixDomains(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("lang")),
+      col("source"), col("doc_id"),
+      Map("src0" -> ((1, 2)), "src1" -> ((0, 1)),
+        "src2" -> ((1, 1)), "src3" -> ((1, 3))),
+      default = (2, 3))
+      .orderBy(col("doc_id"))
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1549,7 +1564,8 @@ object SparkEntry {
     "q96_fielded_upsert" -> (q96 _),
     "q97_decontaminate" -> (q97 _),
     "q98_pack_sequences" -> (q98 _),
-    "q99_pii_redaction" -> (q99 _)
+    "q99_pii_redaction" -> (q99 _),
+    "q100_domain_mix" -> (q100 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2735,6 +2751,21 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t2, '\+?\d[\d-]{6,}\d')) AS INTEGER) AS phones,
         |  regexp_replace(t2, '\+?\d[\d-]{6,}\d', '<PHONE>', 'g') AS clean_text
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // domain mixing: md5-ranked exact quotas with a CASE rate table;
+    // src1's zero rate drops the domain entirely
+    "q100_domain_mix" ->
+      """WITH rk AS (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |SELECT doc_id, source, lang FROM rk
+        |WHERE r * (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+        |           WHEN 'src2' THEN 1 WHEN 'src3' THEN 3 ELSE 3 END)
+        |  <= cnt * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 0
+        |            WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 ELSE 2 END)
+        |ORDER BY doc_id""".stripMargin,
     // the settled streaming session table: gap sessionization replayed
     // with lag/running-sum windows (q15's shape, full session tuples)
     "q93_streaming_sessions" ->

@@ -289,6 +289,45 @@ object Relational {
       .drop("_strat", "_h", "_gr", "_off", "_cnt")
   }
 
+  /** DOMAIN MIXING — the corpus-reweighting step of a training-data
+    * pipeline: each domain (source, language, crawl, …) is downsampled
+    * to its own EXACT rational rate `num/den` (e.g. keep 1/2 of web,
+    * all of books), unlisted domains to `default`. Deterministic and
+    * exact: rows rank within their domain by the md5 of their id (a
+    * stable pseudo-random order both engines compute identically —
+    * the [[stratifiedSampleExact]] construction), and the first
+    * `floor(cnt·num/den)` survive, so the realized mix matches the
+    * requested proportions to ±1 row per domain — no Bernoulli
+    * variance, retry-stable.
+    *
+    * Scale: one range-shuffle for the global rank, per-domain
+    * count/offset frames broadcast (domain cardinality is small by
+    * definition), rates joined as a broadcast literal frame. No
+    * driver-side data movement beyond per-partition counts. */
+  def mixDomains(df: DataFrame, domain: Column, id: Column,
+                 rates: Map[String, (Int, Int)],
+                 default: (Int, Int) = (1, 1)): DataFrame = {
+    require((rates.values.toSeq :+ default).forall {
+      case (n, d) => n >= 0 && d > 0
+    }, "every rate must be num/den with den > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withH = df.withColumn("_strat", domain.cast("string"))
+      .withColumn("_h", md5(id.cast("string").cast("binary")))
+    val ranked = withGlobalRowNumber(withH,
+      Seq(col("_strat"), col("_h"), id), "_gr")
+    val offs = ranked.groupBy(col("_strat"))
+      .agg(min(col("_gr")).as("_off"), count(lit(1)).as("_cnt"))
+    val rdf = rates.toSeq.map { case (k, (n, d)) => (k, n.toLong, d.toLong) }
+      .toDF("_strat", "_num", "_den")
+    ranked.join(broadcast(offs), Seq("_strat"))
+      .join(broadcast(rdf), Seq("_strat"), "left")
+      .filter((col("_gr") - col("_off") + lit(1L)) *
+        coalesce(col("_den"), lit(default._2.toLong)) <=
+        col("_cnt") * coalesce(col("_num"), lit(default._1.toLong)))
+      .drop("_strat", "_h", "_gr", "_off", "_cnt", "_num", "_den")
+  }
+
   /** Equi-width histogram via integral bucket arithmetic. */
   def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
     df.groupBy(floor(value / width).cast("long").as("bucket"))

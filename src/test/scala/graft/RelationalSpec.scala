@@ -218,4 +218,33 @@ class RelationalSpec extends SparkSpecBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(a.toSet.subsetOf(big))
   }
+
+  test("mixDomains: per-domain exact rates, zero-rate drop, default rate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source", $"lang")
+    val rates = Map("src0" -> ((1, 2)), "src1" -> ((0, 1)),
+      "src2" -> ((1, 1)))
+    val got = Relational.mixDomains(docs, $"source", $"doc_id",
+      rates, default = (1, 4))
+    val perDomain = got.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, cnt) <- totals) {
+      val (n, d) = rates.getOrElse(src, (1, 4))
+      val want = cnt * n / d
+      assert(perDomain.getOrElse(src, 0L) == want,
+        s"$src: got ${perDomain.get(src)}, want $want of $cnt")
+    }
+    assert(!perDomain.contains("src1"), "zero-rate domain must vanish")
+    // full-rate domain keeps every row, schema untouched
+    assert(perDomain("src2") == totals("src2"))
+    assert(got.columns.toSeq == Seq("doc_id", "source", "lang"))
+    // a domain's kept set is independent of OTHER domains' rates
+    val again = Relational.mixDomains(docs, $"source", $"doc_id",
+      rates + ("src3" -> ((1, 9))), default = (1, 4))
+    def ids(df: org.apache.spark.sql.DataFrame, s: String) =
+      df.filter($"source" === s).select($"doc_id").as[Long].collect().toSet
+    assert(ids(got, "src0") == ids(again, "src0"))
+  }
 }
