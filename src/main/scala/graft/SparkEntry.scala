@@ -1264,6 +1264,46 @@ object SparkEntry {
       default = (2, 3))
       .orderBy(col("doc_id"))
 
+  /** G5 gated: STREAMING ANN-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.maintainAnnIndex]]) — embeddings
+    * arrive as a 4-micro-batch file stream; batch 1 builds the LSH
+    * index, batches 2-4 upsert bucket-locally; the served top-k must
+    * match q52's literal-plane oracle bit-for-bit (idempotent: re-runs
+    * re-upsert the same vectors). */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val inDir = idxPath("q101in", dir, "embeddings") + "/in"
+    stageChunks(s, emb, col("vec_id"), inDir)
+    val idx = idxPath("q101ax", dir, "embeddings") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q101ck").toString
+    val feed = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainAnnIndex(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Similarity
+      .lshTopKIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** G8 gated: STREAMING SIMHASH-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.maintainSimhashIndex]]) — the
+    * documents corpus as a 4-micro-batch stream; the maintained band
+    * index must serve the identical candidate-pair set to q66's
+    * banded replay. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = idxPath("q102in", dir, "documents") + "/in"
+    stageChunks(s, docs, col("doc_id"), inDir)
+    val idx = idxPath("q102sx", dir, "documents") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q102ck").toString
+    val feed = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainSimhashIndex(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Dedup.simhashPairsIndexed(s, idx)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1565,7 +1605,9 @@ object SparkEntry {
     "q97_decontaminate" -> (q97 _),
     "q98_pack_sequences" -> (q98 _),
     "q99_pii_redaction" -> (q99 _),
-    "q100_domain_mix" -> (q100 _)
+    "q100_domain_mix" -> (q100 _),
+    "q101_streaming_ann" -> (q101 _),
+    "q102_streaming_simhash" -> (q102 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2165,18 +2207,13 @@ object SparkEntry {
     // docs pair iff they agree on ≥1 of the four 16-bit bands; hamming
     // verified on the full hashes. The index's bucket routing is an
     // internal detail — the band equality join is the exact semantics.
-    "q66_simhash_indexed" ->
-      (simhashCte.stripSuffix("\n") +
-       """, bands AS (
-         |  SELECT doc_id, simhash, i, (simhash >> (16 * i)) & 65535 AS v
-         |  FROM sfull, range(0, 4) t(i)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM pairs
-         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    "q66_simhash_indexed" -> simhashPairsOracle,
+    // the STREAM-maintained simhash index must serve the identical
+    // banded pair set (q66's oracle)
+    "q102_streaming_simhash" -> simhashPairsOracle,
+    // the STREAM-maintained LSH index must serve the identical top-k
+    // (q52's literal-plane oracle)
+    "q101_streaming_ann" -> annLshOracle,
     // Full pipeline replay: exact keepers (q21's fingerprint), the
     // minhash pair CTEs rebased onto the keeper subset, the q58
     // recursive closure, then every doc mapped through exact keeper →
@@ -2987,6 +3024,21 @@ object SparkEntry {
     * 0-31), 64 per-bit vote sums, bit 63 contributing the BIGINT
     * minimum (two's complement) — the exact construction of
     * [[graft.operators.Dedup.simhashValues]]. */
+  /** The banded SimHash candidate-pair replay served by q66 AND by the
+    * stream-maintained index gate (q102) — one oracle, two builders. */
+  private val simhashPairsOracle: String =
+    simhashCte.stripSuffix("\n") +
+      """, bands AS (
+        |  SELECT doc_id, simhash, i, (simhash >> (16 * i)) & 65535 AS v
+        |  FROM sfull, range(0, 4) t(i)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   private val simhashOracle: String = {
     def half(lo: Int): String = (0 until 8).map { j =>
       val coef = math.pow(16, 7 - j).toLong
