@@ -1304,6 +1304,24 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** E16: the composed QUALITY-FILTER verdict chain — every document
+    * judged by six checks with the failed ones NAMED per row (the
+    * auditable drop report of a CCNet/Gopher-style pipeline).
+    * Thresholds picked so all six reasons fire on this corpus; the
+    * language check trusts the table's stored `lang` label (the
+    * metadata-override path — the heuristic [[Text.langId]] predicts
+    * 'en' for this whole stopword-heavy synthetic corpus). The oracle
+    * replays token counts, the rounded composite score, the label
+    * membership and both repetition fractions, then the same
+    * fixed-order concat. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Text.qualityFilter(t(s, dir, "documents"), col("doc_id"),
+      col("text"), minTokens = 15, maxTokens = 90, minQuality = 0.55,
+      allowedLangs = Seq("en", "de", "zh"),
+      maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.1,
+      lang = Some(col("lang")))
+      .orderBy(col("doc_id"))
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1607,7 +1625,8 @@ object SparkEntry {
     "q99_pii_redaction" -> (q99 _),
     "q100_domain_mix" -> (q100 _),
     "q101_streaming_ann" -> (q101 _),
-    "q102_streaming_simhash" -> (q102 _)
+    "q102_streaming_simhash" -> (q102 _),
+    "q103_quality_filter" -> (q103 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2714,6 +2733,66 @@ object SparkEntry {
         |SELECT doc_id,
         |  FLOOR((c00 + c01 + c02 + c10 + c11 + c12) * 10000 + 0.5) / 10000 AS score
         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the composed quality-filter verdicts: all six checks replayed
+    // (q28 tokens, q30 rounded score, q29 lang CASE, q85 fractions)
+    // then the same fixed-order reason concat; concat_ws skips NULLs
+    // in both engines
+    "q103_quality_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         w -> w != '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, lang AS pred,
+        |    FLOOR((
+        |      LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+        |      (1.0 - LEAST(1.0, CAST(punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 0.3 +
+        |      LEAST(1.0, CAST(stops AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 0.3
+        |    ) * 10000 + 0.5) / 10000 AS score
+        |  FROM b),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tokstats AS (
+        |  SELECT doc_id, COUNT(*) AS ntok, COUNT(DISTINCT w) AS dtok
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |bc AS (
+        |  SELECT doc_id, b.w1, b.w2, COUNT(*) AS c FROM bi
+        |  GROUP BY doc_id, b.w1, b.w2),
+        |bistats AS (
+        |  SELECT doc_id, SUM(c) AS nbi, MAX(c) AS maxbi FROM bc
+        |  GROUP BY doc_id),
+        |rep AS (
+        |  SELECT t.doc_id,
+        |    FLOOR((1.0 - CAST(t.dtok AS DOUBLE) / CAST(t.ntok AS DOUBLE))
+        |      * 10000 + 0.5) / 10000 AS dup_token_frac,
+        |    FLOOR((CAST(b.maxbi AS DOUBLE) / CAST(b.nbi AS DOUBLE))
+        |      * 10000 + 0.5) / 10000 AS top_bigram_frac
+        |  FROM bistats b JOIN tokstats t USING (doc_id)),
+        |r AS (
+        |  SELECT sc.doc_id,
+        |    concat_ws(',',
+        |      CASE WHEN sc.n_tokens < 15 THEN 'too_short' END,
+        |      CASE WHEN sc.n_tokens > 90 THEN 'too_long' END,
+        |      CASE WHEN sc.score < 0.55 THEN 'low_quality' END,
+        |      CASE WHEN sc.pred NOT IN ('en', 'de', 'zh') THEN 'bad_lang' END,
+        |      CASE WHEN COALESCE(rep.dup_token_frac, 0.0) > 0.6
+        |           THEN 'repetitive_tokens' END,
+        |      CASE WHEN COALESCE(rep.top_bigram_frac, 0.0) > 0.1
+        |           THEN 'repetitive_bigrams' END) AS reasons
+        |  FROM sc LEFT JOIN rep ON sc.doc_id = rep.doc_id)
+        |SELECT doc_id, reasons = '' AS keep, reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
     // decontamination: distinct 8-grams per corpus doc, hit = gram
     // also present in the %7 benchmark split; fraction rounded half-up
     // to 4 decimals exactly as the Spark side does

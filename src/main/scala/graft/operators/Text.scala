@@ -325,6 +325,52 @@ object Text {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** The composed QUALITY-FILTER verdict — the CCNet/Gopher-style
+    * filter chain a training-data pipeline actually runs, with
+    * per-document REASONS instead of a silent drop: token-count
+    * bounds, the composite [[qualityScore]], language-ID membership,
+    * and the two repetition statistics ([[repetitionScores]]).
+    * Returns `(doc_id, keep, reasons)` where `reasons` is the
+    * comma-joined list of failed checks in a FIXED order
+    * (`too_short,too_long,low_quality,bad_lang,repetitive_tokens,
+    * repetitive_bigrams`) and `keep = (reasons == "")` — auditable
+    * and re-aggregatable (GROUP BY reasons is the pipeline's drop
+    * report). Docs too short to have bigrams pass the repetition
+    * checks vacuously (they fail `too_short` instead).
+    *
+    * Cost: the [[repetitionScores]] token/bigram aggregation (two
+    * doc_id-shuffled aggregations off one tokenize pass) + a codegen'd
+    * row map for everything else; one join on doc_id. */
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame, id: Column,
+                    text: Column, minTokens: Long = 10,
+                    maxTokens: Long = 100000, minQuality: Double = 0.3,
+                    allowedLangs: Seq[String] =
+                      langWords.map(_._1),
+                    maxDupTokenFrac: Double = 1.0,
+                    maxTopBigramFrac: Double = 1.0,
+                    lang: Option[Column] = None)
+      : org.apache.spark.sql.DataFrame = {
+    // `lang` overrides the [[langId]] heuristic with a trusted
+    // metadata column (a stored classifier label) — the usual case in
+    // a pipeline that already ran language ID upstream
+    val base = docs.select(id.cast("long").as("doc_id"), text.as("_text"),
+      lang.getOrElse(langId(text)).as("_lang"))
+    val rep = repetitionScores(docs, id, text)
+    val ntok = tokenCount(col("_text"))
+    val reasons = concat_ws(",",
+      when(ntok < minTokens, lit("too_short")),
+      when(ntok > maxTokens, lit("too_long")),
+      when(qualityScore(col("_text")) < minQuality, lit("low_quality")),
+      when(!col("_lang").isin(allowedLangs: _*), lit("bad_lang")),
+      when(coalesce(col("dup_token_frac"), lit(0.0)) > maxDupTokenFrac,
+        lit("repetitive_tokens")),
+      when(coalesce(col("top_bigram_frac"), lit(0.0)) > maxTopBigramFrac,
+        lit("repetitive_bigrams")))
+    base.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), (reasons === "").as("keep"),
+        reasons.as("reasons"))
+  }
+
   /** Default PII patterns for [[redactPii]]. Kept to constructs whose
     * semantics are identical between Java regex and RE2 (character
     * classes, bounded/greedy quantifiers, ASCII `\b`, `\d`) so the

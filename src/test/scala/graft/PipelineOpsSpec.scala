@@ -736,6 +736,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(5L) == ((0, 0, 2, "<PHONE> and bare <PHONE> both phone-shaped")))
   }
 
+  test("qualityFilter: named reasons in fixed order; keep iff none fire") {
+    val good = "the cat and the dog of the house went to the market in " +
+      "town and the day was fine and all of the people said hello there"
+    val d = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too few words here"),                  // too_short
+      (3L, ("spam " * 30).trim),                   // repetitive + short vocab
+      (4L, "le chat et la maison les arbres des jardins verts " +
+        "bonjour madame merci beaucoup paris")  // french, all distinct
+    ).toDF("doc_id", "text")
+    val out = Text.qualityFilter(d, $"doc_id", $"text", minTokens = 10,
+      maxTokens = 1000, minQuality = 0.2, allowedLangs = Seq("en"),
+      maxDupTokenFrac = 0.5, maxTopBigramFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == ((true, "")), s"doc1: ${out(1L)}")
+    assert(out(2L)._2 == "too_short", s"doc2: ${out(2L)}")
+    assert(!out(3L)._1 && out(3L)._2.contains("repetitive_tokens") &&
+      out(3L)._2.contains("repetitive_bigrams"), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((false, "bad_lang")), s"doc4: ${out(4L)}")
+    // multiple failures list in the declared fixed order
+    val multi = Text.qualityFilter(
+      Seq((9L, "le le le le")).toDF("doc_id", "text"),
+      $"doc_id", $"text", minTokens = 10, maxTokens = 1000,
+      minQuality = 0.99, allowedLangs = Seq("en"),
+      maxDupTokenFrac = 0.1, maxTopBigramFrac = 0.1)
+      .collect().head.getString(2)
+    assert(multi == "too_short,low_quality,bad_lang,repetitive_tokens," +
+      "repetitive_bigrams", s"order: $multi")
+  }
+
   test("decontaminate: per-doc distinct-gram hits against a benchmark set") {
     val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val bench = Seq(
