@@ -1322,6 +1322,32 @@ object SparkEntry {
       lang = Some(col("lang")))
       .orderBy(col("doc_id"))
 
+  /** G6b gated: STREAMING FIELDED-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.maintainFieldedTextIndex]]) — the
+    * documents corpus as a 4-micro-batch stream; batch 1 builds the
+    * BM25F index with the q90 head/tail field map, batches 2-4 upsert
+    * field-tagged postings with exact per-field stat deltas; the
+    * served top-k must match q90's full per-field replay. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = idxPath("q104in", dir, "documents") + "/in"
+    stageChunks(s, docs, col("doc_id"), inDir)
+    val idx = idxPath("q104fx", dir, "documents") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q104ck").toString
+    val toks = Text.tokens(col("text"))
+    val fields = Seq(
+      ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+      ("tail", concat_ws(" ", slice(toks, lit(13),
+        greatest(size(toks) - 12, lit(0)))), 1.0))
+    val feed = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainFieldedTextIndex(s, feed,
+      idx, ck, fields)
+    try q.processAllAvailable() finally q.stop()
+    TextSearch.searchFielded(s, idx, searchTerms, 20)
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1626,7 +1652,8 @@ object SparkEntry {
     "q100_domain_mix" -> (q100 _),
     "q101_streaming_ann" -> (q101 _),
     "q102_streaming_simhash" -> (q102 _),
-    "q103_quality_filter" -> (q103 _)
+    "q103_quality_filter" -> (q103 _),
+    "q104_streaming_fielded" -> (q104 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2967,45 +2994,10 @@ object SparkEntry {
     // BM25F: per-field BM25 universes (field-local tf/df/n/avgdl over
     // the head = first-12-tokens / tail = rest split), weighted 3:1 and
     // summed in the field-major, sorted-term fold order of searchFielded
-    "q90_fielded_search" ->
-      """WITH words AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             w -> w != '') AS ws
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, 'head' AS field, ws[1:12] AS fs FROM words
-        |  UNION ALL
-        |  SELECT doc_id, 'tail' AS field, ws[13:len(ws)] AS fs FROM words),
-        |tf AS (
-        |  SELECT doc_id, field, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, field, unnest(fs) AS term FROM f)
-        |  WHERE term IN ('hash', 'join', 'stream')
-        |  GROUP BY doc_id, field, term),
-        |dl AS (SELECT doc_id, field, len(fs) AS dl FROM f WHERE len(fs) > 0),
-        |st AS (SELECT field, COUNT(*) AS n,
-        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-        |       FROM dl GROUP BY field),
-        |df AS (SELECT field, term, COUNT(*) AS df FROM tf GROUP BY field, term),
-        |s AS (
-        |  SELECT tf.doc_id, tf.field, tf.term,
-        |    (CASE WHEN tf.field = 'head' THEN 3.0 ELSE 1.0 END)
-        |      * ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
-        |  FROM tf JOIN dl USING (doc_id, field) JOIN df USING (field, term)
-        |  JOIN st USING (field)),
-        |p AS (
-        |  SELECT doc_id,
-        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'hash' THEN sc END), 0.0) AS c00,
-        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'join' THEN sc END), 0.0) AS c01,
-        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'stream' THEN sc END), 0.0) AS c02,
-        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'hash' THEN sc END), 0.0) AS c10,
-        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'join' THEN sc END), 0.0) AS c11,
-        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'stream' THEN sc END), 0.0) AS c12
-        |  FROM s GROUP BY doc_id)
-        |SELECT doc_id,
-        |  FLOOR((c00 + c01 + c02 + c10 + c11 + c12) * 10000 + 0.5) / 10000 AS score
-        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q90_fielded_search" -> bm25fOracle,
+    // a fielded index built purely from the micro-batch stream must
+    // serve the identical BM25F top-k (q90's oracle)
+    "q104_streaming_fielded" -> bm25fOracle,
     // the streamed dedup keeps exactly one row per fingerprint: the
     // settled fp set equals the batch distinct
     "q86_streaming_dedup" ->
@@ -3103,6 +3095,48 @@ object SparkEntry {
     * 0-31), 64 per-bit vote sums, bit 63 contributing the BIGINT
     * minimum (two's complement) — the exact construction of
     * [[graft.operators.Dedup.simhashValues]]. */
+  /** The BM25F head/tail replay served by q90 AND by the
+    * stream-maintained fielded index gate (q104). */
+  private val bm25fOracle: String =
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, 'head' AS field, ws[1:12] AS fs FROM words
+        |  UNION ALL
+        |  SELECT doc_id, 'tail' AS field, ws[13:len(ws)] AS fs FROM words),
+        |tf AS (
+        |  SELECT doc_id, field, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, field, unnest(fs) AS term FROM f)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, field, term),
+        |dl AS (SELECT doc_id, field, len(fs) AS dl FROM f WHERE len(fs) > 0),
+        |st AS (SELECT field, COUNT(*) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |       FROM dl GROUP BY field),
+        |df AS (SELECT field, term, COUNT(*) AS df FROM tf GROUP BY field, term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.field, tf.term,
+        |    (CASE WHEN tf.field = 'head' THEN 3.0 ELSE 1.0 END)
+        |      * ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id, field) JOIN df USING (field, term)
+        |  JOIN st USING (field)),
+        |p AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'hash' THEN sc END), 0.0) AS c00,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'join' THEN sc END), 0.0) AS c01,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'stream' THEN sc END), 0.0) AS c02,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'hash' THEN sc END), 0.0) AS c10,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'join' THEN sc END), 0.0) AS c11,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'stream' THEN sc END), 0.0) AS c12
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id,
+        |  FLOOR((c00 + c01 + c02 + c10 + c11 + c12) * 10000 + 0.5) / 10000 AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** The banded SimHash candidate-pair replay served by q66 AND by the
     * stream-maintained index gate (q102) — one oracle, two builders. */
   private val simhashPairsOracle: String =

@@ -302,6 +302,59 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted FIELDED (BM25F) text index —
+    * [[maintainTextIndex]] with a field map: the first batch with ≥1
+    * analyzed token in ANY field builds
+    * ([[graft.operators.TextSearch.buildFieldedTextIndex]]), later
+    * batches upsert field-tagged postings bucket-locally with exact
+    * per-field stat deltas (`TextSearch.upsertFieldedDocs`). `fields`
+    * names the per-document field columns IN BUILD ORDER with their
+    * weights; weights and analyzer are stamped at build and re-read
+    * from the stamp on every upsert (the feed can never fork the
+    * scoring config). Change feed: `doc_id` + whatever columns the
+    * field expressions read (+ optional `_deleted`). */
+  def maintainFieldedTextIndex(spark: SparkSession, changeFeed: DataFrame,
+                               path: String, checkpoint: String,
+                               fields: Seq[(String, org.apache.spark.sql.Column, Double)],
+                               nBuckets: Int = 64,
+                               analyzer: graft.operators.TextSearch.Analyzer =
+                                 graft.operators.TextSearch.Analyzer())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextSearch
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("doc_id"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          else Nil
+        if (!graft.view.IndexStore.exists(spark, path)) {
+          val anyTokens = fields
+            .map { case (_, c, _) => size(analyzer.tokens(c)) }
+            .reduce(_ + _)
+          if (!live.filter(anyTokens > 0).isEmpty)
+            TextSearch.buildFieldedTextIndex(live, col("doc_id"), fields,
+              path, nBuckets, seq = batchId + 1, analyzer = analyzer)
+        } else {
+          if (!TextSearch.fieldedCurrent(spark, path))
+            throw new IllegalStateException(
+              s"fielded text index at $path has a stale on-disk layout " +
+                s"(expected fmt ${TextSearch.FieldedFormatVersion}) — " +
+                "rebuild it with TextSearch.buildFieldedTextIndex over " +
+                "the full corpus before resuming streaming maintenance")
+          TextSearch.upsertFieldedDocs(spark, path, live, col("doc_id"),
+            fields.map { case (n, c, _) => (n, c) }, delIds,
+            newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted SimHash band index — same
     * contract as the other index maintainers: first non-empty batch
     * builds ([[graft.operators.Dedup.buildSimhashIndex]]), later

@@ -336,6 +336,49 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamed FIELDED index builds then upserts; matches a rebuild") {
+    import graft.operators.TextSearch
+    import org.apache.spark.sql.functions.{concat_ws, greatest, lit, size, slice}
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-bm25f").toString
+    val path = s"$dir/idx"
+    val toks = graft.operators.Text.tokens($"text")
+    val fields = Seq(
+      ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+      ("tail", concat_ws(" ", slice(toks, lit(13),
+        greatest(size(toks) - 12, lit(0)))), 1.0))
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[TextChg]
+    val q = Streams.maintainFieldedTextIndex(spark, in.toDF(), path,
+      s"$dir/ckpt", fields, nBuckets = 16)
+    val (h1, h2) = all.splitAt(all.size / 2)
+    in.addData(h1.map { case (i, t) => TextChg(i, t, _deleted = false) }: _*)
+    q.processAllAvailable()
+    in.addData((h2.map { case (i, t) => TextChg(i, t, _deleted = false) } :+
+      TextChg(h1.head._1, "hash stream zebra with a longer tail of " +
+        "words reaching past twelve tokens easily here", _deleted = false) :+
+      TextChg(h1(1)._1, "", _deleted = true)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+    val corpus2 = all.filterNot(x => x._1 == h1.head._1 || x._1 == h1(1)._1)
+      .toDF("doc_id", "text")
+      .unionByName(Seq((h1.head._1, "hash stream zebra with a longer " +
+        "tail of words reaching past twelve tokens easily here"))
+        .toDF("doc_id", "text"))
+    val fresh = s"$dir/fresh"
+    TextSearch.buildFieldedTextIndex(corpus2, $"doc_id", fields, fresh,
+      nBuckets = 16)
+    for (t <- Seq(Seq("hash", "join", "stream"), Seq("zebra"))) {
+      assert(TextSearch.searchFielded(spark, path, t, 10)
+        .collect().map(_.toSeq).toSeq ==
+        TextSearch.searchFielded(spark, fresh, t, 10)
+          .collect().map(_.toSeq).toSeq,
+        s"streamed fielded index diverges from rebuild for $t")
+    }
+  }
+
   test("maintainers fail ACTIONABLY on a stale-layout artifact") {
     import graft.operators.{DedupIndex, TextSearch}
     implicit val sql = spark.sqlContext
