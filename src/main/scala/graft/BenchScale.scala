@@ -67,6 +67,18 @@ object BenchScale {
           noop(Text.pmiBigrams(d, col("doc_id"), col("text")))),
         "repetition" -> (() =>
           noop(Text.repetitionScores(d, col("doc_id"), col("text")))),
+        "decontaminate" -> (() =>
+          noop(Dedup.decontaminate(
+            d.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+            d.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
+            8))),
+        "pack_sequences" -> (() =>
+          noop(Text.packSequences(d, col("doc_id"), col("text"), 128,
+            pmod(col("doc_id"), lit(64))))),
+        "quality_filter" -> (() =>
+          noop(Text.qualityFilter(d, col("doc_id"), col("text"),
+            minTokens = 15, maxTokens = 90, minQuality = 0.55,
+            maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.1))),
         "text_index_build" -> (() =>
           TextSearch.buildTextIndex(d, col("doc_id"), col("text"), idx)),
         "hybrid_search" -> (() =>
