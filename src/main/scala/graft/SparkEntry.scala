@@ -1348,6 +1348,168 @@ object SparkEntry {
     TextSearch.searchFielded(s, idx, searchTerms, 20)
   }
 
+  /** A14 gated: BATCH VIEW-INDEX MAINTENANCE ([[graft.view.View
+    * .updateIndex]]) — the persistent view built over the BASE orders
+    * corpus, then one batch delta merged bucket-locally: every
+    * `o_orderkey % 7 == 0` doc re-emits under a NEW key (so its rows
+    * MOVE buckets), every `% 13 == 5` doc is deleted. The grouped sum
+    * served from the MAINTAINED index must equal the oracle's
+    * aggregate over the equivalently-modified corpus (idempotent:
+    * re-runs re-apply the same deterministic delta). */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q105vx", dir, "orders")
+    def view(docs: DataFrame) = View(docs, col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice").cast("decimal(18,2)"),
+      Some(Reduce.Sum))
+    if (!graft.view.IndexStore.exists(s, path))
+      view(orders).materialize(path, numBuckets = 4, seq = 1)
+    val changed = orders
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 5)
+      .withColumn("o_orderpriority", lit("X-RESET"))
+    val delIds = orders.filter(col("o_orderkey") % 13 === 5)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    view(orders).updateIndex(s, path, changed, deletedIds = delIds)
+    view(orders).fromIndex(s, path).query(QueryOpts(group = true))
+      .select(col("key").as("o_orderpriority"),
+        col("value").cast("double").as("sum_price"))
+  }
+
+  /** D2d gated: BATCH ANN-INDEX MAINTENANCE ([[graft.operators
+    * .Similarity.upsertLshVectors]]) — the LSH index built over the
+    * BASE embeddings, then a batch delta: `vec_id % 7 == 0` vectors
+    * re-embedded as their NEGATION (sign flip: exact in float, moves
+    * every LSH bucket), `% 13 == 5` vectors tombstoned. Top-k served
+    * from the MAINTAINED index must match the literal-plane oracle
+    * over the modified corpus (idempotent re-apply). */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("q106ax", dir, "embeddings")
+    if (!hasFile(s"$path/data/_SUCCESS"))
+      Similarity.buildLshIndex(emb, path)
+    val changed = emb
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val delIds = emb.filter(col("vec_id") % 13 === 5)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    Similarity.upsertLshVectors(s, path, changed, deletedIds = delIds)
+    val queries = emb.filter(col("vec_id") < 10 && col("vec_id") % 13 =!= 5)
+      .withColumn("embedding", when(col("vec_id") % 7 === 0,
+        transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+    Similarity.lshTopKIndexed(s, path, queries, 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** H2 gated: TYPED CUSTOM REDUCE — the case-class `Aggregator`
+    * ([[graft.functions.StatsAggregator]]) registered as a `udaf` and
+    * run as an ordinary grouped aggregate; quantities are integral so
+    * every double sum is order-free exact and the full stats tuple
+    * replays in the oracle (the ==`_stats` equivalence is additionally
+    * spec-verified). */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(graft.functions.StatsAggregator)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(stats(col("l_quantity")).as("s"))
+      .select(col("l_returnflag"),
+        col("s.sum").as("sum_v"), col("s.count").as("count_v"),
+        col("s.min").as("min_v"), col("s.max").as("max_v"),
+        col("s.sumsqr").as("sumsqr_v"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** H1 gated: BUCKETED CO-LOCATED JOIN ([[graft.sources.Bucketed]]) —
+    * both sides written bucketed+sorted on the join key, so the
+    * fact-fact join runs with ZERO exchange (guarded by a loud
+    * `require`; the plan property is additionally spec-asserted) and
+    * the joined aggregate must equal the plain-join oracle. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketed
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_q108")
+    // the session catalog is in-memory but table LOCATIONS persist in
+    // the warehouse dir across runs — clear both before writing
+    def reset(tbl: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS graft_q108.$tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        s"${s.conf.get("spark.sql.warehouse.dir")}/graft_q108.db/$tbl")
+      graft.view.IndexStore.fsFor(s, p.toString).delete(p, true)
+    }
+    reset("orders_b"); reset("lineitem_b")
+    Bucketed.write(t(s, dir, "orders"), "graft_q108.orders_b",
+      "o_orderkey", 8)
+    Bucketed.write(t(s, dir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "graft_q108.lineitem_b", "o_orderkey", 8)
+    val joined = Bucketed.read(s, "graft_q108.orders_b")
+      .join(Bucketed.read(s, "graft_q108.lineitem_b"), Seq("o_orderkey"))
+    require(Bucketed.isShuffleFree(joined),
+      "bucketed join must be exchange-free")
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** G7 gated: COMPACTION ([[graft.view.IndexStore.compact]]) — a
+    * deliberately skew-making delta (two thirds of all docs re-keyed
+    * onto one hot key, which range bucketing must route to a single
+    * bucket) followed by a full fresh-bounds compaction rebuild; the
+    * grouped counts served from the COMPACTED index must equal the
+    * oracle over the modified corpus (the skew TRIGGER policy itself
+    * is spec-verified in IndexStoreSpec). */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q109vx", dir, "orders")
+    def view(docs: DataFrame) = View(docs, col("o_orderkey"),
+      col("o_orderpriority"), lit(1L), Some(Reduce.Count))
+    if (!graft.view.IndexStore.exists(s, path))
+      view(orders).materialize(path, numBuckets = 4, seq = 1)
+    val changed = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("o_orderpriority", lit("Z-HOT"))
+    view(orders).updateIndex(s, path, changed)
+    graft.view.IndexStore.compact(s, path)
+    view(orders).fromIndex(s, path).query(QueryOpts(group = true))
+      .select(col("key").as("o_orderpriority"),
+        col("value").cast("long").as("cnt"))
+  }
+
+  /** A20 gated: KEYSET PAGINATION ([[graft.view.View.queryPage]]) —
+    * q06's date-range query served from a MATERIALIZED index in
+    * 997-row pages chained through opaque resume tokens (the cursor
+    * prunes buckets at every depth); the concatenation of ALL pages
+    * must equal the unpaged oracle — one duplicated or skipped row at
+    * any page boundary breaks the hash. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q110vx", dir, "orders")
+    val v = View(orders, col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"))
+    if (!graft.view.IndexStore.exists(s, path))
+      v.materialize(path, numBuckets = 4, seq = 1)
+    val served = v.fromIndex(s, path)
+    val opts = QueryOpts(
+      startKey = Some(java.time.Instant.parse("1996-01-01T00:00:00Z")),
+      endKey = Some(java.time.Instant.parse("1997-01-01T00:00:00Z")),
+      inclusiveEnd = false, reduce = false)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val page = served.queryPage(opts, pageSize = 997, resume = token)
+      pages += page.rows
+      token = page.nextToken
+      more = token.isDefined
+    }
+    pages.reduce(_.unionByName(_))
+      .select(col("id").as("o_orderkey"),
+        (year(col("key")) * 10000 + month(col("key")) * 100 +
+          dayofmonth(col("key"))).cast("long").as("o_date"),
+        col("value").as("o_totalprice"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1653,7 +1815,13 @@ object SparkEntry {
     "q101_streaming_ann" -> (q101 _),
     "q102_streaming_simhash" -> (q102 _),
     "q103_quality_filter" -> (q103 _),
-    "q104_streaming_fielded" -> (q104 _)
+    "q104_streaming_fielded" -> (q104 _),
+    "q105_view_upsert" -> (q105 _),
+    "q106_ann_upsert" -> (q106 _),
+    "q107_typed_stats" -> (q107 _),
+    "q108_bucketed_join" -> (q108 _),
+    "q109_compaction" -> (q109 _),
+    "q110_paged_range" -> (q110 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3014,7 +3182,57 @@ object SparkEntry {
         |  MAX("value") AS max_v,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sumsqr_v
         |FROM events GROUP BY bucket, event_type
-        |ORDER BY bucket, event_type""".stripMargin
+        |ORDER BY bucket, event_type""".stripMargin,
+    // the maintained view index == a fresh view over the modified
+    // corpus: %7 re-keyed to X-RESET, %13==5 deleted
+    "q105_view_upsert" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X-RESET'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 != 5)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the maintained LSH index == the literal-plane chain over the
+    // modified corpus: %7 vectors negated, %13==5 deleted
+    "q106_ann_upsert" -> annLshOracleFrom(
+      """SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0
+        |         THEN list_transform(embedding, x -> -(x::DOUBLE))
+        |         ELSE list_transform(embedding, x -> x::DOUBLE) END AS v
+        |  FROM embeddings WHERE vec_id % 13 != 5""".stripMargin),
+    // quantities are integral, so the double sums are order-free exact
+    "q107_typed_stats" ->
+      """SELECT l_returnflag,
+        |  SUM(l_quantity) AS sum_v, COUNT(*) AS count_v,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+        |  SUM(l_quantity * l_quantity) AS sumsqr_v
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the exchange-free bucketed join must produce the plain join's rows
+    "q108_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // counts served from the fresh-bounds-compacted index == the
+    // modified corpus: %3!=0 re-keyed onto the one hot key
+    "q109_compaction" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 3 != 0 THEN 'Z-HOT'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS cnt
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // all pages concatenated == the unpaged range read (q06's oracle)
+    "q110_paged_range" ->
+      """SELECT o_orderkey,
+        |  YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100 + DAY(o_orderdate) AS o_date,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
@@ -3238,7 +3456,7 @@ object SparkEntry {
   /** DuckDB replay of the LSH-bucketed ANN: the same literal hyperplane
     * matrix, signature bucketing, 1-bit multi-probe, candidate dedup and
     * cosine rank as [[graft.operators.Similarity.lshTopK]]. */
-  private val annLshOracle: String = {
+  private def annLshOracleFrom(eCte: String): String = {
     val m = graft.operators.Similarity.planeMatrix(8, 64)
     def planeLit(p: Int): String = m(p).map(_.toString).mkString("[", ", ", "]")
     val sig = (0 until 8).map { p =>
@@ -3248,7 +3466,7 @@ object SparkEntry {
       s"  UNION ALL SELECT q_id, xor(sig, ${1L << p}) AS bucket FROM qs")
       .mkString("\n")
     s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |  $eCte),
        |cs AS (
        |  SELECT vec_id AS n_id, v AS n_vec, $sig AS sig,
        |    sqrt(list_dot_product(v, v)) AS n_nrm
@@ -3276,6 +3494,9 @@ object SparkEntry {
        |  FROM j)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  private val annLshOracle: String = annLshOracleFrom(
+    "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings")
 
   /** Shared DuckDB CTE defining the MinHash+LSH pipeline (word 3-shingles,
     * k=8 seeded-md5 minima, 4 bands × 2 rows). */
