@@ -1510,6 +1510,18 @@ object SparkEntry {
         col("value").as("o_totalprice"))
   }
 
+  /** C9: SemDeDup ([[graft.operators.Similarity.semDedup]]) — cluster
+    * embeddings by the deterministic IVF coarse quantizer, then mark as
+    * duplicate any vector with a SMALLER-id cluster-mate at cosine >=
+    * tau. The oracle replays the full chain: init centroids, nearest-
+    * centroid assignment (ties to larger cid), cluster-local pairwise
+    * cosine at the round4 grain, keep-lowest-id. */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), tau = 0.3)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("keep"))
+      .orderBy(col("vec_id"))
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1821,7 +1833,8 @@ object SparkEntry {
     "q107_typed_stats" -> (q107 _),
     "q108_bucketed_join" -> (q108 _),
     "q109_compaction" -> (q109 _),
-    "q110_paged_range" -> (q110 _)
+    "q110_paged_range" -> (q110 _),
+    "q111_semdedup" -> (q111 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3232,7 +3245,33 @@ object SparkEntry {
         |  o_totalprice
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-        |ORDER BY o_orderdate, o_orderkey""".stripMargin
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
+    // full SemDeDup replay: init centroids (vec_id < 16), nearest-
+    // centroid assignment (ties to larger cid), cluster-local pairwise
+    // cosine at the round4 grain, keep-lowest-id
+    "q111_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT n.vec_id, c0.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c0.cv) / (n.nrm * c0.cnrm) DESC,
+        |                 c0.cid DESC) AS rn
+        |    FROM n CROSS JOIN c0) WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE FLOOR((list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 >= 0.3)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  (d.id_b IS NULL) AS keep
+        |FROM assign a LEFT JOIN dups d ON d.id_b = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

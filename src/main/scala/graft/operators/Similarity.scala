@@ -304,27 +304,68 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
       .sortBy(_._1)
 
+  /** Deterministic centroid init: the `nCentroids` lowest vec_ids —
+    * stable across runs and replayable in an oracle engine. */
+  private def initCentroids(corpus: DataFrame,
+                            nCentroids: Int): Seq[(Int, Array[Double])] =
+    corpus.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").cast("int").as("cid"),
+        asDouble(col("embedding")).as("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding clustering. The corpus is clustered by
+    * the IVF coarse quantizer (deterministic lowest-id init, optionally
+    * Lloyd-refined), then WITHIN each cluster a vector is a semantic
+    * duplicate when a SMALLER-id vector sits at cosine >= `tau`
+    * (keep-lowest-id: deterministic and coordination-free, the same
+    * winner rule as exact dedup). Pairwise work is cluster-local — the
+    * quantizer grain bounds the join exactly like an LSH bucket; no
+    * corpus cross product anywhere, so cost tracks the cluster size
+    * distribution, not corpus². Returns (vec_id, cluster, keep). */
+  def semDedup(corpus: DataFrame, tau: Double, nCentroids: Int = 16,
+               refineIters: Int = 0): DataFrame = {
+    val init = initCentroids(corpus, nCentroids)
+    val cents =
+      if (refineIters > 0) {
+        val vecs = corpus.select(col("vec_id").as("n_id"),
+          asDouble(col("embedding")).as("n_vec"))
+          .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+        lloydRefine(vecs, init, refineIters)
+      } else init
+    val clustered = corpus
+      .withColumn("_nv", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(dot(col("_nv"), col("_nv"))))
+      .withColumn("cluster",
+        element_at(topCentroids(col("_nv"), col("_nrm"), cents, 1), 1)
+          .getField("cid"))
+      .drop("_nv", "_nrm")
+    val dups = blockedNearDupPairs(clustered, col("cluster"), tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    clustered.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("_dup"), lit(false)) === lit(false) as "keep")
+  }
+
   /** Build an IVF (inverted-file) ANN index: a deterministic centroid
-    * init (the `nCentroids` lowest vec_ids — stable and oracle-
-    * replayable), optionally refined with `refineIters` spherical
-    * k-means iterations ([[lloydRefine]]), every corpus vector assigned
-    * to its nearest-by-cosine centroid, inverted lists written as
-    * parquet partitioned by centroid id under `data/`, plus the by-id
-    * sidecar for incremental maintenance ([[upsertIvfVectors]]). The
-    * coarse-quantizer alternative to [[buildLshIndex]]: fewer,
-    * data-adaptive buckets. Queries read the STORED centroids, so
-    * refinement is transparent to [[ivfTopK]]. */
+    * init ([[initCentroids]]), optionally refined with `refineIters`
+    * spherical k-means iterations ([[lloydRefine]]), every corpus
+    * vector assigned to its nearest-by-cosine centroid, inverted lists
+    * written as parquet partitioned by centroid id under `data/`, plus
+    * the by-id sidecar for incremental maintenance
+    * ([[upsertIvfVectors]]). The coarse-quantizer alternative to
+    * [[buildLshIndex]]: fewer, data-adaptive buckets. Queries read the
+    * STORED centroids, so refinement is transparent to [[ivfTopK]]. */
   def buildIvfIndex(corpus: DataFrame, path: String,
                     nCentroids: Int = 16, refineIters: Int = 0,
                     idBuckets: Int = 16, seq: Long = 0L): Unit = {
     val spark = corpus.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    val init = corpus.orderBy(col("vec_id").asc).limit(nCentroids)
-      .select(col("vec_id").cast("int").as("cid"),
-        asDouble(col("embedding")).as("cvec"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
-      .sortBy(_._1)
+    val init = initCentroids(corpus, nCentroids)
     val vecs = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_vec"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))

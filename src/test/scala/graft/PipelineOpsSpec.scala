@@ -803,4 +803,35 @@ class PipelineOpsSpec extends SparkSpecBase {
       bench, $"doc_id", $"text", n = 8).collect().head
     assert(tw.getDouble(3) == 1.0, s"twin contamination: $tw")
   }
+
+  test("semDedup: keep rule replays driver-side; lowest id per cluster kept") {
+    val r = Similarity.semDedup(emb, tau = 0.3).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getBoolean(2)))
+    assert(r.length == emb.count())
+    val byCluster = r.groupBy(_._2)
+    // the smallest id of every cluster has no smaller-id mate -> kept
+    assert(byCluster.values.forall(ms => ms.minBy(_._1)._3))
+    // independent driver-side replay of the keep rule: a vector is
+    // dropped iff ANY smaller-id vector in its cluster sits at
+    // round4(cosine) >= tau (left-to-right folds, same as DotProduct)
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    for ((cl, members) <- byCluster) {
+      val ms = members.sortBy(_._1)
+      for (((id, _, keep), i) <- ms.zipWithIndex) {
+        val hasMate = ms.take(i).exists { case (j, _, _) =>
+          cos4(vecs(j), vecs(id)) >= 0.3 }
+        assert(keep == !hasMate, s"vec $id in cluster $cl: keep=$keep")
+      }
+    }
+    // refined quantizer: same contract, one verdict per vector
+    val ref = Similarity.semDedup(emb, tau = 0.3, refineIters = 1)
+    assert(ref.count() == emb.count())
+    assert(ref.columns.toSeq == Seq("vec_id", "cluster", "keep"))
+  }
 }
