@@ -13,13 +13,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores nanosecond timestamps, which Spark's parquet
-    * reader rejects by default; read them as raw long nanos and expose
-    * `ts_us` (micros, floor) — the same value DuckDB's `epoch_us(ts)`
-    * produces. */
+  /** The events table's `ts` physical encoding varies by producer version
+    * (int64-nanos, timestamp[us]/NTZ, raw int64 epochs have all shipped);
+    * normalize schema-adaptively to `ts_us` (epoch micros, BIGINT) — the
+    * same value DuckDB's `epoch_us(ts)` produces. The legacy flag only
+    * lets nanos-annotated footers LOAD (as LongType); the dtype-dispatch
+    * in [[graft.sources.EventTime]] does the conversion. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    graft.sources.EventTime.withTsUs(t(s, dir, "events"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

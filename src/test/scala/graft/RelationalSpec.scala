@@ -9,8 +9,8 @@ class RelationalSpec extends SparkSpecBase {
 
   private lazy val events = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.sources.EventTime.withTsUs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   test("asofJoin matches brute-force inequality join") {
