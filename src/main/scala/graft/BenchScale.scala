@@ -139,8 +139,22 @@ object BenchScale {
     val (bigBuilds, bigProbes) = servingSetup(big, bigEmb, "10x")
     val bigServe = bigProbes.map { case (n, f) => n -> best2(f) }
 
-    val base = base0 ++ baseBuilds ++ baseServe
-    val big10 = big0 ++ bigBuilds ++ bigServe
+    // ---- SemDeDup: the round-6 scale-killer candidate. Its pairwise
+    // stage is cluster-local all-pairs, so a FIXED quantizer posts a
+    // quadratic ratio by construction (10× data → 100× pairs). The
+    // scale discipline (Abbas et al. use k ~ corpus/2000) is k ∝ n,
+    // holding expected cluster size — and so per-row pairwise cost —
+    // constant; the broadcast quantizer path is what makes large k
+    // expressible. Probed here exactly as deployed: k = n/100.
+    def semdedup(e: DataFrame): Unit = {
+      val k = math.max(16L, e.count() / 100L).toInt
+      noop(Similarity.semDedup(e, tau = 0.3, nCentroids = k))
+    }
+    val semBase = Seq("semdedup" -> best2(() => semdedup(emb)))
+    val semBig = Seq("semdedup" -> best2(() => semdedup(bigEmb)))
+
+    val base = base0 ++ baseBuilds ++ baseServe ++ semBase
+    val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

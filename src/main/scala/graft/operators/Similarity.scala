@@ -251,6 +251,120 @@ object Similarity {
     slice(array_sort(array(centroidScores(v, nrm, cents): _*)),
       cents.length - n + 1, n)
 
+  /** Largest centroid count embedded as per-centroid plan literals.
+    * Below this, assignment is a pure codegen projection (zero joins,
+    * zero shuffles, oracle-replayable expression tree). Above it the
+    * literal form stops being viable — the plan carries k×dims doubles
+    * and k sub-expressions, which breaks codegen well before the
+    * 10k-100k centroids SemDeDup/large-IVF need — so assignment
+    * switches to [[nearestCidCol]]'s broadcast path. `private[graft]`
+    * var ONLY as a test seam (the equivalence spec forces both paths
+    * over the same quantizer). */
+  private[graft] var literalCentroidMax: Int = 64
+
+  /** Spark's double total order (`nanSafeCompareDoubles`): -0.0 == 0.0,
+    * NaN greater than everything — the order `array_sort` applies, so
+    * the compiled-loop path ranks EXACTLY like the literal path. */
+  private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else if (y.isNaN) -1
+    else if (x > y) 1 else -1
+
+  /** Centroids prepped for the broadcast path: (cid, vec, norm) with
+    * the norm computed as the same in-order left fold [[dot]] runs. */
+  private def prepCents(cents: Seq[(Int, Array[Double])])
+      : Array[(Int, Array[Double], Double)] =
+    cents.map { case (cid, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (cid, v, math.sqrt(s))
+    }.toArray
+
+  /** Nearest-centroid id as a Column, at ANY quantizer size.
+    *
+    * k ≤ [[literalCentroidMax]]: the literal/codegen projection
+    * ([[topCentroids]]) — zero-shuffle, plan-embedded, byte-stable
+    * with every round-6 gate.
+    *
+    * k above it: the centroid matrix moves OFF the plan into a
+    * `SparkContext.broadcast` value scored by a compiled per-row
+    * argmax loop (the MLlib-KMeans assignment pattern). Plan size is
+    * O(1) in k; assignment stays a shuffle-free map over the corpus.
+    * The join-the-centroids-table-and-groupBy-argmin alternative was
+    * rejected deliberately: it re-shuffles the full corpus (or copies
+    * the matrix into every joined row), which at 100 TB costs more
+    * than the assignment compute itself. Ceiling: the broadcast must
+    * fit executor memory — k×dims×8 bytes (50k × 768 ≈ 300 MB, the
+    * FAISS coarse-quantizer regime; sharded quantizers are the step
+    * beyond, out of scope). Scoring arithmetic is the same in-order
+    * fold + division as [[dot]], and ranking uses [[cmpD]], so both
+    * paths pick the identical centroid on identical doubles. */
+  private def nearestCidCol(v: Column, nrm: Column,
+                            cents: Seq[(Int, Array[Double])]): Column =
+    if (cents.length <= literalCentroidMax)
+      element_at(topCentroids(v, nrm, cents, 1), 1).getField("cid")
+    else {
+      val spark = SparkSession.active
+      val bc = spark.sparkContext.broadcast(prepCents(cents))
+      val f = udf((vec: Array[Double], vnrm: Double) =>
+        if (vec == null) None
+        else {
+          val cs = bc.value
+          var bestS = 0.0; var bestC = 0; var found = false
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            var s = 0.0; var j = 0
+            val dims = math.min(vec.length, cv.length)
+            while (j < dims) { s += vec(j) * cv(j); j += 1 }
+            val score = s / (vnrm * cn)
+            val c = if (found) cmpD(score, bestS) else 1
+            if (c > 0 || (c == 0 && cid > bestC)) {
+              bestS = score; bestC = cid; found = true
+            }
+            i += 1
+          }
+          if (found) Some(bestC) else None
+        })
+      f(v, nrm)
+    }
+
+  /** Top-`n` probe centroid ids (ascending (score, cid), best LAST —
+    * the [[topCentroids]] slice order) at any quantizer size; same
+    * dual-path contract as [[nearestCidCol]]. Runs on QUERY rows, so
+    * the sort-all-scores simplicity of the large path is per-query
+    * work over k, not corpus work. */
+  private def probeCidsCol(v: Column, nrm: Column,
+                           cents: Seq[(Int, Array[Double])],
+                           n: Int): Column =
+    if (cents.length <= literalCentroidMax)
+      transform(topCentroids(v, nrm, cents, n), c => c.getField("cid"))
+    else {
+      val spark = SparkSession.active
+      val bc = spark.sparkContext.broadcast(prepCents(cents))
+      val f = udf((vec: Array[Double], vnrm: Double) =>
+        if (vec == null) None
+        else {
+          val cs = bc.value
+          val scored = new Array[(Double, Int)](cs.length)
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            var s = 0.0; var j = 0
+            val dims = math.min(vec.length, cv.length)
+            while (j < dims) { s += vec(j) * cv(j); j += 1 }
+            scored(i) = (s / (vnrm * cn), cid)
+            i += 1
+          }
+          val sorted = scored.sortWith { (a, b) =>
+            val c = cmpD(a._1, b._1); c < 0 || (c == 0 && a._2 < b._2)
+          }
+          Some(sorted.takeRight(n).map(_._2))
+        })
+      f(v, nrm)
+    }
+
   /** Spherical-k-means (Lloyd) refinement of IVF centroids: assign
     * every vector to its nearest-by-cosine centroid, replace each
     * centroid with the NORMALIZED elementwise mean of its members
@@ -266,9 +380,7 @@ object Similarity {
     var cents = cents0
     for (_ <- 1 to iters) {
       val byDim = vecs
-        .withColumn("cid",
-          element_at(topCentroids(col("n_vec"), col("n_nrm"), cents, 1), 1)
-            .getField("cid"))
+        .withColumn("cid", nearestCidCol(col("n_vec"), col("n_nrm"), cents))
         .select(col("cid"), posexplode(col("n_vec")).as(Seq("_d", "_x")))
         .groupBy(col("cid"), col("_d")).agg(avg(col("_x")).as("_m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -294,9 +406,7 @@ object Similarity {
     corpus.select(col("vec_id").as("_id"),
       asDouble(col("embedding")).as("n_vec"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
-      .withColumn("_kb",
-        element_at(topCentroids(col("n_vec"), col("n_nrm"), cents, 1), 1)
-          .getField("cid"))
+      .withColumn("_kb", nearestCidCol(col("n_vec"), col("n_nrm"), cents))
 
   private def readCentroids(spark: SparkSession,
                             path: String): Seq[(Int, Array[Double])] =
@@ -337,9 +447,7 @@ object Similarity {
     val clustered = corpus
       .withColumn("_nv", asDouble(col("embedding")))
       .withColumn("_nrm", sqrt(dot(col("_nv"), col("_nv"))))
-      .withColumn("cluster",
-        element_at(topCentroids(col("_nv"), col("_nrm"), cents, 1), 1)
-          .getField("cid"))
+      .withColumn("cluster", nearestCidCol(col("_nv"), col("_nrm"), cents))
       .drop("_nv", "_nrm")
     val dups = blockedNearDupPairs(clustered, col("cluster"), tau)
       .select(col("id_b").as("vec_id")).distinct()
@@ -410,10 +518,9 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
       .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
-      .withColumn("_p",
-        explode(topCentroids(col("q_vec"), col("q_nrm"), cents, nProbe)))
-      .select(col("q_id"), col("q_vec"), col("q_nrm"),
-        col("_p.cid").as("bucket"))
+      .withColumn("bucket",
+        explode(probeCidsCol(col("q_vec"), col("q_nrm"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(path + "/data")
@@ -444,10 +551,9 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
       .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
-      .withColumn("_p",
-        explode(topCentroids(col("q_vec"), col("q_nrm"), cents, nProbe)))
-      .select(col("q_id"), col("q_vec"), col("q_nrm"),
-        col("_p.cid").as("bucket"))
+      .withColumn("bucket",
+        explode(probeCidsCol(col("q_vec"), col("q_nrm"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(path + "/data")
