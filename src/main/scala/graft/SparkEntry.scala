@@ -1524,6 +1524,34 @@ object SparkEntry {
         col("keep"))
       .orderBy(col("vec_id"))
 
+  /** C11b gated: PERSISTED SemDeDup index maintenance end-to-end —
+    * [[graft.operators.Similarity.buildSemDedupIndex]] on the BASE
+    * embeddings (quantizer + tau frozen), then a batch delta:
+    * `vec_id % 7 == 0` vectors re-embedded as their NEGATION (sign
+    * flip: exact in float, flips cluster assignment), `% 13 == 5`
+    * tombstoned. `upsertSemDedupVectors` merges bucket-locally and
+    * re-pairs keep verdicts ONLY inside the touched clusters; the
+    * SERVED verdicts must match the scan-time SemDeDup chain over the
+    * modified corpus with the STORED (base-init) quantizer — replayed
+    * exactly by the oracle, including resurrected cluster-mates of
+    * deleted winners (idempotent re-apply). */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("q112ax", dir, "embeddings")
+    if (!hasFile(s"$path/data/_SUCCESS"))
+      Similarity.buildSemDedupIndex(emb, path, tau = 0.3)
+    val changed = emb
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val delIds = emb.filter(col("vec_id") % 13 === 5)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    Similarity.upsertSemDedupVectors(s, path, changed, deletedIds = delIds)
+    Similarity.semDedupVerdicts(s, path)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** C7b: dedup in PRECISION mode — every LSH candidate pair must pass
     * exact shingle-Jaccard ≥ 0.5 before it can merge clusters (the
     * guard against LSH false positives chaining unrelated docs);
@@ -1836,7 +1864,8 @@ object SparkEntry {
     "q108_bucketed_join" -> (q108 _),
     "q109_compaction" -> (q109 _),
     "q110_paged_range" -> (q110 _),
-    "q111_semdedup" -> (q111 _)
+    "q111_semdedup" -> (q111 _),
+    "q112_semdedup_index" -> (q112 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3270,6 +3299,37 @@ object SparkEntry {
         |  JOIN n na ON na.vec_id = a.vec_id
         |  JOIN n nb ON nb.vec_id = b.vec_id
         |  WHERE FLOOR((list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 >= 0.3)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  (d.id_b IS NULL) AS keep
+        |FROM assign a LEFT JOIN dups d ON d.id_b = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+    // the maintained SemDeDup index == the scan chain over the MODIFIED
+    // corpus with the STORED (base-init) quantizer: %7 negated, %13=5
+    // tombstoned, verdicts re-paired only in touched clusters
+    "q112_semdedup_index" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cnrm
+        |       FROM e0 WHERE vec_id < 16),
+        |m AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0
+        |         THEN list_transform(embedding, x -> -(x::DOUBLE))
+        |         ELSE list_transform(embedding, x -> x::DOUBLE) END AS v
+        |  FROM embeddings WHERE vec_id % 13 != 5),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m),
+        |assign AS (
+        |  SELECT vec_id, cid AS cluster, nrm, v FROM (
+        |    SELECT n.vec_id, c0.cid, n.nrm, n.v,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c0.cv) / (n.nrm * c0.cnrm) DESC,
+        |                 c0.cid DESC) AS rn
+        |    FROM n CROSS JOIN c0) WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE FLOOR((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 >= 0.3)
         |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
         |  (d.id_b IS NULL) AS keep
         |FROM assign a LEFT JOIN dups d ON d.id_b = a.vec_id

@@ -458,6 +458,113 @@ object Similarity {
         coalesce(col("_dup"), lit(false)) === lit(false) as "keep")
   }
 
+  /** Cluster-local keep verdicts over index-shaped rows: a row is a
+    * duplicate when a SMALLER-id row in the SAME cluster (`_kb`) sits
+    * at round4(cosine) >= `tau` — the identical arithmetic + winner
+    * rule as the scan-time [[semDedup]]/[[blockedNearDupPairs]], so
+    * stored verdicts replay in the oracle. Pairwise only within `_kb`:
+    * the caller controls the blast radius by passing only the touched
+    * clusters' membership. */
+  private def keepVerdicts(rows: DataFrame, tau: Double): DataFrame = {
+    val a = rows.select(col("_kb"), col("_id").as("id_a"),
+      col("n_vec").as("v_a"), col("n_nrm").as("nrm_a"))
+    val b = rows.select(col("_kb"), col("_id").as("id_b"),
+      col("n_vec").as("v_b"), col("n_nrm").as("nrm_b"))
+    val dups = a.join(b, Seq("_kb")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round4(
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))))
+      .filter(col("cos") >= tau)
+      .select(col("id_b").as("_id")).distinct()
+      .withColumn("_dup", lit(true))
+    rows.join(dups, Seq("_id"), "left")
+      .select(col("_id"), col("n_vec"), col("n_nrm"), col("_kb"),
+        (coalesce(col("_dup"), lit(false)) === lit(false)).as("keep"))
+  }
+
+  /** Build the PERSISTED SemDeDup index — the round-6 gap: [[semDedup]]
+    * was scan-only, so a crawl delta re-ran the whole pairwise stage.
+    * Layout follows every other graft index family: `centroids/` (the
+    * coarse quantizer, FROZEN between compactions like any deployed
+    * IVF), `params/` (tau — persisted so maintenance can never apply a
+    * mismatched threshold), `data/_kb=<cluster>/` holding
+    * `(_id, n_vec, n_nrm, keep)` with the verdicts MATERIALIZED, the
+    * by-id sidecar, and `_graft_meta`. Build-time verdicts are
+    * byte-identical to `semDedup(corpus, tau, nCentroids, refineIters)`
+    * (spec-pinned). */
+  def buildSemDedupIndex(corpus: DataFrame, path: String, tau: Double,
+                         nCentroids: Int = 16, refineIters: Int = 0,
+                         idBuckets: Int = 16, seq: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val init = initCentroids(corpus, nCentroids)
+    val cArr =
+      if (refineIters > 0) {
+        val vecs = corpus.select(col("vec_id").as("n_id"),
+          asDouble(col("embedding")).as("n_vec"))
+          .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+        lloydRefine(vecs, init, refineIters)
+      } else init
+    import spark.implicits._
+    cArr.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/centroids")
+    Seq(tau).toDF("tau").coalesce(1)
+      .write.mode("overwrite").parquet(path + "/params")
+    keepVerdicts(ivfRows(corpus, cArr), tau)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_id"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(path + "/data")
+    writeAnnSidecar(spark, path, idBuckets, seq)
+  }
+
+  /** Incremental maintenance of a [[buildSemDedupIndex]] index: changed
+    * vectors are assigned against the STORED quantizer and merged
+    * bucket-locally via the by-id sidecar, then the keep verdicts are
+    * RE-PAIRED for the touched clusters only — their full membership
+    * lives inside the affected `_kb` directories, so the pairwise cost
+    * of a delta is Σ|touched cluster|², never the corpus (the C8
+    * discipline; untouched buckets stay byte-identical, spec-pinned).
+    * A vector that moves clusters re-pairs both its old and new
+    * cluster; `deletedIds` retire vectors and can resurrect cluster-
+    * mates their presence had marked duplicate. Returns the affected
+    * cluster ids. */
+  def upsertSemDedupVectors(spark: SparkSession, path: String,
+                            changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                            newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val tau = spark.read.parquet(path + "/params")
+      .collect()(0).getDouble(0)
+    val cents = readCentroids(spark, path)
+    // verdict column is recomputed below once the touched clusters'
+    // membership is final; the merge only needs the row shape
+    val newRows = ivfRows(changed, cents).withColumn("keep", lit(true))
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    val affected = IndexStore.merge(spark, path, meta, newRows, cids, seq,
+      dataSortCols = Seq(col("_kb"), col("_id")))
+    if (affected.nonEmpty) {
+      val rows = spark.read.parquet(path + "/data")
+        .filter(col("_kb").isin(affected: _*))
+        .select(col("_id"), col("n_vec"), col("n_nrm"), col("_kb"))
+      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path),
+        keepVerdicts(rows, tau), path + "/data", "_kb", affected,
+        Seq(col("_kb"), col("_id")))
+    }
+    affected
+  }
+
+  /** Serve the stored SemDeDup verdicts: `(vec_id, cluster, keep)` —
+    * the same shape as [[semDedup]], read straight off the index (no
+    * pairwise work at serve time; that is the point of persisting). */
+  def semDedupVerdicts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/data")
+      .select(col("_id").as("vec_id"), col("_kb").cast("int").as("cluster"),
+        col("keep"))
+
   /** Build an IVF (inverted-file) ANN index: a deterministic centroid
     * init ([[initCentroids]]), optionally refined with `refineIters`
     * spherical k-means iterations ([[lloydRefine]]), every corpus

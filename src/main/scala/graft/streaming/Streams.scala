@@ -246,6 +246,47 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted SemDeDup index — the
+    * semantic-dedup analogue of [[maintainAnnIndex]]: the first
+    * non-empty micro-batch builds the index ([[graft.operators
+    * .Similarity.buildSemDedupIndex]] — quantizer and tau then FROZEN
+    * across batches); every later batch upserts via
+    * `upsertSemDedupVectors`, which merges bucket-locally and re-pairs
+    * keep verdicts ONLY inside the touched clusters. The change feed
+    * needs `vec_id` + `embedding`, plus optional boolean `_deleted`
+    * (a retired vector can resurrect cluster-mates it had shadowed).
+    * update_seq tracks batches, exactly like every graft index. */
+  def maintainSemDedupIndex(spark: SparkSession, changeFeed: DataFrame,
+                            path: String, checkpoint: String,
+                            tau: Double, nCentroids: Int = 16,
+                            refineIters: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+            .distinct().collect().map(_.get(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Similarity.buildSemDedupIndex(live, path, tau, nCentroids,
+              refineIters, seq = batchId + 1)
+        } else {
+          Similarity.upsertSemDedupVectors(spark, path, live, delIds,
+            newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted inverted text index — the
     * document-corpus analogue of [[maintainViewIndex]]: the first
     * non-empty micro-batch builds the index ([[graft.operators

@@ -242,6 +242,43 @@ class StreamingSpec extends SparkSpecBase {
       "streamed ANN index diverges from rebuild")
   }
 
+  test("streaming SemDeDup maintenance: verdicts match a scan over the final corpus") {
+    import graft.operators.Similarity
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-semdd").toString
+    val path = s"$dir/semdd"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[VecChg]
+    val q = Streams.maintainSemDedupIndex(spark, in.toDF(), path,
+      s"$dir/ckpt", tau = 0.3)
+    in.addData(all.map { case (id, e) => VecChg(id, e, _deleted = false) }
+      .toSeq: _*)
+    q.processAllAvailable()
+    val changed = all.filter(x => x._1 >= 20 && x._1 <= 24)
+      .map { case (id, e) => VecChg(id, e.map(-_), _deleted = false) }
+    in.addData(
+      (changed :+ VecChg(25L, Array.empty[Float], _deleted = true)).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+    // fresh rebuild over the final corpus (same base-init quantizer:
+    // vec_id < 16 untouched by the delta) must agree exactly
+    val corpus2 = emb.filter(!$"vec_id".between(20, 25))
+      .select($"vec_id", $"embedding")
+      .unionByName(changed.toSeq.toDF("vec_id", "embedding", "_deleted")
+        .select($"vec_id", $"embedding"))
+    val fresh = s"$dir/semdd_fresh"
+    Similarity.buildSemDedupIndex(corpus2, fresh, tau = 0.3)
+    assert(
+      Similarity.semDedupVerdicts(spark, path)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.semDedupVerdicts(spark, fresh)
+        .collect().map(_.toSeq).toSet,
+      "streamed SemDeDup index diverges from rebuild")
+  }
+
   test("streamed simhash index builds then upserts; matches a rebuild") {
     import graft.operators.Dedup
     implicit val sql = spark.sqlContext
