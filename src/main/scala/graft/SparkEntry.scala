@@ -967,6 +967,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic 20% sample for the 4-micro-batch streaming-index
+    * DRIVES (q94/q95/q102/q104). The maintenance semantics are pinned
+    * corpus-independently by the byte-identity + rebuild-equality
+    * specs; the gate only needs to prove the streamed chain
+    * end-to-end, and driving the full corpus through 4 micro-batches
+    * made these five queries ~95 s of a 205 s bench (round-6 verdict
+    * item 6). The oracle replays over the SAME sample
+    * ([[onDriveSample]]). */
+  private def driveSample(df: DataFrame, idCol: String,
+                          mod: Int = 5): DataFrame =
+    df.filter(col(idCol) % mod === 0)
+
+  /** Rewrites an oracle to read the [[driveSample]] slice of `table` —
+    * every `FROM table` (aliased or not) becomes a filtered subquery. */
+  private def onDriveSample(oracle: String, table: String,
+                            idCol: String, mod: Int = 5): String = {
+    require(oracle.contains(s"FROM $table"),
+      s"oracle does not read $table")
+    oracle.replace(s"FROM $table",
+      s"FROM (SELECT * FROM $table WHERE $idCol % $mod = 0)")
+  }
+
   /** Stage `df` as four `order`-sorted parquet files under `inDir`
     * (one micro-batch each). The files are written to a TEMP dir and
     * renamed into place with the `_STAGED` marker inside — an
@@ -1130,10 +1152,10 @@ object SparkEntry {
     * maintained index must equal the batch oracle (re-runs upsert the
     * same docs — idempotent by the merge's replace-by-id contract). */
   private def q94(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val inDir = idxPath("q94in", dir, "orders") + "/in"
+    val orders = driveSample(t(s, dir, "orders"), "o_orderkey")
+    val inDir = idxPath("q94inS", dir, "orders") + "/in"
     stageChunks(s, orders, col("o_orderkey"), inDir)
-    val idx = idxPath("q94vx", dir, "orders") + "/idx"
+    val idx = idxPath("q94vxS", dir, "orders") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q94ck").toString
     val feed = s.readStream.schema(orders.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1160,10 +1182,11 @@ object SparkEntry {
     * match the corpus-scan oracle bit-for-bit (q59's oracle). */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextSearch
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val inDir = idxPath("q95in", dir, "documents") + "/in"
+    val docs = driveSample(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+    val inDir = idxPath("q95inS", dir, "documents") + "/in"
     stageChunks(s, docs, col("doc_id"), inDir)
-    val idx = idxPath("q95tx", dir, "documents") + "/idx"
+    val idx = idxPath("q95txS", dir, "documents") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q95ck").toString
     val feed = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1293,10 +1316,14 @@ object SparkEntry {
     * index must serve the identical candidate-pair set to q66's
     * banded replay. */
   private def q102(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val inDir = idxPath("q102in", dir, "documents") + "/in"
+    // mod=3, not 5: the 20% grain leaves zero candidate pairs at
+    // sf0.01 (a vacuous gate); 1/3 keeps pairs at both gate SFs
+    val docs = driveSample(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", mod = 3)
+    val inDir = idxPath("q102inS3", dir, "documents") + "/in"
     stageChunks(s, docs, col("doc_id"), inDir)
-    val idx = idxPath("q102sx", dir, "documents") + "/idx"
+    val idx = idxPath("q102sxS3", dir, "documents") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q102ck").toString
     val feed = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1332,10 +1359,11 @@ object SparkEntry {
     * served top-k must match q90's full per-field replay. */
   private def q104(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextSearch
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val inDir = idxPath("q104in", dir, "documents") + "/in"
+    val docs = driveSample(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+    val inDir = idxPath("q104inS", dir, "documents") + "/in"
     stageChunks(s, docs, col("doc_id"), inDir)
-    val idx = idxPath("q104fx", dir, "documents") + "/idx"
+    val idx = idxPath("q104fxS", dir, "documents") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q104ck").toString
     val toks = Text.tokens(col("text"))
     val fields = Seq(
@@ -2468,7 +2496,7 @@ object SparkEntry {
     "q66_simhash_indexed" -> simhashPairsOracle,
     // the STREAM-maintained simhash index must serve the identical
     // banded pair set (q66's oracle)
-    "q102_streaming_simhash" -> simhashPairsOracle,
+    "q102_streaming_simhash" -> onDriveSample(simhashPairsOracle, "documents", "doc_id", mod = 3),
     // the STREAM-maintained LSH index must serve the identical top-k
     // (q52's literal-plane oracle)
     "q101_streaming_ann" -> annLshOracle,
@@ -2916,14 +2944,14 @@ object SparkEntry {
         |ORDER BY w.doc_id""".stripMargin,
     // the maintained view index serves the same grouped sum the batch
     // view computes — creation + 3 bucket-local merges == one build
-    "q94_view_maintenance" ->
+    "q94_view_maintenance" -> onDriveSample(
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+        |ORDER BY o_orderpriority""".stripMargin, "orders", "o_orderkey"),
     // the maintained text index must reproduce the corpus-scan BM25
-    // bit-for-bit (same oracle as q59/q60)
-    "q95_streaming_text_index" -> bm25Oracle,
+    // bit-for-bit (q59's oracle over the drive sample)
+    "q95_streaming_text_index" -> onDriveSample(bm25Oracle, "documents", "doc_id"),
     // BM25F over the DELTA-MODIFIED corpus: %7 docs re-indexed with
     // appended text, %13=5 docs deleted — the oracle rebuilds what the
     // maintained index merged
@@ -3209,7 +3237,7 @@ object SparkEntry {
     "q90_fielded_search" -> bm25fOracle,
     // a fielded index built purely from the micro-batch stream must
     // serve the identical BM25F top-k (q90's oracle)
-    "q104_streaming_fielded" -> bm25fOracle,
+    "q104_streaming_fielded" -> onDriveSample(bm25fOracle, "documents", "doc_id"),
     // the streamed dedup keeps exactly one row per fingerprint: the
     // settled fp set equals the batch distinct
     "q86_streaming_dedup" ->
