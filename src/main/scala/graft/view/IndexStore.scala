@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   * keys are routed by). `bounds` holds (bucketId, min `_ck`) for every
   * bucket that was non-empty at creation, in key order. */
 final case class IndexMeta(updateSeq: Long, buckets: Int,
-                           bounds: Seq[(Int, Array[Byte])])
+                           bounds: Seq[(Int, Array[Byte])],
+                           /** Stored group count of the reduced index
+                             * (-1 = none/unknown): serves the paging
+                             * envelope's total_rows without a count job
+                             * per page. Stamped by every reduced-dir
+                             * write ([[IndexStore.writeReduced]] /
+                             * [[IndexStore.refreshReduced]]). */
+                           reducedGroups: Long = -1L)
 
 /** On-disk layout and maintenance of a persistent view index — the
   * reference's design-doc view storage (pouchdb-abstract-mapreduce's
@@ -108,6 +115,8 @@ object IndexStore {
     meta.bounds.foreach { case (b, lo) =>
       sb.append(s"bound=$b:${enc.encodeToString(lo)}\n")
     }
+    if (meta.reducedGroups >= 0)
+      sb.append(s"rgroups=${meta.reducedGroups}\n")
     val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -117,7 +126,7 @@ object IndexStore {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val dec = java.util.Base64.getDecoder
-    var seq = 0L; var buckets = 0
+    var seq = 0L; var buckets = 0; var rgroups = -1L
     val bounds = Seq.newBuilder[(Int, Array[Byte])]
     text.linesIterator.foreach {
       case l if l.startsWith("updateSeq=") => seq = l.drop(10).toLong
@@ -125,9 +134,10 @@ object IndexStore {
       case l if l.startsWith("bound=") =>
         val Array(b, b64) = l.drop(6).split(":", 2)
         bounds += ((b.toInt, dec.decode(b64)))
+      case l if l.startsWith("rgroups=") => rgroups = l.drop(8).toLong
       case _ => ()
     }
-    IndexMeta(seq, buckets, bounds.result())
+    IndexMeta(seq, buckets, bounds.result(), rgroups)
   }
 
   /** Full (re)build: range-bucket the view rows by collation key, write
@@ -259,7 +269,17 @@ object IndexStore {
         .filter(col("_kb").isin(affected: _*))
       writeSwap(spark, fsFor(spark, path), reducedRowsOf(data, rf),
         reducedDir(path), "_kb", affected, Seq(col("_kb"), col("_ck")))
+      stampReducedGroups(spark, path)
     }
+
+  /** Re-stamp `reducedGroups` after a reduced-dir write. The count job
+    * is parquet-footer-speed (empty read schema) and runs ONCE per
+    * write, so every later paging envelope serves total_rows straight
+    * from the meta — no count job per page. */
+  private def stampReducedGroups(spark: SparkSession, path: String): Unit = {
+    val n = spark.read.parquet(reducedDir(path)).count()
+    writeMeta(spark, path, readMeta(spark, path).copy(reducedGroups = n))
+  }
 
   /** Per-bucket row counts — the skew diagnostic that tells an operator
     * (or a maintenance policy) when to [[compact]]. Scans only the
@@ -274,12 +294,14 @@ object IndexStore {
     * current raw data — used by [[graft.view.View.materializeReduced]]
     * and after [[compact]] re-sampled the bucket layout. */
   private[graft] def writeReduced(spark: SparkSession, path: String,
-                                  rf: Reduce): Unit =
+                                  rf: Reduce): Unit = {
     reducedRowsOf(spark.read.parquet(dataDir(path)), rf)
       .repartition(col("_kb"))
       .sortWithinPartitions(col("_kb"), col("_ck"))
       .write.mode("overwrite").partitionBy("_kb")
       .parquet(reducedDir(path))
+    stampReducedGroups(spark, path)
+  }
 
   /** Automatic compaction policy for long-lived maintained indexes:
     * incremental merges route new keys into the CREATION-TIME range

@@ -189,9 +189,14 @@ final class ReducedView private[view] (
       org.apache.spark.sql.Row.fromSeq(
         r.toSeq.zipWithIndex.filter(_._2 != ckIdx).map(_._1))
     }
+    // total_rows from the meta stamp (written with every reduced-dir
+    // write) — a count job per page was the round-6 finding; the scan
+    // fallback only covers pre-stamp artifacts
+    val totalRows =
+      if (meta.reducedGroups >= 0) meta.reducedGroups else rows.count()
     ViewQueryResult(
       spark.createDataFrame(
         java.util.Arrays.asList(stripped: _*), outSchema),
-      rows.count(), 0L, Some(meta.updateSeq), next)
+      totalRows, 0L, Some(meta.updateSeq), next)
   }
 }

@@ -203,6 +203,39 @@ class IndexStoreSpec extends SparkSpecBase {
       rv.queryPage(opts.copy(keys = Some(Seq(1.0))), 10, None)
     }
     assert(e.getMessage.contains("keys="))
+
+    // the envelope serves total_rows from the meta stamp, not a count
+    // job per page (round-6 finding): the stamp equals the true group
+    // count, and a page runs exactly ONE Spark job (its own collect)
+    assert(graft.view.IndexStore.readMeta(spark, path).reducedGroups ==
+      unpaged.length.toLong)
+    val p1 = rv.queryPage(opts, pageSize = 100, resume = None)
+    assert(p1.totalRows == unpaged.length.toLong)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p2 = rv.queryPage(opts, pageSize = 100, resume = p1.nextToken)
+      assert(p2.totalRows == unpaged.length.toLong)
+      // listener events are async; allow the bus to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1,
+      s"a reduced page must cost exactly one job, ran ${jobs.get()}")
+
+    // the stamp follows maintenance: delete one key, count drops by 1
+    val delKey = orders.select($"o_orderkey").orderBy($"o_orderkey")
+      .head().getLong(0)
+    v.updateIndex(spark, path, orders.limit(0), deletedIds = Seq(delKey))
+    val rv2 = v.fromReducedIndex(spark, path)
+    val pAfter = rv2.queryPage(opts, pageSize = 100, resume = None)
+    assert(pAfter.totalRows == unpaged.length.toLong - 1,
+      "reducedGroups stamp must track maintenance")
   }
 
   test("reduced index: queryPage pages group_level rollups (boundary group not re-served)") {
