@@ -274,6 +274,17 @@ object SparkEntry {
       col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9))
       .orderBy(col("o_orderstatus"))
 
+  /** B7b (rows-only gate): SCALE-SAFE approx percentiles
+    * ([[graft.operators.Relational.approxPercentiles]]) — bounded
+    * Greenwald-Khanna summaries instead of q18's per-group value map.
+    * Sketch-specific values, so gated rows-only like q49/q56; the
+    * RelationalSpec error-bound test pins the rank guarantee against
+    * the exact path. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    Relational.approxPercentiles(t(s, dir, "orders"), col("o_orderstatus"),
+      col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9))
+      .orderBy(col("o_orderstatus"))
+
   /** B8: pivot with a fixed value list (static schema — no driver scan). */
   private def q19(s: SparkSession, dir: String): DataFrame =
     Relational.pivotCount(t(s, dir, "orders"), "o_orderstatus",
@@ -1893,7 +1904,8 @@ object SparkEntry {
     "q109_compaction" -> (q109 _),
     "q110_paged_range" -> (q110 _),
     "q111_semdedup" -> (q111 _),
-    "q112_semdedup_index" -> (q112 _)
+    "q112_semdedup_index" -> (q112 _),
+    "q113_approx_percentiles" -> (q113 _)
   )
 
   def oracleSql: Map[String, String] = Map(

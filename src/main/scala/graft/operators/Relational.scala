@@ -160,6 +160,25 @@ object Relational {
     df.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** B7b: SCALE-SAFE percentiles — `approx_percentile` (Spark's
+    * Greenwald-Khanna summary) in the same output shape as
+    * [[percentiles]]. The exact variant buffers a per-group
+    * value-count map, so its memory is O(distinct values per group) —
+    * fine until one group's domain outgrows an executor; this one
+    * holds a bounded ~O(accuracy) summary per group and merges in
+    * partial aggregation, so it survives any group size. Guarantee:
+    * the returned value's RANK is within n/accuracy of the true
+    * percentile rank (spec-bounded against the exact path). Sketch
+    * result — gated rows-only, like the HLL reduces (A21/B23). */
+  def approxPercentiles(df: DataFrame, key: Column, value: Column,
+                        ps: Seq[(String, Double)],
+                        accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { case (name, p) =>
+      round4(approx_percentile(value, lit(p), lit(accuracy))).as(name)
+    }
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Pivot with a FIXED value list: keeps the output schema static (no
     * extra driver-side distinct scan) — mandatory at 100 TB. */
   def pivotCount(df: DataFrame, rowKey: String, pivotCol: String,

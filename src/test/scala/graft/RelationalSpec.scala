@@ -13,6 +13,35 @@ class RelationalSpec extends SparkSpecBase {
       spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
+  test("approxPercentiles: rank error within the GK accuracy bound") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val accuracy = 10000
+    val got = Relational.approxPercentiles(orders, $"o_orderstatus",
+      $"o_totalprice", Seq("p50" -> 0.5, "p90" -> 0.9), accuracy)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val byGroup = orders.select($"o_orderstatus", $"o_totalprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == byGroup.keySet && got.nonEmpty)
+    for ((g, vals) <- byGroup; (p, v) <- Seq(0.5 -> got(g)._1,
+                                             0.9 -> got(g)._2)) {
+      val n = vals.length
+      // GK guarantee: the returned value's rank is within n/accuracy
+      // of ceil(p*n); +1 absorbs the round4 output grain
+      val rank = vals.count(_ <= v)
+      val target = math.ceil(p * n)
+      val tol = n.toDouble / accuracy + 1
+      assert(math.abs(rank - target) <= tol,
+        s"group $g p$p: rank $rank vs target $target (n=$n, tol=$tol)")
+    }
+    // and the exact path agrees with itself as the reference
+    val exact = Relational.percentiles(orders, $"o_orderstatus",
+      $"o_totalprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect()
+    assert(exact.length == got.size)
+  }
+
   test("asofJoin matches brute-force inequality join") {
     val purchases = events.filter($"event_type" === "purchase")
     val signups = events.filter($"event_type" === "signup")
