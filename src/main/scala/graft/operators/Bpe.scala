@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-level byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909
+  * — the public BPE learn/apply algorithm; byte-level initial alphabet
+  * as in GPT-2's tokenizer).
+  *
+  * Round-6 verdict item 5: `Text.tokens` is whitespace/regex, so
+  * packing (q98), length filters (q103) and LM scores bill in "words"
+  * while a trainer bills in BPE tokens. This module makes those
+  * counts trainer-accurate: [[Bpe.learn]] trains a merge table
+  * DETERMINISTICALLY (frequency ties broken lexicographically) from a
+  * bounded lowest-id sample of the corpus — tokenizer training is
+  * sample-based by construction, exactly like any deployed tokenizer —
+  * and the resulting [[Bpe]] instance is a literal value: counts are
+  * reproducible from the merge list alone, independent of cluster
+  * layout.
+  *
+  * Mechanics: text is pre-tokenized by the same lowercase-whitespace
+  * split as [[Text.tokens]] (merges never cross word boundaries), each
+  * word becomes its UTF-8 byte sequence (bytes rendered as ISO-8859-1
+  * single-char symbols), and merges concatenate adjacent symbol pairs
+  * in learned-rank order. Application runs as a compiled per-row loop
+  * over a broadcast rank map (the quantizer rationale: a merge table
+  * must not enter the plan as per-pair expressions, and a join
+  * formulation would shuffle the corpus per merge).
+  *
+  * Count bounds vs the whitespace path (spec-pinned): every word is
+  * ≥ 1 and ≤ its UTF-8 byte-length tokens, so
+  * `whitespaceCount <= bpeCount(text) <= utf8ByteLen(words)`.
+  */
+final case class Bpe(merges: Seq[(String, String)]) {
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** BPE symbols of one word (its UTF-8 bytes as ISO-8859-1 chars). */
+  private[graft] def encodeWord(word: String): List[String] = {
+    var syms = word.getBytes("UTF-8").map(b =>
+      new String(Array((b & 0xff).toChar))).toList
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair merges first — the BPE apply order
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      var rest = syms
+      while (rest.nonEmpty && rest.tail.nonEmpty) {
+        val r = ranks.getOrElse((rest.head, rest.tail.head), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1; rest = rest.tail
+      }
+      if (bi < 0) done = true
+      else {
+        val (pre, at) = syms.splitAt(bi)
+        syms = pre ::: (at.head + at.tail.head) :: at.tail.tail
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  private def wordsOf(text: String): Array[String] =
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Per-row BPE token count — the trainer-accurate replacement for
+    * `Text.tokenCount` in packing/length-filter/LM billing. */
+  def tokenCount(text: Column): Column = {
+    val self = this
+    val f = udf((t: String) =>
+      if (t == null) 0L
+      else {
+        var n = 0L
+        for (w <- self.wordsOf(t)) n += self.encodeWord(w).length
+        n
+      })
+    f(text)
+  }
+
+  /** BPE token array (symbols are raw byte strings — for inspection
+    * and specs; pipelines bill with [[tokenCount]]). */
+  def tokens(text: Column): Column = {
+    val self = this
+    val f = udf((t: String) =>
+      if (t == null) Array.empty[String]
+      else self.wordsOf(t).flatMap(w => self.encodeWord(w)))
+    f(text)
+  }
+}
+
+object Bpe {
+
+  /** Learn `nMerges` merges from the `sampleDocs` LOWEST-id documents
+    * (deterministic, replayable sample — the training slice every
+    * tokenizer fixes up front). Classic Sennrich learn loop: count
+    * adjacent symbol pairs across the word-frequency map, merge the
+    * most frequent pair, repeat; ties break lexicographically so the
+    * table is unique for a given sample. Stops early when no pair
+    * repeats. Driver-side over the bounded sample only — the corpus
+    * itself is never collected. */
+  def learn(docs: DataFrame, id: Column, text: Column,
+            nMerges: Int = 512, sampleDocs: Int = 500): Bpe = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val sample = docs.select(id.cast("long").as("_id"), text.as("_t"))
+      .orderBy(col("_id")).limit(sampleDocs)
+      .select(col("_t")).collect().map(_.getString(0)).filter(_ != null)
+    val wordFreq = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- sample; w <- t.toLowerCase.trim.split("\\s+") if w.nonEmpty)
+      wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
+    // words as mutable symbol sequences (UTF-8 bytes -> 1-char symbols)
+    var words: Vector[(Array[String], Long)] = wordFreq.toVector
+      .sortBy(_._1) // deterministic iteration order
+      .map { case (w, f) =>
+        (w.getBytes("UTF-8").map(b => new String(Array((b & 0xff).toChar))), f)
+      }
+    val out = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) =
+          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (best, cnt) = pairs.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+          match { case (p, c) => (p, c) }
+        if (cnt < 2) exhausted = true
+        else {
+          out += best
+          val joined = best._1 + best._2
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == best._1 &&
+                    syms(i + 1) == best._2) {
+                  buf += joined; i += 2
+                } else { buf += syms(i); i += 1 }
+              }
+              (buf.toArray, f)
+            }
+          }
+          m += 1
+        }
+      }
+    }
+    Bpe(out.result())
+  }
+}

@@ -348,15 +348,22 @@ object Text {
                       langWords.map(_._1),
                     maxDupTokenFrac: Double = 1.0,
                     maxTopBigramFrac: Double = 1.0,
-                    lang: Option[Column] = None)
+                    lang: Option[Column] = None,
+                    /** Billing override for the min/max-token bounds
+                      * (e.g. [[Bpe.tokenCount]] of the TEXT column) —
+                      * length gates then match what a trainer bills.
+                      * The quality/repetition stats stay word-based:
+                      * they measure surface redundancy, not cost. */
+                    tokenCountCol: Option[Column] = None)
       : org.apache.spark.sql.DataFrame = {
     // `lang` overrides the [[langId]] heuristic with a trusted
     // metadata column (a stored classifier label) — the usual case in
     // a pipeline that already ran language ID upstream
     val base = docs.select(id.cast("long").as("doc_id"), text.as("_text"),
-      lang.getOrElse(langId(text)).as("_lang"))
+      lang.getOrElse(langId(text)).as("_lang"),
+      tokenCountCol.getOrElse(tokenCount(text)).cast("long").as("_ntok"))
     val rep = repetitionScores(docs, id, text)
-    val ntok = tokenCount(col("_text"))
+    val ntok = col("_ntok")
     val reasons = concat_ws(",",
       when(ntok < minTokens, lit("too_short")),
       when(ntok > maxTokens, lit("too_long")),
@@ -428,13 +435,19 @@ object Text {
     * over at most `len/seqLen + 1` windows per doc — codegen'd, no
     * join, no driver state. */
   def packSequences(docs: org.apache.spark.sql.DataFrame, id: Column,
-                    text: Column, seqLen: Int, group: Column)
+                    text: Column, seqLen: Int, group: Column,
+                    /** Billing override: a per-doc token-count Column
+                      * (e.g. [[Bpe.tokenCount]]) replacing the
+                      * whitespace count, so sequences cut at
+                      * trainer-accurate token boundaries. */
+                    tokenCount: Option[Column] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val base = docs.select(group.cast("long").as("grp"),
         id.cast("long").as("doc_id"),
-        size(tokens(text)).cast("long").as("_len"))
+        tokenCount.getOrElse(size(tokens(text)))
+          .cast("long").as("_len"))
       .filter(col("_len") > 0)
     val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
     val L = lit(seqLen.toLong)
