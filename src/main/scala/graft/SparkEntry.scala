@@ -429,6 +429,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** F4 gated: PERCEPTUAL-HASH image near-dup
+    * ([[graft.operators.Multimodal.phashNearDupPairs]]) — assets
+    * pooled to the 64-pixel integer thumbnail, aHashed, banded 4×16
+    * (SimHash discipline: candidates only within equal band buckets,
+    * exact hamming verify). The oracle replays the WHOLE chain in
+    * SQL: hex-parsed payload bytes, floor-div pooling, mean
+    * threshold, band values, bucket join, hamming. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.phashNearDupPairs(
+        Multimodal.assetsFromDocs(t(s, dir, "documents")), maxHamming = 10)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------- B(cont). breadth ops
 
   /** B10: ROLLUP hierarchical aggregation (status × priority). */
@@ -1905,7 +1919,8 @@ object SparkEntry {
     "q110_paged_range" -> (q110 _),
     "q111_semdedup" -> (q111 _),
     "q112_semdedup_index" -> (q112 _),
-    "q113_approx_percentiles" -> (q113 _)
+    "q113_approx_percentiles" -> (q113 _),
+    "q114_phash_neardup" -> (q114 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3373,7 +3388,56 @@ object SparkEntry {
         |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
         |  (d.id_b IS NULL) AS keep
         |FROM assign a LEFT JOIN dups d ON d.id_b = a.vec_id
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+    // perceptual-hash near-dup: the full aHash chain replayed byte-for-
+    // byte — hex-parsed payload, 64-bucket floor-div average pooling,
+    // floor-mean threshold bits, 4x16 band buckets, hamming verify
+    "q114_phash_neardup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |bi AS (
+        |  SELECT doc_id, n, h,
+        |         unnest(generate_series(0, CAST(n-1 AS INT))) AS i
+        |  FROM raw),
+        |bv AS (
+        |  SELECT doc_id, n, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(i*2+1 AS INT), 1))-1)*16 +
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(i*2+2 AS INT), 1))-1) AS v
+        |  FROM bi),
+        |pj AS (
+        |  -- inverse of the span partition [j*n//64, (j+1)*n//64):
+        |  -- j(i) = ceil((i+1)*64/n) - 1 (verified exact for n>=64)
+        |  SELECT doc_id, n, i, v,
+        |         ((i+1)*64 + n - 1)//n - 1 AS j FROM bv),
+        |px AS (
+        |  SELECT doc_id, j,
+        |    CAST(FLOOR(SUM(v) * 1.0 /
+        |      (((j+1)*n)//64 - (j*n)//64)) AS BIGINT) AS p
+        |  FROM pj GROUP BY doc_id, j, n),
+        |mn AS (
+        |  SELECT doc_id, CAST(FLOOR(SUM(p)/64.0) AS BIGINT) AS m
+        |  FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT px.doc_id, j, CASE WHEN p > m THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN mn ON px.doc_id = mn.doc_id),
+        |bands AS (
+        |  SELECT doc_id, j//16 AS band, SUM(bit << (j%16)) AS bv
+        |  FROM bits GROUP BY doc_id, j//16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    SUM(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.doc_a
+        |  JOIN bits y ON y.doc_id = c.doc_b AND y.j = x.j
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,6 +66,159 @@ object Multimodal {
           AssetFeatures(id, bytes.length.toLong, head, sum)
         }
       }
+  }
+
+  /** Byte values (0-255) of a binary column, as `array<long>`. */
+  def byteValues(payload: Column): Column =
+    transform(sequence(lit(1), greatest(octet_length(payload), lit(1))),
+      i => conv(hex(payload.substr(i, lit(1))), 16, 10).cast("long"))
+
+  /** Pooling over an ALREADY-projected byte array. NOTE: the Column
+    * formulations below are the oracle-replayable REFERENCE (and the
+    * cross-check in the spec); [[phashNearDupPairs]] hashes with a
+    * compiled per-row loop instead, because higher-order functions are
+    * interpreted and RE-EVALUATE nested subtrees per element — the
+    * composed pixel→bit→band chain costs O(64·n) per stage
+    * multiplicatively (found the hard way: it hung on 500 rows). */
+  def pooledPixelsFromBytes(bytes: Column, n: Column): Column =
+    transform(sequence(lit(0), lit(63)), j => {
+      val lo = floor(j.cast("double") * n / 64).cast("long")
+      val hi = floor((j + 1).cast("double") * n / 64).cast("long")
+      val cnt = greatest(hi - lo, lit(1L))
+      floor(aggregate(
+          slice(bytes, (lo + 1).cast("int"), cnt.cast("int")),
+          lit(0L), (a, x) => a + x).cast("double") / cnt).cast("int")
+    })
+
+  /** 64 average-pooled "pixels" of the payload — the stand-in for
+    * resize-to-8×8 grayscale: byte bucket j of 64 equal spans averaged
+    * with floor divisions, all INTEGER-exact arithmetic so the
+    * thumbnail replays bit-for-bit in any engine. A production
+    * pipeline drops the real decoder's 8×8 grayscale here (pooling a
+    * decoded thumbnail is O(64), not O(payload)). Payloads shorter
+    * than 64 bytes have empty buckets (pixel 0) — callers gate on
+    * `octet_length >= 64`. */
+  def pooledPixels(payload: Column): Column =
+    pooledPixelsFromBytes(byteValues(payload), octet_length(payload))
+
+  /** aHash bit vector (64 × 0/1): bit j set when pixel j exceeds the
+    * floor-mean of the 64 pixels — the classic average hash. */
+  def aHashBits(pixels: Column): Column = {
+    val mean = floor(aggregate(pixels, lit(0L), (a, x) => a + x)
+      .cast("double") / 64).cast("int")
+    transform(pixels, p => when(p > mean, 1).otherwise(0))
+  }
+
+  /** dHash bit vector (64 × 0/1): bit j set when pixel j is darker
+    * than its right neighbor (cyclic) — the gradient/difference hash,
+    * more robust than aHash to global brightness shifts. */
+  def dHashBits(pixels: Column): Column =
+    transform(pixels, (p, i) =>
+      when(p < element_at(pixels, pmod(i + 1, lit(64)) + 1), 1)
+        .otherwise(0))
+
+  /** 4 × 16-bit band values of a 64-bit hash — the SimHash banding
+    * trick: two hashes within hamming distance 3 share at least one
+    * intact band, so band-equality buckets bound the candidate join
+    * (no all-pairs anywhere). */
+  def hashBands(bits: Column): Column =
+    transform(sequence(lit(0), lit(3)), b =>
+      aggregate(
+        zip_with(slice(bits, b * 16 + 1, lit(16)), sequence(lit(0), lit(15)),
+          (bit, k) => bit.cast("long") * pow(lit(2.0), k).cast("long")),
+        lit(0L), (a, x) => a + x))
+
+  /** Hash output row: 64 bit values + 4 16-bit band values. */
+  case class Phash(bits: Array[Int], bands: Array[Long])
+
+  /** One compiled O(payload) pass computing pooled pixels → hash bits
+    * → bands — exactly the [[pooledPixelsFromBytes]]/[[aHashBits]]/
+    * [[dHashBits]]/[[hashBands]] arithmetic (integer floor divisions;
+    * spec-pinned equal), zero shuffle, no interpreted per-element
+    * re-evaluation. */
+  private def phash64(method: String) =
+    udf((payload: Array[Byte]) =>
+      if (payload == null || payload.length < 64) None
+      else {
+        val n = payload.length
+        val px = new Array[Long](64)
+        var j = 0
+        while (j < 64) {
+          val lo = j.toLong * n / 64
+          val hi = (j + 1).toLong * n / 64
+          var s = 0L
+          var i = lo
+          while (i < hi) { s += payload(i.toInt) & 0xff; i += 1 }
+          px(j) = s / math.max(hi - lo, 1L)
+          j += 1
+        }
+        val mean = px.sum / 64
+        val bits = new Array[Int](64)
+        j = 0
+        if (method == "ahash")
+          while (j < 64) { bits(j) = if (px(j) > mean) 1 else 0; j += 1 }
+        else
+          while (j < 64) {
+            bits(j) = if (px(j) < px((j + 1) % 64)) 1 else 0; j += 1
+          }
+        val bands = new Array[Long](4)
+        var b = 0
+        while (b < 4) {
+          var v = 0L
+          var k = 0
+          while (k < 16) { v |= bits(b * 16 + k).toLong << k; k += 1 }
+          bands(b) = v
+          b += 1
+        }
+        Some(Phash(bits, bands))
+      })
+
+  /** `(doc_id, bits, bands)` perceptual hashes of every payload with
+    * at least 64 bytes — the compiled hash pass behind
+    * [[phashNearDupPairs]], exposed for index builds and specs. */
+  def phashes(assets: DataFrame, method: String = "ahash"): DataFrame = {
+    require(method == "ahash" || method == "dhash",
+      s"method must be ahash|dhash, got $method")
+    assets.filter(octet_length(col("payload")) >= 64)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        phash64(method)(col("payload")).as("_h"))
+      .select(col("doc_id"), col("_h.bits").as("bits"),
+        col("_h.bands").as("bands"))
+  }
+
+  /** PERCEPTUAL-HASH image near-dup (`method` = "ahash" | "dhash"):
+    * the image-column analogue of SimHash text dedup. Each asset's
+    * payload is pooled to the 64-pixel thumbnail, hashed, banded; the
+    * candidate join runs ONLY within equal (band, value) buckets and
+    * survivors are verified by exact hamming distance ≤ `maxHamming`.
+    * Returns `(doc_a, doc_b, hamming)`, doc_a < doc_b. All arithmetic
+    * is integer-exact → full oracle replay (gate q114). Bucket-bounded
+    * like every graft dedup: cost tracks band-bucket sizes, never
+    * corpus². */
+  def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 10,
+                        method: String = "ahash"): DataFrame = {
+    require(method == "ahash" || method == "dhash",
+      s"method must be ahash|dhash, got $method")
+    val h = phashes(assets, method)
+    val bandRows = h.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "v")))
+    val cand = bandRows.select(col("band"), col("v"),
+        col("doc_id").as("doc_a"))
+      .join(bandRows.select(col("band"), col("v"),
+        col("doc_id").as("doc_b")), Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(h.select(col("doc_id").as("doc_a"), col("bits").as("ba")),
+        Seq("doc_a"))
+      .join(h.select(col("doc_id").as("doc_b"), col("bits").as("bb")),
+        Seq("doc_b"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("ba"), col("bb"),
+          (x, y) => when(x =!= y, 1L).otherwise(0L)),
+        lit(0L), (a, x) => a + x))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** "Frame sampling": every `stride`-th fixed-size slice of the payload

@@ -42,4 +42,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.head.sameElements(payload.take(16)))
     frames.foreach(fr => assert(fr.length <= 16))
   }
+
+  test("compiled phash equals the Column-formula reference on real payloads") {
+    // the gate's compiled loop vs the oracle-replayable builtin chain,
+    // byte-for-byte on a slice of the corpus
+    import org.apache.spark.sql.functions._
+    val sample = assets.filter(octet_length($"payload") >= 64).limit(50)
+    def collectHashes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toList, r.getSeq[Long](2).toList)).toMap
+    val ref = collectHashes(sample.select($"doc_id",
+        Multimodal.aHashBits(Multimodal.pooledPixels($"payload")).as("bits"))
+      .withColumn("bands", Multimodal.hashBands($"bits"))
+      .select($"doc_id", $"bits", $"bands"))
+    val fast = collectHashes(Multimodal.phashes(sample))
+    assert(ref.nonEmpty && ref == fast,
+      "compiled hash must equal the Column reference")
+  }
+
+  test("phash near-dup: identical payloads pair at hamming 0; perturbation grows distance") {
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val tweaked = base.replace("quick", "quack")
+    val far = base.map(c => if (c.isLetter) ('a' + ((c - 'a' + 13) % 26)).toChar else c)
+    val d = Seq((1L, base), (2L, base), (3L, tweaked), (4L, far.mkString))
+      .toDF("doc_id", "text")
+    val out = Multimodal.phashNearDupPairs(Multimodal.assetsFromDocs(d),
+        maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 0L, s"identical payloads must hash equal: $out")
+    out.get((1L, 3L)).foreach(h13 =>
+      out.get((1L, 4L)).foreach(h14 =>
+        assert(h13 <= h14, s"small tweak must stay closer: $out")))
+    // dhash variant runs and keeps the exact-dup-at-0 contract
+    val dh = Multimodal.phashNearDupPairs(Multimodal.assetsFromDocs(d),
+        maxHamming = 0, method = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dh.contains((1L, 2L)))
+  }
 }
