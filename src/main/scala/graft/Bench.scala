@@ -74,7 +74,10 @@ object Bench {
       .mkString("{", ",", "}")
     val bs = builds.map { case (k, v) => s"\"build_" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The headline total sums PASSING queries only: a -1.0 failure
+    // sentinel is a flag, not a duration, and summing it would subtract
+    // a second per failure from the published figure.
+    val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"sf":"$sfDir"}"""
     println(line)

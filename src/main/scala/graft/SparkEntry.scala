@@ -1633,6 +1633,124 @@ object SparkEntry {
       col("doc_id"), col("text"))
       .orderBy(col("doc_id"), col("fp"))
 
+  // ------------------------------------------------- round-7: mango / scale
+
+  /** A24: Mango `_find` (the reference ecosystem's declarative selector
+    * API — CouchDB `/db/_find`, pouchdb-find): the JSON selector
+    * compiles to ONE Catalyst predicate ([[graft.operators.Mango]]), so
+    * it pushes into the parquet scan; sort+limit run as
+    * TakeOrderedAndProject with the doc id as deterministic tiebreak. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mango.find(t(s, dir, "orders"), "o_orderkey",
+      """{"selector": {"$and": [
+        |  {"o_orderstatus": {"$in": ["O", "F"]}},
+        |  {"o_totalprice": {"$gte": 50000, "$lt": 200000}},
+        |  {"o_orderpriority": {"$regex": "^[13]-"}}]},
+        | "fields": ["o_orderkey", "o_totalprice"],
+        | "sort": [{"o_totalprice": "desc"}],
+        | "limit": 200, "skip": 10}""".stripMargin)
+
+  /** A25: Mango `_find` served from a persisted JSON index — CouchDB's
+    * index selection: the `o_orderstatus` equality plus the
+    * `o_orderdate` range become startkey/endkey on the
+    * `["o_orderstatus","o_orderdate"]` index (the `$totalprice`
+    * residual re-filters the fetched docs), so candidates come from
+    * pruned `_kb` buckets, not an orders scan. Result must equal the
+    * full-scan find — and the oracle — exactly. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q116mgo", dir, "orders")
+    val idx =
+      if (hasFile(s"$path/_mango_fields")) Mango.openIndex(s, path)
+      else Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_orderstatus", "o_orderdate"), path, numBuckets = 4)
+    Mango.findIndexed(s, orders, "o_orderkey", idx,
+      """{"selector": {
+        |  "o_orderstatus": "F",
+        |  "o_orderdate": {"$gte": "1996-01-01T00:00:00Z",
+        |                   "$lt": "1997-01-01T00:00:00Z"},
+        |  "o_totalprice": {"$gt": 100000}},
+        | "fields": ["o_orderkey", "o_totalprice"],
+        | "sort": [{"o_totalprice": "desc"}],
+        | "limit": 500}""".stripMargin)
+  }
+
+  /** H3: time-partitioned event store ([[graft.sources.EventStore]]) —
+    * `_day` hive partitions + ts-sorted files; a 2-day window starting
+    * mid-day reads 3 day directories (partition pruning) and skips row
+    * groups within the boundary days (pushed `ts_us` range). The
+    * window is anchored at min(ts)+3.5d so the gate replays in SQL. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val path = idxPath("q117evs", dir, "events")
+    if (!hasFile(s"$path/_SUCCESS"))
+      graft.sources.EventStore.write(events(s, dir), path)
+    val lo = events(s, dir).agg(min(col("ts_us"))).head().getLong(0)
+    val from = lo + 3 * dayUs + dayUs / 2
+    graft.sources.EventStore.readRange(s, path, from, from + 2 * dayUs)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
+    * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
+    * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
+    * per query over the codes scan, exact-cosine refinement on the
+    * shortlist only. Codebooks, assignment argmin, the fixed-order ADC
+    * fold, shortlist cut and final rank ALL replay in the oracle. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      m = 8, ks = 16, refine = 50)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** B28: exact heavy hitters ([[graft.operators.Frequency]]) — the
+    * two-pass Misra-Gries sketch-then-verify: a k=20-counter mergeable
+    * summary yields a candidate superset in one pass, an exact count of
+    * JUST the candidates filters to `cnt·(k+1) > N`. Output equals the
+    * full `GROUP BY word HAVING` — which is exactly what the oracle
+    * runs — without the full-vocabulary shuffle. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    graft.operators.Frequency.heavyHitters(words, col("w"), k = 40)
+  }
+
+  /** D4b: PQ index maintenance end-to-end — build freezes the
+    * codebooks, a delta re-embeds vec_id%7==0 (negation) and tombstones
+    * vec_id%13==5 (the q112 delta, so the oracle can reconstruct the
+    * modified corpus), the upsert re-encodes ONLY the changed ids
+    * against the STORED codebooks, and serving runs the q118 ADC chain
+    * over the maintained codes. The oracle replays the whole thing:
+    * codebooks from the ORIGINAL corpus (frozen), codes and queries
+    * from the modified one. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("q120pq", dir, "embeddings")
+    if (!hasFile(s"$path/data/_SUCCESS"))
+      Pq.buildPqIndex(emb, path)
+    val changed = emb
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val delIds = emb.filter(col("vec_id") % 13 === 5)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    Pq.upsertPqVectors(s, path, changed, deletedIds = delIds)
+    val modified = emb.filter(col("vec_id") % 13 =!= 5)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+    Pq.pqTopKIndexed(s, path, modified,
+      modified.filter(col("vec_id") < 10), k = 5, refine = 50)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ----------------------------------------------- persisted-index plumbing
 
   /** tmp-dir index path keyed by DATASET IDENTITY: the source table's
@@ -1697,6 +1815,15 @@ object SparkEntry {
         idxPath("txa", dir, "documents"), analyzer =
           graft.operators.TextSearch.Analyzer(
             stopwords = graft.operators.Text.langWords.head._2))),
+    "q120_pq_index" -> ((s, dir) => graft.operators.Pq
+      .buildPqIndex(t(s, dir, "embeddings"),
+        idxPath("q120pq", dir, "embeddings"))),
+    "q116_mango_find_indexed" -> ((s, dir) => graft.operators.Mango
+      .createIndex(s, t(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderstatus", "o_orderdate"),
+        idxPath("q116mgo", dir, "orders"), numBuckets = 4)),
+    "q117_event_store" -> ((s, dir) => graft.sources.EventStore
+      .write(events(s, dir), idxPath("q117evs", dir, "events"))),
     "q90_fielded_search" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
       graft.operators.TextSearch.buildFieldedTextIndex(
@@ -1920,7 +2047,13 @@ object SparkEntry {
     "q111_semdedup" -> (q111 _),
     "q112_semdedup_index" -> (q112 _),
     "q113_approx_percentiles" -> (q113 _),
-    "q114_phash_neardup" -> (q114 _)
+    "q114_phash_neardup" -> (q114 _),
+    "q115_mango_find" -> (q115 _),
+    "q116_mango_find_indexed" -> (q116 _),
+    "q117_event_store" -> (q117 _),
+    "q118_pq_ann" -> (q118 _),
+    "q119_heavy_hitters" -> (q119 _),
+    "q120_pq_index" -> (q120 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3437,7 +3570,171 @@ object SparkEntry {
         |  JOIN bits y ON y.doc_id = c.doc_b AND y.j = x.j
         |  GROUP BY c.doc_a, c.doc_b)
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin
+        |FROM ham WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the selector, sort, tiebreak, projection and paging of the Mango
+    // find — the declarative-surface contract
+    "q115_mango_find" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('O', 'F')
+        |  AND o_totalprice >= 50000 AND o_totalprice < 200000
+        |  AND regexp_matches(o_orderpriority, '^[13]-')
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 200 OFFSET 10""".stripMargin,
+    // index-served find must equal the same relational query
+    "q116_mango_find_indexed" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_totalprice > 100000
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 500""".stripMargin,
+    // the 2-day window anchored at min(ts)+3.5d over the partitioned
+    // event store == the same filter over the raw events table
+    "q117_event_store" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) + 302400000000 AS lo FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 172800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // full PQ replay: per-subspace codebooks from the 16 lowest-id
+    // vectors, argmin assignment on (c·c − 2·s·c) with lowest-code
+    // ties, ADC summed in fixed subspace order (the exact left-assoc
+    // double sequence the Spark fold emits), 50-candidate shortlist by
+    // (adc ASC, n_id), exact-cosine top-5 refinement
+    "q118_pq_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |js AS (SELECT unnest(range(8)) AS j),
+        |cb AS (
+        |  SELECT js.j, e.vec_id AS c,
+        |         list_slice(e.v, js.j*8 + 1, js.j*8 + 8) AS cw
+        |  FROM e CROSS JOIN js WHERE e.vec_id < 16),
+        |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
+        |codes AS (
+        |  SELECT vec_id AS n_id, j, c2, cw FROM (
+        |    SELECT e.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb2.j
+        |        ORDER BY cb2.c2 - 2.0*list_dot_product(
+        |            list_slice(e.v, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
+        |          cb2.c ASC) AS rn
+        |    FROM e CROSS JOIN cb2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+        |adcj AS (
+        |  SELECT q.q_id, codes.n_id, codes.j,
+        |    codes.c2 - 2.0*list_dot_product(
+        |      list_slice(q.v, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d
+        |  FROM q CROSS JOIN codes WHERE codes.n_id != q.q_id),
+        |adc AS (
+        |  -- + is left-associative: this adds in subspace order 0..7,
+        |  -- the same double sequence the Spark-side fold emits
+        |  SELECT q_id, n_id,
+        |    MAX(CASE WHEN j=0 THEN d END)
+        |      + MAX(CASE WHEN j=1 THEN d END)
+        |      + MAX(CASE WHEN j=2 THEN d END)
+        |      + MAX(CASE WHEN j=3 THEN d END)
+        |      + MAX(CASE WHEN j=4 THEN d END)
+        |      + MAX(CASE WHEN j=5 THEN d END)
+        |      + MAX(CASE WHEN j=6 THEN d END)
+        |      + MAX(CASE WHEN j=7 THEN d END) AS adc
+        |  FROM adcj GROUP BY q_id, n_id),
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc ASC, n_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 50),
+        |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |j2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n2 qq ON qq.vec_id = cand.q_id
+        |  JOIN n2 xx ON xx.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j2)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // exact heavy hitters: the sketch-then-verify output IS the full
+    // GROUP BY ... HAVING cnt·(k+1) > N relation (k = 40)
+    "q119_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     w -> w != '') AS ws
+        |  FROM documents),
+        |w AS (SELECT unnest(ws) AS item FROM toks),
+        |n AS (SELECT COUNT(*) AS n FROM w)
+        |SELECT item, COUNT(*) AS cnt
+        |FROM w CROSS JOIN n
+        |GROUP BY item, n.n
+        |HAVING COUNT(*) * 41 > n.n
+        |ORDER BY cnt DESC, item""".stripMargin,
+    // the q118 PQ replay with FROZEN codebooks (from the ORIGINAL
+    // corpus — the build-time freeze) over the MODIFIED corpus (the
+    // q112 delta: vec_id%7==0 negated, vec_id%13==5 deleted): exactly
+    // what the maintained index serves after the upsert
+    "q120_pq_index" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |js AS (SELECT unnest(range(8)) AS j),
+        |cb AS (
+        |  SELECT js.j, e0.vec_id AS c,
+        |         list_slice(e0.v, js.j*8 + 1, js.j*8 + 8) AS cw
+        |  FROM e0 CROSS JOIN js WHERE e0.vec_id < 16),
+        |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
+        |e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0
+        |         THEN list_transform(embedding, x -> -(x::DOUBLE))
+        |         ELSE list_transform(embedding, x -> x::DOUBLE) END AS v
+        |  FROM embeddings WHERE vec_id % 13 != 5),
+        |codes AS (
+        |  SELECT vec_id AS n_id, j, c2, cw FROM (
+        |    SELECT e.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb2.j
+        |        ORDER BY cb2.c2 - 2.0*list_dot_product(
+        |            list_slice(e.v, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
+        |          cb2.c ASC) AS rn
+        |    FROM e CROSS JOIN cb2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+        |adcj AS (
+        |  SELECT q.q_id, codes.n_id, codes.j,
+        |    codes.c2 - 2.0*list_dot_product(
+        |      list_slice(q.v, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d
+        |  FROM q CROSS JOIN codes WHERE codes.n_id != q.q_id),
+        |adc AS (
+        |  SELECT q_id, n_id,
+        |    MAX(CASE WHEN j=0 THEN d END)
+        |      + MAX(CASE WHEN j=1 THEN d END)
+        |      + MAX(CASE WHEN j=2 THEN d END)
+        |      + MAX(CASE WHEN j=3 THEN d END)
+        |      + MAX(CASE WHEN j=4 THEN d END)
+        |      + MAX(CASE WHEN j=5 THEN d END)
+        |      + MAX(CASE WHEN j=6 THEN d END)
+        |      + MAX(CASE WHEN j=7 THEN d END) AS adc
+        |  FROM adcj GROUP BY q_id, n_id),
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc ASC, n_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 50),
+        |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |j2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n2 qq ON qq.vec_id = cand.q_id
+        |  JOIN n2 xx ON xx.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j2)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

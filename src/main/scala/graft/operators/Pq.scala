@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gfunctions.round4
+
+/** Product-quantization ANN (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the memory-scale tier of
+  * the similarity stack.
+  *
+  * At 100 TB the raw `float[64]` corpus does not fit hot storage: PQ
+  * splits each vector into `m` subvectors, quantizes every subvector
+  * against a per-subspace codebook of `ks` codewords, and stores ONE BYTE
+  * per subvector (m bytes per vector — a 32× compression at these
+  * shapes). Serving is the paper's ADC (asymmetric distance computation):
+  * the query stays exact, each candidate's distance is the sum of
+  * per-subspace distances to the query's subvectors LOOKED UP by stored
+  * code — a linear scan over codes that never touches raw vectors, then
+  * an exact top-k refinement over only the `refine` shortlisted rows.
+  *
+  * Spark shape: codebooks are bounded driver metadata (m·ks·(dims/m)
+  * doubles) embedded as literal arrays, so encoding (per-subspace argmin)
+  * and ADC (per-subspace `element_at` lookup + dot) are pure codegen'd
+  * projections — no shuffle, no UDF; the only aggregation is the bounded
+  * [[graft.functions.TopKPairs]] shortlist. Everything is deterministic:
+  * codebooks init from the `ks` lowest-id vectors' subvectors (optionally
+  * Lloyd-refined — still deterministic), argmin ties take the lowest
+  * code, ADC sums add in fixed subspace order (doubles are not
+  * associative; a fixed fold is what makes the SQL replay bit-identical),
+  * and rank ties take the lowest neighbor id.
+  *
+  * Scale ceiling, documented: literal codebooks keep plan size O(m·ks) —
+  * fine through ks=256/m=16 (the paper's operating point); beyond that
+  * the broadcast-scorer pattern of the IVF quantizer
+  * ([[Similarity]], round-6) applies unchanged.
+  */
+object Pq {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** `codebooks(j)(c)` = codeword `c` of subspace `j`. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Deterministic codebook init: subvector `j` of the `ks` lowest-id
+    * vectors (the IVF init rule, per subspace). */
+  def initCodebooks(corpus: DataFrame, m: Int, ks: Int): Codebooks = {
+    val rows = corpus.orderBy(col("vec_id").asc).limit(ks)
+      .select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pq: empty corpus")
+    val dims = rows.head.length
+    require(dims % m == 0, s"pq: dims $dims not divisible by m=$m")
+    val sub = dims / m
+    Array.tabulate(m)(j => rows.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Per-subspace Lloyd refinement — all `m` subspaces in ONE
+    * aggregation per iteration: codes for every subspace, then a single
+    * groupBy (subspace, code, dim) mean over m·ks·(dims/m) cells
+    * (bounded driver metadata). Empty cells keep their codeword. */
+  def refineCodebooks(corpus: DataFrame, cbs: Codebooks,
+                      iters: Int): Codebooks = {
+    var cur = cbs
+    val m = cbs.length
+    val sub = cbs.head.head.length
+    for (_ <- 0 until iters) {
+      // Stage the assignment Project (the m per-subspace argmins — the
+      // same expression block [[encode]] compiles) SEPARATELY from the
+      // explode: inlining the argmin structs into the Generate blows the
+      // generated doConsume past the JVM's 64 KB method limit and drops
+      // the whole stage out of codegen. Exploding the already-computed
+      // `codes` array keeps every Generate expression tiny.
+      val coded = corpus
+        .select(asDouble(col("embedding")).as("v"))
+        .select(col("v"), array((0 until m).map(j =>
+          codeCol(col("v"), cur, j)): _*).as("codes"))
+        // materialization barrier: without it WholeStageCodegen fuses
+        // the m-argmin assignment block into the aggregation stage and
+        // the generated method passes the JVM's 64 KB limit, dropping
+        // the whole pass to interpreted eval. One Lloyd iteration
+        // materializes its assignments anyway (MLlib KMeans caches the
+        // same); at corpus scale refinement should run on a sample —
+        // codebooks need ~100k vectors, not the corpus (Jégou §V).
+        .localCheckpoint()
+      val cells = coded
+        .select(col("v"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("v"), col("j") * sub + 1, lit(sub)))
+            .as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos").agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = cur.map(_.map(_.clone()))
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cur = next
+    }
+    cur
+  }
+
+  /** The ADC ranking term of one codeword: `c·c − 2·s·c` — squared L2
+    * minus the subvector's own `s·s`, which is constant across the
+    * codewords of a subspace (for argmin) and sums to a per-query
+    * constant (for ADC ranking), so dropping it changes no ordering —
+    * the standard ADC simplification, and it halves the expression
+    * count. Written as this exact double-op sequence because the DuckDB
+    * replay uses the same one, so ties resolve identically. */
+  private def adcTerm(s: Column, cw: Array[Double]): Column =
+    lit(cw.map(x => x * x).sum) - lit(2.0) * Similarity.dot(s, lit(cw))
+
+  /** The stored code of subspace `j`: argmin codeword by squared L2,
+    * ties to the LOWEST code. A fixed fold over the ks candidates keeps
+    * it one codegen'd expression. */
+  private def codeCol(v: Column, cbs: Codebooks, j: Int): Column = {
+    val sub = cbs(j).head.length
+    val s = slice(v, j * sub + 1, sub)
+    val scored = cbs(j).zipWithIndex.map { case (cw, c) =>
+      struct(adcTerm(s, cw).as("d"), lit(c).as("c"))
+    }
+    // array_min on (d, c) structs: lexicographic — min distance, then
+    // lowest code; one expression, no per-codeword when-chain
+    array_min(array(scored: _*)).getField("c")
+  }
+
+  /** Encode the corpus: `(vec_id, codes array<int>)` — the m-byte rows a
+    * deployment persists instead of raw vectors. */
+  def encode(corpus: DataFrame, cbs: Codebooks): DataFrame = {
+    val v = asDouble(col("embedding"))
+    corpus.select(col("vec_id"),
+      array((0 until cbs.length).map(j => codeCol(v, cbs, j)): _*).as("codes"))
+  }
+
+  /** ADC top-k: scan `codes`, shortlist `refine` candidates per query by
+    * ADC distance (sum of per-subspace lookups, fixed fold order), then
+    * exact-cosine rank the shortlist against raw vectors. Output
+    * `(q_id, rank, n_id, cos)` — the q53 serving shape. */
+  def adcTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+              cbs: Codebooks, k: Int, refine: Int): DataFrame = {
+    val m = cbs.length
+    val sub = cbs.head.head.length
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+    // per-subspace distance: query subvector vs the codeword the stored
+    // code points at; codebook lookup is element_at into a literal
+    // array<array<double>> — a constant, codegen'd table
+    def dj(j: Int): Column = {
+      val s = slice(col("q_vec"), j * sub + 1, sub)
+      // typedlit: `lit` does not build nested-array literals
+      val cwTable = typedlit(cbs(j).map(_.toSeq).toSeq)
+      val cw = element_at(cwTable, col("codes").getItem(j) + 1)
+      val c2 = element_at(lit(cbs(j).map(_.map(x => x * x).sum)),
+        col("codes").getItem(j) + 1)
+      c2 - lit(2.0) * Similarity.dot(s, cw)
+    }
+    // Fixed left fold j = 0..m-1: deterministic double sum. The summed
+    // quantity is ADC squared-L2 minus the query's own |q|² — constant
+    // per query, so the candidate ORDER (all that the shortlist uses)
+    // is the paper's ADC order exactly.
+    val adc = (1 until m).foldLeft(dj(0))((acc, j) => acc + dj(j))
+    val shortlist = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("adc"))
+    // bounded top-`refine` per query by ADC ASC (negate for the
+    // max-oriented TopKPairs), ties to the lowest id
+    val topAgg = udaf(new graft.functions.TopKPairs(refine))
+    val cand = shortlist.groupBy("q_id")
+      .agg(topAgg(-col("adc"), col("n_id")).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_t"))
+      .select(col("q_id"), col("_t._2").as("n_id"))
+    // exact refinement over the shortlist only
+    val c = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_vec"))
+      .withColumn("n_nrm", sqrt(Similarity.dot(col("n_vec"), col("n_vec"))))
+    val qn = q.withColumn("q_nrm",
+      sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
+    val exact = cand.join(c, "n_id").join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("n_id"),
+        (Similarity.dot(col("q_vec"), col("n_vec")) /
+          (col("q_nrm") * col("n_nrm"))).as("cos"))
+    val rankAgg = udaf(new graft.functions.TopKPairs(k))
+    exact.groupBy("q_id").agg(rankAgg(col("cos"), col("n_id")).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_t._2").as("n_id"), round4(col("_t._1")).as("cos"))
+  }
+
+  /** The composed serving chain at gate shape: deterministic codebooks,
+    * encode, ADC shortlist, exact refine. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             ks: Int = 16, refine: Int = 50, refineIters: Int = 0): DataFrame = {
+    val cbs0 = initCodebooks(corpus, m, ks)
+    val cbs = if (refineIters > 0) refineCodebooks(corpus, cbs0, refineIters)
+              else cbs0
+    adcTopK(encode(corpus, cbs), corpus, queries, cbs, k, refine)
+  }
+
+  // --------------------------------------------------------- persisted index
+
+  import org.apache.spark.sql.SparkSession
+  import graft.view.{IndexMeta, IndexStore}
+
+  /** Persist the PQ index: FROZEN codebooks (`codebooks/` — the same
+    * freeze discipline as the IVF/SemDeDup quantizers: upserts and
+    * serving read the STORED codebooks, never re-derive them, so codes
+    * stay comparable across deltas) plus the m-int code rows under
+    * `data/_kb=<idBucket>` with the standard by-id sidecar. Codes have
+    * no query-pruned access path — ADC is a deliberate compressed FULL
+    * scan — so `_kb` is an id-hash bucket purely for O(changed buckets)
+    * maintenance locality.
+    *
+    * Operational note: frozen codebooks drift if the embedding
+    * distribution shifts over many deltas — the remedy is a rebuild to
+    * a new path and swap (FAISS practice), never incremental codebook
+    * mutation, which would silently re-interpret every stored code. */
+  def buildPqIndex(corpus: DataFrame, path: String, m: Int = 8,
+                   ks: Int = 16, idBuckets: Int = 16, seq: Long = 0L,
+                   refineIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val cbs0 = initCodebooks(corpus, m, ks)
+    val cbs = if (refineIters > 0) refineCodebooks(corpus, cbs0, refineIters)
+              else cbs0
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    pqRows(corpus, cbs, idBuckets)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_id"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(s"$path/data")
+    spark.read.parquet(s"$path/data")
+      .select(col("_id"), col("_kb")).distinct()
+      .withColumn("_ib", IndexStore.idBucket(col("_id"), idBuckets))
+      .repartition(idBuckets, col("_ib"))
+      .sortWithinPartitions(col("_ib"), col("_id"))
+      .write.mode("overwrite").partitionBy("_ib").parquet(s"$path/ids")
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, idBuckets, Nil))
+  }
+
+  private def pqRows(corpus: DataFrame, cbs: Codebooks,
+                     idBuckets: Int): DataFrame =
+    encode(corpus, cbs)
+      .select(col("vec_id").as("_id"), col("codes"))
+      .withColumn("_kb", IndexStore.idBucket(col("_id"), idBuckets))
+
+  /** The stored (frozen) codebooks of an index. */
+  def readCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("j"), col("c")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val out: Codebooks = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    out
+  }
+
+  /** Incremental maintenance: re-encode the changed vectors against the
+    * FROZEN codebooks and rewrite only the id buckets holding their old
+    * or new rows (the by-id-sidecar merge every graft index uses);
+    * `deletedIds` retire codes. O(changed buckets), never a rebuild,
+    * never a codebook re-derivation. Returns affected bucket ids. */
+  def upsertPqVectors(spark: SparkSession, path: String,
+                      changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                      newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, pqRows(changed, cbs, meta.buckets),
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
+  }
+
+  /** Serve ADC top-k from the persisted index: the compressed code scan
+    * + shortlist + exact refinement against `corpus` (the raw vectors
+    * live in the source table — PQ's point is that the HOT scan is the
+    * codes, 32× smaller). */
+  def pqTopKIndexed(spark: SparkSession, path: String, corpus: DataFrame,
+                    queries: DataFrame, k: Int, refine: Int = 50): DataFrame = {
+    val cbs = readCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/data")
+      .select(col("_id").as("vec_id"), col("codes"))
+    adcTopK(codes, corpus, queries, cbs, k, refine)
+  }
+}

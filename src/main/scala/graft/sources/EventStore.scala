@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-partitioned event storage — the layout a 100 TB event table
+  * needs for time-window queries to read days, not the corpus.
+  *
+  * Layout: hive-partitioned parquet on `_day = floor(ts_us / 86.4e9)`
+  * (UTC day number), rows SORTED by `ts_us` within each written file.
+  * Two pruning levels then serve a time-range query:
+  *
+  *  1. `_day` is a partition column — the day range becomes directory
+  *     level partition pruning (`PartitionFilters` in the scan; Spark
+  *     never lists, opens, or schedules the other days);
+  *  2. within the hit days, the `ts_us` range predicate is pushed to
+  *     parquet (`PushedFilters`), and because files are ts-sorted every
+  *     row group's min/max is tight — sub-day ranges skip most row
+  *     groups of the boundary days.
+  *
+  * The writer repartitions by `_day` (one shuffle) so each day's data
+  * lands in that day's directory as a few large ts-sorted files rather
+  * than one fragment per input task — at scale, partition-directory
+  * fragmentation (tasks × days tiny files) is what kills event stores;
+  * `filesPerDay` caps parallelism-driven fragmentation explicitly. */
+object EventStore {
+
+  private val DayUs = 86400000000L
+
+  /** Write `events` (any schema with a `ts` column in any supported
+    * physical encoding — normalized via [[EventTime.withTsUs]]) as a
+    * time-partitioned store. */
+  def write(events: DataFrame, path: String, filesPerDay: Int = 1): Unit = {
+    val e = EventTime.withTsUs(events)
+      .withColumn("_day", (col("ts_us") / lit(DayUs)).cast("long"))
+    e.repartition(col("_day"),
+        pmod(xxhash64(col("ts_us")), lit(filesPerDay.toLong)))
+      .sortWithinPartitions(col("_day"), col("ts_us"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("_day")
+      .parquet(path)
+  }
+
+  /** Read the store restricted to `[fromUs, toUs)` epoch-micros: the
+    * `_day` range prunes partitions, the `ts_us` range prunes row
+    * groups. Returns the event columns plus `ts_us` (without `_day`). */
+  def readRange(spark: SparkSession, path: String,
+                fromUs: Long, toUs: Long): DataFrame = {
+    require(fromUs <= toUs, "eventstore: empty range")
+    val fromDay = Math.floorDiv(fromUs, DayUs)
+    // toUs is exclusive: the day of (toUs - 1) is the last hit day
+    val toDay = Math.floorDiv(Math.max(fromUs, toUs - 1), DayUs)
+    spark.read.parquet(path)
+      .filter(col("_day") >= fromDay && col("_day") <= toDay &&
+        col("ts_us") >= fromUs && col("ts_us") < toUs)
+      .drop("_day")
+  }
+}

@@ -246,6 +246,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted PQ (product-quantization)
+    * index — the compressed-codes analogue of [[maintainAnnIndex]]: the
+    * first non-empty micro-batch builds the index ([[graft.operators
+    * .Pq.buildPqIndex]] — codebooks then FROZEN across batches); every
+    * later batch re-encodes only its changed vectors against the stored
+    * codebooks and rewrites only their id buckets
+    * (`Pq.upsertPqVectors`). The change feed needs `vec_id` +
+    * `embedding`, plus optional boolean `_deleted` tombstones.
+    * update_seq tracks batches, exactly like every graft index. */
+  def maintainPqIndex(spark: SparkSession, changeFeed: DataFrame,
+                      path: String, checkpoint: String,
+                      m: Int = 8, ks: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+            .distinct().collect().map(_.get(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Pq.buildPqIndex(live, path, m, ks, seq = batchId + 1)
+        } else {
+          Pq.upsertPqVectors(spark, path, live, delIds,
+            newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted SemDeDup index — the
     * semantic-dedup analogue of [[maintainAnnIndex]]: the first
     * non-empty micro-batch builds the index ([[graft.operators

@@ -657,6 +657,23 @@ object View {
       isUnion = true)
   }
 
+  /** Define a view whose collation key bytes are computed by the CALLER.
+    *
+    * Needed when the logical key is a heterogeneous array — e.g. a Mango
+    * index over `["o_orderstatus", "o_orderdate"]` (string + timestamp):
+    * Spark's `array()` requires one element type, but the collation
+    * encoding of an array is just `TArr ++ concat(element encodings) ++
+    * 0x00`, so the caller can assemble `_ck` from per-field
+    * `collation_key` bytes and carry any display form in `key`. Ordering,
+    * range pruning and index bucketing all operate on `_ck` only, so
+    * every [[View]] query/materialize/update path works unchanged. */
+  def computedKey(docs: DataFrame, id: Column, key: Column, value: Column,
+                  ck: Column, reduce: Option[Reduce] = None): View = {
+    val phase = (d: DataFrame) =>
+      d.select(id.as("_id"), key.as("key"), value.as("value"), ck.as("_ck"))
+    new View(docs, id, phase, reduce, None)
+  }
+
   /** Define a view emitting zero-or-more rows per document:
     * `emits` is an `array<struct<key:…, value:…>>` column; nulls and empty
     * arrays emit nothing — the reference's multi-`emit` map functions,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{EventStore, EventTime}
+
+class EventStoreSpec extends SparkSpecBase {
+
+  private val DayUs = 86400000000L
+
+  test("range read == filtered scan, and the plan prunes day partitions") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("evstore").toString
+    EventStore.write(events, s"$dir/store")
+    val all = EventTime.withTsUs(events)
+    val lo = all.agg(min("ts_us")).head().getLong(0)
+    val fromUs = lo + 3 * DayUs + DayUs / 2 // mid-day start: row-group path
+    val toUs = fromUs + 2 * DayUs
+    val got = EventStore.readRange(spark, s"$dir/store", fromUs, toUs)
+    val want = all.filter(col("ts_us") >= fromUs && col("ts_us") < toUs)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.select("event_id").except(want.select("event_id")).count() == 0)
+
+    // partition pruning: the scan's partition filters name _day, and the
+    // number of selected partitions is the day span, not every day
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("_day"),
+      s"no partition filter in:\n$plan")
+    val scanned = got.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSeq
+    val days = scanned.flatMap(_.split('/').find(_.startsWith("_day="))).distinct
+    assert(days.size <= 3, s"read ${days.size} day dirs: $days")
+    val totalDays = all.select(((col("ts_us") / DayUs).cast("long")))
+      .distinct().count()
+    assert(totalDays > 3, "testdata should span more days than the window")
+  }
+
+  test("empty and boundary ranges behave") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("evstore2").toString
+    EventStore.write(events, s"$dir/store")
+    val all = EventTime.withTsUs(events)
+    val lo = all.agg(min("ts_us")).head().getLong(0)
+    val hi = all.agg(max("ts_us")).head().getLong(0)
+    assert(EventStore.readRange(spark, s"$dir/store", lo, lo).count() == 0)
+    assert(EventStore.readRange(spark, s"$dir/store", lo, hi + 1).count() ==
+      all.count())
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mango
+
+class MangoSpec extends SparkSpecBase {
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+
+  test("selector compiles to one predicate and matches the SQL equivalent") {
+    val sel = """{"$and": [
+      {"o_orderstatus": {"$in": ["O", "F"]}},
+      {"o_totalprice": {"$gte": 50000, "$lt": 200000}},
+      {"o_orderpriority": {"$regex": "^[13]-"}}]}"""
+    val got = orders.filter(Mango.compile(Mango.parseSelector(sel),
+      orders.schema)).count()
+    val want = orders.filter(
+      col("o_orderstatus").isin("O", "F") &&
+      col("o_totalprice") >= 50000 && col("o_totalprice") < 200000 &&
+      col("o_orderpriority").rlike("^[13]-")).count()
+    assert(got == want && got > 0)
+  }
+
+  test("implicit $eq, $ne (exists-and-differs), $exists, $nor") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), Some(5L)), (2L, Some("b"), None),
+      (3L, None, Some(7L))).toDF("id", "s", "n")
+    def ids(sel: String): Set[Long] =
+      df.filter(Mango.compile(Mango.parseSelector(sel), df.schema))
+        .select("id").as[Long].collect().toSet
+    assert(ids("""{"s": "a"}""") == Set(1L))
+    // $ne only matches docs that HAVE the field with a different value
+    assert(ids("""{"s": {"$ne": "a"}}""") == Set(2L))
+    assert(ids("""{"n": {"$exists": true}}""") == Set(1L, 3L))
+    assert(ids("""{"n": {"$exists": false}}""") == Set(2L))
+    // a condition on a missing field matches nothing; $exists:false matches
+    assert(ids("""{"zzz": {"$gt": 0}}""") == Set())
+    assert(ids("""{"zzz": {"$exists": false}}""") == Set(1L, 2L, 3L))
+    assert(ids("""{"$nor": [{"s": "a"}, {"n": 7}]}""") == Set(2L))
+    assert(ids("""{"n": {"$mod": [2, 1]}}""") == Set(1L, 3L))
+    assert(ids("""{"s": {"$type": "string"}}""") == Set(1L, 2L))
+    assert(ids("""{"s": {"$type": "number"}}""") == Set())
+  }
+
+  test("$elemMatch/$allMatch/$size/$all over array columns") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 5, 9)), (2L, Seq(2, 4)), (3L, Seq[Int]()))
+      .toDF("id", "xs")
+    def ids(sel: String): Set[Long] =
+      df.filter(Mango.compile(Mango.parseSelector(sel), df.schema))
+        .select("id").as[Long].collect().toSet
+    assert(ids("""{"xs": {"$elemMatch": {"$gt": 8}}}""") == Set(1L))
+    assert(ids("""{"xs": {"$allMatch": {"$lt": 5}}}""") == Set(2L, 3L))
+    assert(ids("""{"xs": {"$size": 2}}""") == Set(2L))
+    assert(ids("""{"xs": {"$all": [1, 9]}}""") == Set(1L))
+  }
+
+  test("find: sort + fields + limit/skip, deterministic id tiebreak") {
+    val req = """{
+      "selector": {"o_orderstatus": "F"},
+      "fields": ["o_orderkey", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}],
+      "limit": 10, "skip": 3}"""
+    val got = Mango.find(orders, "o_orderkey", req).collect()
+    val want = orders.filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .collect().slice(3, 13)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("indexed find equals full-scan find, and prunes index buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-idx").toString
+    val idx = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderstatus", "o_orderdate"), s"$dir/idx", numBuckets = 8)
+    val req = """{
+      "selector": {
+        "o_orderstatus": "F",
+        "o_orderdate": {"$gte": "1996-01-01T00:00:00Z",
+                         "$lt": "1997-01-01T00:00:00Z"},
+        "o_totalprice": {"$gt": 10000}},
+      "fields": ["o_orderkey", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}],
+      "limit": 500}"""
+    val viaIndex = Mango.findIndexed(spark, orders, "o_orderkey", idx, req)
+    val viaScan = Mango.find(orders, "o_orderkey", req)
+    assert(viaIndex.collect().toSeq == viaScan.collect().toSeq)
+    assert(viaIndex.count() > 0)
+    // the candidate read prunes index bucket directories: the index scan
+    // carries a PartitionFilters entry on _kb (the startkey/endkey range)
+    val plan = viaIndex.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("_kb"),
+      s"no _kb partition pruning in:\n$plan")
+    // the reopened index serves the same plan
+    val reopened = Mango.openIndex(spark, s"$dir/idx")
+    assert(reopened.fields == Seq("o_orderstatus", "o_orderdate"))
+  }
+
+  test("indexBounds: eq prefix + range close; unusable without first field") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("a", "b", "c", "z")
+      .map(StructField(_, LongType)))
+    val sel = Mango.parseSelector(
+      """{"a": 1, "b": {"$gte": 10, "$lt": 20}, "c": {"$gt": 0}}""")
+    val Some((start, end, incl)) =
+      Mango.indexBounds(sel, Seq("a", "b", "c"), schema)
+    assert(start == Seq(1L, 10L))
+    assert(end == Seq(1L, 20L) && !incl)
+    // index whose first field is unconstrained cannot serve
+    assert(Mango.indexBounds(sel, Seq("z", "a"), schema).isEmpty)
+    // pure equality on every field: exact prefix bounds
+    val eq = Mango.parseSelector("""{"a": 1}""")
+    val Some((s2, e2, _)) = Mango.indexBounds(eq, Seq("a"), schema)
+    assert(s2 == Seq(1L) && e2 == Seq(1L, graft.view.MaxKey))
+  }
+}
