@@ -1751,6 +1751,44 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** C12: URL canonicalization + URL-level dedup ([[graft.operators
+    * .Urls]]) — two textual variants of each logical URL are
+    * synthesized per doc (mixed-case scheme/host, default port,
+    * `utm_*`/fragment noise vs the clean form) and must collapse to ONE
+    * canonical key with the lowest doc id kept. The oracle derives the
+    * canonical form ANALYTICALLY (independent construction, not a
+    * replay of the same regex chain — a shared-bug replay would be
+    * circular), so the gate pins the exact normal form. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val g = (col("doc_id") % 50).cast("long")
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("https://src"), g, lit(".example.com/p/"), g,
+          lit("?id="), g))
+      .otherwise(
+        concat(lit("HTTPS://SRC"), g, lit(".EXAMPLE.COM:443/p/"), g,
+          lit("?utm_source=x&id="), g, lit("&utm_campaign=y#frag")))
+    graft.operators.Urls.dedupByUrl(d, col("doc_id"), url)
+      .orderBy(col("canonical_url"))
+  }
+
+  /** H4: JSONL ingestion round trip ([[graft.sources.DocSource]]) —
+    * documents written as JSONL and read back through the
+    * schema-targeted permissive reader must carry every byte of text
+    * (md5-gated), with zero corrupt lines. The corrupt-quarantine and
+    * schema-drift behaviors are spec-gated (`DocSourceSpec`). */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path = idxPath("q122jsl", dir, "documents")
+    if (!hasFile(s"$path/_SUCCESS"))
+      graft.sources.DocSource.writeJsonl(d, path)
+    val (good, bad) = graft.sources.DocSource.readJsonl(s, path, d.schema)
+    require(bad.isEmpty, "clean corpus round trip must have 0 corrupt lines")
+    good.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------- persisted-index plumbing
 
   /** tmp-dir index path keyed by DATASET IDENTITY: the source table's
@@ -2053,7 +2091,9 @@ object SparkEntry {
     "q117_event_store" -> (q117 _),
     "q118_pq_ann" -> (q118 _),
     "q119_heavy_hitters" -> (q119 _),
-    "q120_pq_index" -> (q120 _)
+    "q120_pq_index" -> (q120 _),
+    "q121_url_dedup" -> (q121 _),
+    "q122_jsonl_roundtrip" -> (q122 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3734,7 +3774,21 @@ object SparkEntry {
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j2)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // the canonical form derived ANALYTICALLY from the synthetic
+    // construction (not a replay of the canonicalizer): both textual
+    // variants of group g must land on exactly this string
+    "q121_url_dedup" ->
+      """SELECT 'https://src' || (doc_id % 50) || '.example.com/p/' ||
+        |         (doc_id % 50) || '?id=' || (doc_id % 50) AS canonical_url,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS cnt
+        |FROM documents
+        |GROUP BY doc_id % 50
+        |ORDER BY canonical_url""".stripMargin,
+    // byte-exact text fidelity through the JSONL boundary
+    "q122_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
