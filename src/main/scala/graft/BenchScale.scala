@@ -82,7 +82,17 @@ object BenchScale {
         "text_index_build" -> (() =>
           TextSearch.buildTextIndex(d, col("doc_id"), col("text"), idx)),
         "hybrid_search" -> (() =>
-          noop(TextSearch.hybridSearch(spark, idx, terms, 20))))
+          noop(TextSearch.hybridSearch(spark, idx, terms, 20))),
+        "heavy_hitters" -> (() =>
+          noop(graft.operators.Frequency.heavyHitters(
+            d.select(explode(split(lower(trim(col("text"))), "\\s+"))
+              .as("w")).filter(col("w") =!= ""),
+            col("w"), 40))),
+        "url_dedup" -> (() =>
+          noop(graft.operators.Urls.dedupByUrl(d, col("doc_id"),
+            concat(lit("HTTPS://Host.Example.COM:443/p/"),
+              col("doc_id") % 5000, lit("?utm_source=x&id="),
+              col("doc_id") % 5000, lit("#f"))))))
 
     // JIT/codegen warmup on the small corpus so the base timings are
     // not dominated by first-compile costs the 10× run then skips
@@ -120,6 +130,15 @@ object BenchScale {
         .groupBy(col("cluster_id")).count()
         .orderBy(col("cluster_id")).limit(3)
         .collect().map(_.getLong(0)).toSeq
+      val mgo = s"$tmp/graft_scale_${tag}_mgo"
+      val builds2 = builds :+
+        ("build_mango_index" -> time(graft.operators.Mango.createIndex(
+          spark, d, "doc_id", Seq("doc_id"), mgo, numBuckets = 8)))
+      // a range-bounded find over 1% of the id space: must stay ~flat
+      // at 10× (the _kb/_ck pruning path, not a docs scan)
+      val hi = 200L
+      val findReq = s"""{"selector": {"doc_id": {"$$gte": 0, "$$lt": $hi}},
+        "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100}"""
       val probes = Seq(
         "serve_bm25" -> (() =>
           noop(TextSearch.searchIndexed(spark, txt, terms, 20))),
@@ -131,8 +150,11 @@ object BenchScale {
         "serve_ivf_filtered" -> (() =>
           noop(Similarity.ivfTopKWhere(spark, ivf,
             e.filter(col("vec_id") < 5), 3,
-            e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))))))
-      (builds, probes)
+            e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))))),
+        "serve_mango_find" -> (() =>
+          noop(graft.operators.Mango.findIndexed(spark, d, "doc_id",
+            graft.operators.Mango.MangoIndex(mgo, Seq("doc_id")), findReq))))
+      (builds2, probes)
     }
     val (baseBuilds, baseProbes) = servingSetup(docs, emb, "base")
     val baseServe = baseProbes.map { case (n, f) => n -> best2(f) }
@@ -153,8 +175,44 @@ object BenchScale {
     val semBase = Seq("semdedup" -> best2(() => semdedup(emb)))
     val semBig = Seq("semdedup" -> best2(() => semdedup(bigEmb)))
 
-    val base = base0 ++ baseBuilds ++ baseServe ++ semBase
-    val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig
+    // ---- PQ: ADC serving is a DELIBERATE compressed linear scan (m
+    // ints per vector instead of the raw floats) — the healthy ratio
+    // here is ~10 (linear over codes), NOT flat; what must stay flat is
+    // the per-candidate cost (codes never widen with corpus size). The
+    // probe exists so a superlinear regression (e.g. an accidental
+    // candidate blow-up before the shortlist) shows as >>10.
+    def pqProbe(e: DataFrame, tag: String): Double = {
+      val path = s"$tmp/graft_scale_${tag}_pq"
+      graft.operators.Pq.buildPqIndex(e, path)
+      best2(() => noop(graft.operators.Pq.pqTopKIndexed(spark, path, e,
+        e.filter(col("vec_id") < 5), 3)))
+    }
+    val pqBase = Seq("serve_pq_adc" -> pqProbe(emb, "base"))
+    val pqBig = Seq("serve_pq_adc" -> pqProbe(bigEmb, "10x"))
+
+    // ---- Event store: a FIXED 2-day window over a store whose total
+    // span grows 10× must stay ~flat (day-partition pruning reads the
+    // window's directories, never the table).
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    def evProbe(mult: Int, tag: String): Double = {
+      val dayUs = 86400000000L
+      val src = (0 until mult).map(c =>
+        events.withColumn("event_id", col("event_id") + lit(c * 10000000L))
+          .withColumn("ts", col("ts") +
+            expr(s"INTERVAL ${c * 40} DAYS")))
+        .reduce(_ unionByName _)
+      val path = s"$tmp/graft_scale_${tag}_evs"
+      graft.sources.EventStore.write(src, path)
+      val lo = graft.sources.EventTime.withTsUs(events)
+        .agg(min(col("ts_us"))).head().getLong(0)
+      best2(() => noop(graft.sources.EventStore.readRange(spark, path,
+        lo + dayUs, lo + 3 * dayUs)))
+    }
+    val evBase = Seq("serve_event_window" -> evProbe(1, "base"))
+    val evBig = Seq("serve_event_window" -> evProbe(10, "10x"))
+
+    val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ pqBase ++ evBase
+    val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ pqBig ++ evBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

@@ -837,6 +837,20 @@ object SparkEntry {
     TextSearch.hybridSearch(s, path, searchTerms, 20)
   }
 
+  /** E9b: reciprocal-rank fusion over the same candidate set as q65's
+    * min-max hybrid ([[graft.operators.TextSearch.rrfSearch]]) — the
+    * scale-insensitive fusion: `1/(60+bm25_rank) + 1/(60+cos_rank)`,
+    * integer ranks with doc-id ties, exact-rational sum, fully
+    * replayed in the oracle. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), path)
+    TextSearch.rrfSearch(s, path, searchTerms, 20)
+  }
+
   /** C3b: banded near-dup pairs served from the PERSISTED SimHash
     * index ([[graft.operators.Dedup.simhashPairsIndexed]]) — same
     * results as the on-the-fly q23-family banding, but signatures are
@@ -1676,6 +1690,29 @@ object SparkEntry {
         | "limit": 500}""".stripMargin)
   }
 
+  /** A25b: COVERED Mango find — selector, sort and projection all lie
+    * within the `["o_orderstatus","o_totalprice"]` index (+ the doc
+    * id), so the find is answered from the pruned index ALONE: the
+    * stored key struct is decoded and the documents table is never
+    * read (plan-asserted in `MangoSpec`). Same answer as the
+    * relational oracle, zero doc fetches. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q124mgc", dir, "orders")
+    val idx =
+      if (hasFile(s"$path/_mango_fields")) Mango.openIndex(s, path)
+      else Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"), path, numBuckets = 4)
+    Mango.findIndexed(s, orders, "o_orderkey", idx,
+      """{"selector": {
+        |  "o_orderstatus": "O",
+        |  "o_totalprice": {"$gte": 80000, "$lt": 250000}},
+        | "fields": ["o_orderkey", "o_totalprice"],
+        | "sort": [{"o_totalprice": "desc"}],
+        | "limit": 300}""".stripMargin)
+  }
+
   /** H3: time-partitioned event store ([[graft.sources.EventStore]]) —
     * `_day` hive partitions + ts-sorted files; a 2-day window starting
     * mid-day reads 3 day directories (partition pruning) and skips row
@@ -1853,6 +1890,10 @@ object SparkEntry {
         idxPath("txa", dir, "documents"), analyzer =
           graft.operators.TextSearch.Analyzer(
             stopwords = graft.operators.Text.langWords.head._2))),
+    "q124_mango_covered" -> ((s, dir) => graft.operators.Mango
+      .createIndex(s, t(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"),
+        idxPath("q124mgc", dir, "orders"), numBuckets = 4)),
     "q120_pq_index" -> ((s, dir) => graft.operators.Pq
       .buildPqIndex(t(s, dir, "embeddings"),
         idxPath("q120pq", dir, "embeddings"))),
@@ -2093,7 +2134,9 @@ object SparkEntry {
     "q119_heavy_hitters" -> (q119 _),
     "q120_pq_index" -> (q120 _),
     "q121_url_dedup" -> (q121 _),
-    "q122_jsonl_roundtrip" -> (q122 _)
+    "q122_jsonl_roundtrip" -> (q122 _),
+    "q123_rrf_search" -> (q123 _),
+    "q124_mango_covered" -> (q124 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3788,7 +3831,95 @@ object SparkEntry {
     // byte-exact text fidelity through the JSONL boundary
     "q122_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the covered find: answered from the index alone on the Spark
+    // side; relationally it is just this query
+    "q124_mango_covered" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND o_totalprice >= 80000 AND o_totalprice < 250000
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 300""".stripMargin,
+    // q65's candidate/bm25/tfidf-cosine derivation with rank-based RRF
+    // fusion: integer ranks (bm desc / cos desc, doc-id ties), score =
+    // 1/(60+r1) + 1/(60+r2) — exact rationals, same doubles both engines
+    "q123_rrf_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |st AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |sa AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qtf AS (SELECT doc_id, term, tf FROM tf
+        |        WHERE term IN ('hash', 'join', 'stream')),
+        |df3 AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+        |s AS (
+        |  SELECT qtf.doc_id, qtf.term,
+        |    ln((CAST(st.n - df3.df AS DOUBLE) + 0.5) / (CAST(df3.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(qtf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(qtf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / sa.avgdl)) AS sc
+        |  FROM qtf JOIN dl USING (doc_id) JOIN df3 USING (term)
+        |  CROSS JOIN st CROSS JOIN sa),
+        |p AS (
+        |  SELECT doc_id,
+        |    FLOOR((COALESCE(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0)
+        |         + COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0)
+        |         + COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0))
+        |      * 10000 + 0.5) / 10000 AS bm
+        |  FROM s GROUP BY doc_id),
+        |mx AS (SELECT MAX(bm) AS maxb FROM p),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
+        |     (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
+        |    SUM(tf * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
+        |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st
+        |  GROUP BY doc_id, feat),
+        |m AS (SELECT doc_id, map(list(feat ORDER BY feat),
+        |                         list(wi ORDER BY feat)) AS mp
+        |      FROM wt GROUP BY doc_id),
+        |dense AS (
+        |  SELECT doc_id, list_transform(range(0, 64),
+        |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS v
+        |  FROM m),
+        |qwt AS (
+        |  SELECT ((strpos('0123456789abcdef', md5(term)[7]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', md5(term)[8]) - 1)) % 64 AS feat,
+        |    SUM(1 * CAST(FLOOR((ln((CAST(st.n AS DOUBLE) + 1.0) /
+        |          (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)) AS wi
+        |  FROM dft CROSS JOIN st
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY feat),
+        |qm AS (SELECT map(list(feat ORDER BY feat),
+        |                  list(wi ORDER BY feat)) AS mp FROM qwt),
+        |qdense AS (
+        |  SELECT list_transform(range(0, 64),
+        |    i -> CAST(COALESCE(map_extract(mp, i)[1], 0) AS DOUBLE) / 1000000.0) AS qv
+        |  FROM qm),
+        |rb AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm DESC, doc_id) AS r1
+        |  FROM p),
+        |cosd AS (
+        |  SELECT p.doc_id,
+        |    FLOOR((list_dot_product(d.v, q.qv) /
+        |           (sqrt(list_dot_product(d.v, d.v)) *
+        |            sqrt(list_dot_product(q.qv, q.qv)))) * 10000 + 0.5) / 10000 AS c
+        |  FROM p JOIN dense d ON d.doc_id = p.doc_id
+        |  CROSS JOIN qdense q),
+        |rc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r2
+        |       FROM cosd),
+        |f AS (
+        |  SELECT rb.doc_id,
+        |    FLOOR((1.0 / (60 + r1) + 1.0 / (60 + r2)) * 10000 + 0.5) / 10000 AS score
+        |  FROM rb JOIN rc ON rb.doc_id = rc.doc_id)
+        |SELECT doc_id, score FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

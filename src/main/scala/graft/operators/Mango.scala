@@ -433,12 +433,41 @@ object Mango {
     }
   }
 
-  /** Serve a `_find` from a JSON index: candidates come from the PRUNED
+  /** Every field path a selector mentions. */
+  private def selectorPaths(sel: Sel): Set[String] = sel match {
+    case Cmp(p, _, _) => Set(p)
+    case In(p, _, _) => Set(p)
+    case Exists(p, _) => Set(p)
+    case TypeIs(p, _) => Set(p)
+    case Mod(p, _, _) => Set(p)
+    case Regex(p, _) => Set(p)
+    case SizeIs(p, _) => Set(p)
+    case AllOf(p, _) => Set(p)
+    case ElemMatch(p, _, _) => Set(p)
+    case And(ss) => ss.flatMap(selectorPaths).toSet
+    case Or(ss) => ss.flatMap(selectorPaths).toSet
+    case Nor(ss) => ss.flatMap(selectorPaths).toSet
+    case Not(s) => selectorPaths(s)
+  }
+
+  /** Serve a `_find` from a JSON index: bounds come from the PRUNED
     * index range (`_kb` directory pruning + `_ck` row-group min/max —
-    * the A8 machinery), are joined back to the documents (the by-id
-    * fetch), and the FULL selector then runs as a residual filter, so
-    * index bounds only ever affect how much index is read. Falls back to
-    * the full-scan [[find]] when the index cannot serve the selector. */
+    * the A8 machinery). Two serve shapes:
+    *
+    *  - **covered**: when every field the request touches (selector,
+    *    sort, projection) is an indexed field or the doc id, the find
+    *    is answered from the index ALONE — the stored key struct is
+    *    decoded (`from_json` against the docs schema), the FULL
+    *    selector runs on it, and the documents table is never read
+    *    (plan-asserted in the spec). The covering path handles
+    *    top-level fields (dotted paths fall back to the fetch path).
+    *  - **fetch**: otherwise candidate ids semi-join the documents
+    *    table (the by-id fetch) and the FULL selector re-runs as a
+    *    residual, so index bounds only ever affect how much index is
+    *    read.
+    *
+    * Falls back to the full-scan [[find]] when the index's first field
+    * is unconstrained. */
   def findIndexed(spark: SparkSession, docs: DataFrame, idCol: String,
                   index: MangoIndex, findJson: String): DataFrame = {
     val req = parseFind(findJson)
@@ -447,12 +476,33 @@ object Mango {
       case Some((startK, endK, incl)) =>
         val v = indexView(docs, idCol, index.fields)
           .fromIndex(spark, index.path)
-        val ids = v.query(QueryOpts(startKey = Some(startK),
-            endKey = Some(endK), inclusiveEnd = incl, reduce = false,
-            sorted = false))
-          .select(col("id").as(idCol)).distinct()
-        val fetched = docs.join(ids, Seq(idCol), "left_semi")
-        val filtered = fetched.filter(compile(req.selector, docs.schema))
+        val idxRows = v.query(QueryOpts(startKey = Some(startK),
+          endKey = Some(endK), inclusiveEnd = incl, reduce = false,
+          sorted = false))
+        val touched = selectorPaths(req.selector) ++
+          req.sort.map(_._1) ++ req.fields
+        val covered = index.fields.toSet + idCol
+        val coverable = touched.subsetOf(covered) &&
+          touched.forall(!_.contains('.'))
+        val (rows, schema) =
+          if (coverable) {
+            // decode the stored key struct; the find then never touches
+            // the documents table
+            val keySchema = StructType(index.fields.map(f =>
+              StructField(f, resolve(docs.schema, f).get._2)))
+            val idType = docs.schema(idCol).dataType
+            val decoded = idxRows
+              .select(col("id").cast(idType).as(idCol),
+                from_json(col("key"), keySchema).as("_k"))
+              .select(col(idCol) +: index.fields.map(f =>
+                col(s"_k.$f").as(f)): _*)
+            (decoded, StructType(StructField(idCol, idType) +:
+              keySchema.fields.toSeq))
+          } else {
+            val ids = idxRows.select(col("id").as(idCol)).distinct()
+            (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
+          }
+        val filtered = rows.filter(compile(req.selector, schema))
         val sortCols = req.sort.map { case (f, asc) =>
           if (asc) col(f).asc else col(f).desc
         } :+ col(idCol).asc
@@ -464,6 +514,48 @@ object Mango {
         }
         if (req.fields.nonEmpty) paged.select(req.fields.map(col): _*)
         else paged
+    }
+  }
+
+  /** CouchDB's index SELECTION among all available JSON indexes: the
+    * candidate whose usable bound covers the longest field prefix wins
+    * (eq fields count 2, a closing range 1 — equality prunes tighter),
+    * ties to the fewer-fields index (less index read per row). Returns
+    * None when no index can serve (first field unconstrained
+    * everywhere) — the caller then full-scans, as `_find` does. */
+  def pickIndex(sel: Sel, indexes: Seq[MangoIndex],
+                schema: StructType): Option[MangoIndex] = {
+    def conj(s: Sel): Seq[Sel] = s match {
+      case And(ss) => ss.flatMap(conj)
+      case other => Seq(other)
+    }
+    val conds = conj(sel)
+    def score(ix: MangoIndex): Int = {
+      val eqs = ix.fields.takeWhile(f =>
+        conds.exists { case Cmp(`f`, "$eq", _) => true; case _ => false })
+      val rangeNext = ix.fields.drop(eqs.length).headOption.exists(f =>
+        conds.exists {
+          case Cmp(`f`, op, _) =>
+            op == "$gt" || op == "$gte" || op == "$lt" || op == "$lte"
+          case _ => false
+        })
+      eqs.length * 2 + (if (rangeNext) 1 else 0)
+    }
+    indexes.map(ix => (ix, score(ix)))
+      .filter(_._2 > 0)
+      .sortBy { case (ix, sc) => (-sc, ix.fields.length) }
+      .headOption.map(_._1)
+  }
+
+  /** `_find` with automatic index selection: [[pickIndex]] over the
+    * available indexes, [[findIndexed]] through the winner, full scan
+    * when none qualifies. */
+  def findAuto(spark: SparkSession, docs: DataFrame, idCol: String,
+               indexes: Seq[MangoIndex], findJson: String): DataFrame = {
+    val req = parseFind(findJson)
+    pickIndex(req.selector, indexes, docs.schema) match {
+      case Some(ix) => findIndexed(spark, docs, idCol, ix, findJson)
+      case None => find(docs, idCol, findJson)
     }
   }
 }

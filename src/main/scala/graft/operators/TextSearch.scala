@@ -632,6 +632,56 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the other standard hybrid-retrieval combiner: instead of
+    * normalizing scores onto one scale ([[hybridSearch]]'s min-max
+    * fusion), each signal contributes `1/(k0 + rank)`, which is immune
+    * to score-scale mismatch between BM25 and cosine. Both rankings run
+    * over the SAME candidate set (docs matching ≥1 query term — bounded
+    * by the query terms' posting lists, never the corpus), ranks break
+    * ties by doc id, and the fused score is a fixed-order sum of exact
+    * rationals of integer ranks — so the whole ranking replays in the
+    * oracle engine bit-for-bit. The two rank windows are global over
+    * the candidate set (the same bounded-all-to-one trade as
+    * [[hybridSearch]]'s final sort — fine for posting-bounded
+    * candidates, which is the operator's contract). */
+  def rrfSearch(spark: SparkSession, path: String, queryTerms: Seq[String],
+                k: Int, k0: Int = 60, dim: Int = 64): DataFrame = {
+    require(k0 > 0, "rrf k0 must be positive")
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    val bm = sumInTermOrder(
+        bm25Partials(spark, path, terms, st, 1.2, 0.75), terms)
+      .withColumnRenamed("score", "bm25")
+    val qv = weighted(
+      readPruned(spark, path, "terms", terms, st.nBuckets)
+        .select(lit(-1L).as("doc_id"), col("term"), lit(1L).as("tf"),
+          col("df")), lit(st.n), dim)
+    val qvec = densify(qv, dim).select(col("embedding").as("_qv"))
+    val dv = tfidfVectorsFor(spark, path, bm.select(col("doc_id")), dim)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("_dv"))
+    import graft.operators.Similarity.dot
+    val cos = bm.select(col("doc_id")).join(dv, Seq("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), round4(dot(col("_dv"), col("_qv")) /
+        (sqrt(dot(col("_dv"), col("_dv"))) *
+          sqrt(dot(col("_qv"), col("_qv"))))).as("_cos"))
+    import org.apache.spark.sql.expressions.Window
+    val r1 = bm.withColumn("_r1", row_number().over(
+      Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("_r1"))
+    val r2 = cos.withColumn("_r2", row_number().over(
+      Window.orderBy(col("_cos").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("_r2"))
+    r1.join(r2, Seq("doc_id"))
+      .select(col("doc_id"), round4(
+        lit(1.0) / (lit(k0) + col("_r1")) +
+          lit(1.0) / (lit(k0) + col("_r2"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** `(doc_id, _feat, _wi)` integer hashed-TF-IDF weights. The idf is
     * rounded at 1e-6 and carried as an integer so downstream
     * collision sums are order-free exact adds. */

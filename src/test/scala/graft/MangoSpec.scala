@@ -99,6 +99,67 @@ class MangoSpec extends SparkSpecBase {
     assert(reopened.fields == Seq("o_orderstatus", "o_orderdate"))
   }
 
+  test("covered find serves from the index alone (no documents scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-cov").toString
+    val idx = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"), s"$dir/idx", numBuckets = 4)
+    // selector, sort and fields all within {indexed fields, id}
+    val req = """{
+      "selector": {"o_orderstatus": "F",
+                    "o_totalprice": {"$gte": 50000, "$lt": 150000}},
+      "fields": ["o_orderkey", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}],
+      "limit": 40}"""
+    val covered = Mango.findIndexed(spark, orders, "o_orderkey", idx, req)
+    val viaScan = Mango.find(orders, "o_orderkey", req)
+    assert(covered.collect().toSeq == viaScan.collect().toSeq)
+    assert(covered.count() > 0)
+    val scans = covered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata("Location").contains(s"$dir/idx")),
+      "covered find must read ONLY the index")
+
+    // a request touching a non-indexed field takes the fetch path and
+    // still agrees
+    val req2 = """{
+      "selector": {"o_orderstatus": "F",
+                    "o_totalprice": {"$gte": 50000},
+                    "o_orderpriority": {"$regex": "^1-"}},
+      "fields": ["o_orderkey"], "sort": ["o_orderkey"], "limit": 20}"""
+    assert(Mango.findIndexed(spark, orders, "o_orderkey", idx, req2)
+      .collect().toSeq ==
+      Mango.find(orders, "o_orderkey", req2).collect().toSeq)
+  }
+
+  test("pickIndex prefers the tightest usable prefix; findAuto agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-pick").toString
+    val byStatus = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderstatus", "o_orderdate"), s"$dir/a", numBuckets = 4)
+    val byPrio = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderpriority"), s"$dir/b", numBuckets = 4)
+    val sel = Mango.parseSelector(
+      """{"o_orderstatus": "F",
+         "o_orderdate": {"$gte": "1996-01-01T00:00:00Z"}}""")
+    assert(Mango.pickIndex(sel, Seq(byPrio, byStatus), orders.schema)
+      .contains(byStatus))
+    val selPrio = Mango.parseSelector("""{"o_orderpriority": "1-URGENT"}""")
+    assert(Mango.pickIndex(selPrio, Seq(byPrio, byStatus), orders.schema)
+      .contains(byPrio))
+    // no index usable -> None, findAuto falls back to scan
+    val selNone = Mango.parseSelector("""{"o_totalprice": {"$gt": 1}}""")
+    assert(Mango.pickIndex(selNone, Seq(byPrio, byStatus),
+      orders.schema).isEmpty)
+    val req = """{"selector": {"o_orderstatus": "F",
+        "o_orderdate": {"$gte": "1996-01-01T00:00:00Z",
+                         "$lt": "1996-07-01T00:00:00Z"}},
+      "fields": ["o_orderkey"], "sort": ["o_orderkey"], "limit": 30}"""
+    assert(Mango.findAuto(spark, orders, "o_orderkey",
+      Seq(byPrio, byStatus), req).collect().toSeq ==
+      Mango.find(orders, "o_orderkey", req).collect().toSeq)
+  }
+
   test("indexBounds: eq prefix + range close; unusable without first field") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq("a", "b", "c", "z")

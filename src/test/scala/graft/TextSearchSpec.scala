@@ -29,6 +29,37 @@ class TextSearchSpec extends SparkSpecBase {
     assert(s.values.forall(_ > 0.0))
   }
 
+  test("rrfSearch: reciprocal-rank fusion semantics over the candidate set") {
+    val path = Files.createTempDirectory("graft-rrf").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path)
+    val got = TextSearch.rrfSearch(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // (the exact rank fusion is replayed end-to-end by the q123 oracle;
+    // this spec pins the operator-level contract)
+    val bm = TextSearch.searchIndexed(spark, path, terms, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val r1 = bm.sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // every fused score is 1/(60+r1) + 1/(60+r2) for positive ranks
+    val maxScore = math.floor((1.0 / 61 + 1.0 / 61) * 10000 + 0.5) / 10000
+    assert(got.nonEmpty && got.forall { case (_, sc) =>
+      sc > 0.0 && sc <= maxScore })
+    // descending with doc-id tiebreak
+    assert(got.sliding(2).forall(p => p(0)._2 > p(1)._2 ||
+      (p(0)._2 == p(1)._2 && p(0)._1 < p(1)._1)))
+    // fused docs come from the lexical candidate set, and the winner
+    // carries a strong bm25 rank (k0=60 damps but cannot erase rank 1)
+    assert(got.map(_._1).toSet.subsetOf(r1.keySet),
+      "fused docs must come from the candidate set")
+    assert(r1(got.head._1) <= 10,
+      s"fused winner ${got.head._1} has bm25 rank ${r1(got.head._1)}")
+    // k0 sensitivity: a huge k0 flattens both signals toward equal
+    // contributions but must keep the output a permutation of candidates
+    val flat = TextSearch.rrfSearch(spark, path, terms, 10, k0 = 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat.subsetOf(r1.keySet))
+  }
+
   test("indexed search == corpus-scan search, with bucket pruning") {
     val brute = TextSearch.search(docs, $"doc_id", $"text", terms, 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
