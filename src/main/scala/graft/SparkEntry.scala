@@ -1733,6 +1733,41 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** H3b: event-store APPEND + COMPACTION end-to-end — the store is
+    * built from half the events, the other half arrives as three late
+    * appends (fragmenting the day dirs), fragmented days compact
+    * (rewritten as one ts-sorted file each; untouched days stay
+    * byte-identical — spec), and the q117 window aggregation over the
+    * final store must equal the raw-events oracle exactly. */
+  private def q125Build(s: SparkSession, dir: String): Unit = {
+    import graft.sources.EventStore
+    val path = idxPath("q125evs", dir, "events")
+    val ev = events(s, dir)
+    EventStore.write(ev.filter(col("event_id") % 2 === 0), path)
+    // the three appends cover residues 1, 2, 0 — every odd event once
+    (1 to 3).foreach(i => EventStore.append(
+      ev.filter(col("event_id") % 2 =!= 0 &&
+        col("event_id") % 3 === i % 3), path))
+    EventStore.compact(s, path, maxFilesPerDay = 2)
+    new java.io.File(s"$path/_graft_appended").createNewFile()
+  }
+
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.EventStore
+    val dayUs = 86400000000L
+    val path = idxPath("q125evs", dir, "events")
+    if (!hasFile(s"$path/_graft_appended"))
+      q125Build(s, dir)
+    val lo = events(s, dir).agg(min(col("ts_us"))).head().getLong(0)
+    val from = lo + 3 * dayUs + dayUs / 2
+    EventStore.readRange(s, path, from, from + 2 * dayUs)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -1903,6 +1938,7 @@ object SparkEntry {
         idxPath("q116mgo", dir, "orders"), numBuckets = 4)),
     "q117_event_store" -> ((s, dir) => graft.sources.EventStore
       .write(events(s, dir), idxPath("q117evs", dir, "events"))),
+    "q125_event_append" -> (q125Build _),
     "q90_fielded_search" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
       graft.operators.TextSearch.buildFieldedTextIndex(
@@ -2136,7 +2172,8 @@ object SparkEntry {
     "q121_url_dedup" -> (q121 _),
     "q122_jsonl_roundtrip" -> (q122 _),
     "q123_rrf_search" -> (q123 _),
-    "q124_mango_covered" -> (q124 _)
+    "q124_mango_covered" -> (q124 _),
+    "q125_event_append" -> (q125 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3832,6 +3869,16 @@ object SparkEntry {
     "q122_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // append+compact must converge to the same relation as one write:
+    // the q117 window oracle over the raw table
+    "q125_event_append" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) + 302400000000 AS lo FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 172800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the covered find: answered from the index alone on the Spark
     // side; relationally it is just this query
     "q124_mango_covered" ->

@@ -207,6 +207,9 @@ object Mango {
       case Cmp(p, "$gte", v) => on(p)((c, dt) => c >= coerce(v, dt))
       case Cmp(_, op, _) =>
         throw new IllegalArgumentException(s"mango: unknown comparison $op")
+      case In(_, Nil, false) => lit(false) // $in []: nothing matches
+      case In(p, Nil, true) => // $nin []: any doc with the field matches
+        on(p)((c, _) => c.isNotNull)
       case In(p, vs, false) =>
         on(p)((c, dt) => vs.map(v => c === coerce(v, dt)).reduce(_ || _))
       case In(p, vs, true) =>
@@ -236,6 +239,8 @@ object Mango {
           ((r % d) + d) % d))
       case Regex(p, re) => on(p)((c, _) => c.rlike(re))
       case SizeIs(p, n) => on(p)((c, _) => size(c) === lit(n))
+      case AllOf(p, Nil) => // $all []: vacuously true for any array field
+        on(p)((c, _) => c.isNotNull)
       case AllOf(p, vs) =>
         on(p)((c, _) => vs.map(v => array_contains(c, v)).reduce(_ && _))
       case ElemMatch(p, inner, forAll) =>
@@ -246,8 +251,8 @@ object Mango {
           else exists(c, pred)
         }
       case And(ss) => ss.map(compile(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
-      case Or(ss) => ss.map(compile(_, schema)).reduce(_ || _)
-      case Nor(ss) => !ss.map(compile(_, schema)).reduce(_ || _)
+      case Or(ss) => ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
+      case Nor(ss) => !ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
       case Not(s) => !compile(s, schema)
     }
   }

@@ -41,6 +41,61 @@ object EventStore {
       .parquet(path)
   }
 
+  /** Append a batch into an existing store: new rows land in their
+    * `_day` directories as additional ts-sorted files — the append-only
+    * fast path an event stream needs (no read-modify-write of existing
+    * days). Late-arriving data fragments old days over time; that is
+    * [[compact]]'s job, deliberately decoupled so ingestion latency
+    * never pays compaction cost. */
+  def append(events: DataFrame, path: String, filesPerDay: Int = 1): Unit = {
+    val e = EventTime.withTsUs(events)
+      .withColumn("_day", (col("ts_us") / lit(DayUs)).cast("long"))
+    e.repartition(col("_day"),
+        pmod(xxhash64(col("ts_us")), lit(filesPerDay.toLong)))
+      .sortWithinPartitions(col("_day"), col("ts_us"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("_day")
+      .parquet(path)
+  }
+
+  /** Rewrite ONLY the day directories whose file count exceeds
+    * `maxFilesPerDay` (the G7 compaction discipline applied to the
+    * event layout): each fragmented day is read, re-sorted by `ts_us`,
+    * and swapped as one file set — row-group min/max become tight again
+    * and the reader stops paying per-fragment open costs. Untouched
+    * days are never read or written. Returns the compacted day ids. */
+  def compact(spark: SparkSession, path: String,
+              maxFilesPerDay: Int = 4): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_day="))
+    val fragmented = days.filter { d =>
+      fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerDay
+    }
+    fragmented.map { d =>
+      val dayDir = d.getPath
+      val day = dayDir.getName.stripPrefix("_day=").toLong
+      val tmp = new org.apache.hadoop.fs.Path(
+        dayDir.getParent, s"_compact_tmp_${dayDir.getName}")
+      fs.delete(tmp, true)
+      spark.read.parquet(dayDir.toString)
+        .sort(col("ts_us"))
+        .coalesce(1)
+        .write.parquet(tmp.toString)
+      // swap by rename: a crash leaves the day either old or new
+      val old = new org.apache.hadoop.fs.Path(
+        dayDir.getParent, s"_old_${dayDir.getName}")
+      if (!fs.rename(dayDir, old))
+        throw new java.io.IOException(s"compact: cannot move $dayDir")
+      if (!fs.rename(tmp, dayDir))
+        throw new java.io.IOException(s"compact: cannot publish $tmp")
+      fs.delete(old, true)
+      day
+    }.toSeq
+  }
+
   /** Read the store restricted to `[fromUs, toUs)` epoch-micros: the
     * `_day` range prunes partitions, the `ts_us` range prunes row
     * groups. Returns the event columns plus `ts_us` (without `_day`). */

@@ -35,6 +35,44 @@ class EventStoreSpec extends SparkSpecBase {
     assert(totalDays > 3, "testdata should span more days than the window")
   }
 
+  test("append lands in day dirs; compact rewrites only fragmented days") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("evstore3").toString
+    val store = s"$dir/store"
+    val first = events.filter(col("event_id") % 2 === 0)
+    val late = events.filter(col("event_id") % 2 =!= 0)
+    EventStore.write(first, store)
+    // three late batches fragment the same days
+    (1 to 3).foreach(i =>
+      EventStore.append(late.filter(col("event_id") % 3 === i % 3), store))
+    val all = EventTime.withTsUs(events)
+    val lo = all.agg(min("ts_us")).head().getLong(0)
+    val hi = all.agg(max("ts_us")).head().getLong(0)
+    assert(EventStore.readRange(spark, store, lo, hi + 1).count() ==
+      events.count(), "append lost or duplicated rows")
+
+    def fileSet(day: Long): Set[String] = {
+      val d = new java.io.File(s"$store/_day=$day")
+      if (!d.exists()) Set()
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val days = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("_day="))
+      .map(_.getName.stripPrefix("_day=").toLong).sorted.toSeq
+    val before = days.map(d => d -> fileSet(d)).toMap
+    val compacted = EventStore.compact(spark, store, maxFilesPerDay = 2)
+    assert(compacted.nonEmpty, "fragmented days must compact")
+    days.foreach { d =>
+      if (compacted.contains(d))
+        assert(fileSet(d).size == 1, s"day $d not compacted")
+      else
+        assert(fileSet(d) == before(d), s"untouched day $d was rewritten")
+    }
+    // contents unchanged
+    assert(EventStore.readRange(spark, store, lo, hi + 1).count() ==
+      events.count(), "compaction changed the row set")
+  }
+
   test("empty and boundary ranges behave") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("evstore2").toString

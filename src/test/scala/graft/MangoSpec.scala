@@ -45,6 +45,24 @@ class MangoSpec extends SparkSpecBase {
     assert(ids("""{"s": {"$type": "number"}}""") == Set())
   }
 
+  test("empty-list operators: $in [] matches nothing, $nin [] everything-with-field, empty combinators") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None)).toDF("id", "s")
+    def ids(sel: String): Set[Long] =
+      df.filter(Mango.compile(Mango.parseSelector(sel), df.schema))
+        .select("id").as[Long].collect().toSet
+    assert(ids("""{"s": {"$in": []}}""") == Set())
+    assert(ids("""{"s": {"$nin": []}}""") == Set(1L))
+    assert(ids("""{"$or": []}""") == Set())
+    assert(ids("""{"$nor": []}""") == Set(1L, 2L))
+    assert(ids("""{"$and": []}""") == Set(1L, 2L))
+    val arr = Seq((1L, Seq(1, 2)), (2L, Seq[Int]())).toDF("id", "xs")
+    val all0 = arr.filter(Mango.compile(
+      Mango.parseSelector("""{"xs": {"$all": []}}"""), arr.schema))
+      .select("id").as[Long].collect().toSet
+    assert(all0 == Set(1L, 2L))
+  }
+
   test("$elemMatch/$allMatch/$size/$all over array columns") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 5, 9)), (2L, Seq(2, 4)), (3L, Seq[Int]()))
