@@ -1768,6 +1768,140 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** The synthesized revision-tree LEAVES for q126 — replication
+    * history the oracle reconstructs analytically: every doc has a main
+    * branch (depth 1+id%4, deleted when id%7==0); docs with id%3==0
+    * grew a conflict branch (depth 1+(id div 3)%4, deleted when
+    * id%6==0). Covers live-vs-deleted, depth ties broken by hash, and
+    * all-leaves-deleted docs. */
+  private def q126Leaves(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def leaf(pos: Column, branch: String, del: Column): DataFrame => DataFrame =
+      _.select(col("doc_id"), pos.cast("long").as("rev_pos"), del.as("deleted"))
+        .withColumn("rev_hash", md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("rev_pos").cast("string"), lit(s":$branch"))))
+    val main = leaf(lit(1) + col("doc_id") % 4, "m", col("doc_id") % 7 === 0)(d)
+    val confl = leaf(lit(1) + expr("doc_id div 3") % 4, "c",
+      col("doc_id") % 6 === 0)(d.filter(col("doc_id") % 3 === 0))
+    main.unionByName(confl)
+  }
+
+  /** A26: MVCC revision resolution ([[graft.operators.Revisions]]) —
+    * the CouchDB winning-rev rule (live beats deleted, then deepest,
+    * then greatest hash) plus the conflict set, resolved in ONE
+    * partial-aggregable `max(struct)` groupBy; the oracle replays the
+    * same rule as a window over the identically-synthesized leaves. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Revisions.summary(q126Leaves(s, dir), col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"))
+      .orderBy(col("id"))
+
+  /** B29: ordered-funnel conversion ([[graft.operators.EventAnalytics]])
+    * — view → click → purchase within 7 days of the user's first view,
+    * first-touch anchored, one filtered partial-aggregable `min` per
+    * step (per-user state = one timestamp; no event collection). The
+    * oracle replays the same greedy chain as three CTE aggregations. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.EventAnalytics.funnel(ev, col("user_id"),
+      col("ts_us"), col("event_type"), Seq("view", "click", "purchase"),
+      windowMicros = 7L * 86400000000L)
+  }
+
+  /** B30: cohort retention ([[graft.operators.EventAnalytics]]) — users
+    * cohorted by first-event day, re-counted at day offsets 0/1/7; two
+    * aggregations, per-user state = one long. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.EventAnalytics.retention(ev, col("user_id"),
+      col("ts_us"), Seq(0, 1, 7))
+  }
+
+  /** The q129 change-log synthesis: every doc was written (rev 1), even
+    * docs updated (rev 2), and a TAIL append batch re-wrote the %5 docs
+    * (rev 3, %10 deleted) with seqs above the initial log — exercising
+    * [[graft.sources.ChangesFeed.append]]'s single-writer contract. */
+  private def q129Build(s: SparkSession, dir: String): Unit = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val md = d.agg(max(col("doc_id"))).head().getLong(0)
+    def rev(n: Int): Column = concat(lit(s"$n-"),
+      md5(concat(col("doc_id").cast("string"), lit(s":r$n"))))
+    def batch(seq: Column, n: Int, del: Column): DataFrame => DataFrame =
+      _.select(seq.cast("long").as("seq"), col("doc_id").as("id"),
+        rev(n).as("rev"), del.as("deleted"))
+    val base = batch(col("doc_id") * 3, 1, lit(false))(d)
+    val second = batch(col("doc_id") * 3 + 1, 2, lit(false))(
+      d.filter(col("doc_id") % 2 === 0))
+    ChangesFeed.write(base.unionByName(second), path, width = 128)
+    ChangesFeed.append(batch(lit(3L * (md + 1)) + col("doc_id"), 3,
+      col("doc_id") % 10 === 0)(d.filter(col("doc_id") % 5 === 0)), path)
+    new java.io.File(s"$path/_graft_built").createNewFile()
+  }
+
+  /** A27: the `_changes` feed ([[graft.sources.ChangesFeed]]) — a
+    * replicator resumes from checkpoint `since = 3·maxdoc/2` (mid-log)
+    * and receives each doc changed after it ONCE, at its latest change,
+    * seq-ordered; the read prunes to `_kb >= since div width` buckets.
+    * The oracle replays log synthesis, checkpoint cut, and latest-change
+    * dedup. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.since(s, path, 3 * md / 2)
+  }
+
+  private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val b = t(s, dir, "orders").agg(
+      min(col("o_custkey")), max(col("o_custkey")),
+      min(floor(col("o_totalprice"))), max(floor(col("o_totalprice")))).head()
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  private def q130Build(s: SparkSession, dir: String): Unit = {
+    val path = idxPath("q130zo", dir, "orders")
+    val (clo, chi, plo, phi) = q130Bounds(s, dir)
+    graft.sources.ZOrder.writeClustered(t(s, dir, "orders"), path,
+      col("o_custkey"), floor(col("o_totalprice")), (clo, chi), (plo, phi),
+      bits = 16, numFiles = 16)
+    new java.io.File(s"$path/_graft_built").createNewFile()
+  }
+
+  /** H5: Z-order clustering ([[graft.sources.ZOrder]]) — the orders
+    * table laid out on the Morton interleave of (custkey, totalprice),
+    * then a 2-D box query over the clustered store; the projected
+    * z-value gates the interleave arithmetic row-by-row (the oracle
+    * recomputes it bit-for-bit in integer SQL). The skipping evidence
+    * (box reads few files on BOTH dims) is ZOrderSpec's. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val path = idxPath("q130zo", dir, "orders")
+    if (!hasFile(s"$path/_graft_built")) q130Build(s, dir)
+    val (clo, chi, plo, phi) = q130Bounds(s, dir)
+    val (cka, ckb) = (clo + (chi - clo) / 4, clo + 2 * (chi - clo) / 5)
+    val (tpa, tpb) = (plo + (phi - plo) / 4, plo + 2 * (phi - plo) / 5)
+    import graft.sources.ZOrder
+    s.read.parquet(path)
+      .filter(col("o_custkey") >= cka && col("o_custkey") <= ckb &&
+        floor(col("o_totalprice")) >= tpa && floor(col("o_totalprice")) < tpb)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        ZOrder.zvalue(ZOrder.quantize(col("o_custkey"), clo, chi, 16),
+          ZOrder.quantize(floor(col("o_totalprice")), plo, phi, 16), 16)
+          .as("zval"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** E17: model-based quality classification ([[graft.operators.Text
+    * .qualityModelScores]]) — a logistic "pretrained classifier" over
+    * the interpretable q30 features, zero-shuffle codegen map; features
+    * round at 1e-4 before the exponent so both engines exponentiate
+    * identical doubles. */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    Text.qualityModelScores(t(s, dir, "documents"), col("doc_id"),
+      col("text")).orderBy(col("doc_id"))
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -1939,6 +2073,8 @@ object SparkEntry {
     "q117_event_store" -> ((s, dir) => graft.sources.EventStore
       .write(events(s, dir), idxPath("q117evs", dir, "events"))),
     "q125_event_append" -> (q125Build _),
+    "q129_changes_feed" -> (q129Build _),
+    "q130_zorder_box" -> (q130Build _),
     "q90_fielded_search" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
       graft.operators.TextSearch.buildFieldedTextIndex(
@@ -2173,7 +2309,13 @@ object SparkEntry {
     "q122_jsonl_roundtrip" -> (q122 _),
     "q123_rrf_search" -> (q123 _),
     "q124_mango_covered" -> (q124 _),
-    "q125_event_append" -> (q125 _)
+    "q125_event_append" -> (q125 _),
+    "q126_rev_winners" -> (q126 _),
+    "q127_funnel" -> (q127 _),
+    "q128_retention" -> (q128 _),
+    "q129_changes_feed" -> (q129 _),
+    "q130_zorder_box" -> (q130 _),
+    "q131_quality_model" -> (q131 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3966,7 +4108,140 @@ object SparkEntry {
         |  SELECT rb.doc_id,
         |    FLOOR((1.0 / (60 + r1) + 1.0 / (60 + r2)) * 10000 + 0.5) / 10000 AS score
         |  FROM rb JOIN rc ON rb.doc_id = rc.doc_id)
-        |SELECT doc_id, score FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |SELECT doc_id, score FROM f ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the CouchDB winning-rev rule replayed as a window over the same
+    // analytically-synthesized revision-tree leaves
+    "q126_rev_winners" ->
+      """WITH leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves),
+        |w AS (SELECT doc_id, rev_pos || '-' || rev_hash AS win_rev, deleted
+        |      FROM ranked WHERE rn = 1),
+        |c AS (SELECT doc_id, COUNT(*) AS n,
+        |        string_agg(rev_pos || '-' || rev_hash, ','
+        |                   ORDER BY rev_pos || '-' || rev_hash) AS lst
+        |      FROM ranked WHERE rn > 1 AND NOT deleted GROUP BY doc_id)
+        |SELECT w.doc_id AS id, w.win_rev, w.deleted AS win_deleted,
+        |       COALESCE(c.n, 0) AS n_conflicts,
+        |       COALESCE(c.lst, '') AS conflicts
+        |FROM w LEFT JOIN c USING (doc_id) ORDER BY id""".stripMargin,
+    // the greedy first-touch funnel chain: per-step conditional MINs
+    "q127_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT u, MIN(ts) AS anchor FROM ev
+        |       WHERE et = 'view' GROUP BY u),
+        |s2 AS (SELECT ev.u, s1.anchor, MIN(ev.ts) AS t2
+        |       FROM ev JOIN s1 ON ev.u = s1.u
+        |       WHERE et = 'click' AND ev.ts > s1.anchor
+        |         AND ev.ts <= s1.anchor + 604800000000
+        |       GROUP BY ev.u, s1.anchor),
+        |s3 AS (SELECT ev.u, MIN(ev.ts) AS t3
+        |       FROM ev JOIN s2 ON ev.u = s2.u
+        |       WHERE et = 'purchase' AND ev.ts > s2.t2
+        |         AND ev.ts <= s2.anchor + 604800000000
+        |       GROUP BY ev.u)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |         (SELECT COUNT(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+    // cohort = per-user first day; distinct activity re-counted at the
+    // requested offsets
+    "q128_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |coh AS (SELECT u, MIN(day) AS cohort_day FROM ev GROUP BY u)
+        |SELECT coh.cohort_day,
+        |       CAST(ev.day - coh.cohort_day AS INTEGER) AS day_offset,
+        |       COUNT(*) AS users
+        |FROM ev JOIN coh ON ev.u = coh.u
+        |WHERE ev.day - coh.cohort_day IN (0, 1, 7)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the synthesized change log, checkpoint cut, latest-change dedup
+    "q129_changes_feed" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log, m WHERE seq > 3 * m.md // 2)
+        |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
+        |ORDER BY seq""".stripMargin,
+    // the 2-D box over the z-clustered store == the same box over the
+    // raw table, with the Morton interleave recomputed per row
+    "q130_zorder_box" ->
+      s"""WITH m AS (
+        |  SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+        |         CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS plo,
+        |         CAST(MAX(FLOOR(o_totalprice)) AS BIGINT) AS phi
+        |  FROM orders),
+        |q AS (
+        |  SELECT o.*, m.clo, m.chi, m.plo, m.phi,
+        |    ((o_custkey - m.clo) * 65535 // (m.chi - m.clo)) AS qx,
+        |    ((CAST(FLOOR(o_totalprice) AS BIGINT) - m.plo) * 65535
+        |       // (m.phi - m.plo)) AS qy
+        |  FROM orders o, m)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  ${graft.sources.ZOrder.zvalueSqlQ("qx", "qy", 16)} AS zval
+        |FROM q
+        |WHERE o_custkey >= clo + (chi - clo) // 4
+        |  AND o_custkey <= clo + 2 * (chi - clo) // 5
+        |  AND CAST(FLOOR(o_totalprice) AS BIGINT) >= plo + (phi - plo) // 4
+        |  AND CAST(FLOOR(o_totalprice) AS BIGINT) < plo + 2 * (phi - plo) // 5
+        |ORDER BY o_orderkey""".stripMargin,
+    // the logistic classifier: q30's features rounded at 1e-4, a fixed
+    // linear term, sigmoid, rounded probability thresholded
+    "q131_quality_model" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         w -> w != '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    FLOOR(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 10000 + 0.5) / 10000 AS f_len,
+        |    FLOOR((1.0 - LEAST(1.0, CAST(punct AS DOUBLE)
+        |      / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 10000 + 0.5) / 10000 AS f_punct,
+        |    FLOOR(LEAST(1.0, CAST(stops AS DOUBLE)
+        |      / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 10000 + 0.5) / 10000 AS f_stop
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, f_len, f_punct, f_stop,
+        |    FLOOR((1.0 / (1.0 + exp(-(-2.0 + f_len * 2.5 + f_punct * 1.5
+        |      + f_stop * 2.0)))) * 10000 + 0.5) / 10000 AS prob
+        |  FROM f)
+        |SELECT doc_id, f_len, f_punct, f_stop, prob, prob >= 0.5 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -464,4 +464,40 @@ object Text {
         least(col("_len"), (col("seq") + 1) * L - col("_off"))
           .as("tok_end"))
   }
+
+  /** Model-based quality classification — the "fasttext-style
+    * classifier" stage of a pre-training pipeline (GPT-3's WebText
+    * classifier, LLaMA's wiki-ref classifier), expressed as a logistic
+    * model over the same interpretable features [[qualityScore]] uses,
+    * with LITERAL pretrained weights (a stand-in coefficient vector; a
+    * production model drops its weights into the same expression).
+    *
+    * Scale shape: a zero-shuffle, zero-join codegen'd map — every
+    * feature and the sigmoid evaluate inline in the scan's projection
+    * (100 TB cost = the read itself). Engine-portability: each feature
+    * is rounded at 1e-4 BEFORE entering the fixed left-associated
+    * linear term, so both engines exponentiate bit-identical inputs
+    * (the q74 `ln` discipline applied to `exp`); the probability is
+    * rounded at 1e-4 and `keep` thresholds the ROUNDED value.
+    *
+    * Returns `(doc_id, f_len, f_punct, f_stop, prob, keep)`. */
+  def qualityModelScores(docs: org.apache.spark.sql.DataFrame,
+                         id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stops = langHits(text, langWords.head._2).cast("double")
+    val fLen = round4(least(lit(1.0), tok / 50.0))
+    val fPunct = round4(lit(1.0) -
+      least(lit(1.0), punct / greatest(chars, lit(1.0)) * 10.0))
+    val fStop = round4(least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0))
+    docs.select(id.cast("long").as("doc_id"),
+        fLen.as("f_len"), fPunct.as("f_punct"), fStop.as("f_stop"))
+      .withColumn("_z", lit(-2.0) + col("f_len") * 2.5 +
+        col("f_punct") * 1.5 + col("f_stop") * 2.0)
+      .withColumn("prob", round4(lit(1.0) / (lit(1.0) + exp(-col("_z")))))
+      .select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"),
+        col("prob"), (col("prob") >= 0.5).as("keep"))
+  }
 }

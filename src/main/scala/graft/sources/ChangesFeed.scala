@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `_changes` feed — the reference ecosystem's replication surface
+  * (CouchDB `GET /db/_changes?since=N`, reconstructed in SURVEY §1): a
+  * seq-ordered log of document writes that a replicator tails with a
+  * checkpoint, receiving each changed document ONCE, at its latest
+  * change.
+  *
+  * Store layout: hive-partitioned parquet on `_kb = seq div width`,
+  * rows sorted by `seq` within each file — the EventStore discipline
+  * keyed by sequence number instead of time. A `since=N` read then:
+  *
+  *  1. prunes to partitions `_kb >= N div width` (directory-level:
+  *     already-replicated history is never listed or scheduled);
+  *  2. pushes `seq > N` into the scan (seq-sorted files → tight
+  *     row-group min/max skip the boundary bucket's replayed prefix);
+  *  3. dedups to the latest change per doc with ONE partial-aggregable
+  *     `max(struct(seq, ...))` groupBy — correct because a doc's
+  *     inclusion and its reported row depend only on changes with
+  *     `seq > N`, all of which the pruned read retains.
+  *
+  * At 100 TB the feed is the incremental-everything backbone: a
+  * checkpointed consumer pays O(new changes), never O(history). Append
+  * is the only write mode a log needs; seq assignment (strictly
+  * increasing across appends) is the single-writer's contract, as in
+  * the reference. */
+object ChangesFeed {
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        width: Long): Unit = {
+    val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
+    out.write(s"width=$width\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readWidth(spark: SparkSession, path: String): Long = {
+    val in = fsFor(spark, path).open(new Path(path, "_graft_meta"))
+    val txt = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    txt.linesIterator.collectFirst {
+      case l if l.startsWith("width=") => l.stripPrefix("width=").toLong
+    }.getOrElse(sys.error(s"changes feed at $path: no width in meta"))
+  }
+
+  private def routed(changes: DataFrame, width: Long): DataFrame =
+    changes
+      .select(col("seq").cast("long").as("seq"), col("id"),
+        col("rev").cast("string").as("rev"),
+        col("deleted").cast("boolean").as("deleted"))
+      .withColumn("_kb", expr(s"seq div $width"))
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("seq"))
+
+  /** Create the store from an initial change log. `changes` must have
+    * `(seq, id, rev, deleted)` columns; `width` fixes the seq-bucket
+    * granularity for the store's lifetime. */
+  def write(changes: DataFrame, path: String, width: Long = 1024L): Unit = {
+    require(width > 0, "changes feed: width must be positive")
+    routed(changes, width)
+      .write.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(path)
+    writeMeta(changes.sparkSession, path, width)
+  }
+
+  /** Append new changes (seqs strictly above everything already stored
+    * — the single-writer contract): rows land in their tail buckets as
+    * additional seq-sorted files, no read-modify-write. */
+  def append(changes: DataFrame, path: String): Unit = {
+    val width = readWidth(changes.sparkSession, path)
+    routed(changes, width)
+      .write.mode(SaveMode.Append).partitionBy("_kb").parquet(path)
+  }
+
+  /** The feed since a checkpoint: one row per document changed after
+    * `sinceSeq`, reported at its LATEST change, ordered by `seq` —
+    * `(seq, id, rev, deleted)`. `limit`, when set, truncates to the
+    * earliest `limit` changes (the resumable page: the caller's next
+    * checkpoint is the page's max seq). */
+  def since(spark: SparkSession, path: String, sinceSeq: Long,
+            limit: Option[Int] = None): DataFrame = {
+    val width = readWidth(spark, path)
+    val base = spark.read.parquet(path)
+      .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
+        col("seq") > sinceSeq)
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("rev"), col("deleted"))).as("w"))
+      .select(col("w.seq").as("seq"), col("id"),
+        col("w.rev").as("rev"), col("w.deleted").as("deleted"))
+      .orderBy(col("seq"))
+    limit.fold(base)(base.limit)
+  }
+
+  /** The current high-water mark (`last_seq`): reads ONLY the greatest
+    * `_kb` partition — O(tail bucket), not O(log). Returns -1 for an
+    * empty store. */
+  def lastSeq(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val kbs = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+      .map(_.getPath.getName.stripPrefix("_kb=").toLong)
+    if (kbs.isEmpty) -1L
+    else {
+      val tail = spark.read.parquet(path)
+        .filter(col("_kb") === kbs.max)
+        .agg(max(col("seq"))).head()
+      if (tail.isNullAt(0)) -1L else tail.getLong(0)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.ChangesFeed
+
+class ChangesFeedSpec extends SparkSpecBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  /** 300 docs, three write generations: rev1 for all (seq=id*3), rev2
+    * for evens (id*3+1), a tail append of rev3 for %5 (seq=900+id). */
+  private def makeStore(): (String, DataFrame) = {
+    import spark.implicits._
+    val d = (0L until 300L).toDF("id")
+    def rev(n: Int) = concat(lit(s"$n-"),
+      md5(concat(col("id").cast("string"), lit(s":$n"))))
+    def batch(seq: org.apache.spark.sql.Column, n: Int,
+              del: org.apache.spark.sql.Column)(b: DataFrame) =
+      b.select(seq.cast("long").as("seq"), col("id"), rev(n).as("rev"),
+        del.as("deleted"))
+    val base = batch(col("id") * 3, 1, lit(false))(d)
+      .unionByName(batch(col("id") * 3 + 1, 2, lit(false))(
+        d.filter(col("id") % 2 === 0)))
+    val tail = batch(lit(900L) + col("id"), 3, col("id") % 10 === 0)(
+      d.filter(col("id") % 5 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("chg").toString
+    val store = s"$dir/feed"
+    ChangesFeed.write(base, store, width = 64)
+    ChangesFeed.append(tail, store)
+    (store, base.unionByName(tail))
+  }
+
+  private def expectSince(log: DataFrame, since: Long): Seq[(Long, Long)] =
+    log.filter(col("seq") > since)
+      .groupBy(col("id")).agg(max(col("seq")).as("seq"))
+      .orderBy(col("seq"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+
+  test("since == latest-change-per-doc over the post-checkpoint log") {
+    val (store, log) = makeStore()
+    for (since <- Seq(-1L, 0L, 450L, 899L, 1100L, 5000L)) {
+      val got = ChangesFeed.since(spark, store, since)
+        .select("seq", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expectSince(log, since), s"since=$since")
+    }
+    // rev/deleted travel with the winning change
+    val one = ChangesFeed.since(spark, store, 1050L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(one.forall(_._3.startsWith("3-")))
+    assert(one.exists(_._4) && one.exists(!_._4))
+  }
+
+  test("the read prunes already-replicated seq buckets") {
+    val (store, _) = makeStore()
+    val got = ChangesFeed.since(spark, store, 700L)
+    got.collect()
+    val scans = collect(got.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("_kb")),
+      "expected a _kb partition filter")
+    // width=64: buckets 0..9 hold the already-replicated prefix; the
+    // checkpoint at 700 must scan exactly the files of buckets >= 10
+    def bucketFiles(pred: Long => Boolean): Int =
+      new java.io.File(store).listFiles()
+        .filter(d => d.getName.startsWith("_kb=") &&
+          pred(d.getName.stripPrefix("_kb=").toLong))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val scanned = scans.head.metrics("numFiles").value
+    assert(scanned == bucketFiles(_ >= 10L) && bucketFiles(_ < 10L) > 0,
+      s"scanned $scanned files, want ${bucketFiles(_ >= 10L)} " +
+        s"(+${bucketFiles(_ < 10L)} pruned)")
+  }
+
+  test("lastSeq reads the tail bucket; limit pages are resumable") {
+    val (store, log) = makeStore()
+    assert(ChangesFeed.lastSeq(spark, store) ==
+      log.agg(max("seq")).head().getLong(0))
+    // page through from scratch in 3 pages of 40 and re-derive the whole
+    var ckpt = -1L
+    var pages = Seq.empty[(Long, Long)]
+    var done = false
+    while (!done) {
+      val page = ChangesFeed.since(spark, store, ckpt, limit = Some(40))
+        .select("seq", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (page.isEmpty) done = true
+      else { pages ++= page; ckpt = page.map(_._1).max }
+    }
+    // paged union dedups to the same latest-change relation
+    val dedup = pages.groupBy(_._2).map { case (id, ps) =>
+      (ps.map(_._1).max, id)
+    }.toSeq.sortBy(_._1)
+    assert(dedup == expectSince(log, -1L))
+  }
+}

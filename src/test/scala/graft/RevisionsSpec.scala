@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Revisions
+
+class RevisionsSpec extends SparkSpecBase {
+
+  private def leaves(rows: Seq[(String, Long, String, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "rev_pos", "rev_hash", "deleted")
+  }
+
+  private def summarize(rows: Seq[(String, Long, String, Boolean)]) =
+    Revisions.summary(leaves(rows), col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"))
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getString(4)))
+      .toSeq
+
+  test("a live leaf beats a DEEPER deleted leaf") {
+    val got = summarize(Seq(
+      ("a", 5L, "ffff", true), ("a", 2L, "aaaa", false)))
+    assert(got == Seq(("a", "2-aaaa", false, 0L, "")))
+  }
+
+  test("among live leaves: deepest wins, depth ties break to greatest hash") {
+    val got = summarize(Seq(
+      ("b", 3L, "aa", false), ("b", 3L, "cc", false), ("b", 2L, "zz", false)))
+    assert(got == Seq(("b", "3-cc", false, 2L, "2-zz,3-aa")))
+  }
+
+  test("all leaves deleted: doc resolves deleted, same (pos, hash) rule") {
+    val got = summarize(Seq(
+      ("c", 1L, "aa", true), ("c", 4L, "bb", true), ("c", 4L, "aa", true)))
+    assert(got == Seq(("c", "4-bb", true, 0L, "")))
+  }
+
+  test("winners/conflicts relations agree with the summary") {
+    val rows = Seq(
+      ("a", 5L, "ffff", true), ("a", 2L, "aaaa", false),
+      ("b", 3L, "aa", false), ("b", 3L, "cc", false), ("b", 2L, "zz", false),
+      ("c", 1L, "aa", true))
+    val df = leaves(rows)
+    val w = Revisions.winners(df, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted")).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(w.toSeq == Seq(
+      ("a", 2L, "aaaa", false), ("b", 3L, "cc", false), ("c", 1L, "aa", true)))
+    val cf = Revisions.conflicts(df, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted")).orderBy("id", "rev_pos", "rev_hash")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(cf.toSeq == Seq(("b", 2L, "zz"), ("b", 3L, "aa")))
+  }
+
+  test("resolution is partitioning-invariant (partial-aggregable)") {
+    import spark.implicits._
+    val rows = (0 until 200).flatMap { i =>
+      val id = s"d$i"
+      Seq((id, 1L + i % 4, f"h$i%03d-m", i % 7 == 0)) ++
+        (if (i % 3 == 0) Seq((id, 1L + (i / 3) % 4, f"h$i%03d-c", i % 6 == 0))
+         else Nil)
+    }
+    val one = summarize(rows)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows, parts)
+        .toDF("id", "rev_pos", "rev_hash", "deleted")
+      val got = Revisions.summary(df, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted")).orderBy(col("id")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getString(4))).toSeq
+      assert(got == one, s"parts=$parts")
+    }
+  }
+}
