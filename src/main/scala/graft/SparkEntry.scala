@@ -1902,6 +1902,25 @@ object SparkEntry {
     Text.qualityModelScores(t(s, dir, "documents"), col("doc_id"),
       col("text")).orderBy(col("doc_id"))
 
+  /** C13: corpus-level n-gram overlap ([[graft.operators.Dedup
+    * .corpusOverlap]]) — exact containment/jaccard between the even-id
+    * and odd-id halves of the documents table; distinct-reduced gram
+    * sets joined on their md5, three partial-aggregated counts. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Dedup.corpusOverlap(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"))
+  }
+
+  /** D5: corpus k-NN graph ([[graft.operators.Similarity.knnGraph]]) —
+    * every vector's 5 nearest cluster-local neighbors with the mutual
+    * flag; quantizer assignment, cluster-bounded pairwise, rank and
+    * mutuality ALL replayed in the oracle. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 5)
+      .orderBy(col("src"), col("rank"))
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2315,7 +2334,9 @@ object SparkEntry {
     "q128_retention" -> (q128 _),
     "q129_changes_feed" -> (q129 _),
     "q130_zorder_box" -> (q130 _),
-    "q131_quality_model" -> (q131 _)
+    "q131_quality_model" -> (q131 _),
+    "q132_corpus_overlap" -> (q132 _),
+    "q133_knn_graph" -> (q133 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4241,7 +4262,62 @@ object SparkEntry {
         |      + f_stop * 2.0)))) * 10000 + 0.5) / 10000 AS prob
         |  FROM f)
         |SELECT doc_id, f_len, f_punct, f_stop, prob, prob >= 0.5 AS keep
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // exact cross-corpus gram overlap: the q22 shingle derivation,
+    // distinct per side, joined on md5
+    "q132_corpus_overlap" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 1),
+        |                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sh
+        |  FROM words),
+        |g AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |sa AS (SELECT DISTINCT md5(s) AS h FROM g WHERE doc_id % 2 = 0),
+        |sb AS (SELECT DISTINCT md5(s) AS h FROM g WHERE doc_id % 2 = 1),
+        |ca AS (SELECT COUNT(*) AS grams_a FROM sa),
+        |cb AS (SELECT COUNT(*) AS grams_b FROM sb),
+        |ci AS (SELECT COUNT(*) AS inter FROM sa JOIN sb USING (h))
+        |SELECT grams_a, grams_b, inter,
+        |  FLOOR(CAST(inter AS DOUBLE) / grams_a * 10000 + 0.5) / 10000 AS containment_a,
+        |  FLOOR(CAST(inter AS DOUBLE) / (grams_a + grams_b - inter) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM ca, cb, ci""".stripMargin,
+    // q53's quantizer assignment, cluster-local pairwise, per-src rank,
+    // then the mutual-edge self-join
+    "q133_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |j AS (
+        |  SELECT a1.id AS src, a2.id AS dst,
+        |    list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cosf
+        |  FROM assign a1 JOIN assign a2
+        |    ON a1.cid = a2.cid AND a1.id != a2.id
+        |  JOIN n q ON q.vec_id = a1.id
+        |  JOIN n x ON x.vec_id = a2.id),
+        |edges AS (
+        |  SELECT src, rank, dst, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos
+        |  FROM (SELECT src, dst, cosf,
+        |          ROW_NUMBER() OVER (PARTITION BY src
+        |                             ORDER BY cosf DESC, dst) AS rank
+        |        FROM j)
+        |  WHERE rank <= 5)
+        |SELECT e1.src, e1.rank, e1.dst, e1.cos,
+        |       (e2.src IS NOT NULL) AS mutual
+        |FROM edges e1 LEFT JOIN edges e2
+        |  ON e2.src = e1.dst AND e2.dst = e1.src
+        |ORDER BY e1.src, e1.rank""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -653,4 +653,33 @@ object Dedup {
         floor(col("hits").cast("double") / col("grams") * 10000 + 0.5)
           / 10000)
   }
+
+  /** Corpus-level n-gram overlap — the dataset-vs-dataset audit
+    * ("how much of corpus A's content is already in corpus B?") behind
+    * dedup-across-dumps and train/eval leakage estimates, computed
+    * EXACTLY: distinct shingle-hash sets per side, one equi-join on the
+    * 16-byte hash, three partial-aggregated counts. Both sides
+    * distinct-reduce BEFORE the join (the q97 decontamination
+    * discipline) so the join carries each unique gram once, not its
+    * every occurrence — at 100 TB the reduction is typically 10-100×.
+    *
+    * Returns ONE row: `(grams_a, grams_b, inter, containment_a,
+    * jaccard)`, ratios rounded at 1e-4 (`containment_a` = the fraction
+    * of A's distinct grams present in B). Sides must be non-empty. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, id: Column, text: Column,
+                    n: Int = 3): DataFrame = {
+    def grams(d: DataFrame) =
+      shingleRows(d, id, text, n).select(md5(col("_s")).as("h")).distinct()
+    val sa = grams(a)
+    val sb = grams(b)
+    val ca = sa.agg(count(lit(1)).as("grams_a"))
+    val cb = sb.agg(count(lit(1)).as("grams_b"))
+    val ci = sa.join(sb, "h").agg(count(lit(1)).as("inter"))
+    ca.crossJoin(cb).crossJoin(ci).select(
+      col("grams_a"), col("grams_b"), col("inter"),
+      round4(col("inter").cast("double") / col("grams_a"))
+        .as("containment_a"),
+      round4(col("inter").cast("double") /
+        (col("grams_a") + col("grams_b") - col("inter"))).as("jaccard"))
+  }
 }

@@ -670,4 +670,40 @@ object Similarity {
         col("_kb").as("bucket"))
     rankWithinBuckets(c, q, k)
   }
+
+  /** k-NN graph over the whole corpus — the neighborhood structure
+    * SemDeDup-style clustering, graph-based dedup and diversity
+    * sampling consume. Every vector gets its `k` nearest (by cosine)
+    * CLUSTER-LOCAL neighbors: the corpus is clustered by the same
+    * deterministic IVF coarse quantizer as [[semDedup]], pairwise work
+    * stays inside clusters (the quantizer grain bounds the join — never
+    * a corpus cross product), and per-vector top-k uses the bounded
+    * [[graft.functions.TopKPairs]] partial aggregation, not a window
+    * over all candidates. The `mutual` flag marks edges whose reverse
+    * is also ranked — the mutual-kNN graph used for clustering.
+    *
+    * Contract: neighbors are exact WITHIN the vector's cluster (the
+    * boundary-loss trade every IVF serve path here documents; raise
+    * `nCentroids` to shrink clusters, the broadcast quantizer keeps
+    * assignment cheap). Returns `(src, rank, dst, cos, mutual)`. */
+  def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 16): DataFrame = {
+    val cents = initCentroids(corpus, nCentroids)
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("blk", nearestCidCol(col("v"), col("nrm"), cents))
+    val a = e.select(col("blk"), col("vec_id").as("q_id"),
+      col("v").as("q_vec"), col("nrm").as("q_nrm"))
+    val b = e.select(col("blk"), col("vec_id").as("n_id"),
+      col("v").as("n_vec"), col("nrm").as("n_nrm"))
+    val edges = rankTopK(
+      a.join(b, Seq("blk")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
+      k)
+    val rev = edges.select(col("q_id").as("n_id"), col("n_id").as("q_id"))
+      .withColumn("_m", lit(true))
+    edges.join(rev, Seq("q_id", "n_id"), "left")
+      .select(col("q_id").as("src"), col("rank"), col("n_id").as("dst"),
+        col("cos"), coalesce(col("_m"), lit(false)).as("mutual"))
+  }
 }
