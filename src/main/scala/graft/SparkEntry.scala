@@ -1921,6 +1921,35 @@ object SparkEntry {
     graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 5)
       .orderBy(col("src"), col("rank"))
 
+  /** A28: one replication round's push set ([[graft.sources.ChangesFeed
+    * .replicationDelta]]) — the q129 feed against a target that already
+    * holds every rev-1 and the rev-2s of %4 docs; the anti-join is the
+    * batch `_revs_diff`. Tombstone changes must appear in the push set. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def rev(n: Int): Column = concat(lit(s"$n-"),
+      md5(concat(col("doc_id").cast("string"), lit(s":r$n"))))
+    val target = d.select(col("doc_id").as("id"), rev(1).as("rev"))
+      .unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id"), rev(2).as("rev")))
+    graft.sources.ChangesFeed.replicationDelta(s, path, -1L, target)
+  }
+
+  /** B32: fractional-epoch domain upsampling ([[graft.operators
+    * .Relational.upsampleDomains]]) — src0 replicated 5/2×, src1 kept
+    * at 1/3, src2 dropped, everything else 1×; exact per-domain totals
+    * `floor(cnt·num/den)`, each kept row exploded with its copy index. */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.upsampleDomains(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("lang")),
+      col("source"), col("doc_id"),
+      Map("src0" -> ((5, 2)), "src1" -> ((1, 3)), "src2" -> ((0, 1))),
+      default = (1, 1))
+      .orderBy(col("doc_id"), col("copy"))
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2336,7 +2365,9 @@ object SparkEntry {
     "q130_zorder_box" -> (q130 _),
     "q131_quality_model" -> (q131 _),
     "q132_corpus_overlap" -> (q132 _),
-    "q133_knn_graph" -> (q133 _)
+    "q133_knn_graph" -> (q133 _),
+    "q134_replication_delta" -> (q134 _),
+    "q135_domain_upsample" -> (q135 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4317,7 +4348,62 @@ object SparkEntry {
         |       (e2.src IS NOT NULL) AS mutual
         |FROM edges e1 LEFT JOIN edges e2
         |  ON e2.src = e1.dst AND e2.dst = e1.src
-        |ORDER BY e1.src, e1.rank""".stripMargin
+        |ORDER BY e1.src, e1.rank""".stripMargin,
+    // q129's latest-change relation anti-joined against the target's
+    // stored revs — the batch revs_diff
+    "q134_replication_delta" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |latest AS (
+        |  SELECT seq, id, rev, deleted FROM (
+        |    SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                     ORDER BY seq DESC) AS rn
+        |    FROM log) WHERE rn = 1),
+        |target AS (
+        |  SELECT doc_id AS id, '1-' || md5(doc_id || ':r1') AS rev
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id || ':r2')
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT l.seq, l.id, l.rev, l.deleted
+        |FROM latest l LEFT JOIN target t ON t.id = l.id AND t.rev = l.rev
+        |WHERE t.id IS NULL ORDER BY l.seq""".stripMargin,
+    // the q100 rank construction with fractional-epoch copy counts:
+    // base = num div den, first floor(cnt·rem/den) ranks get one extra
+    "q135_domain_upsample" ->
+      """WITH rk AS (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, lang, r, cnt,
+        |    CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 1
+        |                WHEN 'src2' THEN 0 ELSE 1 END AS nm,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+        |                WHEN 'src2' THEN 1 ELSE 1 END AS dn
+        |  FROM rk),
+        |k AS (
+        |  SELECT doc_id, source, lang,
+        |    (nm // dn) + CASE WHEN r * dn <= cnt * (nm % dn)
+        |                      THEN 1 ELSE 0 END AS copies
+        |  FROM c)
+        |SELECT doc_id, source, lang,
+        |       CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+        |FROM k WHERE copies > 0
+        |ORDER BY doc_id, copy""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

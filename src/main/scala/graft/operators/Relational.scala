@@ -347,6 +347,50 @@ object Relational {
       .drop("_strat", "_h", "_gr", "_off", "_cnt", "_num", "_den")
   }
 
+  /** DOMAIN UPSAMPLING — the fractional-EPOCH generalization of
+    * [[mixDomains]]: a domain's rational rate `num/den` may exceed 1
+    * (e.g. 5/2 = replicate wiki 2.5×, the Pile/LLaMA-style epoch
+    * weighting). Every row gets `num div den` base copies; the first
+    * `floor(cnt·(num mod den)/den)` rows of the domain's deterministic
+    * md5 rank get one extra, so the domain's total is EXACTLY
+    * `floor(cnt·num/den)` — rates below 1 degenerate to [[mixDomains]]'s
+    * downsampling cut (base 0, extras only). Output repeats each kept
+    * row with a `copy` index `0..copies-1` (the trainer's shuffle can
+    * hash on (id, copy)).
+    *
+    * Scale: the mixDomains rank machinery plus one BOUNDED explode
+    * (`num div den + 1` rows max per input row) — no join against a
+    * generated series, no driver state. */
+  def upsampleDomains(df: DataFrame, domain: Column, id: Column,
+                      rates: Map[String, (Int, Int)],
+                      default: (Int, Int) = (1, 1)): DataFrame = {
+    require((rates.values.toSeq :+ default).forall {
+      case (n, d) => n >= 0 && d > 0
+    }, "every rate must be num/den with den > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withH = df.withColumn("_strat", domain.cast("string"))
+      .withColumn("_h", md5(id.cast("string").cast("binary")))
+    val ranked = withGlobalRowNumber(withH,
+      Seq(col("_strat"), col("_h"), id), "_gr")
+    val offs = ranked.groupBy(col("_strat"))
+      .agg(min(col("_gr")).as("_off"), count(lit(1)).as("_cnt"))
+    val rdf = rates.toSeq.map { case (k, (n, d)) => (k, n.toLong, d.toLong) }
+      .toDF("_strat", "_num", "_den")
+    ranked.join(broadcast(offs), Seq("_strat"))
+      .join(broadcast(rdf), Seq("_strat"), "left")
+      .withColumn("_nm", coalesce(col("_num"), lit(default._1.toLong)))
+      .withColumn("_dn", coalesce(col("_den"), lit(default._2.toLong)))
+      .withColumn("_pos", col("_gr") - col("_off") + lit(1L))
+      .withColumn("_copies", expr("_nm div _dn") +
+        when(col("_pos") * col("_dn") <=
+          col("_cnt") * pmod(col("_nm"), col("_dn")), 1L).otherwise(0L))
+      .filter(col("_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_strat", "_h", "_gr", "_off", "_cnt", "_num", "_den",
+        "_nm", "_dn", "_pos", "_copies")
+  }
+
   /** Equi-width histogram via integral bucket arithmetic. */
   def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
     df.groupBy(floor(value / width).cast("long").as("bucket"))

@@ -96,6 +96,24 @@ object ChangesFeed {
     limit.fold(base)(base.limit)
   }
 
+  /** One replication round's PUSH SET — the batch form of CouchDB's
+    * `_changes` + `_revs_diff` handshake: the source's post-checkpoint
+    * latest-changes, minus everything the target already stores at the
+    * same `(id, rev)`. The anti-join is the `revs_diff` answer computed
+    * set-at-a-time (the target's rev relation is typically itself a
+    * pruned read of ITS feed or a [[graft.operators.Revisions]] winners
+    * table); pushing these rows and checkpointing at their max seq
+    * makes the next round's delta empty — convergence, spec-proven.
+    * Deletions replicate as rows with `deleted = true` (tombstones must
+    * travel; filtering them would resurrect docs on the target). */
+  def replicationDelta(spark: SparkSession, path: String, sinceSeq: Long,
+                       targetRevs: DataFrame): DataFrame =
+    since(spark, path, sinceSeq)
+      .join(targetRevs.select(col("id"), col("rev").cast("string").as("rev"))
+        .distinct(), Seq("id", "rev"), "left_anti")
+      .select(col("seq"), col("id"), col("rev"), col("deleted"))
+      .orderBy(col("seq"))
+
   /** The current high-water mark (`last_seq`): reads ONLY the greatest
     * `_kb` partition — O(tail bucket), not O(log). Returns -1 for an
     * empty store. */

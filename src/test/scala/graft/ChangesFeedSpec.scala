@@ -75,6 +75,36 @@ class ChangesFeedSpec extends SparkSpecBase
         s"(+${bucketFiles(_ < 10L)} pruned)")
   }
 
+  test("replicationDelta: pushes only missing revs, tombstones travel, converges") {
+    import spark.implicits._
+    val (store, log) = makeStore()
+    // target already holds rev1 of every doc and rev2 of %4 docs
+    val target = (0L until 300L).toDF("id")
+      .select(col("id"), concat(lit("1-"),
+        md5(concat(col("id").cast("string"), lit(":1")))).as("rev"))
+      .unionByName((0L until 300L).filter(_ % 4 == 0).toDF("id")
+        .select(col("id"), concat(lit("2-"),
+          md5(concat(col("id").cast("string"), lit(":2")))).as("rev")))
+    val push = ChangesFeed.replicationDelta(spark, store, -1L, target)
+    val rows = push.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    // every %5 doc's latest is rev3 (never on target) — all pushed,
+    // including the %10 tombstones
+    assert(rows.count(_._3.startsWith("3-")) == 60)
+    assert(rows.count(_._4) == 30, "tombstones must travel")
+    // even non-%5 docs: latest rev2, on target only when %4
+    assert(rows.count(_._3.startsWith("2-")) == 300 / 2 - 300 / 10 -
+      (300 / 4 - 15))
+    // nothing already present is pushed
+    val present = target.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows.forall(e => !present.contains((e._2, e._3))))
+    // convergence: push the set, next delta from the same checkpoint is empty
+    val target2 = target.unionByName(
+      push.select(col("id"), col("rev")))
+    assert(ChangesFeed.replicationDelta(spark, store, -1L, target2)
+      .count() == 0)
+  }
+
   test("lastSeq reads the tail bucket; limit pages are resumable") {
     val (store, log) = makeStore()
     assert(ChangesFeed.lastSeq(spark, store) ==

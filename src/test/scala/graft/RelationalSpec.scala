@@ -276,4 +276,38 @@ class RelationalSpec extends SparkSpecBase {
       df.filter($"source" === s).select($"doc_id").as[Long].collect().toSet
     assert(ids(got, "src0") == ids(again, "src0"))
   }
+
+  test("upsampleDomains: exact fractional-epoch totals; rate<1 == mixDomains") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source", $"lang")
+    val rates = Map("src0" -> ((5, 2)), "src1" -> ((1, 3)),
+      "src2" -> ((0, 1)))
+    val got = Relational.upsampleDomains(docs, $"source", $"doc_id",
+      rates, default = (1, 1))
+    val perDomain = got.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, cnt) <- totals) {
+      val (n, d) = rates.getOrElse(src, (1, 1))
+      assert(perDomain.getOrElse(src, 0L) == cnt * n / d,
+        s"$src: got ${perDomain.get(src)}, want ${cnt * n / d} of $cnt")
+    }
+    // copy indexes are dense per row: 0..copies-1
+    val badCopies = got.groupBy($"doc_id").agg(
+        org.apache.spark.sql.functions.max($"copy").as("mx"),
+        org.apache.spark.sql.functions.count($"copy").as("n"))
+      .filter($"mx" =!= $"n" - 1).count()
+    assert(badCopies == 0, "copy indexes must be 0..copies-1")
+    // a pure-downsampling rate keeps exactly mixDomains' rows at copy 0
+    val down = Relational.upsampleDomains(docs, $"source", $"doc_id",
+      Map("src0" -> ((1, 2))), default = (1, 1))
+      .filter($"source" === "src0")
+    val mixed = Relational.mixDomains(docs, $"source", $"doc_id",
+      Map("src0" -> ((1, 2))), default = (1, 1))
+      .filter($"source" === "src0")
+    assert(down.select($"doc_id").as[Long].collect().toSet ==
+      mixed.select($"doc_id").as[Long].collect().toSet)
+    assert(down.filter($"copy" =!= 0L).count() == 0)
+  }
 }
