@@ -1950,6 +1950,22 @@ object SparkEntry {
       default = (1, 1))
       .orderBy(col("doc_id"), col("copy"))
 
+  /** B31: Bloom-prefiltered semi join ([[graft.functions.Bloom]]) —
+    * lineitem semi-joined to expensive orders with the fact side
+    * prefiltered by a 16 KiB literal bit set before the exchange; the
+    * gate is RESULT identity with the plain semi join (false positives
+    * die in the exact join, false negatives are impossible). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") >= 300000)
+    graft.functions.Bloom.semiJoinPruned(li, col("l_orderkey"),
+      o, col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2367,7 +2383,8 @@ object SparkEntry {
     "q132_corpus_overlap" -> (q132 _),
     "q133_knn_graph" -> (q133 _),
     "q134_replication_delta" -> (q134 _),
-    "q135_domain_upsample" -> (q135 _)
+    "q135_domain_upsample" -> (q135 _),
+    "q136_bloom_semijoin" -> (q136 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4403,7 +4420,16 @@ object SparkEntry {
         |SELECT doc_id, source, lang,
         |       CAST(unnest(range(0, copies)) AS BIGINT) AS copy
         |FROM k WHERE copies > 0
-        |ORDER BY doc_id, copy""".stripMargin
+        |ORDER BY doc_id, copy""".stripMargin,
+    // the bloom prefilter is an optimization, not a semantic: the gate
+    // is identity with the plain semi join
+    "q136_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice >= 300000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
