@@ -1821,9 +1821,11 @@ object SparkEntry {
     * docs updated (rev 2), and a TAIL append batch re-wrote the %5 docs
     * (rev 3, %10 deleted) with seqs above the initial log — exercising
     * [[graft.sources.ChangesFeed.append]]'s single-writer contract. */
-  private def q129Build(s: SparkSession, dir: String): Unit = {
-    import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+  /** The q129/q134/q138 synthesized change log: rev 1 for every doc,
+    * rev 2 for evens, a tail generation re-writing the %5 docs (rev 3,
+    * %10 deleted) with seqs above the initial log. Split at
+    * `initialOnly` for the write-then-append drive. */
+  private def q129Log(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = t(s, dir, "documents").select(col("doc_id"))
     val md = d.agg(max(col("doc_id"))).head().getLong(0)
     def rev(n: Int): Column = concat(lit(s"$n-"),
@@ -1834,9 +1836,17 @@ object SparkEntry {
     val base = batch(col("doc_id") * 3, 1, lit(false))(d)
     val second = batch(col("doc_id") * 3 + 1, 2, lit(false))(
       d.filter(col("doc_id") % 2 === 0))
-    ChangesFeed.write(base.unionByName(second), path, width = 128)
-    ChangesFeed.append(batch(lit(3L * (md + 1)) + col("doc_id"), 3,
-      col("doc_id") % 10 === 0)(d.filter(col("doc_id") % 5 === 0)), path)
+    val tail = batch(lit(3L * (md + 1)) + col("doc_id"), 3,
+      col("doc_id") % 10 === 0)(d.filter(col("doc_id") % 5 === 0))
+    (base.unionByName(second), tail)
+  }
+
+  private def q129Build(s: SparkSession, dir: String): Unit = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    val (initial, tail) = q129Log(s, dir)
+    ChangesFeed.write(initial, path, width = 128)
+    ChangesFeed.append(tail, path)
     new java.io.File(s"$path/_graft_built").createNewFile()
   }
 
@@ -1964,6 +1974,56 @@ object SparkEntry {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
           .as("sum_qty"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** A25c: partial Mango index (`partial_filter_selector`) — the
+    * o_totalprice index holds ONLY 'F' orders (half the table), and the
+    * find's selector implies the filter, so the smaller index serves;
+    * a non-implying query falls back to the scan (spec). */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q137mgp", dir, "orders")
+    val idx =
+      if (hasFile(s"$path/_mango_fields")) Mango.openIndex(s, path)
+      else Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_totalprice"), path, numBuckets = 4,
+        partialFilter = Some("""{"o_orderstatus": "F"}"""))
+    Mango.findIndexed(s, orders, "o_orderkey", idx,
+      """{"selector": {
+        |  "o_orderstatus": "F",
+        |  "o_totalprice": {"$gte": 100000, "$lt": 300000}},
+        | "fields": ["o_orderkey", "o_totalprice"],
+        | "sort": [{"o_totalprice": "desc"}],
+        | "limit": 200}""".stripMargin)
+  }
+
+  /** G10 gated: STREAMING CHANGES-FEED MAINTENANCE
+    * ([[graft.streaming.Streams.maintainChangesFeed]]) — the q129 log
+    * arrives as a 4-micro-batch file stream (seq-chunked); batch 1
+    * creates the store, batches 2-4 append into their seq buckets. The
+    * settled feed must serve the SAME since-checkpoint relation as
+    * q129's batch-built store (same oracle). */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val (initial, tail) = q129Log(s, dir)
+    val log = initial.unionByName(tail)
+    val inDir = idxPath("q138inS", dir, "documents") + "/in"
+    stageChunks(s, log, col("seq"), inDir)
+    val feedPath = idxPath("q138chgS", dir, "documents") + "/feed"
+    // append-only store + fresh checkpoint: start from a clean slate so
+    // a re-run cannot double-append (upsert-based drives are naturally
+    // idempotent; a log is not)
+    graft.view.IndexStore.fsFor(s, feedPath)
+      .delete(new org.apache.hadoop.fs.Path(feedPath), true)
+    val ck = java.nio.file.Files.createTempDirectory("graft-q138ck").toString
+    val stream = s.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainChangesFeed(s, stream,
+      feedPath, ck, width = 128)
+    try q.processAllAvailable() finally q.stop()
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.since(s, feedPath, 3 * md / 2)
   }
 
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
@@ -2139,6 +2199,11 @@ object SparkEntry {
     "q125_event_append" -> (q125Build _),
     "q129_changes_feed" -> (q129Build _),
     "q130_zorder_box" -> (q130Build _),
+    "q137_mango_partial" -> ((s, dir) => graft.operators.Mango
+      .createIndex(s, t(s, dir, "orders"), "o_orderkey",
+        Seq("o_totalprice"), idxPath("q137mgp", dir, "orders"),
+        numBuckets = 4,
+        partialFilter = Some("""{"o_orderstatus": "F"}"""))),
     "q90_fielded_search" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
       graft.operators.TextSearch.buildFieldedTextIndex(
@@ -2384,7 +2449,9 @@ object SparkEntry {
     "q133_knn_graph" -> (q133 _),
     "q134_replication_delta" -> (q134 _),
     "q135_domain_upsample" -> (q135 _),
-    "q136_bloom_semijoin" -> (q136 _)
+    "q136_bloom_semijoin" -> (q136 _),
+    "q137_mango_partial" -> (q137 _),
+    "q138_streaming_changes" -> (q138 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4243,26 +4310,9 @@ object SparkEntry {
         |WHERE ev.day - coh.cohort_day IN (0, 1, 7)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the synthesized change log, checkpoint cut, latest-change dedup
-    "q129_changes_feed" ->
-      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
-        |log AS (
-        |  SELECT doc_id * 3 AS seq, doc_id AS id,
-        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id * 3 + 1, doc_id,
-        |         '2-' || md5(doc_id || ':r2'), false
-        |  FROM documents WHERE doc_id % 2 = 0
-        |  UNION ALL
-        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
-        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
-        |  FROM documents, m WHERE doc_id % 5 = 0),
-        |f AS (
-        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
-        |                                   ORDER BY seq DESC) AS rn
-        |  FROM log, m WHERE seq > 3 * m.md // 2)
-        |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
-        |ORDER BY seq""".stripMargin,
+    "q129_changes_feed" -> changesFeedOracle,
+    // the STREAMED feed must settle to the same relation
+    "q138_streaming_changes" -> changesFeedOracle,
     // the 2-D box over the z-clustered store == the same box over the
     // raw table, with the Morton interleave recomputed per row
     "q130_zorder_box" ->
@@ -4429,13 +4479,45 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_totalprice >= 300000)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the partial-index find is relationally just this query; the
+    // partial index only changes how little gets read
+    "q137_mango_partial" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_totalprice >= 100000 AND o_totalprice < 300000
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 200""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
     * (vec_id < 16), nearest-centroid assignment (ties to the larger
     * cid), 4 probes per query (vec_id < 10), exact cosine rank within
     * the probed lists. Shared by q53 and the filtered variant q79. */
+  /** Shared by q129 (batch write+append) and q138 (streamed): the
+    * synthesized change log, the mid-log checkpoint cut, and the
+    * latest-change-per-doc dedup. */
+  private val changesFeedOracle: String =
+    """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+      |log AS (
+      |  SELECT doc_id * 3 AS seq, doc_id AS id,
+      |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 3 + 1, doc_id,
+      |         '2-' || md5(doc_id || ':r2'), false
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+      |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+      |  FROM documents, m WHERE doc_id % 5 = 0),
+      |f AS (
+      |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+      |                                   ORDER BY seq DESC) AS rn
+      |  FROM log, m WHERE seq > 3 * m.md // 2)
+      |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
+      |ORDER BY seq""".stripMargin
+
   private val ivfOracle: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -322,8 +322,28 @@ object Mango {
   // ------------------------------------------------------------ JSON indexes
 
   /** A Mango JSON index: a persisted [[View]] index whose key is the
-    * indexed-fields array. */
-  final case class MangoIndex(path: String, fields: Seq[String])
+    * indexed-fields array. `partial` carries the index's
+    * `partial_filter_selector` JSON when it was built over a filtered
+    * subset — queries can use it ONLY when their selector implies the
+    * filter. */
+  final case class MangoIndex(path: String, fields: Seq[String],
+                              partial: Option[String] = None)
+
+  /** A selector's top-level conjunction, flattened. */
+  private def conjuncts(s: Sel): Seq[Sel] = s match {
+    case And(ss) => ss.flatMap(conjuncts)
+    case other => Seq(other)
+  }
+
+  /** Conservative implication: `query` implies `partial` when every one
+    * of the partial filter's conjuncts appears VERBATIM (structural
+    * equality) in the query's conjunction — CouchDB's own contract is
+    * stricter still (the query must repeat the filter). Sound by
+    * construction: never claims implication that doesn't hold; deeper
+    * entailment (e.g. `$gt 10` implying `$gt 5`) is deliberately out of
+    * scope, costing only index eligibility, never correctness. */
+  private[operators] def implies(query: Sel, partial: Sel): Boolean =
+    conjuncts(partial).forall(conjuncts(query).contains)
 
   private def indexView(docs: DataFrame, idCol: String,
                         fields: Seq[String]): View = {
@@ -344,25 +364,50 @@ object Mango {
       lit(null), ck)
   }
 
-  /** Build (or rebuild) a JSON index over `fields` at `path`. */
+  /** Build (or rebuild) a JSON index over `fields` at `path`. With
+    * `partialFilter` (a selector JSON — CouchDB's
+    * `partial_filter_selector`) only matching docs are indexed: the
+    * index is smaller and cheaper to maintain, and [[findIndexed]] /
+    * [[pickIndex]] only serve queries whose selector implies the
+    * filter. */
   def createIndex(spark: SparkSession, docs: DataFrame, idCol: String,
                   fields: Seq[String], path: String,
-                  numBuckets: Int = 0): MangoIndex = {
-    indexView(docs, idCol, fields).materialize(path, numBuckets)
+                  numBuckets: Int = 0,
+                  partialFilter: Option[String] = None): MangoIndex = {
+    val base = partialFilter match {
+      case Some(pf) => docs.filter(compile(parseSelector(pf), docs.schema))
+      case None => docs
+    }
+    indexView(base, idCol, fields).materialize(path, numBuckets)
     val out = IndexStore.fsFor(spark, path)
       .create(new Path(path, "_mango_fields"), true)
     out.write((fields.mkString("\n") + "\n").getBytes("UTF-8"))
     out.close()
-    MangoIndex(path, fields)
+    partialFilter.foreach { pf =>
+      val po = IndexStore.fsFor(spark, path)
+        .create(new Path(path, "_mango_partial"), true)
+      po.write(pf.getBytes("UTF-8"))
+      po.close()
+    }
+    MangoIndex(path, fields, partialFilter)
   }
 
-  /** Open a previously built index (fields come from the stamp). */
+  /** Open a previously built index (fields + partial filter come from
+    * the stamps). */
   def openIndex(spark: SparkSession, path: String): MangoIndex = {
-    val in = IndexStore.fsFor(spark, path).open(new Path(path, "_mango_fields"))
+    val fs = IndexStore.fsFor(spark, path)
+    val in = fs.open(new Path(path, "_mango_fields"))
     val fields = scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     in.close()
-    MangoIndex(path, fields)
+    val ppath = new Path(path, "_mango_partial")
+    val partial = if (fs.exists(ppath)) {
+      val pin = fs.open(ppath)
+      val pf = new String(pin.readAllBytes(), "UTF-8")
+      pin.close()
+      Some(pf)
+    } else None
+    MangoIndex(path, fields, partial)
   }
 
   /** Coerce a driver-side selector literal toward the indexed column's
@@ -476,6 +521,12 @@ object Mango {
   def findIndexed(spark: SparkSession, docs: DataFrame, idCol: String,
                   index: MangoIndex, findJson: String): DataFrame = {
     val req = parseFind(findJson)
+    // a partial index only holds docs matching its filter: serving a
+    // query that doesn't imply the filter would silently DROP rows, so
+    // ineligible queries take the full scan instead
+    if (index.partial.exists(pf =>
+        !implies(req.selector, parseSelector(pf))))
+      return find(docs, idCol, findJson)
     indexBounds(req.selector, index.fields, docs.schema) match {
       case None => find(docs, idCol, findJson)
       case Some((startK, endK, incl)) =>
@@ -530,11 +581,7 @@ object Mango {
     * everywhere) — the caller then full-scans, as `_find` does. */
   def pickIndex(sel: Sel, indexes: Seq[MangoIndex],
                 schema: StructType): Option[MangoIndex] = {
-    def conj(s: Sel): Seq[Sel] = s match {
-      case And(ss) => ss.flatMap(conj)
-      case other => Seq(other)
-    }
-    val conds = conj(sel)
+    val conds = conjuncts(sel)
     def score(ix: MangoIndex): Int = {
       val eqs = ix.fields.takeWhile(f =>
         conds.exists { case Cmp(`f`, "$eq", _) => true; case _ => false })
@@ -546,9 +593,16 @@ object Mango {
         })
       eqs.length * 2 + (if (rangeNext) 1 else 0)
     }
-    indexes.map(ix => (ix, score(ix)))
+    indexes
+      // a partial index is a candidate only when the selector implies
+      // its filter (serving it otherwise would drop rows)
+      .filter(_.partial.forall(pf => implies(sel, parseSelector(pf))))
+      .map(ix => (ix, score(ix)))
       .filter(_._2 > 0)
-      .sortBy { case (ix, sc) => (-sc, ix.fields.length) }
+      // an eligible partial index outranks an equal-score full one —
+      // fewer rows to read for the same bounds
+      .sortBy { case (ix, sc) =>
+        (-sc, if (ix.partial.isDefined) 0 else 1, ix.fields.length) }
       .headOption.map(_._1)
   }
 

@@ -40,6 +40,10 @@ object ChangesFeed {
     out.close()
   }
 
+  /** Whether a feed store exists at `path` (meta stamp present). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new Path(path, "_graft_meta"))
+
   private def readWidth(spark: SparkSession, path: String): Long = {
     val in = fsFor(spark, path).open(new Path(path, "_graft_meta"))
     val txt = new String(in.readAllBytes(), "UTF-8")
@@ -68,9 +72,12 @@ object ChangesFeed {
     writeMeta(changes.sparkSession, path, width)
   }
 
-  /** Append new changes (seqs strictly above everything already stored
-    * — the single-writer contract): rows land in their tail buckets as
-    * additional seq-sorted files, no read-modify-write. */
+  /** Append new changes: rows land in their `_kb` buckets as additional
+    * seq-sorted files, no read-modify-write. The single-writer contract
+    * is seq UNIQUENESS (the log's identity); physical arrival order is
+    * free — routing is content-based, so a late batch lands correctly
+    * and merely fragments its buckets (compaction territory, the
+    * EventStore discipline). */
   def append(changes: DataFrame, path: String): Unit = {
     val width = readWidth(changes.sparkSession, path)
     routed(changes, width)

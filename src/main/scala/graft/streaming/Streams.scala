@@ -515,4 +515,32 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming maintenance of a [[graft.sources.ChangesFeed]] store —
+    * the write-side of the replication backbone: each micro-batch of
+    * change rows `(seq, id, rev, deleted)` is appended into its seq
+    * buckets (the first non-empty batch creates the store). Append-only
+    * by design — a log never upserts — so a batch's cost is exactly its
+    * own rows' bucket writes; consumers tail with
+    * `ChangesFeed.since(checkpoint)` concurrently (readers see whole
+    * parquet files, and a half-visible batch only shortens the feed,
+    * never corrupts it). */
+  def maintainChangesFeed(spark: SparkSession, changeStream: DataFrame,
+                          path: String, checkpoint: String,
+                          width: Long = 1024L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.ChangesFeed
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!ChangesFeed.exists(spark, path))
+            ChangesFeed.write(batch, path, width)
+          else ChangesFeed.append(batch, path)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -195,4 +195,58 @@ class MangoSpec extends SparkSpecBase {
     val Some((s2, e2, _)) = Mango.indexBounds(eq, Seq("a"), schema)
     assert(s2 == Seq(1L) && e2 == Seq(1L, graft.view.MaxKey))
   }
+
+  test("partial index: implied queries serve from it, others fall back") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-part").toString
+    val partial = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_totalprice"), s"$dir/pidx", numBuckets = 4,
+      partialFilter = Some("""{"o_orderstatus": "F"}"""))
+    // the partial index holds only the F orders
+    val idxRows = spark.read.parquet(s"$dir/pidx/data").count()
+    val fCount = orders.filter(col("o_orderstatus") === "F").count()
+    assert(idxRows == fCount && fCount < orders.count())
+
+    val implied = """{
+      "selector": {"o_orderstatus": "F",
+                    "o_totalprice": {"$gte": 50000}},
+      "fields": ["o_orderkey", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}], "limit": 100}"""
+    val viaIdx = Mango.findIndexed(spark, orders, "o_orderkey",
+      partial, implied)
+    assert(viaIdx.collect().toSeq ==
+      Mango.find(orders, "o_orderkey", implied).collect().toSeq)
+    assert(viaIdx.count() > 0)
+
+    // a query NOT implying the filter must not read the partial index
+    val notImplied = """{
+      "selector": {"o_totalprice": {"$gte": 50000}},
+      "fields": ["o_orderkey", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}], "limit": 100}"""
+    val fallback = Mango.findIndexed(spark, orders, "o_orderkey",
+      partial, notImplied)
+    assert(fallback.collect().toSeq ==
+      Mango.find(orders, "o_orderkey", notImplied).collect().toSeq)
+    val scans = fallback.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(!_.metadata("Location").contains("pidx")),
+      "non-implied query must not touch the partial index")
+
+    // pickIndex: eligible partial outranks the full index; ineligible
+    // selectors skip it
+    val full = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_totalprice"), s"$dir/fidx", numBuckets = 4)
+    val selImplied = Mango.parseSelector(
+      """{"o_orderstatus": "F", "o_totalprice": {"$gte": 50000}}""")
+    val selPlain = Mango.parseSelector(
+      """{"o_totalprice": {"$gte": 50000}}""")
+    assert(Mango.pickIndex(selImplied, Seq(full, partial), orders.schema)
+      .contains(partial))
+    assert(Mango.pickIndex(selPlain, Seq(full, partial), orders.schema)
+      .contains(full))
+    // reopening restores the partial stamp
+    assert(Mango.openIndex(spark, s"$dir/pidx").partial ==
+      Some("""{"o_orderstatus": "F"}"""))
+  }
 }

@@ -17,6 +17,7 @@ case class ChangeDel(_docid: Long, status: String, price: Double,
                      _deleted: Boolean)
 case class VecChg(vec_id: Long, embedding: Array[Float], _deleted: Boolean)
 case class TextChg(doc_id: Long, text: String, _deleted: Boolean)
+case class FeedChg(seq: Long, id: Long, rev: String, deleted: Boolean)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -460,5 +461,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(rootMsg(e2).contains("stale on-disk layout"),
       s"wanted the actionable stale-layout error, got: ${rootMsg(e2)}")
     q2.stop()
+  }
+
+  test("streamed changes feed serves the same since-reads as a batch write") {
+    import graft.sources.ChangesFeed
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-chgstream").toString
+    val in = MemoryStream[FeedChg]
+    val q = Streams.maintainChangesFeed(spark, in.toDF(),
+      s"$dir/feed", s"$dir/ckpt", width = 16)
+    in.addData((0L until 40L).map(i => FeedChg(i, i % 10, s"1-r$i", false)): _*)
+    q.processAllAvailable()
+    in.addData((40L until 60L).map(i =>
+      FeedChg(i, i % 7, s"2-r$i", i % 2 == 0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch-built reference over the same log
+    val log = ((0L until 40L).map(i => (i, i % 10, s"1-r$i", false)) ++
+      (40L until 60L).map(i => (i, i % 7, s"2-r$i", i % 2 == 0)))
+      .toDF("seq", "id", "rev", "deleted")
+    ChangesFeed.write(log, s"$dir/ref", width = 16)
+    for (since <- Seq(-1L, 20L, 45L, 59L)) {
+      val a = ChangesFeed.since(spark, s"$dir/feed", since).collect().toSeq
+      val b = ChangesFeed.since(spark, s"$dir/ref", since).collect().toSeq
+      assert(a == b, s"since=$since")
+    }
+    assert(ChangesFeed.lastSeq(spark, s"$dir/feed") == 59L)
   }
 }
