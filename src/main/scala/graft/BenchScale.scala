@@ -92,7 +92,16 @@ object BenchScale {
           noop(graft.operators.Urls.dedupByUrl(d, col("doc_id"),
             concat(lit("HTTPS://Host.Example.COM:443/p/"),
               col("doc_id") % 5000, lit("?utm_source=x&id="),
-              col("doc_id") % 5000, lit("#f"))))))
+              col("doc_id") % 5000, lit("#f"))))),
+        "corpus_overlap" -> (() =>
+          noop(Dedup.corpusOverlap(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 =!= 0),
+            col("doc_id"), col("text")))),
+        "bloom_semijoin" -> (() =>
+          noop(graft.functions.Bloom.semiJoinPruned(
+            d, col("doc_id"),
+            d.filter(col("doc_id") % 97 === 0), col("doc_id")))))
 
     // JIT/codegen warmup on the small corpus so the base timings are
     // not dominated by first-compile costs the 10× run then skips
@@ -175,6 +184,52 @@ object BenchScale {
     val semBase = Seq("semdedup" -> best2(() => semdedup(emb)))
     val semBig = Seq("semdedup" -> best2(() => semdedup(bigEmb)))
 
+    // ---- kNN graph: same cluster-local pairwise stage as SemDeDup,
+    // same k ∝ n quantizer discipline → expected ~linear.
+    def knn(e: DataFrame): Unit = {
+      val k = math.max(16L, e.count() / 100L).toInt
+      noop(Similarity.knnGraph(e, 5, nCentroids = k))
+    }
+    val knnBase = Seq("knn_graph" -> best2(() => knn(emb)))
+    val knnBig = Seq("knn_graph" -> best2(() => knn(bigEmb)))
+
+    // ---- Event analytics over a 10×-span event table: funnel carries
+    // ONE timestamp per user per stage (skew-flat), retention two
+    // aggregations — both expected ~linear in events.
+    val events0 = spark.read.parquet(s"$sfDir/events.parquet")
+    def evTable(mult: Int): DataFrame =
+      (0 until mult).map(c =>
+        events0.withColumn("event_id", col("event_id") + lit(c * 10000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${c * 40} DAYS")))
+        .reduce(_ unionByName _)
+    def evAnalytics(mult: Int): Seq[(String, () => Unit)] = {
+      val ev = graft.sources.EventTime.withTsUs(evTable(mult))
+      Seq(
+        "funnel" -> (() => noop(graft.operators.EventAnalytics.funnel(
+          ev, col("user_id"), col("ts_us"), col("event_type"),
+          Seq("view", "click", "purchase"), 7L * 86400000000L))),
+        "retention" -> (() => noop(graft.operators.EventAnalytics.retention(
+          ev, col("user_id"), col("ts_us"), Seq(0, 1, 7)))))
+    }
+    val funBase = evAnalytics(1).map { case (n, f) => n -> best2(f) }
+    val funBig = evAnalytics(10).map { case (n, f) => n -> best2(f) }
+
+    // ---- Changes feed: a fixed-size tail read over a 10× log must
+    // stay ~flat (bucket pruning reads the checkpoint's suffix only).
+    def chgProbe(mult: Int, tag: String): Double = {
+      val n = 200000L * mult
+      val path = s"$tmp/graft_scale_${tag}_chg"
+      val log = spark.range(n).select(col("id").as("seq"),
+        (col("id") % (n / 2)).as("id"),
+        concat(lit("1-"), md5(col("id").cast("string"))).as("rev"),
+        lit(false).as("deleted"))
+      graft.sources.ChangesFeed.write(log, path, width = 4096)
+      best2(() => noop(graft.sources.ChangesFeed.since(spark, path,
+        n - 2000)))
+    }
+    val chgBase = Seq("serve_changes_since" -> chgProbe(1, "base"))
+    val chgBig = Seq("serve_changes_since" -> chgProbe(10, "10x"))
+
     // ---- PQ: ADC serving is a DELIBERATE compressed linear scan (m
     // ints per vector instead of the raw floats) — the healthy ratio
     // here is ~10 (linear over codes), NOT flat; what must stay flat is
@@ -211,8 +266,10 @@ object BenchScale {
     val evBase = Seq("serve_event_window" -> evProbe(1, "base"))
     val evBig = Seq("serve_event_window" -> evProbe(10, "10x"))
 
-    val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ pqBase ++ evBase
-    val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ pqBig ++ evBig
+    val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ knnBase ++
+      funBase ++ chgBase ++ pqBase ++ evBase
+    val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ knnBig ++
+      funBig ++ chgBig ++ pqBig ++ evBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

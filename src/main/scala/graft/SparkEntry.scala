@@ -2026,6 +2026,14 @@ object SparkEntry {
     ChangesFeed.since(s, feedPath, 3 * md / 2)
   }
 
+  /** B33: windowed trending ([[graft.operators.EventAnalytics
+    * .trending]]) — top-2 event types per UTC day by exact count,
+    * deterministic tie-break; one pass over events, rank over the tiny
+    * counts relation. */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.trending(events(s, dir), col("ts_us"),
+      col("event_type"), widthHours = 24, k = 2)
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2451,7 +2459,8 @@ object SparkEntry {
     "q135_domain_upsample" -> (q135 _),
     "q136_bloom_semijoin" -> (q136 _),
     "q137_mango_partial" -> (q137 _),
-    "q138_streaming_changes" -> (q138 _)
+    "q138_streaming_changes" -> (q138 _),
+    "q139_trending" -> (q139 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4487,7 +4496,17 @@ object SparkEntry {
         |WHERE o_orderstatus = 'F'
         |  AND o_totalprice >= 100000 AND o_totalprice < 300000
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 200""".stripMargin
+        |LIMIT 200""".stripMargin,
+    // exact per-window counts + deterministic rank
+    "q139_trending" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS win,
+        |         event_type AS item, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY win
+        |        ORDER BY cnt DESC, item) AS rank FROM c)
+        |SELECT win, item, cnt, rank FROM r WHERE rank <= 2
+        |ORDER BY win, rank""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -62,8 +62,13 @@ object Bloom {
                      smallKey: Column, mBits: Int = 1 << 17,
                      k: Int = 2): DataFrame = {
     val bits = buildBits(small, smallKey, mBits, k)
+    // materialize both join keys under fresh names BEFORE the join: with
+    // `small` derived from `big` (a self semi join) the raw key column
+    // would be ambiguous between the two lineages
     big.filter(mightContain(bigKey, bits, k))
+      .withColumn("_bloom_bk", bigKey)
       .join(small.select(smallKey.as("_bloom_k")).distinct(),
-        bigKey === col("_bloom_k"), "left_semi")
+        col("_bloom_bk") === col("_bloom_k"), "left_semi")
+      .drop("_bloom_bk")
   }
 }

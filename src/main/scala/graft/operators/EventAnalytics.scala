@@ -70,6 +70,27 @@ object EventAnalytics {
       .orderBy(col("step_idx"))
   }
 
+  /** Trending items per tumbling window: the top-`k` most frequent
+    * `item` values in each `widthHours` window, ranked by count with a
+    * deterministic item tie-break. Two stages, both partial-aggregable:
+    * exact (window, item) counts — the only pass over the raw events —
+    * then a rank over the tiny counts relation (windows × distinct
+    * items, already thousands of times smaller than the input). Returns
+    * `(win, item, cnt, rank)`, `win` in width units since epoch. */
+  def trending(events: DataFrame, tsMicros: Column, item: Column,
+               widthHours: Int, k: Int): DataFrame = {
+    require(widthHours > 0 && k > 0, "trending: width and k positive")
+    val width = widthHours * 3600L * 1000000L
+    val counts = events
+      .select(item.cast("string").as("item"), tsMicros.cast("long").as("_ts"))
+      .select(col("item"), expr(s"_ts div $width").as("win"))
+      .groupBy(col("win"), col("item")).agg(count(lit(1)).as("cnt"))
+    Relational.topKPerGroup(counts, Seq(col("win")),
+      Seq(col("cnt").desc, col("item").asc), k)
+      .select(col("win"), col("item"), col("cnt"), col("rank"))
+      .orderBy(col("win"), col("rank"))
+  }
+
   /** Cohort retention: users grouped by the day of their FIRST event
     * (the cohort), counted again on each requested day offset.
     *

@@ -547,13 +547,17 @@ object Mango {
             val keySchema = StructType(index.fields.map(f =>
               StructField(f, resolve(docs.schema, f).get._2)))
             val idType = docs.schema(idCol).dataType
+            // the id may itself be an indexed field — it already comes
+            // from the index's `id` column, so decode only the REST
+            // (selecting it twice makes every later reference ambiguous)
+            val rest = index.fields.filterNot(_ == idCol)
             val decoded = idxRows
               .select(col("id").cast(idType).as(idCol),
                 from_json(col("key"), keySchema).as("_k"))
-              .select(col(idCol) +: index.fields.map(f =>
+              .select(col(idCol) +: rest.map(f =>
                 col(s"_k.$f").as(f)): _*)
             (decoded, StructType(StructField(idCol, idType) +:
-              keySchema.fields.toSeq))
+              keySchema.fields.toSeq.filterNot(_.name == idCol)))
           } else {
             val ids = idxRows.select(col("id").as(idCol)).distinct()
             (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)

@@ -682,19 +682,28 @@ object Similarity {
     * over all candidates. The `mutual` flag marks edges whose reverse
     * is also ranked — the mutual-kNN graph used for clustering.
     *
-    * Contract: neighbors are exact WITHIN the vector's cluster (the
-    * boundary-loss trade every IVF serve path here documents; raise
-    * `nCentroids` to shrink clusters, the broadcast quantizer keeps
-    * assignment cheap). Returns `(src, rank, dst, cos, mutual)`. */
-  def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 16): DataFrame = {
+    * Contract: neighbors are exact within the vector's PROBED clusters
+    * — its own at `nProbe = 1`, its `nProbe` nearest-centroid clusters
+    * beyond (the IVF multi-probe recall knob: boundary vectors see the
+    * adjacent cluster too, at `nProbe ×` pairwise cost — still bounded
+    * by probes × cluster size, never corpus²); raise `nCentroids` to
+    * shrink clusters, the broadcast quantizer keeps assignment cheap.
+    * Returns `(src, rank, dst, cos, mutual)`. */
+  def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 16,
+               nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "knnGraph: nProbe >= 1")
     val cents = initCentroids(corpus, nCentroids)
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("blk", nearestCidCol(col("v"), col("nrm"), cents))
-    val a = e.select(col("blk"), col("vec_id").as("q_id"),
-      col("v").as("q_vec"), col("nrm").as("q_nrm"))
-    val b = e.select(col("blk"), col("vec_id").as("n_id"),
-      col("v").as("n_vec"), col("nrm").as("n_nrm"))
+    val b = e.withColumn("blk", nearestCidCol(col("v"), col("nrm"), cents))
+      .select(col("blk"), col("vec_id").as("n_id"),
+        col("v").as("n_vec"), col("nrm").as("n_nrm"))
+    val a = (if (nProbe == 1)
+        e.withColumn("blk", nearestCidCol(col("v"), col("nrm"), cents))
+      else e.withColumn("blk",
+        explode(probeCidsCol(col("v"), col("nrm"), cents, nProbe))))
+      .select(col("blk"), col("vec_id").as("q_id"),
+        col("v").as("q_vec"), col("nrm").as("q_nrm"))
     val edges = rankTopK(
       a.join(b, Seq("blk")).filter(col("q_id") =!= col("n_id"))
         .withColumn("cos",

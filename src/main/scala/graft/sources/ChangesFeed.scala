@@ -121,6 +121,41 @@ object ChangesFeed {
       .select(col("seq"), col("id"), col("rev"), col("deleted"))
       .orderBy(col("seq"))
 
+  /** Rewrite ONLY the seq buckets whose file count exceeds
+    * `maxFilesPerBucket` — streaming appends (one file per touched
+    * bucket per micro-batch) fragment the tail over time; compaction
+    * re-sorts each fragmented bucket into one file behind a rename
+    * swap (crash leaves old-or-new, the EventStore/IndexStore
+    * discipline), restoring tight row-group `seq` min/max. Untouched
+    * buckets are never read or written. Returns compacted bucket ids. */
+  def compact(spark: SparkSession, path: String,
+              maxFilesPerBucket: Int = 4): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val buckets = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+    val fragmented = buckets.filter { b =>
+      fs.listStatus(b.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+    }
+    fragmented.map { b =>
+      val dirP = b.getPath
+      val kb = dirP.getName.stripPrefix("_kb=").toLong
+      val tmp = new Path(dirP.getParent, s"_compact_tmp_${dirP.getName}")
+      fs.delete(tmp, true)
+      spark.read.parquet(dirP.toString)
+        .sort(col("seq"))
+        .coalesce(1)
+        .write.parquet(tmp.toString)
+      val old = new Path(dirP.getParent, s"_old_${dirP.getName}")
+      if (!fs.rename(dirP, old))
+        throw new java.io.IOException(s"compact: cannot move $dirP")
+      if (!fs.rename(tmp, dirP))
+        throw new java.io.IOException(s"compact: cannot publish $tmp")
+      fs.delete(old, true)
+      kb
+    }.toSeq
+  }
+
   /** The current high-water mark (`last_seq`): reads ONLY the greatest
     * `_kb` partition — O(tail bucket), not O(log). Returns -1 for an
     * empty store. */

@@ -105,6 +105,33 @@ class ChangesFeedSpec extends SparkSpecBase
       .count() == 0)
   }
 
+  test("compact rewrites only fragmented buckets; reads unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chgc").toString
+    val store = s"$dir/feed"
+    def gen(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, i % 20, s"r$i", false)).toDF("seq", "id", "rev", "deleted")
+    ChangesFeed.write(gen(0, 64), store, width = 64)
+    // six appends all land in bucket 1 → fragment it; bucket 0 untouched
+    (0 until 6).foreach(j => ChangesFeed.append(gen(64 + j * 4, 68 + j * 4),
+      store))
+    def files(kb: Long): Seq[String] = {
+      val d = new java.io.File(s"$store/_kb=$kb")
+      if (!d.exists()) Nil
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+        .sorted.toSeq
+    }
+    val b0Before = files(0)
+    assert(files(1).size > 4, "bucket 1 should be fragmented")
+    val before = ChangesFeed.since(spark, store, 30L).collect().toSeq
+    val compacted = ChangesFeed.compact(spark, store, maxFilesPerBucket = 4)
+    assert(compacted == Seq(1L), s"only bucket 1 compacts: $compacted")
+    assert(files(1).size == 1 && files(0) == b0Before,
+      "bucket 1 one file; bucket 0 byte-untouched")
+    assert(ChangesFeed.since(spark, store, 30L).collect().toSeq == before)
+    assert(ChangesFeed.lastSeq(spark, store) == 87L)
+  }
+
   test("lastSeq reads the tail bucket; limit pages are resumable") {
     val (store, log) = makeStore()
     assert(ChangesFeed.lastSeq(spark, store) ==

@@ -45,6 +45,19 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got == Seq((1, "a", 1L), (2, "b", 1L), (3, "c", 1L)))
   }
 
+  test("trending: exact counts, count-desc rank, item tie-break") {
+    val rows = Seq(
+      (1L, 1L, "b"), (2L, 2L, "b"), (3L, 3L, "a"), (4L, 4L, "a"),
+      (5L, 5L, "c"),                                  // win 0: a=2 b=2 c=1
+      (6L, day + 1, "c"), (7L, day + 2, "c"), (8L, day + 3, "a"))
+    val got = EventAnalytics.trending(ev(rows).withColumnRenamed("u", "x"),
+      col("ts"), col("et"), widthHours = 24, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "a", 2L, 1L), (0L, "b", 2L, 2L),   // tie at 2 → 'a' first
+      (1L, "c", 2L, 1L), (1L, "a", 1L, 2L)))
+  }
+
   test("retention: cohorts by first day, distinct users per offset") {
     val rows = Seq(
       // u1: cohort day 0, active days 0, 1 (twice), 7

@@ -45,6 +45,26 @@ class GraphOverlapSpec extends SparkSpecBase {
     assert(g.toSeq == brute.toSeq)
   }
 
+  test("knnGraph: multi-probe recall rises monotonically to brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 150L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    def edges(nProbe: Int) =
+      Similarity.knnGraph(vecs, k = 3, nCentroids = 6, nProbe = nProbe)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (edges(1) & brute).size
+    val r2 = (edges(2) & brute).size
+    assert(r1 <= r2, s"recall must not drop with more probes: $r1 > $r2")
+    // probing every cluster IS brute force
+    assert(edges(6) == brute)
+  }
+
   test("knnGraph: ranks are contiguous, bounded by k, mutual is symmetric") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
