@@ -2034,6 +2034,36 @@ object SparkEntry {
     graft.operators.EventAnalytics.trending(events(s, dir), col("ts_us"),
       col("event_type"), widthHours = 24, k = 2)
 
+  /** G11 gated: STREAMING EVENT-STORE INGESTION
+    * ([[graft.streaming.Streams.maintainEventStore]]) — the events
+    * table as a 4-micro-batch file stream landing in `_day` partitions;
+    * the settled store must serve q117's exact windowed-agg oracle. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.EventStore
+    val dayUs = 86400000000L
+    val ev = events(s, dir)
+    val inDir = idxPath("q140inS", dir, "events") + "/in"
+    stageChunks(s, ev, col("ts_us"), inDir)
+    val storePath = idxPath("q140evS", dir, "events") + "/store"
+    // append-only store + fresh checkpoint: clean slate per run
+    graft.view.IndexStore.fsFor(s, storePath)
+      .delete(new org.apache.hadoop.fs.Path(storePath), true)
+    val ck = java.nio.file.Files.createTempDirectory("graft-q140ck").toString
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainEventStore(s, stream,
+      storePath, ck)
+    try q.processAllAvailable() finally q.stop()
+    val lo = ev.agg(min(col("ts_us"))).head().getLong(0)
+    val from = lo + 3 * dayUs + dayUs / 2
+    EventStore.readRange(s, storePath, from, from + 2 * dayUs)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2460,7 +2490,8 @@ object SparkEntry {
     "q136_bloom_semijoin" -> (q136 _),
     "q137_mango_partial" -> (q137 _),
     "q138_streaming_changes" -> (q138 _),
-    "q139_trending" -> (q139 _)
+    "q139_trending" -> (q139 _),
+    "q140_streaming_events" -> (q140 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4506,7 +4537,16 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY win
         |        ORDER BY cnt DESC, item) AS rank FROM c)
         |SELECT win, item, cnt, rank FROM r WHERE rank <= 2
-        |ORDER BY win, rank""".stripMargin
+        |ORDER BY win, rank""".stripMargin,
+    // the streamed store must serve the q117/q125 window relation
+    "q140_streaming_events" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) + 302400000000 AS lo FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 172800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -516,6 +516,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming ingestion into a [[graft.sources.EventStore]] — each
+    * micro-batch of events appends into its `_day` partitions (the
+    * first non-empty batch creates the store): the event lake's
+    * landing path. Timestamp encoding is normalized per batch
+    * (`EventTime` — producers upgrade mid-stream without breaking
+    * ingestion); late data appends into old days and is `compact`'s
+    * business, never the ingest path's. */
+  def maintainEventStore(spark: SparkSession, eventStream: DataFrame,
+                         path: String, checkpoint: String,
+                         filesPerDay: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.EventStore
+    eventStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val exists = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(path))
+          if (!exists) EventStore.write(batch, path, filesPerDay)
+          else EventStore.append(batch, path, filesPerDay)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a [[graft.sources.ChangesFeed]] store —
     * the write-side of the replication backbone: each micro-batch of
     * change rows `(seq, id, rev, deleted)` is appended into its seq

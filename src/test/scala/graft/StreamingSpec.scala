@@ -463,6 +463,37 @@ class StreamingSpec extends SparkSpecBase {
     q2.stop()
   }
 
+  test("streamed event store serves the same range reads as a batch write") {
+    import graft.sources.{EventStore, EventTime}
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-evstream").toString
+    val day = 86400000L // ms
+    def ev(d: Long, ms: Long, t: String, v: Double) =
+      Ev(new Timestamp(d * day + ms), t, v)
+    val in = MemoryStream[Ev]
+    val q = Streams.maintainEventStore(spark, in.toDF(),
+      s"$dir/store", s"$dir/ckpt")
+    in.addData(ev(0, 10, "a", 1.0), ev(1, 20, "b", 2.0))
+    q.processAllAvailable()
+    in.addData(ev(1, 30, "a", 3.0), ev(2, 40, "c", 4.0),
+      ev(0, 50, "b", 5.0)) // late row into day 0
+    q.processAllAvailable()
+    q.stop()
+    val batch = Seq(ev(0, 10, "a", 1.0), ev(1, 20, "b", 2.0),
+      ev(1, 30, "a", 3.0), ev(2, 40, "c", 4.0), ev(0, 50, "b", 5.0))
+      .toDF()
+    EventStore.write(batch, s"$dir/ref")
+    val dayUs = 86400000000L
+    for ((lo, hi) <- Seq((0L, 3 * dayUs), (dayUs, 2 * dayUs),
+        (dayUs / 2, dayUs + dayUs / 2))) {
+      val a = EventStore.readRange(spark, s"$dir/store", lo, hi)
+        .orderBy("ts_us", "event_type").collect().toSeq
+      val b = EventStore.readRange(spark, s"$dir/ref", lo, hi)
+        .orderBy("ts_us", "event_type").collect().toSeq
+      assert(a == b, s"range [$lo,$hi)")
+    }
+  }
+
   test("streamed changes feed serves the same since-reads as a batch write") {
     import graft.sources.ChangesFeed
     implicit val sql = spark.sqlContext
