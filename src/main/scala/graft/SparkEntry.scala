@@ -2064,6 +2064,123 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** C14: PARAGRAPH-LEVEL corpus dedup
+    * ([[graft.operators.Dedup.dedupParagraphs]]) — a paragraph that
+    * repeats across the corpus survives only at its first occurrence
+    * in (doc, pos) order; docs are rewritten from the survivors. The
+    * synthetic corpus carries no paragraph breaks, so the gate derives
+    * the units deterministically: each doc's token stream chunked into
+    * 6-word paragraphs (473 duplicate instances at sf0.01 — a real
+    * workload for the keep-first rule), and the oracle replays chunk,
+    * keeper-window and reassembly exactly. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val w = 6
+    val ws = graft.operators.Text.tokens(col("text"))
+    val paras = when(size(ws) > 0,
+      transform(sequence(lit(0), ceil(size(ws) / lit(w.toDouble)).cast("int") - 1),
+        i => array_join(slice(ws, i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), paras.as("_paras"))
+    graft.operators.Dedup.dedupParagraphs(docs, col("doc_id"),
+        col("_paras"), sep = " ")
+      .orderBy(col("doc_id"))
+  }
+
+  /** B34: TOKEN-BALANCED SHARDING
+    * ([[graft.operators.Relational.shardByTokenBudget]]) — documents
+    * assigned to ~500-token output shards in the deterministic
+    * md5-of-id order via an exact distributed prefix sum (two-phase;
+    * no single-task window). The oracle affords the 1-task
+    * `SUM … OVER (ORDER BY …)` formulation at test scale and must
+    * match row-for-row. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.shardByTokenBudget(
+        t(s, dir, "documents"), col("doc_id"),
+        graft.operators.Text.tokenCount(col("text")), budget = 500L)
+      .orderBy(col("doc_id"))
+
+  /** H6: VERSION-DRIFT-TOLERANT parquet ingestion
+    * ([[graft.sources.Evolve.readParquet]]) — the gate stages `orders`
+    * as three producer eras under one directory (v1: `o_custkey`
+    * narrowed to int32; v2: `o_totalprice` under its legacy name
+    * `total_price`; v3: written before `o_orderpriority` existed) —
+    * a layout vanilla `spark.read.parquet` misreads and `mergeSchema`
+    * rejects (int32 vs int64 conflict). The evolved reader must serve
+    * ONE normalized frame whose aggregate equals the oracle over the
+    * un-drifted table (with the dropped column null exactly where era
+    * 3 wrote). */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = idxPath("q143evo", dir, "orders") + "/tbl"
+    graft.view.IndexStore.fsFor(s, base)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_custkey", col("o_custkey").cast("int"))
+      .write.parquet(base + "/v1")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .withColumnRenamed("o_totalprice", "total_price")
+      .write.parquet(base + "/v2")
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .drop("o_orderpriority")
+      .write.parquet(base + "/v3")
+    graft.sources.Evolve.readParquet(s, base,
+        renames = Map("total_price" -> "o_totalprice"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        count(col("o_orderpriority")).as("n_pri"),
+        sum(col("o_custkey")).as("sum_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The q144 replica pair: both replicas share rev 1 of every doc;
+    * A extended evens to `2-h2a`; B extended the %4 docs FURTHER down
+    * A's branch (`3-h3`, ancestors [2-h2a, 1-h1] — after merge A's tip
+    * must prune, not conflict), grew its own `2-h2b` branch on the
+    * remaining %3 docs (deleted when %9 — live-beats-deleted), and
+    * still holds rev 1 elsewhere. Covers ancestor pruning, genuine
+    * divergence (%6 ∧ ¬%4: 2-h2a vs 2-h2b), hash tie-breaks,
+    * deleted-winner docs (odd %9) and shared-rev collapse. */
+  private def q144Replicas(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def h(tag: String): Column =
+      md5(concat(col("doc_id").cast("string"), lit(s":$tag")))
+    def rev(p: Int, tag: String): Column = concat(lit(s"$p-"), h(tag))
+    def leaf(pos: Long, tag: String, del: Column, anc: Column)
+        (src: DataFrame): DataFrame =
+      src.select(col("doc_id"), lit(pos).as("rev_pos"),
+        h(tag).as("rev_hash"), del.as("deleted"), anc.as("ancestors"))
+    val none = array().cast("array<string>")
+    val a = leaf(2, "r2a", lit(false), array(rev(1, "r1")))(
+        d.filter(col("doc_id") % 2 === 0))
+      .unionByName(leaf(1, "r1", lit(false), none)(
+        d.filter(col("doc_id") % 2 =!= 0)))
+    val b = leaf(3, "r3", lit(false), array(rev(2, "r2a"), rev(1, "r1")))(
+        d.filter(col("doc_id") % 4 === 0))
+      .unionByName(leaf(2, "r2b", col("doc_id") % 9 === 0,
+        array(rev(1, "r1")))(
+        d.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 3 === 0)))
+      .unionByName(leaf(1, "r1", lit(false), none)(
+        d.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 3 =!= 0)))
+    (a, b)
+  }
+
+  /** A29: REPLICA MERGE ([[graft.operators.Revisions.mergeReplicas]])
+    * — the post-replication resolution: union both replicas' revision
+    * leaves, prune revs another leaf proves are interior (B extended
+    * A's branch ⇒ A's tip is not a conflict), resolve the rest with
+    * the winning-rev rule. The oracle derives the merged leaf set
+    * ANALYTICALLY from the residue classes (not a circular replay of
+    * the prune) and applies the same rule as a window. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = q144Replicas(s, dir)
+    graft.operators.Revisions.mergeReplicas(a, b, col("doc_id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+      .orderBy(col("id"))
+  }
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2491,7 +2608,11 @@ object SparkEntry {
     "q137_mango_partial" -> (q137 _),
     "q138_streaming_changes" -> (q138 _),
     "q139_trending" -> (q139 _),
-    "q140_streaming_events" -> (q140 _)
+    "q140_streaming_events" -> (q140 _),
+    "q141_paragraph_dedup" -> (q141 _),
+    "q142_token_shards" -> (q142 _),
+    "q143_evolved_read" -> (q143 _),
+    "q144_replica_merge" -> (q144 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4546,7 +4667,95 @@ object SparkEntry {
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events, b
         |WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 172800000000
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 6-word chunks; keeper = min (doc,pos) per paragraph; docs
+    // rebuilt from survivors in position order
+    "q141_paragraph_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x != '') AS ws
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, u.i AS p,
+        |         array_to_string(ws[(u.i*6)+1:(u.i*6)+6], ' ') AS para
+        |  FROM words, LATERAL (SELECT unnest(range(0,
+        |         CAST(ceil(len(ws)/6.0) AS BIGINT))) AS i) u),
+        |k AS (
+        |  SELECT doc_id, p, para,
+        |         ROW_NUMBER() OVER (PARTITION BY para
+        |           ORDER BY doc_id, p) AS rn
+        |  FROM paras),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(para, ' ' ORDER BY p) AS clean_text,
+        |         COUNT(*) AS n_kept
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(ceil(len(w.ws)/6.0) AS BIGINT) AS n_paras,
+        |  COALESCE(r.n_kept, 0) AS n_kept
+        |FROM words w LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
+    // the 1-task window formulation the engine-side prefix sum avoids
+    "q142_token_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         x -> x != '')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, cum_before, cum_before // 500 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the un-drifted table, with the era-3 column nulled where era 3
+    // wrote (the only information the drift actually lost)
+    "q143_evolved_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(CASE WHEN o_orderkey % 3 = 2 THEN NULL
+        |             ELSE o_orderpriority END) AS n_pri,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // merged leaf set derived analytically from the residue classes
+    // (%4: B's 3-h3 pruned A's tip; %2∧¬%4: A's 2-h2a leads; %3∧¬%4:
+    // B's 2-h2b, deleted when %9; odd∧¬%3: the shared rev 1), then the
+    // winning-rev rule as a window
+    "q144_replica_merge" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r1')  AS h1,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r2a') AS h2a,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r2b') AS h2b,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r3')  AS h3
+        |  FROM documents),
+        |leaves AS (
+        |  SELECT doc_id, 3 AS pos, h3 AS hash, FALSE AS del
+        |  FROM h WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, h2a, FALSE
+        |  FROM h WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, h2b, doc_id % 9 = 0
+        |  FROM h WHERE doc_id % 3 = 0 AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, h1, FALSE
+        |  FROM h WHERE doc_id % 2 <> 0 AND doc_id % 3 <> 0),
+        |r AS (
+        |  SELECT doc_id, del,
+        |    CAST(pos AS VARCHAR) || '-' || hash AS rev,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY del ASC, pos DESC, hash DESC) AS rn
+        |  FROM leaves)
+        |SELECT doc_id AS id,
+        |  MAX(CASE WHEN rn = 1 THEN rev END) AS win_rev,
+        |  bool_or(CASE WHEN rn = 1 THEN del END) AS win_deleted,
+        |  COUNT(CASE WHEN rn > 1 AND NOT del THEN 1 END) AS n_conflicts,
+        |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
+        |    ',' ORDER BY rev), '') AS conflicts
+        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

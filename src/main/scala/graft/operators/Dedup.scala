@@ -682,4 +682,56 @@ object Dedup {
       round4(col("inter").cast("double") /
         (col("grams_a") + col("grams_b") - col("inter"))).as("jaccard"))
   }
+
+  /** Paragraph-level corpus dedup — the RefinedWeb/Dolma
+    * "dedupe paragraphs" pass: a unit of text (paragraph, line, cell)
+    * that repeats ACROSS the corpus survives only at its FIRST
+    * occurrence in document order; every later copy is dropped and the
+    * documents rewritten. Sits between doc-level dedup (C1: whole-doc
+    * only) and span dedup (C9: n-gram spans, removes ALL copies) —
+    * boilerplate paragraphs are killed everywhere EXCEPT one canonical
+    * home, so no content is lost from the corpus.
+    *
+    * `paras` must be an `array<string>` column (the caller picks the
+    * unit: `split(text, "\n\n")` for real paragraphs, lines, table
+    * rows…). Keep rule, exact and engine-replayable: an instance
+    * `(doc, pos)` survives iff `struct(doc_id, pos)` is the MINIMUM
+    * over all instances sharing `md5(trim(para))`; blank/whitespace
+    * paragraphs are never deduped (they carry layout, not content).
+    *
+    * Returns one row per input doc: `(doc_id, clean_text, n_paras,
+    * n_kept)` with `clean_text` = surviving paragraphs in original
+    * order joined by `sep`.
+    *
+    * Scale shape: paragraphs travel as 16-byte hashes; the keeper per
+    * hash is a `min(struct)` GROUP BY — partial-aggregated map-side
+    * (a window over the hash would sort without combining). Join back
+    * on the hash (same shuffle key), filter to the keeper instance,
+    * one groupBy doc to reassemble. Two shuffles total, both narrow;
+    * no all-pairs anywhere. */
+  def dedupParagraphs(docs: DataFrame, id: Column, paras: Column,
+                      sep: String = "\n\n"): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"), paras.as("_ps"))
+    val inst = base.select(col("doc_id"),
+        posexplode(col("_ps")).as(Seq("_p", "_para")))
+      .withColumn("_h", unhex(md5(trim(col("_para")))))
+      .withColumn("_blank", trim(col("_para")) === "")
+    val keepers = inst.filter(!col("_blank"))
+      .groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("_p"))).as("_keep"))
+    val kept = inst.join(keepers, Seq("_h"), "left")
+      .filter(col("_blank") ||
+        (col("_keep.doc_id") === col("doc_id") && col("_keep._p") === col("_p")))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(sep,
+          transform(sort_array(collect_list(struct(col("_p"), col("_para")))),
+            x => x.getField("_para"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("_ps")).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -395,4 +395,72 @@ object Relational {
   def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
     df.groupBy(floor(value / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Exact global EXCLUSIVE prefix sum of `value` in `order` — the
+    * running-total sibling of [[withGlobalRowNumber]], and the same
+    * two-phase shape: range-partition on the ordering, one cheap
+    * per-partition totals pass (a `collect` of ONE long per partition),
+    * then a compiled in-partition running add starting from the
+    * partition's offset. A `sum(...).over(Window.orderBy(...))` would
+    * drag the whole dataset through a single task; this scales with
+    * the cluster. `order` must be a total order (unique tie-break) and
+    * `value` non-null. Returns the input columns plus `out` = sum of
+    * `value` over all STRICTLY PRECEDING rows (0 for the first). */
+  def withGlobalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                          out: String = "cum_before"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val withV = df.withColumn("_psv", value.cast(LongType))
+    // not persisted for the same reason as withGlobalRowNumber: the
+    // total order makes both passes see identical partitions.
+    val sorted = withV.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex("_psv")
+    val sums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val cum = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = offsets(i)
+      it.map { row =>
+        val r = Row.fromSeq(row.toSeq :+ s); s += row.getLong(vIdx); r
+      }
+    }
+    spark.createDataFrame(cum, schema).drop("_psv")
+  }
+
+  /** TOKEN-BALANCED SHARDING — the corpus-layout step before training:
+    * assign every document to a numbered output shard such that shards
+    * hold ~`budget` tokens each, documents never split, and the
+    * assignment is deterministic across engines and runs. Order is the
+    * md5-of-id pseudo-random permutation (the [[stratifiedSampleExact]]
+    * convention) so shards are topic-decorrelated without a true
+    * shuffle; a doc lands in `shard = floor(cum_before / budget)`
+    * where `cum_before` is the EXACT global token prefix sum — i.e. a
+    * shard closes at the first doc that starts past its budget
+    * boundary (overflow bounded by one document).
+    *
+    * Returns `(doc_id, n_tokens, cum_before, shard)`; downstream
+    * writers `repartition(col("shard"))` and get size-balanced files.
+    *
+    * Scale: ONE range shuffle (the prefix-sum machinery) + arithmetic;
+    * driver traffic is one long per partition. The window-function
+    * formulation (`SUM OVER (ORDER BY …)`) is the 1-task trap this
+    * avoids — that's left to the oracle, which can afford it at test
+    * scale. */
+  def shardByTokenBudget(df: DataFrame, id: Column, tokens: Column,
+                         budget: Long): DataFrame = {
+    require(budget > 0, s"shard token budget must be positive, got $budget")
+    val base = df.select(id.cast("long").as("doc_id"),
+      tokens.cast("long").as("n_tokens"))
+      .withColumn("_h", md5(col("doc_id").cast("string").cast("binary")))
+    withGlobalPrefixSum(base, Seq(col("_h"), col("doc_id")),
+      col("n_tokens"), "cum_before")
+      .withColumn("shard", expr(s"cum_before div ${budget}L"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        col("shard"))
+  }
 }

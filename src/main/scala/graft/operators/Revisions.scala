@@ -84,4 +84,49 @@ object Revisions {
       .select(col("id"),
         split_part(col("rev"), lit("-"), lit(1)).cast("long").as("rev_pos"),
         split_part(col("rev"), lit("-"), lit(2)).as("rev_hash"))
+
+  /** REPLICA MERGE — the state a bidirectional replication converges
+    * to: given the revision-tree leaves of two replicas, each leaf
+    * carrying its ancestor path (`ancestors`: array of `"pos-hash"`
+    * rev ids strictly above it — CouchDB's `_revisions` field), the
+    * merged tree's leaves are the union MINUS any rev that is an
+    * ANCESTOR of another leaf of the same doc: if replica B extended a
+    * branch A still holds the tip of, A's tip stops being a leaf after
+    * merge rather than surfacing as a fake conflict. Divergent
+    * branches (neither ancestor of the other) BOTH survive — that is
+    * a real conflict, resolved by the [[summary]] rule.
+    *
+    * Returns [[summary]] over the merged leaf set: one row per doc,
+    * `(id, win_rev, win_deleted, n_conflicts, conflicts)` — identical
+    * on both replicas, with no coordination; that convergence is the
+    * CouchDB replication guarantee this operator reproduces.
+    *
+    * Scale shape: one groupBy to collapse revs both replicas share
+    * (same rev id ⇒ same content, by the rev-hash contract), one
+    * bounded explode of ancestor paths (tree depth, not corpus size),
+    * one anti join on the 2-column rev id, then the single-aggregation
+    * resolution. Everything keys on `id` or `(id, rev)` — no window,
+    * no all-pairs. */
+  def mergeReplicas(a: DataFrame, b: DataFrame, id: Column, revPos: Column,
+                    revHash: Column, deleted: Column,
+                    ancestors: Column): DataFrame = {
+    def normA(df: DataFrame): DataFrame =
+      df.select(id.as("_id"), revPos.cast("long").as("_pos"),
+        revHash.cast("string").as("_hash"),
+        deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    // union then collapse shared revs; max(struct) not first() so the
+    // collapse stays deterministic even on malformed inputs
+    val merged = normA(a).unionByName(normA(b))
+      .groupBy(col("_id"), col("_pos"), col("_hash"))
+      .agg(max(struct(col("_del"), col("_anc"))).as("_m"))
+      .select(col("_id"), col("_pos"), col("_hash"),
+        col("_m._del").as("_del"), col("_m._anc").as("_anc"))
+    val anc = merged.select(col("_id"), explode(col("_anc")).as("_rev"))
+      .distinct()
+    val leaves = merged
+      .withColumn("_rev",
+        concat(col("_pos").cast("string"), lit("-"), col("_hash")))
+      .join(anc, Seq("_id", "_rev"), "left_anti")
+    summary(leaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
+  }
 }

@@ -834,4 +834,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(ref.count() == emb.count())
     assert(ref.columns.toSeq == Seq("vec_id", "cluster", "keep"))
   }
+
+  test("dedupParagraphs: keep-first across AND within docs; blanks and empty docs survive") {
+    val docs = Seq(
+      (1L, Seq("alpha", "dup para", "", "dup para")), // intra-doc repeat
+      (2L, Seq("dup para", "beta")),                  // cross-doc repeat
+      (3L, Seq("", " ")),                             // only blanks
+      (4L, Seq.empty[String])                         // no paragraphs
+    ).toDF("doc_id", "paras")
+    val got = Dedup.dedupParagraphs(docs, $"doc_id", $"paras", sep = "|")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      // doc 1 keeps the FIRST "dup para" (pos 1); the pos-3 copy dies;
+      // the blank stays (layout, not content)
+      (1L, "alpha|dup para|", 4L, 3L),
+      // doc 2's copy loses to doc 1 pos 1
+      (2L, "beta", 2L, 1L),
+      // blanks never dedup, even against each other ("" vs " " trim equal)
+      (3L, "| ", 2L, 2L),
+      (4L, "", 0L, 0L)))
+    // partitioning-invariant (min-struct keeper, not first-seen)
+    val again = Dedup.dedupParagraphs(docs.repartition(5), $"doc_id",
+      $"paras", sep = "|").orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(again == got)
+  }
 }

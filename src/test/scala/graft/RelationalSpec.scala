@@ -176,6 +176,45 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("withGlobalPrefixSum equals the window running total without the single partition") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val got = Relational.withGlobalPrefixSum(orders,
+      Seq($"o_custkey", $"o_orderkey"), $"o_custkey").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("cum_before"))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_custkey", $"o_orderkey")
+      .rowsBetween(Long.MinValue, -1)
+    val exp = orders.select($"o_orderkey",
+        coalesce(sum($"o_custkey").over(w), lit(0L)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
+  test("shardByTokenBudget: budget-crossing closes, unsplit docs, partitioning-invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val budget = 300L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.shardByTokenBudget(df, $"doc_id",
+        graft.operators.Text.tokenCount($"text"), budget)
+    val got = run(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shard is exactly the budget quotient of the doc's start offset
+    assert(got.forall { case (_, _, cum, sh) => sh == cum / budget })
+    // in shard order, a new shard starts exactly when the running total
+    // crossed its boundary — no empty shard skipped, ids dense
+    val shards = got.map(_._4).distinct.sorted
+    assert(shards.head == 0L)
+    // dense except where one huge doc spans multiple budgets; with a
+    // 300-token budget and ~60-token docs every id must be consecutive
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a + 1 })
+    // deterministic under input partitioning
+    val again = run(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("q38 conditional aggregation equals INTERSECT/EXCEPT operators") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")

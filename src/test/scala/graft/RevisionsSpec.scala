@@ -75,4 +75,53 @@ class RevisionsSpec extends SparkSpecBase {
       assert(got == one, s"parts=$parts")
     }
   }
+
+  private def replica(rows: Seq[(String, Long, String, Boolean, Seq[String])])
+      : DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "rev_pos", "rev_hash", "deleted", "ancestors")
+  }
+
+  private def merge(a: Seq[(String, Long, String, Boolean, Seq[String])],
+                    b: Seq[(String, Long, String, Boolean, Seq[String])]) =
+    Revisions.mergeReplicas(replica(a), replica(b), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getString(4))).toSeq
+
+  test("mergeReplicas prunes a tip the other replica extended — no fake conflict") {
+    // A holds 2-bb; B extended that same branch to 3-cc
+    val a = Seq(("d", 2L, "bb", false, Seq("1-aa")))
+    val b = Seq(("d", 3L, "cc", false, Seq("2-bb", "1-aa")))
+    assert(merge(a, b) == Seq(("d", "3-cc", false, 0L, "")))
+    // and the merge converges: both replicas compute the same state
+    assert(merge(b, a) == merge(a, b))
+  }
+
+  test("mergeReplicas surfaces genuine divergence as a conflict") {
+    // both extended rev 1 independently — neither is the other's ancestor
+    val a = Seq(("d", 2L, "bb", false, Seq("1-aa")))
+    val b = Seq(("d", 2L, "zz", false, Seq("1-aa")))
+    // winner = greater hash at equal depth; loser is the conflict
+    assert(merge(a, b) == Seq(("d", "2-zz", false, 1L, "2-bb")))
+    assert(merge(b, a) == merge(a, b))
+  }
+
+  test("mergeReplicas: shared revs collapse; deleted branch loses; all-deleted resolves deleted") {
+    val a = Seq(
+      ("s", 1L, "aa", false, Seq.empty[String]),   // shared, unchanged
+      ("x", 2L, "bb", false, Seq("1-aa")),
+      ("t", 2L, "dd", true, Seq("1-cc")))
+    val b = Seq(
+      ("s", 1L, "aa", false, Seq.empty[String]),
+      ("x", 2L, "ee", true, Seq("1-aa")),          // deleted divergent branch
+      ("t", 2L, "dd", true, Seq("1-cc")))          // both deleted the doc
+    assert(merge(a, b) == Seq(
+      ("s", "1-aa", false, 0L, ""),
+      ("t", "2-dd", true, 0L, ""),
+      // live 2-bb beats the DELETED deeper-hash 2-ee; a deleted loser
+      // is not a conflict
+      ("x", "2-bb", false, 0L, "")))
+  }
 }
