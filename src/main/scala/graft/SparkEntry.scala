@@ -2181,6 +2181,21 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** C15: LEAKAGE-FREE train/eval split
+    * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
+    * their dedup-cluster canonical id (the q67 mapping), so near-dup
+    * pairs can never straddle the boundary; the first
+    * floor(nClusters/5) md5-ranked clusters become "val". The oracle
+    * re-derives the full closure (the q67 CTEs) and replays the
+    * cluster rank + integer quota. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.Dedup.dedupCorpus(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+    graft.operators.Dedup.assignClusterSplits(labels, valNum = 1,
+        valDen = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** D4: product-quantization ANN ([[graft.operators.Pq]], Jégou et
     * al. 2011) — m=8 byte codes per vector instead of 64 floats (the
     * memory tier brute-force/LSH/IVF don't cover), ADC shortlist of 50
@@ -2612,7 +2627,8 @@ object SparkEntry {
     "q141_paragraph_dedup" -> (q141 _),
     "q142_token_shards" -> (q142 _),
     "q143_evolved_read" -> (q143 _),
-    "q144_replica_merge" -> (q144 _)
+    "q144_replica_merge" -> (q144 _),
+    "q145_leakfree_split" -> (q145 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3224,28 +3240,9 @@ object SparkEntry {
     // recursive closure, then every doc mapped through exact keeper →
     // cluster canonical.
     "q67_dedup_corpus" ->
-      ("""WITH RECURSIVE fpm AS (
-         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-         |  FROM documents),
-         |keepx AS (SELECT fp, MIN(doc_id) AS keeper FROM fpm GROUP BY fp),
-         |em AS (SELECT doc_id, keeper FROM fpm JOIN keepx USING (fp)),
-         |keptdocs AS (
-         |  SELECT d.doc_id, d.text FROM documents d
-         |  JOIN em ON em.doc_id = d.doc_id AND em.doc_id = em.keeper),
-         |""".stripMargin +
-       minhashCte.stripPrefix("WITH ").replace("FROM documents", "FROM keptdocs") +
-       """, edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
-         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
-         |FROM em LEFT JOIN comp c ON c.id = em.keeper
-         |ORDER BY em.doc_id""".stripMargin),
+      (dedupLabelsCtes +
+       """
+         |SELECT doc_id, kept_id FROM labels ORDER BY doc_id""".stripMargin),
     // Stored cluster labels == the full from-scratch closure (q58's
     // CTEs) extended to singletons (label = own id).
     "q68_cluster_labels" ->
@@ -4755,7 +4752,25 @@ object SparkEntry {
         |  COUNT(CASE WHEN rn > 1 AND NOT del THEN 1 END) AS n_conflicts,
         |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
         |    ',' ORDER BY rev), '') AS conflicts
-        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin
+        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin,
+    // the q67 label closure + cluster-grain md5 rank + integer quota
+    "q145_leakfree_split" ->
+      (dedupLabelsCtes +
+       """,
+         |cl AS (SELECT DISTINCT kept_id FROM labels),
+         |rk AS (
+         |  SELECT kept_id,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(kept_id AS VARCHAR)),
+         |                       kept_id) AS r,
+         |    COUNT(*) OVER () AS n
+         |  FROM cl),
+         |sp AS (
+         |  SELECT kept_id,
+         |    CASE WHEN r * 5 <= n * 1 THEN 'val' ELSE 'train' END AS split
+         |  FROM rk)
+         |SELECT l.doc_id, l.kept_id, s.split
+         |FROM labels l JOIN sp s USING (kept_id)
+         |ORDER BY l.doc_id""".stripMargin)
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
@@ -5047,6 +5062,33 @@ object SparkEntry {
 
   /** Shared DuckDB CTE defining the MinHash+LSH pipeline (word 3-shingles,
     * k=8 seeded-md5 minima, 4 bands × 2 rows). */
+  /** Shared by q67/q145: exact-dup keepers → minhash closure over the
+    * keeper subset → the total (doc_id, kept_id) mapping, as CTEs
+    * ending in `labels`. */
+  private def dedupLabelsCtes: String =
+    """WITH RECURSIVE fpm AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |keepx AS (SELECT fp, MIN(doc_id) AS keeper FROM fpm GROUP BY fp),
+      |em AS (SELECT doc_id, keeper FROM fpm JOIN keepx USING (fp)),
+      |keptdocs AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN em ON em.doc_id = d.doc_id AND em.doc_id = em.keeper),
+      |""".stripMargin +
+    minhashCte.stripPrefix("WITH ").replace("FROM documents", "FROM keptdocs") +
+    """, edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+      |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |labels AS (
+      |  SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
+      |  FROM em LEFT JOIN comp c ON c.id = em.keeper)""".stripMargin
+
   private val minhashCte: String =
     """WITH words AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -709,6 +709,43 @@ object Dedup {
     * on the hash (same shuffle key), filter to the keeper instance,
     * one groupBy doc to reassemble. Two shuffles total, both narrow;
     * no all-pairs anywhere. */
+  /** LEAKAGE-FREE train/eval split — the assignment step after corpus
+    * dedup: rows split by their duplicate-CLUSTER canonical id, not
+    * their own id, so two near-duplicate documents can NEVER straddle
+    * the train/eval boundary (splitting by doc hash leaks eval content
+    * into training through every surviving near-dup — the
+    * contamination [[decontaminate]] measures, prevented by
+    * construction here).
+    *
+    * `labels` is the total `(doc_id, kept_id)` mapping [[dedupCorpus]]
+    * (or the persisted C8 index) produces. Clusters rank by the
+    * md5-of-kept_id deterministic permutation and the first
+    * `floor(nClusters·num/den)` become `"val"` — the
+    * [[Relational.stratifiedSampleExact]] integer-quota rule at
+    * CLUSTER grain, so the realized fraction is exact ±1 cluster and
+    * reproducible across engines and runs.
+    *
+    * Scale: the rank runs over DISTINCT clusters (≤ docs, typically
+    * ≪), via the two-phase global rank — no single-task window; the
+    * assignment joins back on `kept_id`, a narrow 2-column build side
+    * (AQE broadcasts it when small). One scalar cluster-count
+    * aggregate reaches the driver. */
+  def assignClusterSplits(labels: DataFrame, valNum: Int,
+                          valDen: Int): DataFrame = {
+    require(valNum >= 0 && valDen > 0,
+      "val quota must be num/den with den > 0")
+    val clusters = labels.select(col("kept_id")).distinct()
+      .withColumn("_h", md5(col("kept_id").cast("string").cast("binary")))
+    val ranked = Relational.withGlobalRowNumber(clusters,
+      Seq(col("_h"), col("kept_id")), "_r")
+    val n = ranked.count()
+    val assigned = ranked.select(col("kept_id"),
+      when(col("_r") * valDen <= lit(n) * valNum, lit("val"))
+        .otherwise(lit("train")).as("split"))
+    labels.join(assigned, Seq("kept_id"))
+      .select(col("doc_id"), col("kept_id"), col("split"))
+  }
+
   def dedupParagraphs(docs: DataFrame, id: Column, paras: Column,
                       sep: String = "\n\n"): DataFrame = {
     val base = docs.select(id.cast("long").as("doc_id"), paras.as("_ps"))

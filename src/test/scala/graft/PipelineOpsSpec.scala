@@ -835,6 +835,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(ref.columns.toSeq == Seq("vec_id", "cluster", "keep"))
   }
 
+  test("assignClusterSplits: cluster-atomic, exact quota, total, deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val labels = Dedup.dedupCorpus(docs, $"doc_id", $"text")
+    val got = Dedup.assignClusterSplits(labels, valNum = 1, valDen = 4)
+    // total: every doc labeled exactly once
+    assert(got.count() == docs.count())
+    // cluster-atomic: no cluster carries both splits — the leakage
+    // guarantee (any near-dup pair shares kept_id, hence split)
+    val mixed = got.groupBy($"kept_id")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(mixed == 0, "a duplicate cluster must never straddle the split")
+    // exact quota at CLUSTER grain
+    val nClusters = got.select($"kept_id").distinct().count()
+    val valClusters = got.filter($"split" === "val")
+      .select($"kept_id").distinct().count()
+    assert(valClusters == nClusters / 4,
+      s"val clusters $valClusters != floor($nClusters/4)")
+    // partitioning-invariant
+    val again = Dedup.assignClusterSplits(labels.repartition(7), 1, 4)
+    assert(again.orderBy($"doc_id").collect().toSeq ==
+      got.orderBy($"doc_id").collect().toSeq)
+  }
+
   test("dedupParagraphs: keep-first across AND within docs; blanks and empty docs survive") {
     val docs = Seq(
       (1L, Seq("alpha", "dup para", "", "dup para")), // intra-doc repeat
