@@ -101,7 +101,52 @@ object BenchScale {
         "bloom_semijoin" -> (() =>
           noop(graft.functions.Bloom.semiJoinPruned(
             d, col("doc_id"),
-            d.filter(col("doc_id") % 97 === 0), col("doc_id")))))
+            d.filter(col("doc_id") % 97 === 0), col("doc_id")))),
+        "paragraph_dedup" -> (() => {
+          // the q141 unit derivation: 6-word chunks
+          val ws = Text.tokens(col("text"))
+          val paras = when(size(ws) > 0,
+            transform(sequence(lit(0),
+                ceil(size(ws) / lit(6.0)).cast("int") - 1),
+              i => array_join(slice(ws, i * 6 + 1, lit(6)), " ")))
+            .otherwise(array().cast("array<string>"))
+          noop(Dedup.dedupParagraphs(
+            d.select(col("doc_id"), paras.as("p")),
+            col("doc_id"), col("p"), " "))
+        }),
+        "token_shards" -> (() =>
+          noop(graft.operators.Relational.shardByTokenBudget(d,
+            col("doc_id"), Text.tokenCount(col("text")), 500L))),
+        "leakfree_split" -> (() =>
+          noop(Dedup.assignClusterSplits(
+            Dedup.dedupCorpus(d, col("doc_id"), col("text")), 1, 5))),
+        "replica_merge" -> (() => {
+          // the q144 residue-class replica pair over this corpus size
+          def h(tag: String) = md5(concat(col("doc_id").cast("string"),
+            lit(":" + tag)))
+          def rev(p: Int, tag: String) = concat(lit(s"$p-"), h(tag))
+          val ids = d.select(col("doc_id"))
+          val none = array().cast("array<string>")
+          def leaf(pos: Long, tag: String, del: org.apache.spark.sql.Column,
+                   anc: org.apache.spark.sql.Column)(src: DataFrame) =
+            src.select(col("doc_id"), lit(pos).as("rev_pos"),
+              h(tag).as("rev_hash"), del.as("deleted"), anc.as("ancestors"))
+          val a = leaf(2, "r2a", lit(false), array(rev(1, "r1")))(
+              ids.filter(col("doc_id") % 2 === 0))
+            .unionByName(leaf(1, "r1", lit(false), none)(
+              ids.filter(col("doc_id") % 2 =!= 0)))
+          val b = leaf(3, "r3", lit(false),
+              array(rev(2, "r2a"), rev(1, "r1")))(
+              ids.filter(col("doc_id") % 4 === 0))
+            .unionByName(leaf(2, "r2b", col("doc_id") % 9 === 0,
+              array(rev(1, "r1")))(
+              ids.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 3 === 0)))
+            .unionByName(leaf(1, "r1", lit(false), none)(
+              ids.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 3 =!= 0)))
+          noop(graft.operators.Revisions.mergeReplicas(a, b, col("doc_id"),
+            col("rev_pos"), col("rev_hash"), col("deleted"),
+            col("ancestors")))
+        }))
 
     // JIT/codegen warmup on the small corpus so the base timings are
     // not dominated by first-compile costs the 10× run then skips

@@ -14,6 +14,13 @@ object QTime {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      names.foreach { n =>
+        println(s"==== $n")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     names.foreach { n =>  // warm
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()

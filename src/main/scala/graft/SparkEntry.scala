@@ -2181,6 +2181,55 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** A30: PURGE ([[graft.operators.Revisions.purge]]) — CouchDB's
+    * `_purge`: leaf revisions removed with NO tombstone, parents
+    * resurrected unless still covered by another surviving branch,
+    * fully-purged docs VANISHING from the output (vs. the q144 docs
+    * that resolve deleted but remain). Input = the q144 post-merge
+    * leaf set built directly from its residue classes; purges hit the
+    * %4 tips (resurrect the 2-h2a parent), the %15 2b branches
+    * (resurrect rev 1 on odd docs, fold into 2a on even), a %7 slice
+    * of lone 2a branches, and the whole doc on odd ¬%3 %7 ids. The
+    * oracle derives the post-purge leaf set analytically per residue
+    * class and replays the winning-rev rule. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val did = col("doc_id")
+    def h(tag: String): Column =
+      md5(concat(did.cast("string"), lit(s":$tag")))
+    def rev(p: Int, tag: String): Column = concat(lit(s"$p-"), h(tag))
+    def leaf(pos: Long, tag: String, del: Column, anc: Column)
+        (src: DataFrame): DataFrame =
+      src.select(col("doc_id"), lit(pos).as("rev_pos"),
+        h(tag).as("rev_hash"), del.as("deleted"), anc.as("ancestors"))
+    val none = array().cast("array<string>")
+    val leaves =
+      leaf(3, "r3", lit(false), array(rev(2, "r2a"), rev(1, "r1")))(
+        d.filter(did % 4 === 0))
+      .unionByName(leaf(2, "r2a", lit(false), array(rev(1, "r1")))(
+        d.filter(did % 2 === 0 && did % 4 =!= 0)))
+      .unionByName(leaf(2, "r2b", did % 9 === 0, array(rev(1, "r1")))(
+        d.filter(did % 3 === 0 && did % 4 =!= 0)))
+      .unionByName(leaf(1, "r1", lit(false), none)(
+        d.filter(did % 2 =!= 0 && did % 3 =!= 0)))
+    def reqs(pos: Long, tag: String)(src: DataFrame): DataFrame =
+      src.select(col("doc_id"), lit(pos).as("rev_pos"),
+        h(tag).as("rev_hash"))
+    val requests =
+      reqs(3, "r3")(d.filter(did % 4 === 0))
+      .unionByName(reqs(2, "r2b")(
+        d.filter(did % 3 === 0 && did % 4 =!= 0 && did % 5 === 0)))
+      .unionByName(reqs(2, "r2a")(
+        d.filter(did % 2 === 0 && did % 4 =!= 0 && did % 3 =!= 0 &&
+          did % 7 === 1)))
+      .unionByName(reqs(1, "r1")(
+        d.filter(did % 2 =!= 0 && did % 3 =!= 0 && did % 7 === 0)))
+    graft.operators.Revisions.purge(leaves, col("doc_id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        requests, col("doc_id"), col("rev_pos"), col("rev_hash"))
+      .orderBy(col("id"))
+  }
+
   /** C15: LEAKAGE-FREE train/eval split
     * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
     * their dedup-cluster canonical id (the q67 mapping), so near-dup
@@ -2628,7 +2677,8 @@ object SparkEntry {
     "q142_token_shards" -> (q142 _),
     "q143_evolved_read" -> (q143 _),
     "q144_replica_merge" -> (q144 _),
-    "q145_leakfree_split" -> (q145 _)
+    "q145_leakfree_split" -> (q145 _),
+    "q146_purge" -> (q146 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4770,7 +4820,44 @@ object SparkEntry {
          |  FROM rk)
          |SELECT l.doc_id, l.kept_id, s.split
          |FROM labels l JOIN sp s USING (kept_id)
-         |ORDER BY l.doc_id""".stripMargin)
+         |ORDER BY l.doc_id""".stripMargin),
+    // post-purge leaf set per residue class: every even doc ends on
+    // 2-h2a except the purged %7=1 lone branches (which resurrect rev
+    // 1); 2-h2b survives only off the %5 purge slice; rev 1 serves the
+    // resurrected and untouched singles; odd ¬%3 %7 docs VANISH
+    "q146_purge" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r1')  AS h1,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r2a') AS h2a,
+        |    md5(CAST(doc_id AS VARCHAR) || ':r2b') AS h2b
+        |  FROM documents),
+        |leaves AS (
+        |  SELECT doc_id, 2 AS pos, h2a AS hash, FALSE AS del
+        |  FROM h WHERE doc_id % 2 = 0
+        |    AND NOT (doc_id % 4 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
+        |  UNION ALL
+        |  SELECT doc_id, 2, h2b, doc_id % 9 = 0
+        |  FROM h WHERE doc_id % 3 = 0 AND doc_id % 4 <> 0 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, h1, FALSE
+        |  FROM h WHERE (doc_id % 2 = 0 AND doc_id % 4 <> 0
+        |                AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
+        |     OR (doc_id % 2 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0)
+        |     OR (doc_id % 2 <> 0 AND doc_id % 3 = 0 AND doc_id % 5 = 0)),
+        |r AS (
+        |  SELECT doc_id, del,
+        |    CAST(pos AS VARCHAR) || '-' || hash AS rev,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY del ASC, pos DESC, hash DESC) AS rn
+        |  FROM leaves)
+        |SELECT doc_id AS id,
+        |  MAX(CASE WHEN rn = 1 THEN rev END) AS win_rev,
+        |  bool_or(CASE WHEN rn = 1 THEN del END) AS win_deleted,
+        |  COUNT(CASE WHEN rn > 1 AND NOT del THEN 1 END) AS n_conflicts,
+        |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
+        |    ',' ORDER BY rev), '') AS conflicts
+        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -107,6 +107,75 @@ object Revisions {
     * one anti join on the 2-column rev id, then the single-aggregation
     * resolution. Everything keys on `id` or `(id, rev)` — no window,
     * no all-pairs. */
+  /** PURGE — CouchDB's `_purge`: remove specific LEAF revisions with no
+    * tombstone left behind (deletion is an edit that replicates; purge
+    * is surgery that un-happens a write — the GDPR/bad-crawl eraser).
+    * Purging a branch tip RESURRECTS its deepest surviving ancestor as
+    * the branch's new leaf — unless that ancestor is also on the path
+    * of another surviving leaf, in which case the branch folds into
+    * the tree and nothing resurrects.
+    *
+    * Input model is [[mergeReplicas]]'s: leaves with `ancestors` =
+    * `"pos-hash"` path, deepest first. Requests name `(id, rev_pos,
+    * rev_hash)`; requests that do not match a CURRENT leaf are ignored
+    * (CouchDB validates the same way — interior revs are not
+    * purgeable). Interior revisions carry no stored deleted flag in
+    * this model; a resurrected ancestor is served live (CouchDB
+    * deletion stubs are branch TIPS by construction, so an interior
+    * rev being live is the overwhelmingly common truth; a resurrected
+    * stub would need the full rev-tree store this model deliberately
+    * elides).
+    *
+    * Returns [[summary]] over the post-purge leaf set — docs whose
+    * every branch is purged DISAPPEAR from the output (that is the
+    * purge/delete difference).
+    *
+    * Scale shape: one bounded path explode (tree depth), two
+    * hash-joins on (id, rev) — leaf validation and coverage — and the
+    * single-aggregation resolution; no window, no all-pairs. */
+  def purge(leaves: DataFrame, id: Column, revPos: Column,
+            revHash: Column, deleted: Column, ancestors: Column,
+            requests: DataFrame, reqId: Column, reqPos: Column,
+            reqHash: Column): DataFrame = {
+    val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"),
+      deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    val req = requests.select(reqId.as("_id"),
+        reqPos.cast("long").as("_pos"), reqHash.cast("string").as("_hash"))
+      // only CURRENT leaves are purgeable
+      .join(in.select(col("_id"), col("_pos"), col("_hash")),
+        Seq("_id", "_pos", "_hash"), "left_semi")
+    // the tree's NODES: every leaf plus every rev on a leaf's path
+    // (interior revs live, path = the suffix above them); a rev seen
+    // both ways keeps its leaf truth (max: true > false on _isleaf)
+    val fromLeaves = in.select(col("_id"), col("_pos"), col("_hash"),
+      col("_del"), col("_anc").as("_path"), lit(true).as("_isleaf"))
+    val fromPaths = in.select(col("_id"),
+        posexplode(col("_anc")).as(Seq("_i", "_rev")), col("_anc"))
+      .select(col("_id"),
+        split_part(col("_rev"), lit("-"), lit(1)).cast("long").as("_pos"),
+        split_part(col("_rev"), lit("-"), lit(2)).as("_hash"),
+        lit(false).as("_del"),
+        slice(col("_anc"), col("_i") + 2,
+          greatest(size(col("_anc")) - col("_i") - 1, lit(0))).as("_path"),
+        lit(false).as("_isleaf"))
+    val nodes = fromLeaves.unionByName(fromPaths)
+      .groupBy(col("_id"), col("_pos"), col("_hash"))
+      .agg(max(struct(col("_isleaf"), col("_del"))).as("_m"),
+        max(col("_path")).as("_path"))
+      .select(col("_id"), col("_pos"), col("_hash"),
+        (col("_m._isleaf") && col("_m._del")).as("_del"), col("_path"))
+    val surviving = nodes.join(req, Seq("_id", "_pos", "_hash"), "left_anti")
+    // a surviving rev on ANOTHER surviving rev's path is interior
+    val covered = surviving
+      .select(col("_id"), explode(col("_path")).as("_rev")).distinct()
+    val newLeaves = surviving
+      .withColumn("_rev",
+        concat(col("_pos").cast("string"), lit("-"), col("_hash")))
+      .join(covered, Seq("_id", "_rev"), "left_anti")
+    summary(newLeaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
+  }
+
   def mergeReplicas(a: DataFrame, b: DataFrame, id: Column, revPos: Column,
                     revHash: Column, deleted: Column,
                     ancestors: Column): DataFrame = {

@@ -124,4 +124,49 @@ class RevisionsSpec extends SparkSpecBase {
       // is not a conflict
       ("x", "2-bb", false, 0L, "")))
   }
+
+  private def purged(ls: Seq[(String, Long, String, Boolean, Seq[String])],
+                     rq: Seq[(String, Long, String)]) = {
+    import spark.implicits._
+    Revisions.purge(replica(ls), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        rq.toDF("id", "rev_pos", "rev_hash"),
+        col("id"), col("rev_pos"), col("rev_hash"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getString(4))).toSeq
+  }
+
+  test("purge resurrects the parent; a covered branch folds instead") {
+    // d1: lone branch — purging the tip resurrects 2-bb (live)
+    // d2: two branches over the same rev 1 — purging one tip folds it
+    //     into the other branch; rev 1 stays interior
+    val ls = Seq(
+      ("d1", 3L, "cc", true, Seq("2-bb", "1-aa")),
+      ("d2", 2L, "mm", false, Seq("1-kk")),
+      ("d2", 2L, "zz", false, Seq("1-kk")))
+    val got = purged(ls, Seq(("d1", 3L, "cc"), ("d2", 2L, "zz")))
+    assert(got == Seq(
+      ("d1", "2-bb", false, 0L, ""),
+      ("d2", "2-mm", false, 0L, "")))
+  }
+
+  test("purge removes fully-purged docs entirely; delete keeps them") {
+    val ls = Seq(
+      ("gone", 1L, "aa", false, Seq.empty[String]),
+      ("dead", 2L, "dd", true, Seq("1-cc")), // deleted, NOT purged
+      ("live", 1L, "ee", false, Seq.empty[String]))
+    val got = purged(ls, Seq(("gone", 1L, "aa")))
+    // "gone" vanishes; "dead" still resolves (deleted); "live" intact
+    assert(got == Seq(
+      ("dead", "2-dd", true, 0L, ""),
+      ("live", "1-ee", false, 0L, "")))
+  }
+
+  test("purge ignores requests that do not name a current leaf") {
+    val ls = Seq(("d", 2L, "bb", false, Seq("1-aa")))
+    // 1-aa is interior; 9-xx does not exist — both no-ops
+    val got = purged(ls, Seq(("d", 1L, "aa"), ("d", 9L, "xx")))
+    assert(got == Seq(("d", "2-bb", false, 0L, "")))
+  }
 }
