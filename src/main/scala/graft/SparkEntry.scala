@@ -2230,6 +2230,75 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** A16 gated: the QUERY-RESPONSE ENVELOPE ([[graft.view.View
+    * .queryResult]]) — total_rows / offset / rows, previously
+    * spec-only. One output row: the envelope scalars plus
+    * order-sensitive page fingerprints (first/last (key, id) of the
+    * skip+limit page under collation order) and the page's value sum —
+    * so the gate pins the envelope AND the page cut. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val v = View(t(s, dir, "orders"), col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice").cast("decimal(18,2)"))
+    val r = v.queryResult(QueryOpts(startKey = Some("2"),
+      endKey = Some("4"), skip = 50, limit = Some(200), reduce = false))
+    r.rows.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value")).cast("double").as("sum_value"),
+        min(struct(col("key"), col("id"))).as("f"),
+        max(struct(col("key"), col("id"))).as("l"))
+      .select(lit(r.totalRows).as("total_rows"),
+        lit(r.offset).as("offset"), col("n_rows"), col("sum_value"),
+        col("f.key").as("first_key"), col("f.id").as("first_id"),
+        col("l.key").as("last_key"), col("l.id").as("last_id"))
+  }
+
+  /** A19 gated: DESIGN DOCUMENTS ([[graft.view.DesignDoc]]) — two
+    * views materialized and MAINTAINED together through one ddoc
+    * indexer pass (the batch persisted once, folded into both
+    * indexes), previously spec-only. Served grouped results from both
+    * maintained indexes must equal the oracle over the
+    * delta-modified corpus. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.DesignDoc
+    val docs = t(s, dir, "documents")
+    val dd = new DesignDoc(Map(
+      "by_lang" -> View(docs, col("doc_id"), col("lang"), lit(1),
+        Some(Reduce.Count)),
+      "by_source" -> View(docs, col("doc_id"), col("source"),
+        col("n_chars").cast("decimal(18,2)"), Some(Reduce.Sum))))
+    val root = idxPath("q148dd", dir, "documents")
+    if (!graft.view.IndexStore.exists(s, s"$root/by_lang"))
+      dd.materialize(root, numBuckets = 4, seq = 1)
+    val changed = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 5)
+      .withColumn("lang", lit("xx"))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val delIds = docs.filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    dd.update(s, root, changed, delIds)
+    val opened = dd.open(s, root)
+    val lang = opened("by_lang").query(QueryOpts(group = true))
+      .select(lit("lang").as("view"), col("key").cast("string").as("key"),
+        col("value").cast("double").as("value"))
+    val src = opened("by_source").query(QueryOpts(group = true))
+      .select(lit("source").as("view"), col("key").cast("string").as("key"),
+        col("value").cast("double").as("value"))
+    lang.unionByName(src).orderBy(col("view"), col("key"))
+  }
+
+  /** A23 gated: `sorted=false` CONTENT (the unsorted map-only read —
+    * no collation Sort inside the view plan, spec-asserted): the gate
+    * re-sorts OUTSIDE the view by plain (id, key, value) and must
+    * reproduce the oracle rows exactly — order freedom never changes
+    * the multiset. */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    View(t(s, dir, "lineitem"), col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("double"))
+      .query(QueryOpts(reduce = false, sorted = false))
+      .select(col("id").as("l_orderkey"), col("key").as("l_returnflag"),
+        col("value").as("quantity"))
+      .orderBy(col("l_orderkey"), col("l_returnflag"), col("quantity"))
+
   /** C15: LEAKAGE-FREE train/eval split
     * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
     * their dedup-cluster canonical id (the q67 mapping), so near-dup
@@ -2678,7 +2747,10 @@ object SparkEntry {
     "q143_evolved_read" -> (q143 _),
     "q144_replica_merge" -> (q144 _),
     "q145_leakfree_split" -> (q145 _),
-    "q146_purge" -> (q146 _)
+    "q146_purge" -> (q146 _),
+    "q147_view_envelope" -> (q147 _),
+    "q148_design_doc" -> (q148 _),
+    "q149_unsorted_rows" -> (q149 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4857,7 +4929,48 @@ object SparkEntry {
         |  COUNT(CASE WHEN rn > 1 AND NOT del THEN 1 END) AS n_conflicts,
         |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
         |    ',' ORDER BY rev), '') AS conflicts
-        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin
+        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin,
+    // envelope scalars + the skip/limit page cut under (key, id) order
+    "q147_view_envelope" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS key,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS value
+        |  FROM orders),
+        |p AS (
+        |  SELECT * FROM v WHERE key >= '2' AND key <= '4'
+        |  ORDER BY key, id LIMIT 200 OFFSET 50)
+        |SELECT (SELECT COUNT(*) FROM v) AS total_rows,
+        |  CAST(50 AS BIGINT) AS "offset",
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(value) AS DOUBLE) AS sum_value,
+        |  (SELECT key FROM p ORDER BY key, id LIMIT 1) AS first_key,
+        |  (SELECT id  FROM p ORDER BY key, id LIMIT 1) AS first_id,
+        |  (SELECT key FROM p ORDER BY key DESC, id DESC LIMIT 1) AS last_key,
+        |  (SELECT id  FROM p ORDER BY key DESC, id DESC LIMIT 1) AS last_id
+        |FROM p""".stripMargin,
+    // both ddoc views' aggregates over the delta-modified corpus
+    "q148_design_doc" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |         source,
+        |         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT * FROM (
+        |  SELECT 'lang' AS view, lang AS key,
+        |         CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM m GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source', source,
+        |         CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM m GROUP BY source)
+        |ORDER BY view, key""".stripMargin,
+    // the unsorted read's content, under the gate's OUTER re-sort
+    "q149_unsorted_rows" ->
+      """SELECT l_orderkey, l_returnflag,
+        |       CAST(l_quantity AS DOUBLE) AS quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_returnflag, quantity""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
