@@ -19,6 +19,35 @@ import graft.functions.DotProduct
   * spark.sql("SELECT dot_product(a, b) FROM pairs")
   * }}}
   */
+object GraftExtensions {
+  /** Register the same functions into an ALREADY-BUILT session — for
+    * callers that cannot control the builder (notebooks, harnesses
+    * handed a session). Same builders as the extension path. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(new FunctionIdentifier("collation_key"),
+      new ExpressionInfo(classOf[CollationKey].getName, "collation_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "collation_key(value) takes one argument")
+        CollationKey(args.head)
+      })
+    reg.registerFunction(new FunctionIdentifier("collation_key_locale"),
+      new ExpressionInfo(classOf[CollationKey].getName,
+        "collation_key_locale"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "collation_key_locale(value) takes one argument")
+        CollationKey(args.head, locale = true)
+      })
+    reg.registerFunction(new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes two arguments")
+        DotProduct(args(0), args(1))
+      })
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

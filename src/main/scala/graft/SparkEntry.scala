@@ -2299,6 +2299,43 @@ object SparkEntry {
         col("value").as("quantity"))
       .orderBy(col("l_orderkey"), col("l_returnflag"), col("quantity"))
 
+  /** A17 gated: the SQL SURFACE — graft's native expressions
+    * ([[graft.collation.CollationKey]], [[graft.functions.DotProduct]])
+    * invoked from a plain SQL STRING through the function registry
+    * ([[graft.GraftExtensions.register]]), previously spec-only. The
+    * relation ranks grouped keys by `collation_key(array(...))` (the
+    * array-key encoding through the SQL parser and codegen) and scores
+    * real embedding pairs with `dot_product`; the oracle replays both
+    * with its own primitives. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_q150_docs")
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_q150_emb")
+    s.sql("""
+      WITH g AS (
+        SELECT lang, CAST(doc_id % 10 AS STRING) AS dk, COUNT(*) AS n
+        FROM graft_q150_docs GROUP BY lang, CAST(doc_id % 10 AS STRING)),
+      ranked AS (
+        SELECT lang, dk, n,
+          ROW_NUMBER() OVER (ORDER BY collation_key(array(lang, dk))) AS rn
+        FROM g),
+      d AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+          FLOOR(dot_product(CAST(a.embedding AS ARRAY<DOUBLE>),
+                            CAST(b.embedding AS ARRAY<DOUBLE>))
+                * 10000 + 0.5) / 10000 AS v
+        FROM graft_q150_emb a JOIN graft_q150_emb b
+          ON a.vec_id < 2 AND b.vec_id >= 2 AND b.vec_id < 5)
+      SELECT part, k, v FROM (
+        SELECT 'key' AS part, lang || '|' || dk AS k,
+               CAST(rn AS DOUBLE) AS v
+        FROM ranked
+        UNION ALL
+        SELECT 'dot', CAST(qid AS STRING) || ':' || CAST(vid AS STRING), v
+        FROM d)
+      ORDER BY part, k""")
+  }
+
   /** C15: LEAKAGE-FREE train/eval split
     * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
     * their dedup-cluster canonical id (the q67 mapping), so near-dup
@@ -2750,7 +2787,8 @@ object SparkEntry {
     "q146_purge" -> (q146 _),
     "q147_view_envelope" -> (q147 _),
     "q148_design_doc" -> (q148 _),
-    "q149_unsorted_rows" -> (q149 _)
+    "q149_unsorted_rows" -> (q149 _),
+    "q150_sql_surface" -> (q150 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4970,7 +5008,34 @@ object SparkEntry {
       """SELECT l_orderkey, l_returnflag,
         |       CAST(l_quantity AS DOUBLE) AS quantity
         |FROM lineitem
-        |ORDER BY l_orderkey, l_returnflag, quantity""".stripMargin
+        |ORDER BY l_orderkey, l_returnflag, quantity""".stripMargin,
+    // default string collation is byte order and array keys compare
+    // elementwise, so the collation rank replays as a plain tuple
+    // order; dot_product replays as the double-cast list product
+    "q150_sql_surface" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(doc_id % 10 AS VARCHAR) AS dk, COUNT(*) AS n
+        |  FROM documents GROUP BY lang, CAST(doc_id % 10 AS VARCHAR)),
+        |ranked AS (
+        |  SELECT lang, dk,
+        |    ROW_NUMBER() OVER (ORDER BY lang, dk) AS rn
+        |  FROM g),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |    FLOOR(list_dot_product(
+        |        list_transform(a.embedding, x -> x::DOUBLE),
+        |        list_transform(b.embedding, x -> x::DOUBLE))
+        |      * 10000 + 0.5) / 10000 AS v
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < 2 AND b.vec_id >= 2 AND b.vec_id < 5)
+        |SELECT part, k, v FROM (
+        |  SELECT 'key' AS part, lang || '|' || dk AS k,
+        |         CAST(rn AS DOUBLE) AS v
+        |  FROM ranked
+        |  UNION ALL
+        |  SELECT 'dot', CAST(qid AS VARCHAR) || ':' || CAST(vid AS VARCHAR), v
+        |  FROM d)
+        |ORDER BY part, k""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
