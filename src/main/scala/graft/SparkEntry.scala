@@ -2336,6 +2336,27 @@ object SparkEntry {
       ORDER BY part, k""")
   }
 
+  /** A13b gated: MIXED-KEY UNION VIEWS ([[graft.view.View.union]]) —
+    * CouchDB keys are dynamic JSON; the union view carries keys as
+    * canonical JSON text and orders on the collation bytes, so a range
+    * can CROSS the type boundary (numbers before strings — the
+    * cross-type rule itself, previously spec-only). The gate pages the
+    * range [95, "2") over a numeric-key view unioned with a string-key
+    * view: the tail of the numbers then the head of the strings, in
+    * one response; the oracle replays the type-tag order and the JSON
+    * forms. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val vNum = View(orders, col("o_orderkey"), col("o_orderkey") % 100,
+      lit(1))
+    val vStr = View(orders, col("o_orderkey"), col("o_orderpriority"),
+      lit(1))
+    View.union(vNum, vStr)
+      .query(QueryOpts(startKey = Some(95), endKey = Some("2"),
+        inclusiveEnd = false, reduce = false))
+      .select(col("id"), col("key"), col("value"))
+  }
+
   /** C15: LEAKAGE-FREE train/eval split
     * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
     * their dedup-cluster canonical id (the q67 mapping), so near-dup
@@ -2788,7 +2809,8 @@ object SparkEntry {
     "q147_view_envelope" -> (q147 _),
     "q148_design_doc" -> (q148 _),
     "q149_unsorted_rows" -> (q149 _),
-    "q150_sql_surface" -> (q150 _)
+    "q150_sql_surface" -> (q150 _),
+    "q151_union_view" -> (q151 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5035,7 +5057,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'dot', CAST(qid AS VARCHAR) || ':' || CAST(vid AS VARCHAR), v
         |  FROM d)
-        |ORDER BY part, k""".stripMargin
+        |ORDER BY part, k""".stripMargin,
+    // cross-type collation: numbers (by value) before strings (byte
+    // order), ids ascending within a key; keys/values in their
+    // canonical JSON text
+    "q151_union_view" ->
+      """WITH n AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 100 AS k FROM orders
+        |  WHERE o_orderkey % 100 >= 95),
+        |s AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS k FROM orders
+        |  WHERE o_orderpriority < '2'),
+        |u AS (
+        |  SELECT 0 AS t, id, CAST(k AS DOUBLE) AS nk, NULL AS sk,
+        |         '{"key":' || CAST(k AS VARCHAR) || '}' AS key,
+        |         '{"value":1}' AS value
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 1, id, NULL, k,
+        |         '{"key":"' || k || '"}', '{"value":1}'
+        |  FROM s)
+        |SELECT id, key, value FROM u ORDER BY t, nk, sk, id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
