@@ -2357,6 +2357,29 @@ object SparkEntry {
       .select(col("id"), col("key"), col("value"))
   }
 
+  /** A13c gated: LOCALE-AWARE COLLATION
+    * ([[graft.gfunctions.collation_key_locale]] — collator weight
+    * bytes, tertiary strength), previously spec-only: case differences
+    * rank BELOW letter differences ('src0' &lt; 'SRC0' &lt; 'src1' — a
+    * byte-order engine would put every uppercase key first). The
+    * oracle replays with DuckDB's ICU collation (`COLLATE "en_us"`),
+    * which agrees with the root collator on this alphabet — two
+    * INDEPENDENT collation implementations must produce the same
+    * rank. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // % 3, not % 2: source derives from doc_id's low digits, so a
+    // parity flag would give each source ONE fixed case and the
+    // tertiary case-tie this gate exists for would never occur
+    val k = when(col("doc_id") % 3 === 0, upper(col("source")))
+      .otherwise(col("source"))
+    t(s, dir, "documents").select(k.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(graft.gfunctions.collation_key_locale(col("k")))))
+      .orderBy(col("k"))
+  }
+
   /** C15: LEAKAGE-FREE train/eval split
     * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
     * their dedup-cluster canonical id (the q67 mapping), so near-dup
@@ -2810,7 +2833,8 @@ object SparkEntry {
     "q148_design_doc" -> (q148 _),
     "q149_unsorted_rows" -> (q149 _),
     "q150_sql_surface" -> (q150 _),
-    "q151_union_view" -> (q151 _)
+    "q151_union_view" -> (q151 _),
+    "q152_locale_collation" -> (q152 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5077,7 +5101,18 @@ object SparkEntry {
         |  SELECT 1, id, NULL, k,
         |         '{"key":"' || k || '"}', '{"value":1}'
         |  FROM s)
-        |SELECT id, key, value FROM u ORDER BY t, nk, sk, id""".stripMargin
+        |SELECT id, key, value FROM u ORDER BY t, nk, sk, id""".stripMargin,
+    // rank under DuckDB's ICU collation — an independent implementation
+    // of the same locale ordering the collator weight bytes encode
+    "q152_locale_collation" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+        |              ELSE source END AS k,
+        |         COUNT(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT k, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY k COLLATE "en_us") AS INT) AS rn
+        |FROM g ORDER BY k""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
