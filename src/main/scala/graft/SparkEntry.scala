@@ -2380,6 +2380,42 @@ object SparkEntry {
       .orderBy(col("k"))
   }
 
+  /** A18 gated: STALENESS CONTRACT ([[graft.view.View
+    * .queryWithChanges]]) — previously spec-only. The index is rebuilt
+    * at seq 1, a pending seq-2 change batch re-prices the %7 orders;
+    * a `stale=Ok` read must serve the SEQ-1 aggregate (updateSeq 1
+    * tells the caller how stale), and the fresh-by-default read must
+    * fold the batch first and serve the SEQ-2 aggregate (updateSeq 2).
+    * Both relations — and both envelope seqs — replay in the
+    * oracle. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.{ChangeSet, Stale}
+    val orders = t(s, dir, "orders")
+    def view(d: DataFrame) = View(d, col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)"),
+      Some(Reduce.Sum))
+    val path = idxPath("q153st", dir, "orders")
+    // rebuild at seq 1 each run: the fresh read below ADVANCES the
+    // stored index, so serving a prior run's artifact would flip the
+    // stale read's answer
+    view(orders).materialize(path, numBuckets = 4, seq = 1)
+    val changes = ChangeSet(seq = 2, docs = orders
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+    def grouped(r: graft.view.ViewQueryResult, part: String) =
+      r.rows.select(lit(part).as("part"), col("key").cast("string").as("key"),
+        col("value").cast("double").as("sum_price"),
+        lit(r.updateSeq.getOrElse(-1L)).as("update_seq"))
+    val stale = grouped(view(orders).fromIndex(s, path).queryWithChanges(
+      QueryOpts(group = true, stale = Some(Stale.Ok)), changes), "stale")
+    // pin the stale snapshot BEFORE the fresh read folds the batch into
+    // the on-disk index — the plan is lazy, the index swap is not
+    stale.persist(); stale.count()
+    val fresh = grouped(view(orders).fromIndex(s, path).queryWithChanges(
+      QueryOpts(group = true), changes), "fresh")
+    stale.unionByName(fresh).orderBy(col("part"), col("key"))
+  }
+
   /** C15: LEAKAGE-FREE train/eval split
     * ([[graft.operators.Dedup.assignClusterSplits]]) — docs split by
     * their dedup-cluster canonical id (the q67 mapping), so near-dup
@@ -2834,7 +2870,8 @@ object SparkEntry {
     "q149_unsorted_rows" -> (q149 _),
     "q150_sql_surface" -> (q150 _),
     "q151_union_view" -> (q151 _),
-    "q152_locale_collation" -> (q152 _)
+    "q152_locale_collation" -> (q152 _),
+    "q153_stale_reads" -> (q153 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5112,7 +5149,26 @@ object SparkEntry {
         |  FROM documents GROUP BY 1)
         |SELECT k, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY k COLLATE "en_us") AS INT) AS rn
-        |FROM g ORDER BY k""".stripMargin
+        |FROM g ORDER BY k""".stripMargin,
+    // the stale read serves the seq-1 aggregate, the fresh read the
+    // seq-2 aggregate (the %7 re-pricing folded in), each stamped with
+    // its update_seq
+    "q153_stale_reads" ->
+      """SELECT part, key, sum_price, update_seq FROM (
+        |  SELECT 'stale' AS part, o_orderstatus AS key,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS update_seq
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'fresh', o_orderstatus,
+        |    CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+        |                       THEN o_totalprice + 1000.0
+        |                       ELSE o_totalprice END
+        |             AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(2 AS BIGINT)
+        |  FROM orders GROUP BY o_orderstatus)
+        |ORDER BY part, key""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
