@@ -1864,6 +1864,28 @@ object SparkEntry {
     ChangesFeed.since(s, path, 3 * md / 2)
   }
 
+  /** A31: FEED PURGE ([[graft.sources.ChangesFeed.purge]]) — the log
+    * tier of A30: every change row of the %11 docs erased from its own
+    * copy of the q129 store (bucket-local rename-swap rewrites, no
+    * tombstones, no seq renumbering), then the FULL feed served; the
+    * oracle replays log synthesis + latest-change dedup with the
+    * purged ids simply absent. Idempotent: a prior run's already-
+    * purged store re-purges to the same state. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q154chg", dir, "documents")
+    if (!hasFile(s"$path/_graft_built")) {
+      val (initial, tail) = q129Log(s, dir)
+      ChangesFeed.write(initial, path, width = 128)
+      ChangesFeed.append(tail, path)
+      new java.io.File(s"$path/_graft_built").createNewFile()
+    }
+    val ids = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ChangesFeed.purge(s, path, ids)
+    ChangesFeed.since(s, path, -1L)
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -2871,7 +2893,8 @@ object SparkEntry {
     "q150_sql_surface" -> (q150 _),
     "q151_union_view" -> (q151 _),
     "q152_locale_collation" -> (q152 _),
-    "q153_stale_reads" -> (q153 _)
+    "q153_stale_reads" -> (q153 _),
+    "q154_feed_purge" -> (q154 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5150,6 +5173,28 @@ object SparkEntry {
         |SELECT k, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY k COLLATE "en_us") AS INT) AS rn
         |FROM g ORDER BY k""".stripMargin,
+    // the q129 log with the %11 docs' history absent — no tombstones,
+    // no renumbering; full feed (since -1), latest change per doc
+    "q154_feed_purge" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log WHERE id % 11 <> 0)
+        |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
+        |ORDER BY seq""".stripMargin,
     // the stale read serves the seq-1 aggregate, the fresh read the
     // seq-2 aggregate (the %7 re-pricing folded in), each stamped with
     // its update_seq

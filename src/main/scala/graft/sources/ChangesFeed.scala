@@ -156,6 +156,48 @@ object ChangesFeed {
     }.toSeq
   }
 
+  /** PURGE at the LOG tier — the [[graft.operators.Revisions.purge]]
+    * counterpart for the `_changes` store: every change row of the
+    * given doc ids is REMOVED (no tombstone appended — a deletion is
+    * a change that replicates; a purge un-happens the doc's history,
+    * the GDPR/bad-crawl eraser for the feed). Replicators that
+    * checkpointed past a purged change simply never see the doc
+    * again; seq uniqueness is preserved (no renumbering).
+    *
+    * Only the seq buckets that CONTAIN a purged id are rewritten
+    * (located by one column-pruned scan of the id column), behind the
+    * same rename swap as [[compact]] — crash leaves old-or-new, and
+    * untouched buckets are never read or written. `ids` is a
+    * driver-side list (the [[graft.view.ChangeSet]]`.deletedIds`
+    * convention): purge requests are small by nature — erasure
+    * subjects, not corpus deltas. Idempotent. Returns the rewritten
+    * bucket ids. */
+  def purge(spark: SparkSession, path: String, ids: Seq[Any]): Seq[Long] = {
+    if (ids.isEmpty) return Nil
+    val affected = spark.read.parquet(path)
+      .filter(col("id").isin(ids: _*))
+      // partition-column inference may narrow _kb to int — normalize
+      .select(col("_kb").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val fs = fsFor(spark, path)
+    affected.map { kb =>
+      val dirP = new Path(path, s"_kb=$kb")
+      val tmp = new Path(dirP.getParent, s"_purge_tmp__kb=$kb")
+      fs.delete(tmp, true)
+      spark.read.parquet(dirP.toString)
+        .filter(!col("id").isin(ids: _*))
+        .sort(col("seq")).coalesce(1)
+        .write.parquet(tmp.toString)
+      val old = new Path(dirP.getParent, s"_old_purge__kb=$kb")
+      if (!fs.rename(dirP, old))
+        throw new java.io.IOException(s"purge: cannot move $dirP")
+      if (!fs.rename(tmp, dirP))
+        throw new java.io.IOException(s"purge: cannot publish $tmp")
+      fs.delete(old, true)
+      kb
+    }
+  }
+
   /** The current high-water mark (`last_seq`): reads ONLY the greatest
     * `_kb` partition — O(tail bucket), not O(log). Returns -1 for an
     * empty store. */

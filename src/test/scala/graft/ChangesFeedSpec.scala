@@ -153,4 +153,36 @@ class ChangesFeedSpec extends SparkSpecBase
     }.toSeq.sortBy(_._1)
     assert(dedup == expectSince(log, -1L))
   }
+
+  test("purge erases a doc's history bucket-locally, no tombstone, idempotent") {
+    val (store, log) = makeStore()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketStamp(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+        .map(b => b.getPath.getName ->
+          fs.listStatus(b.getPath).filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sortBy(_._1))
+        .toMap
+    val before = bucketStamp()
+    val victims = Seq(7L, 120L, 295L)
+    val rewritten = ChangesFeed.purge(spark, store, victims)
+    // victims' changes are GONE (not tombstoned): absent from the full
+    // feed, and no deleted=true row was added for them
+    val feed = ChangesFeed.since(spark, store, -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(!feed.exists(r => victims.contains(r._2)))
+    // everyone else's latest change is untouched
+    val expect = expectSince(log.filter(!col("id").isin(victims: _*)), -1L)
+    assert(feed.map(r => (r._1, r._2)).toSeq == expect)
+    // only buckets holding a victim were rewritten; the rest untouched
+    val after = bucketStamp()
+    val touched = rewritten.map(kb => s"_kb=$kb").toSet
+    for ((b, files) <- before if !touched.contains(b))
+      assert(after(b) == files, s"untouched bucket $b must not be rewritten")
+    assert(touched.forall(b => after(b) != before(b)))
+    // idempotent: purging the same ids again rewrites nothing
+    assert(ChangesFeed.purge(spark, store, victims).isEmpty)
+  }
 }
