@@ -1733,6 +1733,33 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** H3c: EVENT-STORE PURGE ([[graft.sources.EventStore.purge]]) —
+    * erasure over the time-partitioned log: its OWN store built fresh
+    * per run (purge mutates), the %13 users erased (day-local
+    * filtered rewrites, rename-swapped), then the q117 window
+    * aggregation — which the oracle replays with those users simply
+    * absent. Also pins that purge preserves the read path's pruning
+    * (`readRange` is unchanged). */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val path = idxPath("q155evp", dir, "events")
+    graft.view.IndexStore.fsFor(s, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.sources.EventStore.write(events(s, dir), path)
+    val victims = events(s, dir).select(col("user_id")).distinct()
+      .filter(col("user_id") % 13 === 0)
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.EventStore.purge(s, path, "user_id", victims)
+    val lo = events(s, dir).agg(min(col("ts_us"))).head().getLong(0)
+    val from = lo + 3 * dayUs + dayUs / 2
+    graft.sources.EventStore.readRange(s, path, from, from + 2 * dayUs)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** H3b: event-store APPEND + COMPACTION end-to-end — the store is
     * built from half the events, the other half arrives as three late
     * appends (fragmenting the day dirs), fragmented days compact
@@ -2894,7 +2921,8 @@ object SparkEntry {
     "q151_union_view" -> (q151 _),
     "q152_locale_collation" -> (q152 _),
     "q153_stale_reads" -> (q153 _),
-    "q154_feed_purge" -> (q154 _)
+    "q154_feed_purge" -> (q154 _),
+    "q155_event_purge" -> (q155 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5173,6 +5201,16 @@ object SparkEntry {
         |SELECT k, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY k COLLATE "en_us") AS INT) AS rn
         |FROM g ORDER BY k""".stripMargin,
+    // the q117 window relation with the %13 users' events absent
+    "q155_event_purge" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) + 302400000000 AS lo FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 172800000000
+        |  AND user_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the q129 log with the %11 docs' history absent — no tombstones,
     // no renumbering; full feed (since -1), latest change per doc
     "q154_feed_purge" ->

@@ -99,6 +99,51 @@ object EventStore {
   /** Read the store restricted to `[fromUs, toUs)` epoch-micros: the
     * `_day` range prunes partitions, the `ts_us` range prunes row
     * groups. Returns the event columns plus `ts_us` (without `_day`). */
+  /** PURGE — erase every event of the given subjects (`keyCol` values,
+    * e.g. user ids) from the store: the GDPR/right-to-be-forgotten
+    * pass over an append-only event log. Only `_day` partitions that
+    * CONTAIN a subject are rewritten (filtered, re-sorted, swapped by
+    * rename — the [[compact]] discipline; crash leaves a day old or
+    * new, untouched days never read or written).
+    *
+    * Honest cost note for 100 TB: an active subject appears in MOST
+    * days, so erasure rewrites most of its retention window — that is
+    * intrinsic to erasure from a ts-sorted layout, not a plan defect
+    * (files sort by ts, so per-file key min/max cannot skip; the
+    * LOCATING scan at least reads only the key column). Store
+    * layouts that need cheap per-subject erasure bucket by subject
+    * instead — and give up the time-pruned reads this store exists
+    * for. Idempotent; returns the rewritten day ids. */
+  def purge(spark: SparkSession, path: String, keyCol: String,
+            keys: Seq[Any]): Seq[Long] = {
+    if (keys.isEmpty) return Nil
+    val affected = spark.read.parquet(path)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(col("_day").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.map { day =>
+      val dayDir = new org.apache.hadoop.fs.Path(path, s"_day=$day")
+      val tmp = new org.apache.hadoop.fs.Path(
+        dayDir.getParent, s"_purge_tmp__day=$day")
+      fs.delete(tmp, true)
+      spark.read.parquet(dayDir.toString)
+        .filter(!col(keyCol).isin(keys: _*))
+        .sort(col("ts_us"))
+        .coalesce(1)
+        .write.parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(
+        dayDir.getParent, s"_old_purge__day=$day")
+      if (!fs.rename(dayDir, old))
+        throw new java.io.IOException(s"purge: cannot move $dayDir")
+      if (!fs.rename(tmp, dayDir))
+        throw new java.io.IOException(s"purge: cannot publish $tmp")
+      fs.delete(old, true)
+      day
+    }
+  }
+
   def readRange(spark: SparkSession, path: String,
                 fromUs: Long, toUs: Long): DataFrame = {
     require(fromUs <= toUs, "eventstore: empty range")

@@ -84,4 +84,43 @@ class EventStoreSpec extends SparkSpecBase {
     assert(EventStore.readRange(spark, s"$dir/store", lo, hi + 1).count() ==
       all.count())
   }
+
+  test("purge erases a subject's events day-locally; untouched days byte-identical") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("evpurge").toString
+    val store = s"$dir/store"
+    EventStore.write(events, store)
+    val all = EventTime.withTsUs(events)
+    // one subject confined to FEW days, so some days stay untouched:
+    // pick the user with the narrowest day span
+    val spans = all.groupBy(col("user_id"))
+      .agg(countDistinct((col("ts_us") / DayUs).cast("long")).as("d"))
+      .orderBy(col("d"), col("user_id")).head()
+    val victim = spans.getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_day="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getModificationTime)).toSeq
+            .sortBy(_._1)).toMap
+    val before = stamp()
+    val rewritten = EventStore.purge(spark, store, "user_id", Seq(victim))
+    val after = stamp()
+    val hi = all.agg(max("ts_us")).head().getLong(0)
+    val lo = all.agg(min("ts_us")).head().getLong(0)
+    val got = EventStore.readRange(spark, store, lo, hi + 1)
+    assert(got.filter(col("user_id") === victim).count() == 0)
+    assert(got.count() ==
+      all.filter(col("user_id") =!= victim).count())
+    val touched = rewritten.map(d => s"_day=$d").toSet
+    assert(touched.nonEmpty && touched.size < before.size,
+      s"the narrow-span victim should leave some of ${before.size} days untouched")
+    for ((d, files) <- before if !touched.contains(d))
+      assert(after(d) == files, s"untouched day $d must not be rewritten")
+    // idempotent
+    assert(EventStore.purge(spark, store, "user_id", Seq(victim)).isEmpty)
+  }
 }
