@@ -1913,6 +1913,23 @@ object SparkEntry {
     ChangesFeed.since(s, path, -1L)
   }
 
+  /** A27b: SELECTOR-FILTERED feed
+    * ([[graft.sources.ChangesFeed.sinceFiltered]]) — CouchDB's
+    * `filter=_selector` replication: the mid-log q129 feed restricted
+    * to docs matching a Mango selector over the documents corpus, as
+    * one compiled predicate + semi join. The oracle replays the
+    * latest-change relation semi-joined to the relational form of the
+    * selector. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.sinceFiltered(s, path, 3 * md / 2,
+      t(s, dir, "documents"), "doc_id",
+      """{"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gte": 250}}""")
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -2922,7 +2939,8 @@ object SparkEntry {
     "q152_locale_collation" -> (q152 _),
     "q153_stale_reads" -> (q153 _),
     "q154_feed_purge" -> (q154 _),
-    "q155_event_purge" -> (q155 _)
+    "q155_event_purge" -> (q155 _),
+    "q156_filtered_feed" -> (q156 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5201,6 +5219,33 @@ object SparkEntry {
         |SELECT k, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY k COLLATE "en_us") AS INT) AS rn
         |FROM g ORDER BY k""".stripMargin,
+    // the mid-log latest-change relation semi-joined to the selector's
+    // relational form
+    "q156_filtered_feed" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log, m WHERE seq > 3 * m.md // 2),
+        |latest AS (SELECT seq, id, rev, deleted FROM f WHERE rn = 1)
+        |SELECT l.seq, l.id, l.rev, l.deleted
+        |FROM latest l SEMI JOIN (
+        |  SELECT doc_id FROM documents
+        |  WHERE lang IN ('en', 'fr') AND n_chars >= 250) d
+        |  ON l.id = d.doc_id
+        |ORDER BY l.seq""".stripMargin,
     // the q117 window relation with the %13 users' events absent
     "q155_event_purge" ->
       """WITH b AS (

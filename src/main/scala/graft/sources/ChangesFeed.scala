@@ -103,6 +103,31 @@ object ChangesFeed {
     limit.fold(base)(base.limit)
   }
 
+  /** FILTERED feed — CouchDB's `filter=_selector` replication: the
+    * [[since]] relation restricted to documents whose CURRENT content
+    * (in the caller-supplied `docs` corpus) matches a Mango selector,
+    * evaluated set-at-a-time as one compiled predicate + semi join —
+    * never a per-change callback. The classic filtered-replication
+    * caveat is preserved faithfully: a tombstoned id ABSENT from
+    * `docs` cannot match any selector and its deletion does NOT
+    * propagate (CouchDB's documented behavior — deletes pass a doc
+    * filter only while a matching doc body is still known); ids still
+    * present in `docs` pass, tombstone or not. `limit` truncates
+    * AFTER filtering (the resumable page: checkpoint at its max
+    * seq). */
+  def sinceFiltered(spark: SparkSession, path: String, sinceSeq: Long,
+                    docs: DataFrame, idCol: String, selectorJson: String,
+                    limit: Option[Int] = None): DataFrame = {
+    import graft.operators.Mango
+    val pred = Mango.compile(Mango.parseSelector(selectorJson), docs.schema)
+    val matching = docs.filter(pred).select(col(idCol).as("id")).distinct()
+    val out = since(spark, path, sinceSeq)
+      .join(matching, Seq("id"), "left_semi")
+      .select(col("seq"), col("id"), col("rev"), col("deleted"))
+      .orderBy(col("seq"))
+    limit.fold(out)(out.limit)
+  }
+
   /** One replication round's PUSH SET — the batch form of CouchDB's
     * `_changes` + `_revs_diff` handshake: the source's post-checkpoint
     * latest-changes, minus everything the target already stores at the

@@ -154,6 +154,31 @@ class ChangesFeedSpec extends SparkSpecBase
     assert(dedup == expectSince(log, -1L))
   }
 
+  test("sinceFiltered: selector semi-join; known tombstones pass, unknown ids drop") {
+    import spark.implicits._
+    val (store, log) = makeStore()
+    // docs corpus: ids 0..249 known with a category column; the log
+    // also carries ids 250..299, UNKNOWN to the corpus
+    val docs = (0L until 250L).map(i => (i, if (i % 3 == 0) "hot" else "cold"))
+      .toDF("id", "cat")
+    val got = ChangesFeed.sinceFiltered(spark, store, -1L, docs, "id",
+        """{"cat": "hot"}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // exactly the latest change of every known %3 doc — including
+    // tombstones (id 120: rev3 deleted at %10, 120%3==0 → passes)
+    val expect = expectSince(log.filter(col("id") % 3 === 0 &&
+      col("id") < 250), -1L)
+    assert(got.map(r => (r._1, r._2)).toSeq == expect)
+    assert(got.exists(_._3), "a matching doc's tombstone must pass the filter")
+    // ids unknown to the corpus never pass, whatever the selector
+    assert(got.forall(_._2 < 250))
+    // a limit pages the FILTERED relation
+    val page = ChangesFeed.sinceFiltered(spark, store, -1L, docs, "id",
+      """{"cat": "hot"}""", limit = Some(10))
+    assert(page.count() == 10 &&
+      page.collect().map(_.getLong(1)).forall(_ % 3 == 0))
+  }
+
   test("purge erases a doc's history bucket-locally, no tombstone, idempotent") {
     val (store, log) = makeStore()
     val fs = new org.apache.hadoop.fs.Path(store)
