@@ -275,6 +275,33 @@ object BenchScale {
     val chgBase = Seq("serve_changes_since" -> chgProbe(1, "base"))
     val chgBig = Seq("serve_changes_since" -> chgProbe(10, "10x"))
 
+    // ---- Feed purge: a FIXED erasure-subject set over a 10× log.
+    // Rewrite cost is O(containing buckets) — flat for a fixed subject
+    // set; the LOCATING scan is column-pruned but linear in the log,
+    // so a mild ratio is expected, never ~10×-of-rewrite. Mutating →
+    // timed once (a best-of-2 would time the idempotent no-op).
+    def chgPurgeProbe(mult: Int, tag: String): Double = {
+      val path = s"$tmp/graft_scale_${tag}_chg" // written by chgProbe
+      val victims = (0L until 50L).map(_ * 97L)
+      time(graft.sources.ChangesFeed.purge(spark, path, victims))
+    }
+    val chgPurgeBase = Seq("feed_purge" -> chgPurgeProbe(1, "base"))
+    val chgPurgeBig = Seq("feed_purge" -> chgPurgeProbe(10, "10x"))
+
+    // ---- Filtered feed: the selector evaluates over the DOC corpus
+    // (one compiled predicate, corpus-linear) and semi-joins the
+    // since-pruned tail — expected ~linear in corpus, flat in log tail.
+    def chgFilteredProbe(mult: Int, tag: String): Double = {
+      val n = 200000L * mult
+      val path = s"$tmp/graft_scale_${tag}_chg"
+      val corpus = spark.range(n / 2).select(col("id"),
+        (col("id") % 7).cast("string").as("cat"))
+      best2(() => noop(graft.sources.ChangesFeed.sinceFiltered(spark, path,
+        n - 2000, corpus, "id", """{"cat": {"$in": ["1", "3"]}}""")))
+    }
+    val chgFiltBase = Seq("filtered_feed" -> chgFilteredProbe(1, "base"))
+    val chgFiltBig = Seq("filtered_feed" -> chgFilteredProbe(10, "10x"))
+
     // ---- PQ: ADC serving is a DELIBERATE compressed linear scan (m
     // ints per vector instead of the raw floats) — the healthy ratio
     // here is ~10 (linear over codes), NOT flat; what must stay flat is
@@ -312,9 +339,9 @@ object BenchScale {
     val evBig = Seq("serve_event_window" -> evProbe(10, "10x"))
 
     val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ knnBase ++
-      funBase ++ chgBase ++ pqBase ++ evBase
+      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ evBase
     val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ knnBig ++
-      funBig ++ chgBig ++ pqBig ++ evBig
+      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ evBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }
