@@ -169,4 +169,98 @@ class RevisionsSpec extends SparkSpecBase {
     val got = purged(ls, Seq(("d", 1L, "aa"), ("d", 9L, "xx")))
     assert(got == Seq(("d", "2-bb", false, 0L, "")))
   }
+
+  test("mergeReplicas and purge match a random rev-forest model") {
+    case class Node(pos: Long, hash: String)
+    type Chain = Seq[Node]
+    def rev(n: Node) = s"${n.pos}-${n.hash}"
+    for (seed <- 1 to 5) {
+      val treeRnd = new scala.util.Random(seed * 1000 + 7)
+      // per doc: 1-3 branches forking at the root, 0-3 levels below it
+      val forest: Seq[(String, Seq[Chain])] = (0 until 25).map { d =>
+        val root = Node(1, f"h${d}%02dr")
+        val chains = (0 until 1 + treeRnd.nextInt(3)).map { b =>
+          root +: (0 until treeRnd.nextInt(4)).map(i =>
+            Node(2L + i, f"h${d}%02db${b}p${2 + i}"))
+        }
+        s"d$d" -> chains
+      }
+      def leafDel(id: String, n: Node) =
+        math.abs((id + n.hash).hashCode) % 5 == 0
+      // a replica knows a nonempty prefix of every chain
+      def known(r: scala.util.Random): Map[String, Set[Node]] =
+        forest.map { case (id, cs) =>
+          id -> cs.flatMap(c => c.take(1 + r.nextInt(c.length))).toSet
+        }.toMap
+      def leavesOf(k: Map[String, Set[Node]]): Seq[(String, Node)] =
+        forest.flatMap { case (id, cs) =>
+          val ks = k.getOrElse(id, Set.empty)
+          ks.filter { n =>
+            !cs.exists(c => c.zip(c.drop(1)).exists {
+              case (p, ch) => p == n && ks.contains(ch) })
+          }.map(id -> _).toSeq
+        }
+      def pathOf(id: String, n: Node): Seq[String] = {
+        val c = forest.toMap.apply(id).find(_.contains(n)).get
+        c.take(c.indexOf(n)).reverse.map(rev)
+      }
+      def frame(ls: Seq[(String, Node)], delOf: (String, Node) => Boolean) = {
+        import spark.implicits._
+        ls.map { case (id, n) =>
+          (id, n.pos, n.hash, delOf(id, n), pathOf(id, n)) }
+          .toDF("id", "rev_pos", "rev_hash", "deleted", "ancestors")
+      }
+      def resolve(ls: Seq[(String, Node)], delOf: (String, Node) => Boolean) =
+        ls.groupBy(_._1).toSeq.map { case (id, ns) =>
+          // the winning-rev rule: live beats deleted, then deepest,
+          // then lexicographically greatest hash
+          val win = ns.map(_._2).sortWith { (a, b) =>
+            val (da, db) = (delOf(id, a), delOf(id, b))
+            if (da != db) !da
+            else if (a.pos != b.pos) a.pos > b.pos
+            else a.hash > b.hash
+          }.head
+          val confl = ns.map(_._2)
+            .filter(n => !delOf(id, n) && n != win).map(rev).sorted
+          (id, rev(win), delOf(id, win), confl.length.toLong,
+            confl.mkString(","))
+        }.sortBy(_._1)
+      val kA = known(new scala.util.Random(seed))
+      val kB = known(new scala.util.Random(seed + 99))
+      val mergedKnown = forest.map { case (id, _) =>
+        id -> (kA(id) ++ kB(id)) }.toMap
+      val mergedLeaves = leavesOf(mergedKnown)
+      // --- merge: operator vs model
+      val got = Revisions.mergeReplicas(
+        frame(leavesOf(kA), leafDel), frame(leavesOf(kB), leafDel),
+        col("id"), col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"))
+        .orderBy(col("id")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getString(4))).toSeq
+      assert(got == resolve(mergedLeaves, leafDel), s"merge seed=$seed")
+      // --- purge: a random third of the merged leaves, model-checked
+      val pr = new scala.util.Random(seed + 7)
+      val victims = mergedLeaves.filter(_ => pr.nextInt(3) == 0)
+      val afterKnown = mergedKnown.map { case (id, ks) =>
+        id -> (ks -- victims.collect { case (i, n) if i == id => n }) }
+      val afterLeaves = leavesOf(afterKnown)
+      // post-purge: only revs that were MERGED LEAVES keep a del flag
+      val mergedLeafSet = mergedLeaves.toSet
+      def delAfter(id: String, n: Node) =
+        mergedLeafSet.contains((id, n)) && leafDel(id, n)
+      val gotPurged = {
+        import spark.implicits._
+        Revisions.purge(frame(mergedLeaves, leafDel), col("id"),
+          col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+          victims.map { case (id, n) => (id, n.pos, n.hash) }
+            .toDF("id", "rev_pos", "rev_hash"),
+          col("id"), col("rev_pos"), col("rev_hash"))
+          .orderBy(col("id")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+            r.getLong(3), r.getString(4))).toSeq
+      }
+      assert(gotPurged == resolve(afterLeaves, delAfter), s"purge seed=$seed")
+    }
+  }
 }
