@@ -1746,9 +1746,11 @@ object SparkEntry {
     graft.view.IndexStore.fsFor(s, path)
       .delete(new org.apache.hadoop.fs.Path(path), true)
     graft.sources.EventStore.write(events(s, dir), path)
+    // victims stay a RELATION end to end (semi/anti-join purge path);
+    // collecting them to a Seq is the scale-killer the DataFrame
+    // overload exists to avoid
     val victims = events(s, dir).select(col("user_id")).distinct()
       .filter(col("user_id") % 13 === 0)
-      .collect().map(_.getLong(0)).toSeq
     graft.sources.EventStore.purge(s, path, "user_id", victims)
     val lo = events(s, dir).agg(min(col("ts_us"))).head().getLong(0)
     val from = lo + 3 * dayUs + dayUs / 2
@@ -1907,8 +1909,9 @@ object SparkEntry {
       ChangesFeed.append(tail, path)
       new java.io.File(s"$path/_graft_built").createNewFile()
     }
+    // ids stay a RELATION — the DataFrame purge overload semi-joins
     val ids = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      .select(col("doc_id"))
     ChangesFeed.purge(s, path, ids)
     ChangesFeed.since(s, path, -1L)
   }

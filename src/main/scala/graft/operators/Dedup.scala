@@ -683,32 +683,6 @@ object Dedup {
         (col("grams_a") + col("grams_b") - col("inter"))).as("jaccard"))
   }
 
-  /** Paragraph-level corpus dedup — the RefinedWeb/Dolma
-    * "dedupe paragraphs" pass: a unit of text (paragraph, line, cell)
-    * that repeats ACROSS the corpus survives only at its FIRST
-    * occurrence in document order; every later copy is dropped and the
-    * documents rewritten. Sits between doc-level dedup (C1: whole-doc
-    * only) and span dedup (C9: n-gram spans, removes ALL copies) —
-    * boilerplate paragraphs are killed everywhere EXCEPT one canonical
-    * home, so no content is lost from the corpus.
-    *
-    * `paras` must be an `array<string>` column (the caller picks the
-    * unit: `split(text, "\n\n")` for real paragraphs, lines, table
-    * rows…). Keep rule, exact and engine-replayable: an instance
-    * `(doc, pos)` survives iff `struct(doc_id, pos)` is the MINIMUM
-    * over all instances sharing `md5(trim(para))`; blank/whitespace
-    * paragraphs are never deduped (they carry layout, not content).
-    *
-    * Returns one row per input doc: `(doc_id, clean_text, n_paras,
-    * n_kept)` with `clean_text` = surviving paragraphs in original
-    * order joined by `sep`.
-    *
-    * Scale shape: paragraphs travel as 16-byte hashes; the keeper per
-    * hash is a `min(struct)` GROUP BY — partial-aggregated map-side
-    * (a window over the hash would sort without combining). Join back
-    * on the hash (same shuffle key), filter to the keeper instance,
-    * one groupBy doc to reassemble. Two shuffles total, both narrow;
-    * no all-pairs anywhere. */
   /** LEAKAGE-FREE train/eval split — the assignment step after corpus
     * dedup: rows split by their duplicate-CLUSTER canonical id, not
     * their own id, so two near-duplicate documents can NEVER straddle
@@ -746,6 +720,32 @@ object Dedup {
       .select(col("doc_id"), col("kept_id"), col("split"))
   }
 
+  /** Paragraph-level corpus dedup — the RefinedWeb/Dolma
+    * "dedupe paragraphs" pass: a unit of text (paragraph, line, cell)
+    * that repeats ACROSS the corpus survives only at its FIRST
+    * occurrence in document order; every later copy is dropped and the
+    * documents rewritten. Sits between doc-level dedup (C1: whole-doc
+    * only) and span dedup (C9: n-gram spans, removes ALL copies) —
+    * boilerplate paragraphs are killed everywhere EXCEPT one canonical
+    * home, so no content is lost from the corpus.
+    *
+    * `paras` must be an `array<string>` column (the caller picks the
+    * unit: `split(text, "\n\n")` for real paragraphs, lines, table
+    * rows…). Keep rule, exact and engine-replayable: an instance
+    * `(doc, pos)` survives iff `struct(doc_id, pos)` is the MINIMUM
+    * over all instances sharing `md5(trim(para))`; blank/whitespace
+    * paragraphs are never deduped (they carry layout, not content).
+    *
+    * Returns one row per input doc: `(doc_id, clean_text, n_paras,
+    * n_kept)` with `clean_text` = surviving paragraphs in original
+    * order joined by `sep`.
+    *
+    * Scale shape: paragraphs travel as 16-byte hashes; the keeper per
+    * hash is a `min(struct)` GROUP BY — partial-aggregated map-side
+    * (a window over the hash would sort without combining). Join back
+    * on the hash (same shuffle key), filter to the keeper instance,
+    * one groupBy doc to reassemble. Two shuffles total, both narrow;
+    * no all-pairs anywhere. */
   def dedupParagraphs(docs: DataFrame, id: Column, paras: Column,
                       sep: String = "\n\n"): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions

@@ -85,28 +85,6 @@ object Revisions {
         split_part(col("rev"), lit("-"), lit(1)).cast("long").as("rev_pos"),
         split_part(col("rev"), lit("-"), lit(2)).as("rev_hash"))
 
-  /** REPLICA MERGE — the state a bidirectional replication converges
-    * to: given the revision-tree leaves of two replicas, each leaf
-    * carrying its ancestor path (`ancestors`: array of `"pos-hash"`
-    * rev ids strictly above it — CouchDB's `_revisions` field), the
-    * merged tree's leaves are the union MINUS any rev that is an
-    * ANCESTOR of another leaf of the same doc: if replica B extended a
-    * branch A still holds the tip of, A's tip stops being a leaf after
-    * merge rather than surfacing as a fake conflict. Divergent
-    * branches (neither ancestor of the other) BOTH survive — that is
-    * a real conflict, resolved by the [[summary]] rule.
-    *
-    * Returns [[summary]] over the merged leaf set: one row per doc,
-    * `(id, win_rev, win_deleted, n_conflicts, conflicts)` — identical
-    * on both replicas, with no coordination; that convergence is the
-    * CouchDB replication guarantee this operator reproduces.
-    *
-    * Scale shape: one groupBy to collapse revs both replicas share
-    * (same rev id ⇒ same content, by the rev-hash contract), one
-    * bounded explode of ancestor paths (tree depth, not corpus size),
-    * one anti join on the 2-column rev id, then the single-aggregation
-    * resolution. Everything keys on `id` or `(id, rev)` — no window,
-    * no all-pairs. */
   /** PURGE — CouchDB's `_purge`: remove specific LEAF revisions with no
     * tombstone left behind (deletion is an edit that replicates; purge
     * is surgery that un-happens a write — the GDPR/bad-crawl eraser).
@@ -176,6 +154,28 @@ object Revisions {
     summary(newLeaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
   }
 
+  /** REPLICA MERGE — the state a bidirectional replication converges
+    * to: given the revision-tree leaves of two replicas, each leaf
+    * carrying its ancestor path (`ancestors`: array of `"pos-hash"`
+    * rev ids strictly above it — CouchDB's `_revisions` field), the
+    * merged tree's leaves are the union MINUS any rev that is an
+    * ANCESTOR of another leaf of the same doc: if replica B extended a
+    * branch A still holds the tip of, A's tip stops being a leaf after
+    * merge rather than surfacing as a fake conflict. Divergent
+    * branches (neither ancestor of the other) BOTH survive — that is
+    * a real conflict, resolved by the [[summary]] rule.
+    *
+    * Returns [[summary]] over the merged leaf set: one row per doc,
+    * `(id, win_rev, win_deleted, n_conflicts, conflicts)` — identical
+    * on both replicas, with no coordination; that convergence is the
+    * CouchDB replication guarantee this operator reproduces.
+    *
+    * Scale shape: one groupBy to collapse revs both replicas share
+    * (same rev id ⇒ same content, by the rev-hash contract), one
+    * bounded explode of ancestor paths (tree depth, not corpus size),
+    * one anti join on the 2-column rev id, then the single-aggregation
+    * resolution. Everything keys on `id` or `(id, rev)` — no window,
+    * no all-pairs. */
   def mergeReplicas(a: DataFrame, b: DataFrame, id: Column, revPos: Column,
                     revHash: Column, deleted: Column,
                     ancestors: Column): DataFrame = {

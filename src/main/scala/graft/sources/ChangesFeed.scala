@@ -156,6 +156,7 @@ object ChangesFeed {
   def compact(spark: SparkSession, path: String,
               maxFilesPerBucket: Int = 4): Seq[Long] = {
     val fs = fsFor(spark, path)
+    SwapDir.recover(fs, new Path(path))
     val buckets = fs.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
     val fragmented = buckets.filter { b =>
@@ -171,12 +172,7 @@ object ChangesFeed {
         .sort(col("seq"))
         .coalesce(1)
         .write.parquet(tmp.toString)
-      val old = new Path(dirP.getParent, s"_old_${dirP.getName}")
-      if (!fs.rename(dirP, old))
-        throw new java.io.IOException(s"compact: cannot move $dirP")
-      if (!fs.rename(tmp, dirP))
-        throw new java.io.IOException(s"compact: cannot publish $tmp")
-      fs.delete(old, true)
+      SwapDir.publish(fs, dirP, tmp, s"_old_${dirP.getName}")
       kb
     }.toSeq
   }
@@ -191,34 +187,49 @@ object ChangesFeed {
     *
     * Only the seq buckets that CONTAIN a purged id are rewritten
     * (located by one column-pruned scan of the id column), behind the
-    * same rename swap as [[compact]] — crash leaves old-or-new, and
+    * same rename swap as [[compact]] — a crash mid-swap is healed on
+    * the next purge/compact entry by [[SwapDir.recover]], and
     * untouched buckets are never read or written. `ids` is a
     * driver-side list (the [[graft.view.ChangeSet]]`.deletedIds`
-    * convention): purge requests are small by nature — erasure
-    * subjects, not corpus deltas. Idempotent. Returns the rewritten
-    * bucket ids. */
+    * convention) for targeted erasure; the DataFrame overload keeps a
+    * BULK subject set distributed. Null-id rows are never purge
+    * victims. Idempotent. Returns the rewritten bucket ids. */
   def purge(spark: SparkSession, path: String, ids: Seq[Any]): Seq[Long] = {
     if (ids.isEmpty) return Nil
-    val affected = spark.read.parquet(path)
-      .filter(col("id").isin(ids: _*))
+    purgeBuckets(spark, path,
+      st => st.filter(col("id").isin(ids: _*)),
+      kb => kb.filter(col("id").isNull || !col("id").isin(ids: _*)))
+  }
+
+  /** Bulk purge: victim ids as a RELATION (first column), located by
+    * semi join and erased by anti join — the id set stays distributed
+    * (never collected), the shape a mass-erasure batch needs. */
+  def purge(spark: SparkSession, path: String, ids: DataFrame): Seq[Long] = {
+    val victims = ids.select(col(ids.columns.head).as("id")).distinct()
+      .persist()
+    try purgeBuckets(spark, path,
+      st => st.join(victims, Seq("id"), "left_semi"),
+      kb => kb.join(victims, Seq("id"), "left_anti"))
+    finally victims.unpersist()
+  }
+
+  private def purgeBuckets(spark: SparkSession, path: String,
+                           locate: DataFrame => DataFrame,
+                           keep: DataFrame => DataFrame): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    SwapDir.recover(fs, new Path(path))
+    val affected = locate(spark.read.parquet(path))
       // partition-column inference may narrow _kb to int — normalize
       .select(col("_kb").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val fs = fsFor(spark, path)
     affected.map { kb =>
       val dirP = new Path(path, s"_kb=$kb")
       val tmp = new Path(dirP.getParent, s"_purge_tmp__kb=$kb")
       fs.delete(tmp, true)
-      spark.read.parquet(dirP.toString)
-        .filter(!col("id").isin(ids: _*))
+      keep(spark.read.parquet(dirP.toString))
         .sort(col("seq")).coalesce(1)
         .write.parquet(tmp.toString)
-      val old = new Path(dirP.getParent, s"_old_purge__kb=$kb")
-      if (!fs.rename(dirP, old))
-        throw new java.io.IOException(s"purge: cannot move $dirP")
-      if (!fs.rename(tmp, dirP))
-        throw new java.io.IOException(s"purge: cannot publish $tmp")
-      fs.delete(old, true)
+      SwapDir.publish(fs, dirP, tmp, s"_old_purge__kb=$kb")
       kb
     }
   }

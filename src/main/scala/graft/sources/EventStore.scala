@@ -66,9 +66,10 @@ object EventStore {
     * days are never read or written. Returns the compacted day ids. */
   def compact(spark: SparkSession, path: String,
               maxFilesPerDay: Int = 4): Seq[Long] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val days = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapDir.recover(fs, root)
+    val days = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_day="))
     val fragmented = days.filter { d =>
       fs.listStatus(d.getPath)
@@ -84,27 +85,21 @@ object EventStore {
         .sort(col("ts_us"))
         .coalesce(1)
         .write.parquet(tmp.toString)
-      // swap by rename: a crash leaves the day either old or new
-      val old = new org.apache.hadoop.fs.Path(
-        dayDir.getParent, s"_old_${dayDir.getName}")
-      if (!fs.rename(dayDir, old))
-        throw new java.io.IOException(s"compact: cannot move $dayDir")
-      if (!fs.rename(tmp, dayDir))
-        throw new java.io.IOException(s"compact: cannot publish $tmp")
-      fs.delete(old, true)
+      // swap by rename; a crash mid-swap is healed by the next
+      // maintenance entry's SwapDir.recover
+      SwapDir.publish(fs, dayDir, tmp, s"_old_${dayDir.getName}")
       day
     }.toSeq
   }
 
-  /** Read the store restricted to `[fromUs, toUs)` epoch-micros: the
-    * `_day` range prunes partitions, the `ts_us` range prunes row
-    * groups. Returns the event columns plus `ts_us` (without `_day`). */
   /** PURGE — erase every event of the given subjects (`keyCol` values,
     * e.g. user ids) from the store: the GDPR/right-to-be-forgotten
     * pass over an append-only event log. Only `_day` partitions that
     * CONTAIN a subject are rewritten (filtered, re-sorted, swapped by
-    * rename — the [[compact]] discipline; crash leaves a day old or
-    * new, untouched days never read or written).
+    * rename — the [[compact]] discipline; a crash mid-swap is healed
+    * on the next purge/compact entry by [[SwapDir.recover]];
+    * untouched days never read or written). Rows whose key is NULL
+    * are never purge victims (a NULL key matches no subject).
     *
     * Honest cost note for 100 TB: an active subject appears in MOST
     * days, so erasure rewrites most of its retention window — that is
@@ -117,33 +112,53 @@ object EventStore {
   def purge(spark: SparkSession, path: String, keyCol: String,
             keys: Seq[Any]): Seq[Long] = {
     if (keys.isEmpty) return Nil
-    val affected = spark.read.parquet(path)
-      .filter(col(keyCol).isin(keys: _*))
+    purgeDays(spark, path,
+      st => st.filter(col(keyCol).isin(keys: _*)),
+      day => day.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*)))
+  }
+
+  /** Bulk-erasure purge: the subject set is a RELATION (first column =
+    * victim keys), kept distributed end to end — locate by semi join,
+    * rewrite by anti join; the victims are never collected to the
+    * driver. This is the GDPR-batch shape: millions of subjects stay
+    * an executor-side hash relation (AQE broadcasts when small). */
+  def purge(spark: SparkSession, path: String, keyCol: String,
+            subjects: DataFrame): Seq[Long] = {
+    val victims = subjects
+      .select(col(subjects.columns.head).as(keyCol)).distinct()
+      .persist()
+    try purgeDays(spark, path,
+      st => st.join(victims, Seq(keyCol), "left_semi"),
+      day => day.join(victims, Seq(keyCol), "left_anti"))
+    finally victims.unpersist()
+  }
+
+  private def purgeDays(spark: SparkSession, path: String,
+                        locate: DataFrame => DataFrame,
+                        keep: DataFrame => DataFrame): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapDir.recover(fs, root)
+    val affected = locate(spark.read.parquet(path))
       .select(col("_day").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.map { day =>
       val dayDir = new org.apache.hadoop.fs.Path(path, s"_day=$day")
       val tmp = new org.apache.hadoop.fs.Path(
         dayDir.getParent, s"_purge_tmp__day=$day")
       fs.delete(tmp, true)
-      spark.read.parquet(dayDir.toString)
-        .filter(!col(keyCol).isin(keys: _*))
+      keep(spark.read.parquet(dayDir.toString))
         .sort(col("ts_us"))
         .coalesce(1)
         .write.parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(
-        dayDir.getParent, s"_old_purge__day=$day")
-      if (!fs.rename(dayDir, old))
-        throw new java.io.IOException(s"purge: cannot move $dayDir")
-      if (!fs.rename(tmp, dayDir))
-        throw new java.io.IOException(s"purge: cannot publish $tmp")
-      fs.delete(old, true)
+      SwapDir.publish(fs, dayDir, tmp, s"_old_purge__day=$day")
       day
     }
   }
 
+  /** Read the store restricted to `[fromUs, toUs)` epoch-micros: the
+    * `_day` range prunes partitions, the `ts_us` range prunes row
+    * groups. Returns the event columns plus `ts_us` (without `_day`). */
   def readRange(spark: SparkSession, path: String,
                 fromUs: Long, toUs: Long): DataFrame = {
     require(fromUs <= toUs, "eventstore: empty range")

@@ -77,17 +77,41 @@ object Evolve {
                   renames: Map[String, String] = Map.empty): DataFrame = {
     val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(hadoopPath, true)
+    // walk the tree ourselves (listFiles(recursive) cannot skip dirs):
+    // hidden path components — "." / "_" prefixed, except "_x=" hive
+    // partition dirs — are maintenance debris (_compact_tmp_*,
+    // _old_*, .staging) that normal Spark reads ignore; reading them
+    // here would double-read stale rows a crashed swap left behind
     val files = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        files += f.getPath.toString
+    def hidden(n: String): Boolean =
+      n.startsWith(".") || SwapDir.isDebrisName(n) ||
+        (n.startsWith("_") && !n.contains("="))
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      if (!hidden(s.getPath.getName)) {
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet"))
+          files += s.getPath.toString
+      }
     }
+    walk(hadoopPath)
     require(files.nonEmpty, s"Evolve: no parquet files under $path")
-    // footer-only schema probe per file; group by the LOADED schema
-    val byStatedSchema: Seq[(StructType, Seq[String])] = files
-      .map(f => (spark.read.parquet(f).schema, f))
+    // footer-only schema probe per file, parallelized on a bounded
+    // driver pool (each probe is one metadata-only round trip; serial
+    // probing makes the driver the bottleneck on wide file listings —
+    // the same trade Spark's own mergeSchema makes, which probes
+    // footers in a Spark job)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val probed =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(files.toSeq) { f =>
+          scala.concurrent.Future((spark.read.parquet(f).schema, f))
+        }, scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    // group by the LOADED schema
+    val byStatedSchema: Seq[(StructType, Seq[String])] = probed
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
       // deterministic version order (groupBy's map order is not)
       .sortBy(_._1.json)

@@ -210,4 +210,31 @@ class ChangesFeedSpec extends SparkSpecBase
     // idempotent: purging the same ids again rewrites nothing
     assert(ChangesFeed.purge(spark, store, victims).isEmpty)
   }
+
+  test("purge(DataFrame) == purge(Seq), and recovery heals a crashed swap") {
+    import spark.implicits._
+    val (sa, _) = makeStore()
+    val (sb, _) = makeStore()
+    val victimSeq = Seq(7L, 120L, 295L)
+    val kbsA = ChangesFeed.purge(spark, sa, victimSeq)
+    val kbsB = ChangesFeed.purge(spark, sb,
+      victimSeq.toDF("doc_id")) // any column name: first column = ids
+    assert(kbsA == kbsB)
+    val fa = ChangesFeed.since(spark, sa, -1L).collect().toSeq
+    val fb = ChangesFeed.since(spark, sb, -1L).collect().toSeq
+    assert(fa == fb)
+    // crash simulation: one bucket moved aside mid-swap; the next
+    // purge entry restores it before locating victims
+    val fs = new org.apache.hadoop.fs.Path(sb)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(sb))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+      .map(_.getPath).minBy(_.getName)
+    assert(fs.rename(bucket, new org.apache.hadoop.fs.Path(sb,
+      "_old_purge_" + bucket.getName)))
+    val kbs2 = ChangesFeed.purge(spark, sb, Seq(9999999L).toDF("id"))
+    assert(kbs2.isEmpty && fs.exists(bucket))
+    assert(ChangesFeed.since(spark, sb, -1L).collect().toSeq == fb,
+      "feed must be whole again after recovery")
+  }
 }

@@ -123,4 +123,78 @@ class EventStoreSpec extends SparkSpecBase {
     // idempotent
     assert(EventStore.purge(spark, store, "user_id", Seq(victim)).isEmpty)
   }
+
+  test("purge(DataFrame) == purge(Seq); null-keyed rows survive both paths") {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    // null out some keys: purge must never treat NULL as a victim
+    val events = base.withColumn("user_id",
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")))
+    val nNull = events.filter(col("user_id").isNull).count()
+    assert(nNull > 0)
+    val dir = java.nio.file.Files.createTempDirectory("evpurgedf").toString
+    val (sa, sb) = (s"$dir/a", s"$dir/b")
+    EventStore.write(events, sa)
+    EventStore.write(events, sb)
+    val victims = events.select(col("user_id"))
+      .filter(col("user_id").isNotNull && col("user_id") % 5 === 0)
+      .distinct()
+    val victimSeq: Seq[Any] = victims.collect().map(_.getLong(0)).toSeq
+    val daysA = EventStore.purge(spark, sa, "user_id", victimSeq)
+    // the DataFrame overload gets a victim set WITH a null row — the
+    // null must select nothing and erase nothing
+    val daysB = EventStore.purge(spark, sb, "user_id",
+      victims.unionByName(victims.limit(1)
+        .select(lit(null).cast("long").as("user_id"))))
+    assert(daysA == daysB)
+    val all = EventTime.withTsUs(events)
+    val lo = all.agg(min("ts_us")).head().getLong(0)
+    val hi = all.agg(max("ts_us")).head().getLong(0)
+    val ga = EventStore.readRange(spark, sa, lo, hi + 1)
+    val gb = EventStore.readRange(spark, sb, lo, hi + 1)
+    assert(ga.count() == gb.count())
+    assert(ga.select("event_id").except(gb.select("event_id")).count() == 0)
+    assert(ga.filter(col("user_id").isNull).count() == nNull,
+      "null-keyed rows must survive purge")
+    assert(ga.count() == all.filter(col("user_id").isNull ||
+      !(col("user_id") % 5 === 0)).count())
+  }
+
+  test("a crash between the swap renames heals on the next maintenance entry") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("evcrash").toString
+    val store = s"$dir/store"
+    EventStore.write(events, store)
+    val all = EventTime.withTsUs(events)
+    val total = all.count()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_day="))
+      .map(_.getPath).sortBy(_.getName)
+    // simulate a purge that crashed BETWEEN the two renames: the day
+    // exists only under the _old_purge__ name, plus tmp debris from a
+    // second crashed attempt
+    val crashed = days.head
+    assert(fs.rename(crashed,
+      new org.apache.hadoop.fs.Path(store, "_old_purge_" + crashed.getName)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store,
+      "_purge_tmp_" + days.last.getName))
+    // and one that crashed AFTER publish, before cleanup: stale old
+    // copy beside a live day — must be deleted, not restored
+    val published = days(1)
+    val staleOld = new org.apache.hadoop.fs.Path(store,
+      s"_old_${published.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, published, fs, staleOld,
+      false, spark.sparkContext.hadoopConfiguration)
+    // any maintenance entry recovers: compact with a threshold no day
+    // exceeds does nothing EXCEPT the recovery
+    assert(EventStore.compact(spark, store, maxFilesPerDay = 1000).isEmpty)
+    assert(fs.exists(crashed), "crashed day must be restored")
+    assert(!fs.exists(staleOld), "superseded old copy must be deleted")
+    val lo = all.agg(min("ts_us")).head().getLong(0)
+    val hi = all.agg(max("ts_us")).head().getLong(0)
+    assert(EventStore.readRange(spark, store, lo, hi + 1).count() == total,
+      "no row may be lost across the crash + recovery")
+  }
 }

@@ -54,4 +54,23 @@ class EvolveSpec extends SparkSpecBase {
     assert(rows == Seq((1L, "a", None), (2L, "b", None),
       (3L, "c", Some("n3")), (4L, "d", Some("n4"))))
   }
+
+  test("readParquet skips hidden dirs and swap debris, keeps hive partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-evolve-hidden").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/live")
+    // hive-partitioned data under an underscore partition name is DATA
+    Seq((2L, "b")).toDF("id", "name").write.parquet(s"$dir/_day=19000")
+    // maintenance debris normal Spark reads ignore — stale copies that
+    // must NOT be double-read
+    Seq((99L, "stale")).toDF("id", "name")
+      .write.parquet(s"$dir/_old_purge__day=19000")
+    Seq((98L, "stale")).toDF("id", "name")
+      .write.parquet(s"$dir/_compact_tmp__day=19000")
+    Seq((97L, "stale")).toDF("id", "name").write.parquet(s"$dir/.staging")
+    Seq((96L, "stale")).toDF("id", "name").write.parquet(s"$dir/_tmp")
+    val got = Evolve.readParquet(spark, dir)
+    assert(got.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
 }
