@@ -48,10 +48,16 @@ object BenchScale {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    import graft.operators.{Dedup, DedupIndex, Similarity, Text, TextSearch}
+    import graft.operators.{Bpe, Dedup, DedupIndex, Similarity, Text, TextSearch}
     val terms = Seq("hash", "join", "stream")
+    // one merge table for both scales: the billing pass is what's
+    // probed, not the learn; type-grain billing must be sublinear in
+    // occurrences (10× corpus, ~same vocabulary → ~no re-encoding)
+    val bpe = Bpe.learn(docs, col("doc_id"), col("text"), nMerges = 512)
     def pipelines(d: DataFrame, idx: String): Seq[(String, () => Unit)] =
       Seq(
+        "bpe_billing" -> (() =>
+          noop(bpe.tokenCounts(d, col("doc_id"), col("text")))),
         "dedup_corpus" -> (() =>
           noop(Dedup.dedupCorpus(d, col("doc_id"), col("text")))),
         "dedup_verified" -> (() =>
@@ -193,9 +199,20 @@ object BenchScale {
       val hi = 200L
       val findReq = s"""{"selector": {"doc_id": {"$$gte": 0, "$$lt": $hi}},
         "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100}"""
+      // the corpus' highest-df token: the worst case for rank-fusion
+      // serving (its posting list is ~the corpus; a partition-less
+      // rank window here would be the scale-killer the two-phase
+      // global rank exists to avoid)
+      val hot = d.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("w")).head().getString(0)
       val probes = Seq(
         "serve_bm25" -> (() =>
           noop(TextSearch.searchIndexed(spark, txt, terms, 20))),
+        "serve_rrf_highdf" -> (() =>
+          noop(TextSearch.rrfSearch(spark, txt, Seq(hot), 20))),
         "serve_phrase_slop" -> (() =>
           noop(TextSearch.phraseSearchIndexed(spark, txt,
             Seq("hash", "join"), 20, slop = 2))),

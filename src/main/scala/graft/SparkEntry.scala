@@ -1933,6 +1933,44 @@ object SparkEntry {
       """{"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gte": 250}}""")
   }
 
+  /** E1b: BPE token billing (q157) — byte-level BPE apply over a FIXED
+    * literal merge table, billed at word-TYPE grain
+    * ([[graft.operators.Bpe.tokenCounts]]: distinct words encode once,
+    * counts join back). The oracle replays the merge loop as delimited
+    * sequential string replaces: priority order == rank-sequential
+    * order because every pair involving a compound symbol ranks after
+    * the merge creating that symbol, and each replace is applied three
+    * times to exhaust adjacent occurrences that share a delimiter
+    * (equivalence model-checked against the priority encoder over the
+    * whole corpus at both SFs). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "i" -> "n", "in" -> "g", "h" -> "a", "ha" -> "s", "s" -> "c",
+    "a" -> "n")
+
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe(bpeMerges)
+      .tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private def bpeOracleSql: String = {
+    val base = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
+    val applied = bpeMerges.foldLeft(base) { case (e, (x, y)) =>
+      (1 to 3).foldLeft(e)((s, _) => s"replace($s, ' $x $y ', ' $x$y ')")
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, $applied AS s FROM words WHERE w <> ''
+       |), billed AS (
+       |  SELECT doc_id, SUM(length(s) - length(replace(s, ' ', '')) - 1) AS bpe_tokens
+       |  FROM enc GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(b.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN billed b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -2943,7 +2981,8 @@ object SparkEntry {
     "q153_stale_reads" -> (q153 _),
     "q154_feed_purge" -> (q154 _),
     "q155_event_purge" -> (q155 _),
-    "q156_filtered_feed" -> (q156 _)
+    "q156_filtered_feed" -> (q156 _),
+    "q157_bpe_tokens" -> (q157 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5299,7 +5338,11 @@ object SparkEntry {
         |             AS DECIMAL(18,2))) AS DOUBLE),
         |    CAST(2 AS BIGINT)
         |  FROM orders GROUP BY o_orderstatus)
-        |ORDER BY part, key""".stripMargin
+        |ORDER BY part, key""".stripMargin,
+    // byte-level BPE apply over the literal merge table, replayed as
+    // delimited sequential replaces (see q157's scaladoc for why the
+    // two application orders agree)
+    "q157_bpe_tokens" -> bpeOracleSql
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -36,6 +36,27 @@ final case class Bpe(merges: Seq[(String, String)]) {
   @transient private lazy val ranks: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** Executor-local word-TYPE memo: `encodeWord`'s merge loop is
+    * O(len²); a corpus pass must pay it once per word TYPE (bounded by
+    * vocabulary — Heaps' law), not once per occurrence (grows with the
+    * corpus). One map per executor JVM (`@transient lazy` re-creates
+    * after deserialization), concurrent because row UDFs run on many
+    * task threads; the size cap bounds memory on adversarial vocab —
+    * past it, new types just encode uncached. */
+  @transient private lazy val typeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+  private val TypeCacheMax = 1 << 20
+
+  private def encodeWordCached(word: String): List[String] = {
+    val hit = typeCache.get(word)
+    if (hit != null) hit
+    else {
+      val syms = encodeWord(word)
+      if (typeCache.size < TypeCacheMax) typeCache.put(word, syms)
+      syms
+    }
+  }
+
   /** BPE symbols of one word (its UTF-8 bytes as ISO-8859-1 chars). */
   private[graft] def encodeWord(word: String): List[String] = {
     var syms = word.getBytes("UTF-8").map(b =>
@@ -73,7 +94,7 @@ final case class Bpe(merges: Seq[(String, String)]) {
       if (t == null) 0L
       else {
         var n = 0L
-        for (w <- self.wordsOf(t)) n += self.encodeWord(w).length
+        for (w <- self.wordsOf(t)) n += self.encodeWordCached(w).length
         n
       })
     f(text)
@@ -85,8 +106,39 @@ final case class Bpe(merges: Seq[(String, String)]) {
     val self = this
     val f = udf((t: String) =>
       if (t == null) Array.empty[String]
-      else self.wordsOf(t).flatMap(w => self.encodeWord(w)))
+      else self.wordsOf(t).flatMap(w => self.encodeWordCached(w)))
     f(text)
+  }
+
+  /** Corpus token billing at word-TYPE grain — the relational form of
+    * the type-vs-occurrence discipline (paragraph dedup, LM scoring):
+    * explode to `(doc, word, occurrences)`, encode each DISTINCT word
+    * exactly once (the only UDF input — vocabulary-sized, not
+    * corpus-sized), and join the per-type costs back. A 10× corpus
+    * with the same vocabulary re-encodes nothing; the per-row
+    * [[tokenCount]] path pays the merge loop per occurrence (memoized
+    * per executor, but still shipped per row). Returns
+    * `(doc_id, bpe_tokens)`; count-identical to summing [[tokenCount]]
+    * (spec-pinned). Docs with no words bill 0. */
+  def tokenCounts(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val self = this
+    val enc = udf((w: String) => self.encodeWord(w).length.toLong)
+    val occ = docs
+      .select(id.cast("long").as("doc_id"),
+        explode(split(lower(trim(text)), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("doc_id"), col("_w"))
+      .agg(count(lit(1)).as("_occ"))
+    val typeCost = occ.select(col("_w")).distinct()
+      .withColumn("_wtoks", enc(col("_w")))
+    val billed = occ.join(typeCost, Seq("_w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_occ") * col("_wtoks")).as("bpe_tokens"))
+    // docs that are all-whitespace (or null) still bill — at zero
+    docs.select(id.cast("long").as("doc_id"))
+      .join(billed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
   }
 }
 

@@ -641,10 +641,11 @@ object TextSearch {
     * by the query terms' posting lists, never the corpus), ranks break
     * ties by doc id, and the fused score is a fixed-order sum of exact
     * rationals of integer ranks — so the whole ranking replays in the
-    * oracle engine bit-for-bit. The two rank windows are global over
-    * the candidate set (the same bounded-all-to-one trade as
-    * [[hybridSearch]]'s final sort — fine for posting-bounded
-    * candidates, which is the operator's contract). */
+    * oracle engine bit-for-bit. Both ranks run through the two-phase
+    * range-partitioned [[Relational.withGlobalRowNumber]] — a high-df
+    * query term's posting list is corpus-scale, and a partition-less
+    * `row_number` window would pull that whole candidate set through
+    * ONE task; the two-phase rank keeps it distributed. */
   def rrfSearch(spark: SparkSession, path: String, queryTerms: Seq[String],
                 k: Int, k0: Int = 60, dim: Int = 64): DataFrame = {
     require(k0 > 0, "rrf k0 must be positive")
@@ -668,12 +669,11 @@ object TextSearch {
       .select(col("doc_id"), round4(dot(col("_dv"), col("_qv")) /
         (sqrt(dot(col("_dv"), col("_dv"))) *
           sqrt(dot(col("_qv"), col("_qv"))))).as("_cos"))
-    import org.apache.spark.sql.expressions.Window
-    val r1 = bm.withColumn("_r1", row_number().over(
-      Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    val r1 = Relational.withGlobalRowNumber(bm,
+        Seq(col("bm25").desc, col("doc_id").asc), "_r1")
       .select(col("doc_id"), col("_r1"))
-    val r2 = cos.withColumn("_r2", row_number().over(
-      Window.orderBy(col("_cos").desc, col("doc_id").asc)))
+    val r2 = Relational.withGlobalRowNumber(cos,
+        Seq(col("_cos").desc, col("doc_id").asc), "_r2")
       .select(col("doc_id"), col("_r2"))
     r1.join(r2, Seq("doc_id"))
       .select(col("doc_id"), round4(

