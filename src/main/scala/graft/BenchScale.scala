@@ -334,6 +334,20 @@ object BenchScale {
     val pqBase = Seq("serve_pq_adc" -> pqProbe(emb, "base"))
     val pqBig = Seq("serve_pq_adc" -> pqProbe(bigEmb, "10x"))
 
+    // ---- IVFADC: the pruned tier — probed lists bound the ADC scan,
+    // so with centroid count scaled to the corpus (list size held
+    // constant) serving must stay ~flat where flat-PQ rides the ~10×
+    // scan. Centroids ∝ corpus is the deployment discipline (same as
+    // the SemDeDup k = n/100 probe).
+    def ivfPqProbe(e: DataFrame, nCents: Int, tag: String): Double = {
+      val path = s"$tmp/graft_scale_${tag}_ivfpq"
+      graft.operators.Pq.buildIvfPqIndex(e, path, nCentroids = nCents)
+      best2(() => noop(graft.operators.Pq.ivfPqTopK(spark, path, e,
+        e.filter(col("vec_id") < 5), 3)))
+    }
+    val ivfPqBase = Seq("serve_ivfadc" -> ivfPqProbe(emb, 16, "base"))
+    val ivfPqBig = Seq("serve_ivfadc" -> ivfPqProbe(bigEmb, 160, "10x"))
+
     // ---- Event store: a FIXED 2-day window over a store whose total
     // span grows 10× must stay ~flat (day-partition pruning reads the
     // window's directories, never the table).
@@ -356,9 +370,9 @@ object BenchScale {
     val evBig = Seq("serve_event_window" -> evProbe(10, "10x"))
 
     val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ knnBase ++
-      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ evBase
+      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase
     val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ knnBig ++
-      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ evBig
+      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

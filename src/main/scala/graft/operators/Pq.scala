@@ -137,31 +137,43 @@ object Pq {
     * `(q_id, rank, n_id, cos)` — the q53 serving shape. */
   def adcTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
               cbs: Codebooks, k: Int, refine: Int): DataFrame = {
-    val m = cbs.length
-    val sub = cbs.head.head.length
     val q = queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_vec"))
-    // per-subspace distance: query subvector vs the codeword the stored
-    // code points at; codebook lookup is element_at into a literal
-    // array<array<double>> — a constant, codegen'd table
+    val shortlist = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        adcExpr(cbs, col("q_vec"), col("codes")).as("adc"))
+    shortlistAndRefine(shortlist, corpus, q, k, refine)
+  }
+
+  /** The ADC distance of one (query, code-row) pair: per-subspace
+    * distance between the query's subvector and the codeword the
+    * stored code points at, summed in a FIXED left fold j = 0..m-1
+    * (deterministic double sum). The codebook lookup is `element_at`
+    * into a literal `array<array<double>>` — a constant, codegen'd
+    * table. The summed quantity is ADC squared-L2 minus the query's
+    * own |q|² — constant per query, so the candidate ORDER (all the
+    * shortlist uses) is the paper's ADC order exactly. */
+  private def adcExpr(cbs: Codebooks, qVec: Column, codes: Column): Column = {
+    val m = cbs.length
+    val sub = cbs.head.head.length
     def dj(j: Int): Column = {
-      val s = slice(col("q_vec"), j * sub + 1, sub)
+      val s = slice(qVec, j * sub + 1, sub)
       // typedlit: `lit` does not build nested-array literals
       val cwTable = typedlit(cbs(j).map(_.toSeq).toSeq)
-      val cw = element_at(cwTable, col("codes").getItem(j) + 1)
+      val cw = element_at(cwTable, codes.getItem(j) + 1)
       val c2 = element_at(lit(cbs(j).map(_.map(x => x * x).sum)),
-        col("codes").getItem(j) + 1)
+        codes.getItem(j) + 1)
       c2 - lit(2.0) * Similarity.dot(s, cw)
     }
-    // Fixed left fold j = 0..m-1: deterministic double sum. The summed
-    // quantity is ADC squared-L2 minus the query's own |q|² — constant
-    // per query, so the candidate ORDER (all that the shortlist uses)
-    // is the paper's ADC order exactly.
-    val adc = (1 until m).foldLeft(dj(0))((acc, j) => acc + dj(j))
-    val shortlist = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("adc"))
-    // bounded top-`refine` per query by ADC ASC (negate for the
-    // max-oriented TopKPairs), ties to the lowest id
+    (1 until m).foldLeft(dj(0))((acc, j) => acc + dj(j))
+  }
+
+  /** Shared serving tail: bounded top-`refine` per query by ADC ASC
+    * (negated for the max-oriented TopKPairs, ties to the lowest id),
+    * then exact-cosine ranking of the shortlist against raw vectors. */
+  private def shortlistAndRefine(shortlist: DataFrame, corpus: DataFrame,
+                                 q: DataFrame, k: Int,
+                                 refine: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.TopKPairs(refine))
     val cand = shortlist.groupBy("q_id")
       .agg(topAgg(-col("adc"), col("n_id")).as("_top"))
@@ -171,7 +183,7 @@ object Pq {
     val c = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_vec"))
       .withColumn("n_nrm", sqrt(Similarity.dot(col("n_vec"), col("n_vec"))))
-    val qn = q.withColumn("q_nrm",
+    val qn = q.select(col("q_id"), col("q_vec")).withColumn("q_nrm",
       sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
     val exact = cand.join(c, "n_id").join(broadcast(qn), "q_id")
       .select(col("q_id"), col("n_id"),
@@ -284,5 +296,123 @@ object Pq {
     val codes = spark.read.parquet(s"$path/data")
       .select(col("_id").as("vec_id"), col("codes"))
     adcTopK(codes, corpus, queries, cbs, k, refine)
+  }
+
+  // ------------------------------------------------------------------ IVFADC
+
+  /** IVFADC — IVF list pruning composed with PQ codes (Jégou §IV;
+    * FAISS IndexIVFPQ): the code rows are PARTITIONED BY COARSE
+    * CENTROID, so a query ADC-scans only its `nProbe` probed inverted
+    * lists instead of the whole code table — the serving tier that
+    * makes compressed ANN sublinear in the corpus, where
+    * [[pqTopKIndexed]] is a deliberate full (if 32×-compressed) scan.
+    *
+    * Layout: `centroids/` (the IVF coarse quantizer — the
+    * [[Similarity]] lowest-id init, optionally Lloyd-refined; FROZEN),
+    * `codebooks/` (the PQ subspace tables; FROZEN), `data/_kb=<cid>`
+    * (m-int code rows in their inverted list), `ids/` by-id sidecar +
+    * `_meta` — the standard graft maintenance surface, so upserts are
+    * O(changed buckets) against the stored quantizers.
+    *
+    * Codes quantize the RAW vector, not Jégou's per-list residual
+    * (§IV.A): raw-vector codes are list-invariant — identical to the
+    * flat PQ tier, one encoder, one SQL replay, and a vector whose
+    * list changes on upsert keeps its codes. The trade is recall at
+    * equal m (the residual has lower variance than the vector); a
+    * residual tier would freeze centroids first and encode
+    * `x − c(x)` with this same machinery. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nCentroids: Int = 16,
+                      m: Int = 8, ks: Int = 16, idBuckets: Int = 16,
+                      seq: Long = 0L, refineIters: Int = 0,
+                      lloydIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val init = Similarity.initCentroids(corpus, nCentroids)
+    val cents = if (lloydIters > 0) {
+      val vecs = corpus.select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_vec"))
+        .withColumn("n_nrm",
+          sqrt(Similarity.dot(col("n_vec"), col("n_vec"))))
+      Similarity.lloydRefine(vecs, init, lloydIters)
+    } else init
+    val cbs0 = initCodebooks(corpus, m, ks)
+    val cbs = if (refineIters > 0) refineCodebooks(corpus, cbs0, refineIters)
+              else cbs0
+    import spark.implicits._
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    ivfPqRows(corpus, cents, cbs)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_id"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(s"$path/data")
+    Similarity.writeAnnSidecar(spark, path, idBuckets, seq)
+  }
+
+  /** Code rows with their inverted-list assignment: `(_id, codes,
+    * _kb = nearest stored centroid)` — both the PQ encode and the IVF
+    * assignment are codegen'd projections over the same scan. */
+  private def ivfPqRows(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+                        cbs: Codebooks): DataFrame =
+    corpus
+      .withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(Similarity.dot(col("_v"), col("_v"))))
+      .select(col("vec_id").as("_id"),
+        array((0 until cbs.length).map(j =>
+          codeCol(col("_v"), cbs, j)): _*).as("codes"),
+        Similarity.nearestCidCol(col("_v"), col("_nrm"), cents).as("_kb"))
+
+  /** Incremental maintenance against the FROZEN quantizers: changed
+    * vectors re-assign (stored centroids) and re-encode (stored
+    * codebooks), merged bucket-locally via the by-id sidecar;
+    * `deletedIds` retire codes. O(changed buckets). */
+  def upsertIvfPqVectors(spark: SparkSession, path: String,
+                         changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                         newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val cents = Similarity.readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, ivfPqRows(changed, cents, cbs),
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
+  }
+
+  /** Serve IVFADC top-k: each query probes its `nProbe` nearest
+    * inverted lists (the [[Similarity.ivfTopK]] probe discipline —
+    * the union of probe lists is bounded driver metadata, queries ×
+    * nProbe ids, and prunes the code scan to those `_kb` partitions),
+    * ADC-scores ONLY the codes in its own probed lists (a hash join
+    * on the list id — never the full code table), shortlists
+    * `refine` candidates, and exact-cosine ranks the shortlist
+    * against `corpus`. Output `(q_id, rank, n_id, cos)`. */
+  def ivfPqTopK(spark: SparkSession, path: String, corpus: DataFrame,
+                queries: DataFrame, k: Int, nProbe: Int = 4,
+                refine: Int = 50): DataFrame = {
+    val cents = Similarity.readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
+      .withColumn("bucket", explode(
+        Similarity.probeCidsCol(col("q_vec"), col("q_nrm"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("bucket"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/data")
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("codes"), col("_kb").as("bucket"))
+    val shortlist = codes.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        adcExpr(cbs, col("q_vec"), col("codes")).as("adc"))
+    shortlistAndRefine(shortlist, corpus,
+      q.select(col("q_id"), col("q_vec")).distinct(), k, refine)
   }
 }

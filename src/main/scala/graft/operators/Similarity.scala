@@ -165,7 +165,7 @@ object Similarity {
     * bucketed vectors, `ids/_ib=*` maps each vector id to the bucket
     * holding its CURRENT row (so an upsert finds old rows without
     * scanning), `_graft_meta` stamps update_seq + id-bucket count. */
-  private def writeAnnSidecar(spark: SparkSession, path: String,
+  private[operators] def writeAnnSidecar(spark: SparkSession, path: String,
                               idBuckets: Int, seq: Long): Unit = {
     spark.read.parquet(path + "/data")
       .select(col("_id"), col("_kb")).distinct()
@@ -300,7 +300,7 @@ object Similarity {
     * beyond, out of scope). Scoring arithmetic is the same in-order
     * fold + division as [[dot]], and ranking uses [[cmpD]], so both
     * paths pick the identical centroid on identical doubles. */
-  private def nearestCidCol(v: Column, nrm: Column,
+  private[operators] def nearestCidCol(v: Column, nrm: Column,
                             cents: Seq[(Int, Array[Double])]): Column =
     if (cents.length <= literalCentroidMax)
       element_at(topCentroids(v, nrm, cents, 1), 1).getField("cid")
@@ -335,7 +335,7 @@ object Similarity {
     * dual-path contract as [[nearestCidCol]]. Runs on QUERY rows, so
     * the sort-all-scores simplicity of the large path is per-query
     * work over k, not corpus work. */
-  private def probeCidsCol(v: Column, nrm: Column,
+  private[operators] def probeCidsCol(v: Column, nrm: Column,
                            cents: Seq[(Int, Array[Double])],
                            n: Int): Column =
     if (cents.length <= literalCentroidMax)
@@ -374,7 +374,7 @@ object Similarity {
     * fixed iteration count, per-dimension means. The per-iteration
     * driver traffic is nCentroids × dims doubles — the same size as the
     * centroid literals the plan embeds anyway. */
-  private def lloydRefine(vecs: DataFrame /* n_vec, n_nrm */,
+  private[operators] def lloydRefine(vecs: DataFrame /* n_vec, n_nrm */,
                           cents0: Seq[(Int, Array[Double])],
                           iters: Int): Seq[(Int, Array[Double])] = {
     var cents = cents0
@@ -408,7 +408,7 @@ object Similarity {
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
       .withColumn("_kb", nearestCidCol(col("n_vec"), col("n_nrm"), cents))
 
-  private def readCentroids(spark: SparkSession,
+  private[operators] def readCentroids(spark: SparkSession,
                             path: String): Seq[(Int, Array[Double])] =
     spark.read.parquet(path + "/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
@@ -416,7 +416,7 @@ object Similarity {
 
   /** Deterministic centroid init: the `nCentroids` lowest vec_ids —
     * stable across runs and replayable in an oracle engine. */
-  private def initCentroids(corpus: DataFrame,
+  private[operators] def initCentroids(corpus: DataFrame,
                             nCentroids: Int): Seq[(Int, Array[Double])] =
     corpus.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").cast("int").as("cid"),
