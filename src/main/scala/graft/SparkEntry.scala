@@ -1988,6 +1988,99 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A24b: Mango `$keyMapMatch` (CouchDB ≥2.2) — a selector on the
+    * KEYS of a map-typed field: matches when at least one key
+    * satisfies the inner condition. The map is synthesized from the
+    * documents columns (`lang:<lang>`, `src:<source>` keys), so the
+    * oracle replays the key-set match ANALYTICALLY over the source
+    * columns — independent of the map machinery, non-circular. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("attrs", map(
+      concat(lit("lang:"), col("lang")), col("n_chars"),
+      concat(lit("src:"), col("source")), col("doc_id")))
+    graft.operators.Mango.find(d, "doc_id",
+      """{"selector": {"attrs": {"$keyMapMatch": {"$regex": "^lang:e"}},
+        |             "n_chars": {"$gte": 200}},
+        | "fields": ["doc_id", "lang", "n_chars"],
+        | "sort": ["doc_id"], "limit": 2000}""".stripMargin)
+  }
+
+  /** A32: `_all_docs` ([[graft.view.View.allDocs]]) — the primary
+    * index read with the full envelope: a DESCENDING ranged page
+    * (startkey = upper bound per CouchDB's swap), exclusive end, skip
+    * + limit, `total_rows`/`offset` scalars, first/last served row. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.view.View.allDocs(t(s, dir, "orders"), col("o_orderkey"))
+    val r = v.queryResult(QueryOpts(startKey = Some(5000L),
+      endKey = Some(1000L), inclusiveEnd = false, descending = true,
+      skip = 10, limit = Some(300), reduce = false))
+    r.rows.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value")).cast("long").as("sum_ids"),
+        max(struct(col("key"), col("id"))).as("f"),
+        min(struct(col("key"), col("id"))).as("l"))
+      .select(lit(r.totalRows).as("total_rows"),
+        lit(r.offset).as("offset"), col("n_rows"), col("sum_ids"),
+        col("f.key").cast("long").as("first_key"),
+        col("l.key").cast("long").as("last_key"))
+  }
+
+  /** E2b: character-n-gram language ID ([[graft.operators.Text
+    * .langNgramScores]]) — literal integer weight table, exact long
+    * scores, earlier-language argmax; the oracle replays counts
+    * (regexp_extract_all), the dot product, and the CASE argmax. The
+    * SQL is GENERATED from the same [[graft.operators.Text.langNgrams]]
+    * table the plan compiles, so the two can never drift. */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.langNgramScores(t(s, dir, "documents"),
+      col("doc_id"), col("text")).orderBy(col("doc_id"))
+
+  private def langNgramOracleSql: String = {
+    val tbl = graft.operators.Text.langNgrams
+    def cnt(g: String) =
+      s"len(regexp_extract_all(s, '${g.replace("'", "''")}'))"
+    val scoreExprs = tbl.map { case (l, gs) =>
+      val sum = gs.map { case (g, w) => s"${cnt(g)} * $w" }.mkString(" + ")
+      s"CAST($sum AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val ls = tbl.map(_._1)
+    val whens = ls.init.zipWithIndex.map { case (l, i) =>
+      val geq = ls.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $geq THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |  $scoreExprs
+       |  FROM t)
+       |SELECT doc_id, ${ls.map(l => s"s_$l").mkString(", ")},
+       |  CASE $whens ELSE '${ls.last}' END AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** F2 gated for REAL decode: perceptual-hash near-dup over DECODED
+    * images ([[graft.operators.Multimodal.imagePhashNearDupPairs]]).
+    * Each doc gets a 16×16 grayscale PNG whose raster follows a known
+    * integer formula (seed = doc_id%40, a +2 perturbation on the
+    * doc_id/40-odd half); javax.imageio decodes it, the 2×2-block
+    * pooling builds the 8×8 thumbnail, then the q114 hash/band/pair
+    * machinery. The oracle computes the pooled pixels ANALYTICALLY
+    * from the formula — a wrong decoder yields pixels that disagree
+    * with the formula and the gate fails (decode is in the gated
+    * path, not assumed). */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val gen = udf((b: Long, p: Boolean) => Multimodal.syntheticPng(b, p))
+    val assets = t(s, dir, "documents").filter(col("doc_id") % 5 < 2)
+      .select(col("doc_id"),
+        gen(pmod(col("doc_id"), lit(40L)),
+          pmod(floor(col("doc_id") / 40).cast("long"), lit(2L)) === 1L)
+          .as("payload"))
+    Multimodal.imagePhashNearDupPairs(assets, maxHamming = 10)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3002,7 +3095,11 @@ object SparkEntry {
     "q155_event_purge" -> (q155 _),
     "q156_filtered_feed" -> (q156 _),
     "q157_bpe_tokens" -> (q157 _),
-    "q158_ivfpq_ann" -> (q158 _)
+    "q158_ivfpq_ann" -> (q158 _),
+    "q159_mango_keymap" -> (q159 _),
+    "q160_all_docs" -> (q160 _),
+    "q161_langid_ngram" -> (q161 _),
+    "q162_image_phash" -> (q162 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5439,7 +5536,77 @@ object SparkEntry {
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j2)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // $keyMapMatch replayed analytically: the synthesized map's key
+    // set is {'lang:'||lang, 'src:'||source}, so "some key matches
+    // the regex" is a disjunction over the construction
+    "q159_mango_keymap" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (regexp_matches('lang:' || lang, '^lang:e')
+        |    OR regexp_matches('src:' || source, '^lang:e'))
+        |  AND n_chars >= 200
+        |ORDER BY doc_id LIMIT 2000""".stripMargin,
+    // _all_docs: descending ranged page (startkey=5000 is the upper
+    // bound, exclusive end at 1000), skip 10, limit 300, envelope
+    "q160_all_docs" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS id, o_orderkey AS key, o_orderkey AS value
+        |  FROM orders),
+        |p AS (
+        |  SELECT * FROM v WHERE key <= 5000 AND key > 1000
+        |  ORDER BY key DESC, id DESC LIMIT 300 OFFSET 10)
+        |SELECT (SELECT COUNT(*) FROM v) AS total_rows,
+        |  CAST(10 AS BIGINT) AS "offset",
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(value) AS BIGINT) AS sum_ids,
+        |  (SELECT key FROM p ORDER BY key DESC LIMIT 1) AS first_key,
+        |  (SELECT key FROM p ORDER BY key ASC LIMIT 1) AS last_key
+        |FROM p""".stripMargin,
+    // generated from Text.langNgrams — counts, integer dot product,
+    // CASE argmax (earlier-language ties)
+    "q161_langid_ngram" -> langNgramOracleSql,
+    // decoded-image phash pairs: pooled pixels computed ANALYTICALLY
+    // from the synthetic raster formula (2×2-block floor average),
+    // then the q114 bits/bands/cand/hamming replay
+    "q162_image_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 40 AS b, (doc_id // 40) % 2 AS p
+        |  FROM documents WHERE doc_id % 5 < 2),
+        |cells AS (SELECT unnest(generate_series(0, 63)) AS c),
+        |offs AS (SELECT unnest(generate_series(0, 1)) AS o),
+        |pixels AS (
+        |  SELECT d.doc_id, cells.c,
+        |    2*(cells.c % 8) + ox.o AS x, 2*(cells.c // 8) + oy.o AS y,
+        |    d.b, d.p
+        |  FROM d CROSS JOIN cells CROSS JOIN offs ox CROSS JOIN offs oy),
+        |px AS (
+        |  SELECT doc_id, c AS j,
+        |    SUM(LEAST(255, ((b*31 + x*7 + y*13) % 256) +
+        |        CASE WHEN p = 1 AND (x+y) % 9 = 0 THEN 2 ELSE 0 END)) // 4
+        |      AS p
+        |  FROM pixels GROUP BY doc_id, c),
+        |mn AS (
+        |  SELECT doc_id, CAST(FLOOR(SUM(p)/64.0) AS BIGINT) AS m
+        |  FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT px.doc_id, j, CASE WHEN p > m THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN mn ON px.doc_id = mn.doc_id),
+        |bands AS (
+        |  SELECT doc_id, j//16 AS band, SUM(bit << (j%16)) AS bv
+        |  FROM bits GROUP BY doc_id, j//16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    SUM(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.doc_a
+        |  JOIN bits y ON y.doc_id = c.doc_b AND y.j = x.j
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

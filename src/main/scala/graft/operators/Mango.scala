@@ -57,6 +57,7 @@ object Mango {
   final case class SizeIs(path: String, n: Int) extends Sel
   final case class AllOf(path: String, vs: Seq[Any]) extends Sel
   final case class ElemMatch(path: String, sel: Sel, forAll: Boolean) extends Sel
+  final case class KeyMapMatch(path: String, sel: Sel) extends Sel
   final case class And(ss: Seq[Sel]) extends Sel
   final case class Or(ss: Seq[Sel]) extends Sel
   final case class Not(s: Sel) extends Sel
@@ -88,7 +89,7 @@ object Mango {
 
   private val condOps = Set("$eq", "$ne", "$lt", "$lte", "$gt", "$gte",
     "$in", "$nin", "$exists", "$type", "$mod", "$regex", "$size", "$all",
-    "$elemMatch", "$allMatch")
+    "$elemMatch", "$allMatch", "$keyMapMatch")
 
   private def parseSel(n: JsonNode): Sel = {
     require(n.isObject, s"mango: selector must be an object, got $n")
@@ -134,6 +135,7 @@ object Mango {
     case "$all" => AllOf(path, jsonValue(arg).asInstanceOf[Seq[Any]])
     case "$elemMatch" => ElemMatch(path, parseSel(arg), forAll = false)
     case "$allMatch" => ElemMatch(path, parseSel(arg), forAll = true)
+    case "$keyMapMatch" => KeyMapMatch(path, parseSel(arg))
     case other =>
       throw new IllegalArgumentException(s"mango: unknown operator $other")
   }
@@ -249,6 +251,13 @@ object Mango {
           val pred = (x: Column) => compileElem(inner, x, et)
           if (forAll) c.isNotNull && forall(c, pred)
           else exists(c, pred)
+        }
+      // CouchDB ≥2.2: at least one KEY of a map field matches the
+      // inner condition — $elemMatch over map_keys
+      case KeyMapMatch(p, inner) =>
+        on(p) { (c, dt) =>
+          val kt = dt.asInstanceOf[MapType].keyType
+          exists(map_keys(c), x => compileElem(inner, x, kt))
         }
       case And(ss) => ss.map(compile(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
       case Or(ss) => ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
@@ -494,6 +503,7 @@ object Mango {
     case SizeIs(p, _) => Set(p)
     case AllOf(p, _) => Set(p)
     case ElemMatch(p, _, _) => Set(p)
+    case KeyMapMatch(p, _) => Set(p)
     case And(ss) => ss.flatMap(selectorPaths).toSet
     case Or(ss) => ss.flatMap(selectorPaths).toSet
     case Nor(ss) => ss.flatMap(selectorPaths).toSet

@@ -131,6 +131,32 @@ object Multimodal {
   /** Hash output row: 64 bit values + 4 16-bit band values. */
   case class Phash(bits: Array[Int], bands: Array[Long])
 
+  /** Pixels → hash bits → bands: the shared integer arithmetic behind
+    * both the raw-byte and the decoded-image hash paths (exactly the
+    * [[aHashBits]]/[[dHashBits]]/[[hashBands]] Column reference,
+    * spec-pinned equal). */
+  private def hashPixels(px: Array[Long], method: String): Phash = {
+    val mean = px.sum / 64
+    val bits = new Array[Int](64)
+    var j = 0
+    if (method == "ahash")
+      while (j < 64) { bits(j) = if (px(j) > mean) 1 else 0; j += 1 }
+    else
+      while (j < 64) {
+        bits(j) = if (px(j) < px((j + 1) % 64)) 1 else 0; j += 1
+      }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var k = 0
+      while (k < 16) { v |= bits(b * 16 + k).toLong << k; k += 1 }
+      bands(b) = v
+      b += 1
+    }
+    Phash(bits, bands)
+  }
+
   /** One compiled O(payload) pass computing pooled pixels → hash bits
     * → bands — exactly the [[pooledPixelsFromBytes]]/[[aHashBits]]/
     * [[dHashBits]]/[[hashBands]] arithmetic (integer floor divisions;
@@ -152,25 +178,7 @@ object Multimodal {
           px(j) = s / math.max(hi - lo, 1L)
           j += 1
         }
-        val mean = px.sum / 64
-        val bits = new Array[Int](64)
-        j = 0
-        if (method == "ahash")
-          while (j < 64) { bits(j) = if (px(j) > mean) 1 else 0; j += 1 }
-        else
-          while (j < 64) {
-            bits(j) = if (px(j) < px((j + 1) % 64)) 1 else 0; j += 1
-          }
-        val bands = new Array[Long](4)
-        var b = 0
-        while (b < 4) {
-          var v = 0L
-          var k = 0
-          while (k < 16) { v |= bits(b * 16 + k).toLong << k; k += 1 }
-          bands(b) = v
-          b += 1
-        }
-        Some(Phash(bits, bands))
+        Some(hashPixels(px, method))
       })
 
   /** `(doc_id, bits, bands)` perceptual hashes of every payload with
@@ -196,10 +204,14 @@ object Multimodal {
     * like every graft dedup: cost tracks band-bucket sizes, never
     * corpus². */
   def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 10,
-                        method: String = "ahash"): DataFrame = {
-    require(method == "ahash" || method == "dhash",
-      s"method must be ahash|dhash, got $method")
-    val h = phashes(assets, method)
+                        method: String = "ahash"): DataFrame =
+    bandedPairs(phashes(assets, method), maxHamming)
+
+  /** The banded candidate join + exact hamming verify over a
+    * `(doc_id, bits, bands)` hash table — shared by the raw-byte and
+    * decoded-image hash paths. Bucket-bounded: cost tracks band-bucket
+    * sizes, never corpus². */
+  private[graft] def bandedPairs(h: DataFrame, maxHamming: Int): DataFrame = {
     val bandRows = h.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "v")))
     val cand = bandRows.select(col("band"), col("v"),
@@ -219,6 +231,153 @@ object Multimodal {
         lit(0L), (a, x) => a + x))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ----------------------------------------------------- real image decode
+
+  /** REAL pure-JVM image decode (javax.imageio — PNG/BMP/GIF readers
+    * ship in every JRE): payload → the 8×8 grayscale thumbnail, by
+    * integer block-average pooling over the decoded raster. This is
+    * the production path the [[pooledPixels]] byte-pooling stub stands
+    * in for; both feed the same [[hashPixels]] arithmetic.
+    *
+    * Exactness contract (what makes the q162 oracle replay possible):
+    * single-band (grayscale) images read their raster samples
+    * DIRECTLY — no colorspace conversion, so a gray PNG round-trips
+    * bit-exact; RGB images reduce per pixel by the integer ITU-R 601
+    * luma `(299r + 587g + 114b) / 1000`. Cell (row j, col i) of the
+    * thumbnail averages the pixel block `y ∈ [jh/8, (j+1)h/8) × x ∈
+    * [iw/8, (i+1)w/8)` with floor division — the [[pooledPixels]]
+    * span rule in two dimensions. Returns None for undecodable
+    * payloads or images smaller than 8×8 (the quarantine rule:
+    * undecodable assets drop out of the hash relation, countable by
+    * anti-join). */
+  private[graft] def decodeGray64(payload: Array[Byte]): Option[Array[Long]] =
+    try {
+      if (payload == null) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val grayDirect = raster.getNumBands == 1
+        val px = new Array[Long](64)
+        var idx = 0
+        var j = 0
+        while (j < 8) {
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var i = 0
+          while (i < 8) {
+            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+            var s = 0L
+            var cnt = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val g =
+                  if (grayDirect) raster.getSample(x, y, 0)
+                  else {
+                    val rgb = img.getRGB(x, y)
+                    ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                      (rgb & 0xff) * 114) / 1000
+                  }
+                s += g; cnt += 1; x += 1
+              }
+              y += 1
+            }
+            px(idx) = s / math.max(cnt, 1L)
+            idx += 1; i += 1
+          }
+          j += 1
+        }
+        Some(px)
+      }
+    } catch { case _: Exception => None }
+
+  /** `(doc_id, bits, bands)` perceptual hashes over DECODED images —
+    * [[phashes]] with the real decoder in front: decode → 8×8
+    * thumbnail → the same bits/bands arithmetic. Undecodable payloads
+    * drop out (compare counts against the asset table to quarantine). */
+  def imagePhashes(assets: DataFrame, method: String = "ahash"): DataFrame = {
+    require(method == "ahash" || method == "dhash",
+      s"method must be ahash|dhash, got $method")
+    val f = udf((payload: Array[Byte]) =>
+      decodeGray64(payload).map(px => hashPixels(px, method)))
+    assets
+      .select(col("doc_id").cast("long").as("doc_id"),
+        f(col("payload")).as("_h"))
+      .filter(col("_h").isNotNull)
+      .select(col("doc_id"), col("_h.bits").as("bits"),
+        col("_h.bands").as("bands"))
+  }
+
+  /** Perceptual-hash near-dup over DECODED images (gate q162) — the
+    * q114 pipeline with real decode replacing byte pooling. */
+  def imagePhashNearDupPairs(assets: DataFrame, maxHamming: Int = 10,
+                             method: String = "ahash"): DataFrame =
+    bandedPairs(imagePhashes(assets, method), maxHamming)
+
+  /** Output row of [[decodeFeatures]]. */
+  case class DecodedFeatures(doc_id: Long, n_bytes: Long, decoded: Boolean,
+                             width: Int, height: Int, gray_mean: Long)
+
+  /** The REAL-decoder form of [[extractFeatures]]: same `mapPartitions`
+    * batch shape (init-once-per-partition slot, rows streamed through),
+    * javax.imageio decode in the loop. Undecodable payloads keep their
+    * row with `decoded = false` — feature extraction quarantines, it
+    * does not drop. */
+  def decodeFeatures(assets: DataFrame): Dataset[DecodedFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens HERE (ImageIO plugin scan is
+        // per-JVM; a JNI codec or ONNX session would init here)
+        it.map { case (id, bytes) =>
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          decodeGray64(bytes) match {
+            case Some(px) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              DecodedFeatures(id, n, decoded = true,
+                img.getWidth, img.getHeight, px.sum / 64)
+            case None =>
+              DecodedFeatures(id, n, decoded = false, 0, 0, 0L)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic image: a `w×h` grayscale PNG whose pixel
+    * `(x, y)` is `min(255, (seed·31 + 7x + 13y) mod 256 + (perturb
+    * when (x+y) mod 9 = 0 then 2 else 0))` — an analytically-known
+    * raster, so decode correctness is gated end-to-end (a wrong
+    * decoder produces pixels that disagree with the formula the q162
+    * oracle computes). Written through the raster (no colorspace
+    * transform), PNG is lossless: decode must return these exact
+    * values. */
+  def syntheticPng(seed: Long, perturb: Boolean, w: Int = 16,
+                   h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        val g = math.min(255,
+          base + (if (perturb && (x + y) % 9 == 0) 2 else 0))
+        raster.setSample(x, y, 0, g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** "Frame sampling": every `stride`-th fixed-size slice of the payload

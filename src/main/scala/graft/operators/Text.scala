@@ -49,6 +49,74 @@ object Text {
       .otherwise(h(4)._1)
   }
 
+  /** The character-n-gram language model: per language, a literal
+    * table of (pattern, integer weight) — function words carried
+    * space-delimited, sub-word character n-grams bare, plus the CJK
+    * codepoint class for zh. Patterns are regex-safe literals (and one
+    * explicit class), counted non-overlapping left-to-right — the rule
+    * both engines share — over `' ' || lower(text) || ' '`. Integer
+    * weights on long counts keep every score EXACT (no float argmax
+    * boundary), the E17 classifier discipline. */
+  val langNgrams: Seq[(String, Seq[(String, Long)])] = Seq(
+    "en" -> Seq(" the " -> 3L, " a " -> 1L, " of " -> 2L, " to " -> 2L,
+      " in " -> 2L, " and " -> 2L, "th" -> 1L, "ing " -> 2L),
+    "de" -> Seq(" der " -> 3L, " die " -> 3L, " und " -> 3L, " ist " -> 2L,
+      " das " -> 2L, " nicht " -> 2L, "sch" -> 2L, "ung " -> 2L),
+    "fr" -> Seq(" le " -> 2L, " la " -> 2L, " les " -> 3L, " des " -> 3L,
+      " et " -> 2L, " est " -> 2L, "é" -> 2L, "è" -> 2L),
+    "es" -> Seq(" el " -> 3L, " los " -> 3L, " las " -> 3L, " y " -> 2L,
+      " es " -> 2L, "ñ" -> 3L, "ción" -> 3L, "ado " -> 2L),
+    "zh" -> Seq("[一-龥]" -> 1L))
+
+  /** Per-language n-gram scores + argmax prediction — E2's
+    * character-n-gram upgrade (the fastText-style shape at literal
+    * scale: no trained file, a declared weight table; swap in learned
+    * weights without touching the plan). One codegen projection: the
+    * feature counts are `regexp_count` over the padded text, the score
+    * a fixed integer dot product, the argmax the same earlier-language
+    * tie-break CASE chain as [[langId]] — everything replays in SQL
+    * (q161). Feed [[qualityFilter]]'s `lang` hook with
+    * [[langIdNgram]] to gate on it. */
+  def langNgramScores(docs: org.apache.spark.sql.DataFrame,
+                      id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val s = concat(lit(" "), lower(text), lit(" "))
+    val scores = langNgrams.map { case (l, gs) =>
+      l -> gs.map { case (g, w) =>
+        regexp_count(s, lit(g)).cast("long") * lit(w)
+      }.reduce(_ + _)
+    }
+    docs.select((id.cast("long").as("doc_id") +:
+        scores.map { case (l, c) => c.as(s"s_$l") }): _*)
+      .withColumn("pred", argmaxLang(scores.map {
+        case (l, _) => l -> col(s"s_$l")
+      }))
+  }
+
+  /** The n-gram prediction as one Column (for `qualityFilter(lang =
+    * Some(...))` and inline use). */
+  def langIdNgram(text: Column): Column = {
+    val s = concat(lit(" "), lower(text), lit(" "))
+    argmaxLang(langNgrams.map { case (l, gs) =>
+      l -> gs.map { case (g, w) =>
+        regexp_count(s, lit(g)).cast("long") * lit(w)
+      }.reduce(_ + _)
+    })
+  }
+
+  /** Deterministic argmax with earlier-language tie-break (the
+    * [[langId]] rule). */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
+    val h = scores.toIndexedSeq
+    when(h(0)._2 >= h(1)._2 && h(0)._2 >= h(2)._2 &&
+         h(0)._2 >= h(3)._2 && h(0)._2 >= h(4)._2, h(0)._1)
+      .when(h(1)._2 >= h(2)._2 && h(1)._2 >= h(3)._2 && h(1)._2 >= h(4)._2,
+        h(1)._1)
+      .when(h(2)._2 >= h(3)._2 && h(2)._2 >= h(4)._2, h(2)._1)
+      .when(h(3)._2 >= h(4)._2, h(3)._1)
+      .otherwise(h(4)._1)
+  }
+
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,!?;:]")).cast("long")
 

@@ -640,6 +640,19 @@ object View {
     new View(docs, id, phase, reduce, None, locale = locale)
   }
 
+  /** The PRIMARY index — the reference ecosystem's `_all_docs`: every
+    * document as one row with `key = value = id`, in id collation
+    * order. Not a separate code path but the same [[View]] machinery,
+    * so the FULL [[QueryOpts]] envelope applies unchanged: ranges
+    * (`startkey`/`endkey`/`inclusive_end`), `key=`/`keys=` (bulk-get),
+    * `descending`, `skip`/`limit`, keyset pagination, `total_rows`/
+    * `offset`, and `include_docs` (trivially the row's own document).
+    * CouchDB's `_all_docs` value carries `{rev}`; revision resolution
+    * lives in [[graft.operators.Revisions]] in this engine, so the
+    * value here is the id itself. */
+  def allDocs(docs: DataFrame, id: Column): View =
+    apply(docs, id, id, id)
+
   /** Union two views into one mixed-key view: CouchDB keys are dynamic
     * JSON, Spark columns are monomorphic — the collation byte encoding
     * bridges the gap. Keys (and values) are carried as their canonical

@@ -249,4 +249,29 @@ class MangoSpec extends SparkSpecBase {
     assert(Mango.openIndex(spark, s"$dir/pidx").partial ==
       Some("""{"o_orderstatus": "F"}"""))
   }
+
+  test("$keyMapMatch: some key of a map field satisfies the condition") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("alpha" -> 1, "beta" -> 2)),
+      (2L, Map("gamma" -> 3)),
+      (3L, Map.empty[String, Int]))
+      .toDF("id", "m")
+    def ids(sel: String): Set[Long] =
+      df.filter(Mango.compile(Mango.parseSelector(sel), df.schema))
+        .select("id").as[Long].collect().toSet
+    assert(ids("""{"m": {"$keyMapMatch": {"$eq": "beta"}}}""") == Set(1L))
+    assert(ids("""{"m": {"$keyMapMatch": {"$regex": "^g"}}}""") == Set(2L))
+    // no key matches / empty map / missing field: no match
+    assert(ids("""{"m": {"$keyMapMatch": {"$eq": "zzz"}}}""") == Set())
+    assert(ids("""{"zzz": {"$keyMapMatch": {"$eq": "a"}}}""") == Set())
+    // composes with other conditions
+    assert(ids(
+      """{"m": {"$keyMapMatch": {"$regex": "a"}}, "id": {"$gt": 1}}""")
+      == Set(2L))
+    // inner combinators apply per-key
+    assert(ids(
+      """{"m": {"$keyMapMatch": {"$and": [{"$gte": "a"}, {"$lt": "b"}]}}}""")
+      == Set(1L))
+  }
 }

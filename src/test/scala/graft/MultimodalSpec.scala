@@ -80,4 +80,49 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dh.contains((1L, 2L)))
   }
+
+  test("real decode: PNG roundtrips the formula raster exactly (stub vs real)") {
+    // decode-pool of the synthetic PNG == direct formula pooling
+    val png = Multimodal.syntheticPng(7L, perturb = false)
+    val px = Multimodal.decodeGray64(png).get
+    val want = (0 until 8).flatMap { j =>
+      (0 until 8).map { i =>
+        val vals = for (dy <- 0 to 1; dx <- 0 to 1)
+          yield (7L * 31 + (2 * i + dx) * 7 + (2 * j + dy) * 13) % 256
+        vals.sum / 4
+      }
+    }
+    assert(px.toSeq == want,
+      s"decoded thumbnail diverges from the formula:\n${px.toSeq}\n$want")
+    // the perturbation moves SOME pooled cells, by at most 1 level
+    val px2 = Multimodal.decodeGray64(
+      Multimodal.syntheticPng(7L, perturb = true)).get
+    val deltas = px.zip(px2).map { case (a, b) => (b - a).abs }
+    assert(deltas.exists(_ > 0) && deltas.forall(_ <= 1))
+    // undecodable payloads quarantine: None from decode, dropped from
+    // the hash relation, decoded=false (row kept) in decodeFeatures
+    assert(Multimodal.decodeGray64("not an image".getBytes).isEmpty)
+    val mixed = Seq(
+      (1L, Multimodal.syntheticPng(1L, perturb = false)),
+      (2L, "junk bytes junk bytes junk bytes junk bytes junk bytes junk"
+        .getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.imagePhashes(mixed).select($"doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    val feats = Multimodal.decodeFeatures(mixed).collect()
+      .map(f => f.doc_id -> f).toMap
+    val m1 = Multimodal.decodeGray64(
+      Multimodal.syntheticPng(1L, perturb = false)).get.sum / 64
+    assert(feats(1L).decoded && feats(1L).width == 16 &&
+      feats(1L).height == 16 && feats(1L).gray_mean == m1)
+    assert(!feats(2L).decoded && feats(2L).n_bytes > 0)
+    // identical images pair at hamming 0 through the DECODED path
+    val trio = Seq(
+      (1L, Multimodal.syntheticPng(3L, perturb = false)),
+      (2L, Multimodal.syntheticPng(3L, perturb = false)),
+      (3L, Multimodal.syntheticPng(200L, perturb = false)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imagePhashNearDupPairs(trio, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -137,6 +137,36 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
   }
 
+  test("langIdNgram classifies real-language text; agrees with stopword path") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house went to the market"),
+      (2L, "der hund und die katze ist das schöne tier der nicht schläft"),
+      (3L, "les arbres et les fleurs étaient déjà près des maisons"),
+      (4L, "los niños y las niñas españolas en el pueblo pequeño"),
+      (5L, "这是一个中文句子 在这里 的 汉字"))
+      .toDF("doc_id", "text")
+    val r = d.select($"doc_id", Text.langIdNgram($"text").as("p")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh"))
+    // langNgramScores: pred == the column form; scores are exact longs
+    val sc = Text.langNgramScores(d, $"doc_id", $"text")
+    assert(sc.columns.toSeq ==
+      Seq("doc_id", "s_en", "s_de", "s_fr", "s_es", "s_zh", "pred"))
+    val preds = sc.select($"doc_id", $"pred").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(preds == r)
+    // on the synthetic corpus both paths see English-ish soup: the
+    // n-gram path must agree with the stopword path on ~every doc
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val both = docs.select(Text.langId($"text").as("a"),
+      Text.langIdNgram($"text").as("b"))
+    val n = both.count()
+    val agree = both.filter($"a" === $"b").count()
+    assert(agree.toDouble / n >= 0.9,
+      s"stopword vs n-gram agreement ${agree.toDouble / n} below 0.9")
+  }
+
   test("LSH topk achieves reasonable recall against brute force") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()

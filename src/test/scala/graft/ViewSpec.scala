@@ -622,4 +622,27 @@ class ViewSpec extends SparkSpecBase {
     assert(row.length == 1 && row(0).getAs[java.math.BigDecimal]("value")
       .compareTo(new java.math.BigDecimal("999999.00")) == 0)
   }
+
+  test("allDocs: the primary index under the full envelope") {
+    val v = View.allDocs(orders, $"o_orderkey")
+    // ranged ascending page in id order
+    val page = v.query(QueryOpts(startKey = Some(100L),
+        endKey = Some(120L), reduce = false))
+      .select($"key".cast("long")).as[Long].collect().toSeq
+    val want = orders.filter($"o_orderkey".between(100L, 120L))
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    assert(page == want && page.nonEmpty)
+    // keys= is the bulk-get: requested order, repeats honored
+    val some = want.take(2)
+    val got = v.query(QueryOpts(
+        keys = Some(Seq(some(1), some(0), some(1))), reduce = false))
+      .select($"key".cast("long")).as[Long].collect().toSeq
+    assert(got == Seq(some(1), some(0), some(1)))
+    // include_docs: the joined doc is the row's own document
+    val wd = v.query(QueryOpts(key = Some(some.head),
+      includeDocs = true, reduce = false))
+    assert(wd.columns.contains("doc"))
+    val r0 = wd.select($"id".cast("long"), $"doc.o_orderkey").head()
+    assert(r0.getLong(0) == some.head && r0.getLong(1) == some.head)
+  }
 }
