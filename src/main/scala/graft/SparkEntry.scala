@@ -2081,6 +2081,24 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** D4d: RESIDUAL IVFADC ([[graft.operators.Pq.ivfPqResidualTopK]])
+    * — Jégou §IV.A proper: codes quantize `x − c(x)` against
+    * residual-learned codebooks; the query side of ADC is the query's
+    * residual against EACH probed list's centroid, with the
+    * list-varying |r_q|² term added back so candidates from different
+    * lists rank comparably. The oracle replays residuals, codebook
+    * learning, encoding, the per-list query residual, and the exact
+    * add order `|r_q|² + (d0 + … + d7)`. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("ivfpqr", dir, "embeddings")
+    if (!hasFile(s"$path/data/_SUCCESS"))
+      graft.operators.Pq.buildIvfPqResidualIndex(emb, path)
+    graft.operators.Pq.ivfPqResidualTopK(s, path, emb,
+      emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, refine = 50)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -2769,6 +2787,9 @@ object SparkEntry {
   def indexBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     "q158_ivfpq_ann" -> ((s, dir) => graft.operators.Pq.buildIvfPqIndex(
       t(s, dir, "embeddings"), idxPath("ivfpq", dir, "embeddings"))),
+    "q163_ivfpq_residual" -> ((s, dir) =>
+      graft.operators.Pq.buildIvfPqResidualIndex(
+        t(s, dir, "embeddings"), idxPath("ivfpqr", dir, "embeddings"))),
     "q52_ann_indexed" -> ((s, dir) => graft.operators.Similarity
       .buildLshIndex(t(s, dir, "embeddings"), idxPath("ann", dir, "embeddings"))),
     "q53_ann_ivf" -> ((s, dir) => graft.operators.Similarity
@@ -3099,7 +3120,8 @@ object SparkEntry {
     "q159_mango_keymap" -> (q159 _),
     "q160_all_docs" -> (q160 _),
     "q161_langid_ngram" -> (q161 _),
-    "q162_image_phash" -> (q162 _)
+    "q162_image_phash" -> (q162 _),
+    "q163_ivfpq_residual" -> (q163 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5606,7 +5628,96 @@ object SparkEntry {
         |  JOIN bits y ON y.doc_id = c.doc_b AND y.j = x.j
         |  GROUP BY c.doc_a, c.doc_b)
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin
+        |FROM ham WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
+    // residual IVFADC: q158's probe/assign discipline over codes that
+    // quantize x − c(x); codebooks learned on residuals; the ADC adds
+    // back the per-list |r_q|² in the exact Spark add order
+    "q163_ivfpq_residual" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cid FROM (
+        |    SELECT n.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+        |                 cent.cid DESC) AS rn
+        |    FROM n CROSS JOIN cent) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT n.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+        |                 cent.cid DESC) AS rn
+        |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 4),
+        |res AS (
+        |  SELECT n.vec_id,
+        |    list_transform(range(64), i -> n.v[i+1] - cent.cv[i+1]) AS r
+        |  FROM n JOIN assign a ON a.n_id = n.vec_id
+        |         JOIN cent ON cent.cid = a.cid),
+        |js AS (SELECT unnest(range(8)) AS j),
+        |cb AS (
+        |  SELECT js.j, res.vec_id AS c,
+        |         list_slice(res.r, js.j*8 + 1, js.j*8 + 8) AS cw
+        |  FROM res CROSS JOIN js WHERE res.vec_id < 16),
+        |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
+        |codes AS (
+        |  SELECT vec_id AS n_id, j, c2, cw FROM (
+        |    SELECT res.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
+        |      ROW_NUMBER() OVER (PARTITION BY res.vec_id, cb2.j
+        |        ORDER BY cb2.c2 - 2.0*list_dot_product(
+        |            list_slice(res.r, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
+        |          cb2.c ASC) AS rn
+        |    FROM res CROSS JOIN cb2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+        |qres AS (
+        |  SELECT p.q_id, p.cid,
+        |    list_transform(range(64), i -> n.v[i+1] - cent.cv[i+1]) AS rq
+        |  FROM probes p JOIN n ON n.vec_id = p.q_id
+        |                JOIN cent ON cent.cid = p.cid),
+        |cand0 AS (
+        |  SELECT DISTINCT p.q_id, a.n_id, a.cid
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.n_id != p.q_id),
+        |adcj AS (
+        |  SELECT cand0.q_id, cand0.n_id, codes.j,
+        |    codes.c2 - 2.0*list_dot_product(
+        |      list_slice(qr.rq, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d,
+        |    list_dot_product(qr.rq, qr.rq) AS qr2
+        |  FROM cand0
+        |  JOIN qres qr ON qr.q_id = cand0.q_id AND qr.cid = cand0.cid
+        |  JOIN codes ON codes.n_id = cand0.n_id),
+        |adc AS (
+        |  -- |r_q|² + (d0 + … + d7): the inner chain is the Spark-side
+        |  -- left fold, the outer add matches dot(q_res,q_res) + fold
+        |  SELECT q_id, n_id,
+        |    MAX(qr2) + (MAX(CASE WHEN j=0 THEN d END)
+        |      + MAX(CASE WHEN j=1 THEN d END)
+        |      + MAX(CASE WHEN j=2 THEN d END)
+        |      + MAX(CASE WHEN j=3 THEN d END)
+        |      + MAX(CASE WHEN j=4 THEN d END)
+        |      + MAX(CASE WHEN j=5 THEN d END)
+        |      + MAX(CASE WHEN j=6 THEN d END)
+        |      + MAX(CASE WHEN j=7 THEN d END)) AS adc
+        |  FROM adcj GROUP BY q_id, n_id),
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc ASC, n_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 50),
+        |j2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n qq ON qq.vec_id = cand.q_id
+        |  JOIN n xx ON xx.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j2)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

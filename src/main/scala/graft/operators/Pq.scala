@@ -415,4 +415,141 @@ object Pq {
     shortlistAndRefine(shortlist, corpus,
       q.select(col("q_id"), col("q_vec")).distinct(), k, refine)
   }
+
+  // --------------------------------------------- residual IVFADC (Jégou §IV.A)
+
+  /** The element-wise residual `v − c` of a vector against its list's
+    * centroid — the quantity residual IVFADC encodes and scores. */
+  private def residual(v: Column, cvec: Column): Column =
+    zip_with(v, cvec, (a, b) => a - b)
+
+  /** RESIDUAL-encoding IVFADC — the paper's actual §IV.A construction:
+    * codes quantize `r = x − c(x)` (the vector minus its list's
+    * centroid), not the raw vector. The residual has far lower
+    * variance than the vector itself — the coarse quantizer has
+    * already explained the list-level structure — so the same m bytes
+    * carry more precision (the accuracy upgrade [[buildIvfPqIndex]]'s
+    * scaladoc names). Codebooks are learned on residuals (the ks
+    * lowest-id vectors' residual subvectors, the standard init rule
+    * applied to the residual distribution). The trade the raw-vector
+    * tier avoids re-appears here, documented: a vector whose list
+    * changes on upsert MUST re-encode (its residual basis moved) —
+    * [[upsertIvfPqResiduals]] re-encodes changed vectors against the
+    * frozen quantizers, which covers exactly that case. Layout and
+    * maintenance surface identical to [[buildIvfPqIndex]]. */
+  def buildIvfPqResidualIndex(corpus: DataFrame, path: String,
+                              nCentroids: Int = 16, m: Int = 8,
+                              ks: Int = 16, idBuckets: Int = 16,
+                              seq: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val cents = Similarity.initCentroids(corpus, nCentroids)
+    val cbs = initCodebooks(residualCorpus(corpus, cents), m, ks)
+    import spark.implicits._
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    ivfPqResidualRows(corpus, cents, cbs)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_id"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(s"$path/data")
+    Similarity.writeAnnSidecar(spark, path, idBuckets, seq)
+  }
+
+  /** The corpus with `embedding` replaced by the per-list residual —
+    * the relation codebooks are learned from. */
+  private def residualCorpus(corpus: DataFrame,
+                             cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val withCid = corpus
+      .withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(Similarity.dot(col("_v"), col("_v"))))
+      .withColumn("_cid", Similarity.nearestCidCol(col("_v"), col("_nrm"), cents))
+    joinCentroidVec(withCid, cents, col("_cid"))
+      .select(col("vec_id"), residual(col("_v"), col("_cvec")).as("embedding"))
+  }
+
+  /** Attach the centroid VECTOR for a cid column via a broadcast join
+    * against the (bounded) centroid table. */
+  private def joinCentroidVec(df: DataFrame, cents: Seq[(Int, Array[Double])],
+                              cid: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ctab = cents.map { case (c, v) => (c, v.toSeq) }.toDF("_ccid", "_cvec")
+    df.join(broadcast(ctab), cid === col("_ccid")).drop("_ccid")
+  }
+
+  private def ivfPqResidualRows(corpus: DataFrame,
+                                cents: Seq[(Int, Array[Double])],
+                                cbs: Codebooks): DataFrame = {
+    val withCid = corpus
+      .withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(Similarity.dot(col("_v"), col("_v"))))
+      .withColumn("_kb", Similarity.nearestCidCol(col("_v"), col("_nrm"), cents))
+    joinCentroidVec(withCid, cents, col("_kb"))
+      .withColumn("_r", residual(col("_v"), col("_cvec")))
+      .select(col("vec_id").as("_id"),
+        array((0 until cbs.length).map(j =>
+          codeCol(col("_r"), cbs, j)): _*).as("codes"),
+        col("_kb"))
+  }
+
+  /** Incremental maintenance against the FROZEN quantizers — NOTE the
+    * residual contract: a changed vector re-assigns AND re-encodes
+    * (its residual basis is its new list's centroid); that is exactly
+    * what re-running [[ivfPqResidualRows]] on the delta does. */
+  def upsertIvfPqResiduals(spark: SparkSession, path: String,
+                           changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                           newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val cents = Similarity.readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, ivfPqResidualRows(changed, cents, cbs),
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
+  }
+
+  /** Serve residual IVFADC: the [[ivfPqTopK]] probe/prune/shortlist
+    * shape, with the query's residual AGAINST EACH PROBED LIST'S
+    * centroid as the ADC query side (the query residual differs per
+    * list — Jégou §IV.A's "one distance table per probed list"; here
+    * each (query, list) pair computes its residual once in the
+    * projection and the per-subspace lookups fold over it). */
+  def ivfPqResidualTopK(spark: SparkSession, path: String, corpus: DataFrame,
+                        queries: DataFrame, k: Int, nProbe: Int = 4,
+                        refine: Int = 50): DataFrame = {
+    val cents = Similarity.readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val q0 = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
+      .withColumn("bucket", explode(
+        Similarity.probeCidsCol(col("q_vec"), col("q_nrm"), cents, nProbe)))
+    val q = joinCentroidVec(q0, cents, col("bucket"))
+      .select(col("q_id"), col("q_vec"), col("bucket"),
+        residual(col("q_vec"), col("_cvec")).as("q_res"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/data")
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("codes"), col("_kb").as("bucket"))
+    // UNLIKE the raw path, the dropped |query-side|² ADC term is NOT
+    // constant per query here — the query residual differs per probed
+    // list — so it must be added back for candidates from different
+    // lists to rank comparably: adc = |r_q|² + Σ(|cw|² − 2·r_q·cw)
+    // = the full estimated |r_q − cw|².
+    val shortlist = codes.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (Similarity.dot(col("q_res"), col("q_res")) +
+          adcExpr(cbs, col("q_res"), col("codes"))).as("adc"))
+    shortlistAndRefine(shortlist, corpus,
+      q.select(col("q_id"), col("q_vec")).distinct(), k, refine)
+  }
 }

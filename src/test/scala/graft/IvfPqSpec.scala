@@ -99,4 +99,42 @@ class IvfPqSpec extends SparkSpecBase {
       rows(Pq.ivfPqTopK(spark, fresh, corpus2, q, 5, nProbe = 3)),
       "maintained IVFADC index diverges from a fresh rebuild")
   }
+
+  test("residual IVFADC: distinct codes, exact at full probe+refine, upsert == rebuild") {
+    val res = s"$tmpDir/res"; val raw = s"$tmpDir/resraw"
+    Pq.buildIvfPqResidualIndex(emb, res, nCentroids = 8)
+    Pq.buildIvfPqIndex(emb, raw, nCentroids = 8)
+    // residual codes genuinely differ from raw-vector codes (the
+    // residual distribution is a different quantization target)
+    def codesOf(p: String): Map[Long, Seq[Int]] =
+      spark.read.parquet(s"$p/data").select($"_id", $"codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val (cr, cw) = (codesOf(res), codesOf(raw))
+    assert(cr.keySet == cw.keySet)
+    assert(cr.exists { case (id, cs) => cw(id) != cs },
+      "residual codes should not equal raw-vector codes")
+    // probing every list with an unbounded refine budget is exact
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val full = Pq.ivfPqResidualTopK(spark, res, emb, q, 5, nProbe = 8,
+        refine = emb.count().toInt)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "full probe + full refine must equal brute force")
+    // upsert against frozen quantizers == rebuild; the negated delta
+    // MOVES lists, exercising the residual re-encode contract
+    val changed = emb.filter($"vec_id".between(20, 24))
+      .withColumn("embedding", transform($"embedding", x => -x))
+    assert(Pq.upsertIvfPqResiduals(spark, res, changed,
+      deletedIds = Seq(25L)).nonEmpty)
+    val corpus2 = emb.filter(!$"vec_id".between(20, 25))
+      .unionByName(changed)
+    val fresh = s"$tmpDir/resfresh"
+    Pq.buildIvfPqResidualIndex(corpus2, fresh, nCentroids = 8)
+    assert(rows(Pq.ivfPqResidualTopK(spark, res, corpus2,
+        corpus2.filter($"vec_id" < 5), 5, nProbe = 3)) ==
+      rows(Pq.ivfPqResidualTopK(spark, fresh, corpus2,
+        corpus2.filter($"vec_id" < 5), 5, nProbe = 3)),
+      "maintained residual index diverges from a fresh rebuild")
+  }
 }
