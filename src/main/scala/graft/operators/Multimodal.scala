@@ -314,10 +314,15 @@ object Multimodal {
   }
 
   /** Perceptual-hash near-dup over DECODED images (gate q162) — the
-    * q114 pipeline with real decode replacing byte pooling. */
+    * q114 pipeline with real decode replacing byte pooling. The hash
+    * relation is materialized once (`localCheckpoint`): [[bandedPairs]]
+    * consumes it from FOUR join branches, and without the barrier each
+    * branch would re-run the decoder — 4× the dominant cost. The
+    * stored rows are 64 ints + 4 longs per asset, negligible next to
+    * the payloads they summarize. */
   def imagePhashNearDupPairs(assets: DataFrame, maxHamming: Int = 10,
                              method: String = "ahash"): DataFrame =
-    bandedPairs(imagePhashes(assets, method), maxHamming)
+    bandedPairs(imagePhashes(assets, method).localCheckpoint(), maxHamming)
 
   /** Output row of [[decodeFeatures]]. */
   case class DecodedFeatures(doc_id: Long, n_bytes: Long, decoded: Boolean,
