@@ -2099,6 +2099,26 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A24c: Mango `$beginsWith` (CouchDB ≥3.4) — string prefix
+    * selector: compiles to StartsWith (parquet StringStartsWith
+    * pushdown) and CLOSES a JSON-index range (`[prefix,
+    * prefix-successor)`). The gate serves the find from a prefix
+    * index; the oracle replays it as LIKE. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q164bw", dir, "orders")
+    val idx =
+      if (graft.view.IndexStore.exists(s, path))
+        graft.operators.Mango.openIndex(s, path)
+      else graft.operators.Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_orderpriority"), path, numBuckets = 4)
+    graft.operators.Mango.findIndexed(s, orders, "o_orderkey", idx,
+      """{"selector": {"o_orderpriority": {"$beginsWith": "1-"},
+        |              "o_totalprice": {"$gte": 50000}},
+        | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+        | "sort": ["o_orderkey"], "limit": 500}""".stripMargin)
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3121,7 +3141,8 @@ object SparkEntry {
     "q160_all_docs" -> (q160 _),
     "q161_langid_ngram" -> (q161 _),
     "q162_image_phash" -> (q162 _),
-    "q163_ivfpq_residual" -> (q163 _)
+    "q163_ivfpq_residual" -> (q163 _),
+    "q164_mango_beginswith" -> (q164 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5717,7 +5738,12 @@ object SparkEntry {
         |  SELECT q_id, n_id, cosf,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j2)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // $beginsWith served from a prefix index == plain LIKE
+    "q164_mango_beginswith" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority LIKE '1-%' AND o_totalprice >= 50000
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

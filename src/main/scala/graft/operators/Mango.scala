@@ -58,6 +58,7 @@ object Mango {
   final case class AllOf(path: String, vs: Seq[Any]) extends Sel
   final case class ElemMatch(path: String, sel: Sel, forAll: Boolean) extends Sel
   final case class KeyMapMatch(path: String, sel: Sel) extends Sel
+  final case class BeginsWith(path: String, prefix: String) extends Sel
   final case class And(ss: Seq[Sel]) extends Sel
   final case class Or(ss: Seq[Sel]) extends Sel
   final case class Not(s: Sel) extends Sel
@@ -89,7 +90,7 @@ object Mango {
 
   private val condOps = Set("$eq", "$ne", "$lt", "$lte", "$gt", "$gte",
     "$in", "$nin", "$exists", "$type", "$mod", "$regex", "$size", "$all",
-    "$elemMatch", "$allMatch", "$keyMapMatch")
+    "$elemMatch", "$allMatch", "$keyMapMatch", "$beginsWith")
 
   private def parseSel(n: JsonNode): Sel = {
     require(n.isObject, s"mango: selector must be an object, got $n")
@@ -136,6 +137,7 @@ object Mango {
     case "$elemMatch" => ElemMatch(path, parseSel(arg), forAll = false)
     case "$allMatch" => ElemMatch(path, parseSel(arg), forAll = true)
     case "$keyMapMatch" => KeyMapMatch(path, parseSel(arg))
+    case "$beginsWith" => BeginsWith(path, arg.asText())
     case other =>
       throw new IllegalArgumentException(s"mango: unknown operator $other")
   }
@@ -259,6 +261,13 @@ object Mango {
           val kt = dt.asInstanceOf[MapType].keyType
           exists(map_keys(c), x => compileElem(inner, x, kt))
         }
+      // CouchDB ≥3.4: string prefix — compiles to StartsWith, which
+      // parquet pushes down as StringStartsWith; non-string fields
+      // match nothing (the CouchDB type rule)
+      case BeginsWith(p, pre) => on(p)((c, dt) => dt match {
+        case StringType => c.startsWith(lit(pre))
+        case _ => lit(false)
+      })
       case And(ss) => ss.map(compile(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
       case Or(ss) => ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
       case Nor(ss) => !ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
@@ -456,14 +465,27 @@ object Mango {
       case Cmp(`f`, "$eq", v) => typed(f, v)
     }
     def rangeOf(f: String): (Option[(Any, Boolean)], Option[(Any, Boolean)]) = {
+      // $beginsWith IS a range: [prefix, prefix-successor) — the
+      // successor increments the last non-max char (superset-safe in
+      // code-point order; a prefix whose chars are all ￿, or
+      // whose bump would land in the surrogate range, keeps only the
+      // lower bound — still a valid pruning superset)
+      val bw = conds.collectFirst { case BeginsWith(`f`, p) => p }
+      def prefixSuccessor(s: String): Option[String] = {
+        var i = s.length - 1
+        while (i >= 0 && (s.charAt(i) == Char.MaxValue ||
+          s.charAt(i) >= 0xD7FF.toChar)) i -= 1
+        if (i < 0) None
+        else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+      }
       val lo = conds.collectFirst {
         case Cmp(`f`, "$gt", v) => (typed(f, v), false)
         case Cmp(`f`, "$gte", v) => (typed(f, v), true)
-      }
+      }.orElse(bw.map(p => (p: Any, true)))
       val hi = conds.collectFirst {
         case Cmp(`f`, "$lt", v) => (typed(f, v), false)
         case Cmp(`f`, "$lte", v) => (typed(f, v), true)
-      }
+      }.orElse(bw.flatMap(prefixSuccessor).map(s => (s: Any, false)))
       (lo, hi)
     }
     val eqPrefix = fields.map(eqOf).takeWhile(_.isDefined).flatten
@@ -504,6 +526,7 @@ object Mango {
     case AllOf(p, _) => Set(p)
     case ElemMatch(p, _, _) => Set(p)
     case KeyMapMatch(p, _) => Set(p)
+    case BeginsWith(p, _) => Set(p)
     case And(ss) => ss.flatMap(selectorPaths).toSet
     case Or(ss) => ss.flatMap(selectorPaths).toSet
     case Nor(ss) => ss.flatMap(selectorPaths).toSet

@@ -284,6 +284,45 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted IVFADC index — the
+    * list-pruned compressed tier under the same contract as
+    * [[maintainPqIndex]]: the first non-empty micro-batch builds
+    * ([[graft.operators.Pq.buildIvfPqIndex]] — coarse centroids AND
+    * codebooks then FROZEN across batches); every later batch
+    * re-assigns + re-encodes only its changed vectors against the
+    * stored quantizers and rewrites only the touched inverted lists
+    * (`Pq.upsertIvfPqVectors`). Same feed schema (`vec_id`,
+    * `embedding`, optional `_deleted`). */
+  def maintainIvfPqIndex(spark: SparkSession, changeFeed: DataFrame,
+                         path: String, checkpoint: String,
+                         nCentroids: Int = 16, m: Int = 8, ks: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+            .distinct().collect().map(_.get(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Pq.buildIvfPqIndex(live, path, nCentroids, m, ks,
+              seq = batchId + 1)
+        } else {
+          Pq.upsertIvfPqVectors(spark, path, live, delIds,
+            newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted SemDeDup index — the
     * semantic-dedup analogue of [[maintainAnnIndex]]: the first
     * non-empty micro-batch builds the index ([[graft.operators

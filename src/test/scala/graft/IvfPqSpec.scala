@@ -137,4 +137,36 @@ class IvfPqSpec extends SparkSpecBase {
         corpus2.filter($"vec_id" < 5), 5, nProbe = 3)),
       "maintained residual index diverges from a fresh rebuild")
   }
+
+  test("streaming IVFADC maintainer settles to the batch build+upsert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = s"$tmpDir/stream"
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[VecChg]
+    val sq = graft.streaming.Streams.maintainIvfPqIndex(spark, in.toDF(),
+      path, s"$tmpDir/sckpt", nCentroids = 8)
+    // batch 1 builds (quantizers frozen from it); batch 2 re-embeds
+    // 20..24 (moving lists) and tombstones 25
+    in.addData(all.map { case (id, e) => VecChg(id, e, _deleted = false) }
+      .toSeq: _*)
+    sq.processAllAvailable()
+    val changed = all.filter(x => x._1 >= 20 && x._1 <= 24)
+      .map { case (id, e) => VecChg(id, e.map(-_), _deleted = false) }
+    in.addData(
+      (changed :+ VecChg(25L, Array.empty[Float], _deleted = true)).toSeq: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(graft.view.IndexStore.readMeta(spark, path).updateSeq == 2L)
+    val corpus2 = emb.filter(!$"vec_id".between(20, 25))
+      .select($"vec_id", $"embedding")
+      .unionByName(changed.toSeq.toDF("vec_id", "embedding", "_deleted")
+        .select($"vec_id", $"embedding"))
+    val fresh = s"$tmpDir/stream_fresh"
+    Pq.buildIvfPqIndex(corpus2, fresh, nCentroids = 8)
+    val q = corpus2.filter($"vec_id" < 5)
+    assert(rows(Pq.ivfPqTopK(spark, path, corpus2, q, 5, nProbe = 3)) ==
+      rows(Pq.ivfPqTopK(spark, fresh, corpus2, q, 5, nProbe = 3)))
+  }
 }

@@ -274,4 +274,40 @@ class MangoSpec extends SparkSpecBase {
       """{"m": {"$keyMapMatch": {"$and": [{"$gte": "a"}, {"$lt": "b"}]}}}""")
       == Set(1L))
   }
+
+  test("$beginsWith: string prefix; closes an index range; indexed == scan") {
+    import spark.implicits._
+    val df = Seq((1L, Some("apple")), (2L, Some("applesauce")),
+      (3L, Some("banana")), (4L, None: Option[String]), (5L, Some("app")))
+      .toDF("id", "s")
+    def ids(sel: String): Set[Long] =
+      df.filter(Mango.compile(Mango.parseSelector(sel), df.schema))
+        .select("id").as[Long].collect().toSet
+    assert(ids("""{"s": {"$beginsWith": "app"}}""") == Set(1L, 2L, 5L))
+    assert(ids("""{"s": {"$beginsWith": "apple"}}""") == Set(1L, 2L))
+    assert(ids("""{"s": {"$beginsWith": ""}}""") == Set(1L, 2L, 3L, 5L),
+      "empty prefix matches every string-valued doc")
+    // non-string fields and missing fields match nothing
+    assert(ids("""{"id": {"$beginsWith": "1"}}""") == Set())
+    assert(ids("""{"zzz": {"$beginsWith": "a"}}""") == Set())
+    // the prefix CLOSES an index range: bounds defined, and an
+    // index-served find equals the scan find
+    val sel = """{"o_orderpriority": {"$beginsWith": "1-"},
+                  "o_totalprice": {"$gte": 50000}}"""
+    assert(Mango.indexBounds(Mango.parseSelector(sel),
+      Seq("o_orderpriority"), orders.schema).isDefined,
+      "$beginsWith must close the index prefix")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mango-bw")
+      .toString
+    val idx = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderpriority"), s"$dir/idx", numBuckets = 4)
+    val req = s"""{
+      "selector": $sel,
+      "fields": ["o_orderkey", "o_orderpriority"],
+      "sort": ["o_orderkey"], "limit": 300}"""
+    val viaIndex = Mango.findIndexed(spark, orders, "o_orderkey", idx, req)
+    val viaScan = Mango.find(orders, "o_orderkey", req)
+    assert(viaIndex.collect().toSeq == viaScan.collect().toSeq)
+    assert(viaIndex.count() > 0)
+  }
 }
