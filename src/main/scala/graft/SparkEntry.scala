@@ -2119,6 +2119,31 @@ object SparkEntry {
         | "sort": ["o_orderkey"], "limit": 500}""".stripMargin)
   }
 
+  /** A24d: Mango BOOKMARK pagination ([[graft.operators.Mango
+    * .findPage]]) — CouchDB's `_find` paging: `limit` is the page
+    * size, the opaque bookmark resumes strictly after the last served
+    * `(sort values, id)` cursor. The gate walks EVERY page and
+    * concatenates; the oracle is the unpaged relation — any skipped,
+    * duplicated, or misordered row across page boundaries fails the
+    * hash. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val req = """{"selector": {"o_totalprice": {"$gte": 490000}},
+      | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+      | "sort": [{"o_totalprice": "desc"}], "limit": 250}""".stripMargin
+    var bm: Option[String] = None
+    var acc: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val (p, nb) = graft.operators.Mango.findPage(orders, "o_orderkey",
+        req, bm)
+      acc = Some(acc.map(_.unionByName(p)).getOrElse(p))
+      bm = nb
+      done = nb.isEmpty
+    }
+    acc.get.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3142,7 +3167,8 @@ object SparkEntry {
     "q161_langid_ngram" -> (q161 _),
     "q162_image_phash" -> (q162 _),
     "q163_ivfpq_residual" -> (q163 _),
-    "q164_mango_beginswith" -> (q164 _)
+    "q164_mango_beginswith" -> (q164 _),
+    "q165_mango_bookmark" -> (q165 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5743,7 +5769,12 @@ object SparkEntry {
     "q164_mango_beginswith" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_orderpriority LIKE '1-%' AND o_totalprice >= 50000
-        |ORDER BY o_orderkey LIMIT 500""".stripMargin
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    // every bookmark page concatenated == the unpaged relation
+    "q165_mango_bookmark" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_totalprice >= 490000
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

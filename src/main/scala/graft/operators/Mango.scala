@@ -337,6 +337,81 @@ object Mango {
     if (req.fields.nonEmpty) paged.select(req.fields.map(col): _*) else paged
   }
 
+  /** Bookmark pagination — CouchDB's `_find` paging contract: the
+    * request's `limit` is the page size, and the response carries an
+    * OPAQUE `bookmark` that resumes STRICTLY AFTER the last served
+    * row. Unlike `skip` (which rescans and re-sorts the skipped
+    * prefix, and shifts under concurrent writes), the bookmark pins
+    * the last row's `(sort values…, doc id)` and page N+1 filters
+    * `> cursor` lexicographically — pruning-friendly, stable at any
+    * depth, the [[graft.view.View.queryPage]] discipline on the Mango
+    * surface.
+    *
+    * Returns `(page, Some(bookmark))`, or `None` when the page came
+    * back short (no further rows). The bookmark serializes the typed
+    * cursor values (base64 of Java serialization — opaque to callers,
+    * exactly as CouchDB documents theirs). Sort fields must be
+    * non-null for cursor comparisons to be total (CouchDB indexes
+    * enforce the same by construction); the doc id tiebreak makes the
+    * order total. `skip` applies only to the FIRST page (offset into
+    * the full result), matching CouchDB. */
+  def findPage(docs: DataFrame, idCol: String, findJson: String,
+               bookmark: Option[String] = None)
+      : (DataFrame, Option[String]) = {
+    val req = parseFind(findJson)
+    val pageSize = req.limit.getOrElse(25L).toInt
+    val dirs = req.sort :+ (idCol -> true)
+    val filtered = docs.filter(compile(req.selector, docs.schema))
+    val resumed = bookmark match {
+      case None => if (req.skip > 0) {
+        val sortCols = dirs.map { case (f, asc) =>
+          if (asc) col(f).asc else col(f).desc }
+        filtered.orderBy(sortCols: _*).offset(req.skip.toInt)
+      } else filtered
+      case Some(b) =>
+        val vals = decodeBookmark(b)
+        // strictly-after lexicographic cursor: OR over "equal on the
+        // first i keys, strictly past on key i" branches
+        val after = dirs.zipWithIndex.map { case ((f, asc), i) =>
+          val eqPrefix = dirs.take(i).zip(vals.take(i))
+            .map { case ((pf, _), pv) => col(pf) <=> lit(pv) }
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val v = lit(vals(i))
+          eqPrefix && (if (asc) col(f) > v else col(f) < v)
+        }.reduce(_ || _)
+        filtered.filter(after)
+    }
+    val sortCols = dirs.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc }
+    val page = resumed.orderBy(sortCols: _*).limit(pageSize)
+    // the cursor: the page's LAST row's sort+id values (one bounded
+    // driver row — TakeOrderedAndProject under the reversed order)
+    val revCols = dirs.map { case (f, asc) =>
+      if (asc) col(f).desc else col(f).asc }
+    val last = page.orderBy(revCols: _*)
+      .select(dirs.map { case (f, _) => col(f) }: _*).limit(1).collect()
+    val nRows = page.count()
+    val next =
+      if (last.isEmpty || nRows < pageSize) None
+      else Some(encodeBookmark(last.head.toSeq))
+    val out = if (req.fields.nonEmpty) page.select(req.fields.map(col): _*)
+              else page
+    (out, next)
+  }
+
+  private def encodeBookmark(vals: Seq[Any]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(vals.toArray)
+    oos.close()
+    java.util.Base64.getUrlEncoder.encodeToString(bos.toByteArray)
+  }
+
+  private def decodeBookmark(b: String): Seq[Any] =
+    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(
+      java.util.Base64.getUrlDecoder.decode(b)))
+      .readObject().asInstanceOf[Array[Any]].toSeq
+
   // ------------------------------------------------------------ JSON indexes
 
   /** A Mango JSON index: a persisted [[View]] index whose key is the

@@ -310,4 +310,32 @@ class MangoSpec extends SparkSpecBase {
     assert(viaIndex.collect().toSeq == viaScan.collect().toSeq)
     assert(viaIndex.count() > 0)
   }
+
+  test("findPage: bookmark pages concatenate to the unpaged find exactly") {
+    val paged = """{"selector": {"o_totalprice": {"$gte": 400000}},
+      "fields": ["o_orderkey", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}], "limit": 37}"""
+    var bm: Option[String] = None
+    var pages = Vector.empty[Seq[Row]]
+    var done = false
+    while (!done) {
+      val (p, nb) = Mango.findPage(orders, "o_orderkey", paged, bm)
+      pages :+= p.collect().toSeq
+      bm = nb
+      done = nb.isEmpty
+    }
+    val flat = pages.flatten
+    val unpaged = Mango.find(orders, "o_orderkey",
+      paged.replace("\"limit\": 37", "\"limit\": 1000000"))
+      .collect().toSeq
+    assert(flat == unpaged, "pages must concatenate to the full result")
+    assert(pages.size > 2, s"want several pages, got ${pages.size}")
+    // every page except possibly the last is exactly full; no dups
+    assert(pages.init.forall(_.size == 37))
+    assert(flat.map(_.getLong(0)).distinct.size == flat.size)
+    // skip applies to the FIRST page only (CouchDB semantics)
+    val (skipped, _) = Mango.findPage(orders, "o_orderkey",
+      paged.replace("\"limit\": 37", "\"limit\": 37, \"skip\": 5"), None)
+    assert(skipped.collect().toSeq == flat.slice(5, 42))
+  }
 }
