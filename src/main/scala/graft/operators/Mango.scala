@@ -701,6 +701,8 @@ object Mango {
         conds.exists {
           case Cmp(`f`, op, _) =>
             op == "$gt" || op == "$gte" || op == "$lt" || op == "$lte"
+          // $beginsWith closes a range too ([prefix, successor))
+          case BeginsWith(`f`, _) => true
           case _ => false
         })
       eqs.length * 2 + (if (rangeNext) 1 else 0)
@@ -716,6 +718,47 @@ object Mango {
       .sortBy { case (ix, sc) =>
         (-sc, if (ix.partial.isDefined) 0 else 1, ix.fields.length) }
       .headOption.map(_._1)
+  }
+
+  /** The planning report of [[explain]] — CouchDB's `_explain`
+    * response, reduced to what this engine decides: the winning index
+    * (None = full scan), a human-readable reason, whether the serve
+    * is COVERED (answered from the index alone), and the pruning
+    * bounds the index range read would use. */
+  final case class MangoExplain(index: Option[MangoIndex], reason: String,
+                                covered: Boolean,
+                                bounds: Option[(Any, Any, Boolean)])
+
+  /** CouchDB's `_explain`: report HOW a `_find` would be served —
+    * [[pickIndex]]'s winner, [[indexBounds]]'s pruning range, and the
+    * covered-projection test — WITHOUT running the query. The report
+    * states exactly the decision [[findAuto]]/[[findIndexed]] would
+    * take, so "why is this find slow" is answerable before paying for
+    * it (the production use of `_explain`). */
+  def explain(findJson: String, indexes: Seq[MangoIndex], idCol: String,
+              schema: StructType): MangoExplain = {
+    val req = parseFind(findJson)
+    pickIndex(req.selector, indexes, schema) match {
+      case None =>
+        MangoExplain(None, "full scan: no usable index " +
+          "(no index's first field is constrained)", covered = false, None)
+      case Some(ix) =>
+        indexBounds(req.selector, ix.fields, schema) match {
+          case None =>
+            MangoExplain(None, "full scan: the selected index's first " +
+              "field is unconstrained", covered = false, None)
+          case b @ Some(_) =>
+            val touched = selectorPaths(req.selector) ++
+              req.sort.map(_._1) ++ req.fields
+            val cov = touched.subsetOf(ix.fields.toSet + idCol) &&
+              touched.forall(!_.contains('.'))
+            MangoExplain(Some(ix),
+              if (cov) "covered: answered from the index alone"
+              else "index fetch: pruned candidates, residual filter, " +
+                "by-id document fetch",
+              covered = cov, b)
+        }
+    }
   }
 
   /** `_find` with automatic index selection: [[pickIndex]] over the

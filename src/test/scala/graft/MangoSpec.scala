@@ -338,4 +338,41 @@ class MangoSpec extends SparkSpecBase {
       paged.replace("\"limit\": 37", "\"limit\": 37, \"skip\": 5"), None)
     assert(skipped.collect().toSeq == flat.slice(5, 42))
   }
+
+  test("explain reports the exact serve decision; $beginsWith picks an index") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mango-explain").toString
+    val byStatus = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderstatus", "o_orderdate"), s"$dir/st", numBuckets = 4)
+    val byPri = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_orderpriority"), s"$dir/pri", numBuckets = 4)
+    val idxs = Seq(byStatus, byPri)
+    def ex(req: String) =
+      Mango.explain(req, idxs, "o_orderkey", orders.schema)
+    // eq on the status index's first field wins; not covered (touches
+    // o_totalprice)
+    val e1 = ex("""{"selector": {"o_orderstatus": "F",
+      "o_totalprice": {"$gt": 10000}},
+      "fields": ["o_orderkey", "o_totalprice"]}""")
+    assert(e1.index.contains(byStatus) && !e1.covered &&
+      e1.bounds.isDefined)
+    // covered: every touched field within {indexed fields, id}
+    val e2 = ex("""{"selector": {"o_orderstatus": "F"},
+      "fields": ["o_orderkey", "o_orderstatus"]}""")
+    assert(e2.index.contains(byStatus) && e2.covered)
+    // $beginsWith alone now scores as a range-closer → the priority
+    // index serves (pickIndex credit added with the operator)
+    val e3 = ex("""{"selector": {"o_orderpriority": {"$beginsWith": "1-"}},
+      "fields": ["o_orderkey"]}""")
+    assert(e3.index.contains(byPri) && e3.bounds.isDefined)
+    // and findAuto takes the same path: equal to the scan find
+    val req3 = """{"selector": {"o_orderpriority": {"$beginsWith": "1-"}},
+      "fields": ["o_orderkey"], "sort": ["o_orderkey"], "limit": 100}"""
+    assert(Mango.findAuto(spark, orders, "o_orderkey", idxs, req3)
+      .collect().toSeq ==
+      Mango.find(orders, "o_orderkey", req3).collect().toSeq)
+    // nothing usable → full scan, stated
+    val e4 = ex("""{"selector": {"o_totalprice": {"$gt": 10000}}}""")
+    assert(e4.index.isEmpty && e4.reason.startsWith("full scan"))
+  }
 }
