@@ -2144,6 +2144,40 @@ object SparkEntry {
     acc.get.orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** A24d at scale: bookmark pagination SERVED FROM A JSON INDEX
+    * ([[graft.operators.Mango.findPageAuto]]) — each page translates
+    * the cursor into the A8b (collation key, doc id) resume on the
+    * `["o_totalprice"]` index, so every page prunes `_kb` bucket
+    * directories below the cursor instead of rescanning orders (the
+    * r08 findPage weakness, fixed), and runs as ONE limit+1 job. The
+    * regex residual keeps the fetch path honest (index candidates →
+    * by-id doc fetch → full selector re-applied). Pages concatenated
+    * must equal the unpaged relational oracle exactly. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q166pgi", dir, "orders")
+    val idx =
+      if (graft.view.IndexStore.exists(s, path))
+        graft.operators.Mango.openIndex(s, path)
+      else graft.operators.Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_totalprice"), path, numBuckets = 8)
+    val req = """{"selector": {"o_totalprice": {"$gte": 300000},
+      | "o_orderpriority": {"$regex": "^[12]-"}},
+      | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+      | "sort": ["o_totalprice"], "limit": 250}""".stripMargin
+    var bm: Option[String] = None
+    var acc: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val (p, nb) = graft.operators.Mango.findPageAuto(s, orders,
+        "o_orderkey", Seq(idx), req, bm)
+      acc = Some(acc.map(_.unionByName(p)).getOrElse(p))
+      bm = nb
+      done = nb.isEmpty
+    }
+    acc.get.orderBy(col("o_totalprice"), col("o_orderkey"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -2884,6 +2918,10 @@ object SparkEntry {
       .createIndex(s, t(s, dir, "orders"), "o_orderkey",
         Seq("o_orderstatus", "o_orderdate"),
         idxPath("q116mgo", dir, "orders"), numBuckets = 4)),
+    "q166_mango_paged_index" -> ((s, dir) => graft.operators.Mango
+      .createIndex(s, t(s, dir, "orders"), "o_orderkey",
+        Seq("o_totalprice"), idxPath("q166pgi", dir, "orders"),
+        numBuckets = 8)),
     "q117_event_store" -> ((s, dir) => graft.sources.EventStore
       .write(events(s, dir), idxPath("q117evs", dir, "events"))),
     "q125_event_append" -> (q125Build _),
@@ -3168,7 +3206,8 @@ object SparkEntry {
     "q162_image_phash" -> (q162 _),
     "q163_ivfpq_residual" -> (q163 _),
     "q164_mango_beginswith" -> (q164 _),
-    "q165_mango_bookmark" -> (q165 _)
+    "q165_mango_bookmark" -> (q165 _),
+    "q166_mango_paged_index" -> (q166 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5774,7 +5813,15 @@ object SparkEntry {
     "q165_mango_bookmark" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_totalprice >= 490000
-        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    // index-served bookmark pages (cursor → _kb-pruned index resume,
+    // regex residual on the fetched docs) concatenate to the same
+    // unpaged relation
+    "q166_mango_paged_index" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_totalprice >= 300000
+        |  AND regexp_matches(o_orderpriority, '^[12]-')
+        |ORDER BY o_totalprice, o_orderkey""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -255,11 +255,15 @@ object Mango {
           else exists(c, pred)
         }
       // CouchDB ≥2.2: at least one KEY of a map field matches the
-      // inner condition — $elemMatch over map_keys
+      // inner condition — $elemMatch over map_keys. A non-map field
+      // matches nothing (the CouchDB type rule, same as $beginsWith).
       case KeyMapMatch(p, inner) =>
         on(p) { (c, dt) =>
-          val kt = dt.asInstanceOf[MapType].keyType
-          exists(map_keys(c), x => compileElem(inner, x, kt))
+          dt match {
+            case mt: MapType =>
+              exists(map_keys(c), x => compileElem(inner, x, mt.keyType))
+            case _ => lit(false)
+          }
         }
       // CouchDB ≥3.4: string prefix — compiles to StartsWith, which
       // parquet pushes down as StringStartsWith; non-string fields
@@ -347,29 +351,46 @@ object Mango {
     * depth, the [[graft.view.View.queryPage]] discipline on the Mango
     * surface.
     *
-    * Returns `(page, Some(bookmark))`, or `None` when the page came
-    * back short (no further rows). The bookmark serializes the typed
-    * cursor values (base64 of Java serialization — opaque to callers,
-    * exactly as CouchDB documents theirs). Sort fields must be
-    * non-null for cursor comparisons to be total (CouchDB indexes
-    * enforce the same by construction); the doc id tiebreak makes the
-    * order total. `skip` applies only to the FIRST page (offset into
-    * the full result), matching CouchDB. */
+    * Returns `(page, Some(bookmark))`, or `None` when no rows remain
+    * past the served page. ONE Spark job per call: the page plan runs
+    * once with `limit(pageSize+1)` — the overflow row answers
+    * "has more", the last served row's typed `(sort values…, doc id)`
+    * becomes the cursor, and the served rows come back as a local
+    * relation (no re-execution when the caller consumes them). The
+    * bookmark is base64 of a typed-JSON cursor (opaque to callers,
+    * exactly as CouchDB documents theirs; JVM-version-stable, no Java
+    * serialization). Sort fields must be non-null for cursor
+    * comparisons to be total (CouchDB indexes enforce the same by
+    * construction); the doc id tiebreak makes the order total. `skip`
+    * applies only to the FIRST page (offset into the full result),
+    * matching CouchDB. */
   def findPage(docs: DataFrame, idCol: String, findJson: String,
                bookmark: Option[String] = None)
       : (DataFrame, Option[String]) = {
+    val (fetch, cursorCols, outCols, pageSize) =
+      pagePlan(docs, idCol, findJson, bookmark)
+    runPage(fetch, cursorCols, outCols, pageSize)
+  }
+
+  /** The LAZY single-job page plan behind [[findPage]] — exposed
+    * within the package so specs can assert on the exact physical plan
+    * the page executes. Returns (fetch plan sorted and offset but NOT
+    * yet limited, cursor column names, output column names,
+    * pageSize). */
+  private[graft] def pagePlan(docs: DataFrame, idCol: String,
+                              findJson: String, bookmark: Option[String])
+      : (DataFrame, Seq[String], Seq[String], Int) = {
     val req = parseFind(findJson)
     val pageSize = req.limit.getOrElse(25L).toInt
     val dirs = req.sort :+ (idCol -> true)
     val filtered = docs.filter(compile(req.selector, docs.schema))
     val resumed = bookmark match {
-      case None => if (req.skip > 0) {
-        val sortCols = dirs.map { case (f, asc) =>
-          if (asc) col(f).asc else col(f).desc }
-        filtered.orderBy(sortCols: _*).offset(req.skip.toInt)
-      } else filtered
+      case None => filtered
       case Some(b) =>
         val vals = decodeBookmark(b)
+        require(vals.length == dirs.length,
+          s"bookmark carries ${vals.length} cursor values; this find " +
+            s"sorts on ${dirs.length}")
         // strictly-after lexicographic cursor: OR over "equal on the
         // first i keys, strictly past on key i" branches
         val after = dirs.zipWithIndex.map { case ((f, asc), i) =>
@@ -383,34 +404,223 @@ object Mango {
     }
     val sortCols = dirs.map { case (f, asc) =>
       if (asc) col(f).asc else col(f).desc }
-    val page = resumed.orderBy(sortCols: _*).limit(pageSize)
-    // the cursor: the page's LAST row's sort+id values (one bounded
-    // driver row — TakeOrderedAndProject under the reversed order)
-    val revCols = dirs.map { case (f, asc) =>
-      if (asc) col(f).desc else col(f).asc }
-    val last = page.orderBy(revCols: _*)
-      .select(dirs.map { case (f, _) => col(f) }: _*).limit(1).collect()
-    val nRows = page.count()
+    val outCols: Seq[String] =
+      if (req.fields.nonEmpty) req.fields else docs.columns.toSeq
+    // fetch output AND cursor columns in the one job
+    val need = (outCols ++ dirs.map(_._1)).distinct
+    val skipOff = if (bookmark.isEmpty) req.skip.toInt else 0
+    val fetch = resumed.select(need.map(col): _*).orderBy(sortCols: _*)
+      .offset(skipOff)
+    (fetch, dirs.map(_._1), outCols, pageSize)
+  }
+
+  /** Execute one page: a single `limit(pageSize+1)` collect (a
+    * TakeOrderedAndProject — top-k, no global sort materialization),
+    * then carve the served page, the has-more bit, and the cursor out
+    * of the collected rows. */
+  private def runPage(fetch: DataFrame, cursorCols: Seq[String],
+                      outCols: Seq[String], pageSize: Int)
+      : (DataFrame, Option[String]) = {
+    require(pageSize > 0, "page size (the request limit) must be positive")
+    val fetched = fetch.limit(pageSize + 1).collect()
+    val served = fetched.take(pageSize)
+    val hasMore = fetched.length > pageSize
+    val schema = fetch.schema
     val next =
-      if (last.isEmpty || nRows < pageSize) None
-      else Some(encodeBookmark(last.head.toSeq))
-    val out = if (req.fields.nonEmpty) page.select(req.fields.map(col): _*)
-              else page
+      if (!hasMore) None
+      else Some(encodeBookmark(cursorCols.map(served.last.getAs[Any])))
+    val outIdx = outCols.map(schema.fieldIndex)
+    val outSchema = StructType(outIdx.map(schema.fields))
+    val rows = served.map(r =>
+      org.apache.spark.sql.Row.fromSeq(outIdx.map(r.get)))
+    val out = fetch.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), outSchema)
     (out, next)
   }
 
-  private def encodeBookmark(vals: Seq[Any]): String = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(vals.toArray)
-    oos.close()
-    java.util.Base64.getUrlEncoder.encodeToString(bos.toByteArray)
+  // --------------------------------------------- typed-JSON bookmarks
+
+  /** Encode the cursor values as base64(JSON array of {t, v} tagged
+    * scalars) — gadget-safe (no object deserialization of caller
+    * input) and stable across JVM versions, unlike serialized objects.
+    * Timestamps carry epoch MICROS (the engine's collation grain). */
+  private[graft] def encodeBookmark(vals: Seq[Any]): String = {
+    val root = mapper.createArrayNode()
+    vals.foreach { v =>
+      val o = root.addObject()
+      v match {
+        case null => o.put("t", "null")
+        case s: String => o.put("t", "s"); o.put("v", s)
+        case b: java.lang.Boolean => o.put("t", "b"); o.put("v", b.booleanValue)
+        case n: java.lang.Long => o.put("t", "l"); o.put("v", n.longValue)
+        case n: java.lang.Integer => o.put("t", "i"); o.put("v", n.intValue)
+        case n: java.lang.Short => o.put("t", "i"); o.put("v", n.intValue)
+        case n: java.lang.Byte => o.put("t", "i"); o.put("v", n.intValue)
+        case n: java.lang.Double => o.put("t", "d"); o.put("v", n.doubleValue)
+        case n: java.lang.Float => o.put("t", "f"); o.put("v", n.floatValue)
+        case n: java.math.BigDecimal => o.put("t", "dec"); o.put("v", n.toPlainString)
+        case t: java.sql.Timestamp =>
+          o.put("t", "ts")
+          o.put("v", t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+        case d: java.sql.Date => o.put("t", "date"); o.put("v", d.toString)
+        case other => throw new IllegalArgumentException(
+          s"mango bookmark: unsupported cursor type ${other.getClass.getName}")
+      }
+    }
+    java.util.Base64.getUrlEncoder.encodeToString(
+      mapper.writeValueAsString(root).getBytes("UTF-8"))
   }
 
-  private def decodeBookmark(b: String): Seq[Any] =
-    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(
-      java.util.Base64.getUrlDecoder.decode(b)))
-      .readObject().asInstanceOf[Array[Any]].toSeq
+  /** Decode a caller-supplied bookmark. Anything that is not this
+    * engine's typed-JSON cursor — including legacy Java-serialized
+    * bookmarks — is rejected loudly rather than interpreted. */
+  private[graft] def decodeBookmark(b: String): Seq[Any] = {
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"unrecognized mango bookmark ($why); bookmarks are opaque " +
+        "typed-JSON cursors issued by findPage")
+    val json =
+      try new String(java.util.Base64.getUrlDecoder.decode(b), "UTF-8")
+      catch { case _: IllegalArgumentException => bad("not base64url") }
+    val node =
+      try mapper.readTree(json)
+      catch { case _: com.fasterxml.jackson.core.JacksonException =>
+        bad("not JSON") }
+    if (node == null || !node.isArray) bad("not a JSON array")
+    node.elements().asScala.map { e =>
+      if (!e.isObject || e.get("t") == null) bad("element is not a tagged value")
+      val v = e.get("v")
+      (e.get("t").asText(), v) match {
+        case ("null", _) => null
+        case ("s", x) if x != null && x.isTextual => x.asText()
+        case ("b", x) if x != null && x.isBoolean => x.asBoolean()
+        case ("l", x) if x != null && x.canConvertToLong => x.asLong()
+        case ("i", x) if x != null && x.canConvertToInt => x.asInt()
+        case ("d", x) if x != null && x.isNumber => x.asDouble()
+        case ("f", x) if x != null && x.isNumber => x.asDouble().toFloat
+        case ("dec", x) if x != null && x.isTextual =>
+          new java.math.BigDecimal(x.asText())
+        case ("ts", x) if x != null && x.canConvertToLong =>
+          val us = x.asLong()
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+        case ("date", x) if x != null && x.isTextual =>
+          java.sql.Date.valueOf(x.asText())
+        case (t, _) => bad(s"unknown tag $t")
+      }
+    }.toSeq
+  }
+
+  /** Bookmark pagination SERVED FROM A JSON INDEX — the piece that
+    * makes deep paging scale: page N's cursor becomes a
+    * (collation key, doc id) resume on the index read (the A8b
+    * `startkey_docid` machinery), so EVERY page prunes `_kb` bucket
+    * directories and `_ck` row groups below the cursor instead of
+    * rescanning the corpus; one `limit(pageSize+1)` job per page.
+    *
+    * Index order must BE the requested order for an index-resumed
+    * cursor to be correct, so this path requires `sort` to name
+    * exactly the index's fields, all ascending (CouchDB's own rule
+    * that the sort must match the index; the id tiebreak is the index
+    * row order). Anything else — plus partial indexes the selector
+    * does not imply, selectors that leave the index's first field
+    * unconstrained, or dotted index fields — falls back to the
+    * scan-paging [[findPage]], which stays correct at every depth,
+    * just unpruned. Cursor bookmarks are interchangeable between the
+    * two paths (same typed values). */
+  def findPageIndexed(spark: SparkSession, docs: DataFrame, idCol: String,
+                      index: MangoIndex, findJson: String,
+                      bookmark: Option[String] = None)
+      : (DataFrame, Option[String]) =
+    pagePlanIndexed(spark, docs, idCol, index, findJson, bookmark) match {
+      case None => findPage(docs, idCol, findJson, bookmark)
+      case Some((fetch, cursorCols, outCols, pageSize)) =>
+        runPage(fetch, cursorCols, outCols, pageSize)
+    }
+
+  /** The lazy index-served page plan behind [[findPageIndexed]], or
+    * None when the request is not index-pageable (→ scan paging). */
+  private[graft] def pagePlanIndexed(spark: SparkSession, docs: DataFrame,
+                                     idCol: String, index: MangoIndex,
+                                     findJson: String,
+                                     bookmark: Option[String])
+      : Option[(DataFrame, Seq[String], Seq[String], Int)] = {
+    val req = parseFind(findJson)
+    val sortMatchesIndex = req.sort.nonEmpty && req.sort.forall(_._2) &&
+      req.sort.map(_._1) == index.fields &&
+      index.fields.forall(!_.contains('.'))
+    val eligible = sortMatchesIndex &&
+      index.partial.forall(pf => implies(req.selector, parseSelector(pf)))
+    if (!eligible) return None
+    indexBounds(req.selector, index.fields, docs.schema).map {
+      case (startK, endK, incl) =>
+        val pageSize = req.limit.getOrElse(25L).toInt
+        val resume = bookmark.map { b =>
+          val vals = decodeBookmark(b)
+          require(vals.length == index.fields.length + 1,
+            s"bookmark carries ${vals.length} cursor values; this index " +
+              s"pages on ${index.fields.length + 1}")
+          // the index `_ck` is the collation encoding of the fields
+          // array — encodeScala(Seq) builds the identical bytes
+          // driver-side, so the cursor resumes exactly at the stored key
+          (CollationCodec.encodeScala(vals.init), vals.last)
+        }
+        val v = indexView(docs, idCol, index.fields)
+          .fromIndex(spark, index.path)
+        val idxRows = v.query(QueryOpts(startKey = Some(startK),
+          endKey = Some(endK), inclusiveEnd = incl, reduce = false,
+          sorted = false, resumeAfter = resume))
+        val touched = selectorPaths(req.selector) ++
+          req.sort.map(_._1) ++ req.fields
+        val coverable = touched.subsetOf(index.fields.toSet + idCol) &&
+          touched.forall(!_.contains('.'))
+        val (rows, schema) =
+          if (coverable) {
+            val keySchema = StructType(index.fields.map(f =>
+              StructField(f, resolve(docs.schema, f).get._2)))
+            val idType = docs.schema(idCol).dataType
+            val rest = index.fields.filterNot(_ == idCol)
+            val decoded = idxRows
+              .select(col("id").cast(idType).as(idCol),
+                from_json(col("key"), keySchema).as("_k"))
+              .select(col(idCol) +: rest.map(f => col(s"_k.$f").as(f)): _*)
+            (decoded, StructType(StructField(idCol, idType) +:
+              keySchema.fields.toSeq.filterNot(_.name == idCol)))
+          } else {
+            val ids = idxRows.select(col("id").as(idCol)).distinct()
+            (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
+          }
+        val filtered = rows.filter(compile(req.selector, schema))
+        // native (fields…, id) ascending == (_ck, id) index order: the
+        // collation encoding is order-preserving per (monomorphic) column
+        val sortCols = index.fields.map(col(_).asc) :+ col(idCol).asc
+        val outCols: Seq[String] =
+          if (req.fields.nonEmpty) req.fields else schema.fieldNames.toSeq
+        val need = (outCols ++ index.fields :+ idCol).distinct
+        val skipOff = if (bookmark.isEmpty) req.skip.toInt else 0
+        val fetch = filtered.select(need.map(col): _*)
+          .orderBy(sortCols: _*).offset(skipOff)
+        (fetch, index.fields :+ idCol, outCols, pageSize)
+    }
+  }
+
+  /** Bookmark pagination with automatic index selection: the page is
+    * served from the best index whose order IS the requested order
+    * ([[findPageIndexed]]'s contract), falling back to scan paging
+    * when none qualifies. */
+  def findPageAuto(spark: SparkSession, docs: DataFrame, idCol: String,
+                   indexes: Seq[MangoIndex], findJson: String,
+                   bookmark: Option[String] = None)
+      : (DataFrame, Option[String]) = {
+    val req = parseFind(findJson)
+    val sortable = indexes.filter(ix =>
+      req.sort.nonEmpty && req.sort.forall(_._2) &&
+        req.sort.map(_._1) == ix.fields && ix.fields.forall(!_.contains('.')))
+    pickIndex(req.selector, sortable, docs.schema) match {
+      case Some(ix) => findPageIndexed(spark, docs, idCol, ix, findJson,
+        bookmark)
+      case None => findPage(docs, idCol, findJson, bookmark)
+    }
+  }
 
   // ------------------------------------------------------------ JSON indexes
 

@@ -339,6 +339,135 @@ class MangoSpec extends SparkSpecBase {
     assert(skipped.collect().toSeq == flat.slice(5, 42))
   }
 
+  /** Wait for async listener-bus delivery to drain: poll until the
+    * counter is unchanged across two consecutive reads. */
+  private def settle(c: java.util.concurrent.atomic.AtomicInteger): Int = {
+    var prev = -1
+    var cur = c.get()
+    var spins = 0
+    while (cur != prev && spins < 40) {
+      Thread.sleep(150); prev = cur; cur = c.get(); spins += 1
+    }
+    cur
+  }
+
+  test("findPage executes ONE job per page (limit+1 collect, local page)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val req = """{"selector": {"o_totalprice": {"$gte": 400000}},
+        "fields": ["o_orderkey", "o_totalprice"],
+        "sort": [{"o_totalprice": "desc"}], "limit": 37}"""
+      val (p1, bm1) = Mango.findPage(orders, "o_orderkey", req, None)
+      val n1 = p1.collect().length // consuming the page is free (local)
+      val afterFirst = settle(counter)
+      assert(afterFirst <= 2,
+        s"one findPage call + consumption must be <=2 jobs, was $afterFirst")
+      assert(n1 == 37 && bm1.isDefined)
+      // the resumed page costs the same
+      Mango.findPage(orders, "o_orderkey", req, bm1)._1.collect()
+      assert(settle(counter) - afterFirst <= 2)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bookmarks are typed JSON: round-trip every cursor type, reject junk") {
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("1996-03-04T05:06:07.123456Z"))
+    val vals = Seq("s", true, 42L, 7, 3.5d, 1.25f,
+      new java.math.BigDecimal("123.4500"), ts,
+      java.sql.Date.valueOf("1995-07-16"), null)
+    val rt = Mango.decodeBookmark(Mango.encodeBookmark(vals))
+    assert(rt == vals, s"round-trip mismatch: $rt")
+    // micros grain survives (the collation/encoding grain)
+    assert(rt(7).asInstanceOf[java.sql.Timestamp].getNanos == 123456000)
+    // junk and LEGACY Java-serialized bookmarks are rejected loudly,
+    // never fed to object deserialization
+    def rejects(b: String): Unit = {
+      val e = intercept[IllegalArgumentException](Mango.decodeBookmark(b))
+      assert(e.getMessage.contains("unrecognized mango bookmark"))
+    }
+    rejects("!!!not-base64!!!")
+    rejects(java.util.Base64.getUrlEncoder.encodeToString(
+      "plain text".getBytes("UTF-8")))
+    rejects(java.util.Base64.getUrlEncoder.encodeToString(
+      """{"t":"s"}""".getBytes("UTF-8"))) // object, not array
+    val legacy = { // what the pre-JSON format produced
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(Array[Any]("x", 1L)); oos.close()
+      java.util.Base64.getUrlEncoder.encodeToString(bos.toByteArray)
+    }
+    rejects(legacy)
+  }
+
+  test("findPageIndexed: index-served pages == scan pages; _kb pruned on EVERY page") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-pgidx").toString
+    val idx = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_totalprice"), s"$dir/idx", numBuckets = 8)
+    // fetch path: the regex residual touches a non-indexed field
+    val req = """{"selector": {"o_totalprice": {"$gte": 250000},
+      "o_orderpriority": {"$regex": "^[12]-"}},
+      "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+      "sort": ["o_totalprice"], "limit": 50}"""
+    def walk(f: Option[String] => (org.apache.spark.sql.DataFrame,
+        Option[String])): (Seq[Row], Seq[String]) = {
+      var bm: Option[String] = None
+      var acc = Vector.empty[Row]
+      var bms = Vector.empty[String]
+      var done = false
+      while (!done) {
+        val (p, nb) = f(bm)
+        acc ++= p.collect()
+        bm = nb; done = nb.isEmpty
+        nb.foreach(bms :+= _)
+      }
+      (acc, bms)
+    }
+    val (viaIndex, _) = walk(bm =>
+      Mango.findPageIndexed(spark, orders, "o_orderkey", idx, req, bm))
+    val (viaScan, scanBms) = walk(bm =>
+      Mango.findPage(orders, "o_orderkey", req, bm))
+    assert(viaIndex == viaScan && viaIndex.size > 100,
+      s"indexed pages must equal scan pages (${viaIndex.size} rows)")
+    // cursor bookmarks are interchangeable between the two paths
+    val bmScan = scanBms.head
+    val (pX, _) = Mango.findPageIndexed(spark, orders, "o_orderkey", idx,
+      req, Some(bmScan))
+    assert(pX.collect().toSeq == viaScan.slice(50, 100))
+    // EVERY page's fetch plan prunes _kb — including resumed ones,
+    // where the cursor adds a lower bucket bound: the deepest page's
+    // plan must carry a STRICTLY HIGHER _kb lower bound than page 1's
+    // (deep pages skip the below-cursor bucket directories entirely)
+    val kbRe = """\(_kb#\d+ >= (\d+)\)""".r
+    def kbLower(bm: Option[String]): Int = {
+      val Some((fetch, _, _, _)) =
+        Mango.pagePlanIndexed(spark, orders, "o_orderkey", idx, req, bm)
+      val plan = fetch.limit(51).queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters") && plan.contains("_kb"),
+        s"no _kb partition pruning in page plan:\n$plan")
+      kbRe.findAllMatchIn(plan).map(_.group(1).toInt).max
+    }
+    val loFirst = kbLower(None)
+    val loDeep = kbLower(Some(scanBms.last))
+    assert(loDeep > loFirst && loFirst >= 0,
+      s"deep page must prune more buckets than page 1 " +
+        s"(page1 _kb >= $loFirst, deep _kb >= $loDeep)")
+    // a sort that does not match the index order falls back to scan
+    // paging (still correct)
+    val reqDesc = req.replace("\"sort\": [\"o_totalprice\"]",
+      "\"sort\": [{\"o_totalprice\": \"desc\"}]")
+    val (viaAuto, _) = walk(bm => Mango.findPageAuto(spark, orders,
+      "o_orderkey", Seq(idx), reqDesc, bm))
+    val (viaScanDesc, _) = walk(bm =>
+      Mango.findPage(orders, "o_orderkey", reqDesc, bm))
+    assert(viaAuto == viaScanDesc)
+  }
+
   test("explain reports the exact serve decision; $beginsWith picks an index") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-mango-explain").toString
