@@ -1825,6 +1825,26 @@ object SparkEntry {
       col("rev_pos"), col("rev_hash"), col("deleted"))
       .orderBy(col("id"))
 
+  /** A11b: `conflicts=true` reads ([[graft.view.View.withConflicts]])
+    * — CouchDB's conflict-aware include_docs: each served doc carries
+    * its `_conflicts` array (the losing LIVE leaves of the q126
+    * revision synthesis), attached as one left join against the
+    * [[graft.operators.Revisions.summary]] relation; clean docs get an
+    * empty array. The oracle replays the same losing-live set joined
+    * to the documents table. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.view.View(docs, col("doc_id"), col("lang"), lit(1))
+      .withConflicts(q126Leaves(s, dir), col("doc_id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"))
+      .query(QueryOpts(reduce = false, includeDocs = true,
+        conflicts = true))
+      .select(col("id").as("doc_id"), col("key").as("lang"),
+        col("doc.n_chars").as("n_chars"),
+        size(col("doc._conflicts")).cast("long").as("n_conflicts"),
+        concat_ws(",", col("doc._conflicts")).as("conflicts"))
+  }
+
   /** B29: ordered-funnel conversion ([[graft.operators.EventAnalytics]])
     * — view → click → purchase within 7 days of the user's first view,
     * first-touch anchored, one filtered partial-aggregable `min` per
@@ -1931,6 +1951,26 @@ object SparkEntry {
     ChangesFeed.sinceFiltered(s, path, 3 * md / 2,
       t(s, dir, "documents"), "doc_id",
       """{"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gte": 250}}""")
+  }
+
+  /** A27c: VIEW-FILTERED feed ([[graft.sources.ChangesFeed
+    * .sinceView]]) — CouchDB's `filter=_view` replication: the
+    * mid-log q129 feed restricted to docs the view's map EMITS for
+    * (conditional emission inside the map phase, the "map decides to
+    * emit" idiom), as a semi join against the view's distinct
+    * emitting ids. The oracle replays the latest-change relation
+    * semi-joined to the emit condition's relational form. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    val docs = t(s, dir, "documents")
+    val md = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val v = graft.view.View.multi(docs, col("doc_id"),
+      when(col("lang").isin("en", "de") && col("n_chars") % 3 === 0,
+        array(struct(col("lang").as("key"), col("doc_id").as("value"))))
+        .otherwise(array()))
+    ChangesFeed.sinceView(s, path, 3 * md / 2, v)
   }
 
   /** E1b: BPE token billing (q157) — byte-level BPE apply over a FIXED
@@ -2176,6 +2216,27 @@ object SparkEntry {
       done = nb.isEmpty
     }
     acc.get.orderBy(col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** A25d: Mango TEXT index + `$text` selector ([[graft.operators
+    * .Mango.createTextIndex]]/[[graft.operators.Mango.findText]]) —
+    * CouchDB's other index family: the `$text` conjunct is answered
+    * from the E7b positional inverted index (probed term buckets
+    * only), the `source` residual re-applies on the fetched docs, and
+    * the oracle replays the conjunctive all-terms match relationally
+    * (whitespace tokens). */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q167mtx", dir, "documents")
+    val idx =
+      if (hasFile(s"$path/_mango_text")) Mango.openTextIndex(s, path)
+      else Mango.createTextIndex(s, docs, "doc_id", "text", path)
+    Mango.findAuto(s, docs, "doc_id", Nil, Seq(idx),
+      """{"selector": {"$text": "merge filter",
+        |              "source": {"$in": ["src0", "src1", "src2"]}},
+        | "fields": ["doc_id", "source", "n_chars"],
+        | "sort": ["doc_id"], "limit": 1000000}""".stripMargin)
   }
 
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
@@ -2922,6 +2983,9 @@ object SparkEntry {
       .createIndex(s, t(s, dir, "orders"), "o_orderkey",
         Seq("o_totalprice"), idxPath("q166pgi", dir, "orders"),
         numBuckets = 8)),
+    "q167_mango_text" -> ((s, dir) => graft.operators.Mango
+      .createTextIndex(s, t(s, dir, "documents"), "doc_id", "text",
+        idxPath("q167mtx", dir, "documents"))),
     "q117_event_store" -> ((s, dir) => graft.sources.EventStore
       .write(events(s, dir), idxPath("q117evs", dir, "events"))),
     "q125_event_append" -> (q125Build _),
@@ -3207,7 +3271,10 @@ object SparkEntry {
     "q163_ivfpq_residual" -> (q163 _),
     "q164_mango_beginswith" -> (q164 _),
     "q165_mango_bookmark" -> (q165 _),
-    "q166_mango_paged_index" -> (q166 _)
+    "q166_mango_paged_index" -> (q166 _),
+    "q167_mango_text" -> (q167 _),
+    "q168_view_filtered_feed" -> (q168 _),
+    "q169_conflicts_read" -> (q169 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5821,7 +5888,68 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_totalprice >= 300000
         |  AND regexp_matches(o_orderpriority, '^[12]-')
-        |ORDER BY o_totalprice, o_orderkey""".stripMargin
+        |ORDER BY o_totalprice, o_orderkey""".stripMargin,
+    // include_docs + conflicts=true: every doc served with its losing
+    // live revision set inline (empty when clean)
+    "q169_conflicts_read" ->
+      """WITH leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves),
+        |c AS (SELECT doc_id, COUNT(*) AS n,
+        |        string_agg(rev_pos || '-' || rev_hash, ','
+        |                   ORDER BY rev_pos || '-' || rev_hash) AS lst
+        |      FROM ranked WHERE rn > 1 AND NOT deleted GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       COALESCE(c.n, 0) AS n_conflicts,
+        |       COALESCE(c.lst, '') AS conflicts
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |ORDER BY d.lang, d.doc_id""".stripMargin,
+    // the mid-log latest-change relation semi-joined to the view's
+    // emit condition (filter=_view replication)
+    "q168_view_filtered_feed" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log, m WHERE seq > 3 * m.md // 2),
+        |latest AS (SELECT seq, id, rev, deleted FROM f WHERE rn = 1)
+        |SELECT l.seq, l.id, l.rev, l.deleted
+        |FROM latest l SEMI JOIN (
+        |  SELECT doc_id FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars % 3 = 0) d
+        |  ON l.id = d.doc_id
+        |ORDER BY l.seq""".stripMargin,
+    // $text = conjunctive all-terms match over whitespace tokens,
+    // served from the inverted index; source residual re-applied
+    "q167_mango_text" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'merge')
+        |  AND list_contains(string_split(text, ' '), 'filter')
+        |  AND source IN ('src0', 'src1', 'src2')
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

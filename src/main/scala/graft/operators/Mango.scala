@@ -59,6 +59,15 @@ object Mango {
   final case class ElemMatch(path: String, sel: Sel, forAll: Boolean) extends Sel
   final case class KeyMapMatch(path: String, sel: Sel) extends Sel
   final case class BeginsWith(path: String, prefix: String) extends Sel
+  /** CouchDB `$text` (the text-index selector): matches docs whose
+    * ANALYZED indexed text contains every term of the analyzed query
+    * string. Conjunctive (all-terms) semantics — a deliberate,
+    * documented divergence from CouchDB/Lucene's default-OR query
+    * parser: the conjunction is exactly index-servable, relationally
+    * oracle-able, and the production mode of filtered search. Only
+    * servable FROM a text index ([[findText]]/[[findAuto]]), as in
+    * CouchDB, where `$text` without a text index is an error. */
+  final case class TextMatch(q: String) extends Sel
   final case class And(ss: Seq[Sel]) extends Sel
   final case class Or(ss: Seq[Sel]) extends Sel
   final case class Not(s: Sel) extends Sel
@@ -106,6 +115,7 @@ object Mango {
       case ("$or", v) => Or(v.elements().asScala.map(parseSel).toSeq)
       case ("$nor", v) => Nor(v.elements().asScala.map(parseSel).toSeq)
       case ("$not", v) => Not(parseSel(v))
+      case ("$text", v) => TextMatch(v.asText())
       case (op, _) if op.startsWith("$") =>
         throw new IllegalArgumentException(s"mango: unknown combinator $op")
       case (path, v) => parseField(path, v)
@@ -276,6 +286,10 @@ object Mango {
       case Or(ss) => ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
       case Nor(ss) => !ss.map(compile(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
       case Not(s) => !compile(s, schema)
+      case TextMatch(_) => throw new IllegalArgumentException(
+        "$text requires a text index — serve the find through " +
+          "findText/findAuto with a MangoTextIndex (CouchDB likewise " +
+          "rejects $text without one)")
     }
   }
 
@@ -329,6 +343,13 @@ object Mango {
   def find(docs: DataFrame, idCol: String, findJson: String): DataFrame = {
     val req = parseFind(findJson)
     val filtered = docs.filter(compile(req.selector, docs.schema))
+    finish(filtered, req, idCol)
+  }
+
+  /** The shared find tail: deterministic (sort…, id) order, skip,
+    * limit, projection. */
+  private def finish(filtered: DataFrame, req: FindReq,
+                     idCol: String): DataFrame = {
     val sortCols = req.sort.map { case (f, asc) =>
       if (asc) col(f).asc else col(f).desc
     } :+ col(idCol).asc
@@ -816,6 +837,7 @@ object Mango {
     case Or(ss) => ss.flatMap(selectorPaths).toSet
     case Nor(ss) => ss.flatMap(selectorPaths).toSet
     case Not(s) => selectorPaths(s)
+    case TextMatch(_) => Set.empty
   }
 
   /** Serve a `_find` from a JSON index: bounds come from the PRUNED
@@ -981,5 +1003,116 @@ object Mango {
       case Some(ix) => findIndexed(spark, docs, idCol, ix, findJson)
       case None => find(docs, idCol, findJson)
     }
+  }
+
+  // ------------------------------------------------------------ text indexes
+
+  /** A Mango TEXT index (CouchDB's `"type": "text"` index family,
+    * powering the `$text` selector): a persisted
+    * [[TextSearch.buildTextIndex]] positional inverted index over one
+    * text field, with the analyzer identity stamped in the index
+    * stats (so queries can never tokenize differently from the build)
+    * and the field name stamped alongside. */
+  final case class MangoTextIndex(path: String, field: String)
+
+  private val TEXT_STAMP = "_mango_text"
+
+  /** Build (or rebuild) a text index over `textField`. The underlying
+    * artifact is the E7b inverted index — term-bucketed postings with
+    * positions, by-doc sidecar, incrementally maintainable via
+    * [[TextSearch.upsertTextDocs]]. */
+  def createTextIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textField: String, path: String, nBuckets: Int = 64,
+                      analyzer: TextSearch.Analyzer = TextSearch.Analyzer())
+      : MangoTextIndex = {
+    require(resolve(docs.schema, textField).exists(_._2 == StringType),
+      s"mango text index: $textField is not a string field")
+    TextSearch.buildTextIndex(docs, col(idCol), col(textField), path,
+      nBuckets, analyzer = analyzer)
+    val out = IndexStore.fsFor(spark, path)
+      .create(new Path(path, TEXT_STAMP), true)
+    out.write((textField + "\n").getBytes("UTF-8"))
+    out.close()
+    MangoTextIndex(path, textField)
+  }
+
+  /** Open a previously built text index (the field comes from the
+    * stamp; the analyzer lives in the index stats). */
+  def openTextIndex(spark: SparkSession, path: String): MangoTextIndex = {
+    val in = IndexStore.fsFor(spark, path).open(new Path(path, TEXT_STAMP))
+    val field = new String(in.readAllBytes(), "UTF-8").trim
+    in.close()
+    MangoTextIndex(path, field)
+  }
+
+  /** Does the selector use `$text` anywhere? (Routing test for
+    * [[findAuto]]; `$text` below the top-level conjunction is
+    * rejected by [[findText]].) */
+  private[graft] def containsText(s: Sel): Boolean = s match {
+    case TextMatch(_) => true
+    case And(ss) => ss.exists(containsText)
+    case Or(ss) => ss.exists(containsText)
+    case Nor(ss) => ss.exists(containsText)
+    case Not(x) => containsText(x)
+    case ElemMatch(_, i, _) => containsText(i)
+    case KeyMapMatch(_, i) => containsText(i)
+    case _ => false
+  }
+
+  /** Split a selector into its top-level `$text` query strings and the
+    * non-text residual. `$text` under `$or`/`$not`/`$nor` has no
+    * index-servable plan (the complement of a text match is not a
+    * postings read) and is rejected, as CouchDB's text planner does. */
+  private[graft] def splitTextSelector(sel: Sel): (Seq[String], Option[Sel]) = {
+    val (txt, rest) = conjuncts(sel).partition(_.isInstanceOf[TextMatch])
+    require(rest.forall(!containsText(_)),
+      "$text must be a top-level conjunct of the selector")
+    (txt.map(_.asInstanceOf[TextMatch].q),
+      rest.size match {
+        case 0 => None
+        case 1 => Some(rest.head)
+        case _ => Some(And(rest))
+      })
+  }
+
+  /** Serve a `_find` whose selector carries `$text` from a text index:
+    * the query string tokenizes on whitespace and analyzes with the
+    * INDEX's stamped analyzer; candidates are the docs whose postings
+    * contain every analyzed term ([[TextSearch.idsMatchingAll]] —
+    * probed term buckets only, never a corpus scan); the non-text
+    * residual re-applies on the by-id fetched docs (the A25
+    * superset-safe discipline — the text conjunct itself is answered
+    * BY the index, which is the definition of `$text`). Ordering,
+    * skip/limit and projection are the standard find tail. */
+  def findText(spark: SparkSession, docs: DataFrame, idCol: String,
+               index: MangoTextIndex, findJson: String): DataFrame = {
+    val req = parseFind(findJson)
+    val (textQs, residual) = splitTextSelector(req.selector)
+    require(textQs.nonEmpty, "findText requires a $text conjunct")
+    val rawTerms = textQs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val idType = docs.schema(idCol).dataType
+    val ids = TextSearch.idsMatchingAll(spark, index.path, rawTerms)
+      .select(col("doc_id").cast(idType).as(idCol))
+    val cand = docs.join(ids, Seq(idCol), "left_semi")
+    val filtered = residual match {
+      case Some(r) => cand.filter(compile(r, docs.schema))
+      case None => cand
+    }
+    finish(filtered, req, idCol)
+  }
+
+  /** `_find` with automatic index selection over BOTH index families:
+    * a `$text` selector routes to the text index (required — CouchDB
+    * rejects `$text` without one); anything else goes through the
+    * JSON-index planner. */
+  def findAuto(spark: SparkSession, docs: DataFrame, idCol: String,
+               indexes: Seq[MangoIndex], textIndexes: Seq[MangoTextIndex],
+               findJson: String): DataFrame = {
+    val req = parseFind(findJson)
+    if (containsText(req.selector)) {
+      require(textIndexes.nonEmpty,
+        "selector uses $text but no text index is available")
+      findText(spark, docs, idCol, textIndexes.head, findJson)
+    } else findAuto(spark, docs, idCol, indexes, findJson)
   }
 }

@@ -782,6 +782,26 @@ object TextSearch {
       .orderBy(col("n_occ").desc, col("doc_id").asc).limit(k)
   }
 
+  /** ALL doc ids whose indexed text contains EVERY query term — the
+    * unbounded conjunctive match behind Mango `$text` (no ranking, no
+    * k): postings pruned to the probed term buckets, then a per-doc
+    * term count equal to the full term list. Terms that are stopwords
+    * of the index's analyzer are DROPPED from the query first (the
+    * standard analyzer behavior — they have no postings, so keeping
+    * them would empty every conjunction). */
+  def idsMatchingAll(spark: SparkSession, path: String,
+                     rawTerms: Seq[String]): DataFrame = {
+    val st = statsOf(spark, path)
+    val stop = st.analyzer.sortedStop.toSet
+    val terms = st.analyzer.queryTerms(rawTerms).filterNot(stop.contains)
+    require(terms.nonEmpty,
+      "no query terms remain after analysis (all stopwords or empty)")
+    readPruned(spark, path, "postings", terms, st.nBuckets)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("_nt"))
+      .filter(col("_nt") === terms.size)
+      .select(col("doc_id"))
+  }
+
   /** Boolean BM25 search from the index: docs containing EVERY `must`
     * term and NO `mustNot` term, ranked by the BM25 sum over the
     * `must` terms (same fixed-order fold as [[searchIndexed]]). The

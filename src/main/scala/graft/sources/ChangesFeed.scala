@@ -128,6 +128,31 @@ object ChangesFeed {
     limit.fold(out)(out.limit)
   }
 
+  /** VIEW-FILTERED feed — CouchDB's other public filter mode
+    * (`filter=_view&view=ddoc/viewname`): a change passes when the
+    * view's MAP function EMITS at least one row for the document's
+    * current content. With declarative views that is a semi join of
+    * the [[since]] relation against the view's distinct emitting ids
+    * — set-at-a-time, never a per-change map callback, and on a
+    * MATERIALIZED view the emitting-id side is an index read, not a
+    * corpus scan. Conditional emission is the view's own contract
+    * (express the condition inside the map phase — `View.multi` with
+    * a `when(...)` emit, the CouchDB "map decides to emit" idiom).
+    * The filtered-replication tombstone caveat carries over exactly
+    * as in [[sinceFiltered]]: an id absent from the view's corpus
+    * emits nothing, so its deletion does not propagate (CouchDB's
+    * documented `_view` filter behavior). `limit` truncates AFTER
+    * filtering (the resumable page: checkpoint at its max seq). */
+  def sinceView(spark: SparkSession, path: String, sinceSeq: Long,
+                view: graft.view.View, limit: Option[Int] = None): DataFrame = {
+    val emitting = view.rows.select(col("_id").as("id")).distinct()
+    val out = since(spark, path, sinceSeq)
+      .join(emitting, Seq("id"), "left_semi")
+      .select(col("seq"), col("id"), col("rev"), col("deleted"))
+      .orderBy(col("seq"))
+    limit.fold(out)(out.limit)
+  }
+
   /** One replication round's PUSH SET — the batch form of CouchDB's
     * `_changes` + `_revs_diff` handshake: the source's post-checkpoint
     * latest-changes, minus everything the target already stores at the

@@ -87,6 +87,12 @@ final case class QueryOpts(
       * `attachments=true`). Default false returns stub entries —
       * metadata without the bytes (see [[Attachments]]). */
     attachments: Boolean = false,
+    /** With `includeDocs`: attach each served doc's CONFLICT set (the
+      * losing live revision ids, CouchDB's `conflicts=true` → doc
+      * `_conflicts` array). Requires a view with attached revisions
+      * ([[View.withConflicts]]); docs with no conflicts carry an empty
+      * array, exactly as CouchDB omits-or-empties the field. */
+    conflicts: Boolean = false,
     /** Reference `sorted=false`: map-only rows come back in ARBITRARY
       * order — drops the global collation sort (at scale, the one
       * all-to-one stage of a full-view read). Ignored for reduced
@@ -176,7 +182,8 @@ final class View private (
     isUnion: Boolean = false,
     indexMeta: Option[IndexMeta] = None,
     indexPath: Option[String] = None,
-    locale: Boolean = false) {
+    locale: Boolean = false,
+    conflictsRel: Option[DataFrame] = None) {
 
   /** The view index rows: `_id, key, value, _ck` (lazy plan, or the
     * materialized index when opened via [[fromIndex]]). */
@@ -197,6 +204,24 @@ final class View private (
   /** The change-feed sequence a materialized index is current through
     * (the reference's `update_seq`); None for temporary views. */
   def updateSeq: Option[Long] = indexMeta.map(_.updateSeq)
+
+  /** Attach the document corpus's revision-tree LEAVES so
+    * `conflicts=true` reads can serve each doc's conflict set inline
+    * (CouchDB's `conflicts=true` → doc `_conflicts`). The conflict
+    * relation is [[graft.operators.Revisions.summary]]'s losing-live
+    * set, kept as a RELATION (one partial-aggregable groupBy over the
+    * leaves — never driver state), joined to docs only on
+    * conflict-requesting include_docs reads. */
+  def withConflicts(leaves: DataFrame, id: Column, revPos: Column,
+                    revHash: Column, deleted: Column): View = {
+    val rel = graft.operators.Revisions
+      .summary(leaves, id, revPos, revHash, deleted)
+      .select(col("id").as("_confl_id"),
+        when(col("n_conflicts") > 0, split(col("conflicts"), ","))
+          .otherwise(array().cast("array<string>")).as("_conflicts"))
+    new View(docs, idCol, mapPhase, reduceFn, indexRows, isUnion,
+      indexMeta, indexPath, locale, Some(rel))
+  }
 
   /** Run a query. Returns `(id, key, value)` rows in collation order for
     * map-only queries, `(key, value)` for reduced queries; `includeDocs`
@@ -342,14 +367,29 @@ final class View private (
               coalesce(col("value").getField("_id"), col("id"))
             case _ => col("id")
           }
+          // conflicts=true: the doc gains a `_conflicts` field (losing
+          // live revs, CouchDB's shape) from the attached revision
+          // summary — one broadcast-or-hash left join keyed on id,
+          // empty array when the doc resolves clean or has no leaves
+          val docSrc =
+            if (!opts.conflicts) docs
+            else {
+              val rel = conflictsRel.getOrElse(throw new IllegalStateException(
+                "conflicts=true requires a view with attached revisions " +
+                  "(View.withConflicts)"))
+              docs.join(rel, idCol === rel("_confl_id"), "left")
+                .withColumn("_conflicts", coalesce(col("_conflicts"),
+                  array().cast("array<string>")))
+                .drop("_confl_id")
+            }
           // Attachments ship as stubs unless attachments=true (the
           // reference's default response shape — see [[Attachments]]).
-          val docCols = docs.columns.map { c =>
+          val docCols = docSrc.columns.map { c =>
             if (c == Attachments.ATT && !opts.attachments)
               Attachments.stubbed(col(c)).as(c)
             else col(c)
           }
-          val docDf = docs.select(idCol.as("_doc_id"),
+          val docDf = docSrc.select(idCol.as("_doc_id"),
             struct(docCols.toIndexedSeq: _*).as("doc"))
           m = m.join(docDf, linkId === col("_doc_id"), "left").drop("_doc_id")
         }
@@ -494,7 +534,8 @@ final class View private (
     val meta = IndexStore.readMeta(spark, path)
     new View(docs, idCol, mapPhase, reduceFn,
       Some(spark.read.parquet(path + "/data")),
-      indexMeta = Some(meta), indexPath = Some(path), locale = locale)
+      indexMeta = Some(meta), indexPath = Some(path), locale = locale,
+      conflictsRel = conflictsRel)
   }
 
   /** Incremental index maintenance — the reference's change-feed driven

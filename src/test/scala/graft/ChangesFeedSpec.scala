@@ -179,6 +179,35 @@ class ChangesFeedSpec extends SparkSpecBase
       page.collect().map(_.getLong(1)).forall(_ % 3 == 0))
   }
 
+  test("sinceView: view-emit semi-join; conditional emission, unknown ids drop") {
+    import spark.implicits._
+    val (store, log) = makeStore()
+    // corpus knows ids 0..249; the view EMITS only for %3 docs (the
+    // condition lives inside the map phase — "map decides to emit")
+    val docs = (0L until 250L).map(i => (i, if (i % 3 == 0) "hot" else "cold"))
+      .toDF("id", "cat")
+    val v = graft.view.View.multi(docs, col("id"),
+      when(col("cat") === "hot",
+        array(struct(col("cat").as("key"), col("id").as("value"))))
+        .otherwise(array()))
+    val got = ChangesFeed.sinceView(spark, store, -1L, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // identical to the equivalent selector filter: exactly the latest
+    // change of every known emitting doc, tombstones included
+    val expect = expectSince(log.filter(col("id") % 3 === 0 &&
+      col("id") < 250), -1L)
+    assert(got.map(r => (r._1, r._2)).toSeq == expect)
+    assert(got.exists(_._3), "an emitting doc's tombstone must pass")
+    // ids the view's corpus does not know emit nothing → never pass
+    assert(got.forall(_._2 < 250))
+    // agrees with sinceFiltered on the same condition; limit pages
+    assert(ChangesFeed.sinceView(spark, store, -1L, v, limit = Some(10))
+      .collect().map(_.getLong(1)).toSeq ==
+      ChangesFeed.sinceFiltered(spark, store, -1L, docs, "id",
+        """{"cat": "hot"}""", limit = Some(10))
+        .collect().map(_.getLong(1)).toSeq)
+  }
+
   test("purge erases a doc's history bucket-locally, no tombstone, idempotent") {
     val (store, log) = makeStore()
     val fs = new org.apache.hadoop.fs.Path(store)

@@ -468,6 +468,53 @@ class MangoSpec extends SparkSpecBase {
     assert(viaAuto == viaScanDesc)
   }
 
+  test("$text served from a Mango text index == relational conjunctive match") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mango-text").toString
+    val tix = Mango.createTextIndex(spark, docs, "doc_id", "text",
+      s"$dir/tix", nBuckets = 16)
+    val req = """{"selector": {"$text": "merge filter",
+      "source": {"$in": ["src0", "src1"]}},
+      "fields": ["doc_id", "source"], "sort": ["doc_id"], "limit": 100000}"""
+    val got = Mango.findText(spark, docs, "doc_id", tix, req).collect().toSeq
+    val want = docs
+      .filter(array_contains(split(col("text"), "\\s+"), "merge") &&
+        array_contains(split(col("text"), "\\s+"), "filter") &&
+        col("source").isin("src0", "src1"))
+      .select("doc_id", "source").orderBy("doc_id").collect().toSeq
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+    // findAuto routes $text to the text index; reopening restores field
+    assert(Mango.findAuto(spark, docs, "doc_id", Nil, Seq(tix), req)
+      .collect().toSeq == want)
+    assert(Mango.openTextIndex(spark, s"$dir/tix") == tix)
+    // the index's stamped analyzer governs query terms: a stopworded
+    // index drops stopword query terms instead of emptying the match
+    val stopIx = Mango.createTextIndex(spark, docs, "doc_id", "text",
+      s"$dir/stopix", nBuckets = 16,
+      analyzer = graft.operators.TextSearch.Analyzer(
+        stopwords = Seq("the", "a")))
+    val req2 = """{"selector": {"$text": "the merge filter"},
+      "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100000}"""
+    val got2 = Mango.findText(spark, docs, "doc_id", stopIx, req2)
+      .collect().toSeq
+    val want2 = docs
+      .filter(array_contains(split(col("text"), "\\s+"), "merge") &&
+        array_contains(split(col("text"), "\\s+"), "filter"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(got2 == want2 && got2.nonEmpty)
+    // $text without a text index is an error (CouchDB semantics) —
+    // both on the scan path and in findAuto
+    intercept[IllegalArgumentException](
+      Mango.find(docs, "doc_id", req).collect())
+    intercept[IllegalArgumentException](
+      Mango.findAuto(spark, docs, "doc_id", Nil, Nil, req))
+    // $text below the top-level conjunction has no servable plan
+    intercept[IllegalArgumentException](
+      Mango.findText(spark, docs, "doc_id", tix,
+        """{"selector": {"$or": [{"$text": "merge"}, {"doc_id": 1}]},
+           "fields": ["doc_id"]}"""))
+  }
+
   test("explain reports the exact serve decision; $beginsWith picks an index") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-mango-explain").toString

@@ -645,4 +645,36 @@ class ViewSpec extends SparkSpecBase {
     val r0 = wd.select($"id".cast("long"), $"doc.o_orderkey").head()
     assert(r0.getLong(0) == some.head && r0.getLong(1) == some.head)
   }
+
+  test("conflicts=true attaches the losing-live rev set to served docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    // doc 1: two live leaves (conflict), doc 2: live beats deleted
+    // (clean), doc 3: no leaves at all
+    val leaves = Seq(
+      (1L, 2L, "bbb", false), (1L, 2L, "aaa", false),
+      (2L, 3L, "win", false), (2L, 1L, "old", true))
+      .toDF("id", "pos", "hash", "del")
+    val v = View(docs, col("id"), col("name"), lit(1))
+      .withConflicts(leaves, col("id"), col("pos"), col("hash"), col("del"))
+    val got = v.query(QueryOpts(reduce = false, includeDocs = true,
+        conflicts = true))
+      .select(col("id"), col("doc._conflicts").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]]("c").toSeq).toMap
+    // doc 1's winner is 2-bbb (greater hash); 2-aaa is the conflict
+    assert(got(1L) == Seq("2-aaa"), s"doc 1: ${got(1L)}")
+    assert(got(2L) == Nil, "a live winner over a deleted leaf is clean")
+    assert(got(3L) == Nil, "a doc with no leaves serves an empty set")
+    // conflicts without attached revisions fails loudly
+    val bare = View(docs, col("id"), col("name"), lit(1))
+    val e = intercept[IllegalStateException](
+      bare.query(QueryOpts(reduce = false, includeDocs = true,
+        conflicts = true)).collect())
+    assert(e.getMessage.contains("withConflicts"))
+    // conflicts=false leaves the doc shape untouched
+    assert(!v.query(QueryOpts(reduce = false, includeDocs = true))
+      .schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("_conflicts"))
+  }
 }
