@@ -83,8 +83,7 @@ final case class Bpe(merges: Seq[(String, String)]) {
     syms
   }
 
-  private def wordsOf(text: String): Array[String] =
-    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+  private def wordsOf(text: String): Array[String] = Bpe.wordsOf(text)
 
   /** Per-row BPE token count — the trainer-accurate replacement for
     * `Text.tokenCount` in packing/length-filter/LM billing. */
@@ -144,6 +143,15 @@ final case class Bpe(merges: Seq[(String, String)]) {
 
 object Bpe {
 
+  /** The one word-splitting rule shared by EVERY Bpe path (apply,
+    * counting, learning): locale-independent lowercase (Locale.ROOT —
+    * matches Spark's `lower()`, so the documented count-identity
+    * between tokenCount and tokenCounts holds on any default-locale
+    * JVM, Turkish dotted-I included), whitespace split. */
+  private[graft] def wordsOf(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+      .filter(_.nonEmpty)
+
   /** Learn `nMerges` merges from the `sampleDocs` LOWEST-id documents
     * (deterministic, replayable sample — the training slice every
     * tokenizer fixes up front). Classic Sennrich learn loop: count
@@ -159,7 +167,7 @@ object Bpe {
       .orderBy(col("_id")).limit(sampleDocs)
       .select(col("_t")).collect().map(_.getString(0)).filter(_ != null)
     val wordFreq = scala.collection.mutable.Map.empty[String, Long]
-    for (t <- sample; w <- t.toLowerCase.trim.split("\\s+") if w.nonEmpty)
+    for (t <- sample; w <- wordsOf(t))
       wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
     // words as mutable symbol sequences (UTF-8 bytes -> 1-char symbols)
     var words: Vector[(Array[String], Long)] = wordFreq.toVector

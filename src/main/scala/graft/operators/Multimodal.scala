@@ -253,6 +253,13 @@ object Multimodal {
     * undecodable assets drop out of the hash relation, countable by
     * anti-join). */
   private[graft] def decodeGray64(payload: Array[Byte]): Option[Array[Long]] =
+    decodeGray64Dims(payload).map(_._1)
+
+  /** [[decodeGray64]] plus the decoded dimensions — ONE ImageIO.read
+    * per payload for consumers that need both (decode dominates the
+    * per-row cost; see [[decodeFeatures]]). */
+  private[graft] def decodeGray64Dims(payload: Array[Byte])
+      : Option[(Array[Long], Int, Int)] =
     try {
       if (payload == null) return None
       val img = javax.imageio.ImageIO.read(
@@ -292,7 +299,7 @@ object Multimodal {
           }
           j += 1
         }
-        Some(px)
+        Some((px, w, h))
       }
     } catch { case _: Exception => None }
 
@@ -342,12 +349,9 @@ object Multimodal {
         // per-JVM; a JNI codec or ONNX session would init here)
         it.map { case (id, bytes) =>
           val n = if (bytes == null) 0L else bytes.length.toLong
-          decodeGray64(bytes) match {
-            case Some(px) =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              DecodedFeatures(id, n, decoded = true,
-                img.getWidth, img.getHeight, px.sum / 64)
+          decodeGray64Dims(bytes) match {
+            case Some((px, w, h)) =>
+              DecodedFeatures(id, n, decoded = true, w, h, px.sum / 64)
             case None =>
               DecodedFeatures(id, n, decoded = false, 0, 0, 0L)
           }
