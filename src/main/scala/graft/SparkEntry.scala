@@ -1845,6 +1845,31 @@ object SparkEntry {
         concat_ws(",", col("doc._conflicts")).as("conflicts"))
   }
 
+  /** G12 gated: STREAMING IVFADC-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.maintainIvfPqIndex]]) — embeddings as
+    * a 4-micro-batch file stream; batch 1 builds the IVFADC index
+    * (coarse centroids AND codebooks init from the lowest-16 vec_ids,
+    * all present in the vec_id-ordered first chunk, then FROZEN),
+    * batches 2-4 re-assign + re-encode only their vectors against the
+    * stored quantizers and rewrite only touched inverted lists. The
+    * served list-pruned top-k must match q158's batch oracle
+    * bit-for-bit — the frozen-quantizer contract makes streamed ==
+    * batch-built a provable identity, and this gate measures it. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val inDir = idxPath("q170in", dir, "embeddings") + "/in"
+    stageChunks(s, emb, col("vec_id"), inDir)
+    val idx = idxPath("q170ivx", dir, "embeddings") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q170ck").toString
+    val feed = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainIvfPqIndex(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Pq.ivfPqTopK(s, idx, emb,
+      emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, refine = 50)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** B29: ordered-funnel conversion ([[graft.operators.EventAnalytics]])
     * — view → click → purchase within 7 days of the user's first view,
     * first-touch anchored, one filtered partial-aggregable `min` per
@@ -5638,7 +5663,11 @@ object SparkEntry {
     // the q118 ADC replay restricted to the q53 probe discipline:
     // candidates = codes assigned to one of the query's 4 probed
     // lists; ADC fold order, shortlist ties, refine identical to q118
-    "q158_ivfpq_ann" ->
+    "q158_ivfpq_ann" -> ivfPqAnnOracle,
+    // streamed build+upserts against frozen quantizers serve the SAME
+    // result as q158's one-shot batch build — identical oracle
+    "q170_streaming_ivfpq" -> ivfPqAnnOracle,
+    "q158_ivfpq_ann_UNUSED" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
