@@ -2017,6 +2017,84 @@ object SparkEntry {
       .tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** q158/q170 IVFADC oracle: the q118 ADC replay restricted to the
+    * q53 probe discipline; shared by the batch (q158) and streaming
+    * (q170) gates, which must serve identical results. */
+  private val ivfPqAnnOracle: String =
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+          |assign AS (
+          |  SELECT vec_id AS n_id, cid FROM (
+          |    SELECT n.vec_id, cent.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+          |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+          |                 cent.cid DESC) AS rn
+          |    FROM n CROSS JOIN cent) WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS q_id, cid FROM (
+          |    SELECT n.vec_id, cent.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+          |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+          |                 cent.cid DESC) AS rn
+          |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 4),
+          |js AS (SELECT unnest(range(8)) AS j),
+          |cb AS (
+          |  SELECT js.j, e.vec_id AS c,
+          |         list_slice(e.v, js.j*8 + 1, js.j*8 + 8) AS cw
+          |  FROM e CROSS JOIN js WHERE e.vec_id < 16),
+          |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
+          |codes AS (
+          |  SELECT vec_id AS n_id, j, c2, cw FROM (
+          |    SELECT e.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
+          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb2.j
+          |        ORDER BY cb2.c2 - 2.0*list_dot_product(
+          |            list_slice(e.v, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
+          |          cb2.c ASC) AS rn
+          |    FROM e CROSS JOIN cb2) WHERE rn = 1),
+          |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+          |cand0 AS (
+          |  SELECT DISTINCT p.q_id, a.n_id
+          |  FROM probes p JOIN assign a ON a.cid = p.cid
+          |  WHERE a.n_id != p.q_id),
+          |adcj AS (
+          |  SELECT q.q_id, codes.n_id, codes.j,
+          |    codes.c2 - 2.0*list_dot_product(
+          |      list_slice(q.v, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d
+          |  FROM q JOIN cand0 ON cand0.q_id = q.q_id
+          |         JOIN codes ON codes.n_id = cand0.n_id),
+          |adc AS (
+          |  -- + is left-associative: subspace order 0..7, the same
+          |  -- double sequence the Spark-side fold emits
+          |  SELECT q_id, n_id,
+          |    MAX(CASE WHEN j=0 THEN d END)
+          |      + MAX(CASE WHEN j=1 THEN d END)
+          |      + MAX(CASE WHEN j=2 THEN d END)
+          |      + MAX(CASE WHEN j=3 THEN d END)
+          |      + MAX(CASE WHEN j=4 THEN d END)
+          |      + MAX(CASE WHEN j=5 THEN d END)
+          |      + MAX(CASE WHEN j=6 THEN d END)
+          |      + MAX(CASE WHEN j=7 THEN d END) AS adc
+          |  FROM adcj GROUP BY q_id, n_id),
+          |cand AS (
+          |  SELECT q_id, n_id FROM (
+          |    SELECT q_id, n_id,
+          |      ROW_NUMBER() OVER (PARTITION BY q_id
+          |        ORDER BY adc ASC, n_id ASC) AS rn
+          |    FROM adc) WHERE rn <= 50),
+          |j2 AS (
+          |  SELECT cand.q_id, cand.n_id,
+          |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
+          |  FROM cand
+          |  JOIN n qq ON qq.vec_id = cand.q_id
+          |  JOIN n xx ON xx.vec_id = cand.n_id)
+          |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+          |  SELECT q_id, n_id, cosf,
+          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+          |  FROM j2)
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   private def bpeOracleSql: String = {
     val base = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
     val applied = bpeMerges.foldLeft(base) { case (e, (x, y)) =>
@@ -3299,7 +3377,8 @@ object SparkEntry {
     "q166_mango_paged_index" -> (q166 _),
     "q167_mango_text" -> (q167 _),
     "q168_view_filtered_feed" -> (q168 _),
-    "q169_conflicts_read" -> (q169 _)
+    "q169_conflicts_read" -> (q169 _),
+    "q170_streaming_ivfpq" -> (q170 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5667,80 +5746,6 @@ object SparkEntry {
     // streamed build+upserts against frozen quantizers serve the SAME
     // result as q158's one-shot batch build — identical oracle
     "q170_streaming_ivfpq" -> ivfPqAnnOracle,
-    "q158_ivfpq_ann_UNUSED" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-        |assign AS (
-        |  SELECT vec_id AS n_id, cid FROM (
-        |    SELECT n.vec_id, cent.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
-        |                 cent.cid DESC) AS rn
-        |    FROM n CROSS JOIN cent) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, cid FROM (
-        |    SELECT n.vec_id, cent.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
-        |                 cent.cid DESC) AS rn
-        |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 4),
-        |js AS (SELECT unnest(range(8)) AS j),
-        |cb AS (
-        |  SELECT js.j, e.vec_id AS c,
-        |         list_slice(e.v, js.j*8 + 1, js.j*8 + 8) AS cw
-        |  FROM e CROSS JOIN js WHERE e.vec_id < 16),
-        |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
-        |codes AS (
-        |  SELECT vec_id AS n_id, j, c2, cw FROM (
-        |    SELECT e.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb2.j
-        |        ORDER BY cb2.c2 - 2.0*list_dot_product(
-        |            list_slice(e.v, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
-        |          cb2.c ASC) AS rn
-        |    FROM e CROSS JOIN cb2) WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
-        |cand0 AS (
-        |  SELECT DISTINCT p.q_id, a.n_id
-        |  FROM probes p JOIN assign a ON a.cid = p.cid
-        |  WHERE a.n_id != p.q_id),
-        |adcj AS (
-        |  SELECT q.q_id, codes.n_id, codes.j,
-        |    codes.c2 - 2.0*list_dot_product(
-        |      list_slice(q.v, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d
-        |  FROM q JOIN cand0 ON cand0.q_id = q.q_id
-        |         JOIN codes ON codes.n_id = cand0.n_id),
-        |adc AS (
-        |  -- + is left-associative: subspace order 0..7, the same
-        |  -- double sequence the Spark-side fold emits
-        |  SELECT q_id, n_id,
-        |    MAX(CASE WHEN j=0 THEN d END)
-        |      + MAX(CASE WHEN j=1 THEN d END)
-        |      + MAX(CASE WHEN j=2 THEN d END)
-        |      + MAX(CASE WHEN j=3 THEN d END)
-        |      + MAX(CASE WHEN j=4 THEN d END)
-        |      + MAX(CASE WHEN j=5 THEN d END)
-        |      + MAX(CASE WHEN j=6 THEN d END)
-        |      + MAX(CASE WHEN j=7 THEN d END) AS adc
-        |  FROM adcj GROUP BY q_id, n_id),
-        |cand AS (
-        |  SELECT q_id, n_id FROM (
-        |    SELECT q_id, n_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q_id
-        |        ORDER BY adc ASC, n_id ASC) AS rn
-        |    FROM adc) WHERE rn <= 50),
-        |j2 AS (
-        |  SELECT cand.q_id, cand.n_id,
-        |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
-        |  FROM cand
-        |  JOIN n qq ON qq.vec_id = cand.q_id
-        |  JOIN n xx ON xx.vec_id = cand.n_id)
-        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
-        |  SELECT q_id, n_id, cosf,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
-        |  FROM j2)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // $keyMapMatch replayed analytically: the synthesized map's key
     // set is {'lang:'||lang, 'src:'||source}, so "some key matches
     // the regex" is a disjunction over the construction
