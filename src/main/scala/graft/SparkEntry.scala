@@ -1038,7 +1038,7 @@ object SparkEntry {
                           order: org.apache.spark.sql.Column,
                           inDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    if (hasFile(s"$inDir/_STAGED")) return
+    if (hasFile(s, s"$inDir/_STAGED")) return
     val fs = graft.view.IndexStore.fsFor(s, inDir)
     val tmp = new org.apache.hadoop.fs.Path(inDir + "._tmp")
     fs.delete(tmp, true)
@@ -1455,7 +1455,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("q106ax", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Similarity.buildLshIndex(emb, path)
     val changed = emb
       .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
@@ -1605,7 +1605,7 @@ object SparkEntry {
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val path = idxPath("q112ax", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Similarity.buildSemDedupIndex(emb, path, tau = 0.3)
     val changed = emb
       .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
@@ -1676,7 +1676,7 @@ object SparkEntry {
     val orders = t(s, dir, "orders")
     val path = idxPath("q116mgo", dir, "orders")
     val idx =
-      if (hasFile(s"$path/_mango_fields")) Mango.openIndex(s, path)
+      if (hasFile(s, s"$path/_mango_fields")) Mango.openIndex(s, path)
       else Mango.createIndex(s, orders, "o_orderkey",
         Seq("o_orderstatus", "o_orderdate"), path, numBuckets = 4)
     Mango.findIndexed(s, orders, "o_orderkey", idx,
@@ -1701,7 +1701,7 @@ object SparkEntry {
     val orders = t(s, dir, "orders")
     val path = idxPath("q124mgc", dir, "orders")
     val idx =
-      if (hasFile(s"$path/_mango_fields")) Mango.openIndex(s, path)
+      if (hasFile(s, s"$path/_mango_fields")) Mango.openIndex(s, path)
       else Mango.createIndex(s, orders, "o_orderkey",
         Seq("o_orderstatus", "o_totalprice"), path, numBuckets = 4)
     Mango.findIndexed(s, orders, "o_orderkey", idx,
@@ -1721,7 +1721,7 @@ object SparkEntry {
   private def q117(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val path = idxPath("q117evs", dir, "events")
-    if (!hasFile(s"$path/_SUCCESS"))
+    if (!hasFile(s, s"$path/_SUCCESS"))
       graft.sources.EventStore.write(events(s, dir), path)
     val lo = events(s, dir).agg(min(col("ts_us"))).head().getLong(0)
     val from = lo + 3 * dayUs + dayUs / 2
@@ -1785,7 +1785,7 @@ object SparkEntry {
     import graft.sources.EventStore
     val dayUs = 86400000000L
     val path = idxPath("q125evs", dir, "events")
-    if (!hasFile(s"$path/_graft_appended"))
+    if (!hasFile(s, s"$path/_graft_appended"))
       q125Build(s, dir)
     val lo = events(s, dir).agg(min(col("ts_us"))).head().getLong(0)
     val from = lo + 3 * dayUs + dayUs / 2
@@ -1933,7 +1933,7 @@ object SparkEntry {
   private def q129(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
     val path = idxPath("q129chg", dir, "documents")
-    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.since(s, path, 3 * md / 2)
   }
@@ -1948,7 +1948,7 @@ object SparkEntry {
   private def q154(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
     val path = idxPath("q154chg", dir, "documents")
-    if (!hasFile(s"$path/_graft_built")) {
+    if (!hasFile(s, s"$path/_graft_built")) {
       val (initial, tail) = q129Log(s, dir)
       ChangesFeed.write(initial, path, width = 128)
       ChangesFeed.append(tail, path)
@@ -1971,7 +1971,7 @@ object SparkEntry {
   private def q156(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
     val path = idxPath("q129chg", dir, "documents")
-    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.sinceFiltered(s, path, 3 * md / 2,
       t(s, dir, "documents"), "doc_id",
@@ -1988,7 +1988,7 @@ object SparkEntry {
   private def q168(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
     val path = idxPath("q129chg", dir, "documents")
-    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val docs = t(s, dir, "documents")
     val md = docs.agg(max(col("doc_id"))).head().getLong(0)
     val v = graft.view.View.multi(docs, col("doc_id"),
@@ -2124,7 +2124,7 @@ object SparkEntry {
   private def q158(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivfpq", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       graft.operators.Pq.buildIvfPqIndex(emb, path)
     graft.operators.Pq.ivfPqTopK(s, path, emb,
       emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, refine = 50)
@@ -2235,7 +2235,7 @@ object SparkEntry {
   private def q163(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivfpqr", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       graft.operators.Pq.buildIvfPqResidualIndex(emb, path)
     graft.operators.Pq.ivfPqResidualTopK(s, path, emb,
       emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, refine = 50)
@@ -2333,7 +2333,7 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val path = idxPath("q167mtx", dir, "documents")
     val idx =
-      if (hasFile(s"$path/_mango_text")) Mango.openTextIndex(s, path)
+      if (hasFile(s, s"$path/_mango_text")) Mango.openTextIndex(s, path)
       else Mango.createTextIndex(s, docs, "doc_id", "text", path)
     Mango.findAuto(s, docs, "doc_id", Nil, Seq(idx),
       """{"selector": {"$text": "merge filter",
@@ -2366,7 +2366,7 @@ object SparkEntry {
     * (box reads few files on BOTH dims) is ZOrderSpec's. */
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val path = idxPath("q130zo", dir, "orders")
-    if (!hasFile(s"$path/_graft_built")) q130Build(s, dir)
+    if (!hasFile(s, s"$path/_graft_built")) q130Build(s, dir)
     val (clo, chi, plo, phi) = q130Bounds(s, dir)
     val (cka, ckb) = (clo + (chi - clo) / 4, clo + 2 * (chi - clo) / 5)
     val (tpa, tpb) = (plo + (phi - plo) / 4, plo + 2 * (phi - plo) / 5)
@@ -2415,7 +2415,7 @@ object SparkEntry {
     * batch `_revs_diff`. Tombstone changes must appear in the push set. */
   private def q134(s: SparkSession, dir: String): DataFrame = {
     val path = idxPath("q129chg", dir, "documents")
-    if (!hasFile(s"$path/_graft_built")) q129Build(s, dir)
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val d = t(s, dir, "documents").select(col("doc_id"))
     def rev(n: Int): Column = concat(lit(s"$n-"),
       md5(concat(col("doc_id").cast("string"), lit(s":r$n"))))
@@ -2463,7 +2463,7 @@ object SparkEntry {
     val orders = t(s, dir, "orders")
     val path = idxPath("q137mgp", dir, "orders")
     val idx =
-      if (hasFile(s"$path/_mango_fields")) Mango.openIndex(s, path)
+      if (hasFile(s, s"$path/_mango_fields")) Mango.openIndex(s, path)
       else Mango.createIndex(s, orders, "o_orderkey",
         Seq("o_totalprice"), path, numBuckets = 4,
         partialFilter = Some("""{"o_orderstatus": "F"}"""))
@@ -2947,7 +2947,7 @@ object SparkEntry {
     import graft.operators.Pq
     val emb = t(s, dir, "embeddings")
     val path = idxPath("q120pq", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Pq.buildPqIndex(emb, path)
     val changed = emb
       .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
@@ -2993,7 +2993,7 @@ object SparkEntry {
   private def q122(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val path = idxPath("q122jsl", dir, "documents")
-    if (!hasFile(s"$path/_SUCCESS"))
+    if (!hasFile(s, s"$path/_SUCCESS"))
       graft.sources.DocSource.writeJsonl(d, path)
     val (good, bad) = graft.sources.DocSource.readJsonl(s, path, d.schema)
     require(bad.isEmpty, "clean corpus round trip must have 0 corrupt lines")
@@ -3020,7 +3020,12 @@ object SparkEntry {
       java.lang.Long.toHexString((dir.hashCode.toLong << 32) ^ stamp)
   }
 
-  private def hasFile(p: String): Boolean = new java.io.File(p).exists()
+  /** Existence probe through the Hadoop FS of the session (not
+    * java.io.File), so build-once guards behave the same on local
+    * paths and on cluster filesystems (HDFS/S3A). */
+  private def hasFile(s: SparkSession, p: String): Boolean =
+    graft.view.IndexStore.fsFor(s, p)
+      .exists(new org.apache.hadoop.fs.Path(p))
 
   /** Build each persisted index UNCONDITIONALLY (rebuilding over any
     * existing artifact). [[Bench]] times these once per run, separately
@@ -3120,7 +3125,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ann", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Similarity.buildLshIndex(emb, path)
     Similarity.lshTopKIndexed(s, path, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))
@@ -3135,7 +3140,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivf", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Similarity.buildIvfIndex(emb, path)
     Similarity.ivfTopK(s, path, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))
@@ -3150,7 +3155,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivf", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Similarity.buildIvfIndex(emb, path)
     Similarity.ivfTopKWhere(s, path, emb.filter(col("vec_id") < 10), 5,
       emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
@@ -3166,7 +3171,7 @@ object SparkEntry {
     import graft.operators.Similarity
     val emb = t(s, dir, "embeddings")
     val path = idxPath("ivfr", dir, "embeddings")
-    if (!hasFile(s"$path/data/_SUCCESS"))
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
       Similarity.buildIvfIndex(emb, path, refineIters = 1)
     Similarity.ivfTopK(s, path, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("q_id"), col("rank"))

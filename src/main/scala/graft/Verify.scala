@@ -9,6 +9,12 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (dev loop);
     // the driver's 2-arg invocation dumps everything
     val only = args.lift(2).map(_.split(",").toSet)
+    // fail loudly on a filter naming no real gate — a typo'd dev-loop
+    // slice must not look like a green run
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
