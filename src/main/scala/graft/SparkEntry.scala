@@ -2342,6 +2342,37 @@ object SparkEntry {
         | "sort": ["doc_id"], "limit": 1000000}""".stripMargin)
   }
 
+  /** A24f: bookmark paging for `$text` finds ([[graft.operators.Mango
+    * .findTextPage]] via the two-family findPageAuto) — 25-row pages of
+    * a text match with an `n_chars` residual, each page ONE
+    * `limit(26)` job over the postings-probed candidates resumed
+    * strictly after the typed-JSON cursor; the stitched pages must
+    * equal the unpaged relation (the oracle replays the conjunctive
+    * match + residual, ordered by the sort key then id). */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q167mtx", dir, "documents")
+    val idx =
+      if (hasFile(s, s"$path/_mango_text")) Mango.openTextIndex(s, path)
+      else Mango.createTextIndex(s, docs, "doc_id", "text", path)
+    val req = """{"selector": {"$text": "merge filter",
+      |              "n_chars": {"$gte": 150}},
+      | "fields": ["doc_id", "n_chars", "source"],
+      | "sort": ["n_chars"], "limit": 25}""".stripMargin
+    var bm: Option[String] = None
+    var acc: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val (p, nb) = Mango.findPageAuto(s, docs, "doc_id", Nil, Seq(idx),
+        req, bm)
+      acc = Some(acc.map(_.unionByName(p)).getOrElse(p))
+      bm = nb
+      done = nb.isEmpty
+    }
+    acc.get.orderBy(col("n_chars"), col("doc_id"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3383,7 +3414,8 @@ object SparkEntry {
     "q167_mango_text" -> (q167 _),
     "q168_view_filtered_feed" -> (q168 _),
     "q169_conflicts_read" -> (q169 _),
-    "q170_streaming_ivfpq" -> (q170 _)
+    "q170_streaming_ivfpq" -> (q170 _),
+    "q171_mango_text_page" -> (q171 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5988,7 +6020,15 @@ object SparkEntry {
         |WHERE list_contains(string_split(text, ' '), 'merge')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |  AND source IN ('src0', 'src1', 'src2')
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // $text bookmark paging: the stitched 25-row pages must BE the
+    // unpaged conjunctive match + residual, in (sort key, id) order
+    "q171_mango_text_page" ->
+      """SELECT doc_id, n_chars, source FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'merge')
+        |  AND list_contains(string_split(text, ' '), 'filter')
+        |  AND n_chars >= 150
+        |ORDER BY n_chars, doc_id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

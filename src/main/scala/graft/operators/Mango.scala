@@ -76,7 +76,8 @@ object Mango {
   /** A parsed `_find` request body. */
   final case class FindReq(selector: Sel, fields: Seq[String],
                            sort: Seq[(String, Boolean)],
-                           limit: Option[Long], skip: Long)
+                           limit: Option[Long], skip: Long,
+                           useIndex: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -169,7 +170,12 @@ object Mango {
     }.toSeq).getOrElse(Nil)
     val limit = Option(n.get("limit")).map(_.asLong()).orElse(Some(25L))
     val skip = Option(n.get("skip")).map(_.asLong()).getOrElse(0L)
-    FindReq(sel, fields, sort, limit, skip)
+    // CouchDB's use_index: a string index name, or a [ddoc, name]
+    // array — the index name is the last element either way
+    val useIndex = Option(n.get("use_index")).map { u =>
+      if (u.isArray) u.elements().asScala.toSeq.last.asText() else u.asText()
+    }
+    FindReq(sel, fields, sort, limit, skip, useIndex)
   }
 
   // ------------------------------------------------------- compile to Column
@@ -402,9 +408,22 @@ object Mango {
                               findJson: String, bookmark: Option[String])
       : (DataFrame, Seq[String], Seq[String], Int) = {
     val req = parseFind(findJson)
+    val filtered = docs.filter(compile(req.selector, docs.schema))
+    pagePlanFrom(filtered, docs.columns.toSeq, req, idCol, bookmark)
+  }
+
+  /** The generic cursor-page tail over an ALREADY-FILTERED candidate
+    * relation: bookmark resume (strictly-after lexicographic cursor),
+    * sort, first-page skip, output/cursor column fetch. Shared by the
+    * scan pager ([[pagePlan]]) and the text pager ([[findTextPage]]),
+    * which produce their candidates differently but page identically —
+    * that shared tail is what makes their bookmarks interchangeable. */
+  private def pagePlanFrom(filtered: DataFrame, allCols: Seq[String],
+                           req: FindReq, idCol: String,
+                           bookmark: Option[String])
+      : (DataFrame, Seq[String], Seq[String], Int) = {
     val pageSize = req.limit.getOrElse(25L).toInt
     val dirs = req.sort :+ (idCol -> true)
-    val filtered = docs.filter(compile(req.selector, docs.schema))
     val resumed = bookmark match {
       case None => filtered
       case Some(b) =>
@@ -426,7 +445,7 @@ object Mango {
     val sortCols = dirs.map { case (f, asc) =>
       if (asc) col(f).asc else col(f).desc }
     val outCols: Seq[String] =
-      if (req.fields.nonEmpty) req.fields else docs.columns.toSeq
+      if (req.fields.nonEmpty) req.fields else allCols
     // fetch output AND cursor columns in the one job
     val need = (outCols ++ dirs.map(_._1)).distinct
     val skipOff = if (bookmark.isEmpty) req.skip.toInt else 0
@@ -636,7 +655,7 @@ object Mango {
     val sortable = indexes.filter(ix =>
       req.sort.nonEmpty && req.sort.forall(_._2) &&
         req.sort.map(_._1) == ix.fields && ix.fields.forall(!_.contains('.')))
-    pickIndex(req.selector, sortable, docs.schema) match {
+    pickIndex(req.selector, sortable, docs.schema, req.useIndex) match {
       case Some(ix) => findPageIndexed(spark, docs, idCol, ix, findJson,
         bookmark)
       case None => findPage(docs, idCol, findJson, bookmark)
@@ -651,7 +670,11 @@ object Mango {
     * subset — queries can use it ONLY when their selector implies the
     * filter. */
   final case class MangoIndex(path: String, fields: Seq[String],
-                              partial: Option[String] = None)
+                              partial: Option[String] = None) {
+    /** The index's name for `use_index` addressing: the last path
+      * segment (CouchDB's index name; the full path also matches). */
+    def name: String = path.stripSuffix("/").split('/').last
+  }
 
   /** A selector's top-level conjunction, flattened. */
   private def conjuncts(s: Sel): Seq[Sel] = s match {
@@ -924,7 +947,16 @@ object Mango {
     * None when no index can serve (first field unconstrained
     * everywhere) — the caller then full-scans, as `_find` does. */
   def pickIndex(sel: Sel, indexes: Seq[MangoIndex],
-                schema: StructType): Option[MangoIndex] = {
+                schema: StructType): Option[MangoIndex] =
+    pickIndex(sel, indexes, schema, useIndex = None)
+
+  /** [[pickIndex]] honoring the request's `use_index`: when it names a
+    * USABLE candidate (by name or full path), that index wins
+    * outright; an unusable or unknown name falls back to the planner,
+    * which is CouchDB's documented behavior (the response carries a
+    * warning; serving a wrong index would drop rows). */
+  def pickIndex(sel: Sel, indexes: Seq[MangoIndex], schema: StructType,
+                useIndex: Option[String]): Option[MangoIndex] = {
     val conds = conjuncts(sel)
     def score(ix: MangoIndex): Int = {
       val eqs = ix.fields.takeWhile(f =>
@@ -939,17 +971,20 @@ object Mango {
         })
       eqs.length * 2 + (if (rangeNext) 1 else 0)
     }
-    indexes
+    val usable = indexes
       // a partial index is a candidate only when the selector implies
       // its filter (serving it otherwise would drop rows)
       .filter(_.partial.forall(pf => implies(sel, parseSelector(pf))))
       .map(ix => (ix, score(ix)))
       .filter(_._2 > 0)
-      // an eligible partial index outranks an equal-score full one —
-      // fewer rows to read for the same bounds
-      .sortBy { case (ix, sc) =>
-        (-sc, if (ix.partial.isDefined) 0 else 1, ix.fields.length) }
-      .headOption.map(_._1)
+    useIndex.flatMap(u =>
+      usable.map(_._1).find(ix => ix.name == u || ix.path == u))
+      .orElse(usable
+        // an eligible partial index outranks an equal-score full one —
+        // fewer rows to read for the same bounds
+        .sortBy { case (ix, sc) =>
+          (-sc, if (ix.partial.isDefined) 0 else 1, ix.fields.length) }
+        .headOption.map(_._1))
   }
 
   /** The planning report of [[explain]] — CouchDB's `_explain`
@@ -959,7 +994,8 @@ object Mango {
     * bounds the index range read would use. */
   final case class MangoExplain(index: Option[MangoIndex], reason: String,
                                 covered: Boolean,
-                                bounds: Option[(Any, Any, Boolean)])
+                                bounds: Option[(Any, Any, Boolean)],
+                                textIndex: Option[MangoTextIndex] = None)
 
   /** CouchDB's `_explain`: report HOW a `_find` would be served —
     * [[pickIndex]]'s winner, [[indexBounds]]'s pruning range, and the
@@ -970,7 +1006,7 @@ object Mango {
   def explain(findJson: String, indexes: Seq[MangoIndex], idCol: String,
               schema: StructType): MangoExplain = {
     val req = parseFind(findJson)
-    pickIndex(req.selector, indexes, schema) match {
+    pickIndex(req.selector, indexes, schema, req.useIndex) match {
       case None =>
         MangoExplain(None, "full scan: no usable index " +
           "(no index's first field is constrained)", covered = false, None)
@@ -999,7 +1035,7 @@ object Mango {
   def findAuto(spark: SparkSession, docs: DataFrame, idCol: String,
                indexes: Seq[MangoIndex], findJson: String): DataFrame = {
     val req = parseFind(findJson)
-    pickIndex(req.selector, indexes, docs.schema) match {
+    pickIndex(req.selector, indexes, docs.schema, req.useIndex) match {
       case Some(ix) => findIndexed(spark, docs, idCol, ix, findJson)
       case None => find(docs, idCol, findJson)
     }
@@ -1010,39 +1046,89 @@ object Mango {
   /** A Mango TEXT index (CouchDB's `"type": "text"` index family,
     * powering the `$text` selector): a persisted
     * [[TextSearch.buildTextIndex]] positional inverted index over one
-    * text field, with the analyzer identity stamped in the index
-    * stats (so queries can never tokenize differently from the build)
-    * and the field name stamped alongside. */
-  final case class MangoTextIndex(path: String, field: String)
+    * or more text fields (CouchDB text indexes cover a chosen field
+    * set; the `$text` "default field" matches a term appearing in ANY
+    * of them), with the analyzer identity stamped in the index stats
+    * (so queries can never tokenize differently from the build) and
+    * the field names stamped alongside. */
+  final case class MangoTextIndex(path: String, fields: Seq[String]) {
+    /** The index's name for `use_index` addressing: the last path
+      * segment (the full path also matches). */
+    def name: String = path.stripSuffix("/").split('/').last
+  }
 
   private val TEXT_STAMP = "_mango_text"
 
-  /** Build (or rebuild) a text index over `textField`. The underlying
+  /** Build (or rebuild) a text index over `textFields`. The underlying
     * artifact is the E7b inverted index — term-bucketed postings with
     * positions, by-doc sidecar, incrementally maintainable via
-    * [[TextSearch.upsertTextDocs]]. */
+    * [[TextSearch.upsertTextDocs]] — built over the space-joined
+    * concatenation of the fields (CouchDB's default field: one term
+    * space per doc; `$text` is presence-only, so cross-field position
+    * adjacency is irrelevant — phrase/proximity queries against a
+    * multi-field index should use the E7 API on a per-field index). */
   def createTextIndex(spark: SparkSession, docs: DataFrame, idCol: String,
-                      textField: String, path: String, nBuckets: Int = 64,
-                      analyzer: TextSearch.Analyzer = TextSearch.Analyzer())
+                      textFields: Seq[String], path: String, nBuckets: Int,
+                      analyzer: TextSearch.Analyzer)
       : MangoTextIndex = {
-    require(resolve(docs.schema, textField).exists(_._2 == StringType),
-      s"mango text index: $textField is not a string field")
-    TextSearch.buildTextIndex(docs, col(idCol), col(textField), path,
+    require(textFields.nonEmpty, "mango text index: no fields")
+    textFields.foreach(f =>
+      require(resolve(docs.schema, f).exists(_._2 == StringType),
+        s"mango text index: $f is not a string field"))
+    val text =
+      if (textFields.size == 1) col(textFields.head)
+      else concat_ws(" ", textFields.map(f => coalesce(col(f), lit(""))): _*)
+    TextSearch.buildTextIndex(docs, col(idCol), text, path,
       nBuckets, analyzer = analyzer)
     val out = IndexStore.fsFor(spark, path)
       .create(new Path(path, TEXT_STAMP), true)
-    out.write((textField + "\n").getBytes("UTF-8"))
+    out.write((textFields.mkString("\n") + "\n").getBytes("UTF-8"))
     out.close()
-    MangoTextIndex(path, textField)
+    MangoTextIndex(path, textFields)
   }
 
-  /** Open a previously built text index (the field comes from the
+  /** Single-field convenience (and the pre-multi-field signature). */
+  def createTextIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textField: String, path: String, nBuckets: Int = 64,
+                      analyzer: TextSearch.Analyzer = TextSearch.Analyzer())
+      : MangoTextIndex =
+    createTextIndex(spark, docs, idCol, Seq(textField), path, nBuckets,
+      analyzer)
+
+  /** Open a previously built text index (the fields come from the
     * stamp; the analyzer lives in the index stats). */
   def openTextIndex(spark: SparkSession, path: String): MangoTextIndex = {
     val in = IndexStore.fsFor(spark, path).open(new Path(path, TEXT_STAMP))
-    val field = new String(in.readAllBytes(), "UTF-8").trim
+    val fields = new String(in.readAllBytes(), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
     in.close()
-    MangoTextIndex(path, field)
+    MangoTextIndex(path, fields)
+  }
+
+  /** TEXT-index SELECTION for a `$text` find: `use_index` (by name or
+    * full path) wins and MUST name a known text index; otherwise the
+    * route is unambiguous only when every available text index stamps
+    * the same field set (they serve identical matches). Distinct field
+    * sets without `use_index` is an error — each index matches against
+    * different text, so a silent pick would silently change results. */
+  def pickTextIndex(textIndexes: Seq[MangoTextIndex],
+                    useIndex: Option[String]): MangoTextIndex = {
+    require(textIndexes.nonEmpty,
+      "selector uses $text but no text index is available")
+    useIndex match {
+      case Some(u) =>
+        textIndexes.find(ix => ix.name == u || ix.path == u).getOrElse(
+          throw new IllegalArgumentException(
+            s"use_index '$u' names no available text index " +
+              s"(have: ${textIndexes.map(_.name).mkString(", ")})"))
+      case None =>
+        require(textIndexes.map(_.fields.toSet).distinct.size == 1,
+          "ambiguous $text routing: multiple text indexes over " +
+            "different field sets (" +
+            textIndexes.map(ix => s"${ix.name}=${ix.fields.mkString("+")}")
+              .mkString(", ") + "); pass use_index to choose")
+        textIndexes.head
+    }
   }
 
   /** Does the selector use `$text` anywhere? (Routing test for
@@ -1102,17 +1188,80 @@ object Mango {
   }
 
   /** `_find` with automatic index selection over BOTH index families:
-    * a `$text` selector routes to the text index (required — CouchDB
+    * a `$text` selector routes through [[pickTextIndex]] (`use_index`
+    * honored, ambiguity rejected; an index is required — CouchDB
     * rejects `$text` without one); anything else goes through the
     * JSON-index planner. */
   def findAuto(spark: SparkSession, docs: DataFrame, idCol: String,
                indexes: Seq[MangoIndex], textIndexes: Seq[MangoTextIndex],
                findJson: String): DataFrame = {
     val req = parseFind(findJson)
+    if (containsText(req.selector))
+      findText(spark, docs, idCol, pickTextIndex(textIndexes, req.useIndex),
+        findJson)
+    else findAuto(spark, docs, idCol, indexes, findJson)
+  }
+
+  /** [[explain]] over BOTH index families — states exactly the
+    * decision the two-family [[findAuto]] would take: a `$text`
+    * selector reports the [[pickTextIndex]] winner (same `use_index`
+    * and ambiguity rules, so explain can throw exactly where findAuto
+    * would), anything else defers to the JSON-index explain. */
+  def explain(findJson: String, indexes: Seq[MangoIndex],
+              textIndexes: Seq[MangoTextIndex], idCol: String,
+              schema: StructType): MangoExplain = {
+    val req = parseFind(findJson)
     if (containsText(req.selector)) {
-      require(textIndexes.nonEmpty,
-        "selector uses $text but no text index is available")
-      findText(spark, docs, idCol, textIndexes.head, findJson)
-    } else findAuto(spark, docs, idCol, indexes, findJson)
+      val tix = pickTextIndex(textIndexes, req.useIndex)
+      MangoExplain(None,
+        "text index: $text terms probe the postings buckets, non-text " +
+          "residual re-applies on the by-id fetched docs",
+        covered = false, bounds = None, textIndex = Some(tix))
+    } else explain(findJson, indexes, idCol, schema)
+  }
+
+  /** Bookmark pagination for `$text` finds: the candidate set is the
+    * text index's conjunctive postings probe (exactly [[findText]]'s
+    * — |terms| bucket directories read, never a corpus scan), the
+    * residual re-applies on the fetched docs, and paging is the
+    * [[findPage]] typed-JSON cursor over `(sort values…, doc id)` —
+    * ONE `limit(pageSize+1)` job per page, so page N of a deep text
+    * match costs O(candidates) postings probe + top-k, not a re-sort
+    * of the full match prefix. Bookmarks are interchangeable with the
+    * scan path's (same typed cursor values). */
+  def findTextPage(spark: SparkSession, docs: DataFrame, idCol: String,
+                   index: MangoTextIndex, findJson: String,
+                   bookmark: Option[String] = None)
+      : (DataFrame, Option[String]) = {
+    val req = parseFind(findJson)
+    val (textQs, residual) = splitTextSelector(req.selector)
+    require(textQs.nonEmpty, "findTextPage requires a $text conjunct")
+    val rawTerms = textQs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val idType = docs.schema(idCol).dataType
+    val ids = TextSearch.idsMatchingAll(spark, index.path, rawTerms)
+      .select(col("doc_id").cast(idType).as(idCol))
+    val cand = docs.join(ids, Seq(idCol), "left_semi")
+    val filtered = residual match {
+      case Some(r) => cand.filter(compile(r, docs.schema))
+      case None => cand
+    }
+    val (fetch, cursorCols, outCols, pageSize) =
+      pagePlanFrom(filtered, docs.columns.toSeq, req, idCol, bookmark)
+    runPage(fetch, cursorCols, outCols, pageSize)
+  }
+
+  /** Bookmark pagination with automatic selection over BOTH index
+    * families: `$text` pages from the routed text index
+    * ([[findTextPage]]), anything else from the JSON-index pager. */
+  def findPageAuto(spark: SparkSession, docs: DataFrame, idCol: String,
+                   indexes: Seq[MangoIndex],
+                   textIndexes: Seq[MangoTextIndex], findJson: String,
+                   bookmark: Option[String])
+      : (DataFrame, Option[String]) = {
+    val req = parseFind(findJson)
+    if (containsText(req.selector))
+      findTextPage(spark, docs, idCol,
+        pickTextIndex(textIndexes, req.useIndex), findJson, bookmark)
+    else findPageAuto(spark, docs, idCol, indexes, findJson, bookmark)
   }
 }

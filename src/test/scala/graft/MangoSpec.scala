@@ -550,5 +550,130 @@ class MangoSpec extends SparkSpecBase {
     // nothing usable → full scan, stated
     val e4 = ex("""{"selector": {"o_totalprice": {"$gt": 10000}}}""")
     assert(e4.index.isEmpty && e4.reason.startsWith("full scan"))
+    // use_index: a usable named index wins over the planner's pick;
+    // an unknown name falls back to planning (CouchDB's behavior)
+    val e5 = ex("""{"selector": {"o_orderstatus": "F",
+      "o_orderpriority": {"$beginsWith": "1-"}},
+      "use_index": "pri", "fields": ["o_orderkey"]}""")
+    assert(e5.index.contains(byPri), s"use_index must win: $e5")
+    val req5 = """{"selector": {"o_orderstatus": "F",
+      "o_orderpriority": {"$beginsWith": "1-"}},
+      "use_index": "pri", "fields": ["o_orderkey"],
+      "sort": ["o_orderkey"], "limit": 100}"""
+    assert(Mango.findAuto(spark, orders, "o_orderkey", idxs, req5)
+      .collect().toSeq ==
+      Mango.find(orders, "o_orderkey", req5).collect().toSeq)
+    val e6 = ex("""{"selector": {"o_orderstatus": "F"},
+      "use_index": "no-such-index", "fields": ["o_orderkey"]}""")
+    assert(e6.index.contains(byStatus), "unknown use_index → planner")
+    // an UNUSABLE use_index is ignored too (first field unconstrained)
+    val e7 = ex("""{"selector": {"o_orderstatus": "F"},
+      "use_index": "pri", "fields": ["o_orderkey"]}""")
+    assert(e7.index.contains(byStatus), "unusable use_index → planner")
+  }
+
+  test("two text indexes: ambiguity rejected, use_index routes, explain agrees") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mango-text2").toString
+    val byText = Mango.createTextIndex(spark, docs, "doc_id", "text",
+      s"$dir/bytext", nBuckets = 8)
+    val bySource = Mango.createTextIndex(spark, docs, "doc_id", "source",
+      s"$dir/bysource", nBuckets = 8)
+    val req = """{"selector": {"$text": "src1"},
+      "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100000}"""
+    // different stamped field sets + no use_index → loud error, and
+    // explain throws exactly where findAuto would (decision parity)
+    intercept[IllegalArgumentException](Mango.findAuto(spark, docs,
+      "doc_id", Nil, Seq(byText, bySource), req))
+    intercept[IllegalArgumentException](Mango.explain(req, Nil,
+      Seq(byText, bySource), "doc_id", docs.schema))
+    // use_index routes by name; results differ per index, proving the
+    // route is load-bearing: "src1" appears in source values, not text
+    def withUse(name: String) = req.replace(""""selector"""",
+      s""""use_index": "$name", "selector"""")
+    val viaSource = Mango.findAuto(spark, docs, "doc_id", Nil,
+      Seq(byText, bySource), withUse("bysource"))
+      .collect().map(_.getLong(0)).toSeq
+    val wantSource = docs.filter(col("source") === "src1")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSource == wantSource && viaSource.nonEmpty)
+    val viaText = Mango.findAuto(spark, docs, "doc_id", Nil,
+      Seq(byText, bySource), withUse("bytext"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaText.isEmpty, "'src1' is not a text-body token")
+    // explain reports the same routed index findAuto serves from
+    val exS = Mango.explain(withUse("bysource"), Nil,
+      Seq(byText, bySource), "doc_id", docs.schema)
+    assert(exS.textIndex.contains(bySource) && exS.index.isEmpty &&
+      !exS.covered)
+    // unknown use_index on $text is a loud error (never a silent pick)
+    intercept[IllegalArgumentException](Mango.findAuto(spark, docs,
+      "doc_id", Nil, Seq(byText, bySource), withUse("nope")))
+    // same stamped field set → unambiguous without use_index
+    val byText2 = Mango.createTextIndex(spark, docs, "doc_id", "text",
+      s"$dir/bytext2", nBuckets = 8)
+    assert(Mango.findAuto(spark, docs, "doc_id", Nil,
+      Seq(byText, byText2), req).collect().isEmpty)
+    // a non-$text find with text indexes present ignores them
+    val exJ = Mango.explain("""{"selector": {"doc_id": {"$gt": 0}}}""",
+      Nil, Seq(byText, bySource), "doc_id", docs.schema)
+    assert(exJ.textIndex.isEmpty)
+  }
+
+  test("multi-field text index: a term matches in ANY stamped field") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mango-textmf").toString
+    val mf = Mango.createTextIndex(spark, docs, "doc_id",
+      Seq("text", "source"), s"$dir/mf", nBuckets = 8,
+      graft.operators.TextSearch.Analyzer())
+    assert(Mango.openTextIndex(spark, s"$dir/mf") == mf &&
+      mf.fields == Seq("text", "source"))
+    // "src2" lives only in the source field; a text-body word lives
+    // only in text — the conjunction must match across fields
+    val someWord = docs.filter(col("source") === "src2")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).head().getString(0)
+    val req = s"""{"selector": {"$$text": "src2 $someWord"},
+      "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100000}"""
+    val got = Mango.findText(spark, docs, "doc_id", mf, req)
+      .collect().map(_.getLong(0)).toSeq
+    val want = docs.filter(col("source") === "src2" &&
+        array_contains(split(col("text"), "\\s+"), someWord))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+  }
+
+  test("findTextPage: bookmark pages concatenate to the unpaged $text find") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mango-textpg").toString
+    val tix = Mango.createTextIndex(spark, docs, "doc_id", "text",
+      s"$dir/tix", nBuckets = 8)
+    val paged = """{"selector": {"$text": "merge filter",
+      "n_chars": {"$gte": 100}},
+      "fields": ["doc_id", "n_chars"], "sort": ["n_chars"], "limit": 7}"""
+    var bm: Option[String] = None
+    val acc = Seq.newBuilder[Row]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val (p, nb) = Mango.findPageAuto(spark, docs, "doc_id", Nil,
+        Seq(tix), paged, bm)
+      val rows = p.collect()
+      assert(rows.length <= 7)
+      acc ++= rows
+      pages += 1
+      bm = nb
+      done = nb.isEmpty
+    }
+    val unpaged = Mango.findText(spark, docs, "doc_id", tix,
+      paged.replace("\"limit\": 7", "\"limit\": 1000000")).collect().toSeq
+    val got = acc.result()
+    assert(got == unpaged && pages >= 3,
+      s"${got.size} rows in $pages pages vs ${unpaged.size} unpaged")
+    // skip applies to the first page only (offset into the result)
+    val (p1, _) = Mango.findTextPage(spark, docs, "doc_id", tix,
+      paged.replace("\"limit\": 7", "\"skip\": 3, \"limit\": 7"))
+    assert(p1.collect().toSeq == unpaged.slice(3, 10))
   }
 }
