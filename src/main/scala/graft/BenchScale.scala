@@ -58,6 +58,13 @@ object BenchScale {
       Seq(
         "bpe_billing" -> (() =>
           noop(bpe.tokenCounts(d, col("doc_id"), col("text")))),
+        // distributed learn: one corpus pass for the word-frequency
+        // table, then vocabulary-sized merge rounds — a 10× corpus
+        // with ~the same vocabulary pays ~only the extra first pass
+        "bpe_learn" -> (() => {
+          Bpe.learnDistributed(d, col("doc_id"), col("text"), nMerges = 8)
+          ()
+        }),
         "dedup_corpus" -> (() =>
           noop(Dedup.dedupCorpus(d, col("doc_id"), col("text")))),
         "dedup_verified" -> (() =>

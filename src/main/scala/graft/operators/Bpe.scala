@@ -212,4 +212,77 @@ object Bpe {
     }
     Bpe(out.result())
   }
+
+  /** Trainer-scale BPE learning: the SAME merge table [[learn]] would
+    * produce, but nothing corpus-sized ever reaches the driver — the
+    * word-frequency table is computed with one distributed
+    * explode+groupBy pass (vocabulary-sized by Heaps' law, the only
+    * state the learn loop needs), and each merge round is ONE
+    * partial-aggregated groupBy over that table's adjacent symbol
+    * pairs; only the single winning pair row is collected per round.
+    * Ties break `(-count, a, b)` and the loop stops when no pair
+    * repeats — exactly [[learn]]'s rules, so the table is deterministic
+    * and (spec-pinned) IDENTICAL to the driver loop's on the same
+    * sample. `sampleDocs = Some(n)` trains on the same lowest-id slice
+    * [[learn]] uses (the declared-rate sampling tier); `None` trains on
+    * the full corpus. Symbol state is re-checkpointed each round so the
+    * plan stays one-round deep instead of accreting `nMerges` UDF
+    * layers. */
+  def learnDistributed(docs: DataFrame, id: Column, text: Column,
+                       nMerges: Int = 512,
+                       sampleDocs: Option[Int] = None): Bpe = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val base = sampleDocs match {
+      case Some(n) => docs.select(id.cast("long").as("_id"), text.as("_t"))
+        .orderBy(col("_id")).limit(n).select(col("_t"))
+      case None => docs.select(text.as("_t"))
+    }
+    val toSyms = udf((w: String) =>
+      w.getBytes("UTF-8").map(b => new String(Array((b & 0xff).toChar))))
+    // the vocabulary table: (symbolized word type, corpus frequency).
+    // lower+trim+split matches wordsOf (Locale.ROOT — the documented
+    // Spark-parity lowercase), so the driver and distributed learners
+    // see identical word types.
+    var cur = base
+      .select(explode(split(lower(trim(col("_t"))), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .select(toSyms(col("_w")).as("_syms"), col("_f"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < nMerges && !exhausted) {
+      val best = cur
+        .filter(size(col("_syms")) > 1)
+        .select(explode(zip_with(
+          slice(col("_syms"), lit(1), size(col("_syms")) - 1),
+          slice(col("_syms"), lit(2), size(col("_syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("_p"), col("_f"))
+        .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+        .agg(sum(col("_f")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < 2L) exhausted = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        out += ((a, b))
+        val joined = a + b
+        val applyMerge = udf((syms: Seq[String]) => {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              buf += joined; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          buf.toSeq
+        })
+        cur = cur.withColumn("_syms", applyMerge(col("_syms")))
+          .localCheckpoint()
+        m += 1
+      }
+    }
+    Bpe(out.result())
+  }
 }

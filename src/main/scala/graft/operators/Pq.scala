@@ -30,14 +30,41 @@ import graft.gfunctions.round4
   * associative; a fixed fold is what makes the SQL replay bit-identical),
   * and rank ties take the lowest neighbor id.
   *
-  * Scale ceiling, documented: literal codebooks keep plan size O(m·ks) —
-  * fine through ks=256/m=16 (the paper's operating point); beyond that
-  * the broadcast-scorer pattern of the IVF quantizer
-  * ([[Similarity]], round-6) applies unchanged.
+  * Scale tiers: literal codebooks keep plan size O(m·ks) — ideal
+  * through ks=256/m=16 (the paper's operating point, pure codegen).
+  * Above [[literalCodebookMax]] codewords per subspace, the codebooks
+  * move OFF the plan into a `SparkContext.broadcast` value scored by a
+  * compiled per-row loop (the [[Similarity.nearestCidCol]] pattern):
+  * plan size becomes O(1) in ks, encoding and ADC stay shuffle-free
+  * maps, and the arithmetic replays the literal path's exact double-op
+  * sequence (same in-order folds, same tie rules), so both tiers
+  * produce IDENTICAL codes and rankings on identical doubles
+  * (spec-forced over the same data).
   */
 object Pq {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Codebook size (ks, codewords per subspace) above which encode/ADC
+    * switch from plan-literal tables to the broadcast scorer.
+    * `private[graft]` var ONLY as a test seam — the equivalence spec
+    * forces both tiers over the same codebooks. */
+  private[graft] var literalCodebookMax: Int = 256
+
+  /** Spark's double total order (`nanSafeCompareDoubles`): -0.0 == 0.0,
+    * NaN greater than everything — the order the literal path's
+    * struct `array_min` applies, so the broadcast loop ties EXACTLY
+    * like the literal expression. */
+  private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else if (y.isNaN) -1
+    else if (x > y) 1 else -1
+
+  /** Per-(subspace, code) squared codeword norms, summed left-to-right
+    * exactly as the literal path's `cw.map(x*x).sum` literals are. */
+  private def c2Of(cbs: Codebooks): Array[Array[Double]] =
+    cbs.map(_.map(_.map(x => x * x).sum))
 
   /** `codebooks(j)(c)` = codeword `c` of subspace `j`. */
   type Codebooks = Array[Array[Array[Double]]]
@@ -110,17 +137,46 @@ object Pq {
     lit(cw.map(x => x * x).sum) - lit(2.0) * Similarity.dot(s, lit(cw))
 
   /** The stored code of subspace `j`: argmin codeword by squared L2,
-    * ties to the LOWEST code. A fixed fold over the ks candidates keeps
-    * it one codegen'd expression. */
+    * ties to the LOWEST code. Literal tier: a fixed fold over the ks
+    * candidates keeps it one codegen'd expression. Broadcast tier
+    * (ks > [[literalCodebookMax]]): the subspace's codebook moves into
+    * a broadcast scored by a compiled argmin loop replaying the same
+    * `c·c − 2·s·c` sequence and the same min-(d, c) tie rule. */
   private def codeCol(v: Column, cbs: Codebooks, j: Int): Column = {
     val sub = cbs(j).head.length
-    val s = slice(v, j * sub + 1, sub)
-    val scored = cbs(j).zipWithIndex.map { case (cw, c) =>
-      struct(adcTerm(s, cw).as("d"), lit(c).as("c"))
+    if (cbs(j).length <= literalCodebookMax) {
+      val s = slice(v, j * sub + 1, sub)
+      val scored = cbs(j).zipWithIndex.map { case (cw, c) =>
+        struct(adcTerm(s, cw).as("d"), lit(c).as("c"))
+      }
+      // array_min on (d, c) structs: lexicographic — min distance, then
+      // lowest code; one expression, no per-codeword when-chain
+      array_min(array(scored: _*)).getField("c")
+    } else {
+      val spark = SparkSession.active
+      val bc = spark.sparkContext.broadcast((cbs(j), c2Of(cbs)(j)))
+      val f = udf((vec: Seq[Double]) =>
+        if (vec == null) None
+        else {
+          val (cws, c2) = bc.value
+          var bestD = 0.0
+          var best = -1
+          var c = 0
+          while (c < cws.length) {
+            val cw = cws(c)
+            var s = 0.0
+            var t = 0
+            while (t < sub) { s += vec(j * sub + t) * cw(t); t += 1 }
+            val d = c2(c) - 2.0 * s
+            // strict less keeps the earlier (lower) code on ties —
+            // the literal array_min's lexicographic rule
+            if (best < 0 || cmpD(d, bestD) < 0) { bestD = d; best = c }
+            c += 1
+          }
+          Some(best)
+        })
+      f(asDouble(v))
     }
-    // array_min on (d, c) structs: lexicographic — min distance, then
-    // lowest code; one expression, no per-codeword when-chain
-    array_min(array(scored: _*)).getField("c")
   }
 
   /** Encode the corpus: `(vec_id, codes array<int>)` — the m-byte rows a
@@ -156,16 +212,43 @@ object Pq {
   private def adcExpr(cbs: Codebooks, qVec: Column, codes: Column): Column = {
     val m = cbs.length
     val sub = cbs.head.head.length
-    def dj(j: Int): Column = {
-      val s = slice(qVec, j * sub + 1, sub)
-      // typedlit: `lit` does not build nested-array literals
-      val cwTable = typedlit(cbs(j).map(_.toSeq).toSeq)
-      val cw = element_at(cwTable, codes.getItem(j) + 1)
-      val c2 = element_at(lit(cbs(j).map(_.map(x => x * x).sum)),
-        codes.getItem(j) + 1)
-      c2 - lit(2.0) * Similarity.dot(s, cw)
+    if (cbs.map(_.length).max <= literalCodebookMax) {
+      def dj(j: Int): Column = {
+        val s = slice(qVec, j * sub + 1, sub)
+        // typedlit: `lit` does not build nested-array literals
+        val cwTable = typedlit(cbs(j).map(_.toSeq).toSeq)
+        val cw = element_at(cwTable, codes.getItem(j) + 1)
+        val c2 = element_at(lit(cbs(j).map(_.map(x => x * x).sum)),
+          codes.getItem(j) + 1)
+        c2 - lit(2.0) * Similarity.dot(s, cw)
+      }
+      (1 until m).foldLeft(dj(0))((acc, j) => acc + dj(j))
+    } else {
+      // broadcast tier: the m·ks·sub table off the plan; the loop is
+      // the SAME left fold j = 0..m-1 of c2 − 2·(in-order dot), so the
+      // summed doubles are bit-identical to the literal expression's
+      val spark = SparkSession.active
+      val bc = spark.sparkContext.broadcast((cbs, c2Of(cbs)))
+      val f = udf((q: Seq[Double], cs: Seq[Int]) =>
+        if (q == null || cs == null) None
+        else {
+          val (cb, c2) = bc.value
+          var acc = 0.0
+          var j = 0
+          while (j < m) {
+            val code = cs(j)
+            val cw = cb(j)(code)
+            var s = 0.0
+            var t = 0
+            while (t < sub) { s += q(j * sub + t) * cw(t); t += 1 }
+            val dj = c2(j)(code) - 2.0 * s
+            acc = if (j == 0) dj else acc + dj
+            j += 1
+          }
+          Some(acc)
+        })
+      f(asDouble(qVec), codes)
     }
-    (1 until m).foldLeft(dj(0))((acc, j) => acc + dj(j))
   }
 
   /** Shared serving tail: bounded top-`refine` per query by ADC ASC

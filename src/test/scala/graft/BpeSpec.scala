@@ -134,4 +134,27 @@ class BpeSpec extends SparkSpecBase {
     val udfAt = plan.linesIterator.indexWhere(_.contains("UDF"))
     assert(udfAt >= 0, s"expected the encode UDF in:\n$plan")
   }
+
+  test("learnDistributed == driver learn on the same sample; full-corpus runs") {
+    // path equivalence: one distributed groupBy per merge round must
+    // reproduce the driver loop's merge table EXACTLY — same pair
+    // counts, same (-count, a, b) tie-breaks, same early stop
+    val driver = Bpe.learn(docs, $"doc_id", $"text",
+      nMerges = 32, sampleDocs = 120)
+    val dist = Bpe.learnDistributed(docs, $"doc_id", $"text",
+      nMerges = 32, sampleDocs = Some(120))
+    assert(dist.merges == driver.merges,
+      s"tables diverge at ${dist.merges.zip(driver.merges)
+        .indexWhere(p => p._1 != p._2)}: " +
+        s"${dist.merges.take(8)} vs ${driver.merges.take(8)}")
+    // full-corpus training (no sample) is deterministic and its table
+    // bills every doc (the scale path: nothing corpus-sized collects)
+    val full = Bpe.learnDistributed(docs, $"doc_id", $"text", nMerges = 8)
+    assert(full.merges.size == 8)
+    assert(Bpe.learnDistributed(docs, $"doc_id", $"text", nMerges = 8)
+      .merges == full.merges)
+    val n = full.tokenCounts(docs, $"doc_id", $"text")
+      .agg(sum($"bpe_tokens")).head().getLong(0)
+    assert(n > 0L)
+  }
 }

@@ -47,4 +47,28 @@ class PqSpec extends SparkSpecBase {
     val recall2 = (refined & want).size.toDouble / want.size
     assert(recall2 >= recall - 0.15, s"refined $recall2 vs $recall")
   }
+
+  test("broadcast codebook tier == literal tier exactly (codes and ADC)") {
+    // the test seam forces the big-ks path over the SAME codebooks the
+    // literal plan embeds: identical codes, identical rankings — the
+    // broadcast loop must replay the literal expression's double-op
+    // sequence and tie rules exactly
+    val cbs = Pq.initCodebooks(emb, m = 8, ks = 16)
+    val q = emb.filter(col("vec_id") < 5)
+    val litCodes = Pq.encode(emb, cbs).collect().map(_.toString).sorted.toSeq
+    val litTop = Pq.adcTopK(Pq.encode(emb, cbs), emb, q, cbs,
+      k = 5, refine = 50).collect().map(_.toString).sorted.toSeq
+    val saved = Pq.literalCodebookMax
+    try {
+      Pq.literalCodebookMax = 1
+      val bcCodes = Pq.encode(emb, cbs).collect().map(_.toString).sorted.toSeq
+      assert(bcCodes == litCodes, "broadcast encode diverges from literal")
+      val bcTop = Pq.adcTopK(Pq.encode(emb, cbs), emb, q, cbs,
+        k = 5, refine = 50).collect().map(_.toString).sorted.toSeq
+      assert(bcTop == litTop, "broadcast ADC ranking diverges from literal")
+      // and the plan really is UDF-scored, not literal-table-scored
+      val plan = Pq.encode(emb, cbs).queryExecution.optimizedPlan.toString()
+      assert(plan.contains("UDF"), s"expected broadcast UDF tier in:\n$plan")
+    } finally Pq.literalCodebookMax = saved
+  }
 }
