@@ -2307,7 +2307,7 @@ object SparkEntry {
     val req = """{"selector": {"o_totalprice": {"$gte": 300000},
       | "o_orderpriority": {"$regex": "^[12]-"}},
       | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
-      | "sort": ["o_totalprice"], "limit": 250}""".stripMargin
+      | "sort": ["o_totalprice"], "limit": 800}""".stripMargin
     var bm: Option[String] = None
     var acc: Option[DataFrame] = None
     var done = false
@@ -2343,12 +2343,15 @@ object SparkEntry {
   }
 
   /** A24f: bookmark paging for `$text` finds ([[graft.operators.Mango
-    * .findTextPage]] via the two-family findPageAuto) — 25-row pages of
-    * a text match with an `n_chars` residual, each page ONE
-    * `limit(26)` job over the postings-probed candidates resumed
-    * strictly after the typed-JSON cursor; the stitched pages must
-    * equal the unpaged relation (the oracle replays the conjunctive
-    * match + residual, ordered by the sort key then id). */
+    * .findTextPage]] via the two-family findPageAuto) — 100-row pages
+    * of a text match with an `n_chars` residual, each page ONE
+    * `limit(101)` job over the postings-probed candidates resumed
+    * strictly after the typed-JSON cursor (multi-page at BOTH SFs: 4
+    * pages at sf0.01, ~30 at sf0.1 — each page is one stateless client
+    * request, so the walk's cost is page count × per-page job); the
+    * stitched pages must equal the unpaged relation (the oracle
+    * replays the conjunctive match + residual, ordered by the sort key
+    * then id). */
   private def q171(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Mango
     val docs = t(s, dir, "documents")
@@ -2359,7 +2362,7 @@ object SparkEntry {
     val req = """{"selector": {"$text": "merge filter",
       |              "n_chars": {"$gte": 150}},
       | "fields": ["doc_id", "n_chars", "source"],
-      | "sort": ["n_chars"], "limit": 25}""".stripMargin
+      | "sort": ["n_chars"], "limit": 100}""".stripMargin
     var bm: Option[String] = None
     var acc: Option[DataFrame] = None
     var done = false
