@@ -2376,6 +2376,28 @@ object SparkEntry {
     acc.get.orderBy(col("n_chars"), col("doc_id"))
   }
 
+  /** A25d (multi-field): ONE Mango text index stamped over BOTH
+    * `text` and `source` — CouchDB's default-field aggregation: a
+    * `$text` term matches when it appears in ANY indexed field. The
+    * request's terms split across fields ("src2" lives only in
+    * `source` values, "merge" only in text bodies), so a single-field
+    * index could not serve this conjunction; the oracle replays the
+    * per-term any-field disjunction relationally. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q172mtx2", dir, "documents")
+    val idx =
+      if (hasFile(s, s"$path/_mango_text")) Mango.openTextIndex(s, path)
+      else Mango.createTextIndex(s, docs, "doc_id", Seq("text", "source"),
+        path, 64, graft.operators.TextSearch.Analyzer())
+    Mango.findAuto(s, docs, "doc_id", Nil, Seq(idx),
+      """{"selector": {"$text": "src2 merge",
+        |              "n_chars": {"$gte": 120}},
+        | "fields": ["doc_id", "source", "n_chars"],
+        | "sort": ["doc_id"], "limit": 1000000}""".stripMargin)
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3418,7 +3440,8 @@ object SparkEntry {
     "q168_view_filtered_feed" -> (q168 _),
     "q169_conflicts_read" -> (q169 _),
     "q170_streaming_ivfpq" -> (q170 _),
-    "q171_mango_text_page" -> (q171 _)
+    "q171_mango_text_page" -> (q171 _),
+    "q172_mango_text_multifield" -> (q172 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6024,14 +6047,24 @@ object SparkEntry {
         |  AND list_contains(string_split(text, ' '), 'filter')
         |  AND source IN ('src0', 'src1', 'src2')
         |ORDER BY doc_id""".stripMargin,
-    // $text bookmark paging: the stitched 25-row pages must BE the
+    // $text bookmark paging: the stitched 100-row pages must BE the
     // unpaged conjunctive match + residual, in (sort key, id) order
     "q171_mango_text_page" ->
       """SELECT doc_id, n_chars, source FROM documents
         |WHERE list_contains(string_split(text, ' '), 'merge')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |  AND n_chars >= 150
-        |ORDER BY n_chars, doc_id""".stripMargin
+        |ORDER BY n_chars, doc_id""".stripMargin,
+    // multi-field text index: each term matches in ANY stamped field
+    // (text tokens OR the source value), conjunction across terms
+    "q172_mango_text_multifield" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (list_contains(string_split(text, ' '), 'src2')
+        |       OR source = 'src2')
+        |  AND (list_contains(string_split(text, ' '), 'merge')
+        |       OR source = 'merge')
+        |  AND n_chars >= 120
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init
