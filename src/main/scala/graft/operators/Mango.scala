@@ -1173,18 +1173,58 @@ object Mango {
   def findText(spark: SparkSession, docs: DataFrame, idCol: String,
                index: MangoTextIndex, findJson: String): DataFrame = {
     val req = parseFind(findJson)
+    val (filtered, _) = textCandidates(spark, docs, idCol, index, req)
+    finish(filtered, req, idCol)
+  }
+
+  /** The `$text` candidate relation shared by [[findText]] and
+    * [[findTextPage]]: postings-probed ids, semi-joined to docs, with
+    * the non-text residual re-applied — EXCEPT when the find is
+    * id-COVERED (no residual, projection and sort touch only the doc
+    * id): then the postings probe's distinct ids ARE the result
+    * relation and the doc corpus is never scanned (the index-only
+    * serve — at corpus scale an id-list text search costs |terms|
+    * postings buckets, zero doc I/O). Returns (relation, its column
+    * names). */
+  private def textCandidates(spark: SparkSession, docs: DataFrame,
+                             idCol: String, index: MangoTextIndex,
+                             req: FindReq): (DataFrame, Seq[String]) = {
     val (textQs, residual) = splitTextSelector(req.selector)
     require(textQs.nonEmpty, "findText requires a $text conjunct")
     val rawTerms = textQs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
     val idType = docs.schema(idCol).dataType
     val ids = TextSearch.idsMatchingAll(spark, index.path, rawTerms)
       .select(col("doc_id").cast(idType).as(idCol))
-    val cand = docs.join(ids, Seq(idCol), "left_semi")
-    val filtered = residual match {
-      case Some(r) => cand.filter(compile(r, docs.schema))
-      case None => cand
+    val idCovered = residual.isEmpty &&
+      req.fields.nonEmpty && req.fields.forall(_ == idCol) &&
+      req.sort.forall(_._1 == idCol)
+    if (idCovered) (ids, Seq(idCol))
+    else {
+      val cand = docs.join(ids, Seq(idCol), "left_semi")
+      val filtered = residual match {
+        case Some(r) => cand.filter(compile(r, docs.schema))
+        case None => cand
+      }
+      (filtered, docs.columns.toSeq)
     }
-    finish(filtered, req, idCol)
+  }
+
+  /** Incrementally maintain a Mango text index — the E7b
+    * [[TextSearch.upsertTextDocs]] contract (changed docs re-post
+    * against the STORED analyzer, tombstoned ids retire, only touched
+    * term buckets rewrite) with the text derived from the index's
+    * STAMPED field set, so a multi-field index's default-field
+    * concatenation can never drift from what the build indexed.
+    * Returns the touched bucket ids. */
+  def upsertTextIndex(spark: SparkSession, index: MangoTextIndex,
+                      changedDocs: DataFrame, idCol: String,
+                      deletedIds: Seq[Long] = Nil): Seq[Int] = {
+    val text =
+      if (index.fields.size == 1) col(index.fields.head)
+      else concat_ws(" ",
+        index.fields.map(f => coalesce(col(f), lit(""))): _*)
+    TextSearch.upsertTextDocs(spark, index.path, changedDocs, col(idCol),
+      text, deletedIds)
   }
 
   /** `_find` with automatic index selection over BOTH index families:
@@ -1234,19 +1274,9 @@ object Mango {
                    bookmark: Option[String] = None)
       : (DataFrame, Option[String]) = {
     val req = parseFind(findJson)
-    val (textQs, residual) = splitTextSelector(req.selector)
-    require(textQs.nonEmpty, "findTextPage requires a $text conjunct")
-    val rawTerms = textQs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
-    val idType = docs.schema(idCol).dataType
-    val ids = TextSearch.idsMatchingAll(spark, index.path, rawTerms)
-      .select(col("doc_id").cast(idType).as(idCol))
-    val cand = docs.join(ids, Seq(idCol), "left_semi")
-    val filtered = residual match {
-      case Some(r) => cand.filter(compile(r, docs.schema))
-      case None => cand
-    }
+    val (filtered, allCols) = textCandidates(spark, docs, idCol, index, req)
     val (fetch, cursorCols, outCols, pageSize) =
-      pagePlanFrom(filtered, docs.columns.toSeq, req, idCol, bookmark)
+      pagePlanFrom(filtered, allCols, req, idCol, bookmark)
     runPage(fetch, cursorCols, outCols, pageSize)
   }
 

@@ -676,4 +676,81 @@ class MangoSpec extends SparkSpecBase {
       paged.replace("\"limit\": 7", "\"skip\": 3, \"limit\": 7"))
     assert(p1.collect().toSeq == unpaged.slice(3, 10))
   }
+
+  test("id-covered $text find serves from the postings alone (no doc scan)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mango-textcov").toString
+    val tix = Mango.createTextIndex(spark, docs, "doc_id", "text",
+      s"$dir/tix", nBuckets = 8)
+    // no residual, fields and sort touch only the id → index-only
+    val req = """{"selector": {"$text": "merge filter"},
+      "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100000}"""
+    val covered = Mango.findText(spark, docs, "doc_id", tix, req)
+    val want = docs
+      .filter(array_contains(split(col("text"), "\\s+"), "merge") &&
+        array_contains(split(col("text"), "\\s+"), "filter"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(covered.collect().toSeq == want && want.nonEmpty)
+    // inspect the FINAL (post-AQE) plan: only the postings are read
+    val planStr = covered.queryExecution.executedPlan.toString()
+    assert(planStr.contains(s"$dir/tix"),
+      s"expected a postings scan in:\n$planStr")
+    assert(!planStr.contains("documents.parquet"),
+      s"id-covered $$text must not scan the doc corpus:\n$planStr")
+    // the paged covered serve agrees page-for-page too
+    val (pg, _) = Mango.findTextPage(spark, docs, "doc_id", tix,
+      req.replace("\"limit\": 100000", "\"limit\": 5"))
+    assert(pg.collect().toSeq == want.take(5))
+    // a non-id projection still takes the fetch path and agrees
+    val req2 = """{"selector": {"$text": "merge filter"},
+      "fields": ["doc_id", "source"], "sort": ["doc_id"], "limit": 100000}"""
+    assert(Mango.findText(spark, docs, "doc_id", tix, req2).count() ==
+      want.size)
+  }
+
+  test("upsertTextIndex maintains the stamped field set incrementally") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val dir = java.nio.file.Files.createTempDirectory("mango-textup").toString
+    // multi-field index built over a PARTIAL corpus, then maintained:
+    // late docs post, one doc edits (source change — a field only the
+    // stamp knows to index), one doc deletes
+    val early = docs.filter(col("doc_id") % 5 =!= 0)
+    val late = docs.filter(col("doc_id") % 5 === 0)
+    val mf = Mango.createTextIndex(spark, early, "doc_id",
+      Seq("text", "source"), s"$dir/mf", nBuckets = 8,
+      graft.operators.TextSearch.Analyzer())
+    val editedId = early.agg(min(col("doc_id"))).head().getLong(0)
+    val edited = early.filter(col("doc_id") === editedId)
+      .withColumn("source", lit("srcedited"))
+    val deletedId = early.filter(col("doc_id") =!= editedId)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val touched = Mango.upsertTextIndex(spark, mf,
+      late.unionByName(edited), "doc_id", deletedIds = Seq(deletedId))
+    assert(touched.nonEmpty)
+    // the maintained index must serve EXACTLY like a fresh build over
+    // the modified corpus
+    val modified = docs.filter(col("doc_id") =!= deletedId)
+      .withColumn("source",
+        when(col("doc_id") === editedId, lit("srcedited"))
+          .otherwise(col("source")))
+    val fresh = Mango.createTextIndex(spark, modified, "doc_id",
+      Seq("text", "source"), s"$dir/fresh", nBuckets = 8,
+      graft.operators.TextSearch.Analyzer())
+    for (q <- Seq("srcedited", "src1", "merge filter")) {
+      val req = s"""{"selector": {"$$text": "$q"},
+        "fields": ["doc_id"], "sort": ["doc_id"], "limit": 100000}"""
+      val got = Mango.findText(spark, modified, "doc_id", mf, req)
+        .as[Long].collect().toSeq
+      val want = Mango.findText(spark, modified, "doc_id", fresh, req)
+        .as[Long].collect().toSeq
+      assert(got == want, s"'$q': maintained ${got.size} vs fresh ${want.size}")
+    }
+    // the edited source field is searchable, the deleted doc is gone
+    val gotEdit = Mango.findText(spark, modified, "doc_id", mf,
+      """{"selector": {"$text": "srcedited"},
+         "fields": ["doc_id"], "limit": 100}""").as[Long].collect().toSeq
+    assert(gotEdit == Seq(editedId))
+  }
 }
