@@ -2398,6 +2398,118 @@ object SparkEntry {
         | "sort": ["doc_id"], "limit": 1000000}""".stripMargin)
   }
 
+  /** The partitioned-database corpus for q173/q174/q175: orders as
+    * CouchDB partitioned docs, partition = customer bucket
+    * (`"p<custkey%100>:o<orderkey>"` — [[graft.view.PartitionedStore]]'s
+    * id shape), ~1% of the corpus per partition at any SF. */
+  private def q173Docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      concat(lit("p"), (col("o_custkey") % 100).cast("string"), lit(":o"),
+        col("o_orderkey").cast("string")).as("_id"),
+      col("o_orderdate"), col("o_totalprice"))
+
+  /** A34: PARTITIONED-DATABASE views ([[graft.view.View
+    * .materializePartitioned]]/[[graft.view.View.fromPartitionedIndex]])
+    * — CouchDB 3.x `/db/_partition/{p}/_design/.../_view`: the view
+    * stored hive-partitioned by each id's partition key, a scoped
+    * date-range query served from ONE `_p` directory (directory-level
+    * pruning) + the pushed `_ck` range (row-group pruning inside the
+    * partition's sorted files). The oracle replays partition extraction
+    * and the range relationally. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val docs = q173Docs(s, dir)
+    val v = View(docs, col("_id"), col("o_orderdate"), col("o_totalprice"))
+    val path = idxPath("q173pvx", dir, "orders")
+    if (!hasFile(s, s"$path/_graft_meta"))
+      v.materializePartitioned(path, numTasks = 8, seq = 1)
+    v.fromPartitionedIndex(s, path, "p7")
+      .query(QueryOpts(reduce = false,
+        startKey = Some(java.time.Instant.parse("1993-01-01T00:00:00Z")),
+        endKey = Some(java.time.Instant.parse("1997-01-01T00:00:00Z")),
+        inclusiveEnd = false))
+      .select(col("id"),
+        (year(col("key")) * 10000 + month(col("key")) * 100 +
+          dayofmonth(col("key"))).cast("long").as("o_date"),
+        col("value").as("o_totalprice"))
+  }
+
+  /** A34b: partition-scoped `_all_docs` ([[graft.view.View
+    * .partitionScope]] over [[graft.view.View.allDocs]]) — CouchDB's
+    * `/db/_partition/{p}/_all_docs` with a key range and limit; on the
+    * unmaterialized path the id-prefix scope is a pushable `StartsWith`
+    * on the docs scan. The oracle replays the id synthesis, range, and
+    * limit in id order. */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    View.allDocs(q173Docs(s, dir), col("_id")).partitionScope("p42")
+      .query(QueryOpts(reduce = false, startKey = Some("p42:o2"),
+        endKey = Some("p42:o8"), inclusiveEnd = false,
+        limit = Some(500)))
+      .select(col("id"), col("key"), col("value"))
+
+  /** A34c: partitioned-view REDUCE ([[graft.view.View
+    * .fromPartitionedIndex]] + `group=true`) — CouchDB 3.x partitioned
+    * views support reduce with partition-local results: per-orderdate
+    * decimal sums over ONE partition's rows, aggregated from the
+    * `_p`-pruned index read (partial aggregation within the one
+    * directory's files). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = q173Docs(s, dir)
+    val v = View(docs, col("_id"), col("o_orderdate"),
+      col("o_totalprice").cast("decimal(18,2)"), Some(Reduce.Sum))
+    val path = idxPath("q175pvr", dir, "orders")
+    if (!hasFile(s, s"$path/_graft_meta"))
+      v.materializePartitioned(path, numTasks = 8, seq = 1)
+    v.fromPartitionedIndex(s, path, "p13")
+      .query(QueryOpts(group = true))
+      .select((year(col("key")) * 10000 + month(col("key")) * 100 +
+        dayofmonth(col("key"))).cast("long").as("o_date"),
+        col("value").cast("double").as("sum_price"))
+  }
+
+  /** A28b: CHECKPOINTED replication ([[graft.sources.ChangesFeed
+    * .resumeDelta]]/[[graft.sources.ChangesFeed.checkpointAfter]]) —
+    * the CouchDB replicator's `_local` checkpoint protocol: round 1
+    * replicates the initial log and persists its max seq under the
+    * replication id; the tail generation then lands; the gate serves
+    * round 2's push set AGAINST AN EMPTY TARGET — exactly the tail's
+    * latest changes. If resumption ignored the stored checkpoint the
+    * full history would reappear (10× the rows), so the hash pins the
+    * checkpoint round-trip itself. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q176chg", dir, "documents")
+    val emptyTarget = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("").as("rev")).limit(0)
+    if (!hasFile(s, s"$path/_graft_built")) {
+      val (initial, tail) = q129Log(s, dir)
+      ChangesFeed.write(initial, path, width = 128)
+      val push1 = ChangesFeed.resumeDelta(s, path, "gate-replication",
+        emptyTarget)
+      ChangesFeed.checkpointAfter(s, path, "gate-replication", push1)
+      ChangesFeed.append(tail, path)
+      new java.io.File(s"$path/_graft_built").createNewFile()
+    }
+    ChangesFeed.resumeDelta(s, path, "gate-replication", emptyTarget)
+  }
+
+  /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
+    * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
+    * changed doc's row lists its rev tree's FULL leaf set (the q126
+    * synthesis — tombstone branch tips included) while `rev`/`deleted`
+    * resolve to the winner under the Revisions rule; one bounded
+    * groupBy over the leaves + one left join onto the pruned feed
+    * read. The oracle replays feed dedup, winner rule, and the sorted
+    * leaf list. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
+    ChangesFeed.sinceStyleAllDocs(s, path, -1L, q126Leaves(s, dir),
+      col("doc_id"), col("rev_pos"), col("rev_hash"), col("deleted"))
+      .select(col("seq"), col("id"), col("rev"), col("deleted"),
+        concat_ws(",", col("changes")).as("changes"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3441,7 +3553,12 @@ object SparkEntry {
     "q169_conflicts_read" -> (q169 _),
     "q170_streaming_ivfpq" -> (q170 _),
     "q171_mango_text_page" -> (q171 _),
-    "q172_mango_text_multifield" -> (q172 _)
+    "q172_mango_text_multifield" -> (q172 _),
+    "q173_partitioned_view" -> (q173 _),
+    "q174_partitioned_all_docs" -> (q174 _),
+    "q175_partitioned_reduce" -> (q175 _),
+    "q176_replication_checkpoint" -> (q176 _),
+    "q177_changes_style_all_docs" -> (q177 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6064,7 +6181,89 @@ object SparkEntry {
         |  AND (list_contains(string_split(text, ' '), 'merge')
         |       OR source = 'merge')
         |  AND n_chars >= 120
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // partitioned view: partition extraction + scoped date range,
+    // served from one _p directory
+    "q173_partitioned_view" ->
+      """SELECT 'p' || (o_custkey % 100) || ':o' || o_orderkey AS id,
+        |  YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100 +
+        |    DAY(o_orderdate) AS o_date,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_custkey % 100 = 7
+        |  AND o_orderdate >= TIMESTAMP '1993-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderdate, id""".stripMargin,
+    // partition-scoped _all_docs: id range within one partition + limit
+    "q174_partitioned_all_docs" ->
+      """WITH ids AS (
+        |  SELECT 'p' || (o_custkey % 100) || ':o' || o_orderkey AS id
+        |  FROM orders WHERE o_custkey % 100 = 42)
+        |SELECT id, id AS key, id AS value FROM ids
+        |WHERE id >= 'p42:o2' AND id < 'p42:o8'
+        |ORDER BY id LIMIT 500""".stripMargin,
+    // partitioned-view reduce: partition-local per-date decimal sums
+    "q175_partitioned_reduce" ->
+      """SELECT YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100 +
+        |    DAY(o_orderdate) AS o_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_custkey % 100 = 13
+        |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
+    // checkpointed replication round 2: exactly the tail generation's
+    // latest changes (the stored checkpoint cuts the whole initial log)
+    "q176_replication_checkpoint" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents)
+        |SELECT 3 * (m.md + 1) + doc_id AS seq, doc_id AS id,
+        |       '3-' || md5(doc_id || ':r3') AS rev,
+        |       doc_id % 10 = 0 AS deleted
+        |FROM documents, m WHERE doc_id % 5 = 0
+        |ORDER BY seq""".stripMargin,
+    // style=all_docs: feed dedup + winner rule + sorted leaf list from
+    // the q126 revision-tree synthesis
+    "q177_changes_style_all_docs" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log),
+        |feed AS (SELECT seq, id FROM f WHERE rn = 1),
+        |leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves),
+        |w AS (SELECT doc_id, rev_pos || '-' || rev_hash AS win_rev,
+        |             deleted FROM ranked WHERE rn = 1),
+        |ch AS (SELECT doc_id,
+        |         string_agg(rev_pos || '-' || rev_hash, ','
+        |                    ORDER BY rev_pos || '-' || rev_hash) AS changes
+        |       FROM leaves GROUP BY doc_id)
+        |SELECT feed.seq, feed.id, w.win_rev AS rev, w.deleted, ch.changes
+        |FROM feed JOIN w ON feed.id = w.doc_id
+        |          JOIN ch ON feed.id = ch.doc_id
+        |ORDER BY feed.seq""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The `_changes` feed — the reference ecosystem's replication surface
@@ -170,6 +170,122 @@ object ChangesFeed {
         .distinct(), Seq("id", "rev"), "left_anti")
       .select(col("seq"), col("id"), col("rev"), col("deleted"))
       .orderBy(col("seq"))
+
+  // ------------------------------------------- replication checkpoints
+
+  /** CouchDB keeps each replication's resume point in a `_local/<id>`
+    * document on (both sides of) the database — non-replicating,
+    * last-write-wins, one per replication id. Here: a one-line file
+    * under `path/_local/`, named by the md5 of the replication id (ids
+    * are caller-chosen free text; the raw id is stored INSIDE and
+    * verified on read, so a hash collision cannot silently serve
+    * another replication's checkpoint). */
+  private def checkpointFile(path: String, repId: String): Path = {
+    require(repId.nonEmpty, "replication id must be non-empty")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(repId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(s"$path/_local/$h")
+  }
+
+  /** The checkpointed sequence for `repId`, or -1 (replicate from the
+    * beginning — `since` is an exclusive bound and seqs may start at
+    * 0). */
+  def readCheckpoint(spark: SparkSession, path: String,
+                     repId: String): Long = {
+    val fs = fsFor(spark, path)
+    val p = checkpointFile(path, repId)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = txt.linesIterator.toSeq
+      val storedId = lines.collectFirst {
+        case l if l.startsWith("repId=") => l.stripPrefix("repId=")
+      }
+      require(storedId.contains(repId),
+        s"checkpoint file ${p} belongs to replication " +
+          s"'${storedId.getOrElse("?")}', not '$repId' (md5 collision?)")
+      lines.collectFirst {
+        case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong
+      }.getOrElse(sys.error(s"malformed checkpoint file $p"))
+    }
+  }
+
+  /** Persist `repId`'s resume point (overwrite — last write wins, as
+    * CouchDB `_local` docs resolve). */
+  def saveCheckpoint(spark: SparkSession, path: String, repId: String,
+                     seq: Long): Unit = {
+    val out = fsFor(spark, path).create(checkpointFile(path, repId), true)
+    try out.write(s"repId=$repId\nseq=$seq\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** One CHECKPOINTED replication round: the [[replicationDelta]] push
+    * set resuming from `repId`'s stored checkpoint (or the beginning).
+    * The caller applies the rows to the target, then calls
+    * [[checkpointAfter]] with them — the CouchDB replicator protocol
+    * (`_local` read → `_changes` since → push → `_local` write) in two
+    * set-at-a-time calls. */
+  def resumeDelta(spark: SparkSession, path: String, repId: String,
+                  targetRevs: DataFrame): DataFrame =
+    replicationDelta(spark, path, readCheckpoint(spark, path, repId),
+      targetRevs)
+
+  /** Advance `repId`'s checkpoint past a pushed batch: the new resume
+    * point is the batch's max seq (an empty batch — already converged —
+    * leaves the checkpoint where it was). Returns the saved seq. The
+    * max is one partial-aggregated job over the already-computed batch,
+    * not a re-read of the feed. */
+  def checkpointAfter(spark: SparkSession, path: String, repId: String,
+                      pushed: DataFrame): Long = {
+    val m = pushed.agg(max(col("seq"))).head()
+    val prev = readCheckpoint(spark, path, repId)
+    val seq = if (m.isNullAt(0)) prev else math.max(m.getLong(0), prev)
+    if (seq > prev) saveCheckpoint(spark, path, repId, seq)
+    seq
+  }
+
+  /** The feed with `style=all_docs` — each changed document's row
+    * reports its revision tree's full LEAF set, not just the winner
+    * (CouchDB's conflict-aware replication feed: `changes` =
+    * `[{rev: leaf}, ...]`). The tree lives in the caller's leaves
+    * relation (same contract as [[graft.view.View.withConflicts]] /
+    * [[graft.operators.Revisions]]); the composition is ONE partial-
+    * aggregable groupBy over the leaves (per-doc state = one rev tree's
+    * leaf count, bounded by contract) and ONE left join onto the pruned
+    * [[since]] read. The row's `rev`/`deleted` resolve to the WINNER
+    * under the [[graft.operators.Revisions]] rule (live > deepest >
+    * greatest hash — what CouchDB reports when the tree has branches);
+    * `changes` lists every leaf rev, ascending (deterministic order,
+    * deleted-branch tips included — tombstone leaves travel in
+    * replication). A feed id with no row in `leaves` falls back to its
+    * own logged rev — a single-leaf tree. */
+  def sinceStyleAllDocs(spark: SparkSession, path: String, sinceSeq: Long,
+                        leaves: DataFrame, id: Column, revPos: Column,
+                        revHash: Column, deleted: Column,
+                        limit: Option[Int] = None): DataFrame = {
+    val rev = concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+    val leafSets = leaves
+      .select(id.as("id"), revPos.cast("long").as("_pos"),
+        revHash.cast("string").as("_hash"),
+        deleted.cast("boolean").as("_del"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(rev)).as("_changes"),
+        max(struct((!col("_del")).as("live"), col("_pos").as("pos"),
+          col("_hash").as("hash"))).as("_w"))
+      .select(col("id"), col("_changes"),
+        concat(col("_w.pos").cast("string"), lit("-"), col("_w.hash"))
+          .as("_win_rev"),
+        (!col("_w.live")).as("_win_deleted"))
+    val out = since(spark, path, sinceSeq)
+      .join(leafSets, Seq("id"), "left")
+      .select(col("seq"), col("id"),
+        coalesce(col("_win_rev"), col("rev")).as("rev"),
+        coalesce(col("_win_deleted"), col("deleted")).as("deleted"),
+        coalesce(col("_changes"), array(col("rev"))).as("changes"))
+      .orderBy(col("seq"))
+    limit.fold(out)(out.limit)
+  }
 
   /** Rewrite ONLY the seq buckets whose file count exceeds
     * `maxFilesPerBucket` — streaming appends (one file per touched

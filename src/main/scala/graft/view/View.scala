@@ -538,6 +538,87 @@ final class View private (
       conflictsRel = conflictsRel)
   }
 
+  /** PARTITION SCOPE — CouchDB 3.x partitioned databases
+    * (`/db/_partition/{partition}/...`): the same view restricted to
+    * the documents whose id lives in `partition` (ids are
+    * `"<partition>:<key>"`, see [[PartitionedStore]]). Every
+    * [[QueryOpts]] feature composes unchanged — ranges, keys=, reduce/
+    * group (partition-local aggregates, as CouchDB partitioned views
+    * reduce), include_docs, pagination — and `totalRows` becomes the
+    * partition's row count, matching the scoped envelope.
+    *
+    * Scale shape: on an UNMATERIALIZED view the id-prefix predicate
+    * lands on the DOCS scan (a pushable `StartsWith` — prunes before
+    * the map phase); on a view opened via [[fromPartitionedIndex]] the
+    * scope is `_p` directory pruning. On a `_kb`-bucketed global index
+    * ([[fromIndex]]) the prefix filters index rows — correct, but
+    * partition cost there is O(index); build the partitioned layout
+    * when partition queries are the workload. */
+  def partitionScope(partition: String): View = {
+    PartitionedStore.requireValidPartition(partition)
+    val pfx = partition + PartitionedStore.Sep
+    indexRows match {
+      case Some(ir) =>
+        new View(docs, idCol, mapPhase, reduceFn,
+          Some(ir.filter(col("_id").cast("string").startsWith(pfx))),
+          isUnion, indexMeta, indexPath, locale, conflictsRel)
+      case None =>
+        new View(docs.filter(idCol.cast("string").startsWith(pfx)), idCol,
+          mapPhase, reduceFn, None, isUnion, indexMeta, indexPath, locale,
+          conflictsRel)
+    }
+  }
+
+  /** Persist this view in the PARTITIONED layout ([[PartitionedStore]]):
+    * rows hive-partitioned by their id's partition key, `_ck`-sorted
+    * within — the storage that makes a partition-scoped query
+    * directory-pruned at any corpus size (CouchDB's partitioned-view
+    * shard-locality promise, re-expressed as partition pruning). */
+  def materializePartitioned(path: String, numTasks: Int = 0,
+                             seq: Long = 0L): Unit = {
+    val spark = rows.sparkSession
+    val n = if (numTasks > 0) numTasks
+            else spark.sessionState.conf.numShufflePartitions
+    PartitionedStore.create(spark, path, rows, n, seq)
+  }
+
+  /** Reopen a [[materializePartitioned]] index scoped to ONE partition:
+    * the `_p` filter prunes at the directory level (other partitions
+    * are never listed), the `_ck` range then prunes row groups inside
+    * the partition's sorted files. The full [[QueryOpts]] envelope
+    * applies; `totalRows`/`update_seq` report the scoped count and the
+    * stored stamp. */
+  def fromPartitionedIndex(spark: SparkSession, path: String,
+                           partition: String): View = {
+    PartitionedStore.requireValidPartition(partition)
+    val meta = IndexStore.readMeta(spark, path)
+    val scoped = PartitionedStore.open(spark, path)
+      .filter(col("_p") === partition).drop("_p")
+    new View(docs, idCol, mapPhase, reduceFn, Some(scoped),
+      indexMeta = Some(meta), indexPath = Some(path), locale = locale,
+      conflictsRel = conflictsRel)
+  }
+
+  /** Incremental maintenance of a [[materializePartitioned]] index —
+    * the [[updateIndex]] contract with partition-local cost: a changed
+    * doc's partition is ARITHMETIC on its id (no by-id sidecar), so
+    * only the `_p` directories holding changed docs are read and
+    * rewritten, behind the same rename-swap discipline. O(changed
+    * partitions) per batch. */
+  def updatePartitionedIndex(spark: SparkSession, path: String,
+                             changedDocs: DataFrame,
+                             deletedIds: Seq[Any] = Nil,
+                             newSeq: Long = -1L): Unit = {
+    val meta = IndexStore.readMeta(spark, path)
+    val newRows = mapPhase(changedDocs)
+    val cids = changedDocs.select(idCol.as("_id")).distinct()
+    val allIds =
+      if (deletedIds.isEmpty) cids
+      else cids.unionByName(IndexStore.idsDf(spark, cids, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    PartitionedStore.merge(spark, path, newRows, allIds, seq)
+  }
+
   /** Incremental index maintenance — the reference's change-feed driven
     * view update. Maps ONLY the changed docs, locates their old rows via
     * the by-id sidecar, and rewrites ONLY the affected key buckets —

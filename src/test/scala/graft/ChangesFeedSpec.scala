@@ -266,4 +266,96 @@ class ChangesFeedSpec extends SparkSpecBase
     assert(ChangesFeed.since(spark, sb, -1L).collect().toSeq == fb,
       "feed must be whole again after recovery")
   }
+
+  test("checkpointed replication: resume pushes only post-checkpoint work") {
+    import spark.implicits._
+    val d = (0L until 300L).toDF("id")
+    def rev(n: Int) = concat(lit(s"$n-"),
+      md5(concat(col("id").cast("string"), lit(s":$n"))))
+    val base = d.select((col("id") * 3).cast("long").as("seq"), col("id"),
+      rev(1).as("rev"), lit(false).as("deleted"))
+    val tail = d.filter(col("id") % 5 === 0)
+      .select((lit(900L) + col("id")).cast("long").as("seq"), col("id"),
+        rev(3).as("rev"), (col("id") % 10 === 0).as("deleted"))
+    val dir = java.nio.file.Files.createTempDirectory("chgck").toString
+    val store = s"$dir/feed"
+    ChangesFeed.write(base, store, width = 64)
+
+    // fresh replication: no checkpoint yet, full base pushed
+    assert(ChangesFeed.readCheckpoint(spark, store, "repA") == -1L)
+    val empty = Seq.empty[(Long, String)].toDF("id", "rev")
+    val push1 = ChangesFeed.resumeDelta(spark, store, "repA", empty)
+    assert(push1.count() == 300)
+    val ck1 = ChangesFeed.checkpointAfter(spark, store, "repA", push1)
+    assert(ck1 == 299 * 3 &&
+      ChangesFeed.readCheckpoint(spark, store, "repA") == ck1)
+
+    // more writes land; round 2 pushes EXACTLY the tail generation,
+    // even against a target that (still) lacks most of the base —
+    // resumption is checkpoint-driven, not target-diff-driven
+    ChangesFeed.append(tail, store)
+    val push2 = ChangesFeed.resumeDelta(spark, store, "repA", empty)
+    val rows2 = push2.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2.length == 60 && rows2.forall(_._1 >= 900L))
+    val ck2 = ChangesFeed.checkpointAfter(spark, store, "repA", push2)
+    assert(ck2 == 900L + 295L)
+
+    // converged: empty round leaves the checkpoint untouched
+    val push3 = ChangesFeed.resumeDelta(spark, store, "repA", empty)
+    assert(push3.count() == 0)
+    assert(ChangesFeed.checkpointAfter(spark, store, "repA", push3) == ck2)
+
+    // checkpoints are per-replication-id; ids must be non-empty
+    assert(ChangesFeed.readCheckpoint(spark, store, "repB") == -1L)
+    intercept[IllegalArgumentException](
+      ChangesFeed.readCheckpoint(spark, store, ""))
+  }
+
+  test("sinceStyleAllDocs reports all leaf revs; winner resolves the row") {
+    import spark.implicits._
+    val (store, log) = makeStore()
+    // rev trees for ids < 200 only: a live main leaf at pos 9 and, for
+    // %3 ids, a DELETED branch tip at pos 9 — tombstone leaves must
+    // still appear in `changes` while the live leaf wins the row
+    val d = (0L until 200L).toDF("id")
+    val main = d.select(col("id"), lit(9L).as("pos"),
+      md5(concat(col("id").cast("string"), lit(":m"))).as("hash"),
+      lit(false).as("del"))
+    val branch = d.filter(col("id") % 3 === 0)
+      .select(col("id"), lit(9L).as("pos"),
+        md5(concat(col("id").cast("string"), lit(":c"))).as("hash"),
+        lit(true).as("del"))
+    val leaves = main.unionByName(branch)
+
+    val got = ChangesFeed.sinceStyleAllDocs(spark, store, -1L, leaves,
+      col("id"), col("pos"), col("hash"), col("del")).collect()
+    assert(got.length == 300)
+    val byId = got.map(r => r.getLong(1) -> r).toMap
+    val mainHash = (i: Long) => org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(s"$i:m")
+    val branchHash = (i: Long) => org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(s"$i:c")
+    (0L until 200L).foreach { i =>
+      val r = byId(i)
+      val changes = r.getSeq[String](4)
+      if (i % 3 == 0) {
+        assert(changes == Seq(s"9-${branchHash(i)}", s"9-${mainHash(i)}")
+          .sorted, s"id $i changes $changes")
+        // live beats deleted regardless of hash order
+        assert(r.getString(2) == s"9-${mainHash(i)}" && !r.getBoolean(3))
+      } else {
+        assert(changes == Seq(s"9-${mainHash(i)}"))
+        assert(r.getString(2) == s"9-${mainHash(i)}")
+      }
+    }
+    // no tree known: the row falls back to its own logged rev
+    (200L until 300L).foreach { i =>
+      val r = byId(i)
+      assert(r.getSeq[String](4) == Seq(r.getString(2)))
+    }
+    // seq/order: identical to the plain feed's
+    val plain = ChangesFeed.since(spark, store, -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == plain)
+  }
 }
