@@ -2475,21 +2475,28 @@ object SparkEntry {
     * latest changes. If resumption ignored the stored checkpoint the
     * full history would reappear (10× the rows), so the hash pins the
     * checkpoint round-trip itself. */
+  private def q176Target(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("").as("rev")).limit(0)
+
+  private def q176Build(s: SparkSession, dir: String): Unit = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q176chg", dir, "documents")
+    val (initial, tail) = q129Log(s, dir)
+    ChangesFeed.write(initial, path, width = 128)
+    val push1 = ChangesFeed.resumeDelta(s, path, "gate-replication",
+      q176Target(s, dir))
+    ChangesFeed.checkpointAfter(s, path, "gate-replication", push1)
+    ChangesFeed.append(tail, path)
+    new java.io.File(s"$path/_graft_built").createNewFile()
+  }
+
   private def q176(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
     val path = idxPath("q176chg", dir, "documents")
-    val emptyTarget = t(s, dir, "documents")
-      .select(col("doc_id").as("id"), lit("").as("rev")).limit(0)
-    if (!hasFile(s, s"$path/_graft_built")) {
-      val (initial, tail) = q129Log(s, dir)
-      ChangesFeed.write(initial, path, width = 128)
-      val push1 = ChangesFeed.resumeDelta(s, path, "gate-replication",
-        emptyTarget)
-      ChangesFeed.checkpointAfter(s, path, "gate-replication", push1)
-      ChangesFeed.append(tail, path)
-      new java.io.File(s"$path/_graft_built").createNewFile()
-    }
-    ChangesFeed.resumeDelta(s, path, "gate-replication", emptyTarget)
+    if (!hasFile(s, s"$path/_graft_built")) q176Build(s, dir)
+    ChangesFeed.resumeDelta(s, path, "gate-replication",
+      q176Target(s, dir))
   }
 
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
@@ -2508,6 +2515,33 @@ object SparkEntry {
       col("doc_id"), col("rev_pos"), col("rev_hash"), col("deleted"))
       .select(col("seq"), col("id"), col("rev"), col("deleted"),
         concat_ws(",", col("changes")).as("changes"))
+  }
+
+  /** A34d: partition-scoped Mango `_find` ([[graft.operators.Mango
+    * .findPartition]]) — CouchDB's `/db/_partition/{p}/_find` served
+    * from a PARTITIONED JSON index ([[graft.operators.Mango
+    * .createIndexPartitioned]]): the `o_orderdate` range prunes inside
+    * the single `_p=p7` index directory, the `$totalprice` residual
+    * re-applies on the id-prefix-scoped fetch. The oracle replays
+    * partition extraction, range, and residual relationally. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "orders").select(
+      concat(lit("p"), (col("o_custkey") % 100).cast("string"), lit(":o"),
+        col("o_orderkey").cast("string")).as("oid"),
+      col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
+    val path = idxPath("q178pmx", dir, "orders")
+    val idx =
+      if (hasFile(s, s"$path/_mango_partitioned")) Mango.openIndex(s, path)
+      else Mango.createIndexPartitioned(s, docs, "oid",
+        Seq("o_orderdate"), path, numTasks = 8)
+    Mango.findPartition(s, docs, "oid", "p7", idx,
+      """{"selector": {
+        |   "o_orderdate": {"$gte": "1994-01-01T00:00:00Z",
+        |                   "$lt": "1997-01-01T00:00:00Z"},
+        |   "o_totalprice": {"$gte": 150000}},
+        | "fields": ["oid", "o_totalprice", "o_orderpriority"],
+        | "sort": ["oid"], "limit": 1000000}""".stripMargin)
   }
 
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
@@ -3267,6 +3301,25 @@ object SparkEntry {
     "q125_event_append" -> (q125Build _),
     "q129_changes_feed" -> (q129Build _),
     "q130_zorder_box" -> (q130Build _),
+    "q173_partitioned_view" -> ((s, dir) =>
+      View(q173Docs(s, dir), col("_id"), col("o_orderdate"),
+        col("o_totalprice"))
+        .materializePartitioned(idxPath("q173pvx", dir, "orders"),
+          numTasks = 8, seq = 1)),
+    "q175_partitioned_reduce" -> ((s, dir) =>
+      View(q173Docs(s, dir), col("_id"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)"), Some(Reduce.Sum))
+        .materializePartitioned(idxPath("q175pvr", dir, "orders"),
+          numTasks = 8, seq = 1)),
+    "q176_replication_checkpoint" -> (q176Build _),
+    "q178_partitioned_find" -> ((s, dir) =>
+      graft.operators.Mango.createIndexPartitioned(s,
+        t(s, dir, "orders").select(
+          concat(lit("p"), (col("o_custkey") % 100).cast("string"),
+            lit(":o"), col("o_orderkey").cast("string")).as("oid"),
+          col("o_orderdate"), col("o_totalprice"), col("o_orderpriority")),
+        "oid", Seq("o_orderdate"), idxPath("q178pmx", dir, "orders"),
+        numTasks = 8)),
     "q137_mango_partial" -> ((s, dir) => graft.operators.Mango
       .createIndex(s, t(s, dir, "orders"), "o_orderkey",
         Seq("o_totalprice"), idxPath("q137mgp", dir, "orders"),
@@ -3558,7 +3611,8 @@ object SparkEntry {
     "q174_partitioned_all_docs" -> (q174 _),
     "q175_partitioned_reduce" -> (q175 _),
     "q176_replication_checkpoint" -> (q176 _),
-    "q177_changes_style_all_docs" -> (q177 _)
+    "q177_changes_style_all_docs" -> (q177 _),
+    "q178_partitioned_find" -> (q178 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6263,7 +6317,18 @@ object SparkEntry {
         |SELECT feed.seq, feed.id, w.win_rev AS rev, w.deleted, ch.changes
         |FROM feed JOIN w ON feed.id = w.doc_id
         |          JOIN ch ON feed.id = ch.doc_id
-        |ORDER BY feed.seq""".stripMargin
+        |ORDER BY feed.seq""".stripMargin,
+    // partition-scoped Mango find: partition extraction + index range +
+    // residual, id-ordered
+    "q178_partitioned_find" ->
+      """SELECT 'p' || (o_custkey % 100) || ':o' || o_orderkey AS oid,
+        |       o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey % 100 = 7
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND o_totalprice >= 150000
+        |ORDER BY oid""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

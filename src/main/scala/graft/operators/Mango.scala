@@ -670,7 +670,13 @@ object Mango {
     * subset — queries can use it ONLY when their selector implies the
     * filter. */
   final case class MangoIndex(path: String, fields: Seq[String],
-                              partial: Option[String] = None) {
+                              partial: Option[String] = None,
+                              /** CouchDB 3.x partitioned-database
+                                * index (`"partitioned": true`): built
+                                * in the [[graft.view.PartitionedStore]]
+                                * layout, served partition-scoped by
+                                * [[findPartition]]. */
+                              partitioned: Boolean = false) {
     /** The index's name for `use_index` addressing: the last path
       * segment (CouchDB's index name; the full path also matches). */
     def name: String = path.stripSuffix("/").split('/').last
@@ -754,7 +760,8 @@ object Mango {
       pin.close()
       Some(pf)
     } else None
-    MangoIndex(path, fields, partial)
+    MangoIndex(path, fields, partial,
+      partitioned = fs.exists(new Path(path, "_mango_partitioned")))
   }
 
   /** Coerce a driver-side selector literal toward the indexed column's
@@ -898,46 +905,150 @@ object Mango {
         val idxRows = v.query(QueryOpts(startKey = Some(startK),
           endKey = Some(endK), inclusiveEnd = incl, reduce = false,
           sorted = false))
-        val touched = selectorPaths(req.selector) ++
-          req.sort.map(_._1) ++ req.fields
-        val covered = index.fields.toSet + idCol
-        val coverable = touched.subsetOf(covered) &&
-          touched.forall(!_.contains('.'))
-        val (rows, schema) =
-          if (coverable) {
-            // decode the stored key struct; the find then never touches
-            // the documents table
-            val keySchema = StructType(index.fields.map(f =>
-              StructField(f, resolve(docs.schema, f).get._2)))
-            val idType = docs.schema(idCol).dataType
-            // the id may itself be an indexed field — it already comes
-            // from the index's `id` column, so decode only the REST
-            // (selecting it twice makes every later reference ambiguous)
-            val rest = index.fields.filterNot(_ == idCol)
-            val decoded = idxRows
-              .select(col("id").cast(idType).as(idCol),
-                from_json(col("key"), keySchema).as("_k"))
-              .select(col(idCol) +: rest.map(f =>
-                col(s"_k.$f").as(f)): _*)
-            (decoded, StructType(StructField(idCol, idType) +:
-              keySchema.fields.toSeq.filterNot(_.name == idCol)))
-          } else {
-            val ids = idxRows.select(col("id").as(idCol)).distinct()
-            (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
-          }
-        val filtered = rows.filter(compile(req.selector, schema))
-        val sortCols = req.sort.map { case (f, asc) =>
-          if (asc) col(f).asc else col(f).desc
-        } :+ col(idCol).asc
-        val sorted = filtered.orderBy(sortCols: _*)
-        val paged = req.limit match {
-          case Some(n) => sorted.offset(req.skip.toInt).limit(n.toInt)
-          case None if req.skip > 0 => sorted.offset(req.skip.toInt)
-          case None => sorted
-        }
-        if (req.fields.nonEmpty) paged.select(req.fields.map(col): _*)
-        else paged
+        serveIndexRows(docs, idCol, index, req, idxRows)
     }
+  }
+
+  /** The index-serve tail shared by [[findIndexed]] and
+    * [[findPartition]]: covered-vs-fetch decision, residual selector,
+    * sort, page, projection. `docs` is the fetch corpus (already
+    * partition-scoped on the partitioned path). */
+  private def serveIndexRows(docs: DataFrame, idCol: String,
+                             index: MangoIndex, req: FindReq,
+                             idxRows: DataFrame): DataFrame = {
+    val touched = selectorPaths(req.selector) ++
+      req.sort.map(_._1) ++ req.fields
+    val covered = index.fields.toSet + idCol
+    val coverable = touched.subsetOf(covered) &&
+      touched.forall(!_.contains('.'))
+    val (rows, schema) =
+      if (coverable) {
+        // decode the stored key struct; the find then never touches
+        // the documents table
+        val keySchema = StructType(index.fields.map(f =>
+          StructField(f, resolve(docs.schema, f).get._2)))
+        val idType = docs.schema(idCol).dataType
+        // the id may itself be an indexed field — it already comes
+        // from the index's `id` column, so decode only the REST
+        // (selecting it twice makes every later reference ambiguous)
+        val rest = index.fields.filterNot(_ == idCol)
+        val decoded = idxRows
+          .select(col("id").cast(idType).as(idCol),
+            from_json(col("key"), keySchema).as("_k"))
+          .select(col(idCol) +: rest.map(f =>
+            col(s"_k.$f").as(f)): _*)
+        (decoded, StructType(StructField(idCol, idType) +:
+          keySchema.fields.toSeq.filterNot(_.name == idCol)))
+      } else {
+        val ids = idxRows.select(col("id").as(idCol)).distinct()
+        (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
+      }
+    val filtered = rows.filter(compile(req.selector, schema))
+    val sortCols = req.sort.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc
+    } :+ col(idCol).asc
+    val sorted = filtered.orderBy(sortCols: _*)
+    val paged = req.limit match {
+      case Some(n) => sorted.offset(req.skip.toInt).limit(n.toInt)
+      case None if req.skip > 0 => sorted.offset(req.skip.toInt)
+      case None => sorted
+    }
+    if (req.fields.nonEmpty) paged.select(req.fields.map(col): _*)
+    else paged
+  }
+
+  /** Build a PARTITIONED JSON index — CouchDB 3.x's default index
+    * family in a partitioned database (`"partitioned": true`): the
+    * same key layout as [[createIndex]] but stored in the
+    * [[graft.view.PartitionedStore]] layout (hive-partitioned by each
+    * id's partition key, `_ck`-sorted within), so a partition-scoped
+    * find reads ONE `_p` directory + the pushed key range. */
+  def createIndexPartitioned(spark: SparkSession, docs: DataFrame,
+                             idCol: String, fields: Seq[String],
+                             path: String, numTasks: Int = 0,
+                             partialFilter: Option[String] = None)
+      : MangoIndex = {
+    val base = partialFilter match {
+      case Some(pf) => docs.filter(compile(parseSelector(pf), docs.schema))
+      case None => docs
+    }
+    indexView(base, idCol, fields).materializePartitioned(path, numTasks)
+    val fs = IndexStore.fsFor(spark, path)
+    val out = fs.create(new Path(path, "_mango_fields"), true)
+    out.write((fields.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    partialFilter.foreach { pf =>
+      val po = fs.create(new Path(path, "_mango_partial"), true)
+      po.write(pf.getBytes("UTF-8"))
+      po.close()
+    }
+    fs.create(new Path(path, "_mango_partitioned"), true).close()
+    MangoIndex(path, fields, partialFilter, partitioned = true)
+  }
+
+  /** Partition-scoped `_find` — CouchDB's
+    * `/db/_partition/{partition}/_find`: served from a PARTITIONED
+    * index ([[createIndexPartitioned]]) when the selector constrains
+    * the index's first field — `_p` directory pruning (one partition's
+    * index read) + `_ck` row-group pruning within + the usual
+    * covered-or-fetch tail, where the fetch corpus is itself
+    * id-prefix-scoped (a pushable `StartsWith` on the docs scan).
+    * When the index cannot serve (unconstrained first field, partial
+    * filter not implied), the fallback is CouchDB's too: a scan OF THE
+    * PARTITION (the prefix-scoped docs), never the corpus. */
+  def findPartition(spark: SparkSession, docs: DataFrame, idCol: String,
+                    partition: String, index: MangoIndex,
+                    findJson: String): DataFrame = {
+    graft.view.PartitionedStore.requireValidPartition(partition)
+    require(index.partitioned,
+      "findPartition requires a partitioned index " +
+        "(createIndexPartitioned); global indexes cannot serve " +
+        "partition-scoped finds partition-locally")
+    val req = parseFind(findJson)
+    val pfx = partition + graft.view.PartitionedStore.Sep
+    val scoped = docs.filter(col(idCol).cast("string").startsWith(pfx))
+    if (index.partial.exists(pf =>
+        !implies(req.selector, parseSelector(pf))))
+      return find(scoped, idCol, findJson)
+    indexBounds(req.selector, index.fields, docs.schema) match {
+      case None => find(scoped, idCol, findJson)
+      case Some((startK, endK, incl)) =>
+        val v = indexView(docs, idCol, index.fields)
+          .fromPartitionedIndex(spark, index.path, partition)
+        val idxRows = v.query(QueryOpts(startKey = Some(startK),
+          endKey = Some(endK), inclusiveEnd = incl, reduce = false,
+          sorted = false))
+        serveIndexRows(scoped, idCol, index, req, idxRows)
+    }
+  }
+
+  /** Incrementally maintain a PARTITIONED JSON index: new key rows from
+    * the changed docs (partial indexes re-apply their filter — a doc
+    * that STOPS matching contributes no new rows but its id still
+    * routes the rewrite, so its old rows drop), merged partition-
+    * locally ([[graft.view.PartitionedStore.merge]]: only the `_p`
+    * directories holding changed ids are rewritten). */
+  def upsertIndexPartitioned(spark: SparkSession, docs: DataFrame,
+                             idCol: String, index: MangoIndex,
+                             changedDocs: DataFrame,
+                             deletedIds: Seq[Any] = Nil,
+                             newSeq: Long = -1L): Unit = {
+    require(index.partitioned,
+      "upsertIndexPartitioned requires a partitioned index")
+    val matching = index.partial match {
+      case Some(pf) =>
+        changedDocs.filter(compile(parseSelector(pf), changedDocs.schema))
+      case None => changedDocs
+    }
+    val newRows = indexView(matching, idCol, index.fields).rows
+    val cids0 = changedDocs.select(col(idCol).as("_id"))
+    val cids =
+      if (deletedIds.isEmpty) cids0
+      else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq =
+      if (newSeq >= 0) newSeq
+      else IndexStore.readMeta(spark, index.path).updateSeq + 1
+    graft.view.PartitionedStore.merge(spark, index.path, newRows, cids, seq)
   }
 
   /** CouchDB's index SELECTION among all available JSON indexes: the
@@ -972,6 +1083,10 @@ object Mango {
       eqs.length * 2 + (if (rangeNext) 1 else 0)
     }
     val usable = indexes
+      // a PARTITIONED index serves only partition-scoped finds
+      // ([[findPartition]]) — CouchDB excludes them from global
+      // planning the same way
+      .filter(!_.partitioned)
       // a partial index is a candidate only when the selector implies
       // its filter (serving it otherwise would drop rows)
       .filter(_.partial.forall(pf => implies(sel, parseSelector(pf))))

@@ -753,4 +753,106 @@ class MangoSpec extends SparkSpecBase {
          "fields": ["doc_id"], "limit": 100}""").as[Long].collect().toSeq
     assert(gotEdit == Seq(editedId))
   }
+
+  // CouchDB 3.x partitioned-database Mango: ids "<partition>:<key>"
+  private lazy val pOrders: DataFrame = orders.select(
+    concat(lit("c"), (col("o_custkey") % 10).cast("string"),
+      lit(":o"), col("o_orderkey").cast("string")).as("oid"),
+    col("o_totalprice"), col("o_orderpriority"), col("o_orderstatus"))
+
+  test("partitioned find: index-served == scoped scan; covered reads one _p dir, no docs") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-part").toString
+    val idx = Mango.createIndexPartitioned(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/pidx", numTasks = 4)
+    assert(idx.partitioned && Mango.openIndex(spark, s"$dir/pidx").partitioned)
+    // fetch path: regex residual touches a non-indexed field
+    val req = """{"selector": {"o_totalprice": {"$gte": 100000},
+      "o_orderpriority": {"$regex": "^[12]-"}},
+      "fields": ["oid", "o_totalprice", "o_orderpriority"],
+      "sort": ["o_totalprice"], "limit": 100000}"""
+    val got = Mango.findPartition(spark, pOrders, "oid", "c3", idx, req)
+    val scoped = pOrders.filter(col("oid").startsWith("c3:"))
+    val want = Mango.find(scoped, "oid", req).collect()
+    assert(got.collect().map(_.toString).toSeq ==
+      want.map(_.toString).toSeq && want.length > 10)
+
+    // covered: selector+sort+projection ⊆ indexed fields + id — the
+    // documents are never scanned and the index read prunes to _p=c3
+    val reqCov = """{"selector":
+      {"o_totalprice": {"$gte": 100000, "$lt": 150000}},
+      "fields": ["oid", "o_totalprice"], "sort": ["o_totalprice"],
+      "limit": 100000}"""
+    val cov = Mango.findPartition(spark, pOrders, "oid", "c3", idx, reqCov)
+    cov.collect()
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders.parquet"),
+      s"covered partitioned find scanned the docs:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("_p"),
+      s"no _p pruning in:\n$plan")
+    val covWant = scoped
+      .filter(col("o_totalprice") >= 100000 && col("o_totalprice") < 150000)
+      .select(col("oid"), col("o_totalprice"))
+      .orderBy(col("o_totalprice"), col("oid")).collect()
+    assert(cov.collect().map(_.toString).toSeq ==
+      covWant.map(_.toString).toSeq && covWant.nonEmpty)
+  }
+
+  test("partitioned index: global planner skips it; family mismatch rejected; fallback stays scoped") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-part2").toString
+    val pidx = Mango.createIndexPartitioned(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/pidx", numTasks = 4)
+    val sel = Mango.parseSelector("""{"o_totalprice": {"$gte": 1}}""")
+    // a partitioned index cannot serve a GLOBAL find
+    assert(Mango.pickIndex(sel, Seq(pidx), pOrders.schema).isEmpty)
+    val gidx = Mango.createIndex(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/gidx", numBuckets = 4)
+    assert(Mango.pickIndex(sel, Seq(pidx, gidx), pOrders.schema)
+      .contains(gidx))
+    // a global index cannot serve a partition-scoped find
+    intercept[IllegalArgumentException](Mango.findPartition(spark,
+      pOrders, "oid", "c3", gidx,
+      """{"selector": {"o_totalprice": {"$gte": 1}}}"""))
+    // unusable index (first field unconstrained) → the fallback is a
+    // scan OF THE PARTITION, never the corpus
+    val fb = Mango.findPartition(spark, pOrders, "oid", "c3", pidx,
+      """{"selector": {"o_orderpriority": {"$regex": "^1-"}},
+        "fields": ["oid"], "sort": ["oid"], "limit": 100000}""")
+      .collect().map(_.getString(0))
+    assert(fb.nonEmpty && fb.forall(_.startsWith("c3:")))
+    val fbWant = pOrders.filter(col("oid").startsWith("c3:") &&
+      col("o_orderpriority").rlike("^1-")).count()
+    assert(fb.length == fbWant)
+  }
+
+  test("upsertIndexPartitioned == rebuild; partial filter maintained through flips") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-part3").toString
+    val pf = """{"o_orderstatus": "O"}"""
+    val idx = Mango.createIndexPartitioned(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/pidx", numTasks = 4,
+      partialFilter = Some(pf))
+    val c2 = pOrders.filter(col("oid").startsWith("c2:"))
+    val os = c2.filter(col("o_orderstatus") === "O").orderBy(col("oid"))
+      .select("oid").collect().map(_.getString(0))
+    val aId = os.head // O stays O, price changes
+    val bId = os.last // O -> F: stops matching, rows must drop
+    val cId = c2.filter(col("o_orderstatus") === "F").orderBy(col("oid"))
+      .head().getString(0) // F -> O: starts matching
+    val changed = pOrders.filter(col("oid").isin(aId, bId, cId))
+      .withColumn("o_totalprice", when(col("oid") === aId,
+        col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus", when(col("oid") === bId, lit("F"))
+        .when(col("oid") === cId, lit("O"))
+        .otherwise(col("o_orderstatus")))
+    Mango.upsertIndexPartitioned(spark, pOrders, "oid", idx, changed,
+      newSeq = 5L)
+    val post = pOrders.filter(!col("oid").isin(aId, bId, cId))
+      .unionByName(changed)
+    val rebuilt = Mango.createIndexPartitioned(spark, post, "oid",
+      Seq("o_totalprice"), s"$dir/rebuilt", numTasks = 4,
+      partialFilter = Some(pf))
+    def dump(p: String) = graft.view.PartitionedStore.open(spark, p)
+      .select(col("_id"), col("key")).collect().map(_.toString).sorted.toSeq
+    assert(dump(idx.path) == dump(rebuilt.path))
+    assert(graft.view.IndexStore.readMeta(spark, idx.path).updateSeq == 5L)
+  }
 }
