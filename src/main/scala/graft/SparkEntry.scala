@@ -2544,6 +2544,32 @@ object SparkEntry {
         | "sort": ["oid"], "limit": 1000000}""".stripMargin)
   }
 
+  /** A34e: partition-scoped `_find` with AUTOMATIC index selection
+    * ([[graft.operators.Mango.findPartitionAuto]]) — the planner picks
+    * q178's partitioned o_orderdate index from the candidate list
+    * (global indexes never qualify for a scoped find), serves
+    * partition p13 through one `_p` directory + the pushed date range,
+    * and applies the `$ne` residual on the id-prefix-scoped fetch. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "orders").select(
+      concat(lit("p"), (col("o_custkey") % 100).cast("string"), lit(":o"),
+        col("o_orderkey").cast("string")).as("oid"),
+      col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
+    val path = idxPath("q178pmx", dir, "orders")
+    val idx =
+      if (hasFile(s, s"$path/_mango_partitioned")) Mango.openIndex(s, path)
+      else Mango.createIndexPartitioned(s, docs, "oid",
+        Seq("o_orderdate"), path, numTasks = 8)
+    Mango.findPartitionAuto(s, docs, "oid", "p13", Seq(idx),
+      """{"selector": {
+        |   "o_orderdate": {"$gte": "1995-01-01T00:00:00Z",
+        |                   "$lt": "1996-01-01T00:00:00Z"},
+        |   "o_orderpriority": {"$ne": "3-MEDIUM"}},
+        | "fields": ["oid", "o_totalprice", "o_orderpriority"],
+        | "sort": ["oid"], "limit": 1000000}""".stripMargin)
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3612,7 +3638,8 @@ object SparkEntry {
     "q175_partitioned_reduce" -> (q175 _),
     "q176_replication_checkpoint" -> (q176 _),
     "q177_changes_style_all_docs" -> (q177 _),
-    "q178_partitioned_find" -> (q178 _)
+    "q178_partitioned_find" -> (q178 _),
+    "q179_partitioned_find_auto" -> (q179 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6328,6 +6355,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1994-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND o_totalprice >= 150000
+        |ORDER BY oid""".stripMargin,
+    "q179_partitioned_find_auto" ->
+      """SELECT 'p' || (o_custkey % 100) || ':o' || o_orderkey AS oid,
+        |       o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey % 100 = 13
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND o_orderpriority <> '3-MEDIUM'
         |ORDER BY oid""".stripMargin
   )
 

@@ -1051,6 +1051,68 @@ object Mango {
     graft.view.PartitionedStore.merge(spark, index.path, newRows, cids, seq)
   }
 
+  /** Partition-scoped `_find` with automatic index selection —
+    * CouchDB's planner inside `/db/_partition/{p}/_find`:
+    * [[pickIndexPartition]] over the PARTITIONED index family
+    * (`use_index` honored when usable), [[findPartition]] through the
+    * winner, and CouchDB's fallback when none qualifies — a scan OF
+    * THE PARTITION (id-prefix-scoped docs, a pushable `StartsWith`),
+    * never the corpus. */
+  def findPartitionAuto(spark: SparkSession, docs: DataFrame,
+                        idCol: String, partition: String,
+                        indexes: Seq[MangoIndex], findJson: String)
+      : DataFrame = {
+    val req = parseFind(findJson)
+    pickIndexPartition(req.selector, indexes, docs.schema,
+        req.useIndex) match {
+      case Some(ix) =>
+        findPartition(spark, docs, idCol, partition, ix, findJson)
+      case None =>
+        graft.view.PartitionedStore.requireValidPartition(partition)
+        val pfx = partition + graft.view.PartitionedStore.Sep
+        find(docs.filter(col(idCol).cast("string").startsWith(pfx)),
+          idCol, findJson)
+    }
+  }
+
+  /** `_explain` for a partition-scoped find: the exact decision
+    * [[findPartitionAuto]] would take — the winning PARTITIONED index
+    * ([[pickIndexPartition]]; global indexes never appear), the `_ck`
+    * pruning bounds within the one `_p` directory, and the covered
+    * test — without running the query. The no-index report says what
+    * the fallback really is: a scan of the partition, not the
+    * corpus. */
+  def explainPartition(findJson: String, indexes: Seq[MangoIndex],
+                       idCol: String, schema: StructType,
+                       partition: String): MangoExplain = {
+    val req = parseFind(findJson)
+    pickIndexPartition(req.selector, indexes, schema,
+        req.useIndex) match {
+      case None =>
+        MangoExplain(None, s"partition scan of '$partition': no usable " +
+          "partitioned index (global indexes cannot serve " +
+          "partition-scoped finds)", covered = false, None)
+      case Some(ix) =>
+        indexBounds(req.selector, ix.fields, schema) match {
+          case None =>
+            MangoExplain(None, s"partition scan of '$partition': the " +
+              "selected index's first field is unconstrained",
+              covered = false, None)
+          case b @ Some(_) =>
+            val touched = selectorPaths(req.selector) ++
+              req.sort.map(_._1) ++ req.fields
+            val cov = touched.subsetOf(ix.fields.toSet + idCol) &&
+              touched.forall(!_.contains('.'))
+            MangoExplain(Some(ix),
+              if (cov) s"covered: one _p directory ('$partition'), " +
+                "answered from the index alone"
+              else s"index fetch: one _p directory ('$partition') " +
+                "pruned + residual filter + id-prefix-scoped document " +
+                "fetch", covered = cov, b)
+        }
+    }
+  }
+
   /** CouchDB's index SELECTION among all available JSON indexes: the
     * candidate whose usable bound covers the longest field prefix wins
     * (eq fields count 2, a closing range 1 — equality prunes tighter),
@@ -1067,7 +1129,28 @@ object Mango {
     * which is CouchDB's documented behavior (the response carries a
     * warning; serving a wrong index would drop rows). */
   def pickIndex(sel: Sel, indexes: Seq[MangoIndex], schema: StructType,
-                useIndex: Option[String]): Option[MangoIndex] = {
+                useIndex: Option[String]): Option[MangoIndex] =
+    // a PARTITIONED index serves only partition-scoped finds
+    // ([[findPartition]]) — CouchDB excludes them from global
+    // planning the same way
+    pickIn(sel, indexes.filterNot(_.partitioned), useIndex)
+
+  /** The PARTITIONED-family planner: [[pickIndex]]'s scoring over the
+    * partitioned indexes only — the family a
+    * `/db/_partition/{p}/_find` plans with (global indexes are
+    * excluded symmetrically to [[pickIndex]] excluding partitioned
+    * ones; CouchDB keeps the two families apart in both directions). */
+  def pickIndexPartition(sel: Sel, indexes: Seq[MangoIndex],
+                         schema: StructType,
+                         useIndex: Option[String] = None)
+      : Option[MangoIndex] =
+    pickIn(sel, indexes.filter(_.partitioned), useIndex)
+
+  /** Family-agnostic index selection: longest usable prefix wins (eq
+    * fields count 2, a closing range 1), `use_index` overrides when
+    * usable, eligible partial indexes outrank equal-score full ones. */
+  private def pickIn(sel: Sel, indexes: Seq[MangoIndex],
+                     useIndex: Option[String]): Option[MangoIndex] = {
     val conds = conjuncts(sel)
     def score(ix: MangoIndex): Int = {
       val eqs = ix.fields.takeWhile(f =>
@@ -1083,10 +1166,6 @@ object Mango {
       eqs.length * 2 + (if (rangeNext) 1 else 0)
     }
     val usable = indexes
-      // a PARTITIONED index serves only partition-scoped finds
-      // ([[findPartition]]) — CouchDB excludes them from global
-      // planning the same way
-      .filter(!_.partitioned)
       // a partial index is a candidate only when the selector implies
       // its filter (serving it otherwise would drop rows)
       .filter(_.partial.forall(pf => implies(sel, parseSelector(pf))))

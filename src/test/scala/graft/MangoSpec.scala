@@ -824,6 +824,46 @@ class MangoSpec extends SparkSpecBase {
     assert(fb.length == fbWant)
   }
 
+  test("findPartitionAuto plans in the partitioned family; explainPartition states its decision") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-part4").toString
+    val pidx = Mango.createIndexPartitioned(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/pidx", numTasks = 4)
+    val gidx = Mango.createIndex(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/gidx", numBuckets = 4)
+    val sel = Mango.parseSelector("""{"o_totalprice": {"$gte": 100000}}""")
+    // the scoped planner only ever offers partitioned indexes
+    assert(Mango.pickIndexPartition(sel, Seq(gidx, pidx), pOrders.schema)
+      .contains(pidx))
+    assert(Mango.pickIndexPartition(sel, Seq(gidx), pOrders.schema).isEmpty)
+    val req = """{"selector": {"o_totalprice": {"$gte": 100000}},
+      "fields": ["oid", "o_totalprice"], "sort": ["o_totalprice"],
+      "limit": 100000}"""
+    val auto = Mango.findPartitionAuto(spark, pOrders, "oid", "c3",
+      Seq(gidx, pidx), req)
+    val want = Mango.findPartition(spark, pOrders, "oid", "c3", pidx, req)
+      .collect()
+    assert(auto.collect().map(_.toString).toSeq ==
+      want.map(_.toString).toSeq && want.nonEmpty)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_p"),
+      s"auto-served scoped find not _p-pruned:\n$plan")
+    // explain parity: the report is the decision the auto path took
+    val ex = Mango.explainPartition(req, Seq(gidx, pidx), "oid",
+      pOrders.schema, "c3")
+    assert(ex.index.contains(pidx) && ex.covered &&
+      ex.reason.contains("c3") && ex.bounds.isDefined)
+    // no usable partitioned index → both report and serve a scan OF
+    // THE PARTITION (the global index must not resurface here)
+    val reqNone = """{"selector": {"o_orderpriority": {"$regex": "^1-"}},
+      "fields": ["oid"], "sort": ["oid"], "limit": 100000}"""
+    val exNone = Mango.explainPartition(reqNone, Seq(gidx, pidx), "oid",
+      pOrders.schema, "c3")
+    assert(exNone.index.isEmpty && exNone.reason.contains("partition scan"))
+    val fb = Mango.findPartitionAuto(spark, pOrders, "oid", "c3",
+      Seq(gidx, pidx), reqNone).collect().map(_.getString(0))
+    assert(fb.nonEmpty && fb.forall(_.startsWith("c3:")))
+  }
+
   test("upsertIndexPartitioned == rebuild; partial filter maintained through flips") {
     val dir = java.nio.file.Files.createTempDirectory("mango-part3").toString
     val pf = """{"o_orderstatus": "O"}"""
