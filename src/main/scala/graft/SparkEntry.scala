@@ -2321,6 +2321,37 @@ object SparkEntry {
     acc.get.orderBy(col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** A24f: DESCENDING bookmark paging served from the SAME JSON index
+    * ([[graft.operators.Mango.findPageIndexed]] reading q166's index in
+    * reverse) — "highest first" deep paging with no second index: each
+    * page's cursor tightens the index read's upper `_kb`/`_ck` bound,
+    * the exact scan-pager cursor drops the boundary remnant, and the
+    * concatenated pages equal the unpaged descending find. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q166pgi", dir, "orders")
+    val idx =
+      if (graft.view.IndexStore.exists(s, path))
+        graft.operators.Mango.openIndex(s, path)
+      else graft.operators.Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_totalprice"), path, numBuckets = 8)
+    val req = """{"selector": {"o_totalprice": {"$gte": 280000},
+      | "o_orderpriority": {"$regex": "^[1-3]-"}},
+      | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+      | "sort": [{"o_totalprice": "desc"}], "limit": 800}""".stripMargin
+    var bm: Option[String] = None
+    var acc: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val (p, nb) = graft.operators.Mango.findPageAuto(s, orders,
+        "o_orderkey", Seq(idx), req, bm)
+      acc = Some(acc.map(_.unionByName(p)).getOrElse(p))
+      bm = nb
+      done = nb.isEmpty
+    }
+    acc.get.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** A25d: Mango TEXT index + `$text` selector ([[graft.operators
     * .Mango.createTextIndex]]/[[graft.operators.Mango.findText]]) —
     * CouchDB's other index family: the `$text` conjunct is answered
@@ -3639,7 +3670,8 @@ object SparkEntry {
     "q176_replication_checkpoint" -> (q176 _),
     "q177_changes_style_all_docs" -> (q177 _),
     "q178_partitioned_find" -> (q178 _),
-    "q179_partitioned_find_auto" -> (q179 _)
+    "q179_partitioned_find_auto" -> (q179 _),
+    "q180_mango_paged_desc" -> (q180 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6364,7 +6396,12 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |  AND o_orderpriority <> '3-MEDIUM'
-        |ORDER BY oid""".stripMargin
+        |ORDER BY oid""".stripMargin,
+    "q180_mango_paged_desc" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_totalprice >= 280000
+        |  AND regexp_matches(o_orderpriority, '^[1-3]-')
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

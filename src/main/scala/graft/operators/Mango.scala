@@ -412,6 +412,21 @@ object Mango {
     pagePlanFrom(filtered, docs.columns.toSeq, req, idCol, bookmark)
   }
 
+  /** The strictly-after lexicographic cursor predicate: OR over
+    * "equal on the first i sort keys, strictly past on key i"
+    * branches, direction-aware per key. Shared by the scan/text pager
+    * and the descending index pager, which is what keeps their
+    * bookmarks interchangeable. */
+  private def cursorAfter(dirs: Seq[(String, Boolean)],
+                          vals: Seq[Any]): Column =
+    dirs.zipWithIndex.map { case ((f, asc), i) =>
+      val eqPrefix = dirs.take(i).zip(vals.take(i))
+        .map { case ((pf, _), pv) => col(pf) <=> lit(pv) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val v = lit(vals(i))
+      eqPrefix && (if (asc) col(f) > v else col(f) < v)
+    }.reduce(_ || _)
+
   /** The generic cursor-page tail over an ALREADY-FILTERED candidate
     * relation: bookmark resume (strictly-after lexicographic cursor),
     * sort, first-page skip, output/cursor column fetch. Shared by the
@@ -431,16 +446,7 @@ object Mango {
         require(vals.length == dirs.length,
           s"bookmark carries ${vals.length} cursor values; this find " +
             s"sorts on ${dirs.length}")
-        // strictly-after lexicographic cursor: OR over "equal on the
-        // first i keys, strictly past on key i" branches
-        val after = dirs.zipWithIndex.map { case ((f, asc), i) =>
-          val eqPrefix = dirs.take(i).zip(vals.take(i))
-            .map { case ((pf, _), pv) => col(pf) <=> lit(pv) }
-            .reduceOption(_ && _).getOrElse(lit(true))
-          val v = lit(vals(i))
-          eqPrefix && (if (asc) col(f) > v else col(f) < v)
-        }.reduce(_ || _)
-        filtered.filter(after)
+        filtered.filter(cursorAfter(dirs, vals))
     }
     val sortCols = dirs.map { case (f, asc) =>
       if (asc) col(f).asc else col(f).desc }
@@ -557,16 +563,21 @@ object Mango {
     * directories and `_ck` row groups below the cursor instead of
     * rescanning the corpus; one `limit(pageSize+1)` job per page.
     *
-    * Index order must BE the requested order for an index-resumed
+    * Index order must MATCH the requested order for an index-resumed
     * cursor to be correct, so this path requires `sort` to name
-    * exactly the index's fields, all ascending (CouchDB's own rule
-    * that the sort must match the index; the id tiebreak is the index
-    * row order). Anything else — plus partial indexes the selector
-    * does not imply, selectors that leave the index's first field
-    * unconstrained, or dotted index fields — falls back to the
-    * scan-paging [[findPage]], which stays correct at every depth,
-    * just unpruned. Cursor bookmarks are interchangeable between the
-    * two paths (same typed values). */
+    * exactly the index's fields, all one direction (CouchDB's own
+    * rule that the sort must match the index; a descending sort reads
+    * the SAME index in reverse — "newest first" deep paging needs no
+    * second index). Ascending pages resume via the A8b
+    * `startkey_docid` machinery; descending pages tighten the index
+    * read's UPPER bound to the cursor key and apply the exact
+    * scan-pager cursor on the decoded rows (the id tiebreak stays
+    * ascending on both paths, so pages concatenate to the unpaged
+    * find and bookmarks stay interchangeable). Anything else — mixed
+    * directions, partial indexes the selector does not imply,
+    * selectors that leave the index's first field unconstrained, or
+    * dotted index fields — falls back to the scan-paging [[findPage]],
+    * which stays correct at every depth, just unpruned. */
   def findPageIndexed(spark: SparkSession, docs: DataFrame, idCol: String,
                       index: MangoIndex, findJson: String,
                       bookmark: Option[String] = None)
@@ -585,7 +596,9 @@ object Mango {
                                      bookmark: Option[String])
       : Option[(DataFrame, Seq[String], Seq[String], Int)] = {
     val req = parseFind(findJson)
-    val sortMatchesIndex = req.sort.nonEmpty && req.sort.forall(_._2) &&
+    val allDesc = req.sort.nonEmpty && req.sort.forall(!_._2)
+    val sortMatchesIndex = req.sort.nonEmpty &&
+      (req.sort.forall(_._2) || allDesc) &&
       req.sort.map(_._1) == index.fields &&
       index.fields.forall(!_.contains('.'))
     val eligible = sortMatchesIndex &&
@@ -594,21 +607,38 @@ object Mango {
     indexBounds(req.selector, index.fields, docs.schema).map {
       case (startK, endK, incl) =>
         val pageSize = req.limit.getOrElse(25L).toInt
-        val resume = bookmark.map { b =>
+        val cursor = bookmark.map { b =>
           val vals = decodeBookmark(b)
           require(vals.length == index.fields.length + 1,
             s"bookmark carries ${vals.length} cursor values; this index " +
               s"pages on ${index.fields.length + 1}")
-          // the index `_ck` is the collation encoding of the fields
-          // array — encodeScala(Seq) builds the identical bytes
-          // driver-side, so the cursor resumes exactly at the stored key
-          (CollationCodec.encodeScala(vals.init), vals.last)
+          vals
         }
         val v = indexView(docs, idCol, index.fields)
           .fromIndex(spark, index.path)
-        val idxRows = v.query(QueryOpts(startKey = Some(startK),
-          endKey = Some(endK), inclusiveEnd = incl, reduce = false,
-          sorted = false, resumeAfter = resume))
+        val idxRows =
+          if (!allDesc) {
+            // the index `_ck` is the collation encoding of the fields
+            // array — encodeScala(Seq) builds the identical bytes
+            // driver-side, so the cursor resumes exactly at the stored
+            // key (strictly after, the A8b machinery)
+            val resume = cursor.map(vals =>
+              (CollationCodec.encodeScala(vals.init), vals.last))
+            v.query(QueryOpts(startKey = Some(startK),
+              endKey = Some(endK), inclusiveEnd = incl, reduce = false,
+              sorted = false, resumeAfter = resume))
+          } else {
+            // descending: bound roles swap (startkey is the UPPER end).
+            // The cursor key replaces the upper bound INCLUSIVELY — the
+            // boundary key's not-yet-served ids still belong to the next
+            // page; the exact lexicographic cursor below drops the rest.
+            // Bounds stay a SUPERSET throughout (an exclusive selector
+            // bound rides inclusively); the full selector re-runs on
+            // every row, so over-read is pruning slack, never wrong rows.
+            v.query(QueryOpts(startKey = Some(cursor.map(_.init).getOrElse(endK)),
+              endKey = Some(startK), inclusiveEnd = true, reduce = false,
+              sorted = false, descending = true))
+          }
         val touched = selectorPaths(req.selector) ++
           req.sort.map(_._1) ++ req.fields
         val coverable = touched.subsetOf(index.fields.toSet + idCol) &&
@@ -629,10 +659,21 @@ object Mango {
             val ids = idxRows.select(col("id").as(idCol)).distinct()
             (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
           }
-        val filtered = rows.filter(compile(req.selector, schema))
-        // native (fields…, id) ascending == (_ck, id) index order: the
-        // collation encoding is order-preserving per (monomorphic) column
-        val sortCols = index.fields.map(col(_).asc) :+ col(idCol).asc
+        val residual = rows.filter(compile(req.selector, schema))
+        // (fields…, id-asc) — the scan pager's order exactly, both
+        // directions, so pages concatenate to the unpaged find and
+        // bookmarks stay interchangeable. The collation encoding is
+        // order-preserving per (monomorphic) column, so ascending pages
+        // ride the (_ck, id) index order; descending pages apply the
+        // exact direction-aware cursor here (the index read above only
+        // BOUNDED the scan at the cursor key).
+        val dirs = req.sort :+ (idCol -> true)
+        val filtered = (cursor, allDesc) match {
+          case (Some(vals), true) => residual.filter(cursorAfter(dirs, vals))
+          case _ => residual
+        }
+        val sortCols = dirs.map { case (f, asc) =>
+          if (asc) col(f).asc else col(f).desc }
         val outCols: Seq[String] =
           if (req.fields.nonEmpty) req.fields else schema.fieldNames.toSeq
         val need = (outCols ++ index.fields :+ idCol).distinct
@@ -652,9 +693,10 @@ object Mango {
                    bookmark: Option[String] = None)
       : (DataFrame, Option[String]) = {
     val req = parseFind(findJson)
-    val sortable = indexes.filter(ix =>
-      req.sort.nonEmpty && req.sort.forall(_._2) &&
-        req.sort.map(_._1) == ix.fields && ix.fields.forall(!_.contains('.')))
+    val oneDirection = req.sort.nonEmpty &&
+      (req.sort.forall(_._2) || req.sort.forall(!_._2))
+    val sortable = indexes.filter(ix => oneDirection &&
+      req.sort.map(_._1) == ix.fields && ix.fields.forall(!_.contains('.')))
     pickIndex(req.selector, sortable, docs.schema, req.useIndex) match {
       case Some(ix) => findPageIndexed(spark, docs, idCol, ix, findJson,
         bookmark)

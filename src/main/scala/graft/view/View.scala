@@ -404,13 +404,14 @@ final class View private (
         }
         // sorted=false drops the global sort only when nothing else
         // depends on row order (no pagination offset, no requested-key
-        // order, no descending role-swap). A resumeAfter cursor is a
-        // pure FILTER (strictly-past-the-cursor), not an order
-        // dependency, so it composes with sorted=false — the Mango
-        // index-paging path relies on this to skip a wasted global
-        // sort of candidate rows it re-sorts after the doc fetch.
-        if (!opts.sorted && keyOrder.isEmpty && !opts.descending &&
-            opts.skip == 0L) m
+        // order). A resumeAfter cursor is a pure FILTER
+        // (strictly-past-the-cursor), not an order dependency, so it
+        // composes with sorted=false — the Mango index-paging path
+        // relies on this to skip a wasted global sort of candidate
+        // rows it re-sorts after the doc fetch. `descending` under
+        // sorted=false only swaps the BOUND roles (startkey = upper),
+        // never forces an order the caller declined.
+        if (!opts.sorted && keyOrder.isEmpty && opts.skip == 0L) m
         else m.orderBy(sortCols: _*)
       } else {
         val aggCol = aggFor(reduceFn.get)

@@ -457,15 +457,76 @@ class MangoSpec extends SparkSpecBase {
     assert(loDeep > loFirst && loFirst >= 0,
       s"deep page must prune more buckets than page 1 " +
         s"(page1 _kb >= $loFirst, deep _kb >= $loDeep)")
-    // a sort that does not match the index order falls back to scan
-    // paging (still correct)
-    val reqDesc = req.replace("\"sort\": [\"o_totalprice\"]",
-      "\"sort\": [{\"o_totalprice\": \"desc\"}]")
+    // a sort the index CANNOT serve (different field list) falls back
+    // to scan paging (still correct); single-direction descending now
+    // rides the index — its own spec below
+    val reqOther = req.replace("\"sort\": [\"o_totalprice\"]",
+      "\"sort\": [\"o_orderpriority\"]")
+    assert(Mango.pagePlanIndexed(spark, orders, "o_orderkey", idx,
+      reqOther, None).isEmpty)
     val (viaAuto, _) = walk(bm => Mango.findPageAuto(spark, orders,
-      "o_orderkey", Seq(idx), reqDesc, bm))
-    val (viaScanDesc, _) = walk(bm =>
-      Mango.findPage(orders, "o_orderkey", reqDesc, bm))
-    assert(viaAuto == viaScanDesc)
+      "o_orderkey", Seq(idx), reqOther, bm))
+    val (viaScanOther, _) = walk(bm =>
+      Mango.findPage(orders, "o_orderkey", reqOther, bm))
+    assert(viaAuto == viaScanOther && viaAuto.nonEmpty)
+  }
+
+  test("descending index paging: newest-first pages ride the same index, pruned deeper each page") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-pgdesc").toString
+    val idx = Mango.createIndex(spark, orders, "o_orderkey",
+      Seq("o_totalprice"), s"$dir/idx", numBuckets = 8)
+    val req = """{"selector": {"o_totalprice": {"$gte": 250000},
+      "o_orderpriority": {"$regex": "^[12]-"}},
+      "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+      "sort": [{"o_totalprice": "desc"}], "limit": 50}"""
+    def walk(f: Option[String] => (org.apache.spark.sql.DataFrame,
+        Option[String])): (Seq[Row], Seq[String]) = {
+      var bm: Option[String] = None
+      var acc = Vector.empty[Row]
+      var bms = Vector.empty[String]
+      var done = false
+      while (!done) {
+        val (p, nb) = f(bm)
+        acc ++= p.collect()
+        bm = nb; done = nb.isEmpty
+        nb.foreach(bms :+= _)
+      }
+      (acc, bms)
+    }
+    val (viaIndex, idxBms) = walk(bm =>
+      Mango.findPageIndexed(spark, orders, "o_orderkey", idx, req, bm))
+    val (viaScan, scanBms) = walk(bm =>
+      Mango.findPage(orders, "o_orderkey", req, bm))
+    assert(viaIndex == viaScan && viaIndex.size > 100,
+      s"desc indexed pages must equal scan pages (${viaIndex.size} rows)")
+    // pages concatenate to the unpaged descending find exactly
+    val unpaged = Mango.find(orders, "o_orderkey",
+      req.replace("\"limit\": 50", "\"limit\": 1000000")).collect().toSeq
+    assert(viaIndex == unpaged)
+    // the desc request IS index-pageable (no scan fallback)
+    assert(Mango.pagePlanIndexed(spark, orders, "o_orderkey", idx, req,
+      None).isDefined)
+    // bookmarks stay interchangeable with the scan pager
+    val (pX, _) = Mango.findPageIndexed(spark, orders, "o_orderkey", idx,
+      req, Some(scanBms.head))
+    assert(pX.collect().toSeq == viaScan.slice(50, 100))
+    // every page prunes _kb; a deep desc page's cursor TIGHTENS the
+    // upper bucket bound (the walk descends, so served buckets drop off
+    // the top of the index read)
+    val kbRe = """\(_kb#\d+ <= (\d+)\)""".r
+    def kbUpper(bm: Option[String]): Int = {
+      val Some((fetch, _, _, _)) =
+        Mango.pagePlanIndexed(spark, orders, "o_orderkey", idx, req, bm)
+      val plan = fetch.limit(51).queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters") && plan.contains("_kb"),
+        s"no _kb partition pruning in desc page plan:\n$plan")
+      kbRe.findAllMatchIn(plan).map(_.group(1).toInt).min
+    }
+    val upFirst = kbUpper(None)
+    val upDeep = kbUpper(Some(idxBms.last))
+    assert(upDeep < upFirst,
+      s"deep desc page must prune buckets above the cursor " +
+        s"(page1 _kb <= $upFirst, deep _kb <= $upDeep)")
   }
 
   test("$text served from a Mango text index == relational conjunctive match") {
