@@ -2967,6 +2967,49 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** A28c: `_bulk_get` ([[graft.operators.Revisions.bulkGet]]) — the
+    * replicator's fetch leg over the q146-shaped revision trees:
+    * leaf-rev requests answer directly, interior-rev requests fan out
+    * to every descending leaf (`latest=true`), unknown revs come back
+    * as explicit `not_found` rows; the oracle replays the same tree
+    * synthesis, node explode, and left join relationally. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val did = col("doc_id")
+    def h(tag: String): Column =
+      md5(concat(did.cast("string"), lit(s":$tag")))
+    def rev(p: Int, tag: String): Column = concat(lit(s"$p-"), h(tag))
+    def leaf(pos: Long, tag: String, del: Column, anc: Column)
+        (src: DataFrame): DataFrame =
+      src.select(col("doc_id"), lit(pos).as("rev_pos"),
+        h(tag).as("rev_hash"), del.as("deleted"), anc.as("ancestors"))
+    val none = array().cast("array<string>")
+    val leaves =
+      leaf(3, "r3", lit(false), array(rev(2, "r2a"), rev(1, "r1")))(
+        d.filter(did % 4 === 0))
+      .unionByName(leaf(2, "r2a", lit(false), array(rev(1, "r1")))(
+        d.filter(did % 2 === 0 && did % 4 =!= 0)))
+      .unionByName(leaf(2, "r2b", did % 9 === 0, array(rev(1, "r1")))(
+        d.filter(did % 3 === 0 && did % 4 =!= 0)))
+      .unionByName(leaf(1, "r1", lit(false), none)(
+        d.filter(did % 2 =!= 0 && did % 3 =!= 0)))
+    def reqs(pos: Long, tag: String)(src: DataFrame): DataFrame =
+      src.select(col("doc_id"), lit(pos).as("rev_pos"),
+        h(tag).as("rev_hash"))
+    val requests =
+      // direct leaf hits
+      reqs(3, "r3")(d.filter(did % 4 === 0 && did % 5 === 0))
+      // interior rev with TWO descending leaves (r2a and r2b) — fans out
+      .unionByName(reqs(1, "r1")(
+        d.filter(did % 2 === 0 && did % 3 === 0 && did % 4 =!= 0)))
+      // unknown revision — explicit not_found
+      .unionByName(reqs(9, "zz")(d.filter(did % 11 === 0)))
+    graft.operators.Revisions.bulkGet(leaves, col("doc_id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+        requests, col("doc_id"), col("rev_pos"), col("rev_hash"))
+      .orderBy(col("id"), col("req_rev"), col("rev"))
+  }
+
   /** A16 gated: the QUERY-RESPONSE ENVELOPE ([[graft.view.View
     * .queryResult]]) — total_rows / offset / rows, previously
     * spec-only. One output row: the envelope scalars plus
@@ -3671,7 +3714,8 @@ object SparkEntry {
     "q177_changes_style_all_docs" -> (q177 _),
     "q178_partitioned_find" -> (q178 _),
     "q179_partitioned_find_auto" -> (q179 _),
-    "q180_mango_paged_desc" -> (q180 _)
+    "q180_mango_paged_desc" -> (q180 _),
+    "q181_bulk_get" -> (q181 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6401,7 +6445,53 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_totalprice >= 280000
         |  AND regexp_matches(o_orderpriority, '^[1-3]-')
-        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q181_bulk_get" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |leaves AS (
+        |  SELECT doc_id, 3 AS pos, md5(doc_id || ':r3') AS hash,
+        |         false AS del,
+        |         ['2-' || md5(doc_id || ':r2a'),
+        |          '1-' || md5(doc_id || ':r1')] AS anc
+        |  FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5(doc_id || ':r2a'), false,
+        |         ['1-' || md5(doc_id || ':r1')]
+        |  FROM d WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5(doc_id || ':r2b'), doc_id % 9 = 0,
+        |         ['1-' || md5(doc_id || ':r1')]
+        |  FROM d WHERE doc_id % 3 = 0 AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, md5(doc_id || ':r1'), false,
+        |         CAST([] AS VARCHAR[])
+        |  FROM d WHERE doc_id % 2 <> 0 AND doc_id % 3 <> 0),
+        |nodes AS (
+        |  SELECT doc_id, pos || '-' || hash AS rev, del,
+        |         list_prepend(pos || '-' || hash, anc) AS revisions
+        |  FROM leaves),
+        |exploded AS (
+        |  SELECT doc_id, rev, del, revisions,
+        |         unnest(revisions) AS member
+        |  FROM nodes),
+        |req AS (
+        |  SELECT doc_id, '3-' || md5(doc_id || ':r3') AS req_rev
+        |  FROM d WHERE doc_id % 4 = 0 AND doc_id % 5 = 0
+        |  UNION
+        |  SELECT doc_id, '1-' || md5(doc_id || ':r1')
+        |  FROM d WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+        |    AND doc_id % 4 <> 0
+        |  UNION
+        |  SELECT doc_id, '9-' || md5(doc_id || ':zz')
+        |  FROM d WHERE doc_id % 11 = 0)
+        |SELECT req.doc_id AS id, req.req_rev,
+        |  CASE WHEN e.rev IS NULL THEN 'not_found' ELSE 'ok' END AS status,
+        |  e.rev AS rev, e.del AS deleted,
+        |  CASE WHEN e.rev IS NULL THEN NULL
+        |       ELSE array_to_string(e.revisions, ',') END AS revisions
+        |FROM req LEFT JOIN exploded e
+        |  ON e.doc_id = req.doc_id AND e.member = req.req_rev
+        |ORDER BY id, req_rev, rev""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

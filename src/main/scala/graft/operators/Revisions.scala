@@ -154,6 +154,59 @@ object Revisions {
     summary(newLeaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
   }
 
+  /** `_bulk_get` — the replicator's FETCH leg (CouchDB's batch endpoint
+    * between `_revs_diff` and the target write): given the `(id, rev)`
+    * pairs a target reported missing, return each requested revision
+    * with what the target needs to INSERT it — the served leaf's rev,
+    * its deleted flag, and its full `_revisions` path (self first, then
+    * ancestors, CouchDB's field). Requests use `latest=true` semantics,
+    * the replicator's mode: a request naming an INTERIOR revision is
+    * answered by every CURRENT leaf descending from it (one row per
+    * leaf — a branch point fans out, exactly as CouchDB returns
+    * multiple docs), because interior bodies may be compacted away.
+    * Requests naming no known revision come back as explicit
+    * `not_found` rows in the same relation — per-item errors, never
+    * omission.
+    *
+    * Input model is [[mergeReplicas]]'s leaf relation. Scale shape: one
+    * bounded path explode (tree depth × leaves, never corpus²) and one
+    * hash join from requests onto the (id, rev) node relation; no
+    * window, no driver loop — a replicator fetching a million missing
+    * revs is one join. */
+  def bulkGet(leaves: DataFrame, id: Column, revPos: Column,
+              revHash: Column, deleted: Column, ancestors: Column,
+              requests: DataFrame, reqId: Column, reqPos: Column,
+              reqHash: Column): DataFrame = {
+    val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"),
+      deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    val req = requests.select(reqId.as("_rq_id"),
+        concat(reqPos.cast("long").cast("string"), lit("-"),
+          reqHash.cast("string")).as("req_rev"))
+      .distinct()
+    // every (leaf, node-on-its-path) pair, the leaf itself included —
+    // the relation a latest=true request probes
+    val nodes = in
+      .withColumn("_rev",
+        concat(col("_pos").cast("string"), lit("-"), col("_hash")))
+      .withColumn("_revisions",
+        concat(array(col("_rev")), col("_anc")))
+      .select(col("_id"), col("_rev"), col("_del"), col("_revisions"),
+        explode(col("_revisions")).as("_member"))
+    req.join(nodes,
+        col("_rq_id") === col("_id") && col("req_rev") === col("_member"),
+        "left")
+      .select(col("_rq_id").as("id"), col("req_rev"),
+        when(col("_rev").isNull, lit("not_found")).otherwise(lit("ok"))
+          .as("status"),
+        col("_rev").as("rev"),
+        col("_del").as("deleted"),
+        // NULL (not "") for a miss: concat_ws would mint an empty
+        // string out of the unmatched row's null array
+        when(col("_rev").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(",", col("_revisions"))).as("revisions"))
+  }
+
   /** REPLICA MERGE — the state a bidirectional replication converges
     * to: given the revision-tree leaves of two replicas, each leaf
     * carrying its ancestor path (`ancestors`: array of `"pos-hash"`

@@ -163,6 +163,35 @@ class RevisionsSpec extends SparkSpecBase {
       ("live", "1-ee", false, 0L, "")))
   }
 
+  test("bulkGet: leaf hit, latest=true fan-out from an interior rev, explicit not_found") {
+    import spark.implicits._
+    val ls = Seq(
+      // two branches over 1-aa: an interior request fans out to both
+      ("d", 3L, "cc", false, Seq("2-bb", "1-aa")),
+      ("d", 2L, "zz", true, Seq("1-aa")),
+      ("e", 1L, "ee", false, Seq.empty[String]))
+    val rq = Seq(
+      ("d", 3L, "cc"),  // direct leaf hit
+      ("d", 1L, "aa"),  // interior: two descending leaves
+      ("d", 9L, "xx"),  // unknown rev
+      ("f", 1L, "qq"))  // unknown doc
+    val got = Revisions.bulkGet(replica(ls), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        rq.toDF("id", "rev_pos", "rev_hash"),
+        col("id"), col("rev_pos"), col("rev_hash"))
+      .orderBy(col("id"), col("req_rev"), col("rev")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("-"),
+        if (r.isNullAt(4)) "-" else r.getBoolean(4).toString,
+        Option(r.getString(5)).getOrElse("-"))).toSeq
+    assert(got == Seq(
+      ("d", "1-aa", "ok", "2-zz", "true", "2-zz,1-aa"),
+      ("d", "1-aa", "ok", "3-cc", "false", "3-cc,2-bb,1-aa"),
+      ("d", "3-cc", "ok", "3-cc", "false", "3-cc,2-bb,1-aa"),
+      ("d", "9-xx", "not_found", "-", "-", "-"),
+      ("f", "1-qq", "not_found", "-", "-", "-")), got.mkString("\n"))
+  }
+
   test("purge ignores requests that do not name a current leaf") {
     val ls = Seq(("d", 2L, "bb", false, Seq("1-aa")))
     // 1-aa is interior; 9-xx does not exist — both no-ops
