@@ -3010,6 +3010,25 @@ object SparkEntry {
       .orderBy(col("id"), col("req_rev"), col("rev"))
   }
 
+  /** A35: `validate_doc_update` ([[graft.operators.Mango
+    * .validateDocs]]) — CouchDB's write gatekeeper as named
+    * requirement selectors compiled to codegen'd predicates on the
+    * scan (no UDF, no shuffle); every failed rule reported, not just
+    * the first. The oracle replays the same four rules as CASE
+    * expressions. */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mango.validateDocs(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_orderstatus")),
+        Seq(
+          "price_positive" -> """{"o_totalprice": {"$gt": 0}}""",
+          "price_cap" -> """{"o_totalprice": {"$lt": 400000}}""",
+          "priority_known" ->
+            """{"o_orderpriority": {"$regex": "^[1-4]-"}}""",
+          "status_known" -> """{"o_orderstatus": {"$in": ["O", "F"]}}"""))
+      .select(col("o_orderkey"), col("_valid"), col("_reasons"))
+      .orderBy(col("o_orderkey"))
+
   /** A16 gated: the QUERY-RESPONSE ENVELOPE ([[graft.view.View
     * .queryResult]]) — total_rows / offset / rows, previously
     * spec-only. One output row: the envelope scalars plus
@@ -3715,7 +3734,8 @@ object SparkEntry {
     "q178_partitioned_find" -> (q178 _),
     "q179_partitioned_find_auto" -> (q179 _),
     "q180_mango_paged_desc" -> (q180 _),
-    "q181_bulk_get" -> (q181 _)
+    "q181_bulk_get" -> (q181 _),
+    "q182_validate_docs" -> (q182 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6491,7 +6511,20 @@ object SparkEntry {
         |       ELSE array_to_string(e.revisions, ',') END AS revisions
         |FROM req LEFT JOIN exploded e
         |  ON e.doc_id = req.doc_id AND e.member = req.req_rev
-        |ORDER BY id, req_rev, rev""".stripMargin
+        |ORDER BY id, req_rev, rev""".stripMargin,
+    "q182_validate_docs" ->
+      """SELECT o_orderkey,
+        |  (o_totalprice > 0 AND o_totalprice < 400000
+        |   AND regexp_matches(o_orderpriority, '^[1-4]-')
+        |   AND o_orderstatus IN ('O', 'F')) AS _valid,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (o_totalprice > 0) THEN 'price_positive' END,
+        |    CASE WHEN NOT (o_totalprice < 400000) THEN 'price_cap' END,
+        |    CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-4]-')
+        |         THEN 'priority_known' END,
+        |    CASE WHEN NOT (o_orderstatus IN ('O', 'F'))
+        |         THEN 'status_known' END) AS _reasons
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -704,6 +704,47 @@ object Mango {
     }
   }
 
+  // ------------------------------------------------------- write validation
+
+  /** CouchDB's `validate_doc_update` gatekeeper, declaratively: each
+    * rule is a NAMED requirement selector a document must match to be
+    * accepted (the design-doc JS function's `throw({forbidden: …})`
+    * re-expressed as data — the selector language already spans
+    * existence, type, range, regex, and array shape checks). Returns
+    * the input with two appended columns: `_valid`, and `_reasons` —
+    * the comma-joined names of every rule the doc fails, in rule
+    * order, `""` when accepted (ALL failures are reported, not just
+    * the first: a rejected write should come back fixable in one
+    * round trip).
+    *
+    * Scale shape: every rule compiles to one codegen'd predicate on
+    * the scan — no UDF, no shuffle, no per-rule pass; validating a
+    * 100 TB ingest batch is the same map-only scan that reads it. */
+  def validateDocs(docs: DataFrame,
+                   rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "validateDocs: at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "validateDocs: rule names must be unique")
+    val preds = rules.map { case (name, sel) =>
+      name -> compile(parseSelector(sel), docs.schema)
+    }
+    val failed = preds.map { case (name, p) => when(!p, lit(name)) }
+    docs
+      .withColumn("_valid", preds.map(_._2).reduce(_ && _))
+      // concat_ws drops the nulls `when` leaves for passing rules
+      .withColumn("_reasons", concat_ws(",", failed: _*))
+  }
+
+  /** The accepted/rejected split of [[validateDocs]] — the two
+    * relations a validated bulk write routes to storage vs back to the
+    * caller. One validation, two filters; Spark reuses the scan. */
+  def partitionValid(docs: DataFrame, rules: Seq[(String, String)])
+      : (DataFrame, DataFrame) = {
+    val v = validateDocs(docs, rules)
+    (v.filter(col("_valid")).drop("_valid", "_reasons"),
+      v.filter(!col("_valid")).drop("_valid"))
+  }
+
   // ------------------------------------------------------------ JSON indexes
 
   /** A Mango JSON index: a persisted [[View]] index whose key is the

@@ -815,6 +815,36 @@ class MangoSpec extends SparkSpecBase {
     assert(gotEdit == Seq(editedId))
   }
 
+  test("validateDocs: every failed rule reported; split reuses one validation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10.0, "1-URGENT"),
+      (2L, -5.0, "1-URGENT"),   // fails price
+      (3L, 10.0, "9-BOGUS"),    // fails priority
+      (4L, -1.0, "9-BOGUS"))    // fails BOTH — both reported
+      .toDF("id", "price", "prio")
+    val rules = Seq(
+      "price_pos" -> """{"price": {"$gt": 0}}""",
+      "prio_known" -> """{"prio": {"$regex": "^[1-5]-"}}""")
+    val got = Mango.validateDocs(docs, rules)
+      .select($"id", $"_valid", $"_reasons").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, true, ""), (2L, false, "price_pos"),
+      (3L, false, "prio_known"), (4L, false, "price_pos,prio_known")))
+    val (ok, bad) = Mango.partitionValid(docs, rules)
+    assert(ok.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(bad.columns.contains("_reasons") && bad.count() == 3)
+    // no UDF: the whole validation is one codegen'd projection
+    val plan = Mango.validateDocs(docs, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"validation must stay codegen'd:\n$plan")
+    // duplicate rule names and empty rule sets are authoring errors
+    intercept[IllegalArgumentException](
+      Mango.validateDocs(docs, rules ++ rules.take(1)))
+    intercept[IllegalArgumentException](Mango.validateDocs(docs, Nil))
+  }
+
   // CouchDB 3.x partitioned-database Mango: ids "<partition>:<key>"
   private lazy val pOrders: DataFrame = orders.select(
     concat(lit("c"), (col("o_custkey") % 10).cast("string"),
