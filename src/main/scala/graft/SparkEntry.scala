@@ -3029,6 +3029,36 @@ object SparkEntry {
       .select(col("o_orderkey"), col("_valid"), col("_reasons"))
       .orderBy(col("o_orderkey"))
 
+  /** A26b: `_revs_limit` ([[graft.operators.Revisions
+    * .truncateHistory]]) — bounded per-doc revision metadata: each
+    * q181-shaped leaf keeps its newest `limit-1` ancestors; the
+    * oracle replays the slice. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val did = col("doc_id")
+    def h(tag: String): Column =
+      md5(concat(did.cast("string"), lit(s":$tag")))
+    def rev(p: Int, tag: String): Column = concat(lit(s"$p-"), h(tag))
+    def leaf(pos: Long, tag: String, del: Column, anc: Column)
+        (src: DataFrame): DataFrame =
+      src.select(col("doc_id"), lit(pos).as("rev_pos"),
+        h(tag).as("rev_hash"), del.as("deleted"), anc.as("ancestors"))
+    val none = array().cast("array<string>")
+    val leaves =
+      leaf(3, "r3", lit(false), array(rev(2, "r2a"), rev(1, "r1")))(
+        d.filter(did % 4 === 0))
+      .unionByName(leaf(2, "r2a", lit(false), array(rev(1, "r1")))(
+        d.filter(did % 2 === 0 && did % 4 =!= 0)))
+      .unionByName(leaf(1, "r1", lit(false), none)(
+        d.filter(did % 2 =!= 0)))
+    graft.operators.Revisions.truncateHistory(leaves, col("doc_id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), limit = 2)
+      .select(col("id"), col("rev_pos"), col("rev_hash"), col("deleted"),
+        concat_ws(",", col("ancestors")).as("history"))
+      .orderBy(col("id"), col("rev_pos"), col("rev_hash"))
+  }
+
   /** A16 gated: the QUERY-RESPONSE ENVELOPE ([[graft.view.View
     * .queryResult]]) — total_rows / offset / rows, previously
     * spec-only. One output row: the envelope scalars plus
@@ -3735,7 +3765,8 @@ object SparkEntry {
     "q179_partitioned_find_auto" -> (q179 _),
     "q180_mango_paged_desc" -> (q180 _),
     "q181_bulk_get" -> (q181 _),
-    "q182_validate_docs" -> (q182 _)
+    "q182_validate_docs" -> (q182 _),
+    "q183_revs_limit" -> (q183 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6524,7 +6555,28 @@ object SparkEntry {
         |         THEN 'priority_known' END,
         |    CASE WHEN NOT (o_orderstatus IN ('O', 'F'))
         |         THEN 'status_known' END) AS _reasons
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q183_revs_limit" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |leaves AS (
+        |  SELECT doc_id, CAST(3 AS BIGINT) AS rev_pos,
+        |         md5(doc_id || ':r3') AS rev_hash,
+        |         false AS deleted,
+        |         ['2-' || md5(doc_id || ':r2a'),
+        |          '1-' || md5(doc_id || ':r1')] AS anc
+        |  FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5(doc_id || ':r2a'), false,
+        |         ['1-' || md5(doc_id || ':r1')]
+        |  FROM d WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, md5(doc_id || ':r1'), false,
+        |         CAST([] AS VARCHAR[])
+        |  FROM d WHERE doc_id % 2 <> 0)
+        |SELECT doc_id AS id, rev_pos, rev_hash, deleted,
+        |       COALESCE(array_to_string(list_slice(anc, 1, 1), ','), '')
+        |         AS history
+        |FROM leaves ORDER BY id, rev_pos, rev_hash""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

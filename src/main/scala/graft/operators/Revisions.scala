@@ -207,6 +207,29 @@ object Revisions {
           .otherwise(concat_ws(",", col("_revisions"))).as("revisions"))
   }
 
+  /** CouchDB's `_revs_limit`: cap how much revision HISTORY a stored
+    * leaf carries — each leaf keeps its newest `limit - 1` ancestors
+    * (self + ancestors = at most `limit` revs), older path entries are
+    * forgotten. Returns the leaf relation with the `ancestors` column
+    * truncated; everything else passes through.
+    *
+    * The documented CouchDB trade-off carries over verbatim (and is
+    * spec-pinned): two replicas that truncated DIFFERENTLY can lose
+    * the shared ancestor that proves one branch extends the other, so
+    * [[mergeReplicas]] may surface a spurious conflict after deep
+    * truncation — the price of bounded per-doc metadata, resolved
+    * deterministically by the [[summary]] rule like any conflict.
+    * Map-only (`slice`), no shuffle. */
+  def truncateHistory(leaves: DataFrame, id: Column, revPos: Column,
+                      revHash: Column, deleted: Column,
+                      ancestors: Column, limit: Int): DataFrame = {
+    require(limit >= 1, s"_revs_limit must be >= 1, got $limit")
+    leaves.select(id.as("id"), revPos.cast("long").as("rev_pos"),
+      revHash.cast("string").as("rev_hash"),
+      deleted.cast("boolean").as("deleted"),
+      slice(ancestors, 1, limit - 1).as("ancestors"))
+  }
+
   /** REPLICA MERGE — the state a bidirectional replication converges
     * to: given the revision-tree leaves of two replicas, each leaf
     * carrying its ancestor path (`ancestors`: array of `"pos-hash"`

@@ -192,6 +192,32 @@ class RevisionsSpec extends SparkSpecBase {
       ("f", "1-qq", "not_found", "-", "-", "-")), got.mkString("\n"))
   }
 
+  test("truncateHistory keeps the newest ancestors; deep truncation makes the documented spurious conflict") {
+    import spark.implicits._
+    val a = Seq(("d", 3L, "cc", false, Seq("2-bb", "1-aa")))
+    val b = Seq(("d", 2L, "bb", false, Seq("1-aa")))
+    def trunc(rows: Seq[(String, Long, String, Boolean, Seq[String])],
+              limit: Int) =
+      Revisions.truncateHistory(replica(rows), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"), limit)
+    // newest ancestors survive, oldest are forgotten
+    assert(trunc(a, 2).select("ancestors").as[Seq[String]].head()
+      == Seq("2-bb"))
+    assert(trunc(a, 1).select("ancestors").as[Seq[String]].head()
+      == Seq.empty[String])
+    def merge(x: DataFrame, y: DataFrame) =
+      Revisions.mergeReplicas(x, y, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"))
+        .select("id", "win_rev", "n_conflicts").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // enough history: B's tip folds into A's branch — no conflict
+    assert(merge(trunc(a, 2), replica(b)) == Seq(("d", "3-cc", 0L)))
+    // truncated past the link: the SAME merge shows CouchDB's
+    // documented spurious conflict, resolved by the summary rule
+    assert(merge(trunc(a, 1), replica(b)) == Seq(("d", "3-cc", 1L)))
+    intercept[IllegalArgumentException](trunc(a, 0))
+  }
+
   test("purge ignores requests that do not name a current leaf") {
     val ls = Seq(("d", 2L, "bb", false, Seq("1-aa")))
     // 1-aa is interior; 9-xx does not exist — both no-ops
