@@ -2601,6 +2601,41 @@ object SparkEntry {
         | "sort": ["oid"], "limit": 1000000}""".stripMargin)
   }
 
+  /** A34f: partition-scoped bookmark paging ([[graft.operators.Mango
+    * .findPartitionPage]]) — deep paging inside one partition of a
+    * partitioned database: every page reads one `_p` directory of
+    * q178's partitioned index with the cursor-tightened `_ck` range,
+    * fetches through the id-prefix-scoped corpus, and the
+    * concatenated pages (re-sorted) equal the relational replay. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "orders").select(
+      concat(lit("p"), (col("o_custkey") % 100).cast("string"), lit(":o"),
+        col("o_orderkey").cast("string")).as("oid"),
+      col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
+    val path = idxPath("q178pmx", dir, "orders")
+    val idx =
+      if (hasFile(s, s"$path/_mango_partitioned")) Mango.openIndex(s, path)
+      else Mango.createIndexPartitioned(s, docs, "oid",
+        Seq("o_orderdate"), path, numTasks = 8)
+    val req = """{"selector": {
+      |   "o_orderdate": {"$gte": "1993-01-01T00:00:00Z",
+      |                   "$lt": "1998-01-01T00:00:00Z"}},
+      | "fields": ["oid", "o_totalprice", "o_orderpriority"],
+      | "sort": ["o_orderdate"], "limit": 100}""".stripMargin
+    var bm: Option[String] = None
+    var acc: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val (p, nb) = Mango.findPartitionPage(s, docs, "oid", "p13", idx,
+        req, bm)
+      acc = Some(acc.map(_.unionByName(p)).getOrElse(p))
+      bm = nb
+      done = nb.isEmpty
+    }
+    acc.get.orderBy(col("oid"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3766,7 +3801,8 @@ object SparkEntry {
     "q180_mango_paged_desc" -> (q180 _),
     "q181_bulk_get" -> (q181 _),
     "q182_validate_docs" -> (q182 _),
-    "q183_revs_limit" -> (q183 _)
+    "q183_revs_limit" -> (q183 _),
+    "q184_partitioned_find_page" -> (q184 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6576,7 +6612,15 @@ object SparkEntry {
         |SELECT doc_id AS id, rev_pos, rev_hash, deleted,
         |       COALESCE(array_to_string(list_slice(anc, 1, 1), ','), '')
         |         AS history
-        |FROM leaves ORDER BY id, rev_pos, rev_hash""".stripMargin
+        |FROM leaves ORDER BY id, rev_pos, rev_hash""".stripMargin,
+    "q184_partitioned_find_page" ->
+      """SELECT 'p' || (o_custkey % 100) || ':o' || o_orderkey AS oid,
+        |       o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey % 100 = 13
+        |  AND o_orderdate >= TIMESTAMP '1993-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY oid""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

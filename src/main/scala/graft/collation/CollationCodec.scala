@@ -198,6 +198,9 @@ object CollationCodec {
       writeNum(out, (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble)
     case t: java.time.Instant =>
       writeNum(out, (t.getEpochSecond * 1000000L + t.getNano / 1000).toDouble)
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: wall-clock micros
+      writeNum(out, (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000).toDouble)
     case s: String =>
       out.write(TStr.toInt); writeStringBytes(out, stringPayload(s, locale))
     case bytes: Array[Byte] => out.write(TStr.toInt); writeStringBytes(out, bytes)

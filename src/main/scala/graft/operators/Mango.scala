@@ -508,7 +508,17 @@ object Mango {
         case t: java.sql.Timestamp =>
           o.put("t", "ts")
           o.put("v", t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+        case t: java.time.Instant =>
+          o.put("t", "ts")
+          o.put("v", t.getEpochSecond * 1000000L + t.getNano / 1000L)
+        case t: java.time.LocalDateTime =>
+          // TIMESTAMP_NTZ cursor: wall-clock micros (no zone to carry)
+          o.put("t", "tsn")
+          o.put("v", t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000L)
         case d: java.sql.Date => o.put("t", "date"); o.put("v", d.toString)
+        case d: java.time.LocalDate =>
+          o.put("t", "date"); o.put("v", d.toString)
         case other => throw new IllegalArgumentException(
           s"mango bookmark: unsupported cursor type ${other.getClass.getName}")
       }
@@ -549,6 +559,11 @@ object Mango {
           val us = x.asLong()
           java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
             Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+        case ("tsn", x) if x != null && x.canConvertToLong =>
+          val us = x.asLong()
+          java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
         case ("date", x) if x != null && x.isTextual =>
           java.sql.Date.valueOf(x.asText())
         case (t, _) => bad(s"unknown tag $t")
@@ -595,6 +610,43 @@ object Mango {
                                      findJson: String,
                                      bookmark: Option[String])
       : Option[(DataFrame, Seq[String], Seq[String], Int)] = {
+    require(!index.partitioned,
+      "global bookmark paging cannot serve from a partitioned index " +
+        "(use findPartitionPage)")
+    pagePlanIndexedCore(spark, docs, idCol, index, findJson, bookmark,
+      partition = None)
+  }
+
+  /** The lazy partition-scoped page plan behind [[findPartitionPage]],
+    * or None when the request is not index-pageable (→ scan paging of
+    * the partition). Test hook mirroring [[pagePlanIndexed]]. */
+  private[graft] def pagePlanPartition(spark: SparkSession, docs: DataFrame,
+                                       idCol: String, partition: String,
+                                       index: MangoIndex, findJson: String,
+                                       bookmark: Option[String])
+      : Option[(DataFrame, Seq[String], Seq[String], Int)] = {
+    graft.view.PartitionedStore.requireValidPartition(partition)
+    require(index.partitioned,
+      "findPartitionPage requires a partitioned index " +
+        "(createIndexPartitioned)")
+    pagePlanIndexedCore(spark, docs, idCol, index, findJson, bookmark,
+      Some(partition))
+  }
+
+  /** The shared index-page plan: global ([[pagePlanIndexed]]) or
+    * partition-scoped (`partition = Some(p)` — one `_p` directory read,
+    * fetch corpus id-prefix-scoped). */
+  private def pagePlanIndexedCore(spark: SparkSession, docs: DataFrame,
+                                  idCol: String, index: MangoIndex,
+                                  findJson: String,
+                                  bookmark: Option[String],
+                                  partition: Option[String])
+      : Option[(DataFrame, Seq[String], Seq[String], Int)] = {
+    val corpus = partition match {
+      case Some(p) => docs.filter(col(idCol).cast("string")
+        .startsWith(p + graft.view.PartitionedStore.Sep))
+      case None => docs
+    }
     val req = parseFind(findJson)
     val allDesc = req.sort.nonEmpty && req.sort.forall(!_._2)
     val sortMatchesIndex = req.sort.nonEmpty &&
@@ -614,8 +666,11 @@ object Mango {
               s"pages on ${index.fields.length + 1}")
           vals
         }
-        val v = indexView(docs, idCol, index.fields)
-          .fromIndex(spark, index.path)
+        val v0 = indexView(docs, idCol, index.fields)
+        val v = partition match {
+          case Some(p) => v0.fromPartitionedIndex(spark, index.path, p)
+          case None => v0.fromIndex(spark, index.path)
+        }
         val idxRows =
           if (!allDesc) {
             // the index `_ck` is the collation encoding of the fields
@@ -657,7 +712,7 @@ object Mango {
               keySchema.fields.toSeq.filterNot(_.name == idCol)))
           } else {
             val ids = idxRows.select(col("id").as(idCol)).distinct()
-            (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
+            (corpus.join(ids, Seq(idCol), "left_semi"), corpus.schema)
           }
         val residual = rows.filter(compile(req.selector, schema))
         // (fields…, id-asc) — the scan pager's order exactly, both
@@ -695,7 +750,7 @@ object Mango {
     val req = parseFind(findJson)
     val oneDirection = req.sort.nonEmpty &&
       (req.sort.forall(_._2) || req.sort.forall(!_._2))
-    val sortable = indexes.filter(ix => oneDirection &&
+    val sortable = indexes.filter(ix => oneDirection && !ix.partitioned &&
       req.sort.map(_._1) == ix.fields && ix.fields.forall(!_.contains('.')))
     pickIndex(req.selector, sortable, docs.schema, req.useIndex) match {
       case Some(ix) => findPageIndexed(spark, docs, idCol, ix, findJson,
@@ -1155,6 +1210,30 @@ object Mango {
         val pfx = partition + graft.view.PartitionedStore.Sep
         find(docs.filter(col(idCol).cast("string").startsWith(pfx)),
           idCol, findJson)
+    }
+  }
+
+  /** Bookmark pagination for a partition-scoped `_find` — CouchDB's
+    * `/db/_partition/{p}/_find` with a bookmark: [[findPageIndexed]]'s
+    * cursor machinery (both directions, interchangeable typed-JSON
+    * bookmarks) over ONE `_p` directory of a PARTITIONED index, with
+    * the fetch corpus id-prefix-scoped. Requests the index cannot page
+    * (sort mismatch, unimplied partial, unconstrained first field)
+    * fall back to scan paging OF THE PARTITION — correct at every
+    * depth, never a corpus scan. */
+  def findPartitionPage(spark: SparkSession, docs: DataFrame,
+                        idCol: String, partition: String,
+                        index: MangoIndex, findJson: String,
+                        bookmark: Option[String] = None)
+      : (DataFrame, Option[String]) = {
+    pagePlanPartition(spark, docs, idCol, partition, index, findJson,
+        bookmark) match {
+      case Some((fetch, cursorCols, outCols, pageSize)) =>
+        runPage(fetch, cursorCols, outCols, pageSize)
+      case None =>
+        val pfx = partition + graft.view.PartitionedStore.Sep
+        findPage(docs.filter(col(idCol).cast("string").startsWith(pfx)),
+          idCol, findJson, bookmark)
     }
   }
 

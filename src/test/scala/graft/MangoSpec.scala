@@ -385,6 +385,16 @@ class MangoSpec extends SparkSpecBase {
     assert(rt == vals, s"round-trip mismatch: $rt")
     // micros grain survives (the collation/encoding grain)
     assert(rt(7).asInstanceOf[java.sql.Timestamp].getNanos == 123456000)
+    // TIMESTAMP_NTZ cursors (LocalDateTime — what a timestamp_ntz
+    // column's rows carry), Instant and LocalDate round-trip too
+    val ntz = java.time.LocalDateTime.parse("1996-03-04T05:06:07.123456")
+    assert(Mango.decodeBookmark(Mango.encodeBookmark(Seq(ntz))) == Seq(ntz))
+    val inst = java.time.Instant.parse("1996-03-04T05:06:07.123456Z")
+    assert(Mango.decodeBookmark(Mango.encodeBookmark(Seq(inst))) ==
+      Seq(java.sql.Timestamp.from(inst)))
+    val ld = java.time.LocalDate.parse("1995-07-16")
+    assert(Mango.decodeBookmark(Mango.encodeBookmark(Seq(ld))) ==
+      Seq(java.sql.Date.valueOf("1995-07-16")))
     // junk and LEGACY Java-serialized bookmarks are rejected loudly,
     // never fed to object deserialization
     def rejects(b: String): Unit = {
@@ -953,6 +963,66 @@ class MangoSpec extends SparkSpecBase {
     val fb = Mango.findPartitionAuto(spark, pOrders, "oid", "c3",
       Seq(gidx, pidx), reqNone).collect().map(_.getString(0))
     assert(fb.nonEmpty && fb.forall(_.startsWith("c3:")))
+  }
+
+  test("findPartitionPage: scoped pages concatenate exactly; one _p dir; family guarded") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-part5").toString
+    val pidx = Mango.createIndexPartitioned(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/pidx", numTasks = 4)
+    val req = """{"selector": {"o_totalprice": {"$gte": 50000},
+      "o_orderpriority": {"$regex": "^[1-4]-"}},
+      "fields": ["oid", "o_totalprice", "o_orderpriority"],
+      "sort": ["o_totalprice"], "limit": 25}"""
+    var bm: Option[String] = None
+    var lastBm: Option[String] = None
+    var acc = Vector.empty[Row]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val (p, nb) = Mango.findPartitionPage(spark, pOrders, "oid", "c3",
+        pidx, req, bm)
+      acc ++= p.collect(); pages += 1
+      lastBm = bm; bm = nb; done = nb.isEmpty
+    }
+    // every page's fetch plan prunes to the ONE _p directory — and a
+    // resumed page ALSO carries a cursor-tightened _ck lower bound
+    // (a second pushed >= on the index scan, from the bookmark)
+    val ckLoRe = """\(_ck#\d+ >= 0x""".r
+    def planOf(b: Option[String]): String = {
+      val Some((fetch, _, _, _)) = Mango.pagePlanPartition(spark, pOrders,
+        "oid", "c3", pidx, req, b)
+      fetch.limit(51).queryExecution.executedPlan.toString()
+    }
+    val planFirst = planOf(None)
+    val planDeep = planOf(lastBm)
+    for ((plan, which) <- Seq((planFirst, "first"), (planDeep, "deep"))) {
+      assert(plan.contains("PartitionFilters") && plan.contains("= c3)"),
+        s"$which scoped page not _p-pruned:\n$plan")
+    }
+    val nFirst = ckLoRe.findAllMatchIn(planFirst).size
+    val nDeep = ckLoRe.findAllMatchIn(planDeep).size
+    assert(nDeep > nFirst && nFirst >= 1,
+      s"resumed scoped page lost the cursor _ck bound " +
+        s"($nFirst lower bounds -> $nDeep):\n$planDeep")
+    val want = Mango.findPartition(spark, pOrders, "oid", "c3", pidx,
+      req.replace("\"limit\": 25", "\"limit\": 1000000")).collect().toSeq
+    assert(acc.map(_.toString) == want.map(_.toString) && pages > 2,
+      s"scoped pages (${acc.size} rows, $pages pages) != unpaged " +
+        s"(${want.size})")
+    // family discipline is loud in both directions
+    val gidx = Mango.createIndex(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$dir/gidx", numBuckets = 4)
+    intercept[IllegalArgumentException](
+      Mango.findPartitionPage(spark, pOrders, "oid", "c3", gidx, req))
+    intercept[IllegalArgumentException](
+      Mango.findPageIndexed(spark, pOrders, "oid", pidx, req))
+    // un-pageable request → scan paging OF THE PARTITION
+    val reqFb = """{"selector": {"o_orderpriority": {"$regex": "^1-"}},
+      "fields": ["oid"], "sort": ["oid"], "limit": 30}"""
+    val (fb, _) = Mango.findPartitionPage(spark, pOrders, "oid", "c3",
+      pidx, reqFb)
+    val fbIds = fb.collect().map(_.getString(0))
+    assert(fbIds.nonEmpty && fbIds.forall(_.startsWith("c3:")))
   }
 
   test("upsertIndexPartitioned == rebuild; partial filter maintained through flips") {
