@@ -2636,6 +2636,34 @@ object SparkEntry {
     acc.get.orderBy(col("oid"))
   }
 
+  /** A36: batched multi-query view reads ([[graft.view.View.queryMany]])
+    * — CouchDB's `POST /db/_design/{ddoc}/_view/{view}/queries`: three
+    * range queries (overlapping, one descending with skip+limit, one
+    * inclusive-end boundary) answered from ONE scan of the orders view,
+    * each row tagged with its query ordinal. Oracle: UNION ALL of the
+    * three relational replays. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val v = View(t(s, dir, "orders"), col("o_orderkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    def ts(x: String) = java.time.Instant.parse(x)
+    v.queryMany(Seq(
+        QueryOpts(reduce = false,
+          startKey = Some(ts("1994-01-01T00:00:00Z")),
+          endKey = Some(ts("1995-01-01T00:00:00Z")), inclusiveEnd = false),
+        QueryOpts(reduce = false, descending = true,
+          startKey = Some(ts("1997-06-01T00:00:00Z")),
+          endKey = Some(ts("1996-06-01T00:00:00Z")),
+          skip = 10, limit = Some(500)),
+        QueryOpts(reduce = false,
+          startKey = Some(ts("1995-03-01T00:00:00Z")),
+          endKey = Some(ts("1995-04-01T00:00:00Z")))))
+      .select(col("q"), col("id"),
+        (year(col("key")) * 10000 + month(col("key")) * 100 +
+          dayofmonth(col("key"))).cast("long").as("o_date"),
+        col("value").as("o_totalprice"))
+      .orderBy(col("q"), col("id"))
+  }
+
   private def q130Bounds(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val b = t(s, dir, "orders").agg(
       min(col("o_custkey")), max(col("o_custkey")),
@@ -3802,7 +3830,8 @@ object SparkEntry {
     "q181_bulk_get" -> (q181 _),
     "q182_validate_docs" -> (q182 _),
     "q183_revs_limit" -> (q183 _),
-    "q184_partitioned_find_page" -> (q184 _)
+    "q184_partitioned_find_page" -> (q184 _),
+    "q185_view_query_many" -> (q185 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6620,7 +6649,31 @@ object SparkEntry {
         |WHERE o_custkey % 100 = 13
         |  AND o_orderdate >= TIMESTAMP '1993-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |ORDER BY oid""".stripMargin
+        |ORDER BY oid""".stripMargin,
+    "q185_view_query_many" ->
+      """WITH q0 AS (
+        |  SELECT 0 AS q, o_orderkey AS id, o_orderdate AS d, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-01-01'),
+        |q1 AS (
+        |  SELECT 1 AS q, o_orderkey AS id, o_orderdate AS d, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate <= TIMESTAMP '1997-06-01'
+        |    AND o_orderdate >= TIMESTAMP '1996-06-01'
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC
+        |  LIMIT 500 OFFSET 10),
+        |q2 AS (
+        |  SELECT 2 AS q, o_orderkey AS id, o_orderdate AS d, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |    AND o_orderdate <= TIMESTAMP '1995-04-01')
+        |SELECT q, id,
+        |  YEAR(d) * 10000 + MONTH(d) * 100 + DAY(d) AS o_date,
+        |  o_totalprice
+        |FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1
+        |      UNION ALL SELECT * FROM q2)
+        |ORDER BY q, id""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -235,13 +235,173 @@ final class View private (
   def query(opts: QueryOpts = QueryOpts()): DataFrame =
     queryKeepCk(opts).drop("_ck")
 
+  /** The key/startkey/endkey bound predicate for `opts` as ONE Column
+    * (None when unbounded) — the single source of truth for the range
+    * semantics, applied per-query by [[queryKeepCk]] and OR-combined
+    * across queries by the one-scan [[queryMany]] path.
+    *
+    * startkey_docid/endkey_docid refine the bound WITHIN duplicate keys
+    * (the reference's resume-pagination options): rows strictly past the
+    * bound key pass unconditionally; rows AT the bound key also compare
+    * their doc id. Each OR refinement carries a REDUNDANT range
+    * conjunct (`ck >= K` / `ck <= K`, implied by both branches):
+    * parquet cannot derive row-group min/max pruning from the OR shape
+    * itself, but the conjunct is a plain comparison it pushes down —
+    * without it a docid-refined query would keep directory-level `_kb`
+    * pruning yet scan every row group inside the surviving buckets.
+    * When descending, CouchDB swaps the roles: startkey is the upper
+    * bound; inclusive_end=false makes the (endkey, endkey_docid) bound
+    * itself exclusive (strict id comparison at the bound key). */
+  private def boundsCond(opts: QueryOpts): Option[Column] = {
+    val id = col("_id")
+    val cs = Seq.newBuilder[Column]
+    opts.key.foreach(k => cs += (ck === enc(k)))
+    if (!opts.descending) {
+      opts.startKey.foreach { k =>
+        cs += (opts.startKeyDocId match {
+          case Some(d) => ck >= enc(k) && (ck > enc(k) ||
+            (ck === enc(k) && id >= lit(d)))
+          case None => ck >= enc(k)
+        })
+      }
+      opts.endKey.foreach { k =>
+        cs += ((opts.endKeyDocId, opts.inclusiveEnd) match {
+          case (Some(d), true) => ck <= enc(k) && (ck < enc(k) ||
+            (ck === enc(k) && id <= lit(d)))
+          case (Some(d), false) => ck <= enc(k) && (ck < enc(k) ||
+            (ck === enc(k) && id < lit(d)))
+          case (None, true) => ck <= enc(k)
+          case (None, false) => ck < enc(k)
+        })
+      }
+    } else {
+      opts.startKey.foreach { k =>
+        cs += (opts.startKeyDocId match {
+          case Some(d) => ck <= enc(k) && (ck < enc(k) ||
+            (ck === enc(k) && id <= lit(d)))
+          case None => ck <= enc(k)
+        })
+      }
+      opts.endKey.foreach { k =>
+        cs += ((opts.endKeyDocId, opts.inclusiveEnd) match {
+          case (Some(d), true) => ck >= enc(k) && (ck > enc(k) ||
+            (ck === enc(k) && id >= lit(d)))
+          case (Some(d), false) => ck >= enc(k) && (ck > enc(k) ||
+            (ck === enc(k) && id > lit(d)))
+          case (None, true) => ck >= enc(k)
+          case (None, false) => ck > enc(k)
+        })
+      }
+    }
+    val all = cs.result()
+    if (all.isEmpty) None else Some(all.reduce(_ && _))
+  }
+
+  /** Materialized-index `_kb` bucket-range predicate for `opts`
+    * (directory-level pruning via the stored bounds, on top of the
+    * `_ck` binary range already pushed to parquet row-group min/max
+    * stats — the two levels that turn a startkey/endkey query into an
+    * index scan at 100 TB). None on unmaterialized views or unbounded
+    * queries. */
+  private def bucketCond(opts: QueryOpts): Option[Column] =
+    indexMeta.filter(_.bounds.nonEmpty).flatMap { meta =>
+      val kb = col("_kb")
+      def bk(k: Any): Int =
+        IndexStore.bucketOf(meta, View.encodeKey(k, locale))
+      val cs = Seq.newBuilder[Column]
+      opts.key.foreach(k => cs += (kb === bk(k)))
+      val lowKey = if (opts.descending) opts.endKey else opts.startKey
+      val highKey = if (opts.descending) opts.startKey else opts.endKey
+      lowKey.foreach(k => cs += (kb >= bk(k)))
+      highKey.foreach(k => cs += (kb <= bk(k)))
+      val all = cs.result()
+      if (all.isEmpty) None else Some(all.reduce(_ && _))
+    }
+
+  /** CouchDB's batched multi-query endpoint
+    * (`POST /db/_design/{ddoc}/_view/{view}/queries`, same shape on
+    * `_all_docs/queries`): answer N query objects against the SAME
+    * view version in one call. Returns the map-row shape
+    * `(id, key, value)` tagged with `q` = the ordinal of the query
+    * each row answers (a row inside several requested ranges appears
+    * once per matching query), rows ordered (q, then that query's own
+    * key order — descending queries descend).
+    *
+    * Scale shape — the reason this beats a loop over [[query]]: all N
+    * range reads are ONE scan. The scan filter is the OR of the
+    * per-query `_ck` bounds ([[boundsCond]] — pushed to parquet
+    * row-group min/max) and the OR of their `_kb` bucket ranges
+    * ([[bucketCond]] — directory pruning keeps the union of bucket
+    * ranges; applied only when EVERY query is bounded, since one
+    * unbounded query must read everything anyway). The per-query tag
+    * is a codegen'd explode over matching ordinals, and per-query
+    * skip/limit/direction resolve in one window pass hashed on `q` —
+    * a dashboard firing 50 range reads is one job, not 50. On an
+    * UNMATERIALIZED view the shared scan also means the map phase
+    * runs ONCE for all N queries.
+    *
+    * Queries the one-scan path cannot express — the reduce/group
+    * family, keys= fetches, include_docs, resume cursors — dispatch
+    * per-query through the full [[query]] machinery and union tagged:
+    * same rows, N plans. Those require a HOMOGENEOUS batch (all
+    * reduced or all map-row, all include_docs or none): CouchDB
+    * returns N independent row arrays, but one DataFrame has one
+    * schema. */
+  def queryMany(optsSeq: Seq[QueryOpts]): DataFrame = {
+    require(optsSeq.nonEmpty, "queryMany requires at least one query")
+    val fast = optsSeq.forall(o =>
+      !(o.reduce && reduceFn.isDefined) && o.keys.isEmpty &&
+        !o.includeDocs && o.resumeAfter.isEmpty && !o.conflicts)
+    if (!fast) {
+      require(optsSeq.map(o => o.reduce && reduceFn.isDefined)
+          .distinct.size == 1,
+        "queryMany cannot mix reduced and map-row queries in one batch " +
+          "(two row shapes); issue two batches")
+      require(optsSeq.map(_.includeDocs).distinct.size == 1,
+        "queryMany cannot mix include_docs and plain queries in one " +
+          "batch (two row shapes); issue two batches")
+      return optsSeq.zipWithIndex
+        .map { case (o, i) => query(o).withColumn("q", lit(i)) }
+        .reduce(_.unionByName(_))
+    }
+    val conds = optsSeq.map(o => boundsCond(o).getOrElse(lit(true)))
+    var r = rows.filter(conds.reduce(_ || _))
+    val kbConds = optsSeq.map(bucketCond)
+    if (kbConds.forall(_.isDefined))
+      r = r.filter(kbConds.flatten.reduce(_ || _))
+    // tag each row with every query ordinal whose bounds admit it —
+    // one array of codegen'd WHENs, exploded (null slots filtered out)
+    val tags = filter(
+      array(conds.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*),
+      x => x.isNotNull)
+    val tagged = r.withColumn("q", explode(tags))
+      .select(col("q"), col("_id").as("id"), col("key"), col("value"), ck)
+    // per-query direction/skip/limit in ONE window pass hashed on q:
+    // the ascending rank flips to the query's own direction via the
+    // partition count, so one sort order serves both directions
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+    val rnAsc = row_number().over(wq.orderBy(ck.asc, col("id").asc))
+    val cnt = count(lit(1)).over(wq)
+    val qi = col("q") + 1 // element_at is 1-based
+    val descQ = element_at(array(optsSeq.map(o =>
+      lit(o.descending)): _*), qi)
+    val skipQ = element_at(array(optsSeq.map(o =>
+      lit(o.skip)): _*), qi)
+    val limQ = element_at(array(optsSeq.map(o =>
+      lit(o.limit.map(_.toLong).getOrElse(Int.MaxValue.toLong))): _*), qi)
+    tagged
+      .withColumn("_rn", when(descQ, cnt - rnAsc + 1L).otherwise(rnAsc))
+      .filter(col("_rn") > skipQ && col("_rn") <= skipQ + limQ)
+      .orderBy(col("q").asc, col("_rn").asc)
+      .drop("_rn", "_ck")
+  }
+
   private def queryKeepCk(opts: QueryOpts): DataFrame = {
     require(opts.skip <= Int.MaxValue && opts.limit.forall(_ <= Int.MaxValue),
       "skip/limit beyond Int.MaxValue: use startKeyDocId resume pagination")
     require(!(opts.includeDocs && isUnion),
       "includeDocs is undefined for union views (two doc spaces)")
     var r = rows
-    opts.key.foreach(k => r = r.filter(ck === enc(k)))
     // keys= returns row groups in REQUESTED order, honoring repeats (the
     // reference's multi-key fetch semantics): join against the request
     // list with its position, which both filters and duplicates.
@@ -263,62 +423,14 @@ final class View private (
         keyOrder = Some(col("_req_idx"))
       }
     }
-    // startkey_docid/endkey_docid refine the bound WITHIN duplicate keys
-    // (the reference's resume-pagination options): rows strictly past the
-    // bound key pass unconditionally; rows AT the bound key also compare
-    // their doc id. Each OR refinement carries a REDUNDANT range
-    // conjunct (`ck >= K` / `ck <= K`, implied by both branches):
-    // parquet cannot derive row-group min/max pruning from the OR shape
-    // itself, but the conjunct is a plain comparison it pushes down —
-    // without it a docid-refined query would keep directory-level `_kb`
-    // pruning yet scan every row group inside the surviving buckets.
-    val id = col("_id")
-    if (!opts.descending) {
-      opts.startKey.foreach { k =>
-        r = opts.startKeyDocId match {
-          case Some(d) => r.filter(ck >= enc(k) && (ck > enc(k) ||
-            (ck === enc(k) && id >= lit(d))))
-          case None => r.filter(ck >= enc(k))
-        }
-      }
-      opts.endKey.foreach { k =>
-        r = (opts.endKeyDocId, opts.inclusiveEnd) match {
-          case (Some(d), true) => r.filter(ck <= enc(k) && (ck < enc(k) ||
-            (ck === enc(k) && id <= lit(d))))
-          // inclusive_end=false makes the (endkey, endkey_docid) bound
-          // itself exclusive: strict id comparison at the bound key.
-          case (Some(d), false) => r.filter(ck <= enc(k) && (ck < enc(k) ||
-            (ck === enc(k) && id < lit(d))))
-          case (None, true) => r.filter(ck <= enc(k))
-          case (None, false) => r.filter(ck < enc(k))
-        }
-      }
-    } else {
-      // CouchDB swaps the roles when descending: startkey is the upper bound.
-      opts.startKey.foreach { k =>
-        r = opts.startKeyDocId match {
-          case Some(d) => r.filter(ck <= enc(k) && (ck < enc(k) ||
-            (ck === enc(k) && id <= lit(d))))
-          case None => r.filter(ck <= enc(k))
-        }
-      }
-      opts.endKey.foreach { k =>
-        r = (opts.endKeyDocId, opts.inclusiveEnd) match {
-          case (Some(d), true) => r.filter(ck >= enc(k) && (ck > enc(k) ||
-            (ck === enc(k) && id >= lit(d))))
-          case (Some(d), false) => r.filter(ck >= enc(k) && (ck > enc(k) ||
-            (ck === enc(k) && id > lit(d))))
-          case (None, true) => r.filter(ck >= enc(k))
-          case (None, false) => r.filter(ck > enc(k))
-        }
-      }
-    }
+    boundsCond(opts).foreach(c => r = r.filter(c))
 
     // Keyset-pagination cursor ([[queryPage]]): strictly after the last
     // served (collation key, doc id). For REDUCED grouped queries the
     // cursor addresses whole GROUPS — a raw-row filter here would let
     // the boundary key's remaining rows form a PARTIAL group on the
     // next page — so it applies post-aggregation in the reduce branch.
+    val id = col("_id")
     if (!(opts.reduce && reduceFn.isDefined))
       opts.resumeAfter.foreach { case (ckB, lastId) =>
         // same redundant range conjunct as the docid-refined bounds
@@ -335,16 +447,12 @@ final class View private (
     // top of the `_ck` binary range already pushed to parquet row-group
     // min/max stats — the two levels that turn a startkey/endkey query
     // into an index scan at 100 TB.
+    bucketCond(opts).foreach(c => r = r.filter(c))
     indexMeta.filter(_.bounds.nonEmpty).foreach { meta =>
       val kb = col("_kb")
       def bk(k: Any): Int = IndexStore.bucketOf(meta, View.encodeKey(k, locale))
-      opts.key.foreach(k => r = r.filter(kb === bk(k)))
       opts.keys.foreach(ks =>
         r = r.filter(kb.isin(ks.map(bk).distinct: _*)))
-      val lowKey = if (opts.descending) opts.endKey else opts.startKey
-      val highKey = if (opts.descending) opts.startKey else opts.endKey
-      lowKey.foreach(k => r = r.filter(kb >= bk(k)))
-      highKey.foreach(k => r = r.filter(kb <= bk(k)))
       // the resume cursor bounds the scan from the cursor side too
       opts.resumeAfter.foreach { case (ckB, _) =>
         val b = IndexStore.bucketOf(meta, ckB)

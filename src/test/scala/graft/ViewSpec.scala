@@ -677,4 +677,92 @@ class ViewSpec extends SparkSpecBase {
       .schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.contains("_conflicts"))
   }
+
+  test("queryMany: N range queries == per-query answers, ONE scan, per-q direction/skip/limit") {
+    val v = View(orders, $"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    val qs = Seq(
+      QueryOpts(startKey = Some(100000.0), endKey = Some(200000.0),
+        reduce = false),
+      // overlapping range, descending with limit+skip
+      QueryOpts(startKey = Some(250000.0), endKey = Some(150000.0),
+        descending = true, limit = Some(40), skip = 3, reduce = false),
+      // point lookup on a key that exists
+      QueryOpts(key = Some(orders.orderBy($"o_orderkey")
+        .select($"o_totalprice").as[Double].head()), reduce = false),
+      // exclusive end
+      QueryOpts(startKey = Some(300000.0), endKey = Some(320000.0),
+        inclusiveEnd = false, reduce = false))
+    val many = v.queryMany(qs)
+    val got = many.collect().groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(r =>
+        (r.getLong(1), r.getDouble(2), r.getString(3))).toSeq }
+    qs.zipWithIndex.foreach { case (o, i) =>
+      val want = v.query(o).collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got.getOrElse(i, Seq.empty) == want,
+        s"query $i: ${got.getOrElse(i, Seq.empty).size} rows != " +
+          s"${want.size} (per-query)")
+      assert(want.nonEmpty, s"query $i must select rows for the test to bite")
+    }
+    // the whole batch reads the corpus ONCE (one scan, not 4); count in
+    // the plan string — AQE query-stage boundaries hide the scan nodes
+    // from plan.collect once executed
+    val planStr = many.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0) // AQE toString repeats the plan
+    val nScans = "FileScan parquet".r.findAllMatchIn(planStr).size
+    assert(nScans == 1,
+      s"expected ONE scan for the batch, got $nScans:\n$planStr")
+  }
+
+  test("queryMany on a materialized index prunes to the UNION of bucket ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("view-qmany").toString
+    val v0 = View(orders, $"o_orderkey", $"o_totalprice", lit(1))
+    v0.materialize(s"$dir/idx", numBuckets = 16)
+    val v = v0.fromIndex(spark, s"$dir/idx")
+    val qs = Seq(
+      QueryOpts(startKey = Some(50000.0), endKey = Some(80000.0),
+        reduce = false),
+      QueryOpts(startKey = Some(400000.0), endKey = Some(450000.0),
+        reduce = false))
+    val many = v.queryMany(qs)
+    val plan = many.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("_kb"),
+      s"multi-range scan must keep _kb pruning:\n$plan")
+    qs.zipWithIndex.foreach { case (o, i) =>
+      val want = v.query(o).collect().map(_.toString).toSeq
+      val got = many.filter(col("q") === i).drop("q").collect()
+        .map(_.toString).toSeq
+      assert(got == want && want.nonEmpty, s"indexed query $i mismatch")
+    }
+    // one unbounded query in the batch drops bucket pruning (it must
+    // read everything) but answers stay right
+    val qs2 = qs :+ QueryOpts(reduce = false)
+    val many2 = v.queryMany(qs2)
+    assert(many2.filter(col("q") === 2).count() == orders.count())
+  }
+
+  test("queryMany fallback: reduced/keys= batches dispatch per-query; mixed shapes refuse") {
+    val vr = View(orders, $"o_orderkey", $"o_orderstatus", lit(1),
+      Some(Reduce.Count))
+    val qs = Seq(QueryOpts(group = true),
+      QueryOpts(group = true, descending = true))
+    val many = vr.queryMany(qs).collect()
+    val g0 = many.filter(_.getInt(2) == 0).map(r =>
+      (r.getString(0), r.getLong(1))).toSeq
+    val want0 = vr.query(QueryOpts(group = true)).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq
+    assert(g0 == want0 && want0.nonEmpty)
+    // mixed reduced + map-row refuses loudly
+    val e = intercept[IllegalArgumentException](
+      vr.queryMany(Seq(QueryOpts(group = true), QueryOpts(reduce = false))))
+    assert(e.getMessage.contains("cannot mix"))
+    // keys= rides the fallback and keeps request order
+    val vk = View(orders, $"o_orderkey", $"o_orderstatus", lit(1))
+    val kq = vk.queryMany(Seq(
+      QueryOpts(keys = Some(Seq("O", "F")), reduce = false)))
+    assert(kq.select("q").distinct().collect().map(_.getInt(0)).toSeq ==
+      Seq(0))
+    assert(kq.count() == orders.filter($"o_orderstatus".isin("O", "F"))
+      .count())
+  }
 }
