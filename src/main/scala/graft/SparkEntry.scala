@@ -2530,6 +2530,75 @@ object SparkEntry {
       q176Target(s, dir))
   }
 
+  private def q186Hash(pos: Long, branch: String): Column =
+    md5(concat(col("doc_id").cast("string"), lit(s":$pos:$branch")))
+  private def q186Rev(pos: Long, branch: String): Column =
+    concat(lit(s"$pos-"), q186Hash(pos, branch))
+
+  /** Five per-doc replication scenarios keyed on doc_id % 5: the
+    * SOURCE's leaf relation. 0 = target behind (source extended its
+    * branch), 1 = true divergence, 2 = target AHEAD (source holds a
+    * rev the target superseded), 3 = doc new to the target,
+    * 4 = tombstone (deletes travel). */
+  private def q186Source(s: SparkSession, dir: String): DataFrame = {
+    val c = col("doc_id") % 5
+    t(s, dir, "documents").select(col("doc_id")).select(
+      col("doc_id").as("id"),
+      when(c === 3, 1L).otherwise(2L).as("rev_pos"),
+      when(c === 1, q186Hash(2, "s"))
+        .when(c === 4, q186Hash(2, "d"))
+        .when(c === 3, q186Hash(1, "m"))
+        .otherwise(q186Hash(2, "m")).as("rev_hash"),
+      (c === 4).as("deleted"),
+      when(c === 3, array().cast("array<string>"))
+        .otherwise(array(q186Rev(1, "m"))).as("ancestors"))
+  }
+
+  private def q186Target(s: SparkSession, dir: String): DataFrame = {
+    val c = col("doc_id") % 5
+    t(s, dir, "documents").select(col("doc_id")).filter(c =!= 3).select(
+      col("doc_id").as("id"),
+      when(c === 2, 3L).when(c === 1, 2L).otherwise(1L).as("rev_pos"),
+      when(c === 2, q186Hash(3, "m"))
+        .when(c === 1, q186Hash(2, "t"))
+        .otherwise(q186Hash(1, "m")).as("rev_hash"),
+      lit(false).as("deleted"),
+      when(c === 2, array(q186Rev(2, "m"), q186Rev(1, "m")))
+        .when(c === 1, array(q186Rev(1, "m")))
+        .otherwise(array().cast("array<string>")).as("ancestors"))
+  }
+
+  /** A28d: the FULL replication loop ([[graft.operators.Replication
+    * .replicateOnce]]) — checkpoint read → `_changes style=all_docs` →
+    * ancestor-aware `_revs_diff` → `_bulk_get` → `_bulk_docs
+    * new_edits=false` — pulled once over the five q186 scenarios.
+    * Output = the target's post-sync leaf relation; the oracle states
+    * each scenario's expected leaves directly (behind → source tip
+    * only; divergence → both tips; target-ahead → no spurious
+    * conflict; new doc arrives; tombstone arrives deleted). */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val path = idxPath("q186chg", dir, "documents")
+    if (!hasFile(s, s"$path/_graft_built")) {
+      val src = q186Source(s, dir)
+      graft.sources.ChangesFeed.write(
+        src.select(col("id").cast("long").as("seq"), col("id"),
+          concat(col("rev_pos").cast("string"), lit("-"),
+            col("rev_hash")).as("rev"), col("deleted")),
+        path, width = 256)
+      new java.io.File(s"$path/_graft_built").createNewFile()
+    }
+    val round = Replication.replicateOnce(s, path, "gate-loop",
+      q186Source(s, dir), q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+    round.targetLeaves.select(col("id").as("doc_id"),
+      concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+        .as("rev"),
+      col("deleted"),
+      concat_ws(",", col("ancestors")).as("ancestors"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
     * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
     * changed doc's row lists its rev tree's FULL leaf set (the q126
@@ -3831,7 +3900,8 @@ object SparkEntry {
     "q182_validate_docs" -> (q182 _),
     "q183_revs_limit" -> (q183 _),
     "q184_partitioned_find_page" -> (q184 _),
-    "q185_view_query_many" -> (q185 _)
+    "q185_view_query_many" -> (q185 _),
+    "q186_replication_loop" -> (q186 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6673,7 +6743,35 @@ object SparkEntry {
         |  o_totalprice
         |FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1
         |      UNION ALL SELECT * FROM q2)
-        |ORDER BY q, id""".stripMargin
+        |ORDER BY q, id""".stripMargin,
+    "q186_replication_loop" ->
+      """WITH exp AS (
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:m') AS rev,
+        |         false AS deleted,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m') AS ancestors
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:t'), false,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s'), false,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '3-' || md5(doc_id::VARCHAR || ':3:m'), false,
+        |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m'), false, ''
+        |  FROM documents WHERE doc_id % 5 = 3
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d'), true,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 4)
+        |SELECT doc_id, rev, deleted, ancestors FROM exp
+        |ORDER BY doc_id, rev""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

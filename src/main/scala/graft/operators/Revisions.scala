@@ -259,19 +259,33 @@ object Revisions {
       df.select(id.as("_id"), revPos.cast("long").as("_pos"),
         revHash.cast("string").as("_hash"),
         deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    val leaves = mergeLeaves(normA(a), normA(b))
+    summary(leaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
+  }
+
+  /** The tree-merge core of [[mergeReplicas]] (and of `_bulk_docs`
+    * `new_edits=false` — [[Replication.applyBulkDocs]]): union two
+    * NORMALIZED leaf relations (`_id, _pos, _hash, _del, _anc`),
+    * collapse revs both sides share, and drop any rev that is an
+    * ANCESTOR of another leaf of the same doc — an extended branch's
+    * old tip stops being a leaf instead of surfacing as a fake
+    * conflict; true divergence survives as real branches. Returns the
+    * merged LEAF relation in the same normalized shape. */
+  private[operators] def mergeLeaves(a: DataFrame,
+                                     b: DataFrame): DataFrame = {
     // union then collapse shared revs; max(struct) not first() so the
     // collapse stays deterministic even on malformed inputs
-    val merged = normA(a).unionByName(normA(b))
+    val merged = a.unionByName(b)
       .groupBy(col("_id"), col("_pos"), col("_hash"))
       .agg(max(struct(col("_del"), col("_anc"))).as("_m"))
       .select(col("_id"), col("_pos"), col("_hash"),
         col("_m._del").as("_del"), col("_m._anc").as("_anc"))
     val anc = merged.select(col("_id"), explode(col("_anc")).as("_rev"))
       .distinct()
-    val leaves = merged
+    merged
       .withColumn("_rev",
         concat(col("_pos").cast("string"), lit("-"), col("_hash")))
       .join(anc, Seq("_id", "_rev"), "left_anti")
-    summary(leaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
+      .drop("_rev")
   }
 }
