@@ -2599,6 +2599,45 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rev"))
   }
 
+  /** G13 gated: CONTINUOUS replication ([[graft.streaming.Streams
+    * .maintainReplication]]) — the q186 change log arrives as a
+    * 4-micro-batch file stream; each batch delta-syncs just its docs
+    * ([[graft.operators.Replication.syncBatch]]: touched `_b` buckets
+    * only) into the persisted target pre-created from the q186 target
+    * tree. The settled store must hold EXACTLY the leaf set the
+    * one-shot q186 loop produces — same oracle. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val src = q186Source(s, dir)
+    val feedRows = src.select(col("id").cast("long").as("seq"), col("id"),
+      concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+        .as("rev"), col("deleted"))
+    val inDir = idxPath("q187inS", dir, "documents") + "/in"
+    stageChunks(s, feedRows, col("seq"), inDir)
+    val tgtPath = idxPath("q187tgtS", dir, "documents") + "/target"
+    // upsert store, but a RE-CREATED baseline per run keeps the gate
+    // deterministic whatever state a prior run left behind
+    graft.view.IndexStore.fsFor(s, tgtPath)
+      .delete(new org.apache.hadoop.fs.Path(tgtPath), true)
+    Replication.createTarget(s, tgtPath, q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16)
+    val ck = java.nio.file.Files.createTempDirectory("graft-q187ck")
+      .toString
+    val stream = s.readStream.schema(feedRows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainReplication(s, stream,
+      q186Source(s, dir), col("id"), col("rev_pos"), col("rev_hash"),
+      col("deleted"), col("ancestors"), tgtPath, ck, numBuckets = 16)
+    try q.processAllAvailable() finally q.stop()
+    Replication.openTarget(s, tgtPath).select(col("id").as("doc_id"),
+      concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+        .as("rev"),
+      col("deleted"),
+      concat_ws(",", col("ancestors")).as("ancestors"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
     * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
     * changed doc's row lists its rev tree's FULL leaf set (the q126
@@ -3901,8 +3940,40 @@ object SparkEntry {
     "q183_revs_limit" -> (q183 _),
     "q184_partitioned_find_page" -> (q184 _),
     "q185_view_query_many" -> (q185 _),
-    "q186_replication_loop" -> (q186 _)
+    "q186_replication_loop" -> (q186 _),
+    "q187_streaming_replication" -> (q187 _)
   )
+
+  /** Shared by q186 (one-shot loop) and q187 (streamed): both must
+    * converge the target to the same leaf set. */
+  private val replicationLoopOracle: String =
+      """WITH exp AS (
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:m') AS rev,
+        |         false AS deleted,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m') AS ancestors
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:t'), false,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s'), false,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '3-' || md5(doc_id::VARCHAR || ':3:m'), false,
+        |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m'), false, ''
+        |  FROM documents WHERE doc_id % 5 = 3
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d'), true,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 4)
+        |SELECT doc_id, rev, deleted, ancestors FROM exp
+        |ORDER BY doc_id, rev""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_emit_sum" ->
@@ -6744,34 +6815,8 @@ object SparkEntry {
         |FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1
         |      UNION ALL SELECT * FROM q2)
         |ORDER BY q, id""".stripMargin,
-    "q186_replication_loop" ->
-      """WITH exp AS (
-        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:m') AS rev,
-        |         false AS deleted,
-        |         '1-' || md5(doc_id::VARCHAR || ':1:m') AS ancestors
-        |  FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:t'), false,
-        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
-        |  FROM documents WHERE doc_id % 5 = 1
-        |  UNION ALL
-        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s'), false,
-        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
-        |  FROM documents WHERE doc_id % 5 = 1
-        |  UNION ALL
-        |  SELECT doc_id, '3-' || md5(doc_id::VARCHAR || ':3:m'), false,
-        |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
-        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
-        |  FROM documents WHERE doc_id % 5 = 2
-        |  UNION ALL
-        |  SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m'), false, ''
-        |  FROM documents WHERE doc_id % 5 = 3
-        |  UNION ALL
-        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d'), true,
-        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
-        |  FROM documents WHERE doc_id % 5 = 4)
-        |SELECT doc_id, rev, deleted, ancestors FROM exp
-        |ORDER BY doc_id, rev""".stripMargin
+    "q186_replication_loop" -> replicationLoopOracle,
+    "q187_streaming_replication" -> replicationLoopOracle
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

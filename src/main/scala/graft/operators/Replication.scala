@@ -128,4 +128,129 @@ object Replication {
       col("deleted"), col("ancestors"))
     ReplicationRound(merged, feed)
   }
+
+  // ----------------------- the persisted replication TARGET ----------
+
+  import graft.view.{IndexMeta, IndexStore}
+  import org.apache.hadoop.fs.Path
+
+  private def dataDir(path: String) = s"$path/data"
+
+  private def normL(df: DataFrame, i: Column, p: Column, h: Column,
+                    d: Column, a: Column): DataFrame =
+    df.select(i.as("id"), p.cast("long").as("rev_pos"),
+      h.cast("string").as("rev_hash"), d.cast("boolean").as("deleted"),
+      a.as("ancestors"))
+
+  def targetExists(spark: SparkSession, path: String): Boolean =
+    IndexStore.exists(spark, path)
+
+  /** Persist a target's revision-tree leaves hive-partitioned by id
+    * HASH bucket (`_b` — arithmetic on the id, no sidecar): the layout
+    * that makes a continuous replication batch touch only the bucket
+    * directories holding its changed docs, whatever the target's total
+    * size. */
+  def createTarget(spark: SparkSession, path: String, leaves: DataFrame,
+                   id: Column, revPos: Column, revHash: Column,
+                   deleted: Column, ancestors: Column,
+                   numBuckets: Int = 0, seq: Long = 0L): Unit = {
+    val n = if (numBuckets > 0) numBuckets
+            else spark.sessionState.conf.numShufflePartitions
+    val rows = normL(leaves, id, revPos, revHash, deleted, ancestors)
+      .withColumn("_b", IndexStore.idBucket(col("id"), n))
+    val fs = IndexStore.fsFor(spark, path)
+    fs.delete(new Path(path), true)
+    rows.repartition(n, col("_b"))
+      .sortWithinPartitions(col("_b"), col("id"), col("rev_pos"),
+        col("rev_hash"))
+      .write.mode("overwrite").partitionBy("_b").parquet(dataDir(path))
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, n, Nil))
+  }
+
+  /** The stored leaf relation `(id, rev_pos, rev_hash, deleted,
+    * ancestors)`. */
+  def openTarget(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(dataDir(path)).drop("_b")
+
+  /** One DELTA-BOUNDED sync of `changedIds` from `source` into the
+    * persisted target — the micro-batch body of continuous replication
+    * ([[graft.streaming.Streams.maintainReplication]]) and equally a
+    * batch API for "sync just these docs". Only the `_b` bucket
+    * directories holding changed ids are read and rewritten: the
+    * revs-diff anti-joins the delta's source-leaf revs against what
+    * THOSE buckets know (leaves + ancestor paths), the fetch is
+    * [[Revisions.bulkGet]] over just the misses, the write leg is
+    * [[applyBulkDocs]] on just the touched docs' trees, and the swap
+    * is rename-per-bucket (crash leaves old-or-new; the merge is
+    * idempotent, so a checkpoint retry converges). A first batch
+    * creates the store from the changed docs' source leaves. Returns
+    * the rewritten bucket ids (empty when nothing changed). */
+  def syncBatch(spark: SparkSession, path: String, source: DataFrame,
+                id: Column, revPos: Column, revHash: Column,
+                deleted: Column, ancestors: Column,
+                changedIds: DataFrame, numBuckets: Int = 0,
+                newSeq: Long = -1L): Seq[Int] = {
+    val srcN = normL(source, id, revPos, revHash, deleted, ancestors)
+    val ids = changedIds.toDF("id").distinct().persist()
+    try {
+      if (!targetExists(spark, path)) {
+        val leaves = srcN.join(ids, Seq("id"), "left_semi")
+        if (leaves.isEmpty) return Nil
+        createTarget(spark, path, leaves, col("id"), col("rev_pos"),
+          col("rev_hash"), col("deleted"), col("ancestors"),
+          numBuckets, math.max(newSeq, 0L))
+        return leaves.select(
+            IndexStore.idBucket(col("id"), if (numBuckets > 0) numBuckets
+              else spark.sessionState.conf.numShufflePartitions).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      }
+      val meta = IndexStore.readMeta(spark, path)
+      val bs = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
+          .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bs.isEmpty) return Nil
+      val bucketRows = spark.read.parquet(dataDir(path))
+        .filter(col("_b").isin(bs: _*))
+      val curTouched = bucketRows.join(ids, Seq("id"), "left_semi")
+        .drop("_b")
+      // _revs_diff against what the touched docs' trees already know
+      val rev = concat(col("rev_pos").cast("string"), lit("-"),
+        col("rev_hash"))
+      val known = curTouched.select(col("id"), rev.as("rev"))
+        .unionByName(curTouched.select(col("id"),
+          explode(col("ancestors")).as("rev")))
+        .distinct()
+      val candidates = srcN.join(ids, Seq("id"), "left_semi")
+        .select(col("id"), rev.as("rev"))
+      val misses = candidates.join(known, Seq("id", "rev"), "left_anti")
+        .select(col("id"),
+          split_part(col("rev"), lit("-"), lit(1)).cast("long")
+            .as("rev_pos"),
+          split_part(col("rev"), lit("-"), lit(2)).as("rev_hash"))
+      val revsArr = split(col("revisions"), ",")
+      val incoming = Revisions.bulkGet(srcN, col("id"), col("rev_pos"),
+          col("rev_hash"), col("deleted"), col("ancestors"),
+          misses, col("id"), col("rev_pos"), col("rev_hash"))
+        .filter(col("status") === "ok")
+        .select(col("id"),
+          split_part(col("rev"), lit("-"), lit(1)).cast("long")
+            .as("rev_pos"),
+          split_part(col("rev"), lit("-"), lit(2)).as("rev_hash"),
+          col("deleted"),
+          slice(revsArr, lit(2), greatest(size(revsArr) - 1, lit(0)))
+            .as("ancestors"))
+      val mergedTouched = applyBulkDocs(curTouched, col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+        incoming, col("id"), col("rev_pos"), col("rev_hash"),
+        col("deleted"), col("ancestors"))
+      val out = bucketRows.join(ids, Seq("id"), "left_anti")
+        .unionByName(mergedTouched
+          .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
+      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+        dataDir(path), "_b", bs,
+        Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
+      bs
+    } finally ids.unpersist()
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gfunctions.collation_key
@@ -592,6 +592,36 @@ object Streams {
     * `ChangesFeed.since(checkpoint)` concurrently (readers see whole
     * parquet files, and a half-visible batch only shortens the feed,
     * never corrupts it). */
+  /** CONTINUOUS replication — CouchDB's `continuous=true`, the
+    * reference replicator left running: each micro-batch of source
+    * change rows (anything with an `id` column; the
+    * [[graft.sources.ChangesFeed]] row shape works as-is) triggers one
+    * [[graft.operators.Replication.syncBatch]] — a delta-bounded pull
+    * of just the batch's changed docs from the source's leaf relation
+    * into the persisted bucketed target. Per batch the work is
+    * O(changed docs): touched `_b` directories only, ancestor-aware
+    * revs-diff, fetch of just the misses, rename-swap writes. A failed
+    * batch retries from the streaming checkpoint; the sync is
+    * idempotent, so the retry converges instead of double-applying.
+    * The first non-empty batch creates the target store. */
+  def maintainReplication(spark: SparkSession, changeStream: DataFrame,
+                          source: DataFrame, id: Column, revPos: Column,
+                          revHash: Column, deleted: Column,
+                          ancestors: Column, targetPath: String,
+                          checkpoint: String, numBuckets: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Replication.syncBatch(spark, targetPath,
+            source, id, revPos, revHash, deleted, ancestors,
+            batch.select(col("id")), numBuckets, newSeq = batchId + 1)
+        ()
+      }
+      .start()
+
   def maintainChangesFeed(spark: SparkSession, changeStream: DataFrame,
                           path: String, checkpoint: String,
                           width: Long = 1024L)

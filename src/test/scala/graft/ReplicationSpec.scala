@@ -94,4 +94,70 @@ class ReplicationSpec extends SparkSpecBase {
     assert(fresh.pushed.count() == 5)
     assert(leafSet(fresh.targetLeaves) == leafSet(merged))
   }
+
+  test("syncBatch: touched buckets only, idempotent, equals mergeReplicas") {
+    import graft.view.IndexStore
+    val nDocs = 60
+    val source = leavesDf((0 until nDocs).map { i =>
+      (s"d$i", 2L, s"s$i", i % 9 == 0, Seq(s"1-a$i"))
+    })
+    val targetInit = leavesDf((0 until nDocs).map { i =>
+      (s"d$i", 1L, s"a$i", false, Seq.empty[String])
+    })
+    val dir = java.nio.file.Files.createTempDirectory("repl-sync").toString
+    val path = s"$dir/target"
+    Replication.createTarget(spark, path, targetInit, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 8)
+    // sync a 5-doc delta: only the buckets holding those ids rewrite
+    val delta = (0 until 5).map(i => s"d${i * 11}")
+    val before = IndexStore.readMeta(spark, path).updateSeq
+    val touched = Replication.syncBatch(spark, path, source, cols._1,
+      cols._2, cols._3, cols._4, cols._5, delta.toDF("id"))
+    assert(touched.nonEmpty && touched.size <= 5,
+      s"a 5-doc delta may touch at most 5 buckets, touched $touched")
+    val after1 = leafSet(Replication.openTarget(spark, path))
+    val expect = (0 until nDocs).map { i =>
+      if (delta.contains(s"d$i")) (s"d$i", s"2-s$i", i % 9 == 0)
+      else (s"d$i", s"1-a$i", false)
+    }.toSet
+    assert(after1 == expect)
+    assert(IndexStore.readMeta(spark, path).updateSeq == before + 1)
+    // a checkpoint-retry of the same batch converges (idempotent)
+    Replication.syncBatch(spark, path, source, cols._1, cols._2,
+      cols._3, cols._4, cols._5, delta.toDF("id"))
+    assert(leafSet(Replication.openTarget(spark, path)) == expect)
+    // syncing EVERY id equals the one-shot replica merge's leaf set
+    Replication.syncBatch(spark, path, source, cols._1, cols._2,
+      cols._3, cols._4, cols._5,
+      (0 until nDocs).map(i => s"d$i").toDF("id"))
+    val full = leafSet(Replication.openTarget(spark, path))
+    val viaMerge = graft.operators.Revisions.mergeReplicas(targetInit,
+      source, cols._1, cols._2, cols._3, cols._4, cols._5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(full.map(t => (t._1, t._2)) == viaMerge,
+      "synced store must agree with mergeReplicas on every winner/leaf")
+  }
+
+  test("maintainReplication: streamed micro-batches converge the persisted target") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val source = leavesDf((0 until 40).map { i =>
+      (s"m$i", 2L, s"s$i", false, Seq(s"1-a$i"))
+    })
+    val dir = java.nio.file.Files.createTempDirectory("repl-str").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.maintainReplication(spark,
+      in.toDF().toDF("seq", "id"), source, cols._1, cols._2, cols._3,
+      cols._4, cols._5, s"$dir/target", s"$dir/ckpt", numBuckets = 4)
+    try {
+      in.addData((0 until 15).map(i => (i.toLong, s"m$i")): _*)
+      q.processAllAvailable()
+      assert(leafSet(Replication.openTarget(spark, s"$dir/target")) ==
+        (0 until 15).map(i => (s"m$i", s"2-s$i", false)).toSet)
+      in.addData((15 until 40).map(i => (i.toLong, s"m$i")): _*)
+      q.processAllAvailable()
+      assert(leafSet(Replication.openTarget(spark, s"$dir/target")) ==
+        (0 until 40).map(i => (s"m$i", s"2-s$i", false)).toSet)
+    } finally q.stop()
+  }
 }
