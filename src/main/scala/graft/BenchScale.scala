@@ -376,10 +376,43 @@ object BenchScale {
     val evBase = Seq("serve_event_window" -> evProbe(1, "base"))
     val evBig = Seq("serve_event_window" -> evProbe(10, "10x"))
 
+    // ---- Continuous replication: a FIXED 1k-doc delta synced into a
+    // 10× target must stay ~flat — touched `_b` buckets are located by
+    // arithmetic on the delta's ids and only those directories are
+    // read/rewritten (buckets ∝ corpus is the deployment discipline,
+    // so per-bucket size holds constant). Mutating → timed once.
+    def replProbe(mult: Int, tag: String): Double = {
+      import graft.operators.Replication
+      val n = 200000L * mult
+      val path = s"$tmp/graft_scale_${tag}_repl"
+      val idc = col("id").cast("string")
+      val tgt = spark.range(n).select(idc.as("id"),
+        lit(1L).as("rev_pos"), md5(idc).as("rev_hash"),
+        lit(false).as("deleted"),
+        array().cast("array<string>").as("ancestors"))
+      Replication.createTarget(spark, path, tgt, col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 64 * mult)
+      // a SMALL delta (5 docs): touched buckets ≤ 5 at BOTH scales, so
+      // the probe isolates the per-bucket cost — a 1000-doc delta
+      // would touch most of the 64 base buckets and read the store
+      val changed = spark.range(5L).select((col("id") * lit(n / 5))
+        .cast("string").as("id"))
+      val src = changed.select(col("id"), lit(2L).as("rev_pos"),
+        md5(concat(col("id"), lit(":2"))).as("rev_hash"),
+        lit(false).as("deleted"),
+        array(concat(lit("1-"), md5(col("id")))).as("ancestors"))
+      time(Replication.syncBatch(spark, path, src, col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), changed))
+    }
+    val replBase = Seq("replication_delta" -> replProbe(1, "base"))
+    val replBig = Seq("replication_delta" -> replProbe(10, "10x"))
+
     val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ knnBase ++
-      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase
+      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase ++ replBase
     val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ knnBig ++
-      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig
+      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig ++ replBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

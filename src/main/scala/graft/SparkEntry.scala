@@ -2464,6 +2464,22 @@ object SparkEntry {
         col("value").as("o_totalprice"))
   }
 
+  /** A34g: partition info ([[graft.view.PartitionedStore
+    * .partitionStats]]) — CouchDB's `GET /db/_partition/{partition}`
+    * doc/row counts, served from the partitioned store scanning ONLY
+    * the `_p` and `_id` columns (footer/dictionary speed); the oracle
+    * replays the partition synthesis and counts relationally. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val path = idxPath("q173pvx", dir, "orders")
+    if (!hasFile(s, s"$path/_graft_meta"))
+      View(q173Docs(s, dir), col("_id"), col("o_orderdate"),
+        col("o_totalprice"))
+        .materializePartitioned(path, numTasks = 8, seq = 1)
+    graft.view.PartitionedStore.partitionStats(s, path)
+      .filter(col("partition").isin("p7", "p13", "p42"))
+      .orderBy(col("partition"))
+  }
+
   /** A34b: partition-scoped `_all_docs` ([[graft.view.View
     * .partitionScope]] over [[graft.view.View.allDocs]]) — CouchDB's
     * `/db/_partition/{p}/_all_docs` with a key range and limit; on the
@@ -3941,7 +3957,8 @@ object SparkEntry {
     "q184_partitioned_find_page" -> (q184 _),
     "q185_view_query_many" -> (q185 _),
     "q186_replication_loop" -> (q186 _),
-    "q187_streaming_replication" -> (q187 _)
+    "q187_streaming_replication" -> (q187 _),
+    "q188_partition_info" -> (q188 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6816,7 +6833,14 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM q2)
         |ORDER BY q, id""".stripMargin,
     "q186_replication_loop" -> replicationLoopOracle,
-    "q187_streaming_replication" -> replicationLoopOracle
+    "q187_streaming_replication" -> replicationLoopOracle,
+    "q188_partition_info" ->
+      """SELECT 'p' || (o_custkey % 100) AS partition,
+        |       COUNT(*) AS row_count,
+        |       COUNT(DISTINCT o_orderkey) AS doc_count
+        |FROM orders
+        |WHERE (o_custkey % 100) IN (7, 13, 42)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -764,5 +764,22 @@ class ViewSpec extends SparkSpecBase {
       Seq(0))
     assert(kq.count() == orders.filter($"o_orderstatus".isin("O", "F"))
       .count())
+    // _all_docs/queries: the same batching composes over View.allDocs
+    val ad = View.allDocs(orders.withColumn("_id",
+      concat(lit("o"), $"o_orderkey")), col("_id"))
+    val adOut = ad.queryMany(Seq(
+      QueryOpts(reduce = false, startKey = Some("o1"), endKey = Some("o2"),
+        limit = Some(25)),
+      QueryOpts(reduce = false, startKey = Some("o5"), endKey = Some("o6"))))
+    Seq(0, 1).foreach { i =>
+      val want = ad.query(
+        if (i == 0) QueryOpts(reduce = false, startKey = Some("o1"),
+          endKey = Some("o2"), limit = Some(25))
+        else QueryOpts(reduce = false, startKey = Some("o5"),
+          endKey = Some("o6"))).collect().map(_.toString).toSeq
+      assert(adOut.filter(col("q") === i).drop("q").collect()
+        .map(_.toString).toSeq == want && want.nonEmpty,
+        s"allDocs queries batch $i mismatch")
+    }
   }
 }
