@@ -1825,6 +1825,15 @@ object SparkEntry {
       col("rev_pos"), col("rev_hash"), col("deleted"))
       .orderBy(col("id"))
 
+  /** A37: `GET /db` info ([[graft.operators.Revisions.dbInfo]]) —
+    * doc_count / doc_del_count resolved under the winner rule over the
+    * q126 revision synthesis (a doc whose every branch is deleted
+    * counts as deleted, not live); the oracle replays the same rule
+    * and aggregates. */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Revisions.dbInfo(q126Leaves(s, dir), col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"))
+
   /** A11b: `conflicts=true` reads ([[graft.view.View.withConflicts]])
     * — CouchDB's conflict-aware include_docs: each served doc carries
     * its `_conflicts` array (the losing LIVE leaves of the q126
@@ -3958,7 +3967,8 @@ object SparkEntry {
     "q185_view_query_many" -> (q185 _),
     "q186_replication_loop" -> (q186 _),
     "q187_streaming_replication" -> (q187 _),
-    "q188_partition_info" -> (q188 _)
+    "q188_partition_info" -> (q188 _),
+    "q189_db_info" -> (q189 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6840,7 +6850,25 @@ object SparkEntry {
         |       COUNT(DISTINCT o_orderkey) AS doc_count
         |FROM orders
         |WHERE (o_custkey % 100) IN (7, 13, 42)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q189_db_info" ->
+      """WITH leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves)
+        |SELECT COUNT(*) FILTER (WHERE NOT deleted) AS doc_count,
+        |       COUNT(*) FILTER (WHERE deleted) AS doc_del_count
+        |FROM ranked WHERE rn = 1""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -85,6 +85,18 @@ object Revisions {
         split_part(col("rev"), lit("-"), lit(1)).cast("long").as("rev_pos"),
         split_part(col("rev"), lit("-"), lit(2)).as("rev_hash"))
 
+  /** CouchDB's `GET /db` info counts from a leaf relation: `doc_count`
+    * (documents RESOLVING live under the winner rule — a doc whose
+    * every branch is deleted does not count) and `doc_del_count`
+    * (documents resolving deleted). One further partial-aggregable
+    * pass over [[summary]]'s per-doc rows — at any corpus size this is
+    * the same single-shuffle shape as the resolution itself. */
+  def dbInfo(df: DataFrame, id: Column, revPos: Column,
+             revHash: Column, deleted: Column): DataFrame =
+    summary(df, id, revPos, revHash, deleted)
+      .agg(count(when(!col("win_deleted"), lit(1))).as("doc_count"),
+        count(when(col("win_deleted"), lit(1))).as("doc_del_count"))
+
   /** PURGE — CouchDB's `_purge`: remove specific LEAF revisions with no
     * tombstone left behind (deletion is an edit that replicates; purge
     * is surgery that un-happens a write — the GDPR/bad-crawl eraser).

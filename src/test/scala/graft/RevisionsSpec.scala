@@ -39,6 +39,17 @@ class RevisionsSpec extends SparkSpecBase {
     assert(got == Seq(("c", "4-bb", true, 0L, "")))
   }
 
+  test("dbInfo: live docs vs deleted docs resolve under the winner rule") {
+    // d1 live; d2 all branches deleted -> del count; d3 live branch
+    // beats deleted branch -> live count
+    val r = Revisions.dbInfo(leaves(Seq(
+      ("d1", 1L, "aa", false),
+      ("d2", 2L, "bb", true), ("d2", 1L, "cc", true),
+      ("d3", 3L, "dd", true), ("d3", 1L, "ee", false))),
+      col("id"), col("rev_pos"), col("rev_hash"), col("deleted")).head()
+    assert((r.getLong(0), r.getLong(1)) == (2L, 1L))
+  }
+
   test("winners/conflicts relations agree with the summary") {
     val rows = Seq(
       ("a", 5L, "ffff", true), ("a", 2L, "aaaa", false),

@@ -70,4 +70,38 @@ class ViewPropertySpec extends SparkSpecBase {
       assert(got == exp, s"opts=$o got=${got.take(5)}... exp=${exp.take(5)}...")
     }
   }
+
+  test("random queryMany batches equal per-query answers, query by query") {
+    val prices = modelRows.map(_._2)
+    val keyGen: Gen[Double] = Gen.oneOf(
+      Gen.oneOf(prices), Gen.chooseNum(prices.min - 10, prices.max + 10))
+    val optsGen: Gen[QueryOpts] = for {
+      useStart <- Gen.prob(0.7); start <- keyGen
+      useEnd <- Gen.prob(0.7); end <- keyGen
+      incl <- Gen.oneOf(true, false)
+      desc <- Gen.oneOf(true, false)
+      useKey <- Gen.prob(0.15); key <- Gen.oneOf(prices)
+      skip <- Gen.oneOf(0L, 3L, 40L)
+      limit <- Gen.oneOf(None, Some(5L), Some(60L), Some(100000L))
+    } yield QueryOpts(
+      startKey = if (useStart) Some(start) else None,
+      endKey = if (useEnd) Some(end) else None,
+      inclusiveEnd = incl, descending = desc,
+      key = if (useKey) Some(key) else None,
+      skip = skip, limit = limit, reduce = false)
+    val batchGen = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, optsGen))
+    (0 until 12).foreach { i =>
+      val batch = batchGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val tagged = view.queryMany(batch).collect()
+        .groupBy(_.getInt(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+      batch.zipWithIndex.foreach { case (o, qi) =>
+        val exp = modelQuery(modelRows, o)
+        assert(tagged.getOrElse(qi, Seq.empty) == exp,
+          s"batch $i query $qi: opts=$o " +
+            s"got=${tagged.getOrElse(qi, Seq.empty).take(5)}... " +
+            s"exp=${exp.take(5)}...")
+      }
+    }
+  }
 }
