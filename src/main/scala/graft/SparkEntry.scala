@@ -1947,6 +1947,20 @@ object SparkEntry {
     ChangesFeed.since(s, path, 3 * md / 2)
   }
 
+  /** A27e: descending `_changes` ([[graft.sources.ChangesFeed.since]]
+    * with `descending = true`) — CouchDB's newest-first feed tail: the
+    * q129 read flipped, limited to the LATEST 200 changes; the same
+    * bucket pruning applies and the limit compiles to a
+    * TakeOrderedAndProject. The oracle replays q129's synthesis with
+    * ORDER BY seq DESC LIMIT 200. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.since(s, path, 3 * md / 2, Some(200), descending = true)
+  }
+
   /** A31: FEED PURGE ([[graft.sources.ChangesFeed.purge]]) — the log
     * tier of A30: every change row of the %11 docs erased from its own
     * copy of the q129 store (bucket-local rename-swap rewrites, no
@@ -3968,7 +3982,8 @@ object SparkEntry {
     "q186_replication_loop" -> (q186 _),
     "q187_streaming_replication" -> (q187 _),
     "q188_partition_info" -> (q188 _),
-    "q189_db_info" -> (q189 _)
+    "q189_db_info" -> (q189 _),
+    "q190_changes_descending" -> (q190 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6868,7 +6883,27 @@ object SparkEntry {
         |  FROM leaves)
         |SELECT COUNT(*) FILTER (WHERE NOT deleted) AS doc_count,
         |       COUNT(*) FILTER (WHERE deleted) AS doc_del_count
-        |FROM ranked WHERE rn = 1""".stripMargin
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q190_changes_descending" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log, m WHERE seq > 3 * m.md // 2)
+        |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
+        |ORDER BY seq DESC LIMIT 200""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

@@ -90,7 +90,18 @@ object ChangesFeed {
     * earliest `limit` changes (the resumable page: the caller's next
     * checkpoint is the page's max seq). */
   def since(spark: SparkSession, path: String, sinceSeq: Long,
-            limit: Option[Int] = None): DataFrame = {
+            limit: Option[Int] = None): DataFrame =
+    since(spark, path, sinceSeq, limit, descending = false)
+
+  /** [[since]] with CouchDB's `descending=true`: newest change first.
+    * The dedup-to-latest semantics are unchanged; only the report
+    * order flips, so `limit` truncates to the LATEST `limit` changes —
+    * the "what just happened" tail probe. A limited descending read
+    * still prunes: only seq buckets past the checkpoint are scanned,
+    * and the `TakeOrderedAndProject` the plan compiles to keeps the
+    * limit partial per partition. */
+  def since(spark: SparkSession, path: String, sinceSeq: Long,
+            limit: Option[Int], descending: Boolean): DataFrame = {
     val width = readWidth(spark, path)
     val base = spark.read.parquet(path)
       .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
@@ -99,7 +110,7 @@ object ChangesFeed {
       .agg(max(struct(col("seq"), col("rev"), col("deleted"))).as("w"))
       .select(col("w.seq").as("seq"), col("id"),
         col("w.rev").as("rev"), col("w.deleted").as("deleted"))
-      .orderBy(col("seq"))
+      .orderBy(if (descending) col("seq").desc else col("seq").asc)
     limit.fold(base)(base.limit)
   }
 

@@ -358,4 +358,20 @@ class ChangesFeedSpec extends SparkSpecBase
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == plain)
   }
+
+  test("descending since: newest first, limit keeps the LATEST changes") {
+    val (store, log) = makeStore()
+    val desc = ChangesFeed.since(spark, store, 450L, None, descending = true)
+      .select("seq", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(desc.toSeq == expectSince(log, 450L).reverse,
+      "descending must be the exact reverse of the ascending read")
+    val tail5 = ChangesFeed.since(spark, store, 450L, Some(5),
+      descending = true).select("seq").collect().map(_.getLong(0))
+    assert(tail5.toSeq == expectSince(log, 450L).reverse.take(5).map(_._1),
+      "limit must keep the latest changes, not the earliest")
+    // the limited read plans as a TakeOrdered, not a global sort
+    val plan = ChangesFeed.since(spark, store, 450L, Some(5),
+      descending = true).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
 }

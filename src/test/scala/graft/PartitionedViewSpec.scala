@@ -143,4 +143,16 @@ class PartitionedViewSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(stats == exp && stats.size == 10)
   }
+
+  test("partitionStats reads only the partition and id columns") {
+    val storePath = tmp()
+    mkView().materializePartitioned(storePath, numTasks = 4, seq = 1L)
+    val q = graft.view.PartitionedStore.partitionStats(spark, storePath)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val schemaRe = """ReadSchema: struct<([^>]*)>""".r
+    val read = schemaRe.findFirstMatchIn(plan).map(_.group(1)).getOrElse("?")
+    assert(read == "_id:string",
+      s"partition stats must scan only _id (+_p partition col), read: $read")
+  }
 }
