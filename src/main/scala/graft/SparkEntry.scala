@@ -1961,6 +1961,23 @@ object SparkEntry {
     ChangesFeed.since(s, path, 3 * md / 2, Some(200), descending = true)
   }
 
+  /** A27f: `_changes` with `include_docs=true` ([[graft.sources
+    * .ChangesFeed.sinceWithDocs]]) — each post-checkpoint change row
+    * carries the current doc body as a struct; one hash join of the
+    * seq-pruned delta against the corpus, nulls for ids with no body.
+    * The oracle replays q129's feed + the join; the gate projects two
+    * struct fields to exercise nested pruning. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.sinceWithDocs(s, path, 3 * md / 2, t(s, dir, "documents"),
+        col("doc_id"))
+      .select(col("seq"), col("id"), col("rev"), col("deleted"),
+        col("doc.lang").as("lang"), col("doc.n_chars").as("n_chars"))
+  }
+
   /** A31: FEED PURGE ([[graft.sources.ChangesFeed.purge]]) — the log
     * tier of A30: every change row of the %11 docs erased from its own
     * copy of the q129 store (bucket-local rename-swap rewrites, no
@@ -3983,7 +4000,8 @@ object SparkEntry {
     "q187_streaming_replication" -> (q187 _),
     "q188_partition_info" -> (q188 _),
     "q189_db_info" -> (q189 _),
-    "q190_changes_descending" -> (q190 _)
+    "q190_changes_descending" -> (q190 _),
+    "q191_changes_include_docs" -> (q191 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6903,7 +6921,28 @@ object SparkEntry {
         |                                   ORDER BY seq DESC) AS rn
         |  FROM log, m WHERE seq > 3 * m.md // 2)
         |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
-        |ORDER BY seq DESC LIMIT 200""".stripMargin
+        |ORDER BY seq DESC LIMIT 200""".stripMargin,
+    "q191_changes_include_docs" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log, m WHERE seq > 3 * m.md // 2)
+        |SELECT f.seq, f.id, f.rev, f.deleted, d.lang, d.n_chars
+        |FROM f LEFT JOIN documents d ON f.id = d.doc_id
+        |WHERE f.rn = 1 ORDER BY f.seq""".stripMargin
   )
 
   /** DuckDB replay of the q53 IVF serving chain: deterministic init

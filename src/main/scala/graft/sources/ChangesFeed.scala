@@ -114,6 +114,28 @@ object ChangesFeed {
     limit.fold(base)(base.limit)
   }
 
+  /** [[since]] with CouchDB's `include_docs=true`: each change row
+    * carries the document's CURRENT body as a `doc` struct (one hash
+    * join of the seq-pruned feed against the caller's corpus — the
+    * feed side is the delta, so the join is broadcast-able whenever
+    * the delta is small). A tombstoned change whose id is absent from
+    * `docs` reports a null `doc`, CouchDB's shape for deleted rows.
+    * Catalyst's nested-schema pruning keeps the docs scan down to the
+    * struct fields the caller actually projects. */
+  def sinceWithDocs(spark: SparkSession, path: String, sinceSeq: Long,
+                    docs: DataFrame, idCol: Column,
+                    limit: Option[Int] = None): DataFrame = {
+    val docCols = docs.columns.map(col)
+    val d = docs.select(idCol.as("_doc_id"),
+      struct(docCols.toIndexedSeq: _*).as("doc"))
+    since(spark, path, sinceSeq, limit)
+      .join(d, col("id") === col("_doc_id"), "left")
+      .drop("_doc_id")
+      // the join must not disturb feed order (the sort is over the
+      // delta, not the corpus)
+      .orderBy(col("seq"))
+  }
+
   /** FILTERED feed — CouchDB's `filter=_selector` replication: the
     * [[since]] relation restricted to documents whose CURRENT content
     * (in the caller-supplied `docs` corpus) matches a Mango selector,

@@ -374,4 +374,30 @@ class ChangesFeedSpec extends SparkSpecBase
       descending = true).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
+
+  test("sinceWithDocs: doc struct attached, null for unknown ids, nested pruning") {
+    import spark.implicits._
+    val (store, log) = makeStore()
+    // corpus covers only even ids -> odd-id changes report doc = null
+    val corpus = (0L until 300L by 2).map(i => (i, s"body$i", i * 10))
+      .toDF("cid", "body", "score")
+    val got = ChangesFeed.sinceWithDocs(spark, store, 890L, corpus, $"cid")
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(1)
+      val doc = r.getStruct(4)
+      if (id % 2 == 0) assert(doc.getString(1) == s"body$id")
+      else assert(doc == null, s"odd id $id must carry a null doc")
+    }
+    // order is the feed's
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    // projecting ONE struct field prunes the corpus scan to that field
+    val pruned = ChangesFeed.sinceWithDocs(spark, store, 890L, corpus,
+      $"cid").select($"seq", $"doc.body")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("score") || !plan.split("ReadSchema").exists(
+      seg => seg.contains("score")), s"corpus scan not pruned:\n$plan")
+  }
 }
