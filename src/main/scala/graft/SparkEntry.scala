@@ -2632,8 +2632,10 @@ object SparkEntry {
     * each scenario's expected leaves directly (behind → source tip
     * only; divergence → both tips; target-ahead → no spurious
     * conflict; new doc arrives; tombstone arrives deleted). */
-  private def q186(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Replication
+  /** The q186 scenarios' change feed (seq = doc id, one row per source
+    * doc), built once per SF dir and shared by the replication gates
+    * (q186, q192, q193). */
+  private def q186Feed(s: SparkSession, dir: String): String = {
     val path = idxPath("q186chg", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) {
       val src = q186Source(s, dir)
@@ -2644,6 +2646,12 @@ object SparkEntry {
         path, width = 256)
       new java.io.File(s"$path/_graft_built").createNewFile()
     }
+    path
+  }
+
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val path = q186Feed(s, dir)
     val round = Replication.replicateOnce(s, path, "gate-loop",
       q186Source(s, dir), q186Target(s, dir), col("id"),
       col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
@@ -2692,6 +2700,67 @@ object SparkEntry {
       col("deleted"),
       concat_ws(",", col("ancestors")).as("ancestors"))
       .orderBy(col("doc_id"), col("rev"))
+  }
+
+  /** A28e: SELECTOR-FILTERED replication ([[graft.operators
+    * .Replication.replicateFilteredOnce]]) — CouchDB's `_replicate`
+    * with a `selector` body over the q186 scenarios: only docs whose
+    * current `documents` content matches `lang IN ('en','de')`
+    * travel; everything else keeps the target's ORIGINAL leaves
+    * (non-matching new docs never arrive). The filter is ONE compiled
+    * Mango predicate + a semi join on the feed — no per-change
+    * callback — and the checkpoint key hashes the selector
+    * ([[graft.operators.Replication.filteredRepId]]). The oracle
+    * states both halves directly: merged leaves where lang matches,
+    * untouched target leaves where it doesn't. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val path = q186Feed(s, dir)
+    val round = Replication.replicateFilteredOnce(s, path, "gate-filter",
+      """{"lang": {"$in": ["en", "de"]}}""",
+      t(s, dir, "documents"), "doc_id",
+      q186Source(s, dir), q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+    round.targetLeaves.select(col("id").as("doc_id"),
+      concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+        .as("rev"),
+      col("deleted"),
+      concat_ws(",", col("ancestors")).as("ancestors"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
+  /** A28f: BIDIRECTIONAL sync ([[graft.operators.Replication.sync]])
+    * — PouchDB's `sync(a, b)` as two independent pull replications in
+    * opposite directions over the q186 scenarios (side a = the q186
+    * source tree, side b = the target tree, each with its own feed
+    * and its own per-direction checkpoint id). Because the tree merge
+    * is commutative, ONE round leaves both sides holding the SAME
+    * union tree — the q186 merged leaf set — which the oracle states
+    * once and crosses with the two side labels. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val feedA = q186Feed(s, dir)
+    val feedB = idxPath("q193chgB", dir, "documents")
+    if (!hasFile(s, s"$feedB/_graft_built")) {
+      val tgt = q186Target(s, dir)
+      graft.sources.ChangesFeed.write(
+        tgt.select(col("id").cast("long").as("seq"), col("id"),
+          concat(col("rev_pos").cast("string"), lit("-"),
+            col("rev_hash")).as("rev"), col("deleted")),
+        feedB, width = 256)
+      new java.io.File(s"$feedB/_graft_built").createNewFile()
+    }
+    val r = Replication.sync(s, feedA, feedB, "gate-sync",
+      q186Source(s, dir), q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+    def shape(side: String, df: DataFrame): DataFrame =
+      df.select(lit(side).as("side"), col("id").as("doc_id"),
+        concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+          .as("rev"),
+        col("deleted"),
+        concat_ws(",", col("ancestors")).as("ancestors"))
+    shape("a", r.aLeaves).unionByName(shape("b", r.bLeaves))
+      .orderBy(col("side"), col("doc_id"), col("rev"))
   }
 
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
@@ -4001,12 +4070,16 @@ object SparkEntry {
     "q188_partition_info" -> (q188 _),
     "q189_db_info" -> (q189 _),
     "q190_changes_descending" -> (q190 _),
-    "q191_changes_include_docs" -> (q191 _)
+    "q191_changes_include_docs" -> (q191 _),
+    "q192_filtered_replication" -> (q192 _),
+    "q193_sync_bidirectional" -> (q193 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
     * converge the target to the same leaf set. */
-  private val replicationLoopOracle: String =
+  /** The q186 scenarios' EXPECTED post-merge leaf set, as a reusable
+    * CTE fragment (shared by the q186/q187/q192/q193 oracles). */
+  private val replicationExpCte: String =
       """WITH exp AS (
         |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:m') AS rev,
         |         false AS deleted,
@@ -4031,9 +4104,50 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d'), true,
         |         '1-' || md5(doc_id::VARCHAR || ':1:m')
-        |  FROM documents WHERE doc_id % 5 = 4)
+        |  FROM documents WHERE doc_id % 5 = 4)""".stripMargin
+
+  private val replicationLoopOracle: String =
+    replicationExpCte +
+      """
         |SELECT doc_id, rev, deleted, ancestors FROM exp
         |ORDER BY doc_id, rev""".stripMargin
+
+  /** q192: merged leaves where the selector matches, the target's
+    * ORIGINAL leaves where it doesn't (and no row at all for
+    * non-matching docs the target never had). */
+  private val filteredReplicationOracle: String =
+    replicationExpCte +
+      """,
+        |m AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de')),
+        |keep AS (
+        |  SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m') AS rev,
+        |         false AS deleted, '' AS ancestors
+        |  FROM documents WHERE doc_id % 5 IN (0, 4)
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:t'), false,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '3-' || md5(doc_id::VARCHAR || ':3:m'), false,
+        |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 2)
+        |SELECT doc_id, rev, deleted, ancestors FROM exp
+        |WHERE doc_id IN (SELECT doc_id FROM m)
+        |UNION ALL
+        |SELECT doc_id, rev, deleted, ancestors FROM keep
+        |WHERE doc_id NOT IN (SELECT doc_id FROM m)
+        |ORDER BY doc_id, rev""".stripMargin
+
+  /** q193: after one sync round both sides hold the SAME merged
+    * tree — the exp leaf set crossed with the two side labels. */
+  private val syncOracle: String =
+    replicationExpCte +
+      """
+        |SELECT s.side, e.doc_id, e.rev, e.deleted, e.ancestors
+        |FROM exp e CROSS JOIN
+        |  (SELECT 'a' AS side UNION ALL SELECT 'b') s
+        |ORDER BY s.side, e.doc_id, e.rev""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_emit_sum" ->
@@ -6877,6 +6991,8 @@ object SparkEntry {
         |ORDER BY q, id""".stripMargin,
     "q186_replication_loop" -> replicationLoopOracle,
     "q187_streaming_replication" -> replicationLoopOracle,
+    "q192_filtered_replication" -> filteredReplicationOracle,
+    "q193_sync_bidirectional" -> syncOracle,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

@@ -99,6 +99,81 @@ object Replication {
     val sinceSeq = ChangesFeed.readCheckpoint(spark, feedPath, repId)
     val feed = ChangesFeed.sinceStyleAllDocs(spark, feedPath, sinceSeq,
       source, id, revPos, revHash, deleted)
+    val merged = applyFeed(spark, feed, source, target, id, revPos,
+      revHash, deleted, ancestors)
+    ReplicationRound(merged, feed)
+  }
+
+  /** A FILTERED replication round's outputs: the target's new leaf
+    * relation, the filtered batch that produced it (`pushed`), and the
+    * UNFILTERED feed rows the round scanned (`scanned`) — checkpoint
+    * on `scanned`, not `pushed`: the CouchDB replicator advances its
+    * `_local` checkpoint past changes the filter REJECTED too,
+    * otherwise a feed whose tail is all non-matching changes would be
+    * re-scanned on every round forever. */
+  final case class FilteredRound(targetLeaves: DataFrame,
+                                 pushed: DataFrame,
+                                 scanned: DataFrame)
+
+  /** The effective checkpoint id of a filtered replication. CouchDB
+    * hashes the filter into the replication id (the reference's
+    * replicator does the same with the `filter`/`query_params`
+    * options): a CHANGED selector must restart the feed from 0 — the
+    * old checkpoint was advanced past changes the old filter
+    * rejected, which the new filter might have passed, and silently
+    * skipping them would lose documents. Deriving the `_local` doc id
+    * from the selector text makes that restart automatic. */
+  def filteredRepId(repId: String, selectorJson: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(selectorJson.getBytes("UTF-8"))
+    repId + "+" + d.map("%02x".format(_)).mkString
+  }
+
+  /** One SELECTOR-FILTERED pull replication round — CouchDB's
+    * `_replicate` with a `selector` body (the reference's
+    * `replicate(..., {filter, selector})`). Identical protocol to
+    * [[replicateOnce]], with the feed restricted to documents whose
+    * CURRENT content in `docs` matches the Mango selector — evaluated
+    * as ONE compiled predicate over the corpus + a semi join onto the
+    * pruned feed read, never a per-change callback. The documented
+    * filtered-replication caveats are preserved faithfully:
+    *  - a tombstoned id ABSENT from `docs` matches nothing, so its
+    *    deletion does NOT propagate (CouchDB's behavior — deletes pass
+    *    a doc filter only while a matching body is still known);
+    *  - the checkpoint key is [[filteredRepId]], so changing the
+    *    selector restarts from seq 0 instead of skipping history;
+    *  - checkpoint on `scanned` ([[FilteredRound]]), not `pushed`.
+    * Cost: the predicate scan prunes to the selector's pushable
+    * conjuncts; everything downstream is bounded by the MATCHING
+    * delta. */
+  def replicateFilteredOnce(spark: SparkSession, feedPath: String,
+                            repId: String, selectorJson: String,
+                            docs: DataFrame, docIdCol: String,
+                            source: DataFrame, target: DataFrame,
+                            id: Column, revPos: Column, revHash: Column,
+                            deleted: Column,
+                            ancestors: Column): FilteredRound = {
+    val effId = filteredRepId(repId, selectorJson)
+    val sinceSeq = ChangesFeed.readCheckpoint(spark, feedPath, effId)
+    val scanned = ChangesFeed.sinceStyleAllDocs(spark, feedPath, sinceSeq,
+      source, id, revPos, revHash, deleted)
+    val pred = Mango.compile(Mango.parseSelector(selectorJson), docs.schema)
+    val matching = docs.filter(pred)
+      .select(col(docIdCol).as("id")).distinct()
+    val feed = scanned.join(matching, Seq("id"), "left_semi")
+    val round = applyFeed(spark, feed, source, target, id, revPos,
+      revHash, deleted, ancestors)
+    FilteredRound(round, feed, scanned)
+  }
+
+  /** The shared tail of a pull round: feed batch (style=all_docs
+    * rows) → ancestor-aware `_revs_diff` → `_bulk_get` → `_bulk_docs
+    * new_edits=false`. Factored so the filtered and unfiltered rounds
+    * cannot drift. */
+  private def applyFeed(spark: SparkSession, feed: DataFrame,
+                        source: DataFrame, target: DataFrame, id: Column,
+                        revPos: Column, revHash: Column, deleted: Column,
+                        ancestors: Column): DataFrame = {
     val candidates = feed
       .select(col("id"), explode(col("changes")).as("rev")).distinct()
     val tgt = target.select(id.as("_id"), revPos.cast("long").as("_pos"),
@@ -120,13 +195,41 @@ object Replication {
         split_part(col("rev"), lit("-"), lit(1)).cast("long").as("rev_pos"),
         split_part(col("rev"), lit("-"), lit(2)).as("rev_hash"),
         col("deleted"),
-        // `revisions` is self-first; the ancestors are the rest
         slice(revsArr, lit(2), greatest(size(revsArr) - 1, lit(0)))
           .as("ancestors"))
-    val merged = applyBulkDocs(target, id, revPos, revHash, deleted,
-      ancestors, incoming, col("id"), col("rev_pos"), col("rev_hash"),
+    applyBulkDocs(target, id, revPos, revHash, deleted, ancestors,
+      incoming, col("id"), col("rev_pos"), col("rev_hash"),
       col("deleted"), col("ancestors"))
-    ReplicationRound(merged, feed)
+  }
+
+  /** Both directions of one sync round: each side's NEW leaf relation
+    * plus what traveled each way. */
+  final case class SyncRound(aLeaves: DataFrame, bLeaves: DataFrame,
+                             pushedToB: DataFrame, pushedToA: DataFrame)
+
+  /** PouchDB `sync(a, b)` — BIDIRECTIONAL replication, which the
+    * reference implements as two independent replications running the
+    * same protocol in opposite directions (sync = replicate(a→b) +
+    * replicate(b→a); there is no third mechanism). Each direction
+    * keeps its OWN `_local` checkpoint (`repId:a->b` / `repId:b->a`,
+    * as PouchDB derives distinct replication ids per direction), each
+    * pull reads the counterparty's PRE-ROUND state — the directions
+    * are order-independent because [[Revisions.mergeLeaves]] is
+    * commutative, so after one round BOTH sides hold the union tree:
+    * `sync(a,b).aLeaves == sync(a,b).bLeaves ==
+    * Revisions.mergeReplicas(a,b)` (gate- and spec-pinned).
+    * Checkpoint each direction after persisting its target:
+    * `checkpointAfter(spark, feedA, repId + ":a->b", r.pushedToB)` and
+    * the mirror call on `feedB`. */
+  def sync(spark: SparkSession, feedA: String, feedB: String,
+           repId: String, a: DataFrame, b: DataFrame, id: Column,
+           revPos: Column, revHash: Column, deleted: Column,
+           ancestors: Column): SyncRound = {
+    val ab = replicateOnce(spark, feedA, repId + ":a->b", a, b,
+      id, revPos, revHash, deleted, ancestors)
+    val ba = replicateOnce(spark, feedB, repId + ":b->a", b, a,
+      id, revPos, revHash, deleted, ancestors)
+    SyncRound(ba.targetLeaves, ab.targetLeaves, ab.pushed, ba.pushed)
   }
 
   // ----------------------- the persisted replication TARGET ----------

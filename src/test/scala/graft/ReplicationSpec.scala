@@ -138,6 +138,93 @@ class ReplicationSpec extends SparkSpecBase {
       "synced store must agree with mergeReplicas on every winner/leaf")
   }
 
+  test("replicateFilteredOnce: matching delta travels, rejected changes checkpoint, selector keys the id") {
+    val source = leavesDf(Seq(
+      ("d1", 2L, "bb", false, Seq("1-aa")),
+      ("d2", 2L, "zz", false, Seq("1-kk")),
+      ("d4", 1L, "nn", false, Seq.empty),
+      ("d5", 2L, "dd", true, Seq("1-ee"))))
+    val target = leavesDf(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),
+      ("d2", 2L, "mm", false, Seq("1-kk")),
+      ("d5", 1L, "ee", false, Seq.empty)))
+    val docs = Seq(("d1", "x"), ("d2", "y"), ("d4", "x"), ("d5", "y"))
+      .toDF("id", "kind")
+    val dir = java.nio.file.Files.createTempDirectory("repl-f").toString
+    val feedPath = s"$dir/feed"
+    ChangesFeed.write(Seq(
+      (1L, "d1", "2-bb", false), (2L, "d2", "2-zz", false),
+      (3L, "d4", "1-nn", false), (4L, "d5", "2-dd", true))
+      .toDF("seq", "id", "rev", "deleted"), feedPath, width = 4)
+    val sel = """{"kind": {"$eq": "x"}}"""
+
+    val r = Replication.replicateFilteredOnce(spark, feedPath, "rf",
+      sel, docs, "id", source, target, cols._1, cols._2, cols._3,
+      cols._4, cols._5)
+    assert(r.scanned.count() == 4 && r.pushed.count() == 2)
+    // only d1/d4 traveled: d2 keeps its single local leaf, d5 is NOT
+    // tombstoned (the filter rejected its delete)
+    assert(leafSet(r.targetLeaves) == Set(
+      ("d1", "2-bb", false), ("d2", "2-mm", false),
+      ("d4", "1-nn", false), ("d5", "1-ee", false)))
+
+    // the checkpoint advances past REJECTED changes too, under the
+    // selector-derived id — the next round scans nothing
+    val effId = Replication.filteredRepId("rf", sel)
+    assert(effId != Replication.filteredRepId("rf", """{"kind": "y"}"""))
+    ChangesFeed.checkpointAfter(spark, feedPath, effId, r.scanned)
+    val r2 = Replication.replicateFilteredOnce(spark, feedPath, "rf",
+      sel, docs, "id", source, r.targetLeaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5)
+    assert(r2.scanned.count() == 0)
+    assert(leafSet(r2.targetLeaves) == leafSet(r.targetLeaves))
+    // a DIFFERENT selector restarts from seq 0: its checkpoint key is
+    // its own — the full feed is re-scanned, nothing silently skipped
+    val r3 = Replication.replicateFilteredOnce(spark, feedPath, "rf",
+      """{"kind": {"$eq": "y"}}""", docs, "id", source, target,
+      cols._1, cols._2, cols._3, cols._4, cols._5)
+    assert(r3.scanned.count() == 4 && r3.pushed.count() == 2)
+    assert(leafSet(r3.targetLeaves).contains(("d5", "2-dd", true)))
+  }
+
+  test("sync: one bidirectional round leaves both sides the mergeReplicas answer") {
+    val a = leavesDf(Seq(
+      ("d1", 2L, "bb", false, Seq("1-aa")),   // ahead of b
+      ("d2", 2L, "zz", false, Seq("1-kk")),   // diverges from b
+      ("d4", 1L, "nn", false, Seq.empty)))    // only on a
+    val b = leavesDf(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),
+      ("d2", 2L, "mm", false, Seq("1-kk")),
+      ("d5", 1L, "ee", false, Seq.empty)))    // only on b
+    val dir = java.nio.file.Files.createTempDirectory("repl-sync2").toString
+    def feed(df: DataFrame, p: String): String = {
+      ChangesFeed.write(df.select(
+        monotonically_increasing_id().as("seq"), col("id"),
+        concat(col("rev_pos"), lit("-"), col("rev_hash")).as("rev"),
+        col("deleted")), p, width = 4)
+      p
+    }
+    val r = Replication.sync(spark, feed(a, s"$dir/fa"),
+      feed(b, s"$dir/fb"), "s1", a, b, cols._1, cols._2, cols._3,
+      cols._4, cols._5)
+    val expect = Set(
+      ("d1", "2-bb", false), ("d2", "2-mm", false), ("d2", "2-zz", false),
+      ("d4", "1-nn", false), ("d5", "1-ee", false))
+    assert(leafSet(r.aLeaves) == expect)
+    assert(leafSet(r.bLeaves) == expect)
+    val viaMerge = graft.operators.Revisions.mergeReplicas(a, b,
+      cols._1, cols._2, cols._3, cols._4, cols._5)
+      .collect().map(_.getString(0)).toSet
+    assert(leafSet(r.aLeaves).map(_._1) == viaMerge)
+    // per-direction checkpoints: after both advance, the next round
+    // moves nothing in either direction
+    ChangesFeed.checkpointAfter(spark, s"$dir/fa", "s1:a->b", r.pushedToB)
+    ChangesFeed.checkpointAfter(spark, s"$dir/fb", "s1:b->a", r.pushedToA)
+    val r2 = Replication.sync(spark, s"$dir/fa", s"$dir/fb", "s1",
+      r.aLeaves, r.bLeaves, cols._1, cols._2, cols._3, cols._4, cols._5)
+    assert(r2.pushedToB.count() == 0 && r2.pushedToA.count() == 0)
+  }
+
   test("maintainReplication: streamed micro-batches converge the persisted target") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
