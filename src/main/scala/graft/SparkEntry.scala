@@ -2763,6 +2763,51 @@ object SparkEntry {
       .orderBy(col("side"), col("doc_id"), col("rev"))
   }
 
+  /** The q186 scenarios' MERGED leaf relation (ancestors kept) — the
+    * tree state the replication gates converge to, recomputed
+    * relationally via the write leg (shared by q194/q195). */
+  private def q186Merged(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    Replication.applyBulkDocs(q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      q186Source(s, dir), col("id"), col("rev_pos"), col("rev_hash"),
+      col("deleted"), col("ancestors"))
+  }
+
+  /** A26c: `open_revs=all` reads ([[graft.operators.Revisions
+    * .openRevs]]) — every current leaf of each requested doc with its
+    * self-first `_revisions` path, over the q186 merged trees; a
+    * request for an id with no leaves (-1 here) is an explicit
+    * `not_found` row. The oracle restates the merged leaf set
+    * restricted to the requested ids. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Revisions
+    val ids = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("rid"))
+      .unionByName(s.range(1).select(lit(-1L).as("rid")))
+    Revisions.openRevs(q186Merged(s, dir), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        ids, col("rid"))
+      .select(col("id").as("doc_id"), col("status"), col("rev"),
+        col("deleted"), col("revisions"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
+  /** A26d: `revs_info=true` reads ([[graft.operators.Revisions
+    * .revsInfo]]) — the WINNER's chain newest-first over the q186
+    * merged trees, each rev stamped CouchDB's status: `available`
+    * (live leaf), `deleted` (tombstone leaf), `missing` (interior
+    * history this model does not retain). The oracle replays the
+    * winner rule and the chain explode with a leaf-status join. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Revisions
+    Revisions.revsInfo(q186Merged(s, dir), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"))
+      .select(col("id").as("doc_id"), col("idx").cast("long").as("idx"),
+        col("rev"), col("status"))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
     * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
     * changed doc's row lists its rev tree's FULL leaf set (the q126
@@ -4072,7 +4117,9 @@ object SparkEntry {
     "q190_changes_descending" -> (q190 _),
     "q191_changes_include_docs" -> (q191 _),
     "q192_filtered_replication" -> (q192 _),
-    "q193_sync_bidirectional" -> (q193 _)
+    "q193_sync_bidirectional" -> (q193 _),
+    "q194_open_revs" -> (q194 _),
+    "q195_revs_info" -> (q195 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -4138,6 +4185,49 @@ object SparkEntry {
         |SELECT doc_id, rev, deleted, ancestors FROM keep
         |WHERE doc_id NOT IN (SELECT doc_id FROM m)
         |ORDER BY doc_id, rev""".stripMargin
+
+  /** q194: the merged leaf set restricted to the requested ids
+    * (`doc_id % 3 = 0`), each row an `ok` with its self-first
+    * revisions chain, plus the explicit `not_found` row for the
+    * unknown id -1. */
+  private val openRevsOracle: String =
+    replicationExpCte +
+      """
+        |SELECT doc_id, 'ok' AS status, rev, deleted,
+        |  CASE WHEN ancestors = '' THEN rev
+        |       ELSE rev || ',' || ancestors END AS revisions
+        |FROM exp WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT -1, 'not_found', NULL, NULL, NULL
+        |ORDER BY doc_id, rev""".stripMargin
+
+  /** q195: winner per doc under live > deepest > greatest-hash, its
+    * chain exploded newest-first, statuses from a leaf-set join. */
+  private val revsInfoOracle: String =
+    replicationExpCte +
+      """,
+        |w AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC,
+        |      CAST(string_split(rev, '-')[1] AS BIGINT) DESC,
+        |      string_split(rev, '-')[2] DESC) AS rn
+        |  FROM exp),
+        |chains AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ancestors = '' THEN [rev]
+        |         ELSE list_prepend(rev, string_split(ancestors, ','))
+        |    END AS chain
+        |  FROM w WHERE rn = 1),
+        |ex AS (SELECT doc_id, chain, unnest(chain) AS r FROM chains)
+        |SELECT ex.doc_id,
+        |  CAST(list_position(ex.chain, ex.r) - 1 AS BIGINT) AS idx,
+        |  ex.r AS rev,
+        |  CASE WHEN e2.rev IS NULL THEN 'missing'
+        |       WHEN e2.deleted THEN 'deleted'
+        |       ELSE 'available' END AS status
+        |FROM ex LEFT JOIN exp e2
+        |  ON e2.doc_id = ex.doc_id AND e2.rev = ex.r
+        |ORDER BY ex.doc_id, idx""".stripMargin
 
   /** q193: after one sync round both sides hold the SAME merged
     * tree — the exp leaf set crossed with the two side labels. */
@@ -6993,6 +7083,8 @@ object SparkEntry {
     "q187_streaming_replication" -> replicationLoopOracle,
     "q192_filtered_replication" -> filteredReplicationOracle,
     "q193_sync_bidirectional" -> syncOracle,
+    "q194_open_revs" -> openRevsOracle,
+    "q195_revs_info" -> revsInfoOracle,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

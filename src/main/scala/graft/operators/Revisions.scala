@@ -219,6 +219,77 @@ object Revisions {
           .otherwise(concat_ws(",", col("_revisions"))).as("revisions"))
   }
 
+  /** `GET doc?open_revs=all` — every CURRENT leaf revision of each
+    * requested document with its `_revisions` path (self-first), the
+    * read the reference's replicator issues to fetch a doc's full
+    * branch set in one call (conflict branches and tombstone tips
+    * included — that is the point of `open_revs` vs a winner read).
+    * A requested id with NO leaves comes back as an explicit
+    * `not_found` row in the same relation (the endpoint's
+    * `{"missing"}` entry) — per-item errors, never omission.
+    *
+    * Scale shape: one hash join from the (distinct) request ids onto
+    * the leaf relation — a million-doc fetch is one join, no
+    * per-doc calls. */
+  def openRevs(leaves: DataFrame, id: Column, revPos: Column,
+               revHash: Column, deleted: Column, ancestors: Column,
+               ids: DataFrame, reqId: Column): DataFrame = {
+    val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"),
+      deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    val req = ids.select(reqId.as("id")).distinct()
+    val rev = concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+    req.join(in, col("id") === col("_id"), "left")
+      .select(col("id"),
+        when(col("_pos").isNull, lit("not_found")).otherwise(lit("ok"))
+          .as("status"),
+        when(col("_pos").isNull, lit(null).cast("string"))
+          .otherwise(rev).as("rev"),
+        col("_del").as("deleted"),
+        when(col("_pos").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(",", concat(array(rev), col("_anc"))))
+          .as("revisions"))
+  }
+
+  /** `GET doc?revs_info=true` — the WINNING revision's full known
+    * history, newest first, each entry carrying CouchDB's status
+    * vocabulary: `available` (a live leaf — its body is stored),
+    * `deleted` (a tombstone leaf — the stub is stored), `missing`
+    * (an interior ancestor whose body this model does not retain,
+    * exactly CouchDB's answer for compacted history). `idx` is the
+    * 0-based position in the chain (0 = the winner itself).
+    *
+    * Losing conflict branches do NOT appear — `revs_info` reports the
+    * winner's chain only (enumerate branches with [[openRevs]] /
+    * `conflicts=true`). Shape: the one-aggregation winner resolution
+    * (ancestor path carried through the same `max(struct)`), a
+    * bounded path explode (tree depth), and one hash join back onto
+    * the leaf set for statuses. */
+  def revsInfo(leaves: DataFrame, id: Column, revPos: Column,
+               revHash: Column, deleted: Column,
+               ancestors: Column): DataFrame = {
+    val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"),
+      deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    val rev = concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+    // live > deepest > greatest hash, the ancestors riding along
+    // (the comparison never reaches them: (live,pos,hash) is unique)
+    val win = in.groupBy(col("_id"))
+      .agg(max(struct((!col("_del")).as("live"), col("_pos").as("pos"),
+        col("_hash").as("hash"), col("_anc").as("anc"))).as("w"))
+      .select(col("_id"),
+        concat(array(concat(col("w.pos").cast("string"), lit("-"),
+          col("w.hash"))), col("w.anc")).as("_chain"))
+    val chain = win.select(col("_id"),
+      posexplode(col("_chain")).as(Seq("idx", "rev")))
+    val leafStatus = in.select(col("_id"), rev.as("rev"),
+      when(col("_del"), lit("deleted")).otherwise(lit("available"))
+        .as("_st"))
+    chain.join(leafStatus, Seq("_id", "rev"), "left")
+      .select(col("_id").as("id"), col("idx"), col("rev"),
+        coalesce(col("_st"), lit("missing")).as("status"))
+  }
+
   /** CouchDB's `_revs_limit`: cap how much revision HISTORY a stored
     * leaf carries — each leaf keeps its newest `limit - 1` ancestors
     * (self + ancestors = at most `limit` revs), older path entries are

@@ -236,6 +236,46 @@ class RevisionsSpec extends SparkSpecBase {
     assert(got == Seq(("d", "2-bb", false, 0L, "")))
   }
 
+  test("openRevs: all leaves travel with revisions paths, unknown ids are explicit not_found") {
+    import spark.implicits._
+    val ls = replica(Seq(
+      ("d1", 2L, "bb", false, Seq("1-aa")),
+      ("d1", 2L, "cc", true, Seq("1-aa")),    // tombstone branch tip
+      ("d2", 1L, "kk", false, Seq.empty)))
+    val ids = Seq("d1", "d2", "dX").toDF("rid")
+    val out = Revisions.openRevs(ls, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        ids, col("rid"))
+      .orderBy(col("id"), col("rev")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull,
+        Option(r.get(4)).map(_.toString).orNull))
+    assert(out.toSeq == Seq(
+      ("d1", "ok", "2-bb", "2-bb,1-aa"),
+      ("d1", "ok", "2-cc", "2-cc,1-aa"),
+      ("d2", "ok", "1-kk", "1-kk"),
+      ("dX", "not_found", null, null)))
+  }
+
+  test("revsInfo: winner's chain only, statuses available/deleted/missing") {
+    val ls = replica(Seq(
+      ("d1", 3L, "cc", false, Seq("2-bb", "1-aa")),  // winner
+      ("d1", 2L, "zz", true, Seq("1-aa")),           // losing tombstone
+      ("d2", 2L, "dd", true, Seq("1-ee"))))          // deleted winner
+    val out = Revisions.revsInfo(ls, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"))
+      .orderBy(col("id"), col("idx")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      // d1: the losing branch's 2-zz does NOT appear
+      ("d1", 0, "3-cc", "available"),
+      ("d1", 1, "2-bb", "missing"),
+      ("d1", 2, "1-aa", "missing"),
+      ("d2", 0, "2-dd", "deleted"),
+      ("d2", 1, "1-ee", "missing")))
+  }
+
   test("mergeReplicas and purge match a random rev-forest model") {
     case class Node(pos: Long, hash: String)
     type Chain = Seq[Node]
