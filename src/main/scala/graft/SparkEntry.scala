@@ -2808,6 +2808,45 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("idx"))
   }
 
+  /** A27g: `filter=_doc_ids` changes ([[graft.sources.ChangesFeed
+    * .sinceDocIds]]) — CouchDB's explicit-watchlist feed: the q129
+    * mid-log read restricted to the `doc_id % 17 = 0` ids, the id
+    * list compiled to an IN predicate pushed into the scan next to
+    * the seq-bucket pruning. The oracle replays q129's synthesis,
+    * checkpoint cut, and dedup with the id restriction. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q129chg", dir, "documents")
+    if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.sinceDocIds(s, path, 3 * md / 2,
+      (0L to md by 17L).toSeq)
+  }
+
+  /** A32b: namespace-scoped primary-index reads ([[graft.view.View
+    * .designDocs]] / [[View.localDocs]] / the [[View.allDocs]]
+    * `_local/` exclusion) — CouchDB's `_design_docs` and `_local_docs`
+    * endpoints over a corpus whose ids span the three namespaces:
+    * `_all_docs` lists design docs but NOT local docs (non-replicating
+    * node state), each namespace endpoint lists exactly its prefix,
+    * every predicate a pushed `StartsWith`. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.{QueryOpts, View}
+    val base = t(s, dir, "documents").select(
+      when(col("doc_id") % 10 === 0,
+          concat(lit("_design/d"), col("doc_id")))
+        .when(col("doc_id") % 10 === 1,
+          concat(lit("_local/l"), col("doc_id")))
+        .otherwise(concat(lit("doc"), col("doc_id"))).as("id"))
+    def rows(section: String, v: View): DataFrame =
+      v.queryResult(QueryOpts(reduce = false)).rows
+        .select(lit(section).as("section"), col("id").cast("string").as("id"))
+    rows("all", View.allDocs(base, col("id")))
+      .unionByName(rows("design", View.designDocs(base, col("id"))))
+      .unionByName(rows("local", View.localDocs(base, col("id"))))
+      .orderBy(col("section"), col("id"))
+  }
+
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
     * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
     * changed doc's row lists its rev tree's FULL leaf set (the q126
@@ -4119,7 +4158,9 @@ object SparkEntry {
     "q192_filtered_replication" -> (q192 _),
     "q193_sync_bidirectional" -> (q193 _),
     "q194_open_revs" -> (q194 _),
-    "q195_revs_info" -> (q195 _)
+    "q195_revs_info" -> (q195 _),
+    "q196_changes_doc_ids" -> (q196 _),
+    "q197_namespace_docs" -> (q197 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7085,6 +7126,39 @@ object SparkEntry {
     "q193_sync_bidirectional" -> syncOracle,
     "q194_open_revs" -> openRevsOracle,
     "q195_revs_info" -> revsInfoOracle,
+    "q196_changes_doc_ids" ->
+      """WITH m AS (SELECT MAX(doc_id) AS md FROM documents),
+        |log AS (
+        |  SELECT doc_id * 3 AS seq, doc_id AS id,
+        |         '1-' || md5(doc_id || ':r1') AS rev, false AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, doc_id,
+        |         '2-' || md5(doc_id || ':r2'), false
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 3 * (m.md + 1) + doc_id, doc_id,
+        |         '3-' || md5(doc_id || ':r3'), doc_id % 10 = 0
+        |  FROM documents, m WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT log.*, ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY seq DESC) AS rn
+        |  FROM log, m WHERE seq > 3 * m.md // 2 AND id % 17 = 0)
+        |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
+        |ORDER BY seq""".stripMargin,
+    "q197_namespace_docs" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN doc_id % 10 = 0 THEN '_design/d' || doc_id
+        |              WHEN doc_id % 10 = 1 THEN '_local/l' || doc_id
+        |              ELSE 'doc' || doc_id END AS id
+        |  FROM documents)
+        |SELECT 'all' AS section, id FROM base
+        |WHERE NOT starts_with(id, '_local/')
+        |UNION ALL
+        |SELECT 'design', id FROM base WHERE starts_with(id, '_design/')
+        |UNION ALL
+        |SELECT 'local', id FROM base WHERE starts_with(id, '_local/')
+        |ORDER BY section, id""".stripMargin,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

@@ -114,6 +114,47 @@ object ChangesFeed {
     limit.fold(base)(base.limit)
   }
 
+  /** CouchDB's `filter=_doc_ids` feed: the [[since]] relation
+    * restricted to an explicit id list (the POST body's `doc_ids`).
+    * The literal list compiles to an IN predicate that pushes into
+    * the parquet scan alongside the seq-bucket pruning — a 5-id
+    * watch over a billion-row log reads only the post-checkpoint
+    * buckets' row groups that can contain those ids. Dedup-to-latest
+    * and seq order are [[since]]'s, applied after the cut (the two
+    * commute: dedup groups per id). */
+  def sinceDocIds(spark: SparkSession, path: String, sinceSeq: Long,
+                  ids: Seq[Any], limit: Option[Int] = None): DataFrame = {
+    val width = readWidth(spark, path)
+    val base = spark.read.parquet(path)
+      .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
+        col("seq") > sinceSeq && col("id").isin(ids: _*))
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("rev"), col("deleted"))).as("w"))
+      .select(col("w.seq").as("seq"), col("id"),
+        col("w.rev").as("rev"), col("w.deleted").as("deleted"))
+      .orderBy(col("seq"))
+    limit.fold(base)(base.limit)
+  }
+
+  /** [[sinceDocIds]] for id sets too large to inline as a literal
+    * list: a semi join of the pruned feed read against the id
+    * RELATION, placed before the dedup aggregation so the shuffle
+    * carries only watched ids. */
+  def sinceDocIds(spark: SparkSession, path: String, sinceSeq: Long,
+                  ids: DataFrame, limit: Option[Int]): DataFrame = {
+    val width = readWidth(spark, path)
+    val base = spark.read.parquet(path)
+      .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
+        col("seq") > sinceSeq)
+      .join(ids.toDF("id").distinct(), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("rev"), col("deleted"))).as("w"))
+      .select(col("w.seq").as("seq"), col("id"),
+        col("w.rev").as("rev"), col("w.deleted").as("deleted"))
+      .orderBy(col("seq"))
+    limit.fold(base)(base.limit)
+  }
+
   /** [[since]] with CouchDB's `include_docs=true`: each change row
     * carries the document's CURRENT body as a `doc` struct (one hash
     * join of the seq-pruned feed against the caller's corpus — the

@@ -884,9 +884,32 @@ object View {
     * `offset`, and `include_docs` (trivially the row's own document).
     * CouchDB's `_all_docs` value carries `{rev}`; revision resolution
     * lives in [[graft.operators.Revisions]] in this engine, so the
-    * value here is the id itself. */
+    * value here is the id itself.
+    *
+    * CouchDB fidelity: `_local/`-namespaced documents do NOT appear
+    * (they are non-replicating node-local state with their own
+    * endpoint, [[localDocs]]); `_design/` documents DO. The namespace
+    * predicate is a `StartsWith` that pushes into the scan. */
   def allDocs(docs: DataFrame, id: Column): View =
-    apply(docs, id, id, id)
+    apply(docs.filter(!id.cast("string").startsWith("_local/")),
+      id, id, id)
+
+  /** `GET /db/_design_docs` — the primary index restricted to the
+    * `_design/` id namespace (CouchDB's design-doc listing endpoint,
+    * an `_all_docs` over just that prefix). Same [[View]] machinery,
+    * full [[QueryOpts]] envelope; the prefix is a pushed `StartsWith`,
+    * so on a partitioned store the scan touches only row groups whose
+    * id range can hold `_design/` ids. */
+  def designDocs(docs: DataFrame, id: Column): View =
+    apply(docs.filter(id.cast("string").startsWith("_design/")),
+      id, id, id)
+
+  /** `GET /db/_local_docs` — the `_local/` namespace listing: the only
+    * read surface for non-replicating local documents (checkpoint
+    * state and peers), which [[allDocs]] deliberately excludes. */
+  def localDocs(docs: DataFrame, id: Column): View =
+    apply(docs.filter(id.cast("string").startsWith("_local/")),
+      id, id, id)
 
   /** Union two views into one mixed-key view: CouchDB keys are dynamic
     * JSON, Spark columns are monomorphic — the collation byte encoding

@@ -375,6 +375,32 @@ class ChangesFeedSpec extends SparkSpecBase
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("sinceDocIds: literal list pushes an In filter, DataFrame form agrees") {
+    import spark.implicits._
+    val (store, log) = makeStore()
+    val watch: Seq[Any] = Seq(0L, 17L, 34L, 51L, 68L, 85L)
+    val got = ChangesFeed.sinceDocIds(spark, store, 450L, watch)
+    val rows = got.select("seq", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == expectSince(log, 450L).filter(p => watch.contains(p._2)),
+      "doc_ids feed must be the since feed restricted to the watchlist")
+    // the id list must reach the scan as a pushed data filter
+    got.collect()
+    val scans = collect(got.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.head.dataFilters.exists(_.toString.contains("id")),
+      s"id IN (...) not pushed: ${scans.head.dataFilters}")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("_kb")),
+      "seq-bucket pruning must survive the id restriction")
+    // the relation overload returns the same rows
+    val viaDf = ChangesFeed.sinceDocIds(spark, store, 450L,
+      watch.map(_.asInstanceOf[Long]).toDF("id"), None)
+      .select("seq", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDf == rows)
+  }
+
   test("sinceWithDocs: doc struct attached, null for unknown ids, nested pruning") {
     import spark.implicits._
     val (store, log) = makeStore()

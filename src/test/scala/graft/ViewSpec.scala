@@ -782,4 +782,25 @@ class ViewSpec extends SparkSpecBase {
         s"allDocs queries batch $i mismatch")
     }
   }
+
+  test("namespace docs: _all_docs excludes _local/, endpoints scope their prefix") {
+    import spark.implicits._
+    val docs = Seq("doc1", "doc2", "_design/d1", "_design/d2",
+      "_local/ckpt", "zzz").toDF("id")
+    def ids(v: View): Seq[String] =
+      v.queryResult(QueryOpts(reduce = false)).rows
+        .select(col("id").cast("string")).collect().map(_.getString(0)).toSeq
+    assert(ids(View.allDocs(docs, col("id"))) ==
+      Seq("_design/d1", "_design/d2", "doc1", "doc2", "zzz"),
+      "_all_docs must list design docs but never _local/ docs")
+    assert(ids(View.designDocs(docs, col("id"))) ==
+      Seq("_design/d1", "_design/d2"))
+    assert(ids(View.localDocs(docs, col("id"))) == Seq("_local/ckpt"))
+    // the namespace restriction composes with the QueryOpts envelope
+    val page = View.designDocs(docs, col("id"))
+      .queryResult(QueryOpts(reduce = false, limit = Some(1),
+        descending = true))
+    assert(page.rows.select(col("id").cast("string"))
+      .collect().map(_.getString(0)).toSeq == Seq("_design/d2"))
+  }
 }
