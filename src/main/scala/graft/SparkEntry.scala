@@ -2847,6 +2847,37 @@ object SparkEntry {
       .orderBy(col("section"), col("id"))
   }
 
+  /** A22c: attachment replication ([[graft.view.Attachments
+    * .replicationAttachments]] + [[graft.view.Attachments
+    * .applyTransfer]]) — CouchDB's `atts_since` stub optimization by
+    * digest: per-doc unique payloads; the target claims the even
+    * docs' digests, so those ship as STUBS and only odd docs carry
+    * bytes; the target's blob store actually holds only the %4 docs,
+    * so a stubbed %2-but-not-%4 row resolves to the documented
+    * `missing_stub` error instead of a phantom write. `payload_ok`
+    * re-derives each resolved payload's digest — the end-to-end
+    * bit-exactness check. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.Attachments
+    val d = t(s, dir, "documents")
+    val bin = concat(col("doc_id").cast("string"), lit(":"), col("text"))
+      .cast("binary")
+    val docs = Attachments.put(d, "body.txt", bin, "text/plain")
+    val tgtDigests = d.filter(col("doc_id") % 2 === 0)
+      .select(concat(lit("md5-"), md5(bin)).as("digest"))
+    val plan = Attachments.replicationAttachments(docs, col("doc_id"),
+      tgtDigests)
+    val store = d.filter(col("doc_id") % 4 === 0)
+      .select(concat(lit("md5-"), md5(bin)).as("digest"), bin.as("data"))
+    Attachments.applyTransfer(plan, store)
+      .select(col("id").as("doc_id"), col("name"), col("stub"),
+        col("digest"), col("length"), col("status"),
+        (col("data").isNotNull &&
+          concat(lit("md5-"), md5(col("data"))) === col("digest"))
+          .as("payload_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
     * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
     * changed doc's row lists its rev tree's FULL leaf set (the q126
@@ -4160,7 +4191,8 @@ object SparkEntry {
     "q194_open_revs" -> (q194 _),
     "q195_revs_info" -> (q195 _),
     "q196_changes_doc_ids" -> (q196 _),
-    "q197_namespace_docs" -> (q197 _)
+    "q197_namespace_docs" -> (q197 _),
+    "q198_attachment_replication" -> (q198 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7159,6 +7191,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'local', id FROM base WHERE starts_with(id, '_local/')
         |ORDER BY section, id""".stripMargin,
+    "q198_attachment_replication" ->
+      """SELECT doc_id, 'body.txt' AS name,
+        |  (doc_id % 2 = 0) AS stub,
+        |  'md5-' || md5(doc_id || ':' || text) AS digest,
+        |  CAST(strlen(doc_id || ':' || text) AS BIGINT) AS length,
+        |  CASE WHEN doc_id % 2 = 0 AND doc_id % 4 <> 0
+        |       THEN 'missing_stub' ELSE 'ok' END AS status,
+        |  NOT (doc_id % 2 = 0 AND doc_id % 4 <> 0) AS payload_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

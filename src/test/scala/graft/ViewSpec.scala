@@ -783,6 +783,42 @@ class ViewSpec extends SparkSpecBase {
     }
   }
 
+  test("attachment replication: known digests stub, unknown ship, stubs resolve or error") {
+    import spark.implicits._
+    import graft.view.Attachments
+    val docs = Attachments.put(
+      Seq(("a", "same"), ("b", "changed"), ("c", "new"))
+        .toDF("id", "txt"),
+      "f", encode($"txt", "UTF-8"), "text/plain")
+    // target already holds a's payload; claims (but lost) b's OLD rev
+    val tgtDigests = Seq("same", "old-b").toDF("t")
+      .select(concat(lit("md5-"), md5(encode($"t", "UTF-8"))).as("digest"))
+    val plan = Attachments.replicationAttachments(docs, col("id"),
+      tgtDigests)
+    val p = plan.orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Boolean]("stub"),
+        r.getAs[Array[Byte]]("data") != null))
+    assert(p.toSeq == Seq(
+      ("a", true, false),   // known digest: stub, no bytes
+      ("b", false, true),   // changed payload: full transfer
+      ("c", false, true)))  // new: full transfer
+    val store = Seq("same").toDF("t")
+      .select(concat(lit("md5-"), md5(encode($"t", "UTF-8"))).as("digest"),
+        encode($"t", "UTF-8").as("data"))
+    val applied = Attachments.applyTransfer(plan, store)
+    val a = applied.orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("status"),
+        Option(r.getAs[Array[Byte]]("data")).map(new String(_, "UTF-8"))))
+    assert(a.toSeq == Seq(
+      ("a", "ok", Some("same")),      // stub resolved from the store
+      ("b", "ok", Some("changed")),   // shipped bytes inserted
+      ("c", "ok", Some("new"))))
+    // a stub whose digest the store lacks is an explicit error
+    val broken = Attachments.applyTransfer(plan,
+      store.filter(lit(false)))
+    assert(broken.filter(col("status") === "missing_stub").count() == 1)
+  }
+
   test("namespace docs: _all_docs excludes _local/, endpoints scope their prefix") {
     import spark.implicits._
     val docs = Seq("doc1", "doc2", "_design/d1", "_design/d2",
