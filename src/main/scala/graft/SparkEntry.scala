@@ -2878,6 +2878,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** B35: temperature-scaled domain mixing ([[graft.operators
+    * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
+    * rule with α = 0.5 over `documents.source`, budget = half the
+    * corpus: each domain's target is `budget·⌊√n_d⌋ div Σ⌊√n⌋` —
+    * exact integer arithmetic, no float pow boundary — kept by the
+    * domain's deterministic md5-rank prefix. The oracle replays
+    * counts, integer weights, the div split, and the rank cut. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Relational.temperatureMix(
+        d.select(col("doc_id"), col("source")), col("source"),
+        col("doc_id"), d.count() / 2)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** B36: deterministic epoch shuffle ([[graft.operators.Relational
+    * .epochShuffle]]) — the global training-order permutation from a
+    * portable keyed hash (`md5(seed:id)`), 1-based positions via the
+    * two-phase range-partitioned rank. The oracle is the same
+    * ROW_NUMBER over the same hash. */
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+        "epoch-1")
+      .orderBy(col("pos"))
+
   /** A27d: `style=all_docs` changes ([[graft.sources.ChangesFeed
     * .sinceStyleAllDocs]]) — CouchDB's conflict-aware feed: each
     * changed doc's row lists its rev tree's FULL leaf set (the q126
@@ -4192,7 +4219,9 @@ object SparkEntry {
     "q195_revs_info" -> (q195 _),
     "q196_changes_doc_ids" -> (q196 _),
     "q197_namespace_docs" -> (q197 _),
-    "q198_attachment_replication" -> (q198 _)
+    "q198_attachment_replication" -> (q198 _),
+    "q199_temperature_mix" -> (q199 _),
+    "q200_epoch_shuffle" -> (q200 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7200,6 +7229,24 @@ object SparkEntry {
         |       THEN 'missing_stub' ELSE 'ok' END AS status,
         |  NOT (doc_id % 2 = 0 AND doc_id % 4 <> 0) AS payload_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q199_temperature_mix" ->
+      """WITH b AS (SELECT COUNT(*) // 2 AS budget FROM documents),
+        |c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS w FROM c),
+        |s AS (SELECT SUM(w) AS wsum FROM w),
+        |t AS (SELECT w.source, (b.budget * w.w) // s.wsum AS tgt
+        |      FROM w, s, b),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN t ON r.source = t.source
+        |WHERE r.rk <= t.tgt ORDER BY r.doc_id""".stripMargin,
+    "q200_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY md5('epoch-1:' || doc_id), doc_id)
+        |    AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

@@ -347,6 +347,66 @@ object Relational {
       .drop("_strat", "_h", "_gr", "_off", "_cnt", "_num", "_den")
   }
 
+  /** TEMPERATURE-SCALED domain mixing — the corpus-balancing sampler
+    * multilingual / multi-source training sets are built with: instead
+    * of caller-supplied per-domain rates ([[mixDomains]]), each
+    * domain's share of a fixed row `budget` derives from its SIZE
+    * raised to a temperature `α < 1` (rare domains upweighted, huge
+    * domains flattened — the mT5/XLM-R sampling rule). The weight
+    * stays in INTEGER space — `w_d = weightOf(n_d)`, default
+    * `floor(sqrt(n_d))` (α = 0.5) — so the split
+    * `target_d = budget·w_d div Σw` is exact integer arithmetic,
+    * reproducible across engines (no float pow boundary to diverge
+    * on); rows are kept by each domain's deterministic md5-rank
+    * prefix, the [[stratifiedSampleExact]] discipline.
+    *
+    * Scale shape: one global two-phase range-partitioned rank (no
+    * single-partition window), one tiny per-domain aggregate
+    * broadcast back, one one-row weight-sum broadcast. A domain
+    * smaller than its target keeps all its rows (temperature can
+    * only flatten here, not replicate — compose [[upsampleDomains]]
+    * for fractional epochs above 1). */
+  def temperatureMix(df: DataFrame, domain: Column, id: Column,
+                     budget: Long,
+                     weightOf: Column => Column = c =>
+                       floor(sqrt(c)).cast("long")): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val withH = df.withColumn("_strat", domain.cast("string"))
+      .withColumn("_h", md5(id.cast("string").cast("binary")))
+    val ranked = withGlobalRowNumber(withH,
+      Seq(col("_strat"), col("_h"), id), "_gr")
+    val offs = ranked.groupBy(col("_strat"))
+      .agg(min(col("_gr")).as("_off"), count(lit(1)).as("_cnt"))
+      .withColumn("_w", weightOf(col("_cnt")))
+    val wsum = offs.agg(sum(col("_w")).as("_wsum"))
+    ranked.join(broadcast(offs), Seq("_strat"))
+      .crossJoin(broadcast(wsum))
+      .filter(col("_gr") - col("_off") + lit(1L) <=
+        expr(s"(${budget}L * _w) div _wsum"))
+      .drop("_strat", "_h", "_gr", "_off", "_cnt", "_w", "_wsum")
+  }
+
+  /** Deterministic EPOCH SHUFFLE — the global training-order
+    * permutation: every row ranked by a portable keyed hash
+    * `md5(seed:id)` (ties broken by id), a DIFFERENT permutation per
+    * epoch seed, the SAME permutation on every rerun and every
+    * engine. Returns the input plus a 1-based `pos` column.
+    *
+    * This is the operator a trainer composes BEFORE
+    * [[graft.operators.Text.packSequences]]-style packing: shuffle
+    * positions decide packing neighborhoods, so the whole
+    * shuffle→pack pipeline is reproducible from (corpus, seed). Scale
+    * shape: [[withGlobalRowNumber]]'s two-phase range-partitioned
+    * rank — one hash projection, one range exchange; no
+    * single-partition window, no driver-side permutation table. */
+  def epochShuffle(df: DataFrame, id: Column, seed: String): DataFrame =
+    withGlobalRowNumber(
+      df.withColumn("_h",
+        md5(concat(lit(seed), lit(":"), id.cast("string"))
+          .cast("binary"))),
+      Seq(col("_h"), id), "pos")
+      .drop("_h")
+
   /** DOMAIN UPSAMPLING — the fractional-EPOCH generalization of
     * [[mixDomains]]: a domain's rational rate `num/den` may exceed 1
     * (e.g. 5/2 = replicate wiki 2.5×, the Pile/LLaMA-style epoch

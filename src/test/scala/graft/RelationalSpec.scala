@@ -316,6 +316,62 @@ class RelationalSpec extends SparkSpecBase {
     assert(ids(got, "src0") == ids(again, "src0"))
   }
 
+  test("temperatureMix: exact integer split, rare domains upweighted, deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source")
+    val totals = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals.values.sum / 2
+    val got = Relational.temperatureMix(docs, $"source", $"doc_id", budget)
+    val per = got.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact split: target_d = budget * floor(sqrt(n_d)) div sum(w)
+    val w = totals.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val wsum = w.values.sum
+    for ((src, cnt) <- totals) {
+      val want = math.min(budget * w(src) / wsum, cnt)
+      assert(per.getOrElse(src, 0L) == want,
+        s"$src: got ${per.get(src)}, want $want of $cnt")
+    }
+    // temperature flattens: every smaller domain keeps at least the
+    // kept FRACTION of every larger domain (α=0.5 monotonicity)
+    val fracs = totals.toSeq.map { case (s2, n) =>
+      (n, per.getOrElse(s2, 0L).toDouble / n) }.sortBy(_._1)
+    fracs.sliding(2).foreach {
+      case Seq((nA, fA), (nB, fB)) =>
+        // integer floors can nudge a fraction by up to ~1/n each side
+        assert(fA >= fB - 2.0 / math.min(nA, nB),
+          s"domain of $nA rows kept $fA < $fB of $nB rows")
+      case _ =>
+    }
+    // deterministic: the kept id set reproduces exactly
+    val again = Relational.temperatureMix(docs, $"source", $"doc_id",
+      budget).select($"doc_id").as[Long].collect().toSet
+    assert(again == got.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("epochShuffle: portable keyed permutation, seeds independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id")
+    val n = docs.count()
+    val e1 = Relational.epochShuffle(docs, $"doc_id", "e1")
+    val rows = e1.select($"doc_id", $"pos").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sorted.toSeq == (1L to n).toSeq,
+      "pos must be a 1..n permutation")
+    // the order is exactly the md5 keyed order (portable contract)
+    val want = docs.select($"doc_id",
+        md5(concat(lit("e1:"), $"doc_id".cast("string")).cast("binary"))
+          .as("h"))
+      .orderBy($"h", $"doc_id").select($"doc_id").as[Long]
+      .collect().toSeq
+    assert(rows.sortBy(_._2).map(_._1).toSeq == want)
+    // a different seed is a genuinely different permutation
+    val e2 = Relational.epochShuffle(docs, $"doc_id", "e2")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    val moved = rows.count { case (id, p) => e2(id) != p }
+    assert(moved > n / 2, s"only $moved of $n moved between epochs")
+  }
+
   test("upsampleDomains: exact fractional-epoch totals; rate<1 == mixDomains") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"source", $"lang")
