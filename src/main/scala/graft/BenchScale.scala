@@ -130,6 +130,14 @@ object BenchScale {
         "token_shards" -> (() =>
           noop(graft.operators.Relational.shardByTokenBudget(d,
             col("doc_id"), Text.tokenCount(col("text")), 500L))),
+        "temperature_mix" -> (() =>
+          noop(graft.operators.Relational.temperatureMix(
+            d.select(col("doc_id"),
+              concat(lit("s"), pmod(col("doc_id"), lit(7))).as("dom")),
+            col("dom"), col("doc_id"), d.count() / 2))),
+        "epoch_shuffle" -> (() =>
+          noop(graft.operators.Relational.epochShuffle(
+            d.select(col("doc_id")), col("doc_id"), "probe"))),
         "leakfree_split" -> (() =>
           noop(Dedup.assignClusterSplits(
             Dedup.dedupCorpus(d, col("doc_id"), col("text")), 1, 5))),

@@ -2878,6 +2878,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** G14 gated: CONTINUOUS filtered replication ([[graft.streaming
+    * .Streams.maintainFilteredReplication]]) — the q186 change log as
+    * a 4-micro-batch stream, each batch's ids cut to the
+    * `lang IN (en,de)` selector before the delta sync into the
+    * persisted bucket store pre-created from the q186 target tree.
+    * The settled store must hold EXACTLY what the one-shot q192
+    * filtered round produces — same oracle. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val src = q186Source(s, dir)
+    val feedRows = src.select(col("id").cast("long").as("seq"), col("id"),
+      concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+        .as("rev"), col("deleted"))
+    val inDir = idxPath("q201inS", dir, "documents") + "/in"
+    stageChunks(s, feedRows, col("seq"), inDir)
+    val tgtPath = idxPath("q201tgtS", dir, "documents") + "/target"
+    graft.view.IndexStore.fsFor(s, tgtPath)
+      .delete(new org.apache.hadoop.fs.Path(tgtPath), true)
+    Replication.createTarget(s, tgtPath, q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16)
+    val ck = java.nio.file.Files.createTempDirectory("graft-q201ck")
+      .toString
+    val stream = s.readStream.schema(feedRows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainFilteredReplication(s, stream,
+      q186Source(s, dir), col("id"), col("rev_pos"), col("rev_hash"),
+      col("deleted"), col("ancestors"), t(s, dir, "documents"), "doc_id",
+      """{"lang": {"$in": ["en", "de"]}}""", tgtPath, ck,
+      numBuckets = 16)
+    try q.processAllAvailable() finally q.stop()
+    Replication.openTarget(s, tgtPath).select(col("id").as("doc_id"),
+      concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+        .as("rev"),
+      col("deleted"),
+      concat_ws(",", col("ancestors")).as("ancestors"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
+  /** E18: DSIR-style importance scores ([[graft.operators.Text
+    * .importanceScores]]) — raw = the whole documents corpus, target =
+    * its `lang = 'en'` slice; hashed-bigram Laplace-smoothed
+    * log-ratio weights rounded at 1e-6 into integers, per-doc exact
+    * integer sums. The oracle replays shingles, the 4-hex-digit md5
+    * bucket, both count tables, the weight formula (same term order),
+    * and the final aggregation. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Text.importanceScores(
+        d, col("doc_id"), col("text"),
+        d.filter(col("lang") === "en"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4221,7 +4275,9 @@ object SparkEntry {
     "q197_namespace_docs" -> (q197 _),
     "q198_attachment_replication" -> (q198 _),
     "q199_temperature_mix" -> (q199 _),
-    "q200_epoch_shuffle" -> (q200 _)
+    "q200_epoch_shuffle" -> (q200 _),
+    "q201_streaming_filtered_repl" -> (q201 _),
+    "q202_importance_scores" -> (q202 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7184,6 +7240,7 @@ object SparkEntry {
     "q186_replication_loop" -> replicationLoopOracle,
     "q187_streaming_replication" -> replicationLoopOracle,
     "q192_filtered_replication" -> filteredReplicationOracle,
+    "q201_streaming_filtered_repl" -> filteredReplicationOracle,
     "q193_sync_bidirectional" -> syncOracle,
     "q194_open_revs" -> openRevsOracle,
     "q195_revs_info" -> revsInfoOracle,
@@ -7247,6 +7304,7 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY md5('epoch-1:' || doc_id), doc_id)
         |    AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+    "q202_importance_scores" -> importanceScoresOracle,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,
@@ -7630,6 +7688,47 @@ object SparkEntry {
       |labels AS (
       |  SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
       |  FROM em LEFT JOIN comp c ON c.id = em.keeper)""".stripMargin
+
+  /** q202: the DSIR replay — bigram shingles (short-doc fallback), the
+    * 4-hex-digit md5 bucket, Laplace-smoothed integer log-ratio
+    * weights (1e-6 fixed point, SAME term order as the Spark
+    * formula), exact integer per-doc sums. */
+  private val importanceScoresOracle: String = {
+    val hex4 = (1 to 4).map { j =>
+      val coef = math.pow(16, 4 - j).toLong
+      s"(strpos('0123456789abcdef', substr(m,$j,1))-1)::BIGINT*$coef"
+    }.mkString(" + ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                w -> w != '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+       |      ELSE list_transform(range(1, len(ws)),
+       |                          i -> ws[i] || ' ' || ws[i+1]) END AS sh
+       |  FROM ws),
+       |f AS (SELECT doc_id, lang, unnest(sh) AS s FROM sh),
+       |fb AS (
+       |  SELECT doc_id, lang, ($hex4) % 1024 AS b
+       |  FROM (SELECT doc_id, lang, md5(s) AS m FROM f)),
+       |rc AS (SELECT b, COUNT(*) AS r FROM fb GROUP BY b),
+       |tc AS (SELECT b, COUNT(*) AS t FROM fb WHERE lang = 'en' GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM fb) AS rr,
+       |         (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS tt),
+       |w AS (
+       |  SELECT rc.b,
+       |    CAST(ROUND(1000000.0 *
+       |      (LN(COALESCE(tc.t, 0) + 1) + LN(tot.rr + 1024) -
+       |       LN(rc.r + 1) - LN(tot.tt + 1024))) AS BIGINT) AS w
+       |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot)
+       |SELECT fb.doc_id, COUNT(*) AS n_feats,
+       |  CAST(SUM(w.w) AS BIGINT) AS score
+       |FROM fb JOIN w ON fb.b = w.b
+       |GROUP BY fb.doc_id ORDER BY fb.doc_id""".stripMargin
+  }
 
   private val minhashCte: String =
     """WITH words AS (

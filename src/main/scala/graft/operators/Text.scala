@@ -568,4 +568,63 @@ object Text {
       .select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"),
         col("prob"), (col("prob") >= 0.5).as("keep"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by the log-likelihood ratio of its hashed-n-gram
+    * features under the TARGET corpus' feature distribution vs the
+    * raw corpus' own — the "does this look like my target domain"
+    * selector a pretraining pipeline ranks crawl data with. Keep the
+    * top mass (compose [[graft.operators.Relational.epochShuffle]] /
+    * top-k) to resample toward the target.
+    *
+    * Engine-portable by construction, the [[graft.operators
+    * .TextSearch.tfidfVectors]] discipline: features are word
+    * `n`-grams ([[Dedup.shingleRows]] — short docs contribute their
+    * whole text) routed into `nBuckets` hash buckets by the md5
+    * bucket, and each bucket's Laplace-smoothed log-ratio weight
+    * `ln((t_b+1)) + ln(R+B) − ln(r_b+1) − ln(T+B)` is rounded at 1e-6
+    * and carried as an INTEGER, so per-doc scores are exact integer
+    * sums — no float addition-order nondeterminism (`R`/`T` = total
+    * raw/target features, `B` = `nBuckets`).
+    *
+    * Scale shape: two shingle passes (each one explode + one
+    * groupBy), a weight table of `nBuckets` rows broadcast back, one
+    * per-doc aggregation. Scoring 100 TB of crawl against a small
+    * target corpus never shuffles more than the feature stream, and
+    * the model itself is `nBuckets` longs. Returns
+    * `(doc_id, n_feats, score)` — higher = more target-like. */
+  def importanceScores(raw: org.apache.spark.sql.DataFrame, rawId: Column,
+                       rawText: Column,
+                       target: org.apache.spark.sql.DataFrame,
+                       targetId: Column, targetText: Column,
+                       n: Int = 2, nBuckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      "nBuckets must be in [2, 65536] (bucket id = 4 hex digits of md5)")
+    def buckets(docs: org.apache.spark.sql.DataFrame, id: Column,
+                text: Column): org.apache.spark.sql.DataFrame =
+      Dedup.shingleRows(docs.select(id, text), id, text, n)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("_s")), 1, 4), 16, 10).cast("long")
+            % nBuckets).as("_b"))
+    val rawB = buckets(raw, rawId, rawText)
+    val tgtB = buckets(target, targetId, targetText)
+    val rc = rawB.groupBy(col("_b")).agg(count(lit(1)).as("_r"))
+    val tc = tgtB.groupBy(col("_b")).agg(count(lit(1)).as("_t"))
+    val totals = rc.agg(sum(col("_r")).as("_rtot"))
+      .crossJoin(tc.agg(sum(col("_t")).as("_ttot")))
+    val b = lit(nBuckets.toLong)
+    val w = rc.join(tc, Seq("_b"), "left").crossJoin(broadcast(totals))
+      .select(col("_b"),
+        round(lit(1e6) *
+          (log(coalesce(col("_t"), lit(0L)) + lit(1L)) +
+            log(col("_rtot") + b) -
+            log(col("_r") + lit(1L)) -
+            log(col("_ttot") + b)))
+          .cast("long").as("_w"))
+    rawB.join(broadcast(w), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("score"))
+  }
 }

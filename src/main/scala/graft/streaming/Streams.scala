@@ -622,6 +622,49 @@ object Streams {
       }
       .start()
 
+  /** G14: CONTINUOUS filtered replication — CouchDB's
+    * `continuous=true` with a `selector` body: every micro-batch's
+    * changed ids are first cut to documents whose CURRENT content in
+    * `docs` matches the compiled Mango selector (the predicate column
+    * is compiled ONCE, outside the loop; per batch that is one
+    * pruned predicate scan + a semi join against the batch's ids —
+    * never a per-change callback), then delta-synced into the
+    * persisted bucket store exactly as
+    * [[maintainReplication]] does. The batch op's documented caveats
+    * carry over verbatim ([[graft.operators.Replication
+    * .replicateFilteredOnce]]): a tombstoned id absent from `docs`
+    * matches nothing, so its delete does not propagate; per batch the
+    * cost keys on the MATCHING delta, whatever the target's size. */
+  def maintainFilteredReplication(spark: SparkSession,
+                                  changeStream: DataFrame,
+                                  source: DataFrame, id: Column,
+                                  revPos: Column, revHash: Column,
+                                  deleted: Column, ancestors: Column,
+                                  docs: DataFrame, docIdCol: String,
+                                  selectorJson: String,
+                                  targetPath: String, checkpoint: String,
+                                  numBuckets: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Mango
+    val pred = Mango.compile(Mango.parseSelector(selectorJson),
+      docs.schema)
+    val matching = docs.filter(pred)
+      .select(col(docIdCol).as("id")).distinct()
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Replication.syncBatch(spark, targetPath,
+            source, id, revPos, revHash, deleted, ancestors,
+            batch.select(col("id"))
+              .join(matching, Seq("id"), "left_semi"),
+            numBuckets, newSeq = batchId + 1)
+        ()
+      }
+      .start()
+  }
+
   def maintainChangesFeed(spark: SparkSession, changeStream: DataFrame,
                           path: String, checkpoint: String,
                           width: Long = 1024L)

@@ -915,4 +915,34 @@ class PipelineOpsSpec extends SparkSpecBase {
       .toSeq
     assert(again == got)
   }
+
+  test("importanceScores: target-like docs score higher, integer-exact, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target domain: legal boilerplate; raw mixes legal + chat noise
+    val legal = "the party of the first part shall indemnify the party"
+    val chat = "lol u there haha ok brb gtg lmao yeah nope"
+    val raw = Seq(
+      (1L, legal), (2L, legal + " and the second part"),
+      (3L, chat), (4L, chat + " ok ok"),
+      (5L, "the party shall indemnify lol")).toDF("id", "txt")
+    val target = Seq((10L, legal), (11L, "the first part shall indemnify"))
+      .toDF("id", "txt")
+    val got = graft.operators.Text.importanceScores(raw, $"id", $"txt",
+        target, $"id", $"txt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // per-doc feature counts = n_tokens - 1 bigrams
+    assert(got(1L)._1 == 9 && got(3L)._1 == 9)
+    // legal docs must outscore chat docs; the mixed doc sits between
+    def s(i: Long) = got(i)._2.toDouble / got(i)._1
+    assert(s(1L) > s(5L) && s(5L) > s(3L),
+      s"expected legal > mixed > chat, got ${s(1L)}, ${s(5L)}, ${s(3L)}")
+    // deterministic across reruns (exact integer scores)
+    val again = graft.operators.Text.importanceScores(raw, $"id", $"txt",
+        target, $"id", $"txt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+  }
 }

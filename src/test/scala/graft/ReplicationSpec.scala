@@ -247,4 +247,38 @@ class ReplicationSpec extends SparkSpecBase {
         (0 until 40).map(i => (s"m$i", s"2-s$i", false)).toSet)
     } finally q.stop()
   }
+
+  test("maintainFilteredReplication: only selector-matching ids sync per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val n = 30
+    val source = leavesDf((0 until n).map { i =>
+      (s"f$i", 2L, s"s$i", false, Seq(s"1-a$i"))
+    })
+    val docs = (0 until n).map(i =>
+      (s"f$i", if (i % 3 == 0) "keep" else "drop")).toDF("id", "kind")
+    val dir = java.nio.file.Files.createTempDirectory("repl-fstr").toString
+    // pre-created target: rev 1 of every doc
+    Replication.createTarget(spark, s"$dir/target",
+      leavesDf((0 until n).map(i =>
+        (s"f$i", 1L, s"a$i", false, Seq.empty[String]))),
+      cols._1, cols._2, cols._3, cols._4, cols._5, numBuckets = 4)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.maintainFilteredReplication(spark,
+      in.toDF().toDF("seq", "id"), source, cols._1, cols._2, cols._3,
+      cols._4, cols._5, docs, "id", """{"kind": {"$eq": "keep"}}""",
+      s"$dir/target", s"$dir/ckpt", numBuckets = 4)
+    try {
+      in.addData((0 until n).map(i => (i.toLong, s"f$i")): _*)
+      q.processAllAvailable()
+      val got = leafSet(Replication.openTarget(spark, s"$dir/target"))
+      val expect = (0 until n).map { i =>
+        if (i % 3 == 0) (s"f$i", s"2-s$i", false)
+        else (s"f$i", s"1-a$i", false)
+      }.toSet
+      assert(got == expect,
+        "matching ids must upgrade, non-matching keep target leaves")
+    } finally q.stop()
+  }
 }
