@@ -2932,6 +2932,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** D6: SQ8 scalar-quantized ANN ([[graft.operators.Similarity
+    * .sq8TopK]]) — per-dimension global [min,max] levels, 8-bit
+    * codes, squared-L2 scored ENTIRELY in integer space (exact,
+    * engine-portable), top-10 per query (vec_id < 10) with ascending
+    * distance + id tie-break. The oracle replays training,
+    * encoding (same clamp/term order), the integer distances, and
+    * the rank. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.Similarity.sq8TopK(e, e.filter(col("vec_id") < 10), 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4277,7 +4290,8 @@ object SparkEntry {
     "q199_temperature_mix" -> (q199 _),
     "q200_epoch_shuffle" -> (q200 _),
     "q201_streaming_filtered_repl" -> (q201 _),
-    "q202_importance_scores" -> (q202 _)
+    "q202_importance_scores" -> (q202 _),
+    "q203_sq8_ann" -> (q203 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7305,6 +7319,38 @@ object SparkEntry {
         |    AS pos
         |FROM documents ORDER BY pos""".stripMargin,
     "q202_importance_scores" -> importanceScoresOracle,
+    "q203_sq8_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT u.i AS d, MIN(e.v[u.i]) AS mn, MAX(e.v[u.i]) AS mx
+        |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+        |  GROUP BY u.i),
+        |codes AS (
+        |  SELECT e.vec_id, u.i AS d,
+        |    CASE WHEN dims.mx = dims.mn THEN 0
+        |         ELSE LEAST(GREATEST(CAST(FLOOR(
+        |           (e.v[u.i] - dims.mn) * 255.0 / (dims.mx - dims.mn))
+        |           AS INTEGER), 0), 255) END AS c
+        |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+        |  JOIN dims ON dims.d = u.i),
+        |qd AS (SELECT vec_id AS q_id, d, c AS qc FROM codes
+        |       WHERE vec_id < 10),
+        |d2 AS (
+        |  SELECT qd.q_id, codes.vec_id AS n_id,
+        |    CAST(SUM((qd.qc - codes.c) * (qd.qc - codes.c)) AS BIGINT)
+        |      AS d2
+        |  FROM qd JOIN codes
+        |    ON codes.d = qd.d AND codes.vec_id != qd.q_id
+        |  GROUP BY qd.q_id, codes.vec_id),
+        |r AS (
+        |  SELECT q_id, n_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2 ASC, n_id ASC) AS rank
+        |  FROM d2)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

@@ -66,6 +66,75 @@ object Similarity {
         col("_t._2").as("n_id"), round4(col("_t._1")).as("cos"))
   }
 
+  // ----------------------------------------- SQ8 scalar quantization
+
+  /** SQ8 training — the compression tier between raw floats and PQ
+    * (FAISS's `SQ8`): per-DIMENSION global `[min, max]` from one
+    * aggregation over the corpus. Returns ONE row
+    * `(mins array<double>, maxs array<double>)` — the whole model is
+    * `2·dims` doubles, broadcast everywhere. */
+  def sq8Train(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("_d", "_x")))
+      .groupBy(col("_d"))
+      .agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+      .agg(sort_array(collect_list(struct(col("_d"), col("_mn"))))
+          .as("_a"),
+        sort_array(collect_list(struct(col("_d"), col("_mx"))))
+          .as("_b"))
+      .select(transform(col("_a"), s => s.getField("_mn")).as("mins"),
+        transform(col("_b"), s => s.getField("_mx")).as("maxs"))
+
+  /** Encode every vector to 8-bit levels under an [[sq8Train]] model:
+    * `code_d = floor((x−min_d)·255/(max_d−min_d))` clamped to
+    * [0, 255] (degenerate constant dimensions encode 0). 4× smaller
+    * than float32 at far higher recall than PQ — the tier to hold a
+    * 100 TB embedding corpus hot. Map-only: one broadcast of the
+    * one-row model, codegen'd array transform, no shuffle. */
+  def sq8Codes(corpus: DataFrame, model: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(model))
+      .select(col("vec_id"),
+        transform(
+          arrays_zip(asDouble(col("embedding")).as("x"),
+            col("mins").as("mn"), col("maxs").as("mx")),
+          s => when(s.getField("mx") === s.getField("mn"), lit(0))
+            .otherwise(least(greatest(
+              floor((s.getField("x") - s.getField("mn")) * lit(255.0) /
+                (s.getField("mx") - s.getField("mn"))).cast("int"),
+              lit(0)), lit(255))))
+          .as("codes"))
+
+  /** SQ8 top-k — approximate nearest neighbors scored ENTIRELY in
+    * integer space: squared L2 in level units,
+    * `d2 = Σ_d (cq_d − cn_d)²` (exact, engine-portable — no float
+    * addition-order nondeterminism), ranked ascending with id
+    * tie-break through the bounded [[graft.functions.TopKPairs]]
+    * partial aggregate (shuffle carries partitions×k rows per query,
+    * never the corpus). Queries are encoded under the SAME corpus
+    * model — the ADC convention. Returns
+    * `(q_id, rank, n_id, d2)`; rerank the shortlist against raw
+    * floats ([[bruteForceTopK]] on the candidate ids) when exact
+    * cosine order matters. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val model = sq8Train(corpus)
+    val n = sq8Codes(corpus, model)
+      .select(col("vec_id").as("n_id"), col("codes").as("n_c"))
+    val q = sq8Codes(queries, model)
+      .select(col("vec_id").as("q_id"), col("codes").as("q_c"))
+    val d2 = aggregate(
+      zip_with(col("q_c"), col("n_c"),
+        (a, b) => ((a - b) * (a - b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val agg = udaf(new graft.functions.TopKPairs(k))
+    n.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), d2.as("_d2"))
+      .groupBy(col("q_id"))
+      .agg(agg(-col("_d2").cast("double"), col("n_id")).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_t._2").as("n_id"), (-col("_t._1")).cast("long").as("d2"))
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
     * label or an LSH bucket): pairwise only inside blocks, never a full
     * cross product. */

@@ -70,4 +70,34 @@ class QuantizerSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), s"small-k probe must stay literal:\n$plan")
   }
+
+  test("sq8: codes bounded, extremes hit 0/255, duplicate ranks first at d2=0") {
+    val corpus = Seq(
+      (0L, Array(0.0f, 10.0f)),   // per-dim minima
+      (1L, Array(4.0f, 30.0f)),   // per-dim maxima
+      (2L, Array(2.0f, 20.0f)),
+      (3L, Array(2.0f, 20.0f)),   // exact duplicate of 2
+      (4L, Array(1.0f, 15.0f))).toDF("vec_id", "embedding")
+    val model = Similarity.sq8Train(corpus)
+    val codes = Similarity.sq8Codes(corpus, model)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(255, 255),
+      s"extremes must encode 0/255: $codes")
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    assert(codes(2L) == codes(3L), "identical vectors, identical codes")
+    val top = Similarity.sq8TopK(corpus, corpus.filter($"vec_id" === 2L), 4)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(top.head == (3L, 0L),
+      s"the exact duplicate must rank first at distance 0: ${top.toSeq}")
+    assert(top.map(_._1).toSeq == top.sortBy(t => (t._2, t._1)).map(_._1).toSeq,
+      "ascending distance with id tie-break")
+    // constant dimension encodes 0 everywhere, never NaN/divide-by-zero
+    val const = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(1.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val cc = Similarity.sq8Codes(const, Similarity.sq8Train(const))
+      .collect().map(r => r.getSeq[Int](1).head).toSeq
+    assert(cc == Seq(0, 0), "degenerate dims must encode 0")
+  }
 }
