@@ -2945,6 +2945,20 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A32c: `_all_docs?keys=` with missing-key reporting ([[graft.view
+    * .View.queryKeysReport]]) — requested keys in request order with
+    * repeats; keys with no row come back as explicit
+    * `error = 'not_found'` rows (CouchDB's `_all_docs` response
+    * shape). Keys derive from the orders key range (min, max, a
+    * guaranteed miss, and a repeat). */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    graft.view.View.allDocs(o, col("o_orderkey"))
+      .queryKeysReport(Seq(mn, mx, mx + 12345L, mn))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4291,7 +4305,8 @@ object SparkEntry {
     "q200_epoch_shuffle" -> (q200 _),
     "q201_streaming_filtered_repl" -> (q201 _),
     "q202_importance_scores" -> (q202 _),
-    "q203_sq8_ann" -> (q203 _)
+    "q203_sq8_ann" -> (q203 _),
+    "q204_all_docs_keys_report" -> (q204 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7351,6 +7366,20 @@ object SparkEntry {
         |  FROM d2)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q204_all_docs_keys_report" ->
+      """WITH m AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        |           FROM orders),
+        |req AS (
+        |  SELECT 1 AS pos, mn AS k FROM m
+        |  UNION ALL SELECT 2, mx FROM m
+        |  UNION ALL SELECT 3, mx + 12345 FROM m
+        |  UNION ALL SELECT 4, mn FROM m)
+        |SELECT CAST(req.pos AS BIGINT) AS pos,
+        |  CAST(req.k AS VARCHAR) AS key,
+        |  o.o_orderkey AS id, o.o_orderkey AS value,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'not_found' END AS error
+        |FROM req LEFT JOIN orders o ON o.o_orderkey = req.k
+        |ORDER BY pos""".stripMargin,
     "q188_partition_info" ->
       """SELECT 'p' || (o_custkey % 100) AS partition,
         |       COUNT(*) AS row_count,

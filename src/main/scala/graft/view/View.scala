@@ -572,6 +572,41 @@ final class View private (
     out.drop("_req_idx")
   }
 
+  /** `keys=` fetch with CouchDB's `_all_docs` MISSING-KEY reporting:
+    * one output row per REQUESTED key in request order (`pos`,
+    * 1-based; repeats honored) — found keys carry their row(s), a key
+    * with no row comes back as an explicit `error = 'not_found'` row,
+    * the reference's `_all_docs?keys=` response shape. (Plain views
+    * OMIT missing keys, which is what the ordinary `keys=` path does;
+    * this surface belongs to the primary index but composes with any
+    * view.) One LEFT join from the broadcast request list onto the
+    * view rows — a million-key bulk-get is one join, and on a
+    * materialized index the row side stays `_kb`/`_ck` pruned to the
+    * requested keys' buckets. */
+  def queryKeysReport(keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val req = keys.zipWithIndex.map { case (k, i) =>
+      (View.encodeKey(k, locale), k.toString, i.toLong + 1)
+    }.toDF("_ck", "_req_key", "pos")
+    val r0 = indexMeta.filter(_.bounds.nonEmpty) match {
+      case Some(meta) =>
+        val bs = keys.map(k =>
+          IndexStore.bucketOf(meta, View.encodeKey(k, locale))).distinct
+        rows.filter(col("_kb").isin(bs: _*))
+      case None => rows
+    }
+    val hit = r0.filter(col("_ck")
+      .isin(keys.map(View.encodeKey(_, locale)).distinct: _*))
+    broadcast(req).join(hit, Seq("_ck"), "left")
+      .select(col("pos"), col("_req_key").as("key"),
+        col("_id").as("id"), col("value"),
+        when(col("_id").isNull, lit("not_found"))
+          .otherwise(lit(null).cast("string")).as("error"))
+      .orderBy(col("pos"), col("id"))
+  }
+
   /** Keyset-paginated query — the scale-safe alternative to `skip`
     * (which is O(skip) however deep the page). Each page is `pageSize`
     * rows in collation order; `resume` continues strictly after the

@@ -819,6 +819,21 @@ class ViewSpec extends SparkSpecBase {
     assert(broken.filter(col("status") === "missing_stub").count() == 1)
   }
 
+  test("queryKeysReport: request order, repeats, explicit not_found rows") {
+    import spark.implicits._
+    val docs = Seq("a", "b", "c").toDF("id")
+    val v = View.allDocs(docs, col("id"))
+    val got = v.queryKeysReport(Seq("b", "zz", "a", "b")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull, r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, "b", "b", null),
+      (2L, "zz", null, "not_found"),
+      (3L, "a", "a", null),
+      (4L, "b", "b", null)),
+      s"got ${got.toSeq}")
+  }
+
   test("namespace docs: _all_docs excludes _local/, endpoints scope their prefix") {
     import spark.implicits._
     val docs = Seq("doc1", "doc2", "_design/d1", "_design/d2",
