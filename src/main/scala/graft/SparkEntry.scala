@@ -2959,6 +2959,39 @@ object SparkEntry {
       .queryKeysReport(Seq(mn, mx, mx + 12345L, mn))
   }
 
+  /** D7: binary-quantized ANN ([[graft.operators.Similarity
+    * .binaryTopK]]) — sign bits packed into one long (32×
+    * compression), Hamming distances via `bit_count(xor)`, exact
+    * integer ranking with id tie-break. The oracle regenerates the
+    * same bit packing (bit 63 = min-long, the SimHash idiom) and
+    * replays distances + rank. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.Similarity.binaryTopK(e, e.filter(col("vec_id") < 10),
+        10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** A28g: the `_revs_diff` endpoint ([[graft.operators.Revisions
+    * .revsDiff]]) — the q186 source's leaf revs asked of the q186
+    * target: behind/diverged/new/tombstone scenarios report their rev
+    * missing with the target's leaves as `possible_ancestors`; the
+    * target-ahead scenario (superseded rev) correctly produces NO
+    * row. The oracle states each scenario's row directly. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Revisions
+    val src = q186Source(s, dir)
+    Revisions.revsDiff(q186Target(s, dir), col("id"), col("rev_pos"),
+        col("rev_hash"), col("ancestors"),
+        src.select(col("id"),
+          concat(col("rev_pos").cast("string"), lit("-"),
+            col("rev_hash")).as("rev")),
+        col("id"), col("rev"))
+      .select(col("id").as("doc_id"), col("rev"),
+        col("possible_ancestors"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4306,7 +4339,9 @@ object SparkEntry {
     "q201_streaming_filtered_repl" -> (q201 _),
     "q202_importance_scores" -> (q202 _),
     "q203_sq8_ann" -> (q203 _),
-    "q204_all_docs_keys_report" -> (q204 _)
+    "q204_all_docs_keys_report" -> (q204 _),
+    "q205_binary_ann" -> (q205 _),
+    "q206_revs_diff" -> (q206 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7366,6 +7401,24 @@ object SparkEntry {
         |  FROM d2)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q205_binary_ann" -> binaryAnnOracle,
+    "q206_revs_diff" ->
+      """SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:m') AS rev,
+        |       '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |         AS possible_ancestors
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s'),
+        |       '2-' || md5(doc_id::VARCHAR || ':2:t')
+        |FROM documents WHERE doc_id % 5 = 1
+        |UNION ALL
+        |SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m'), ''
+        |FROM documents WHERE doc_id % 5 = 3
+        |UNION ALL
+        |SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d'),
+        |       '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |FROM documents WHERE doc_id % 5 = 4
+        |ORDER BY doc_id, rev""".stripMargin,
     "q204_all_docs_keys_report" ->
       """WITH m AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
         |           FROM orders),
@@ -7763,6 +7816,32 @@ object SparkEntry {
       |labels AS (
       |  SELECT em.doc_id, CAST(COALESCE(c.cluster_id, em.keeper) AS BIGINT) AS kept_id
       |  FROM em LEFT JOIN comp c ON c.id = em.keeper)""".stripMargin
+
+  /** q205: the binary-quantization replay — sign-bit packing with the
+    * SimHash min-long idiom for bit 63, Hamming via bit_count(xor). */
+  private val binaryAnnOracle: String = {
+    val bits = (0 until 64).map { d =>
+      val v = if (d == 63) "-9223372036854775808"
+              else (1L << d).toString
+      s"(CASE WHEN v[${d + 1}] > 0 THEN CAST($v AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, $bits AS code FROM e),
+       |q AS (SELECT vec_id AS q_id, code AS qc FROM c WHERE vec_id < 10),
+       |d AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |    CAST(bit_count(xor(q.qc, c.code)) AS BIGINT) AS h
+       |  FROM q JOIN c ON c.vec_id != q.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, h,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY h ASC, n_id ASC) AS rank
+       |  FROM d)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, h AS hamming
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** q202: the DSIR replay — bigram shingles (short-doc fallback), the
     * 4-hex-digit md5 bucket, Laplace-smoothed integer log-ratio

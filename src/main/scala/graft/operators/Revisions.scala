@@ -219,6 +219,44 @@ object Revisions {
           .otherwise(concat_ws(",", col("_revisions"))).as("revisions"))
   }
 
+  /** The `_revs_diff` ENDPOINT (the target side of the replication
+    * handshake, as a public API — [[graft.operators.Replication
+    * .replicateOnce]] runs the same anti join internally): given this
+    * database's leaf relation and the `(id, rev)` pairs a pusher
+    * holds, report each rev the database MISSES — not a leaf and not
+    * on any leaf's ancestor path (a rev already superseded is NOT a
+    * miss, so round-tripped edits are never re-pushed) — together
+    * with the doc's `possible_ancestors`: the database's own leaf
+    * revs for that id, CouchDB's hint that lets the pusher send
+    * attachment stubs (`atts_since`) and truncated `_revisions`
+    * paths. Requests the database already knows produce no row (the
+    * endpoint's shape); an unknown doc's misses carry empty
+    * ancestors.
+    *
+    * Shape: one bounded ancestor-path explode (tree depth), one anti
+    * join on (id, rev), one per-doc leaf aggregation joined back —
+    * a million-rev diff is two joins. */
+  def revsDiff(leaves: DataFrame, id: Column, revPos: Column,
+               revHash: Column, ancestors: Column, requests: DataFrame,
+               reqId: Column, reqRev: Column): DataFrame = {
+    val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"), ancestors.as("_anc"))
+    val rev = concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+    val known = in.select(col("_id").as("id"), rev.as("rev"))
+      .unionByName(in.select(col("_id").as("id"),
+        explode(col("_anc")).as("rev")))
+      .distinct()
+    val req = requests
+      .select(reqId.as("id"), reqRev.cast("string").as("rev")).distinct()
+    val pa = in.groupBy(col("_id"))
+      .agg(sort_array(collect_list(rev)).as("_pa"))
+    req.join(known, Seq("id", "rev"), "left_anti")
+      .join(pa, col("id") === col("_id"), "left")
+      .select(col("id"), col("rev"),
+        concat_ws(",", coalesce(col("_pa"),
+          array().cast("array<string>"))).as("possible_ancestors"))
+  }
+
   /** `GET doc?open_revs=all` — every CURRENT leaf revision of each
     * requested document with its `_revisions` path (self-first), the
     * read the reference's replicator issues to fetch a doc's full

@@ -135,6 +135,62 @@ object Similarity {
         col("_t._2").as("n_id"), (-col("_t._1")).cast("long").as("d2"))
   }
 
+  // ------------------------------------------- binary (1-bit) quantization
+
+  /** Binary quantization — the most aggressive compression tier
+    * (1 bit/dimension, 32× smaller than float32): every vector
+    * becomes sign bits packed into 64-bit words,
+    * `bit d set ⇔ v_d > 0`. Word count = ⌈dims/64⌉. Map-only codegen
+    * (the SimHash bit-pack pattern); the code for a 64-dim embedding
+    * is ONE long. */
+  def binaryCodes(corpus: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 1 && dims <= 4096, "dims must be in [1, 4096]")
+    val words = (dims + 63) / 64
+    val v = asDouble(col("embedding"))
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 64
+      val bits = (lo until math.min(lo + 64, dims)).map { d =>
+        val bit = d - lo
+        // element_at is 1-based; the sign bit contributes 2^bit
+        when(element_at(v, d + 1) > lit(0.0),
+          lit(if (bit == 63) Long.MinValue else 1L << bit))
+          .otherwise(lit(0L))
+      }
+      bits.reduceLeft((a, b) => a.bitwiseOR(b)).as(s"w$w")
+    }
+    corpus.select(col("vec_id") +: wordCols: _*)
+  }
+
+  /** Binary-quantized top-k — HAMMING distance over the packed sign
+    * bits: `d = Σ_w bit_count(qw ⊕ nw)`, exact integer arithmetic
+    * (engine-portable), ranked ascending with id tie-break through
+    * the bounded [[graft.functions.TopKPairs]] partial aggregate. The
+    * standard serving shape is binary shortlist → [[sq8TopK]] or raw
+    * float rerank; at 32× compression a 100 TB embedding corpus scans
+    * as ~3 TB of longs with the distance inside whole-stage codegen.
+    * Returns `(q_id, rank, n_id, hamming)`. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 dims: Int = 64): DataFrame = {
+    val words = (dims + 63) / 64
+    val n = binaryCodes(corpus, dims)
+      .select(col("vec_id").as("n_id") +:
+        (0 until words).map(w => col(s"w$w").as(s"n$w")): _*)
+    val q = binaryCodes(queries, dims)
+      .select(col("vec_id").as("q_id") +:
+        (0 until words).map(w => col(s"w$w").as(s"q$w")): _*)
+    val ham = (0 until words)
+      .map(w => bit_count(col(s"q$w").bitwiseXOR(col(s"n$w"))))
+      .reduceLeft(_ + _).cast("long")
+    val agg = udaf(new graft.functions.TopKPairs(k))
+    n.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), ham.as("_h"))
+      .groupBy(col("q_id"))
+      .agg(agg(-col("_h").cast("double"), col("n_id")).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_t._2").as("n_id"), (-col("_t._1")).cast("long").as("hamming"))
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
     * label or an LSH bucket): pairwise only inside blocks, never a full
     * cross product. */

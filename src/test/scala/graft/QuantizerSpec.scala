@@ -100,4 +100,30 @@ class QuantizerSpec extends SparkSpecBase {
       .collect().map(r => r.getSeq[Int](1).head).toSeq
     assert(cc == Seq(0, 0), "degenerate dims must encode 0")
   }
+
+  test("binary quantization: sign bits pack exactly, hamming ranks by sign flips") {
+    val corpus = Seq(
+      (0L, Array(1.0f, -1.0f, 1.0f)),   // bits 0,2
+      (1L, Array(1.0f, -1.0f, -1.0f)),  // bit 0  (1 flip from 0)
+      (2L, Array(-1.0f, 1.0f, -1.0f)),  // bit 1  (3 flips from 0)
+      (3L, Array(1.0f, -2.0f, 3.0f)))   // bits 0,2 (0 flips from 0)
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.binaryCodes(corpus, dims = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes == Map(0L -> 5L, 1L -> 1L, 2L -> 2L, 3L -> 5L),
+      s"sign-bit packing wrong: $codes")
+    val top = Similarity.binaryTopK(corpus,
+        corpus.filter(col("vec_id") === 0L), 3, dims = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(top.toSeq == Seq((3L, 0L), (1L, 1L), (2L, 3L)),
+      s"hamming ranking wrong: ${top.toSeq}")
+    // the 64th dimension lands on the sign bit without overflow
+    val wide = Seq((0L, Array.fill(64)(1.0f)), (1L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val wc = Similarity.binaryCodes(wide, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wc(0L) == -1L && wc(1L) == 0L,
+      s"64 set bits must pack to -1 (all ones): $wc")
+  }
 }

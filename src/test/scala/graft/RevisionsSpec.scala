@@ -276,6 +276,29 @@ class RevisionsSpec extends SparkSpecBase {
       ("d2", 1, "1-ee", "missing")))
   }
 
+  test("revsDiff: superseded revs are not misses, possible_ancestors are the leaves") {
+    import spark.implicits._
+    val target = replica(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),            // behind
+      ("d2", 2L, "tt", false, Seq("1-kk")),          // diverged
+      ("d3", 3L, "cc", false, Seq("2-bb", "1-aa")))) // ahead of pusher
+    val req = Seq(
+      ("d1", "2-bb"),  // extends d1 -> missing
+      ("d2", "2-ss"),  // divergent -> missing
+      ("d3", "2-bb"),  // already superseded -> NOT a miss
+      ("d3", "3-cc"),  // already the leaf -> NOT a miss
+      ("d9", "1-nn"))  // unknown doc -> missing, no ancestors
+      .toDF("id", "rev")
+    val got = Revisions.revsDiff(target, col("id"), col("rev_pos"),
+        col("rev_hash"), col("ancestors"), req, col("id"), col("rev"))
+      .orderBy(col("id"), col("rev")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("d1", "2-bb", "1-aa"),
+      ("d2", "2-ss", "2-tt"),
+      ("d9", "1-nn", "")))
+  }
+
   test("mergeReplicas and purge match a random rev-forest model") {
     case class Node(pos: Long, hash: String)
     type Chain = Seq[Node]
