@@ -7,6 +7,7 @@ import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.DotProduct
 import graft.gfunctions.round4
+import graft.view.{IndexMeta, IndexStore}
 
 /** Similarity search over embedding columns (`array<float>`).
   * Scalar math runs through the native [[graft.functions.DotProduct]]
@@ -178,6 +179,15 @@ object Similarity {
     val q = binaryCodes(queries, dims)
       .select(col("vec_id").as("q_id") +:
         (0 until words).map(w => col(s"w$w").as(s"q$w")): _*)
+    rankHamming(n, q, k, words)
+  }
+
+  /** Hamming-rank a query code set against a corpus code set (both in
+    * the `w0..wN` packed-word shape) — the shared scorer of
+    * [[binaryTopK]] and [[binaryTopKIndexed]], so the scan path and
+    * the index path cannot drift. */
+  private def rankHamming(n: DataFrame, q: DataFrame, k: Int,
+                          words: Int): DataFrame = {
     val ham = (0 until words)
       .map(w => bit_count(col(s"q$w").bitwiseXOR(col(s"n$w"))))
       .reduceLeft(_ + _).cast("long")
@@ -189,6 +199,76 @@ object Similarity {
       .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
       .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
         col("_t._2").as("n_id"), (-col("_t._1")).cast("long").as("hamming"))
+  }
+
+  /** Persist the binary-code tier: one row per vector
+    * (`vec_id, w0..wN`) hive-partitioned by id-HASH bucket (`_b`,
+    * arithmetic on the id — the incremental-maintenance layout).
+    * Codes are computed ONCE at build; serving
+    * ([[binaryTopKIndexed]]) scans stored longs only — at 1
+    * bit/dimension the full scan IS the design (a 100 TB float corpus
+    * is ~3 TB of codes), and the embedding column is never re-read.
+    * The word count is recoverable from the stored schema; no extra
+    * metadata. */
+  def buildBinaryIndex(corpus: DataFrame, path: String, dims: Int = 64,
+                       idBuckets: Int = 16, seq: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    binaryCodes(corpus, dims)
+      .withColumn("_b", IndexStore.idBucket(col("vec_id"), idBuckets))
+      .repartition(idBuckets, col("_b"))
+      .sortWithinPartitions(col("_b"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("_b").parquet(path + "/data")
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, idBuckets, Nil))
+  }
+
+  /** Incremental maintenance of a [[buildBinaryIndex]] index: changed
+    * vectors re-encode, `deletedIds` retire, and ONLY the id-hash
+    * bucket directories holding touched ids are read and rewritten
+    * behind rename swaps — O(changed buckets) whatever the corpus
+    * size. Returns the rewritten bucket ids. */
+  def upsertBinaryVectors(spark: SparkSession, path: String,
+                          changed: DataFrame, deletedIds: DataFrame,
+                          dims: Int = 64): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val touched = changed.select(col("vec_id"))
+      .unionByName(deletedIds.toDF("vec_id")).distinct().persist()
+    try {
+      val bs = touched
+        .select(IndexStore.idBucket(col("vec_id"), meta.buckets).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bs.isEmpty) return Nil
+      val cur = spark.read.parquet(path + "/data")
+        .filter(col("_b").isin(bs: _*))
+      val out = cur.join(touched, Seq("vec_id"), "left_anti")
+        .unionByName(binaryCodes(changed, dims)
+          .join(deletedIds.toDF("vec_id"), Seq("vec_id"), "left_anti")
+          .withColumn("_b", IndexStore.idBucket(col("vec_id"),
+            meta.buckets)))
+      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+        path + "/data", "_b", bs, Seq(col("_b"), col("vec_id")))
+      IndexStore.writeMeta(spark, path,
+        meta.copy(updateSeq = meta.updateSeq + 1))
+      bs
+    } finally touched.unpersist()
+  }
+
+  /** [[binaryTopK]] served from a [[buildBinaryIndex]] store: the
+    * corpus side is the stored code words (longs only — no embedding
+    * read, no re-encoding); queries encode on the fly. Same
+    * [[rankHamming]] scorer as the scan path. */
+  def binaryTopKIndexed(spark: SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        dims: Int = 64): DataFrame = {
+    val words = (dims + 63) / 64
+    val stored = spark.read.parquet(path + "/data")
+      .select(col("vec_id").as("n_id") +:
+        (0 until words).map(w => col(s"w$w").as(s"n$w")): _*)
+    val q = binaryCodes(queries, dims)
+      .select(col("vec_id").as("q_id") +:
+        (0 until words).map(w => col(s"w$w").as(s"q$w")): _*)
+    rankHamming(stored, q, k, words)
   }
 
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
@@ -274,7 +354,7 @@ object Similarity {
           dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
       k)
 
-  import graft.view.{IndexMeta, IndexStore}
+
 
   /** Signature rows of a corpus batch in the persisted-index shape:
     * `(_id, n_vec, n_nrm, _kb)` where `_kb` is the signature bucket. */
