@@ -2975,9 +2975,11 @@ object SparkEntry {
   /** A28g: the `_revs_diff` endpoint ([[graft.operators.Revisions
     * .revsDiff]]) — the q186 source's leaf revs asked of the q186
     * target: behind/diverged/new/tombstone scenarios report their rev
-    * missing with the target's leaves as `possible_ancestors`; the
-    * target-ahead scenario (superseded rev) correctly produces NO
-    * row. The oracle states each scenario's row directly. */
+    * missing, `possible_ancestors` = target leaves STRICTLY below the
+    * missing rev's pos (so the diverged same-depth scenario reports
+    * none — couch_db:possible_ancestors/2); the target-ahead scenario
+    * (superseded rev) correctly produces NO row. The oracle states
+    * each scenario's row directly. */
   private def q206(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Revisions
     val src = q186Source(s, dir)
@@ -7408,8 +7410,7 @@ object SparkEntry {
         |         AS possible_ancestors
         |FROM documents WHERE doc_id % 5 = 0
         |UNION ALL
-        |SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s'),
-        |       '2-' || md5(doc_id::VARCHAR || ':2:t')
+        |SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s'), ''
         |FROM documents WHERE doc_id % 5 = 1
         |UNION ALL
         |SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m'), ''

@@ -379,11 +379,16 @@ object Relational {
       .agg(min(col("_gr")).as("_off"), count(lit(1)).as("_cnt"))
       .withColumn("_w", weightOf(col("_cnt")))
     val wsum = offs.agg(sum(col("_w")).as("_wsum"))
+    // try_multiply nulls on Long overflow in ANY ANSI mode; an extreme
+    // budget×weight then fails LOUDLY instead of wrapping into a
+    // silently corrupted split.
     ranked.join(broadcast(offs), Seq("_strat"))
       .crossJoin(broadcast(wsum))
-      .filter(col("_gr") - col("_off") + lit(1L) <=
-        expr(s"(${budget}L * _w) div _wsum"))
-      .drop("_strat", "_h", "_gr", "_off", "_cnt", "_w", "_wsum")
+      .withColumn("_prod", coalesce(expr(s"try_multiply(${budget}L, _w)"),
+        raise_error(lit("temperatureMix: budget*weight overflows Long — " +
+          "rescale weightOf")).cast("long")))
+      .filter(col("_gr") - col("_off") + lit(1L) <= expr("_prod div _wsum"))
+      .drop("_strat", "_h", "_gr", "_off", "_cnt", "_w", "_wsum", "_prod")
   }
 
   /** Deterministic EPOCH SHUFFLE — the global training-order

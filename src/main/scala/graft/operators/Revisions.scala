@@ -227,14 +227,16 @@ object Revisions {
     * on any leaf's ancestor path (a rev already superseded is NOT a
     * miss, so round-tripped edits are never re-pushed) — together
     * with the doc's `possible_ancestors`: the database's own leaf
-    * revs for that id, CouchDB's hint that lets the pusher send
-    * attachment stubs (`atts_since`) and truncated `_revisions`
-    * paths. Requests the database already knows produce no row (the
-    * endpoint's shape); an unknown doc's misses carry empty
-    * ancestors.
+    * revs for that id whose pos is STRICTLY below the missing rev's
+    * pos (couch_db:possible_ancestors/2 — a diverged same-depth leaf
+    * is a sibling, not an ancestor), CouchDB's hint that lets the
+    * pusher send attachment stubs (`atts_since`) and truncated
+    * `_revisions` paths. Requests the database already knows produce
+    * no row (the endpoint's shape); an unknown doc's misses carry
+    * empty ancestors.
     *
     * Shape: one bounded ancestor-path explode (tree depth), one anti
-    * join on (id, rev), one per-doc leaf aggregation joined back —
+    * join on (id, rev), one pos-bounded join onto the leaf relation —
     * a million-rev diff is two joins. */
   def revsDiff(leaves: DataFrame, id: Column, revPos: Column,
                revHash: Column, ancestors: Column, requests: DataFrame,
@@ -248,13 +250,19 @@ object Revisions {
       .distinct()
     val req = requests
       .select(reqId.as("id"), reqRev.cast("string").as("rev")).distinct()
-    val pa = in.groupBy(col("_id"))
-      .agg(sort_array(collect_list(rev)).as("_pa"))
+    // CouchDB's couch_db:possible_ancestors/2: a stored leaf is a
+    // possible ancestor of a missing rev only when its pos is
+    // STRICTLY below the missing rev's pos — a diverged same-depth
+    // leaf (missing 2-s vs leaf 2-t) is a sibling, not an ancestor.
+    val leaves2 = in.select(col("_id"), col("_pos"), rev.as("_leaf"))
     req.join(known, Seq("id", "rev"), "left_anti")
-      .join(pa, col("id") === col("_id"), "left")
-      .select(col("id"), col("rev"),
-        concat_ws(",", coalesce(col("_pa"),
-          array().cast("array<string>"))).as("possible_ancestors"))
+      .withColumn("_rpos", split(col("rev"), "-", 2).getItem(0)
+        .cast("long"))
+      .join(leaves2,
+        col("id") === col("_id") && col("_pos") < col("_rpos"), "left")
+      .groupBy(col("id"), col("rev"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("_leaf")))).as("possible_ancestors"))
   }
 
   /** `GET doc?open_revs=all` — every CURRENT leaf revision of each

@@ -109,7 +109,12 @@ object Attachments {
     * whose digest the store does NOT hold is reported as
     * `missing_stub` with a null payload (CouchDB rejects such a write
     * with `missing_stub`; per-item errors, never a silent phantom).
-    * `targetStore` is a `(digest, data)` relation; one hash join. */
+    * A FULL entry is verified too: a null shipped payload reports
+    * `missing_data`, and a shipped payload whose md5 disagrees with
+    * its declared `md5-`digest reports `digest_mismatch` (CouchDB
+    * rejects a body whose content hash mismatches) — a corrupt or
+    * dropped transfer is never silently accepted. `targetStore` is a
+    * `(digest, data)` relation; one hash join. */
   def applyTransfer(plan: DataFrame, targetStore: DataFrame): DataFrame =
     plan.join(
         targetStore.toDF("digest", "_sdata").dropDuplicates("digest"),
@@ -118,7 +123,11 @@ object Attachments {
         col("length"), col("digest"), col("stub"),
         when(!col("stub"), col("data")).otherwise(col("_sdata"))
           .as("data"),
-        when(!col("stub") || col("_sdata").isNotNull, lit("ok"))
+        when(!col("stub") && col("data").isNull, lit("missing_data"))
+          .when(!col("stub") && col("digest").startsWith("md5-") &&
+            concat(lit("md5-"), md5(col("data"))) =!= col("digest"),
+            lit("digest_mismatch"))
+          .when(!col("stub") || col("_sdata").isNotNull, lit("ok"))
           .otherwise(lit("missing_stub")).as("status"))
 
   // ----------------------------------------------------- chunked payloads

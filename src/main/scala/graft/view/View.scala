@@ -924,9 +924,12 @@ object View {
     * CouchDB fidelity: `_local/`-namespaced documents do NOT appear
     * (they are non-replicating node-local state with their own
     * endpoint, [[localDocs]]); `_design/` documents DO. The namespace
-    * predicate is a `StartsWith` that pushes into the scan. */
+    * predicate is a `StartsWith` that pushes into the scan; a NULL id
+    * cannot be `_local/`-namespaced, so the coalesce keeps null-id
+    * rows surfacing exactly as they did before the exclusion. */
   def allDocs(docs: DataFrame, id: Column): View =
-    apply(docs.filter(!id.cast("string").startsWith("_local/")),
+    apply(docs.filter(
+        !coalesce(id.cast("string").startsWith("_local/"), lit(false))),
       id, id, id)
 
   /** `GET /db/_design_docs` — the primary index restricted to the

@@ -295,7 +295,9 @@ class RevisionsSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(got.toSeq == Seq(
       ("d1", "2-bb", "1-aa"),
-      ("d2", "2-ss", "2-tt"),
+      // the diverged SAME-depth leaf 2-tt is a sibling of the missing
+      // 2-ss, not a possible ancestor (pos not strictly below)
+      ("d2", "2-ss", ""),
       ("d9", "1-nn", "")))
   }
 
