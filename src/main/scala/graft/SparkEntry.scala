@@ -2994,6 +2994,95 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rev"))
   }
 
+  /** D6b: persisted SQ8 index end-to-end ([[graft.operators.Similarity
+    * .buildSq8Index]]) — build FREEZES the `[min,max]` model, a delta
+    * re-embeds vec_id%7==0 (negation) and tombstones vec_id%13==5
+    * (the q120 delta), the upsert re-encodes ONLY the changed ids
+    * under the STORED model, and serving scans stored 8-bit codes
+    * (plan-asserted in spec: the embedding column is never re-read).
+    * The oracle replays the whole thing: the model from the ORIGINAL
+    * corpus (frozen), codes and queries from the modified one, exact
+    * integer distances, rank. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("q207sq8", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      Similarity.buildSq8Index(emb, path)
+    val changed = emb
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val del = emb.filter(col("vec_id") % 13 === 5).select(col("vec_id"))
+    Similarity.upsertSq8Vectors(s, path, changed, del)
+    val modified = emb.filter(col("vec_id") % 13 =!= 5)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+    Similarity.sq8TopKIndexed(s, path,
+        modified.filter(col("vec_id") < 10), 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D8: shortlist-rerank CASCADE ([[graft.operators.Similarity
+    * .cascadeTopK]]) — an SQ8 integer shortlist (64 candidates per
+    * query) followed by an exact-cosine rerank of only those
+    * candidates. The QuantizerSpec proves shortlist=64 sufficient on
+    * this corpus (exact from 32 at both gate SFs), so the gate's
+    * oracle is the brute-force cosine rank ITSELF — the cascade must
+    * BE the exact answer while reading the float corpus only for the
+    * shortlisted rows. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.cascadeTopK(emb,
+        emb.filter(col("vec_id") < 10), 10, shortlist = 64, tier = "sq8")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** G15 gated: STREAMING BINARY-INDEX MAINTENANCE ([[graft.streaming
+    * .Streams.maintainBinaryIndex]]) — embeddings as a 4-micro-batch
+    * file stream; batch 1 builds the packed-sign-bit store, batches
+    * 2-4 upsert bucket-locally (all-new ids — the bucket-creation
+    * path). Sign-bit packing is model-free, so the settled store must
+    * serve q205's sign-bit oracle bit-for-bit. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val inDir = idxPath("q209in", dir, "embeddings") + "/in"
+    stageChunks(s, emb, col("vec_id"), inDir)
+    val idx = idxPath("q209bx", dir, "embeddings") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q209ck").toString
+    val feed = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainBinaryIndex(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Similarity.binaryTopKIndexed(s, idx,
+        emb.filter(col("vec_id") < 10), 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** G16 gated: STREAMING SQ8-INDEX MAINTENANCE ([[graft.streaming
+    * .Streams.maintainSq8Index]]) — the same 4-micro-batch drive;
+    * batch 1 (the ntile-1 quartile of the corpus) trains and FREEZES
+    * the `[min,max]` model, batches 2-4 encode their (all-new)
+    * vectors under the STORED model. The oracle replays training over
+    * exactly that first quartile (`NTILE(4) OVER (ORDER BY vec_id) =
+    * 1`), then codes for the WHOLE corpus under the frozen model —
+    * late vectors clamp to [0,255] where they exceed the early
+    * extremes, exactly as the stored codes do. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val inDir = idxPath("q210in", dir, "embeddings") + "/in"
+    stageChunks(s, emb, col("vec_id"), inDir)
+    val idx = idxPath("q210sx", dir, "embeddings") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q210ck").toString
+    val feed = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainSq8Index(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Similarity.sq8TopKIndexed(s, idx,
+        emb.filter(col("vec_id") < 10), 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4343,7 +4432,11 @@ object SparkEntry {
     "q203_sq8_ann" -> (q203 _),
     "q204_all_docs_keys_report" -> (q204 _),
     "q205_binary_ann" -> (q205 _),
-    "q206_revs_diff" -> (q206 _)
+    "q206_revs_diff" -> (q206 _),
+    "q207_sq8_index_ann" -> (q207 _),
+    "q208_cascade_ann" -> (q208 _),
+    "q209_stream_binary_index" -> (q209 _),
+    "q210_stream_sq8_index" -> (q210 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7420,6 +7513,95 @@ object SparkEntry {
         |       '1-' || md5(doc_id::VARCHAR || ':1:m')
         |FROM documents WHERE doc_id % 5 = 4
         |ORDER BY doc_id, rev""".stripMargin,
+    "q207_sq8_index_ann" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT u.i AS d, MIN(e0.v[u.i]) AS mn, MAX(e0.v[u.i]) AS mx
+        |  FROM e0, LATERAL (SELECT unnest(range(1, 1 + len(e0.v))) AS i) u
+        |  GROUP BY u.i),
+        |e AS (
+        |  SELECT vec_id, CASE WHEN vec_id % 7 = 0
+        |    THEN list_transform(v, x -> -x) ELSE v END AS v
+        |  FROM e0 WHERE vec_id % 13 != 5),
+        |codes AS (
+        |  SELECT e.vec_id, u.i AS d,
+        |    CASE WHEN dims.mx = dims.mn THEN 0
+        |         ELSE LEAST(GREATEST(CAST(FLOOR(
+        |           (e.v[u.i] - dims.mn) * 255.0 / (dims.mx - dims.mn))
+        |           AS INTEGER), 0), 255) END AS c
+        |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+        |  JOIN dims ON dims.d = u.i),
+        |qd AS (SELECT vec_id AS q_id, d, c AS qc FROM codes
+        |       WHERE vec_id < 10),
+        |d2 AS (
+        |  SELECT qd.q_id, codes.vec_id AS n_id,
+        |    CAST(SUM((qd.qc - codes.c) * (qd.qc - codes.c)) AS BIGINT)
+        |      AS d2
+        |  FROM qd JOIN codes
+        |    ON codes.d = qd.d AND codes.vec_id != qd.q_id
+        |  GROUP BY qd.q_id, codes.vec_id),
+        |r AS (
+        |  SELECT q_id, n_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2 ASC, n_id ASC) AS rank
+        |  FROM d2)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q208_cascade_ann" ->
+      """WITH j AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+        |                     list_transform(e.embedding, x -> x::DOUBLE)) /
+        |      (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+        |                             list_transform(q.embedding, x -> x::DOUBLE))) *
+        |       sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+        |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |  JOIN embeddings e ON e.vec_id != q.vec_id)
+        |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q209_stream_binary_index" -> binaryAnnOracle,
+    "q210_stream_sq8_index" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |b1 AS (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v, NTILE(4) OVER (ORDER BY vec_id) AS nt
+        |    FROM e0) WHERE nt = 1),
+        |dims AS (
+        |  SELECT u.i AS d, MIN(b1.v[u.i]) AS mn, MAX(b1.v[u.i]) AS mx
+        |  FROM b1, LATERAL (SELECT unnest(range(1, 1 + len(b1.v))) AS i) u
+        |  GROUP BY u.i),
+        |codes AS (
+        |  SELECT e0.vec_id, u.i AS d,
+        |    CASE WHEN dims.mx = dims.mn THEN 0
+        |         ELSE LEAST(GREATEST(CAST(FLOOR(
+        |           (e0.v[u.i] - dims.mn) * 255.0 / (dims.mx - dims.mn))
+        |           AS INTEGER), 0), 255) END AS c
+        |  FROM e0, LATERAL (SELECT unnest(range(1, 1 + len(e0.v))) AS i) u
+        |  JOIN dims ON dims.d = u.i),
+        |qd AS (SELECT vec_id AS q_id, d, c AS qc FROM codes
+        |       WHERE vec_id < 10),
+        |d2 AS (
+        |  SELECT qd.q_id, codes.vec_id AS n_id,
+        |    CAST(SUM((qd.qc - codes.c) * (qd.qc - codes.c)) AS BIGINT)
+        |      AS d2
+        |  FROM qd JOIN codes
+        |    ON codes.d = qd.d AND codes.vec_id != qd.q_id
+        |  GROUP BY qd.q_id, codes.vec_id),
+        |r AS (
+        |  SELECT q_id, n_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2 ASC, n_id ASC) AS rank
+        |  FROM d2)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q204_all_docs_keys_report" ->
       """WITH m AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
         |           FROM orders),

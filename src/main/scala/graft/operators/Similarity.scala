@@ -114,14 +114,28 @@ object Similarity {
     * never the corpus). Queries are encoded under the SAME corpus
     * model — the ADC convention. Returns
     * `(q_id, rank, n_id, d2)`; rerank the shortlist against raw
-    * floats ([[bruteForceTopK]] on the candidate ids) when exact
-    * cosine order matters. */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val model = sq8Train(corpus)
-    val n = sq8Codes(corpus, model)
+    * floats ([[cascadeTopK]]) when exact cosine order matters.
+    *
+    * `model` pins a FROZEN (pre-trained / stored) model; left None
+    * the call trains on `corpus` — an exploratory scan shape. SERVING
+    * traffic belongs on [[sq8TopKIndexed]]: a per-call retrain is a
+    * full-corpus aggregation plus a full re-encode every query batch,
+    * and codes move whenever the corpus extremes do. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              model: Option[DataFrame] = None): DataFrame = {
+    val m = model.getOrElse(sq8Train(corpus))
+    val n = sq8Codes(corpus, m)
       .select(col("vec_id").as("n_id"), col("codes").as("n_c"))
-    val q = sq8Codes(queries, model)
+    val q = sq8Codes(queries, m)
       .select(col("vec_id").as("q_id"), col("codes").as("q_c"))
+    rankSq8(n, q, k)
+  }
+
+  /** Integer-L2-rank a query code set against a corpus code set (both
+    * in the `(id, codes array<int>)` shape) — the shared scorer of
+    * [[sq8TopK]] and [[sq8TopKIndexed]], so the scan path and the
+    * index path cannot drift. */
+  private def rankSq8(n: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val d2 = aggregate(
       zip_with(col("q_c"), col("n_c"),
         (a, b) => ((a - b) * (a - b)).cast("long")),
@@ -134,6 +148,82 @@ object Similarity {
       .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
       .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
         col("_t._2").as("n_id"), (-col("_t._1")).cast("long").as("d2"))
+  }
+
+  /** Persist the SQ8 tier: the `[min, max]` model FROZEN at build time
+    * (`model/` — one row, the PQ frozen-codebook discipline,
+    * Pq.buildPqIndex) plus one code row per vector (`vec_id, codes`)
+    * hive-partitioned by id-hash bucket (`_b` — the incremental-
+    * maintenance layout of [[buildBinaryIndex]]). Codes are computed
+    * ONCE under the stored model; serving ([[sq8TopKIndexed]]) scans
+    * stored 8-bit codes only and never re-reads the embedding column —
+    * the point of SQ8 at 100 TB (the hot scan is a quarter of the
+    * float corpus), and codes stay STABLE across deltas because the
+    * model never moves. */
+  def buildSq8Index(corpus: DataFrame, path: String, idBuckets: Int = 16,
+                    seq: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    sq8Train(corpus).coalesce(1).write.mode("overwrite")
+      .parquet(path + "/model")
+    val model = sq8Model(spark, path)
+    sq8Codes(corpus, model)
+      .withColumn("_b", IndexStore.idBucket(col("vec_id"), idBuckets))
+      .repartition(idBuckets, col("_b"))
+      .sortWithinPartitions(col("_b"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("_b").parquet(path + "/data")
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, idBuckets, Nil))
+  }
+
+  /** The stored (frozen) `[min, max]` model of a [[buildSq8Index]]
+    * store — one row, `(mins array<double>, maxs array<double>)`. */
+  def sq8Model(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/model")
+
+  /** Incremental maintenance of a [[buildSq8Index]] index: changed
+    * vectors re-encode under the STORED model (never retrained — the
+    * q120 frozen-codebook discipline), `deletedIds` retire, and ONLY
+    * the id-hash bucket directories holding touched ids are read and
+    * rewritten behind rename swaps — O(changed buckets) whatever the
+    * corpus size. Returns the rewritten bucket ids. */
+  def upsertSq8Vectors(spark: SparkSession, path: String,
+                       changed: DataFrame, deletedIds: DataFrame): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val model = sq8Model(spark, path)
+    val touched = changed.select(col("vec_id"))
+      .unionByName(deletedIds.toDF("vec_id")).distinct().persist()
+    try {
+      val bs = touched
+        .select(IndexStore.idBucket(col("vec_id"), meta.buckets).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bs.isEmpty) return Nil
+      val cur = spark.read.parquet(path + "/data")
+        .filter(col("_b").isin(bs: _*))
+      val out = cur.join(touched, Seq("vec_id"), "left_anti")
+        .unionByName(sq8Codes(changed, model)
+          .join(deletedIds.toDF("vec_id"), Seq("vec_id"), "left_anti")
+          .withColumn("_b", IndexStore.idBucket(col("vec_id"),
+            meta.buckets)))
+      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+        path + "/data", "_b", bs, Seq(col("_b"), col("vec_id")))
+      IndexStore.writeMeta(spark, path,
+        meta.copy(updateSeq = meta.updateSeq + 1))
+      bs
+    } finally touched.unpersist()
+  }
+
+  /** [[sq8TopK]] served from a [[buildSq8Index]] store: the corpus
+    * side is the stored 8-bit codes (no embedding read, no retrain,
+    * no re-encode); queries encode on the fly under the STORED
+    * model. Same [[rankSq8]] scorer as the scan path. */
+  def sq8TopKIndexed(spark: SparkSession, path: String,
+                     queries: DataFrame, k: Int): DataFrame = {
+    val stored = spark.read.parquet(path + "/data")
+      .select(col("vec_id").as("n_id"), col("codes").as("n_c"))
+    val q = sq8Codes(queries, sq8Model(spark, path))
+      .select(col("vec_id").as("q_id"), col("codes").as("q_c"))
+    rankSq8(stored, q, k)
   }
 
   // ------------------------------------------- binary (1-bit) quantization
@@ -269,6 +359,48 @@ object Similarity {
       .select(col("vec_id").as("q_id") +:
         (0 until words).map(w => col(s"w$w").as(s"q$w")): _*)
     rankHamming(stored, q, k, words)
+  }
+
+  // --------------------------------------------- shortlist-rerank cascade
+
+  /** Shortlist-rerank CASCADE — the quantized serving shape composed
+    * as ONE operator: a cheap integer-space shortlist of `shortlist`
+    * candidates per query (binary hamming by default; `tier = "sq8"`
+    * for the 8-bit middle tier, optionally under a frozen `sq8ModelDf`),
+    * then an EXACT cosine rerank of ONLY those candidates, top-k out.
+    * Output is schema- and value-identical to [[bruteForceTopK]]
+    * (`q_id, rank, n_id, cos` — same scorer, same round, same id
+    * tie-break) whenever the shortlist covers the true top-k; the
+    * spec pins exact equality at a generous shortlist and a recall
+    * floor at a tight one.
+    *
+    * Scale shape: the float corpus is read ONLY for the |queries|·k'
+    * shortlisted rows — the candidate set broadcasts into a hash join
+    * against the corpus, so a 100 TB rerank reads gigabytes, not the
+    * corpus; the full scan happens once, over 1-bit (or 8-bit) codes
+    * inside whole-stage codegen. */
+  def cascadeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  shortlist: Int, dims: Int = 64,
+                  tier: String = "binary",
+                  sq8ModelDf: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = (tier match {
+      case "binary" => binaryTopK(corpus, queries, shortlist, dims)
+      case "sq8"    => sq8TopK(corpus, queries, shortlist, sq8ModelDf)
+      case t => throw new IllegalArgumentException(
+        s"unknown cascade tier: $t (binary|sq8)")
+    }).select(col("q_id"), col("n_id"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_vec"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    rankTopK(
+      broadcast(cand).join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+        .withColumn("cos",
+          dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
+      k)
   }
 
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster

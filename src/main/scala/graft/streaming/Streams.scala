@@ -323,6 +323,78 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted BINARY-quantization index —
+    * the 1-bit tier under the same contract as [[maintainPqIndex]]:
+    * the first non-empty micro-batch builds ([[graft.operators
+    * .Similarity.buildBinaryIndex]] — sign-bit packing is model-free,
+    * so nothing to freeze); every later batch re-packs only its
+    * changed vectors and rewrites only their id buckets
+    * (`Similarity.upsertBinaryVectors`), `_deleted` tombstones
+    * retire. Same feed schema (`vec_id`, `embedding`, optional
+    * boolean `_deleted`); update_seq tracks batches. */
+  def maintainBinaryIndex(spark: SparkSession, changeFeed: DataFrame,
+                          path: String, checkpoint: String,
+                          dims: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+          else batch.select(col("vec_id")).limit(0)
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Similarity.buildBinaryIndex(live, path, dims,
+              seq = batchId + 1)
+        } else {
+          Similarity.upsertBinaryVectors(spark, path, live, delIds, dims)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming maintenance of a persisted SQ8 index — the 8-bit tier
+    * under the same contract as [[maintainPqIndex]]: the first
+    * non-empty micro-batch builds ([[graft.operators.Similarity
+    * .buildSq8Index]] — the `[min, max]` model then FROZEN across
+    * batches); every later batch re-encodes only its changed vectors
+    * under the STORED model and rewrites only their id buckets
+    * (`Similarity.upsertSq8Vectors`), `_deleted` tombstones retire.
+    * Same feed schema (`vec_id`, `embedding`, optional boolean
+    * `_deleted`); update_seq tracks batches. */
+  def maintainSq8Index(spark: SparkSession, changeFeed: DataFrame,
+                       path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+          else batch.select(col("vec_id")).limit(0)
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Similarity.buildSq8Index(live, path, seq = batchId + 1)
+        } else {
+          Similarity.upsertSq8Vectors(spark, path, live, delIds)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted SemDeDup index — the
     * semantic-dedup analogue of [[maintainAnnIndex]]: the first
     * non-empty micro-batch builds the index ([[graft.operators

@@ -126,4 +126,114 @@ class QuantizerSpec extends SparkSpecBase {
     assert(wc(0L) == -1L && wc(1L) == 0L,
       s"64 set bits must pack to -1 (all ones): $wc")
   }
+
+  // ------------------------------------------------- persisted SQ8 tier
+
+  import org.apache.spark.sql.DataFrame
+
+  private def topKey(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select(col("q_id").cast("long"), col("rank"),
+        col("n_id").cast("long"), df.columns.last match {
+          case "d2" => col("d2"); case _ => col("hamming") })
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  private def delta(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val changed = df.filter($"vec_id" % 7 === 0 && $"vec_id" % 13 =!= 5)
+      .withColumn("embedding", transform($"embedding", x => -x))
+    val del = df.filter($"vec_id" % 13 === 5).select($"vec_id")
+    val modified = df.filter($"vec_id" % 13 =!= 5)
+      .withColumn("embedding",
+        when($"vec_id" % 7 === 0, transform($"embedding", x => -x))
+          .otherwise($"embedding"))
+    (changed, del, modified)
+  }
+
+  test("sq8 persisted tier: indexed == scan; upsert encodes under the FROZEN model") {
+    val p = s"$tmpDir/sq8idx"
+    Similarity.buildSq8Index(emb, p)
+    val q = emb.filter($"vec_id" < 5)
+    assert(topKey(Similarity.sq8TopKIndexed(spark, p, q, 5)) ==
+      topKey(Similarity.sq8TopK(emb, q, 5)),
+      "on a static corpus the index path must equal the scan path")
+    // serving reads stored codes only: with in-memory queries the plan
+    // must never touch the embeddings parquet
+    val memQ = Seq((9001L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val plan = Similarity.sq8TopKIndexed(spark, p, memQ, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"indexed serve must not re-read the float corpus:\n$plan")
+
+    val (changed, del, modified) = delta(emb)
+    val frozen = Similarity.sq8Model(spark, p).collect()
+    val bs = Similarity.upsertSq8Vectors(spark, p, changed, del)
+    assert(bs.nonEmpty, "the delta must touch at least one bucket")
+    assert(Similarity.sq8Model(spark, p).collect().toSeq ==
+      frozen.toSeq, "upsert must NOT move the stored model")
+    // stored codes == a frozen-model re-encode of the modified corpus
+    def codes(df: DataFrame) = df.select($"vec_id", $"codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(spark.read.parquet(s"$p/data")) ==
+      codes(Similarity.sq8Codes(modified, Similarity.sq8Model(spark, p))),
+      "upserted codes must be the frozen-model encoding, nothing else")
+    // indexed serve == frozen-model scan over the modified corpus
+    val mq = modified.filter($"vec_id" < 5)
+    assert(topKey(Similarity.sq8TopKIndexed(spark, p, mq, 5)) ==
+      topKey(Similarity.sq8TopK(modified, mq, 5,
+        Some(Similarity.sq8Model(spark, p)))),
+      "post-delta index path must equal the frozen-model scan path")
+    // idempotence: replaying the same delta changes nothing
+    val before = codes(spark.read.parquet(s"$p/data"))
+    Similarity.upsertSq8Vectors(spark, p, changed, del)
+    assert(codes(spark.read.parquet(s"$p/data")) == before)
+  }
+
+  test("binary persisted tier: indexed == scan across a delta") {
+    val p = s"$tmpDir/binidx"
+    Similarity.buildBinaryIndex(emb, p)
+    val q = emb.filter($"vec_id" < 5)
+    assert(topKey(Similarity.binaryTopKIndexed(spark, p, q, 5)) ==
+      topKey(Similarity.binaryTopK(emb, q, 5)),
+      "on a static corpus the index path must equal the scan path")
+    val (changed, del, modified) = delta(emb)
+    assert(Similarity.upsertBinaryVectors(spark, p, changed, del).nonEmpty)
+    val mq = modified.filter($"vec_id" < 5)
+    assert(topKey(Similarity.binaryTopKIndexed(spark, p, mq, 5)) ==
+      topKey(Similarity.binaryTopK(modified, mq, 5)),
+      "post-delta index path must equal the scan path")
+  }
+
+  // ------------------------------------------------ shortlist-rerank cascade
+
+  test("cascadeTopK: equals brute force at a sufficient shortlist; recall floors below") {
+    val q = emb.filter($"vec_id" < 10)
+    def ck(df: DataFrame) = df
+      .select($"q_id".cast("long"), $"rank", $"n_id".cast("long"), $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def pairs(df: DataFrame) = df.select($"q_id".cast("long"),
+      $"n_id".cast("long")).as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 10)
+    val bk = ck(brute); val bp = pairs(brute)
+    // sq8 shortlists are exact from 32 on this corpus (measured at
+    // both gate SFs); 64 is the gate's 2x-margin setting
+    assert(ck(Similarity.cascadeTopK(emb, q, 10, 64, tier = "sq8")) == bk,
+      "sq8 cascade at shortlist=64 must BE the brute-force answer")
+    // 1-bit codes are coarser: exact only near the corpus size, but
+    // recall at a tight shortlist stays useful (measured 0.86-0.91
+    // at 128 across SFs; floor pinned conservatively)
+    assert(ck(Similarity.cascadeTopK(emb, q, 10, 450)) == bk,
+      "binary cascade at shortlist=450 must BE the brute-force answer")
+    val tight = pairs(Similarity.cascadeTopK(emb, q, 10, 128))
+    val recall = tight.intersect(bp).size.toDouble / bp.size
+    assert(recall >= 0.8, s"binary recall@128 fell to $recall")
+    // a frozen sq8 model pins the shortlist across corpus deltas
+    val frozen = Similarity.sq8Train(emb)
+    assert(ck(Similarity.cascadeTopK(emb, q, 10, 64, tier = "sq8",
+      sq8ModelDf = Some(frozen))) == bk)
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopK(emb, q, 10, 64, tier = "pq")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopK(emb, q, 10, 5)
+    }
+  }
 }

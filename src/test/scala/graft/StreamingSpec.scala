@@ -243,6 +243,64 @@ class StreamingSpec extends SparkSpecBase {
       "streamed ANN index diverges from rebuild")
   }
 
+  test("streamed binary + sq8 tiers: sq8 model freezes at batch 1; serves match") {
+    import graft.operators.Similarity
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-quant").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val changed = all.filter(x => x._1 >= 20 && x._1 <= 24)
+      .map { case (id, e) => VecChg(id, e.map(-_), _deleted = false) }
+    val corpus2 = emb.filter(!$"vec_id".between(20, 25))
+      .select($"vec_id", $"embedding")
+      .unionByName(changed.toSeq.toDF("vec_id", "embedding", "_deleted")
+        .select($"vec_id", $"embedding"))
+    val queries = emb.filter($"vec_id" < 10)
+    def drive(path: String, ck: String,
+              mk: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val in = MemoryStream[VecChg]
+      val q = mk(in.toDF())
+      in.addData(all.map { case (id, e) =>
+        VecChg(id, e, _deleted = false) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData((changed :+
+        VecChg(25L, Array.empty[Float], _deleted = true)).toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    // binary: model-free, so the streamed store == a plain rebuild
+    val pB = s"$dir/bin"
+    drive(pB, s"$dir/ckB",
+      df => Streams.maintainBinaryIndex(spark, df, pB, s"$dir/ckB"))
+    val freshB = s"$dir/bin_fresh"
+    Similarity.buildBinaryIndex(corpus2, freshB)
+    assert(
+      Similarity.binaryTopKIndexed(spark, pB, queries, 5)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.binaryTopKIndexed(spark, freshB, queries, 5)
+        .collect().map(_.toSeq).toSet,
+      "streamed binary index diverges from rebuild")
+    // sq8: the [min,max] model freezes at batch 1 (the full corpus),
+    // so the streamed serve == a FROZEN-model scan over the final
+    // corpus — NOT a retrained rebuild
+    val pS = s"$dir/sq8"
+    drive(pS, s"$dir/ckS",
+      df => Streams.maintainSq8Index(spark, df, pS, s"$dir/ckS"))
+    assert(Similarity.sq8Model(spark, pS).collect().map(_.toSeq).toSeq ==
+      Similarity.sq8Train(emb).collect().map(_.toSeq).toSeq,
+      "the stored model must be the batch-1 training, frozen")
+    assert(
+      Similarity.sq8TopKIndexed(spark, pS, queries, 5)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.sq8TopK(corpus2, queries, 5,
+        Some(Similarity.sq8Model(spark, pS)))
+        .collect().map(_.toSeq).toSet,
+      "streamed sq8 serve diverges from the frozen-model scan")
+    assert(graft.view.IndexStore.readMeta(spark, pS).updateSeq == 2L)
+  }
+
   test("streaming SemDeDup maintenance: verdicts match a scan over the final corpus") {
     import graft.operators.Similarity
     implicit val sql = spark.sqlContext
