@@ -3083,6 +3083,37 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A38: Mango index ADMINISTRATION ([[graft.operators.Mango
+    * .listIndexes]] / [[graft.operators.Mango.deleteIndex]]) —
+    * CouchDB's `GET /db/_index` + `DELETE /db/_index/...`: three
+    * indexes created (plain JSON, partial JSON, text), listed (with
+    * the built-in `special` `_all_docs` row), one dropped, listed
+    * again. The listing reads the planner's own stamps, so the oracle
+    * states the exact expected rows. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val d = t(s, dir, "documents")
+    val root = idxPath("q211adm", dir, "documents") + "/idx"
+    val fs = graft.view.IndexStore.fsFor(s, root)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Mango.createIndex(s, d, "doc_id", Seq("lang", "n_chars"),
+      s"$root/by_lang")
+    Mango.createIndex(s, d, "doc_id", Seq("source"), s"$root/by_source_en",
+      partialFilter = Some("""{"lang": {"$eq": "en"}}"""))
+    Mango.createTextIndex(s, d, "doc_id", "text", s"$root/ft_text",
+      nBuckets = 8)
+    val before = Mango.listIndexes(s, root)
+      .withColumn("phase", lit("before"))
+    Mango.deleteIndex(s, root, "by_source_en")
+    val after = Mango.listIndexes(s, root).withColumn("phase", lit("after"))
+    before.unionByName(after)
+      .select(col("phase"), col("name"), col("type"),
+        concat_ws(",", col("fields")).as("fields"),
+        coalesce(col("partial_filter"), lit("")).as("partial_filter"),
+        col("partitioned"))
+      .orderBy(col("phase"), col("name"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4436,7 +4467,8 @@ object SparkEntry {
     "q207_sq8_index_ann" -> (q207 _),
     "q208_cascade_ann" -> (q208 _),
     "q209_stream_binary_index" -> (q209 _),
-    "q210_stream_sq8_index" -> (q210 _)
+    "q210_stream_sq8_index" -> (q210 _),
+    "q211_mango_index_admin" -> (q211 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7566,6 +7598,18 @@ object SparkEntry {
         |  FROM j)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
+    "q211_mango_index_admin" ->
+      """SELECT * FROM (VALUES
+        |  ('after',  '_all_docs',    'special', '_id',          '', false),
+        |  ('after',  'by_lang',      'json',    'lang,n_chars', '', false),
+        |  ('after',  'ft_text',      'text',    'text',         '', false),
+        |  ('before', '_all_docs',    'special', '_id',          '', false),
+        |  ('before', 'by_lang',      'json',    'lang,n_chars', '', false),
+        |  ('before', 'by_source_en', 'json',    'source',
+        |     '{"lang": {"$eq": "en"}}', false),
+        |  ('before', 'ft_text',      'text',    'text',         '', false)
+        |) AS t(phase, name, type, fields, partial_filter, partitioned)
+        |ORDER BY phase, name""".stripMargin,
     "q210_stream_sq8_index" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -1461,6 +1461,59 @@ object Mango {
     MangoTextIndex(path, fields)
   }
 
+  // ------------------------------------------------------ index administration
+
+  /** `GET /db/_index` — enumerate every Mango index under a database's
+    * index root: one row per index directory with its `name`, `type`
+    * (`json` | `text` | `special`), ordered `fields`, the
+    * `partial_filter` selector (null when none) and the `partitioned`
+    * flag — read from the SAME stamps [[createIndex]] /
+    * [[createIndexPartitioned]] / [[createTextIndex]] persist, so the
+    * listing can never drift from what the planner serves. The
+    * built-in primary index is reported as the `special` `_all_docs`
+    * row over `_id`, exactly as CouchDB's endpoint does. Directory
+    * metadata only — O(#indexes), no index data read. */
+  def listIndexes(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = IndexStore.fsFor(spark, root)
+    val rootPath = new Path(root)
+    val dirs: Seq[Path] =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).filter(_.isDirectory)
+        .map(_.getPath).toSeq
+    val rows = dirs.flatMap { p =>
+      if (fs.exists(new Path(p, TEXT_STAMP))) {
+        val ix = openTextIndex(spark, p.toString)
+        Some((p.getName, "text", ix.fields, Option.empty[String], false))
+      } else if (fs.exists(new Path(p, "_mango_fields"))) {
+        val ix = openIndex(spark, p.toString)
+        Some((p.getName, "json", ix.fields, ix.partial, ix.partitioned))
+      } else None // not a stamped Mango index; never guess
+    }
+    (("_all_docs", "special", Seq("_id"), Option.empty[String], false)
+        +: rows.sortBy(_._1))
+      .toDF("name", "type", "fields", "partial_filter", "partitioned")
+  }
+
+  /** `DELETE /db/_index/...` — drop ONE Mango index by name under the
+    * root. Per-item errors, never silence: deleting a missing name, or
+    * a directory that carries no Mango stamp (somebody else's data),
+    * is LOUD, and the special `_all_docs` primary index cannot be
+    * dropped (CouchDB returns 400 for it). */
+  def deleteIndex(spark: SparkSession, root: String, name: String): Unit = {
+    require(name != "_all_docs",
+      "the special _all_docs index cannot be deleted")
+    val fs = IndexStore.fsFor(spark, root)
+    val p = new Path(root, name)
+    require(fs.exists(p), s"no such index: $name")
+    require(fs.exists(new Path(p, "_mango_fields")) ||
+        fs.exists(new Path(p, TEXT_STAMP)),
+      s"'$name' exists under the index root but carries no Mango " +
+        "stamp; refusing to delete foreign data")
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"failed to delete index '$name'")
+  }
+
   /** TEXT-index SELECTION for a `$text` find: `use_index` (by name or
     * full path) wins and MUST name a known text index; otherwise the
     * route is unambiguous only when every available text index stamps

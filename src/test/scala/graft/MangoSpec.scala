@@ -1056,4 +1056,52 @@ class MangoSpec extends SparkSpecBase {
     assert(dump(idx.path) == dump(rebuilt.path))
     assert(graft.view.IndexStore.readMeta(spark, idx.path).updateSeq == 5L)
   }
+
+  test("index administration: list reflects create/delete; deletes are guarded") {
+    val root = java.nio.file.Files.createTempDirectory("mango-adm").toString
+    def listing: Seq[(String, String, String, String, Boolean)] =
+      Mango.listIndexes(spark, root)
+        .select(col("name"), col("type"), concat_ws(",", col("fields")),
+          coalesce(col("partial_filter"), lit("")), col("partitioned"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getBoolean(4))).toSeq
+    // an empty root still reports the special primary index
+    assert(listing == Seq(("_all_docs", "special", "_id", "", false)))
+    val docs = orders.limit(50).select(col("o_orderkey").as("id"),
+      col("o_orderstatus"), col("o_totalprice"))
+    Mango.createIndex(spark, docs, "id", Seq("o_orderstatus"),
+      s"$root/by_status")
+    Mango.createIndex(spark, docs, "id", Seq("o_totalprice"),
+      s"$root/big_open", partialFilter =
+        Some("""{"o_orderstatus": {"$eq": "O"}}"""))
+    Mango.createIndexPartitioned(spark, pOrders, "oid",
+      Seq("o_totalprice"), s"$root/p_price", numTasks = 2)
+    assert(listing == Seq(
+      ("_all_docs", "special", "_id", "", false),
+      ("big_open", "json", "o_totalprice",
+        """{"o_orderstatus": {"$eq": "O"}}""", false),
+      ("by_status", "json", "o_orderstatus", "", false),
+      ("p_price", "json", "o_totalprice", "", true)),
+      s"listing after create wrong: $listing")
+    // a foreign (unstamped) directory is never listed and never deleted
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/not_an_index"))
+    assert(!listing.exists(_._1 == "not_an_index"))
+    intercept[IllegalArgumentException] {
+      Mango.deleteIndex(spark, root, "not_an_index")
+    }
+    // delete is loud on misses and refuses the primary index
+    intercept[IllegalArgumentException] {
+      Mango.deleteIndex(spark, root, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Mango.deleteIndex(spark, root, "_all_docs")
+    }
+    Mango.deleteIndex(spark, root, "big_open")
+    assert(listing.map(_._1) ==
+      Seq("_all_docs", "by_status", "p_price"))
+    // and the dropped index is really gone from disk
+    assert(!new java.io.File(s"$root/big_open").exists())
+  }
 }
