@@ -3114,6 +3114,24 @@ object SparkEntry {
       .orderBy(col("phase"), col("name"))
   }
 
+  /** E19: DISTRIBUTED-TRAINED quality classifier ([[graft.operators
+    * .Text.fitQualityModel]]) — E17's logistic scorer with its weights
+    * FIT on the cluster instead of hand-set: labels = `lang = 'en'`,
+    * three full-batch gradient-descent epochs from zero weights at
+    * lr 0.5 (each epoch ONE aggregation reducing to four fixed-point
+    * integer gradient sums — the q202 DSIR integer discipline, so the
+    * fit is bit-replayable), then the standard E17 codegen scoring map
+    * under the trained weights. The oracle replays the ENTIRE fit as
+    * chained CTEs — per-doc integer gradients, the identical IEEE
+    * weight-update expression per epoch — then the scoring. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = Text.fitQualityModel(d, col("doc_id"), col("text"),
+      (col("lang") === "en").cast("int"))
+    Text.qualityModelScores(d, col("doc_id"), col("text"), w)
+      .orderBy(col("doc_id"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4468,7 +4486,8 @@ object SparkEntry {
     "q208_cascade_ann" -> (q208 _),
     "q209_stream_binary_index" -> (q209 _),
     "q210_stream_sq8_index" -> (q210 _),
-    "q211_mango_index_admin" -> (q211 _)
+    "q211_mango_index_admin" -> (q211 _),
+    "q212_trained_quality" -> (q212 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7610,6 +7629,7 @@ object SparkEntry {
         |  ('before', 'ft_text',      'text',    'text',         '', false)
         |) AS t(phase, name, type, fields, partial_filter, partitioned)
         |ORDER BY phase, name""".stripMargin,
+    "q212_trained_quality" -> trainedQualityOracle,
     "q210_stream_sq8_index" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -8068,6 +8088,66 @@ object SparkEntry {
        |  FROM d)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, h AS hamming
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** q212: the trained-quality replay — the q131 feature derivation
+    * plus a 0/1 `lang='en'` label, then THREE full-batch GD epochs as
+    * chained CTEs: each epoch's per-doc gradient enters as the
+    * fixed-point integer `floor(1e6·(round4(p)−y)·x + 0.5)` (exact
+    * integer sums — no float addition order), and the weight update
+    * `w − 0.5·((G/1e6)/n)` is the identical IEEE expression the Scala
+    * fit evaluates, so both engines land on bit-identical weights
+    * before the final scoring pass. */
+  private val trainedQualityOracle: String = {
+    def epoch(k: Int): String = {
+      val pw = s"w${k - 1}"
+      s"""g$k AS (
+         |  SELECT
+         |    CAST(SUM(CAST(FLOOR(1000000.0 * r + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+         |    CAST(SUM(CAST(FLOOR(1000000.0 * r * f_len + 0.5) AS BIGINT)) AS BIGINT) AS gl,
+         |    CAST(SUM(CAST(FLOOR(1000000.0 * r * f_punct + 0.5) AS BIGINT)) AS BIGINT) AS gp,
+         |    CAST(SUM(CAST(FLOOR(1000000.0 * r * f_stop + 0.5) AS BIGINT)) AS BIGINT) AS gs
+         |  FROM (SELECT f.*,
+         |    FLOOR((1.0 / (1.0 + exp(-($pw.b + f_len * $pw.wl
+         |      + f_punct * $pw.wp + f_stop * $pw.ws)))) * 10000 + 0.5)
+         |      / 10000 - y AS r
+         |    FROM f, $pw)),
+         |w$k AS (
+         |  SELECT $pw.b - 0.5 * ((g$k.g0 / 1000000.0) / n.n) AS b,
+         |         $pw.wl - 0.5 * ((g$k.gl / 1000000.0) / n.n) AS wl,
+         |         $pw.wp - 0.5 * ((g$k.gp / 1000000.0) / n.n) AS wp,
+         |         $pw.ws - 0.5 * ((g$k.gs / 1000000.0) / n.n) AS ws
+         |  FROM $pw, g$k, n)""".stripMargin
+    }
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                         w -> w != '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS BIGINT) AS stops,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, y,
+       |    FLOOR(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 10000 + 0.5) / 10000 AS f_len,
+       |    FLOOR((1.0 - LEAST(1.0, CAST(punct AS DOUBLE)
+       |      / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 10000 + 0.5) / 10000 AS f_punct,
+       |    FLOOR(LEAST(1.0, CAST(stops AS DOUBLE)
+       |      / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 10000 + 0.5) / 10000 AS f_stop
+       |  FROM b),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS wl, 0.0 AS wp, 0.0 AS ws),
+       |${epoch(1)},
+       |${epoch(2)},
+       |${epoch(3)},
+       |p AS (
+       |  SELECT doc_id, f_len, f_punct, f_stop,
+       |    FLOOR((1.0 / (1.0 + exp(-(w3.b + f_len * w3.wl + f_punct * w3.wp
+       |      + f_stop * w3.ws)))) * 10000 + 0.5) / 10000 AS prob
+       |  FROM f, w3)
+       |SELECT doc_id, f_len, f_punct, f_stop, prob, prob >= 0.5 AS keep
+       |FROM p ORDER BY doc_id""".stripMargin
   }
 
   /** q202: the DSIR replay — bigram shingles (short-doc fallback), the

@@ -551,22 +551,94 @@ object Text {
     * Returns `(doc_id, f_len, f_punct, f_stop, prob, keep)`. */
   def qualityModelScores(docs: org.apache.spark.sql.DataFrame,
                          id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame =
+    qualityModelScores(docs, id, text, Array(-2.0, 2.5, 1.5, 2.0))
+
+  /** [[qualityModelScores]] with an explicit weight vector
+    * `(bias, wLen, wPunct, wStop)` — the slot a
+    * [[fitQualityModel]]-trained (or externally trained) model drops
+    * into; the scoring plan is the same zero-shuffle codegen map. */
+  def qualityModelScores(docs: org.apache.spark.sql.DataFrame,
+                         id: Column, text: Column,
+                         weights: Array[Double])
       : org.apache.spark.sql.DataFrame = {
+    require(weights.length == 4,
+      "weights must be (bias, wLen, wPunct, wStop)")
+    val (fLen, fPunct, fStop) = qualityModelFeatures(text)
+    docs.select(id.cast("long").as("doc_id"),
+        fLen.as("f_len"), fPunct.as("f_punct"), fStop.as("f_stop"))
+      .withColumn("_z", lit(weights(0)) + col("f_len") * weights(1) +
+        col("f_punct") * weights(2) + col("f_stop") * weights(3))
+      .withColumn("prob", round4(lit(1.0) / (lit(1.0) + exp(-col("_z")))))
+      .select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"),
+        col("prob"), (col("prob") >= 0.5).as("keep"))
+  }
+
+  /** The E17 feature triple `(f_len, f_punct, f_stop)` — shared by
+    * scoring and training so the two can never drift. Each feature is
+    * round4'd BEFORE entering any linear term (the engine-portability
+    * discipline). */
+  private def qualityModelFeatures(text: Column)
+      : (Column, Column, Column) = {
     val tok = tokenCount(text).cast("double")
     val chars = length(text).cast("double")
     val punct = punctCount(text).cast("double")
     val stops = langHits(text, langWords.head._2).cast("double")
-    val fLen = round4(least(lit(1.0), tok / 50.0))
-    val fPunct = round4(lit(1.0) -
-      least(lit(1.0), punct / greatest(chars, lit(1.0)) * 10.0))
-    val fStop = round4(least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0))
-    docs.select(id.cast("long").as("doc_id"),
-        fLen.as("f_len"), fPunct.as("f_punct"), fStop.as("f_stop"))
-      .withColumn("_z", lit(-2.0) + col("f_len") * 2.5 +
-        col("f_punct") * 1.5 + col("f_stop") * 2.0)
-      .withColumn("prob", round4(lit(1.0) / (lit(1.0) + exp(-col("_z")))))
-      .select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"),
-        col("prob"), (col("prob") >= 0.5).as("keep"))
+    (round4(least(lit(1.0), tok / 50.0)),
+      round4(lit(1.0) -
+        least(lit(1.0), punct / greatest(chars, lit(1.0)) * 10.0)),
+      round4(least(lit(1.0), stops / greatest(tok, lit(1.0)) * 5.0)))
+  }
+
+  /** Distributed logistic-regression FIT for the quality model — the
+    * `Bpe.learnDistributed` discipline applied to E17's classifier:
+    * full-batch gradient descent from ZERO weights, each epoch ONE
+    * aggregation job over the corpus (per-epoch driver state = four
+    * longs), returning `(bias, wLen, wPunct, wStop)` ready to drop
+    * into [[qualityModelScores]]. `label` is 0/1 (castable to
+    * double).
+    *
+    * Engine-portable / oracle-replayable by construction: the per-doc
+    * gradient contribution `(round4(p) − y)·x_j` enters the sum as the
+    * INTEGER `floor(1e6·(…) + 0.5)` (the q202 DSIR fixed-point
+    * discipline — integer sums have no float addition-order
+    * nondeterminism), and the weight update
+    * `w_j − lr·((G_j/1e6)/n)` is a fixed IEEE expression over those
+    * integers, so replaying the same epochs lands on bit-identical
+    * weights in any engine.
+    *
+    * Scale shape: one narrow feature projection (reused across
+    * epochs), `epochs` aggregation jobs each reducing to 4 longs —
+    * fitting on 100 TB is `epochs` scans with partial aggregation and
+    * nothing else; no weight broadcast (weights ride as plan
+    * literals), no driver-side data. */
+  def fitQualityModel(docs: org.apache.spark.sql.DataFrame, id: Column,
+                      text: Column, label: Column, epochs: Int = 3,
+                      lr: Double = 0.5): Array[Double] = {
+    require(epochs >= 1 && epochs <= 50, "epochs must be in [1, 50]")
+    val (fLen, fPunct, fStop) = qualityModelFeatures(text)
+    val f = docs.select(fLen.as("f_len"), fPunct.as("f_punct"),
+      fStop.as("f_stop"), label.cast("double").as("_y")).persist()
+    try {
+      val n = f.count().toDouble
+      require(n > 0, "fitQualityModel: empty corpus")
+      val w = Array(0.0, 0.0, 0.0, 0.0)
+      def fixp(c: Column): Column =
+        floor(c + lit(0.5)).cast("long")
+      for (_ <- 1 to epochs) {
+        val z = lit(w(0)) + col("f_len") * w(1) +
+          col("f_punct") * w(2) + col("f_stop") * w(3)
+        val r = round4(lit(1.0) / (lit(1.0) + exp(-z))) - col("_y")
+        val g = f.agg(
+          sum(fixp(lit(1e6) * r)),
+          sum(fixp(lit(1e6) * r * col("f_len"))),
+          sum(fixp(lit(1e6) * r * col("f_punct"))),
+          sum(fixp(lit(1e6) * r * col("f_stop")))).head()
+        for (j <- 0 to 3)
+          w(j) = w(j) - lr * ((g.getLong(j).toDouble / 1e6) / n)
+      }
+      w
+    } finally f.unpersist()
   }
 
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection

@@ -945,4 +945,56 @@ class PipelineOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == got.view.mapValues(_._2).toMap)
   }
+
+  test("fitQualityModel: distributed fit == driver-side reference fit, bit-exact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Text
+    val label = (col("lang") === "en").cast("int")
+    val w = Text.fitQualityModel(docs, col("doc_id"), col("text"), label)
+    // driver-side reference: the same GD over the collected features,
+    // every op in the same IEEE order (round4 = floor(x*1e4+0.5)/1e4,
+    // per-doc fixed-point integer gradients, identical update expr)
+    val rows = Text.qualityModelScores(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"))
+      .join(docs.select(col("doc_id"), label.cast("double").as("y")),
+        Seq("doc_id"))
+      .select(col("f_len"), col("f_punct"), col("f_stop"), col("y"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val n = rows.length.toDouble
+    val ref = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val g = Array(0L, 0L, 0L, 0L)
+      rows.foreach { case (fl, fp, fs, y) =>
+        val z = ref(0) + fl * ref(1) + fp * ref(2) + fs * ref(3)
+        val p = math.floor((1.0 / (1.0 + math.exp(-z))) * 10000 + 0.5) / 10000
+        val r = p - y
+        g(0) += math.floor(1e6 * r + 0.5).toLong
+        g(1) += math.floor(1e6 * r * fl + 0.5).toLong
+        g(2) += math.floor(1e6 * r * fp + 0.5).toLong
+        g(3) += math.floor(1e6 * r * fs + 0.5).toLong
+      }
+      for (j <- 0 to 3) ref(j) = ref(j) - 0.5 * ((g(j).toDouble / 1e6) / n)
+    }
+    assert(w.toSeq == ref.toSeq,
+      s"distributed fit ${w.toSeq} != reference ${ref.toSeq}")
+    // training must move the model off zero and separate the labels:
+    // mean prob of en docs above mean prob of the rest
+    assert(w.exists(_ != 0.0))
+    val scored = Text.qualityModelScores(docs, col("doc_id"), col("text"), w)
+      .join(docs.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+    val m = scored.groupBy(col("y")).agg(avg(col("prob")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m(1) > m(0),
+      s"trained model must rank en above non-en: $m")
+    // lr/epoch knobs are live and guarded
+    val w1 = Text.fitQualityModel(docs, col("doc_id"), col("text"),
+      label, epochs = 1)
+    assert(w1.toSeq != w.toSeq)
+    intercept[IllegalArgumentException] {
+      Text.fitQualityModel(docs, col("doc_id"), col("text"), label,
+        epochs = 0)
+    }
+  }
 }
