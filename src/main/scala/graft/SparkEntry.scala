@@ -3132,6 +3132,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** A34h: partition-scoped REDUCE paging — the q175 partitioned
+    * reduced view walked in 40-group keyset pages through the same
+    * opaque resume-token protocol as map-only pages: each page
+    * re-aggregates only the groups past the group-key cursor inside
+    * the ONE scoped `_p` directory (`_ck` row-group pruning within —
+    * spec-asserted), and the stitched walk must equal the unpaged
+    * q175 reduce, page-stamped. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val docs = q173Docs(s, dir)
+    val v = View(docs, col("_id"), col("o_orderdate"),
+      col("o_totalprice").cast("decimal(18,2)"), Some(Reduce.Sum))
+    val path = idxPath("q175pvr", dir, "orders")
+    if (!hasFile(s, s"$path/_graft_meta"))
+      v.materializePartitioned(path, numTasks = 8, seq = 1)
+    val pv = v.fromPartitionedIndex(s, path, "p13")
+    var token: Option[String] = None
+    var pageNo = 0L
+    var out: Option[DataFrame] = None
+    var more = true
+    while (more) {
+      val r = pv.queryPage(QueryOpts(group = true), pageSize = 40,
+        resume = token)
+      val page = r.rows.withColumn("page", lit(pageNo))
+      out = Some(out.map(_.unionByName(page)).getOrElse(page))
+      token = r.nextToken; more = token.isDefined; pageNo += 1
+    }
+    out.get.select(col("page"),
+        (year(col("key")) * 10000 + month(col("key")) * 100 +
+          dayofmonth(col("key"))).cast("long").as("o_date"),
+        col("value").cast("double").as("sum_price"))
+      .orderBy(col("o_date"))
+  }
+
   /** B35: temperature-scaled domain mixing ([[graft.operators
     * .Relational.temperatureMix]]) — the mT5/XLM-R corpus-balancing
     * rule with α = 0.5 over `documents.source`, budget = half the
@@ -4487,7 +4520,8 @@ object SparkEntry {
     "q209_stream_binary_index" -> (q209 _),
     "q210_stream_sq8_index" -> (q210 _),
     "q211_mango_index_admin" -> (q211 _),
-    "q212_trained_quality" -> (q212 _)
+    "q212_trained_quality" -> (q212 _),
+    "q213_partitioned_reduce_page" -> (q213 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7630,6 +7664,18 @@ object SparkEntry {
         |) AS t(phase, name, type, fields, partial_filter, partitioned)
         |ORDER BY phase, name""".stripMargin,
     "q212_trained_quality" -> trainedQualityOracle,
+    "q213_partitioned_reduce_page" ->
+      """WITH g AS (
+        |  SELECT YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100 +
+        |      DAY(o_orderdate) AS o_date,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM orders WHERE o_custkey % 100 = 13
+        |  GROUP BY o_orderdate),
+        |r AS (SELECT o_date, sum_price,
+        |        ROW_NUMBER() OVER (ORDER BY o_date) AS rn FROM g)
+        |SELECT CAST((rn - 1) // 40 AS BIGINT) AS page, o_date, sum_price
+        |FROM r ORDER BY o_date""".stripMargin,
     "q210_stream_sq8_index" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

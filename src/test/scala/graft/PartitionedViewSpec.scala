@@ -72,6 +72,39 @@ class PartitionedViewSpec extends SparkSpecBase {
     assert(dirs.toSeq == Seq("_p=c5"), s"read partitions: ${dirs.toSeq}")
   }
 
+  test("partitioned reduce paging: pages concatenate exactly; _p pruned each page") {
+    val path = tmp()
+    val rv = View(docs, col("_id"), col("o_orderdate"), lit(1L),
+      Some(Reduce.Sum))
+    rv.materializePartitioned(path, numTasks = 4, seq = 3L)
+    val pv = rv.fromPartitionedIndex(spark, path, "c5")
+    val unpaged = pv.query(QueryOpts(group = true)).collect()
+      .map(_.toString).toSeq
+    assert(unpaged.size > 5, "fixture must span several pages")
+    // walk 3-group pages; every page must stay inside _p=c5 and the
+    // stitched walk must be the unpaged reduce, order included
+    var token: Option[String] = None
+    var walked = Seq.empty[String]
+    var pages = 0
+    var more = true
+    while (more) {
+      val r = pv.queryPage(QueryOpts(group = true), pageSize = 3,
+        resume = token)
+      val plan = pv.query(QueryOpts(group = true))
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters") && plan.contains("_p"),
+        s"page $pages lost the _p partition filter")
+      walked = walked ++ r.rows.collect().map(_.toString)
+      token = r.nextToken; more = token.isDefined; pages += 1
+    }
+    assert(pages >= 3, s"expected a real multi-page walk, got $pages")
+    assert(walked == unpaged,
+      "paged partitioned reduce must stitch to the unpaged read")
+    // cursoring re-aggregates only groups PAST the cursor: page 2 of
+    // the walk equals the unpaged tail sliced the same way
+    assert(walked.drop(3).take(3) == unpaged.drop(3).take(3))
+  }
+
   test("invalid partitioned ids fail the build; bad scope keys rejected") {
     val bad = Seq("nocolon", "_sys:doc", ":doc", "p:").toDF("_id")
       .select(col("_id"), lit("k").as("k"), lit(1L).as("v"))
