@@ -92,6 +92,13 @@ object BenchScale {
           noop(Text.qualityFilter(d, col("doc_id"), col("text"),
             minTokens = 15, maxTokens = 90, minQuality = 0.55,
             maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.1))),
+        // 3 epochs = 3 partial-aggregated scans reducing to 4 longs
+        // each — must scale with the read, nothing else
+        "quality_fit" -> (() => {
+          Text.fitQualityModel(d, col("doc_id"), col("text"),
+            (col("doc_id") % 3 === 0).cast("int"))
+          ()
+        }),
         "text_index_build" -> (() =>
           TextSearch.buildTextIndex(d, col("doc_id"), col("text"), idx)),
         "hybrid_search" -> (() =>
@@ -196,10 +203,14 @@ object BenchScale {
       val txt = s"$tmp/graft_scale_${tag}_idx" // built by the pipeline pass
       val dc = s"$tmp/graft_scale_${tag}_dc"
       val ivf = s"$tmp/graft_scale_${tag}_ivf"
+      val sq8 = s"$tmp/graft_scale_${tag}_sq8"
+      val bin = s"$tmp/graft_scale_${tag}_bin"
       val builds = Seq(
         "build_dedup_index" -> time(
           DedupIndex.build(d, col("doc_id"), col("text"), dc, nBuckets = 8)),
-        "build_ivf_index" -> time(Similarity.buildIvfIndex(e, ivf)))
+        "build_ivf_index" -> time(Similarity.buildIvfIndex(e, ivf)),
+        "build_sq8_index" -> time(Similarity.buildSq8Index(e, sq8)),
+        "build_binary_index" -> time(Similarity.buildBinaryIndex(e, bin)))
       // 3 smallest cluster labels: a fixed, comparable probe set
       val labels = DedupIndex.clusters(spark, dc)
         .groupBy(col("cluster_id")).count()
@@ -239,7 +250,21 @@ object BenchScale {
             e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))))),
         "serve_mango_find" -> (() =>
           noop(graft.operators.Mango.findIndexed(spark, d, "doc_id",
-            graft.operators.Mango.MangoIndex(mgo, Seq("doc_id")), findReq))))
+            graft.operators.Mango.MangoIndex(mgo, Seq("doc_id")), findReq))),
+        // flat compressed-code scans BY DESIGN (the serve_pq_adc
+        // shape): cost scales with the code store, at 8 bits / 1 bit
+        // per dimension — the ratio here prices the scan, not pruning
+        "serve_sq8_indexed" -> (() =>
+          noop(Similarity.sq8TopKIndexed(spark, sq8,
+            e.filter(col("vec_id") < 5), 10))),
+        "serve_binary_indexed" -> (() =>
+          noop(Similarity.binaryTopKIndexed(spark, bin,
+            e.filter(col("vec_id") < 5), 10))),
+        // cascade: binary-code scan + a |q|·k'-row float rerank — the
+        // float read must stay flat while the code scan scales
+        "cascade_ann" -> (() =>
+          noop(Similarity.cascadeTopK(e, e.filter(col("vec_id") < 5),
+            10, shortlist = 64, tier = "binary"))))
       (builds2, probes)
     }
     val (baseBuilds, baseProbes) = servingSetup(docs, emb, "base")
