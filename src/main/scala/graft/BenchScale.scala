@@ -210,7 +210,9 @@ object BenchScale {
           DedupIndex.build(d, col("doc_id"), col("text"), dc, nBuckets = 8)),
         "build_ivf_index" -> time(Similarity.buildIvfIndex(e, ivf)),
         "build_sq8_index" -> time(Similarity.buildSq8Index(e, sq8)),
-        "build_binary_index" -> time(Similarity.buildBinaryIndex(e, bin)))
+        "build_binary_index" -> time(Similarity.buildBinaryIndex(e, bin)),
+        "build_ivfsq8_index" -> time(
+          Similarity.buildIvfSq8Index(e, s"$tmp/graft_scale_${tag}_ivfsq8")))
       // 3 smallest cluster labels: a fixed, comparable probe set
       val labels = DedupIndex.clusters(spark, dc)
         .groupBy(col("cluster_id")).count()
@@ -264,7 +266,13 @@ object BenchScale {
         // float read must stay flat while the code scan scales
         "cascade_ann" -> (() =>
           noop(Similarity.cascadeTopK(e, e.filter(col("vec_id") < 5),
-            10, shortlist = 64, tier = "binary"))))
+            10, shortlist = 64, tier = "binary"))),
+        // probe-pruned: reads only the queries' probed _kb lists —
+        // the ratio must stay ~flat (the serve_ivfadc shape)
+        "serve_ivfsq8" -> (() =>
+          noop(Similarity.ivfSq8TopK(spark,
+            s"$tmp/graft_scale_${tag}_ivfsq8",
+            e.filter(col("vec_id") < 5), 10))))
       (builds2, probes)
     }
     val (baseBuilds, baseProbes) = servingSetup(docs, emb, "base")

@@ -3135,6 +3135,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** D9: IVF-pruned SQ8 ([[graft.operators.Similarity.buildIvfSq8Index]]
+    * / [[graft.operators.Similarity.ivfSq8TopK]]) — FAISS's
+    * `IVF16,SQ8`: the frozen lowest-16 coarse quantizer's inverted
+    * lists hold frozen-model 8-bit codes; each query (vec_id < 10)
+    * probes its 4 nearest lists and integer-scores ONLY those
+    * partitions — the SUBLINEAR SQ8 path where q207's flat code scan
+    * is the simple tier. The oracle replays assignment (cosine, ties
+    * to the larger cid), the probe sets, the frozen full-corpus
+    * model, codes, exact integer distances, rank. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("ivfsq8", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      graft.operators.Similarity.buildIvfSq8Index(emb, path)
+    graft.operators.Similarity.ivfSq8TopK(s, path,
+        emb.filter(col("vec_id") < 10), 10, nProbe = 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** G17 gated: STREAMING IVF-SQ8 MAINTENANCE ([[graft.streaming
+    * .Streams.maintainIvfSq8Index]]) — the 4-micro-batch drive; batch
+    * 1 (the ntile-1 quartile) builds and FREEZES both quantizers: the
+    * coarse centroids (the 16 lowest-id vectors — which chunk 1, the
+    * lowest quartile, contains by construction) and the `[min,max]`
+    * model (trained on that quartile); batches 2-4 assign + encode
+    * their all-new vectors against the stored pair. The oracle
+    * replays centroids = `vec_id < 16`, the model over exactly the
+    * `NTILE(4)` first quartile, then whole-corpus assignment, codes,
+    * probes, integer distances, rank. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val inDir = idxPath("q215in", dir, "embeddings") + "/in"
+    stageChunks(s, emb, col("vec_id"), inDir)
+    val idx = idxPath("q215ivx", dir, "embeddings") + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("graft-q215ck").toString
+    val feed = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = graft.streaming.Streams.maintainIvfSq8Index(s, feed, idx, ck)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Similarity.ivfSq8TopK(s, idx,
+        emb.filter(col("vec_id") < 10), 10, nProbe = 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** A34h: partition-scoped REDUCE paging — the q175 partitioned
     * reduced view walked in 40-group keyset pages through the same
     * opaque resume-token protocol as map-only pages: each page
@@ -4121,6 +4165,9 @@ object SparkEntry {
       .buildLshIndex(t(s, dir, "embeddings"), idxPath("ann", dir, "embeddings"))),
     "q53_ann_ivf" -> ((s, dir) => graft.operators.Similarity
       .buildIvfIndex(t(s, dir, "embeddings"), idxPath("ivf", dir, "embeddings"))),
+    "q214_ivfsq8_ann" -> ((s, dir) => graft.operators.Similarity
+      .buildIvfSq8Index(t(s, dir, "embeddings"),
+        idxPath("ivfsq8", dir, "embeddings"))),
     "q55_ann_ivf_refined" -> ((s, dir) => graft.operators.Similarity
       .buildIvfIndex(t(s, dir, "embeddings"),
         idxPath("ivfr", dir, "embeddings"), refineIters = 1)),
@@ -4524,7 +4571,9 @@ object SparkEntry {
     "q210_stream_sq8_index" -> (q210 _),
     "q211_mango_index_admin" -> (q211 _),
     "q212_trained_quality" -> (q212 _),
-    "q213_partitioned_reduce_page" -> (q213 _)
+    "q213_partitioned_reduce_page" -> (q213 _),
+    "q214_ivfsq8_ann" -> (q214 _),
+    "q215_stream_ivfsq8" -> (q215 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7667,6 +7716,112 @@ object SparkEntry {
         |) AS t(phase, name, type, fields, partial_filter, partitioned)
         |ORDER BY phase, name""".stripMargin,
     "q212_trained_quality" -> trainedQualityOracle,
+    "q214_ivfsq8_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        |      WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
+        |dims AS (
+        |  SELECT u.i AS d, MIN(e.v[u.i]) AS mn, MAX(e.v[u.i]) AS mx
+        |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+        |  GROUP BY u.i),
+        |codes AS (
+        |  SELECT e.vec_id, u.i AS d,
+        |    CASE WHEN dims.mx = dims.mn THEN 0
+        |         ELSE LEAST(GREATEST(CAST(FLOOR(
+        |           (e.v[u.i] - dims.mn) * 255.0 / (dims.mx - dims.mn))
+        |           AS INTEGER), 0), 255) END AS c
+        |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+        |  JOIN dims ON dims.d = u.i),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.n_id != p.q_id),
+        |d2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    CAST(SUM((qc.c - nc.c) * (qc.c - nc.c)) AS BIGINT) AS d2
+        |  FROM cand
+        |  JOIN codes qc ON qc.vec_id = cand.q_id
+        |  JOIN codes nc ON nc.vec_id = cand.n_id AND nc.d = qc.d
+        |  GROUP BY cand.q_id, cand.n_id),
+        |r AS (
+        |  SELECT q_id, n_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2 ASC, n_id ASC) AS rank
+        |  FROM d2)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q215_stream_ivfsq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        |      WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
+        |b1 AS (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v, NTILE(4) OVER (ORDER BY vec_id) AS nt
+        |    FROM e) WHERE nt = 1),
+        |dims AS (
+        |  SELECT u.i AS d, MIN(b1.v[u.i]) AS mn, MAX(b1.v[u.i]) AS mx
+        |  FROM b1, LATERAL (SELECT unnest(range(1, 1 + len(b1.v))) AS i) u
+        |  GROUP BY u.i),
+        |codes AS (
+        |  SELECT e.vec_id, u.i AS d,
+        |    CASE WHEN dims.mx = dims.mn THEN 0
+        |         ELSE LEAST(GREATEST(CAST(FLOOR(
+        |           (e.v[u.i] - dims.mn) * 255.0 / (dims.mx - dims.mn))
+        |           AS INTEGER), 0), 255) END AS c
+        |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+        |  JOIN dims ON dims.d = u.i),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.n_id
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.n_id != p.q_id),
+        |d2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    CAST(SUM((qc.c - nc.c) * (qc.c - nc.c)) AS BIGINT) AS d2
+        |  FROM cand
+        |  JOIN codes qc ON qc.vec_id = cand.q_id
+        |  JOIN codes nc ON nc.vec_id = cand.n_id AND nc.d = qc.d
+        |  GROUP BY cand.q_id, cand.n_id),
+        |r AS (
+        |  SELECT q_id, n_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2 ASC, n_id ASC) AS rank
+        |  FROM d2)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q213_partitioned_reduce_page" ->
       """WITH g AS (
         |  SELECT YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100 +

@@ -95,15 +95,20 @@ object Similarity {
   def sq8Codes(corpus: DataFrame, model: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(model))
       .select(col("vec_id"),
-        transform(
-          arrays_zip(asDouble(col("embedding")).as("x"),
-            col("mins").as("mn"), col("maxs").as("mx")),
-          s => when(s.getField("mx") === s.getField("mn"), lit(0))
-            .otherwise(least(greatest(
-              floor((s.getField("x") - s.getField("mn")) * lit(255.0) /
-                (s.getField("mx") - s.getField("mn"))).cast("int"),
-              lit(0)), lit(255))))
-          .as("codes"))
+        sq8CodesExpr(asDouble(col("embedding"))).as("codes"))
+
+  /** The SQ8 encode expression over a double-array column — requires
+    * the model's `mins`/`maxs` columns in scope (one broadcast row).
+    * Shared by the flat tier, the IVF tier and query-side encoding so
+    * every path produces identical codes. */
+  private def sq8CodesExpr(v: Column): Column =
+    transform(
+      arrays_zip(v.as("x"), col("mins").as("mn"), col("maxs").as("mx")),
+      s => when(s.getField("mx") === s.getField("mn"), lit(0))
+        .otherwise(least(greatest(
+          floor((s.getField("x") - s.getField("mn")) * lit(255.0) /
+            (s.getField("mx") - s.getField("mn"))).cast("int"),
+          lit(0)), lit(255))))
 
   /** SQ8 top-k — approximate nearest neighbors scored ENTIRELY in
     * integer space: squared L2 in level units,
@@ -131,24 +136,33 @@ object Similarity {
     rankSq8(n, q, k)
   }
 
-  /** Integer-L2-rank a query code set against a corpus code set (both
-    * in the `(id, codes array<int>)` shape) — the shared scorer of
-    * [[sq8TopK]] and [[sq8TopKIndexed]], so the scan path and the
-    * index path cannot drift. */
-  private def rankSq8(n: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("q_c"), col("n_c"),
-        (a, b) => ((a - b) * (a - b)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+  /** Exact integer squared-L2 between the `q_c`/`n_c` code columns. */
+  private def sq8D2: Column = aggregate(
+    zip_with(col("q_c"), col("n_c"),
+      (a, b) => ((a - b) * (a - b)).cast("long")),
+    lit(0L), (acc, x) => acc + x)
+
+  /** Rank `(q_id, n_id, _d2)` pairs ascending with id tie-break
+    * through the bounded [[graft.functions.TopKPairs]] partial
+    * aggregate — the shared rank tail of every SQ8 serve path. */
+  private def rankSq8Pairs(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(new graft.functions.TopKPairs(k))
-    n.join(broadcast(q), col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), d2.as("_d2"))
+    scored
       .groupBy(col("q_id"))
       .agg(agg(-col("_d2").cast("double"), col("n_id")).as("_top"))
       .select(col("q_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
       .select(col("q_id"), (col("_i") + 1).cast("long").as("rank"),
         col("_t._2").as("n_id"), (-col("_t._1")).cast("long").as("d2"))
   }
+
+  /** Integer-L2-rank a query code set against a corpus code set (both
+    * in the `(id, codes array<int>)` shape) — the shared scorer of
+    * [[sq8TopK]] and [[sq8TopKIndexed]], so the scan path and the
+    * index path cannot drift. */
+  private def rankSq8(n: DataFrame, q: DataFrame, k: Int): DataFrame =
+    rankSq8Pairs(
+      n.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), sq8D2.as("_d2")), k)
 
   /** Persist the SQ8 tier: the `[min, max]` model FROZEN at build time
     * (`model/` — one row, the PQ frozen-codebook discipline,
@@ -224,6 +238,102 @@ object Similarity {
     val q = sq8Codes(queries, sq8Model(spark, path))
       .select(col("vec_id").as("q_id"), col("codes").as("q_c"))
     rankSq8(stored, q, k)
+  }
+
+  // --------------------------------------- IVF-pruned SQ8 (sublinear serve)
+
+  /** IVF-pruned SQ8 — FAISS's `IVF<n>,SQ8`: the SUBLINEAR serving path
+    * for the 8-bit tier. [[buildSq8Index]]'s flat code scan is the
+    * simple tier (full compressed scan by design); here every vector
+    * lands in the inverted list of its nearest FROZEN coarse centroid
+    * (one `data/_kb=<cid>` directory per list), codes under the FROZEN
+    * `[min, max]` model, and a query integer-scores ONLY its `nProbe`
+    * probed lists — the code read is partition-pruned to the probed
+    * `_kb` directories, so serve cost tracks probed-list size, not the
+    * corpus. Layout: `centroids/` + `model/` (both frozen) +
+    * `data/_kb=` + the ids sidecar/meta — the standard graft
+    * maintenance surface (the [[graft.operators.Pq.buildIvfPqIndex]]
+    * shape with SQ8 codes in place of PQ codes). */
+  def buildIvfSq8Index(corpus: DataFrame, path: String,
+                       nCentroids: Int = 16, idBuckets: Int = 16,
+                       seq: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val cents = initCentroids(corpus, nCentroids)
+    import spark.implicits._
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    sq8Train(corpus).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/model")
+    val model = sq8Model(spark, path)
+    ivfSq8Rows(corpus, cents, model)
+      .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_id"))
+      .write.mode("overwrite").partitionBy("_kb").parquet(s"$path/data")
+    writeAnnSidecar(spark, path, idBuckets, seq)
+  }
+
+  /** Code rows with their inverted-list assignment: `(_id, codes,
+    * _kb = nearest stored centroid)` — the encode and the assignment
+    * are projections over ONE scan. */
+  private def ivfSq8Rows(corpus: DataFrame,
+                         cents: Seq[(Int, Array[Double])],
+                         model: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(model))
+      .withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+      .select(col("vec_id").as("_id"),
+        sq8CodesExpr(col("_v")).as("codes"),
+        nearestCidCol(col("_v"), col("_nrm"), cents).as("_kb"))
+
+  /** Incremental maintenance against the FROZEN quantizers: changed
+    * vectors re-assign (stored centroids) and re-encode (stored
+    * model), merged bucket-locally via the by-id sidecar; `deletedIds`
+    * retire codes. O(changed buckets). */
+  def upsertIvfSq8Vectors(spark: SparkSession, path: String,
+                          changed: DataFrame, deletedIds: Seq[Any] = Nil,
+                          newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val cents = readCentroids(spark, path)
+    val model = sq8Model(spark, path)
+    val cids0 = changed.select(col("vec_id").as("_id")).distinct()
+    val cids = if (deletedIds.isEmpty) cids0
+               else cids0.unionByName(
+                 IndexStore.idsDf(spark, cids0, deletedIds))
+    val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+    IndexStore.merge(spark, path, meta, ivfSq8Rows(changed, cents, model),
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
+  }
+
+  /** Serve IVF-SQ8 top-k: each query probes its `nProbe` nearest
+    * inverted lists (the [[ivfTopK]] probe discipline — the probed-id
+    * union is bounded driver metadata), integer-scores ONLY the codes
+    * in its probed `_kb` directories (hash join on the list id), and
+    * ranks through the shared SQ8 rank tail. Returns
+    * `(q_id, rank, n_id, d2)`; compose [[cascadeTopK]]-style float
+    * reranking over the shortlist when exact cosine order matters. */
+  def ivfSq8TopK(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val model = sq8Model(spark, path)
+    val q = queries.crossJoin(broadcast(model))
+      .withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+      .select(col("vec_id").as("q_id"),
+        sq8CodesExpr(col("_v")).as("q_c"),
+        explode(probeCidsCol(col("_v"), col("_nrm"), cents, nProbe))
+          .as("bucket"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/data")
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("codes").as("n_c"),
+        col("_kb").as("bucket"))
+    rankSq8Pairs(
+      codes.join(broadcast(q), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), sq8D2.as("_d2")), k)
   }
 
   // ------------------------------------------- binary (1-bit) quantization

@@ -323,6 +323,45 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted IVF-SQ8 index — the
+    * list-pruned 8-bit tier under the same contract as
+    * [[maintainIvfPqIndex]]: the first non-empty micro-batch builds
+    * ([[graft.operators.Similarity.buildIvfSq8Index]] — coarse
+    * centroids AND the `[min, max]` model then FROZEN across
+    * batches); every later batch re-assigns + re-encodes only its
+    * changed vectors against the stored quantizers and rewrites only
+    * the touched inverted lists (`Similarity.upsertIvfSq8Vectors`).
+    * Same feed schema (`vec_id`, `embedding`, optional `_deleted`). */
+  def maintainIvfSq8Index(spark: SparkSession, changeFeed: DataFrame,
+                          path: String, checkpoint: String,
+                          nCentroids: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+            .distinct().collect().map(_.get(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty)
+            Similarity.buildIvfSq8Index(live, path, nCentroids,
+              seq = batchId + 1)
+        } else {
+          Similarity.upsertIvfSq8Vectors(spark, path, live, delIds,
+            newSeq = batchId + 1)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted BINARY-quantization index —
     * the 1-bit tier under the same contract as [[maintainPqIndex]]:
     * the first non-empty micro-batch builds ([[graft.operators

@@ -202,6 +202,55 @@ class QuantizerSpec extends SparkSpecBase {
       "post-delta index path must equal the scan path")
   }
 
+  test("ivf-sq8: probe-all == frozen-model brute; upsert encodes against frozen quantizers; _kb pruned") {
+    val p = s"$tmpDir/ivfsq8"
+    Similarity.buildIvfSq8Index(emb, p, nCentroids = 16)
+    val q = emb.filter($"vec_id" < 5)
+    // probing EVERY list is the brute integer ranking under the same
+    // frozen model — the recall ceiling equivalence
+    val frozen = Similarity.sq8Model(spark, p)
+    assert(topKey(Similarity.ivfSq8TopK(spark, p, q, 5, nProbe = 16)) ==
+      topKey(Similarity.sq8TopK(emb, q, 5, Some(frozen))),
+      "probe-all IVF-SQ8 must equal the frozen-model brute ranking")
+    // the pruned serve reads only probed _kb directories
+    val plan = Similarity.ivfSq8TopK(spark, p, q, 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_kb"),
+      s"probed serve must prune _kb partitions:\n$plan")
+    // recall rises monotonically with probes; probe-all recall = 1
+    val brute = topKey(Similarity.sq8TopK(emb, q, 5, Some(frozen)))
+      .map(t => (t._1, t._3))
+    def recall(nProbe: Int): Double = {
+      val got = topKey(Similarity.ivfSq8TopK(spark, p, q, 5, nProbe))
+        .map(t => (t._1, t._3))
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val rs = Seq(1, 4, 16).map(recall)
+    assert(rs(0) <= rs(1) + 1e-9 && rs(1) <= rs(2) + 1e-9 && rs(2) == 1.0,
+      s"recall must rise with probes to 1.0: $rs")
+    // upsert: delta re-assigns + re-encodes against the FROZEN
+    // centroids and model; stored rows == a frozen re-derivation
+    val (changed, del, modified) = delta(emb)
+    val delIds = del.collect().map(_.getLong(0)).toSeq
+    Similarity.upsertIvfSq8Vectors(spark, p, changed, delIds)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_id"), col("codes"), col("_kb")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
+        .toSet
+    val stored = rows(spark.read.parquet(s"$p/data"))
+    assert(stored.map(_._1) == modified.select($"vec_id")
+      .collect().map(_.getLong(0)).toSet,
+      "upsert must retire deleted ids and keep exactly the live set")
+    // post-delta probe-all == frozen-model brute over the modified
+    // corpus: proves changed vectors re-encoded AND re-assigned
+    // against the stored (frozen) quantizers, nothing retrained
+    val mq = modified.filter($"vec_id" < 5)
+    assert(topKey(Similarity.ivfSq8TopK(spark, p, mq, 5, nProbe = 16)) ==
+      topKey(Similarity.sq8TopK(modified, mq, 5,
+        Some(Similarity.sq8Model(spark, p)))),
+      "post-delta probe-all must equal the frozen-model brute ranking")
+  }
+
   // ------------------------------------------------ shortlist-rerank cascade
 
   test("cascadeTopK: equals brute force at a sufficient shortlist; recall floors below") {

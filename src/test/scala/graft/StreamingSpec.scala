@@ -299,6 +299,19 @@ class StreamingSpec extends SparkSpecBase {
         .collect().map(_.toSeq).toSet,
       "streamed sq8 serve diverges from the frozen-model scan")
     assert(graft.view.IndexStore.readMeta(spark, pS).updateSeq == 2L)
+    // ivf-sq8: both quantizers freeze at batch 1; probing every list
+    // of the streamed store == the frozen-model brute ranking over
+    // the final corpus
+    val pI = s"$dir/ivfsq8"
+    drive(pI, s"$dir/ckI",
+      df => Streams.maintainIvfSq8Index(spark, df, pI, s"$dir/ckI"))
+    assert(
+      Similarity.ivfSq8TopK(spark, pI, queries, 5, nProbe = 16)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.sq8TopK(corpus2, queries, 5,
+        Some(Similarity.sq8Model(spark, pI)))
+        .collect().map(_.toSeq).toSet,
+      "streamed ivf-sq8 probe-all diverges from the frozen-model scan")
   }
 
   test("streaming SemDeDup maintenance: verdicts match a scan over the final corpus") {
