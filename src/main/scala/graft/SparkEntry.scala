@@ -3135,6 +3135,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
+    * .missingRevs]]) — the q206 request set through the lighter
+    * handshake: per-doc sorted missing-rev lists, no ancestors; the
+    * target-ahead scenario (known, superseded rev) again produces NO
+    * row. Each q186 doc requests one rev, so the joined list is that
+    * rev; multi-rev grouping is spec-pinned. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Revisions
+    val src = q186Source(s, dir)
+    Revisions.missingRevs(q186Target(s, dir), col("id"), col("rev_pos"),
+        col("rev_hash"), col("ancestors"),
+        src.select(col("id"),
+          concat(col("rev_pos").cast("string"), lit("-"),
+            col("rev_hash")).as("rev")),
+        col("id"), col("rev"))
+      .select(col("id").as("doc_id"),
+        concat_ws(",", col("missing_revs")).as("missing_revs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D9: IVF-pruned SQ8 ([[graft.operators.Similarity.buildIvfSq8Index]]
     * / [[graft.operators.Similarity.ivfSq8TopK]]) — FAISS's
     * `IVF16,SQ8`: the frozen lowest-16 coarse quantizer's inverted
@@ -4573,7 +4593,8 @@ object SparkEntry {
     "q212_trained_quality" -> (q212 _),
     "q213_partitioned_reduce_page" -> (q213 _),
     "q214_ivfsq8_ann" -> (q214 _),
-    "q215_stream_ivfsq8" -> (q215 _)
+    "q215_stream_ivfsq8" -> (q215 _),
+    "q216_missing_revs" -> (q216 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7767,6 +7788,20 @@ object SparkEntry {
         |  FROM d2)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q216_missing_revs" ->
+      """SELECT doc_id,
+        |  '2-' || md5(doc_id::VARCHAR || ':2:m') AS missing_revs
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:s')
+        |FROM documents WHERE doc_id % 5 = 1
+        |UNION ALL
+        |SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |FROM documents WHERE doc_id % 5 = 3
+        |UNION ALL
+        |SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d')
+        |FROM documents WHERE doc_id % 5 = 4
+        |ORDER BY doc_id""".stripMargin,
     "q215_stream_ivfsq8" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -265,6 +265,33 @@ object Revisions {
         sort_array(collect_list(col("_leaf")))).as("possible_ancestors"))
   }
 
+  /** The `_missing_revs` ENDPOINT (CouchDB's `POST /db/_missing_revs`
+    * — the lighter sibling of [[revsDiff]], the pre-`_revs_diff`
+    * replicator handshake that is still a public endpoint): given
+    * this database's leaf relation and the `(id, rev)` pairs a pusher
+    * holds, report PER DOC the requested revs the database does not
+    * know (not a leaf and not on any leaf's ancestor path — the same
+    * known set as [[revsDiff]]), sorted, one row per doc with at
+    * least one miss. Docs whose every requested rev is known produce
+    * no row (the endpoint's shape). Same bounded-explode + anti-join
+    * scale shape as [[revsDiff]] minus the ancestor join. */
+  def missingRevs(leaves: DataFrame, id: Column, revPos: Column,
+                  revHash: Column, ancestors: Column, requests: DataFrame,
+                  reqId: Column, reqRev: Column): DataFrame = {
+    val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"), ancestors.as("_anc"))
+    val rev = concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+    val known = in.select(col("_id").as("id"), rev.as("rev"))
+      .unionByName(in.select(col("_id").as("id"),
+        explode(col("_anc")).as("rev")))
+      .distinct()
+    requests.select(reqId.as("id"), reqRev.cast("string").as("rev"))
+      .distinct()
+      .join(known, Seq("id", "rev"), "left_anti")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rev"))).as("missing_revs"))
+  }
+
   /** `GET doc?open_revs=all` — every CURRENT leaf revision of each
     * requested document with its `_revisions` path (self-first), the
     * read the reference's replicator issues to fetch a doc's full

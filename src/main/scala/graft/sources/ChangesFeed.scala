@@ -100,10 +100,34 @@ object ChangesFeed {
     * still prunes: only seq buckets past the checkpoint are scanned,
     * and the `TakeOrderedAndProject` the plan compiles to keeps the
     * limit partial per partition. */
+  /** Open the log pruned at the directory-NAME level to
+    * `_kb >= minKb`: a bare `read.parquet(path)` builds a file index
+    * over EVERY seq bucket's files before partition-pruning, so a
+    * near-tip checkpoint read over a long log pays the whole table's
+    * listing (driver time ∝ log span — the EventStore.readRange
+    * finding). One status call lists bucket names; the parquet reader
+    * then enumerates files only under the post-checkpoint buckets.
+    * The `_kb` filter is still applied after — correctness never
+    * depends on the listing cut. */
+  private def openFrom(spark: SparkSession, path: String,
+                       minKb: Long): DataFrame = {
+    val fs = graft.view.IndexStore.fsFor(spark, path)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+      .map(_.getPath)
+    val hit = dirs.filter(p => scala.util.Try(
+      p.getName.substring(4).toLong).toOption.exists(_ >= minKb))
+    // empty tail: one bucket dir supplies the schema, rows filter out
+    val toRead = if (hit.nonEmpty) hit else dirs.take(1)
+    if (toRead.isEmpty) spark.read.parquet(path)
+    else spark.read.option("basePath", path)
+      .parquet(toRead.map(_.toString).toIndexedSeq: _*)
+  }
+
   def since(spark: SparkSession, path: String, sinceSeq: Long,
             limit: Option[Int], descending: Boolean): DataFrame = {
     val width = readWidth(spark, path)
-    val base = spark.read.parquet(path)
+    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width))
       .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
         col("seq") > sinceSeq)
       .groupBy(col("id"))
@@ -125,7 +149,7 @@ object ChangesFeed {
   def sinceDocIds(spark: SparkSession, path: String, sinceSeq: Long,
                   ids: Seq[Any], limit: Option[Int] = None): DataFrame = {
     val width = readWidth(spark, path)
-    val base = spark.read.parquet(path)
+    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width))
       .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
         col("seq") > sinceSeq && col("id").isin(ids: _*))
       .groupBy(col("id"))
@@ -143,7 +167,7 @@ object ChangesFeed {
   def sinceDocIds(spark: SparkSession, path: String, sinceSeq: Long,
                   ids: DataFrame, limit: Option[Int]): DataFrame = {
     val width = readWidth(spark, path)
-    val base = spark.read.parquet(path)
+    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width))
       .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
         col("seq") > sinceSeq)
       .join(ids.toDF("id").distinct(), Seq("id"), "left_semi")

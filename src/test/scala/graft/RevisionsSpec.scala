@@ -301,6 +301,28 @@ class RevisionsSpec extends SparkSpecBase {
       ("d9", "1-nn", "")))
   }
 
+  test("missingRevs: per-doc sorted grouping, known/superseded revs excluded") {
+    import spark.implicits._
+    val target = replica(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),
+      ("d3", 3L, "cc", false, Seq("2-bb", "1-aa"))))
+    val req = Seq(
+      ("d1", "2-zz"), ("d1", "2-bb"), ("d1", "2-bb"), // repeat collapses
+      ("d3", "2-bb"),  // superseded -> known -> not a miss
+      ("d3", "3-cc"),  // the leaf itself -> not a miss
+      ("d9", "1-nn"), ("d9", "1-aa"))
+      .toDF("id", "rev")
+    val got = graft.operators.Revisions.missingRevs(target, col("id"),
+        col("rev_pos"), col("rev_hash"), col("ancestors"),
+        req, col("id"), col("rev"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toSeq))
+    // d3 has NO missing revs -> no row at all (the endpoint's shape)
+    assert(got.toSeq == Seq(
+      ("d1", Seq("2-bb", "2-zz")),
+      ("d9", Seq("1-aa", "1-nn"))))
+  }
+
   test("mergeReplicas and purge match a random rev-forest model") {
     case class Node(pos: Long, hash: String)
     type Chain = Seq[Node]
