@@ -488,7 +488,7 @@ object Pq {
       .select(col("q_id"), col("q_vec"), col("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/data")
+    val codes = IndexStore.readBuckets(spark, s"$path/data", "_kb", buckets)
       .filter(col("_kb").isin(buckets: _*))
       .select(col("_id").as("n_id"), col("codes"), col("_kb").as("bucket"))
     val shortlist = codes.join(broadcast(q), Seq("bucket"))
@@ -619,7 +619,7 @@ object Pq {
         residual(col("q_vec"), col("_cvec")).as("q_res"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/data")
+    val codes = IndexStore.readBuckets(spark, s"$path/data", "_kb", buckets)
       .filter(col("_kb").isin(buckets: _*))
       .select(col("_id").as("n_id"), col("codes"), col("_kb").as("bucket"))
     // UNLIKE the raw path, the dropped |query-side|² ADC term is NOT

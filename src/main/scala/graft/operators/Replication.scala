@@ -311,7 +311,8 @@ object Replication {
       val bs = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
           .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (bs.isEmpty) return Nil
-      val bucketRows = spark.read.parquet(dataDir(path))
+      val bucketRows = graft.view.IndexStore
+        .readBuckets(spark, dataDir(path), "_b", bs)
         .filter(col("_b").isin(bs: _*))
       val curTouched = bucketRows.join(ids, Seq("id"), "left_semi")
         .drop("_b")

@@ -212,7 +212,7 @@ object Similarity {
         .select(IndexStore.idBucket(col("vec_id"), meta.buckets).as("_b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (bs.isEmpty) return Nil
-      val cur = spark.read.parquet(path + "/data")
+      val cur = IndexStore.readBuckets(spark, path + "/data", "_b", bs)
         .filter(col("_b").isin(bs: _*))
       val out = cur.join(touched, Seq("vec_id"), "left_anti")
         .unionByName(sq8Codes(changed, model)
@@ -326,7 +326,7 @@ object Similarity {
           .as("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/data")
+    val codes = IndexStore.readBuckets(spark, s"$path/data", "_kb", buckets)
       .filter(col("_kb").isin(buckets: _*))
       .select(col("_id").as("n_id"), col("codes").as("n_c"),
         col("_kb").as("bucket"))
@@ -439,7 +439,7 @@ object Similarity {
         .select(IndexStore.idBucket(col("vec_id"), meta.buckets).as("_b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (bs.isEmpty) return Nil
-      val cur = spark.read.parquet(path + "/data")
+      val cur = IndexStore.readBuckets(spark, path + "/data", "_b", bs)
         .filter(col("_b").isin(bs: _*))
       val out = cur.join(touched, Seq("vec_id"), "left_anti")
         .unionByName(binaryCodes(changed, dims)
@@ -672,7 +672,7 @@ object Similarity {
     val q = probeRows(queries, planes)
     val buckets = q.select(col("bucket").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(path + "/data")
+    val c = IndexStore.readBuckets(spark, path + "/data", "_kb", buckets)
       .filter(col("_kb").isin(buckets: _*))
       .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),
         col("_kb").as("bucket"))
@@ -994,7 +994,8 @@ object Similarity {
     val affected = IndexStore.merge(spark, path, meta, newRows, cids, seq,
       dataSortCols = Seq(col("_kb"), col("_id")))
     if (affected.nonEmpty) {
-      val rows = spark.read.parquet(path + "/data")
+      val rows = IndexStore
+        .readBuckets(spark, path + "/data", "_kb", affected)
         .filter(col("_kb").isin(affected: _*))
         .select(col("_id"), col("n_vec"), col("n_nrm"), col("_kb"))
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path),
@@ -1077,7 +1078,7 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(path + "/data")
+    val c = IndexStore.readBuckets(spark, path + "/data", "_kb", buckets)
       .filter(col("_kb").isin(buckets: _*))
       .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),
         col("_kb").as("bucket"))
@@ -1110,7 +1111,7 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("bucket"))
     val buckets = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(path + "/data")
+    val c = IndexStore.readBuckets(spark, path + "/data", "_kb", buckets)
       .filter(col("_kb").isin(buckets: _*))
       .join(allowed.toDF("_id").distinct(), Seq("_id"), "left_semi")
       .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),

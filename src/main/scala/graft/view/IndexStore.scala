@@ -104,6 +104,36 @@ object IndexStore {
   def idBucket(id: Column, buckets: Int): Column =
     pmod(xxhash64(id.cast("string")), lit(buckets.toLong)).cast("int")
 
+  /** Read a hive-partitioned store directory pruned at the
+    * partition-directory-NAME level to the given integer bucket ids:
+    * a bare `read.parquet(dir)` enumerates EVERY partition's leaf
+    * files before partition-pruning, so a touched-bucket read over a
+    * store with many buckets pays the whole store's listing (driver
+    * time ∝ store size — the EventStore.readRange finding; the
+    * deployment discipline sizes buckets ∝ corpus, so the listing
+    * grows with data). One status call lists directory names; the
+    * parquet reader then enumerates leaf files only under the hit
+    * buckets. Callers KEEP their own partition-column filter — the
+    * name cut is a listing optimization, never the correctness cut.
+    * Falls back to one bucket (schema only) or the full read when
+    * nothing matches. */
+  private[graft] def readBuckets(spark: SparkSession, dir: String,
+                                 part: String, ids: Seq[Int]): DataFrame = {
+    val want = ids.toSet
+    val fs = fsFor(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return spark.read.parquet(dir) // loud, as before
+    val all = fs.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(part + "="))
+    val hit = all.filter(s => scala.util.Try(
+      s.getPath.getName.substring(part.length + 1).toInt)
+      .toOption.exists(want))
+    val toRead = if (hit.nonEmpty) hit else all.take(1)
+    if (toRead.isEmpty) spark.read.parquet(dir)
+    else spark.read.option("basePath", dir)
+      .parquet(toRead.map(_.getPath.toString).toIndexedSeq: _*)
+  }
+
   def exists(spark: SparkSession, path: String): Boolean =
     fsFor(spark, path).exists(new Path(path, "_graft_meta"))
 
@@ -202,7 +232,7 @@ object IndexStore {
         .collect().map(_.getInt(0)).toSeq
       val affected = (oldKbs ++ newKbs).distinct.sorted
       if (affected.nonEmpty) {
-        val merged = spark.read.parquet(dataDir(path))
+        val merged = readBuckets(spark, dataDir(path), "_kb", affected)
           .filter(col("_kb").isin(affected: _*))
           .join(cids, Seq("_id"), "left_anti")
           .unionByName(newRows)
@@ -265,7 +295,7 @@ object IndexStore {
   private[graft] def refreshReduced(spark: SparkSession, path: String,
                                     rf: Reduce, affected: Seq[Int]): Unit =
     if (affected.nonEmpty && hasReduced(spark, path)) {
-      val data = spark.read.parquet(dataDir(path))
+      val data = readBuckets(spark, dataDir(path), "_kb", affected)
         .filter(col("_kb").isin(affected: _*))
       writeSwap(spark, fsFor(spark, path), reducedRowsOf(data, rf),
         reducedDir(path), "_kb", affected, Seq(col("_kb"), col("_ck")))
