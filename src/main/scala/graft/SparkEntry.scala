@@ -3135,6 +3135,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** A24h: Mango `execution_stats` ([[graft.operators.Mango
+    * .executionStats]]) — CouchDB's `"execution_stats": true` work
+    * profile for the plan `findAuto` runs, three routes over the q124
+    * index: a COVERED serve (0 docs examined), a FETCH serve (docs
+    * examined = the range's distinct candidates), and a full SCAN
+    * (`_all_docs`, the corpus). Keys examined = index rows inside the
+    * pushed `[O,80000]..[O,250000)` bound — here exactly the
+    * selector's own membership, which the oracle counts directly; the
+    * index's tmp-path name is dataset-keyed, so the gate reports the
+    * route as a boolean (`indexed`), not the name. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val orders = t(s, dir, "orders")
+    val path = idxPath("q124mgc", dir, "orders")
+    val idx =
+      if (hasFile(s, s"$path/_mango_fields")) Mango.openIndex(s, path)
+      else Mango.createIndex(s, orders, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"), path, numBuckets = 4)
+    def stats(tag: String, find: String): DataFrame =
+      Mango.executionStats(s, orders, "o_orderkey", Seq(idx), find)
+        .select(lit(tag).as("route"),
+          (col("index_used") =!= "_all_docs").as("indexed"),
+          col("covered"), col("total_keys_examined"),
+          col("total_docs_examined"), col("results_returned"))
+    stats("covered",
+      """{"selector": {"o_orderstatus": "O",
+        |  "o_totalprice": {"$gte": 80000, "$lt": 250000}},
+        | "fields": ["o_orderkey", "o_totalprice"],
+        | "limit": 1000000}""".stripMargin)
+      .unionByName(stats("fetch",
+        """{"selector": {"o_orderstatus": "O",
+          |  "o_totalprice": {"$gte": 80000, "$lt": 250000}},
+          | "fields": ["o_orderkey", "o_orderpriority"],
+          | "limit": 1000000}""".stripMargin))
+      .unionByName(stats("scan",
+        """{"selector": {"o_orderpriority": "1-URGENT"},
+          | "fields": ["o_orderkey"], "limit": 1000000}""".stripMargin))
+      .orderBy(col("route"))
+  }
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -4594,7 +4634,8 @@ object SparkEntry {
     "q213_partitioned_reduce_page" -> (q213 _),
     "q214_ivfsq8_ann" -> (q214 _),
     "q215_stream_ivfsq8" -> (q215 _),
-    "q216_missing_revs" -> (q216 _)
+    "q216_missing_revs" -> (q216 _),
+    "q217_execution_stats" -> (q217 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7788,6 +7829,21 @@ object SparkEntry {
         |  FROM d2)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q217_execution_stats" ->
+      """WITH c AS (SELECT COUNT(*) AS k FROM orders
+        |           WHERE o_orderstatus = 'O'
+        |             AND o_totalprice >= 80000 AND o_totalprice < 250000),
+        |n AS (SELECT COUNT(*) AS n FROM orders),
+        |u AS (SELECT COUNT(*) AS u FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'covered' AS route, TRUE AS indexed, TRUE AS covered,
+        |  c.k AS total_keys_examined, CAST(0 AS BIGINT) AS total_docs_examined,
+        |  c.k AS results_returned FROM c
+        |UNION ALL
+        |SELECT 'fetch', TRUE, FALSE, c.k, c.k, c.k FROM c
+        |UNION ALL
+        |SELECT 'scan', FALSE, FALSE, CAST(0 AS BIGINT), n.n, u.u FROM n, u
+        |ORDER BY route""".stripMargin,
     "q216_missing_revs" ->
       """SELECT doc_id,
         |  '2-' || md5(doc_id::VARCHAR || ':2:m') AS missing_revs

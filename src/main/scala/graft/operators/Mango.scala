@@ -1054,11 +1054,7 @@ object Mango {
   private def serveIndexRows(docs: DataFrame, idCol: String,
                              index: MangoIndex, req: FindReq,
                              idxRows: DataFrame): DataFrame = {
-    val touched = selectorPaths(req.selector) ++
-      req.sort.map(_._1) ++ req.fields
-    val covered = index.fields.toSet + idCol
-    val coverable = touched.subsetOf(covered) &&
-      touched.forall(!_.contains('.'))
+    val coverable = isCovered(req, index, idCol)
     val (rows, schema) =
       if (coverable) {
         // decode the stored key struct; the find then never touches
@@ -1093,6 +1089,61 @@ object Mango {
     }
     if (req.fields.nonEmpty) paged.select(req.fields.map(col): _*)
     else paged
+  }
+
+  /** The covered-serve decision shared by [[serveIndexRows]] and
+    * [[executionStats]]: every field the find touches (selector paths,
+    * sort keys, projection) must live in the index (or be the id), and
+    * none may be a nested path. */
+  private[operators] def isCovered(req: FindReq, index: MangoIndex,
+                                   idCol: String): Boolean = {
+    val touched = selectorPaths(req.selector) ++
+      req.sort.map(_._1) ++ req.fields
+    val covered = index.fields.toSet + idCol
+    touched.subsetOf(covered) && touched.forall(!_.contains('.'))
+  }
+
+  /** `execution_stats` — CouchDB's `"execution_stats": true` find
+    * companion, reported for the EXACT plan [[findAuto]] would run:
+    * which index served (`_all_docs` = full scan, CouchDB's name for
+    * the primary), whether the serve was covered,
+    * `total_keys_examined` (index rows read inside the pushed bound),
+    * `total_docs_examined` (fetched candidate documents; 0 on a
+    * covered serve; the corpus row count on a scan) and
+    * `results_returned`. Routing, partial-eligibility, and bounds all
+    * come from the planner's own code ([[pickIndex]] /
+    * [[indexBounds]] / [[isCovered]]), so the report can never
+    * diverge from the serve path. Counting jobs only — set-at-a-time,
+    * never per-doc callbacks. */
+  def executionStats(spark: SparkSession, docs: DataFrame, idCol: String,
+                     indexes: Seq[MangoIndex], findJson: String)
+      : DataFrame = {
+    import spark.implicits._
+    val req = parseFind(findJson)
+    val results = findAuto(spark, docs, idCol, indexes, findJson).count()
+    def scanRow = ("_all_docs", false, 0L, docs.count(), results)
+    val row = pickIndex(req.selector, indexes, docs.schema,
+        req.useIndex) match {
+      case Some(ix) =>
+        indexBounds(req.selector, ix.fields, docs.schema) match {
+          case Some((startK, endK, incl)) =>
+            val idxRows = indexView(docs, idCol, ix.fields)
+              .fromIndex(spark, ix.path)
+              .query(QueryOpts(startKey = Some(startK),
+                endKey = Some(endK), inclusiveEnd = incl,
+                reduce = false, sorted = false))
+            val keys = idxRows.count()
+            val cov = isCovered(req, ix, idCol)
+            val docsEx =
+              if (cov) 0L
+              else idxRows.select(col("id")).distinct().count()
+            (ix.name, cov, keys, docsEx, results)
+          case None => scanRow
+        }
+      case None => scanRow
+    }
+    Seq(row).toDF("index_used", "covered", "total_keys_examined",
+      "total_docs_examined", "results_returned")
   }
 
   /** Build a PARTITIONED JSON index — CouchDB 3.x's default index

@@ -1057,6 +1057,38 @@ class MangoSpec extends SparkSpecBase {
     assert(graft.view.IndexStore.readMeta(spark, idx.path).updateSeq == 5L)
   }
 
+  test("executionStats: keys/docs/results agree with the plan it profiles") {
+    val dir = java.nio.file.Files.createTempDirectory("mango-xs").toString
+    val docs = orders.select(col("o_orderkey").as("id"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    val idx = Mango.createIndex(spark, docs, "id",
+      Seq("o_orderstatus", "o_totalprice"), s"$dir/ix", numBuckets = 2)
+    def st(find: String) = Mango.executionStats(spark, docs, "id",
+        Seq(idx), find).head()
+    val find = """{"selector": {"o_orderstatus": "F",
+      "o_totalprice": {"$lt": 150000}}, "fields": ["id"],
+      "limit": 1000000}"""
+    val s1 = st(find)
+    val expKeys = docs.filter(col("o_orderstatus") === "F" &&
+      col("o_totalprice") < 150000).count()
+    val expRes = Mango.findAuto(spark, docs, "id", Seq(idx), find).count()
+    assert(s1.getString(0) == idx.name && s1.getBoolean(1), // covered
+      s"expected a covered indexed route: $s1")
+    assert(s1.getLong(2) == expKeys && s1.getLong(3) == 0L &&
+      s1.getLong(4) == expRes, s"covered stats wrong: $s1")
+    // a projection outside the index forces the fetch route
+    val s2 = st("""{"selector": {"o_orderstatus": "F",
+      "o_totalprice": {"$lt": 150000}},
+      "fields": ["id", "o_orderpriority"], "limit": 1000000}""")
+    assert(!s2.getBoolean(1) && s2.getLong(3) == expKeys,
+      s"fetch stats wrong: $s2")
+    // no usable index: the scan route reports the corpus as examined
+    val s3 = st("""{"selector": {"o_orderpriority": "1-URGENT"},
+      "limit": 1000000}""")
+    assert(s3.getString(0) == "_all_docs" && s3.getLong(2) == 0L &&
+      s3.getLong(3) == docs.count(), s"scan stats wrong: $s3")
+  }
+
   test("index administration: list reflects create/delete; deletes are guarded") {
     val root = java.nio.file.Files.createTempDirectory("mango-adm").toString
     def listing: Seq[(String, String, String, String, Boolean)] =
