@@ -3175,6 +3175,50 @@ object SparkEntry {
       .orderBy(col("route"))
   }
 
+  /** D8b: the cascade served from the PERSISTED SQ8 tier ([[graft
+    * .operators.Similarity.cascadeTopKIndexed]]) — shortlist from
+    * STORED 8-bit codes (no re-encode, no retrain), exact-cosine
+    * rerank reading floats only for the |q|·64 shortlisted rows; the
+    * q208 sufficiency argument carries (the stored codes ARE the
+    * frozen-model encoding of the same corpus), so the oracle is the
+    * brute-force answer itself. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("sq8x", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      Similarity.buildSq8Index(emb, path)
+    Similarity.cascadeTopKIndexed(s, path, emb,
+        emb.filter(col("vec_id") < 10), 10, shortlist = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** A28i: `_bulk_docs new_edits=true` ([[graft.operators.Replication
+    * .bulkDocs]]) — CouchDB's normal interactive write path over the
+    * q186 target: editing the winner succeeds and mints
+    * `pos+1`-`md5(id:pos:body)` (%5==0), a stale base rev conflicts
+    * (%5==1), creating without a rev conflicts against a live winner
+    * (%5==2) but succeeds for an absent doc (%5==3), and a
+    * nonexistent base rev conflicts (%5==4). The oracle states each
+    * scenario's report row, minted revs replayed from the content
+    * digest. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val c = col("doc_id") % 5
+    val stale = concat(lit("1-"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:m"))))
+    val writes = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      when(c === 0 || c === 1, stale)
+        .when(c === 4, lit("9-deadbeef"))
+        .otherwise(lit(null).cast("string")).as("base"))
+    Replication.bulkDocs(q186Target(s, dir), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        writes, col("doc_id"), col("base"), col("text"), lit(false))
+      .report
+      .select(col("id").as("doc_id"), col("status"), col("rev"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -4228,6 +4272,9 @@ object SparkEntry {
     "q214_ivfsq8_ann" -> ((s, dir) => graft.operators.Similarity
       .buildIvfSq8Index(t(s, dir, "embeddings"),
         idxPath("ivfsq8", dir, "embeddings"))),
+    "q218_cascade_indexed" -> ((s, dir) => graft.operators.Similarity
+      .buildSq8Index(t(s, dir, "embeddings"),
+        idxPath("sq8x", dir, "embeddings"))),
     "q55_ann_ivf_refined" -> ((s, dir) => graft.operators.Similarity
       .buildIvfIndex(t(s, dir, "embeddings"),
         idxPath("ivfr", dir, "embeddings"), refineIters = 1)),
@@ -4635,7 +4682,9 @@ object SparkEntry {
     "q214_ivfsq8_ann" -> (q214 _),
     "q215_stream_ivfsq8" -> (q215 _),
     "q216_missing_revs" -> (q216 _),
-    "q217_execution_stats" -> (q217 _)
+    "q217_execution_stats" -> (q217 _),
+    "q218_cascade_indexed" -> (q218 _),
+    "q219_bulk_docs" -> (q219 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7748,22 +7797,8 @@ object SparkEntry {
         |  FROM d2)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-    "q208_cascade_ann" ->
-      """WITH j AS (
-        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-        |    list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
-        |                     list_transform(e.embedding, x -> x::DOUBLE)) /
-        |      (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
-        |                             list_transform(q.embedding, x -> x::DOUBLE))) *
-        |       sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
-        |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
-        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-        |  JOIN embeddings e ON e.vec_id != q.vec_id)
-        |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
-        |  SELECT q_id, n_id, cosf,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
-        |  FROM j)
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q208_cascade_ann" -> bruteTop10Oracle,
+    "q218_cascade_indexed" -> bruteTop10Oracle,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES
@@ -7844,6 +7879,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'scan', FALSE, FALSE, CAST(0 AS BIGINT), n.n, u.u FROM n, u
         |ORDER BY route""".stripMargin,
+    "q219_bulk_docs" ->
+      """SELECT doc_id, 'ok' AS status,
+        |  '2-' || md5(doc_id::VARCHAR || ':2:' || text) AS rev
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, 'conflict', CAST(NULL AS VARCHAR)
+        |FROM documents WHERE doc_id % 5 IN (1, 2, 4)
+        |UNION ALL
+        |SELECT doc_id, 'ok', '1-' || md5(doc_id::VARCHAR || ':1:' || text)
+        |FROM documents WHERE doc_id % 5 = 3
+        |ORDER BY doc_id""".stripMargin,
     "q216_missing_revs" ->
       """SELECT doc_id,
         |  '2-' || md5(doc_id::VARCHAR || ':2:m') AS missing_revs
@@ -8070,6 +8116,26 @@ object SparkEntry {
       |  FROM log, m WHERE seq > 3 * m.md // 2)
       |SELECT seq, id, rev, deleted FROM f WHERE rn = 1
       |ORDER BY seq""".stripMargin
+
+  /** q208/q218: the exact cosine top-10 — a sufficient-shortlist
+    * cascade (scan-path or persisted-tier) must BE the brute-force
+    * answer, so both gates share the brute oracle itself. */
+  private val bruteTop10Oracle: String =
+    """WITH j AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |    list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+      |                     list_transform(e.embedding, x -> x::DOUBLE)) /
+      |      (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+      |                             list_transform(q.embedding, x -> x::DOUBLE))) *
+      |       sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+      |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  JOIN embeddings e ON e.vec_id != q.vec_id)
+      |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+      |  SELECT q_id, n_id, cosf,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+      |  FROM j)
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   private val ivfOracle: String =
     """WITH e AS (

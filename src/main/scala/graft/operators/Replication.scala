@@ -68,6 +68,77 @@ object Replication {
         col("_anc").as("ancestors"))
   }
 
+  /** A `_bulk_docs new_edits=true` batch's outputs: the per-write
+    * report (`id, status ok|conflict, rev` — the endpoint's response
+    * array) and the target's new leaf relation with the accepted
+    * edits grafted. */
+  final case class BulkDocsResult(report: DataFrame, leaves: DataFrame)
+
+  /** `_bulk_docs` with `new_edits=true` — CouchDB's NORMAL interactive
+    * write path (the default the replicator's `new_edits=false` leg
+    * bypasses): each write names the revision it EDITS (`wBaseRev`,
+    * null to create) and the database mints the successor rev or
+    * rejects the write. The MVCC rule, per write against the
+    * PRE-batch winner ([[Revisions]]' live > deepest > greatest-hash
+    * resolution):
+    *  - `base == winner rev` → accepted, extends the winning branch;
+    *  - `base` null and no winner, or only a TOMBSTONE winner
+    *    (CouchDB lets a deleted doc be recreated without a rev;
+    *    the new edit extends the tombstone branch) → accepted;
+    *  - anything else → `conflict` (CouchDB's 409), never a write.
+    * The minted rev is `pos+1` with hash `md5(id:pos:body)` —
+    * deterministic from content, so batches are idempotent and
+    * engine-replayable (CouchDB's rev hash is likewise a content
+    * digest). Contract: ONE write per id per batch (the endpoint is
+    * non-transactional; in-batch ordering semantics are the caller's
+    * to sequence — submit successive batches).
+    *
+    * Scale shape: one winner aggregation over the target (partial-
+    * aggregable), one hash join of the writes against it, then the
+    * [[applyBulkDocs]] tree graft — a 1k-write batch onto a
+    * trillion-doc target keys every join on id. */
+  def bulkDocs(target: DataFrame, id: Column, revPos: Column,
+               revHash: Column, deleted: Column, ancestors: Column,
+               writes: DataFrame, wId: Column, wBaseRev: Column,
+               wBody: Column, wDel: Column): BulkDocsResult = {
+    val in = target.select(id.as("_id"), revPos.cast("long").as("_pos"),
+      revHash.cast("string").as("_hash"),
+      deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
+    // the winner rule of Revisions.revsInfo: live > deepest > hash,
+    // the ancestor path riding along for the graft
+    val win = in.groupBy(col("_id"))
+      .agg(max(struct((!col("_del")).as("live"), col("_pos").as("pos"),
+        col("_hash").as("hash"), col("_anc").as("anc"))).as("w"))
+      .select(col("_id").as("id"), col("w.live").as("_wlive"),
+        col("w.pos").as("_wpos"), col("w.hash").as("_whash"),
+        col("w.anc").as("_wanc"),
+        concat(col("w.pos").cast("string"), lit("-"), col("w.hash"))
+          .as("_wrev"))
+    val w = writes.select(wId.as("id"),
+      wBaseRev.cast("string").as("_base"), wBody.cast("string").as("_body"),
+      coalesce(wDel.cast("boolean"), lit(false)).as("_wdel"))
+    val joined = w.join(win, Seq("id"), "left")
+    val ok = (col("_base").isNotNull && col("_base") === col("_wrev")) ||
+      (col("_base").isNull && (col("_wrev").isNull || !col("_wlive")))
+    val newPos = coalesce(col("_wpos"), lit(0L)) + lit(1L)
+    val newHash = md5(concat(col("id").cast("string"), lit(":"),
+      newPos.cast("string"), lit(":"), coalesce(col("_body"), lit(""))))
+    val judged = joined.select(col("id"), col("_wdel"),
+      ok.as("_ok"), newPos.as("_npos"), newHash.as("_nhash"),
+      when(col("_wrev").isNotNull, concat(array(col("_wrev")),
+        coalesce(col("_wanc"), array().cast("array<string>"))))
+        .otherwise(array().cast("array<string>")).as("_nanc"))
+    val report = judged.select(col("id"),
+      when(col("_ok"), lit("ok")).otherwise(lit("conflict")).as("status"),
+      when(col("_ok"), concat(col("_npos").cast("string"), lit("-"),
+        col("_nhash"))).otherwise(lit(null).cast("string")).as("rev"))
+    val accepted = judged.filter(col("_ok"))
+    val leaves = applyBulkDocs(target, id, revPos, revHash, deleted,
+      ancestors, accepted, col("id"), col("_npos"), col("_nhash"),
+      col("_wdel"), col("_nanc"))
+    BulkDocsResult(report, leaves)
+  }
+
   /** One full PULL replication round — PouchDB's
     * `replicate(source, target)` for the batch since `repId`'s last
     * checkpoint. `source` and `target` are revision-tree LEAF

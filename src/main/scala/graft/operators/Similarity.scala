@@ -500,6 +500,16 @@ object Similarity {
       case t => throw new IllegalArgumentException(
         s"unknown cascade tier: $t (binary|sq8)")
     }).select(col("q_id"), col("n_id"))
+    rerankExact(corpus, queries, cand, k)
+  }
+
+  /** The cascade's exact-cosine rerank tail: score ONLY the `(q_id,
+    * n_id)` candidate pairs against the raw float corpus (broadcast
+    * candidate hash join — the float read is |candidates| rows) and
+    * rank through [[rankTopK]], so the output is schema-, rounding-
+    * and tie-break-identical to [[bruteForceTopK]]. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+                          cand: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_vec"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
@@ -511,6 +521,30 @@ object Similarity {
         .withColumn("cos",
           dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm"))),
       k)
+  }
+
+  /** [[cascadeTopK]] served from a PERSISTED quantized tier: the
+    * shortlist comes from STORED codes ([[sq8TopKIndexed]] /
+    * [[binaryTopKIndexed]] / [[ivfSq8TopK]] with `tier = "ivfsq8"` —
+    * no re-encoding, no model retrain, and for ivfsq8 only the probed
+    * lists are even read), then the exact-cosine rerank reads the
+    * float corpus ONLY for the |q|·k' shortlisted rows. This is the
+    * full 100 TB serving composition: quantized store scan/probe →
+    * tiny float read → exact order. */
+  def cascadeTopKIndexed(spark: SparkSession, path: String,
+                         corpus: DataFrame, queries: DataFrame, k: Int,
+                         shortlist: Int, tier: String = "sq8",
+                         dims: Int = 64, nProbe: Int = 4): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = (tier match {
+      case "binary" => binaryTopKIndexed(spark, path, queries, shortlist,
+        dims)
+      case "sq8"    => sq8TopKIndexed(spark, path, queries, shortlist)
+      case "ivfsq8" => ivfSq8TopK(spark, path, queries, shortlist, nProbe)
+      case t => throw new IllegalArgumentException(
+        s"unknown cascade tier: $t (binary|sq8|ivfsq8)")
+    }).select(col("q_id"), col("n_id"))
+    rerankExact(corpus, queries, cand, k)
   }
 
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster

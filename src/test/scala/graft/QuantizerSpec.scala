@@ -278,11 +278,29 @@ class QuantizerSpec extends SparkSpecBase {
     val frozen = Similarity.sq8Train(emb)
     assert(ck(Similarity.cascadeTopK(emb, q, 10, 64, tier = "sq8",
       sq8ModelDf = Some(frozen))) == bk)
+    // the persisted-tier cascade: stored codes shortlist, same answer
+    val p = s"$tmpDir/casc_sq8"
+    Similarity.buildSq8Index(emb, p)
+    assert(ck(Similarity.cascadeTopKIndexed(spark, p, emb, q, 10, 64))
+      == bk, "indexed sq8 cascade at shortlist=64 must BE brute force")
+    val pb = s"$tmpDir/casc_bin"
+    Similarity.buildBinaryIndex(emb, pb)
+    assert(ck(Similarity.cascadeTopKIndexed(spark, pb, emb, q, 10, 450,
+      tier = "binary")) == bk,
+      "indexed binary cascade at shortlist=450 must BE brute force")
+    val pi = s"$tmpDir/casc_ivfsq8"
+    Similarity.buildIvfSq8Index(emb, pi, nCentroids = 16)
+    assert(ck(Similarity.cascadeTopKIndexed(spark, pi, emb, q, 10, 64,
+      tier = "ivfsq8", nProbe = 16)) == bk,
+      "probe-all ivfsq8 cascade at shortlist=64 must BE brute force")
     intercept[IllegalArgumentException] {
       Similarity.cascadeTopK(emb, q, 10, 64, tier = "pq")
     }
     intercept[IllegalArgumentException] {
       Similarity.cascadeTopK(emb, q, 10, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopKIndexed(spark, p, emb, q, 10, 64, tier = "pq")
     }
   }
 }

@@ -39,6 +39,49 @@ class ReplicationSpec extends SparkSpecBase {
     assert(leafSet(apply(once)) == leafSet(once))
   }
 
+  test("bulkDocs new_edits=true: winner-gated edits, tombstone recreate, conflicts leave the tree alone") {
+    val target = leavesDf(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),           // live winner 1-aa
+      ("d2", 2L, "dd", true, Seq("1-ee")),          // tombstone winner
+      ("d3", 2L, "tt", false, Seq("1-kk"))))        // live winner 2-tt
+    val writes = Seq(
+      ("d1", "1-aa", "bodyA", false),  // edits the winner -> ok
+      ("d2", null, "bodyB", false),    // recreate deleted doc -> ok
+      ("d3", "1-kk", "bodyC", false),  // stale base -> conflict
+      ("d4", null, "bodyD", false),    // brand-new -> ok at pos 1
+      ("d5", "7-zz", "bodyE", false))  // base rev doesn't exist -> conflict
+      .toDF("id", "base", "body", "del")
+    val r = Replication.bulkDocs(target, cols._1, cols._2, cols._3,
+      cols._4, cols._5, writes, col("id"), col("base"), col("body"),
+      col("del"))
+    def h(id: String, pos: Long, body: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id:$pos:$body".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val rep = r.report.orderBy("id").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    assert(rep.toSeq == Seq(
+      ("d1", "ok", s"2-${h("d1", 2, "bodyA")}"),
+      ("d2", "ok", s"3-${h("d2", 3, "bodyB")}"),
+      ("d3", "conflict", null),
+      ("d4", "ok", s"1-${h("d4", 1, "bodyD")}"),
+      ("d5", "conflict", null)), s"report wrong: ${rep.toSeq}")
+    // accepted edits extend their branches (old tips stop being
+    // leaves); conflicted docs keep their trees untouched
+    assert(leafSet(r.leaves) == Set(
+      ("d1", s"2-${h("d1", 2, "bodyA")}", false),
+      ("d2", s"3-${h("d2", 3, "bodyB")}", false),
+      ("d3", "2-tt", false),
+      ("d4", s"1-${h("d4", 1, "bodyD")}", false)))
+    // a deleting edit mints a tombstone
+    val del = Replication.bulkDocs(target, cols._1, cols._2, cols._3,
+      cols._4, cols._5,
+      Seq(("d1", "1-aa", "x", true)).toDF("id", "base", "body", "del"),
+      col("id"), col("base"), col("body"), col("del"))
+    assert(leafSet(del.leaves).contains(("d1", s"2-${h("d1", 2, "x")}", true)))
+  }
+
   test("replicateOnce: delta-bounded pull round, ancestor-aware revs_diff, convergence") {
     val source = leavesDf(Seq(
       ("d1", 2L, "bb", false, Seq("1-aa")),
