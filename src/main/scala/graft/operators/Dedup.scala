@@ -379,7 +379,10 @@ object Dedup {
     val fs = IndexStore.fsFor(spark, path)
     val meta = IndexStore.readMeta(spark, path)
     val nB = meta.buckets
-    val newRows = simhashBandRows(changedDocs, id, textCol, nB).persist()
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+    val newRows = simhashBandRows(live, id, textCol, nB).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
     val cids = (if (deletedIds.isEmpty) cids0
                 else cids0.unionByName(deletedIds.toDF("doc_id")))

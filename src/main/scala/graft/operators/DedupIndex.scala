@@ -177,7 +177,10 @@ object DedupIndex {
     val fs = IndexStore.fsFor(spark, path)
     val meta = IndexStore.readMeta(spark, path)
     val nB = meta.buckets
-    val newRows = bandRowsOf(changedDocs, id, text, k, bands, nB).persist()
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+    val newRows = bandRowsOf(live, id, text, k, bands, nB).persist()
     val liveIds = changedDocs.select(id.cast("long").as("doc_id"))
       .distinct().persist()
     val cids = (if (deletedIds.isEmpty) liveIds

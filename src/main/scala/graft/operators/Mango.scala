@@ -1224,10 +1224,13 @@ object Mango {
                              newSeq: Long = -1L): Unit = {
     require(index.partitioned,
       "upsertIndexPartitioned requires a partitioned index")
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      else changedDocs.filter(!col(idCol).isin(deletedIds: _*))
     val matching = index.partial match {
       case Some(pf) =>
-        changedDocs.filter(compile(parseSelector(pf), changedDocs.schema))
-      case None => changedDocs
+        live.filter(compile(parseSelector(pf), live.schema))
+      case None => live
     }
     val newRows = indexView(matching, idCol, index.fields).rows
     val cids0 = changedDocs.select(col(idCol).as("_id"))
@@ -1554,6 +1557,12 @@ object Mango {
   def deleteIndex(spark: SparkSession, root: String, name: String): Unit = {
     require(name != "_all_docs",
       "the special _all_docs index cannot be deleted")
+    // names are single path segments — anything with a separator (or
+    // a dot-segment) could resolve OUTSIDE the index root and delete
+    // another database's stamped index
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\')
+        && name != "." && name != "..",
+      s"invalid index name: '$name'")
     val fs = IndexStore.fsFor(spark, root)
     val p = new Path(root, name)
     require(fs.exists(p), s"no such index: $name")

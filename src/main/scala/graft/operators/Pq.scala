@@ -365,7 +365,9 @@ object Pq {
     val cids = if (deletedIds.isEmpty) cids0
                else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, pqRows(changed, cbs, meta.buckets),
+    IndexStore.merge(spark, path, meta,
+      pqRows(IndexStore.minusDeleted(spark, changed, "vec_id",
+        deletedIds), cbs, meta.buckets),
       cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
@@ -463,7 +465,9 @@ object Pq {
     val cids = if (deletedIds.isEmpty) cids0
                else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, ivfPqRows(changed, cents, cbs),
+    IndexStore.merge(spark, path, meta,
+      ivfPqRows(IndexStore.minusDeleted(spark, changed, "vec_id",
+        deletedIds), cents, cbs),
       cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
@@ -594,7 +598,9 @@ object Pq {
     val cids = if (deletedIds.isEmpty) cids0
                else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, ivfPqResidualRows(changed, cents, cbs),
+    IndexStore.merge(spark, path, meta,
+      ivfPqResidualRows(IndexStore.minusDeleted(spark, changed, "vec_id",
+        deletedIds), cents, cbs),
       cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 

@@ -79,13 +79,16 @@ object Replication {
     * bypasses): each write names the revision it EDITS (`wBaseRev`,
     * null to create) and the database mints the successor rev or
     * rejects the write. The MVCC rule, per write against the
-    * PRE-batch winner ([[Revisions]]' live > deepest > greatest-hash
-    * resolution):
-    *  - `base == winner rev` → accepted, extends the winning branch;
-    *  - `base` null and no winner, or only a TOMBSTONE winner
+    * PRE-batch tree:
+    *  - `base` names ANY current leaf → accepted, extends THAT branch
+    *    (CouchDB accepts edits to losing leaves too — that is exactly
+    *    how a conflict is resolved: tombstone the losing branch);
+    *  - `base` null and no leaves, or only a TOMBSTONE winner
     *    (CouchDB lets a deleted doc be recreated without a rev;
     *    the new edit extends the tombstone branch) → accepted;
-    *  - anything else → `conflict` (CouchDB's 409), never a write.
+    *  - anything else — a non-leaf (superseded/unknown) base, or a
+    *    rev-less write over a live doc — → `conflict` (CouchDB's
+    *    409), never a write.
     * The minted rev is `pos+1` with hash `md5(id:pos:body)` —
     * deterministic from content, so batches are idempotent and
     * engine-replayable (CouchDB's rev hash is likewise a content
@@ -114,19 +117,34 @@ object Replication {
         col("w.anc").as("_wanc"),
         concat(col("w.pos").cast("string"), lit("-"), col("w.hash"))
           .as("_wrev"))
+    // leaf relation keyed by (id, rev): a base-rev write joins the
+    // LEAF it edits — any current leaf is editable, and the minted
+    // rev extends that branch's path, not the winner's
+    val leafRevs = in.select(col("_id").as("_lid"),
+      concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+        .as("_lrev"),
+      col("_pos").as("_lpos"), col("_anc").as("_lanc"))
     val w = writes.select(wId.as("id"),
       wBaseRev.cast("string").as("_base"), wBody.cast("string").as("_body"),
       coalesce(wDel.cast("boolean"), lit(false)).as("_wdel"))
     val joined = w.join(win, Seq("id"), "left")
-    val ok = (col("_base").isNotNull && col("_base") === col("_wrev")) ||
+      .join(leafRevs,
+        col("id") === col("_lid") && col("_base") === col("_lrev"), "left")
+    val ok = (col("_base").isNotNull && col("_lrev").isNotNull) ||
       (col("_base").isNull && (col("_wrev").isNull || !col("_wlive")))
-    val newPos = coalesce(col("_wpos"), lit(0L)) + lit(1L)
+    val basePos = when(col("_base").isNotNull, col("_lpos"))
+      .otherwise(col("_wpos"))
+    val baseRev = when(col("_base").isNotNull, col("_lrev"))
+      .otherwise(col("_wrev"))
+    val baseAnc = when(col("_base").isNotNull, col("_lanc"))
+      .otherwise(col("_wanc"))
+    val newPos = coalesce(basePos, lit(0L)) + lit(1L)
     val newHash = md5(concat(col("id").cast("string"), lit(":"),
       newPos.cast("string"), lit(":"), coalesce(col("_body"), lit(""))))
     val judged = joined.select(col("id"), col("_wdel"),
       ok.as("_ok"), newPos.as("_npos"), newHash.as("_nhash"),
-      when(col("_wrev").isNotNull, concat(array(col("_wrev")),
-        coalesce(col("_wanc"), array().cast("array<string>"))))
+      when(baseRev.isNotNull, concat(array(baseRev),
+        coalesce(baseAnc, array().cast("array<string>"))))
         .otherwise(array().cast("array<string>")).as("_nanc"))
     val report = judged.select(col("id"),
       when(col("_ok"), lit("ok")).otherwise(lit("conflict")).as("status"),

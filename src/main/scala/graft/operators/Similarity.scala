@@ -202,7 +202,8 @@ object Similarity {
     * rewritten behind rename swaps — O(changed buckets) whatever the
     * corpus size. Returns the rewritten bucket ids. */
   def upsertSq8Vectors(spark: SparkSession, path: String,
-                       changed: DataFrame, deletedIds: DataFrame): Seq[Int] = {
+                       changed: DataFrame, deletedIds: DataFrame,
+                       newSeq: Long = -1L): Seq[Int] = {
     val meta = IndexStore.readMeta(spark, path)
     val model = sq8Model(spark, path)
     val touched = changed.select(col("vec_id"))
@@ -221,8 +222,8 @@ object Similarity {
             meta.buckets)))
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         path + "/data", "_b", bs, Seq(col("_b"), col("vec_id")))
-      IndexStore.writeMeta(spark, path,
-        meta.copy(updateSeq = meta.updateSeq + 1))
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
       bs
     } finally touched.unpersist()
   }
@@ -302,7 +303,9 @@ object Similarity {
                else cids0.unionByName(
                  IndexStore.idsDf(spark, cids0, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, ivfSq8Rows(changed, cents, model),
+    IndexStore.merge(spark, path, meta,
+      ivfSq8Rows(IndexStore.minusDeleted(spark, changed, "vec_id",
+        deletedIds), cents, model),
       cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
@@ -430,7 +433,7 @@ object Similarity {
     * size. Returns the rewritten bucket ids. */
   def upsertBinaryVectors(spark: SparkSession, path: String,
                           changed: DataFrame, deletedIds: DataFrame,
-                          dims: Int = 64): Seq[Int] = {
+                          dims: Int = 64, newSeq: Long = -1L): Seq[Int] = {
     val meta = IndexStore.readMeta(spark, path)
     val touched = changed.select(col("vec_id"))
       .unionByName(deletedIds.toDF("vec_id")).distinct().persist()
@@ -448,8 +451,8 @@ object Similarity {
             meta.buckets)))
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         path + "/data", "_b", bs, Seq(col("_b"), col("vec_id")))
-      IndexStore.writeMeta(spark, path,
-        meta.copy(updateSeq = meta.updateSeq + 1))
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
       bs
     } finally touched.unpersist()
   }
@@ -691,8 +694,10 @@ object Similarity {
     val cids = if (deletedIds.isEmpty) cids0
                else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, lshRows(changed, planes), cids, seq,
-      dataSortCols = Seq(col("_kb"), col("_id")))
+    IndexStore.merge(spark, path, meta,
+      lshRows(IndexStore.minusDeleted(spark, changed, "vec_id",
+        deletedIds), planes),
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
   /** ANN against a persisted [[buildLshIndex]] index. The probe bucket
@@ -1020,7 +1025,8 @@ object Similarity {
     val cents = readCentroids(spark, path)
     // verdict column is recomputed below once the touched clusters'
     // membership is final; the merge only needs the row shape
-    val newRows = ivfRows(changed, cents).withColumn("keep", lit(true))
+    val newRows = ivfRows(IndexStore.minusDeleted(spark, changed,
+      "vec_id", deletedIds), cents).withColumn("keep", lit(true))
     val cids0 = changed.select(col("vec_id").as("_id")).distinct()
     val cids = if (deletedIds.isEmpty) cids0
                else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
@@ -1093,8 +1099,10 @@ object Similarity {
     val cids = if (deletedIds.isEmpty) cids0
                else cids0.unionByName(IndexStore.idsDf(spark, cids0, deletedIds))
     val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-    IndexStore.merge(spark, path, meta, ivfRows(changed, cents), cids, seq,
-      dataSortCols = Seq(col("_kb"), col("_id")))
+    IndexStore.merge(spark, path, meta,
+      ivfRows(IndexStore.minusDeleted(spark, changed, "vec_id",
+        deletedIds), cents),
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
   /** ANN against a persisted [[buildIvfIndex]] index: each query scores

@@ -330,7 +330,10 @@ object TextSearch {
     // changed docs tokenize under the STORED analyzer — a maintained
     // index must stay homogeneous with its build
     val an = analyzerFromRow(st)
-    val newTf = termFreqs(changedDocs, id, text, an)
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+    val newTf = termFreqs(live, id, text, an)
       .withColumn("_tb", termBucket(col("term"), nB)).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
     val cids = (if (deletedIds.isEmpty) cids0
@@ -959,8 +962,11 @@ object TextSearch {
     require(changedFields.map(_._1) == stored,
       s"changed fields ${changedFields.map(_._1)} must match the " +
         s"stored field map $stored (in build order)")
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
     val newTf = changedFields.map { case (nm, c) =>
-      termFreqs(changedDocs, id, c, an).withColumn("field", lit(nm))
+      termFreqs(live, id, c, an).withColumn("field", lit(nm))
     }.reduce(_ unionByName _)
       .withColumn("_tb", termBucket(col("term"), nB)).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()

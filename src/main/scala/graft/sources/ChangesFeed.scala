@@ -110,19 +110,8 @@ object ChangesFeed {
     * The `_kb` filter is still applied after — correctness never
     * depends on the listing cut. */
   private def openFrom(spark: SparkSession, path: String,
-                       minKb: Long): DataFrame = {
-    val fs = graft.view.IndexStore.fsFor(spark, path)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
-      .map(_.getPath)
-    val hit = dirs.filter(p => scala.util.Try(
-      p.getName.substring(4).toLong).toOption.exists(_ >= minKb))
-    // empty tail: one bucket dir supplies the schema, rows filter out
-    val toRead = if (hit.nonEmpty) hit else dirs.take(1)
-    if (toRead.isEmpty) spark.read.parquet(path)
-    else spark.read.option("basePath", path)
-      .parquet(toRead.map(_.toString).toIndexedSeq: _*)
-  }
+                       minKb: Long): DataFrame =
+    graft.view.IndexStore.readWhere(spark, path, "_kb", _ >= minKb)
 
   def since(spark: SparkSession, path: String, sinceSeq: Long,
             limit: Option[Int], descending: Boolean): DataFrame = {

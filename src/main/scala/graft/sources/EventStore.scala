@@ -172,27 +172,10 @@ object EventStore {
     // whole table's listing (driver time ∝ table span — measured 6×
     // at a 10× span). One status call lists the day-dir names; the
     // parquet reader then enumerates files only under the hit days.
-    val fs = graft.view.IndexStore.fsFor(spark, path)
-    val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_day="))
-      .map(_.getPath)
-    val hit = dayDirs.filter { p =>
-      scala.util.Try(p.getName.substring(5).toLong)
-        .toOption.exists(d => d >= fromDay && d <= toDay)
-    }
-    // empty window: read ONE day dir (for the schema) and filter all
-    // rows out — still no full-table listing
-    val toRead = if (hit.nonEmpty) hit else dayDirs.take(1)
-    if (toRead.isEmpty)
-      spark.read.parquet(path) // no day dirs at all: degenerate store
-        .filter(col("_day") >= fromDay && col("_day") <= toDay &&
-          col("ts_us") >= fromUs && col("ts_us") < toUs)
-        .drop("_day")
-    else
-      spark.read.option("basePath", path)
-        .parquet(toRead.map(_.toString).toIndexedSeq: _*)
-        .filter(col("_day") >= fromDay && col("_day") <= toDay &&
-          col("ts_us") >= fromUs && col("ts_us") < toUs)
-        .drop("_day")
+    graft.view.IndexStore
+      .readWhere(spark, path, "_day", d => d >= fromDay && d <= toDay)
+      .filter(col("_day") >= fromDay && col("_day") <= toDay &&
+        col("ts_us") >= fromUs && col("ts_us") < toUs)
+      .drop("_day")
   }
 }

@@ -198,6 +198,40 @@ object Streams {
       .start()
   }
 
+  /** The shared foreachBatch driver of every vector-feed index
+    * maintainer (feed schema `vec_id`, `embedding`, optional boolean
+    * `_deleted`): split each micro-batch into live rows and
+    * tombstoned ids, `build` on the first non-empty batch, `upsert`
+    * after — both stamped `seq = batchId + 1`, so a foreachBatch
+    * RETRY replays onto the same update_seq (idempotence). The split
+    * lives in ONE place so the G-family rules (tombstones retire; an
+    * id carrying both an update and a tombstone in one batch lets the
+    * delete win inside the upsert) cannot drift between tiers. */
+  private def maintainVecIndex(spark: SparkSession, changeFeed: DataFrame,
+                               path: String, checkpoint: String,
+                               build: (DataFrame, Long) => Unit,
+                               upsert: (DataFrame, Seq[Any], Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.view.IndexStore
+    changeFeed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hasDel = batch.columns.contains("_deleted")
+        val deleted = coalesce(col("_deleted"), lit(false))
+        val live = if (hasDel) batch.filter(!deleted) else batch
+        val delIds =
+          if (hasDel) batch.filter(deleted).select(col("vec_id"))
+            .distinct().collect().map(_.get(0)).toSeq
+          else Nil
+        if (!IndexStore.exists(spark, path)) {
+          if (!live.isEmpty) build(live, batchId + 1)
+        } else upsert(live, delIds, batchId + 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted ANN index — the embedding-
     * corpus analogue of [[maintainViewIndex]]: the first non-empty
     * micro-batch builds the index ([[graft.operators.Similarity
@@ -215,35 +249,17 @@ object Streams {
                        nCentroids: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-            .distinct().collect().map(_.get(0)).toSeq
-          else Nil
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty) {
-            if (ivf) Similarity.buildIvfIndex(live, path, nCentroids,
-              seq = batchId + 1)
-            else Similarity.buildLshIndex(live, path, planes,
-              seq = batchId + 1)
-          }
-        } else if (ivf) {
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) =>
+        if (ivf) Similarity.buildIvfIndex(live, path, nCentroids, seq = seq)
+        else Similarity.buildLshIndex(live, path, planes, seq = seq),
+      upsert = (live, delIds, seq) =>
+        if (ivf)
           Similarity.upsertIvfVectors(spark, path, live, delIds,
-            newSeq = batchId + 1)
-        } else {
+            newSeq = seq)
+        else
           Similarity.upsertLshVectors(spark, path, live, delIds, planes,
-            newSeq = batchId + 1)
-        }
-        ()
-      }
-      .start()
+            newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted PQ (product-quantization)
@@ -260,28 +276,10 @@ object Streams {
                       m: Int = 8, ks: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Pq
-    import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-            .distinct().collect().map(_.get(0)).toSeq
-          else Nil
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
-            Pq.buildPqIndex(live, path, m, ks, seq = batchId + 1)
-        } else {
-          Pq.upsertPqVectors(spark, path, live, delIds,
-            newSeq = batchId + 1)
-        }
-        ()
-      }
-      .start()
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) => Pq.buildPqIndex(live, path, m, ks, seq = seq),
+      upsert = (live, delIds, seq) =>
+        Pq.upsertPqVectors(spark, path, live, delIds, newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted IVFADC index — the
@@ -298,29 +296,11 @@ object Streams {
                          nCentroids: Int = 16, m: Int = 8, ks: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Pq
-    import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-            .distinct().collect().map(_.get(0)).toSeq
-          else Nil
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
-            Pq.buildIvfPqIndex(live, path, nCentroids, m, ks,
-              seq = batchId + 1)
-        } else {
-          Pq.upsertIvfPqVectors(spark, path, live, delIds,
-            newSeq = batchId + 1)
-        }
-        ()
-      }
-      .start()
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) =>
+        Pq.buildIvfPqIndex(live, path, nCentroids, m, ks, seq = seq),
+      upsert = (live, delIds, seq) =>
+        Pq.upsertIvfPqVectors(spark, path, live, delIds, newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted IVF-SQ8 index — the
@@ -337,29 +317,12 @@ object Streams {
                           nCentroids: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-            .distinct().collect().map(_.get(0)).toSeq
-          else Nil
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
-            Similarity.buildIvfSq8Index(live, path, nCentroids,
-              seq = batchId + 1)
-        } else {
-          Similarity.upsertIvfSq8Vectors(spark, path, live, delIds,
-            newSeq = batchId + 1)
-        }
-        ()
-      }
-      .start()
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) =>
+        Similarity.buildIvfSq8Index(live, path, nCentroids, seq = seq),
+      upsert = (live, delIds, seq) =>
+        Similarity.upsertIvfSq8Vectors(spark, path, live, delIds,
+          newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted BINARY-quantization index —
@@ -377,26 +340,14 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-          else batch.select(col("vec_id")).limit(0)
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
-            Similarity.buildBinaryIndex(live, path, dims,
-              seq = batchId + 1)
-        } else {
-          Similarity.upsertBinaryVectors(spark, path, live, delIds, dims)
-        }
-        ()
-      }
-      .start()
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) =>
+        Similarity.buildBinaryIndex(live, path, dims, seq = seq),
+      upsert = (live, delIds, seq) =>
+        Similarity.upsertBinaryVectors(spark, path, live,
+          IndexStore.idsDf(spark, live.select(col("vec_id").as("_id")),
+            delIds).toDF("vec_id"),
+          dims, newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted SQ8 index — the 8-bit tier
@@ -413,25 +364,13 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-          else batch.select(col("vec_id")).limit(0)
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
-            Similarity.buildSq8Index(live, path, seq = batchId + 1)
-        } else {
-          Similarity.upsertSq8Vectors(spark, path, live, delIds)
-        }
-        ()
-      }
-      .start()
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) => Similarity.buildSq8Index(live, path, seq = seq),
+      upsert = (live, delIds, seq) =>
+        Similarity.upsertSq8Vectors(spark, path, live,
+          IndexStore.idsDf(spark, live.select(col("vec_id").as("_id")),
+            delIds).toDF("vec_id"),
+          newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted SemDeDup index — the
@@ -450,29 +389,13 @@ object Streams {
                             refineIters: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    import graft.view.IndexStore
-    changeFeed.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hasDel = batch.columns.contains("_deleted")
-        val deleted = coalesce(col("_deleted"), lit(false))
-        val live = if (hasDel) batch.filter(!deleted) else batch
-        val delIds =
-          if (hasDel) batch.filter(deleted).select(col("vec_id"))
-            .distinct().collect().map(_.get(0)).toSeq
-          else Nil
-        if (!IndexStore.exists(spark, path)) {
-          if (!live.isEmpty)
-            Similarity.buildSemDedupIndex(live, path, tau, nCentroids,
-              refineIters, seq = batchId + 1)
-        } else {
-          Similarity.upsertSemDedupVectors(spark, path, live, delIds,
-            newSeq = batchId + 1)
-        }
-        ()
-      }
-      .start()
+    maintainVecIndex(spark, changeFeed, path, checkpoint,
+      build = (live, seq) =>
+        Similarity.buildSemDedupIndex(live, path, tau, nCentroids,
+          refineIters, seq = seq),
+      upsert = (live, delIds, seq) =>
+        Similarity.upsertSemDedupVectors(spark, path, live, delIds,
+          newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted inverted text index — the

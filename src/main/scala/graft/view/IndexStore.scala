@@ -119,15 +119,27 @@ object IndexStore {
     * nothing matches. */
   private[graft] def readBuckets(spark: SparkSession, dir: String,
                                  part: String, ids: Seq[Int]): DataFrame = {
-    val want = ids.toSet
+    val want = ids.map(_.toLong).toSet
+    readWhere(spark, dir, part, want)
+  }
+
+  /** The predicate form of [[readBuckets]] — one listing-prune
+    * implementation for every integral partition scheme: exact bucket
+    * sets (`readBuckets`), checkpoint tails (ChangesFeed's
+    * `_kb >= minKb`), day windows (EventStore's `_day` range). */
+  private[graft] def readWhere(spark: SparkSession, dir: String,
+                               part: String,
+                               keep: Long => Boolean): DataFrame = {
     val fs = fsFor(spark, dir)
     val p = new Path(dir)
     if (!fs.exists(p)) return spark.read.parquet(dir) // loud, as before
     val all = fs.listStatus(p).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(part + "="))
     val hit = all.filter(s => scala.util.Try(
-      s.getPath.getName.substring(part.length + 1).toInt)
-      .toOption.exists(want))
+      s.getPath.getName.substring(part.length + 1).toLong)
+      .toOption.exists(keep))
+    // nothing in range: one partition dir supplies the schema, the
+    // caller's partition-column filter drops its rows
     val toRead = if (hit.nonEmpty) hit else all.take(1)
     if (toRead.isEmpty) spark.read.parquet(dir)
     else spark.read.option("basePath", dir)
@@ -384,6 +396,22 @@ object IndexStore {
 
   /** Build a one-column `_id` DataFrame for literal deleted ids, typed
     * like `idsLike`'s `_id` column. */
+  /** `changed` minus the rows whose id is in `deletedIds` — a batch
+    * carrying BOTH an update and a tombstone for one id must let the
+    * tombstone WIN (in feed order the delete is the later event);
+    * without this cut the updated row re-enters the store right after
+    * the merge removed it (resurrection). Every incremental upsert
+    * routes its changed set through here before deriving new store
+    * rows. */
+  private[graft] def minusDeleted(spark: SparkSession, changed: DataFrame,
+                                  idCol: String,
+                                  deletedIds: Seq[Any]): DataFrame =
+    if (deletedIds.isEmpty) changed
+    else changed.join(
+      idsDf(spark, changed.select(col(idCol).as("_id")), deletedIds)
+        .toDF(idCol),
+      Seq(idCol), "left_anti")
+
   def idsDf(spark: SparkSession, idsLike: DataFrame,
             ids: Seq[Any]): DataFrame = {
     val schema = idsLike.select(col("_id")).schema

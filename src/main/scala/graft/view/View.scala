@@ -749,12 +749,27 @@ final class View private (
     * only the `_p` directories holding changed docs are read and
     * rewritten, behind the same rename-swap discipline. O(changed
     * partitions) per batch. */
+  /** `changedDocs` minus the deleted ids — a batch carrying BOTH an
+    * update and a tombstone for one doc lets the tombstone WIN (in
+    * feed order the delete is the later event); without this cut the
+    * updated doc's rows re-enter the index right after the merge
+    * removed them. */
+  private def minusDeleted(spark: SparkSession, changedDocs: DataFrame,
+                           deletedIds: Seq[Any]): DataFrame =
+    if (deletedIds.isEmpty) changedDocs
+    else {
+      val del = IndexStore.idsDf(spark,
+          changedDocs.select(idCol.as("_id")), deletedIds)
+        .withColumnRenamed("_id", "_graft_del_id")
+      changedDocs.join(del, idCol === col("_graft_del_id"), "left_anti")
+    }
+
   def updatePartitionedIndex(spark: SparkSession, path: String,
                              changedDocs: DataFrame,
                              deletedIds: Seq[Any] = Nil,
                              newSeq: Long = -1L): Unit = {
     val meta = IndexStore.readMeta(spark, path)
-    val newRows = mapPhase(changedDocs)
+    val newRows = mapPhase(minusDeleted(spark, changedDocs, deletedIds))
     val cids = changedDocs.select(idCol.as("_id")).distinct()
     val allIds =
       if (deletedIds.isEmpty) cids
@@ -788,7 +803,7 @@ final class View private (
       deletedIds: Seq[Any] = Nil,
       newSeq: Long = -1L): Unit = {
     val meta = IndexStore.readMeta(spark, path)
-    val newRows = mapPhase(changedDocs)
+    val newRows = mapPhase(minusDeleted(spark, changedDocs, deletedIds))
       .withColumn("_kb", IndexStore.bucketCol(col("_ck"), meta))
     val cids = changedDocs.select(idCol.as("_id")).distinct()
     val allIds =

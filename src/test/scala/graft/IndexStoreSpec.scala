@@ -527,4 +527,48 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(vi2.rows.filter($"_id" === id).count() == 0)
     r.rows.unpersist()
   }
+
+  test("update+tombstone for one id in ONE batch: the delete wins, never resurrection") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-delwin").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val changed5 = emb.filter($"vec_id" === 5L)
+      .withColumn("embedding", transform($"embedding", x => -x))
+    // LSH (IndexStore.merge path)
+    graft.operators.Similarity.buildLshIndex(emb, s"$dir/lsh")
+    graft.operators.Similarity.upsertLshVectors(spark, s"$dir/lsh",
+      changed5, deletedIds = Seq(5L))
+    assert(spark.read.parquet(s"$dir/lsh/data")
+      .filter($"_id" === 5L).count() == 0,
+      "LSH: the tombstoned id must not re-enter via its update row")
+    // IVF-SQ8 (the reviewed site)
+    graft.operators.Similarity.buildIvfSq8Index(emb, s"$dir/ivfsq8")
+    graft.operators.Similarity.upsertIvfSq8Vectors(spark, s"$dir/ivfsq8",
+      changed5, deletedIds = Seq(5L))
+    assert(spark.read.parquet(s"$dir/ivfsq8/data")
+      .filter($"_id" === 5L).count() == 0,
+      "IVF-SQ8: the tombstoned id must not re-enter via its update row")
+    // view updateIndex
+    val docs = orders.limit(200).select($"o_orderkey".as("_id"),
+      $"o_orderdate".cast("string").as("k"), $"o_totalprice".as("v"))
+    val v = View(docs, col("_id"), col("k"), col("v"))
+    v.materialize(s"$dir/view", numBuckets = 2, seq = 1)
+    val someId = docs.select($"_id").head().getLong(0)
+    v.updateIndex(spark, s"$dir/view",
+      docs.filter($"_id" === someId).withColumn("k", lit("zzz")),
+      deletedIds = Seq(someId))
+    assert(spark.read.parquet(s"$dir/view/data")
+      .filter($"_id" === someId).count() == 0,
+      "view: the tombstoned doc must not re-enter via its update row")
+    // text index
+    val tdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.operators.TextSearch.buildTextIndex(tdocs, col("doc_id"),
+      col("text"), s"$dir/txt", nBuckets = 4)
+    graft.operators.TextSearch.upsertTextDocs(spark, s"$dir/txt",
+      tdocs.filter($"doc_id" === 3L), col("doc_id"), col("text"),
+      deletedIds = Seq(3L))
+    assert(spark.read.parquet(s"$dir/txt/ids")
+      .filter($"doc_id" === 3L).count() == 0,
+      "text: the tombstoned doc must not re-enter via its update row")
+  }
 }

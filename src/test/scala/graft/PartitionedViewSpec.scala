@@ -81,8 +81,8 @@ class PartitionedViewSpec extends SparkSpecBase {
     val unpaged = pv.query(QueryOpts(group = true)).collect()
       .map(_.toString).toSeq
     assert(unpaged.size > 5, "fixture must span several pages")
-    // walk 3-group pages; every page must stay inside _p=c5 and the
-    // stitched walk must be the unpaged reduce, order included
+    // walk 3-group pages; the stitched walk must be the unpaged
+    // reduce, order included
     var token: Option[String] = None
     var walked = Seq.empty[String]
     var pages = 0
@@ -90,10 +90,6 @@ class PartitionedViewSpec extends SparkSpecBase {
     while (more) {
       val r = pv.queryPage(QueryOpts(group = true), pageSize = 3,
         resume = token)
-      val plan = pv.query(QueryOpts(group = true))
-        .queryExecution.executedPlan.toString()
-      assert(plan.contains("PartitionFilters") && plan.contains("_p"),
-        s"page $pages lost the _p partition filter")
       walked = walked ++ r.rows.collect().map(_.toString)
       token = r.nextToken; more = token.isDefined; pages += 1
     }
@@ -103,6 +99,21 @@ class PartitionedViewSpec extends SparkSpecBase {
     // cursoring re-aggregates only groups PAST the cursor: page 2 of
     // the walk equals the unpaged tail sliced the same way
     assert(walked.drop(3).take(3) == unpaged.drop(3).take(3))
+    // the EXACT cursored query page 2 issues (group page, limit,
+    // resume strictly after page 1's last group key) must still carry
+    // the _p partition filter — asserted on the cursored plan itself,
+    // not on a fresh unpaged query
+    val page1LastKey = pv.query(QueryOpts(group = true,
+      limit = Some(3L))).collect().last.getString(0)
+    val cursored = pv.query(QueryOpts(group = true, limit = Some(3L),
+      resumeAfter = Some((graft.gfunctions
+        .collation_key_lit(page1LastKey), 0L))))
+    val plan = cursored.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("_p"),
+      s"cursored page lost the _p partition filter:\n$plan")
+    assert(cursored.collect().map(_.toString).toSeq ==
+      walked.drop(3).take(3),
+      "the cursored query must BE page 2")
   }
 
   test("invalid partitioned ids fail the build; bad scope keys rejected") {

@@ -80,6 +80,22 @@ class ReplicationSpec extends SparkSpecBase {
       Seq(("d1", "1-aa", "x", true)).toDF("id", "base", "body", "del"),
       col("id"), col("base"), col("body"), col("del"))
     assert(leafSet(del.leaves).contains(("d1", s"2-${h("d1", 2, "x")}", true)))
+    // CouchDB's conflict RESOLUTION: an edit may target ANY current
+    // leaf, not just the winner — tombstoning the losing branch is
+    // the standard resolve move and must succeed
+    val conflicted = leavesDf(Seq(
+      ("d6", 2L, "bb", false, Seq("1-rr")),   // winner (hash bb > aa)
+      ("d6", 2L, "aa", false, Seq("1-rr"))))  // losing leaf
+    val resolve = Replication.bulkDocs(conflicted, cols._1, cols._2,
+      cols._3, cols._4, cols._5,
+      Seq(("d6", "2-aa", "", true)).toDF("id", "base", "body", "del"),
+      col("id"), col("base"), col("body"), col("del"))
+    assert(resolve.report.head().getString(1) == "ok",
+      "editing the LOSING leaf must be accepted")
+    assert(leafSet(resolve.leaves) == Set(
+      ("d6", "2-bb", false),
+      ("d6", s"3-${h("d6", 3, "")}", true)),
+      "the losing branch must be tombstoned, the winner untouched")
   }
 
   test("replicateOnce: delta-bounded pull round, ancestor-aware revs_diff, convergence") {
