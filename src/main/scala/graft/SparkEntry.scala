@@ -274,16 +274,41 @@ object SparkEntry {
       col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9))
       .orderBy(col("o_orderstatus"))
 
-  /** B7b (rows-only gate): SCALE-SAFE approx percentiles
-    * ([[graft.operators.Relational.approxPercentiles]]) — bounded
-    * Greenwald-Khanna summaries instead of q18's per-group value map.
-    * Sketch-specific values, so gated rows-only like q49/q56; the
-    * RelationalSpec error-bound test pins the rank guarantee against
-    * the exact path. */
-  private def q113(s: SparkSession, dir: String): DataFrame =
-    Relational.approxPercentiles(t(s, dir, "orders"), col("o_orderstatus"),
+  /** B7b: SCALE-SAFE approx percentiles ([[graft.operators.Relational
+    * .approxPercentiles]]) — bounded Greenwald-Khanna summaries
+    * instead of q18's per-group value map. Gated as a bounded-error
+    * verdict on the sketch's OWN guarantee: the returned value's rank
+    * window `[count(<v)+1, count(≤v)]` must intersect
+    * `[⌊(p−ε)·n⌋, ⌈(p+ε)·n⌉]` with ε = 1/accuracy (Spark's documented
+    * approx_percentile contract); the oracle recomputes n and states
+    * the verdicts TRUE. The RelationalSpec error-bound test pins the
+    * same guarantee against the exact path. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val apx = Relational.approxPercentiles(orders, col("o_orderstatus"),
       col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9))
+    val eps = 1.0 / 10000
+    def rankOk(p: Double, lt: Column, le: Column, n: Column): Column =
+      (le >= floor((lit(p) - eps) * n)) &&
+        ((lt + 1) <= ceil((lit(p) + eps) * n))
+    orders.join(apx, Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L))
+          .as("_lt50"),
+        sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L))
+          .as("_le50"),
+        sum(when(col("o_totalprice") < col("p90"), 1L).otherwise(0L))
+          .as("_lt90"),
+        sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L))
+          .as("_le90"))
+      .select(col("o_orderstatus"), col("n_rows"),
+        rankOk(0.5, col("_lt50"), col("_le50"), col("n_rows"))
+          .as("p50_ok"),
+        rankOk(0.9, col("_lt90"), col("_le90"), col("n_rows"))
+          .as("p90_ok"))
       .orderBy(col("o_orderstatus"))
+  }
 
   /** B8: pivot with a fixed value list (static schema — no driver scan). */
   private def q19(s: SparkSession, dir: String): DataFrame =
@@ -631,27 +656,45 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
-  /** B23 (rows-only gate): HyperLogLog++ approximate distinct counts —
-    * sketch-based, engine-specific; the spec bounds the relative error
-    * against exact counts. */
+  /** B23: HyperLogLog++ approximate distinct counts. Sketch values are
+    * engine-specific, so the gate hashes a BOUNDED-ERROR VERDICT
+    * relation instead: the exact distinct count (which DuckDB
+    * recomputes) plus a `within_bound` boolean — |approx − exact| ≤
+    * 6% · exact, three times the sketch's rsd=0.02 — which the oracle
+    * states as TRUE. A sketch drifting out of its declared bound now
+    * FAILS the hash gate instead of hiding behind rows-only. */
   private def q49(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("_apx"),
+        count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("exact_users"), col("cnt"),
+        (abs(col("_apx") - col("exact_users")).cast("double") <=
+          lit(0.06) * col("exact_users")).as("within_bound"))
       .orderBy(col("event_type"))
 
-  /** A20 (rows-only gate): the view-level `_approx_count_distinct`
-    * builtin — distinct customers per order status as a mergeable HLL
-    * sketch reduce ([[Reduce.ApproxCountDistinct]]); sketch-specific
-    * like q49, so gated rows-only; the spec bounds the error and
-    * verifies the rereduce (sketch-union) path against the
-    * materialized reduced index. */
-  private def q56(s: SparkSession, dir: String): DataFrame =
-    View(t(s, dir, "orders"), col("o_orderkey"), col("o_orderstatus"),
-      col("o_custkey"), Some(Reduce.ApproxCountDistinct()))
+  /** A21: the view-level `_approx_count_distinct` builtin — distinct
+    * customers per order status as a mergeable HLL sketch reduce
+    * ([[Reduce.ApproxCountDistinct]]). Gated like q49 as a
+    * bounded-error verdict: exact count + `within_bound` (6% — the
+    * lgK=12 sketch's rsd is ~1.6%), oracle-stated TRUE. The spec
+    * additionally verifies the rereduce (sketch-union) path against
+    * the materialized reduced index. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val est = View(t(s, dir, "orders"), col("o_orderkey"),
+      col("o_orderstatus"), col("o_custkey"),
+      Some(Reduce.ApproxCountDistinct()))
       .query(QueryOpts(group = true))
       .select(col("key").as("o_orderstatus"),
-        col("value.count").as("approx_cust"))
+        col("value.count").as("_apx"))
+    val exact = t(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_custkey")).as("exact_cust"))
+    est.join(exact, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("exact_cust"),
+        (abs(col("_apx") - col("exact_cust")).cast("double") <=
+          lit(0.06) * col("exact_cust")).as("within_bound"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** A20: attachment-style binary payloads through the doc/view surface
     * (CouchDB `_attachments` + `attachments=true` — see
@@ -3013,6 +3056,7 @@ object SparkEntry {
       .filter(col("vec_id") % 7 === 0 && col("vec_id") % 13 =!= 5)
       .withColumn("embedding", transform(col("embedding"), x => -x))
     val del = emb.filter(col("vec_id") % 13 === 5).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
     Similarity.upsertSq8Vectors(s, path, changed, del)
     val modified = emb.filter(col("vec_id") % 13 =!= 5)
       .withColumn("embedding",
@@ -3169,6 +3213,16 @@ object SparkEntry {
           |  "o_totalprice": {"$gte": 80000, "$lt": 250000}},
           | "fields": ["o_orderkey", "o_orderpriority"],
           | "limit": 1000000}""".stripMargin))
+      .unionByName(stats("limited",
+        """{"selector": {"o_orderstatus": "O",
+          |  "o_totalprice": {"$gte": 80000, "$lt": 250000}},
+          | "fields": ["o_orderkey", "o_totalprice"],
+          | "skip": 3, "limit": 10}""".stripMargin))
+      .unionByName(stats("walk",
+        """{"selector": {"o_orderstatus": "O",
+          |  "o_totalprice": {"$gte": 80000, "$lt": 250000},
+          |  "o_orderpriority": "1-URGENT"},
+          | "fields": ["o_orderkey"], "limit": 5}""".stripMargin))
       .unionByName(stats("scan",
         """{"selector": {"o_orderpriority": "1-URGENT"},
           | "fields": ["o_orderkey"], "limit": 1000000}""".stripMargin))
@@ -3217,6 +3271,129 @@ object SparkEntry {
       .report
       .select(col("id").as("doc_id"), col("status"), col("rev"))
       .orderBy(col("doc_id"))
+  }
+
+  /** A28j: STORE-BACKED `_bulk_docs new_edits=true`
+    * ([[graft.operators.Replication.bulkDocsStore]]) — the q219
+    * interactive batch against a PERSISTED `_b`-bucketed target: same
+    * writes, same MVCC verdicts, same content-digest minted revs, but
+    * only the write ids' bucket directories are read and rewritten
+    * (the syncBatch discipline on the write endpoint; bucket pruning
+    * spec-asserted in ReplicationSpec). The report must therefore
+    * equal the q219 relation-form answer — the oracle IS q219's. The
+    * store is rebuilt from the q186 target each run (the batch
+    * mutates it). */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val path = idxPath("q220bds", dir, "documents")
+    Replication.createTarget(s, path, q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16)
+    val c = col("doc_id") % 5
+    val stale = concat(lit("1-"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:m"))))
+    val writes = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      when(c === 0 || c === 1, stale)
+        .when(c === 4, lit("9-deadbeef"))
+        .otherwise(lit(null).cast("string")).as("base"))
+    Replication.bulkDocsStore(s, path, writes, col("doc_id"),
+        col("base"), col("text"), lit(false))
+      .report
+      .select(col("id").as("doc_id"), col("status"), col("rev"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A25e: LUCENE-SYNTAX `$text` ([[graft.operators.TextQuery]] via
+    * [[graft.operators.Mango.findAuto]]) — the CouchDB text-search
+    * grammar on the q172 multi-field index: an OR group, a fielded
+    * term (`source:src2`), a negated default-field PHRASE (positions
+    * from the stamped concatenation) and a numeric `[100 TO 400]`
+    * range, all in one selector string. Candidates come from postings
+    * probes (the OR's two term unions ∩ src2's bucket), the whole
+    * parsed query re-evaluates on the fetched docs; the oracle
+    * replays tokens, the contiguous-pair phrase test and the range
+    * relationally. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q172mtx2", dir, "documents")
+    val idx =
+      if (hasFile(s, s"$path/_mango_text")) Mango.openTextIndex(s, path)
+      else Mango.createTextIndex(s, docs, "doc_id", Seq("text", "source"),
+        path, 64, graft.operators.TextSearch.Analyzer())
+    Mango.findAuto(s, docs, "doc_id", Nil, Seq(idx),
+      """{"selector": {"$text": "(merge OR filter) AND source:src2 AND NOT \"merge filter\" AND n_chars:[100 TO 400]"},
+        | "fields": ["doc_id", "source", "n_chars"],
+        | "sort": ["doc_id"], "limit": 1000000}""".stripMargin)
+  }
+
+  /** A24i: `conflicts: true` in `_find` ([[graft.operators.Mango
+    * .withConflicts]] + the FindReq flag) — the A33 conflict join
+    * composed onto Mango's fetch leg: docs decorated once from the
+    * q126 synthesized revision trees, a selector-filtered find
+    * returning each doc's `_conflicts` array (losing live revs; empty
+    * when clean). Serves through findAuto's INDEX path too —
+    * conflicts forces the doc fetch (an index key cannot decode a
+    * conflict set), spec-pinned. The oracle replays the q126 winner
+    * rule's losing-live set and the selector. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mango
+    val docs = t(s, dir, "documents")
+    val decorated = Mango.withConflicts(docs, "doc_id",
+      q126Leaves(s, dir), col("doc_id"), col("rev_pos"), col("rev_hash"),
+      col("deleted"))
+    Mango.find(decorated, "doc_id",
+      """{"selector": {"lang": {"$in": ["en", "de"]},
+        |              "n_chars": {"$gte": 200}},
+        | "fields": ["doc_id", "lang", "_conflicts"],
+        | "sort": ["doc_id"], "limit": 1000000,
+        | "conflicts": true}""".stripMargin)
+      .select(col("doc_id"), col("lang"),
+        size(col("_conflicts")).cast("long").as("n_conflicts"),
+        concat_ws(",", col("_conflicts")).as("conflicts"))
+  }
+
+  /** D8c: the cascade over the PERSISTED FLAT-PQ tier
+    * ([[graft.operators.Similarity.cascadeTopKIndexed]], tier `"pq"`
+    * — [[graft.operators.Pq.pqShortlistIndexed]] feeding the shared
+    * exact rerank): the 32×-compressed stored-code scan shortlists
+    * 256 candidates, floats are read only for those |q|·256 rows.
+    * Unlike the q218 SQ8 cascade (whose 8-bit shortlist covers the
+    * true top-10 — brute oracle), the 4-bit-per-subspace ADC order is
+    * too coarse for a sufficiency guarantee, so the oracle replays
+    * the exact composition (the q118 ADC replay at shortlist 256,
+    * k 10) — frozen codebooks, fixed-order fold, exact rerank. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    // own pristine store: q120's flat-PQ index is MUTATED by its
+    // upsert scenario, so the cascade serves a separate build
+    val path = idxPath("q223pq", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      graft.operators.Pq.buildPqIndex(emb, path)
+    Similarity.cascadeTopKIndexed(s, path, emb,
+        emb.filter(col("vec_id") < 10), k = 10, shortlist = 256,
+        tier = "pq")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D8d: the cascade over the PERSISTED IVFADC tier (tier `"ivfpq"`
+    * — [[graft.operators.Pq.ivfPqShortlistIndexed]]: probe → pruned
+    * `_kb` code read → ADC shortlist → shared exact rerank). Probing
+    * ALL 16 lists removes the IVF restriction, and raw-vector IVFADC
+    * codes equal the flat-PQ codes by construction — so the answer
+    * (and the oracle) is exactly q223's ADC replay. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    // the q158 IVFADC store serves read-only — shared
+    val path = idxPath("ivfpq", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      graft.operators.Pq.buildIvfPqIndex(emb, path)
+    Similarity.cascadeTopKIndexed(s, path, emb,
+        emb.filter(col("vec_id") < 10), k = 10, shortlist = 256,
+        tier = "ivfpq", nProbe = 16)
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
@@ -4275,6 +4452,9 @@ object SparkEntry {
     "q218_cascade_indexed" -> ((s, dir) => graft.operators.Similarity
       .buildSq8Index(t(s, dir, "embeddings"),
         idxPath("sq8x", dir, "embeddings"))),
+    "q223_cascade_pq" -> ((s, dir) => graft.operators.Pq
+      .buildPqIndex(t(s, dir, "embeddings"),
+        idxPath("q223pq", dir, "embeddings"))),
     "q55_ann_ivf_refined" -> ((s, dir) => graft.operators.Similarity
       .buildIvfIndex(t(s, dir, "embeddings"),
         idxPath("ivfr", dir, "embeddings"), refineIters = 1)),
@@ -4684,7 +4864,12 @@ object SparkEntry {
     "q216_missing_revs" -> (q216 _),
     "q217_execution_stats" -> (q217 _),
     "q218_cascade_indexed" -> (q218 _),
-    "q219_bulk_docs" -> (q219 _)
+    "q219_bulk_docs" -> (q219 _),
+    "q220_bulk_docs_store" -> (q220 _),
+    "q221_text_lucene" -> (q221 _),
+    "q222_find_conflicts" -> (q222 _),
+    "q223_cascade_pq" -> (q223 _),
+    "q224_cascade_ivfpq" -> (q224 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -4805,6 +4990,23 @@ object SparkEntry {
         |ORDER BY s.side, e.doc_id, e.rev""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the three sketch gates: the oracle recomputes the EXACT value and
+    // states the within-declared-bound verdict TRUE — a sketch
+    // drifting out of bound hash-fails instead of hiding as rows-only
+    "q49_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS cnt, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q56_view_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q113_approx_percentiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q01_emit_sum" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -7799,6 +8001,8 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q208_cascade_ann" -> bruteTop10Oracle,
     "q218_cascade_indexed" -> bruteTop10Oracle,
+    "q223_cascade_pq" -> pqCascadeOracle,
+    "q224_cascade_ivfpq" -> pqCascadeOracle,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES
@@ -7870,14 +8074,35 @@ object SparkEntry {
         |             AND o_totalprice >= 80000 AND o_totalprice < 250000),
         |n AS (SELECT COUNT(*) AS n FROM orders),
         |u AS (SELECT COUNT(*) AS u FROM orders
-        |      WHERE o_orderpriority = '1-URGENT')
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |wb AS (SELECT (o_orderpriority = '1-URGENT') AS pass,
+        |         o_totalprice, o_orderkey
+        |       FROM orders
+        |       WHERE o_orderstatus = 'O'
+        |         AND o_totalprice >= 80000 AND o_totalprice < 250000),
+        |ww AS (SELECT pass,
+        |         SUM(CASE WHEN pass THEN 1 ELSE 0 END) OVER (
+        |           ORDER BY o_totalprice, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM wb),
+        |wk AS (SELECT COUNT(*) AS ke FROM ww
+        |       WHERE cum < 5 OR (cum = 5 AND pass)),
+        |wp AS (SELECT COUNT(*) AS np FROM wb WHERE pass)
         |SELECT 'covered' AS route, TRUE AS indexed, TRUE AS covered,
         |  c.k AS total_keys_examined, CAST(0 AS BIGINT) AS total_docs_examined,
         |  c.k AS results_returned FROM c
         |UNION ALL
         |SELECT 'fetch', TRUE, FALSE, c.k, c.k, c.k FROM c
         |UNION ALL
+        |SELECT 'limited', TRUE, TRUE, LEAST(CAST(13 AS BIGINT), c.k),
+        |  CAST(0 AS BIGINT),
+        |  LEAST(CAST(10 AS BIGINT), GREATEST(c.k - 3, CAST(0 AS BIGINT)))
+        |FROM c
+        |UNION ALL
         |SELECT 'scan', FALSE, FALSE, CAST(0 AS BIGINT), n.n, u.u FROM n, u
+        |UNION ALL
+        |SELECT 'walk', TRUE, FALSE, wk.ke, wk.ke,
+        |  LEAST(CAST(5 AS BIGINT), wp.np) FROM wk, wp
         |ORDER BY route""".stripMargin,
     "q219_bulk_docs" ->
       """SELECT doc_id, 'ok' AS status,
@@ -7890,6 +8115,65 @@ object SparkEntry {
         |SELECT doc_id, 'ok', '1-' || md5(doc_id::VARCHAR || ':1:' || text)
         |FROM documents WHERE doc_id % 5 = 3
         |ORDER BY doc_id""".stripMargin,
+    // the store-backed endpoint must give the q219 relation-form
+    // answer verbatim — the oracle IS q219's
+    "q220_bulk_docs_store" ->
+      """SELECT doc_id, 'ok' AS status,
+        |  '2-' || md5(doc_id::VARCHAR || ':2:' || text) AS rev
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, 'conflict', CAST(NULL AS VARCHAR)
+        |FROM documents WHERE doc_id % 5 IN (1, 2, 4)
+        |UNION ALL
+        |SELECT doc_id, 'ok', '1-' || md5(doc_id::VARCHAR || ':1:' || text)
+        |FROM documents WHERE doc_id % 5 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // Lucene-syntax $text: (merge OR filter) AND source:src2 AND
+    // NOT "merge filter" AND n_chars:[100 TO 400] over the
+    // text+source multi-field index — default-field tokens are the
+    // stamped concatenation, the fielded term matches the source
+    // field's own tokens, the negated phrase is a contiguous pair in
+    // the concatenation, the range is the raw numeric column
+    "q221_text_lucene" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    string_split(text || ' ' || source, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM d
+        |WHERE (list_contains(toks, 'merge') OR list_contains(toks, 'filter'))
+        |  AND list_contains(string_split(source, ' '), 'src2')
+        |  AND NOT (len(list_filter(range(1, len(toks)),
+        |        i -> toks[i] = 'merge' AND toks[i+1] = 'filter')) > 0)
+        |  AND n_chars >= 100 AND n_chars <= 400
+        |ORDER BY doc_id""".stripMargin,
+    // conflicts: true in _find — the q126/q169 winner-rule replay
+    // (losing LIVE revs, sorted by rev string) joined to the
+    // selector-matched docs
+    "q222_find_conflicts" ->
+      """WITH leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves),
+        |c AS (SELECT doc_id, COUNT(*) AS n,
+        |        string_agg(rev_pos || '-' || rev_hash, ','
+        |                   ORDER BY rev_pos || '-' || rev_hash) AS lst
+        |      FROM ranked WHERE rn > 1 AND NOT deleted GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       COALESCE(c.n, 0) AS n_conflicts,
+        |       COALESCE(c.lst, '') AS conflicts
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |WHERE d.lang IN ('en', 'de') AND d.n_chars >= 200
+        |ORDER BY d.doc_id""".stripMargin,
     "q216_missing_revs" ->
       """SELECT doc_id,
         |  '2-' || md5(doc_id::VARCHAR || ':2:m') AS missing_revs
@@ -8136,6 +8420,65 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
       |  FROM j)
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** The q118 ADC replay at the CASCADE's gate shape (shortlist 256,
+    * k 10): the flat-PQ cascade, and — probing ALL 16 lists, where the
+    * IVF restriction vanishes and raw-vector IVFADC codes equal the
+    * flat codes — the ivfpq cascade too. */
+  private val pqCascadeOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |js AS (SELECT unnest(range(8)) AS j),
+        |cb AS (
+        |  SELECT js.j, e.vec_id AS c,
+        |         list_slice(e.v, js.j*8 + 1, js.j*8 + 8) AS cw
+        |  FROM e CROSS JOIN js WHERE e.vec_id < 16),
+        |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
+        |codes AS (
+        |  SELECT vec_id AS n_id, j, c2, cw FROM (
+        |    SELECT e.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb2.j
+        |        ORDER BY cb2.c2 - 2.0*list_dot_product(
+        |            list_slice(e.v, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
+        |          cb2.c ASC) AS rn
+        |    FROM e CROSS JOIN cb2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+        |adcj AS (
+        |  SELECT q.q_id, codes.n_id, codes.j,
+        |    codes.c2 - 2.0*list_dot_product(
+        |      list_slice(q.v, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d
+        |  FROM q CROSS JOIN codes WHERE codes.n_id != q.q_id),
+        |adc AS (
+        |  -- + is left-associative: this adds in subspace order 0..7,
+        |  -- the same double sequence the Spark-side fold emits
+        |  SELECT q_id, n_id,
+        |    MAX(CASE WHEN j=0 THEN d END)
+        |      + MAX(CASE WHEN j=1 THEN d END)
+        |      + MAX(CASE WHEN j=2 THEN d END)
+        |      + MAX(CASE WHEN j=3 THEN d END)
+        |      + MAX(CASE WHEN j=4 THEN d END)
+        |      + MAX(CASE WHEN j=5 THEN d END)
+        |      + MAX(CASE WHEN j=6 THEN d END)
+        |      + MAX(CASE WHEN j=7 THEN d END) AS adc
+        |  FROM adcj GROUP BY q_id, n_id),
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc ASC, n_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 256),
+        |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |j2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n2 qq ON qq.vec_id = cand.q_id
+        |  JOIN n2 xx ON xx.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j2)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   private val ivfOracle: String =
     """WITH e AS (

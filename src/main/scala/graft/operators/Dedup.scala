@@ -381,7 +381,11 @@ object Dedup {
     val nB = meta.buckets
     val live =
       if (deletedIds.isEmpty) changedDocs
-      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+      // coalesce: three-valued logic would DROP null-id rows here while
+      // the deletedIds-empty branch keeps them; null ids never match a
+      // tombstone (the IndexStore.minusDeleted anti-join contract)
+      else changedDocs.filter(
+        coalesce(!id.cast("long").isin(deletedIds: _*), lit(true)))
     val newRows = simhashBandRows(live, id, textCol, nB).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
     val cids = (if (deletedIds.isEmpty) cids0

@@ -179,7 +179,11 @@ object DedupIndex {
     val nB = meta.buckets
     val live =
       if (deletedIds.isEmpty) changedDocs
-      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+      // coalesce: three-valued logic would DROP null-id rows here while
+      // the deletedIds-empty branch keeps them; null ids never match a
+      // tombstone (the IndexStore.minusDeleted anti-join contract)
+      else changedDocs.filter(
+        coalesce(!id.cast("long").isin(deletedIds: _*), lit(true)))
     val newRows = bandRowsOf(live, id, text, k, bands, nB).persist()
     val liveIds = changedDocs.select(id.cast("long").as("doc_id"))
       .distinct().persist()

@@ -59,25 +59,34 @@ object Mango {
   final case class ElemMatch(path: String, sel: Sel, forAll: Boolean) extends Sel
   final case class KeyMapMatch(path: String, sel: Sel) extends Sel
   final case class BeginsWith(path: String, prefix: String) extends Sel
-  /** CouchDB `$text` (the text-index selector): matches docs whose
-    * ANALYZED indexed text contains every term of the analyzed query
-    * string. Conjunctive (all-terms) semantics — a deliberate,
-    * documented divergence from CouchDB/Lucene's default-OR query
-    * parser: the conjunction is exactly index-servable, relationally
-    * oracle-able, and the production mode of filtered search. Only
-    * servable FROM a text index ([[findText]]/[[findAuto]]), as in
-    * CouchDB, where `$text` without a text index is an error. */
+  /** CouchDB `$text` (the text-index selector). A PLAIN query string
+    * (bare whitespace terms) matches docs whose ANALYZED indexed text
+    * contains every term — conjunctive, exactly index-servable. A
+    * string using Lucene syntax ([[TextQuery.isLucene]]) parses the
+    * CouchDB text-search grammar: `field:term`, quoted phrases,
+    * AND/OR/NOT grouping, `[a TO b]` ranges — served by postings
+    * probes + an exact residual ([[luceneCandidates]]). One
+    * deliberate, documented divergence from Lucene's default-OR
+    * parser either way: adjacent clauses conjoin (write `OR` for a
+    * union). Only servable FROM a text index
+    * ([[findText]]/[[findAuto]]), as in CouchDB, where `$text`
+    * without a text index is an error. */
   final case class TextMatch(q: String) extends Sel
   final case class And(ss: Seq[Sel]) extends Sel
   final case class Or(ss: Seq[Sel]) extends Sel
   final case class Not(s: Sel) extends Sel
   final case class Nor(ss: Seq[Sel]) extends Sel
 
-  /** A parsed `_find` request body. */
+  /** A parsed `_find` request body. `conflicts: true` asks each
+    * returned doc to carry its `_conflicts` array (CouchDB's find
+    * option) — servable only over a [[withConflicts]]-decorated doc
+    * relation, since the conflict set lives in the revision trees,
+    * not the doc columns. */
   final case class FindReq(selector: Sel, fields: Seq[String],
                            sort: Seq[(String, Boolean)],
                            limit: Option[Long], skip: Long,
-                           useIndex: Option[String] = None)
+                           useIndex: Option[String] = None,
+                           conflicts: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -175,7 +184,8 @@ object Mango {
     val useIndex = Option(n.get("use_index")).map { u =>
       if (u.isArray) u.elements().asScala.toSeq.last.asText() else u.asText()
     }
-    FindReq(sel, fields, sort, limit, skip, useIndex)
+    val conflicts = Option(n.get("conflicts")).exists(_.asBoolean())
+    FindReq(sel, fields, sort, limit, skip, useIndex, conflicts)
   }
 
   // ------------------------------------------------------- compile to Column
@@ -348,9 +358,51 @@ object Mango {
     * when a limit is present (no full global sort is materialized). */
   def find(docs: DataFrame, idCol: String, findJson: String): DataFrame = {
     val req = parseFind(findJson)
-    val filtered = docs.filter(compile(req.selector, docs.schema))
+    val d = applyConflicts(docs, req)
+    val filtered = d.filter(compile(req.selector, d.schema))
     finish(filtered, req, idCol)
   }
+
+  /** The column `conflicts: true` surfaces on each returned doc. */
+  val CONFLICTS = "_conflicts"
+
+  /** Decorate a doc relation so `conflicts: true` finds can serve: each
+    * doc gains its `_conflicts` array (the LOSING live revisions —
+    * CouchDB's shape; empty when the doc resolves clean), derived from
+    * the corpus's revision-tree LEAVES exactly as the view surface does
+    * (A33, [[graft.view.View.withConflicts]]): one partial-aggregable
+    * [[Revisions.summary]] over the leaves + one id-keyed left join —
+    * never driver state. Decorate once, run any number of finds; a
+    * find WITHOUT `conflicts: true` drops the column from its output
+    * ([[applyConflicts]]), so the decorated relation serves both
+    * modes. */
+  def withConflicts(docs: DataFrame, idCol: String, leaves: DataFrame,
+                    id: Column, revPos: Column, revHash: Column,
+                    deleted: Column): DataFrame = {
+    val rel = Revisions.summary(leaves, id, revPos, revHash, deleted)
+      .select(col("id").as("_confl_id"),
+        when(col("n_conflicts") > 0, split(col("conflicts"), ","))
+          .otherwise(array().cast("array<string>")).as(CONFLICTS))
+    docs.join(rel, docs(idCol) === rel("_confl_id"), "left")
+      .withColumn(CONFLICTS,
+        coalesce(col(CONFLICTS), array().cast("array<string>")))
+      .drop("_confl_id")
+  }
+
+  /** Enforce the request's `conflicts` flag against the doc relation:
+    * `true` REQUIRES a [[withConflicts]]-decorated relation (loud —
+    * serving without the column would silently drop the promised
+    * field); `false` drops the decoration from the output, CouchDB's
+    * default response shape. */
+  private def applyConflicts(docs: DataFrame, req: FindReq): DataFrame =
+    if (req.conflicts) {
+      require(docs.columns.contains(CONFLICTS),
+        "conflicts=true requires a doc relation decorated with " +
+          "Mango.withConflicts (the conflict set lives in the revision " +
+          "trees, not the doc columns)")
+      docs
+    } else if (docs.columns.contains(CONFLICTS)) docs.drop(CONFLICTS)
+    else docs
 
   /** The shared find tail: deterministic (sort…, id) order, skip,
     * limit, projection. */
@@ -408,8 +460,9 @@ object Mango {
                               findJson: String, bookmark: Option[String])
       : (DataFrame, Seq[String], Seq[String], Int) = {
     val req = parseFind(findJson)
-    val filtered = docs.filter(compile(req.selector, docs.schema))
-    pagePlanFrom(filtered, docs.columns.toSeq, req, idCol, bookmark)
+    val d = applyConflicts(docs, req)
+    val filtered = d.filter(compile(req.selector, d.schema))
+    pagePlanFrom(filtered, d.columns.toSeq, req, idCol, bookmark)
   }
 
   /** The strictly-after lexicographic cursor predicate: OR over
@@ -642,12 +695,12 @@ object Mango {
                                   bookmark: Option[String],
                                   partition: Option[String])
       : Option[(DataFrame, Seq[String], Seq[String], Int)] = {
-    val corpus = partition match {
+    val req = parseFind(findJson)
+    val corpus = applyConflicts(partition match {
       case Some(p) => docs.filter(col(idCol).cast("string")
         .startsWith(p + graft.view.PartitionedStore.Sep))
       case None => docs
-    }
-    val req = parseFind(findJson)
+    }, req)
     val allDesc = req.sort.nonEmpty && req.sort.forall(!_._2)
     val sortMatchesIndex = req.sort.nonEmpty &&
       (req.sort.forall(_._2) || allDesc) &&
@@ -696,7 +749,8 @@ object Mango {
           }
         val touched = selectorPaths(req.selector) ++
           req.sort.map(_._1) ++ req.fields
-        val coverable = touched.subsetOf(index.fields.toSet + idCol) &&
+        val coverable = !req.conflicts &&
+          touched.subsetOf(index.fields.toSet + idCol) &&
           touched.forall(!_.contains('.'))
         val (rows, schema) =
           if (coverable) {
@@ -1043,7 +1097,8 @@ object Mango {
         val idxRows = v.query(QueryOpts(startKey = Some(startK),
           endKey = Some(endK), inclusiveEnd = incl, reduce = false,
           sorted = false))
-        serveIndexRows(docs, idCol, index, req, idxRows)
+        serveIndexRows(applyConflicts(docs, req), idCol, index, req,
+          idxRows)
     }
   }
 
@@ -1054,7 +1109,9 @@ object Mango {
   private def serveIndexRows(docs: DataFrame, idCol: String,
                              index: MangoIndex, req: FindReq,
                              idxRows: DataFrame): DataFrame = {
-    val coverable = isCovered(req, index, idCol)
+    // conflicts=true forces the doc fetch: the index cannot decode a
+    // _conflicts array out of its key
+    val coverable = !req.conflicts && isCovered(req, index, idCol)
     val (rows, schema) =
       if (coverable) {
         // decode the stored key struct; the find then never touches
@@ -1107,14 +1164,24 @@ object Mango {
     * companion, reported for the EXACT plan [[findAuto]] would run:
     * which index served (`_all_docs` = full scan, CouchDB's name for
     * the primary), whether the serve was covered,
-    * `total_keys_examined` (index rows read inside the pushed bound),
-    * `total_docs_examined` (fetched candidate documents; 0 on a
-    * covered serve; the corpus row count on a scan) and
-    * `results_returned`. Routing, partial-eligibility, and bounds all
-    * come from the planner's own code ([[pickIndex]] /
-    * [[indexBounds]] / [[isCovered]]), so the report can never
-    * diverge from the serve path. Counting jobs only — set-at-a-time,
-    * never per-doc callbacks. */
+    * `total_keys_examined` (index rows the serve READS — CouchDB walks
+    * the index in key order and STOPS once `skip + limit` rows have
+    * passed the residual selector, so a limited find examines only the
+    * prefix up to that cut; the cut is modeled exactly with one
+    * running-count window over the bound when the requested sort
+    * follows the index order, and falls back to the full bound count
+    * when a non-index sort forces the serve to see every bound row),
+    * `total_docs_examined` (fetched candidate documents among the
+    * examined keys; 0 on a covered serve; the corpus row count on a
+    * scan) and `results_returned`. Routing, partial-eligibility, and
+    * bounds all come from the planner's own code ([[pickIndex]] /
+    * [[indexBounds]] / [[isCovered]]), so the report can never diverge
+    * from the serve path.
+    *
+    * Cost note: a diagnostic endpoint, not a serve path — it re-runs
+    * the full find for `results_returned` plus the bound-walk jobs,
+    * ~2-3× one find. Counting jobs only — set-at-a-time, never
+    * per-doc callbacks. */
   def executionStats(spark: SparkSession, docs: DataFrame, idCol: String,
                      indexes: Seq[MangoIndex], findJson: String)
       : DataFrame = {
@@ -1132,11 +1199,22 @@ object Mango {
               .query(QueryOpts(startKey = Some(startK),
                 endKey = Some(endK), inclusiveEnd = incl,
                 reduce = false, sorted = false))
-            val keys = idxRows.count()
             val cov = isCovered(req, ix, idCol)
-            val docsEx =
-              if (cov) 0L
-              else idxRows.select(col("id")).distinct().count()
+            // the walk can stop early only when the serve emits rows
+            // in index order: no requested sort, or an ascending
+            // prefix of the index's fields
+            val indexOrdered = req.sort.isEmpty ||
+              (req.sort.forall(_._2) &&
+                req.sort.map(_._1) == ix.fields.take(req.sort.size))
+            val (keys, docsEx) = req.limit match {
+              case Some(lim) if indexOrdered =>
+                examinedAtCut(docs, idCol, ix, req, idxRows,
+                  req.skip + lim, cov)
+              case _ =>
+                val k = idxRows.count()
+                (k, if (cov) 0L
+                    else idxRows.select(col("id")).distinct().count())
+            }
             (ix.name, cov, keys, docsEx, results)
           case None => scanRow
         }
@@ -1144,6 +1222,63 @@ object Mango {
     }
     Seq(row).toDF("index_used", "covered", "total_keys_examined",
       "total_docs_examined", "results_returned")
+  }
+
+  /** The index-walk cut: walking `idxRows` in key order, how many index
+    * rows (and fetched docs) does the serve read before `need` rows
+    * have PASSED the residual selector? One pass-flag projection (on
+    * decoded keys when the selector is index-evaluable, else on the
+    * by-id fetched doc) + one running-count window; the window runs
+    * over the already-pruned bound, and only for this diagnostic
+    * endpoint. Returns (keysExamined, docsExamined). */
+  private def examinedAtCut(docs: DataFrame, idCol: String,
+                            ix: MangoIndex, req: FindReq,
+                            idxRows: DataFrame, need: Long,
+                            cov: Boolean): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val keySchema = StructType(ix.fields.map(f =>
+      StructField(f, resolve(docs.schema, f).get._2)))
+    val idType = docs.schema(idCol).dataType
+    // decode the stored key struct to TYPED columns — the walk order
+    // is field-by-field typed order then id, which within one Spark
+    // type per field is exactly the index's collation order
+    val kjson = from_json(col("key"), keySchema)
+    val rest = ix.fields.filterNot(_ == idCol)
+    val decoded = idxRows.select(
+      Seq(col("id").as("_wid"), col("id").cast(idType).as(idCol)) ++
+        rest.map(f => kjson.getField(f).as(f)): _*)
+    val paths = selectorPaths(req.selector)
+    val selOnIndex = paths.subsetOf(ix.fields.toSet + idCol) &&
+      paths.forall(!_.contains('.'))
+    val withPass =
+      if (selOnIndex) {
+        // the residual evaluates on the decoded key columns alone
+        val evalSchema = StructType(StructField(idCol, idType) +:
+          keySchema.fields.toSeq.filterNot(_.name == idCol))
+        decoded.withColumn("_pass", compile(req.selector, evalSchema))
+      } else {
+        val matched = docs.filter(compile(req.selector, docs.schema))
+          .select(col(idCol).cast("string").as("_mid"))
+        decoded.join(matched, col("_wid") === col("_mid"), "left")
+          .withColumn("_pass", col("_mid").isNotNull)
+      }
+    // index field order, ties broken on the TYPED doc id (replayable
+    // by the oracle; the decoded idCol column is typed even when the
+    // id is not indexed)
+    val order = ix.fields.map(col) :+ col(idCol)
+    val w = Window.orderBy(order: _*)
+    val walked = withPass
+      .withColumn("_cum",
+        sum(when(col("_pass"), 1L).otherwise(0L)).over(w))
+      // examined = everything up to and including the row where the
+      // cumulative pass count reaches `need`; the whole bound if it
+      // never does
+      .filter(col("_cum") < lit(need) ||
+        (col("_cum") === lit(need) && col("_pass")))
+    val keys = walked.count()
+    val docsEx = if (cov) 0L
+                 else walked.select(col("_wid")).distinct().count()
+    (keys, docsEx)
   }
 
   /** Build a PARTITIONED JSON index — CouchDB 3.x's default index
@@ -1195,7 +1330,8 @@ object Mango {
         "partition-scoped finds partition-locally")
     val req = parseFind(findJson)
     val pfx = partition + graft.view.PartitionedStore.Sep
-    val scoped = docs.filter(col(idCol).cast("string").startsWith(pfx))
+    val scoped = applyConflicts(
+      docs.filter(col(idCol).cast("string").startsWith(pfx)), req)
     if (index.partial.exists(pf =>
         !implies(req.selector, parseSelector(pf))))
       return find(scoped, idCol, findJson)
@@ -1226,7 +1362,11 @@ object Mango {
       "upsertIndexPartitioned requires a partitioned index")
     val live =
       if (deletedIds.isEmpty) changedDocs
-      else changedDocs.filter(!col(idCol).isin(deletedIds: _*))
+      // coalesce: three-valued logic would DROP null-id rows here while
+      // the deletedIds-empty branch keeps them; null ids never match a
+      // tombstone (the IndexStore.minusDeleted anti-join contract)
+      else changedDocs.filter(
+        coalesce(!col(idCol).isin(deletedIds: _*), lit(true)))
     val matching = index.partial match {
       case Some(pf) =>
         live.filter(compile(parseSelector(pf), live.schema))
@@ -1642,7 +1782,8 @@ object Mango {
   def findText(spark: SparkSession, docs: DataFrame, idCol: String,
                index: MangoTextIndex, findJson: String): DataFrame = {
     val req = parseFind(findJson)
-    val (filtered, _) = textCandidates(spark, docs, idCol, index, req)
+    val (filtered, _) = textCandidates(spark, applyConflicts(docs, req),
+      idCol, index, req)
     finish(filtered, req, idCol)
   }
 
@@ -1660,6 +1801,8 @@ object Mango {
                              req: FindReq): (DataFrame, Seq[String]) = {
     val (textQs, residual) = splitTextSelector(req.selector)
     require(textQs.nonEmpty, "findText requires a $text conjunct")
+    if (textQs.exists(TextQuery.isLucene))
+      return luceneCandidates(spark, docs, idCol, index, textQs, residual)
     val rawTerms = textQs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
     val idType = docs.schema(idCol).dataType
     val ids = TextSearch.idsMatchingAll(spark, index.path, rawTerms)
@@ -1676,6 +1819,184 @@ object Mango {
       }
       (filtered, docs.columns.toSeq)
     }
+  }
+
+  // ----------------------------------- Lucene-syntax `$text` execution
+
+  import TextQuery.{TQ, TTerm, TPhrase, TRange, TAnd, TOr, TNot}
+
+  /** Serve a Lucene-syntax `$text` find ([[TextQuery]] grammar —
+    * fielded terms, phrases, AND/OR/NOT grouping, `[a TO b]` ranges)
+    * from the text index, exactly: (1) every POSITIVE term/phrase
+    * probes the postings ([[TextSearch.idsMatchingAll]] /
+    * [[TextSearch.idsMatchingPhrase]] — |terms| bucket directories,
+    * never a corpus scan), composed AND→intersect / OR→union into one
+    * candidate id SUPERSET (fielded clauses probe the default-field
+    * postings, a superset because the default field concatenates every
+    * stamped field); (2) the WHOLE parsed query re-evaluates as one
+    * compiled predicate on the fetched candidates (the A25
+    * superset-safe discipline), alongside the non-text Mango residual.
+    * What the index cannot BOUND is rejected loudly, never served by
+    * a corpus scan: a query whose every conjunct is a NOT or a range,
+    * or an OR with an un-probed branch ([[probeIds]]); fielded
+    * terms/phrases must name a STAMPED field ([[compileTq]] — a term
+    * in an unindexed field is absent from the postings, so candidates
+    * would silently miss matches). */
+  private def luceneCandidates(spark: SparkSession, docs: DataFrame,
+                               idCol: String, index: MangoTextIndex,
+                               textQs: Seq[String], residual: Option[Sel])
+      : (DataFrame, Seq[String]) = {
+    val analyzer = TextSearch.analyzerOf(spark, index.path)
+    val stop = analyzer.sortedStop.toSet
+    val parsed = textQs.map { s =>
+      normalizeTq(TextQuery.parse(s), analyzer, stop).getOrElse(
+        throw new IllegalArgumentException(
+          s"$$text: no query terms remain after analysis in: $s"))
+    }
+    val tq = if (parsed.size == 1) parsed.head else TAnd(parsed)
+    val probe = probeIds(spark, index.path, tq, stop).getOrElse(
+      throw new IllegalArgumentException(
+        "$text: the text index cannot bound this query — every OR " +
+          "branch needs a positive term or phrase (NOT clauses and " +
+          "ranges only restrict candidates)"))
+    val idType = docs.schema(idCol).dataType
+    val ids = probe.distinct().select(col("doc_id").cast(idType).as(idCol))
+    val cand = docs.join(ids, Seq(idCol), "left_semi")
+      .filter(compileTq(tq, docs, index.fields, analyzer))
+    val filtered = residual match {
+      case Some(r) => cand.filter(compile(r, docs.schema))
+      case None => cand
+    }
+    (filtered, docs.columns.toSeq)
+  }
+
+  /** Analyzer-normalize a parsed query: terms normalize
+    * ([[TextSearch.Analyzer.queryTerm]]) and STOPWORD terms drop —
+    * the standard analyzed-query behavior (`fox AND the` = `fox`; a
+    * `NOT the` clause drops whole) — while PHRASE tokens normalize in
+    * place and keep stopwords (a phrase containing one matches
+    * nothing, the engine's documented positional-index stance).
+    * Returns None when nothing remains. */
+  private[operators] def normalizeTq(tq: TQ,
+                                     analyzer: TextSearch.Analyzer,
+                                     stop: Set[String]): Option[TQ] =
+    tq match {
+      case TTerm(f, t) =>
+        val n = analyzer.queryTerm(t)
+        if (stop.contains(n)) None else Some(TTerm(f, n))
+      case TPhrase(f, ts) => Some(TPhrase(f, ts.map(analyzer.queryTerm)))
+      case r: TRange => Some(r)
+      case TAnd(qs) =>
+        val ns = qs.flatMap(normalizeTq(_, analyzer, stop))
+        ns.size match {
+          case 0 => None
+          case 1 => Some(ns.head)
+          case _ => Some(TAnd(ns))
+        }
+      case TOr(qs) =>
+        val ns = qs.flatMap(normalizeTq(_, analyzer, stop))
+        ns.size match {
+          case 0 => None
+          case 1 => Some(ns.head)
+          case _ => Some(TOr(ns))
+        }
+      case TNot(q) => normalizeTq(q, analyzer, stop).map(TNot(_))
+    }
+
+  /** The candidate-id SUPERSET a normalized query probes from the
+    * postings: Some(ids) when the index can bound the clause, None
+    * when it cannot (NOT, range). AND intersects its probed children
+    * (un-probed children only shrink the match — still a superset);
+    * OR needs EVERY branch probed. Fielded clauses probe the
+    * default-field postings (superset — see [[luceneCandidates]]);
+    * an all-stopword fielded phrase probes nothing and matches
+    * nothing. */
+  private def probeIds(spark: SparkSession, path: String, tq: TQ,
+                       stop: Set[String]): Option[DataFrame] = tq match {
+    case TTerm(_, t) =>
+      Some(TextSearch.idsMatchingAll(spark, path, Seq(t)))
+    case TPhrase(None, ts) =>
+      Some(TextSearch.idsMatchingPhrase(spark, path, ts))
+    case TPhrase(Some(_), ts) =>
+      val nonStop = ts.filterNot(stop.contains)
+      if (nonStop.isEmpty) // all-stopword phrase: empty candidate set
+        Some(spark.range(0).select(col("id").as("doc_id")))
+      else Some(TextSearch.idsMatchingAll(spark, path, nonStop))
+    case _: TRange => None
+    case TNot(_) => None
+    case TAnd(qs) =>
+      val ps = qs.flatMap(probeIds(spark, path, _, stop))
+      if (ps.isEmpty) None
+      else Some(ps.reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi")))
+    case TOr(qs) =>
+      val ps = qs.map(probeIds(spark, path, _, stop))
+      if (ps.exists(_.isEmpty)) None
+      else Some(ps.flatten.reduce(_ unionByName _))
+  }
+
+  /** Compile a normalized query to ONE boolean predicate over the doc
+    * relation — the exact residual the candidate superset filters
+    * through. Terms/phrases evaluate against the ANALYZED tokens of
+    * their field (or of the stamped default-field concatenation —
+    * derived exactly as [[createTextIndex]] derives the indexed
+    * text); ranges compare the raw doc column (numeric when the
+    * column is numeric, else string order). Every leaf coalesces to
+    * false so NOT stays two-valued over missing/null fields. */
+  private def compileTq(tq: TQ, docs: DataFrame, fields: Seq[String],
+                        analyzer: TextSearch.Analyzer): Column = {
+    val defaultText =
+      if (fields.size == 1) col(fields.head)
+      else concat_ws(" ", fields.map(f => coalesce(col(f), lit(""))): _*)
+    def toks(field: Option[String]): Column = field match {
+      case None => analyzer.tokens(defaultText)
+      case Some(f) =>
+        require(fields.contains(f),
+          s"$$text: field '$f' is not in the text index " +
+            s"(stamped fields: ${fields.mkString(", ")}) — a term in " +
+            "an unindexed field cannot be served from the postings")
+        analyzer.tokens(col(f))
+    }
+    def go(q: TQ): Column = q match {
+      case TTerm(f, t) =>
+        coalesce(array_contains(toks(f), lit(t)), lit(false))
+      case TPhrase(f, ts) =>
+        val tk = toks(f)
+        val n = ts.size
+        // window starts 1..size-n+1; guard the degenerate case (Spark
+        // sequence(1, 0) would DESCEND, not empty)
+        val hit = exists(sequence(lit(1), size(tk) - lit(n - 1)),
+          i => ts.zipWithIndex.map { case (t, j) =>
+            element_at(tk, (i + lit(j)).cast("int")) === lit(t)
+          }.reduce(_ && _))
+        coalesce(when(size(tk) >= n, hit).otherwise(lit(false)),
+          lit(false))
+      case TRange(f, lo, hi, loInc, hiInc) =>
+        val (c, dt) = resolve(docs.schema, f).getOrElse(
+          throw new IllegalArgumentException(
+            s"$$text: range field '$f' does not exist in the document " +
+              "schema"))
+        def bound(s: String): Column = dt match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            val d = try s.toDouble catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$$text: range bound '$s' is not numeric but " +
+                    s"'$f' is a ${dt.simpleString} column")
+            }
+            lit(d).cast(dt)
+          case StringType => lit(s)
+          case other => throw new IllegalArgumentException(
+            s"$$text: range over unsupported ${other.simpleString} " +
+              s"field '$f'")
+        }
+        val lower = if (loInc) c >= bound(lo) else c > bound(lo)
+        val upper = if (hiInc) c <= bound(hi) else c < bound(hi)
+        coalesce(lower && upper, lit(false))
+      case TAnd(qs) => qs.map(go).reduce(_ && _)
+      case TOr(qs) => qs.map(go).reduce(_ || _)
+      case TNot(x) => !go(x)
+    }
+    go(tq)
   }
 
   /** Incrementally maintain a Mango text index — the E7b
@@ -1743,7 +2064,8 @@ object Mango {
                    bookmark: Option[String] = None)
       : (DataFrame, Option[String]) = {
     val req = parseFind(findJson)
-    val (filtered, allCols) = textCandidates(spark, docs, idCol, index, req)
+    val (filtered, allCols) = textCandidates(spark,
+      applyConflicts(docs, req), idCol, index, req)
     val (fetch, cursorCols, outCols, pageSize) =
       pagePlanFrom(filtered, allCols, req, idCol, bookmark)
     runPage(fetch, cursorCols, outCols, pageSize)

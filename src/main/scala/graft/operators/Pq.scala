@@ -251,17 +251,26 @@ object Pq {
     }
   }
 
-  /** Shared serving tail: bounded top-`refine` per query by ADC ASC
-    * (negated for the max-oriented TopKPairs, ties to the lowest id),
-    * then exact-cosine ranking of the shortlist against raw vectors. */
-  private def shortlistAndRefine(shortlist: DataFrame, corpus: DataFrame,
-                                 q: DataFrame, k: Int,
-                                 refine: Int): DataFrame = {
-    val topAgg = udaf(new graft.functions.TopKPairs(refine))
-    val cand = shortlist.groupBy("q_id")
+  /** Bounded top-`n` per query by ADC ASC (negated for the
+    * max-oriented TopKPairs, ties to the lowest id) → `(q_id, n_id)`
+    * candidate pairs. The shortlist step of every PQ serve, and the
+    * candidate feed [[graft.operators.Similarity.cascadeTopKIndexed]]
+    * reranks for the pq/ivfpq tiers. */
+  private def adcShortlist(scored: DataFrame, n: Int): DataFrame = {
+    val topAgg = udaf(new graft.functions.TopKPairs(n))
+    scored.groupBy("q_id")
       .agg(topAgg(-col("adc"), col("n_id")).as("_top"))
       .select(col("q_id"), explode(col("_top")).as("_t"))
       .select(col("q_id"), col("_t._2").as("n_id"))
+  }
+
+  /** Shared serving tail: bounded top-`refine` per query by ADC ASC
+    * ([[adcShortlist]]), then exact-cosine ranking of the shortlist
+    * against raw vectors. */
+  private def shortlistAndRefine(shortlist: DataFrame, corpus: DataFrame,
+                                 q: DataFrame, k: Int,
+                                 refine: Int): DataFrame = {
+    val cand = adcShortlist(shortlist, refine)
     // exact refinement over the shortlist only
     val c = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_vec"))
@@ -381,6 +390,54 @@ object Pq {
     val codes = spark.read.parquet(s"$path/data")
       .select(col("_id").as("vec_id"), col("codes"))
     adcTopK(codes, corpus, queries, cbs, k, refine)
+  }
+
+  /** The `(q_id, n_id)` ADC shortlist of the persisted FLAT-PQ tier —
+    * [[pqTopKIndexed]]'s compressed full code scan STOPPED before its
+    * exact refine: the candidate feed the shared cascade rerank
+    * ([[graft.operators.Similarity.cascadeTopKIndexed]], tier
+    * `"pq"`) scores against the float corpus. Stored codes + frozen
+    * codebooks only; the embedding column is never read here. */
+  def pqShortlistIndexed(spark: SparkSession, path: String,
+                         queries: DataFrame, shortlist: Int): DataFrame = {
+    val cbs = readCodebooks(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_vec"))
+    val codes = spark.read.parquet(s"$path/data")
+      .select(col("_id").as("n_id"), col("codes"))
+    adcShortlist(
+      codes.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          adcExpr(cbs, col("q_vec"), col("codes")).as("adc")),
+      shortlist)
+  }
+
+  /** The `(q_id, n_id)` probed-list ADC shortlist of the persisted
+    * IVFADC tier — [[ivfPqTopK]]'s probe → pruned `_kb` code read →
+    * ADC score, stopped before the exact refine: the `"ivfpq"`
+    * cascade feed. Only the probed inverted lists are read. */
+  def ivfPqShortlistIndexed(spark: SparkSession, path: String,
+                            queries: DataFrame, shortlist: Int,
+                            nProbe: Int = 4): DataFrame = {
+    val cents = Similarity.readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
+      .withColumn("bucket", explode(
+        Similarity.probeCidsCol(col("q_vec"), col("q_nrm"), cents, nProbe)))
+      .select(col("q_id"), col("q_vec"), col("bucket"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = IndexStore.readBuckets(spark, s"$path/data", "_kb", buckets)
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("codes"), col("_kb").as("bucket"))
+    adcShortlist(
+      codes.join(broadcast(q), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          adcExpr(cbs, col("q_vec"), col("codes")).as("adc")),
+      shortlist)
   }
 
   // ------------------------------------------------------------------ IVFADC

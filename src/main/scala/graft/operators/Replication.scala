@@ -94,12 +94,26 @@ object Replication {
     * engine-replayable (CouchDB's rev hash is likewise a content
     * digest). Contract: ONE write per id per batch (the endpoint is
     * non-transactional; in-batch ordering semantics are the caller's
-    * to sequence — submit successive batches).
+    * to sequence — submit successive batches). ENFORCED, not trusted:
+    * duplicate-id writes keep one deterministic winner (lowest
+    * `(base, deleted, body)`) judged against the pre-batch tree; the
+    * rest report `conflict` — which is what CouchDB's sequential
+    * apply returns for them in the common cases (a later duplicate
+    * names a base the first write just superseded, or creates over
+    * the live doc the first write just minted). The one divergence:
+    * a second duplicate naming a DIFFERENT still-current leaf would
+    * sequentially be accepted by CouchDB; here it conflicts —
+    * resubmit it in its own batch. Duplicate `(id, rev)` rows in the
+    * target leaf relation are collapsed before the join so they can
+    * never fan the report out.
     *
-    * Scale shape: one winner aggregation over the target (partial-
-    * aggregable), one hash join of the writes against it, then the
-    * [[applyBulkDocs]] tree graft — a 1k-write batch onto a
-    * trillion-doc target keys every join on id. */
+    * Scale shape: the JOINS are id-keyed, but the winner aggregation
+    * and leaf-rev derivation run over the WHOLE `target` relation the
+    * caller passes — this form is delta-bounded only when the caller
+    * passes a pre-pruned leaf relation (the touched docs' trees).
+    * Against a persisted corpus use [[bulkDocsStore]], which prunes
+    * the read to the write ids' `_b` buckets before judging — the
+    * [[syncBatch]] discipline on the write endpoint. */
   def bulkDocs(target: DataFrame, id: Column, revPos: Column,
                revHash: Column, deleted: Column, ancestors: Column,
                writes: DataFrame, wId: Column, wBaseRev: Column,
@@ -124,9 +138,18 @@ object Replication {
       concat(col("_pos").cast("string"), lit("-"), col("_hash"))
         .as("_lrev"),
       col("_pos").as("_lpos"), col("_anc").as("_lanc"))
-    val w = writes.select(wId.as("id"),
+      .dropDuplicates("_lid", "_lrev")
+    val wAll = writes.select(wId.as("id"),
       wBaseRev.cast("string").as("_base"), wBody.cast("string").as("_body"),
       coalesce(wDel.cast("boolean"), lit(false)).as("_wdel"))
+      .withColumn("_wrk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("_base").asc_nulls_first, col("_wdel").asc,
+            col("_body").asc_nulls_first)))
+    val w = wAll.filter(col("_wrk") === 1).drop("_wrk")
+    val dupReport = wAll.filter(col("_wrk") > 1)
+      .select(col("id"), lit("conflict").as("status"),
+        lit(null).cast("string").as("rev"))
     val joined = w.join(win, Seq("id"), "left")
       .join(leafRevs,
         col("id") === col("_lid") && col("_base") === col("_lrev"), "left")
@@ -150,6 +173,7 @@ object Replication {
       when(col("_ok"), lit("ok")).otherwise(lit("conflict")).as("status"),
       when(col("_ok"), concat(col("_npos").cast("string"), lit("-"),
         col("_nhash"))).otherwise(lit(null).cast("string")).as("rev"))
+      .unionByName(dupReport)
     val accepted = judged.filter(col("_ok"))
     val leaves = applyBulkDocs(target, id, revPos, revHash, deleted,
       ancestors, accepted, col("id"), col("_npos"), col("_nhash"),
@@ -444,6 +468,87 @@ object Replication {
       IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
         if (newSeq >= 0) newSeq else meta.updateSeq + 1))
       bs
+    } finally ids.unpersist()
+  }
+
+  /** A store-backed `_bulk_docs new_edits=true` batch's outputs: the
+    * per-write report (LOCAL rows — bounded by the batch size, safe on
+    * the driver, and immune to the post-write bucket swap) and the
+    * `_b` bucket ids the batch rewrote. */
+  final case class BulkDocsStoreResult(report: DataFrame,
+                                       buckets: Seq[Int])
+
+  /** [[bulkDocs]] against a PERSISTED target ([[createTarget]]'s
+    * `_b`-bucketed layout) — the interactive write ENDPOINT, with the
+    * [[syncBatch]] discipline the relation form cannot give: the
+    * relation form's winner aggregation runs over WHATEVER leaf
+    * relation the caller passes (calling it on a full corpus
+    * aggregates the full corpus per batch), while here only the
+    * bucket directories holding the batch's write ids are read,
+    * judged against, and rewritten behind rename swaps — a 1k-write
+    * batch onto a trillion-doc store reads 1k docs' buckets. Same
+    * MVCC rule, same minted revs, same report vocabulary as
+    * [[bulkDocs]] (gate-pinned equal); a first batch creates the
+    * store. `update_seq` advances per batch (or to `newSeq`). The
+    * report is collected (one row per write — the endpoint's response
+    * array is driver-sized by definition) BEFORE the swap so it can
+    * never observe post-write files. */
+  def bulkDocsStore(spark: SparkSession, path: String, writes: DataFrame,
+                    wId: Column, wBaseRev: Column, wBody: Column,
+                    wDel: Column, numBuckets: Int = 0,
+                    newSeq: Long = -1L): BulkDocsStoreResult = {
+    def localized(report: DataFrame): DataFrame = {
+      val schema = report.schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(report.collect().toSeq, 1), schema)
+    }
+    if (!targetExists(spark, path)) {
+      // empty pre-batch tree: every write judged against nothing
+      val empty = writes.select(wId.as("id"), lit(0L).as("rev_pos"),
+        lit("").as("rev_hash"), lit(false).as("deleted"),
+        array().cast("array<string>").as("ancestors")).limit(0)
+      val res = bulkDocs(empty, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        writes, wId, wBaseRev, wBody, wDel)
+      val rep = localized(res.report)
+      if (res.leaves.isEmpty) return BulkDocsStoreResult(rep, Nil)
+      val n = if (numBuckets > 0) numBuckets
+              else spark.sessionState.conf.numShufflePartitions
+      createTarget(spark, path, res.leaves, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        numBuckets, math.max(newSeq, 1L))
+      val bs = res.leaves
+        .select(IndexStore.idBucket(col("id"), n).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      return BulkDocsStoreResult(rep, bs)
+    }
+    val meta = IndexStore.readMeta(spark, path)
+    val ids = writes.select(wId.as("id")).distinct().persist()
+    try {
+      val bs = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
+          .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bs.isEmpty)
+        return BulkDocsStoreResult(localized(
+          writes.select(wId.as("id"), lit("ok").as("status"),
+            lit(null).cast("string").as("rev")).limit(0)), Nil)
+      val bucketRows = IndexStore
+        .readBuckets(spark, dataDir(path), "_b", bs)
+        .filter(col("_b").isin(bs: _*))
+      val curTouched = bucketRows.join(ids, Seq("id"), "left_semi")
+        .drop("_b")
+      val res = bulkDocs(curTouched, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"), col("ancestors"),
+        writes, wId, wBaseRev, wBody, wDel)
+      val rep = localized(res.report)
+      val out = bucketRows.join(ids, Seq("id"), "left_anti")
+        .unionByName(res.leaves
+          .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
+      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+        dataDir(path), "_b", bs,
+        Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
+      BulkDocsStoreResult(rep, bs)
     } finally ids.unpersist()
   }
 }

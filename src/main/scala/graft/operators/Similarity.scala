@@ -202,12 +202,14 @@ object Similarity {
     * rewritten behind rename swaps — O(changed buckets) whatever the
     * corpus size. Returns the rewritten bucket ids. */
   def upsertSq8Vectors(spark: SparkSession, path: String,
-                       changed: DataFrame, deletedIds: DataFrame,
+                       changed: DataFrame, deletedIds: Seq[Any] = Nil,
                        newSeq: Long = -1L): Seq[Int] = {
     val meta = IndexStore.readMeta(spark, path)
     val model = sq8Model(spark, path)
+    val delDf = IndexStore.idsDf(spark,
+      changed.select(col("vec_id").as("_id")), deletedIds).toDF("vec_id")
     val touched = changed.select(col("vec_id"))
-      .unionByName(deletedIds.toDF("vec_id")).distinct().persist()
+      .unionByName(delDf).distinct().persist()
     try {
       val bs = touched
         .select(IndexStore.idBucket(col("vec_id"), meta.buckets).as("_b"))
@@ -216,8 +218,9 @@ object Similarity {
       val cur = IndexStore.readBuckets(spark, path + "/data", "_b", bs)
         .filter(col("_b").isin(bs: _*))
       val out = cur.join(touched, Seq("vec_id"), "left_anti")
-        .unionByName(sq8Codes(changed, model)
-          .join(deletedIds.toDF("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(sq8Codes(
+            IndexStore.minusDeleted(spark, changed, "vec_id", deletedIds),
+            model)
           .withColumn("_b", IndexStore.idBucket(col("vec_id"),
             meta.buckets)))
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
@@ -432,11 +435,13 @@ object Similarity {
     * behind rename swaps — O(changed buckets) whatever the corpus
     * size. Returns the rewritten bucket ids. */
   def upsertBinaryVectors(spark: SparkSession, path: String,
-                          changed: DataFrame, deletedIds: DataFrame,
+                          changed: DataFrame, deletedIds: Seq[Any] = Nil,
                           dims: Int = 64, newSeq: Long = -1L): Seq[Int] = {
     val meta = IndexStore.readMeta(spark, path)
+    val delDf = IndexStore.idsDf(spark,
+      changed.select(col("vec_id").as("_id")), deletedIds).toDF("vec_id")
     val touched = changed.select(col("vec_id"))
-      .unionByName(deletedIds.toDF("vec_id")).distinct().persist()
+      .unionByName(delDf).distinct().persist()
     try {
       val bs = touched
         .select(IndexStore.idBucket(col("vec_id"), meta.buckets).as("_b"))
@@ -445,8 +450,9 @@ object Similarity {
       val cur = IndexStore.readBuckets(spark, path + "/data", "_b", bs)
         .filter(col("_b").isin(bs: _*))
       val out = cur.join(touched, Seq("vec_id"), "left_anti")
-        .unionByName(binaryCodes(changed, dims)
-          .join(deletedIds.toDF("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(binaryCodes(
+            IndexStore.minusDeleted(spark, changed, "vec_id", deletedIds),
+            dims)
           .withColumn("_b", IndexStore.idBucket(col("vec_id"),
             meta.buckets)))
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
@@ -528,12 +534,15 @@ object Similarity {
 
   /** [[cascadeTopK]] served from a PERSISTED quantized tier: the
     * shortlist comes from STORED codes ([[sq8TopKIndexed]] /
-    * [[binaryTopKIndexed]] / [[ivfSq8TopK]] with `tier = "ivfsq8"` —
-    * no re-encoding, no model retrain, and for ivfsq8 only the probed
-    * lists are even read), then the exact-cosine rerank reads the
-    * float corpus ONLY for the |q|·k' shortlisted rows. This is the
-    * full 100 TB serving composition: quantized store scan/probe →
-    * tiny float read → exact order. */
+    * [[binaryTopKIndexed]] / [[ivfSq8TopK]] with `tier = "ivfsq8"`,
+    * and the 32×-compressed PQ tiers — [[graft.operators.Pq
+    * .pqShortlistIndexed]] / [[graft.operators.Pq
+    * .ivfPqShortlistIndexed]] for `"pq"` / `"ivfpq"` — no
+    * re-encoding, no model retrain, and for the IVF tiers only the
+    * probed lists are even read), then the exact-cosine rerank reads
+    * the float corpus ONLY for the |q|·k' shortlisted rows. This is
+    * the full 100 TB serving composition over EVERY stored tier:
+    * quantized store scan/probe → tiny float read → exact order. */
   def cascadeTopKIndexed(spark: SparkSession, path: String,
                          corpus: DataFrame, queries: DataFrame, k: Int,
                          shortlist: Int, tier: String = "sq8",
@@ -544,8 +553,12 @@ object Similarity {
         dims)
       case "sq8"    => sq8TopKIndexed(spark, path, queries, shortlist)
       case "ivfsq8" => ivfSq8TopK(spark, path, queries, shortlist, nProbe)
+      case "pq"     => Pq.pqShortlistIndexed(spark, path, queries,
+        shortlist)
+      case "ivfpq"  => Pq.ivfPqShortlistIndexed(spark, path, queries,
+        shortlist, nProbe)
       case t => throw new IllegalArgumentException(
-        s"unknown cascade tier: $t (binary|sq8|ivfsq8)")
+        s"unknown cascade tier: $t (binary|sq8|ivfsq8|pq|ivfpq)")
     }).select(col("q_id"), col("n_id"))
     rerankExact(corpus, queries, cand, k)
   }

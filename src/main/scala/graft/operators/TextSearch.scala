@@ -332,7 +332,11 @@ object TextSearch {
     val an = analyzerFromRow(st)
     val live =
       if (deletedIds.isEmpty) changedDocs
-      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+      // coalesce: three-valued logic would DROP null-id rows here while
+      // the deletedIds-empty branch keeps them; null ids never match a
+      // tombstone (the IndexStore.minusDeleted anti-join contract)
+      else changedDocs.filter(
+        coalesce(!id.cast("long").isin(deletedIds: _*), lit(true)))
     val newTf = termFreqs(live, id, text, an)
       .withColumn("_tb", termBucket(col("term"), nB)).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
@@ -752,7 +756,17 @@ object TextSearch {
     * (ties by doc id). */
   def phraseSearchIndexed(spark: SparkSession, path: String,
                           rawPhrase: Seq[String], k: Int,
-                          slop: Int = 0): DataFrame = {
+                          slop: Int = 0): DataFrame =
+    phraseOccurrences(spark, path, rawPhrase, slop)
+      .orderBy(col("n_occ").desc, col("doc_id").asc).limit(k)
+
+  /** ALL `(doc_id, n_occ)` rows where the phrase occurs — the unbounded
+    * core shared by [[phraseSearchIndexed]] (top-k by occurrence
+    * count) and [[idsMatchingPhrase]] (Mango `$text` phrase clauses,
+    * no ranking). Postings pruned to the phrase's term buckets. */
+  private def phraseOccurrences(spark: SparkSession, path: String,
+                                rawPhrase: Seq[String],
+                                slop: Int): DataFrame = {
     require(rawPhrase.size >= 2, "a phrase needs at least two tokens")
     require(slop >= 0, "slop must be >= 0")
     val st = statsOf(spark, path)
@@ -782,8 +796,16 @@ object TextSearch {
     }
     g.select(col("doc_id"), size(occ).cast("long").as("n_occ"))
       .filter(col("n_occ") > 0)
-      .orderBy(col("n_occ").desc, col("doc_id").asc).limit(k)
   }
+
+  /** ALL doc ids whose indexed text contains the EXACT phrase
+    * (contiguous, in order) — the unbounded positional match behind a
+    * Mango `$text` phrase clause: [[phraseOccurrences]] at slop 0, ids
+    * only. */
+  def idsMatchingPhrase(spark: SparkSession, path: String,
+                        rawPhrase: Seq[String]): DataFrame =
+    phraseOccurrences(spark, path, rawPhrase, slop = 0)
+      .select(col("doc_id"))
 
   /** ALL doc ids whose indexed text contains EVERY query term — the
     * unbounded conjunctive match behind Mango `$text` (no ranking, no
@@ -964,7 +986,11 @@ object TextSearch {
         s"stored field map $stored (in build order)")
     val live =
       if (deletedIds.isEmpty) changedDocs
-      else changedDocs.filter(!id.cast("long").isin(deletedIds: _*))
+      // coalesce: three-valued logic would DROP null-id rows here while
+      // the deletedIds-empty branch keeps them; null ids never match a
+      // tombstone (the IndexStore.minusDeleted anti-join contract)
+      else changedDocs.filter(
+        coalesce(!id.cast("long").isin(deletedIds: _*), lit(true)))
     val newTf = changedFields.map { case (nm, c) =>
       termFreqs(live, id, c, an).withColumn("field", lit(nm))
     }.reduce(_ unionByName _)

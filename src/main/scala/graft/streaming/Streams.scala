@@ -339,14 +339,11 @@ object Streams {
                           dims: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    import graft.view.IndexStore
     maintainVecIndex(spark, changeFeed, path, checkpoint,
       build = (live, seq) =>
         Similarity.buildBinaryIndex(live, path, dims, seq = seq),
       upsert = (live, delIds, seq) =>
-        Similarity.upsertBinaryVectors(spark, path, live,
-          IndexStore.idsDf(spark, live.select(col("vec_id").as("_id")),
-            delIds).toDF("vec_id"),
+        Similarity.upsertBinaryVectors(spark, path, live, delIds,
           dims, newSeq = seq))
   }
 
@@ -363,14 +360,10 @@ object Streams {
                        path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    import graft.view.IndexStore
     maintainVecIndex(spark, changeFeed, path, checkpoint,
       build = (live, seq) => Similarity.buildSq8Index(live, path, seq = seq),
       upsert = (live, delIds, seq) =>
-        Similarity.upsertSq8Vectors(spark, path, live,
-          IndexStore.idsDf(spark, live.select(col("vec_id").as("_id")),
-            delIds).toDF("vec_id"),
-          newSeq = seq))
+        Similarity.upsertSq8Vectors(spark, path, live, delIds, newSeq = seq))
   }
 
   /** Streaming maintenance of a persisted SemDeDup index — the

@@ -586,6 +586,183 @@ class MangoSpec extends SparkSpecBase {
            "fields": ["doc_id"]}"""))
   }
 
+  test("TextQuery: the Lucene grammar parses exactly, rejects loudly") {
+    import graft.operators.TextQuery
+    import graft.operators.TextQuery._
+    // bare adjacency = AND; OR binds looser
+    assert(parse("quick fox") == TAnd(Seq(TTerm(None, "quick"),
+      TTerm(None, "fox"))))
+    assert(parse("a OR b c") == TOr(Seq(TTerm(None, "a"),
+      TAnd(Seq(TTerm(None, "b"), TTerm(None, "c"))))))
+    assert(parse("(a OR b) AND NOT c") == TAnd(Seq(
+      TOr(Seq(TTerm(None, "a"), TTerm(None, "b"))),
+      TNot(TTerm(None, "c")))))
+    assert(parse("title:war") == TTerm(Some("title"), "war"))
+    assert(parse("\"quick brown fox\"") ==
+      TPhrase(None, Seq("quick", "brown", "fox")))
+    assert(parse("title:\"ad hoc\"") ==
+      TPhrase(Some("title"), Seq("ad", "hoc")))
+    // one-token phrase degrades to a term
+    assert(parse("\"solo\"") == TTerm(None, "solo"))
+    // ranges: [] inclusive, {} exclusive, mixed per side, TO any case
+    assert(parse("price:[10 TO 20]") ==
+      TRange("price", "10", "20", loInc = true, hiInc = true))
+    assert(parse("price:{10 to 20}") ==
+      TRange("price", "10", "20", loInc = false, hiInc = false))
+    assert(parse("price:{10 TO 20]") ==
+      TRange("price", "10", "20", loInc = false, hiInc = true))
+    // field-scoped group distributes the field
+    assert(parse("title:(a OR \"b c\")") == TOr(Seq(
+      TTerm(Some("title"), "a"), TPhrase(Some("title"), Seq("b", "c")))))
+    // && / || aliases
+    assert(parse("a && b || c") == TOr(Seq(
+      TAnd(Seq(TTerm(None, "a"), TTerm(None, "b"))), TTerm(None, "c"))))
+    // routing test: plain strings stay on the exact conjunctive path
+    assert(!TextQuery.isLucene("merge filter"))
+    assert(TextQuery.isLucene("source:src2"))
+    assert(TextQuery.isLucene("a OR b"))
+    assert(TextQuery.isLucene("\"a b\""))
+    // loud rejections, never a partial parse
+    intercept[IllegalArgumentException](parse("[1 TO 2]")) // no field
+    intercept[IllegalArgumentException](parse("\"unterminated"))
+    intercept[IllegalArgumentException](parse("(a OR b")) // missing )
+    intercept[IllegalArgumentException](parse("a OR")) // dangling OR
+    intercept[IllegalArgumentException](parse("f:(g:x)")) // nested field
+    intercept[IllegalArgumentException](parse("price:[10 TO]"))
+    intercept[IllegalArgumentException](parse(""))
+  }
+
+  test("Lucene $text: fielded terms, phrases, OR/NOT, ranges serve exactly; unservable rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "quick brown fox", "news", 10L),
+      (2L, "brown bear quick", "blog", 20L),
+      (3L, "lazy dog", "news", 30L),
+      (4L, "quick quick brown", "wiki", 15L),
+      (5L, "fox brown quick", "blog", 25L))
+      .toDF("doc_id", "text", "source", "n")
+    val dir = java.nio.file.Files.createTempDirectory("mango-luc").toString
+    val tix = Mango.createTextIndex(spark, docs, "doc_id",
+      Seq("text", "source"), s"$dir/tix", 16,
+      graft.operators.TextSearch.Analyzer())
+    def ids(q: String, extra: String = ""): Set[Long] =
+      Mango.findText(spark, docs, "doc_id", tix,
+        s"""{"selector": {"$$text": "$q"$extra},
+           | "fields": ["doc_id"], "sort": ["doc_id"],
+           | "limit": 1000}""".stripMargin)
+        .as[Long].collect().toSet
+    // default-field phrase: contiguous, in order
+    assert(ids("\\\"quick brown\\\"") == Set(1L, 4L))
+    // doc 2 ("brown bear quick") is NOT contiguous — positions matter
+    assert(ids("\\\"brown quick\\\"") == Set(5L))
+    // fielded term: must be in THAT field, probe stays a superset
+    assert(ids("source:news") == Set(1L, 3L))
+    // docs whose TEXT says news but source doesn't would be probed
+    // then residual-rejected — covered by construction above
+    // OR / NOT / grouping
+    assert(ids("fox OR bear") == Set(1L, 2L, 5L))
+    assert(ids("quick AND NOT fox") == Set(2L, 4L))
+    assert(ids("(fox OR bear) AND source:blog") == Set(2L, 5L))
+    // fielded phrase
+    assert(ids("text:\\\"brown bear\\\"") == Set(2L))
+    // range rides along a probed conjunct
+    assert(ids("quick AND n:[15 TO 25]") == Set(2L, 4L, 5L))
+    assert(ids("quick AND n:{15 TO 25]") == Set(2L, 5L))
+    // non-text Mango residual composes
+    assert(ids("quick", ", \"source\": \"blog\"") == Set(2L, 5L))
+    // bookmark paging over a Lucene query == the unpaged find
+    val unpaged = Mango.findText(spark, docs, "doc_id", tix,
+      """{"selector": {"$text": "quick OR fox"},
+        | "fields": ["doc_id"], "sort": ["doc_id"],
+        | "limit": 1000}""".stripMargin).as[Long].collect().toSeq
+    var bm: Option[String] = None
+    var pages = Seq.empty[Long]
+    var more = true
+    while (more) {
+      val (page, next) = Mango.findTextPage(spark, docs, "doc_id", tix,
+        """{"selector": {"$text": "quick OR fox"},
+          | "fields": ["doc_id"], "sort": ["doc_id"],
+          | "limit": 2}""".stripMargin, bm)
+      pages = pages ++ page.as[Long].collect().toSeq
+      bm = next; more = next.isDefined
+    }
+    assert(pages == unpaged && unpaged.nonEmpty)
+    // UNSERVABLE shapes are rejected loudly, never scanned:
+    // pure NOT, pure range, OR with an un-probed branch
+    intercept[IllegalArgumentException](ids("NOT fox"))
+    intercept[IllegalArgumentException](ids("n:[10 TO 20]"))
+    intercept[IllegalArgumentException](ids("fox OR n:[10 TO 20]"))
+    // a term in an UNSTAMPED field cannot be served from the postings
+    intercept[IllegalArgumentException](ids("lang:en AND fox"))
+    // a range field must exist in the doc schema
+    intercept[IllegalArgumentException](ids("quick AND zzz:[1 TO 2]"))
+    // stopword terms DROP from the analyzed query (fox AND the = fox),
+    // and an all-stopword query is an error
+    val stopIx = Mango.createTextIndex(spark, docs, "doc_id",
+      Seq("text", "source"), s"$dir/stopix", 16,
+      graft.operators.TextSearch.Analyzer(stopwords = Seq("the")))
+    def sids(q: String): Set[Long] =
+      Mango.findText(spark, docs, "doc_id", stopIx,
+        s"""{"selector": {"$$text": "$q"},
+           | "fields": ["doc_id"], "sort": ["doc_id"],
+           | "limit": 1000}""".stripMargin).as[Long].collect().toSet
+    assert(sids("fox AND the") == sids("fox OR the"))
+    assert(sids("fox AND the") == Set(1L, 5L))
+    intercept[IllegalArgumentException](sids("the AND the"))
+    // a phrase containing a stopword matches nothing (positional
+    // postings never hold the stopword — the documented stance)
+    assert(sids("\\\"the fox\\\"") == Set.empty[Long])
+  }
+
+  test("conflicts: true in _find — decorated fetch leg, flag enforced, index path fetches") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", 100L), (2L, "de", 300L), (3L, "en", 250L))
+      .toDF("doc_id", "lang", "n_chars")
+    // doc 1: clean; doc 2: one losing live rev; doc 3: losing rev is
+    // a tombstone -> NOT a conflict
+    val leaves = Seq(
+      (1L, 2L, "aa", false),
+      (2L, 2L, "bb", false), (2L, 2L, "a0", false),
+      (3L, 2L, "cc", false), (3L, 1L, "dd", true))
+      .toDF("doc_id", "rev_pos", "rev_hash", "deleted")
+    val dec = Mango.withConflicts(docs, "doc_id", leaves, col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"))
+    val req = """{"selector": {"n_chars": {"$gte": 0}},
+      | "fields": ["doc_id", "_conflicts"], "sort": ["doc_id"],
+      | "limit": 100, "conflicts": true}""".stripMargin
+    val got = Mango.find(dec, "doc_id", req)
+      .select(col("doc_id"), concat_ws(",", col("_conflicts")).as("c"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, ""), (2L, "2-a0"), (3L, "")))
+    // conflicts: false (the default) DROPS the decoration from output
+    val plain = Mango.find(dec, "doc_id",
+      """{"selector": {"n_chars": {"$gte": 0}},
+        | "sort": ["doc_id"], "limit": 100}""".stripMargin)
+    assert(!plain.columns.contains("_conflicts"))
+    // conflicts: true without the decoration is LOUD
+    intercept[IllegalArgumentException](Mango.find(docs, "doc_id", req))
+    // the INDEX path serves conflicts too — and must fetch docs (an
+    // index key cannot decode a conflict set), not cover
+    val dir = java.nio.file.Files
+      .createTempDirectory("mango-confl").toString
+    val ix = Mango.createIndex(spark, docs, "doc_id", Seq("n_chars"),
+      s"$dir/ix", numBuckets = 2)
+    val reqIx = """{"selector": {"n_chars": {"$gte": 200}},
+      | "fields": ["doc_id", "n_chars", "_conflicts"],
+      | "sort": ["doc_id"], "limit": 100, "conflicts": true}""".stripMargin
+    val gotIx = Mango.findIndexed(spark, dec, "doc_id", ix, reqIx)
+      .select(col("doc_id"), concat_ws(",", col("_conflicts")).as("c"))
+      .as[(Long, String)].collect().toSeq
+    assert(gotIx == Seq((2L, "2-a0"), (3L, "")))
+    // sanity: WITHOUT conflicts the same find covers (no doc fetch) —
+    // the flag is exactly what forces the fetch
+    val covered = Mango.findIndexed(spark, dec, "doc_id", ix,
+      """{"selector": {"n_chars": {"$gte": 200}},
+        | "fields": ["doc_id", "n_chars"], "sort": ["doc_id"],
+        | "limit": 100}""".stripMargin)
+    assert(covered.columns.toSeq == Seq("doc_id", "n_chars"))
+  }
+
   test("explain reports the exact serve decision; $beginsWith picks an index") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-mango-explain").toString

@@ -164,8 +164,9 @@ class QuantizerSpec extends SparkSpecBase {
       s"indexed serve must not re-read the float corpus:\n$plan")
 
     val (changed, del, modified) = delta(emb)
+    val delIds = del.collect().map(_.getLong(0)).toSeq
     val frozen = Similarity.sq8Model(spark, p).collect()
-    val bs = Similarity.upsertSq8Vectors(spark, p, changed, del)
+    val bs = Similarity.upsertSq8Vectors(spark, p, changed, delIds)
     assert(bs.nonEmpty, "the delta must touch at least one bucket")
     assert(Similarity.sq8Model(spark, p).collect().toSeq ==
       frozen.toSeq, "upsert must NOT move the stored model")
@@ -183,7 +184,7 @@ class QuantizerSpec extends SparkSpecBase {
       "post-delta index path must equal the frozen-model scan path")
     // idempotence: replaying the same delta changes nothing
     val before = codes(spark.read.parquet(s"$p/data"))
-    Similarity.upsertSq8Vectors(spark, p, changed, del)
+    Similarity.upsertSq8Vectors(spark, p, changed, delIds)
     assert(codes(spark.read.parquet(s"$p/data")) == before)
   }
 
@@ -195,7 +196,8 @@ class QuantizerSpec extends SparkSpecBase {
       topKey(Similarity.binaryTopK(emb, q, 5)),
       "on a static corpus the index path must equal the scan path")
     val (changed, del, modified) = delta(emb)
-    assert(Similarity.upsertBinaryVectors(spark, p, changed, del).nonEmpty)
+    assert(Similarity.upsertBinaryVectors(spark, p, changed,
+      del.collect().map(_.getLong(0)).toSeq).nonEmpty)
     val mq = modified.filter($"vec_id" < 5)
     assert(topKey(Similarity.binaryTopKIndexed(spark, p, mq, 5)) ==
       topKey(Similarity.binaryTopK(modified, mq, 5)),

@@ -197,6 +197,95 @@ class ReplicationSpec extends SparkSpecBase {
       "synced store must agree with mergeReplicas on every winner/leaf")
   }
 
+  test("bulkDocsStore: touched buckets only, equals the relation form, duplicate ids enforced") {
+    import graft.view.IndexStore
+    val nDocs = 60
+    val targetInit = leavesDf((0 until nDocs).map { i =>
+      (s"d$i", 1L, s"a$i", false, Seq.empty[String])
+    })
+    val dir = java.nio.file.Files.createTempDirectory("repl-bds").toString
+    val path = s"$dir/target"
+    Replication.createTarget(spark, path, targetInit, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 8)
+    val writes = Seq(
+      ("d0", "1-a0", "bodyA", false),   // edits the winner -> ok
+      ("d11", "1-zz", "x", false),      // wrong base -> conflict
+      ("d22", null, "y", false),        // create over live -> conflict
+      ("dNew", null, "z", false))       // brand-new -> ok
+      .toDF("id", "base", "body", "del")
+    // record every untouched bucket file before the batch
+    def files(): Map[String, Long] = {
+      val base = new java.io.File(s"$path/data")
+      base.listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())
+      }.toMap
+    }
+    val before = files()
+    val r = Replication.bulkDocsStore(spark, path, writes, col("id"),
+      col("base"), col("body"), col("del"))
+    assert(r.buckets.nonEmpty && r.buckets.size <= 4,
+      s"a 4-write batch may touch at most 4 buckets, got ${r.buckets}")
+    // untouched bucket directories keep their exact files
+    val after = files()
+    val touchedDirs = r.buckets.map(b => s"_b=$b").toSet
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touchedDirs.exists(p.contains) }
+    untouchedBefore.foreach { case (p, m) =>
+      assert(after.get(p).contains(m),
+        s"untouched bucket file rewritten or removed: $p") }
+    // the report and post-state equal the relation form's
+    val rel = Replication.bulkDocs(targetInit, cols._1, cols._2, cols._3,
+      cols._4, cols._5, writes, col("id"), col("base"), col("body"),
+      col("del"))
+    def rep(df: DataFrame): Seq[(String, String, String)] =
+      df.orderBy("id").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+    assert(rep(r.report) == rep(rel.report))
+    assert(leafSet(Replication.openTarget(spark, path)) ==
+      leafSet(rel.leaves))
+    assert(IndexStore.readMeta(spark, path).updateSeq == 1L)
+
+    // duplicate write ids: ONE deterministic winner is judged, the
+    // rest report conflict — on the store path and the relation path
+    // identically
+    val dup = Seq(
+      ("d1", "1-a1", "first", false),
+      ("d1", "1-a1", "second", false))
+      .toDF("id", "base", "body", "del")
+    val rd = Replication.bulkDocsStore(spark, path, dup, col("id"),
+      col("base"), col("body"), col("del"))
+    val statuses = rd.report.collect().map(_.getString(1)).sorted.toSeq
+    assert(statuses == Seq("conflict", "ok"),
+      s"duplicate-id batch must accept exactly one write: $statuses")
+    // the winner is deterministic: lowest (base, deleted, body)
+    val okRev = rd.report.filter(col("status") === "ok")
+      .head().getString(2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest("d1:2:first".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(okRev == s"2-$h", "the lowest-body duplicate must win")
+    // duplicate (id, rev) target rows never fan the report out
+    val dupTarget = leavesDf(Seq(
+      ("e1", 1L, "aa", false, Seq.empty),
+      ("e1", 1L, "aa", false, Seq.empty)))
+    val rf = Replication.bulkDocs(dupTarget, cols._1, cols._2, cols._3,
+      cols._4, cols._5,
+      Seq(("e1", "1-aa", "b", false)).toDF("id", "base", "body", "del"),
+      col("id"), col("base"), col("body"), col("del"))
+    assert(rf.report.count() == 1L,
+      "duplicate (id, rev) leaf rows must collapse before the join")
+
+    // a first batch CREATES the store
+    val fresh = s"$dir/fresh"
+    val rc = Replication.bulkDocsStore(spark, fresh,
+      Seq(("n1", null, "b1", false)).toDF("id", "base", "body", "del"),
+      col("id"), col("base"), col("body"), col("del"))
+    assert(rc.report.head().getString(1) == "ok")
+    assert(leafSet(Replication.openTarget(spark, fresh)).map(_._1) ==
+      Set("n1"))
+  }
+
   test("replicateFilteredOnce: matching delta travels, rejected changes checkpoint, selector keys the id") {
     val source = leavesDf(Seq(
       ("d1", 2L, "bb", false, Seq("1-aa")),
