@@ -3396,6 +3396,37 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** D8e: the cascade over the RESIDUAL IVFADC tier (tier `"ivfpqr"`
+    * — [[graft.operators.Pq.ivfPqResidualShortlistIndexed]]: probe →
+    * pruned `_kb` read → per-list query-residual ADC (the
+    * |r_q|²-restored cross-list-comparable estimate) → shared exact
+    * rerank). Completes the cascade matrix: every persisted
+    * quantized tier now serves under the exact-order tail. Oracle =
+    * the q163 residual replay at the cascade shape (probe-all,
+    * shortlist 256, k 10). */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("ivfpqr", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      graft.operators.Pq.buildIvfPqResidualIndex(emb, path)
+    Similarity.cascadeTopKIndexed(s, path, emb,
+        emb.filter(col("vec_id") < 10), k = 10, shortlist = 256,
+        tier = "ivfpqr", nProbe = 16)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E20: CCNet-style PERPLEXITY BUCKETING ([[graft.operators.Text
+    * .perplexityBuckets]]) — the head/middle/tail split every
+    * CommonCrawl pipeline runs: corpus-trained bigram-LM score
+    * (q74's portable integer micro-nat formulation), one scale-safe
+    * two-phase global rank by (lm_score DESC, doc_id), exact integer
+    * thirds. The oracle replays the LM, the rank and the thirds. */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.perplexityBuckets(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -4869,7 +4900,9 @@ object SparkEntry {
     "q221_text_lucene" -> (q221 _),
     "q222_find_conflicts" -> (q222 _),
     "q223_cascade_pq" -> (q223 _),
-    "q224_cascade_ivfpq" -> (q224 _)
+    "q224_cascade_ivfpq" -> (q224 _),
+    "q225_cascade_ivfpqr" -> (q225 _),
+    "q226_perplexity_buckets" -> (q226 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8003,6 +8036,129 @@ object SparkEntry {
     "q218_cascade_indexed" -> bruteTop10Oracle,
     "q223_cascade_pq" -> pqCascadeOracle,
     "q224_cascade_ivfpq" -> pqCascadeOracle,
+    // q163's residual replay at the cascade shape (probe-all 16,
+    // shortlist 256, k 10)
+    "q225_cascade_ivfpqr" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cid FROM (
+        |    SELECT n.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+        |                 cent.cid DESC) AS rn
+        |    FROM n CROSS JOIN cent) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid FROM (
+        |    SELECT n.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+        |                 cent.cid DESC) AS rn
+        |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 16),
+        |res AS (
+        |  SELECT n.vec_id,
+        |    list_transform(range(64), i -> n.v[i+1] - cent.cv[i+1]) AS r
+        |  FROM n JOIN assign a ON a.n_id = n.vec_id
+        |         JOIN cent ON cent.cid = a.cid),
+        |js AS (SELECT unnest(range(8)) AS j),
+        |cb AS (
+        |  SELECT js.j, res.vec_id AS c,
+        |         list_slice(res.r, js.j*8 + 1, js.j*8 + 8) AS cw
+        |  FROM res CROSS JOIN js WHERE res.vec_id < 16),
+        |cb2 AS (SELECT j, c, cw, list_dot_product(cw, cw) AS c2 FROM cb),
+        |codes AS (
+        |  SELECT vec_id AS n_id, j, c2, cw FROM (
+        |    SELECT res.vec_id, cb2.j, cb2.c, cb2.c2, cb2.cw,
+        |      ROW_NUMBER() OVER (PARTITION BY res.vec_id, cb2.j
+        |        ORDER BY cb2.c2 - 2.0*list_dot_product(
+        |            list_slice(res.r, cb2.j*8 + 1, cb2.j*8 + 8), cb2.cw) ASC,
+        |          cb2.c ASC) AS rn
+        |    FROM res CROSS JOIN cb2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+        |qres AS (
+        |  SELECT p.q_id, p.cid,
+        |    list_transform(range(64), i -> n.v[i+1] - cent.cv[i+1]) AS rq
+        |  FROM probes p JOIN n ON n.vec_id = p.q_id
+        |                JOIN cent ON cent.cid = p.cid),
+        |cand0 AS (
+        |  SELECT DISTINCT p.q_id, a.n_id, a.cid
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.n_id != p.q_id),
+        |adcj AS (
+        |  SELECT cand0.q_id, cand0.n_id, codes.j,
+        |    codes.c2 - 2.0*list_dot_product(
+        |      list_slice(qr.rq, codes.j*8 + 1, codes.j*8 + 8), codes.cw) AS d,
+        |    list_dot_product(qr.rq, qr.rq) AS qr2
+        |  FROM cand0
+        |  JOIN qres qr ON qr.q_id = cand0.q_id AND qr.cid = cand0.cid
+        |  JOIN codes ON codes.n_id = cand0.n_id),
+        |adc AS (
+        |  -- |r_q|² + (d0 + … + d7): the inner chain is the Spark-side
+        |  -- left fold, the outer add matches dot(q_res,q_res) + fold
+        |  SELECT q_id, n_id,
+        |    MAX(qr2) + (MAX(CASE WHEN j=0 THEN d END)
+        |      + MAX(CASE WHEN j=1 THEN d END)
+        |      + MAX(CASE WHEN j=2 THEN d END)
+        |      + MAX(CASE WHEN j=3 THEN d END)
+        |      + MAX(CASE WHEN j=4 THEN d END)
+        |      + MAX(CASE WHEN j=5 THEN d END)
+        |      + MAX(CASE WHEN j=6 THEN d END)
+        |      + MAX(CASE WHEN j=7 THEN d END)) AS adc
+        |  FROM adcj GROUP BY q_id, n_id),
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc ASC, n_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 256),
+        |j2 AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    list_dot_product(qq.v, xx.v) / (qq.nrm * xx.nrm) AS cosf
+        |  FROM cand
+        |  JOIN n qq ON qq.vec_id = cand.q_id
+        |  JOIN n xx ON xx.vec_id = cand.n_id)
+        |SELECT q_id, rank, n_id, FLOOR(cosf * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT q_id, n_id, cosf,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+        |  FROM j2)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // q74's LM replay + the two-phase rank's thirds
+    "q226_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |bix AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bix GROUP BY w1, w2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bix GROUP BY w1),
+        |vt AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |  (SELECT w1 AS w FROM bix UNION ALL SELECT w2 FROM bix)),
+        |sc AS (
+        |  SELECT bix.doc_id,
+        |    CAST(FLOOR(ln((CAST(c2.c2 AS DOUBLE) + 1.0) /
+        |        (CAST(c1t.c1 AS DOUBLE) + CAST(vt.v AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS lp6
+        |  FROM bix JOIN c2 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN vt),
+        |lm AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    FLOOR(((CAST(SUM(lp6) AS DOUBLE) / 1000000.0) / COUNT(*))
+        |      * 10000 + 0.5) / 10000 AS lm_score
+        |  FROM sc GROUP BY doc_id),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS gr,
+        |         COUNT(*) OVER () AS n
+        |  FROM lm)
+        |SELECT doc_id, n_bigrams, lm_score,
+        |  CASE WHEN gr * 3 <= n THEN 'head'
+        |       WHEN gr * 3 <= 2 * n THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM rk ORDER BY doc_id""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES

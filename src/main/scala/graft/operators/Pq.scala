@@ -698,4 +698,36 @@ object Pq {
     shortlistAndRefine(shortlist, corpus,
       q.select(col("q_id"), col("q_vec")).distinct(), k, refine)
   }
+
+  /** The `(q_id, n_id)` probed-list shortlist of the RESIDUAL IVFADC
+    * tier — [[ivfPqResidualTopK]]'s per-list query-residual ADC (the
+    * `|r_q|²`-restored full estimated distance, comparable across
+    * lists), stopped before the exact refine: the `"ivfpqr"` cascade
+    * feed. Only the probed inverted lists are read. */
+  def ivfPqResidualShortlistIndexed(spark: SparkSession, path: String,
+                                    queries: DataFrame, shortlist: Int,
+                                    nProbe: Int = 4): DataFrame = {
+    val cents = Similarity.readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val q0 = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_vec"))
+      .withColumn("q_nrm", sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
+      .withColumn("bucket", explode(
+        Similarity.probeCidsCol(col("q_vec"), col("q_nrm"), cents, nProbe)))
+    val q = joinCentroidVec(q0, cents, col("bucket"))
+      .select(col("q_id"), col("bucket"),
+        residual(col("q_vec"), col("_cvec")).as("q_res"))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = IndexStore.readBuckets(spark, s"$path/data", "_kb", buckets)
+      .filter(col("_kb").isin(buckets: _*))
+      .select(col("_id").as("n_id"), col("codes"), col("_kb").as("bucket"))
+    adcShortlist(
+      codes.join(broadcast(q), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (Similarity.dot(col("q_res"), col("q_res")) +
+            adcExpr(cbs, col("q_res"), col("codes"))).as("adc")),
+      shortlist)
+  }
 }

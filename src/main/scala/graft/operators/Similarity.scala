@@ -557,8 +557,10 @@ object Similarity {
         shortlist)
       case "ivfpq"  => Pq.ivfPqShortlistIndexed(spark, path, queries,
         shortlist, nProbe)
+      case "ivfpqr" => Pq.ivfPqResidualShortlistIndexed(spark, path,
+        queries, shortlist, nProbe)
       case t => throw new IllegalArgumentException(
-        s"unknown cascade tier: $t (binary|sq8|ivfsq8|pq|ivfpq)")
+        s"unknown cascade tier: $t (binary|sq8|ivfsq8|pq|ivfpq|ivfpqr)")
     }).select(col("q_id"), col("n_id"))
     rerankExact(corpus, queries, cand, k)
   }

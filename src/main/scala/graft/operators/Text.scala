@@ -210,6 +210,39 @@ object Text {
           col("n_bigrams")).as("lm_score"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — the head/middle/tail split every CommonCrawl pipeline
+    * runs): score each doc with the corpus-trained bigram LM
+    * ([[bigramLmScores]]; `lm_score` is the avg bigram log-prob, so
+    * perplexity `exp(−lm_score)` is its monotone inverse — ordering
+    * by `lm_score` DESC is ordering by perplexity ASC) and cut the
+    * corpus into exact thirds: `head` (lowest perplexity — CCNet
+    * keeps), `middle` (mixes), `tail` (drops).
+    *
+    * The cut is EXACT and scale-safe: one [[graft.operators
+    * .Relational.withGlobalRowNumber]] two-phase range-partitioned
+    * rank over `(lm_score DESC, doc_id)` (never a single-partition
+    * window), then rank r of n lands in head iff `3r ≤ n`, middle iff
+    * `3r ≤ 2n` — integer arithmetic, ±0 rows, deterministic under the
+    * doc-id tiebreak, engine-replayable. Returns
+    * `(doc_id, n_bigrams, lm_score, ppl_bucket)` for docs with ≥ 1
+    * bigram. */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame,
+                        id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val scored = bigramLmScores(docs, id, text)
+    val ranked = Relational.withGlobalRowNumber(scored,
+      Seq(col("lm_score").desc, col("doc_id")), "_gr")
+    val n = scored.agg(fcount(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+        when(col("_gr") * 3 <= col("_n"), lit("head"))
+          .when(col("_gr") * 3 <= col("_n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Trigram language-model quality score with STUPID BACKOFF — the
     * higher-order upgrade of [[bigramLmScores]] a CCNet-grade filter
     * uses. The model is trained on the corpus itself and PRUNED at

@@ -648,6 +648,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(s.find(_._1 == 1L).get._2 == 5L)
   }
 
+  test("perplexity buckets: exact thirds, ordered head >= middle >= tail") {
+    import graft.operators.Text
+    val b = Text.perplexityBuckets(docs, $"doc_id", $"text")
+      .select($"doc_id", $"lm_score", $"ppl_bucket")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = b.length
+    assert(n > 10)
+    val byB = b.groupBy(_._3).view.mapValues(_.length).toMap
+    // exact integer thirds: |head| = floor(n/3), |head|+|middle| =
+    // floor(2n/3)
+    assert(byB.getOrElse("head", 0) == n / 3, s"$byB of $n")
+    assert(byB.getOrElse("head", 0) + byB.getOrElse("middle", 0) ==
+      2 * n / 3, s"$byB of $n")
+    // bucket ordering: every head score >= every middle >= every tail
+    // (ties across a boundary split by doc id, so >= is exact)
+    def scores(k: String) = b.filter(_._3 == k).map(_._2)
+    assert(scores("head").min >= scores("middle").max,
+      "head must not rank below middle")
+    assert(scores("middle").min >= scores("tail").max,
+      "middle must not rank below tail")
+    // deterministic: a second run buckets identically
+    val b2 = Text.perplexityBuckets(docs, $"doc_id", $"text")
+      .select($"doc_id", $"ppl_bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b2 == b.map(x => (x._1, x._3)).toSet)
+  }
+
   test("trigram LM with stupid backoff: pruning makes rare text back off and sink") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -296,13 +296,38 @@ class QuantizerSpec extends SparkSpecBase {
       tier = "ivfsq8", nProbe = 16)) == bk,
       "probe-all ivfsq8 cascade at shortlist=64 must BE brute force")
     intercept[IllegalArgumentException] {
-      Similarity.cascadeTopK(emb, q, 10, 64, tier = "pq")
+      Similarity.cascadeTopK(emb, q, 10, 64, tier = "pq") // scan path has no pq tier
     }
     intercept[IllegalArgumentException] {
       Similarity.cascadeTopK(emb, q, 10, 5)
     }
     intercept[IllegalArgumentException] {
-      Similarity.cascadeTopKIndexed(spark, p, emb, q, 10, 64, tier = "pq")
+      Similarity.cascadeTopKIndexed(spark, p, emb, q, 10, 64,
+        tier = "nope")
     }
+    // the PQ-family cascade tiers: each equals ITS OWN pipeline
+    // (ADC shortlist -> exact rerank == the tier's existing serve,
+    // which already ends in the same exact refine)
+    val ppq = s"$tmpDir/casc_pq"
+    graft.operators.Pq.buildPqIndex(emb, ppq)
+    assert(ck(Similarity.cascadeTopKIndexed(spark, ppq, emb, q, 10, 64,
+      tier = "pq")) ==
+      ck(graft.operators.Pq.pqTopKIndexed(spark, ppq, emb, q, 10,
+        refine = 64)),
+      "pq cascade must equal pqTopKIndexed at the same shortlist")
+    val pivf = s"$tmpDir/casc_ivfpq"
+    graft.operators.Pq.buildIvfPqIndex(emb, pivf, nCentroids = 16)
+    assert(ck(Similarity.cascadeTopKIndexed(spark, pivf, emb, q, 10, 64,
+      tier = "ivfpq", nProbe = 4)) ==
+      ck(graft.operators.Pq.ivfPqTopK(spark, pivf, emb, q, 10,
+        nProbe = 4, refine = 64)),
+      "ivfpq cascade must equal ivfPqTopK at the same probes/shortlist")
+    val pres = s"$tmpDir/casc_ivfpqr"
+    graft.operators.Pq.buildIvfPqResidualIndex(emb, pres, nCentroids = 16)
+    assert(ck(Similarity.cascadeTopKIndexed(spark, pres, emb, q, 10, 64,
+      tier = "ivfpqr", nProbe = 4)) ==
+      ck(graft.operators.Pq.ivfPqResidualTopK(spark, pres, emb, q, 10,
+        nProbe = 4, refine = 64)),
+      "ivfpqr cascade must equal ivfPqResidualTopK")
   }
 }
