@@ -74,6 +74,10 @@ object BenchScale {
           noop(Dedup.duplicatedSpans(d, col("doc_id"), col("text"), 8))),
         "lm_quality" -> (() =>
           noop(Text.bigramLmScores(d, col("doc_id"), col("text")))),
+        // LM + one range-shuffled global rank + integer thirds — must
+        // track the LM scan, never a single-partition window
+        "perplexity_buckets" -> (() =>
+          noop(Text.perplexityBuckets(d, col("doc_id"), col("text")))),
         "trigram_lm" -> (() =>
           noop(Text.trigramLmScores(d, col("doc_id"), col("text")))),
         "pmi_bigrams" -> (() =>
@@ -212,7 +216,20 @@ object BenchScale {
         "build_sq8_index" -> time(Similarity.buildSq8Index(e, sq8)),
         "build_binary_index" -> time(Similarity.buildBinaryIndex(e, bin)),
         "build_ivfsq8_index" -> time(
-          Similarity.buildIvfSq8Index(e, s"$tmp/graft_scale_${tag}_ivfsq8")))
+          Similarity.buildIvfSq8Index(e, s"$tmp/graft_scale_${tag}_ivfsq8")),
+        "build_pq_index" -> time(
+          graft.operators.Pq.buildPqIndex(e, s"$tmp/graft_scale_${tag}_pq")),
+        "build_ivfpq_index" -> time(graft.operators.Pq.buildIvfPqIndex(
+          e, s"$tmp/graft_scale_${tag}_ivfpq")),
+        "build_repl_target" -> time(
+          graft.operators.Replication.createTarget(spark,
+            s"$tmp/graft_scale_${tag}_repl",
+            d.select(col("doc_id").as("id"), lit(1L).as("rev_pos"),
+              md5(concat(col("doc_id").cast("string"), lit(":1")))
+                .as("rev_hash"), lit(false).as("deleted"),
+              array().cast("array<string>").as("ancestors")),
+            col("id"), col("rev_pos"), col("rev_hash"), col("deleted"),
+            col("ancestors"), numBuckets = 64)))
       // 3 smallest cluster labels: a fixed, comparable probe set
       val labels = DedupIndex.clusters(spark, dc)
         .groupBy(col("cluster_id")).count()
@@ -272,7 +289,41 @@ object BenchScale {
         "serve_ivfsq8" -> (() =>
           noop(Similarity.ivfSq8TopK(spark,
             s"$tmp/graft_scale_${tag}_ivfsq8",
-            e.filter(col("vec_id") < 5), 10))))
+            e.filter(col("vec_id") < 5), 10))),
+        // PQ cascade: compressed full code scan (linear in the 32×-
+        // smaller store) + flat |q|·k' float rerank
+        "cascade_pq" -> (() =>
+          noop(Similarity.cascadeTopKIndexed(spark,
+            s"$tmp/graft_scale_${tag}_pq", e,
+            e.filter(col("vec_id") < 5), 10, shortlist = 64,
+            tier = "pq"))),
+        // IVFADC cascade: probe-pruned list read — must stay ~flat
+        "cascade_ivfpq" -> (() =>
+          noop(Similarity.cascadeTopKIndexed(spark,
+            s"$tmp/graft_scale_${tag}_ivfpq", e,
+            e.filter(col("vec_id") < 5), 10, shortlist = 64,
+            tier = "ivfpq", nProbe = 4))),
+        // Lucene $text over the stamped text index: postings probes +
+        // residual on the fetched candidates — term-bucket reads, not
+        // a corpus scan (the fetch is bounded by the match)
+        "serve_text_lucene" -> (() =>
+          noop(graft.operators.Mango.findText(spark, d, "doc_id",
+            graft.operators.Mango.MangoTextIndex(txt, Seq("text")),
+            s"""{"selector": {"$$text": "($hot OR hash) AND NOT \\\"$hot $hot\\\""},
+               | "fields": ["doc_id"], "sort": ["doc_id"],
+               | "limit": 100}""".stripMargin))),
+        // store-backed interactive writes: a 100-write batch judged
+        // against only its ids' buckets — ~flat whatever the target
+        "bulk_docs_store" -> (() => {
+          val writes = d.select(col("doc_id")).filter(col("doc_id") < 100)
+            .select(col("doc_id").as("id"),
+              lit(null).cast("string").as("base"),
+              lit("probe").as("body"), lit(false).as("del"))
+          graft.operators.Replication.bulkDocsStore(spark,
+            s"$tmp/graft_scale_${tag}_repl", writes, col("id"),
+            col("base"), col("body"), col("del"))
+          ()
+        }))
       (builds2, probes)
     }
     val (baseBuilds, baseProbes) = servingSetup(docs, emb, "base")

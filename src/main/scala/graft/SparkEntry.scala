@@ -3427,6 +3427,19 @@ object SparkEntry {
       col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** D10: TOPIC-BALANCED SAMPLING ([[graft.operators.Similarity
+    * .clusterBalancedSample]]) — assign to the frozen lowest-16
+    * centroids (the IVF init, cosine, ties to the larger cid), keep
+    * exactly floor(count/3) per cluster by the portable md5-of-id
+    * order — every topic's share preserved to the row. The oracle
+    * replays assignment (the ivf CTE), the per-cluster hash rank and
+    * the exact quota. */
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.clusterBalancedSample(
+        t(s, dir, "embeddings"), num = 1, den = 3, nCentroids = 16)
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -4902,7 +4915,8 @@ object SparkEntry {
     "q223_cascade_pq" -> (q223 _),
     "q224_cascade_ivfpq" -> (q224 _),
     "q225_cascade_ivfpqr" -> (q225 _),
-    "q226_perplexity_buckets" -> (q226 _)
+    "q226_perplexity_buckets" -> (q226 _),
+    "q227_cluster_sample" -> (q227 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8124,6 +8138,30 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
         |  FROM j2)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // frozen-centroid assignment (the ivf CTE: cosine, ties to the
+    // larger cid) + per-cluster md5 rank + exact 1/3 quota
+    "q227_cluster_sample" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        |      WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |                 c.cid DESC) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |rk AS (
+        |  SELECT vec_id, cluster_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS cnt
+        |  FROM assign)
+        |SELECT vec_id, cluster_id FROM rk WHERE r * 3 <= cnt * 1
+        |ORDER BY cluster_id, vec_id""".stripMargin,
     // q74's LM replay + the two-phase rank's thirds
     "q226_perplexity_buckets" ->
       """WITH toks AS (

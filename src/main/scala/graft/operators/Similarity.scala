@@ -565,6 +565,31 @@ object Similarity {
     rerankExact(corpus, queries, cand, k)
   }
 
+  /** TOPIC-BALANCED SAMPLING — the cluster-proportional downsample a
+    * pretraining pipeline runs to shrink a corpus WITHOUT skewing its
+    * topical mix (the cluster-aware selection discipline SemDeDup's
+    * clustering enables; cf. Abbas et al. 2023): every vector assigns
+    * to its nearest FROZEN centroid (the deterministic lowest-id IVF
+    * init — engine-replayable), then every cluster keeps EXACTLY
+    * `floor(count·num/den)` rows chosen by the portable md5-of-id
+    * order ([[graft.operators.Relational.stratifiedSampleExact]] —
+    * ONE two-phase range-partitioned global rank, never a
+    * per-cluster single-partition window). The realized sample holds
+    * each topic's share to ±1 row, where Bernoulli sampling would
+    * wobble exactly the small topics balance exists to protect.
+    * Returns `(vec_id, cluster_id)` for the kept rows. */
+  def clusterBalancedSample(emb: DataFrame, num: Int, den: Int,
+                            nCentroids: Int = 16): DataFrame = {
+    val cents = initCentroids(emb, nCentroids)
+    val assigned = emb
+      .withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+      .select(col("vec_id"),
+        nearestCidCol(col("_v"), col("_nrm"), cents).as("cluster_id"))
+    Relational.stratifiedSampleExact(assigned, col("cluster_id"),
+      col("vec_id"), num, den)
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
     * label or an LSH bucket): pairwise only inside blocks, never a full
     * cross product. */

@@ -253,6 +253,25 @@ class QuantizerSpec extends SparkSpecBase {
       "post-delta probe-all must equal the frozen-model brute ranking")
   }
 
+  test("clusterBalancedSample: exact per-cluster quota, subset, deterministic") {
+    // den=1 keeps everything -> the full frozen-centroid assignment
+    val full = Similarity.clusterBalancedSample(emb, 1, 1, 16)
+      .as[(Long, Int)].collect().toSet
+    assert(full.size == emb.count(), "num=den must keep every row")
+    val s1 = Similarity.clusterBalancedSample(emb, 1, 3, 16)
+      .as[(Long, Int)].collect().toSet
+    assert(s1.subsetOf(full), "sample rows keep their assignment")
+    val fullBy = full.groupBy(_._2).view.mapValues(_.size).toMap
+    val sampBy = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    fullBy.foreach { case (cid, n) =>
+      assert(sampBy.getOrElse(cid, 0) == n / 3,
+        s"cluster $cid: kept ${sampBy.getOrElse(cid, 0)} of $n, want ${n / 3}")
+    }
+    // deterministic across runs
+    assert(Similarity.clusterBalancedSample(emb, 1, 3, 16)
+      .as[(Long, Int)].collect().toSet == s1)
+  }
+
   // ------------------------------------------------ shortlist-rerank cascade
 
   test("cascadeTopK: equals brute force at a sufficient shortlist; recall floors below") {
