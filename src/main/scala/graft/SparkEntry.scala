@@ -3440,6 +3440,93 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
       .orderBy(col("cluster_id"), col("vec_id"))
 
+  /** A39: `_reshard` ([[graft.operators.Replication.reshardTarget]])
+    * — CouchDB's shard-splitting admin operation on the persisted
+    * target: the q186 target store (8 `_b` buckets) resharded ×4
+    * into 32 SHUFFLE-FREE (pmod splitting: each old bucket fans out
+    * only to its 4 children — the no-Exchange plan and the
+    * whole-dir rename swap are spec-asserted in ReplicationSpec).
+    * The gate reads the store BACK: the leaves must equal the
+    * staged relation exactly (no row lost, duplicated or re-homed),
+    * the meta must say 32 buckets with update_seq still 7
+    * (resharding is a layout change, not a write), and every stored
+    * row must satisfy the split invariant `_b % 8 == idBucket(id, 8)`
+    * (the oracle states TRUE). */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    import graft.view.IndexStore
+    val path = idxPath("q228rsh", dir, "documents")
+    Replication.createTarget(s, path, q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 8, seq = 7L)
+    val n2 = Replication.reshardTarget(s, path, factor = 4)
+    val meta = IndexStore.readMeta(s, path)
+    s.read.parquet(s"$path/data")
+      .select(col("id").as("doc_id"),
+        concat(col("rev_pos").cast("string"), lit("-"),
+          col("rev_hash")).as("rev"),
+        col("deleted"),
+        concat_ws(",", col("ancestors")).as("ancestors"),
+        lit(n2.toLong).as("buckets"),
+        lit(meta.updateSeq).as("update_seq"),
+        (col("_b") % 8 === IndexStore.idBucket(col("id"), 8))
+          .as("split_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The two persisted stores the `_dbs_info`/`_db_updates` gates
+    * read: db_a = the q186 target (8 buckets, seq 7, no tombstone
+    * winners), db_b = a 1-rev corpus where `doc_id % 7 == 0` docs
+    * are tombstones (4 buckets, seq 42). Both gates only READ the
+    * stores, so the build is once per SF dir. */
+  private def q229Stores(s: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    import graft.operators.Replication
+    val pa = idxPath("q229a", dir, "documents")
+    val pb = idxPath("q229b", dir, "documents")
+    if (!Replication.targetExists(s, pa))
+      Replication.createTarget(s, pa, q186Target(s, dir), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+        numBuckets = 8, seq = 7L)
+    if (!Replication.targetExists(s, pb)) {
+      val leavesB = t(s, dir, "documents").select(
+        col("doc_id").as("id"), lit(1L).as("rev_pos"),
+        md5(concat(col("doc_id").cast("string"), lit(":1:m")))
+          .as("rev_hash"),
+        (col("doc_id") % 7 === 0).as("deleted"),
+        array().cast("array<string>").as("ancestors"))
+      Replication.createTarget(s, pb, leavesB, col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+        numBuckets = 4, seq = 42L)
+    }
+    Seq("db_a" -> pa, "db_b" -> pb)
+  }
+
+  /** A40: `POST /_dbs_info` ([[graft.operators.Replication.dbsInfo]])
+    * — the multi-database info read a replication monitor polls: one
+    * row per store with live doc count, tombstone-winner count,
+    * update_seq and shard (bucket) count, each from one
+    * partial-aggregated pass over that store's leaves plus its meta
+    * sidecar. The oracle restates both staged corpora's counts. */
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Replication.dbsInfo(s, q229Stores(s, dir))
+      .orderBy(col("db_name"))
+
+  /** A41: the `GET /_db_updates?since=` catch-up read
+    * ([[graft.operators.Replication.dbUpdates]]) — which stores
+    * advanced past the cursor, in seq order, reading ONLY each
+    * store's meta sidecar (no data listed). `since=0` replays every
+    * store's creation (`"created"`); `since=10` returns only db_b's
+    * later write as `"updated"`. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val dbs = q229Stores(s, dir)
+    Replication.dbUpdates(s, dbs, since = 0L).withColumn("since", lit(0L))
+      .unionByName(Replication.dbUpdates(s, dbs, since = 10L)
+        .withColumn("since", lit(10L)))
+      .orderBy(col("since"), col("seq"), col("db_name"))
+  }
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -4916,7 +5003,10 @@ object SparkEntry {
     "q224_cascade_ivfpq" -> (q224 _),
     "q225_cascade_ivfpqr" -> (q225 _),
     "q226_perplexity_buckets" -> (q226 _),
-    "q227_cluster_sample" -> (q227 _)
+    "q227_cluster_sample" -> (q227 _),
+    "q228_reshard" -> (q228 _),
+    "q229_dbs_info" -> (q229 _),
+    "q230_db_updates" -> (q230 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8197,6 +8287,44 @@ object SparkEntry {
         |       WHEN gr * 3 <= 2 * n THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM rk ORDER BY doc_id""".stripMargin,
+    // the resharded store must read back as the staged q186 target
+    // relation with the post-reshard meta scalars; split_ok (the
+    // _b % 8 == old-bucket invariant) must be TRUE on every row
+    "q228_reshard" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 2 THEN '3-' || md5(doc_id::VARCHAR || ':3:m')
+        |       WHEN doc_id % 5 = 1 THEN '2-' || md5(doc_id::VARCHAR || ':2:t')
+        |       ELSE '1-' || md5(doc_id::VARCHAR || ':1:m') END AS rev,
+        |  false AS deleted,
+        |  CASE WHEN doc_id % 5 = 2 THEN
+        |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |       WHEN doc_id % 5 = 1 THEN '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |       ELSE '' END AS ancestors,
+        |  CAST(32 AS BIGINT) AS buckets,
+        |  CAST(7 AS BIGINT) AS update_seq,
+        |  TRUE AS split_ok
+        |FROM documents WHERE doc_id % 5 <> 3
+        |ORDER BY doc_id""".stripMargin,
+    "q229_dbs_info" ->
+      """SELECT 'db_a' AS db_name,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 3) AS doc_count,
+        |  CAST(0 AS BIGINT) AS doc_del_count,
+        |  CAST(7 AS BIGINT) AS update_seq,
+        |  CAST(8 AS BIGINT) AS buckets
+        |UNION ALL
+        |SELECT 'db_b',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0),
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0),
+        |  CAST(42 AS BIGINT), CAST(4 AS BIGINT)
+        |ORDER BY db_name""".stripMargin,
+    "q230_db_updates" ->
+      """SELECT * FROM (VALUES
+        |  ('db_a', 'created', CAST(7 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('db_b', 'created', CAST(42 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('db_b', 'updated', CAST(42 AS BIGINT), CAST(10 AS BIGINT)))
+        |  AS t(db_name, type, seq, since)
+        |ORDER BY since, seq, db_name""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES

@@ -551,4 +551,94 @@ object Replication {
       BulkDocsStoreResult(rep, bs)
     } finally ids.unpersist()
   }
+
+  /** CouchDB's `_reshard` (POST /_reshard: split every shard) on a
+    * persisted target: multiply the `_b` bucket count by `factor`,
+    * SHUFFLE-FREE. Because `_b = pmod(xxhash64(id), n)`, a row in
+    * bucket k under n buckets can only land in {k, k+n, …,
+    * k+(factor-1)·n} under factor·n — each old bucket directory is
+    * read once and its rows fan out to exactly its `factor` child
+    * directories, an embarrassingly parallel per-bucket rewrite with
+    * no Exchange in the plan (spec-asserted): at 100 TB every
+    * executor streams its bucket straight into the new layout and no
+    * byte crosses the network. The resharded store is staged beside
+    * the live one and swapped whole-directory by two renames (the
+    * [[graft.view.IndexStore.compact]] crash discipline — meta and
+    * data travel together, so readers see old-or-new, never a
+    * mixed-generation store; a crash between the renames leaves the
+    * old store intact at `path + "._old"`). `update_seq` is
+    * preserved: resharding is a layout change, not a write. Returns
+    * the new bucket count. */
+  def reshardTarget(spark: SparkSession, path: String,
+                    factor: Int): Int = {
+    require(factor >= 2, s"reshard: factor must be >= 2 (got $factor)")
+    val meta = IndexStore.readMeta(spark, path)
+    val n2 = meta.buckets * factor
+    val fs = IndexStore.fsFor(spark, path)
+    val tmp = path + "._reshard"
+    fs.delete(new Path(tmp), true)
+    spark.read.parquet(dataDir(path)).drop("_b")
+      .withColumn("_b", IndexStore.idBucket(col("id"), n2))
+      .sortWithinPartitions(col("_b"), col("id"), col("rev_pos"),
+        col("rev_hash"))
+      .write.partitionBy("_b").parquet(dataDir(tmp))
+    IndexStore.writeMeta(spark, tmp, meta.copy(buckets = n2))
+    val old = new Path(path + "._old")
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(
+        s"reshard: could not move live target aside ($path)")
+    if (!fs.rename(new Path(tmp), new Path(path)))
+      throw new java.io.IOException(
+        s"reshard: swap failed — old target preserved at $old, new at $tmp")
+    fs.delete(old, true)
+    n2
+  }
+
+  /** CouchDB's `POST /_dbs_info` over persisted targets: one row per
+    * named store — live doc count, deleted (tombstone-winner) count,
+    * `update_seq`, and the shard (`_b` bucket) count, the fields a
+    * replication monitor reads. Each store contributes one
+    * [[graft.operators.Revisions.dbInfo]] aggregation (a single
+    * partial-aggregated pass over its leaves — no shuffle beyond the
+    * final 1-row combine) plus its meta scalars; the union is
+    * |dbs| one-row frames, driver-cheap by definition. */
+  def dbsInfo(spark: SparkSession,
+              dbs: Seq[(String, String)]): DataFrame = {
+    require(dbs.nonEmpty, "dbsInfo: at least one (name, path) required")
+    dbs.map { case (name, path) =>
+      val meta = IndexStore.readMeta(spark, path)
+      Revisions.dbInfo(openTarget(spark, path), col("id"),
+          col("rev_pos"), col("rev_hash"), col("deleted"))
+        .select(lit(name).as("db_name"), col("doc_count"),
+          col("doc_del_count"), lit(meta.updateSeq).as("update_seq"),
+          lit(meta.buckets.toLong).as("buckets"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The catch-up read of CouchDB's `GET /_db_updates?since=` over
+    * persisted targets: which of the named stores advanced past
+    * `since`, as `(db_name, type, seq)` rows in seq order — the
+    * poll a multi-database replicator runs to decide what to sync
+    * next. `type` follows the endpoint's vocabulary: `"created"`
+    * for a store whose whole history is past the cursor (its
+    * creation event itself has not been consumed), `"updated"`
+    * otherwise. Reads ONLY each store's meta sidecar (one tiny
+    * file per db — no data listed or scanned), so polling N
+    * databases costs N stat calls whatever their sizes. */
+  def dbUpdates(spark: SparkSession, dbs: Seq[(String, String)],
+                since: Long = 0L): DataFrame = {
+    require(dbs.nonEmpty, "dbUpdates: at least one (name, path) required")
+    val rows = dbs.flatMap { case (name, path) =>
+      if (!targetExists(spark, path)) None
+      else {
+        val seq = IndexStore.readMeta(spark, path).updateSeq
+        if (seq > since)
+          Some((name, if (since == 0L) "created" else "updated", seq))
+        else None
+      }
+    }.sortBy(r => (r._3, r._1))
+    import spark.implicits._
+    rows.toDF("db_name", "type", "seq")
+  }
 }

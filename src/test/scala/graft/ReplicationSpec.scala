@@ -429,4 +429,96 @@ class ReplicationSpec extends SparkSpecBase {
         "matching ids must upgrade, non-matching keep target leaves")
     } finally q.stop()
   }
+
+  test("reshardTarget: shuffle-free bucket split, seq preserved, store re-serves") {
+    import graft.view.IndexStore
+    val nDocs = 120
+    val leaves = leavesDf((0 until nDocs).map { i =>
+      (s"d$i", 1L, s"a$i", i % 9 == 0, Seq.empty[String])
+    })
+    val dir = java.nio.file.Files.createTempDirectory("repl-rsh").toString
+    val path = s"$dir/target"
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 8, seq = 5L)
+    val before = leafSet(Replication.openTarget(spark, path))
+
+    // the rewrite frame reshard runs has NO Exchange: rows never
+    // cross the network, each old bucket fans out to its children
+    val frame = spark.read.parquet(s"$path/data").drop("_b")
+      .withColumn("_b", IndexStore.idBucket(col("id"), 32))
+      .sortWithinPartitions(col("_b"), col("id"), col("rev_pos"),
+        col("rev_hash"))
+    assert(!frame.queryExecution.executedPlan.toString.contains("Exchange"),
+      "reshard's rewrite must be shuffle-free")
+
+    val n2 = Replication.reshardTarget(spark, path, factor = 4)
+    assert(n2 == 32)
+    val meta = IndexStore.readMeta(spark, path)
+    assert(meta.buckets == 32 && meta.updateSeq == 5L,
+      "reshard is a layout change: buckets multiply, update_seq keeps")
+    // 32 child directories, every row in the dir its NEW bucket says,
+    // and each new bucket folds back onto its parent (pmod splitting)
+    val dirs = new java.io.File(s"$path/data").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("_b="))
+      .map(_.getName.stripPrefix("_b=").toInt).toSet
+    val expectDirs = spark.read.parquet(s"$path/data")
+      .select(IndexStore.idBucket(col("id"), 32)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(dirs == expectDirs && dirs.forall(b => b >= 0 && b < 32),
+      s"bucket dirs must be exactly the occupied 32-bucket homes: $dirs")
+    val badHome = spark.read.parquet(s"$path/data")
+      .filter(col("_b") =!= IndexStore.idBucket(col("id"), 32) ||
+        col("_b") % 8 =!= IndexStore.idBucket(col("id"), 8))
+      .count()
+    assert(badHome == 0, "every row must live in its 32-bucket home, " +
+      "which must fold back onto its old 8-bucket home")
+    // nothing lost, duplicated or re-homed
+    assert(leafSet(Replication.openTarget(spark, path)) == before)
+    // no stale staging/old dirs survive the swap
+    assert(!new java.io.File(path + "._reshard").exists())
+    assert(!new java.io.File(path + "._old").exists())
+
+    // the resharded store still serves delta writes, bucket-bounded
+    val src2 = leavesDf(Seq(("d3", 2L, "z3", false, Seq("1-a3"))))
+    val touched = Replication.syncBatch(spark, path, src2, cols._1,
+      cols._2, cols._3, cols._4, cols._5, Seq("d3").toDF("id"))
+    assert(touched.size == 1 && touched.head < 32)
+    assert(leafSet(Replication.openTarget(spark, path)) ==
+      before - (("d3", "1-a3", false)) + (("d3", "2-z3", false)))
+
+    intercept[IllegalArgumentException] {
+      Replication.reshardTarget(spark, path, factor = 1)
+    }
+  }
+
+  test("dbsInfo + dbUpdates: meta-sidecar admin reads over many stores") {
+    val dir = java.nio.file.Files.createTempDirectory("repl-dbs").toString
+    val a = leavesDf((0 until 30).map(i =>
+      (s"a$i", 1L, s"h$i", i % 5 == 0, Seq.empty[String])))
+    val b = leavesDf((0 until 12).map(i =>
+      (s"b$i", 1L, s"g$i", false, Seq.empty[String])))
+    Replication.createTarget(spark, s"$dir/a", a, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 4, seq = 3L)
+    Replication.createTarget(spark, s"$dir/b", b, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 2, seq = 9L)
+    val dbs = Seq("dba" -> s"$dir/a", "dbb" -> s"$dir/b")
+    val info = Replication.dbsInfo(spark, dbs).orderBy("db_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(info.toSeq == Seq(("dba", 24L, 6L, 3L, 4L),
+      ("dbb", 12L, 0L, 9L, 2L)))
+    // catch-up semantics: since=0 replays creations in seq order,
+    // a later cursor returns only stores past it, as updates
+    val u0 = Replication.dbUpdates(spark, dbs, since = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(u0.toSeq == Seq(("dba", "created", 3L), ("dbb", "created", 9L)))
+    val u5 = Replication.dbUpdates(spark, dbs, since = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(u5.toSeq == Seq(("dbb", "updated", 9L)))
+    assert(Replication.dbUpdates(spark, dbs, since = 9L).isEmpty)
+    // a store that does not exist yet simply has no update to report
+    val u = Replication.dbUpdates(spark,
+      dbs :+ ("ghost" -> s"$dir/ghost"), since = 0L)
+    assert(u.count() == 2)
+  }
 }
