@@ -3527,6 +3527,37 @@ object SparkEntry {
       .orderBy(col("since"), col("seq"), col("db_name"))
   }
 
+  /** E21: CouchDB `_search` FACETING ([[graft.operators.TextSearch
+    * .searchFacets]]) — `counts` over lang + source and three
+    * `ranges` buckets over n_chars (Lucene `[a TO b]`/`{a TO b}`
+    * strings), aggregated over the FULL matched set of the q59/q60
+    * disjunctive term query; then the same facets under a
+    * `drilldown` (lang ∈ {en, de} OR-composed, AND source=src1).
+    * Counts run in one explode+groupBy shuffle, ranges in one
+    * single-row conditional aggregation; the oracle replays match,
+    * drill and every bucket. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    val ranges = Seq(
+      ("n_chars", "short", "[0 TO 199]"),
+      ("n_chars", "mid", "[200 TO 399]"),
+      ("n_chars", "long", "{399 TO 1000000]"))
+    val all = TextSearch.searchFacets(s, path, searchTerms, docs,
+        "doc_id", countsFields = Seq("lang", "source"), ranges = ranges)
+      .withColumn("drill", lit("all"))
+    val dr = TextSearch.searchFacets(s, path, searchTerms, docs,
+        "doc_id", countsFields = Seq("lang", "source"), ranges = ranges,
+        drilldown = Seq(("lang", "en"), ("lang", "de"),
+          ("source", "src1")))
+      .withColumn("drill", lit("drill"))
+    all.unionByName(dr)
+      .orderBy(col("drill"), col("facet"), col("field"), col("label"))
+  }
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -5006,7 +5037,8 @@ object SparkEntry {
     "q227_cluster_sample" -> (q227 _),
     "q228_reshard" -> (q228 _),
     "q229_dbs_info" -> (q229 _),
-    "q230_db_updates" -> (q230 _)
+    "q230_db_updates" -> (q230 _),
+    "q231_search_facets" -> (q231 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8325,6 +8357,52 @@ object SparkEntry {
         |  ('db_b', 'updated', CAST(42 AS BIGINT), CAST(10 AS BIGINT)))
         |  AS t(db_name, type, seq, since)
         |ORDER BY since, seq, db_name""".stripMargin,
+    // facets replay: disjunctive term match -> counts per field value
+    // + conditional range buckets, then the same under the drilldown
+    "q231_search_facets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |hit AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE term IN ('hash', 'join', 'stream')),
+        |m AS (SELECT d.* FROM documents d JOIN hit USING (doc_id)),
+        |dr AS (SELECT * FROM m
+        |       WHERE lang IN ('en', 'de') AND source = 'src1'),
+        |fac AS (
+        |  SELECT 'all' AS drill, 'counts' AS facet, 'lang' AS field,
+        |         lang AS label, COUNT(*) AS count FROM m GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'all', 'counts', 'source', source, COUNT(*)
+        |  FROM m GROUP BY source
+        |  UNION ALL
+        |  SELECT 'all', 'ranges', 'n_chars', 'short',
+        |    COUNT(*) FILTER (n_chars BETWEEN 0 AND 199) FROM m
+        |  UNION ALL
+        |  SELECT 'all', 'ranges', 'n_chars', 'mid',
+        |    COUNT(*) FILTER (n_chars BETWEEN 200 AND 399) FROM m
+        |  UNION ALL
+        |  SELECT 'all', 'ranges', 'n_chars', 'long',
+        |    COUNT(*) FILTER (n_chars > 399 AND n_chars <= 1000000) FROM m
+        |  UNION ALL
+        |  SELECT 'drill', 'counts', 'lang', lang, COUNT(*)
+        |  FROM dr GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'drill', 'counts', 'source', source, COUNT(*)
+        |  FROM dr GROUP BY source
+        |  UNION ALL
+        |  SELECT 'drill', 'ranges', 'n_chars', 'short',
+        |    COUNT(*) FILTER (n_chars BETWEEN 0 AND 199) FROM dr
+        |  UNION ALL
+        |  SELECT 'drill', 'ranges', 'n_chars', 'mid',
+        |    COUNT(*) FILTER (n_chars BETWEEN 200 AND 399) FROM dr
+        |  UNION ALL
+        |  SELECT 'drill', 'ranges', 'n_chars', 'long',
+        |    COUNT(*) FILTER (n_chars > 399 AND n_chars <= 1000000) FROM dr)
+        |SELECT facet, field, label, count, drill FROM fac
+        |ORDER BY drill, facet, field, label""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES

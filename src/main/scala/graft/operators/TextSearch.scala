@@ -462,6 +462,85 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** CouchDB `_search` FACETING (`counts`, `ranges`, `drilldown` —
+    * the Clouseau/Dreyfus faceted-search parameters, CouchDB search
+    * docs): facet aggregations over the FULL matched set of a
+    * disjunctive term query (CouchDB counts every hit, never just
+    * the returned page), after `drilldown` narrows it facet-style —
+    * each `(field, value)` pair keeps docs whose stored field equals
+    * the value; repeated fields OR, distinct fields AND (CouchDB's
+    * documented drilldown composition). Matching doc ids come from
+    * the bucket-pruned postings probe (`term IN` pushed to parquet);
+    * facet values join from the caller's doc relation with ONLY the
+    * facet/drilldown columns projected (column-pruned scan), one
+    * id-keyed hash semi join. The output is one row per facet
+    * bucket — `(facet, field, label, count)` with `facet` ∈
+    * {`counts`, `ranges`}: all `counts` fields aggregate in ONE
+    * shuffle (explode to (field, value) pairs first — not a groupBy
+    * per field), all `ranges` in ONE single-row conditional
+    * aggregation. Range specs are Lucene range strings (`[a TO b]`
+    * inclusive / `{a TO b}` exclusive per side — the [[TextQuery]]
+    * grammar) evaluated on the field cast to double; every requested
+    * range label reports (0 when empty, as CouchDB does), while
+    * `counts` enumerates only occurring non-null values (ditto). */
+  def searchFacets(spark: SparkSession, path: String,
+                   queryTerms: Seq[String], docs: DataFrame,
+                   idCol: String, countsFields: Seq[String] = Nil,
+                   ranges: Seq[(String, String, String)] = Nil,
+                   drilldown: Seq[(String, String)] = Nil): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    require(countsFields.nonEmpty || ranges.nonEmpty,
+      "faceting needs at least one counts field or range")
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    val hits = readPruned(spark, path, "postings", terms, st.nBuckets)
+      .select(col("doc_id")).distinct()
+    val want = (countsFields ++ ranges.map(_._1) ++ drilldown.map(_._1))
+      .distinct
+    val base = docs.select(col(idCol).as("doc_id") +:
+      want.map(f => col(f)): _*)
+    val drilled = drilldown.groupBy(_._1).foldLeft(
+        base.join(hits, Seq("doc_id"), "left_semi")) {
+      case (d, (f, vs)) =>
+        d.filter(col(f).cast("string").isin(vs.map(_._2): _*))
+    }
+    val cnt = if (countsFields.isEmpty) Nil else Seq(
+      drilled.select(explode(array(countsFields.map(f =>
+          struct(lit(f).as("field"), col(f).cast("string").as("label")))
+        : _*)).as("c"))
+        .filter(col("c.label").isNotNull)
+        .groupBy(col("c.field").as("field"), col("c.label").as("label"))
+        .agg(count(lit(1)).as("count"))
+        .select(lit("counts").as("facet"), col("field"), col("label"),
+          col("count")))
+    val rng = if (ranges.isEmpty) Nil else {
+      val conds = ranges.map { case (f, label, spec) =>
+        TextQuery.parse(s"$f:$spec") match {
+          case TextQuery.TRange(_, lo, hi, loInc, hiInc) =>
+            val v = col(f).cast("double")
+            (if (loInc) v >= lo.toDouble else v > lo.toDouble) &&
+              (if (hiInc) v <= hi.toDouble else v < hi.toDouble)
+          case other => throw new IllegalArgumentException(
+            s"range facet '$label' must be a Lucene range ([a TO b] / " +
+              s"{a TO b}), got: $spec")
+        }
+      }
+      val aggs = conds.zipWithIndex.map { case (c, i) =>
+        count(when(c, lit(1))).as(s"_r$i")
+      }
+      Seq(drilled.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(ranges.zipWithIndex.map {
+          case ((f, label, _), i) =>
+            struct(lit(f).as("field"), lit(label).as("label"),
+              col(s"_r$i").as("count"))
+        }: _*)).as("r"))
+        .select(lit("ranges").as("facet"), col("r.field").as("field"),
+          col("r.label").as("label"), col("r.count").as("count")))
+    }
+    (cnt ++ rng).reduce(_ unionByName _)
+  }
+
   /** Proximity-boosted BM25 for an N-term query (N ≥ 2): docs
     * containing EVERY term, scored `bm25 * (1 + 1/(1 + span))` where
     * `span` is the MINIMUM WINDOW — the smallest token distance

@@ -653,4 +653,50 @@ class TextSearchSpec extends SparkSpecBase {
     assert(colSide == ts.map(TextSearch.termBucketJvm(_, n)),
       "JVM-side bucket routing must match the build-side expression")
   }
+
+  test("searchFacets: full-set counts, range labels, drilldown composition") {
+    val tiny = Seq(
+      (1L, "hash join", "en", "a", 100L),
+      (2L, "hash scan", "en", "b", 250L),
+      (3L, "hash hash hash", "de", "a", 400L),
+      (4L, "join join", "fr", "a", 50L),
+      (5L, "nothing matching here", "en", "a", 999L),
+      (6L, "hash", null, "b", 300L)
+    ).toDF("doc_id", "text", "lang", "src", "n")
+    val path = Files.createTempDirectory("graft-fct").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+
+    def facets(drill: Seq[(String, String)]) =
+      TextSearch.searchFacets(spark, path, Seq("hash", "join"), tiny,
+          "doc_id", countsFields = Seq("lang", "src"),
+          ranges = Seq(("n", "low", "[0 TO 199]"),
+            ("n", "high", "{199 TO 500]"),
+            ("n", "none", "[1000 TO 2000]")),
+          drilldown = drill)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSet
+
+    // matched set = docs 1,2,3,4,6 (doc 5 has no query term)
+    assert(facets(Nil) == Set(
+      ("counts", "lang", "en", 2L), ("counts", "lang", "de", 1L),
+      ("counts", "lang", "fr", 1L),            // doc 6's null lang drops
+      ("counts", "src", "a", 3L), ("counts", "src", "b", 2L),
+      ("ranges", "n", "low", 2L), ("ranges", "n", "high", 3L),
+      ("ranges", "n", "none", 0L)),            // empty label still reports
+      s"undrilled facets wrong: ${facets(Nil)}")
+
+    // repeated drilldown field ORs, distinct fields AND:
+    // lang in (en, de) AND src = a -> docs 1, 3
+    assert(facets(Seq(("lang", "en"), ("lang", "de"), ("src", "a"))) ==
+      Set(("counts", "lang", "en", 1L), ("counts", "lang", "de", 1L),
+        ("counts", "src", "a", 2L),
+        ("ranges", "n", "low", 1L), ("ranges", "n", "high", 1L),
+        ("ranges", "n", "none", 0L)))
+
+    // a non-range spec fails loudly
+    intercept[IllegalArgumentException] {
+      TextSearch.searchFacets(spark, path, Seq("hash"), tiny, "doc_id",
+        ranges = Seq(("n", "bad", "oops")))
+    }
+  }
 }
