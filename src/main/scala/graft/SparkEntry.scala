@@ -3558,6 +3558,43 @@ object SparkEntry {
       .orderBy(col("drill"), col("facet"), col("field"), col("label"))
   }
 
+  /** E22: `_search` relevance-ordered BOOKMARK PAGINATION
+    * ([[graft.operators.TextSearch.searchPage]]) — Lucene's
+    * `searchAfter` discipline on the BM25 ranking: every page of
+    * 100 walked to exhaustion, each one `limit(n+1)` job resuming
+    * strictly after the last `(score, doc_id)` cursor (exact — the
+    * round4 fixed-order score makes the equality portable). The
+    * concatenation must equal the full ranking with each row on its
+    * right page (the oracle ranks and pages with one window). */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    val pages = Iterator.iterate(
+        Option(TextSearch.searchPage(s, path, searchTerms, 100))) {
+      case Some((_, Some(bm))) =>
+        Some(TextSearch.searchPage(s, path, searchTerms, 100, Some(bm)))
+      case _ => None
+    }.takeWhile(_.isDefined).map(_.get._1).toSeq
+    pages.zipWithIndex.map { case (p, i) =>
+      p.withColumn("page", lit(i.toLong))
+    }.reduce(_ unionByName _).orderBy(col("doc_id"))
+  }
+
+  /** E23: dataset-card CORPUS PROFILE ([[graft.operators.Text
+    * .corpusProfile]]) — docs/tokens/chars/longest-doc/mean-tokens
+    * for every (lang, source) ROLLUP slice in ONE partial-aggregated
+    * shuffle (the Rollup operator, never a job per slice), rolled-up
+    * levels labeled `(all)` from grouping_id, the mean an exact
+    * integer `tokens·1000 div docs` (no float division for a 100 TB
+    * token sum to overflow). The oracle is DuckDB's own ROLLUP. */
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.corpusProfile(t(s, dir, "documents"),
+        col("text"), Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -5038,7 +5075,9 @@ object SparkEntry {
     "q228_reshard" -> (q228 _),
     "q229_dbs_info" -> (q229 _),
     "q230_db_updates" -> (q230 _),
-    "q231_search_facets" -> (q231 _)
+    "q231_search_facets" -> (q231 _),
+    "q232_search_page" -> (q232 _),
+    "q233_corpus_profile" -> (q233 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8403,6 +8442,59 @@ object SparkEntry {
         |    COUNT(*) FILTER (n_chars > 399 AND n_chars <= 1000000) FROM dr)
         |SELECT facet, field, label, count, drill FROM fac
         |ORDER BY drill, facet, field, label""".stripMargin,
+    // the walked pages concatenated == the full BM25 ranking, each
+    // row on the page one window assigns it
+    "q232_search_page" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0) AS t0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0) AS t1,
+        |    COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0) AS t2
+        |  FROM s GROUP BY doc_id),
+        |sc2 AS (
+        |  SELECT doc_id, FLOOR((t0 + t1 + t2) * 10000 + 0.5) / 10000 AS score
+        |  FROM p),
+        |rk AS (
+        |  SELECT doc_id, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM sc2)
+        |SELECT doc_id, score, CAST(FLOOR((rn - 1) / 100) AS BIGINT) AS page
+        |FROM rk ORDER BY doc_id""".stripMargin,
+    "q233_corpus_profile" ->
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  MAX(nt) AS max_doc_tokens,
+        |  CAST((SUM(nt) * 1000) // COUNT(*) AS BIGINT) AS avg_tokens_x1000
+        |FROM (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                    w -> w != '')) AS nt,
+        |    length(trim(text)) AS nc
+        |  FROM documents)
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES

@@ -732,4 +732,44 @@ object Text {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("score"))
   }
+
+  /** Dataset-card CORPUS PROFILE: the per-slice statistics every
+    * training-data release publishes — document count, token and
+    * character totals, longest document, mean tokens/doc — for every
+    * ROLLUP slice of the grouping dimensions ((d1, d2), (d1), ())
+    * in ONE partial-aggregated shuffle (Spark's Rollup operator: the
+    * map side pre-combines all slice levels; never one job per
+    * slice, never a second scan). Rolled-up levels label their
+    * grouped-away dimensions `(all)` via `grouping_id` (so a real
+    * `(all)` value cannot be confused with the total row). The mean
+    * is the exact integer `tokens·1000 div docs` — no float division
+    * whose 2^53 mantissa a 100 TB token sum overflows. Tokens are
+    * the engine's standard whitespace tokenization ([[tokens]] — the
+    * same expression every other text operator counts with). */
+  def corpusProfile(docs: org.apache.spark.sql.DataFrame, text: Column,
+                    dims: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(dims.nonEmpty, "corpusProfile needs at least one dimension")
+    import org.apache.spark.sql.functions.{grouping_id, length, trim}
+    val base = docs.select(dims.map(col) :+
+      tokenCount(text).as("_nt") :+
+      length(trim(text)).cast("long").as("_nc"): _*)
+    val agg = base.rollup(dims.map(col): _*)
+      .agg(grouping_id().as("_gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"),
+        max(col("_nt")).as("max_doc_tokens"))
+    val k = dims.size
+    val labeled = dims.zipWithIndex.map { case (d, i) =>
+      when((col("_gid").bitwiseAND(lit(1L << (k - 1 - i)))) =!= 0,
+        lit("(all)")).otherwise(col(d).cast("string")).as(d)
+    }
+    agg.select(labeled ++ Seq(col("n_docs"), col("n_tokens"),
+      col("n_chars"), col("max_doc_tokens"),
+      // `div`, not `/`: Divide on longs goes through double, whose
+      // 2^53 mantissa a 100 TB-scale token sum overflows
+      org.apache.spark.sql.functions
+        .expr("(n_tokens * 1000L) div n_docs").as("avg_tokens_x1000")): _*)
+  }
 }

@@ -462,6 +462,56 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** CouchDB `_search` PAGINATION: relevance-ordered pages
+    * (`score DESC, doc_id ASC` — Lucene's default sort with the
+    * stable id tiebreak) with the opaque `bookmark` the endpoint
+    * returns. Resume is Lucene's `searchAfter` discipline: page N+1
+    * filters STRICTLY AFTER the last served `(score, doc_id)` — the
+    * skipped prefix is never rescanned, and pages already served
+    * stay stable under concurrent index maintenance. The cursor
+    * comparison is exact because every score here is the fixed-order
+    * round4 BM25 fold (bit-deterministic across replays — a raw
+    * float sum would make `score === cursor` engine-dependent).
+    * Each page is ONE `limit(n+1)` job over the bucket-pruned
+    * postings probe; the page itself is client-facing (bounded rows
+    * by definition), so the cursor derives from its collected tail.
+    * Returns `(page, Some(bookmark))`, or `(page, None)` when no
+    * rows remain past it. Bookmarks are [[Mango]]'s typed-JSON
+    * cursors (gadget-safe, loudly rejected when malformed). */
+  def searchPage(spark: SparkSession, path: String,
+                 queryTerms: Seq[String], pageSize: Int,
+                 bookmark: Option[String] = None, k1: Double = 1.2,
+                 b: Double = 0.75): (DataFrame, Option[String]) = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    val scored = sumInTermOrder(
+      bm25Partials(spark, path, terms, st, k1, b), terms)
+    val resumed = bookmark match {
+      case None => scored
+      case Some(bm) => Mango.decodeBookmark(bm) match {
+        case Seq(s: java.lang.Double, d) =>
+          scored.filter(col("score") < s.doubleValue ||
+            (col("score") === s.doubleValue && col("doc_id") > lit(d)))
+        case other => throw new IllegalArgumentException(
+          s"search bookmark must pin (score, doc_id); got $other")
+      }
+    }
+    val rows = resumed.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(pageSize + 1).collect()
+    val page = rows.take(pageSize).toSeq
+    val pageDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(page, 1), scored.schema)
+    val next =
+      if (rows.length <= pageSize) None
+      else Some(Mango.encodeBookmark(Seq(
+        Double.box(page.last.getAs[Double]("score")),
+        page.last.getAs[Any]("doc_id"))))
+    (pageDf, next)
+  }
+
   /** CouchDB `_search` FACETING (`counts`, `ranges`, `drilldown` —
     * the Clouseau/Dreyfus faceted-search parameters, CouchDB search
     * docs): facet aggregations over the FULL matched set of a

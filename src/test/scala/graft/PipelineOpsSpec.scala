@@ -1024,4 +1024,28 @@ class PipelineOpsSpec extends SparkSpecBase {
         epochs = 0)
     }
   }
+
+  test("corpusProfile: rollup slices, (all) labels, exact integer mean") {
+    val docs = Seq(
+      ("en", "a", "one two three"),        // 3 tokens, 13 chars
+      ("en", "a", "four five"),            // 2 tokens, 9 chars
+      ("en", "b", "six"),                  // 1 token, 3 chars
+      ("de", "a", "sieben acht neun zehn") // 4 tokens, 21 chars
+    ).toDF("lang", "source", "text")
+    val prof = Text.corpusProfile(docs, col("text"), Seq("lang", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(prof == Set(
+      ("en", "a", 2L, 5L, 22L, 3L, 2500L),
+      ("en", "b", 1L, 1L, 3L, 1L, 1000L),
+      ("de", "a", 1L, 4L, 21L, 4L, 4000L),
+      ("en", "(all)", 3L, 6L, 25L, 3L, 2000L),
+      ("de", "(all)", 1L, 4L, 21L, 4L, 4000L),
+      ("(all)", "(all)", 4L, 10L, 46L, 4L, 2500L)), s"profile: $prof")
+    // ONE rollup pass: a single Expand feeds a single aggregation
+    val plan = Text.corpusProfile(docs, col("text"), Seq("lang", "source"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("Expand").length == 2,
+      s"corpusProfile must be one Expand/rollup pass:\n$plan")
+  }
 }

@@ -654,6 +654,41 @@ class TextSearchSpec extends SparkSpecBase {
       "JVM-side bucket routing must match the build-side expression")
   }
 
+  test("searchPage: walked pages == full ranking, strictly-after resume, loud bookmarks") {
+    val path = Files.createTempDirectory("graft-pg").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
+    val full = TextSearch.searchIndexed(spark, path,
+        Seq("hash", "join"), Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full.size > 20, "corpus too small for a paging test")
+
+    var bm: Option[String] = None
+    var walked = Seq.empty[(Long, Double)]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val (p, next) = TextSearch.searchPage(spark, path,
+        Seq("hash", "join"), 7, bm)
+      val rows = p.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.size <= 7)
+      walked ++= rows; pages += 1; bm = next
+      done = next.isEmpty
+      assert(pages < 1000, "paging did not terminate")
+    }
+    // concatenation IS the ranking: same rows, same order, no dups
+    assert(walked == full,
+      s"walked ${walked.size} rows != full ranking ${full.size}")
+    assert(pages == (full.size + 6) / 7, s"wrong page count $pages")
+
+    // a malformed bookmark is rejected, not misread
+    intercept[IllegalArgumentException] {
+      TextSearch.searchPage(spark, path, Seq("hash"), 5, Some("notacursor"))
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.searchPage(spark, path, Seq("hash"), 0)
+    }
+  }
+
   test("searchFacets: full-set counts, range labels, drilldown composition") {
     val tiny = Seq(
       (1L, "hash join", "en", "a", 100L),
