@@ -4181,7 +4181,11 @@ object SparkEntry {
     * of lone 2a branches, and the whole doc on odd ¬%3 %7 ids. The
     * oracle derives the post-purge leaf set analytically per residue
     * class and replays the winning-rev rule. */
-  private def q146(s: SparkSession, dir: String): DataFrame = {
+  /** The q146 purge scenario's inputs, shared with the store-backed
+    * purge gate (q234): the q144-shaped revision trees and the
+    * residue-class purge request set. */
+  private def q146Inputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val d = t(s, dir, "documents").select(col("doc_id"))
     val did = col("doc_id")
     def h(tag: String): Column =
@@ -4213,10 +4217,64 @@ object SparkEntry {
           did % 7 === 1)))
       .unionByName(reqs(1, "r1")(
         d.filter(did % 2 =!= 0 && did % 3 =!= 0 && did % 7 === 0)))
+    (leaves, requests)
+  }
+
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val (leaves, requests) = q146Inputs(s, dir)
     graft.operators.Revisions.purge(leaves, col("doc_id"), col("rev_pos"),
         col("rev_hash"), col("deleted"), col("ancestors"),
         requests, col("doc_id"), col("rev_pos"), col("rev_hash"))
       .orderBy(col("id"))
+  }
+
+  /** A30b: STORE-BACKED `_purge` ([[graft.operators.Replication
+    * .purgeTarget]]) — the q146 scenario against the persisted
+    * `_b`-bucketed target: only the requested ids' bucket
+    * directories are read, their trees re-derive through
+    * `purgeLeaves` (resurrections included, fully-purged docs leave
+    * no row), rename-swap, seq advance. The post-purge store's
+    * winner summary must equal the relation-form answer — the oracle
+    * IS q146's. The store is rebuilt each run (purge mutates it). */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Replication, Revisions}
+    val (leaves, requests) = q146Inputs(s, dir)
+    val path = idxPath("q234prg", dir, "documents")
+    Replication.createTarget(s, path, leaves, col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16, seq = 11L)
+    Replication.purgeTarget(s, path, requests, col("doc_id"),
+      col("rev_pos"), col("rev_hash"))
+    Revisions.summary(Replication.openTarget(s, path), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"))
+      .orderBy(col("id"))
+  }
+
+  /** A30c: STORE-BACKED `_compact` ([[graft.operators.Replication
+    * .compactTarget]]) — CouchDB's compaction applying `_revs_limit`
+    * to stored history: the q186 target's ancestor paths stem to 1
+    * entry (revs_limit=2) in ONE shuffle-free full rewrite (`_b`
+    * untouched — no Exchange, spec-asserted) behind the whole-dir
+    * two-rename swap; update_seq and every leaf identity preserved,
+    * only the deep history drops. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    import graft.view.IndexStore
+    val path = idxPath("q235cmp", dir, "documents")
+    Replication.createTarget(s, path, q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 8, seq = 7L)
+    Replication.compactTarget(s, path, revsLimit = 2)
+    val meta = IndexStore.readMeta(s, path)
+    Replication.openTarget(s, path)
+      .select(col("id").as("doc_id"),
+        concat(col("rev_pos").cast("string"), lit("-"),
+          col("rev_hash")).as("rev"),
+        col("deleted"),
+        concat_ws(",", col("ancestors")).as("ancestors"),
+        lit(meta.buckets.toLong).as("buckets"),
+        lit(meta.updateSeq).as("update_seq"))
+      .orderBy(col("doc_id"))
   }
 
   /** A28c: `_bulk_get` ([[graft.operators.Revisions.bulkGet]]) — the
@@ -5077,7 +5135,9 @@ object SparkEntry {
     "q230_db_updates" -> (q230 _),
     "q231_search_facets" -> (q231 _),
     "q232_search_page" -> (q232 _),
-    "q233_corpus_profile" -> (q233 _)
+    "q233_corpus_profile" -> (q233 _),
+    "q234_purge_store" -> (q234 _),
+    "q235_compact_store" -> (q235 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -5110,6 +5170,43 @@ object SparkEntry {
         |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:d'), true,
         |         '1-' || md5(doc_id::VARCHAR || ':1:m')
         |  FROM documents WHERE doc_id % 5 = 4)""".stripMargin
+
+  /** q146 / q234: post-purge leaf set per residue class, winner rule
+    * replayed (both the relation purge and the store-backed purge
+    * land the same summary). */
+  private val purgeOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || ':r1')  AS h1,
+      |    md5(CAST(doc_id AS VARCHAR) || ':r2a') AS h2a,
+      |    md5(CAST(doc_id AS VARCHAR) || ':r2b') AS h2b
+      |  FROM documents),
+      |leaves AS (
+      |  SELECT doc_id, 2 AS pos, h2a AS hash, FALSE AS del
+      |  FROM h WHERE doc_id % 2 = 0
+      |    AND NOT (doc_id % 4 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
+      |  UNION ALL
+      |  SELECT doc_id, 2, h2b, doc_id % 9 = 0
+      |  FROM h WHERE doc_id % 3 = 0 AND doc_id % 4 <> 0 AND doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 1, h1, FALSE
+      |  FROM h WHERE (doc_id % 2 = 0 AND doc_id % 4 <> 0
+      |                AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
+      |     OR (doc_id % 2 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0)
+      |     OR (doc_id % 2 <> 0 AND doc_id % 3 = 0 AND doc_id % 5 = 0)),
+      |r AS (
+      |  SELECT doc_id, del,
+      |    CAST(pos AS VARCHAR) || '-' || hash AS rev,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY del ASC, pos DESC, hash DESC) AS rn
+      |  FROM leaves)
+      |SELECT doc_id AS id,
+      |  MAX(CASE WHEN rn = 1 THEN rev END) AS win_rev,
+      |  bool_or(CASE WHEN rn = 1 THEN del END) AS win_deleted,
+      |  COUNT(CASE WHEN rn > 1 AND NOT del THEN 1 END) AS n_conflicts,
+      |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
+      |    ',' ORDER BY rev), '') AS conflicts
+      |FROM r GROUP BY doc_id ORDER BY id""".stripMargin
 
   private val replicationLoopOracle: String =
     replicationExpCte +
@@ -7358,39 +7455,8 @@ object SparkEntry {
     // 2-h2a except the purged %7=1 lone branches (which resurrect rev
     // 1); 2-h2b survives only off the %5 purge slice; rev 1 serves the
     // resurrected and untouched singles; odd ¬%3 %7 docs VANISH
-    "q146_purge" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    md5(CAST(doc_id AS VARCHAR) || ':r1')  AS h1,
-        |    md5(CAST(doc_id AS VARCHAR) || ':r2a') AS h2a,
-        |    md5(CAST(doc_id AS VARCHAR) || ':r2b') AS h2b
-        |  FROM documents),
-        |leaves AS (
-        |  SELECT doc_id, 2 AS pos, h2a AS hash, FALSE AS del
-        |  FROM h WHERE doc_id % 2 = 0
-        |    AND NOT (doc_id % 4 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
-        |  UNION ALL
-        |  SELECT doc_id, 2, h2b, doc_id % 9 = 0
-        |  FROM h WHERE doc_id % 3 = 0 AND doc_id % 4 <> 0 AND doc_id % 5 <> 0
-        |  UNION ALL
-        |  SELECT doc_id, 1, h1, FALSE
-        |  FROM h WHERE (doc_id % 2 = 0 AND doc_id % 4 <> 0
-        |                AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
-        |     OR (doc_id % 2 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0)
-        |     OR (doc_id % 2 <> 0 AND doc_id % 3 = 0 AND doc_id % 5 = 0)),
-        |r AS (
-        |  SELECT doc_id, del,
-        |    CAST(pos AS VARCHAR) || '-' || hash AS rev,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY del ASC, pos DESC, hash DESC) AS rn
-        |  FROM leaves)
-        |SELECT doc_id AS id,
-        |  MAX(CASE WHEN rn = 1 THEN rev END) AS win_rev,
-        |  bool_or(CASE WHEN rn = 1 THEN del END) AS win_deleted,
-        |  COUNT(CASE WHEN rn > 1 AND NOT del THEN 1 END) AS n_conflicts,
-        |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
-        |    ',' ORDER BY rev), '') AS conflicts
-        |FROM r GROUP BY doc_id ORDER BY id""".stripMargin,
+    "q146_purge" -> purgeOracle,
+    "q234_purge_store" -> purgeOracle,
     // envelope scalars + the skip/limit page cut under (key, id) order
     "q147_view_envelope" ->
       """WITH v AS (
@@ -8495,6 +8561,21 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY ROLLUP(lang, source)
         |ORDER BY lang, source""".stripMargin,
+    // the compacted store: the q186 target's leaves with ancestor
+    // paths stemmed to revs_limit-1 = 1 entry, meta preserved
+    "q235_compact_store" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 2 THEN '3-' || md5(doc_id::VARCHAR || ':3:m')
+        |       WHEN doc_id % 5 = 1 THEN '2-' || md5(doc_id::VARCHAR || ':2:t')
+        |       ELSE '1-' || md5(doc_id::VARCHAR || ':1:m') END AS rev,
+        |  false AS deleted,
+        |  CASE WHEN doc_id % 5 = 2 THEN '2-' || md5(doc_id::VARCHAR || ':2:m')
+        |       WHEN doc_id % 5 = 1 THEN '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |       ELSE '' END AS ancestors,
+        |  CAST(8 AS BIGINT) AS buckets,
+        |  CAST(7 AS BIGINT) AS update_seq
+        |FROM documents WHERE doc_id % 5 <> 3
+        |ORDER BY doc_id""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES

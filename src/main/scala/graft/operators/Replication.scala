@@ -595,6 +595,90 @@ object Replication {
     n2
   }
 
+  /** CouchDB's `POST /db/_purge` against the persisted target — the
+    * GDPR / bad-crawl eraser with the [[syncBatch]] discipline: ONLY
+    * the bucket directories holding the requested ids are read,
+    * those docs' trees re-derive through
+    * [[Revisions.purgeLeaves]] (tip purges resurrect the deepest
+    * surviving ancestor with its correctly sliced path; fully-purged
+    * docs leave NO row — purge un-happens, delete replicates), and
+    * the touched buckets rename-swap; a million-doc store with a
+    * 10-id purge request reads 10 docs' buckets. `update_seq`
+    * advances (CouchDB bumps its purge_seq; this store keeps one
+    * sequence — readers must notice the store changed). Returns the
+    * rewritten bucket ids (empty when no request named a stored
+    * id). */
+  def purgeTarget(spark: SparkSession, path: String, requests: DataFrame,
+                  reqId: Column, reqPos: Column, reqHash: Column,
+                  newSeq: Long = -1L): Seq[Int] = {
+    val meta = IndexStore.readMeta(spark, path)
+    val req = requests.select(reqId.as("id"),
+      reqPos.cast("long").as("rev_pos"),
+      reqHash.cast("string").as("rev_hash")).persist()
+    try {
+      val ids = req.select(col("id")).distinct()
+      val bs = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
+          .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bs.isEmpty) return Nil
+      val bucketRows = IndexStore
+        .readBuckets(spark, dataDir(path), "_b", bs)
+        .filter(col("_b").isin(bs: _*))
+      val curTouched = bucketRows.join(ids, Seq("id"), "left_semi")
+        .drop("_b")
+      val newTouched = Revisions.purgeLeaves(curTouched, col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+        req, col("id"), col("rev_pos"), col("rev_hash"))
+      val out = bucketRows.join(ids, Seq("id"), "left_anti")
+        .unionByName(newTouched
+          .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
+      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+        dataDir(path), "_b", bs,
+        Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
+      bs
+    } finally req.unpersist()
+  }
+
+  /** CouchDB's `POST /db/_compact` on the persisted target: ONE
+    * shuffle-free full rewrite that stems every leaf's ancestor path
+    * to `revsLimit` ([[Revisions.truncateHistory]] — compaction is
+    * where CouchDB applies `_revs_limit` to stored history) and
+    * defragments each bucket into freshly sorted files. Ids do not
+    * move (`_b` is untouched), so like [[reshardTarget]] the plan
+    * has no Exchange — every executor streams its bucket through the
+    * slice — and the swap is the whole-directory two-rename
+    * (old-or-new, never mixed; a crash leaves the old store at
+    * `path + "._old"`). `update_seq` is preserved: compaction
+    * changes no document. */
+  def compactTarget(spark: SparkSession, path: String,
+                    revsLimit: Int): Unit = {
+    val meta = IndexStore.readMeta(spark, path)
+    val fs = IndexStore.fsFor(spark, path)
+    val tmp = path + "._compact"
+    fs.delete(new Path(tmp), true)
+    require(revsLimit >= 1, s"_revs_limit must be >= 1, got $revsLimit")
+    // the truncateHistory slice, with `_b` riding along (ids do not
+    // move, so the stored bucket IS the home — no re-hash, no shuffle)
+    spark.read.parquet(dataDir(path))
+      .select(col("_b"), col("id"), col("rev_pos"), col("rev_hash"),
+        col("deleted"),
+        slice(col("ancestors"), 1, revsLimit - 1).as("ancestors"))
+      .sortWithinPartitions(col("_b"), col("id"), col("rev_pos"),
+        col("rev_hash"))
+      .write.partitionBy("_b").parquet(dataDir(tmp))
+    IndexStore.writeMeta(spark, tmp, meta)
+    val old = new Path(path + "._old")
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(
+        s"compact: could not move live target aside ($path)")
+    if (!fs.rename(new Path(tmp), new Path(path)))
+      throw new java.io.IOException(
+        s"compact: swap failed — old target preserved at $old, new at $tmp")
+    fs.delete(old, true)
+  }
+
   /** CouchDB's `POST /_dbs_info` over persisted targets: one row per
     * named store — live doc count, deleted (tombstone-winner) count,
     * `update_seq`, and the shard (`_b` bucket) count, the fields a

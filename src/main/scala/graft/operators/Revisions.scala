@@ -126,7 +126,19 @@ object Revisions {
   def purge(leaves: DataFrame, id: Column, revPos: Column,
             revHash: Column, deleted: Column, ancestors: Column,
             requests: DataFrame, reqId: Column, reqPos: Column,
-            reqHash: Column): DataFrame = {
+            reqHash: Column): DataFrame =
+    summary(purgeLeaves(leaves, id, revPos, revHash, deleted, ancestors,
+        requests, reqId, reqPos, reqHash),
+      col("id"), col("rev_pos"), col("rev_hash"), col("deleted"))
+
+  /** The post-purge LEAF relation `(id, rev_pos, rev_hash, deleted,
+    * ancestors)` behind [[purge]] — what a persisted store rewrites
+    * ([[Replication.purgeTarget]]): resurrected ancestors carry their
+    * correctly SLICED paths, fully-purged docs produce no row. */
+  def purgeLeaves(leaves: DataFrame, id: Column, revPos: Column,
+                  revHash: Column, deleted: Column, ancestors: Column,
+                  requests: DataFrame, reqId: Column, reqPos: Column,
+                  reqHash: Column): DataFrame = {
     val in = leaves.select(id.as("_id"), revPos.cast("long").as("_pos"),
       revHash.cast("string").as("_hash"),
       deleted.cast("boolean").as("_del"), ancestors.as("_anc"))
@@ -163,7 +175,9 @@ object Revisions {
       .withColumn("_rev",
         concat(col("_pos").cast("string"), lit("-"), col("_hash")))
       .join(covered, Seq("_id", "_rev"), "left_anti")
-    summary(newLeaves, col("_id"), col("_pos"), col("_hash"), col("_del"))
+    newLeaves.select(col("_id").as("id"), col("_pos").as("rev_pos"),
+      col("_hash").as("rev_hash"), col("_del").as("deleted"),
+      col("_path").as("ancestors"))
   }
 
   /** `_bulk_get` — the replicator's FETCH leg (CouchDB's batch endpoint

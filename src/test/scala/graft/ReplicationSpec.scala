@@ -491,6 +491,92 @@ class ReplicationSpec extends SparkSpecBase {
     }
   }
 
+  test("purgeTarget: touched buckets only, equals relation purge, vanished docs gone") {
+    import graft.view.IndexStore
+    val nDocs = 90
+    val leaves = leavesDf((0 until nDocs).flatMap { i =>
+      if (i % 3 == 0) Seq(
+        (s"d$i", 2L, s"b$i", false, Seq(s"1-a$i")),
+        (s"d$i", 2L, s"c$i", false, Seq(s"1-a$i"))) // conflict branch
+      else Seq((s"d$i", 1L, s"a$i", false, Seq.empty[String]))
+    })
+    val dir = java.nio.file.Files.createTempDirectory("repl-prg").toString
+    val path = s"$dir/target"
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 16, seq = 2L)
+    // purge: d0's both branches (doc resurrects rev 1), d6's c-branch
+    // only (folds), d1 entirely (vanishes), plus a non-leaf no-op
+    val requests = Seq(
+      ("d0", 2L, "b0"), ("d0", 2L, "c0"),
+      ("d6", 2L, "c6"),
+      ("d1", 1L, "a1"),
+      ("d9", 1L, "a9")) // interior rev of d9 -> ignored
+      .toDF("id", "rev_pos", "rev_hash")
+    def files(): Map[String, Long] = {
+      val base = new java.io.File(s"$path/data")
+      base.listFiles().filter(_.isDirectory).flatMap(d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())).toMap
+    }
+    val before = files()
+    val touched = Replication.purgeTarget(spark, path, requests,
+      col("id"), col("rev_pos"), col("rev_hash"))
+    assert(touched.nonEmpty && touched.size <= 4,
+      s"a 4-doc purge may touch at most 4 buckets, got $touched")
+    val touchedDirs = touched.map(b => s"_b=$b").toSet
+    files().foreach { case (p, m) =>
+      if (!touchedDirs.exists(p.contains))
+        assert(before.get(p).contains(m), s"untouched bucket rewritten: $p")
+    }
+    assert(IndexStore.readMeta(spark, path).updateSeq == 3L)
+    // the store's final state == the relation-form purgeLeaves answer
+    val expect = leafSet(graft.operators.Revisions.purgeLeaves(leaves,
+      cols._1, cols._2, cols._3, cols._4, cols._5,
+      requests, col("id"), col("rev_pos"), col("rev_hash")))
+    assert(leafSet(Replication.openTarget(spark, path)) == expect)
+    val got = leafSet(Replication.openTarget(spark, path))
+    assert(got.contains(("d0", "1-a0", false)), "tip purge must resurrect")
+    assert(!got.exists(_._1 == "d1"), "fully-purged doc must vanish")
+    assert(got.contains(("d9", "2-b9", false)) &&
+      got.contains(("d9", "2-c9", false)),
+      "a non-current-leaf request is ignored — d9 keeps both branches")
+  }
+
+  test("compactTarget: shuffle-free revs_limit stemming, identities preserved") {
+    import graft.view.IndexStore
+    val leaves = leavesDf((0 until 40).map { i =>
+      (s"d$i", 4L, s"t$i", i % 7 == 0,
+        Seq(s"3-c$i", s"2-b$i", s"1-a$i"))
+    })
+    val dir = java.nio.file.Files.createTempDirectory("repl-cmp").toString
+    val path = s"$dir/target"
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 8, seq = 4L)
+    // the rewrite frame: same _b rides along, so no Exchange
+    val frame = spark.read.parquet(s"$path/data")
+      .select(col("_b"), col("id"), col("rev_pos"), col("rev_hash"),
+        col("deleted"), slice(col("ancestors"), 1, 1).as("ancestors"))
+    assert(!frame.queryExecution.executedPlan.toString.contains("Exchange"),
+      "compaction must not shuffle")
+    Replication.compactTarget(spark, path, revsLimit = 2)
+    val meta = IndexStore.readMeta(spark, path)
+    assert(meta.buckets == 8 && meta.updateSeq == 4L)
+    val rows = Replication.openTarget(spark, path).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("ancestors").toSeq ==
+        Seq(s"3-c${r.getString(0).drop(1)}"),
+        s"history must stem to revs_limit - 1 entries: $r")
+    }
+    assert(leafSet(Replication.openTarget(spark, path)) == leafSet(leaves),
+      "leaf identities must survive compaction")
+    assert(!new java.io.File(path + "._compact").exists())
+    assert(!new java.io.File(path + "._old").exists())
+    intercept[IllegalArgumentException] {
+      Replication.compactTarget(spark, path, revsLimit = 0)
+    }
+  }
+
   test("dbsInfo + dbUpdates: meta-sidecar admin reads over many stores") {
     val dir = java.nio.file.Files.createTempDirectory("repl-dbs").toString
     val a = leavesDf((0 until 30).map(i =>
