@@ -141,6 +141,12 @@ object BenchScale {
         "token_shards" -> (() =>
           noop(graft.operators.Relational.shardByTokenBudget(d,
             col("doc_id"), Text.tokenCount(col("text")), 500L))),
+        // one Expand pass over the corpus: linear by design
+        "corpus_profile" -> (() =>
+          noop(Text.corpusProfile(d.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(7)).cast("string").as("lang"),
+            pmod(col("doc_id"), lit(20)).cast("string").as("source")),
+            col("text"), Seq("lang", "source")))),
         "temperature_mix" -> (() =>
           noop(graft.operators.Relational.temperatureMix(
             d.select(col("doc_id"),
@@ -312,6 +318,23 @@ object BenchScale {
             s"""{"selector": {"$$text": "($hot OR hash) AND NOT \\\"$hot $hot\\\""},
                | "fields": ["doc_id"], "sort": ["doc_id"],
                | "limit": 100}""".stripMargin))),
+        // one relevance-ordered page: postings probe + TakeOrdered —
+        // cost follows the matched set's size, never the corpus
+        "serve_search_page" -> (() => {
+          val (p, _) = TextSearch.searchPage(spark, txt, terms, 20)
+          noop(p)
+        }),
+        // facet aggregation over the matched set: one counts shuffle
+        // + one single-row range aggregation
+        "serve_search_facets" -> (() => {
+          val dd = d.select(col("doc_id"),
+            pmod(col("doc_id"), lit(7)).cast("string").as("lang"),
+            length(col("text")).as("n_chars"))
+          noop(TextSearch.searchFacets(spark, txt, terms, dd, "doc_id",
+            countsFields = Seq("lang"),
+            ranges = Seq(("n_chars", "short", "[0 TO 300]"),
+              ("n_chars", "long", "{300 TO 100000]"))))
+        }),
         // store-backed interactive writes: a 100-write batch judged
         // against only its ids' buckets — ~flat whatever the target
         "bulk_docs_store" -> (() => {
@@ -501,10 +524,42 @@ object BenchScale {
     val replBase = Seq("replication_delta" -> replProbe(1, "base"))
     val replBig = Seq("replication_delta" -> replProbe(10, "10x"))
 
+    // ---- Store admin verbs. purge_store: a FIXED 5-doc purge against
+    // a target whose buckets follow the deployment discipline
+    // (∝ corpus) must stay ~flat — only those docs' buckets rewrite.
+    // reshard_store / compact_store are FULL rewrites — linear BY
+    // DESIGN (every byte moves once, shuffle-free); the probe exists
+    // to catch an accidental superlinearity, not to claim flatness.
+    def storeAdminProbes(mult: Int, tag: String): Seq[(String, Double)] = {
+      import graft.operators.Replication
+      val n = 200000L * mult
+      val path = s"$tmp/graft_scale_${tag}_adm"
+      val idc = col("id").cast("string")
+      val tgt = spark.range(n).select(idc.as("id"), lit(2L).as("rev_pos"),
+        md5(concat(idc, lit(":2"))).as("rev_hash"),
+        lit(false).as("deleted"),
+        array(concat(lit("1-"), md5(idc))).as("ancestors"))
+      Replication.createTarget(spark, path, tgt, col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 64 * mult)
+      val rid = (col("id") * lit(n / 5)).cast("string")
+      val reqs = spark.range(5L).select(rid.as("id"),
+        lit(2L).as("rev_pos"),
+        md5(concat(rid, lit(":2"))).as("rev_hash"))
+      val tPurge = time(Replication.purgeTarget(spark, path, reqs,
+        col("id"), col("rev_pos"), col("rev_hash")))
+      val tReshard = time(Replication.reshardTarget(spark, path, 2))
+      val tCompact = time(Replication.compactTarget(spark, path, 1))
+      Seq("purge_store" -> tPurge, "reshard_store" -> tReshard,
+        "compact_store" -> tCompact)
+    }
+    val admBase = storeAdminProbes(1, "base")
+    val admBig = storeAdminProbes(10, "10x")
+
     val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ knnBase ++
-      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase ++ replBase
+      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase ++ replBase ++ admBase
     val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ knnBig ++
-      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig ++ replBig
+      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig ++ replBig ++ admBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

@@ -3595,6 +3595,17 @@ object SparkEntry {
         col("text"), Seq("lang", "source"))
       .orderBy(col("lang"), col("source"))
 
+  /** E24: interpolated KNESER-NEY bigram LM ([[graft.operators.Text
+    * .knBigramLmScores]], D = 0.75) — discounted seen-bigram
+    * probability plus the continuation-weighted backoff
+    * (N1+ fan-out / history counts over bigram TYPES), in the q74
+    * integer micro-nat fixed point; the oracle replays the exact
+    * double-op order (discount, fan, history, type total, log,
+    * floor). */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.knBigramLmScores(t(s, dir, "documents"),
+      col("doc_id"), col("text")).orderBy(col("doc_id"))
+
   /** A28h: the `_missing_revs` endpoint ([[graft.operators.Revisions
     * .missingRevs]]) — the q206 request set through the lighter
     * handshake: per-doc sorted missing-rev lists, no ancestors; the
@@ -5137,7 +5148,8 @@ object SparkEntry {
     "q232_search_page" -> (q232 _),
     "q233_corpus_profile" -> (q233 _),
     "q234_purge_store" -> (q234 _),
-    "q235_compact_store" -> (q235 _)
+    "q235_compact_store" -> (q235 _),
+    "q236_kn_lm" -> (q236 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8576,6 +8588,36 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS update_seq
         |FROM documents WHERE doc_id % 5 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // interpolated KN replay: same double-op order as the engine
+    // ((c2 - D)/c1 + (D*n1f/c1)*(n1p/T)), micro-nat fixed point
+    "q236_kn_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM toks WHERE len(ws) >= 2),
+        |bix AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bix GROUP BY w1, w2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bix GROUP BY w1),
+        |fan AS (SELECT w1, COUNT(*) AS n1f FROM c2 GROUP BY w1),
+        |hist AS (SELECT w2, COUNT(*) AS n1p FROM c2 GROUP BY w2),
+        |tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c2),
+        |sc AS (
+        |  SELECT bix.doc_id,
+        |    CAST(FLOOR(ln(
+        |      (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(c1t.c1 AS DOUBLE)
+        |      + (0.75 * CAST(fan.n1f AS DOUBLE) / CAST(c1t.c1 AS DOUBLE))
+        |        * (CAST(hist.n1p AS DOUBLE) / tt.t)
+        |    ) * 1000000 + 0.5) AS BIGINT) AS lp6
+        |  FROM bix JOIN c2 USING (w1, w2) JOIN c1t USING (w1)
+        |       JOIN fan USING (w1) JOIN hist USING (w2) CROSS JOIN tt)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(((CAST(SUM(lp6) AS DOUBLE) / 1000000.0) / COUNT(*))
+        |    * 10000 + 0.5) / 10000 AS kn_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q209_stream_binary_index" -> binaryAnnOracle,
     "q211_mango_index_admin" ->
       """SELECT * FROM (VALUES

@@ -210,6 +210,60 @@ object Text {
           col("n_bigrams")).as("lm_score"))
   }
 
+  /** Interpolated KNESER-NEY bigram LM score (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999, fixed discount
+    * D = 0.75) — the standard upgrade over [[bigramLmScores]]'
+    * add-one smoothing:
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1)
+    *            + (D · N1+(w1·)/c(w1)) · N1+(·w2)/T
+    *
+    * where N1+(w1·) = distinct continuations of w1 (how much
+    * probability mass w1 lends to the backoff), N1+(·w2) = distinct
+    * histories of w2 (the CONTINUATION probability — how
+    * promiscuously a word enters new contexts, not how often it
+    * occurs: "Francisco" is frequent but follows only "San", so KN
+    * scores it low in novel contexts), and T = distinct bigram
+    * types. Scored on the training corpus every c ≥ 1 > D, so the
+    * discounted term never clamps.
+    *
+    * Scale shape: the [[bigramLmScores]] discipline — three
+    * partial-aggregated groupBys over the bigram rows (counts,
+    * continuation fan-outs, one-row type total), model joins
+    * AQE-sized (NO broadcast hint: the model is one row per distinct
+    * bigram/token, unbounded at 100 TB), per-doc score = avg ln P
+    * summed in the order-free integer micro-nat fixed point.
+    * Returns `(doc_id, n_bigrams, kn_score)` for docs with ≥ 1
+    * bigram. */
+  def knBigramLmScores(docs: org.apache.spark.sql.DataFrame,
+                       id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val bi = bigramRows(docs, id, text)
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(fcount(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(fcount(lit(1)).as("c1"))
+    val fan = c2.groupBy(col("w1")).agg(fcount(lit(1)).as("n1f"))
+    val hist = c2.groupBy(col("w2")).agg(fcount(lit(1)).as("n1p"))
+    val tdf = c2.agg(fcount(lit(1)).cast("double").as("_t"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(fan, Seq("w1")).join(hist, Seq("w2"))
+      .crossJoin(broadcast(tdf))
+      .withColumn("_p",
+        (col("c2").cast("double") - lit(0.75)) /
+          col("c1").cast("double") +
+        (lit(0.75) * col("n1f").cast("double") /
+          col("c1").cast("double")) *
+          (col("n1p").cast("double") / col("_t")))
+      .withColumn("_lp6",
+        floor(log(col("_p")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(fcount(lit(1)).as("n_bigrams"), sum(col("_lp6")).as("_s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.gfunctions.round4(
+          (col("_s6").cast("double") / 1000000.0) / col("n_bigrams"))
+          .as("kn_score"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data" — the head/middle/tail split every CommonCrawl pipeline

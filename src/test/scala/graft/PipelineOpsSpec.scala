@@ -1025,6 +1025,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("knBigramLmScores: hand-computed interpolated KN, continuation semantics") {
+    // corpus: "a b", "a b", "a c", "d b"
+    //   c1: a=3, d=1;   c2: (a,b)=2, (a,c)=1, (d,b)=1;  T=3 types
+    //   fan N1+(a,·)=2, N1+(d,·)=1; hist N1+(·,b)=2, N1+(·,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b"))
+      .toDF("doc_id", "text")
+    def p(c2: Double, c1: Double, n1f: Double, n1p: Double, t: Double) =
+      (c2 - 0.75) / c1 + (0.75 * n1f / c1) * (n1p / t)
+    def score(ps: Seq[Double]): Double = {
+      val s6 = ps.map(x => math.floor(math.log(x) * 1e6 + 0.5).toLong).sum
+      math.floor(((s6.toDouble / 1e6) / ps.size) * 1e4 + 0.5) / 1e4
+    }
+    val pAB = p(2, 3, 2, 2, 3)
+    val pAC = p(1, 3, 2, 1, 3)
+    val pDB = p(1, 1, 1, 2, 3)
+    val got = graft.operators.Text.knBigramLmScores(docs,
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == Map(1L -> (1L, score(Seq(pAB))),
+      2L -> (1L, score(Seq(pAB))), 3L -> (1L, score(Seq(pAC))),
+      4L -> (1L, score(Seq(pDB)))), s"kn scores: $got")
+    // continuation semantics: "b" (2 distinct histories) must make
+    // the d->b transition more probable than a hypothetical d->c
+    assert(pDB > p(1, 1, 1, 1, 3),
+      "a promiscuous continuation must raise the interpolated mass")
+    // the frequent-but-locked transition still dominates
+    assert(got(1L)._2 > got(3L)._2,
+      "the twice-seen bigram must outscore the once-seen one")
+  }
+
   test("corpusProfile: rollup slices, (all) labels, exact integer mean") {
     val docs = Seq(
       ("en", "a", "one two three"),        // 3 tokens, 13 chars
