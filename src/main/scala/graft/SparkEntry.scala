@@ -3595,6 +3595,26 @@ object SparkEntry {
         col("text"), Seq("lang", "source"))
       .orderBy(col("lang"), col("source"))
 
+  /** D8f: attribute-FILTERED cascade ([[graft.operators.Similarity
+    * .cascadeTopKIndexedWhere]], tier sq8 on the q218 store) — the
+    * "top-k among the docs WHERE ..." serving composition: the
+    * even-id filter restricts the stored-code scan BEFORE the
+    * shortlist ranking (post-rank filtering would under-return), so
+    * at shortlist 64 the answer equals the brute-force oracle over
+    * the FILTERED corpus itself. */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val path = idxPath("sq8x", dir, "embeddings")
+    if (!hasFile(s, s"$path/data/_SUCCESS"))
+      Similarity.buildSq8Index(emb, path)
+    Similarity.cascadeTopKIndexedWhere(s, path, emb,
+        emb.filter(col("vec_id") < 10), k = 10, shortlist = 64,
+        allowed = emb.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id")))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** E24: interpolated KNESER-NEY bigram LM ([[graft.operators.Text
     * .knBigramLmScores]], D = 0.75) — discounted seen-bigram
     * probability plus the continuation-weighted backoff
@@ -5149,7 +5169,8 @@ object SparkEntry {
     "q233_corpus_profile" -> (q233 _),
     "q234_purge_store" -> (q234 _),
     "q235_compact_store" -> (q235 _),
-    "q236_kn_lm" -> (q236 _)
+    "q236_kn_lm" -> (q236 _),
+    "q237_cascade_filtered" -> (q237 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8287,6 +8308,7 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q208_cascade_ann" -> bruteTop10Oracle,
     "q218_cascade_indexed" -> bruteTop10Oracle,
+    "q237_cascade_filtered" -> bruteFilteredOracle,
     "q223_cascade_pq" -> pqCascadeOracle,
     "q224_cascade_ivfpq" -> pqCascadeOracle,
     // q163's residual replay at the cascade shape (probe-all 16,
@@ -9030,6 +9052,26 @@ object SparkEntry {
       |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
       |  JOIN embeddings e ON e.vec_id != q.vec_id)
+      |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
+      |  SELECT q_id, n_id, cosf,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank
+      |  FROM j)
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** q237: the brute-force top-10 over the FILTERED (even-id) corpus
+    * — the filtered cascade must equal it outright. */
+  private val bruteFilteredOracle: String =
+    """WITH j AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |    list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+      |                     list_transform(e.embedding, x -> x::DOUBLE)) /
+      |      (sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+      |                             list_transform(q.embedding, x -> x::DOUBLE))) *
+      |       sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+      |                             list_transform(e.embedding, x -> x::DOUBLE)))) AS cosf
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) e
+      |    ON e.vec_id != q.vec_id)
       |SELECT q_id, rank, n_id, FLOOR((cosf) * 10000 + 0.5) / 10000 AS cos FROM (
       |  SELECT q_id, n_id, cosf,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rank

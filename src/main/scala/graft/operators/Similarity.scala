@@ -565,6 +565,57 @@ object Similarity {
     rerankExact(corpus, queries, cand, k)
   }
 
+  /** Attribute-FILTERED cascade over a persisted quantized tier —
+    * "top-k among the docs WHERE ..." (filtered ANN, the serving
+    * composition behind every faceted vector search): the `allowed`
+    * id set (one column, loud otherwise — the searchWhere contract)
+    * restricts the STORED-code scan BEFORE the shortlist ranking (a
+    * post-rank filter would under-return: k' shortlisted rows might
+    * all be disallowed), so the shortlist is the top-k' OF THE
+    * FILTERED SET; the exact rerank then reads floats for |q|·k'
+    * allowed rows only. The semi join rides the quantized scan —
+    * broadcast when the filter is small, shuffle otherwise (AQE
+    * decides); supported tiers are the flat code scans (`sq8` /
+    * `binary` — an IVF tier's probe set is computed from the UNfiltered
+    * corpus geometry and can starve under a selective filter, so it
+    * is rejected loudly rather than served with silent recall
+    * loss). */
+  def cascadeTopKIndexedWhere(spark: SparkSession, path: String,
+                              corpus: DataFrame, queries: DataFrame,
+                              k: Int, shortlist: Int, allowed: DataFrame,
+                              tier: String = "sq8",
+                              dims: Int = 64): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    require(allowed.columns.length == 1,
+      s"allowed must be a single vec-id column; got " +
+        s"[${allowed.columns.mkString(", ")}] — select the id column " +
+        "explicitly")
+    val ok = allowed.toDF("n_id").distinct()
+    val cand = (tier match {
+      case "sq8" =>
+        val stored = spark.read.parquet(path + "/data")
+          .select(col("vec_id").as("n_id"), col("codes").as("n_c"))
+          .join(ok, Seq("n_id"), "left_semi")
+        val q = sq8Codes(queries, sq8Model(spark, path))
+          .select(col("vec_id").as("q_id"), col("codes").as("q_c"))
+        rankSq8(stored, q, shortlist)
+      case "binary" =>
+        val words = (dims + 63) / 64
+        val stored = spark.read.parquet(path + "/data")
+          .select(col("vec_id").as("n_id") +:
+            (0 until words).map(w => col(s"w$w").as(s"n$w")): _*)
+          .join(ok, Seq("n_id"), "left_semi")
+        val q = binaryCodes(queries, dims)
+          .select(col("vec_id").as("q_id") +:
+            (0 until words).map(w => col(s"w$w").as(s"q$w")): _*)
+        rankHamming(stored, q, shortlist, words)
+      case t => throw new IllegalArgumentException(
+        s"filtered cascade serves the flat tiers only (sq8|binary), " +
+          s"got: $t")
+    }).select(col("q_id"), col("n_id"))
+    rerankExact(corpus, queries, cand, k)
+  }
+
   /** TOPIC-BALANCED SAMPLING — the cluster-proportional downsample a
     * pretraining pipeline runs to shrink a corpus WITHOUT skewing its
     * topical mix (the cluster-aware selection discipline SemDeDup's

@@ -349,4 +349,41 @@ class QuantizerSpec extends SparkSpecBase {
         nProbe = 4, refine = 64)),
       "ivfpqr cascade must equal ivfPqResidualTopK")
   }
+
+  test("cascadeTopKIndexedWhere: filter applies before the shortlist rank") {
+    val q = emb.filter($"vec_id" < 10)
+    def ck(df: DataFrame) = df
+      .select($"q_id".cast("long"), $"rank", $"n_id".cast("long"), $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id")
+    // the truth: brute force over ONLY the allowed corpus
+    val bruteF = ck(Similarity.bruteForceTopK(
+      emb.filter($"vec_id" % 2 === 0), q, 10))
+    val p = s"$tmpDir/casc_sq8w"
+    Similarity.buildSq8Index(emb, p)
+    val got = Similarity.cascadeTopKIndexedWhere(spark, p, emb, q,
+      10, 64, allowed)
+    assert(ck(got) == bruteF,
+      "filtered sq8 cascade at shortlist=64 must BE the filtered brute force")
+    // every returned neighbor is allowed
+    assert(got.filter($"n_id" % 2 =!= 0).isEmpty)
+    // binary tier: recall floor over the filtered truth
+    val pb = s"$tmpDir/casc_binw"
+    Similarity.buildBinaryIndex(emb, pb)
+    val gotB = Similarity.cascadeTopKIndexedWhere(spark, pb, emb, q,
+      10, 128, allowed, tier = "binary")
+    val bp = bruteF.map(t => (t._1, t._3))
+    val rb = ck(gotB).map(t => (t._1, t._3)).intersect(bp).size.toDouble /
+      bp.size
+    assert(rb >= 0.8, s"filtered binary recall@128 fell to $rb")
+    // contract violations are loud
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopKIndexedWhere(spark, p, emb, q, 10, 64,
+        emb.select($"vec_id", $"embedding"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopKIndexedWhere(spark, p, emb, q, 10, 64,
+        allowed, tier = "ivfsq8")
+    }
+  }
 }
