@@ -3615,6 +3615,39 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A35b: `validate_doc_update` ON THE WRITE PATH ([[graft.operators
+    * .Replication.bulkDocsStoreValidated]]) — the q220 interactive
+    * batch behind two VDU rules (`min_len`: n_chars ≥ 150,
+    * `lang_known`: lang ∈ {en, de, es, fr}): forbidden writes report
+    * ALL failing rule names and never reach the store; surviving
+    * writes get the exact q220 MVCC verdicts. The oracle composes
+    * the rule verdicts over the q220 status map. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val path = idxPath("q238vdu", dir, "documents")
+    Replication.createTarget(s, path, q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16)
+    val c = col("doc_id") % 5
+    val stale = concat(lit("1-"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:m"))))
+    val writes = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("lang"), col("n_chars"),
+      when(c === 0 || c === 1, stale)
+        .when(c === 4, lit("9-deadbeef"))
+        .otherwise(lit(null).cast("string")).as("base"))
+    Replication.bulkDocsStoreValidated(s, path, writes, col("doc_id"),
+        col("base"), col("text"), lit(false),
+        rules = Seq(
+          "min_len" -> """{"n_chars": {"$gte": 150}}""",
+          "lang_known" ->
+            """{"lang": {"$in": ["en", "de", "es", "fr"]}}"""))
+      .report
+      .select(col("id").as("doc_id"), col("status"), col("rev"),
+        col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E24: interpolated KNESER-NEY bigram LM ([[graft.operators.Text
     * .knBigramLmScores]], D = 0.75) — discounted seen-bigram
     * probability plus the continuation-weighted backoff
@@ -5170,7 +5203,8 @@ object SparkEntry {
     "q234_purge_store" -> (q234 _),
     "q235_compact_store" -> (q235 _),
     "q236_kn_lm" -> (q236 _),
-    "q237_cascade_filtered" -> (q237 _)
+    "q237_cascade_filtered" -> (q237 _),
+    "q238_vdu_writes" -> (q238 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8610,6 +8644,29 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS update_seq
         |FROM documents WHERE doc_id % 5 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // VDU verdicts composed over the q220 MVCC status map: forbidden
+    // (all failing rule names, rule order) overrides; survivors keep
+    // their q220 statuses and minted revs
+    "q238_vdu_writes" ->
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    COALESCE(array_to_string([
+        |      CASE WHEN NOT (n_chars >= 150) THEN 'min_len' END,
+        |      CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr')
+        |           THEN 'lang_known' END], ','), '') AS reason
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN reason <> '' THEN 'forbidden'
+        |       WHEN doc_id % 5 IN (1, 2, 4) THEN 'conflict'
+        |       ELSE 'ok' END AS status,
+        |  CASE WHEN reason <> '' THEN NULL
+        |       WHEN doc_id % 5 = 0
+        |         THEN '2-' || md5(doc_id::VARCHAR || ':2:' || text)
+        |       WHEN doc_id % 5 = 3
+        |         THEN '1-' || md5(doc_id::VARCHAR || ':1:' || text)
+        |       ELSE NULL END AS rev,
+        |  reason
+        |FROM v ORDER BY doc_id""".stripMargin,
     // interpolated KN replay: same double-op order as the engine
     // ((c2 - D)/c1 + (D*n1f/c1)*(n1p/T)), micro-nat fixed point
     "q236_kn_lm" ->

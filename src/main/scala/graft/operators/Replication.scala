@@ -595,6 +595,67 @@ object Replication {
     n2
   }
 
+  /** [[bulkDocs]] behind CouchDB's `validate_doc_update` gatekeeper:
+    * every write row must pass the named requirement selectors
+    * ([[Mango.validateDocs]] — the design-doc VDU function as data;
+    * selectors may reference ANY column of the writes relation)
+    * BEFORE it is judged against the tree. Rejected writes report
+    * `status = "forbidden"` with the comma-joined failing rule names
+    * (CouchDB's per-item `{forbidden: reason}` — ALL failures, one
+    * fixable round trip) and leave the tree untouched; surviving
+    * writes get the unchanged MVCC verdicts, their report rows
+    * carrying `reason = ""`. Validation is one codegen'd predicate
+    * pass on the writes scan — no extra shuffle, no UDF. */
+  def bulkDocsValidated(target: DataFrame, id: Column, revPos: Column,
+                        revHash: Column, deleted: Column,
+                        ancestors: Column, writes: DataFrame,
+                        wId: Column, wBaseRev: Column, wBody: Column,
+                        wDel: Column,
+                        rules: Seq[(String, String)]): BulkDocsResult = {
+    require(rules.nonEmpty,
+      "bulkDocsValidated: at least one rule (use bulkDocs for none)")
+    val v = Mango.validateDocs(writes, rules)
+    val res = bulkDocs(target, id, revPos, revHash, deleted, ancestors,
+      v.filter(col("_valid")).drop("_valid", "_reasons"),
+      wId, wBaseRev, wBody, wDel)
+    val forbidden = v.filter(!col("_valid")).select(wId.as("id"),
+      lit("forbidden").as("status"), lit(null).cast("string").as("rev"),
+      col("_reasons").as("reason"))
+    BulkDocsResult(
+      res.report.withColumn("reason", lit("")).unionByName(forbidden),
+      res.leaves)
+  }
+
+  /** [[bulkDocsStore]] behind `validate_doc_update` — the endpoint
+    * form of [[bulkDocsValidated]]: forbidden writes never reach the
+    * store (their buckets are not even read), the rest follow the
+    * bucket-pruned write path; the combined report is localized like
+    * every endpoint response (one row per write, driver-sized by
+    * definition). */
+  def bulkDocsStoreValidated(spark: SparkSession, path: String,
+                             writes: DataFrame, wId: Column,
+                             wBaseRev: Column, wBody: Column,
+                             wDel: Column, rules: Seq[(String, String)],
+                             numBuckets: Int = 0,
+                             newSeq: Long = -1L): BulkDocsStoreResult = {
+    require(rules.nonEmpty,
+      "bulkDocsStoreValidated: at least one rule (use bulkDocsStore " +
+        "for none)")
+    val v = Mango.validateDocs(writes, rules)
+    val res = bulkDocsStore(spark, path,
+      v.filter(col("_valid")).drop("_valid", "_reasons"),
+      wId, wBaseRev, wBody, wDel, numBuckets, newSeq)
+    val forbidden = v.filter(!col("_valid")).select(wId.as("id"),
+      lit("forbidden").as("status"), lit(null).cast("string").as("rev"),
+      col("_reasons").as("reason"))
+    val forbL = spark.createDataFrame(
+      spark.sparkContext.parallelize(forbidden.collect().toSeq, 1),
+      forbidden.schema)
+    BulkDocsStoreResult(
+      res.report.withColumn("reason", lit("")).unionByName(forbL),
+      res.buckets)
+  }
+
   /** CouchDB's `POST /db/_purge` against the persisted target — the
     * GDPR / bad-crawl eraser with the [[syncBatch]] discipline: ONLY
     * the bucket directories holding the requested ids are read,

@@ -577,6 +577,52 @@ class ReplicationSpec extends SparkSpecBase {
     }
   }
 
+  test("bulkDocsValidated: forbidden writes report all reasons and touch nothing") {
+    val target = leavesDf(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),
+      ("d2", 1L, "bb", false, Seq.empty)))
+    val writes = Seq(
+      ("d1", "1-aa", "okbody", 200L, "en"),   // valid edit -> ok
+      ("d2", "1-bb", "short", 10L, "en"),     // fails min_len
+      ("d3", null, "x", 10L, "xx"),           // fails both rules
+      ("d4", null, "newdoc", 500L, "de"))     // valid create -> ok
+      .toDF("id", "base", "body", "n", "lang")
+    val rules = Seq(
+      "min_len" -> """{"n": {"$gte": 100}}""",
+      "lang_known" -> """{"lang": {"$in": ["en", "de"]}}""")
+    val res = Replication.bulkDocsValidated(target, cols._1, cols._2,
+      cols._3, cols._4, cols._5, writes, col("id"), col("base"),
+      col("body"), lit(false), rules)
+    val rep = res.report.collect().map(r => r.getString(0) ->
+      (r.getString(1), Option(r.getString(2)), r.getString(3))).toMap
+    assert(rep("d1")._1 == "ok" && rep("d1")._3 == "")
+    assert(rep("d2") == (("forbidden", None, "min_len")))
+    assert(rep("d3") == (("forbidden", None, "min_len,lang_known")))
+    assert(rep("d4")._1 == "ok")
+    // forbidden writes leave the tree untouched: d2 keeps 1-bb, no d3
+    val leaves = leafSet(res.leaves)
+    assert(leaves.contains(("d2", "1-bb", false)))
+    assert(!leaves.exists(_._1 == "d3"))
+    assert(leaves.exists(t => t._1 == "d4"))
+
+    // the store endpoint gives the identical report (localized)
+    val dir = java.nio.file.Files.createTempDirectory("repl-vdu").toString
+    Replication.createTarget(spark, s"$dir/t", target, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 4)
+    val sres = Replication.bulkDocsStoreValidated(spark, s"$dir/t",
+      writes, col("id"), col("base"), col("body"), lit(false), rules)
+    val srep = sres.report.collect().map(r => r.getString(0) ->
+      (r.getString(1), Option(r.getString(2)), r.getString(3))).toMap
+    assert(srep == rep, "store-form report must equal the relation form")
+    assert(leafSet(Replication.openTarget(spark, s"$dir/t")) == leaves)
+
+    intercept[IllegalArgumentException] {
+      Replication.bulkDocsValidated(target, cols._1, cols._2, cols._3,
+        cols._4, cols._5, writes, col("id"), col("base"), col("body"),
+        lit(false), Nil)
+    }
+  }
+
   test("dbsInfo + dbUpdates: meta-sidecar admin reads over many stores") {
     val dir = java.nio.file.Files.createTempDirectory("repl-dbs").toString
     val a = leavesDf((0 until 30).map(i =>
