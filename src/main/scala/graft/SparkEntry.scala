@@ -3615,6 +3615,18 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** B37: deterministic WEIGHTED sampling without replacement
+    * ([[graft.operators.Relational.weightedSampleExact]] — the
+    * Efraimidis–Spirakis A-Res scheme on the portable md5 uniform):
+    * 200 docs weighted by n_chars under seed s1; the oracle replays
+    * the 13-hex-digit uniform, the ln(u)/w key and the global top-n
+    * digit for digit. */
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.weightedSampleExact(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), n = 200, seed = "s1")
+      .orderBy(col("doc_id"))
+
   /** A35b: `validate_doc_update` ON THE WRITE PATH ([[graft.operators
     * .Replication.bulkDocsStoreValidated]]) — the q220 interactive
     * batch behind two VDU rules (`min_len`: n_chars ≥ 150,
@@ -5204,7 +5216,8 @@ object SparkEntry {
     "q235_compact_store" -> (q235 _),
     "q236_kn_lm" -> (q236 _),
     "q237_cascade_filtered" -> (q237 _),
-    "q238_vdu_writes" -> (q238 _)
+    "q238_vdu_writes" -> (q238 _),
+    "q239_weighted_sample" -> (q239 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8644,6 +8657,18 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS update_seq
         |FROM documents WHERE doc_id % 5 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // A-Res replay: 13-hex md5 uniform, ln(u)/w key, global top-200
+    "q239_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(CAST(concat('0x',
+        |          substring(md5('s1:' || doc_id::VARCHAR), 1, 13))
+        |        AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents),
+        |top AS (SELECT doc_id, n_chars FROM k
+        |        ORDER BY key DESC, doc_id LIMIT 200)
+        |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin,
     // VDU verdicts composed over the q220 MVCC status map: forbidden
     // (all failing rule names, rule order) overrides; survivors keep
     // their q220 statuses and minted revs

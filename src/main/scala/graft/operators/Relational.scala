@@ -528,4 +528,36 @@ object Relational {
       .select(col("doc_id"), col("n_tokens"), col("cum_before"),
         col("shard"))
   }
+
+  /** WEIGHTED sampling WITHOUT replacement, deterministic — the
+    * Efraimidis–Spirakis (2006) A-Res scheme with its randomness
+    * replaced by the engine's portable md5-of-(seed:id) uniform: row
+    * i gets key `ln(uᵢ)/wᵢ` (the log form of ranking by uᵢ^(1/wᵢ)),
+    * and the sample is the global top-n keys — inclusion odds follow
+    * the weights exactly as A-Res proves, a doubled weight ≈ doubled
+    * keep probability, and the same (corpus, seed, n) yields the
+    * same sample on every engine and every rerun (the pipeline use:
+    * w = quality score, n = the token budget's row count — the
+    * quality-weighted corpus subsample between uniform sampling and
+    * hard top-n-by-quality, which would throw away all diversity).
+    * u reads the md5's first 13 hex digits as a 52-bit integer (every
+    * double op exact), so the oracle replays it digit for digit.
+    * One projection + one global TakeOrdered (partitions ship only
+    * their local top n — no full sort, no window); weights must be
+    * strictly positive, loudly. */
+  def weightedSampleExact(df: DataFrame, id: Column, weight: Column,
+                          n: Int, seed: String = ""): DataFrame = {
+    require(n >= 0, "n must be non-negative")
+    val v = conv(substring(md5(concat(lit(seed), lit(":"),
+      id.cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val w = weight.cast("double")
+    val guarded = coalesce(when(w > 0, w),
+      raise_error(lit("weightedSampleExact: weights must be strictly " +
+        "positive")).cast("double"))
+    df.withColumn("_wskey", log(u) / guarded)
+      .orderBy(col("_wskey").desc, id)
+      .limit(n)
+      .drop("_wskey")
+  }
 }

@@ -405,4 +405,37 @@ class RelationalSpec extends SparkSpecBase {
       mixed.select($"doc_id").as[Long].collect().toSet)
     assert(down.filter($"copy" =!= 0L).count() == 0)
   }
+
+  test("weightedSampleExact: weight-proportional odds, deterministic, loud on w<=0") {
+    import graft.operators.Relational
+    // 2000 rows: ids 0-999 weight 1, ids 1000-1999 weight 9
+    val df = spark.range(2000L).select($"id",
+      when($"id" >= 1000L, 9.0).otherwise(1.0).as("w"))
+    val kept = Relational.weightedSampleExact(df, $"id", $"w", 400)
+      .select($"id").as[Long].collect().toSet
+    assert(kept.size == 400)
+    val heavy = kept.count(_ >= 1000L)
+    // E[heavy] ~ 360 under A-Res (9:1 odds); a uniform sampler
+    // would put ~200 — the gap is the property under test
+    assert(heavy > 300 && heavy < 400,
+      s"9x-weighted rows should dominate the sample, got $heavy/400")
+    // deterministic across reruns; seed changes the sample
+    val again = Relational.weightedSampleExact(df, $"id", $"w", 400)
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept)
+    val seeded = Relational.weightedSampleExact(df, $"id", $"w", 400,
+      seed = "other").select($"id").as[Long].collect().toSet
+    assert(seeded != kept, "a new seed must draw a different sample")
+    // plans as a global TakeOrdered, not a full sort or window
+    val plan = Relational.weightedSampleExact(df, $"id", $"w", 400)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as TakeOrdered:\n${plan.take(800)}")
+    // non-positive weights fail loudly, not silently as key = NaN
+    intercept[Exception] {
+      Relational.weightedSampleExact(
+        spark.range(5L).select($"id", lit(0.0).as("w")),
+        $"id", $"w", 2).collect()
+    }
+  }
 }
