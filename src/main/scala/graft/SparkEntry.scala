@@ -3615,6 +3615,51 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** A42: the `_replicator` database + `GET /_scheduler/docs`
+    * ([[graft.operators.Replication.runReplicatorDocs]]) — one
+    * scheduler sweep over two replication documents on the q186
+    * feed: an unfiltered job and a `lang IN (en, de)` selector job,
+    * each one checkpointed delta-bounded round into its own
+    * persisted target (fresh per run; checkpoint ids are salted per
+    * run so the sweep always replays the feed). The stores must land
+    * on the q186 merged tree and the q192 filtered tree
+    * respectively, every scheduler row `completed`. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val feed = q186Feed(s, dir)
+    val src = q186Source(s, dir)
+    val docs = t(s, dir, "documents")
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val pa = idxPath("q240a", dir, "documents")
+    val pb = idxPath("q240b", dir, "documents")
+    Seq(pa, pb).foreach { p =>
+      graft.view.IndexStore.fsFor(s, p)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      Replication.createTarget(s, p, q186Target(s, dir), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 8)
+    }
+    val sel = """{"lang": {"$in": ["en", "de"]}}"""
+    val sched = Replication.runReplicatorDocs(s, Seq(
+        Replication.ReplicatorDoc(s"q240full-$runTag", feed, src, pa),
+        Replication.ReplicatorDoc(s"q240filt-$runTag", feed, src, pb,
+          selector = Some((docs, "doc_id", sel)))),
+      col("id"), col("rev_pos"), col("rev_hash"), col("deleted"),
+      col("ancestors"))
+    val states = sched.select(col("doc_id"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def leavesOf(p: String, tag: String) =
+      Replication.openTarget(s, p).select(lit(tag).as("job"),
+        lit(states(s"q240$tag-$runTag")).as("state"),
+        col("id").as("doc_id"),
+        concat(col("rev_pos").cast("string"), lit("-"),
+          col("rev_hash")).as("rev"),
+        col("deleted"),
+        concat_ws(",", col("ancestors")).as("ancestors"))
+    leavesOf(pa, "full").unionByName(leavesOf(pb, "filt"))
+      .orderBy(col("job"), col("doc_id"), col("rev"))
+  }
+
   /** B37: deterministic WEIGHTED sampling without replacement
     * ([[graft.operators.Relational.weightedSampleExact]] — the
     * Efraimidis–Spirakis A-Res scheme on the portable md5 uniform):
@@ -5217,7 +5262,8 @@ object SparkEntry {
     "q236_kn_lm" -> (q236 _),
     "q237_cascade_filtered" -> (q237 _),
     "q238_vdu_writes" -> (q238 _),
-    "q239_weighted_sample" -> (q239 _)
+    "q239_weighted_sample" -> (q239 _),
+    "q240_replicator_docs" -> (q240 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8657,6 +8703,36 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS update_seq
         |FROM documents WHERE doc_id % 5 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // scheduler sweep: the full job lands the q186 merged tree, the
+    // selector job the q192 filtered tree, both rows completed
+    "q240_replicator_docs" -> (replicationExpCte +
+      """,
+        |m AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de')),
+        |keep AS (
+        |  SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m') AS rev,
+        |         false AS deleted, '' AS ancestors
+        |  FROM documents WHERE doc_id % 5 IN (0, 4)
+        |  UNION ALL
+        |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:t'), false,
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '3-' || md5(doc_id::VARCHAR || ':3:m'), false,
+        |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
+        |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |filt AS (
+        |  SELECT doc_id, rev, deleted, ancestors FROM exp
+        |  WHERE doc_id IN (SELECT doc_id FROM m)
+        |  UNION ALL
+        |  SELECT doc_id, rev, deleted, ancestors FROM keep
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM m))
+        |SELECT 'filt' AS job, 'completed' AS state,
+        |       doc_id, rev, deleted, ancestors FROM filt
+        |UNION ALL
+        |SELECT 'full', 'completed', doc_id, rev, deleted, ancestors
+        |FROM exp
+        |ORDER BY job, doc_id, rev""".stripMargin),
     // A-Res replay: 13-hex md5 uniform, ln(u)/w key, global top-200
     "q239_weighted_sample" ->
       """WITH k AS (

@@ -595,6 +595,78 @@ object Replication {
     n2
   }
 
+  /** One row of CouchDB's `_replicator` database, relationally: the
+    * job's doc id, the source's change feed and leaf relation, the
+    * persisted target store, and optionally a selector over source
+    * doc content — `(docs relation, its id column, selector JSON)`,
+    * the `replicateFilteredOnce` contract. */
+  final case class ReplicatorDoc(docId: String, feedPath: String,
+                                 source: DataFrame, targetPath: String,
+                                 selector: Option[(DataFrame, String,
+                                   String)] = None,
+                                 numBuckets: Int = 0)
+
+  /** CouchDB's `_replicator` scheduler, one SWEEP: run one
+    * checkpointed, delta-bounded round per replication document and
+    * return `GET /_scheduler/docs` — one state row per doc. Per doc:
+    * `_local` checkpoint read (a selector hashes into the checkpoint
+    * id via [[filteredRepId]] — editing a doc's filter restarts it
+    * from seq 0, CouchDB's replication-id rule) → `_changes` since →
+    * optional selector cut (one compiled content predicate + a semi
+    * join, never a per-change callback) → [[syncBatch]] into the
+    * store (only the touched `_b` buckets are read/rewritten,
+    * whatever the target's size) → checkpoint past everything
+    * SCANNED (rejected changes advance it too — the FilteredRound
+    * rule). A throwing doc reports `state = "error"` with the
+    * message and does NOT stop the sweep: CouchDB's scheduler
+    * isolates jobs, one broken doc must not starve the rest.
+    * Output: `(doc_id, state, changes_scanned, docs_synced,
+    * buckets_touched, last_seq, error)` — one row per doc, the
+    * driver-sized response of an admin endpoint; the per-doc counts
+    * are aggregation jobs, never collects of the delta. */
+  def runReplicatorDocs(spark: SparkSession, docs: Seq[ReplicatorDoc],
+                        id: Column, revPos: Column, revHash: Column,
+                        deleted: Column, ancestors: Column): DataFrame = {
+    require(docs.nonEmpty, "runReplicatorDocs: at least one doc")
+    require(docs.map(_.docId).distinct.size == docs.size,
+      "runReplicatorDocs: duplicate _replicator doc ids")
+    val rows = docs.map { d =>
+      try {
+        val effId = d.selector match {
+          case Some((_, _, sel)) => filteredRepId(d.docId, sel)
+          case None => d.docId
+        }
+        val since = ChangesFeed.readCheckpoint(spark, d.feedPath, effId)
+        val scanned = ChangesFeed.since(spark, d.feedPath, since)
+        val ids = (d.selector match {
+          case None => scanned.select(col("id"))
+          case Some((docsRel, docIdCol, sel)) =>
+            val pred = Mango.compile(Mango.parseSelector(sel),
+              docsRel.schema)
+            scanned.select(col("id")).join(
+              docsRel.filter(pred).select(col(docIdCol).as("id"))
+                .distinct(),
+              Seq("id"), "left_semi")
+        }).distinct()
+        val nScanned = scanned.count()
+        val bs = syncBatch(spark, d.targetPath, d.source, id, revPos,
+          revHash, deleted, ancestors, ids, d.numBuckets)
+        val nSynced = ids.count()
+        val last = ChangesFeed.checkpointAfter(spark, d.feedPath, effId,
+          scanned)
+        (d.docId, "completed", nScanned, nSynced, bs.size.toLong, last,
+          null: String)
+      } catch {
+        case e: Exception =>
+          (d.docId, "error", 0L, 0L, 0L, -1L,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "state", "changes_scanned", "docs_synced",
+      "buckets_touched", "last_seq", "error")
+  }
+
   /** [[bulkDocs]] behind CouchDB's `validate_doc_update` gatekeeper:
     * every write row must pass the named requirement selectors
     * ([[Mango.validateDocs]] — the design-doc VDU function as data;

@@ -623,6 +623,59 @@ class ReplicationSpec extends SparkSpecBase {
     }
   }
 
+  test("runReplicatorDocs: checkpointed no-op second sweep, error isolation, selector restart") {
+    import graft.operators.Replication
+    val dir = java.nio.file.Files.createTempDirectory("repl-sched").toString
+    val n = 40
+    val source = leavesDf((0 until n).map(i =>
+      (s"d$i", 2L, s"s$i", false, Seq(s"1-a$i"))))
+    val feedPath = s"$dir/feed"
+    ChangesFeed.write(
+      (0 until n).map(i => (i.toLong + 1, s"d$i", s"2-s$i", false))
+        .toDF("seq", "id", "rev", "deleted"), feedPath, width = 16)
+    val docsRel = (0 until n).map(i => (s"d$i", if (i % 2 == 0) "en"
+      else "zz")).toDF("id", "lang")
+    val selEn = """{"lang": {"$eq": "en"}}"""
+    val jobs = Seq(
+      Replication.ReplicatorDoc("full", feedPath, source, s"$dir/a"),
+      Replication.ReplicatorDoc("filt", feedPath, source, s"$dir/b",
+        selector = Some((docsRel, "id", selEn))),
+      Replication.ReplicatorDoc("broken", "/nonexistent/feed", source,
+        s"$dir/c"))
+    val sweep1 = Replication.runReplicatorDocs(spark, jobs, cols._1,
+      cols._2, cols._3, cols._4, cols._5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // error isolation: broken reports, the others complete
+    assert(sweep1("broken").getString(1) == "error" &&
+      sweep1("broken").getString(6) != null)
+    assert(sweep1("full").getString(1) == "completed" &&
+      sweep1("full").getLong(2) == n && sweep1("full").getLong(3) == n)
+    assert(sweep1("filt").getString(1) == "completed" &&
+      sweep1("filt").getLong(3) == n / 2,
+      s"selector job must sync only matching docs: ${sweep1("filt")}")
+    assert(leafSet(Replication.openTarget(spark, s"$dir/a")).size == n)
+    assert(leafSet(Replication.openTarget(spark, s"$dir/b")).size == n / 2)
+    // second sweep: checkpoints drained, nothing scanned or synced
+    val sweep2 = Replication.runReplicatorDocs(spark,
+      jobs.take(2), cols._1, cols._2, cols._3, cols._4, cols._5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(sweep2("full").getLong(2) == 0 && sweep2("full").getLong(3) == 0)
+    assert(sweep2("filt").getLong(2) == 0)
+    // an EDITED selector keys a fresh checkpoint: the feed replays
+    val selAll = """{"lang": {"$in": ["en", "zz"]}}"""
+    val sweep3 = Replication.runReplicatorDocs(spark, Seq(
+        Replication.ReplicatorDoc("filt", feedPath, source, s"$dir/b",
+          selector = Some((docsRel, "id", selAll)))),
+      cols._1, cols._2, cols._3, cols._4, cols._5).collect()
+    assert(sweep3.head.getLong(2) == n,
+      "a changed selector must restart the feed from seq 0")
+    assert(leafSet(Replication.openTarget(spark, s"$dir/b")).size == n)
+    intercept[IllegalArgumentException] {
+      Replication.runReplicatorDocs(spark, jobs.take(1) ++ jobs.take(1),
+        cols._1, cols._2, cols._3, cols._4, cols._5)
+    }
+  }
+
   test("dbsInfo + dbUpdates: meta-sidecar admin reads over many stores") {
     val dir = java.nio.file.Files.createTempDirectory("repl-dbs").toString
     val a = leavesDf((0 until 30).map(i =>
