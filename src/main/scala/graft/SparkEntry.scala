@@ -3615,6 +3615,17 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** C16: QUALITY-AWARE canonical selection ([[graft.operators.Dedup
+    * .dedupCorpusBest]]) — the q67 pipeline with each cluster's kept
+    * doc re-chosen as its argmax-n_chars member (ties to the lower
+    * id): what a real pipeline keeps is the best duplicate, not the
+    * first. The oracle extends the q67 label closure with one rank
+    * window. */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupCorpusBest(t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** A42: the `_replicator` database + `GET /_scheduler/docs`
     * ([[graft.operators.Replication.runReplicatorDocs]]) — one
     * scheduler sweep over two replication documents on the q186
@@ -5263,7 +5274,8 @@ object SparkEntry {
     "q237_cascade_filtered" -> (q237 _),
     "q238_vdu_writes" -> (q238 _),
     "q239_weighted_sample" -> (q239 _),
-    "q240_replicator_docs" -> (q240 _)
+    "q240_replicator_docs" -> (q240 _),
+    "q241_dedup_best" -> (q241 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6049,6 +6061,20 @@ object SparkEntry {
       (dedupLabelsCtes +
        """
          |SELECT doc_id, kept_id FROM labels ORDER BY doc_id""".stripMargin),
+    // the q67 closure + one rank window: each cluster's kept doc is
+    // its argmax-n_chars member, ties to the lower id
+    "q241_dedup_best" ->
+      (dedupLabelsCtes +
+       """,
+         |jb AS (
+         |  SELECT l.kept_id, l.doc_id AS member, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY l.kept_id
+         |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id),
+         |best AS (SELECT kept_id, member AS best_id FROM jb WHERE rn = 1)
+         |SELECT l.doc_id, b.best_id AS kept_id
+         |FROM labels l JOIN best b USING (kept_id)
+         |ORDER BY l.doc_id""".stripMargin),
     // Stored cluster labels == the full from-scratch closure (q58's
     // CTEs) extended to singletons (label = own id).
     "q68_cluster_labels" ->

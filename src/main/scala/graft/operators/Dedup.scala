@@ -273,6 +273,32 @@ object Dedup {
         coalesce(col("_rep"), col("_keeper")).as("kept_id"))
   }
 
+  /** [[dedupCorpus]] with QUALITY-AWARE canonical selection — real
+    * pipelines keep each duplicate cluster's BEST member, not its
+    * first: same exact → LSH → transitive-cluster pipeline (cluster
+    * MEMBERSHIP is unchanged, and so are all the expensive stages),
+    * then the kept doc of every cluster is re-chosen as its
+    * argmax-`score` member (ties to the lower id — deterministic).
+    * One extra aggregation + join over the O(corpus) mapping table,
+    * nothing quadratic. Returns `(doc_id, kept_id)` with kept_id the
+    * highest-scoring member of doc_id's cluster — filter to
+    * survivors with `doc_id === kept_id` exactly as before. */
+  def dedupCorpusBest(docs: DataFrame, id: Column, text: Column,
+                      score: Column,
+                      jaccardThreshold: Option[Double] = None)
+      : DataFrame = {
+    val mapping = dedupCorpus(docs, id, text, jaccardThreshold)
+    val scores = docs.select(id.cast("long").as("doc_id"),
+      score.cast("double").as("_sc"))
+    val best = mapping.join(scores, Seq("doc_id"))
+      .groupBy(col("kept_id"))
+      .agg(min(struct((-col("_sc")).as("n"), col("doc_id").as("i")))
+        .as("_b"))
+      .select(col("kept_id"), col("_b.i").as("_best"))
+    mapping.join(best, Seq("kept_id"))
+      .select(col("doc_id"), col("_best").as("kept_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (md5-derived token hashes,
     * per-bit majority vote). The token hash is the first 16 hex digits
     * of md5(token), read as two 32-bit halves (digits 1-8 = high bits

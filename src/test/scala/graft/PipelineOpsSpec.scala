@@ -1025,6 +1025,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupCorpusBest: same clusters as dedupCorpus, argmax-score canonicals") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10.0),
+      (2L, "the quick brown fox jumps over the lazy dog", 99.0), // exact dup, better
+      (3L, "completely different text about spark engines", 5.0),
+      (4L, "THE quick   brown fox jumps over the lazy dog", 50.0) // normalizes equal
+    ).toDF("doc_id", "text", "q")
+    val plain = Dedup.dedupCorpus(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = Dedup.dedupCorpusBest(docs, col("doc_id"), col("text"),
+        col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical membership (same partition into clusters)...
+    assert(plain.keySet == best.keySet &&
+      plain.groupBy(_._2).values.map(_.keySet).toSet ==
+        best.groupBy(_._2).values.map(_.keySet).toSet,
+      s"cluster membership must not change: $plain vs $best")
+    // ...but the canonical is the argmax-score member, not the min id
+    assert(best(1L) == 2L && best(2L) == 2L && best(4L) == 2L,
+      s"cluster {1,2,4} must keep the q=99 member: $best")
+    assert(best(3L) == 3L)
+    // ties break to the lower id
+    val tied = Seq((7L, "same same", 1.0), (8L, "same same", 1.0))
+      .toDF("doc_id", "text", "q")
+    val t = Dedup.dedupCorpusBest(tied, col("doc_id"), col("text"),
+        col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(7L -> 7L, 8L -> 7L))
+  }
+
   test("knBigramLmScores: hand-computed interpolated KN, continuation semantics") {
     // corpus: "a b", "a b", "a c", "d b"
     //   c1: a=3, d=1;   c2: (a,b)=2, (a,c)=1, (d,b)=1;  T=3 types
