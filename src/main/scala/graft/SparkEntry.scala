@@ -3626,6 +3626,103 @@ object SparkEntry {
         col("doc_id"), col("text"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Shared scaffold of the purge-propagation gates (q242–q244): a
+    * fresh q146-shaped store (rebuilt per run — purge mutates it) and
+    * a lazy post/pre-purge live-winner id relation derived FROM the
+    * store, so the same expression serves the pre-purge index build
+    * and the post-purge catch-up input. */
+  private def purgeGateStore(tag: String, s: SparkSession, dir: String)
+      : (String, DataFrame, () => DataFrame) = {
+    import graft.operators.{Replication, Revisions}
+    val (leaves, requests) = q146Inputs(s, dir)
+    val st = idxPath(tag, dir, "documents")
+    Replication.createTarget(s, st, leaves, col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16, seq = 11L)
+    val liveWinners = () =>
+      Revisions.summary(Replication.openTarget(s, st), col("id"),
+          col("rev_pos"), col("rev_hash"), col("deleted"))
+        .filter(!col("win_deleted"))
+        .select(col("id").as("doc_id"), col("win_rev"))
+    (st, requests, liveWinners)
+  }
+
+  /** A43: PURGE-AWARE VIEW INDEX ([[graft.view.View.catchUpPurges]])
+    * — the `purge_seq` catch-up that closes the GDPR hole a
+    * purge-blind secondary index leaves open (it keeps serving the
+    * erased doc forever). A view `(key=doc_id, value=win_rev)`
+    * materialized over the PRE-purge live winners; `_purge` hits the
+    * store with q146's request set (full-doc erasures, tip purges
+    * that flip winners, branch purges that resurrect a DELETED winner
+    * back to life); ONE bucket-local catch-up then retires the gone,
+    * re-maps the flipped, and INSERTS the resurrected — served rows
+    * must equal the analytic post-purge live-winner relation with no
+    * rebuild (untouched buckets byte-identical and purge_seq parity
+    * are spec-asserted in `PurgePropagationSpec`). */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val (st, requests, liveWinners) = purgeGateStore("q242st", s, dir)
+    val vx = idxPath("q242vx", dir, "documents")
+    def view(docs: DataFrame) =
+      View(docs, col("doc_id"), col("doc_id"), col("win_rev"))
+    view(liveWinners()).materialize(vx, numBuckets = 8, seq = 11L)
+    Replication.purgeTarget(s, st, requests, col("doc_id"),
+      col("rev_pos"), col("rev_hash"))
+    view(liveWinners()).catchUpPurges(s, vx, st, liveWinners())
+    view(liveWinners()).fromIndex(s, vx).query()
+      .select(col("key").cast("long").as("id"), col("value").as("win_rev"))
+      .orderBy(col("id"))
+  }
+
+  /** A43b: PURGE-AWARE MANGO INDEX ([[graft.operators.Mango
+    * .catchUpPurges]]) — the JSON index built over the pre-purge live
+    * docs, caught up after `_purge`, then served COVERED (selector,
+    * fields and order all inside the `(lang, n_chars)` index — the
+    * documents table is never fetched, so a stale index row cannot
+    * hide behind the doc join): purged docs must be absent from the
+    * index itself. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Mango, Replication}
+    val (st, requests, liveWinners) = purgeGateStore("q243st", s, dir)
+    val mgx = idxPath("q243mg", dir, "documents")
+    val docsAll = t(s, dir, "documents")
+    def liveDocs: DataFrame = docsAll.join(
+      liveWinners().select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val idx = Mango.createIndex(s, liveDocs, "doc_id",
+      Seq("lang", "n_chars"), mgx, numBuckets = 4)
+    Replication.purgeTarget(s, st, requests, col("doc_id"),
+      col("rev_pos"), col("rev_hash"))
+    Mango.catchUpPurges(s, liveDocs, "doc_id", idx, st)
+    Mango.findIndexed(s, liveDocs, "doc_id", idx,
+      """{"selector": {"lang": "en", "n_chars": {"$gte": 500}},
+        | "fields": ["doc_id", "lang", "n_chars"]}""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
+  /** A43c: PURGE-AWARE TEXT INDEX ([[graft.operators.TextSearch
+    * .catchUpPurges]]) — the search leg: the BM25 index built over
+    * the pre-purge live docs, caught up after `_purge` (gone docs'
+    * postings retire, resurrected docs' postings ENTER, `n`/`sum_dl`
+    * adjust by exact integer deltas), then served from the index
+    * alone — scores must be bit-identical to a fresh build over the
+    * purged corpus, which is exactly what the DuckDB oracle
+    * computes. */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Replication, TextSearch}
+    val (st, requests, liveWinners) = purgeGateStore("q244st", s, dir)
+    val tx = idxPath("q244tx", dir, "documents")
+    val docsAll = t(s, dir, "documents")
+    def liveDocs: DataFrame = docsAll.join(
+      liveWinners().select(col("doc_id")), Seq("doc_id"), "left_semi")
+    TextSearch.buildTextIndex(liveDocs, col("doc_id"), col("text"), tx)
+    Replication.purgeTarget(s, st, requests, col("doc_id"),
+      col("rev_pos"), col("rev_hash"))
+    TextSearch.catchUpPurges(s, tx, st, liveDocs, col("doc_id"),
+      col("text"))
+    TextSearch.searchBoolean(s, tx, must = Seq("hash", "stream"),
+      mustNot = Nil, k = 50)
+  }
+
   /** A42: the `_replicator` database + `GET /_scheduler/docs`
     * ([[graft.operators.Replication.runReplicatorDocs]]) — one
     * scheduler sweep over two replication documents on the q186
@@ -5275,7 +5372,10 @@ object SparkEntry {
     "q238_vdu_writes" -> (q238 _),
     "q239_weighted_sample" -> (q239 _),
     "q240_replicator_docs" -> (q240 _),
-    "q241_dedup_best" -> (q241 _)
+    "q241_dedup_best" -> (q241 _),
+    "q242_purge_view_index" -> (q242 _),
+    "q243_purge_mango_index" -> (q243 _),
+    "q244_purge_text_index" -> (q244 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -5345,6 +5445,43 @@ object SparkEntry {
       |  COALESCE(string_agg(CASE WHEN rn > 1 AND NOT del THEN rev END,
       |    ',' ORDER BY rev), '') AS conflicts
       |FROM r GROUP BY doc_id ORDER BY id""".stripMargin
+
+  /** The q146 POST-purge winner relation as reusable CTE text — the
+    * shared head of the purge-propagation oracles (q242–q244):
+    * `w(id, win_rev, win_deleted)` and `live(id)`. Same analytic
+    * derivation as [[purgeOracle]]'s, reshaped as named CTEs. */
+  private val postPurgeLiveCte: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || ':r1')  AS h1,
+      |    md5(CAST(doc_id AS VARCHAR) || ':r2a') AS h2a,
+      |    md5(CAST(doc_id AS VARCHAR) || ':r2b') AS h2b
+      |  FROM documents),
+      |pleaves AS (
+      |  SELECT doc_id, 2 AS pos, h2a AS hash, FALSE AS del
+      |  FROM h WHERE doc_id % 2 = 0
+      |    AND NOT (doc_id % 4 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
+      |  UNION ALL
+      |  SELECT doc_id, 2, h2b, doc_id % 9 = 0
+      |  FROM h WHERE doc_id % 3 = 0 AND doc_id % 4 <> 0 AND doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 1, h1, FALSE
+      |  FROM h WHERE (doc_id % 2 = 0 AND doc_id % 4 <> 0
+      |                AND doc_id % 3 <> 0 AND doc_id % 7 = 1)
+      |     OR (doc_id % 2 <> 0 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0)
+      |     OR (doc_id % 2 <> 0 AND doc_id % 3 = 0 AND doc_id % 5 = 0)),
+      |r AS (
+      |  SELECT doc_id, del,
+      |    CAST(pos AS VARCHAR) || '-' || hash AS rev,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY del ASC, pos DESC, hash DESC) AS rn
+      |  FROM pleaves),
+      |w AS (
+      |  SELECT doc_id AS id,
+      |    MAX(CASE WHEN rn = 1 THEN rev END) AS win_rev,
+      |    bool_or(CASE WHEN rn = 1 THEN del END) AS win_deleted
+      |  FROM r GROUP BY doc_id),
+      |live AS (SELECT id FROM w WHERE NOT win_deleted)""".stripMargin
 
   private val replicationLoopOracle: String =
     replicationExpCte +
@@ -6075,6 +6212,56 @@ object SparkEntry {
          |SELECT l.doc_id, b.best_id AS kept_id
          |FROM labels l JOIN best b USING (kept_id)
          |ORDER BY l.doc_id""".stripMargin),
+    // post-purge live winners served FROM the caught-up view index —
+    // gone docs absent, flipped winners re-mapped, resurrected
+    // live-again docs present
+    "q242_purge_view_index" ->
+      (postPurgeLiveCte +
+       """
+         |SELECT id, win_rev FROM w WHERE NOT win_deleted
+         |ORDER BY id""".stripMargin),
+    // the covered Mango find over the caught-up (lang, n_chars) index
+    // == the same selector over documents restricted to post-purge
+    // live ids
+    "q243_purge_mango_index" ->
+      (postPurgeLiveCte +
+       """
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN (SELECT id FROM live)
+         |  AND lang = 'en' AND n_chars >= 500
+         |ORDER BY doc_id""".stripMargin),
+    // boolean BM25 over the caught-up text index == the q62 BM25
+    // replay computed over ONLY the post-purge live corpus (n, avgdl,
+    // df all shift with the purge — the exact-integer-delta check)
+    "q244_purge_text_index" ->
+      (postPurgeLiveCte +
+       """,
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         |                             x -> x != '') AS ws
+         |  FROM documents WHERE doc_id IN (SELECT id FROM live)),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+         |  WHERE term IN ('hash', 'stream')
+         |  GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+         |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+         |p AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN term = 'hash' THEN s END) AS t0,
+         |    MAX(CASE WHEN term = 'stream' THEN s END) AS t1
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, FLOOR((t0 + t1) * 10000 + 0.5) / 10000 AS score
+         |FROM p WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
     // Stored cluster labels == the full from-scratch closure (q58's
     // CTEs) extended to singletons (label = own id).
     "q68_cluster_labels" ->

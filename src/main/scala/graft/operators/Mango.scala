@@ -1383,6 +1383,43 @@ object Mango {
     graft.view.PartitionedStore.merge(spark, index.path, newRows, cids, seq)
   }
 
+  /** Catch a JSON index up to its document store's `purge_seq` —
+    * CouchDB's Mango-index purge catch-up (the view-index rule of
+    * [[graft.view.View.catchUpPurges]], through this index's field
+    * view and partial filter): fully-purged doc ids retire via a
+    * delete-only bucket-local merge; still-alive ids (a conflict
+    * branch was purged) re-index from their CURRENT row in `docs` —
+    * re-applying the partial filter, so an alive doc that no longer
+    * matches retires too. `update_seq` is preserved, the index
+    * purge_seq advances to the store's (re-runs are no-ops). Cost:
+    * O(purged ids' buckets), never a rebuild. Returns the store
+    * purge_seq the index is now current through. */
+  def catchUpPurges(spark: SparkSession, docs: DataFrame, idCol: String,
+                    index: MangoIndex, storePath: String): Long = {
+    val meta = IndexStore.readMeta(spark, index.path)
+    val p = Replication.pendingPurges(spark, storePath, meta.purgeSeq)
+    if (p.purgeSeq <= meta.purgeSeq) return meta.purgeSeq
+    val aliveDf0 =
+      if (p.aliveIds.isEmpty) docs.limit(0)
+      else docs.filter(col(idCol).isin(p.aliveIds: _*))
+    val aliveDf = index.partial match {
+      case Some(pf) => aliveDf0.filter(compile(parseSelector(pf),
+        aliveDf0.schema))
+      case None => aliveDf0
+    }
+    // alive ids with no surviving (matching) row retire with the gone
+    // ones — purge-request sized driver set
+    val present = aliveDf.select(col(idCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val absent = p.aliveIds.filterNot(present.contains)
+    indexView(aliveDf, idCol, index.fields)
+      .updateIndex(spark, index.path, aliveDf, p.goneIds ++ absent,
+        newSeq = meta.updateSeq)
+    IndexStore.writeMeta(spark, index.path,
+      IndexStore.readMeta(spark, index.path).copy(purgeSeq = p.purgeSeq))
+    p.purgeSeq
+  }
+
   /** Partition-scoped `_find` with automatic index selection —
     * CouchDB's planner inside `/db/_partition/{p}/_find`:
     * [[pickIndexPartition]] over the PARTITIONED index family

@@ -736,11 +736,18 @@ object Replication {
     * surviving ancestor with its correctly sliced path; fully-purged
     * docs leave NO row — purge un-happens, delete replicates), and
     * the touched buckets rename-swap; a million-doc store with a
-    * 10-id purge request reads 10 docs' buckets. `update_seq`
-    * advances (CouchDB bumps its purge_seq; this store keeps one
-    * sequence — readers must notice the store changed). Returns the
-    * rewritten bucket ids (empty when no request named a stored
-    * id). */
+    * 10-id purge request reads 10 docs' buckets. Requested ids are
+    * semi-joined against the STORE first: a request naming only
+    * unknown ids is a complete no-op (no bucket rewrite, no seq
+    * bump, nothing logged), and only buckets holding a stored
+    * requested id are touched. An effective purge advances BOTH
+    * sequences: `update_seq` (readers must notice the store changed)
+    * and `purge_seq` (CouchDB's purge counter), and appends the
+    * effective requests to the store's purge log
+    * (`purges/_pq=<purge_seq>/`) so secondary indexes catch up via
+    * [[pendingPurges]] without being handed the ids out of band.
+    * Returns the rewritten bucket ids (empty when no request named a
+    * stored id). */
   def purgeTarget(spark: SparkSession, path: String, requests: DataFrame,
                   reqId: Column, reqPos: Column, reqHash: Column,
                   newSeq: Long = -1L): Seq[Int] = {
@@ -750,27 +757,85 @@ object Replication {
       reqHash.cast("string").as("rev_hash")).persist()
     try {
       val ids = req.select(col("id")).distinct()
-      val bs = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
+      val bs0 = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
           .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (bs.isEmpty) return Nil
+      if (bs0.isEmpty) return Nil
+      // requested ids actually stored — the request-derived bucket set
+      // is only a LISTING cut; the write set derives from present ids,
+      // so purging unknown ids rewrites nothing and bumps nothing
+      val present = IndexStore
+        .readBuckets(spark, dataDir(path), "_b", bs0)
+        .filter(col("_b").isin(bs0: _*))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("id")).distinct().persist()
+      val bs = present.select(IndexStore.idBucket(col("id"), meta.buckets)
+          .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bs.isEmpty) { present.unpersist(); return Nil }
       val bucketRows = IndexStore
         .readBuckets(spark, dataDir(path), "_b", bs)
         .filter(col("_b").isin(bs: _*))
-      val curTouched = bucketRows.join(ids, Seq("id"), "left_semi")
+      val curTouched = bucketRows.join(present, Seq("id"), "left_semi")
         .drop("_b")
       val newTouched = Revisions.purgeLeaves(curTouched, col("id"),
         col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
         req, col("id"), col("rev_pos"), col("rev_hash"))
-      val out = bucketRows.join(ids, Seq("id"), "left_anti")
+      val out = bucketRows.join(present, Seq("id"), "left_anti")
         .unionByName(newTouched
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         dataDir(path), "_b", bs,
         Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
-      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
-        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
+      // purge log BEFORE the meta stamp: a crash in between leaves an
+      // orphan _pq dir the retried purge overwrites (mode overwrite);
+      // catch-ups only read dirs at-or-below the stamped purge_seq
+      val pq = meta.purgeSeq + 1
+      req.join(present, Seq("id"), "left_semi")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/purges/_pq=$pq")
+      present.unpersist()
+      IndexStore.writeMeta(spark, path, meta.copy(
+        updateSeq = if (newSeq >= 0) newSeq else meta.updateSeq + 1,
+        purgeSeq = pq))
       bs
     } finally req.unpersist()
+  }
+
+  /** One catch-up's worth of pending purges for a secondary index
+    * current through store purge_seq `sincePurgeSeq`: the store's
+    * purge_seq plus the purged ids split by their CURRENT store
+    * state — `goneIds` (no surviving row: retire from the index) vs
+    * `aliveIds` (another branch survived the purge, so the doc's
+    * winner may have changed: retire AND re-upsert from current
+    * content). The split is CouchDB's view purge catch-up rule — an
+    * index that only drops purged ids would erase still-live docs
+    * whose conflict branch was purged. Reads ONLY the purge-log
+    * directories past the cursor plus the named ids' `_b` buckets;
+    * the returned id lists are purge-request sized (admin batches —
+    * driver-bounded by definition, like every endpoint response). */
+  final case class PendingPurges(purgeSeq: Long, goneIds: Seq[Any],
+                                 aliveIds: Seq[Any])
+
+  def pendingPurges(spark: SparkSession, path: String,
+                    sincePurgeSeq: Long): PendingPurges = {
+    val meta = IndexStore.readMeta(spark, path)
+    if (meta.purgeSeq <= sincePurgeSeq)
+      return PendingPurges(meta.purgeSeq, Nil, Nil)
+    val ids = IndexStore.readWhere(spark, s"$path/purges", "_pq",
+        q => q > sincePurgeSeq && q <= meta.purgeSeq)
+      .filter(col("_pq") > sincePurgeSeq && col("_pq") <= meta.purgeSeq)
+      .select(col("id")).distinct().persist()
+    try {
+      val bs = ids.select(IndexStore.idBucket(col("id"), meta.buckets)
+          .as("_b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val stored = IndexStore.readBuckets(spark, dataDir(path), "_b", bs)
+        .filter(col("_b").isin(bs: _*))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("id")).distinct()
+      val alive = stored.collect().map(_.get(0)).toSeq
+      val gone = ids.join(stored, Seq("id"), "left_anti")
+        .collect().map(_.get(0)).toSeq
+      PendingPurges(meta.purgeSeq, gone, alive)
+    } finally ids.unpersist()
   }
 
   /** CouchDB's `POST /db/_compact` on the persisted target: ONE

@@ -312,6 +312,28 @@ object Similarity {
       cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
   }
 
+  /** Catch an [[IndexStore]]-layout ANN store (IVF-SQ8 and every
+    * other `_kb`-listed, by-id-sidecar tier maintained through
+    * [[IndexStore.merge]]) up to its document store's `purge_seq` —
+    * the ANN leg of purge propagation: an erased doc's embedding must
+    * stop being served as a neighbor. Fully-purged ids retire via a
+    * delete-only bucket-local merge
+    * ([[graft.view.IndexStore.purgeIndex]]); still-alive ids (a
+    * conflict branch was purged) keep their vectors — an embedding is
+    * keyed by doc id, not revision, so surviving docs' vectors are
+    * unchanged (re-encode through the usual upsert if the pipeline
+    * recomputes them). `update_seq` is preserved; the store purge_seq
+    * stamps so re-runs are no-ops. Cost: O(purged ids' buckets). */
+  def catchUpAnnPurges(spark: SparkSession, path: String,
+                       storePath: String): Long = {
+    val meta = IndexStore.readMeta(spark, path)
+    val p = Replication.pendingPurges(spark, storePath, meta.purgeSeq)
+    if (p.purgeSeq <= meta.purgeSeq) return meta.purgeSeq
+    IndexStore.purgeIndex(spark, path, p.goneIds, None, p.purgeSeq,
+      dataSortCols = Seq(col("_kb"), col("_id")))
+    p.purgeSeq
+  }
+
   /** Serve IVF-SQ8 top-k: each query probes its `nProbe` nearest
     * inverted lists (the [[ivfTopK]] probe discipline — the probed-id
     * union is bounded driver metadata), integer-scores ONLY the codes

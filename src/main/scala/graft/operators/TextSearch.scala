@@ -408,6 +408,43 @@ object TextSearch {
     }
   }
 
+  /** Catch a [[buildTextIndex]] index up to its document store's
+    * `purge_seq` — the text-search leg of purge propagation (the
+    * GDPR hole a purge-blind search index leaves open: it keeps
+    * matching, scoring, and SERVING the erased doc's terms). One
+    * delete-only [[upsertTextDocs]] merge retires fully-purged ids;
+    * still-alive ids (a conflict branch was purged) re-tokenize from
+    * their CURRENT text in `docs` under the stored analyzer — an
+    * alive id absent from `docs` (now-deleted winner) retires too.
+    * Corpus stats (`n`, `sum_dl`) adjust by the usual exact integer
+    * deltas, so post-purge BM25 scores are bit-identical to a fresh
+    * rebuild over the purged corpus. `update_seq` is preserved; the
+    * index purge_seq advances to the store's (re-runs are no-ops).
+    * Cost: O(purged docs' term buckets), never a rebuild. Returns
+    * the store purge_seq the index is now current through. */
+  def catchUpPurges(spark: SparkSession, path: String, storePath: String,
+                    docs: DataFrame, id: Column, text: Column): Long = {
+    import graft.view.IndexStore
+    val meta = IndexStore.readMeta(spark, path)
+    val p = graft.operators.Replication.pendingPurges(spark, storePath,
+      meta.purgeSeq)
+    if (p.purgeSeq <= meta.purgeSeq) return meta.purgeSeq
+    def longs(xs: Seq[Any]): Seq[Long] =
+      xs.map { case n: Number => n.longValue }
+    val aliveIds = longs(p.aliveIds)
+    val aliveDf =
+      if (aliveIds.isEmpty) docs.limit(0)
+      else docs.filter(id.cast("long").isin(aliveIds: _*))
+    val present = aliveDf.select(id.cast("long").as("_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val absent = aliveIds.filterNot(present.contains)
+    upsertTextDocs(spark, path, aliveDf, id, text,
+      deletedIds = longs(p.goneIds) ++ absent, newSeq = meta.updateSeq)
+    IndexStore.writeMeta(spark, path,
+      IndexStore.readMeta(spark, path).copy(purgeSeq = p.purgeSeq))
+    p.purgeSeq
+  }
+
   /** Top-k BM25 served from a [[buildTextIndex]] index: the query
     * terms' buckets are computed driver-side and pushed as literal
     * `_tb` partition filters (directory pruning) with the `term IN`

@@ -19,7 +19,14 @@ final case class IndexMeta(updateSeq: Long, buckets: Int,
                              * per page. Stamped by every reduced-dir
                              * write ([[IndexStore.writeReduced]] /
                              * [[IndexStore.refreshReduced]]). */
-                           reducedGroups: Long = -1L)
+                           reducedGroups: Long = -1L,
+                           /** CouchDB's `purge_seq`: on a document
+                             * store, how many purge batches it has
+                             * applied; on a secondary index, the
+                             * store purge_seq the index has caught up
+                             * to ([[IndexStore.purgeIndex]]). 0 =
+                             * never purged / pre-purge artifact. */
+                           purgeSeq: Long = 0L)
 
 /** On-disk layout and maintenance of a persistent view index — the
   * reference's design-doc view storage (pouchdb-abstract-mapreduce's
@@ -159,6 +166,8 @@ object IndexStore {
     }
     if (meta.reducedGroups >= 0)
       sb.append(s"rgroups=${meta.reducedGroups}\n")
+    if (meta.purgeSeq > 0)
+      sb.append(s"purgeSeq=${meta.purgeSeq}\n")
     val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -168,7 +177,7 @@ object IndexStore {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val dec = java.util.Base64.getDecoder
-    var seq = 0L; var buckets = 0; var rgroups = -1L
+    var seq = 0L; var buckets = 0; var rgroups = -1L; var pq = 0L
     val bounds = Seq.newBuilder[(Int, Array[Byte])]
     text.linesIterator.foreach {
       case l if l.startsWith("updateSeq=") => seq = l.drop(10).toLong
@@ -177,9 +186,10 @@ object IndexStore {
         val Array(b, b64) = l.drop(6).split(":", 2)
         bounds += ((b.toInt, dec.decode(b64)))
       case l if l.startsWith("rgroups=") => rgroups = l.drop(8).toLong
+      case l if l.startsWith("purgeSeq=") => pq = l.drop(9).toLong
       case _ => ()
     }
-    IndexMeta(seq, buckets, bounds.result(), rgroups)
+    IndexMeta(seq, buckets, bounds.result(), rgroups, pq)
   }
 
   /** Full (re)build: range-bucket the view rows by collation key, write
@@ -265,6 +275,44 @@ object IndexStore {
       cids.unpersist()
       newRows.unpersist()
     }
+  }
+
+  /** Purge-propagation primitive for every IndexStore-layout secondary
+    * index (materialized views, Mango JSON indexes, IVF-family ANN
+    * stores): retire the given doc ids' rows WITHOUT a rebuild —
+    * CouchDB's view-index purge catch-up. A delete-only [[merge]]: the
+    * by-id sidecar (pruned to the purged ids' hash buckets) locates
+    * the old rows, only those key buckets are read, anti-joined, and
+    * rename-swapped; untouched bucket directories stay byte-identical.
+    * `update_seq` is PRESERVED (a purge is not a change — the index
+    * has seen no new document versions); `newPurgeSeq` stamps the
+    * store purge_seq the index is now current through, so
+    * [[graft.operators.Replication.pendingPurges]] catch-ups are
+    * idempotent and resumable. A still-alive doc whose winner changed
+    * under a branch purge must be RE-UPSERTED by the owning index's
+    * normal maintenance path after this retire (the View catch-up
+    * does both in one merge). Cost: O(purged ids' buckets) — the
+    * purge-request size, never the index. */
+  def purgeIndex(spark: SparkSession, path: String, ids: Seq[Any],
+                 rf: Option[Reduce] = None, newPurgeSeq: Long = -1L,
+                 dataSortCols: Seq[Column] =
+                   Seq(col("_kb"), col("_ck"))): Seq[Int] = {
+    val meta = readMeta(spark, path)
+    val affected =
+      if (ids.isEmpty) Nil
+      else {
+        val data = spark.read.parquet(dataDir(path))
+        val got = merge(spark, path, meta, data.limit(0).select(
+            data.columns.map(col).toIndexedSeq: _*),
+          idsDf(spark, data.select(col("_id")), ids), meta.updateSeq,
+          dataSortCols)
+        rf.foreach(r => refreshReduced(spark, path, r, got))
+        got
+      }
+    if (newPurgeSeq >= 0)
+      writeMeta(spark, path,
+        readMeta(spark, path).copy(purgeSeq = newPurgeSeq))
+    affected
   }
 
   /** Rebuild the `affected` partition directories of `destDir` from

@@ -815,6 +815,42 @@ final class View private (
       IndexStore.refreshReduced(spark, path, rf, affected))
   }
 
+  /** Catch this view's materialized index up to its document store's
+    * `purge_seq` — CouchDB's view purge catch-up, the piece that makes
+    * `_purge` a real GDPR eraser: without it a materialized index
+    * keeps serving the erased doc forever. One delta-bounded
+    * [[updateIndex]] merge does everything:
+    * [[graft.operators.Replication.pendingPurges]] reads only the
+    * store's purge-log directories past the index's recorded
+    * purge_seq, fully-purged docs retire (deletedIds), docs whose
+    * conflict branch was purged but survive RE-MAP from
+    * `currentDocs` — their post-purge winner content (an alive id
+    * absent from `currentDocs`, e.g. a now-deleted winner, retires
+    * too). `update_seq` is preserved (a purge is not a change);
+    * the index purge_seq advances to the store's, so a re-run is a
+    * no-op. Cost: O(purged ids' buckets), never a rebuild. Returns
+    * the store purge_seq the index is now current through. */
+  def catchUpPurges(spark: SparkSession, path: String, storePath: String,
+                    currentDocs: DataFrame): Long = {
+    val meta = IndexStore.readMeta(spark, path)
+    val p = graft.operators.Replication.pendingPurges(spark, storePath,
+      meta.purgeSeq)
+    if (p.purgeSeq <= meta.purgeSeq) return meta.purgeSeq
+    val aliveDf =
+      if (p.aliveIds.isEmpty) currentDocs.limit(0)
+      else currentDocs.filter(idCol.isin(p.aliveIds: _*))
+    // alive ids absent from currentDocs have no post-purge emit — they
+    // retire like the gone ones (purge-request sized driver set)
+    val present = aliveDf.select(idCol.as("_id")).distinct()
+      .collect().map(_.get(0)).toSet
+    val absent = p.aliveIds.filterNot(present.contains)
+    updateIndex(spark, path, aliveDf, p.goneIds ++ absent,
+      newSeq = meta.updateSeq)
+    IndexStore.writeMeta(spark, path,
+      IndexStore.readMeta(spark, path).copy(purgeSeq = p.purgeSeq))
+    p.purgeSeq
+  }
+
   /** Materialize the REDUCED index — CouchDB's reduce-btree role: the
     * per-key aggregates of a reduced view, stored sorted by collation
     * key in the SAME bucket layout as the raw index (so both prune and
