@@ -3626,6 +3626,51 @@ object SparkEntry {
         col("doc_id"), col("text"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** E25: `_search` FIELD SORT + `include_docs`
+    * ([[graft.operators.TextSearch.searchPageSorted]]) — CouchDB's
+    * `sort: ["n_chars"]` search response: every page of the matched
+    * set (docs containing ANY query term — no scoring job at all, as
+    * Lucene skips BM25 for non-relevance sorts) walked to exhaustion
+    * in `(n_chars, doc_id)` keyset order with the full doc row
+    * attached, each resume a strictly-after cursor — no skipped
+    * prefix rescans, no OFFSET. */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    val pages = Iterator.iterate(
+        Option(TextSearch.searchPageSorted(s, path, searchTerms, 300,
+          docs, "doc_id", "n_chars", includeDocs = true))) {
+      case Some((_, Some(bm))) =>
+        Some(TextSearch.searchPageSorted(s, path, searchTerms, 300,
+          docs, "doc_id", "n_chars", bookmark = Some(bm),
+          includeDocs = true))
+      case _ => None
+    }.takeWhile(_.isDefined).map(_.get._1).toSeq
+    pages.zipWithIndex.map { case (p, i) =>
+      p.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("page", lit(i.toLong))
+    }.reduce(_ unionByName _).orderBy(col("doc_id"))
+  }
+
+  /** E26: `_search` `group_field` GROUPING ([[graft.operators
+    * .TextSearch.searchGrouped]]) — Clouseau's grouped search: the
+    * top 3 `lang` groups by best-hit relevance, each with its full
+    * match count and top 5 hits; the group cut is a TakeOrdered over
+    * the one-shuffle group aggregate, the per-group hits one window
+    * over only the surviving groups' rows. */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    TextSearch.searchGrouped(s, path, searchTerms, docs, "doc_id",
+      "lang", groupLimit = 3, limitPerGroup = 5)
+  }
+
   /** Shared scaffold of the purge-propagation gates (q242–q244): a
     * fresh q146-shaped store (rebuilt per run — purge mutates it) and
     * a lazy post/pre-purge live-winner id relation derived FROM the
@@ -5375,7 +5420,9 @@ object SparkEntry {
     "q241_dedup_best" -> (q241 _),
     "q242_purge_view_index" -> (q242 _),
     "q243_purge_mango_index" -> (q243 _),
-    "q244_purge_text_index" -> (q244 _)
+    "q244_purge_text_index" -> (q244 _),
+    "q245_search_sorted_docs" -> (q245 _),
+    "q246_search_grouped" -> (q246 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6262,6 +6309,44 @@ object SparkEntry {
          |SELECT doc_id, FLOOR((t0 + t1) * 10000 + 0.5) / 10000 AS score
          |FROM p WHERE t0 IS NOT NULL AND t1 IS NOT NULL
          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+    // field-sorted search pages == the match-any set in (n_chars,
+    // doc_id) keyset order, cut into pages of 300
+    "q245_search_sorted_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id FROM toks
+        |  WHERE list_contains(ws, 'hash') OR list_contains(ws, 'join')
+        |     OR list_contains(ws, 'stream')),
+        |o AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY d.n_chars, d.doc_id) - 1 AS rnk
+        |  FROM documents d JOIN m USING (doc_id)
+        |  WHERE d.n_chars IS NOT NULL)
+        |SELECT doc_id, lang, n_chars, CAST(FLOOR(rnk / 300) AS BIGINT) AS page
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // grouped search == the disjunctive BM25 relation grouped by lang:
+    // top-3 groups by best hit, 5 hits each, full per-group counts
+    "q246_search_grouped" ->
+      (bm25GroupCte +
+       """,
+         |gj AS (SELECT sc2.doc_id, sc2.score, d.lang AS grp
+         |       FROM sc2 JOIN documents d USING (doc_id)),
+         |gt AS (SELECT grp, MAX(score) AS best, COUNT(*) AS total_rows
+         |       FROM gj GROUP BY grp ORDER BY best DESC, grp LIMIT 3),
+         |gr AS (SELECT grp, total_rows,
+         |         ROW_NUMBER() OVER (ORDER BY best DESC, grp) AS group_rank
+         |       FROM gt),
+         |hits AS (SELECT gj.grp, gj.doc_id, gj.score,
+         |           ROW_NUMBER() OVER (PARTITION BY gj.grp
+         |             ORDER BY gj.score DESC, gj.doc_id) AS rn
+         |         FROM gj JOIN gr USING (grp))
+         |SELECT gr.group_rank, gr.grp AS "group", gr.total_rows,
+         |       hits.doc_id, hits.score
+         |FROM hits JOIN gr USING (grp) WHERE rn <= 5
+         |ORDER BY group_rank, score DESC, doc_id""".stripMargin),
     // Stored cluster labels == the full from-scratch closure (q58's
     // CTEs) extended to singletons (label = own id).
     "q68_cluster_labels" ->
@@ -9549,6 +9634,38 @@ object SparkEntry {
     * .bm25Weight]], per-term conditional aggregates added in
     * sorted-term order (hash < join < stream) before the shared
     * round-half-up — so both engines produce identical doubles. */
+  /** The [[bm25Oracle]] scoring CTEs reshaped to end at the full
+    * disjunctive relation `sc2(doc_id, score)` — the shared head of
+    * grouped-search oracles. */
+  private val bm25GroupCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+      |  WHERE term IN ('hash', 'join', 'stream')
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+      |p AS (
+      |  SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0) AS t0,
+      |    COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0) AS t1,
+      |    COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0) AS t2
+      |  FROM s GROUP BY doc_id),
+      |sc2 AS (
+      |  SELECT doc_id, FLOOR((t0 + t1 + t2) * 10000 + 0.5) / 10000 AS score
+      |  FROM p)""".stripMargin
+
   private val bm25Oracle: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -504,8 +504,14 @@ object TextSearch {
     * stable id tiebreak) with the opaque `bookmark` the endpoint
     * returns. Resume is Lucene's `searchAfter` discipline: page N+1
     * filters STRICTLY AFTER the last served `(score, doc_id)` — the
-    * skipped prefix is never rescanned, and pages already served
-    * stay stable under concurrent index maintenance. The cursor
+    * skipped prefix is never rescanned, and pages already served stay
+    * stable as long as the index GENERATION does not change between
+    * pages (each page rescored against the live index: an interleaved
+    * [[upsertTextDocs]] shifts BM25 scores and the cursor can then
+    * skip or duplicate rows — unlike Lucene's searchAfter, which pins
+    * a point-in-time searcher; walk-under-maintenance callers should
+    * compare the index update_seq across pages and restart the walk
+    * when it moved). The cursor
     * comparison is exact because every score here is the fixed-order
     * round4 BM25 fold (bit-deterministic across replays — a raw
     * float sum would make `score === cursor` engine-dependent).
@@ -547,6 +553,152 @@ object TextSearch {
         Double.box(page.last.getAs[Double]("score")),
         page.last.getAs[Any]("doc_id"))))
     (pageDf, next)
+  }
+
+  /** CouchDB `_search` with `sort: ["field"]` (Lucene field sort,
+    * CouchDB Search API): pages ordered by an INDEXED-field value
+    * instead of relevance, ascending or descending, with the same
+    * opaque-bookmark resume discipline as [[searchPage]] — the
+    * cursor pins the last served `(sort value, doc_id)` and page N+1
+    * filters STRICTLY after it, so the skipped prefix is never
+    * rescanned. The matched set is the bucket-pruned postings probe
+    * (docs containing ANY query term — no scoring job at all: a
+    * field sort does not pay BM25, exactly as Lucene skips scoring
+    * for non-relevance sorts); field values come from the caller's
+    * doc relation with only `(id, sort field)` projected — plus the
+    * full doc row when `includeDocs` (CouchDB's `include_docs=true`,
+    * one column-wider scan, same single join). Docs with a NULL sort
+    * value are excluded, as Lucene excludes docs missing the sort
+    * field's doc-values. Returns `(page, Some(bookmark))`, or
+    * `(page, None)` past the last row. */
+  def searchPageSorted(spark: SparkSession, path: String,
+                       queryTerms: Seq[String], pageSize: Int,
+                       docs: DataFrame, idCol: String, sortField: String,
+                       descending: Boolean = false,
+                       bookmark: Option[String] = None,
+                       includeDocs: Boolean = false)
+      : (DataFrame, Option[String]) = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    require(docs.columns.contains(sortField),
+      s"sort field '$sortField' is not a column of the doc relation " +
+        s"[${docs.columns.mkString(", ")}]")
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    val hits = readPruned(spark, path, "postings", terms, st.nBuckets)
+      .select(col("doc_id")).distinct()
+    val keepCols =
+      if (includeDocs) docs.columns.toSeq.filterNot(_ == idCol)
+      else Seq(sortField)
+    val base = docs.select(col(idCol).as("doc_id") +:
+      keepCols.map(c => col(c)): _*)
+    val matched = base.join(hits, Seq("doc_id"), "left_semi")
+      .filter(col(sortField).isNotNull)
+    val v = col(sortField)
+    val resumed = bookmark match {
+      case None => matched
+      case Some(bm) => Mango.decodeBookmark(bm) match {
+        case Seq(sv, d) =>
+          val strict =
+            if (descending) v < lit(sv) else v > lit(sv)
+          // the redundant non-strict conjunct is what parquet can push
+          // down (the OR shape itself is not a row-group predicate)
+          val loose = if (descending) v <= lit(sv) else v >= lit(sv)
+          matched.filter(loose &&
+            (strict || (v === lit(sv) && col("doc_id") > lit(d))))
+        case other => throw new IllegalArgumentException(
+          s"sorted-search bookmark must pin (sort value, doc_id); " +
+            s"got $other")
+      }
+    }
+    val ordered = resumed.orderBy(
+      if (descending) v.desc else v.asc, col("doc_id").asc)
+    val rows = ordered.limit(pageSize + 1).collect()
+    val page = rows.take(pageSize).toSeq
+    val pageDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(page, 1), ordered.schema)
+    val next =
+      if (rows.length <= pageSize) None
+      else Some(Mango.encodeBookmark(Seq(
+        page.last.getAs[Any](sortField), page.last.getAs[Any]("doc_id"))))
+    (pageDf, next)
+  }
+
+  /** [[searchPage]] with CouchDB's `include_docs=true`: the
+    * relevance-ordered page, each hit carrying its full doc row. The
+    * page is served first (bucket-pruned probe + one `limit(n+1)`
+    * TakeOrdered, exactly [[searchPage]]), THEN the bounded page
+    * joins the doc relation — broadcast on the page side, so the doc
+    * fetch is one hash-join pass whose build side is page-sized; over
+    * a `_b`-bucketed doc store the scan additionally prunes to the
+    * page ids' buckets. Returns the page in serve order (score DESC,
+    * doc_id ASC, re-asserted after the join) and the same bookmark
+    * [[searchPage]] would. */
+  def searchPageDocs(spark: SparkSession, path: String,
+                     queryTerms: Seq[String], pageSize: Int,
+                     docs: DataFrame, idCol: String,
+                     bookmark: Option[String] = None, k1: Double = 1.2,
+                     b: Double = 0.75): (DataFrame, Option[String]) = {
+    val (page, next) = searchPage(spark, path, queryTerms, pageSize,
+      bookmark, k1, b)
+    val withDocs = docs.select(col(idCol).as("doc_id") +:
+        docs.columns.filterNot(_ == idCol).map(c => col(c)): _*)
+      .join(broadcast(page), Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    (withDocs, next)
+  }
+
+  /** CouchDB `_search` with `group_field` (Clouseau's grouped
+    * search): hits grouped by a stored field's value, the top
+    * `groupLimit` groups ordered by their BEST hit's relevance, each
+    * group carrying its `total_rows` (every match in the group, not
+    * just the served ones) and its top `limitPerGroup` hits by
+    * `(score DESC, doc_id ASC)`. Scale shape: one scoring probe
+    * (bucket-pruned postings), one id-keyed join for the group
+    * values, ONE group aggregation whose top-`groupLimit` cut is a
+    * TakeOrdered (never a global sort), and one window PARTITIONED BY
+    * GROUP over only the surviving groups' rows (the group cut
+    * broadcasts — it is `groupLimit` rows by definition). A NULL
+    * group value forms its own group, as Lucene grouping does.
+    * Output: `(group_rank, group, total_rows, doc_id, score)` in
+    * (group_rank, score DESC, doc_id) order. */
+  def searchGrouped(spark: SparkSession, path: String,
+                    queryTerms: Seq[String], docs: DataFrame,
+                    idCol: String, groupField: String, groupLimit: Int,
+                    limitPerGroup: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupLimit > 0 && limitPerGroup > 0,
+      "groupLimit and limitPerGroup must be positive")
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val st = statsOf(spark, path)
+    val terms = st.analyzer.queryTerms(queryTerms)
+    val scored = sumInTermOrder(
+      bm25Partials(spark, path, terms, st, k1, b), terms)
+    val g = scored.join(
+      docs.select(col(idCol).as("doc_id"),
+        col(groupField).cast("string").as("group")),
+      Seq("doc_id"))
+    val gtop = g.groupBy(col("group"))
+      .agg(max(struct(col("score"), (-col("doc_id").cast("long"))
+          .as("_nd"))).as("_best"),
+        count(lit(1)).as("total_rows"))
+      .orderBy(col("_best.score").desc, col("group").asc_nulls_last)
+      .limit(groupLimit)
+    val ranked = gtop.withColumn("group_rank", row_number().over(
+      Window.orderBy(col("_best.score").desc,
+        col("group").asc_nulls_last)))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    g.join(broadcast(ranked), g("group") <=> ranked("group"))
+      .drop(ranked("group"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= limitPerGroup)
+      .select(col("group_rank").cast("long").as("group_rank"),
+        col("group"), col("total_rows"), col("doc_id"), col("score"))
+      .orderBy(col("group_rank"), col("score").desc, col("doc_id"))
   }
 
   /** CouchDB `_search` FACETING (`counts`, `ranges`, `drilldown` —
@@ -606,8 +758,22 @@ object TextSearch {
         TextQuery.parse(s"$f:$spec") match {
           case TextQuery.TRange(_, lo, hi, loInc, hiInc) =>
             val v = col(f).cast("double")
-            (if (loInc) v >= lo.toDouble else v > lo.toDouble) &&
-              (if (hiInc) v <= hi.toDouble else v < hi.toDouble)
+            // Lucene's `*` is an unbounded side (no predicate); a
+            // non-numeric bound fails LOUDLY naming the facet, never
+            // as a bare NumberFormatException
+            def bound(s: String, mk: Double => Column): Option[Column] =
+              if (s == "*") None
+              else try Some(mk(s.toDouble)) catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"range facet '$label': non-numeric bound '$s' in " +
+                      s"$spec (bounds must be numbers or *)")
+              }
+            val sides =
+              bound(lo, d => if (loInc) v >= d else v > d).toSeq ++
+                bound(hi, d => if (hiInc) v <= d else v < d)
+            // [* TO *]: every doc where the field exists numerically
+            if (sides.isEmpty) v.isNotNull else sides.reduce(_ && _)
           case other => throw new IllegalArgumentException(
             s"range facet '$label' must be a Lucene range ([a TO b] / " +
               s"{a TO b}), got: $spec")

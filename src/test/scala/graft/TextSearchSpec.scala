@@ -733,5 +733,104 @@ class TextSearchSpec extends SparkSpecBase {
       TextSearch.searchFacets(spark, path, Seq("hash"), tiny, "doc_id",
         ranges = Seq(("n", "bad", "oops")))
     }
+
+    // Lucene open-ended ranges: * is an unbounded side, [* TO *] means
+    // "field exists"; a non-numeric bound names the facet, never a
+    // bare NumberFormatException
+    val open = TextSearch.searchFacets(spark, path, Seq("hash", "join"),
+        tiny, "doc_id",
+        ranges = Seq(("n", "ge200", "[200 TO *]"),
+          ("n", "lt200", "[* TO 199]"), ("n", "any", "[* TO *]")))
+      .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+    assert(open == Map("ge200" -> 3L, "lt200" -> 2L, "any" -> 5L),
+      s"open-ended ranges wrong: $open")
+    val err = intercept[IllegalArgumentException] {
+      TextSearch.searchFacets(spark, path, Seq("hash"), tiny, "doc_id",
+        ranges = Seq(("n", "bad", "[abc TO 5]")))
+    }
+    assert(err.getMessage.contains("bad") && err.getMessage.contains("abc"))
+  }
+
+  test("searchPageSorted: keyset pages in field order, include_docs, null sort excluded") {
+    val tiny = Seq(
+      (1L, "hash join", "en", Some(100L)), (2L, "hash scan", "en", Some(250L)),
+      (3L, "hash hash", "de", Some(400L)), (4L, "join join", "fr", Some(50L)),
+      (5L, "nothing here", "en", Some(999L)), (6L, "hash", "de", Some(250L)),
+      (7L, "join", "en", Option.empty[Long]))
+      .toDF("doc_id", "text", "lang", "n")
+    val path = Files.createTempDirectory("graft-srt").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+    // matched: 1,2,3,4,6 (5 matches nothing, 7's sort value is null)
+    var bm: Option[String] = None
+    var walked = Seq.empty[(Long, Long, String)]
+    var done = false
+    while (!done) {
+      val (p, next) = TextSearch.searchPageSorted(spark, path,
+        Seq("hash", "join"), 2, tiny, "doc_id", "n", bookmark = bm,
+        includeDocs = true)
+      assert(p.columns.toSet == Set("doc_id", "text", "lang", "n"),
+        "include_docs must carry the full doc row")
+      walked ++= p.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n"),
+          r.getAs[String]("lang")))
+      bm = next; done = next.isEmpty
+    }
+    assert(walked == Seq((4L, 50L, "fr"), (1L, 100L, "en"),
+      (2L, 250L, "en"), (6L, 250L, "de"), (3L, 400L, "de")),
+      s"sorted walk wrong: $walked")
+    // descending flips the order, same set
+    val (d1, _) = TextSearch.searchPageSorted(spark, path,
+      Seq("hash", "join"), 10, tiny, "doc_id", "n", descending = true)
+    assert(d1.select("doc_id").as[Long].collect().toSeq ==
+      Seq(3L, 2L, 6L, 1L, 4L))
+    // a missing sort field and a bad bookmark fail loudly
+    intercept[IllegalArgumentException] {
+      TextSearch.searchPageSorted(spark, path, Seq("hash"), 5, tiny,
+        "doc_id", "nope")
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.searchPageSorted(spark, path, Seq("hash"), 5, tiny,
+        "doc_id", "n", bookmark = Some("notacursor"))
+    }
+  }
+
+  test("searchPageDocs: relevance pages carry doc rows in serve order") {
+    val path = Files.createTempDirectory("graft-pgd").toString + "/idx"
+    TextSearch.buildTextIndex(docs, $"doc_id", $"text", path, nBuckets = 16)
+    val (bare, nb) = TextSearch.searchPage(spark, path,
+      Seq("hash", "join"), 25)
+    val (rich, nr) = TextSearch.searchPageDocs(spark, path,
+      Seq("hash", "join"), 25, docs, "doc_id")
+    assert(nb == nr, "bookmark must be the plain searchPage's")
+    val b = bare.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r = rich.select("doc_id", "score").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(b == r, "joined page must keep serve order and scores")
+    assert(rich.columns.contains("lang") && rich.columns.contains("text"))
+  }
+
+  test("searchGrouped: top groups by best hit, per-group counts and hit cut") {
+    val tiny = Seq(
+      (1L, "hash hash hash hash", "en"),   // en's best (high tf)
+      (2L, "hash", "en"),
+      (3L, "hash hash", "de"),
+      (4L, "hash filler filler", "de"),
+      (5L, "hash hash hash", "fr"),
+      (6L, "nothing", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val path = Files.createTempDirectory("graft-grp").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+    val got = TextSearch.searchGrouped(spark, path, Seq("hash"), tiny,
+        "doc_id", "lang", groupLimit = 2, limitPerGroup = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // groups ranked by best hit: en (doc 1, tf 4) then fr (doc 5, tf 3);
+    // de's best (tf 2) is cut by groupLimit=2; one hit each, full counts
+    assert(got.map(x => (x._1, x._2, x._3, x._4)) ==
+      Seq((1L, "en", 2L, 1L), (2L, "fr", 1L, 5L)),
+      s"grouped result wrong: $got")
+    val all = TextSearch.searchGrouped(spark, path, Seq("hash"), tiny,
+        "doc_id", "lang", groupLimit = 10, limitPerGroup = 10)
+    assert(all.count() == 5, "doc 6 matches nothing; others all serve")
   }
 }
