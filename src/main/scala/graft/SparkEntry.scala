@@ -3626,6 +3626,124 @@ object SparkEntry {
         col("doc_id"), col("text"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** A46: `doc_ids`-FILTERED replication ([[graft.operators
+    * .Replication.replicateDocIdsOnce]]) — CouchDB's `_replicate`
+    * with a `doc_ids` body over the q186 scenario: only the listed
+    * ids (`doc_id % 11 == 0`, pushed into the feed read as a literal
+    * IN) merge their trees; every other doc keeps the target's
+    * ORIGINAL leaves. The checkpoint id hashes the canonical list
+    * ([[graft.operators.Replication.docIdsRepId]]); after
+    * checkpointing the scanned feed, a second round pushes NOTHING —
+    * pinned by the constant `round2_pushed` column the oracle states
+    * as 0. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val feed = q186Feed(s, dir)
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val repId = s"gate-docids-$runTag"
+    val ids = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val r1 = Replication.replicateDocIdsOnce(s, feed, repId, ids,
+      q186Source(s, dir), q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+    graft.sources.ChangesFeed.checkpointAfter(s, feed,
+      Replication.docIdsRepId(repId, ids), r1.scanned)
+    val r2 = Replication.replicateDocIdsOnce(s, feed, repId, ids,
+      q186Source(s, dir), q186Target(s, dir), col("id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"))
+    r1.targetLeaves.select(col("id").as("doc_id"),
+        concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
+          .as("rev"),
+        col("deleted"),
+        concat_ws(",", col("ancestors")).as("ancestors"))
+      .withColumn("round2_pushed", lit(r2.pushed.count()))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
+  /** A44: `GET /_scheduler/jobs` ([[graft.operators.Replication
+    * .schedulerJobs]]) — the replication monitor's poll: runtime
+    * state per `_replicator` doc WITHOUT running a round (one
+    * checkpoint stat + one feed tail-bucket read + one target-meta
+    * stat per job). Polled BEFORE the sweep (no checkpoint: pending =
+    * the whole feed, state `pending`) and AFTER it (checkpoint at the
+    * high-water mark, zero pending, state `idle`, target update_seq
+    * advanced by its one sync batch); the q186 feed's seqs are the
+    * doc ids, so every field is analytic in the oracle. */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val feed = q186Feed(s, dir)
+    val docs = t(s, dir, "documents")
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val pa = idxPath("q247a", dir, "documents")
+    val pb = idxPath("q247b", dir, "documents")
+    Seq(pa, pb).foreach { p =>
+      graft.view.IndexStore.fsFor(s, p)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      Replication.createTarget(s, p, q186Target(s, dir), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 8)
+    }
+    val sel = """{"lang": {"$in": ["en", "de"]}}"""
+    val rdocs = Seq(
+      Replication.ReplicatorDoc(s"full-$runTag", feed,
+        q186Source(s, dir), pa),
+      Replication.ReplicatorDoc(s"filt-$runTag", feed,
+        q186Source(s, dir), pb, selector = Some((docs, "doc_id", sel))))
+    def shape(df: DataFrame, phase: String): DataFrame =
+      df.select(lit(phase).as("phase"),
+        split_part(col("doc_id"), lit("-"), lit(1)).as("job"),
+        col("checkpointed_source_seq"), col("source_seq"),
+        col("changes_pending"), col("state"), col("target_update_seq"))
+    // schedulerJobs materializes its stats eagerly (driver rows), so
+    // the sweep below cannot retroactively move this snapshot
+    val before = shape(Replication.schedulerJobs(s, rdocs), "before")
+    Replication.runReplicatorDocs(s, rdocs, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"))
+    val after = shape(Replication.schedulerJobs(s, rdocs), "after")
+    before.unionByName(after).orderBy(col("phase"), col("job"))
+  }
+
+  /** A45: `GET /_active_tasks` ([[graft.operators.Replication
+    * .activeTasks]]) — the q247 replication jobs after their sweep
+    * (through == source, progress 100) beside an `indexer` task: a
+    * materialized view stamped at update_seq 100 against the q186
+    * feed, reporting `last_seq - 100` pending and the integer-percent
+    * progress `100·100/last_seq` — every figure one meta/tail stat,
+    * replayed analytically by the oracle. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val feed = q186Feed(s, dir)
+    val docs = t(s, dir, "documents")
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val pa = idxPath("q248a", dir, "documents")
+    val pb = idxPath("q248b", dir, "documents")
+    Seq(pa, pb).foreach { p =>
+      graft.view.IndexStore.fsFor(s, p)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      Replication.createTarget(s, p, q186Target(s, dir), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 8)
+    }
+    val sel = """{"lang": {"$in": ["en", "de"]}}"""
+    val rdocs = Seq(
+      Replication.ReplicatorDoc(s"full-$runTag", feed,
+        q186Source(s, dir), pa),
+      Replication.ReplicatorDoc(s"filt-$runTag", feed,
+        q186Source(s, dir), pb, selector = Some((docs, "doc_id", sel))))
+    Replication.runReplicatorDocs(s, rdocs, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"))
+    val vx = idxPath("q248vx", dir, "documents")
+    if (!graft.view.IndexStore.exists(s, vx))
+      View(docs, col("doc_id"), col("lang"), lit(1L))
+        .materialize(vx, numBuckets = 4, seq = 100L)
+    Replication.activeTasks(s, rdocs, indexers = Seq(("idx", vx, feed)))
+      .select(col("type"),
+        split_part(col("task_id"), lit("-"), lit(1)).as("task_id"),
+        col("through_seq"), col("source_seq"), col("changes_pending"),
+        col("progress"))
+      .orderBy(col("type"), col("task_id"))
+  }
+
   /** E25: `_search` FIELD SORT + `include_docs`
     * ([[graft.operators.TextSearch.searchPageSorted]]) — CouchDB's
     * `sort: ["n_chars"]` search response: every page of the matched
@@ -5422,7 +5540,10 @@ object SparkEntry {
     "q243_purge_mango_index" -> (q243 _),
     "q244_purge_text_index" -> (q244 _),
     "q245_search_sorted_docs" -> (q245 _),
-    "q246_search_grouped" -> (q246 _)
+    "q246_search_grouped" -> (q246 _),
+    "q247_scheduler_jobs" -> (q247 _),
+    "q248_active_tasks" -> (q248 _),
+    "q249_docids_replication" -> (q249 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6327,6 +6448,69 @@ object SparkEntry {
         |  WHERE d.n_chars IS NOT NULL)
         |SELECT doc_id, lang, n_chars, CAST(FLOOR(rnk / 300) AS BIGINT) AS page
         |FROM o ORDER BY doc_id""".stripMargin,
+    // doc_ids replication: listed ids (%11) take the merged tree,
+    // everything else keeps the target's original leaves; the second
+    // round pushes nothing (round2_pushed = 0)
+    "q249_docids_replication" ->
+      (replicationExpCte +
+        """,
+          |m AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+          |keep AS (
+          |  SELECT doc_id, '1-' || md5(doc_id::VARCHAR || ':1:m') AS rev,
+          |         false AS deleted, '' AS ancestors
+          |  FROM documents WHERE doc_id % 5 IN (0, 4)
+          |  UNION ALL
+          |  SELECT doc_id, '2-' || md5(doc_id::VARCHAR || ':2:t'), false,
+          |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+          |  FROM documents WHERE doc_id % 5 = 1
+          |  UNION ALL
+          |  SELECT doc_id, '3-' || md5(doc_id::VARCHAR || ':3:m'), false,
+          |         '2-' || md5(doc_id::VARCHAR || ':2:m') || ',' ||
+          |         '1-' || md5(doc_id::VARCHAR || ':1:m')
+          |  FROM documents WHERE doc_id % 5 = 2)
+          |SELECT doc_id, rev, deleted, ancestors,
+          |       CAST(0 AS BIGINT) AS round2_pushed FROM exp
+          |WHERE doc_id IN (SELECT doc_id FROM m)
+          |UNION ALL
+          |SELECT doc_id, rev, deleted, ancestors, CAST(0 AS BIGINT)
+          |FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM m)
+          |ORDER BY doc_id, rev""".stripMargin),
+    // scheduler-jobs poll: q186's feed seqs ARE the doc ids, so the
+    // before/after states are fully analytic (m = max doc_id)
+    "q247_scheduler_jobs" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'before' AS phase, 'filt' AS job,
+        |    CAST(0 AS BIGINT) AS checkpointed_source_seq,
+        |    m AS source_seq, m AS changes_pending,
+        |    'pending' AS state, CAST(0 AS BIGINT) AS target_update_seq
+        |  FROM mx
+        |  UNION ALL
+        |  SELECT 'before', 'full', CAST(0 AS BIGINT), m, m, 'pending',
+        |    CAST(0 AS BIGINT) FROM mx
+        |  UNION ALL
+        |  SELECT 'after', 'filt', m, m, CAST(0 AS BIGINT), 'idle',
+        |    CAST(1 AS BIGINT) FROM mx
+        |  UNION ALL
+        |  SELECT 'after', 'full', m, m, CAST(0 AS BIGINT), 'idle',
+        |    CAST(1 AS BIGINT) FROM mx)
+        |ORDER BY phase, job""".stripMargin,
+    // active tasks: both replications at the high-water mark, the
+    // indexer 100 seqs in with the integer-percent progress
+    "q248_active_tasks" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'indexer' AS type, 'idx' AS task_id,
+        |    CAST(100 AS BIGINT) AS through_seq, m AS source_seq,
+        |    m - 100 AS changes_pending,
+        |    CAST(FLOOR(10000.0 / m) AS BIGINT) AS progress FROM mx
+        |  UNION ALL
+        |  SELECT 'replication', 'filt', m, m, CAST(0 AS BIGINT),
+        |    CAST(100 AS BIGINT) FROM mx
+        |  UNION ALL
+        |  SELECT 'replication', 'full', m, m, CAST(0 AS BIGINT),
+        |    CAST(100 AS BIGINT) FROM mx)
+        |ORDER BY type, task_id""".stripMargin,
     // grouped search == the disjunctive BM25 relation grouped by lang:
     // top-3 groups by best hit, 5 hits each, full per-group counts
     "q246_search_grouped" ->

@@ -279,6 +279,46 @@ object Replication {
     FilteredRound(round, feed, scanned)
   }
 
+  /** The effective checkpoint id of a `doc_ids`-filtered replication:
+    * the list is canonicalized (stringified, distinct, sorted) and
+    * hashed into the replication id exactly like a selector
+    * ([[filteredRepId]]) — CouchDB derives the replication id from
+    * the `doc_ids` option, so an EDITED list restarts from seq 0
+    * instead of silently skipping history the old list rejected. */
+  def docIdsRepId(repId: String, ids: Seq[Any]): String =
+    filteredRepId(repId,
+      ids.map(String.valueOf).distinct.sorted.mkString("[", ",", "]"))
+
+  /** One `doc_ids`-filtered pull replication round — CouchDB's
+    * `_replicate` with a `doc_ids` body: only the LISTED ids' changes
+    * replicate; every other doc's tree on the target stays untouched.
+    * Identical protocol to [[replicateFilteredOnce]] with the id list
+    * as the cut: the listed ids push into the pruned feed read as a
+    * LITERAL `IN` (directory + row-group pruning — a 5-id watch over
+    * a billion-row log reads almost nothing), and unlike a content
+    * selector the filter is keyed on the STABLE id, so deletions of
+    * listed docs propagate (no known-body caveat) and advancing the
+    * checkpoint past unlisted changes loses nothing — an edited list
+    * restarts via [[docIdsRepId]]. Checkpoint on `scanned`
+    * ([[FilteredRound]]), as every filtered round does. */
+  def replicateDocIdsOnce(spark: SparkSession, feedPath: String,
+                          repId: String, docIds: Seq[Any],
+                          source: DataFrame, target: DataFrame,
+                          id: Column, revPos: Column, revHash: Column,
+                          deleted: Column,
+                          ancestors: Column): FilteredRound = {
+    require(docIds.nonEmpty, "replicateDocIdsOnce: empty doc_ids (use " +
+      "replicateOnce for an unfiltered round)")
+    val effId = docIdsRepId(repId, docIds)
+    val sinceSeq = ChangesFeed.readCheckpoint(spark, feedPath, effId)
+    val scanned = ChangesFeed.sinceStyleAllDocs(spark, feedPath, sinceSeq,
+      source, id, revPos, revHash, deleted)
+    val feed = scanned.filter(col("id").isin(docIds: _*))
+    val round = applyFeed(spark, feed, source, target, id, revPos,
+      revHash, deleted, ancestors)
+    FilteredRound(round, feed, scanned)
+  }
+
   /** The shared tail of a pull round: feed batch (style=all_docs
     * rows) → ancestor-aware `_revs_diff` → `_bulk_get` → `_bulk_docs
     * new_edits=false`. Factored so the filtered and unfiltered rounds
@@ -604,7 +644,13 @@ object Replication {
                                  source: DataFrame, targetPath: String,
                                  selector: Option[(DataFrame, String,
                                    String)] = None,
-                                 numBuckets: Int = 0)
+                                 numBuckets: Int = 0,
+                                 /** CouchDB's `doc_ids` option:
+                                   * non-empty restricts the job to the
+                                   * listed ids (mutually exclusive
+                                   * with `selector`, as the endpoint
+                                   * rejects both together). */
+                                 docIds: Seq[Any] = Nil)
 
   /** CouchDB's `_replicator` scheduler, one SWEEP: run one
     * checkpointed, delta-bounded round per replication document and
@@ -630,15 +676,19 @@ object Replication {
     require(docs.nonEmpty, "runReplicatorDocs: at least one doc")
     require(docs.map(_.docId).distinct.size == docs.size,
       "runReplicatorDocs: duplicate _replicator doc ids")
+    require(docs.forall(d => d.selector.isEmpty || d.docIds.isEmpty),
+      "runReplicatorDocs: selector and doc_ids are mutually exclusive " +
+        "(CouchDB's _replicate rejects both together)")
     val rows = docs.map { d =>
       try {
-        val effId = d.selector match {
-          case Some((_, _, sel)) => filteredRepId(d.docId, sel)
-          case None => d.docId
-        }
+        val effId = effectiveRepId(d)
         val since = ChangesFeed.readCheckpoint(spark, d.feedPath, effId)
         val scanned = ChangesFeed.since(spark, d.feedPath, since)
         val ids = (d.selector match {
+          case None if d.docIds.nonEmpty =>
+            // the id list cuts the scan as a LITERAL pushed filter
+            scanned.select(col("id"))
+              .filter(col("id").isin(d.docIds: _*))
           case None => scanned.select(col("id"))
           case Some((docsRel, docIdCol, sel)) =>
             val pred = Mango.compile(Mango.parseSelector(sel),
@@ -665,6 +715,104 @@ object Replication {
     import spark.implicits._
     rows.toDF("doc_id", "state", "changes_scanned", "docs_synced",
       "buckets_touched", "last_seq", "error")
+  }
+
+  /** One checkpoint identity rule for the whole scheduler surface:
+    * plain docs checkpoint under their own id, selector docs hash the
+    * selector in ([[filteredRepId]]), `doc_ids` docs hash the
+    * canonical list in ([[docIdsRepId]]) — the sweep, the jobs poll,
+    * and the active-tasks report all read the same `_local` doc. */
+  private def effectiveRepId(d: ReplicatorDoc): String =
+    d.selector match {
+      case Some((_, _, sel)) => filteredRepId(d.docId, sel)
+      case None if d.docIds.nonEmpty => docIdsRepId(d.docId, d.docIds)
+      case None => d.docId
+    }
+
+  /** CouchDB's `GET /_scheduler/jobs` — the RUNTIME state of each
+    * `_replicator` document WITHOUT running a round (the poll a
+    * replication monitor actually issues; [[runReplicatorDocs]] is
+    * the sweep and answers `/_scheduler/docs`). Per doc: the
+    * `_local` checkpoint (a selector doc hashes its filter into the
+    * checkpoint id — the [[filteredRepId]] rule, so this reads the
+    * SAME checkpoint the sweep writes), the feed's `last_seq`
+    * high-water mark ([[ChangesFeed.lastSeq]] — one tail-bucket
+    * read, never a feed scan), and CouchDB's `changes_pending`
+    * estimate `last_seq - checkpointed` (never negative; a missing
+    * checkpoint reports 0, the endpoint's "never started" shape).
+    * `state` is `"pending"` while changes wait, `"idle"` at the
+    * high-water mark. Cost per job: one checkpoint stat + one
+    * tail-bucket read + one target-meta stat, whatever the feed's
+    * or target's size — the `_db_updates` (A41) discipline. One
+    * driver-sized row per doc, like every admin endpoint. */
+  def schedulerJobs(spark: SparkSession,
+                    docs: Seq[ReplicatorDoc]): DataFrame = {
+    require(docs.nonEmpty, "schedulerJobs: at least one doc")
+    require(docs.map(_.docId).distinct.size == docs.size,
+      "schedulerJobs: duplicate _replicator doc ids")
+    val rows = docs.map { d =>
+      val effId = effectiveRepId(d)
+      val cp = math.max(
+        ChangesFeed.readCheckpoint(spark, d.feedPath, effId), 0L)
+      val last = math.max(ChangesFeed.lastSeq(spark, d.feedPath), 0L)
+      val pending = math.max(last - cp, 0L)
+      val tseq =
+        if (targetExists(spark, d.targetPath))
+          IndexStore.readMeta(spark, d.targetPath).updateSeq
+        else -1L
+      (d.docId, cp, last, pending,
+        if (pending > 0) "pending" else "idle", tseq)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "checkpointed_source_seq", "source_seq",
+      "changes_pending", "state", "target_update_seq")
+  }
+
+  /** CouchDB's `GET /_active_tasks` over this engine's long-running
+    * work: `replication` rows (the [[schedulerJobs]] state re-shaped
+    * into the task vocabulary) and `indexer` rows (a secondary
+    * index's `update_seq` vs its feed's `last_seq` — the view/Mango/
+    * text/ANN maintainers all stamp the same IndexStore meta, so one
+    * `(name, indexPath, feedPath)` triple describes any of them).
+    * `progress` is CouchDB's integer percent
+    * `100 * through_seq / source_seq` (100 for an empty feed —
+    * nothing left to do). Same per-row cost discipline as
+    * [[schedulerJobs]]: stats and tail-bucket reads only. */
+  def activeTasks(spark: SparkSession,
+                  repDocs: Seq[ReplicatorDoc] = Nil,
+                  indexers: Seq[(String, String, String)] = Nil)
+      : DataFrame = {
+    require(repDocs.nonEmpty || indexers.nonEmpty,
+      "activeTasks: at least one replication doc or indexer")
+    def progress(through: Long, last: Long): Long =
+      if (last <= 0L) 100L else math.min(100L * through / last, 100L)
+    val rep =
+      if (repDocs.isEmpty) Nil
+      else Seq(schedulerJobs(spark, repDocs).select(
+        lit("replication").as("type"), col("doc_id").as("task_id"),
+        col("checkpointed_source_seq").as("through_seq"),
+        col("source_seq"), col("changes_pending"),
+        when(col("source_seq") <= 0L, 100L)
+          .otherwise(least(floor(col("checkpointed_source_seq") * 100L /
+              col("source_seq")).cast("long"),
+            lit(100L))).as("progress")))
+    val idx = indexers.map { case (name, indexPath, feedPath) =>
+      val through = IndexStore.readMeta(spark, indexPath).updateSeq
+      val last = math.max(ChangesFeed.lastSeq(spark, feedPath), 0L)
+      (name, through, last, math.max(last - through, 0L),
+        progress(through, last))
+    }
+    val idxDf =
+      if (idx.isEmpty) Nil
+      else {
+        import spark.implicits._
+        Seq(idx.toDF("task_id", "through_seq", "source_seq",
+            "changes_pending", "progress")
+          .select(lit("indexer").as("type"), col("task_id"),
+            col("through_seq"), col("source_seq"),
+            col("changes_pending"), col("progress")))
+      }
+    (rep ++ idxDf).reduce(_ unionByName _)
   }
 
   /** [[bulkDocs]] behind CouchDB's `validate_doc_update` gatekeeper:

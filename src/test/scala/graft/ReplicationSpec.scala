@@ -335,6 +335,119 @@ class ReplicationSpec extends SparkSpecBase {
     assert(leafSet(r3.targetLeaves).contains(("d5", "2-dd", true)))
   }
 
+  test("replicateDocIdsOnce: listed ids only, deletes DO travel, edited list restarts") {
+    val source = leavesDf(Seq(
+      ("d1", 2L, "bb", false, Seq("1-aa")),
+      ("d2", 2L, "zz", false, Seq("1-kk")),
+      ("d4", 1L, "nn", false, Seq.empty),
+      ("d5", 2L, "dd", true, Seq("1-ee"))))   // a DELETE of a listed id
+    val target = leavesDf(Seq(
+      ("d1", 1L, "aa", false, Seq.empty),
+      ("d2", 2L, "mm", false, Seq("1-kk")),
+      ("d5", 1L, "ee", false, Seq.empty)))
+    val dir = java.nio.file.Files.createTempDirectory("repl-di").toString
+    val feedPath = s"$dir/feed"
+    ChangesFeed.write(Seq(
+      (1L, "d1", "2-bb", false), (2L, "d2", "2-zz", false),
+      (3L, "d4", "1-nn", false), (4L, "d5", "2-dd", true))
+      .toDF("seq", "id", "rev", "deleted"), feedPath, width = 4)
+    val ids = Seq("d1", "d5")
+    val r = Replication.replicateDocIdsOnce(spark, feedPath, "rd", ids,
+      source, target, cols._1, cols._2, cols._3, cols._4, cols._5)
+    assert(r.scanned.count() == 4 && r.pushed.count() == 2)
+    // d1 extends, d5's TOMBSTONE travels (no known-body caveat — the
+    // cut is id-keyed, unlike a content selector), d2/d4 untouched
+    assert(leafSet(r.targetLeaves) == Set(
+      ("d1", "2-bb", false), ("d2", "2-mm", false),
+      ("d5", "2-dd", true)))
+    // checkpoint past the whole scanned region; second round scans 0
+    val effId = Replication.docIdsRepId("rd", ids)
+    assert(effId == Replication.docIdsRepId("rd", Seq("d5", "d1", "d1")),
+      "the list canonicalizes (sorted, distinct) before hashing")
+    assert(effId != Replication.docIdsRepId("rd", Seq("d1", "d2")))
+    ChangesFeed.checkpointAfter(spark, feedPath, effId, r.scanned)
+    val r2 = Replication.replicateDocIdsOnce(spark, feedPath, "rd", ids,
+      source, r.targetLeaves, cols._1, cols._2, cols._3, cols._4,
+      cols._5)
+    assert(r2.scanned.count() == 0 && r2.pushed.count() == 0)
+    // an EDITED list keys its own checkpoint: full re-scan, d2 travels
+    val r3 = Replication.replicateDocIdsOnce(spark, feedPath, "rd",
+      Seq("d2"), source, target, cols._1, cols._2, cols._3, cols._4,
+      cols._5)
+    assert(r3.scanned.count() == 4 && r3.pushed.count() == 1)
+    assert(leafSet(r3.targetLeaves).contains(("d2", "2-zz", false)))
+    intercept[IllegalArgumentException] {
+      Replication.replicateDocIdsOnce(spark, feedPath, "rd", Nil,
+        source, target, cols._1, cols._2, cols._3, cols._4, cols._5)
+    }
+  }
+
+  test("ReplicatorDoc doc_ids: sweep syncs only listed ids; selector+doc_ids rejected") {
+    val source = leavesDf(Seq(
+      ("d1", 2L, "bb", false, Seq("1-aa")),
+      ("d2", 2L, "zz", false, Seq("1-kk")),
+      ("d4", 1L, "nn", false, Seq.empty)))
+    val dir = java.nio.file.Files.createTempDirectory("repl-dd").toString
+    val feedPath = s"$dir/feed"
+    ChangesFeed.write(Seq(
+      (1L, "d1", "2-bb", false), (2L, "d2", "2-zz", false),
+      (3L, "d4", "1-nn", false))
+      .toDF("seq", "id", "rev", "deleted"), feedPath, width = 4)
+    val tgt = s"$dir/tgt"
+    val sched = Replication.runReplicatorDocs(spark, Seq(
+        Replication.ReplicatorDoc("j1", feedPath, source, tgt,
+          numBuckets = 2, docIds = Seq("d1", "d4"))),
+      cols._1, cols._2, cols._3, cols._4, cols._5)
+    assert(sched.head().getString(1) == "completed")
+    val stored = Replication.openTarget(spark, tgt)
+      .select(col("id")).as[String].collect().toSet
+    assert(stored == Set("d1", "d4"), s"only listed ids sync: $stored")
+    // a second sweep is a checkpointed no-op
+    val again = Replication.runReplicatorDocs(spark, Seq(
+        Replication.ReplicatorDoc("j1", feedPath, source, tgt,
+          numBuckets = 2, docIds = Seq("d1", "d4"))),
+      cols._1, cols._2, cols._3, cols._4, cols._5).head()
+    assert(again.getLong(2) == 0L, "second sweep must scan nothing")
+    val docs = Seq(("d1", "x")).toDF("id", "kind")
+    intercept[IllegalArgumentException] {
+      Replication.runReplicatorDocs(spark, Seq(
+          Replication.ReplicatorDoc("j2", feedPath, source, tgt,
+            selector = Some((docs, "id", """{"kind": "x"}""")),
+            docIds = Seq("d1"))),
+        cols._1, cols._2, cols._3, cols._4, cols._5)
+    }
+  }
+
+  test("schedulerJobs + activeTasks: poll-only state, one stat per job") {
+    val source = leavesDf(Seq(
+      ("d1", 2L, "bb", false, Seq("1-aa")),
+      ("d2", 2L, "zz", false, Seq("1-kk"))))
+    val dir = java.nio.file.Files.createTempDirectory("repl-sj").toString
+    val feedPath = s"$dir/feed"
+    ChangesFeed.write(Seq(
+      (3L, "d1", "2-bb", false), (7L, "d2", "2-zz", false))
+      .toDF("seq", "id", "rev", "deleted"), feedPath, width = 4)
+    val tgt = s"$dir/tgt"
+    val rd = Seq(Replication.ReplicatorDoc("job", feedPath, source, tgt,
+      numBuckets = 2))
+    val before = Replication.schedulerJobs(spark, rd).head()
+    assert(before.getLong(1) == 0L && before.getLong(2) == 7L &&
+      before.getLong(3) == 7L && before.getString(4) == "pending" &&
+      before.getLong(5) == -1L,
+      s"pre-sweep job state wrong: $before")
+    Replication.runReplicatorDocs(spark, rd, cols._1, cols._2, cols._3,
+      cols._4, cols._5)
+    val after = Replication.schedulerJobs(spark, rd).head()
+    assert(after.getLong(1) == 7L && after.getLong(3) == 0L &&
+      after.getString(4) == "idle" && after.getLong(5) >= 0L)
+    val tasks = Replication.activeTasks(spark, rd).head()
+    assert(tasks.getString(0) == "replication" &&
+      tasks.getLong(5) == 100L)
+    intercept[IllegalArgumentException] {
+      Replication.activeTasks(spark)
+    }
+  }
+
   test("sync: one bidirectional round leaves both sides the mergeReplicas answer") {
     val a = leavesDf(Seq(
       ("d1", 2L, "bb", false, Seq("1-aa")),   // ahead of b
