@@ -3626,6 +3626,40 @@ object SparkEntry {
         col("doc_id"), col("text"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** E27: C4/Dolma LINE-LEVEL quality rules ([[graft.operators.Text
+    * .lineSignals]] + the [[graft.operators.Text.qualityFilter]] line
+    * thresholds) — multi-line text synthesized from each doc's tokens
+    * (5-word lines; every 3rd line terminal-punctuated, every 11th
+    * trailing-ellipsis, every 5th bulleted, (doc_id+i)%7 all-caps),
+    * then the exact integer line counts AND the threshold verdicts
+    * (C4 §2.2 terminal-punct minimum; Dolma/Gopher caps on all-caps,
+    * bullet, ellipsis lines) — one higher-order-column pass, no
+    * explode, replayed line-for-line in DuckDB. */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Text
+    val w = 5
+    val ws = Text.tokens(col("text"))
+    val mk = transform(
+      sequence(lit(0), ceil(size(ws) / lit(w.toDouble)).cast("int") - 1),
+      i => {
+        val base = array_join(slice(ws, i * w + 1, lit(w)), " ")
+        val b = when(i % 5 === 0, concat(lit("- "), base)).otherwise(base)
+        val u = when((col("doc_id") + i) % 7 === 0, upper(b)).otherwise(b)
+        when(i % 3 === 0, concat(u, lit(".")))
+          .when(i % 11 === 0, concat(u, lit("...")))
+          .otherwise(u)
+      })
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(size(ws) > 0, array_join(mk, "\n")).otherwise(lit(""))
+        .as("_mltext"))
+    val sig = Text.lineSignals(docs, col("doc_id"), col("_mltext"))
+    val verdict = Text.qualityFilter(docs, col("doc_id"), col("_mltext"),
+      minTokens = 0, minQuality = 0.0,
+      minTermPunctFrac = 0.4, maxUpperLineFrac = 0.1,
+      maxBulletLineFrac = 0.25, maxEllipsisLineFrac = 0.05)
+    sig.join(verdict, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** A46: `doc_ids`-FILTERED replication ([[graft.operators
     * .Replication.replicateDocIdsOnce]]) — CouchDB's `_replicate`
     * with a `doc_ids` body over the q186 scenario: only the listed
@@ -5543,7 +5577,8 @@ object SparkEntry {
     "q246_search_grouped" -> (q246 _),
     "q247_scheduler_jobs" -> (q247 _),
     "q248_active_tasks" -> (q248 _),
-    "q249_docids_replication" -> (q249 _)
+    "q249_docids_replication" -> (q249 _),
+    "q250_line_quality" -> (q250 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6448,6 +6483,66 @@ object SparkEntry {
         |  WHERE d.n_chars IS NOT NULL)
         |SELECT doc_id, lang, n_chars, CAST(FLOOR(rnk / 300) AS BIGINT) AS page
         |FROM o ORDER BY doc_id""".stripMargin,
+    // line-level quality: replay the 5-word-line synthesis + the four
+    // C4/Dolma line rules (counts exact, thresholds the same IEEE
+    // products)
+    "q250_line_quality" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x != '') AS ws
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, u.i AS i,
+        |         array_to_string(ws[(u.i*5)+1:(u.i*5)+5], ' ') AS base
+        |  FROM words, LATERAL (SELECT unnest(range(0,
+        |         CAST(ceil(len(ws)/5.0) AS BIGINT))) AS i) u),
+        |deco AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i % 3 = 0 THEN s2 || '.'
+        |         WHEN i % 11 = 0 THEN s2 || '...'
+        |         ELSE s2 END AS line
+        |  FROM (SELECT doc_id, i,
+        |          CASE WHEN (doc_id + i) % 7 = 0 THEN upper(s1)
+        |               ELSE s1 END AS s2
+        |        FROM (SELECT doc_id, i,
+        |                CASE WHEN i % 5 = 0 THEN '- ' || base
+        |                     ELSE base END AS s1
+        |              FROM lines))),
+        |sig AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines,
+        |    COUNT(CASE WHEN right(line, 1) IN ('.', '!', '?', '"')
+        |               AND right(line, 3) != '...' THEN 1 END) AS term_punct_lines,
+        |    COUNT(CASE WHEN upper(line) = line AND lower(line) != line
+        |               THEN 1 END) AS upper_lines,
+        |    COUNT(CASE WHEN left(line, 1) IN ('-', '*', '•')
+        |               THEN 1 END) AS bullet_lines,
+        |    COUNT(CASE WHEN right(line, 3) = '...' THEN 1 END) AS ellipsis_lines
+        |  FROM deco GROUP BY doc_id),
+        |fl AS (
+        |  SELECT w.doc_id,
+        |    COALESCE(s.n_lines, 0) AS n_lines,
+        |    COALESCE(s.term_punct_lines, 0) AS term_punct_lines,
+        |    COALESCE(s.upper_lines, 0) AS upper_lines,
+        |    COALESCE(s.bullet_lines, 0) AS bullet_lines,
+        |    COALESCE(s.ellipsis_lines, 0) AS ellipsis_lines
+        |  FROM words w LEFT JOIN sig s USING (doc_id)),
+        |v AS (
+        |  SELECT doc_id, n_lines, term_punct_lines, upper_lines,
+        |         bullet_lines, ellipsis_lines,
+        |    concat_ws(',',
+        |      CASE WHEN term_punct_lines < 0.4 * n_lines
+        |           THEN 'no_terminal_punct' END,
+        |      CASE WHEN upper_lines > 0.1 * n_lines
+        |           THEN 'uppercase_lines' END,
+        |      CASE WHEN bullet_lines > 0.25 * n_lines
+        |           THEN 'bullet_lines' END,
+        |      CASE WHEN ellipsis_lines > 0.05 * n_lines
+        |           THEN 'ellipsis_lines' END) AS reasons
+        |  FROM fl)
+        |SELECT doc_id, n_lines, term_punct_lines, upper_lines,
+        |       bullet_lines, ellipsis_lines,
+        |       reasons = '' AS keep, reasons
+        |FROM v ORDER BY doc_id""".stripMargin,
     // doc_ids replication: listed ids (%11) take the merged tree,
     // everything else keeps the target's original leaves; the second
     // round pushes nothing (round2_pushed = 0)

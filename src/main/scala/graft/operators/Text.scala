@@ -496,6 +496,44 @@ object Text {
     * Cost: the [[repetitionScores]] token/bigram aggregation (two
     * doc_id-shuffled aggregations off one tokenize pass) + a codegen'd
     * row map for everything else; one join on doc_id. */
+  /** C4/Dolma LINE-LEVEL quality signals (Raffel et al. 2020 §2.2;
+    * Dolma App. C; Gopher's doc-format rules) — the per-line facts the
+    * pretraining filters threshold on, folded doc-wise in ONE pass of
+    * pure higher-order column math (`split` → `trim` → `filter` →
+    * `size`): no explode, no per-line rows, no UDF — a straight
+    * codegen'd scan at any corpus size. Lines are newline-split,
+    * trimmed, empties dropped. Counts (exact integers — thresholds
+    * replay in any engine):
+    *  - `term_punct_lines`: lines ending in `.` `!` `?` `"` but NOT
+    *    in `...` (C4 keeps only terminal-punctuation lines; an
+    *    ellipsis is not terminal);
+    *  - `upper_lines`: all-caps lines (`upper(l) == l` with at least
+    *    one cased character — headings/shouting);
+    *  - `bullet_lines`: lines starting with `-` `*` `•` (Gopher drops
+    *    docs that are mostly bullets);
+    *  - `ellipsis_lines`: lines ending in `...` (Gopher's trailing-
+    *    ellipsis rule). */
+  def lineSignals(docs: org.apache.spark.sql.DataFrame, id: Column,
+                  text: Column): org.apache.spark.sql.DataFrame = {
+    val lines = lineArray(text)
+    docs.select(id.cast("long").as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      lineCount(lines, l => substring(l, -1, 1).isin(".", "!", "?", "\"")
+        && !l.endsWith("...")).as("term_punct_lines"),
+      lineCount(lines, l => upper(l) === l && lower(l) =!= l)
+        .as("upper_lines"),
+      lineCount(lines, l => substring(l, 1, 1).isin("-", "*", "•"))
+        .as("bullet_lines"),
+      lineCount(lines, l => l.endsWith("...")).as("ellipsis_lines"))
+  }
+
+  /** Trimmed non-empty lines of `text`, as one array column. */
+  private def lineArray(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  private def lineCount(lines: Column, p: Column => Column): Column =
+    size(filter(lines, p)).cast("long")
+
   def qualityFilter(docs: org.apache.spark.sql.DataFrame, id: Column,
                     text: Column, minTokens: Long = 10,
                     maxTokens: Long = 100000, minQuality: Double = 0.3,
@@ -509,16 +547,39 @@ object Text {
                       * length gates then match what a trainer bills.
                       * The quality/repetition stats stay word-based:
                       * they measure surface redundancy, not cost. */
-                    tokenCountCol: Option[Column] = None)
+                    tokenCountCol: Option[Column] = None,
+                    /** C4/Dolma LINE-level rules ([[lineSignals]]),
+                      * inactive at the defaults: a doc drops when its
+                      * terminal-punctuation line fraction falls BELOW
+                      * `minTermPunctFrac` (C4 §2.2), or its all-caps /
+                      * bullet / trailing-ellipsis line fraction rises
+                      * ABOVE the respective max (Dolma App. C, Gopher
+                      * doc-format rules). Thresholds compare the exact
+                      * integer line counts against `frac * n_lines` —
+                      * one IEEE product, identical in any engine. */
+                    minTermPunctFrac: Double = 0.0,
+                    maxUpperLineFrac: Double = 1.0,
+                    maxBulletLineFrac: Double = 1.0,
+                    maxEllipsisLineFrac: Double = 1.0)
       : org.apache.spark.sql.DataFrame = {
     // `lang` overrides the [[langId]] heuristic with a trusted
     // metadata column (a stored classifier label) — the usual case in
     // a pipeline that already ran language ID upstream
+    val lines = lineArray(text)
     val base = docs.select(id.cast("long").as("doc_id"), text.as("_text"),
       lang.getOrElse(langId(text)).as("_lang"),
-      tokenCountCol.getOrElse(tokenCount(text)).cast("long").as("_ntok"))
+      tokenCountCol.getOrElse(tokenCount(text)).cast("long").as("_ntok"),
+      size(lines).cast("long").as("_nl"),
+      lineCount(lines, l => substring(l, -1, 1).isin(".", "!", "?", "\"")
+        && !l.endsWith("...")).as("_lterm"),
+      lineCount(lines, l => upper(l) === l && lower(l) =!= l)
+        .as("_lupper"),
+      lineCount(lines, l => substring(l, 1, 1).isin("-", "*", "•"))
+        .as("_lbullet"),
+      lineCount(lines, l => l.endsWith("...")).as("_lellip"))
     val rep = repetitionScores(docs, id, text)
     val ntok = col("_ntok")
+    val nl = col("_nl").cast("double")
     val reasons = concat_ws(",",
       when(ntok < minTokens, lit("too_short")),
       when(ntok > maxTokens, lit("too_long")),
@@ -527,7 +588,15 @@ object Text {
       when(coalesce(col("dup_token_frac"), lit(0.0)) > maxDupTokenFrac,
         lit("repetitive_tokens")),
       when(coalesce(col("top_bigram_frac"), lit(0.0)) > maxTopBigramFrac,
-        lit("repetitive_bigrams")))
+        lit("repetitive_bigrams")),
+      when(col("_lterm") < nl * minTermPunctFrac,
+        lit("no_terminal_punct")),
+      when(col("_lupper") > nl * maxUpperLineFrac,
+        lit("uppercase_lines")),
+      when(col("_lbullet") > nl * maxBulletLineFrac,
+        lit("bullet_lines")),
+      when(col("_lellip") > nl * maxEllipsisLineFrac,
+        lit("ellipsis_lines")))
     base.join(rep, Seq("doc_id"), "left")
       .select(col("doc_id"), (reasons === "").as("keep"),
         reasons.as("reasons"))

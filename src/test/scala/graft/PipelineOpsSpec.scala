@@ -824,6 +824,40 @@ class PipelineOpsSpec extends SparkSpecBase {
       "repetitive_bigrams", s"order: $multi")
   }
 
+  test("lineSignals + line thresholds: C4/Dolma rules on hand-built lines") {
+    val d = Seq(
+      // 4 lines: 2 terminal (the ellipsis line is NOT terminal),
+      // 1 all-caps, 1 bullet, 1 ellipsis; blank/whitespace lines drop
+      (1L, "a fine sentence.\n\n  \nSHOUTING HEADER\n- a bullet item\ntrails off..."),
+      (2L, "no structure at all"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val sig = Text.lineSignals(d, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(sig(1L) == ((4L, 1L, 1L, 1L, 1L)), s"doc1: ${sig(1L)}")
+    assert(sig(2L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(sig(3L) == ((0L, 0L, 0L, 0L, 0L)),
+      "empty text has zero lines, zero counts")
+    // thresholds: doc1 trips every line rule at strict settings; doc2
+    // only the terminal-punct minimum; zero-line docs trip nothing
+    val v = Text.qualityFilter(d, $"doc_id", $"text", minTokens = 0,
+      minQuality = 0.0, minTermPunctFrac = 0.5, maxUpperLineFrac = 0.2,
+      maxBulletLineFrac = 0.2, maxEllipsisLineFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2))).toMap
+    assert(v(1L) == ((false, "no_terminal_punct,uppercase_lines," +
+      "bullet_lines,ellipsis_lines")), s"doc1: ${v(1L)}")
+    assert(v(2L) == ((false, "no_terminal_punct")))
+    assert(v(3L) == ((true, "")), s"doc3: ${v(3L)}")
+    // defaults leave the line rules inactive
+    val off = Text.qualityFilter(d, $"doc_id", $"text", minTokens = 0,
+        minQuality = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(off.values.forall(_ == ""), s"defaults must not fire: $off")
+  }
+
   test("decontaminate: per-doc distinct-gram hits against a benchmark set") {
     val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val bench = Seq(
