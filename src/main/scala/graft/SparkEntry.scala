@@ -3484,11 +3484,16 @@ object SparkEntry {
     import graft.operators.Replication
     val pa = idxPath("q229a", dir, "documents")
     val pb = idxPath("q229b", dir, "documents")
-    if (!Replication.targetExists(s, pa))
+    // rebuild a store written before the createdSeq meta field existed
+    // (its dbUpdates "created" labeling would fall back to the
+    // since-zero proxy and diverge from the oracle)
+    def current(p: String): Boolean = Replication.targetExists(s, p) &&
+      graft.view.IndexStore.readMeta(s, p).createdSeq >= 0
+    if (!current(pa))
       Replication.createTarget(s, pa, q186Target(s, dir), col("id"),
         col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
         numBuckets = 8, seq = 7L)
-    if (!Replication.targetExists(s, pb)) {
+    if (!current(pb)) {
       val leavesB = t(s, dir, "documents").select(
         col("doc_id").as("id"), lit(1L).as("rev_pos"),
         md5(concat(col("doc_id").cast("string"), lit(":1:m")))
@@ -3516,8 +3521,11 @@ object SparkEntry {
     * ([[graft.operators.Replication.dbUpdates]]) — which stores
     * advanced past the cursor, in seq order, reading ONLY each
     * store's meta sidecar (no data listed). `since=0` replays every
-    * store's creation (`"created"`); `since=10` returns only db_b's
-    * later write as `"updated"`. */
+    * store's creation (`"created"`); `since=10` returns only db_b —
+    * still as `"created"`, because db_b was BORN at seq 42, past the
+    * cursor (the meta sidecar's createdSeq carries the creation
+    * event; only a store whose creation is already consumed reports
+    * `"updated"`). */
   private def q230(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Replication
     val dbs = q229Stores(s, dir)
@@ -9163,7 +9171,7 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('db_a', 'created', CAST(7 AS BIGINT), CAST(0 AS BIGINT)),
         |  ('db_b', 'created', CAST(42 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('db_b', 'updated', CAST(42 AS BIGINT), CAST(10 AS BIGINT)))
+        |  ('db_b', 'created', CAST(42 AS BIGINT), CAST(10 AS BIGINT)))
         |  AS t(db_name, type, seq, since)
         |ORDER BY since, seq, db_name""".stripMargin,
     // facets replay: disjunctive term match -> counts per field value

@@ -282,14 +282,20 @@ object Dedup {
     * One extra aggregation + join over the O(corpus) mapping table,
     * nothing quadratic. Returns `(doc_id, kept_id)` with kept_id the
     * highest-scoring member of doc_id's cluster — filter to
-    * survivors with `doc_id === kept_id` exactly as before. */
+    * survivors with `doc_id === kept_id` exactly as before.
+    * A NULL score ranks BELOW every real score (it is coalesced to
+    * -Infinity before the argmax): an unscored member can only win a
+    * cluster whose every member is unscored, never beat a scored one
+    * (a null field inside the min-struct would otherwise sort first
+    * and win). */
   def dedupCorpusBest(docs: DataFrame, id: Column, text: Column,
                       score: Column,
                       jaccardThreshold: Option[Double] = None)
       : DataFrame = {
     val mapping = dedupCorpus(docs, id, text, jaccardThreshold)
     val scores = docs.select(id.cast("long").as("doc_id"),
-      score.cast("double").as("_sc"))
+      coalesce(score.cast("double"), lit(Double.NegativeInfinity))
+        .as("_sc"))
     val best = mapping.join(scores, Seq("doc_id"))
       .groupBy(col("kept_id"))
       .agg(min(struct((-col("_sc")).as("n"), col("doc_id").as("i")))

@@ -1178,17 +1178,32 @@ object Mango {
     * [[indexBounds]] / [[isCovered]]), so the report can never diverge
     * from the serve path.
     *
-    * Cost note: a diagnostic endpoint, not a serve path — it re-runs
-    * the full find for `results_returned` plus the bound-walk jobs,
-    * ~2-3× one find. Counting jobs only — set-at-a-time, never
-    * per-doc callbacks. */
+    * Cost note: a diagnostic endpoint served by ONE counting job per
+    * route — every counter (keys examined, docs examined, pass count)
+    * folds into a single aggregation over the pruned bound (or the
+    * corpus, on a scan), and `results_returned` is DERIVED from the
+    * pass count (`min(limit, max(0, passed - skip))` — paging clamps
+    * a count, it never changes membership), so the find itself is
+    * never re-run. ~1× one find, set-at-a-time, never per-doc
+    * callbacks. */
   def executionStats(spark: SparkSession, docs: DataFrame, idCol: String,
                      indexes: Seq[MangoIndex], findJson: String)
       : DataFrame = {
     import spark.implicits._
     val req = parseFind(findJson)
-    val results = findAuto(spark, docs, idCol, indexes, findJson).count()
-    def scanRow = ("_all_docs", false, 0L, docs.count(), results)
+    // the serve's row count from the selector-pass count within the
+    // examined set: skip drops from the front, limit cuts the back
+    def clamp(passed: Long): Long = {
+      val afterSkip = math.max(0L, passed - req.skip)
+      req.limit.fold(afterSkip)(l => math.min(l, afterSkip))
+    }
+    def scanRow = {
+      val a = docs.agg(count(lit(1)).as("n"),
+        sum(when(compile(req.selector, docs.schema), 1L).otherwise(0L))
+          .as("p")).head()
+      val passed = if (a.isNullAt(1)) 0L else a.getLong(1)
+      ("_all_docs", false, 0L, a.getLong(0), clamp(passed))
+    }
     val row = pickIndex(req.selector, indexes, docs.schema,
         req.useIndex) match {
       case Some(ix) =>
@@ -1206,16 +1221,19 @@ object Mango {
             val indexOrdered = req.sort.isEmpty ||
               (req.sort.forall(_._2) &&
                 req.sort.map(_._1) == ix.fields.take(req.sort.size))
-            val (keys, docsEx) = req.limit match {
+            val flagged = passFlags(docs, idCol, ix, req, idxRows)
+            val examined = req.limit match {
               case Some(lim) if indexOrdered =>
-                examinedAtCut(docs, idCol, ix, req, idxRows,
-                  req.skip + lim, cov)
-              case _ =>
-                val k = idxRows.count()
-                (k, if (cov) 0L
-                    else idxRows.select(col("id")).distinct().count())
+                walkCut(docs, idCol, ix, flagged, req.skip + lim)
+              case _ => flagged
             }
-            (ix.name, cov, keys, docsEx, results)
+            val a = examined.agg(count(lit(1)).as("k"),
+              sum(when(col("_pass"), 1L).otherwise(0L)).as("p"),
+              countDistinct(col("_wid")).as("d")).head()
+            val keys = a.getLong(0)
+            val passed = if (a.isNullAt(1)) 0L else a.getLong(1)
+            val docsEx = if (cov) 0L else a.getLong(2)
+            (ix.name, cov, keys, docsEx, clamp(passed))
           case None => scanRow
         }
       case None => scanRow
@@ -1224,18 +1242,14 @@ object Mango {
       "total_docs_examined", "results_returned")
   }
 
-  /** The index-walk cut: walking `idxRows` in key order, how many index
-    * rows (and fetched docs) does the serve read before `need` rows
-    * have PASSED the residual selector? One pass-flag projection (on
-    * decoded keys when the selector is index-evaluable, else on the
-    * by-id fetched doc) + one running-count window; the window runs
-    * over the already-pruned bound, and only for this diagnostic
-    * endpoint. Returns (keysExamined, docsExamined). */
-  private def examinedAtCut(docs: DataFrame, idCol: String,
-                            ix: MangoIndex, req: FindReq,
-                            idxRows: DataFrame, need: Long,
-                            cov: Boolean): (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
+  /** Pass-flag projection over the pruned bound: each index row with a
+    * `_pass` flag — does its doc pass the residual selector? Evaluated
+    * on decoded keys when the selector is index-evaluable, else on the
+    * by-id fetched doc. Columns: `_wid` (stored id), the TYPED index
+    * fields + id (the walk order), `_pass`. */
+  private def passFlags(docs: DataFrame, idCol: String,
+                        ix: MangoIndex, req: FindReq,
+                        idxRows: DataFrame): DataFrame = {
     val keySchema = StructType(ix.fields.map(f =>
       StructField(f, resolve(docs.schema, f).get._2)))
     val idType = docs.schema(idCol).dataType
@@ -1250,35 +1264,38 @@ object Mango {
     val paths = selectorPaths(req.selector)
     val selOnIndex = paths.subsetOf(ix.fields.toSet + idCol) &&
       paths.forall(!_.contains('.'))
-    val withPass =
-      if (selOnIndex) {
-        // the residual evaluates on the decoded key columns alone
-        val evalSchema = StructType(StructField(idCol, idType) +:
-          keySchema.fields.toSeq.filterNot(_.name == idCol))
-        decoded.withColumn("_pass", compile(req.selector, evalSchema))
-      } else {
-        val matched = docs.filter(compile(req.selector, docs.schema))
-          .select(col(idCol).cast("string").as("_mid"))
-        decoded.join(matched, col("_wid") === col("_mid"), "left")
-          .withColumn("_pass", col("_mid").isNotNull)
-      }
+    if (selOnIndex) {
+      // the residual evaluates on the decoded key columns alone
+      val evalSchema = StructType(StructField(idCol, idType) +:
+        keySchema.fields.toSeq.filterNot(_.name == idCol))
+      decoded.withColumn("_pass", compile(req.selector, evalSchema))
+    } else {
+      val matched = docs.filter(compile(req.selector, docs.schema))
+        .select(col(idCol).cast("string").as("_mid"))
+      decoded.join(matched, col("_wid") === col("_mid"), "left")
+        .withColumn("_pass", col("_mid").isNotNull)
+    }
+  }
+
+  /** The index-walk cut: CouchDB walks the index in key order and
+    * STOPS once `need` (= skip + limit) rows have passed the residual
+    * selector — keep everything up to and including the row where the
+    * running pass count reaches `need` (the whole bound if it never
+    * does). One running-count window over the already-pruned bound,
+    * and only for this diagnostic endpoint. */
+  private def walkCut(docs: DataFrame, idCol: String, ix: MangoIndex,
+                      flagged: DataFrame, need: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // index field order, ties broken on the TYPED doc id (replayable
     // by the oracle; the decoded idCol column is typed even when the
     // id is not indexed)
     val order = ix.fields.map(col) :+ col(idCol)
     val w = Window.orderBy(order: _*)
-    val walked = withPass
+    flagged
       .withColumn("_cum",
         sum(when(col("_pass"), 1L).otherwise(0L)).over(w))
-      // examined = everything up to and including the row where the
-      // cumulative pass count reaches `need`; the whole bound if it
-      // never does
       .filter(col("_cum") < lit(need) ||
         (col("_cum") === lit(need) && col("_pass")))
-    val keys = walked.count()
-    val docsEx = if (cov) 0L
-                 else walked.select(col("_wid")).distinct().count()
-    (keys, docsEx)
   }
 
   /** Build a PARTITIONED JSON index — CouchDB 3.x's default index

@@ -1052,9 +1052,12 @@ object Replication {
     * poll a multi-database replicator runs to decide what to sync
     * next. `type` follows the endpoint's vocabulary: `"created"`
     * for a store whose whole history is past the cursor (its
-    * creation event itself has not been consumed), `"updated"`
-    * otherwise. Reads ONLY each store's meta sidecar (one tiny
-    * file per db — no data listed or scanned), so polling N
+    * creation event itself has not been consumed: the meta
+    * sidecar's `createdSeq` — stamped at the store's first write
+    * — is past `since`), `"updated"` otherwise. A store written
+    * before `createdSeq` existed (-1) falls back to the
+    * since-zero proxy. Reads ONLY each store's meta sidecar (one
+    * tiny file per db — no data listed or scanned), so polling N
     * databases costs N stat calls whatever their sizes. */
   def dbUpdates(spark: SparkSession, dbs: Seq[(String, String)],
                 since: Long = 0L): DataFrame = {
@@ -1062,9 +1065,13 @@ object Replication {
     val rows = dbs.flatMap { case (name, path) =>
       if (!targetExists(spark, path)) None
       else {
-        val seq = IndexStore.readMeta(spark, path).updateSeq
+        val meta = IndexStore.readMeta(spark, path)
+        val seq = meta.updateSeq
+        val born =
+          if (meta.createdSeq >= 0) meta.createdSeq > since
+          else since == 0L
         if (seq > since)
-          Some((name, if (since == 0L) "created" else "updated", seq))
+          Some((name, if (born) "created" else "updated", seq))
         else None
       }
     }.sortBy(r => (r._3, r._1))

@@ -26,7 +26,16 @@ final case class IndexMeta(updateSeq: Long, buckets: Int,
                              * store purge_seq the index has caught up
                              * to ([[IndexStore.purgeIndex]]). 0 =
                              * never purged / pre-purge artifact. */
-                           purgeSeq: Long = 0L)
+                           purgeSeq: Long = 0L,
+                           /** The update_seq stamped by the artifact's
+                             * FIRST meta write — the seq of its
+                             * creation event on a `_db_updates` feed
+                             * ([[graft.operators.Replication.dbUpdates]]).
+                             * Stamped automatically by [[writeMeta]]
+                             * when no prior meta exists and preserved
+                             * by every later write; -1 on artifacts
+                             * written before the field existed. */
+                           createdSeq: Long = -1L)
 
 /** On-disk layout and maintenance of a persistent view index — the
   * reference's design-doc view storage (pouchdb-abstract-mapreduce's
@@ -156,7 +165,17 @@ object IndexStore {
   def exists(spark: SparkSession, path: String): Boolean =
     fsFor(spark, path).exists(new Path(path, "_graft_meta"))
 
-  def writeMeta(spark: SparkSession, path: String, meta: IndexMeta): Unit = {
+  def writeMeta(spark: SparkSession, path: String, meta0: IndexMeta): Unit = {
+    // creation-seq bookkeeping is automatic: the first write of a meta
+    // file stamps createdSeq = its updateSeq (the creation event's seq);
+    // later writes that pass the -1 default inherit the stored value so
+    // no caller has to thread it (a full rebuild deletes the meta first
+    // and so re-stamps — a rebuilt artifact IS a new creation event)
+    val meta =
+      if (meta0.createdSeq >= 0) meta0
+      else if (exists(spark, path))
+        meta0.copy(createdSeq = readMeta(spark, path).createdSeq)
+      else meta0.copy(createdSeq = meta0.updateSeq)
     val enc = java.util.Base64.getEncoder
     val sb = new StringBuilder("v1\n")
     sb.append(s"updateSeq=${meta.updateSeq}\n")
@@ -168,6 +187,8 @@ object IndexStore {
       sb.append(s"rgroups=${meta.reducedGroups}\n")
     if (meta.purgeSeq > 0)
       sb.append(s"purgeSeq=${meta.purgeSeq}\n")
+    if (meta.createdSeq >= 0)
+      sb.append(s"createdSeq=${meta.createdSeq}\n")
     val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -178,6 +199,7 @@ object IndexStore {
                finally in.close()
     val dec = java.util.Base64.getDecoder
     var seq = 0L; var buckets = 0; var rgroups = -1L; var pq = 0L
+    var created = -1L
     val bounds = Seq.newBuilder[(Int, Array[Byte])]
     text.linesIterator.foreach {
       case l if l.startsWith("updateSeq=") => seq = l.drop(10).toLong
@@ -187,9 +209,10 @@ object IndexStore {
         bounds += ((b.toInt, dec.decode(b64)))
       case l if l.startsWith("rgroups=") => rgroups = l.drop(8).toLong
       case l if l.startsWith("purgeSeq=") => pq = l.drop(9).toLong
+      case l if l.startsWith("createdSeq=") => created = l.drop(11).toLong
       case _ => ()
     }
-    IndexMeta(seq, buckets, bounds.result(), rgroups, pq)
+    IndexMeta(seq, buckets, bounds.result(), rgroups, pq, created)
   }
 
   /** Full (re)build: range-bucket the view rows by collation key, write

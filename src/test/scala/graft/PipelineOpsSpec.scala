@@ -1088,6 +1088,19 @@ class PipelineOpsSpec extends SparkSpecBase {
         col("q"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t == Map(7L -> 7L, 8L -> 7L))
+    // a NULL score ranks below every real score: the unscored dup
+    // must lose to a scored member (and all-null clusters still
+    // resolve deterministically to the lower id)
+    val nullish = Seq((11L, "null cluster text", Some(2.0)),
+        (12L, "null cluster text", None),
+        (13L, "all unscored here", None),
+        (14L, "all unscored here", None))
+      .toDF("doc_id", "text", "q")
+    val n = Dedup.dedupCorpusBest(nullish, col("doc_id"), col("text"),
+        col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(11L -> 11L, 12L -> 11L, 13L -> 13L, 14L -> 13L),
+      s"null-score members must not win scored clusters: $n")
   }
 
   test("knBigramLmScores: hand-computed interpolated KN, continuation semantics") {

@@ -805,14 +805,25 @@ class ReplicationSpec extends SparkSpecBase {
         r.getLong(3), r.getLong(4)))
     assert(info.toSeq == Seq(("dba", 24L, 6L, 3L, 4L),
       ("dbb", 12L, 0L, 9L, 2L)))
-    // catch-up semantics: since=0 replays creations in seq order,
-    // a later cursor returns only stores past it, as updates
+    // catch-up semantics: since=0 replays creations in seq order;
+    // a later cursor returns only stores past it — still as
+    // "created" when the store's creation event itself (the meta
+    // sidecar's createdSeq, stamped at first write) is past the
+    // cursor, "updated" only once the creation has been consumed
     val u0 = Replication.dbUpdates(spark, dbs, since = 0L).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(u0.toSeq == Seq(("dba", "created", 3L), ("dbb", "created", 9L)))
     val u5 = Replication.dbUpdates(spark, dbs, since = 5L).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    assert(u5.toSeq == Seq(("dbb", "updated", 9L)))
+    assert(u5.toSeq == Seq(("dbb", "created", 9L)),
+      "a store born after the cursor reports its creation, not an update")
+    // advance dba past the cursor: its creation (seq 3) is already
+    // consumed at since=5, so the new changes report as an update
+    graft.view.IndexStore.writeMeta(spark, s"$dir/a",
+      graft.view.IndexStore.readMeta(spark, s"$dir/a").copy(updateSeq = 7L))
+    val u5b = Replication.dbUpdates(spark, dbs, since = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(u5b.toSeq == Seq(("dba", "updated", 7L), ("dbb", "created", 9L)))
     assert(Replication.dbUpdates(spark, dbs, since = 9L).isEmpty)
     // a store that does not exist yet simply has no update to report
     val u = Replication.dbUpdates(spark,
