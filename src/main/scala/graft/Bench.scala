@@ -5,6 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated gate-key filter for targeted timing
+    // (no args = the driver's full run, unchanged)
+    val only: Option[Set[String]] =
+      if (args.isEmpty) None else Some(args(0).split(",").toSet)
+    val queries = only match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None => SparkEntry.queries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +33,7 @@ object Bench {
     // not JVM warmup. Generated-class caching is keyed by plan structure,
     // which is identical across SF dirs.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // Touch every input table at the TIMED scale factor once, so the
@@ -42,7 +50,10 @@ object Bench {
     // one-time build cost is reported on its own lines. The serve-side
     // queries below detect the freshly built artifacts (paths are keyed
     // by dataset identity) and skip their lazy build.
-    val builds = SparkEntry.indexBuilds.map { case (name, fn) =>
+    val builds = (only match {
+      case Some(_) => Map.empty[String, (SparkSession, String) => Unit]
+      case None => SparkEntry.indexBuilds
+    }).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir); true }
                catch { case _: Throwable => false }
@@ -58,7 +69,7 @@ object Bench {
     // per-query minimum much more robust for ~35 s extra wall time.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timed = (1 to passes).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { run(fn, sfDir); true }
                  catch { case _: Throwable => false }
@@ -66,7 +77,7 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       val ts = timed.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
@@ -85,7 +96,9 @@ object Bench {
     // JSON parse every round (BENCH_r*.json: "parsed": null) — also
     // drop the bare line next to the sources so the exact numbers are
     // readable without scraping the log tail
-    try {
+    // subset runs are ad-hoc probes — never clobber the committed
+    // full-suite capture
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Exception => () }

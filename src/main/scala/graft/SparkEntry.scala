@@ -3668,6 +3668,178 @@ object SparkEntry {
     sig.join(verdict, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** A47: `_local` (non-replicating) documents ([[graft.operators
+    * .Replication.localDocsUpsert]] / [[graft.operators.Replication
+    * .localDocs]]) — CouchDB's `/db/_local/{id}` namespace, the one
+    * PouchDB keeps replication checkpoints in. A fresh store takes
+    * two local batches: every `doc_id % 50 == 0` doc's checkpoint,
+    * then an update of the `% 100 == 0` half (rev counter `0-1` →
+    * `0-2`, last-write-wins, no rev tree) and a DELETE of the
+    * `% 150 == 0` third (removed outright — local deletes leave no
+    * tombstone). Each batch rewrites only the `_lb` buckets holding
+    * the written ids. The `_local_docs` listing rides with the
+    * store's update_seq and live doc_count, which local writes must
+    * NOT move — the oracle replays the surviving checkpoints AND
+    * states the untouched store facts. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Replication, Revisions}
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q251loc", dir, "documents")
+    val leaves = docs.select(col("doc_id").cast("string").as("id"),
+      lit(1L).as("rev_pos"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:l"))).as("rev_hash"),
+      lit(false).as("deleted"),
+      array().cast("array<string>").as("ancestors"))
+    Replication.createTarget(s, path, leaves, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 8, seq = 5L)
+    val b1 = docs.filter(col("doc_id") % 50 === 0).select(
+      concat(lit("_local/ck-"), col("doc_id").cast("string")).as("id"),
+      concat(lit("seq:"), col("doc_id").cast("string")).as("body"),
+      lit(false).as("del"))
+    Replication.localDocsUpsert(s, path, b1, col("id"), col("body"),
+      col("del"))
+    val b2 = docs.filter(col("doc_id") % 100 === 0 ||
+        col("doc_id") % 150 === 0).select(
+      concat(lit("_local/ck-"), col("doc_id").cast("string")).as("id"),
+      concat(lit("seq2:"), col("doc_id").cast("string")).as("body"),
+      (col("doc_id") % 150 === 0).as("del"))
+    Replication.localDocsUpsert(s, path, b2, col("id"), col("body"),
+      col("del"))
+    val meta = graft.view.IndexStore.readMeta(s, path)
+    val live = Revisions.dbInfo(Replication.openTarget(s, path),
+      col("id"), col("rev_pos"), col("rev_hash"), col("deleted"))
+      .head().getAs[Long]("doc_count")
+    Replication.localDocs(s, path)
+      .withColumn("update_seq", lit(meta.updateSeq))
+      .withColumn("doc_count", lit(live))
+      .orderBy(col("id"))
+  }
+
+  /** A48: `GET /db/_shards` + `_shards/{docid}` ([[graft.operators
+    * .Replication.shardMap]] / [[graft.operators.Replication
+    * .docShard]]) — the shard-balance admin reads over the store's
+    * `_b` layout. Shard membership is `pmod(xxhash64(id), q)`, which
+    * no external engine replays, so the gate is a VERDICT relation
+    * (the q49/q56 discipline): Spark reduces the shard map to facts
+    * the oracle CAN state — shard count == the configured q, per-
+    * shard rows summing to the corpus, every shard id in range,
+    * every stored row sitting in the directory `docShard` routes its
+    * id to, and the probe API agreeing with the map for a sampled
+    * id. Any placement drift flips a verdict bit and hash-fails. */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q252sh", dir, "documents")
+    val leaves = docs.select(col("doc_id").cast("string").as("id"),
+      lit(1L).as("rev_pos"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:s"))).as("rev_hash"),
+      lit(false).as("deleted"),
+      array().cast("array<string>").as("ancestors"))
+    Replication.createTarget(s, path, leaves, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 16, seq = 3L)
+    val m = Replication.shardMap(s, path)
+      .agg(count(lit(1)).as("n"), sum(col("doc_rows")).as("tot"),
+        max(col("shard")).as("mx"), min(col("shard")).as("mn"))
+      .head()
+    val meta = graft.view.IndexStore.readMeta(s, path)
+    // every stored row lives in the directory its id hashes to
+    val misplaced = s.read.parquet(idxDataDir(path))
+      .select(col("_b").cast("int").as("_dir"), col("id"))
+      .filter(col("_dir") =!=
+        graft.view.IndexStore.idBucket(col("id"), meta.buckets))
+      .count()
+    val probeId = docs.orderBy(col("doc_id")).select(col("doc_id"))
+      .head().getLong(0).toString
+    val probeDir = s.read.parquet(idxDataDir(path))
+      .filter(col("id") === probeId).select(col("_b").cast("int"))
+      .head().getInt(0)
+    val probeOk = Replication.docShard(s, path, probeId) == probeDir
+    import s.implicits._
+    Seq(
+      ("docs_total", m.getAs[Long]("tot")),
+      ("placement_consistent", if (misplaced == 0L) 1L else 0L),
+      ("probe_consistent", if (probeOk) 1L else 0L),
+      ("shard_ids_in_range",
+        if (m.getAs[Int]("mn") == 0 && m.getAs[Int]("mx") == 15) 1L
+        else 0L),
+      ("shards", m.getAs[Long]("n")))
+      .toDF("fact", "value").orderBy(col("fact"))
+  }
+
+  private def idxDataDir(path: String): String = s"$path/data"
+
+  /** E28: `_search_analyze` ([[graft.operators.TextSearch
+    * .searchAnalyze]] / [[graft.operators.TextSearch.analyzeCorpus]])
+    * — the analyzer debugging endpoint over the full pipeline
+    * (lowercase → English stopword removal → Harman S-stem), run in
+    * corpus form over every `doc_id % 25 == 0` document plus one
+    * literal probe sentence through the endpoint itself. Positions
+    * are post-stopword (what the positional postings store). The
+    * oracle replays tokenization, the stopword cut, and the
+    * three-rule stemmer in SQL. */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Text, TextSearch}
+    val an = TextSearch.Analyzer(
+      stopwords = Text.langWords.head._2, stem = true)
+    val corpus = TextSearch.analyzeCorpus(
+      t(s, dir, "documents").filter(col("doc_id") % 25 === 0),
+      col("doc_id"), col("text"), an)
+    val probe = TextSearch.searchAnalyze(s,
+        "The Parties value these Cookies and batches of the bonuses",
+        an)
+      .select(lit(-1L).as("doc_id"), col("pos"), col("token"))
+    corpus.unionByName(probe)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** E29: vocabulary COVERAGE CURVE ([[graft.operators.Text
+    * .vocabCoverage]]) — the tokenizer-design read: what fraction of
+    * the documents corpus's token occurrences do the top-10/100/1000
+    * token types cover? Type rank ties break on the token string, so
+    * the curve is engine-replayable; the oracle recomputes the full
+    * frequency table, running sum, and 1e-4 ratios in SQL. */
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Text.vocabCoverage(t(s, dir, "documents"),
+      col("text"), Seq(10, 100, 1000))
+
+  /** A49: `POST /db/_view_cleanup` ([[graft.view.DesignDoc
+    * .viewCleanup]]) — the disk-reclaim verb after a ddoc edit: three
+    * views materialize, the design doc drops one, cleanup removes
+    * exactly the orphaned index directory and never touches the
+    * survivors. The gate serves `(view_name, present, n_rows)` for
+    * all three names — present from the post-cleanup directory
+    * listing, n_rows by querying the SURVIVING indexes from disk
+    * (each view emits once per doc, so the oracle restates the
+    * corpus count) — plus the removed-name report. */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.{DesignDoc, IndexStore}
+    val docs = t(s, dir, "documents")
+    def v(key: org.apache.spark.sql.Column) =
+      View(docs, col("doc_id"), key, lit(1), None)
+    val root = idxPath("q255vc", dir, "documents") + "/dd"
+    val all = new DesignDoc(Map(
+      "va" -> v(col("doc_id")), "vb" -> v(col("lang")),
+      "vc" -> v(col("source"))))
+    all.cleanup(s, root)
+    all.materialize(root, numBuckets = 4, seq = 1)
+    val trimmed = new DesignDoc(Map(
+      "va" -> v(col("doc_id")), "vb" -> v(col("lang"))))
+    val removed = trimmed.viewCleanup(s, root)
+    val opened = trimmed.open(s, root)
+    import s.implicits._
+    Seq("va", "vb", "vc").map { n =>
+      val present = IndexStore.exists(s, s"$root/$n")
+      val rows =
+        if (present)
+          opened(n).query(QueryOpts(reduce = false)).count()
+        else -1L
+      (n, present, rows, removed.mkString(","))
+    }.toDF("view_name", "present", "n_rows", "removed")
+      .orderBy(col("view_name"))
+  }
+
   /** A46: `doc_ids`-FILTERED replication ([[graft.operators
     * .Replication.replicateDocIdsOnce]]) — CouchDB's `_replicate`
     * with a `doc_ids` body over the q186 scenario: only the listed
@@ -5586,7 +5758,12 @@ object SparkEntry {
     "q247_scheduler_jobs" -> (q247 _),
     "q248_active_tasks" -> (q248 _),
     "q249_docids_replication" -> (q249 _),
-    "q250_line_quality" -> (q250 _)
+    "q250_line_quality" -> (q250 _),
+    "q251_local_docs" -> (q251 _),
+    "q252_shards" -> (q252 _),
+    "q253_search_analyze" -> (q253 _),
+    "q254_vocab_coverage" -> (q254 _),
+    "q255_view_cleanup" -> (q255 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -6551,6 +6728,97 @@ object SparkEntry {
         |       bullet_lines, ellipsis_lines,
         |       reasons = '' AS keep, reasons
         |FROM v ORDER BY doc_id""".stripMargin,
+    // _local docs: surviving checkpoints after create/update/delete
+    // batches (rev = the 0-N counter), riding with the store facts a
+    // local write must not move (update_seq as created, live count)
+    "q251_local_docs" ->
+      """SELECT '_local/ck-' || CAST(doc_id AS VARCHAR) AS id,
+        |       CASE WHEN doc_id % 100 = 0 THEN '0-2' ELSE '0-1' END AS rev,
+        |       CASE WHEN doc_id % 100 = 0
+        |            THEN 'seq2:' || CAST(doc_id AS VARCHAR)
+        |            ELSE 'seq:' || CAST(doc_id AS VARCHAR) END AS body,
+        |       CAST(5 AS BIGINT) AS update_seq,
+        |       (SELECT COUNT(*) FROM documents) AS doc_count
+        |FROM documents
+        |WHERE doc_id % 50 = 0 AND doc_id % 150 <> 0
+        |ORDER BY id""".stripMargin,
+    // _shards verdict relation: placement facts the oracle can state
+    // without replaying xxhash64 (the q49/q56 bounded-verdict
+    // discipline — Spark reduces, the oracle asserts)
+    "q252_shards" ->
+      """SELECT * FROM (VALUES
+        |  ('docs_total', (SELECT COUNT(*) FROM documents)),
+        |  ('placement_consistent', CAST(1 AS BIGINT)),
+        |  ('probe_consistent', CAST(1 AS BIGINT)),
+        |  ('shard_ids_in_range', CAST(1 AS BIGINT)),
+        |  ('shards', CAST(16 AS BIGINT))) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
+    // _search_analyze: replay lowercase split, the 5-stopword cut,
+    // and the Harman S-stemmer rule for rule; positions are
+    // post-stopword ordinals
+    "q253_search_analyze" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT -1, 'The Parties value these Cookies and batches of the bonuses'),
+        |toks AS (
+        |  SELECT doc_id, u.w AS w, u.i AS i
+        |  FROM src, LATERAL (
+        |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                              x -> x != '')) AS w,
+        |           generate_subscripts(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                              x -> x != ''), 1) AS i) u
+        |  WHERE u.w NOT IN ('the', 'and', 'of', 'to', 'in')),
+        |pos AS (
+        |  SELECT doc_id, w,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |              AS INT) AS pos
+        |  FROM toks)
+        |SELECT doc_id, pos,
+        |  CASE WHEN len(w) >= 4 AND w LIKE '%ies'
+        |            AND w NOT LIKE '%eies' AND w NOT LIKE '%aies'
+        |       THEN substr(w, 1, len(w) - 3) || 'y'
+        |       WHEN len(w) >= 3 AND w LIKE '%es'
+        |            AND w NOT LIKE '%aes' AND w NOT LIKE '%ees'
+        |            AND w NOT LIKE '%oes'
+        |       THEN substr(w, 1, len(w) - 1)
+        |       WHEN len(w) >= 3 AND w LIKE '%s'
+        |            AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+        |       THEN substr(w, 1, len(w) - 1)
+        |       ELSE w END AS token
+        |FROM pos ORDER BY doc_id, pos""".stripMargin,
+    // vocab coverage curve: full frequency table, (count desc, token
+    // asc) rank, running occurrence sum, ratios rounded half-up 1e-4
+    "q254_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            x -> x != '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |ranked AS (
+        |  SELECT w, c,
+        |         ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r,
+        |         SUM(c) OVER (ORDER BY c DESC, w ASC
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM freq),
+        |tot AS (SELECT SUM(c) AS total FROM freq)
+        |SELECT k, MAX(r) AS types_at_k,
+        |       CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+        |       FLOOR(CAST(MAX(cum) AS DOUBLE)
+        |               / (SELECT total FROM tot) * 10000.0 + 0.5)
+        |         / 10000 AS coverage
+        |FROM (VALUES (10), (100), (1000)) AS ks(k)
+        |JOIN ranked ON r <= k
+        |GROUP BY k ORDER BY k""".stripMargin,
+    // _view_cleanup: the orphan is gone, survivors serve their full
+    // one-emit-per-doc row sets from disk untouched
+    "q255_view_cleanup" ->
+      """SELECT * FROM (VALUES
+        |  ('va', true, (SELECT COUNT(*) FROM documents), 'vc'),
+        |  ('vb', true, (SELECT COUNT(*) FROM documents), 'vc'),
+        |  ('vc', false, CAST(-1 AS BIGINT), 'vc'))
+        |  AS t(view_name, present, n_rows, removed)
+        |ORDER BY view_name""".stripMargin,
     // doc_ids replication: listed ids (%11) take the merged tree,
     // everything else keeps the target's original leaves; the second
     // round pushes nothing (round2_pushed = 0)

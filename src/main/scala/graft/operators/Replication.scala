@@ -1078,4 +1078,151 @@ object Replication {
     import spark.implicits._
     rows.toDF("db_name", "type", "seq")
   }
+
+  /** `GET /db/_shards` — the store's shard map, one row per `_b`
+    * bucket: `(shard, doc_rows)` in shard order. CouchDB's response
+    * maps hash RANGES to nodes; the single-cluster analog of a range
+    * is the id-hash bucket (`pmod(xxhash64(id), q)` — the same
+    * routing every write and delta-bounded read uses), and the
+    * node list is the executor set, which Spark owns. `doc_rows`
+    * counts LEAF rows (the shard's physical size driver), one
+    * partial-aggregated pass over the data directory — the read a
+    * shard-balance monitor polls. */
+  def shardMap(spark: SparkSession, path: String): DataFrame = {
+    require(targetExists(spark, path), s"shardMap: no store at $path")
+    spark.read.parquet(dataDir(path))
+      .groupBy(col("_b").cast("int").as("shard"))
+      .agg(count(lit(1)).as("doc_rows"))
+      .orderBy(col("shard"))
+  }
+
+  /** `GET /db/_shards/{docid}` — which shard holds `docId`: route the
+    * literal through the writer's own bucket column (no data read at
+    * all; the map IS the hash). Every doc-bounded operation in the
+    * store family prunes to exactly this bucket. */
+  def docShard(spark: SparkSession, path: String, docId: String): Int = {
+    require(targetExists(spark, path), s"docShard: no store at $path")
+    val meta = IndexStore.readMeta(spark, path)
+    import spark.implicits._
+    Seq(docId).toDF("id")
+      .select(IndexStore.idBucket(col("id"), meta.buckets))
+      .head().getInt(0)
+  }
+
+  private def localDir(path: String) = s"$path/local"
+
+  /** CouchDB `_local` (non-replicating) documents against a persisted
+    * target store — the namespace PouchDB keeps replication
+    * checkpoints and client-side state in (`PUT /db/_local/{id}`,
+    * reference: the CouchDB local-documents API). Local docs live OUTSIDE
+    * the MVCC world: no revision tree, no conflicts (last write
+    * wins), revs are the advisory `0-N` counter CouchDB mints, a
+    * delete REMOVES the row (no tombstone), and nothing about them is
+    * visible to `_all_docs`, `_changes`, replication, `doc_count`, or
+    * `update_seq` — the store's meta sidecar is deliberately NOT
+    * touched by a local write.
+    *
+    * Layout: `path/local/_lb=<b>/` (id-hash bucketed like the doc
+    * relation's `_b`, same bucket count), so an upsert batch reads
+    * and rename-swaps ONLY the buckets holding the written ids — a
+    * checkpoint write onto a trillion-doc store touches one bucket.
+    * Each written id's new rev counter is `old + 1` (1 when absent).
+    * Duplicate ids in one batch are rejected loudly (the endpoint
+    * semantics give each id ONE current value; silently picking a
+    * winner would hide a client bug). Returns the rewritten `_lb`
+    * bucket ids (empty when every write was a delete of an absent
+    * id). */
+  def localDocsUpsert(spark: SparkSession, path: String,
+                      writes: DataFrame, id: Column, body: Column,
+                      delete: Column): Seq[Int] = {
+    require(targetExists(spark, path),
+      s"localDocsUpsert: no store at $path (create the target first)")
+    val meta = IndexStore.readMeta(spark, path)
+    val w = writes.select(id.cast("string").as("id"),
+      body.cast("string").as("_nb"),
+      coalesce(delete.cast("boolean"), lit(false)).as("_del"))
+    val dups = w.groupBy(col("id")).count().filter(col("count") > 1)
+      .select(col("id")).limit(5).collect().map(_.getString(0))
+    require(dups.isEmpty,
+      s"localDocsUpsert: one write per id per batch (duplicates: " +
+        s"${dups.mkString(", ")})")
+    val bs = w.select(IndexStore.idBucket(col("id"), meta.buckets)
+        .as("_lb")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (bs.isEmpty) return Nil
+    val fs = IndexStore.fsFor(spark, path)
+    val hasLocal = fs.exists(new Path(localDir(path)))
+    val cur =
+      if (hasLocal)
+        IndexStore.readBuckets(spark, localDir(path), "_lb", bs)
+          .filter(col("_lb").isin(bs.map(Integer.valueOf): _*))
+          .select(col("id"), col("rev_n"), col("body"))
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long, String)].toDF("id", "rev_n", "body")
+      }
+    val untouched = cur.join(w, Seq("id"), "left_anti")
+    val upserted = w.filter(!col("_del"))
+      .join(cur.select(col("id"), col("rev_n").as("_old")),
+        Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("_old"), lit(0L)) + 1L).as("rev_n"),
+        col("_nb").as("body"))
+    val out = untouched.unionByName(upserted)
+      .withColumn("_lb", IndexStore.idBucket(col("id"), meta.buckets))
+    fs.mkdirs(new Path(localDir(path)))
+    IndexStore.writeSwap(spark, fs, out, localDir(path), "_lb", bs,
+      Seq(col("_lb"), col("id")))
+    bs
+  }
+
+  /** `GET /db/_local_docs` — every local doc as `(id, rev, body)` in
+    * id order, rev in CouchDB's `0-N` counter form. Reads only the
+    * `local/` sidecar directory (never the doc relation); a store
+    * with no local writes yet lists empty. Point reads are a filter
+    * on this relation — the scan prunes to the id's hash bucket when
+    * the caller pins `_lb`, and a `_local/{id}` GET is one bucket
+    * read either way at serve time via [[IndexStore.readBuckets]]. */
+  def localDocs(spark: SparkSession, path: String): DataFrame = {
+    require(targetExists(spark, path),
+      s"localDocs: no store at $path")
+    val fs = IndexStore.fsFor(spark, path)
+    if (!fs.exists(new Path(localDir(path)))) {
+      import spark.implicits._
+      return Seq.empty[(String, String, String)].toDF("id", "rev", "body")
+    }
+    spark.read.parquet(localDir(path))
+      .select(col("id"),
+        concat(lit("0-"), col("rev_n").cast("string")).as("rev"),
+        col("body"))
+      .orderBy(col("id"))
+  }
+
+  /** `GET /db/_local/{id}` — one local doc's `(id, rev, body)` row,
+    * pruned to the id's hash bucket (one directory read, whatever the
+    * store size); empty when absent. */
+  def localDocGet(spark: SparkSession, path: String, docId: String)
+      : DataFrame = {
+    require(targetExists(spark, path), s"localDocGet: no store at $path")
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = IndexStore.readMeta(spark, path)
+    val empty = {
+      import spark.implicits._
+      Seq.empty[(String, String, String)].toDF("id", "rev", "body")
+    }
+    if (!fs.exists(new Path(localDir(path)))) return empty
+    // route the literal id through the writer's own bucket column
+    // (one local-relation row, no data job) so the read prunes to
+    // exactly the directory the writer placed it in
+    val b = {
+      import spark.implicits._
+      Seq(docId).toDF("id")
+        .select(IndexStore.idBucket(col("id"), meta.buckets))
+        .head().getInt(0)
+    }
+    IndexStore.readBuckets(spark, localDir(path), "_lb", Seq(b))
+      .filter(col("id") === lit(docId))
+      .select(col("id"),
+        concat(lit("0-"), col("rev_n").cast("string")).as("rev"),
+        col("body"))
+  }
 }

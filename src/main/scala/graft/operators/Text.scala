@@ -895,4 +895,63 @@ object Text {
       org.apache.spark.sql.functions
         .expr("(n_tokens * 1000L) div n_docs").as("avg_tokens_x1000")): _*)
   }
+
+  /** Vocabulary COVERAGE CURVE — the tokenizer-design read every
+    * vocab-size decision runs: for each cut `k`, what fraction of the
+    * corpus's token OCCURRENCES do the `k` most frequent token types
+    * cover? Types rank by `(count desc, token asc)` — the tie order
+    * is total and engine-replayable, so the curve is deterministic.
+    * Returns one row per requested `k` (ascending):
+    * `(k, types_at_k, covered_tokens, coverage)` with `types_at_k =
+    * min(k, distinct types)` and `coverage = covered/total` rounded
+    * half-up at 1e-4 (the house ratio construction).
+    *
+    * Shape for 100 TB: ONE explode + partial-aggregated groupBy
+    * builds the type table (types ≪ occurrences); the curve then
+    * needs only the top `max(ks)` types, taken with a global
+    * TakeOrdered (limit pushes into each partition — never a full
+    * sort of the type table); the running sum windows over that
+    * BOUNDED prefix (≤ max(ks) rows, one partition by construction,
+    * not by accident). Total token count rides from the same type
+    * table's sum — the corpus is scanned once. */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, text: Column,
+                    ks: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"vocabCoverage: cuts must be positive, got $ks")
+    require(ks.distinct == ks, s"vocabCoverage: duplicate cuts in $ks")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val types = docs.select(explode(tokens(text)).as("_w"))
+      .repartition(parts, col("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .persist()
+    try {
+      val totalRow = types.agg(sum(col("_c"))).head()
+      require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+        "vocabCoverage: corpus has no tokens")
+      val total = totalRow.getLong(0)
+      val top = types
+        .orderBy(col("_c").desc, col("_w").asc)
+        .limit(ks.max)
+        .withColumn("_r", row_number().over(
+          Window.orderBy(col("_c").desc, col("_w").asc)))
+        .withColumn("_cum", sum(col("_c")).over(
+          Window.orderBy(col("_r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("_r"), col("_cum"))
+      val cuts = ks.sorted.map(k => (k, k.toLong))
+      import spark.implicits._
+      val kdf = cuts.toDF("k", "_kl")
+      kdf.join(top, col("_r") <= col("_kl"))
+        .groupBy(col("k"))
+        .agg(max(col("_r")).as("types_at_k"),
+          max(col("_cum")).as("covered_tokens"))
+        .select(col("k"), col("types_at_k").cast("long").as("types_at_k"),
+          col("covered_tokens"),
+          graft.gfunctions.round4(col("covered_tokens").cast("double") /
+            lit(total.toDouble)).as("coverage"))
+        .orderBy(col("k"))
+    } finally types.unpersist()
+  }
 }

@@ -112,6 +112,35 @@ object TextSearch {
         "index or query with the stored analyzer")
   }
 
+  /** CouchDB's `POST /db/_search_analyze` — the analyzer debugging
+    * read (Clouseau's `analyze` call): run ONE text through an
+    * analyzer pipeline and return the emitted tokens as
+    * `(pos, token)` rows in emission order. `pos` is the token's
+    * 0-based position AFTER stopword removal — exactly the position
+    * the positional postings store, so what this endpoint shows is
+    * byte-for-byte what [[termFreqs]] would index. A driver-literal
+    * relation: no data read, one local-projection job. */
+  def searchAnalyze(spark: SparkSession, text: String,
+                    analyzer: Analyzer = Analyzer()): DataFrame = {
+    import spark.implicits._
+    Seq(text).toDF("_t")
+      .select(posexplode(analyzer.tokens(col("_t"))))
+      .select(col("pos"), col("col").as("token"))
+  }
+
+  /** The corpus form of [[searchAnalyze]]: every document's analyzed
+    * token stream as `(doc_id, pos, token)` — the same Column
+    * pipeline the index build runs ([[Analyzer.tokens]]), exposed as
+    * a relation so a pipeline can audit EXACTLY what would be
+    * indexed (per-doc, per-position) before paying for the build.
+    * One narrow projection + explode, fully codegen; nothing is
+    * collected or re-tokenized per row. */
+  def analyzeCorpus(docs: DataFrame, id: Column, text: Column,
+                    analyzer: Analyzer = Analyzer()): DataFrame =
+    docs.select(id.cast("long").as("doc_id"), text.as("_text"))
+      .select(col("doc_id"), posexplode(analyzer.tokens(col("_text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+
   /** `(doc_id, term, tf, dl, pos)` POSITIONAL term-frequency rows;
     * `dl` (the document's token count) is denormalized onto every row
     * so scoring never joins a separate lengths table, and `pos` (the

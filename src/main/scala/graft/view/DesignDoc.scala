@@ -43,4 +43,28 @@ final class DesignDoc(val views: Map[String, View]) {
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  /** CouchDB's `POST /db/_view_cleanup` proper: remove index
+    * directories under `root` that no view of the CURRENT design doc
+    * references — the disk-reclaim admin verb run after a ddoc edit
+    * drops or renames a view (the old signature's index files are
+    * unreachable but still occupy space until cleanup). Driver-side
+    * directory listing + deletes only — no data job; indexes of the
+    * surviving views are never touched. Returns the removed view
+    * names in name order (empty when nothing was orphaned). */
+  def viewCleanup(spark: SparkSession, root: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val orphans = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(views.keySet).toSeq.sorted
+    orphans.foreach { n =>
+      val d = new Path(pathOf(root, n))
+      if (!fs.delete(d, true))
+        throw new java.io.IOException(
+          s"_view_cleanup: could not remove orphaned index $d")
+    }
+    orphans
+  }
 }

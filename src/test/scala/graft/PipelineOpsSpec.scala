@@ -1157,4 +1157,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(plan.split("Expand").length == 2,
       s"corpusProfile must be one Expand/rollup pass:\n$plan")
   }
+
+  test("vocabCoverage: hand-computed curve, deterministic tie order, bounded top") {
+    import graft.operators.Text
+    // counts: a=4, b=2, c=1, d=1 (ties c/d break on token asc); total=8
+    val docs = Seq((1L, "a a a b"), (2L, "b c a"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val got = Text.vocabCoverage(docs, col("text"), Seq(1, 2, 3, 10))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1, 1L, 4L, 0.5), (2, 2L, 6L, 0.75),
+      (3, 3L, 7L, 0.875), (10, 4L, 8L, 1.0)), s"curve wrong: $got")
+    // cuts must be positive and distinct; an empty corpus is loud
+    intercept[IllegalArgumentException] {
+      Text.vocabCoverage(docs, col("text"), Seq(2, 2))
+    }
+    intercept[IllegalArgumentException] {
+      Text.vocabCoverage(Seq((1L, "  ")).toDF("doc_id", "text"),
+        col("text"), Seq(1))
+    }
+  }
 }

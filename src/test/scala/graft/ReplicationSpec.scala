@@ -830,4 +830,83 @@ class ReplicationSpec extends SparkSpecBase {
       dbs :+ ("ghost" -> s"$dir/ghost"), since = 0L)
     assert(u.count() == 2)
   }
+
+  test("local docs: counter revs, delete removes, store meta and data untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("repl-local").toString
+    val path = s"$dir/store"
+    val leaves = leavesDf((0 until 40).map(i =>
+      (s"d$i", 1L, s"h$i", false, Seq.empty[String])))
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 4, seq = 9L)
+    val metaBefore = graft.view.IndexStore.readMeta(spark, path)
+    // empty store lists no local docs; a point read misses cleanly
+    assert(Replication.localDocs(spark, path).isEmpty)
+    assert(Replication.localDocGet(spark, path, "_local/x").isEmpty)
+    // batch 1: three checkpoints
+    val b1 = Seq(("_local/a", "s1", false), ("_local/b", "s2", false),
+      ("_local/c", "s3", false)).toDF("id", "body", "del")
+    val bs1 = Replication.localDocsUpsert(spark, path, b1, col("id"),
+      col("body"), col("del"))
+    assert(bs1.nonEmpty)
+    val l1 = Replication.localDocs(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(l1 == Seq(("_local/a", "0-1", "s1"), ("_local/b", "0-1", "s2"),
+      ("_local/c", "0-1", "s3")))
+    // batch 2: update a (counter bumps), delete b (row removed)
+    val b2 = Seq(("_local/a", "s9", false), ("_local/b", null, true))
+      .toDF("id", "body", "del")
+    Replication.localDocsUpsert(spark, path, b2, col("id"), col("body"),
+      col("del"))
+    val l2 = Replication.localDocs(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(l2 == Seq(("_local/a", "0-2", "s9"), ("_local/c", "0-1", "s3")))
+    // point read prunes to one bucket and agrees with the listing
+    val g = Replication.localDocGet(spark, path, "_local/a").collect()
+    assert(g.length == 1 && g(0).getString(1) == "0-2" &&
+      g(0).getString(2) == "s9")
+    // local writes moved NOTHING in the MVCC world: meta byte-equal
+    // (update_seq, purge_seq, createdSeq) and the doc relation intact
+    val metaAfter = graft.view.IndexStore.readMeta(spark, path)
+    assert(metaAfter.updateSeq == metaBefore.updateSeq &&
+      metaAfter.purgeSeq == metaBefore.purgeSeq &&
+      metaAfter.createdSeq == metaBefore.createdSeq)
+    assert(Replication.openTarget(spark, path).count() == 40)
+    assert(Replication.openTarget(spark, path)
+      .filter(col("id").startsWith("_local")).isEmpty)
+    // duplicate ids in one batch are rejected loudly
+    val dup = Seq(("_local/z", "x", false), ("_local/z", "y", false))
+      .toDF("id", "body", "del")
+    val e = intercept[IllegalArgumentException] {
+      Replication.localDocsUpsert(spark, path, dup, col("id"),
+        col("body"), col("del"))
+    }
+    assert(e.getMessage.contains("one write per id"))
+    // deleting an absent id is a clean no-op
+    val del = Seq(("_local/ghost", null.asInstanceOf[String], true))
+      .toDF("id", "body", "del")
+    Replication.localDocsUpsert(spark, path, del, col("id"), col("body"),
+      col("del"))
+    assert(Replication.localDocs(spark, path).count() == 2)
+  }
+
+  test("shardMap + docShard: counts sum to the corpus, probe matches placement") {
+    val dir = java.nio.file.Files.createTempDirectory("repl-shards").toString
+    val path = s"$dir/store"
+    val leaves = leavesDf((0 until 60).map(i =>
+      (s"d$i", 1L, s"h$i", false, Seq.empty[String])))
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 8, seq = 1L)
+    val m = Replication.shardMap(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.values.sum == 60L, s"shard rows must sum to the corpus: $m")
+    assert(m.keySet.forall(s => s >= 0 && s < 8))
+    // the probe routes to the directory that actually holds the doc
+    val withB = spark.read.parquet(s"$path/data")
+    (0 until 60 by 13).foreach { i =>
+      val want = withB.filter(col("id") === s"d$i")
+        .select(col("_b").cast("int")).head().getInt(0)
+      assert(Replication.docShard(spark, path, s"d$i") == want,
+        s"docShard(d$i) disagrees with placement")
+    }
+  }
 }

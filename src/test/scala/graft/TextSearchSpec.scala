@@ -833,4 +833,26 @@ class TextSearchSpec extends SparkSpecBase {
         "doc_id", "lang", groupLimit = 10, limitPerGroup = 10)
     assert(all.count() == 5, "doc 6 matches nothing; others all serve")
   }
+
+  test("searchAnalyze + analyzeCorpus: full pipeline, post-stopword positions") {
+    import TextSearch.Analyzer
+    val an = Analyzer(stopwords = Seq("the", "and"), stem = true)
+    // "the" and "and" drop BEFORE positions assign; stems apply after
+    val got = TextSearch.searchAnalyze(spark,
+        "The Ties and Parties value Cookies of batches", an)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((0, "ty"), (1, "party"), (2, "value"),
+      (3, "cooky"), (4, "of"), (5, "batche")),
+      s"analyze pipeline wrong: $got")
+    // default analyzer is exactly Text.tokens: no stop, no stem
+    val plain = TextSearch.searchAnalyze(spark, "The Ties And")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(plain == Seq((0, "the"), (1, "ties"), (2, "and")))
+    // corpus form agrees with the endpoint row for row
+    val docs = Seq((7L, "The Ties and Parties value Cookies of batches"))
+      .toDF("doc_id", "text")
+    val corp = TextSearch.analyzeCorpus(docs, $"doc_id", $"text", an)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(corp == got, s"corpus form diverged: $corp vs $got")
+  }
 }

@@ -362,6 +362,30 @@ class ViewSpec extends SparkSpecBase {
     assert(dd.cleanup(spark, root))
   }
 
+  test("viewCleanup: removes only orphaned view indexes, idempotent") {
+    import graft.view.{DesignDoc, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcln").toString
+    val root = s"$dir/ddoc"
+    val full = new DesignDoc(Map(
+      "by_status" -> View(orders, $"o_orderkey", $"o_orderstatus", lit(1)),
+      "by_price" -> View(orders, $"o_orderkey", $"o_totalprice", lit(1)),
+      "by_clerk" -> View(orders, $"o_orderkey", $"o_orderpriority", lit(1))))
+    full.materialize(root, numBuckets = 4, seq = 1)
+    // the ddoc edit drops by_clerk; cleanup reclaims exactly its index
+    val trimmed = new DesignDoc(full.views - "by_clerk")
+    assert(trimmed.viewCleanup(spark, root) == Seq("by_clerk"))
+    assert(!IndexStore.exists(spark, s"$root/by_clerk"))
+    assert(IndexStore.exists(spark, s"$root/by_status") &&
+      IndexStore.exists(spark, s"$root/by_price"))
+    // survivors still serve, and a second run removes nothing
+    val n = orders.count()
+    assert(trimmed.open(spark, root)("by_price")
+      .query(QueryOpts(reduce = false)).count() == n)
+    assert(trimmed.viewCleanup(spark, root).isEmpty)
+    // a missing root is a clean no-op, not an error
+    assert(trimmed.viewCleanup(spark, s"$dir/nowhere").isEmpty)
+  }
+
   test("queryPage: keyset resume survives an interleaved index update") {
     import graft.view.ResumeToken
     val dir = java.nio.file.Files.createTempDirectory("graft-page").toString
