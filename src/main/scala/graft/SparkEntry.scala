@@ -1868,6 +1868,92 @@ object SparkEntry {
       col("rev_pos"), col("rev_hash"), col("deleted"))
       .orderBy(col("id"))
 
+  /** H7: O(1) `_dbs_info` COUNT CACHE ([[graft.operators.Replication
+    * .dbsInfo]] fast path) — CouchDB keeps doc_count in the db
+    * header so `GET /db` never scans; the store's meta sidecar now
+    * carries winner-rule counts stamped at `countsSeq`, maintained
+    * by TOUCHED-BUCKET DELTA through every store writer (create,
+    * syncBatch, bulkDocsStore, purge; compact/reshard change no
+    * winner and carry the stamp). The gate stages create → interactive
+    * batch (deletes of `% 9 == 0` + creates of shifted `% 10 == 0`
+    * ids) → purge of the `% 18 == 0` tombstones, reads the meta's
+    * `cache_current` BEFORE the info call (so a broken delta cannot
+    * hide behind the scan fallback's self-heal), and serves
+    * `_dbs_info` — all counts restated arithmetically by the
+    * oracle. */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q258cc", dir, "documents")
+    val leaves = docs.select(col("doc_id").cast("string").as("id"),
+      lit(1L).as("rev_pos"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:l2")))
+        .as("rev_hash"),
+      lit(false).as("deleted"),
+      array().cast("array<string>").as("ancestors"))
+    Replication.createTarget(s, path, leaves, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 8, seq = 1L)
+    val writes = docs.filter(col("doc_id") % 9 === 0).select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("1-"), md5(concat(col("doc_id").cast("string"),
+          lit(":1:l2")))).as("base"),
+        lit(null).cast("string").as("body"), lit(true).as("del"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 20000000L).cast("string").as("id"),
+        lit(null).cast("string").as("base"),
+        concat(lit("fresh:"), col("doc_id").cast("string")).as("body"),
+        lit(false).as("del")))
+    Replication.bulkDocsStore(s, path, writes, col("id"), col("base"),
+      col("body"), col("del"), newSeq = 2L)
+    // purge the %18 tombstones outright (pos 2, the minted delete rev)
+    val purgeReq = docs.filter(col("doc_id") % 18 === 0).select(
+      col("doc_id").cast("string").as("id"), lit(2L).as("rev_pos"),
+      md5(concat(col("doc_id").cast("string"), lit(":2:"))).as("rev_hash"))
+    Replication.purgeTarget(s, path, purgeReq, col("id"), col("rev_pos"),
+      col("rev_hash"), newSeq = 3L)
+    // cache state BEFORE the info read: a broken delta cannot hide
+    // behind dbsInfo's scan-fallback self-heal
+    val meta = graft.view.IndexStore.readMeta(s, path)
+    val current = meta.countsSeq == meta.updateSeq && meta.docCount >= 0
+    Replication.dbsInfo(s, Seq("store" -> path))
+      .withColumn("cache_current", lit(current))
+  }
+
+  /** E30: corpus SNAPSHOT DIFF ([[graft.operators.Text.corpusDiff]])
+    * — the dataset-versioning report between v1 (documents) and a
+    * synthesized v2 (every `% 13 == 0` doc removed, every surviving
+    * `% 7 == 0` doc's text appended, every `% 11 == 0` doc re-added
+    * under a shifted id): docs and token totals per
+    * added/changed/removed/unchanged status. Each side reduces to
+    * `(id, md5, token_count)` BEFORE the full-outer join, so the
+    * diff's irreducible shuffle carries three narrow columns, never
+    * bodies; the oracle rebuilds v2 and the whole report in SQL. */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Text
+    val a = t(s, dir, "documents")
+    val b = a.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(a.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    Text.corpusDiff(a, b, col("doc_id"), col("text"))
+  }
+
+  /** A26e: `GET /db/{docid}?meta=true` ([[graft.operators.Revisions
+    * .docMeta]]) — winner + `_conflicts` + `_deleted_conflicts` in
+    * one aggregation over the q126 synthesized trees (the
+    * deleted-conflicts set is the tombstoned losing branches —
+    * divergences someone already resolved by deletion — the piece
+    * `summary` does not carry); the oracle extends the q126 window
+    * replay with the rn>1 AND deleted branch. */
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Revisions.docMeta(q126Leaves(s, dir), col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"))
+      .orderBy(col("id"))
+
   /** A37: `GET /db` info ([[graft.operators.Revisions.dbInfo]]) —
     * doc_count / doc_del_count resolved under the winner rule over the
     * q126 revision synthesis (a doc whose every branch is deleted
@@ -5763,7 +5849,10 @@ object SparkEntry {
     "q252_shards" -> (q252 _),
     "q253_search_analyze" -> (q253 _),
     "q254_vocab_coverage" -> (q254 _),
-    "q255_view_cleanup" -> (q255 _)
+    "q255_view_cleanup" -> (q255 _),
+    "q256_doc_meta" -> (q256 _),
+    "q257_corpus_diff" -> (q257 _),
+    "q258_dbs_info_cache" -> (q258 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8089,6 +8178,85 @@ object SparkEntry {
         |       COALESCE(c.n, 0) AS n_conflicts,
         |       COALESCE(c.lst, '') AS conflicts
         |FROM w LEFT JOIN c USING (doc_id) ORDER BY id""".stripMargin,
+    // meta=true: the q126 replay plus the deleted-conflicts branch
+    // (rn>1 AND deleted — tombstoned losing leaves)
+    "q256_doc_meta" ->
+      """WITH leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves),
+        |w AS (SELECT doc_id, rev_pos || '-' || rev_hash AS win_rev, deleted
+        |      FROM ranked WHERE rn = 1),
+        |c AS (SELECT doc_id, COUNT(*) AS n,
+        |        string_agg(rev_pos || '-' || rev_hash, ','
+        |                   ORDER BY rev_pos || '-' || rev_hash) AS lst
+        |      FROM ranked WHERE rn > 1 AND NOT deleted GROUP BY doc_id),
+        |d AS (SELECT doc_id, COUNT(*) AS n,
+        |        string_agg(rev_pos || '-' || rev_hash, ','
+        |                   ORDER BY rev_pos || '-' || rev_hash) AS lst
+        |      FROM ranked WHERE rn > 1 AND deleted GROUP BY doc_id)
+        |SELECT w.doc_id AS id, w.win_rev, w.deleted AS win_deleted,
+        |       COALESCE(c.n, 0) AS n_conflicts,
+        |       COALESCE(c.lst, '') AS conflicts,
+        |       COALESCE(d.n, 0) AS n_deleted_conflicts,
+        |       COALESCE(d.lst, '') AS deleted_conflicts
+        |FROM w LEFT JOIN c USING (doc_id) LEFT JOIN d USING (doc_id)
+        |ORDER BY id""".stripMargin,
+    // corpus diff: rebuild v2 (drop %13, edit %7 survivors, re-add
+    // %11 under shifted ids), then the per-status doc/token report
+    "q257_corpus_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'new ' || text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text = b.text THEN 'unchanged'
+        |              ELSE 'changed' END AS status,
+        |         COALESCE(len(list_filter(
+        |           string_split_regex(lower(trim(a.text)), '\s+'),
+        |           w -> w != '')), 0) AS ta,
+        |         COALESCE(len(list_filter(
+        |           string_split_regex(lower(trim(b.text)), '\s+'),
+        |           w -> w != '')), 0) AS tb
+        |  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |       CAST(SUM(ta) AS BIGINT) AS tokens_before,
+        |       CAST(SUM(tb) AS BIGINT) AS tokens_after
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    // count cache: create + batch (delete %9, add shifted %10) +
+    // purge (%18 tombstones — purging the tip RESURRECTS the rev-1
+    // ancestor live, so those docs count live again) restated
+    // arithmetically; cache_current pins the touched-bucket delta
+    // maintenance itself
+    "q258_dbs_info_cache" ->
+      """SELECT 'store' AS db_name,
+        |  (SELECT COUNT(*) FROM documents)
+        |    - (SELECT COUNT(*) FROM documents WHERE doc_id % 9 = 0)
+        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 18 = 0)
+        |    AS doc_count,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 9 = 0)
+        |    - (SELECT COUNT(*) FROM documents WHERE doc_id % 18 = 0)
+        |    AS doc_del_count,
+        |  CAST(3 AS BIGINT) AS update_seq,
+        |  CAST(8 AS BIGINT) AS buckets,
+        |  true AS cache_current""".stripMargin,
     // the greedy first-touch funnel chain: per-step conditional MINs
     "q127_funnel" ->
       """WITH ev AS (

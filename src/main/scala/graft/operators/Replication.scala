@@ -398,6 +398,36 @@ object Replication {
       h.cast("string").as("rev_hash"), d.cast("boolean").as("deleted"),
       a.as("ancestors"))
 
+  /** Winner-rule `(doc_count, doc_del_count)` of a leaf relation —
+    * ONE bounded aggregation. The count-cache maintainers call this
+    * only over touched buckets or batch-sized relations, never whole
+    * stores (that is exactly the scan the cache exists to avoid). */
+  private def winnerCounts(leaves: DataFrame): (Long, Long) = {
+    val r = Revisions.dbInfo(leaves, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The delta-maintained counts stamp: starting from `meta`, advance
+    * the cached winner-rule counts by (new touched rows − old touched
+    * rows) when the cache was CURRENT before this write; leave the
+    * stamp stale otherwise (readers fall back to the scan and
+    * self-heal). Both relations must hold the touched buckets'
+    * COMPLETE docs (id-hash bucketing guarantees a doc never spans
+    * buckets, so winner resolution inside the touched set is total). */
+  private def countsAfter(meta: IndexMeta, oldTouched: DataFrame,
+                          newTouched: DataFrame, newSeq: Long)
+      : IndexMeta = {
+    val base = meta.copy(updateSeq = newSeq)
+    if (meta.countsSeq != meta.updateSeq || meta.docCount < 0) base
+    else {
+      val (od, ox) = winnerCounts(oldTouched)
+      val (nd, nx) = winnerCounts(newTouched)
+      base.copy(docCount = meta.docCount + nd - od,
+        delCount = meta.delCount + nx - ox, countsSeq = newSeq)
+    }
+  }
+
   def targetExists(spark: SparkSession, path: String): Boolean =
     IndexStore.exists(spark, path)
 
@@ -420,7 +450,12 @@ object Replication {
       .sortWithinPartitions(col("_b"), col("id"), col("rev_pos"),
         col("rev_hash"))
       .write.mode("overwrite").partitionBy("_b").parquet(dataDir(path))
-    IndexStore.writeMeta(spark, path, IndexMeta(seq, n, Nil))
+    // stamp the count cache at creation (read back what was written —
+    // one aggregation over the fresh store, the only full pass the
+    // cache ever costs; every later writer maintains it by delta)
+    val (dc, xc) = winnerCounts(spark.read.parquet(dataDir(path)))
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, n, Nil,
+      docCount = dc, delCount = xc, countsSeq = seq))
   }
 
   /** The stored leaf relation `(id, rev_pos, rev_hash, deleted,
@@ -502,11 +537,15 @@ object Replication {
       val out = bucketRows.join(ids, Seq("id"), "left_anti")
         .unionByName(mergedTouched
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
+      // count-cache delta BEFORE the swap: both relations read the
+      // OLD bucket files, which the swap replaces
+      val newMeta = countsAfter(meta, bucketRows.drop("_b"),
+        out.drop("_b"),
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1)
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         dataDir(path), "_b", bs,
         Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
-      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
-        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
+      IndexStore.writeMeta(spark, path, newMeta)
       bs
     } finally ids.unpersist()
   }
@@ -583,11 +622,14 @@ object Replication {
       val out = bucketRows.join(ids, Seq("id"), "left_anti")
         .unionByName(res.leaves
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
+      // count-cache delta BEFORE the swap (reads the old bucket files)
+      val newMeta = countsAfter(meta, bucketRows.drop("_b"),
+        out.drop("_b"),
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1)
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         dataDir(path), "_b", bs,
         Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
-      IndexStore.writeMeta(spark, path, meta.copy(updateSeq =
-        if (newSeq >= 0) newSeq else meta.updateSeq + 1))
+      IndexStore.writeMeta(spark, path, newMeta)
       BulkDocsStoreResult(rep, bs)
     } finally ids.unpersist()
   }
@@ -930,6 +972,10 @@ object Replication {
       val out = bucketRows.join(present, Seq("id"), "left_anti")
         .unionByName(newTouched
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
+      // count-cache delta BEFORE the swap (reads the old bucket files)
+      val newMeta = countsAfter(meta, bucketRows.drop("_b"),
+        out.drop("_b"),
+        if (newSeq >= 0) newSeq else meta.updateSeq + 1)
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         dataDir(path), "_b", bs,
         Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
@@ -941,9 +987,7 @@ object Replication {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/purges/_pq=$pq")
       present.unpersist()
-      IndexStore.writeMeta(spark, path, meta.copy(
-        updateSeq = if (newSeq >= 0) newSeq else meta.updateSeq + 1,
-        purgeSeq = pq))
+      IndexStore.writeMeta(spark, path, newMeta.copy(purgeSeq = pq))
       bs
     } finally req.unpersist()
   }
@@ -1028,21 +1072,35 @@ object Replication {
   /** CouchDB's `POST /_dbs_info` over persisted targets: one row per
     * named store — live doc count, deleted (tombstone-winner) count,
     * `update_seq`, and the shard (`_b` bucket) count, the fields a
-    * replication monitor reads. Each store contributes one
-    * [[graft.operators.Revisions.dbInfo]] aggregation (a single
-    * partial-aggregated pass over its leaves — no shuffle beyond the
-    * final 1-row combine) plus its meta scalars; the union is
-    * |dbs| one-row frames, driver-cheap by definition. */
+    * replication monitor reads.
+    *
+    * Counts serve from the meta sidecar's CACHED winner-rule counts
+    * whenever the cache is current (`countsSeq == updateSeq` — every
+    * store writer maintains it by touched-bucket delta), so the
+    * steady-state poll is N stat calls with NO data scanned, CouchDB's
+    * own O(1) `GET /db` shape. A store whose stamp is stale (written
+    * by a pre-cache artifact or an out-of-band tool) falls back to
+    * one [[graft.operators.Revisions.dbInfo]] aggregation and
+    * SELF-HEALS the stamp, so the scan happens once, not per poll. */
   def dbsInfo(spark: SparkSession,
               dbs: Seq[(String, String)]): DataFrame = {
     require(dbs.nonEmpty, "dbsInfo: at least one (name, path) required")
+    import spark.implicits._
     dbs.map { case (name, path) =>
       val meta = IndexStore.readMeta(spark, path)
-      Revisions.dbInfo(openTarget(spark, path), col("id"),
-          col("rev_pos"), col("rev_hash"), col("deleted"))
-        .select(lit(name).as("db_name"), col("doc_count"),
-          col("doc_del_count"), lit(meta.updateSeq).as("update_seq"),
-          lit(meta.buckets.toLong).as("buckets"))
+      val (dc, xc) =
+        if (meta.countsSeq == meta.updateSeq && meta.docCount >= 0)
+          (meta.docCount, meta.delCount)
+        else {
+          val scanned = winnerCounts(openTarget(spark, path))
+          IndexStore.writeMeta(spark, path, meta.copy(
+            docCount = scanned._1, delCount = scanned._2,
+            countsSeq = meta.updateSeq))
+          scanned
+        }
+      Seq((name, dc, xc, meta.updateSeq, meta.buckets.toLong))
+        .toDF("db_name", "doc_count", "doc_del_count", "update_seq",
+          "buckets")
     }.reduce(_ unionByName _)
   }
 

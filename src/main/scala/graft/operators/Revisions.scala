@@ -73,6 +73,42 @@ object Revisions {
         concat_ws(",", col("confl")).as("conflicts"))
   }
 
+  /** `GET /db/{docid}?meta=true` — the full per-document revision
+    * metadata read in ONE aggregation: the winner, its deleted flag,
+    * the `_conflicts` array (losing LIVE leaves — [[summary]]'s set)
+    * AND the `_deleted_conflicts` array (losing TOMBSTONED leaves:
+    * branches that were conflicts until someone deleted them — the
+    * set a conflict-repair tool checks to know a divergence was
+    * already resolved, and the one piece of `meta=true` [[summary]]
+    * does not carry). Both sets sorted, reported as count +
+    * comma-joined list. Same single partial-aggregable `max(struct)`
+    * groupBy shape as [[summary]] — the extra array is one more
+    * conditional collect in the SAME pass, not a second scan. A
+    * deleted winner removes itself from the deleted set exactly as a
+    * live winner does from the conflict set. */
+  def docMeta(df: DataFrame, id: Column, revPos: Column,
+              revHash: Column, deleted: Column): DataFrame = {
+    val leaves = norm(df, id, revPos, revHash, deleted)
+    val rev = concat(col("_pos").cast("string"), lit("-"), col("_hash"))
+    leaves
+      .groupBy(col("_id"))
+      .agg(
+        max(struct((!col("_del")).as("live"), col("_pos").as("pos"),
+          col("_hash").as("hash"))).as("w"),
+        sort_array(collect_list(when(!col("_del"), rev))).as("liveRevs"),
+        sort_array(collect_list(when(col("_del"), rev))).as("delRevs"))
+      .withColumn("win_rev",
+        concat(col("w.pos").cast("string"), lit("-"), col("w.hash")))
+      .withColumn("confl", array_remove(col("liveRevs"), col("win_rev")))
+      .withColumn("dconfl", array_remove(col("delRevs"), col("win_rev")))
+      .select(col("_id").as("id"), col("win_rev"),
+        (!col("w.live")).as("win_deleted"),
+        size(col("confl")).cast("long").as("n_conflicts"),
+        concat_ws(",", col("confl")).as("conflicts"),
+        size(col("dconfl")).cast("long").as("n_deleted_conflicts"),
+        concat_ws(",", col("dconfl")).as("deleted_conflicts"))
+  }
+
   /** The conflict relation itself: one row per losing live leaf,
     * `(id, rev_pos, rev_hash)` — what a replicator enumerates to repair
     * divergence. Exploded from [[summary]]'s bounded per-doc set. */

@@ -896,6 +896,45 @@ object Text {
         .expr("(n_tokens * 1000L) div n_docs").as("avg_tokens_x1000")): _*)
   }
 
+  /** Corpus SNAPSHOT DIFF — the dataset-versioning report between two
+    * releases of the same corpus: which documents were `added`,
+    * `removed`, `changed` (same id, different content — compared by
+    * md5 of the text, never by shipping bodies through the shuffle),
+    * or `unchanged`, with document and token totals per status
+    * (tokens_before from snapshot A's text, tokens_after from B's) —
+    * the "what moved between v1 and v2" audit a training-data release
+    * publishes next to its dataset card. Returns one row per status
+    * present, in status order:
+    * `(status, n_docs, tokens_before, tokens_after)`.
+    *
+    * Shape for 100 TB: each side reduces to `(id, md5, token_count)`
+    * BEFORE the join — the full-outer join (the irreducible step of
+    * any diff) carries three narrow columns, not documents; the
+    * status rollup after it is partial-aggregated. One shuffle per
+    * side + the join, no window, no collect. */
+  def corpusDiff(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame,
+                 id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    def side(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.select(id.cast("long").as("_id"),
+        md5(text.cast("string")).as(s"_h$tag"),
+        tokenCount(text).as(s"_t$tag"))
+    val j = side(a, "a").join(side(b, "b"), Seq("_id"), "full_outer")
+    val status = when(col("_ha").isNull, lit("added"))
+      .when(col("_hb").isNull, lit("removed"))
+      .when(col("_ha") === col("_hb"), lit("unchanged"))
+      .otherwise(lit("changed"))
+    j.select(status.as("status"),
+        coalesce(col("_ta"), lit(0L)).as("_ta"),
+        coalesce(col("_tb"), lit(0L)).as("_tb"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ta")).as("tokens_before"),
+        sum(col("_tb")).as("tokens_after"))
+      .orderBy(col("status"))
+  }
+
   /** Vocabulary COVERAGE CURVE — the tokenizer-design read every
     * vocab-size decision runs: for each cut `k`, what fraction of the
     * corpus's token OCCURRENCES do the `k` most frequent token types

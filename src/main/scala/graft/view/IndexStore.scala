@@ -35,7 +35,19 @@ final case class IndexMeta(updateSeq: Long, buckets: Int,
                              * when no prior meta exists and preserved
                              * by every later write; -1 on artifacts
                              * written before the field existed. */
-                           createdSeq: Long = -1L)
+                           createdSeq: Long = -1L,
+                           /** Winner-rule document counts CACHED at
+                             * `countsSeq` (CouchDB keeps doc_count in
+                             * the db header — `GET /db` is O(1), not
+                             * a scan). Valid ONLY when `countsSeq ==
+                             * updateSeq`: a writer that does not
+                             * maintain the counts leaves them stale
+                             * and readers fall back to the scan (and
+                             * self-heal the stamp). -1 = never
+                             * stamped. */
+                           docCount: Long = -1L,
+                           delCount: Long = -1L,
+                           countsSeq: Long = -1L)
 
 /** On-disk layout and maintenance of a persistent view index — the
   * reference's design-doc view storage (pouchdb-abstract-mapreduce's
@@ -189,6 +201,9 @@ object IndexStore {
       sb.append(s"purgeSeq=${meta.purgeSeq}\n")
     if (meta.createdSeq >= 0)
       sb.append(s"createdSeq=${meta.createdSeq}\n")
+    if (meta.countsSeq >= 0)
+      sb.append(s"counts=${meta.docCount}:${meta.delCount}:" +
+        s"${meta.countsSeq}\n")
     val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -199,7 +214,7 @@ object IndexStore {
                finally in.close()
     val dec = java.util.Base64.getDecoder
     var seq = 0L; var buckets = 0; var rgroups = -1L; var pq = 0L
-    var created = -1L
+    var created = -1L; var doc = -1L; var del = -1L; var cseq = -1L
     val bounds = Seq.newBuilder[(Int, Array[Byte])]
     text.linesIterator.foreach {
       case l if l.startsWith("updateSeq=") => seq = l.drop(10).toLong
@@ -210,9 +225,13 @@ object IndexStore {
       case l if l.startsWith("rgroups=") => rgroups = l.drop(8).toLong
       case l if l.startsWith("purgeSeq=") => pq = l.drop(9).toLong
       case l if l.startsWith("createdSeq=") => created = l.drop(11).toLong
+      case l if l.startsWith("counts=") =>
+        val Array(dc, xc, cs) = l.drop(7).split(":", 3)
+        doc = dc.toLong; del = xc.toLong; cseq = cs.toLong
       case _ => ()
     }
-    IndexMeta(seq, buckets, bounds.result(), rgroups, pq, created)
+    IndexMeta(seq, buckets, bounds.result(), rgroups, pq, created,
+      doc, del, cseq)
   }
 
   /** Full (re)build: range-bucket the view rows by collation key, write

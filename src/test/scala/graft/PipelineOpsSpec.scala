@@ -1158,6 +1158,25 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"corpusProfile must be one Expand/rollup pass:\n$plan")
   }
 
+  test("corpusDiff: added/changed/removed/unchanged with token totals") {
+    import graft.operators.Text
+    val a = Seq((1L, "x y"), (2L, "p q r"), (3L, "gone doc"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "x y"), (2L, "p q r s"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Text.corpusDiff(a, b, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("added", 1L, 0L, 2L), ("changed", 1L, 3L, 4L),
+      ("removed", 1L, 2L, 0L), ("unchanged", 1L, 2L, 2L)),
+      s"diff report wrong: $got")
+    // identical snapshots: a single unchanged row
+    val same = Text.corpusDiff(a, a, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(same == Seq(("unchanged", 3L)))
+  }
+
   test("vocabCoverage: hand-computed curve, deterministic tie order, bounded top") {
     import graft.operators.Text
     // counts: a=4, b=2, c=1, d=1 (ties c/d break on token asc); total=8

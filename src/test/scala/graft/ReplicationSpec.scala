@@ -889,6 +889,55 @@ class ReplicationSpec extends SparkSpecBase {
     assert(Replication.localDocs(spark, path).count() == 2)
   }
 
+  test("dbsInfo count cache: delta-maintained through writers, self-heals when stale") {
+    import graft.view.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("repl-cc").toString
+    val path = s"$dir/store"
+    def scanCounts(): (Long, Long) = {
+      val r = graft.operators.Revisions.dbInfo(
+        Replication.openTarget(spark, path), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def cached(): (Long, Long, Boolean) = {
+      val m = IndexStore.readMeta(spark, path)
+      (m.docCount, m.delCount, m.countsSeq == m.updateSeq)
+    }
+    // create: 5 live + 1 tombstone winner → (5, 1) stamped at seq 1
+    val leaves = leavesDf(
+      (0 until 5).map(i => (s"d$i", 1L, s"h$i", false, Seq.empty[String])) :+
+        ("dead", 1L, "tt", true, Seq.empty[String]))
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 4, seq = 1L)
+    assert(cached() == (5L, 1L, true))
+    // interactive batch: delete d0, create d9 → (5, 2), still current
+    val w = Seq(("d0", "1-h0", null.asInstanceOf[String], true),
+      ("d9", null.asInstanceOf[String], "niner", false))
+      .toDF("id", "base", "body", "del")
+    Replication.bulkDocsStore(spark, path, w, col("id"), col("base"),
+      col("body"), col("del"), newSeq = 2L)
+    assert(cached() == (5L, 2L, true), s"after batch: ${cached()}")
+    assert(scanCounts() == (5L, 2L), "cache must equal the scan")
+    // purge d0's tombstone (no ancestors survive the purge because the
+    // minted delete rev carries '1-h0' as its path — the ancestor
+    // RESURRECTS live); counts move accordingly and stay current
+    val mint = java.security.MessageDigest.getInstance("MD5")
+      .digest("d0:2:".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pr = Seq(("d0", 2L, mint)).toDF("id", "rev_pos", "rev_hash")
+    Replication.purgeTarget(spark, path, pr, col("id"), col("rev_pos"),
+      col("rev_hash"), newSeq = 3L)
+    assert(cached()._3, "cache must stay current through purge")
+    assert((cached()._1, cached()._2) == scanCounts(),
+      s"purge delta drifted: ${cached()} vs ${scanCounts()}")
+    // stale stamp (out-of-band writer): info still right, then healed
+    IndexStore.writeMeta(spark, path, IndexStore.readMeta(spark, path)
+      .copy(docCount = -1L, delCount = -1L, countsSeq = -1L))
+    val info = Replication.dbsInfo(spark, Seq("s" -> path)).head()
+    assert((info.getLong(1), info.getLong(2)) == scanCounts())
+    assert(cached()._3, "dbsInfo must self-heal the stale stamp")
+  }
+
   test("shardMap + docShard: counts sum to the corpus, probe matches placement") {
     val dir = java.nio.file.Files.createTempDirectory("repl-shards").toString
     val path = s"$dir/store"

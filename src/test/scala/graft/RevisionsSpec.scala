@@ -21,6 +21,27 @@ class RevisionsSpec extends SparkSpecBase {
         r.getLong(3), r.getString(4)))
       .toSeq
 
+  test("docMeta: conflicts AND deleted_conflicts, winner excluded from its set") {
+    def meta(rows: Seq[(String, Long, String, Boolean)]) =
+      Revisions.docMeta(leaves(rows), col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"))
+        .orderBy(col("id")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getString(4), r.getLong(5), r.getString(6)))
+        .toSeq
+    // live winner, one live conflict, one tombstoned branch
+    val got = meta(Seq(
+      ("a", 3L, "cc", false), ("a", 3L, "aa", false), ("a", 2L, "dd", true)))
+    assert(got == Seq(("a", "3-cc", false, 1L, "3-aa", 1L, "2-dd")))
+    // all-dead doc: the tombstone winner leaves the OTHER tombstone
+    // as the deleted conflict, never itself
+    val dead = meta(Seq(("b", 2L, "xx", true), ("b", 1L, "yy", true)))
+    assert(dead == Seq(("b", "2-xx", true, 0L, "", 1L, "1-yy")))
+    // single live leaf: both sets empty
+    assert(meta(Seq(("c", 1L, "zz", false))) ==
+      Seq(("c", "1-zz", false, 0L, "", 0L, "")))
+  }
+
   test("a live leaf beats a DEEPER deleted leaf") {
     val got = summarize(Seq(
       ("a", 5L, "ffff", true), ("a", 2L, "aaaa", false)))
