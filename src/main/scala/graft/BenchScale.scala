@@ -141,6 +141,18 @@ object BenchScale {
         "token_shards" -> (() =>
           noop(graft.operators.Relational.shardByTokenBudget(d,
             col("doc_id"), Text.tokenCount(col("text")), 500L))),
+        // explode + partial-agg type table, then a TakeOrdered of only
+        // max(ks) types: a 10× corpus with ~the same vocabulary pays
+        // ~only the extra scan (sublinear ratio expected)
+        "vocab_coverage" -> (() =>
+          noop(Text.vocabCoverage(d, col("text"), Seq(10, 100, 1000)))),
+        // (id, md5, token_count) reduction per side + one full-outer
+        // join on id — linear in the two snapshots by design
+        "corpus_diff" -> (() =>
+          noop(Text.corpusDiff(d,
+            d.filter(col("doc_id") % 13 =!= 0).select(col("doc_id"),
+              concat(col("text"), lit(" x")).as("text")),
+            col("doc_id"), col("text")))),
         // one Expand pass over the corpus: linear by design
         "corpus_profile" -> (() =>
           noop(Text.corpusProfile(d.select(col("doc_id"), col("text"),
@@ -346,7 +358,23 @@ object BenchScale {
             s"$tmp/graft_scale_${tag}_repl", writes, col("id"),
             col("base"), col("body"), col("del"))
           ()
-        }))
+        }),
+        // 100 local-doc writes rewrite only their ids' _lb buckets —
+        // ~flat whatever the store size (the checkpoint-write shape)
+        "local_docs_upsert" -> (() => {
+          val w = d.select(col("doc_id")).filter(col("doc_id") < 100)
+            .select(concat(lit("_local/ck-"), col("doc_id")).as("id"),
+              lit("probe").as("body"), lit(false).as("del"))
+          graft.operators.Replication.localDocsUpsert(spark,
+            s"$tmp/graft_scale_${tag}_repl", w, col("id"), col("body"),
+            col("del"))
+          ()
+        }),
+        // count-cache read: N stat calls, no data scanned — must be
+        // FLAT at 10× (a ratio near 10 means the cache fell back)
+        "dbs_info_cached" -> (() =>
+          noop(graft.operators.Replication.dbsInfo(spark,
+            Seq("r" -> s"$tmp/graft_scale_${tag}_repl")))))
       (builds2, probes)
     }
     val (baseBuilds, baseProbes) = servingSetup(docs, emb, "base")

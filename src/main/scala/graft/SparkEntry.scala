@@ -1868,6 +1868,75 @@ object SparkEntry {
       col("rev_pos"), col("rev_hash"), col("deleted"))
       .orderBy(col("id"))
 
+  /** A50: conflict REPAIR ([[graft.operators.Replication
+    * .repairConflicts]]) — CouchDB's documented resolution recipe
+    * (DELETE every losing revision) as one store verb over the q126
+    * trees: after repair, every doc's `_conflicts` is empty, winners
+    * have not moved, and the losers surface in `_deleted_conflicts`
+    * as the minted repair tombstones — read back through
+    * [[graft.operators.Revisions.docMeta]] and replayed rev-for-rev
+    * (the mint is `md5(id:(pos+1):repair:loserHash)`). Apply leg is
+    * [[graft.operators.Replication.syncBatch]], bounded to the
+    * conflicted ids' buckets. */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Replication, Revisions}
+    val path = idxPath("q259rp", dir, "documents")
+    val leaves = q126Leaves(s, dir)
+      .withColumn("ancestors", array().cast("array<string>"))
+    Replication.createTarget(s, path, leaves, col("doc_id"),
+      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 8, seq = 1L)
+    Replication.repairConflicts(s, path, newSeq = 2L)
+    Revisions.docMeta(Replication.openTarget(s, path), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"))
+      .orderBy(col("id"))
+  }
+
+  /** A51: `purged_infos_limit` — purge-log TRIMMING
+    * ([[graft.operators.Replication.trimPurgeLog]]) with the
+    * stale-index guard: three purge batches land, the log trims to
+    * the newest one (driver directory deletes, no data job), a
+    * catch-up from the still-covered cursor serves normally, and a
+    * catch-up from before the trim point throws the LOUD rebuild
+    * instruction instead of a silent partial id set (CouchDB's
+    * contract for an indexer lagging past the limit). VERDICT
+    * relation; a second trim removing anything flips a bit. */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    val docs = t(s, dir, "documents")
+    val path = idxPath("q260tp", dir, "documents")
+    val leaves = docs.select(col("doc_id").cast("string").as("id"),
+      lit(1L).as("rev_pos"),
+      md5(concat(col("doc_id").cast("string"), lit(":1:l3")))
+        .as("rev_hash"),
+      lit(false).as("deleted"),
+      array().cast("array<string>").as("ancestors"))
+    Replication.createTarget(s, path, leaves, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"),
+      numBuckets = 8, seq = 1L)
+    def purgeMod(m: Int): Unit = Replication.purgeTarget(s, path,
+      docs.filter(col("doc_id") % m === 0).select(
+        col("doc_id").cast("string").as("id"), lit(1L).as("rev_pos"),
+        md5(concat(col("doc_id").cast("string"), lit(":1:l3")))
+          .as("rev_hash")),
+      col("id"), col("rev_pos"), col("rev_hash"))
+    purgeMod(31); purgeMod(37); purgeMod(41)
+    val removed = Replication.trimPurgeLog(s, path, limit = 1)
+    val again = Replication.trimPurgeLog(s, path, limit = 1)
+    val ok2 = Replication.pendingPurges(s, path, sincePurgeSeq = 2L)
+    val okCatchup = ok2.purgeSeq == 3L && ok2.goneIds.nonEmpty
+    val staleLoud =
+      try { Replication.pendingPurges(s, path, 0L); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("rebuild") }
+    import s.implicits._
+    Seq(("catchup_from_2_ok", if (okCatchup) 1L else 0L),
+      ("removed_batches_1_2", if (removed == Seq(1L, 2L)) 1L else 0L),
+      ("stale_loud", if (staleLoud) 1L else 0L),
+      ("trim_idempotent", if (again.isEmpty) 1L else 0L))
+      .toDF("fact", "value").orderBy(col("fact"))
+  }
+
   /** H7: O(1) `_dbs_info` COUNT CACHE ([[graft.operators.Replication
     * .dbsInfo]] fast path) — CouchDB keeps doc_count in the db
     * header so `GET /db` never scans; the store's meta sidecar now
@@ -5852,7 +5921,9 @@ object SparkEntry {
     "q255_view_cleanup" -> (q255 _),
     "q256_doc_meta" -> (q256 _),
     "q257_corpus_diff" -> (q257 _),
-    "q258_dbs_info_cache" -> (q258 _)
+    "q258_dbs_info_cache" -> (q258 _),
+    "q259_conflict_repair" -> (q259 _),
+    "q260_purge_log_trim" -> (q260 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8257,6 +8328,49 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS update_seq,
         |  CAST(8 AS BIGINT) AS buckets,
         |  true AS cache_current""".stripMargin,
+    // purge-log trim verdict: batches 1,2 removed, covered catch-up
+    // serves, pre-trim catch-up is loud, re-trim removes nothing
+    "q260_purge_log_trim" ->
+      """SELECT * FROM (VALUES
+        |  ('catchup_from_2_ok', CAST(1 AS BIGINT)),
+        |  ('removed_batches_1_2', CAST(1 AS BIGINT)),
+        |  ('stale_loud', CAST(1 AS BIGINT)),
+        |  ('trim_idempotent', CAST(1 AS BIGINT))) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
+    // conflict repair: winners frozen, conflicts emptied, losers
+    // reappear as the minted repair tombstones in deleted_conflicts
+    "q259_conflict_repair" ->
+      """WITH leaves AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS rev_pos,
+        |         md5(doc_id || ':' || (1 + doc_id % 4) || ':m') AS rev_hash,
+        |         (doc_id % 7 = 0) AS deleted
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 + (doc_id // 3) % 4,
+        |         md5(doc_id || ':' || (1 + (doc_id // 3) % 4) || ':c'),
+        |         (doc_id % 6 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY deleted ASC, rev_pos DESC, rev_hash DESC) AS rn
+        |  FROM leaves),
+        |w AS (SELECT doc_id, rev_pos || '-' || rev_hash AS win_rev, deleted
+        |      FROM ranked WHERE rn = 1),
+        |dels AS (
+        |  SELECT doc_id, rev_pos || '-' || rev_hash AS rev
+        |  FROM ranked WHERE rn > 1 AND deleted
+        |  UNION ALL
+        |  SELECT doc_id, (rev_pos + 1) || '-' ||
+        |         md5(doc_id || ':' || (rev_pos + 1) || ':repair:' || rev_hash)
+        |  FROM ranked WHERE rn > 1 AND NOT deleted),
+        |d AS (SELECT doc_id, COUNT(*) AS n,
+        |        string_agg(rev, ',' ORDER BY rev) AS lst
+        |      FROM dels GROUP BY doc_id)
+        |SELECT w.doc_id AS id, w.win_rev, w.deleted AS win_deleted,
+        |       CAST(0 AS BIGINT) AS n_conflicts, '' AS conflicts,
+        |       COALESCE(d.n, 0) AS n_deleted_conflicts,
+        |       COALESCE(d.lst, '') AS deleted_conflicts
+        |FROM w LEFT JOIN d USING (doc_id) ORDER BY id""".stripMargin,
     // the greedy first-touch funnel chain: per-step conditional MINs
     "q127_funnel" ->
       """WITH ev AS (

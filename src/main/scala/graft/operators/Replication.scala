@@ -665,6 +665,7 @@ object Replication {
         col("rev_hash"))
       .write.partitionBy("_b").parquet(dataDir(tmp))
     IndexStore.writeMeta(spark, tmp, meta.copy(buckets = n2))
+    carrySidecars(spark, fs, path, tmp, rebucketLocalTo = Some(n2))
     val old = new Path(path + "._old")
     fs.delete(old, true)
     if (!fs.rename(new Path(path), old))
@@ -705,7 +706,9 @@ object Replication {
     * store (only the touched `_b` buckets are read/rewritten,
     * whatever the target's size) → checkpoint past everything
     * SCANNED (rejected changes advance it too — the FilteredRound
-    * rule). A throwing doc reports `state = "error"` with the
+    * rule), mirrored as a `_local/<repId>` doc on the TARGET (the
+    * CouchDB/PouchDB shape: a replicated-into store's `_local_docs`
+    * lists its replications). A throwing doc reports `state = "error"` with the
     * message and does NOT stop the sweep: CouchDB's scheduler
     * isolates jobs, one broken doc must not starve the rest.
     * Output: `(doc_id, state, changes_scanned, docs_synced,
@@ -746,6 +749,19 @@ object Replication {
         val nSynced = ids.count()
         val last = ChangesFeed.checkpointAfter(spark, d.feedPath, effId,
           scanned)
+        // CouchDB writes the checkpoint as a _local doc on the TARGET
+        // too — mirror it so `GET /db/_local_docs` on a replicated
+        // store shows its replications, the PouchDB-visible shape.
+        // One id-bucket rewrite; invisible to counts/seq by A47's
+        // construction. Target may not exist yet when the round
+        // scanned nothing (no first batch ever landed).
+        if (last > since && targetExists(spark, d.targetPath)) {
+          import spark.implicits._
+          localDocsUpsert(spark, d.targetPath,
+            Seq((s"_local/${effId}", s"""{"last_seq":$last}""", false))
+              .toDF("id", "body", "del"),
+            col("id"), col("body"), col("del"))
+        }
         (d.docId, "completed", nScanned, nSynced, bs.size.toLong, last,
           null: String)
       } catch {
@@ -1012,6 +1028,18 @@ object Replication {
     val meta = IndexStore.readMeta(spark, path)
     if (meta.purgeSeq <= sincePurgeSeq)
       return PendingPurges(meta.purgeSeq, Nil, Nil)
+    // the catch-up is only sound if the log still COVERS the cursor:
+    // a batch trimmed by [[trimPurgeLog]] is gone, and serving a
+    // partial id set would leave purged docs in the index silently —
+    // CouchDB's rule for an index lagging past purged_infos_limit is
+    // a REBUILD, and we say so loudly
+    val oldest = oldestPurgeBatch(spark, path)
+    if (oldest > sincePurgeSeq + 1)
+      throw new IllegalStateException(
+        s"pendingPurges: purge batches (${sincePurgeSeq + 1}, " +
+          s"${oldest - 1}] were trimmed from the log at $path " +
+          "(purged_infos_limit) — the index is too stale to catch " +
+          "up incrementally; rebuild it from the current store")
     val ids = IndexStore.readWhere(spark, s"$path/purges", "_pq",
         q => q > sincePurgeSeq && q <= meta.purgeSeq)
       .filter(col("_pq") > sincePurgeSeq && col("_pq") <= meta.purgeSeq)
@@ -1028,6 +1056,91 @@ object Replication {
         .collect().map(_.get(0)).toSeq
       PendingPurges(meta.purgeSeq, gone, alive)
     } finally ids.unpersist()
+  }
+
+  /** Sidecars travel WITH the store through whole-directory swaps:
+    * the purge log (the proof behind meta's purgeSeq — losing it
+    * strands every secondary index on a loud rebuild) and the
+    * `_local` docs (client state; CouchDB compaction keeps local
+    * docs) are part of the DATABASE, not of the data layout a
+    * compact/reshard rewrites. The purge log copies as-is (`_pq`
+    * batch dirs are seq-keyed, independent of bucket count); local
+    * docs copy as-is under the same bucket count and REBUCKET under
+    * a new one (their `_lb` routing hashes against meta.buckets —
+    * a tiny checkpoint-scale job, never data-sized). */
+  private def carrySidecars(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            src: String, dst: String,
+                            rebucketLocalTo: Option[Int]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pg = new Path(s"$src/purges")
+    if (fs.exists(pg) &&
+        !org.apache.hadoop.fs.FileUtil.copy(fs, pg, fs,
+          new Path(s"$dst/purges"), false, conf))
+      throw new java.io.IOException(
+        s"sidecar carry: purge-log copy failed ($pg -> $dst/purges)")
+    val lc = new Path(localDir(src))
+    if (fs.exists(lc)) rebucketLocalTo match {
+      case None =>
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, lc, fs,
+            new Path(localDir(dst)), false, conf))
+          throw new java.io.IOException(
+            s"sidecar carry: local-docs copy failed ($lc)")
+      case Some(n2) =>
+        spark.read.parquet(localDir(src))
+          .select(col("id"), col("rev_n"), col("body"))
+          .withColumn("_lb", IndexStore.idBucket(col("id"), n2))
+          .repartition(1)
+          .sortWithinPartitions(col("_lb"), col("id"))
+          .write.mode("overwrite").partitionBy("_lb")
+          .parquet(localDir(dst))
+    }
+  }
+
+  /** The oldest purge batch id still present in the log (`purgeSeq +
+    * 1` when the log is empty or absent — nothing pending, nothing
+    * trimmed-away). One directory listing, no data read. */
+  private def oldestPurgeBatch(spark: SparkSession, path: String): Long = {
+    val fs = IndexStore.fsFor(spark, path)
+    val dir = new Path(s"$path/purges")
+    if (!fs.exists(dir))
+      return IndexStore.readMeta(spark, path).purgeSeq + 1
+    val ids = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_pq="))
+      .map(_.drop(4).toLong)
+    if (ids.isEmpty) IndexStore.readMeta(spark, path).purgeSeq + 1
+    else ids.min
+  }
+
+  /** CouchDB's `purged_infos_limit`: trim the purge log to the newest
+    * `limit` batches — purge requests are kept only long enough for
+    * secondary indexes to catch up ([[pendingPurges]]), and a store
+    * that purges forever would otherwise grow a log forever. Removes
+    * every `_pq` directory at or below `purgeSeq - limit` (driver
+    * directory deletes, no data job) and returns the removed batch
+    * ids in order. An index still lagging past the trim point gets a
+    * LOUD rebuild instruction from [[pendingPurges]], never a silent
+    * partial catch-up — CouchDB's own contract for an indexer that
+    * falls behind `purged_infos_limit`. Idempotent. */
+  def trimPurgeLog(spark: SparkSession, path: String,
+                   limit: Int): Seq[Long] = {
+    require(limit >= 1, s"purged_infos_limit must be >= 1, got $limit")
+    val meta = IndexStore.readMeta(spark, path)
+    val cutoff = meta.purgeSeq - limit
+    if (cutoff < 1) return Nil
+    val fs = IndexStore.fsFor(spark, path)
+    val dir = new Path(s"$path/purges")
+    if (!fs.exists(dir)) return Nil
+    val victims = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_pq="))
+      .map(_.drop(4).toLong).filter(_ <= cutoff).sorted
+    victims.foreach { n =>
+      val d = new Path(s"$path/purges/_pq=$n")
+      if (!fs.delete(d, true))
+        throw new java.io.IOException(
+          s"trimPurgeLog: could not remove purge batch $d")
+    }
+    victims.toSeq
   }
 
   /** CouchDB's `POST /db/_compact` on the persisted target: ONE
@@ -1058,6 +1171,7 @@ object Replication {
         col("rev_hash"))
       .write.partitionBy("_b").parquet(dataDir(tmp))
     IndexStore.writeMeta(spark, tmp, meta)
+    carrySidecars(spark, fs, path, tmp, rebucketLocalTo = None)
     val old = new Path(path + "._old")
     fs.delete(old, true)
     if (!fs.rename(new Path(path), old))
@@ -1067,6 +1181,49 @@ object Replication {
       throw new java.io.IOException(
         s"compact: swap failed — old target preserved at $old, new at $tmp")
     fs.delete(old, true)
+  }
+
+  /** Conflict REPAIR over a persisted target — the documented CouchDB
+    * resolution recipe (DELETE every conflicting revision you do not
+    * want) run store-wide as one admin verb: every losing LIVE leaf
+    * gets a minted tombstone extending its branch
+    * (`rev = (pos+1)-md5(id:(pos+1):repair:loserHash)` — the loser's
+    * own hash in the mint keeps two same-depth losers' tombstones
+    * distinct; ancestors = the loser's rev + its own path, so no
+    * history is forgotten and future revs-diffs still recognize
+    * superseded revs). Winners never move:
+    * a live winner beats any deeper tombstone by the first rule, so
+    * repair is observation-equivalent for reads while `_conflicts`
+    * empties and the losers surface in `_deleted_conflicts`
+    * ([[Revisions.docMeta]]) — exactly what a post-repair CouchDB doc
+    * shows. FINDING the conflicts is one corpus aggregation (an admin
+    * pass, the compact/reshard cost class); APPLYING them is
+    * [[syncBatch]], delta-bounded to the conflicted ids' buckets.
+    * Deterministic (no randomness, no timestamps) and idempotent:
+    * a second run finds no live losers and rewrites nothing. Returns
+    * the rewritten bucket ids. */
+  def repairConflicts(spark: SparkSession, path: String,
+                      newSeq: Long = -1L): Seq[Int] = {
+    require(targetExists(spark, path),
+      s"repairConflicts: no store at $path")
+    val cur = openTarget(spark, path)
+    val losers = Revisions.conflicts(cur, col("id"), col("rev_pos"),
+        col("rev_hash"), col("deleted"))
+      // carry each loser's own ancestor path: the minted tombstone's
+      // path must extend it, not truncate history
+      .join(cur.select(col("id"), col("rev_pos"), col("rev_hash"),
+        col("ancestors").as("_anc")), Seq("id", "rev_pos", "rev_hash"))
+    val newPos = col("rev_pos") + 1L
+    val tombs = losers.select(col("id"), newPos.as("rev_pos"),
+      md5(concat(col("id").cast("string"), lit(":"),
+        newPos.cast("string"), lit(":repair:"), col("rev_hash")))
+        .as("rev_hash"),
+      lit(true).as("deleted"),
+      concat(array(concat(col("rev_pos").cast("string"), lit("-"),
+        col("rev_hash"))), col("_anc")).as("ancestors"))
+    syncBatch(spark, path, tombs, col("id"), col("rev_pos"),
+      col("rev_hash"), col("deleted"), col("ancestors"),
+      tombs.select(col("id")).distinct(), newSeq = newSeq)
   }
 
   /** CouchDB's `POST /_dbs_info` over persisted targets: one row per

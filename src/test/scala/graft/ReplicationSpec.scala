@@ -402,6 +402,13 @@ class ReplicationSpec extends SparkSpecBase {
     val stored = Replication.openTarget(spark, tgt)
       .select(col("id")).as[String].collect().toSet
     assert(stored == Set("d1", "d4"), s"only listed ids sync: $stored")
+    // the sweep mirrors its checkpoint as a _local doc on the TARGET
+    // (the PouchDB-visible shape), keyed by the EFFECTIVE rep id
+    val lcl = Replication.localDocs(spark, tgt).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    val effId = Replication.docIdsRepId("j1", Seq("d1", "d4"))
+    assert(lcl == Seq((s"_local/$effId", """{"last_seq":3}""")),
+      s"target _local checkpoint missing: $lcl")
     // a second sweep is a checkpointed no-op
     val again = Replication.runReplicatorDocs(spark, Seq(
         Replication.ReplicatorDoc("j1", feedPath, source, tgt,
@@ -506,6 +513,11 @@ class ReplicationSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(leafSet(Replication.openTarget(spark, s"$dir/target")) ==
         (0 until 40).map(i => (s"m$i", s"2-s$i", false)).toSet)
+      // the syncBatch body keeps the count cache current through
+      // STREAMED writes too — no scan ever needed at poll time
+      val m = graft.view.IndexStore.readMeta(spark, s"$dir/target")
+      assert(m.countsSeq == m.updateSeq && m.docCount == 40L &&
+        m.delCount == 0L, s"streamed count cache drifted: $m")
     } finally q.stop()
   }
 
@@ -887,6 +899,81 @@ class ReplicationSpec extends SparkSpecBase {
     Replication.localDocsUpsert(spark, path, del, col("id"), col("body"),
       col("del"))
     assert(Replication.localDocs(spark, path).count() == 2)
+  }
+
+  test("compact/reshard carry sidecars; purge-log trim guards stale catch-ups") {
+    val dir = java.nio.file.Files.createTempDirectory("repl-side").toString
+    val path = s"$dir/store"
+    val leaves = leavesDf((0 until 30).map(i =>
+      (s"s$i", 1L, s"h$i", false, Seq.empty[String])))
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 4, seq = 1L)
+    Replication.localDocsUpsert(spark, path,
+      Seq(("_local/ck", "b1", false)).toDF("id", "body", "del"),
+      col("id"), col("body"), col("del"))
+    def purgeOne(i: Int): Unit = Replication.purgeTarget(spark, path,
+      Seq((s"s$i", 1L, s"h$i")).toDF("id", "rev_pos", "rev_hash"),
+      col("id"), col("rev_pos"), col("rev_hash"))
+    purgeOne(0); purgeOne(1); purgeOne(2)
+    // compact: local docs and the purge log survive the dir swap
+    Replication.compactTarget(spark, path, revsLimit = 2)
+    assert(Replication.localDocs(spark, path).count() == 1)
+    val pp = Replication.pendingPurges(spark, path, 0L)
+    assert(pp.purgeSeq == 3L && pp.goneIds.toSet == Set("s0", "s1", "s2"),
+      s"purge log must survive compact: $pp")
+    // reshard: local docs REBUCKET to the new count; point GET routes
+    Replication.reshardTarget(spark, path, factor = 2)
+    val g = Replication.localDocGet(spark, path, "_local/ck").collect()
+    assert(g.length == 1 && g(0).getString(2) == "b1",
+      s"local doc must rebucket through reshard: ${g.toSeq}")
+    assert(Replication.pendingPurges(spark, path, 0L).purgeSeq == 3L)
+    // trim to the newest batch: covered catch-up fine, stale one loud
+    assert(Replication.trimPurgeLog(spark, path, limit = 1) ==
+      Seq(1L, 2L))
+    assert(Replication.pendingPurges(spark, path, 2L).goneIds ==
+      Seq("s2"))
+    val e = intercept[IllegalStateException] {
+      Replication.pendingPurges(spark, path, 0L)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(Replication.trimPurgeLog(spark, path, limit = 1).isEmpty)
+  }
+
+  test("repairConflicts: losers tombstoned, winners frozen, idempotent") {
+    import graft.operators.Revisions
+    val dir = java.nio.file.Files.createTempDirectory("repl-fix").toString
+    val path = s"$dir/store"
+    // d1: live winner 3-cc, live loser 3-aa, deleted loser 2-dd
+    // d2: all-dead (no live losers — repair must not touch it)
+    // d3: clean single leaf
+    val leaves = leavesDf(Seq(
+      ("d1", 3L, "cc", false, Seq.empty[String]),
+      ("d1", 3L, "aa", false, Seq("2-pp")),
+      ("d1", 2L, "dd", true, Seq.empty[String]),
+      ("d2", 2L, "xx", true, Seq.empty[String]),
+      ("d2", 1L, "yy", true, Seq.empty[String]),
+      ("d3", 1L, "zz", false, Seq.empty[String])))
+    Replication.createTarget(spark, path, leaves, cols._1, cols._2,
+      cols._3, cols._4, cols._5, numBuckets = 4, seq = 1L)
+    val bs = Replication.repairConflicts(spark, path, newSeq = 2L)
+    assert(bs.nonEmpty)
+    val meta = Revisions.docMeta(Replication.openTarget(spark, path),
+        col("id"), col("rev_pos"), col("rev_hash"), col("deleted"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getLong(5))).toSeq
+    // winners frozen, zero conflicts anywhere, d1 gained one deleted
+    // conflict (the minted tombstone) beside its old 2-dd
+    assert(meta == Seq(("d1", "3-cc", 0L, 2L), ("d2", "2-xx", 0L, 1L),
+      ("d3", "1-zz", 0L, 0L)), s"post-repair meta wrong: $meta")
+    // the minted tombstone extends the loser's path (history kept)
+    val tomb = Replication.openTarget(spark, path)
+      .filter(col("id") === "d1" && col("rev_pos") === 4L).head()
+    assert(tomb.getBoolean(3) &&
+      tomb.getSeq[String](4) == Seq("3-aa", "2-pp"),
+      s"tombstone must extend the loser's own path: $tomb")
+    // idempotent: a second run finds no live losers, rewrites nothing
+    assert(Replication.repairConflicts(spark, path).isEmpty)
   }
 
   test("dbsInfo count cache: delta-maintained through writers, self-heals when stale") {
