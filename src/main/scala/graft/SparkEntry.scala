@@ -1892,6 +1892,32 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** A52: `GET /db/_design/{ddoc}/_info` ([[graft.view.DesignDoc
+    * .info]]) — the view-index status poll: per view, the index's
+    * update_seq / purge_seq / shard count from the meta sidecar plus
+    * on-disk bytes from one FS content summary — N stat calls, no
+    * data read. The gate materializes a two-view ddoc at seq 4, adds
+    * an unmaterialized third view ("updater has not run" shape), and
+    * pins every deterministic field; bytes reduce to a positivity
+    * verdict (parquet footprints are not engine-replayable). */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.DesignDoc
+    val docs = t(s, dir, "documents")
+    val root = idxPath("q261di", dir, "documents") + "/dd"
+    val built = new DesignDoc(Map(
+      "by_lang" -> View(docs, col("doc_id"), col("lang"), lit(1)),
+      "by_source" -> View(docs, col("doc_id"), col("source"), lit(1))))
+    built.cleanup(s, root)
+    built.materialize(root, numBuckets = 4, seq = 4L)
+    val withGhost = new DesignDoc(built.views +
+      ("by_ghost" -> View(docs, col("doc_id"), col("n_chars"), lit(1))))
+    withGhost.info(s, root)
+      .select(col("view_name"), col("exists").as("present"),
+        col("update_seq"), col("purge_seq"), col("buckets"),
+        (col("size_file") > 0 || !col("exists")).as("size_sane"))
+      .orderBy(col("view_name"))
+  }
+
   /** A51: `purged_infos_limit` — purge-log TRIMMING
     * ([[graft.operators.Replication.trimPurgeLog]]) with the
     * stale-index guard: three purge batches land, the log trims to
@@ -5923,7 +5949,8 @@ object SparkEntry {
     "q257_corpus_diff" -> (q257 _),
     "q258_dbs_info_cache" -> (q258 _),
     "q259_conflict_repair" -> (q259 _),
-    "q260_purge_log_trim" -> (q260 _)
+    "q260_purge_log_trim" -> (q260 _),
+    "q261_ddoc_info" -> (q261 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8337,6 +8364,18 @@ object SparkEntry {
         |  ('stale_loud', CAST(1 AS BIGINT)),
         |  ('trim_idempotent', CAST(1 AS BIGINT))) AS t(fact, value)
         |ORDER BY fact""".stripMargin,
+    // ddoc _info: meta scalars pinned, bytes as a positivity verdict
+    "q261_ddoc_info" ->
+      """SELECT * FROM (VALUES
+        |  ('by_ghost', false, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |   CAST(-1 AS BIGINT), true),
+        |  ('by_lang', true, CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(4 AS BIGINT), true),
+        |  ('by_source', true, CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(4 AS BIGINT), true))
+        |  AS t(view_name, present, update_seq, purge_seq, buckets,
+        |       size_sane)
+        |ORDER BY view_name""".stripMargin,
     // conflict repair: winners frozen, conflicts emptied, losers
     // reappear as the minted repair tombstones in deleted_conflicts
     "q259_conflict_repair" ->

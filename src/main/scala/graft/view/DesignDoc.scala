@@ -44,6 +44,34 @@ final class DesignDoc(val views: Map[String, View]) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** CouchDB's `GET /db/_design/{ddoc}/_info` — the view-index
+    * status read an operator polls after deploys: one row per view
+    * with the index's `update_seq` (the change-feed seq it is
+    * current through), `purge_seq` (the store purge generation it
+    * has caught up to), shard (`_kb` bucket) count, and on-disk
+    * bytes (`sizes.file`). Meta scalars come from the `_graft_meta`
+    * sidecar, bytes from one FS content summary per view — N stat
+    * calls for N views, NO data read or scanned (the A41/H7 admin
+    * discipline). A view whose index was never materialized reports
+    * `exists = false` with -1 seqs, the "updater has not run" shape. */
+  def info(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    views.keys.toSeq.sorted.map { n =>
+      val p = pathOf(root, n)
+      if (!IndexStore.exists(spark, p))
+        (n, false, -1L, -1L, -1L, -1L)
+      else {
+        val m = IndexStore.readMeta(spark, p)
+        val bytes = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p)).getLength
+        (n, true, m.updateSeq, m.purgeSeq, m.buckets.toLong, bytes)
+      }
+    }.toDF("view_name", "exists", "update_seq", "purge_seq",
+      "buckets", "size_file")
+  }
+
   /** CouchDB's `POST /db/_view_cleanup` proper: remove index
     * directories under `root` that no view of the CURRENT design doc
     * references — the disk-reclaim admin verb run after a ddoc edit

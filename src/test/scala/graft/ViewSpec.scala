@@ -362,6 +362,24 @@ class ViewSpec extends SparkSpecBase {
     assert(dd.cleanup(spark, root))
   }
 
+  test("ddoc _info: meta scalars per view, unmaterialized views report absent") {
+    import graft.view.DesignDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft-dinfo").toString
+    val root = s"$dir/ddoc"
+    val dd = new DesignDoc(Map(
+      "by_status" -> View(orders, $"o_orderkey", $"o_orderstatus", lit(1)),
+      "by_price" -> View(orders, $"o_orderkey", $"o_totalprice", lit(1))))
+    dd.materialize(root, numBuckets = 4, seq = 9)
+    val withGhost = new DesignDoc(dd.views +
+      ("zz_new" -> View(orders, $"o_orderkey", $"o_orderdate", lit(1))))
+    val got = withGhost.info(spark, root).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(4), r.getLong(5) > 0)).toSeq
+    assert(got == Seq(("by_price", true, 9L, 4L, true),
+      ("by_status", true, 9L, 4L, true),
+      ("zz_new", false, -1L, -1L, false)), s"info wrong: $got")
+  }
+
   test("viewCleanup: removes only orphaned view indexes, idempotent") {
     import graft.view.{DesignDoc, IndexStore}
     val dir = java.nio.file.Files.createTempDirectory("graft-vcln").toString
