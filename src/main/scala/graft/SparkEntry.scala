@@ -1892,6 +1892,28 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** E31: `_search` `highlight_fields` ([[graft.operators.TextSearch
+    * .searchHighlights]]) — term-highlighted snippets riding the
+    * BM25 top-20: up to 2 fragments per doc, each a ±3-token window
+    * around one of the doc's earliest query-term positions, matched
+    * terms wrapped in `<em>` tags (the Lucene highlighter contract
+    * over the analyzed stream). The snippet pass touches only the
+    * PAGE's docs. The oracle replays the ranking, the earliest-hit
+    * selection, the window clamp, and the wrapping. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    TextSearch.searchHighlights(s, path, searchTerms, docs, "doc_id",
+        "text", k = 20, fragSize = 3, number = 2)
+      .select(col("doc_id"),
+        graft.gfunctions.round4(col("score")).as("score"),
+        col("frag_idx"), col("fragment"))
+      .orderBy(col("score").desc, col("doc_id"), col("frag_idx"))
+  }
+
   /** A52: `GET /db/_design/{ddoc}/_info` ([[graft.view.DesignDoc
     * .info]]) — the view-index status poll: per view, the index's
     * update_seq / purge_seq / shard count from the meta sidecar plus
@@ -5950,7 +5972,8 @@ object SparkEntry {
     "q258_dbs_info_cache" -> (q258 _),
     "q259_conflict_repair" -> (q259 _),
     "q260_purge_log_trim" -> (q260 _),
-    "q261_ddoc_info" -> (q261 _)
+    "q261_ddoc_info" -> (q261 _),
+    "q262_search_highlights" -> (q262 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -8364,6 +8387,59 @@ object SparkEntry {
         |  ('stale_loud', CAST(1 AS BIGINT)),
         |  ('trim_idempotent', CAST(1 AS BIGINT))) AS t(fact, value)
         |ORDER BY fact""".stripMargin,
+    // search highlights: BM25 page + earliest-2 hit windows (±3
+    // tokens, clamped) with query terms <em>-wrapped, replayed whole
+    "q262_search_highlights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0) AS t0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0) AS t1,
+        |    COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0) AS t2
+        |  FROM s GROUP BY doc_id),
+        |page AS (
+        |  SELECT doc_id, FLOOR((t0 + t1 + t2) * 10000 + 0.5) / 10000 AS score
+        |  FROM p ORDER BY score DESC, doc_id LIMIT 20),
+        |pos AS (
+        |  SELECT t.doc_id, u.i - 1 AS hp
+        |  FROM toks t JOIN page USING (doc_id), LATERAL (
+        |    SELECT unnest(t.ws) AS w,
+        |           generate_subscripts(t.ws, 1) AS i) u
+        |  WHERE u.w IN ('hash', 'join', 'stream')),
+        |firstn AS (
+        |  SELECT doc_id, hp,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                 ORDER BY hp) - 1 AS INT)
+        |           AS frag_idx
+        |  FROM pos QUALIFY frag_idx < 2),
+        |frag AS (
+        |  SELECT f.doc_id, f.frag_idx,
+        |    array_to_string(list_transform(
+        |      t.ws[GREATEST(f.hp + 1 - 3, 1):LEAST(f.hp + 1 + 3, len(t.ws))],
+        |      w -> CASE WHEN w IN ('hash', 'join', 'stream')
+        |                THEN '<em>' || w || '</em>' ELSE w END), ' ')
+        |      AS fragment
+        |  FROM firstn f JOIN toks t USING (doc_id))
+        |SELECT page.doc_id, page.score, frag.frag_idx, frag.fragment
+        |FROM page JOIN frag USING (doc_id)
+        |ORDER BY page.score DESC, page.doc_id, frag.frag_idx""".stripMargin,
     // ddoc _info: meta scalars pinned, bytes as a positivity verdict
     "q261_ddoc_info" ->
       """SELECT * FROM (VALUES

@@ -491,6 +491,60 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** CouchDB's `highlight_fields` — term-highlighted snippets riding
+    * the search response: for each of the BM25 top-`k` docs, up to
+    * `number` FRAGMENTS, each a ±`fragSize`-token window around one
+    * of the doc's earliest query-term occurrences, with every query
+    * term inside the window wrapped in `preTag`/`postTag` (Lucene's
+    * highlighter contract, expressed over the ANALYZED token stream
+    * — positions are exactly the positional postings', so what gets
+    * wrapped is what matched). Fragments report as
+    * `(doc_id, score, frag_idx, fragment)` in rank order.
+    *
+    * Shape: the ranking is [[searchIndexed]]'s probe-pruned serve;
+    * the highlight pass then touches ONLY the page's `k` docs (one
+    * id-keyed semi join against the corpus, a page-bounded explode
+    * for hit positions, and per-doc array slicing) — snippet cost
+    * follows the PAGE, never the corpus or even the matched set. */
+  def searchHighlights(spark: SparkSession, path: String,
+                       queryTerms: Seq[String], docs: DataFrame,
+                       idCol: String, textCol: String, k: Int,
+                       fragSize: Int = 5, number: Int = 1,
+                       preTag: String = "<em>",
+                       postTag: String = "</em>"): DataFrame = {
+    require(number >= 1, s"highlight number must be >= 1, got $number")
+    require(fragSize >= 0, s"fragSize must be >= 0, got $fragSize")
+    val an = analyzerOf(spark, path)
+    val terms = an.queryTerms(queryTerms)
+    val page = searchIndexed(spark, path, queryTerms, k)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      an.tokens(col(textCol)).as("_ws"))
+    val withToks = page.join(toks, Seq("doc_id"))
+    // earliest `number` hit positions per page doc: a page-bounded
+    // explode + one aggregation (never the corpus)
+    val hits = withToks
+      .select(col("doc_id"), posexplode(col("_ws")).as(Seq("_p", "_w")))
+      .filter(col("_w").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(col("_p"))), 1, number)
+        .as("_ps"))
+    val frag = {
+      // 1-based slice window [p+1-fragSize, p+1+fragSize] ∩ [1, n]
+      val p = col("_hit")
+      val start = greatest(p + 1 - fragSize, lit(1))
+      val len = least(p + 1 + lit(fragSize),
+        size(col("_ws")).cast("int")) - start + 1
+      array_join(transform(slice(col("_ws"), start, len),
+        w => when(w.isin(terms: _*), concat(lit(preTag), w, lit(postTag)))
+          .otherwise(w)), " ")
+    }
+    withToks.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("_ws"),
+        posexplode(col("_ps")).as(Seq("frag_idx", "_hit")))
+      .select(col("doc_id"), col("score"), col("frag_idx"), frag.as("fragment"))
+      .orderBy(col("score").desc, col("doc_id"), col("frag_idx"))
+  }
+
   /** Pruned postings ⋈ dfs for the (already-normalized) `terms`, with
     * the per-(doc, term) BM25 partial `_s` attached — the shared front
     * half of every indexed search operator. */

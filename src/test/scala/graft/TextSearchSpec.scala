@@ -834,6 +834,32 @@ class TextSearchSpec extends SparkSpecBase {
     assert(all.count() == 5, "doc 6 matches nothing; others all serve")
   }
 
+  test("searchHighlights: earliest-N hit windows, clamped, terms wrapped") {
+    val tiny = Seq(
+      (1L, "alpha hash beta gamma hash"),
+      (2L, "hash at start only"),
+      (3L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-hl").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 4)
+    val got = TextSearch.searchHighlights(spark, path, Seq("hash"), tiny,
+        "doc_id", "text", k = 10, fragSize = 1, number = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+      .toSeq
+    // doc 1 (tf 2) ranks first: windows around positions 1 and 4,
+    // the second clamped at the document end; doc 2 clamps at start
+    assert(got == Seq(
+      (1L, 0, "alpha <em>hash</em> beta"),
+      (1L, 1, "gamma <em>hash</em>"),
+      (2L, 0, "<em>hash</em> at")),
+      s"highlights wrong: $got")
+    // number=1 keeps only each doc's earliest window
+    val one = TextSearch.searchHighlights(spark, path, Seq("hash"), tiny,
+        "doc_id", "text", k = 10, fragSize = 0, number = 1)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(one == Seq((1L, "<em>hash</em>"), (2L, "<em>hash</em>")))
+  }
+
   test("searchAnalyze + analyzeCorpus: full pipeline, post-stopword positions") {
     import TextSearch.Analyzer
     val an = Analyzer(stopwords = Seq("the", "and"), stem = true)
