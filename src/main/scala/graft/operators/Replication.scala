@@ -414,7 +414,17 @@ object Replication {
     * stamp stale otherwise (readers fall back to the scan and
     * self-heal). Both relations must hold the touched buckets'
     * COMPLETE docs (id-hash bucketing guarantees a doc never spans
-    * buckets, so winner resolution inside the touched set is total). */
+    * buckets, so winner resolution inside the touched set is total).
+    *
+    * COST RULE (the deployment-vs-gate split): the delta costs two
+    * bounded aggregations over the touched buckets — the right trade
+    * when a batch touches a few buckets of a huge store (the
+    * endpoint's steady state). A batch that touches EVERY bucket
+    * would pay two whole-store aggregations for a "delta"; callers
+    * detect that shape and instead count the PINNED rewrite relation
+    * directly (it IS the whole new store) — one in-memory
+    * aggregation, which also self-heals a previously stale stamp
+    * for free. */
   private def countsAfter(meta: IndexMeta, oldTouched: DataFrame,
                           newTouched: DataFrame, newSeq: Long)
       : IndexMeta = {
@@ -427,6 +437,7 @@ object Replication {
         delCount = meta.delCount + nx - ox, countsSeq = newSeq)
     }
   }
+
 
   def targetExists(spark: SparkSession, path: String): Boolean =
     IndexStore.exists(spark, path)
@@ -537,15 +548,28 @@ object Replication {
       val out = bucketRows.join(ids, Seq("id"), "left_anti")
         .unionByName(mergedTouched
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
-      // count-cache delta BEFORE the swap: both relations read the
-      // OLD bucket files, which the swap replaces
-      val newMeta = countsAfter(meta, bucketRows.drop("_b"),
-        out.drop("_b"),
-        if (newSeq >= 0) newSeq else meta.updateSeq + 1)
-      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
-        dataDir(path), "_b", bs,
-        Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
-      IndexStore.writeMeta(spark, path, newMeta)
+        // pin the merged result: the count delta AND the swap both
+        // consume it — without the pin the merge lineage would
+        // execute twice (a measured ~2x on the store-write paths)
+        .persist()
+      try {
+        val seqF = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+        // count-cache maintenance, cost-ruled: a batch touching EVERY
+        // bucket makes `out` the whole new store, so count the CACHED
+        // result directly (one in-memory agg, heals stale stamps for
+        // free); a bounded batch pays the two-sided touched delta
+        val newMeta =
+          if (bs.size >= meta.buckets) {
+            val (dc, xc) = winnerCounts(out.drop("_b"))
+            meta.copy(updateSeq = seqF, docCount = dc, delCount = xc,
+              countsSeq = seqF)
+          } else countsAfter(meta, bucketRows.drop("_b"),
+            out.drop("_b"), seqF)
+        IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+          dataDir(path), "_b", bs,
+          Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+        IndexStore.writeMeta(spark, path, newMeta)
+      } finally out.unpersist()
       bs
     } finally ids.unpersist()
   }
@@ -622,14 +646,22 @@ object Replication {
       val out = bucketRows.join(ids, Seq("id"), "left_anti")
         .unionByName(res.leaves
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
-      // count-cache delta BEFORE the swap (reads the old bucket files)
-      val newMeta = countsAfter(meta, bucketRows.drop("_b"),
-        out.drop("_b"),
-        if (newSeq >= 0) newSeq else meta.updateSeq + 1)
-      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
-        dataDir(path), "_b", bs,
-        Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
-      IndexStore.writeMeta(spark, path, newMeta)
+        // pin: the count delta and the swap both consume the merge
+        .persist()
+      try {
+        val seqF = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+        val newMeta =
+          if (bs.size >= meta.buckets) {
+            val (dc, xc) = winnerCounts(out.drop("_b"))
+            meta.copy(updateSeq = seqF, docCount = dc, delCount = xc,
+              countsSeq = seqF)
+          } else countsAfter(meta, bucketRows.drop("_b"),
+            out.drop("_b"), seqF)
+        IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+          dataDir(path), "_b", bs,
+          Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+        IndexStore.writeMeta(spark, path, newMeta)
+      } finally out.unpersist()
       BulkDocsStoreResult(rep, bs)
     } finally ids.unpersist()
   }
@@ -988,13 +1020,22 @@ object Replication {
       val out = bucketRows.join(present, Seq("id"), "left_anti")
         .unionByName(newTouched
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
-      // count-cache delta BEFORE the swap (reads the old bucket files)
-      val newMeta = countsAfter(meta, bucketRows.drop("_b"),
-        out.drop("_b"),
-        if (newSeq >= 0) newSeq else meta.updateSeq + 1)
+        // pin: the count delta and the swap both consume the rewrite
+        .persist()
+      val seqF = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+      // count-cache maintenance, cost-ruled (see syncBatch): whole-
+      // store batches count the cached rewrite, bounded ones delta
+      val newMeta =
+        if (bs.size >= meta.buckets) {
+          val (dc, xc) = winnerCounts(out.drop("_b"))
+          meta.copy(updateSeq = seqF, docCount = dc, delCount = xc,
+            countsSeq = seqF)
+        } else countsAfter(meta, bucketRows.drop("_b"),
+          out.drop("_b"), seqF)
       IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
         dataDir(path), "_b", bs,
         Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+      out.unpersist()
       // purge log BEFORE the meta stamp: a crash in between leaves an
       // orphan _pq dir the retried purge overwrites (mode overwrite);
       // catch-ups only read dirs at-or-below the stamped purge_seq
