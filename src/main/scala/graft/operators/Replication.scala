@@ -565,6 +565,13 @@ object Replication {
               countsSeq = seqF)
           } else countsAfter(meta, bucketRows.drop("_b"),
             out.drop("_b"), seqF)
+        // crash discipline: invalidate the counts stamp BEFORE the
+        // swap (meta with no counts line → readers scan-fallback and
+        // self-heal), so a crash mid-swap or between swap and the
+        // final stamp can never leave new data under a stale-current
+        // stamp — the documented idempotent retry would otherwise
+        // delta from the wrong base and serve wrong counts forever
+        IndexStore.writeMeta(spark, path, meta.copy(countsSeq = -1L))
         IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
           dataDir(path), "_b", bs,
           Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
@@ -657,6 +664,10 @@ object Replication {
               countsSeq = seqF)
           } else countsAfter(meta, bucketRows.drop("_b"),
             out.drop("_b"), seqF)
+        // stamp-invalidate before the swap (see syncBatch): a crash
+        // between swap and final meta falls back to the scan, never
+        // deltas from a base that no longer matches the data
+        IndexStore.writeMeta(spark, path, meta.copy(countsSeq = -1L))
         IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
           dataDir(path), "_b", bs,
           Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
@@ -1022,29 +1033,32 @@ object Replication {
           .withColumn("_b", IndexStore.idBucket(col("id"), meta.buckets)))
         // pin: the count delta and the swap both consume the rewrite
         .persist()
-      val seqF = if (newSeq >= 0) newSeq else meta.updateSeq + 1
-      // count-cache maintenance, cost-ruled (see syncBatch): whole-
-      // store batches count the cached rewrite, bounded ones delta
-      val newMeta =
-        if (bs.size >= meta.buckets) {
-          val (dc, xc) = winnerCounts(out.drop("_b"))
-          meta.copy(updateSeq = seqF, docCount = dc, delCount = xc,
-            countsSeq = seqF)
-        } else countsAfter(meta, bucketRows.drop("_b"),
-          out.drop("_b"), seqF)
-      IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
-        dataDir(path), "_b", bs,
-        Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
-      out.unpersist()
-      // purge log BEFORE the meta stamp: a crash in between leaves an
-      // orphan _pq dir the retried purge overwrites (mode overwrite);
-      // catch-ups only read dirs at-or-below the stamped purge_seq
-      val pq = meta.purgeSeq + 1
-      req.join(present, Seq("id"), "left_semi")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/purges/_pq=$pq")
+      try {
+        val seqF = if (newSeq >= 0) newSeq else meta.updateSeq + 1
+        // count-cache maintenance, cost-ruled (see syncBatch): whole-
+        // store batches count the cached rewrite, bounded ones delta
+        val newMeta =
+          if (bs.size >= meta.buckets) {
+            val (dc, xc) = winnerCounts(out.drop("_b"))
+            meta.copy(updateSeq = seqF, docCount = dc, delCount = xc,
+              countsSeq = seqF)
+          } else countsAfter(meta, bucketRows.drop("_b"),
+            out.drop("_b"), seqF)
+        // stamp-invalidate before the swap (see syncBatch)
+        IndexStore.writeMeta(spark, path, meta.copy(countsSeq = -1L))
+        IndexStore.writeSwap(spark, IndexStore.fsFor(spark, path), out,
+          dataDir(path), "_b", bs,
+          Seq(col("_b"), col("id"), col("rev_pos"), col("rev_hash")))
+        // purge log BEFORE the meta stamp: a crash in between leaves an
+        // orphan _pq dir the retried purge overwrites (mode overwrite);
+        // catch-ups only read dirs at-or-below the stamped purge_seq
+        val pq = meta.purgeSeq + 1
+        req.join(present, Seq("id"), "left_semi")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/purges/_pq=$pq")
+        IndexStore.writeMeta(spark, path, newMeta.copy(purgeSeq = pq))
+      } finally out.unpersist()
       present.unpersist()
-      IndexStore.writeMeta(spark, path, newMeta.copy(purgeSeq = pq))
       bs
     } finally req.unpersist()
   }
@@ -1121,7 +1135,9 @@ object Replication {
       throw new java.io.IOException(
         s"sidecar carry: purge-log copy failed ($pg -> $dst/purges)")
     val lc = new Path(localDir(src))
-    if (fs.exists(lc)) rebucketLocalTo match {
+    // all-buckets-deleted local dirs carry as nothing (the rebucket
+    // read would fail schema inference on a partition-less directory)
+    if (localBucketDirs(fs, src).nonEmpty) rebucketLocalTo match {
       case None =>
         if (!org.apache.hadoop.fs.FileUtil.copy(fs, lc, fs,
             new Path(localDir(dst)), false, conf))
@@ -1367,6 +1383,20 @@ object Replication {
 
   private def localDir(path: String) = s"$path/local"
 
+  /** The `_lb=` bucket directories actually present under a store's
+    * local/ sidecar — deleting the last local doc in every bucket
+    * leaves the directory present but partition-less, where a bare
+    * `read.parquet` would throw "Unable to infer schema" instead of
+    * listing empty. */
+  private def localBucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Seq[Path] = {
+    val lc = new Path(localDir(path))
+    if (!fs.exists(lc)) Nil
+    else fs.listStatus(lc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_lb="))
+      .map(_.getPath)
+  }
+
   /** CouchDB `_local` (non-replicating) documents against a persisted
     * target store — the namespace PouchDB keeps replication
     * checkpoints and client-side state in (`PUT /db/_local/{id}`,
@@ -1442,7 +1472,7 @@ object Replication {
     require(targetExists(spark, path),
       s"localDocs: no store at $path")
     val fs = IndexStore.fsFor(spark, path)
-    if (!fs.exists(new Path(localDir(path)))) {
+    if (localBucketDirs(fs, path).isEmpty) {
       import spark.implicits._
       return Seq.empty[(String, String, String)].toDF("id", "rev", "body")
     }
@@ -1465,7 +1495,7 @@ object Replication {
       import spark.implicits._
       Seq.empty[(String, String, String)].toDF("id", "rev", "body")
     }
-    if (!fs.exists(new Path(localDir(path)))) return empty
+    if (localBucketDirs(fs, path).isEmpty) return empty
     // route the literal id through the writer's own bucket column
     // (one local-relation row, no data job) so the read prunes to
     // exactly the directory the writer placed it in

@@ -917,8 +917,12 @@ object Text {
                  id: Column, text: Column)
       : org.apache.spark.sql.DataFrame = {
     def side(df: org.apache.spark.sql.DataFrame, tag: String) =
+      // null-safe hash: md5(NULL) is NULL, and a NULL _h on a PRESENT
+      // row would masquerade as an absent side and misreport the doc
+      // as added/removed — coalesce so hash-null always means "row
+      // absent from this side"
       df.select(id.cast("long").as("_id"),
-        md5(text.cast("string")).as(s"_h$tag"),
+        md5(coalesce(text.cast("string"), lit(""))).as(s"_h$tag"),
         tokenCount(text).as(s"_t$tag"))
     val j = side(a, "a").join(side(b, "b"), Seq("_id"), "full_outer")
     val status = when(col("_ha").isNull, lit("added"))
@@ -960,9 +964,12 @@ object Text {
     require(ks.distinct == ks, s"vocabCoverage: duplicate cuts in $ks")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // no repartition before the groupBy: an explicit exchange on _w
+    // would run BEFORE the partial aggregate and ship every token
+    // OCCURRENCE through the shuffle; left declarative, Catalyst
+    // plans partial+final hash aggregation so the shuffle carries
+    // per-partition (type, count) partials only (types ≪ occurrences)
     val types = docs.select(explode(tokens(text)).as("_w"))
-      .repartition(parts, col("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
       .persist()
     try {

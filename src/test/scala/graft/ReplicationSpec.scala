@@ -899,6 +899,16 @@ class ReplicationSpec extends SparkSpecBase {
     Replication.localDocsUpsert(spark, path, del, col("id"), col("body"),
       col("del"))
     assert(Replication.localDocs(spark, path).count() == 2)
+    // deleting the LAST local doc in every bucket leaves local/ present
+    // but partition-less — the listing must come back empty, not throw
+    // schema inference
+    val wipe = Seq(("_local/a", null.asInstanceOf[String], true),
+      ("_local/c", null.asInstanceOf[String], true))
+      .toDF("id", "body", "del")
+    Replication.localDocsUpsert(spark, path, wipe, col("id"), col("body"),
+      col("del"))
+    assert(Replication.localDocs(spark, path).isEmpty)
+    assert(Replication.localDocGet(spark, path, "_local/a").isEmpty)
   }
 
   test("compact/reshard carry sidecars; purge-log trim guards stale catch-ups") {
