@@ -31,10 +31,13 @@ object Bench {
     // Warm each plan once at the smallest SF: JIT + codegen compilation +
     // session init land here, so the timed runs measure the operators,
     // not JVM warmup. Generated-class caching is keyed by plan structure,
-    // which is identical across SF dirs.
+    // which is identical across SF dirs. Streaming drives are NOT
+    // warmed: their cost is micro-batch scheduler latency, which a
+    // sf0.001 run pays in full without shrinking the timed run.
     val warmDir = "/root/testdata/sf0.001"
-    queries.foreach { case (_, fn) =>
-      try run(fn, warmDir) catch { case _: Throwable => () }
+    queries.foreach { case (name, fn) =>
+      if (!SparkEntry.streamingGates(name))
+        try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // Touch every input table at the TIMED scale factor once, so the
     // first timed query measures its operators, not the page-cache
@@ -63,22 +66,42 @@ object Bench {
     // 15 s run-to-run with an idle container); time each query in every
     // pass and report the per-query MINIMUM — the standard
     // noisy-machine practice that measures the code, not the neighbor.
-    // Three passes by default: round-3's driver run hit a sustained
-    // external load spike that poisoned BOTH passes of several queries
-    // (13 s for a query that times 2 s idle); a third sample makes the
-    // per-query minimum much more robust for ~35 s extra wall time.
+    // PASS POLICY (keeps the full suite inside the driver's wall —
+    // round 13 timed out): cheap queries get all `passes` samples
+    // (noise dominates them, min-of-3 is what fixes it); queries whose
+    // first sample exceeds `heavyFloor` get ONE extra sample (their
+    // cost is many-jobs page walks or decode batches — long enough to
+    // average external spikes within a single run); streaming drives
+    // get two samples total (sample 1 absorbs codegen warmup since
+    // they skip the warm pass, sample 2 is the clean one) — their
+    // duration is scheduler wall, not load-sensitive compute.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val timed = (1 to passes).map { _ =>
-      queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { run(fn, sfDir); true }
-                 catch { case _: Throwable => false }
-        // a failed query reports -1, not a plausible-looking duration
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val heavyFloor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "8").toDouble
+    def timeOne(name: String,
+                fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { run(fn, sfDir); true }
+               catch { case _: Throwable => false }
+      // a failed query reports -1, not a plausible-looking duration
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    def wantsAnother(name: String, prev: List[Double]): Boolean =
+      if (prev.isEmpty) true
+      else if (prev.exists(_ < 0)) false // failed once: -1 is the verdict
+      else if (SparkEntry.streamingGates(name)) prev.size < 2
+      else if (prev.min > heavyFloor) prev.size < 2 // genuinely heavy
+      else prev.size < passes // cheap (or a spiked sample): full sampling
+    (1 to passes).foreach { _ =>
+      queries.foreach { case (name, fn) =>
+        val prev = samples.getOrElse(name, Nil)
+        if (wantsAnother(name, prev))
+          samples(name) = timeOne(name, fn) :: prev
       }
     }
     val results = queries.keys.map { name =>
-      val ts = timed.map(_(name))
+      val ts = samples(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
