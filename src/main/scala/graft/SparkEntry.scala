@@ -2023,6 +2023,56 @@ object SparkEntry {
     * hide behind the scan fallback's self-heal), and serves
     * `_dbs_info` — all counts restated arithmetically by the
     * oracle. */
+  /** A53: `GET /_all_dbs` ([[graft.operators.Replication.allDbs]]) —
+    * the root-directory enumeration a multi-db client starts from:
+    * three stores staged under one root beside a DECOY directory with
+    * no meta sidecar (system artifacts stay invisible), listed with
+    * ONE FS listing + one stat per child, then composed with
+    * `_dbs_info` for the count block — counts the oracle restates
+    * from the residue classes. */
+  private def q268Stage(s: SparkSession, dir: String): Unit =
+    stagedGate(s, idxPath("q268gate", dir, "documents"), () => {
+      import graft.operators.Replication
+      val root = idxPath("q268root", dir, "documents")
+      graft.view.IndexStore.fsFor(s, root)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(s, dir, "documents")
+      def leaves(pred: Column, del: Column) =
+        docs.filter(pred).select(col("doc_id").cast("string").as("id"),
+          lit(1L).as("rev_pos"),
+          md5(concat(col("doc_id").cast("string"), lit(":1:adb")))
+            .as("rev_hash"),
+          del.as("deleted"),
+          array().cast("array<string>").as("ancestors"))
+      Replication.createTarget(s, s"$root/db_all", leaves(lit(true),
+        lit(false)), col("id"), col("rev_pos"), col("rev_hash"),
+        col("deleted"), col("ancestors"), numBuckets = 4, seq = 1L)
+      Replication.createTarget(s, s"$root/db_even",
+        leaves(col("doc_id") % 2 === 0, lit(false)), col("id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 4, seq = 2L)
+      Replication.createTarget(s, s"$root/db_fifth",
+        leaves(col("doc_id") % 5 === 0, col("doc_id") % 10 === 0),
+        col("id"), col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 4, seq = 3L)
+      graft.view.IndexStore.fsFor(s, root)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$root/_not_a_db"))
+      ""
+    })
+
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    q268Stage(s, dir)
+    val root = idxPath("q268root", dir, "documents")
+    val names = Replication.allDbs(s, root)
+    Replication.dbsInfo(s,
+        names.collect().map(r => r.getString(0))
+          .map(n => n -> s"$root/$n").toSeq)
+      .select(col("db_name"), col("doc_count"), col("doc_del_count"),
+        col("update_seq"))
+      .orderBy(col("db_name"))
+  }
+
   private def q258Stage(s: SparkSession, dir: String): Unit =
     stagedGate(s, idxPath("q258gate", dir, "documents"),
       () => { q258Scenario(s, dir); "" })
@@ -2543,6 +2593,40 @@ object SparkEntry {
           .as("payload"))
     Multimodal.imagePhashNearDupPairs(assets, maxHamming = 10)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** F5: JPEG DECODE ([[graft.operators.Multimodal.decodeFeatures]]
+    * over [[graft.operators.Multimodal.syntheticJpeg]] payloads) —
+    * the format real crawl corpora arrive in, through the JDK's own
+    * JPEG reader in the same mapPartitions batch path as q162's
+    * lossless formats. JPEG is LOSSY, so the gate is a VERDICT
+    * relation (the q162 analytic-raster discipline cannot transfer
+    * bit-exactly through quantization): evens carry a 32×32 JPEG
+    * whose pooled gray mean must land within ±6 of the analytic
+    * raster mean (DC survives quantization), odds the SAME raster as
+    * PNG whose mean must match EXACTLY — one pipeline, per-format
+    * exactness contracts, every dimension pinned. */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val genJ = udf((b: Long) => Multimodal.syntheticJpeg(b, 32, 32))
+    val genP = udf((b: Long) => Multimodal.syntheticPng(b,
+      perturb = false, 32, 32))
+    val expMean = udf((b: Long) => Multimodal.syntheticGrayMean(b, 32, 32))
+    val assets = t(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("jpeg")).otherwise(lit("png"))
+          .as("format"),
+        when(col("doc_id") % 2 === 0, genJ(col("doc_id")))
+          .otherwise(genP(col("doc_id"))).as("payload"))
+    Multimodal.decodeFeatures(assets).toDF()
+      .join(assets.select(col("doc_id"),
+        col("format"), expMean(col("doc_id")).as("_exp")), Seq("doc_id"))
+      .select(col("doc_id"), col("format"), col("decoded"),
+        col("width"), col("height"),
+        when(col("format") === "png", col("gray_mean") === col("_exp"))
+          .otherwise(abs(col("gray_mean") - col("_exp")) <= 6)
+          .as("mean_ok"))
+      .orderBy(col("doc_id"))
   }
 
   /** D4d: RESIDUAL IVFADC ([[graft.operators.Pq.ivfPqResidualTopK]])
@@ -3872,6 +3956,27 @@ object SparkEntry {
         col("doc_id"), col("text"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** C17/E34: the END-TO-END CORPUS RELEASE ([[graft.operators
+    * .Pipeline.corpusRelease]]) — the LLM-pipeline stages composed as
+    * ONE call: q103's quality chain → q241's quality-best dedup →
+    * q97's 8-gram decontamination against the `%7 == 0` benchmark
+    * split → q199's √-temperature source mix at half the surviving
+    * corpus → q200's keyed epoch shuffle (seed `release-1`) → q98's
+    * 128-token packing across 16 round-robin shards IN SHUFFLE ORDER.
+    * The oracle replays the entire chain as chained CTEs — the gate
+    * hashes the END of the pipeline, proving the stages compose, not
+    * just that each link holds. */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Pipeline.corpusRelease(docs,
+        col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"),
+        benchmark = docs.filter(col("doc_id") % 7 === 0),
+        bid = col("doc_id"), btext = col("text"),
+        seed = "release-1")
+      .orderBy(col("grp"), col("seq"), col("pos"), col("seq_start"))
+  }
+
   /** E27: C4/Dolma LINE-LEVEL quality rules ([[graft.operators.Text
     * .lineSignals]] + the [[graft.operators.Text.qualityFilter]] line
     * thresholds) — multi-line text synthesized from each doc's tokens
@@ -4257,6 +4362,55 @@ object SparkEntry {
       "lang", groupLimit = 3, limitPerGroup = 5)
   }
 
+  /** E32: `_search` `group_sort` ([[graft.operators.TextSearch
+    * .searchGrouped]] with the field group order) — the q246 grouped
+    * search re-cut and re-ordered by the GROUP FIELD ascending
+    * (CouchDB's `group_sort: ["lang"]`): the 3 alphabetically-first
+    * language groups among the matches, each with its full match
+    * count and relevance-ordered top 5 (within-group order stays
+    * `sort`'s business — the CouchDB split). */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    TextSearch.searchGrouped(s, path, searchTerms, docs, "doc_id",
+      "lang", groupLimit = 3, limitPerGroup = 5,
+      groupSort = Some(("lang", true)))
+  }
+
+  /** E33: PER-FIELD analyzers ([[graft.operators.TextSearch
+    * .buildFieldedTextIndex]] `perField` — CouchDB's `"analyzer":
+    * {"name": "perfield", "fields": {…}}`): the q90 head/tail BM25F
+    * index rebuilt with DIFFERENT stopword sets per field ("join" is
+    * a head stopword, "stream" a tail stopword — each query term must
+    * probe, score and length-normalize per field under THAT field's
+    * analysis; a field-stopword contributes zero in that field only).
+    * The oracle replays both fields' stopword-filtered token streams
+    * and the weighted BM25F fold. */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("txpf", dir, "documents")
+    if (!TextSearch.fieldedCurrent(s, path)) q265Build(s, dir)
+    TextSearch.searchFielded(s, path, searchTerms, 20)
+  }
+
+  private def q265Build(s: SparkSession, dir: String): Unit = {
+    import graft.operators.TextSearch
+    val toks = Text.tokens(col("text"))
+    TextSearch.buildFieldedTextIndex(t(s, dir, "documents"),
+      col("doc_id"),
+      Seq(
+        ("head", concat_ws(" ", slice(toks, 1, 12)), 3.0),
+        ("tail", concat_ws(" ", slice(toks, lit(13),
+          greatest(size(toks) - 12, lit(0)))), 1.0)),
+      idxPath("txpf", dir, "documents"),
+      perField = Map(
+        "head" -> TextSearch.Analyzer(stopwords = Seq("join")),
+        "tail" -> TextSearch.Analyzer(stopwords = Seq("stream"))))
+  }
+
   /** Shared scaffold of the purge-propagation gates (q242–q244): a
     * fresh q146-shaped store (rebuilt per run — purge mutates it) and
     * a lazy post/pre-purge live-winner id relation derived FROM the
@@ -4393,6 +4547,68 @@ object SparkEntry {
     val tx = idxPath("q244tx", dir, "documents")
     TextSearch.searchBoolean(s, tx, must = Seq("hash", "stream"),
       mustNot = Nil, k = 50)
+  }
+
+  /** A43d: PURGE-AWARE ANN INDEX ([[graft.operators.Similarity
+    * .catchUpAnnPurges]]) — the vector leg of the GDPR claim: an
+    * IVF-SQ8 index built over the PRE-purge live docs' embeddings
+    * (quantizers train on that corpus and FREEZE), `_purge` hits the
+    * store with the q146 request set, one bucket-local catch-up
+    * retires the fully-erased ids, and the usual upsert maintainer
+    * ([[graft.operators.Similarity.upsertIvfSq8Vectors]], frozen
+    * quantizers) re-syncs the winner flips the purge caused — dead
+    * winners retire, resurrected docs' vectors ENTER. The liveness
+    * diff is computed over the REQUEST ids only (liveness can only
+    * change for purged docs), so the maintenance batch is
+    * admin-request-sized whatever the corpus. Served top-k must
+    * equal the full IVF-SQ8 replay over the post-purge live corpus
+    * under the pre-purge-frozen quantizers — which is exactly what
+    * the DuckDB oracle computes. */
+  private def q263Stage(s: SparkSession, dir: String): Unit =
+    stagedGate(s, idxPath("q263gate", dir, "documents"), () => {
+      import graft.operators.{Replication, Similarity}
+      val (leaves, requests) = q146Inputs(s, dir)
+      val st = idxPath("q263st", dir, "documents")
+      Replication.createTarget(s, st, leaves, col("doc_id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"),
+        col("ancestors"), numBuckets = 16, seq = 11L)
+      val emb = t(s, dir, "embeddings")
+      val vx = idxPath("q263vx", dir, "embeddings")
+      def liveEmb: DataFrame = emb.join(
+        purgeGateLive(s, st).select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      Similarity.buildIvfSq8Index(liveEmb, vx)
+      // liveness flips are confined to the purged ids — the diff is
+      // request-bounded (an admin batch), never a corpus diff
+      val reqIds = requests.select(col("doc_id")).distinct().persist()
+      def liveReqIds(): Set[Long] =
+        purgeGateLive(s, st).select(col("doc_id"))
+          .join(reqIds, Seq("doc_id"), "left_semi")
+          .collect().map(_.getLong(0)).toSet
+      try {
+        val pre = liveReqIds()
+        Replication.purgeTarget(s, st, requests, col("doc_id"),
+          col("rev_pos"), col("rev_hash"))
+        val post = liveReqIds()
+        Similarity.catchUpAnnPurges(s, vx, st)
+        val appeared = (post -- pre).toSeq.sorted
+        val died = (pre -- post).toSeq.sorted
+        if (appeared.nonEmpty || died.nonEmpty)
+          Similarity.upsertIvfSq8Vectors(s, vx,
+            if (appeared.isEmpty) emb.limit(0)
+            else emb.filter(col("vec_id").isin(appeared: _*)),
+            deletedIds = died)
+      } finally reqIds.unpersist()
+      ""
+    })
+
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    q263Stage(s, dir)
+    graft.operators.Similarity.ivfSq8TopK(s,
+        idxPath("q263vx", dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), 10,
+        nProbe = 4)
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** A42: the `_replicator` database + `GET /_scheduler/docs`
@@ -5665,6 +5881,9 @@ object SparkEntry {
     "q258_dbs_info_cache" -> ((s, dir) => q258Stage(s, dir)),
     "q259_conflict_repair" -> ((s, dir) => q259Stage(s, dir)),
     "q260_purge_log_trim" -> ((s, dir) => { q260(s, dir); () }),
+    "q263_purge_ann_index" -> ((s, dir) => q263Stage(s, dir)),
+    "q265_perfield_search" -> (q265Build _),
+    "q268_all_dbs" -> ((s, dir) => q268Stage(s, dir)),
     "q158_ivfpq_ann" -> ((s, dir) => graft.operators.Pq.buildIvfPqIndex(
       t(s, dir, "embeddings"), idxPath("ivfpq", dir, "embeddings"))),
     "q163_ivfpq_residual" -> ((s, dir) =>
@@ -6135,7 +6354,13 @@ object SparkEntry {
     "q259_conflict_repair" -> (q259 _),
     "q260_purge_log_trim" -> (q260 _),
     "q261_ddoc_info" -> (q261 _),
-    "q262_search_highlights" -> (q262 _)
+    "q262_search_highlights" -> (q262 _),
+    "q263_purge_ann_index" -> (q263 _),
+    "q265_perfield_search" -> (q265 _),
+    "q266_search_group_sort" -> (q266 _),
+    "q264_corpus_release" -> (q264 _),
+    "q267_jpeg_decode" -> (q267 _),
+    "q268_all_dbs" -> (q268 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7274,6 +7499,95 @@ object SparkEntry {
          |       hits.doc_id, hits.score
          |FROM hits JOIN gr USING (grp) WHERE rn <= 5
          |ORDER BY group_rank, score DESC, doc_id""".stripMargin),
+    // the whole release chain replayed end to end: quality → dedup
+    // best → decontaminate → temperature mix → shuffle → pack
+    "q264_corpus_release" -> corpusReleaseOracle,
+    // _all_dbs ∘ _dbs_info: the listed stores' winner counts restated
+    // from the residue classes; the decoy dir must not surface
+    "q268_all_dbs" ->
+      """SELECT 'db_all' AS db_name, COUNT(*) AS doc_count,
+        |  CAST(0 AS BIGINT) AS doc_del_count,
+        |  CAST(1 AS BIGINT) AS update_seq FROM documents
+        |UNION ALL
+        |SELECT 'db_even', COUNT(*), 0, 2 FROM documents
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'db_fifth',
+        |  COUNT(CASE WHEN doc_id % 10 <> 0 THEN 1 END),
+        |  COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END), 3
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY db_name""".stripMargin,
+    // JPEG decode verdict: dims exact, PNG mean exact, JPEG mean
+    // within the DC tolerance — all stated TRUE by construction
+    "q267_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        |  TRUE AS decoded, CAST(32 AS INTEGER) AS width,
+        |  CAST(32 AS INTEGER) AS height, TRUE AS mean_ok
+        |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
+    // group_sort: same grouped search, the GROUP cut and order by the
+    // group field ascending (lang) — within-group hits stay relevance
+    "q266_search_group_sort" ->
+      (bm25GroupCte +
+       """,
+         |gj AS (SELECT sc2.doc_id, sc2.score, d.lang AS grp
+         |       FROM sc2 JOIN documents d USING (doc_id)),
+         |gt AS (SELECT grp, COUNT(*) AS total_rows
+         |       FROM gj GROUP BY grp ORDER BY grp LIMIT 3),
+         |gr AS (SELECT grp, total_rows,
+         |         ROW_NUMBER() OVER (ORDER BY grp) AS group_rank
+         |       FROM gt),
+         |hits AS (SELECT gj.grp, gj.doc_id, gj.score,
+         |           ROW_NUMBER() OVER (PARTITION BY gj.grp
+         |             ORDER BY gj.score DESC, gj.doc_id) AS rn
+         |         FROM gj JOIN gr USING (grp))
+         |SELECT gr.group_rank, gr.grp AS "group", gr.total_rows,
+         |       hits.doc_id, hits.score
+         |FROM hits JOIN gr USING (grp) WHERE rn <= 5
+         |ORDER BY group_rank, score DESC, doc_id""".stripMargin),
+    // perfield: the q90 BM25F replay with per-field stopword streams
+    // ("join" stopworded in head, "stream" in tail) — tf, dl, df, n,
+    // avgdl all derive from each field's own filtered tokens
+    "q265_perfield_search" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             w -> w != '') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, 'head' AS field,
+        |         list_filter(ws[1:12], w -> w != 'join') AS fs FROM words
+        |  UNION ALL
+        |  SELECT doc_id, 'tail' AS field,
+        |         list_filter(ws[13:len(ws)], w -> w != 'stream') AS fs
+        |  FROM words),
+        |tf AS (
+        |  SELECT doc_id, field, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, field, unnest(fs) AS term FROM f)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, field, term),
+        |dl AS (SELECT doc_id, field, len(fs) AS dl FROM f WHERE len(fs) > 0),
+        |st AS (SELECT field, COUNT(*) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |       FROM dl GROUP BY field),
+        |df AS (SELECT field, term, COUNT(*) AS df FROM tf GROUP BY field, term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.field, tf.term,
+        |    (CASE WHEN tf.field = 'head' THEN 3.0 ELSE 1.0 END)
+        |      * ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sc
+        |  FROM tf JOIN dl USING (doc_id, field) JOIN df USING (field, term)
+        |  JOIN st USING (field)),
+        |p AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'hash' THEN sc END), 0.0) AS c00,
+        |    COALESCE(MAX(CASE WHEN field = 'head' AND term = 'stream' THEN sc END), 0.0) AS c01,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'hash' THEN sc END), 0.0) AS c10,
+        |    COALESCE(MAX(CASE WHEN field = 'tail' AND term = 'join' THEN sc END), 0.0) AS c11
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id,
+        |  FLOOR((c00 + c01 + c10 + c11) * 10000 + 0.5) / 10000 AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Stored cluster labels == the full from-scratch closure (q58's
     // CTEs) extended to singletons (label = own id).
     "q68_cluster_labels" ->
@@ -7752,61 +8066,10 @@ object SparkEntry {
     // then the same fixed-order reason concat; concat_ws skips NULLs
     // in both engines
     "q103_quality_filter" ->
-      """WITH b AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                         w -> w != '')) AS BIGINT) AS n_tokens,
-        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, n_tokens, lang AS pred,
-        |    FLOOR((
-        |      LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
-        |      (1.0 - LEAST(1.0, CAST(punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 0.3 +
-        |      LEAST(1.0, CAST(stops AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 0.3
-        |    ) * 10000 + 0.5) / 10000 AS score
-        |  FROM b),
-        |toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                             w -> w != '') AS ws
-        |  FROM documents),
-        |tokstats AS (
-        |  SELECT doc_id, COUNT(*) AS ntok, COUNT(DISTINCT w) AS dtok
-        |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
-        |  GROUP BY doc_id),
-        |bi AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
-        |  FROM toks WHERE len(ws) >= 2),
-        |bc AS (
-        |  SELECT doc_id, b.w1, b.w2, COUNT(*) AS c FROM bi
-        |  GROUP BY doc_id, b.w1, b.w2),
-        |bistats AS (
-        |  SELECT doc_id, SUM(c) AS nbi, MAX(c) AS maxbi FROM bc
-        |  GROUP BY doc_id),
-        |rep AS (
-        |  SELECT t.doc_id,
-        |    FLOOR((1.0 - CAST(t.dtok AS DOUBLE) / CAST(t.ntok AS DOUBLE))
-        |      * 10000 + 0.5) / 10000 AS dup_token_frac,
-        |    FLOOR((CAST(b.maxbi AS DOUBLE) / CAST(b.nbi AS DOUBLE))
-        |      * 10000 + 0.5) / 10000 AS top_bigram_frac
-        |  FROM bistats b JOIN tokstats t USING (doc_id)),
-        |r AS (
-        |  SELECT sc.doc_id,
-        |    concat_ws(',',
-        |      CASE WHEN sc.n_tokens < 15 THEN 'too_short' END,
-        |      CASE WHEN sc.n_tokens > 90 THEN 'too_long' END,
-        |      CASE WHEN sc.score < 0.55 THEN 'low_quality' END,
-        |      CASE WHEN sc.pred NOT IN ('en', 'de', 'zh') THEN 'bad_lang' END,
-        |      CASE WHEN COALESCE(rep.dup_token_frac, 0.0) > 0.6
-        |           THEN 'repetitive_tokens' END,
-        |      CASE WHEN COALESCE(rep.top_bigram_frac, 0.0) > 0.1
-        |           THEN 'repetitive_bigrams' END) AS reasons
-        |  FROM sc LEFT JOIN rep ON sc.doc_id = rep.doc_id)
-        |SELECT doc_id, reasons = '' AS keep, reasons
-        |FROM r ORDER BY doc_id""".stripMargin,
+      ("WITH " + qualityChainCtes +
+       """
+         |SELECT doc_id, reasons = '' AS keep, reasons
+         |FROM r ORDER BY doc_id""".stripMargin),
     // decontamination: distinct 8-grams per corpus doc, hit = gram
     // also present in the %7 benchmark split; fraction rounded half-up
     // to 4 decimals exactly as the Spark side does
@@ -8602,6 +8865,68 @@ object SparkEntry {
         |SELECT page.doc_id, page.score, frag.frag_idx, frag.fragment
         |FROM page JOIN frag USING (doc_id)
         |ORDER BY page.score DESC, page.doc_id, frag.frag_idx""".stripMargin,
+    // purge-aware ANN: the full IVF-SQ8 replay over the POST-purge
+    // live corpus under quantizers frozen on the PRE-purge live
+    // corpus (centroids = its 16 lowest ids, model = its per-dim
+    // min/max); queries are vec_id < 10 regardless of liveness
+    "q263_purge_ann_index" ->
+      (postPurgeLiveCte +
+       """,
+         |pre AS (SELECT doc_id AS id FROM documents
+         |        WHERE NOT (doc_id % 2 = 1 AND doc_id % 9 = 0)),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+         |      WHERE vec_id IN (SELECT id FROM pre)
+         |      ORDER BY vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id AS n_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |                 c.cid DESC) AS rn
+         |    FROM n CROSS JOIN c
+         |    WHERE n.vec_id IN (SELECT id FROM live)) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |                 c.cid DESC) AS rn
+         |    FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 4),
+         |dims AS (
+         |  SELECT u.i AS d, MIN(e.v[u.i]) AS mn, MAX(e.v[u.i]) AS mx
+         |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+         |  WHERE e.vec_id IN (SELECT id FROM pre)
+         |  GROUP BY u.i),
+         |codes AS (
+         |  SELECT e.vec_id, u.i AS d,
+         |    CASE WHEN dims.mx = dims.mn THEN 0
+         |         ELSE LEAST(GREATEST(CAST(FLOOR(
+         |           (e.v[u.i] - dims.mn) * 255.0 / (dims.mx - dims.mn))
+         |           AS INTEGER), 0), 255) END AS c
+         |  FROM e, LATERAL (SELECT unnest(range(1, 1 + len(e.v))) AS i) u
+         |  JOIN dims ON dims.d = u.i),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.n_id
+         |  FROM probes p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.n_id != p.q_id),
+         |d2 AS (
+         |  SELECT cand.q_id, cand.n_id,
+         |    CAST(SUM((qc.c - nc.c) * (qc.c - nc.c)) AS BIGINT) AS d2
+         |  FROM cand
+         |  JOIN codes qc ON qc.vec_id = cand.q_id
+         |  JOIN codes nc ON nc.vec_id = cand.n_id AND nc.d = qc.d
+         |  GROUP BY cand.q_id, cand.n_id),
+         |rk AS (
+         |  SELECT q_id, n_id, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY d2 ASC, n_id ASC) AS rank
+         |  FROM d2)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, d2 FROM rk
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
     // ddoc _info: meta scalars pinned, bytes as a positivity verdict
     "q261_ddoc_info" ->
       """SELECT * FROM (VALUES
@@ -11003,6 +11328,149 @@ object SparkEntry {
   /** Shared by q67/q145: exact-dup keepers → minhash closure over the
     * keeper subset → the total (doc_id, kept_id) mapping, as CTEs
     * ending in `labels`. */
+  /** The q103 quality-filter chain as CTE body text (no WITH prefix)
+    * ending in `r(doc_id, reasons)` — shared by the standalone gate
+    * and the q264 corpus-release composition. */
+  private val qualityChainCtes: String =
+    """b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                         w -> w != '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, n_tokens, lang AS pred,
+      |    FLOOR((
+      |      LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+      |      (1.0 - LEAST(1.0, CAST(punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0)) * 0.3 +
+      |      LEAST(1.0, CAST(stops AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0) * 0.3
+      |    ) * 10000 + 0.5) / 10000 AS score
+      |  FROM b),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM documents),
+      |tokstats AS (
+      |  SELECT doc_id, COUNT(*) AS ntok, COUNT(DISTINCT w) AS dtok
+      |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+      |  GROUP BY doc_id),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      |  FROM toks WHERE len(ws) >= 2),
+      |bc AS (
+      |  SELECT doc_id, b.w1, b.w2, COUNT(*) AS c FROM bi
+      |  GROUP BY doc_id, b.w1, b.w2),
+      |bistats AS (
+      |  SELECT doc_id, SUM(c) AS nbi, MAX(c) AS maxbi FROM bc
+      |  GROUP BY doc_id),
+      |rep AS (
+      |  SELECT t.doc_id,
+      |    FLOOR((1.0 - CAST(t.dtok AS DOUBLE) / CAST(t.ntok AS DOUBLE))
+      |      * 10000 + 0.5) / 10000 AS dup_token_frac,
+      |    FLOOR((CAST(b.maxbi AS DOUBLE) / CAST(b.nbi AS DOUBLE))
+      |      * 10000 + 0.5) / 10000 AS top_bigram_frac
+      |  FROM bistats b JOIN tokstats t USING (doc_id)),
+      |r AS (
+      |  SELECT sc.doc_id,
+      |    concat_ws(',',
+      |      CASE WHEN sc.n_tokens < 15 THEN 'too_short' END,
+      |      CASE WHEN sc.n_tokens > 90 THEN 'too_long' END,
+      |      CASE WHEN sc.score < 0.55 THEN 'low_quality' END,
+      |      CASE WHEN sc.pred NOT IN ('en', 'de', 'zh') THEN 'bad_lang' END,
+      |      CASE WHEN COALESCE(rep.dup_token_frac, 0.0) > 0.6
+      |           THEN 'repetitive_tokens' END,
+      |      CASE WHEN COALESCE(rep.top_bigram_frac, 0.0) > 0.1
+      |           THEN 'repetitive_bigrams' END) AS reasons
+      |  FROM sc LEFT JOIN rep ON sc.doc_id = rep.doc_id)""".stripMargin
+
+  /** The q264 corpus-release replay: the whole pipeline as chained
+    * CTEs — quality chain over `documents`, dedup-best labels over
+    * the survivors (the [[dedupLabelsCtes]] text re-sourced), 8-gram
+    * decontamination of the canonicals against the raw `%7 == 0`
+    * benchmark split, √-temperature mix at half the survivors, keyed
+    * epoch shuffle, and the q98 packing arithmetic in shuffle order
+    * across 16 round-robin shards. */
+  private def corpusReleaseOracle: String =
+    "WITH RECURSIVE " + qualityChainCtes + """,
+      |relq AS (
+      |  SELECT d.* FROM documents d
+      |  WHERE d.doc_id IN (SELECT doc_id FROM r WHERE reasons = '')),
+      |""".stripMargin +
+    dedupLabelsCtes.stripPrefix("WITH RECURSIVE ")
+      .replace("FROM documents", "FROM relq") + """,
+      |jb AS (
+      |  SELECT l.kept_id, l.doc_id AS member, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY l.kept_id
+      |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      |  FROM labels l JOIN relq d ON d.doc_id = l.doc_id),
+      |rel2 AS (
+      |  SELECT d.* FROM relq d
+      |  WHERE d.doc_id IN (SELECT member FROM jb WHERE rn = 1)),
+      |dwords AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM rel2),
+      |dg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM dwords, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i) u),
+      |bwords AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w != '') AS ws
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |bench AS (
+      |  SELECT DISTINCT array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM bwords, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i) u),
+      |contm AS (
+      |  SELECT c.doc_id,
+      |    FLOOR(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |          / COUNT(*) * 10000 + 0.5) / 10000 AS contamination
+      |  FROM dg c LEFT JOIN bench b ON c.gram = b.gram
+      |  GROUP BY c.doc_id),
+      |rel3 AS (
+      |  SELECT d.* FROM rel2 d JOIN contm USING (doc_id)
+      |  WHERE contamination <= 0.05),
+      |mixb AS (SELECT COUNT(*) // 2 AS budget FROM rel3),
+      |mixc AS (SELECT source, COUNT(*) AS cnt FROM rel3 GROUP BY source),
+      |mixw AS (SELECT source, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS w FROM mixc),
+      |mixs AS (SELECT SUM(w) AS wsum FROM mixw),
+      |mixt AS (SELECT mixw.source, (mixb.budget * mixw.w) // mixs.wsum AS tgt
+      |         FROM mixw, mixs, mixb),
+      |mixr AS (SELECT doc_id, source,
+      |           ROW_NUMBER() OVER (PARTITION BY source
+      |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |         FROM rel3),
+      |mixed AS (
+      |  SELECT mixr.doc_id FROM mixr JOIN mixt ON mixr.source = mixt.source
+      |  WHERE mixr.rk <= mixt.tgt),
+      |shuf AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY md5('release-1:' || doc_id), doc_id)
+      |      AS pos
+      |  FROM mixed),
+      |pc AS (
+      |  SELECT s.doc_id, s.pos, (s.pos - 1) % 16 AS grp,
+      |    CAST(len(w.ws) AS BIGINT) AS len
+      |  FROM shuf s JOIN dwords w USING (doc_id)
+      |  WHERE len(w.ws) > 0),
+      |po AS (
+      |  SELECT doc_id, pos, grp, len,
+      |    CAST(SUM(len) OVER (PARTITION BY grp ORDER BY pos) - len
+      |         AS BIGINT) AS off
+      |  FROM pc),
+      |pe AS (
+      |  SELECT doc_id, pos, grp, off, len,
+      |    unnest(range(off // 128, (off + len - 1) // 128 + 1)) AS seq
+      |  FROM po)
+      |SELECT doc_id, pos, grp, seq,
+      |  greatest(off, seq * 128) - seq * 128 AS seq_start,
+      |  least(off + len, (seq + 1) * 128) - seq * 128 AS seq_end,
+      |  greatest(seq * 128 - off, 0) AS tok_start,
+      |  least(len, (seq + 1) * 128 - off) AS tok_end
+      |FROM pe ORDER BY grp, seq, pos, seq_start""".stripMargin
+
   private def dedupLabelsCtes: String =
     """WITH RECURSIVE fpm AS (
       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -369,6 +369,31 @@ object Multimodal {
     * values. */
   def syntheticPng(seed: Long, perturb: Boolean, w: Int = 16,
                    h: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      syntheticImage(seed, perturb, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The [[syntheticPng]] raster as a JPEG — the format real crawl
+    * image corpora overwhelmingly arrive in (the JDK ships a JPEG
+    * reader/writer, so decode needs no new machinery). JPEG is LOSSY:
+    * individual pixels do not round-trip, so gates verify dimensions
+    * exactly and the pooled gray mean within a tolerance (DC
+    * components survive quantization; the q267 verdict relation
+    * states the tolerance check, not pixel equality). */
+  def syntheticJpeg(seed: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      syntheticImage(seed, perturb = false, w, h), "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The analytically-known grayscale raster both writers share:
+    * pixel `(x, y) = min(255, (seed·31 + 7x + 13y) mod 256
+    * (+2 on the perturb diagonal))`. */
+  private def syntheticImage(seed: Long, perturb: Boolean, w: Int,
+                             h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -384,9 +409,37 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
+  }
+
+  /** The exact pooled-thumbnail gray mean of the [[syntheticImage]]
+    * raster — [[decodeGray64Dims]]'s block-average + `sum/64`
+    * arithmetic replayed analytically, the PNG-exact / JPEG-tolerance
+    * reference the q267 verdict compares against. */
+  def syntheticGrayMean(seed: Long, w: Int, h: Int): Long = {
+    val px = new Array[Long](64)
+    var idx = 0
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            s += ((seed * 31 + x * 7 + y * 13) % 256).toInt
+            cnt += 1; x += 1
+          }
+          y += 1
+        }
+        px(idx) = s / math.max(cnt, 1L); idx += 1; i += 1
+      }
+      j += 1
+    }
+    px.sum / 64
   }
 
   /** "Frame sampling": every `stride`-th fixed-size slice of the payload

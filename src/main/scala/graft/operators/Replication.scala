@@ -1296,6 +1296,27 @@ object Replication {
     * by a pre-cache artifact or an out-of-band tool) falls back to
     * one [[graft.operators.Revisions.dbInfo]] aggregation and
     * SELF-HEALS the stamp, so the scan happens once, not per poll. */
+  /** `GET /_all_dbs` — enumerate the databases under a stores root:
+    * one FS listing plus one sidecar-stat per child (a child IS a
+    * database iff its `_graft_meta` sidecar exists — the same probe
+    * every store open uses; non-store directories are invisible, as
+    * the endpoint hides system artifacts). Names return sorted
+    * ascending, CouchDB's response order. Cost: one directory listing
+    * whatever the stores' sizes — compose with [[dbsInfo]] for the
+    * per-db stat block. */
+  def allDbs(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = IndexStore.fsFor(spark, root)
+    val p = new Path(root)
+    val names =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(d => fs.exists(new Path(d, "_graft_meta")))
+        .map(_.getName).sorted
+    names.toDF("db_name")
+  }
+
   def dbsInfo(spark: SparkSession,
               dbs: Seq[(String, String)]): DataFrame = {
     require(dbs.nonEmpty, "dbsInfo: at least one (name, path) required")

@@ -746,11 +746,21 @@ object TextSearch {
     * group value forms its own group, as Lucene grouping does.
     * Output: `(group_rank, group, total_rows, doc_id, score)` in
     * (group_rank, score DESC, doc_id) order. */
+  /** `groupSort`: CouchDB's `group_sort` — order (and cut) the GROUPS
+    * by a stored field instead of best-hit relevance. The group key
+    * follows Lucene grouping's group-head rule: ascending sorts
+    * groups by their MIN of the field over matched members,
+    * descending by their MAX (for `field == groupField` both equal
+    * the group value — the common `group_sort: ["-age"]` shape), ties
+    * by group ascending. Within-group hits stay relevance-ordered
+    * (CouchDB's `sort` applies within groups separately). */
   def searchGrouped(spark: SparkSession, path: String,
                     queryTerms: Seq[String], docs: DataFrame,
                     idCol: String, groupField: String, groupLimit: Int,
                     limitPerGroup: Int, k1: Double = 1.2,
-                    b: Double = 0.75): DataFrame = {
+                    b: Double = 0.75,
+                    groupSort: Option[(String, Boolean)] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupLimit > 0 && limitPerGroup > 0,
       "groupLimit and limitPerGroup must be positive")
@@ -760,19 +770,33 @@ object TextSearch {
     val terms = st.analyzer.queryTerms(queryTerms)
     val scored = sumInTermOrder(
       bm25Partials(spark, path, terms, st, k1, b), terms)
-    val g = scored.join(
-      docs.select(col(idCol).as("doc_id"),
-        col(groupField).cast("string").as("group")),
-      Seq("doc_id"))
-    val gtop = g.groupBy(col("group"))
-      .agg(max(struct(col("score"), (-col("doc_id").cast("long"))
+    val docCols = Seq(col(idCol).as("doc_id"),
+        col(groupField).cast("string").as("group")) ++
+      groupSort.filter(_._1 != groupField)
+        .map { case (f, _) => col(f).as("_gsf") }
+    val g = scored.join(docs.select(docCols: _*), Seq("doc_id"))
+    val gsCol = groupSort.map { case (f, _) =>
+      if (f == groupField) col("group") else col("_gsf") }
+    val aggCols: Seq[Column] =
+      Seq(max(struct(col("score"), (-col("doc_id").cast("long"))
           .as("_nd"))).as("_best"),
-        count(lit(1)).as("total_rows"))
-      .orderBy(col("_best.score").desc, col("group").asc_nulls_last)
-      .limit(groupLimit)
+        count(lit(1)).as("total_rows")) ++
+      groupSort.map { case (_, asc) =>
+        (if (asc) min(gsCol.get) else max(gsCol.get)).as("_ghead") }
+    val gtopAgg = g.groupBy(col("group"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val groupOrder: Seq[Column] = groupSort match {
+      case Some((_, asc)) =>
+        Seq(if (asc) col("_ghead").asc_nulls_last
+            else col("_ghead").desc_nulls_last,
+          col("group").asc_nulls_last)
+      case None =>
+        Seq(col("_best.score").desc, col("group").asc_nulls_last)
+    }
+    val gtop = gtopAgg.orderBy(groupOrder: _*).limit(groupLimit)
     val ranked = gtop.withColumn("group_rank", row_number().over(
-      Window.orderBy(col("_best.score").desc,
-        col("group").asc_nulls_last)))
+        Window.orderBy(groupOrder: _*)))
+      .drop("_ghead")
     val w = Window.partitionBy(col("group"))
       .orderBy(col("score").desc, col("doc_id").asc)
     g.join(broadcast(ranked), g("group") <=> ranked("group"))
@@ -1301,21 +1325,36 @@ object TextSearch {
     * no length) in that field. Serving ([[searchFielded]]) reads only
     * the probed term-bucket directories plus the per-field stats rows.
     */
+  /** `perField` is CouchDB's text-index `"analyzer": {"name":
+    * "perfield", "default": …, "fields": {…}}` — each listed field
+    * analyzes (tokenize/stopword/stem) under its OWN options, unlisted
+    * fields fall back to `analyzer` (the `default`). Every field's
+    * analyzer is stamped into ITS stats row, so the serve side
+    * re-analyzes each query term per field and a multilingual index
+    * (e.g. English-stopworded title beside an unstopworded body)
+    * cannot tokenize a query differently from the field it probes. */
   def buildFieldedTextIndex(docs: DataFrame, id: Column,
                             fields: Seq[(String, Column, Double)],
                             path: String, nBuckets: Int = 64,
                             seq: Long = 0L,
-                            analyzer: Analyzer = Analyzer()): Unit = {
+                            analyzer: Analyzer = Analyzer(),
+                            perField: Map[String, Analyzer] = Map.empty)
+      : Unit = {
     import graft.view.{IndexMeta, IndexStore}
     require(fields.nonEmpty, "at least one field")
     require(fields.map(_._1).distinct.size == fields.size,
       "field names must be distinct")
     require(fields.forall(_._3 > 0.0), "field weights must be positive")
+    val unknown = perField.keySet -- fields.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"perField names fields not in the index: ${unknown.mkString(", ")}")
+    def anOf(nm: String): Analyzer =
+      perField.getOrElse(nm, analyzer).canonical
     val spark = docs.sparkSession
     IndexStore.fsFor(spark, path)
       .delete(new org.apache.hadoop.fs.Path(path), true)
     val tfRows = fields.map { case (nm, c, _) =>
-      termFreqs(docs, id, c, analyzer).withColumn("field", lit(nm))
+      termFreqs(docs, id, c, anOf(nm)).withColumn("field", lit(nm))
     }.reduce(_.unionByName(_))
       .withColumn("_tb", termBucket(col("term"), nBuckets))
     require(!tfRows.isEmpty,
@@ -1346,27 +1385,30 @@ object TextSearch {
     writeFieldedStats(spark, path,
       fields.zipWithIndex.map { case ((nm, _, w), i) =>
         val (n, sd) = fst.getOrElse(nm, (0L, 0L))
-        (nm, i, w, n, sd)
-      }, nBuckets, analyzer)
+        (nm, i, w, n, sd, anOf(nm))
+      }, nBuckets)
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }
 
-  /** Per-field stats rows; `avgdl` always re-derived as `sum_dl/n` in
-    * the same double division (driver-side guard: ANSI division would
-    * throw on an all-empty field), so a maintained index serves the
-    * identical averages a fresh build would. */
+  /** Per-field stats rows, each carrying ITS analyzer (the perfield
+    * stamp); `avgdl` always re-derived as `sum_dl/n` in the same
+    * double division (driver-side guard: ANSI division would throw on
+    * an all-empty field), so a maintained index serves the identical
+    * averages a fresh build would. */
   private def writeFieldedStats(spark: SparkSession, path: String,
-                                rows: Seq[(String, Int, Double, Long, Long)],
-                                nBuckets: Int, an: Analyzer): Unit = {
+                                rows: Seq[(String, Int, Double, Long,
+                                  Long, Analyzer)],
+                                nBuckets: Int): Unit = {
     import spark.implicits._
-    rows.map { case (nm, i, w, n, sd) =>
-      (nm, i, w, n, sd, if (n > 0) sd.toDouble / n else 0.0)
-    }.toDF("field", "ord", "weight", "n", "sum_dl", "avgdl")
+    rows.map { case (nm, i, w, n, sd, an) =>
+      (nm, i, w, n, sd, if (n > 0) sd.toDouble / n else 0.0,
+        an.lowercase, an.stem, an.sortedStop)
+    }.toDF("field", "ord", "weight", "n", "sum_dl", "avgdl",
+        "an_lc", "an_stem", "an_stop")
       .select(col("field"), col("ord"), col("weight"), col("n"),
         col("sum_dl"), col("avgdl"),
         lit(nBuckets).as("n_buckets"), lit(FieldedFormatVersion).as("fmt"),
-        lit(an.lowercase).as("an_lc"), lit(an.stem).as("an_stem"),
-        typedLit(an.sortedStop).as("an_stop"))
+        col("an_lc"), col("an_stem"), col("an_stop"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
   }
 
@@ -1394,7 +1436,9 @@ object TextSearch {
     val stRows = spark.read.parquet(path + "/stats")
       .orderBy(col("ord")).collect()
     val nB = stRows.head.getAs[Int]("n_buckets")
-    val an = analyzerFromRow(stRows.head)
+    // perfield: each field tokenizes under ITS stamped analyzer
+    val anByField = stRows.map(r =>
+      r.getAs[String]("field") -> analyzerFromRow(r)).toMap
     val stored = stRows.map(_.getAs[String]("field")).toSeq
     require(changedFields.map(_._1) == stored,
       s"changed fields ${changedFields.map(_._1)} must match the " +
@@ -1407,7 +1451,7 @@ object TextSearch {
       else changedDocs.filter(
         coalesce(!id.cast("long").isin(deletedIds: _*), lit(true)))
     val newTf = changedFields.map { case (nm, c) =>
-      termFreqs(live, id, c, an).withColumn("field", lit(nm))
+      termFreqs(live, id, c, anByField(nm)).withColumn("field", lit(nm))
     }.reduce(_ unionByName _)
       .withColumn("_tb", termBucket(col("term"), nB)).persist()
     val cids0 = changedDocs.select(id.cast("long").as("doc_id")).distinct()
@@ -1474,8 +1518,8 @@ object TextSearch {
           val (dn, ds) = add.getOrElse(f, (0L, 0L))
           (f, r.getAs[Int]("ord"), r.getAs[Double]("weight"),
             r.getAs[Long]("n") - rn + dn,
-            r.getAs[Long]("sum_dl") - rs + ds)
-        }.toSeq, nB, an)
+            r.getAs[Long]("sum_dl") - rs + ds, anByField(f))
+        }.toSeq, nB)
       oldSide.unpersist()
       val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
       IndexStore.writeMeta(spark, path, meta.copy(updateSeq = seq))
@@ -1496,9 +1540,10 @@ object TextSearch {
     } catch { case _: Exception => false }
 
   private final case class FieldStat(name: String, weight: Double,
-                                     n: Long, avgdl: Double)
+                                     n: Long, avgdl: Double,
+                                     analyzer: Analyzer)
   private final case class FieldedStats(fields: Seq[FieldStat],
-                                        nBuckets: Int, analyzer: Analyzer)
+                                        nBuckets: Int)
 
   private def fieldedStatsOf(spark: SparkSession,
                              path: String): FieldedStats = {
@@ -1508,14 +1553,21 @@ object TextSearch {
     FieldedStats(
       rows.map(r => FieldStat(r.getAs[String]("field"),
         r.getAs[Double]("weight"), r.getAs[Long]("n"),
-        r.getAs[Double]("avgdl"))).toSeq,
-      rows.head.getAs[Int]("n_buckets"), analyzerFromRow(rows.head))
+        r.getAs[Double]("avgdl"), analyzerFromRow(r))).toSeq,
+      rows.head.getAs[Int]("n_buckets"))
   }
 
   /** The `(field, weight)` map stamped into the fielded index at
     * `path`, in build order. */
   def fieldsOf(spark: SparkSession, path: String): Seq[(String, Double)] =
     fieldedStatsOf(spark, path).fields.map(f => (f.name, f.weight))
+
+  /** The `(field, analyzer)` map stamped into the fielded index at
+    * `path`, in build order — the perfield stamp, readable for the
+    * same loud-guard composition as [[requireAnalyzer]]. */
+  def fieldAnalyzersOf(spark: SparkSession,
+                       path: String): Seq[(String, Analyzer)] =
+    fieldedStatsOf(spark, path).fields.map(f => (f.name, f.analyzer))
 
   /** Loud guard for callers that EXPECT a specific field map: opening
     * an index built with different fields or weights fails with both
@@ -1544,7 +1596,12 @@ object TextSearch {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be non-empty and distinct")
     val fs = fieldedStatsOf(spark, path)
-    val terms = fs.analyzer.queryTerms(queryTerms).sorted
+    // perfield: each field re-analyzes the query under ITS stamped
+    // analyzer — the same term may probe different indexed forms (or
+    // none: a field-stopword contributes zero in that field only)
+    val fieldTerms: Seq[(FieldStat, Seq[String])] =
+      fs.fields.map(f => f -> f.analyzer.queryTerms(queryTerms).sorted)
+    val terms = fieldTerms.flatMap(_._2).distinct.sorted
     def perField(g: FieldStat => Column): Column =
       fs.fields.tail.foldLeft(
         when(col("field") === fs.fields.head.name, g(fs.fields.head))) {
@@ -1558,12 +1615,12 @@ object TextSearch {
         bm25Weight(col("tf"), col("dl"), col("df"),
           perField(f => lit(f.n)), perField(f => lit(f.avgdl)), k1, b))
     val cells = for {
-      (f, fi) <- fs.fields.zipWithIndex
-      (t, ti) <- terms.zipWithIndex
+      ((f, fts), fi) <- fieldTerms.zipWithIndex
+      (t, ti) <- fts.zipWithIndex
     } yield coalesce(max(when(col("field") === f.name &&
         col("term") === t, col("_s"))), lit(0.0)).as(s"_c${fi}_$ti")
     val names = for {
-      fi <- fs.fields.indices; ti <- terms.indices
+      ((_, fts), fi) <- fieldTerms.zipWithIndex; ti <- fts.indices
     } yield s"_c${fi}_$ti"
     scored.groupBy(col("doc_id")).agg(cells.head, cells.tail: _*)
       .select(col("doc_id"),

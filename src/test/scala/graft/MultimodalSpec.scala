@@ -81,6 +81,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(dh.contains((1L, 2L)))
   }
 
+  test("JPEG decode: dims exact, gray mean within DC tolerance, PNG twin exact") {
+    val seed = 11L
+    val exp = Multimodal.syntheticGrayMean(seed, 32, 32)
+    // the analytic reference IS the PNG decode (lossless round-trip)
+    val png = Multimodal.decodeGray64(
+      Multimodal.syntheticPng(seed, perturb = false, 32, 32)).get
+    assert(png.sum / 64 == exp, "analytic mean must equal PNG decode")
+    val mixed = Seq(
+      (1L, Multimodal.syntheticJpeg(seed, 32, 32)),
+      (2L, "jpeg? definitely not a jpeg payload at all".getBytes))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeFeatures(mixed).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).decoded && feats(1L).width == 32 &&
+      feats(1L).height == 32, s"jpeg dims wrong: ${feats(1L)}")
+    // JPEG is lossy but DC survives quantization: the pooled mean
+    // lands within a few levels of the raster's analytic mean
+    assert((feats(1L).gray_mean - exp).abs <= 6,
+      s"jpeg mean drifted: got ${feats(1L).gray_mean}, raster $exp")
+    assert(!feats(2L).decoded, "corrupt payload must quarantine")
+  }
+
   test("real decode: PNG roundtrips the formula raster exactly (stub vs real)") {
     // decode-pool of the synthetic PNG == direct formula pooling
     val png = Multimodal.syntheticPng(7L, perturb = false)

@@ -1197,4 +1197,62 @@ class PipelineOpsSpec extends SparkSpecBase {
         col("text"), Seq(1))
     }
   }
+
+  test("corpusRelease: the stages compose — filter, dedup-best, decontaminate, mix, shuffle, pack") {
+    import graft.operators.Pipeline
+    // every stage provably acts: d4 too short, d5 bad lang, d2 is
+    // d1's exact dup (higher score -> d2 is the kept canonical), d3
+    // is verbatim benchmark content (contamination 1.0)
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val t1 = mk((1 to 10).map(i => s"alpha$i"))
+    val t3 = mk((1 to 10).map(i => s"bench$i"))
+    val t6 = mk((1 to 10).map(i => s"omega$i"))
+    val corpus = Seq(
+      (1L, t1, "en", 1.0, "web"),
+      (2L, t1, "en", 9.0, "web"),
+      (3L, t3, "en", 5.0, "web"),
+      (4L, "short doc here", "en", 5.0, "web"),
+      (5L, t6, "xx", 5.0, "books"),
+      (6L, t6, "en", 5.0, "books"))
+      .toDF("doc_id", "text", "lang", "score", "source")
+    val bench = Seq((100L, t3)).toDF("doc_id", "text")
+    val rel = Pipeline.corpusRelease(corpus, $"doc_id", $"text",
+      $"lang", $"score", $"source", bench, $"doc_id", $"text",
+      seed = "t1", seqLen = 4, nShards = 2,
+      minTokens = 8, maxTokens = 90, minQuality = 0.0,
+      allowedLangs = Seq("en"), maxDupTokenFrac = 1.0,
+      maxTopBigramFrac = 1.0, contaminationN = 8,
+      maxContamination = 0.3, budgetOf = identity).collect()
+    val ids = rel.map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 6L),
+      s"release must keep the best dup and the clean doc: $ids")
+    // packing covers each kept doc's 10 tokens exactly once
+    val covered = rel.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => r.getAs[Long]("tok_end") - r.getAs[Long]("tok_start"))
+        .sum).toMap
+    assert(covered.values.forall(_ == 10L),
+      s"token slices must partition each doc: $covered")
+    // shuffle positions are 1..n and decide the packing shard
+    val pos = rel.map(r => (r.getLong(0), r.getAs[Long]("pos"))).toSet
+    assert(pos.map(_._2) == Set(1L, 2L))
+    assert(rel.forall(r =>
+      r.getAs[Long]("grp") == (r.getAs[Long]("pos") - 1) % 2))
+    // reproducible end to end
+    val again = Pipeline.corpusRelease(corpus, $"doc_id", $"text",
+      $"lang", $"score", $"source", bench, $"doc_id", $"text",
+      seed = "t1", seqLen = 4, nShards = 2,
+      minTokens = 8, maxTokens = 90, minQuality = 0.0,
+      allowedLangs = Seq("en"), maxDupTokenFrac = 1.0,
+      maxTopBigramFrac = 1.0, contaminationN = 8,
+      maxContamination = 0.3, budgetOf = identity).collect()
+    assert(rel.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq, "release must be deterministic")
+    // the length floor guards the decontamination hole loudly
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.corpusRelease(corpus, $"doc_id", $"text", $"lang",
+        $"score", $"source", bench, $"doc_id", $"text", seed = "t1",
+        minTokens = 4, contaminationN = 8)
+    }
+    assert(e.getMessage.contains("contamination"))
+  }
 }

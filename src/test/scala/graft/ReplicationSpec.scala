@@ -911,6 +911,29 @@ class ReplicationSpec extends SparkSpecBase {
     assert(Replication.localDocGet(spark, path, "_local/a").isEmpty)
   }
 
+  test("allDbs: lists store children only, sorted, composing with dbsInfo") {
+    val root = java.nio.file.Files.createTempDirectory("repl-alldbs")
+      .toString + "/dbs"
+    val fs = graft.view.IndexStore.fsFor(spark, root)
+    // missing root lists empty, not loud
+    assert(Replication.allDbs(spark, root).isEmpty)
+    val leaves = leavesDf((0 until 10).map(i =>
+      (s"d$i", 1L, s"h$i", false, Seq.empty[String])))
+    Seq("zeta", "alpha").foreach { n =>
+      Replication.createTarget(spark, s"$root/$n", leaves, cols._1,
+        cols._2, cols._3, cols._4, cols._5, numBuckets = 2, seq = 1L)
+    }
+    // a metaless directory is NOT a database
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_not_a_db"))
+    val names = Replication.allDbs(spark, root).collect()
+      .map(_.getString(0)).toSeq
+    assert(names == Seq("alpha", "zeta"), s"listing wrong: $names")
+    val info = Replication.dbsInfo(spark,
+        names.map(n => n -> s"$root/$n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(info == Seq(("alpha", 10L), ("zeta", 10L)))
+  }
+
   test("compact/reshard carry sidecars; purge-log trim guards stale catch-ups") {
     val dir = java.nio.file.Files.createTempDirectory("repl-side").toString
     val path = s"$dir/store"

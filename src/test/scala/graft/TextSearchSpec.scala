@@ -834,6 +834,73 @@ class TextSearchSpec extends SparkSpecBase {
     assert(all.count() == 5, "doc 6 matches nothing; others all serve")
   }
 
+  test("searchGrouped group_sort: groups cut and ordered by field, hits stay relevance") {
+    val tiny = Seq(
+      (1L, "hash hash hash hash", "en"),
+      (2L, "hash", "en"),
+      (3L, "hash hash", "de"),
+      (4L, "hash filler filler", "de"),
+      (5L, "hash hash hash", "fr"),
+      (6L, "nothing", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val path = Files.createTempDirectory("graft-gsrt").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 8)
+    // group_sort by the group field ascending: de, en make the cut
+    // (relevance order would be en, fr — q246's rule)
+    val asc = TextSearch.searchGrouped(spark, path, Seq("hash"), tiny,
+        "doc_id", "lang", groupLimit = 2, limitPerGroup = 1,
+        groupSort = Some(("lang", true)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(asc.toSeq == Seq((1L, "de", 3L), (2L, "en", 1L)),
+      s"lang-asc group order wrong: ${asc.toSeq}")
+    // group-head rule on a non-group field, descending: groups order
+    // by their MAX doc_id — fr(5), de(4) cut en(2)
+    val desc = TextSearch.searchGrouped(spark, path, Seq("hash"), tiny,
+        "doc_id", "lang", groupLimit = 2, limitPerGroup = 1,
+        groupSort = Some(("doc_id", false)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(desc.toSeq == Seq((1L, "fr"), (2L, "de")),
+      s"doc_id-desc group order wrong: ${desc.toSeq}")
+  }
+
+  test("perfield analyzers: per-field stopwords stamp, probe, and survive upsert") {
+    import TextSearch.{Analyzer, buildFieldedTextIndex, searchFielded}
+    val d = Seq(
+      (1L, "spark join spark", "stream filter stream"),
+      (2L, "join join join", "stream stream stream"),
+      (3L, "spark guide", "filter guide"))
+      .toDF("doc_id", "title", "body")
+    val path = Files.createTempDirectory("graft-pf").toString + "/idx"
+    val anT = Analyzer(stopwords = Seq("join"))
+    val anB = Analyzer(stopwords = Seq("stream"))
+    buildFieldedTextIndex(d, $"doc_id",
+      Seq(("title", $"title", 2.0), ("body", $"body", 1.0)), path,
+      nBuckets = 8, perField = Map("title" -> anT, "body" -> anB))
+    assert(TextSearch.fieldAnalyzersOf(spark, path) ==
+      Seq(("title", anT), ("body", anB)), "perfield stamp wrong")
+    // the same term's fate differs per field: "join" occurs only in
+    // titles where it is stopworded; "stream" only in bodies, ditto
+    assert(searchFielded(spark, path, Seq("join"), 10).isEmpty)
+    assert(searchFielded(spark, path, Seq("stream"), 10).isEmpty)
+    // non-stopword terms serve normally from their fields
+    val sp = searchFielded(spark, path, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sp == Seq(1L, 3L), s"title matches wrong: $sp (tf order)")
+    val fl = searchFielded(spark, path, Seq("filter"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(fl == Set(1L, 3L), s"body matches wrong: $fl")
+    // maintenance tokenizes each field under ITS stamped analyzer and
+    // preserves the stamps
+    TextSearch.upsertFieldedDocs(spark, path,
+      Seq((4L, "join spark", "filter fresh")).toDF("doc_id", "title", "body"),
+      $"doc_id", Seq(("title", $"title"), ("body", $"body")))
+    assert(TextSearch.fieldAnalyzersOf(spark, path) ==
+      Seq(("title", anT), ("body", anB)), "upsert lost the stamps")
+    assert(searchFielded(spark, path, Seq("join"), 10).isEmpty,
+      "doc 4's title 'join' must be stopworded by the stored analyzer")
+    assert(searchFielded(spark, path, Seq("spark"), 10).count() == 3)
+  }
+
   test("searchHighlights: earliest-N hit windows, clamped, terms wrapped") {
     val tiny = Seq(
       (1L, "alpha hash beta gamma hash"),
