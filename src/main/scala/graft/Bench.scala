@@ -28,16 +28,21 @@ object Bench {
     // minus the disk.
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-    // Warm each plan once at the smallest SF: JIT + codegen compilation +
-    // session init land here, so the timed runs measure the operators,
-    // not JVM warmup. Generated-class caching is keyed by plan structure,
-    // which is identical across SF dirs. Streaming drives are NOT
-    // warmed: their cost is micro-batch scheduler latency, which a
-    // sf0.001 run pays in full without shrinking the timed run.
-    val warmDir = "/root/testdata/sf0.001"
-    queries.foreach { case (name, fn) =>
-      if (!SparkEntry.streamingGates(name))
-        try run(fn, warmDir) catch { case _: Throwable => () }
+    // NO separate warm pass: under the two-sample policy below, each
+    // query's FIRST timed sample is its own warmer (codegen + JIT +
+    // artifact first-touch land there) and the reported minimum takes
+    // the warm second sample. The old sf0.001 warm pass measured
+    // 624 s cold (staging every lazy artifact at a THIRD scale factor
+    // purely to pre-compile serve plans) — pure wall against the
+    // driver's timeout for information min-of-2 already provides.
+    // phase wall-times go to stderr so the driver's one-line JSON
+    // contract holds while the wall budget stays diagnosable
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val t = System.nanoTime()
+      System.err.println(
+        f"[bench-phase] $name ${(t - tPhase) / 1e9}%.1f s")
+      tPhase = t
     }
     // Touch every input table at the TIMED scale factor once, so the
     // first timed query measures its operators, not the page-cache
@@ -47,6 +52,7 @@ object Bench {
         try spark.read.parquet(f.getPath).foreach(_ => ())
         catch { case _: Throwable => () }
       }
+    phase("touch")
     // Persisted indexes (q52/q53/q54/q55) are BUILT here, once, timed
     // separately: a deployment builds an index once and serves it many
     // times, so the headline total reflects amortized serving and the
@@ -62,19 +68,26 @@ object Bench {
                catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    phase("builds")
     // Sandbox hosts show large external load swings (same query 1 s ↔
-    // 15 s run-to-run with an idle container); time each query in every
-    // pass and report the per-query MINIMUM — the standard
+    // 15 s run-to-run with an idle container); time each query across
+    // passes and report the per-query MINIMUM — the standard
     // noisy-machine practice that measures the code, not the neighbor.
-    // PASS POLICY (keeps the full suite inside the driver's wall —
-    // round 13 timed out): cheap queries get all `passes` samples
-    // (noise dominates them, min-of-3 is what fixes it); queries whose
-    // first sample exceeds `heavyFloor` get ONE extra sample (their
-    // cost is many-jobs page walks or decode batches — long enough to
-    // average external spikes within a single run); streaming drives
-    // get two samples total (sample 1 absorbs codegen warmup since
-    // they skip the warm pass, sample 2 is the clean one) — their
-    // duration is scheduler wall, not load-sensitive compute.
+    // SAMPLE POLICY (the driver-wall budget — round 13 timed out):
+    //  - streaming drives: ONE sample. Their duration is micro-batch
+    //    scheduler wall, measured stable run-to-run on this host
+    //    (two full samples landed within noise of each other); a
+    //    second sample costs ~230 s of wall for no information.
+    //  - heavy queries: a first sample past `heavyFloor` gets ONE
+    //    confirming sample (a spiked cheap query must not park its
+    //    spike in the headline — q106 measured 12 s spiked vs 5.7 s
+    //    real); two samples past the floor stop there — a genuine
+    //    heavy is long enough to average spikes internally.
+    //  - everything else: TWO samples, and a THIRD only when the
+    //    first two disagree by >1.6× (a spike hit one of them — the
+    //    case min-of-3 exists for, now paid only where it shows;
+    //    sample 1 doubles as the codegen warmer, so mild 1.x skews
+    //    are expected and must not trigger a third).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val heavyFloor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "8").toDouble
@@ -90,15 +103,18 @@ object Bench {
     def wantsAnother(name: String, prev: List[Double]): Boolean =
       if (prev.isEmpty) true
       else if (prev.exists(_ < 0)) false // failed once: -1 is the verdict
-      else if (SparkEntry.streamingGates(name)) prev.size < 2
-      else if (prev.min > heavyFloor) prev.size < 2 // genuinely heavy
-      else prev.size < passes // cheap (or a spiked sample): full sampling
-    (1 to passes).foreach { _ =>
+      else if (SparkEntry.streamingGates(name)) false // one sample
+      else if (prev.size == 1) true // always confirm the first sample
+      else if (prev.min > heavyFloor) false // heavy CONFIRMED: stop
+      else if (prev.size >= passes) false
+      else prev.max / math.max(prev.min, 1e-9) > 1.6 // spike suspected
+    (1 to passes).foreach { p =>
       queries.foreach { case (name, fn) =>
         val prev = samples.getOrElse(name, Nil)
         if (wantsAnother(name, prev))
           samples(name) = timeOne(name, fn) :: prev
       }
+      phase(s"pass$p")
     }
     val results = queries.keys.map { name =>
       val ts = samples(name)

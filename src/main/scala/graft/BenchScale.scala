@@ -164,6 +164,21 @@ object BenchScale {
             d.select(col("doc_id"),
               concat(lit("s"), pmod(col("doc_id"), lit(7))).as("dom")),
             col("dom"), col("doc_id"), d.count() / 2))),
+        // the COMPOSED release chain (q264): each stage is its own
+        // probed operator, so the composition must track the max of
+        // its stages, never multiply them
+        "corpus_release" -> (() =>
+          noop(graft.operators.Pipeline.corpusRelease(
+            d.select(col("doc_id"), col("text"),
+              lit("en").as("lang"),
+              length(col("text")).cast("double").as("sc"),
+              concat(lit("s"), pmod(col("doc_id"), lit(7))).as("dom")),
+            col("doc_id"), col("text"), col("lang"), col("sc"),
+            col("dom"),
+            benchmark = d.filter(col("doc_id") % 97 === 0),
+            bid = col("doc_id"), btext = col("text"), seed = "probe",
+            minQuality = 0.0, maxTokens = 100000,
+            maxDupTokenFrac = 1.0, maxTopBigramFrac = 1.0))),
         "epoch_shuffle" -> (() =>
           noop(graft.operators.Relational.epochShuffle(
             d.select(col("doc_id")), col("doc_id"), "probe"))),
