@@ -89,6 +89,12 @@ object Bench {
     //    sample 1 doubles as the codegen warmer, so mild 1.x skews
     //    are expected and must not trigger a third).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // With the warm pass gone, passes=1 reports each query's SINGLE
+    // COLD sample (codegen/JIT included) — a silent semantics change
+    // for the one-pass escape hatch, so say it out loud
+    if (passes < 2) System.err.println(
+      "[bench] WARNING: passes=1 reports single COLD samples " +
+        "(no warm pass exists; sample 1 includes codegen/JIT)")
     val heavyFloor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "8").toDouble
     def timeOne(name: String,

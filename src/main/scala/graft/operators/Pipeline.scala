@@ -76,10 +76,16 @@ object Pipeline {
     // 3. benchmark decontamination (distinct n-gram containment)
     val cont = Dedup.decontaminate(d2, col("doc_id"), col("text"),
       benchmark, bid, btext, contaminationN)
+    // pin the expensive quality→dedup→decontamination prefix: the
+    // budget count below and the returned plan both consume d3, and
+    // without the checkpoint the whole prefix would execute twice
+    // (the syncBatch persist discipline; localCheckpoint because the
+    // result is returned lazily, so there is no unpersist point)
     val d3 = d2.join(
       cont.filter(col("contamination") <= maxContamination)
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     // 4. temperature-weighted domain mix to the release budget
     val budget = budgetOf(d3.count())
     val mixed = Relational.temperatureMix(d3, col("_dom"),

@@ -1602,6 +1602,13 @@ object TextSearch {
     val fieldTerms: Seq[(FieldStat, Seq[String])] =
       fs.fields.map(f => f -> f.analyzer.queryTerms(queryTerms).sorted)
     val terms = fieldTerms.flatMap(_._2).distinct.sorted
+    // perfield makes an all-stopword query a mainline case: every
+    // term stopworded by every field's analyzer leaves no cell to
+    // aggregate — the contract is "a stopword contributes zero", so
+    // the whole query scores nothing rather than throwing
+    if (terms.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0.0).as("score"))
     def perField(g: FieldStat => Column): Column =
       fs.fields.tail.foldLeft(
         when(col("field") === fs.fields.head.name, g(fs.fields.head))) {
