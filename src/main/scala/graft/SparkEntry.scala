@@ -2080,6 +2080,62 @@ object SparkEntry {
       .orderBy(col("db_name"))
   }
 
+  /** A54: DATABASE LIFECYCLE — `DELETE /db` + the `deleted` event in
+    * `GET /_db_updates` ([[graft.operators.Replication.destroyTarget]]
+    * / [[graft.operators.Replication.dbUpdates]]): three stores live
+    * the full CouchDB event cycle (dba created→updated; dbb
+    * destroyed — its tombstone breadcrumb reports `deleted` at
+    * `updateSeq+1` until consumed; dbc destroyed then RECREATED —
+    * the breadcrumb is consumed and it reports `created` again), the
+    * feed read at three cursors plus the `_all_dbs` namespace view
+    * (the destroyed store invisible). Every row is a pinned scalar
+    * the oracle states as VALUES. */
+  private def q271Stage(s: SparkSession, dir: String): Unit =
+    stagedGate(s, idxPath("q271gate", dir, "documents"), () => {
+      import graft.operators.Replication
+      val root = idxPath("q271root", dir, "documents")
+      graft.view.IndexStore.fsFor(s, root)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = t(s, dir, "documents")
+      val leaves = docs.limit(50).select(
+        col("doc_id").cast("string").as("id"), lit(1L).as("rev_pos"),
+        md5(concat(col("doc_id").cast("string"), lit(":1:lc")))
+          .as("rev_hash"),
+        lit(false).as("deleted"),
+        array().cast("array<string>").as("ancestors"))
+      def create(n: String, seq: Long): Unit =
+        Replication.createTarget(s, s"$root/$n", leaves, col("id"),
+          col("rev_pos"), col("rev_hash"), col("deleted"),
+          col("ancestors"), numBuckets = 2, seq = seq)
+      create("dba", 3L) // then updated to seq 7
+      graft.view.IndexStore.writeMeta(s, s"$root/dba",
+        graft.view.IndexStore.readMeta(s, s"$root/dba")
+          .copy(updateSeq = 7L))
+      create("dbb", 9L) // destroyed: deleted event at seq 10
+      Replication.destroyTarget(s, s"$root/dbb")
+      create("dbc", 12L) // destroyed (13) then recreated at 15
+      Replication.destroyTarget(s, s"$root/dbc")
+      create("dbc", 15L)
+      ""
+    })
+
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Replication
+    q271Stage(s, dir)
+    val root = idxPath("q271root", dir, "documents")
+    val dbs = Seq("dba", "dbb", "dbc").map(n => n -> s"$root/$n")
+    val feeds = Seq(0L, 5L, 10L).map(since =>
+      Replication.dbUpdates(s, dbs, since = since)
+        .withColumn("since", lit(since)))
+      .reduce(_ unionByName _)
+    val listed = Replication.allDbs(s, root)
+      .select(lit(-1L).as("since"), col("db_name"),
+        lit("listed").as("type"), lit(-1L).as("seq"))
+    feeds.select(col("since"), col("db_name"), col("type"), col("seq"))
+      .unionByName(listed)
+      .orderBy(col("since"), col("db_name"))
+  }
+
   private def q258Stage(s: SparkSession, dir: String): Unit =
     stagedGate(s, idxPath("q258gate", dir, "documents"),
       () => { q258Scenario(s, dir); "" })
@@ -3194,6 +3250,49 @@ object SparkEntry {
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.sinceDocIds(s, path, 3 * md / 2,
       (0L to md by 17L).toSeq)
+  }
+
+  /** The q272 namespaced change log: every 10th doc is a design doc
+    * (`_design/d<id>`), the rest `doc<id>`; gen 1 writes all, gen 2
+    * re-writes the `%3` docs above the initial log with the `%9`
+    * subset tombstoned — so the design-filtered feed sees creates,
+    * updates AND deploy removals. */
+  private def q272Build(s: SparkSession, dir: String): Unit = {
+    import graft.sources.ChangesFeed
+    val path = idxPath("q272chg", dir, "documents")
+    if (hasFile(s, s"$path/_graft_built")) return
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val md = d.agg(max(col("doc_id"))).head().getLong(0)
+    val ids = d.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+          concat(lit("_design/d"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("doc"), col("doc_id").cast("string")))
+        .as("id"))
+    def rev(n: Int): Column =
+      concat(lit(s"$n-"), md5(concat(col("id"), lit(s":r$n"))))
+    val gen1 = ids.select((col("doc_id") * 2 + 1).as("seq"), col("id"),
+      rev(1).as("rev"), lit(false).as("deleted"))
+    val gen2 = ids.filter(col("doc_id") % 3 === 0)
+      .select((lit(2L * (md + 1)) + col("doc_id")).as("seq"), col("id"),
+        rev(2).as("rev"), (col("doc_id") % 9 === 0).as("deleted"))
+    ChangesFeed.write(gen1, path, width = 128)
+    ChangesFeed.append(gen2, path)
+    new java.io.File(s"$path/_graft_built").createNewFile()
+  }
+
+  /** A27h: `_changes` `filter=_design` ([[graft.sources.ChangesFeed
+    * .sinceDesignDocs]]) — CouchDB's built-in design-docs-only feed
+    * (the ddoc-deploy watch): the mid-log catch-up read over the
+    * namespaced q272 log, cut to the `_design/` prefix with ONE
+    * pushed `StartsWith` (no doc content touched), tombstoned ddocs
+    * passing. The oracle replays log synthesis, checkpoint cut,
+    * latest-change dedup and the prefix cut. */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ChangesFeed
+    q272Build(s, dir)
+    val path = idxPath("q272chg", dir, "documents")
+    val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    ChangesFeed.sinceDesignDocs(s, path, md)
   }
 
   /** A32b: namespace-scoped primary-index reads ([[graft.view.View
@@ -4360,6 +4459,50 @@ object SparkEntry {
       p.select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("page", lit(i.toLong))
     }.reduce(_ unionByName _).orderBy(col("doc_id"))
+  }
+
+  /** E35: `_search` `include_fields` ([[graft.operators.TextSearch
+    * .searchIncludeFields]]) — Clouseau's stored-field projection:
+    * each BM25 top-20 hit carries ONLY the requested `lang` and
+    * `n_chars` stored fields (the smaller-response alternative to
+    * `include_docs` for wide docs). The ranking is the q60 pruned
+    * serve; the projection is one k-row broadcast join against the
+    * column-pruned corpus (the searchHighlights discipline). The
+    * oracle extends the q59/q60 BM25 replay with the same join. */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents")
+    val path = idxPath("txt", dir, "documents")
+    if (!TextSearch.indexCurrent(s, path))
+      TextSearch.buildTextIndex(docs, col("doc_id"), col("text"), path)
+    TextSearch.searchIncludeFields(s, path, searchTerms, docs,
+      "doc_id", Seq("lang", "n_chars"), 20)
+  }
+
+  /** E36: PARTITIONED `_search` ([[graft.operators.TextSearch
+    * .searchPartitioned]]) — CouchDB 3.x
+    * `/db/_partition/{p}/_search`: the documents corpus as a
+    * partitioned db (partition = lang, id `<lang>:<doc_id>`), the
+    * text index stored `_p`-partitioned with PARTITION-LOCAL ranking
+    * stats, the 'en'-scoped top-20 served from ONE `_p` directory's
+    * probed term buckets. The oracle replays the q59 BM25 formula
+    * over ONLY the en slice — scoped BM25 == the partition-local
+    * relational oracle. */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextSearch
+    val path = idxPath("q270ptx", dir, "documents")
+    if (!TextSearch.partitionedIndexCurrent(s, path)) q270Build(s, dir)
+    TextSearch.searchPartitioned(s, path, "en", searchTerms, 20)
+  }
+
+  private def q270Build(s: SparkSession, dir: String): Unit = {
+    import graft.operators.TextSearch
+    val docs = t(s, dir, "documents").select(
+      concat(col("lang"), lit(":"), col("doc_id").cast("string"))
+        .as("_id"),
+      col("text"))
+    TextSearch.buildPartitionedTextIndex(docs, col("_id"), col("text"),
+      idxPath("q270ptx", dir, "documents"))
   }
 
   /** E26: `_search` `group_field` GROUPING ([[graft.operators
@@ -5920,6 +6063,9 @@ object SparkEntry {
     "q260_purge_log_trim" -> ((s, dir) => { q260(s, dir); () }),
     "q263_purge_ann_index" -> ((s, dir) => q263Stage(s, dir)),
     "q265_perfield_search" -> (q265Build _),
+    "q270_partitioned_search" -> (q270Build _),
+    "q271_db_lifecycle" -> ((s, dir) => q271Stage(s, dir)),
+    "q272_changes_design" -> (q272Build _),
     "q268_all_dbs" -> ((s, dir) => q268Stage(s, dir)),
     "q158_ivfpq_ann" -> ((s, dir) => graft.operators.Pq.buildIvfPqIndex(
       t(s, dir, "embeddings"), idxPath("ivfpq", dir, "embeddings"))),
@@ -6397,7 +6543,11 @@ object SparkEntry {
     "q266_search_group_sort" -> (q266 _),
     "q264_corpus_release" -> (q264 _),
     "q267_jpeg_decode" -> (q267 _),
-    "q268_all_dbs" -> (q268 _)
+    "q268_all_dbs" -> (q268 _),
+    "q269_search_include_fields" -> (q269 _),
+    "q270_partitioned_search" -> (q270 _),
+    "q271_db_lifecycle" -> (q271 _),
+    "q272_changes_design" -> (q272 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7554,6 +7704,18 @@ object SparkEntry {
         |  COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END), 3
         |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY db_name""".stripMargin,
+    // include_fields: the q59/q60 BM25 ranking with the requested
+    // stored fields joined on — same rank order, projected columns
+    "q269_search_include_fields" ->
+      s"""SELECT h.doc_id, h.score, d.lang, d.n_chars
+         |FROM ($bm25Oracle) h JOIN documents d USING (doc_id)
+         |ORDER BY h.score DESC, h.doc_id""".stripMargin,
+    // partitioned search: the same BM25 replay computed over ONLY the
+    // en partition's docs — stats (N, avgdl, df) partition-local
+    "q270_partitioned_search" ->
+      bm25Oracle.replace("FROM documents",
+        "FROM (SELECT 'en:' || CAST(doc_id AS VARCHAR) AS doc_id, " +
+          "text FROM documents WHERE lang = 'en')"),
     // JPEG decode verdict: dims exact, PNG mean exact, JPEG mean
     // within the DC tolerance — all stated TRUE by construction
     "q267_jpeg_decode" ->
@@ -10363,6 +10525,46 @@ object SparkEntry {
         |  ('db_b', 'created', CAST(42 AS BIGINT), CAST(10 AS BIGINT)))
         |  AS t(db_name, type, seq, since)
         |ORDER BY since, seq, db_name""".stripMargin,
+    // design-filtered feed: synthesize the namespaced log, cut at
+    // the checkpoint, dedup to latest, keep the _design/ namespace
+    "q272_changes_design" ->
+      """WITH md AS (SELECT MAX(doc_id) AS m FROM documents),
+        |ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN '_design/d' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS id
+        |  FROM documents),
+        |log AS (
+        |  SELECT doc_id * 2 + 1 AS seq, id,
+        |    '1-' || md5(id || ':r1') AS rev, FALSE AS deleted
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT 2 * (m + 1) + doc_id, id,
+        |    '2-' || md5(id || ':r2'), doc_id % 9 = 0
+        |  FROM ids, md WHERE doc_id % 3 = 0),
+        |w AS (
+        |  SELECT seq, id, rev, deleted,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+        |  FROM log, md WHERE seq > m)
+        |SELECT seq, id, rev, deleted FROM w
+        |WHERE rn = 1 AND starts_with(id, '_design/')
+        |ORDER BY seq""".stripMargin,
+    // db lifecycle: every row a pinned scalar of the staged
+    // create→update→destroy→recreate cycle (see q271's scaladoc)
+    "q271_db_lifecycle" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(-1 AS BIGINT), 'dba', 'listed', CAST(-1 AS BIGINT)),
+        |  (CAST(-1 AS BIGINT), 'dbc', 'listed', CAST(-1 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'dba', 'created', CAST(7 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'dbb', 'deleted', CAST(10 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 'dbc', 'created', CAST(15 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'dba', 'updated', CAST(7 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'dbb', 'deleted', CAST(10 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'dbc', 'created', CAST(15 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), 'dbc', 'created', CAST(15 AS BIGINT)))
+        |  AS t(since, db_name, type, seq)
+        |ORDER BY since, db_name""".stripMargin,
     // facets replay: disjunctive term match -> counts per field value
     // + conditional range buckets, then the same under the drilldown
     "q231_search_facets" ->

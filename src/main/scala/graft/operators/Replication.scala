@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.IOException
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1356,20 +1358,104 @@ object Replication {
                 since: Long = 0L): DataFrame = {
     require(dbs.nonEmpty, "dbUpdates: at least one (name, path) required")
     val rows = dbs.flatMap { case (name, path) =>
-      if (!targetExists(spark, path)) None
-      else {
-        val meta = IndexStore.readMeta(spark, path)
-        val seq = meta.updateSeq
-        val born =
-          if (meta.createdSeq >= 0) meta.createdSeq > since
-          else since == 0L
-        if (seq > since)
-          Some((name, if (born) "created" else "updated", seq))
-        else None
+      deletedSeqOf(spark, path) match {
+        // the third vocabulary word: a destroyed store reports
+        // `deleted` from its tombstone breadcrumb — exactly while the
+        // poller's cursor has not consumed the event
+        case Some(ds) =>
+          if (ds > since) Some((name, "deleted", ds)) else None
+        case None =>
+          if (!targetExists(spark, path)) None
+          else {
+            val meta = IndexStore.readMeta(spark, path)
+            val seq = meta.updateSeq
+            val born =
+              if (meta.createdSeq >= 0) meta.createdSeq > since
+              else since == 0L
+            if (seq > since)
+              Some((name, if (born) "created" else "updated", seq))
+            else None
+          }
       }
     }.sortBy(r => (r._3, r._1))
     import spark.implicits._
     rows.toDF("db_name", "type", "seq")
+  }
+
+  // ----------------------------- database lifecycle: DELETE /db ----
+
+  private def deletingDir(path: String) = new Path(path + ".__deleting")
+
+  /** The destroy breadcrumb's seq, if `path` holds one. The
+    * breadcrumb is a FILE at the store's own path, so every
+    * directory-shaped probe ([[allDbs]] lists directories,
+    * [[targetExists]] probes the meta sidecar INSIDE a dir) is
+    * blind to it by construction — only [[dbUpdates]] reads it. */
+  private def deletedSeqOf(spark: SparkSession,
+                           path: String): Option[Long] = {
+    val fs = IndexStore.fsFor(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isFile) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.toSeq match {
+        case Seq("v1", seq) => Some(seq.trim.toLong)
+        case other => throw new IOException(
+          s"corrupt destroy breadcrumb at $path: $other")
+      }
+    }
+  }
+
+  /** CouchDB's `DELETE /db` — destroy a persisted store WHOLE: data,
+    * `_local` sidecar, purge log, meta (everything lives under the
+    * store root) in one recursive drop, leaving a one-line tombstone
+    * BREADCRUMB file at the store's path so [[dbUpdates]] can report
+    * the `deleted` event once (`deletedSeq = updateSeq + 1` — strictly
+    * past every update a poller may already have consumed). Returns
+    * that seq.
+    *
+    * Two-rename crash discipline (the compact/reshard swap family):
+    * (1) the store dir renames to `<path>.__deleting` — ONE atomic FS
+    * op after which every namespace probe (`_all_dbs`,
+    * [[targetExists]], opens) sees no db; (2) the breadcrumb writes
+    * at the now-free path; (3) the renamed dir deletes recursively.
+    * A crash at any point heals on RETRY: before (1) the store is
+    * intact; between (1) and (3) the half-deleted dir still holds the
+    * meta to re-derive the seq, so calling destroy again completes
+    * the remaining steps (idempotent — destroying an
+    * already-breadcrumbed db just re-clears leftovers). Re-creating
+    * the db ([[createTarget]] deletes whatever sits at `path` first)
+    * consumes the breadcrumb, and the new store's `createdSeq` makes
+    * the next poll report `created` again — CouchDB's
+    * create→delete→create event order. */
+  def destroyTarget(spark: SparkSession, path: String): Long = {
+    val fs = IndexStore.fsFor(spark, path)
+    val p = new Path(path)
+    val half = deletingDir(path)
+    val already = deletedSeqOf(spark, path)
+    val seq: Long =
+      if (targetExists(spark, path)) {
+        val s = IndexStore.readMeta(spark, path).updateSeq + 1
+        if (!fs.rename(p, half))
+          throw new IOException(s"destroy rename failed: $p -> $half")
+        s
+      } else if (already.isDefined) already.get
+      else if (fs.exists(half)) // crashed between rename and breadcrumb
+        IndexStore.readMeta(spark, half.toString).updateSeq + 1
+      else throw new IllegalArgumentException(
+        s"destroyTarget: no store at $path")
+    if (already.isEmpty) {
+      val tmp = new Path(path + ".__tombstone")
+      val out = fs.create(tmp, true)
+      try out.write(s"v1\n$seq".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p))
+        throw new IOException(s"breadcrumb rename failed: $tmp -> $p")
+    }
+    fs.delete(half, true)
+    seq
   }
 
   /** `GET /db/_shards` — the store's shard map, one row per `_b`

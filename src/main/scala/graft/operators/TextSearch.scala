@@ -545,6 +545,182 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id"), col("frag_idx"))
   }
 
+  /** Clouseau's `include_fields` — stored-field projection riding the
+    * search response: each of the BM25 top-`k` hits carries ONLY the
+    * named fields (smaller responses for wide docs than
+    * `include_docs`, which ships the whole body). Returns
+    * `(doc_id, score, <field>...)` in rank order; a requested field
+    * the corpus lacks is an error (Clouseau indexes declare their
+    * stored fields), a stored field that is null for a hit rides as
+    * null (Lucene's absent-stored-field shape).
+    *
+    * Shape: the ranking is [[searchIndexed]]'s probe-pruned serve;
+    * the projection then touches ONLY the page's `k` ids — the
+    * k-row page BROADCASTS against the corpus and the corpus scan
+    * reads just `idCol` + the requested columns (nested-schema
+    * pruning; the [[searchHighlights]] discipline) — field cost
+    * follows the PAGE, never the corpus or the matched set. */
+  def searchIncludeFields(spark: SparkSession, path: String,
+                          queryTerms: Seq[String], docs: DataFrame,
+                          idCol: String, fields: Seq[String], k: Int,
+                          k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(fields.nonEmpty, "include_fields needs at least one field")
+    val missing = fields.filterNot(docs.columns.contains)
+    require(missing.isEmpty,
+      s"include_fields not stored in the corpus: ${missing.mkString(", ")}")
+    val page = searchIndexed(spark, path, queryTerms, k, k1, b)
+    val stored = docs.select(
+      (col(idCol).cast("long").as("doc_id")) +: fields.map(col): _*)
+    // INNER join: a broadcast build side cannot be the preserved side
+    // of an outer join, and the index↔corpus coherence contract
+    // (indexes build from the corpus; purge catch-up retires erased
+    // ids) guarantees every page id has its doc row, so inner ==
+    // left here — and the k-row page broadcasts
+    broadcast(page).join(stored, Seq("doc_id"))
+      .select((col("doc_id") +: col("score") +: fields.map(col)): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  // ---------------- partitioned `_search` (CouchDB 3.x) ------------
+
+  /** CouchDB 3.x partitioned `_search`
+    * (`GET /db/_partition/{p}/_design/{ddoc}/_search/{idx}`): the
+    * inverted index stored in the [[graft.view.PartitionedStore]]
+    * layout so a partition-scoped query promises PARTITION-LOCAL cost
+    * the way partitioned views (A34) and Mango (A34d) do:
+    * {{{
+    * path/
+    *   postings/_p=<part>/_tb=<b>/  (doc_id, term, tf, dl, pos)
+    *   terms/_p=<part>/_tb=<b>/     (term, df)   — partition-local df
+    *   stats/_p=<part>/             (n, sum_dl, avgdl, fmt, analyzer)
+    *   _graft_meta                  update_seq stamp
+    * }}}
+    * Ranking stats (N, avgdl, df) are PARTITION-LOCAL: each partition
+    * scores as its own corpus — the partition-scoped semantics a
+    * tenant expects (its ranking never shifts because another
+    * tenant's documents moved the global df), and the only definition
+    * under which a scoped serve can stay O(one partition).
+    * Doc ids are CouchDB partitioned ids (`<partition>:<key>`,
+    * STRING-typed throughout), validated at write time (the
+    * [[graft.view.PartitionedStore]] routedP contract). Global text
+    * indexes and partitioned ones are separate planner families:
+    * [[searchIndexed]] on a partitioned index refuses (see
+    * [[statsOf]]), and [[searchPartitioned]] on a global index
+    * refuses below. */
+  def buildPartitionedTextIndex(docs: DataFrame, id: Column,
+                                text: Column, path: String,
+                                nBuckets: Int = 16, seq: Long = 0L,
+                                analyzer: Analyzer = Analyzer())
+      : Unit = {
+    import graft.view.{IndexMeta, IndexStore, PartitionedStore}
+    val spark = docs.sparkSession
+    IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val an = analyzer.canonical
+    // write-time id validation: a malformed id fails the BUILD JOB
+    // (deferring to query time would silently misfile the postings)
+    val routed = docs
+      .select(id.cast("string").as("doc_id"), text.as("_text"))
+      .withColumn("_p",
+        when(PartitionedStore.validId(col("doc_id")),
+          PartitionedStore.partitionOf(col("doc_id")))
+        .otherwise(raise_error(concat(
+          lit("partitioned text index: invalid doc id '"),
+          col("doc_id"), lit("' (expected '<partition>:<key>')")))))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val tf = routed
+      .repartition(parts, col("doc_id"))
+      .select(col("_p"), col("doc_id"), an.tokens(col("_text")).as("_ws"))
+      .select(col("_p"), col("doc_id"),
+        size(col("_ws")).cast("long").as("dl"),
+        posexplode(col("_ws")).as(Seq("_pp", "term")))
+      .groupBy(col("_p"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("_pp"))).as("pos"))
+      .withColumn("_tb", termBucket(col("term"), nBuckets))
+    require(!tf.isEmpty,
+      "cannot build a partitioned text index from a corpus with no tokens")
+    tf.repartition(col("_p"), col("_tb"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("_p", "_tb")
+      .parquet(path + "/postings")
+    val posts = spark.read.parquet(path + "/postings")
+    posts.groupBy(col("_p"), col("_tb"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("_p"), col("_tb"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("_p", "_tb")
+      .parquet(path + "/terms")
+    posts.select(col("_p"), col("doc_id"), col("dl")).distinct()
+      .groupBy(col("_p"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .select(col("_p"), col("n"), col("sum_dl"),
+        (col("sum_dl").cast("double") / col("n")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"), lit(FormatVersion).as("fmt"),
+        lit(an.lowercase).as("an_lc"), lit(an.stem).as("an_stem"),
+        typedLit(an.sortedStop).as("an_stop"))
+      .repartition(col("_p"))
+      .write.mode("overwrite").partitionBy("_p").parquet(path + "/stats")
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** True iff a readable PARTITIONED text index of the current layout
+    * exists at `path` — the lazily-building caller's gate. */
+  def partitionedIndexCurrent(spark: SparkSession, path: String)
+      : Boolean =
+    try {
+      val st = spark.read.parquet(path + "/stats")
+      st.columns.contains("_p") && st.columns.contains("fmt") &&
+        st.head().getAs[Int]("fmt") == FormatVersion
+    } catch { case _: Exception => false }
+
+  /** Partition-scoped top-k BM25 from a [[buildPartitionedTextIndex]]
+    * index: ONE `_p` stats directory read (the partition's N/avgdl as
+    * literals), then postings+terms pruned to `_p = partition` AND
+    * the probed `_tb` buckets (both are hive partition columns —
+    * directory pruning at two levels) with `term IN` pushed to the
+    * scan. Cost is O(the partition's matching postings) at any corpus
+    * size. A partition holding no docs (or an all-stopword query)
+    * returns the empty response, CouchDB's shape. */
+  def searchPartitioned(spark: SparkSession, path: String,
+                        partition: String, queryTerms: Seq[String],
+                        k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    graft.view.PartitionedStore.requireValidPartition(partition)
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val stAll = spark.read.parquet(path + "/stats")
+    require(stAll.columns.contains("_p"),
+      s"$path is a GLOBAL text index — use searchIndexed (a global " +
+        "index cannot promise partition-local cost)")
+    def empty = spark.range(0).select(
+      col("id").cast("string").as("doc_id"), lit(0.0).as("score"))
+    val stRows = stAll.filter(col("_p") === partition).collect()
+    if (stRows.isEmpty) return empty
+    val st = stRows.head
+    require(st.getAs[Int]("fmt") == FormatVersion,
+      s"partitioned text index at $path has layout fmt " +
+        s"${st.getAs[Int]("fmt")}, need $FormatVersion — rebuild")
+    val an = analyzerFromRow(st)
+    val terms = an.queryTerms(queryTerms)
+    if (terms.isEmpty) return empty
+    val nB = st.getAs[Int]("n_buckets")
+    val buckets = terms.map(termBucketJvm(_, nB)).distinct
+    def pruned(sub: String) = spark.read.parquet(s"$path/$sub")
+      .filter(col("_p") === partition &&
+        col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val scored = pruned("postings")
+      .join(broadcast(pruned("terms").select(col("term"), col("df"))),
+        Seq("term"))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        lit(st.getAs[Long]("n")), lit(st.getAs[Double]("avgdl")),
+        k1, b))
+    sumInTermOrder(scored, terms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Pruned postings ⋈ dfs for the (already-normalized) `terms`, with
     * the per-(doc, term) BM25 partial `_s` attached — the shared front
     * half of every indexed search operator. */
@@ -1174,7 +1350,15 @@ object TextSearch {
       st.getAs[Boolean]("an_stem"))
 
   private def statsOf(spark: SparkSession, path: String): TextStats = {
-    val st = spark.read.parquet(path + "/stats").head()
+    val stDf = spark.read.parquet(path + "/stats")
+    // family separation: a PARTITIONED index's stats are per-`_p`
+    // rows — a global serve reading an arbitrary partition's stats
+    // would score silently wrong, so refuse loudly (the A34d
+    // planner discipline: global planners skip partitioned indexes)
+    require(!stDf.columns.contains("_p"),
+      s"$path is a PARTITIONED text index — scope the query with " +
+        "searchPartitioned(partition, ...)")
+    val st = stDf.head()
     TextStats(st.getAs[Long]("n"), st.getAs[Double]("avgdl"),
       st.getAs[Int]("n_buckets"), analyzerFromRow(st))
   }

@@ -127,6 +127,27 @@ object ChangesFeed {
     limit.fold(base)(base.limit)
   }
 
+  /** CouchDB's built-in `filter=_design` feed: the [[since]] relation
+    * restricted to the `_design/` id namespace — the ddoc-deploy
+    * watch an ops user runs. Unlike `_selector`/`_view` filtering
+    * this needs NO document content: the cut is one `StartsWith` on
+    * the feed's own id column, pushed through the dedup aggregation
+    * into the seq-pruned bucket scan (grouping-key predicates
+    * commute with the per-id dedup), so the watch pays row groups
+    * that can hold `_design/` ids only. Tombstoned design docs PASS
+    * (an id keeps its namespace when deleted) — deploy watchers see
+    * removals, the difference from selector filtering's tombstone
+    * caveat. `limit` pages the filtered relation (checkpoint at the
+    * page's max seq). */
+  def sinceDesignDocs(spark: SparkSession, path: String,
+                      sinceSeq: Long,
+                      limit: Option[Int] = None): DataFrame = {
+    val out = since(spark, path, sinceSeq)
+      .filter(col("id").cast("string").startsWith("_design/"))
+      .orderBy(col("seq"))
+    limit.fold(out)(out.limit)
+  }
+
   /** CouchDB's `filter=_doc_ids` feed: the [[since]] relation
     * restricted to an explicit id list (the POST body's `doc_ids`).
     * The literal list compiles to an IN predicate that pushes into

@@ -401,6 +401,38 @@ class ChangesFeedSpec extends SparkSpecBase
     assert(viaDf == rows)
   }
 
+  test("sinceDesignDocs: prefix cut pushed, tombstoned ddocs pass") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "_design/a", "1-x", false),
+      (2L, "doc1", "1-y", false),
+      (3L, "_design/b", "1-z", false),
+      (4L, "_design/a", "2-x", false), // update: dedup keeps this
+      (5L, "doc2", "1-w", false),
+      (6L, "_design/b", "2-z", true)) // ddoc REMOVAL must pass
+      .toDF("seq", "id", "rev", "deleted")
+    val dir = java.nio.file.Files.createTempDirectory("chg-dd").toString
+    val store = s"$dir/feed"
+    ChangesFeed.write(rows, store, width = 4)
+    val got = ChangesFeed.sinceDesignDocs(spark, store, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq((4L, "_design/a", false), (6L, "_design/b", true)),
+      s"design feed wrong: $got")
+    // a checkpoint past the last design change reports nothing
+    assert(ChangesFeed.sinceDesignDocs(spark, store, 6L).isEmpty)
+    // the namespace cut reaches the scan as a pushed data filter
+    // (grouping-key predicates commute with the per-id dedup)
+    val q = ChangesFeed.sinceDesignDocs(spark, store, 0L)
+    q.collect()
+    val scans = collect(q.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.head.dataFilters.exists(
+      _.toString.contains("StartsWith")),
+      s"StartsWith not pushed: ${scans.head.dataFilters}")
+  }
+
   test("sinceWithDocs: doc struct attached, null for unknown ids, nested pruning") {
     import spark.implicits._
     val (store, log) = makeStore()

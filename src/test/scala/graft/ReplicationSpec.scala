@@ -843,6 +843,58 @@ class ReplicationSpec extends SparkSpecBase {
     assert(u.count() == 2)
   }
 
+  test("destroyTarget: whole-store drop, deleted event, crash heal, recreate") {
+    val dir = java.nio.file.Files.createTempDirectory("repl-destroy").toString
+    val a = leavesDf((0 until 8).map(i =>
+      (s"a$i", 1L, s"h$i", false, Seq.empty[String])))
+    val pa = s"$dir/dba"
+    Replication.createTarget(spark, pa, a, cols._1, cols._2, cols._3,
+      cols._4, cols._5, numBuckets = 2, seq = 5L)
+    Replication.localDocsUpsert(spark, pa,
+      Seq(("_local/ck", "{\"seq\":5}", false)).toDF("id", "body", "del"),
+      $"id", $"body", $"del")
+    val dbs = Seq("dba" -> pa)
+    // destroy: event seq strictly past the last consumed update
+    val ds = Replication.destroyTarget(spark, pa)
+    assert(ds == 6L, s"deletedSeq must be updateSeq+1, got $ds")
+    // every namespace probe is blind to the breadcrumb
+    assert(!Replication.targetExists(spark, pa))
+    assert(Replication.allDbs(spark, dir).isEmpty,
+      "_all_dbs must not list a destroyed store")
+    // _db_updates reports the deletion exactly until consumed
+    val u = Replication.dbUpdates(spark, dbs, since = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(u.toSeq == Seq(("dba", "deleted", 6L)), s"got ${u.toSeq}")
+    assert(Replication.dbUpdates(spark, dbs, since = 6L).isEmpty,
+      "a consumed delete event must not re-report")
+    // idempotent: a second destroy re-reads the breadcrumb's seq
+    assert(Replication.destroyTarget(spark, pa) == 6L)
+    // crash heal: a store that lost the rename→breadcrumb window
+    // (dir renamed, no breadcrumb) completes on retry
+    val pb = s"$dir/dbb"
+    Replication.createTarget(spark, pb, a, cols._1, cols._2, cols._3,
+      cols._4, cols._5, numBuckets = 2, seq = 11L)
+    val fs = graft.view.IndexStore.fsFor(spark, pb)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(pb),
+      new org.apache.hadoop.fs.Path(pb + ".__deleting")))
+    assert(Replication.destroyTarget(spark, pb) == 12L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pb + ".__deleting")),
+      "retry must clear the half-deleted dir")
+    assert(Replication.dbUpdates(spark, Seq("dbb" -> pb), since = 0L)
+      .collect().map(r => r.getString(1)).toSeq == Seq("deleted"))
+    // recreate consumes the breadcrumb: the full CouchDB event cycle
+    Replication.createTarget(spark, pa, a, cols._1, cols._2, cols._3,
+      cols._4, cols._5, numBuckets = 2, seq = 9L)
+    val u2 = Replication.dbUpdates(spark, dbs, since = 6L).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(u2.toSeq == Seq(("created", 9L)),
+      s"recreate must report created again, got ${u2.toSeq}")
+    // destroying a store that never existed is loud
+    intercept[IllegalArgumentException] {
+      Replication.destroyTarget(spark, s"$dir/ghost")
+    }
+  }
+
   test("local docs: counter revs, delete removes, store meta and data untouched") {
     val dir = java.nio.file.Files.createTempDirectory("repl-local").toString
     val path = s"$dir/store"

@@ -901,6 +901,130 @@ class TextSearchSpec extends SparkSpecBase {
     assert(searchFielded(spark, path, Seq("spark"), 10).count() == 3)
   }
 
+  test("searchIncludeFields: projected fields, pruned scan, page-sized join") {
+    val tiny = Seq(
+      (1L, "alpha hash beta hash", "en", Some(10L)),
+      (2L, "hash gamma", "de", None),
+      (3L, "nothing relevant", "fr", Some(30L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val path = Files.createTempDirectory("graft-incf").toString + "/idx"
+    TextSearch.buildTextIndex(tiny, $"doc_id", $"text", path, nBuckets = 4)
+    val got = TextSearch.searchIncludeFields(spark, path, Seq("hash"),
+        tiny, "doc_id", Seq("lang", "n_chars"), k = 10)
+    assert(got.columns.toSeq == Seq("doc_id", "score", "lang", "n_chars"),
+      s"response shape: ${got.columns.mkString(",")}")
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // rank order is the BM25 order; a null stored field rides as null
+    assert(rows == Seq((1L, "en", 10L), (2L, "de", -1L)),
+      s"projected hits wrong: $rows")
+    // a field the corpus does not store is an error, not a null column
+    val err = intercept[IllegalArgumentException] {
+      TextSearch.searchIncludeFields(spark, path, Seq("hash"), tiny,
+        "doc_id", Seq("lang", "nope"), k = 10)
+    }
+    assert(err.getMessage.contains("nope"))
+    // scale guard: the corpus side of the projection join reads ONLY
+    // id + requested columns (never text), and the page side (k rows)
+    // broadcasts — field cost follows the page, not the corpus
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bigPath = Files.createTempDirectory("graft-incf2").toString + "/idx"
+    TextSearch.buildTextIndex(full, $"doc_id", $"text", bigPath)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = TextSearch.searchIncludeFields(spark, bigPath, terms, full,
+        "doc_id", Seq("lang", "n_chars"), k = 20)
+      assert(q.count() == 20)
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"page must broadcast against the corpus:\n$plan")
+      val docScans = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata("Location").contains("documents.parquet") => f
+      }
+      assert(docScans.nonEmpty, "expected a corpus scan")
+      val rs = docScans.head.metadata("ReadSchema")
+      assert(!rs.contains("text"),
+        s"corpus scan must prune the text column: $rs")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("searchPartitioned: partition-local stats, pruned dirs, family split") {
+    // two partitions of different sizes sharing a term: partition-
+    // local df/N must score the SAME text differently per partition
+    val tiny = Seq(
+      ("acme:1", "hash join alpha"),
+      ("acme:2", "hash beta gamma"),
+      ("acme:3", "hash delta"),
+      ("zeta:1", "hash join alpha"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-psearch").toString + "/idx"
+    TextSearch.buildPartitionedTextIndex(tiny, $"doc_id", $"text", path,
+      nBuckets = 4)
+    assert(TextSearch.partitionedIndexCurrent(spark, path))
+    val acme = TextSearch.searchPartitioned(spark, path, "acme",
+        Seq("hash", "join"), 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val zeta = TextSearch.searchPartitioned(spark, path, "zeta",
+        Seq("hash", "join"), 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // acme:1 has both terms; 2 vs 3 order follows the dl discount
+    assert(acme.map(_._1) == Seq("acme:1", "acme:3", "acme:2"),
+      s"scoped hits must come from ONE partition, rank order: $acme")
+    assert(zeta.map(_._1) == Seq("zeta:1"))
+    // same text, different corpus stats: in zeta (n=1) every term's
+    // idf is the single-doc value; acme's 'hash' (df 3 of 3) is
+    // discounted — the scores must NOT be equal
+    assert(math.abs(acme.head._2 - zeta.head._2) > 1e-9,
+      s"partition-local stats must differ: acme=${acme.head._2} " +
+        s"zeta=${zeta.head._2}")
+    // a partition with no docs is the empty response, not an error
+    assert(TextSearch.searchPartitioned(spark, path, "ghost",
+      Seq("hash"), 10).isEmpty)
+    // partition keys validate like stored ids
+    intercept[IllegalArgumentException] {
+      TextSearch.searchPartitioned(spark, path, "_sys", Seq("hash"), 10)
+    }
+    // family separation, both directions
+    val global = intercept[IllegalArgumentException] {
+      TextSearch.searchIndexed(spark, path, Seq("hash"), 10)
+    }
+    assert(global.getMessage.contains("PARTITIONED"))
+    val gPath = Files.createTempDirectory("graft-psearch-g").toString + "/idx"
+    TextSearch.buildTextIndex(tiny.withColumn("doc_id", lit(1L)),
+      $"doc_id", $"text", gPath, nBuckets = 4)
+    val scoped = intercept[IllegalArgumentException] {
+      TextSearch.searchPartitioned(spark, gPath, "acme", Seq("hash"), 10)
+    }
+    assert(scoped.getMessage.contains("GLOBAL"))
+    // a malformed partitioned id fails the BUILD, not the query
+    intercept[Exception] {
+      TextSearch.buildPartitionedTextIndex(
+        Seq(("noseparator", "some text")).toDF("doc_id", "text"),
+        $"doc_id", $"text",
+        Files.createTempDirectory("graft-psearch-bad").toString + "/idx")
+    }
+    // scale guard: the scoped serve lists ONLY the partition's probed
+    // dirs — one _p directory, ≤2 _tb buckets for 2 terms
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = TextSearch.searchPartitioned(spark, path, "acme",
+        Seq("hash", "join"), 10)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      val postings = scans.filter(_.metadata("Location").contains("postings"))
+      assert(postings.nonEmpty, "expected a postings scan")
+      assert(postings.head.partitionFilters.nonEmpty,
+        "expected _p/_tb partition filters on the postings scan")
+      val files = postings.head.metrics("numFiles").value
+      assert(files >= 1 && files <= 2,
+        s"expected <=2 probed files from ONE partition, got $files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("searchHighlights: earliest-N hit windows, clamped, terms wrapped") {
     val tiny = Seq(
       (1L, "alpha hash beta gamma hash"),
