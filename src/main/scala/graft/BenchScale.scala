@@ -599,10 +599,41 @@ object BenchScale {
     val admBase = storeAdminProbes(1, "base")
     val admBig = storeAdminProbes(10, "10x")
 
+    // ---- Delta corpus release: release_init is the full-state build
+    // (~linear BY DESIGN — every doc's verdicts compute once);
+    // release_delta applies a FIXED 50-doc change batch and must stay
+    // ~flat at 10× (verdicts for 50 docs, their id/fp buckets, the
+    // dedup tier's touched membership — never the corpus). The same
+    // file also shows delta ≪ init at EACH scale, the re-release
+    // economics the operator exists for.
+    def releaseProbes(d: DataFrame, tag: String): Seq[(String, Double)] = {
+      import graft.operators.Pipeline
+      val path = s"$tmp/graft_scale_${tag}_rel"
+      val src = d.select(col("doc_id"), col("text"),
+        lit("en").as("lang"),
+        length(col("text")).cast("double").as("sc"),
+        concat(lit("s"), pmod(col("doc_id"), lit(7))).as("dom"))
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val params = Pipeline.ReleaseParams(minQuality = 0.0,
+        maxTokens = 100000, maxDupTokenFrac = 1.0,
+        maxTopBigramFrac = 1.0)
+      val tInit = time(Pipeline.releaseInit(src, col("doc_id"),
+        col("text"), col("lang"), col("sc"), col("dom"), bench,
+        col("doc_id"), col("text"), path, params = params))
+      val batch = src.filter(col("doc_id") % 41 === 0).limit(50)
+        .withColumn("text", concat(col("text"), lit(" deltamark")))
+      val tDelta = time { Pipeline.releaseDelta(spark, path, batch,
+        col("doc_id"), col("text"), col("lang"), col("sc"),
+        col("dom"), bench, col("doc_id"), col("text")); () }
+      Seq("release_init" -> tInit, "release_delta" -> tDelta)
+    }
+    val relBase = releaseProbes(docs, "base")
+    val relBig = releaseProbes(big, "10x")
+
     val base = base0 ++ baseBuilds ++ baseServe ++ semBase ++ knnBase ++
-      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase ++ replBase ++ admBase
+      funBase ++ chgBase ++ chgPurgeBase ++ chgFiltBase ++ pqBase ++ ivfPqBase ++ evBase ++ replBase ++ admBase ++ relBase
     val big10 = big0 ++ bigBuilds ++ bigServe ++ semBig ++ knnBig ++
-      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig ++ replBig ++ admBig
+      funBig ++ chgBig ++ chgPurgeBig ++ chgFiltBig ++ pqBig ++ ivfPqBig ++ evBig ++ replBig ++ admBig ++ relBig
     val ratios = base.zip(big10).map { case ((n, b), (_, g)) =>
       n -> (if (b > 0) g / b else -1.0)
     }

@@ -720,6 +720,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** A22c: attachment `att_encoding_info` / gzip storage encoding
+    * ([[graft.view.Attachments.putEncoded]]/
+    * [[graft.view.Attachments.getDecoded]]) — CouchDB stores
+    * compressible-type attachments gzip-encoded and reports
+    * `encoding`/`encoded_length` beside the decoded `length`/digest.
+    * Each doc's text stores ENCODED, reads back through the decode
+    * step, and the gate reports the decoded digest + length (the
+    * oracle recomputes both relationally) plus the encoding verdicts
+    * (`gzip`, shrinks, stored-bytes == encoded_length, round-trip
+    * digest match — booleans the oracle states TRUE, the q267 lossy-
+    * codec discipline for the engine-specific encoded byte count). */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    import graft.view.Attachments
+    val docs = Attachments.putEncoded(t(s, dir, "documents"), "body",
+      encode(col("text"), "UTF-8"), "text/plain")
+    val dec = Attachments.getDecoded(docs, col("doc_id"), "body")
+      .select(col("_id").cast("long").as("doc_id"),
+        col("data").as("_payload"), col("attachment").as("a"))
+    dec.select(col("doc_id"),
+        col("a.content_type").as("content_type"),
+        col("a.encoding").as("encoding"),
+        col("a.length").as("length"),
+        col("a.digest").as("digest"),
+        // not `encoded < length`: a short or high-entropy payload
+        // legitimately grows a little — the DETERMINISTIC claim is
+        // gzip's worst-case overhead bound (18-byte header/trailer +
+        // 5 per 64k deflate block)
+        (col("a.encoded_length") <= col("a.length") + 40)
+          .as("bounded_overhead"),
+        (octet_length(col("a.data")).cast("long") ===
+          col("a.encoded_length")).as("stored_is_encoded"),
+        (concat(lit("md5-"), md5(col("_payload"))) === col("a.digest"))
+          .as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C6: near-duplicate CLUSTERS — the transitive closure of the
     * MinHash+LSH pair graph via distributed min-label propagation
     * ([[graft.operators.Dedup.connectedComponents]]). Emits every
@@ -4092,6 +4128,57 @@ object SparkEntry {
       .orderBy(col("grp"), col("seq"), col("pos"), col("seq_start"))
   }
 
+  /** The q273 staged state: the release pipeline state built over the
+    * BASE corpus, then ONE change batch — the 1% crawl day: `%11==3`
+    * docs re-crawled with appended text, `%13==5` docs erased,
+    * `%17==2` docs re-appearing as NEW ids that are exact dups of
+    * survivors (cross-generation dedup), benchmark static. */
+  private def q273Build(s: SparkSession, dir: String): Unit = {
+    import graft.operators.Pipeline
+    val path = idxPath("q273rel", dir, "documents")
+    if (hasFile(s, s"$path/_graft_built")) return
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    Pipeline.releaseInit(docs, col("doc_id"), col("text"), col("lang"),
+      col("n_chars"), col("source"), bench, col("doc_id"), col("text"),
+      path, nBuckets = 32)
+    val md = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val changed = docs
+      .filter(col("doc_id") % 11 === 3 && col("doc_id") % 13 =!= 5)
+      .withColumn("text", concat(col("text"), lit(" zq")))
+    val added = docs.filter(col("doc_id") % 17 === 2)
+      .select((col("doc_id") + md + 1).as("doc_id"), col("text"),
+        col("lang"), lit("srcnew").as("source"), col("n_chars"))
+    val deleted = docs.filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    Pipeline.releaseDelta(s, path,
+      changed.unionByName(added, allowMissingColumns = false),
+      col("doc_id"), col("text"), col("lang"), col("n_chars"),
+      col("source"), bench, col("doc_id"), col("text"),
+      deletedIds = deleted, newSeq = 2L)
+    new java.io.File(s"$path/_graft_built").createNewFile()
+  }
+
+  /** C18/E37: DELTA CORPUS RELEASE ([[graft.operators.Pipeline
+    * .releaseInit]]/[[graft.operators.Pipeline.releaseDelta]]/
+    * [[graft.operators.Pipeline.releaseFromState]]) — E34's release
+    * recomposed INCREMENTALLY: per-doc verdicts (quality,
+    * contamination, exact fingerprint) live in an id-bucketed store,
+    * the exact-dup tier in an fp-bucketed sidecar, near-dup clusters
+    * in the maintained C8b [[graft.operators.DedupIndex]] — one
+    * change batch costs O(delta) text work, and the serve runs only
+    * the mix→shuffle→pack tail. The gate stages init + the q273Build
+    * mutation, serves from state, and the oracle replays the ENTIRE
+    * from-scratch q264 chain over the MUTATED corpus — maintained
+    * state must equal a full re-release, hash-for-hash. */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val path = idxPath("q273rel", dir, "documents")
+    if (!hasFile(s, s"$path/_graft_built")) q273Build(s, dir)
+    Pipeline.releaseFromState(s, path, seed = "release-1")
+      .orderBy(col("grp"), col("seq"), col("pos"), col("seq_start"))
+  }
+
   /** E27: C4/Dolma LINE-LEVEL quality rules ([[graft.operators.Text
     * .lineSignals]] + the [[graft.operators.Text.qualityFilter]] line
     * thresholds) — multi-line text synthesized from each doc's tokens
@@ -6066,6 +6153,7 @@ object SparkEntry {
     "q270_partitioned_search" -> (q270Build _),
     "q271_db_lifecycle" -> ((s, dir) => q271Stage(s, dir)),
     "q272_changes_design" -> (q272Build _),
+    "q273_release_delta" -> (q273Build _),
     "q268_all_dbs" -> ((s, dir) => q268Stage(s, dir)),
     "q158_ivfpq_ann" -> ((s, dir) => graft.operators.Pq.buildIvfPqIndex(
       t(s, dir, "embeddings"), idxPath("ivfpq", dir, "embeddings"))),
@@ -6547,7 +6635,9 @@ object SparkEntry {
     "q269_search_include_fields" -> (q269 _),
     "q270_partitioned_search" -> (q270 _),
     "q271_db_lifecycle" -> (q271 _),
-    "q272_changes_design" -> (q272 _)
+    "q272_changes_design" -> (q272 _),
+    "q273_release_delta" -> (q273 _),
+    "q274_att_encoding" -> (q274 _)
   )
 
   /** Shared by q186 (one-shot loop) and q187 (streamed): both must
@@ -7175,6 +7265,17 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
         |  'md5-' || md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // encoding tier: decoded length/digest recomputed relationally;
+    // the engine-specific encoded byte count gates as verdicts
+    // (shrinks / stored==encoded_length / round-trip digest)
+    "q274_att_encoding" ->
+      """SELECT doc_id, 'text/plain' AS content_type,
+        |  'gzip' AS encoding,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  'md5-' || md5(text) AS digest,
+        |  TRUE AS bounded_overhead, TRUE AS stored_is_encoded,
+        |  TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Transitive closure of the SAME LSH pair graph the q22 oracle
     // derives, via a recursive CTE: reach(id, r) = r is reachable from
     // id; cluster id = min reachable; sizes by group. Mirrors
@@ -7689,6 +7790,7 @@ object SparkEntry {
     // the whole release chain replayed end to end: quality → dedup
     // best → decontaminate → temperature mix → shuffle → pack
     "q264_corpus_release" -> corpusReleaseOracle,
+    "q273_release_delta" -> releaseDeltaOracle,
     // _all_dbs ∘ _dbs_info: the listed stores' winner counts restated
     // from the residue classes; the decoy dir must not surface
     "q268_all_dbs" ->
@@ -11632,6 +11734,31 @@ object SparkEntry {
     * benchmark split, √-temperature mix at half the survivors, keyed
     * epoch shuffle, and the q98 packing arithmetic in shuffle order
     * across 16 round-robin shards. */
+  /** The q273 oracle: the ENTIRE from-scratch q264 chain replayed
+    * over the MUTATED corpus (the q273Build change batch as a CTE),
+    * with the benchmark pinned to the ORIGINAL `%7` split — exactly
+    * what the delta-maintained state must reproduce. Corpus reads
+    * redirect to `mut`; the one benchmark read stays on documents. */
+  private def releaseDeltaOracle: String = {
+    val benchGuard = "FROM documents WHERE doc_id % 7 = 0"
+    val redirected = corpusReleaseOracle
+      .replace(benchGuard, "__BENCH__")
+      .replace("FROM documents", "FROM mut")
+      .replace("__BENCH__", benchGuard)
+    redirected.replaceFirst("WITH RECURSIVE ",
+      """WITH RECURSIVE mut AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN text || ' zq' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT MAX(doc_id) FROM documents) + 1,
+        |    text, lang, 'srcnew', n_chars
+        |  FROM documents WHERE doc_id % 17 = 2),
+        |""".stripMargin)
+  }
+
   private def corpusReleaseOracle: String =
     "WITH RECURSIVE " + qualityChainCtes + """,
       |relq AS (

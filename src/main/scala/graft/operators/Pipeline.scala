@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline compositions — the stages exist
@@ -86,15 +86,23 @@ object Pipeline {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    // 4. temperature-weighted domain mix to the release budget
-    val budget = budgetOf(d3.count())
+    // 4-6. the mix → shuffle → pack tail, shared with the delta
+    // release path so the two can never drift
+    releaseTail(d3, budgetOf(d3.count()), seed, seqLen, nShards)
+  }
+
+  /** Stages 4-6 of the release — temperature-weighted domain mix to
+    * `budget`, deterministic epoch shuffle, fixed-length packing in
+    * shuffle order across round-robin shards (the packing id IS the
+    * shuffle position, joined back to the document id). Shared by
+    * [[corpusRelease]] (from scratch) and [[releaseFromState]]
+    * (delta-maintained), so the served tail is one code path. */
+  private def releaseTail(d3: DataFrame, budget: Long, seed: String,
+                          seqLen: Int, nShards: Int): DataFrame = {
     val mixed = Relational.temperatureMix(d3, col("_dom"),
       col("doc_id"), budget)
-    // 5. deterministic epoch shuffle — positions decide packing
     val shuffled = Relational.epochShuffle(
       mixed.select(col("doc_id"), col("text")), col("doc_id"), seed)
-    // 6. pack in shuffle order across round-robin shards; the packing
-    // id IS the shuffle position, joined back to the document id
     Text.packSequences(shuffled, col("pos"), col("text"), seqLen,
         group = pmod(col("pos") - 1, lit(nShards.toLong)))
       .withColumnRenamed("doc_id", "pos")
@@ -102,5 +110,320 @@ object Pipeline {
       .select(col("doc_id"), col("pos"), col("grp"), col("seq"),
         col("seq_start"), col("seq_end"), col("tok_start"),
         col("tok_end"))
+  }
+
+  // ---------------- DELTA corpus release (maintained state) --------
+
+  /** The thresholds of a release pipeline, PERSISTED with its state:
+    * a delta recomputing verdicts under different thresholds than the
+    * build would silently mix regimes, so the state dir is the single
+    * source of truth and [[releaseDelta]] reads them back. */
+  final case class ReleaseParams(minTokens: Long = 15,
+                                 maxTokens: Long = 90,
+                                 minQuality: Double = 0.55,
+                                 allowedLangs: Seq[String] =
+                                   Seq("en", "de", "zh"),
+                                 maxDupTokenFrac: Double = 0.6,
+                                 maxTopBigramFrac: Double = 0.1,
+                                 contaminationN: Int = 8,
+                                 maxContamination: Double = 0.05)
+
+  /** On-disk layout version of the release state. */
+  val StateFormat = 1
+
+  private def docsDir(path: String) = path + "/docs"
+  private def fpsDir(path: String) = path + "/fps"
+  private def dedupDir(path: String) = path + "/dedup"
+
+  /** True iff a readable release state of the current layout exists. */
+  def stateCurrent(spark: SparkSession, path: String): Boolean =
+    try spark.read.parquet(path + "/params").head()
+      .getAs[Int]("fmt") == StateFormat
+    catch { case _: Exception => false }
+
+  private def writeParams(spark: SparkSession, path: String,
+                          p: ReleaseParams): Unit = {
+    import spark.implicits._
+    Seq((StateFormat, p.minTokens, p.maxTokens, p.minQuality,
+        p.allowedLangs, p.maxDupTokenFrac, p.maxTopBigramFrac,
+        p.contaminationN, p.maxContamination))
+      .toDF("fmt", "min_tokens", "max_tokens", "min_quality",
+        "allowed_langs", "max_dup_frac", "max_bigram_frac",
+        "contamination_n", "max_contamination")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/params")
+  }
+
+  private def readParams(spark: SparkSession,
+                         path: String): ReleaseParams = {
+    val r = spark.read.parquet(path + "/params").head()
+    require(r.getAs[Int]("fmt") == StateFormat,
+      s"release state at $path has layout fmt ${r.getAs[Int]("fmt")}, " +
+        s"need $StateFormat — rebuild with releaseInit")
+    ReleaseParams(r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"),
+      r.getAs[Double]("min_quality"),
+      r.getAs[scala.collection.Seq[String]]("allowed_langs").toSeq,
+      r.getAs[Double]("max_dup_frac"), r.getAs[Double]("max_bigram_frac"),
+      r.getAs[Int]("contamination_n"), r.getAs[Double]("max_contamination"))
+  }
+
+  /** Per-doc pipeline verdicts — the ONLY text analysis the release
+    * ever runs: quality (per-doc signals), contamination (per-doc vs
+    * the static benchmark), exact-dup fingerprint. Shared by
+    * [[releaseInit]] (whole corpus) and [[releaseDelta]] (changed
+    * docs only) so both regimes are one code path. */
+  private def verdictsOf(docs: DataFrame, id: Column, text: Column,
+                         lang: Column, score: Column, domain: Column,
+                         benchmark: DataFrame, bid: Column,
+                         btext: Column, p: ReleaseParams): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+      text.cast("string").as("text"), lang.cast("string").as("lang"),
+      score.cast("double").as("_score"),
+      domain.cast("string").as("_dom"))
+    val q = Text.qualityFilter(base, col("doc_id"), col("text"),
+        p.minTokens, p.maxTokens, p.minQuality, p.allowedLangs,
+        p.maxDupTokenFrac, p.maxTopBigramFrac,
+        lang = Some(col("lang")))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val cont = Dedup.decontaminate(base, col("doc_id"), col("text"),
+        benchmark, bid, btext, p.contaminationN)
+      .select(col("doc_id"), col("contamination"))
+    base.join(q, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("_fp", Text.fingerprint(col("text")))
+  }
+
+  /** Build the MAINTAINED release state at `path` from the full
+    * corpus — the amortized form of [[corpusRelease]] for a pipeline
+    * that re-releases from a change feed instead of re-reading 100 TB:
+    * {{{
+    * path/
+    *   docs/_b=<b>/  (doc_id, text, lang, _score, _dom, _fp, q_keep,
+    *                 contamination) — per-doc verdicts, id-bucketed
+    *   fps/_fb=<b>/  (_fp, doc_id) of QUALITY-KEPT docs, fp-bucketed —
+    *                 the exact-dup tier's group lookup
+    *   dedup/        [[DedupIndex]] over the exact-tier KEEPERS (the
+    *                 min-id member of each fp group) — precisely the
+    *                 doc set [[Dedup.dedupCorpus]] LSH-clusters, so
+    *                 maintained clusters == from-scratch clusters
+    *   params/       the persisted [[ReleaseParams]] + layout fmt
+    *   _graft_meta   update_seq + bucket count
+    * }}}
+    * [[releaseFromState]] then serves the release with NO text
+    * re-analysis beyond packing's token count, and [[releaseDelta]]
+    * keeps every layer current at O(delta). */
+  def releaseInit(docs: DataFrame, id: Column, text: Column,
+                  lang: Column, score: Column, domain: Column,
+                  benchmark: DataFrame, bid: Column, btext: Column,
+                  path: String, params: ReleaseParams = ReleaseParams(),
+                  nBuckets: Int = 64, seq: Long = 0L): Unit = {
+    import graft.view.{IndexMeta, IndexStore}
+    require(params.minTokens >= params.contaminationN,
+      "releaseInit: minTokens must be >= contaminationN " +
+        "(the corpusRelease contract)")
+    val spark = docs.sparkSession
+    IndexStore.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val v = verdictsOf(docs, id, text, lang, score, domain,
+        benchmark, bid, btext, params)
+      .withColumn("_b", IndexStore.idBucket(col("doc_id"), nBuckets))
+    v.repartition(col("_b"))
+      .sortWithinPartitions(col("_b"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_b").parquet(docsDir(path))
+    val stored = spark.read.parquet(docsDir(path))
+    stored.filter(col("q_keep")).select(col("_fp"), col("doc_id"))
+      .withColumn("_fb", IndexStore.idBucket(col("_fp"), nBuckets))
+      .repartition(col("_fb"))
+      .sortWithinPartitions(col("_fb"), col("_fp"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("_fb").parquet(fpsDir(path))
+    val keeperIds = spark.read.parquet(fpsDir(path))
+      .groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val keeperDocs = stored
+      .join(keeperIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    DedupIndex.build(keeperDocs, col("doc_id"), col("text"),
+      dedupDir(path), nBuckets = nBuckets, seq = seq)
+    writeParams(spark, path, params)
+    IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
+  }
+
+  /** Apply ONE change batch to the release state — the A27 delta
+    * composed with the maintained layers, everything bounded by the
+    * batch, never the corpus:
+    *  1. `changedDocs` (new content) re-run the per-doc verdicts
+    *     (quality, contamination, fingerprint) — O(delta) text work;
+    *  2. their `docs/` id buckets rename-swap;
+    *  3. the fp groups they enter or leave re-elect keepers from the
+    *     fp-pruned `fps/` buckets;
+    *  4. keeper changes flow into the [[DedupIndex]] as upserts and
+    *     retirements — its own maintenance re-clusters only the
+    *     touched membership.
+    * An EMPTY batch touches nothing (the no-op re-release: the state
+    * is byte-identical, so [[releaseFromState]] returns the identical
+    * release). Returns the number of keeper upserts + retirements the
+    * dedup tier processed. */
+  def releaseDelta(spark: SparkSession, path: String,
+                   changedDocs: DataFrame, id: Column, text: Column,
+                   lang: Column, score: Column, domain: Column,
+                   benchmark: DataFrame, bid: Column, btext: Column,
+                   deletedIds: Seq[Long] = Nil,
+                   newSeq: Long = -1L): Long = {
+    import graft.view.IndexStore
+    import spark.implicits._
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = IndexStore.readMeta(spark, path)
+    val nB = meta.buckets
+    val params = readParams(spark, path)
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      // coalesce: null ids never match a tombstone (the
+      // IndexStore.minusDeleted anti-join contract)
+      else changedDocs.filter(
+        coalesce(!id.cast("long").isin(deletedIds: _*), lit(true)))
+    // localCheckpoint, not persist: the verdicts subtree (quality
+    // expression forest + decontamination joins) would otherwise ride
+    // INSIDE every downstream plan that references this relation —
+    // through the DedupIndex.upsert boundary the repeated embedding
+    // multiplies plan TEXT to heap-killing size under AQE's per-stage
+    // explain. The checkpoint truncates lineage to a leaf.
+    val newV = verdictsOf(live, id, text, lang, score, domain,
+        benchmark, bid, btext, params)
+      .withColumn("_b", IndexStore.idBucket(col("doc_id"), nB))
+      .localCheckpoint()
+    val cids = (changedDocs.select(id.cast("long").as("doc_id"))
+        .distinct() unionByName deletedIds.toDF("doc_id"))
+      .distinct().localCheckpoint()
+    try {
+      val bs = cids.withColumn("_b", IndexStore.idBucket(col("doc_id"), nB))
+        .select(col("_b")).distinct().collect().map(_.getInt(0)).toSeq
+      if (bs.isEmpty) return 0L // empty batch: the no-op re-release
+      // PIN the pre-swap rows the later stages need: old fps of the
+      // changed docs (their lineage reads the about-to-swap buckets)
+      val oldRows = spark.read.parquet(docsDir(path))
+        .filter(col("_b").isin(bs: _*))
+        .join(cids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("_fp"), col("q_keep"))
+        .localCheckpoint() // pre-swap pin AND lineage cut
+      // ---- docs/ swap (bucket-local)
+      val survivors = spark.read.parquet(docsDir(path))
+        .filter(col("_b").isin(bs: _*))
+        .join(cids, Seq("doc_id"), "left_anti")
+      IndexStore.writeSwap(spark, fs,
+        survivors.unionByName(newV.select(survivors.columns.map(col): _*)),
+        docsDir(path), "_b", bs, Seq(col("_b"), col("doc_id")))
+      // ---- affected fp groups: entered or left by a changed doc
+      val affFps = (oldRows.filter(col("q_keep")).select(col("_fp"))
+          unionByName newV.filter(col("q_keep")).select(col("_fp")))
+        .distinct().localCheckpoint()
+      val fbs = affFps.withColumn("_fb", IndexStore.idBucket(col("_fp"), nB))
+        .select(col("_fb")).distinct().collect().map(_.getInt(0)).toSeq
+      val dedupWork: Long = if (fbs.isEmpty) 0L else {
+        // keepers BEFORE the swap (pin — same pre-swap discipline)
+        val oldKeepers = spark.read.parquet(fpsDir(path))
+          .filter(col("_fb").isin(fbs: _*))
+          .join(affFps, Seq("_fp"), "left_semi")
+          .groupBy(col("_fp")).agg(min(col("doc_id")).as("old_k"))
+          .localCheckpoint() // pre-swap pin AND lineage cut
+        // ---- fps/ swap: drop the changed ids' rows, add new q-kept
+        val fpSurv = spark.read.parquet(fpsDir(path))
+          .filter(col("_fb").isin(fbs: _*))
+          .join(cids, Seq("doc_id"), "left_anti")
+          .select(col("_fp"), col("doc_id"), col("_fb"))
+        val fpNew = newV.filter(col("q_keep"))
+          .select(col("_fp"), col("doc_id"))
+          .withColumn("_fb", IndexStore.idBucket(col("_fp"), nB))
+          .filter(col("_fb").isin(fbs: _*))
+        IndexStore.writeSwap(spark, fs, fpSurv.unionByName(fpNew),
+          fpsDir(path), "_fb", fbs,
+          Seq(col("_fb"), col("_fp"), col("doc_id")))
+        // ---- keeper diff → dedup-index maintenance
+        val newKeepers = spark.read.parquet(fpsDir(path))
+          .filter(col("_fb").isin(fbs: _*))
+          .join(affFps, Seq("_fp"), "left_semi")
+          .groupBy(col("_fp")).agg(min(col("doc_id")).as("new_k"))
+        val diff = oldKeepers.join(newKeepers, Seq("_fp"), "full_outer")
+          .localCheckpoint();
+        {
+          // keeper churn is decided at the ID level, not per fp slot:
+          // a changed doc whose old fp group vanished and whose new
+          // fp group promotes the SAME id is still a keeper — a
+          // per-slot diff would list it as both retired and promoted,
+          // and the dedup tier's tombstone rule would then ERASE it
+          // (deletions beat upserts for the same id)
+          val oldSet = diff.filter(col("old_k").isNotNull)
+            .select(col("old_k").as("doc_id")).distinct()
+          val newSet = diff.filter(col("new_k").isNotNull)
+            .select(col("new_k").as("doc_id")).distinct()
+          val retired = oldSet.join(newSet, Seq("doc_id"), "left_anti")
+            .collect().map(_.getLong(0)).toSeq
+          // newly-minted keepers, PLUS standing keepers whose doc
+          // content changed in this batch (same keeper id, new bands)
+          val promoted = newSet.join(oldSet, Seq("doc_id"), "left_anti")
+          val touched = newSet.join(cids, Seq("doc_id"), "left_semi")
+          val upsertIds = promoted.unionByName(touched).distinct()
+            .localCheckpoint()
+          val nUp = upsertIds.count()
+          if (nUp > 0 || retired.nonEmpty) {
+            val ubs = upsertIds
+              .withColumn("_b", IndexStore.idBucket(col("doc_id"), nB))
+              .select(col("_b")).distinct().collect().map(_.getInt(0))
+              .toSeq
+            // checkpoint again at the operator boundary: everything
+            // DedupIndex.upsert builds references this relation many
+            // times over
+            val upsertDocs = spark.read.parquet(docsDir(path))
+              .filter(col("_b").isin(ubs: _*))
+              .join(upsertIds, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("text"))
+              .localCheckpoint()
+            DedupIndex.upsert(spark, dedupDir(path), upsertDocs,
+              col("doc_id"), col("text"), deletedIds = retired,
+              newSeq = newSeq)
+          }
+          nUp + retired.size
+        }
+      }
+      if (newSeq >= 0)
+        IndexStore.writeMeta(spark, path,
+          IndexStore.readMeta(spark, path).copy(updateSeq = newSeq))
+      dedupWork
+    } finally { newV.unpersist(); cids.unpersist() }
+  }
+
+  /** Serve the release from the MAINTAINED state: reconstruct the
+    * kept set from stored verdicts (quality cut, fp-group → keeper →
+    * cluster mapping, argmax-score canonicals with the
+    * [[Dedup.dedupCorpusBest]] tie rule, contamination cut), then the
+    * shared [[releaseTail]]. Identical output to [[corpusRelease]]
+    * over the current corpus — the q273 gate replays exactly that —
+    * but the serve never re-tokenizes for quality, never re-shingles,
+    * never re-clusters: the only text touched is packing's token
+    * count over the RELEASED docs. */
+  def releaseFromState(spark: SparkSession, path: String, seed: String,
+                       seqLen: Int = 128, nShards: Int = 16,
+                       budgetOf: Long => Long = _ / 2): DataFrame = {
+    val params = readParams(spark, path)
+    val d = spark.read.parquet(docsDir(path))
+    val dk = d.filter(col("q_keep"))
+    val keepers = spark.read.parquet(fpsDir(path))
+      .groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
+    val labels = DedupIndex.clusters(spark, dedupDir(path))
+      .select(col("doc_id").as("_keeper"), col("cluster_id").as("_rep"))
+    val mapped = dk.join(keepers, Seq("_fp"))
+      .join(labels, Seq("_keeper"), "left")
+      .withColumn("_cl", coalesce(col("_rep"), col("_keeper")))
+    // the dedupCorpusBest argmax: min(struct(-score, id)), null
+    // scores coalesced to -Inf so they only win all-null clusters
+    val best = mapped.groupBy(col("_cl"))
+      .agg(min(struct(
+        (-coalesce(col("_score"), lit(Double.NegativeInfinity))).as("n"),
+        col("doc_id").as("i"))).as("_bst"))
+      .select(col("_bst.i").as("doc_id"))
+    val d3 = mapped.join(best, Seq("doc_id"), "left_semi")
+      .filter(col("contamination") <= params.maxContamination)
+      .select(col("doc_id"), col("text"), col("lang"), col("_score"),
+        col("_dom"))
+      .localCheckpoint()
+    releaseTail(d3, budgetOf(d3.count()), seed, seqLen, nShards)
   }
 }

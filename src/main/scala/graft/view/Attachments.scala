@@ -33,7 +33,10 @@ object Attachments {
     data.as("data"),
     octet_length(data).cast("long").as("length"),
     concat(lit("md5-"), md5(data)).as("digest"),
-    lit(false).as("stub"))
+    lit(false).as("stub"),
+    // identity-stored entry: no encoding tier (see putEncoded)
+    lit(null).cast("string").as("encoding"),
+    lit(null).cast("long").as("encoded_length"))
 
   /** Add (or replace — reference `putAttachment` upsert semantics) a
     * named attachment built from a binary column. */
@@ -44,6 +47,86 @@ object Attachments {
       docs.withColumn(ATT,
         map_concat(map_filter(col(ATT), (k, _) => k =!= name), one))
     else docs.withColumn(ATT, one)
+  }
+
+  // ------------------------------------------- the gzip encoding tier
+
+  /** CouchDB's default `compressible_types`: attachments of these
+    * content types store gzip-ENCODED; everything else (media
+    * formats are already entropy-coded) stores identity. */
+  def isCompressible(contentType: String): Boolean = {
+    val ct = contentType.takeWhile(_ != ';').trim.toLowerCase
+    ct.startsWith("text/") || ct == "application/json" ||
+      ct == "application/javascript" || ct == "application/xml"
+  }
+
+  /** Deterministic gzip: java's GZIPOutputStream writes MTIME 0 and
+    * a fixed header, so the encoded bytes are a pure function of the
+    * payload — `encoded_length` is stable across runs and engines
+    * running the same JVM codec. A UDF is the accepted form here (no
+    * Catalyst builtin compresses binary; same confinement rule as
+    * image decode). */
+  private val gzipUdf = udf { (b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+  }
+
+  private val gunzipUdf = udf { (b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try in.readAllBytes() finally in.close()
+    }
+  }
+
+  /** [[put]] with CouchDB's STORAGE ENCODING: a compressible content
+    * type stores the gzip bytes in `data` with `encoding = "gzip"`
+    * and `encoded_length` = the stored size, while `length` and
+    * `digest` keep describing the DECODED payload (what a client
+    * reads back — the identity the rest of the attachment machinery
+    * verifies against); a non-compressible type is exactly [[put]].
+    * Replication ships the stored (encoded) bytes — the digest-keyed
+    * stub optimization composes unchanged because the digest names
+    * the logical payload either way. */
+  def putEncoded(docs: DataFrame, name: String, data: Column,
+                 contentType: String): DataFrame = {
+    if (!isCompressible(contentType)) return put(docs, name, data,
+      contentType)
+    val gz = gzipUdf(data)
+    val entry = struct(
+      lit(contentType).as("content_type"),
+      gz.as("data"),
+      octet_length(data).cast("long").as("length"),
+      concat(lit("md5-"), md5(data)).as("digest"),
+      lit(false).as("stub"),
+      lit("gzip").as("encoding"),
+      octet_length(gz).cast("long").as("encoded_length"))
+    val one = map(lit(name), entry)
+    if (docs.columns.contains(ATT))
+      docs.withColumn(ATT,
+        map_concat(map_filter(col(ATT), (k, _) => k =!= name), one))
+    else docs.withColumn(ATT, one)
+  }
+
+  /** [[get]] with the DECODE step applied — the client-facing read of
+    * a [[putEncoded]] attachment: `data` holds the decoded payload
+    * whatever the storage encoding (gunzip for `gzip`, pass-through
+    * for identity). */
+  def getDecoded(docs: DataFrame, idCol: Column, name: String)
+      : DataFrame = {
+    val e = element_at(col(ATT), name)
+    docs.select(idCol.as("_id"),
+      when(e.isNull, lit(null).cast(BinaryType))
+        .when(e.getField("encoding") === "gzip",
+          gunzipUdf(e.getField("data")))
+        .otherwise(e.getField("data")).as("data"),
+      e.as("attachment"))
   }
 
   /** Reference `removeAttachment`. */
@@ -64,7 +147,11 @@ object Attachments {
       lit(null).cast(BinaryType).as("data"),
       v.getField("length").as("length"),
       v.getField("digest").as("digest"),
-      lit(true).as("stub")))
+      lit(true).as("stub"),
+      // CouchDB keeps att_encoding_info on stubs: a client sizing a
+      // fetch needs encoded_length without pulling the payload
+      v.getField("encoding").as("encoding"),
+      v.getField("encoded_length").as("encoded_length")))
 
   // ----------------------------------------------- attachment replication
 
@@ -91,7 +178,11 @@ object Attachments {
         col("_e.content_type").as("content_type"),
         col("_e.length").as("length"),
         col("_e.digest").as("digest"),
-        col("_e.data").as("data"))
+        col("_e.data").as("data"),
+        // gzip-tier entries ship their STORED (encoded) bytes — the
+        // whole point of the tier on the wire; the digest still names
+        // the decoded payload, so stub dedup composes unchanged
+        col("_e.encoding").as("encoding"))
     val known = targetDigests.toDF("digest").distinct()
       .withColumn("_known", lit(true))
     rows.join(known, Seq("digest"), "left")
@@ -99,7 +190,8 @@ object Attachments {
         col("length"), col("digest"),
         when(col("_known"), lit(null).cast(BinaryType))
           .otherwise(col("data")).as("data"),
-        coalesce(col("_known"), lit(false)).as("stub"))
+        coalesce(col("_known"), lit(false)).as("stub"),
+        col("encoding"))
   }
 
   /** The target WRITE leg: apply a [[replicationAttachments]] transfer
@@ -115,8 +207,16 @@ object Attachments {
     * rejects a body whose content hash mismatches) — a corrupt or
     * dropped transfer is never silently accepted. `targetStore` is a
     * `(digest, data)` relation; one hash join. */
-  def applyTransfer(plan: DataFrame, targetStore: DataFrame): DataFrame =
-    plan.join(
+  def applyTransfer(plan: DataFrame, targetStore: DataFrame): DataFrame = {
+    // a pre-encoding-tier plan (no `encoding` column) verifies as
+    // identity — the transfer wire format stays backward-compatible
+    val p = if (plan.columns.contains("encoding")) plan
+            else plan.withColumn("encoding", lit(null).cast("string"))
+    // the digest names the DECODED payload; an encoded full entry
+    // verifies over its decode, identity entries over the bytes
+    val decoded = when(col("encoding") === "gzip", gunzipUdf(col("data")))
+      .otherwise(col("data"))
+    p.join(
         targetStore.toDF("digest", "_sdata").dropDuplicates("digest"),
         Seq("digest"), "left")
       .select(col("id"), col("name"), col("content_type"),
@@ -125,10 +225,11 @@ object Attachments {
           .as("data"),
         when(!col("stub") && col("data").isNull, lit("missing_data"))
           .when(!col("stub") && col("digest").startsWith("md5-") &&
-            concat(lit("md5-"), md5(col("data"))) =!= col("digest"),
+            concat(lit("md5-"), md5(decoded)) =!= col("digest"),
             lit("digest_mismatch"))
           .when(!col("stub") || col("_sdata").isNotNull, lit("ok"))
           .otherwise(lit("missing_stub")).as("status"))
+  }
 
   // ----------------------------------------------------- chunked payloads
 

@@ -1198,6 +1198,101 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("release state: init/delta serve the from-scratch release; empty delta is a no-op; small delta is bucket-local") {
+    import graft.operators.Pipeline
+    val base = docs.select($"doc_id", $"text", $"lang", $"n_chars",
+      $"source")
+    val bench = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-relstate").toString + "/st"
+    Pipeline.releaseInit(base, $"doc_id", $"text", $"lang", $"n_chars",
+      $"source", bench, $"doc_id", $"text", path, nBuckets = 32)
+    assert(Pipeline.stateCurrent(spark, path))
+    def served = Pipeline.releaseFromState(spark, path, "release-1")
+    // pin each comparison corpus to parquet first: corpusRelease's
+    // dedup closure over a union/when-derived plan tree explodes the
+    // explain strings (heap), and the gate's real input is a table
+    var nScratch = 0
+    def scratch(c0: org.apache.spark.sql.DataFrame) = {
+      nScratch += 1
+      val p = s"$path/../scratch$nScratch"
+      c0.write.mode("overwrite").parquet(p)
+      val c = spark.read.parquet(p)
+      Pipeline.corpusRelease(c, $"doc_id", $"text", $"lang",
+        $"n_chars", $"source", bench, $"doc_id", $"text", "release-1")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(served) == rows(scratch(base)),
+      "maintained state must serve the from-scratch release")
+    // file snapshot for the no-op and locality checks
+    def snap(sub: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/$sub"))
+        .map(f => f.getPath -> ((f.length, f.lastModified))).toMap
+    }
+    val s0 = snap("docs")
+    // empty delta: the no-op re-release — nothing may move
+    assert(Pipeline.releaseDelta(spark, path, base.limit(0), $"doc_id",
+      $"text", $"lang", $"n_chars", $"source", bench, $"doc_id",
+      $"text") == 0L)
+    assert(snap("docs") == s0, "an empty batch must touch no bytes")
+    // the 1% crawl day: changed text, deletions, NEW docs that are
+    // exact dups of survivors (the cross-generation dedup case)
+    val md = base.agg(max($"doc_id")).head().getLong(0)
+    val changed = base
+      .filter($"doc_id" % 11 === 3 && $"doc_id" % 13 =!= 5)
+      .withColumn("text", concat($"text", lit(" zq")))
+    val added = base.filter($"doc_id" % 17 === 2)
+      .select(($"doc_id" + md + 1).as("doc_id"), $"text", $"lang",
+        $"n_chars", lit("srcnew").as("source"))
+    val deleted = base.filter($"doc_id" % 13 === 5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    Pipeline.releaseDelta(spark, path, changed.unionByName(added),
+      $"doc_id", $"text", $"lang", $"n_chars", $"source", bench,
+      $"doc_id", $"text", deletedIds = deleted, newSeq = 2L)
+    val mutated = base.filter($"doc_id" % 13 =!= 5)
+      .withColumn("text", when($"doc_id" % 11 === 3,
+        concat($"text", lit(" zq"))).otherwise($"text"))
+      .unionByName(added)
+    assert(rows(served) == rows(scratch(mutated)),
+      "delta-maintained state must serve the mutated corpus's " +
+        "from-scratch release")
+    // single-doc delta rewrites only its own id bucket (plus the fp
+    // tier's two buckets) — never the store. The new text is doc 9's
+    // EXACTLY: doc 3 keeps its keeper role under a brand-new fp, and
+    // doc 9's fp group merges under keeper 3 — the keeper-identity
+    // churn that must retire/promote at the ID level (a per-fp-slot
+    // diff would tombstone the still-standing keeper and erase it
+    // from the dedup tier — the q273 sf0.01 regression)
+    val s1 = snap("docs")
+    val text9 = mutated.filter($"doc_id" === 9L)
+      .select($"text").head().getString(0)
+    val one = mutated.filter($"doc_id" === 3L)
+      .withColumn("text", lit(text9))
+    Pipeline.releaseDelta(spark, path, one, $"doc_id", $"text",
+      $"lang", $"n_chars", $"source", bench, $"doc_id", $"text",
+      newSeq = 3L)
+    val s2 = snap("docs")
+    val touched = s2.keySet.filter(k =>
+      s1.get(k) != s2.get(k)) ++ (s1.keySet -- s2.keySet)
+    val dirs = touched.map(_.split("/_b=")(1).split("/")(0)).toSet
+    assert(dirs.size <= 1, s"one changed doc must rewrite one _b " +
+      s"bucket, touched: $dirs")
+    val mutated2 = mutated.withColumn("text",
+      when($"doc_id" === 3L, lit(text9)).otherwise($"text"))
+    assert(rows(served) == rows(scratch(mutated2)),
+      "incremental-on-incremental must still equal from-scratch")
+    // the exact-dup merge must have folded 3 and 9 into one release
+    // slot: never both
+    val ids = served.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(!(ids.contains(3L) && ids.contains(9L)),
+      "docs 3 and 9 are exact dups now — both released means the " +
+        "fp-group merge was lost")
+  }
+
   test("corpusRelease: the stages compose — filter, dedup-best, decontaminate, mix, shuffle, pack") {
     import graft.operators.Pipeline
     // every stage provably acts: d4 too short, d5 bad lang, d2 is

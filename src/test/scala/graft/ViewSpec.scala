@@ -576,6 +576,53 @@ class ViewSpec extends SparkSpecBase {
     assert(stub.getAs[String]("digest") == full.getAs[String]("digest"))
   }
 
+  test("attachment gzip tier: encode on store, decode on read, stubs carry encoding info") {
+    import graft.view.Attachments
+    val txt = ("repeat me " * 40).trim
+    val docs0 = Seq((1L, txt)).toDF("id", "txt")
+    // compressible type: stored gzip'd, length/digest stay DECODED
+    val enc = Attachments.putEncoded(docs0, "body",
+      encode($"txt", "UTF-8"), "text/plain; charset=utf-8")
+    val e = Attachments.get(enc, $"id", "body")
+      .select($"attachment.*").head()
+    assert(e.getAs[String]("encoding") == "gzip")
+    assert(e.getAs[Long]("length") == txt.length.toLong)
+    assert(e.getAs[Long]("encoded_length") <
+      e.getAs[Long]("length"),
+      "a repetitive text payload must shrink under gzip")
+    assert(e.getAs[Long]("encoded_length") ==
+      e.getAs[Array[Byte]]("data").length.toLong,
+      "stored bytes ARE the encoded form")
+    // the decode read round-trips bit-exact and matches the digest
+    val dec = Attachments.getDecoded(enc, $"id", "body").head()
+    val payload = dec.getAs[Array[Byte]]("data")
+    assert(new String(payload, "UTF-8") == txt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map(b => f"$b%02x").mkString
+    assert(e.getAs[String]("digest") == s"md5-$md",
+      "digest must describe the DECODED payload")
+    // non-compressible type: putEncoded == put (identity storage)
+    val img = Attachments.putEncoded(docs0, "pic",
+      encode($"txt", "UTF-8"), "image/png")
+    val pe = Attachments.get(img, $"id", "pic")
+      .select($"attachment.*").head()
+    assert(pe.isNullAt(pe.fieldIndex("encoding")))
+    assert(new String(Attachments.getDecoded(img, $"id", "pic")
+      .head().getAs[Array[Byte]]("data"), "UTF-8") == txt,
+      "identity entries pass through the decode read unchanged")
+    // include_docs stubs keep the encoding info (a client sizes its
+    // fetch from the stub, CouchDB's att_encoding_info shape)
+    val stub = View(enc, $"id", $"txt", lit(1))
+      .query(QueryOpts(reduce = false, includeDocs = true))
+      .select(element_at($"doc._attachments", "body").as("a"))
+      .select($"a.*").head()
+    assert(stub.getAs[Boolean]("stub") &&
+      stub.isNullAt(stub.fieldIndex("data")))
+    assert(stub.getAs[String]("encoding") == "gzip")
+    assert(stub.getAs[Long]("encoded_length") ==
+      e.getAs[Long]("encoded_length"))
+  }
+
   test("chunked attachments: uneven chunks recompose bit-exact; gaps refuse") {
     import graft.view.Attachments
     val docs0 = Seq(
