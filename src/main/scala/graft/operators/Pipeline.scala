@@ -215,7 +215,14 @@ object Pipeline {
                   lang: Column, score: Column, domain: Column,
                   benchmark: DataFrame, bid: Column, btext: Column,
                   path: String, params: ReleaseParams = ReleaseParams(),
-                  nBuckets: Int = 64, seq: Long = 0L): Unit = {
+                  nBuckets: Int = 64,
+                  /** The dedup tier's OWN bucket budget: its members
+                    * layout is nB² sub-directories (`_cm` = cluster
+                    * bucket × member bucket), so inheriting a large
+                    * `nBuckets` would explode the directory count —
+                    * 640 docs buckets is 409k member dirs. Size this
+                    * to the KEEPER population, not the corpus. */
+                  dedupBuckets: Int = 64, seq: Long = 0L): Unit = {
     import graft.view.{IndexMeta, IndexStore}
     require(params.minTokens >= params.contaminationN,
       "releaseInit: minTokens must be >= contaminationN " +
@@ -242,7 +249,7 @@ object Pipeline {
       .join(keeperIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
     DedupIndex.build(keeperDocs, col("doc_id"), col("text"),
-      dedupDir(path), nBuckets = nBuckets, seq = seq)
+      dedupDir(path), nBuckets = dedupBuckets, seq = seq)
     writeParams(spark, path, params)
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }
