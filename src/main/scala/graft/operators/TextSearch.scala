@@ -652,6 +652,15 @@ object TextSearch {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("_p", "_tb")
       .parquet(path + "/terms")
+    // by-id sidecar, per partition: which term buckets each doc
+    // posted into — the maintenance lookup ([[upsertPartitionedTextDocs]]);
+    // a changed doc's PARTITION is already derivable from its id,
+    // so the sidecar only routes within the partition
+    posts.select(col("_p"), col("doc_id"), col("_tb"), col("dl"))
+      .distinct()
+      .repartition(col("_p"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("_p").parquet(path + "/ids")
     posts.select(col("_p"), col("doc_id"), col("dl")).distinct()
       .groupBy(col("_p"))
       .agg(count(lit(1)).as("n"),
@@ -675,6 +684,211 @@ object TextSearch {
       st.columns.contains("_p") && st.columns.contains("fmt") &&
         st.head().getAs[Int]("fmt") == FormatVersion
     } catch { case _: Exception => false }
+
+  /** Rename-swap the given `(_p, _tb)` pair directories of a
+    * two-level hive layout — the [[graft.view.IndexStore]] writeSwap
+    * discipline extended one level down: rows land in a temp tree,
+    * then ONLY the affected pair dirs rename into place (untouched
+    * pairs keep their bytes), and the temp tree drops. */
+  private def swapPairDirs(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           df: DataFrame, destDir: String,
+                           affected: Seq[(String, Int)],
+                           sortCols: Seq[Column]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = destDir + "._tmp"
+    fs.delete(new Path(tmp), true)
+    df.repartition(math.max(affected.size, 1), col("_p"), col("_tb"))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").partitionBy("_p", "_tb").parquet(tmp)
+    affected.foreach { case (p, b) =>
+      val dst = new Path(s"$destDir/_p=$p/_tb=$b")
+      val src = new Path(s"$tmp/_p=$p/_tb=$b")
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"pair swap: cannot drop $dst")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"pair swap failed ($src -> $dst); rerun the update")
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** One-level variant for string-valued `_p` directories (the ids
+    * sidecar and per-partition stats). */
+  private def swapPartDirs(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           df: DataFrame, destDir: String,
+                           parts: Seq[String],
+                           sortCols: Seq[Column]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = destDir + "._tmp"
+    fs.delete(new Path(tmp), true)
+    df.repartition(math.max(parts.size, 1), col("_p"))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").partitionBy("_p").parquet(tmp)
+    parts.foreach { p =>
+      val dst = new Path(s"$destDir/_p=$p")
+      val src = new Path(s"$tmp/_p=$p")
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"part swap: cannot drop $dst")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"part swap failed ($src -> $dst); rerun the update")
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Incremental maintenance of a [[buildPartitionedTextIndex]]
+    * index — the E7b upsert discipline in the `_p` layout, with the
+    * partitioned-store advantage that a changed doc's PARTITION is
+    * derivable from its id alone: changed docs re-tokenize under the
+    * STORED analyzer, their old postings are located via the
+    * per-partition `ids/` sidecar (read pruned to the affected `_p`
+    * dirs), and only the union of old∪new `(_p, _tb)` pair
+    * directories rewrites — O(the changed docs' partitions' touched
+    * term buckets), never the index. Per-pair dfs re-aggregate for
+    * exactly those pairs, and each affected partition's stats adjust
+    * by exact integer deltas, so a maintained partition serves
+    * bit-identical partition-local BM25 to a fresh rebuild.
+    * `deletedIds` retire docs. Returns the affected partitions. */
+  def upsertPartitionedTextDocs(spark: SparkSession, path: String,
+                                changedDocs: DataFrame, id: Column,
+                                text: Column,
+                                deletedIds: Seq[String] = Nil,
+                                newSeq: Long = -1L): Seq[String] = {
+    import graft.view.{IndexStore, PartitionedStore}
+    import spark.implicits._
+    val fs = IndexStore.fsFor(spark, path)
+    val stAll = spark.read.parquet(path + "/stats")
+    require(stAll.columns.contains("_p"),
+      s"$path is a GLOBAL text index — use upsertTextDocs")
+    val st0 = stAll.head() // the analyzer is index-wide (build stamps
+                           // the same one on every partition row)
+    require(st0.getAs[Int]("fmt") == FormatVersion,
+      s"partitioned text index at $path needs rebuild (fmt)")
+    val an = analyzerFromRow(st0)
+    val nB = st0.getAs[Int]("n_buckets")
+    val live =
+      if (deletedIds.isEmpty) changedDocs
+      else changedDocs.filter(
+        coalesce(!id.cast("string").isin(deletedIds: _*), lit(true)))
+    val routed = live
+      .select(id.cast("string").as("doc_id"), text.as("_text"))
+      .withColumn("_p",
+        when(PartitionedStore.validId(col("doc_id")),
+          PartitionedStore.partitionOf(col("doc_id")))
+        .otherwise(raise_error(concat(
+          lit("partitioned text index: invalid doc id '"),
+          col("doc_id"), lit("'")))))
+    val shuffleN = spark.sessionState.conf.numShufflePartitions
+    val newTf = routed
+      .repartition(shuffleN, col("doc_id"))
+      .select(col("_p"), col("doc_id"), an.tokens(col("_text")).as("_ws"))
+      .select(col("_p"), col("doc_id"),
+        size(col("_ws")).cast("long").as("dl"),
+        posexplode(col("_ws")).as(Seq("_pp", "term")))
+      .groupBy(col("_p"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("_pp"))).as("pos"))
+      .withColumn("_tb", termBucket(col("term"), nB))
+      .localCheckpoint()
+    val cids = (changedDocs.select(id.cast("string").as("doc_id"))
+        .distinct() unionByName deletedIds.toDF("doc_id"))
+      .distinct().localCheckpoint()
+    val parts = cids
+      .select(PartitionedStore.partitionOf(col("doc_id")).as("_p"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (parts.isEmpty) return Nil
+    // old side from the sidecar — pruned to the affected partitions,
+    // pinned pre-swap (its lineage reads dirs about to rename)
+    val oldSide = spark.read.parquet(path + "/ids")
+      .filter(col("_p").isin(parts: _*))
+      .join(cids, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val affected = (oldSide.select(col("_p"), col("_tb"))
+        unionByName newTf.select(col("_p"), col("_tb")))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+      .sortBy(pb => (pb._1, pb._2))
+    if (affected.nonEmpty) {
+      val affParts = affected.map(_._1).distinct
+      val affTbs = affected.map(_._2).distinct
+      val pairKeys = affected.map { case (p, b) => s"$p:$b" }
+      def pairPruned(sub: String) = spark.read.parquet(s"$path/$sub")
+        .filter(col("_p").isin(affParts: _*) &&
+          col("_tb").isin(affTbs: _*) &&
+          concat(col("_p"), lit(":"), col("_tb").cast("string"))
+            .isin(pairKeys: _*))
+      val survivors = pairPruned("postings")
+        .join(cids, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+          col("pos"), col("_p"), col("_tb"))
+      val merged = survivors.unionByName(newTf
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+            col("pos"), col("_p"), col("_tb")))
+        .localCheckpoint() // pin: terms re-agg below reads post-swap
+      swapPairDirs(spark, fs, merged, path + "/postings", affected,
+        Seq(col("_p"), col("_tb"), col("term")))
+      swapPairDirs(spark, fs,
+        merged.groupBy(col("_p"), col("_tb"), col("term"))
+          .agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"), col("_p"), col("_tb")),
+        path + "/terms", affected,
+        Seq(col("_p"), col("_tb"), col("term")))
+      // ids sidecar: affected partitions' rows minus changed, plus new
+      val idsSurv = spark.read.parquet(path + "/ids")
+        .filter(col("_p").isin(parts: _*))
+        .join(cids, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("_tb"), col("dl"), col("_p"))
+      val idsNew = newTf
+        .select(col("doc_id"), col("_tb"), col("dl"), col("_p"))
+        .distinct()
+      // exact integer stat deltas, pinned pre-swap
+      val rem = oldSide.select(col("_p"), col("doc_id"), col("dl"))
+        .distinct().groupBy(col("_p"))
+        .agg(count(lit(1)).as("rn"),
+          coalesce(sum(col("dl")), lit(0L)).as("rdl"))
+      val add = newTf.select(col("_p"), col("doc_id"), col("dl"))
+        .distinct().groupBy(col("_p"))
+        .agg(count(lit(1)).as("an"),
+          coalesce(sum(col("dl")), lit(0L)).as("adl"))
+      val newStats = stAll.filter(col("_p").isin(parts: _*))
+        .join(rem, Seq("_p"), "left").join(add, Seq("_p"), "left")
+        .select(
+          (col("n") - coalesce(col("rn"), lit(0L)) +
+            coalesce(col("an"), lit(0L))).as("n"),
+          (col("sum_dl") - coalesce(col("rdl"), lit(0L)) +
+            coalesce(col("adl"), lit(0L))).as("sum_dl"),
+          col("n_buckets"), col("fmt"), col("an_lc"), col("an_stem"),
+          col("an_stop"), col("_p"))
+        .unionByName(
+          // a partition seen for the FIRST time in this batch
+          add.join(stAll.select(col("_p")), Seq("_p"), "left_anti")
+            .select(col("an").as("n"), col("adl").as("sum_dl"),
+              lit(nB).as("n_buckets"), lit(FormatVersion).as("fmt"),
+              lit(an.lowercase).as("an_lc"),
+              lit(an.stem).as("an_stem"),
+              typedLit(an.sortedStop).as("an_stop"), col("_p")))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n"))
+        .select(col("n"), col("sum_dl"), col("avgdl"),
+          col("n_buckets"), col("fmt"), col("an_lc"), col("an_stem"),
+          col("an_stop"), col("_p"))
+        .localCheckpoint() // pinned before the ids/stats swaps
+      swapPartDirs(spark, fs, idsSurv.unionByName(idsNew),
+        path + "/ids", parts, Seq(col("_p"), col("doc_id")))
+      val statsParts = (parts ++ newStats.select(col("_p"))
+        .collect().map(_.getString(0))).distinct.sorted
+      swapPartDirs(spark, fs, newStats, path + "/stats", statsParts,
+        Seq(col("_p")))
+    }
+    if (newSeq >= 0)
+      IndexStore.writeMeta(spark, path,
+        IndexStore.readMeta(spark, path).copy(updateSeq = newSeq))
+    parts
+  }
 
   /** Partition-scoped top-k BM25 from a [[buildPartitionedTextIndex]]
     * index: ONE `_p` stats directory read (the partition's N/avgdl as

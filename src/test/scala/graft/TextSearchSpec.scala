@@ -1025,6 +1025,65 @@ class TextSearchSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("partitioned upsert: maintained == rebuilt, untouched partitions keep their bytes") {
+    val base = Seq(
+      ("acme:1", "hash join alpha"),
+      ("acme:2", "hash beta gamma"),
+      ("acme:3", "hash delta"),
+      ("zeta:1", "hash join alpha"),
+      ("zeta:2", "join epsilon"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-pups").toString
+    val path = s"$dir/idx"
+    TextSearch.buildPartitionedTextIndex(base, $"doc_id", $"text", path,
+      nBuckets = 4)
+    def snap(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/$sub"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val zetaBefore = snap("postings").view
+      .filterKeys(_.contains("_p=zeta")).toMap
+    // one batch: change acme:1, delete acme:3, insert acme:4 and a
+    // doc in a BRAND-NEW partition
+    val delta = Seq(
+      ("acme:1", "join join omega"),
+      ("acme:4", "hash zeta fresh"),
+      ("newp:1", "hash hash newpart"))
+      .toDF("doc_id", "text")
+    TextSearch.upsertPartitionedTextDocs(spark, path, delta,
+      $"doc_id", $"text", deletedIds = Seq("acme:3"), newSeq = 2L)
+    // the ground truth: a fresh build over the modified corpus
+    val modified = base.filter($"doc_id" =!= "acme:1" &&
+        $"doc_id" =!= "acme:3")
+      .unionByName(delta)
+    val path2 = s"$dir/idx2"
+    TextSearch.buildPartitionedTextIndex(modified, $"doc_id", $"text",
+      path2, nBuckets = 4)
+    for (p <- Seq("acme", "zeta", "newp")) {
+      val got = TextSearch.searchPartitioned(spark, path, p,
+          Seq("hash", "join"), 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val want = TextSearch.searchPartitioned(spark, path2, p,
+          Seq("hash", "join"), 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == want,
+        s"maintained '$p' must serve the rebuild: $got vs $want")
+    }
+    // a deleted doc is gone, the new partition serves
+    assert(!TextSearch.searchPartitioned(spark, path, "acme",
+      Seq("hash", "join"), 10).collect().map(_.getString(0))
+      .contains("acme:3"))
+    assert(TextSearch.searchPartitioned(spark, path, "newp",
+      Seq("hash"), 10).count() == 1)
+    // zeta changed nothing: its postings bytes never moved
+    val zetaAfter = snap("postings").view
+      .filterKeys(_.contains("_p=zeta")).toMap
+    assert(zetaAfter == zetaBefore,
+      "untouched partition dirs must keep their bytes")
+  }
+
   test("searchHighlights: earliest-N hit windows, clamped, terms wrapped") {
     val tiny = Seq(
       (1L, "alpha hash beta gamma hash"),
