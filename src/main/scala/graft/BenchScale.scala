@@ -624,13 +624,13 @@ object BenchScale {
       val params = Pipeline.ReleaseParams(minQuality = 0.0,
         maxTokens = 100000, maxDupTokenFrac = 1.0,
         maxTopBigramFrac = 1.0)
-      // the dedup tier keeps its default bucket count at both scales:
-      // its members layout is nB² DIRECTORIES (cluster × member
-      // sub-buckets), so scaling nB with the corpus explodes the dir
-      // count (202² ≈ 41k dirs measured as a minutes-long local-FS
-      // commit) — the tier's touched-bucket reads therefore grow with
-      // per-bucket size, a documented granularity trade of that
-      // layout, and the delta ratio here prices it honestly
+      // the dedup tier inherits the scaled bucket budget (the
+      // releaseInit default): the DedupIndex v3 members layout keeps
+      // its directory count LINEAR in the budget (constant MemberSub
+      // factor, never nB²), so per-bucket size holds constant at both
+      // scales and the FIXED batch's touched-bucket I/O prices the
+      // batch, not the corpus — the r15 4.6× delta ratio was this
+      // tier pinned at 64 buckets under the old nB² constraint
       val tInit = time(Pipeline.releaseInit(src, col("doc_id"),
         col("text"), col("lang"), col("sc"), col("dom"), bench,
         col("doc_id"), col("text"), path, params = params,

@@ -1126,12 +1126,17 @@ object SparkEntry {
     val fs = graft.view.IndexStore.fsFor(s, inDir)
     val tmp = new org.apache.hadoop.fs.Path(inDir + "._tmp")
     fs.delete(tmp, true)
+    // pin the single-partition window sort ONCE: each per-chunk write
+    // below re-executes its input plan, and without the checkpoint the
+    // full orderBy ran `chunks` times (guide §1.2 — don't compute
+    // things you throw away; measured ~4x the staging cost)
     val chunked = df.withColumn("_c",
-      ntile(chunks).over(Window.orderBy(order)))
+      ntile(chunks).over(Window.orderBy(order))).localCheckpoint()
     (1 to chunks).foreach { i =>
       chunked.filter(col("_c") === i).drop("_c")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     }
+    chunked.unpersist()
     fs.create(new org.apache.hadoop.fs.Path(tmp, "_STAGED")).close()
     val dst = new org.apache.hadoop.fs.Path(inDir)
     fs.delete(dst, true)

@@ -22,11 +22,16 @@ import graft.view.{IndexMeta, IndexStore}
   *   ids/_ib=<b>/     (doc_id, _bb) — which band buckets hold each doc
   *   labels/_lb=<b>/  (doc_id, cluster_id) by DOC hash — point lookups
   *   members/_cm=<b>/ (doc_id, cluster_id) by CLUSTER hash × MEMBER
-  *                    hash (`_cm = cb·nB + mb`) — member expansion
-  *                    prunes to one cluster's nB sub-buckets, and a
+  *                    hash (`_cm = cb·[[MemberSub]] + mb`, the member
+  *                    factor a CONSTANT) — member expansion prunes to
+  *                    one cluster's [[MemberSub]] sub-buckets, and a
   *                    membership delta rewrites only the sub-buckets
   *                    its changed docs hash into, never a huge
-  *                    cluster's whole member list
+  *                    cluster's whole member list. The directory count
+  *                    is nB·[[MemberSub]] — LINEAR in the bucket
+  *                    budget, so `nBuckets` can track the corpus (the
+  *                    deployment discipline) without the v2 layout's
+  *                    nB² directory explosion
   *   _graft_meta      update_seq + bucket count
   * }}}
   *
@@ -45,10 +50,19 @@ import graft.view.{IndexMeta, IndexStore}
 object DedupIndex {
 
   /** On-disk layout version (one-row `/fmt` table). Bumped when the
-    * layout changes (v2 = composite `_cm` members sub-buckets), so an
-    * old artifact reads as stale and rebuilds instead of crashing an
-    * upsert or serving a wrong-layout read. */
-  val FormatVersion = 2
+    * layout changes (v2 = composite `_cm` members sub-buckets; v3 =
+    * CONSTANT member sub-factor, so the members directory count is
+    * linear in `nBuckets` and the bucket budget can scale with the
+    * corpus), so an old artifact reads as stale and rebuilds instead
+    * of crashing an upsert or serving a wrong-layout read. */
+  val FormatVersion = 3
+
+  /** The members layout's CONSTANT per-cluster sub-bucket factor: a
+    * cluster's member rows spread over this many `_cm` sub-buckets, so
+    * a delta brushing a huge boilerplate family rewrites 1/[[MemberSub]]
+    * of its member list while the total directory count stays
+    * `nBuckets · MemberSub` — linear, never nB². */
+  val MemberSub = 8
 
   /** True iff a readable cluster index of the CURRENT layout exists. */
   def indexCurrent(spark: SparkSession, path: String): Boolean =
@@ -88,17 +102,20 @@ object DedupIndex {
   }
 
   /** Composite members partition: cluster hash × member hash. A
-    * cluster's rows span nB sub-buckets, so a membership delta
-    * rewrites 1/nB of a big cluster, and a cluster-pruned read lists
-    * its nB sub-bucket ids driver-side ([[cmsOfClusters]]). */
+    * cluster's rows span [[MemberSub]] sub-buckets, so a membership
+    * delta rewrites 1/[[MemberSub]] of a big cluster, and a
+    * cluster-pruned read lists its [[MemberSub]] sub-bucket ids
+    * driver-side ([[cmsOfClusterBuckets]]). The member factor is a
+    * constant, NOT `nB`: the directory count must stay linear in the
+    * bucket budget for `nBuckets` to track the corpus. */
   private def memberBucket(clusterId: Column, docId: Column,
                            nB: Int): Column =
-    (IndexStore.idBucket(clusterId, nB) * nB +
-      IndexStore.idBucket(docId, nB)).cast("int")
+    (IndexStore.idBucket(clusterId, nB) * MemberSub +
+      IndexStore.idBucket(docId, MemberSub)).cast("int")
 
   /** All `_cm` values under the given cluster buckets. */
   private def cmsOfClusterBuckets(cbs: Seq[Int], nB: Int): Seq[Int] =
-    cbs.flatMap(cb => (0 until nB).map(cb * nB + _))
+    cbs.flatMap(cb => (0 until MemberSub).map(cb * MemberSub + _))
 
   private def writeLabelLayouts(spark: SparkSession, path: String,
                                 labels: DataFrame, nB: Int): Unit = {
@@ -159,7 +176,8 @@ object DedupIndex {
     val cbs = clusterIds.toDF("cluster_id")
       .select(IndexStore.idBucket(col("cluster_id"), nB).as("_cb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path + "/members")
+    IndexStore.readBuckets(spark, path + "/members", "_cm",
+        cmsOfClusterBuckets(cbs, nB))
       .filter(col("_cm").isin(cmsOfClusterBuckets(cbs, nB): _*) &&
         col("cluster_id").isin(clusterIds: _*))
       .select(col("doc_id"), col("cluster_id"))
@@ -194,7 +212,7 @@ object DedupIndex {
       // ---- band + sidecar merge (the standard sidecar-pruned swap)
       val ibs = cids.withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
         .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
-      val oldSide = spark.read.parquet(path + "/ids")
+      val oldSide = IndexStore.readBuckets(spark, path + "/ids", "_ib", ibs)
         .filter(col("_ib").isin(ibs: _*))
         .join(cids, Seq("doc_id"), "left_semi")
       val affBb = (oldSide.select(col("_bb")).distinct()
@@ -202,7 +220,8 @@ object DedupIndex {
         newRows.select(col("_bb")).distinct()
           .collect().map(_.getInt(0))).distinct.sorted
       if (affBb.nonEmpty) {
-        val survivors = spark.read.parquet(path + "/bands")
+        val survivors = IndexStore.readBuckets(spark, path + "/bands",
+            "_bb", affBb)
           .filter(col("_bb").isin(affBb: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("j"), col("band"), col("_bb"))
@@ -211,7 +230,8 @@ object DedupIndex {
             .select(col("doc_id"), col("j"), col("band"), col("_bb"))),
           path + "/bands", "_bb", affBb,
           Seq(col("_bb"), col("j"), col("band")))
-        val sideSurv = spark.read.parquet(path + "/ids")
+        val sideSurv = IndexStore.readBuckets(spark, path + "/ids",
+            "_ib", ibs)
           .filter(col("_ib").isin(ibs: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("_bb"), col("_ib"))
@@ -223,7 +243,8 @@ object DedupIndex {
       }
       // ---- affected membership: clusters of changed docs + clusters
       // of their current band-mates
-      val mates = spark.read.parquet(path + "/bands")
+      val mates = IndexStore.readBuckets(spark, path + "/bands",
+          "_bb", affBb)
         .filter(col("_bb").isin(affBb: _*))
         .join(newRows.select(col("j"), col("band")).distinct(),
           Seq("j", "band"))
@@ -232,14 +253,16 @@ object DedupIndex {
       val slbs = seeds.withColumn("_lb",
           IndexStore.idBucket(col("doc_id"), nB))
         .select(col("_lb")).distinct().collect().map(_.getInt(0)).toSeq
-      val affClusters = spark.read.parquet(path + "/labels")
+      val affClusters = IndexStore.readBuckets(spark, path + "/labels",
+          "_lb", slbs)
         .filter(col("_lb").isin(slbs: _*))
         .join(seeds, Seq("doc_id"), "left_semi")
         .select(col("cluster_id")).distinct().persist()
       val cbs = affClusters.withColumn("_cb",
           IndexStore.idBucket(col("cluster_id"), nB))
         .select(col("_cb")).distinct().collect().map(_.getInt(0)).toSeq
-      val oldMembers = spark.read.parquet(path + "/members")
+      val oldMembers = IndexStore.readBuckets(spark, path + "/members",
+          "_cm", cmsOfClusterBuckets(cbs, nB))
         .filter(col("_cm").isin(cmsOfClusterBuckets(cbs, nB): _*))
         .join(affClusters, Seq("cluster_id"), "left_semi")
         .select(col("doc_id"))
@@ -253,7 +276,7 @@ object DedupIndex {
         .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
       val mbbs =
         if (mibs.isEmpty) Seq.empty[Int]
-        else spark.read.parquet(path + "/ids")
+        else IndexStore.readBuckets(spark, path + "/ids", "_ib", mibs)
           .filter(col("_ib").isin(mibs: _*))
           .join(m, Seq("doc_id"), "left_semi")
           .select(col("_bb")).distinct().collect().map(_.getInt(0)).toSeq
@@ -261,7 +284,7 @@ object DedupIndex {
         if (mbbs.isEmpty)
           Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
         else pairsOf(
-          spark.read.parquet(path + "/bands")
+          IndexStore.readBuckets(spark, path + "/bands", "_bb", mbbs)
             .filter(col("_bb").isin(mbbs: _*))
             .join(m, Seq("doc_id"), "left_semi"), maxBucket)
       val newLabels = labelsOf(m, mPairs).persist()
@@ -275,7 +298,7 @@ object DedupIndex {
       val oldLabelsM =
         if (mlbs.isEmpty)
           Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
-        else spark.read.parquet(path + "/labels")
+        else IndexStore.readBuckets(spark, path + "/labels", "_lb", mlbs)
           .filter(col("_lb").isin(mlbs: _*))
           .join(m, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("cluster_id"))
@@ -307,7 +330,7 @@ object DedupIndex {
       // the rows they derive from
       val cmsOld =
         if (lbs.isEmpty) Seq.empty[Int]
-        else spark.read.parquet(path + "/labels")
+        else IndexStore.readBuckets(spark, path + "/labels", "_lb", lbs)
           .filter(col("_lb").isin(lbs: _*))
           .join(touched, Seq("doc_id"), "left_semi")
           .select(memberBucket(col("cluster_id"), col("doc_id"), nB)
@@ -316,7 +339,8 @@ object DedupIndex {
         .select(memberBucket(col("cluster_id"), col("doc_id"), nB)
           .as("_cm")).distinct().collect().map(_.getInt(0)).toSeq
       if (lbs.nonEmpty) {
-        val labelSurv = spark.read.parquet(path + "/labels")
+        val labelSurv = IndexStore.readBuckets(spark, path + "/labels",
+            "_lb", lbs)
           .filter(col("_lb").isin(lbs: _*))
           .join(touched, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("cluster_id"), col("_lb"))
@@ -327,7 +351,8 @@ object DedupIndex {
       }
       val cms = (cmsOld ++ cmsNew).distinct.sorted
       if (cms.nonEmpty) {
-        val memberSurv = spark.read.parquet(path + "/members")
+        val memberSurv = IndexStore.readBuckets(spark, path + "/members",
+            "_cm", cms)
           .filter(col("_cm").isin(cms: _*))
           .join(touched, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("cluster_id"), col("_cm"))

@@ -216,13 +216,18 @@ object Pipeline {
                   benchmark: DataFrame, bid: Column, btext: Column,
                   path: String, params: ReleaseParams = ReleaseParams(),
                   nBuckets: Int = 64,
-                  /** The dedup tier's OWN bucket budget: its members
-                    * layout is nB² sub-directories (`_cm` = cluster
-                    * bucket × member bucket), so inheriting a large
-                    * `nBuckets` would explode the directory count —
-                    * 640 docs buckets is 409k member dirs. Size this
-                    * to the KEEPER population, not the corpus. */
-                  dedupBuckets: Int = 64, seq: Long = 0L): Unit = {
+                  /** The dedup tier's OWN bucket budget; `0` (the
+                    * default) inherits `nBuckets`, so the tier's
+                    * per-bucket size tracks the corpus exactly like
+                    * the docs/fps layers and a FIXED delta's touched-
+                    * bucket I/O stays ~flat as the corpus grows. The
+                    * [[DedupIndex]] v3 members layout makes this safe:
+                    * member sub-bucketing is a CONSTANT factor
+                    * ([[DedupIndex.MemberSub]]), so directories are
+                    * linear in the budget, never nB². Override only
+                    * when the keeper population is known to be much
+                    * smaller than the corpus. */
+                  dedupBuckets: Int = 0, seq: Long = 0L): Unit = {
     import graft.view.{IndexMeta, IndexStore}
     require(params.minTokens >= params.contaminationN,
       "releaseInit: minTokens must be >= contaminationN " +
@@ -249,7 +254,9 @@ object Pipeline {
       .join(keeperIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
     DedupIndex.build(keeperDocs, col("doc_id"), col("text"),
-      dedupDir(path), nBuckets = dedupBuckets, seq = seq)
+      dedupDir(path),
+      nBuckets = if (dedupBuckets > 0) dedupBuckets else nBuckets,
+      seq = seq)
     writeParams(spark, path, params)
     IndexStore.writeMeta(spark, path, IndexMeta(seq, nBuckets, Nil))
   }
@@ -306,13 +313,13 @@ object Pipeline {
       if (bs.isEmpty) return 0L // empty batch: the no-op re-release
       // PIN the pre-swap rows the later stages need: old fps of the
       // changed docs (their lineage reads the about-to-swap buckets)
-      val oldRows = spark.read.parquet(docsDir(path))
+      val oldRows = IndexStore.readBuckets(spark, docsDir(path), "_b", bs)
         .filter(col("_b").isin(bs: _*))
         .join(cids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("_fp"), col("q_keep"))
         .localCheckpoint() // pre-swap pin AND lineage cut
       // ---- docs/ swap (bucket-local)
-      val survivors = spark.read.parquet(docsDir(path))
+      val survivors = IndexStore.readBuckets(spark, docsDir(path), "_b", bs)
         .filter(col("_b").isin(bs: _*))
         .join(cids, Seq("doc_id"), "left_anti")
       IndexStore.writeSwap(spark, fs,
@@ -326,13 +333,15 @@ object Pipeline {
         .select(col("_fb")).distinct().collect().map(_.getInt(0)).toSeq
       val dedupWork: Long = if (fbs.isEmpty) 0L else {
         // keepers BEFORE the swap (pin — same pre-swap discipline)
-        val oldKeepers = spark.read.parquet(fpsDir(path))
+        val oldKeepers = IndexStore.readBuckets(spark, fpsDir(path),
+            "_fb", fbs)
           .filter(col("_fb").isin(fbs: _*))
           .join(affFps, Seq("_fp"), "left_semi")
           .groupBy(col("_fp")).agg(min(col("doc_id")).as("old_k"))
           .localCheckpoint() // pre-swap pin AND lineage cut
         // ---- fps/ swap: drop the changed ids' rows, add new q-kept
-        val fpSurv = spark.read.parquet(fpsDir(path))
+        val fpSurv = IndexStore.readBuckets(spark, fpsDir(path),
+            "_fb", fbs)
           .filter(col("_fb").isin(fbs: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(col("_fp"), col("doc_id"), col("_fb"))
@@ -344,7 +353,8 @@ object Pipeline {
           fpsDir(path), "_fb", fbs,
           Seq(col("_fb"), col("_fp"), col("doc_id")))
         // ---- keeper diff → dedup-index maintenance
-        val newKeepers = spark.read.parquet(fpsDir(path))
+        val newKeepers = IndexStore.readBuckets(spark, fpsDir(path),
+            "_fb", fbs)
           .filter(col("_fb").isin(fbs: _*))
           .join(affFps, Seq("_fp"), "left_semi")
           .groupBy(col("_fp")).agg(min(col("doc_id")).as("new_k"))
@@ -378,7 +388,8 @@ object Pipeline {
             // checkpoint again at the operator boundary: everything
             // DedupIndex.upsert builds references this relation many
             // times over
-            val upsertDocs = spark.read.parquet(docsDir(path))
+            val upsertDocs = IndexStore.readBuckets(spark,
+                docsDir(path), "_b", ubs)
               .filter(col("_b").isin(ubs: _*))
               .join(upsertIds, Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("text"))
