@@ -62,6 +62,25 @@ object ProbeOne {
       Seq("release_init" -> tInit, "release_delta" -> tDelta)
     }
 
+    def phase(name: String)(f: => Unit): Unit =
+      println(f"[probe] $name ${time(f)}%.2f s")
+
+    // optional per-job trace: SPARK_GRAFT_PROBE_JOBS=1
+    if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = Option(starts.remove(j.jobId)).getOrElse(0L)
+            println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          }
+        })
+    }
+
     args.headOption.getOrElse("release") match {
       case "release" =>
         val base = releaseProbes(docs, 1, "base")
@@ -69,6 +88,113 @@ object ProbeOne {
         base.zip(big10).foreach { case ((n, b), (_, g)) =>
           println(f"[probe] $n base=$b%.1f s  10x=$g%.1f s  ratio=${g / b}%.2f")
         }
+
+      // decomposes q95's drive: staging + build + 3 upserts + serve,
+      // WITHOUT the streaming machinery (its cost = the scheduler gap)
+      case "q95" =>
+        import graft.operators.TextSearch
+        import org.apache.spark.sql.expressions.Window
+        val sample = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+        val chunked = sample.withColumn("_c",
+          ntile(4).over(Window.orderBy(col("doc_id")))).localCheckpoint()
+        def chunk(i: Int) = chunked.filter(col("_c") === i).drop("_c")
+        val idx = tmp + "/probe_q95_idx"
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(idx), true)
+        phase("q95.build(c1)") {
+          TextSearch.buildTextIndex(chunk(1), col("doc_id"), col("text"),
+            idx, seq = 1L)
+        }
+        (2 to 4).foreach { i =>
+          phase(s"q95.upsert(c$i)") {
+            TextSearch.upsertTextDocs(spark, idx, chunk(i),
+              col("doc_id"), col("text"), newSeq = i.toLong)
+          }
+        }
+        phase("q95.serve") {
+          TextSearch.searchIndexed(spark, idx,
+            Seq("hash", "join", "stream"), 20)
+            .write.format("noop").mode("overwrite").save()
+        }
+
+      // decomposes q187: createTarget + 4 syncBatch deltas
+      case "q187" =>
+        import graft.operators.Replication
+        val c = col("doc_id") % 5
+        def h(pos: Long, br: String) =
+          md5(concat(col("doc_id").cast("string"), lit(s":$pos:$br")))
+        def rv(pos: Long, br: String) = concat(lit(s"$pos-"), h(pos, br))
+        val ids = docs.select(col("doc_id"))
+        val src = ids.select(col("doc_id").as("id"),
+          when(c === 3, 1L).otherwise(2L).as("rev_pos"),
+          when(c === 1, h(2, "s")).when(c === 4, h(2, "d"))
+            .when(c === 3, h(1, "m")).otherwise(h(2, "m")).as("rev_hash"),
+          (c === 4).as("deleted"),
+          when(c === 3, array().cast("array<string>"))
+            .otherwise(array(rv(1, "m"))).as("ancestors"))
+        val tgt = ids.filter(c =!= 3).select(col("doc_id").as("id"),
+          when(c === 2, 3L).when(c === 1, 2L).otherwise(1L).as("rev_pos"),
+          when(c === 2, h(3, "m")).when(c === 1, h(2, "t"))
+            .otherwise(h(1, "m")).as("rev_hash"),
+          lit(false).as("deleted"),
+          when(c === 2, array(rv(2, "m"), rv(1, "m")))
+            .when(c === 1, array(rv(1, "m")))
+            .otherwise(array().cast("array<string>")).as("ancestors"))
+        val path = tmp + "/probe_q187_tgt"
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        phase("q187.createTarget") {
+          Replication.createTarget(spark, path, tgt, col("id"),
+            col("rev_pos"), col("rev_hash"), col("deleted"),
+            col("ancestors"), numBuckets = 16)
+        }
+        val nDocs = ids.count()
+        (0 until 4).foreach { i =>
+          phase(s"q187.syncBatch($i)") {
+            Replication.syncBatch(spark, path, src, col("id"),
+              col("rev_pos"), col("rev_hash"), col("deleted"),
+              col("ancestors"),
+              ids.filter(col("doc_id") % 4 === i).select(
+                col("doc_id").as("id")),
+              numBuckets = 16, newSeq = i + 1L)
+          }
+        }
+        phase("q187.serve") {
+          Replication.openTarget(spark, path)
+            .write.format("noop").mode("overwrite").save()
+        }
+
+      // decomposes q180: index open + every page of the descending
+      // indexed bookmark walk
+      case "q180" =>
+        import graft.operators.Mango
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val path = tmp + "/probe_q180_idx"
+        val idx =
+          if (graft.view.IndexStore.exists(spark, path))
+            Mango.openIndex(spark, path)
+          else Mango.createIndex(spark, orders, "o_orderkey",
+            Seq("o_totalprice"), path, numBuckets = 8)
+        val req = """{"selector": {"o_totalprice": {"$gte": 280000},
+          | "o_orderpriority": {"$regex": "^[1-3]-"}},
+          | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+          | "sort": [{"o_totalprice": "desc"}], "limit": 800}""".stripMargin
+        var bm: Option[String] = None
+        var done = false
+        var pageN = 0
+        while (!done) {
+          phase(s"q180.page$pageN") {
+            val (_, nb) = Mango.findPageAuto(spark, orders,
+              "o_orderkey", Seq(idx), req, bm)
+            bm = nb
+            done = nb.isEmpty
+          }
+          pageN += 1
+        }
+
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

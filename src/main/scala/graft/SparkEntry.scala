@@ -1085,7 +1085,7 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Deterministic 20% sample for the 4-micro-batch streaming-index
+  /** Deterministic 20% sample for the micro-batch streaming-index
     * DRIVES (q94/q95/q102/q104). The maintenance semantics are pinned
     * corpus-independently by the byte-identity + rebuild-equality
     * specs; the gate only needs to prove the streamed chain
@@ -1275,16 +1275,18 @@ object SparkEntry {
   /** G3 gated: INCREMENTAL VIEW MAINTENANCE — the reference's
     * change-feed-driven design-doc updater
     * ([[graft.streaming.Streams.maintainViewIndex]]) driven through a
-    * REAL 4-micro-batch file stream over the orders table: batch 1
-    * creates the bucketed index, batches 2-4 merge bucket-locally via
-    * the by-id sidecar, and the GROUPED SUM view served from the
+    * REAL 2-micro-batch file stream over the orders table: batch 1
+    * creates the bucketed index, batch 2 merges bucket-locally via
+    * the by-id sidecar (the wall-cheap build + ONE incremental batch
+    * form — see q101's note; the A14 batch gate q105 keeps repeated-
+    * merge coverage), and the GROUPED SUM view served from the
     * maintained index must equal the batch oracle (re-runs upsert the
     * same docs — idempotent by the merge's replace-by-id contract). */
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val orders = driveSample(t(s, dir, "orders"), "o_orderkey")
-    val inDir = idxPath("q94inS", dir, "orders") + "/in"
-    stageChunks(s, orders, col("o_orderkey"), inDir)
-    val idx = idxPath("q94vxS", dir, "orders") + "/idx"
+    val inDir = idxPath("q94inS2", dir, "orders") + "/in"
+    stageChunks(s, orders, col("o_orderkey"), inDir, chunks = 2)
+    val idx = idxPath("q94vxS2", dir, "orders") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q94ck").toString
     val feed = s.readStream.schema(orders.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1305,17 +1307,19 @@ object SparkEntry {
 
   /** G6 gated: STREAMING TEXT-INDEX MAINTENANCE
     * ([[graft.streaming.Streams.maintainTextIndex]]) — the documents
-    * corpus arrives as a 4-micro-batch file stream; batch 1 builds the
-    * positional inverted index, batches 2-4 upsert bucket-locally with
-    * exact stat deltas; BM25 served from the maintained index must
-    * match the corpus-scan oracle bit-for-bit (q59's oracle). */
+    * corpus arrives as a 2-micro-batch file stream; batch 1 builds the
+    * positional inverted index, batch 2 upserts bucket-locally with
+    * exact stat deltas (build + ONE incremental batch — q96 keeps the
+    * repeated-upsert coverage in batch form); BM25 served from the
+    * maintained index must match the corpus-scan oracle bit-for-bit
+    * (q59's oracle). */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextSearch
     val docs = driveSample(
       t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
-    val inDir = idxPath("q95inS", dir, "documents") + "/in"
-    stageChunks(s, docs, col("doc_id"), inDir)
-    val idx = idxPath("q95txS", dir, "documents") + "/idx"
+    val inDir = idxPath("q95inS2", dir, "documents") + "/in"
+    stageChunks(s, docs, col("doc_id"), inDir, chunks = 2)
+    val idx = idxPath("q95txS2", dir, "documents") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q95ck").toString
     val feed = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1442,18 +1446,19 @@ object SparkEntry {
 
   /** G8 gated: STREAMING SIMHASH-INDEX MAINTENANCE
     * ([[graft.streaming.Streams.maintainSimhashIndex]]) — the
-    * documents corpus as a 4-micro-batch stream; the maintained band
-    * index must serve the identical candidate-pair set to q66's
-    * banded replay. */
+    * documents corpus as a 2-micro-batch stream (build + ONE
+    * incremental upsert; q209/q210/q215 keep 4-batch coverage for the
+    * vector-index family); the maintained band index must serve the
+    * identical candidate-pair set to q66's banded replay. */
   private def q102(s: SparkSession, dir: String): DataFrame = {
     // mod=3, not 5: the 20% grain leaves zero candidate pairs at
     // sf0.01 (a vacuous gate); 1/3 keeps pairs at both gate SFs
     val docs = driveSample(
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", mod = 3)
-    val inDir = idxPath("q102inS3", dir, "documents") + "/in"
-    stageChunks(s, docs, col("doc_id"), inDir)
-    val idx = idxPath("q102sxS3", dir, "documents") + "/idx"
+    val inDir = idxPath("q102inS4", dir, "documents") + "/in"
+    stageChunks(s, docs, col("doc_id"), inDir, chunks = 2)
+    val idx = idxPath("q102sxS4", dir, "documents") + "/idx"
     val ck = java.nio.file.Files.createTempDirectory("graft-q102ck").toString
     val feed = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -2814,10 +2819,15 @@ object SparkEntry {
         graft.operators.Mango.openIndex(s, path)
       else graft.operators.Mango.createIndex(s, orders, "o_orderkey",
         Seq("o_totalprice"), path, numBuckets = 8)
+    // page size 2000: multi-page at BOTH gate SFs (2 pages at
+    // sf0.01's 2461 matches, ~13 at sf0.1) — the boundary-crossing
+    // proof needs >=2 pages, not the 800-row walk's 31 requests,
+    // and each page is a fixed-cost stateless job (guide SS1.2:
+    // don't pay for work the measurement doesn't need)
     val req = """{"selector": {"o_totalprice": {"$gte": 300000},
       | "o_orderpriority": {"$regex": "^[12]-"}},
       | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
-      | "sort": ["o_totalprice"], "limit": 800}""".stripMargin
+      | "sort": ["o_totalprice"], "limit": 2000}""".stripMargin
     var bm: Option[String] = None
     var acc: Option[DataFrame] = None
     var done = false
@@ -2845,10 +2855,11 @@ object SparkEntry {
         graft.operators.Mango.openIndex(s, path)
       else graft.operators.Mango.createIndex(s, orders, "o_orderkey",
         Seq("o_totalprice"), path, numBuckets = 8)
+    // page size 2000 (2 pages at sf0.01, ~20 at sf0.1) — see q166
     val req = """{"selector": {"o_totalprice": {"$gte": 280000},
       | "o_orderpriority": {"$regex": "^[1-3]-"}},
       | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
-      | "sort": [{"o_totalprice": "desc"}], "limit": 800}""".stripMargin
+      | "sort": [{"o_totalprice": "desc"}], "limit": 2000}""".stripMargin
     var bm: Option[String] = None
     var acc: Option[DataFrame] = None
     var done = false
@@ -2884,11 +2895,11 @@ object SparkEntry {
   }
 
   /** A24f: bookmark paging for `$text` finds ([[graft.operators.Mango
-    * .findTextPage]] via the two-family findPageAuto) — 100-row pages
+    * .findTextPage]] via the two-family findPageAuto) — 200-row pages
     * of a text match with an `n_chars` residual, each page ONE
-    * `limit(101)` job over the postings-probed candidates resumed
-    * strictly after the typed-JSON cursor (multi-page at BOTH SFs: 4
-    * pages at sf0.01, ~30 at sf0.1 — each page is one stateless client
+    * `limit(201)` job over the postings-probed candidates resumed
+    * strictly after the typed-JSON cursor (multi-page at BOTH SFs: 2
+    * pages at sf0.01, ~16 at sf0.1 — each page is one stateless client
     * request, so the walk's cost is page count × per-page job); the
     * stitched pages must equal the unpaged relation (the oracle
     * replays the conjunctive match + residual, ordered by the sort key
@@ -2903,7 +2914,7 @@ object SparkEntry {
     val req = """{"selector": {"$text": "merge filter",
       |              "n_chars": {"$gte": 150}},
       | "fields": ["doc_id", "n_chars", "source"],
-      | "sort": ["n_chars"], "limit": 100}""".stripMargin
+      | "sort": ["n_chars"], "limit": 200}""".stripMargin
     var bm: Option[String] = None
     var acc: Option[DataFrame] = None
     var done = false
@@ -3135,7 +3146,7 @@ object SparkEntry {
 
   /** G13 gated: CONTINUOUS replication ([[graft.streaming.Streams
     * .maintainReplication]]) — the q186 change log arrives as a
-    * 4-micro-batch file stream; each batch delta-syncs just its docs
+    * 2-micro-batch file stream; each batch delta-syncs just its docs
     * ([[graft.operators.Replication.syncBatch]]: touched `_b` buckets
     * only) into the persisted target pre-created from the q186 target
     * tree. The settled store must hold EXACTLY the leaf set the
@@ -3146,8 +3157,8 @@ object SparkEntry {
     val feedRows = src.select(col("id").cast("long").as("seq"), col("id"),
       concat(col("rev_pos").cast("string"), lit("-"), col("rev_hash"))
         .as("rev"), col("deleted"))
-    val inDir = idxPath("q187inS", dir, "documents") + "/in"
-    stageChunks(s, feedRows, col("seq"), inDir)
+    val inDir = idxPath("q187inS2", dir, "documents") + "/in"
+    stageChunks(s, feedRows, col("seq"), inDir, chunks = 2)
     val tgtPath = idxPath("q187tgtS", dir, "documents") + "/target"
     // upsert store, but a RE-CREATED baseline per run keeps the gate
     // deterministic whatever state a prior run left behind

@@ -765,7 +765,11 @@ object Mango {
             (decoded, StructType(StructField(idCol, idType) +:
               keySchema.fields.toSeq.filterNot(_.name == idCol)))
           } else {
-            val ids = idxRows.select(col("id").as(idCol)).distinct()
+            // no distinct: a LEFT SEMI join never multiplies its left
+            // side, so deduplicating the candidate ids first was one
+            // redundant exchange PER PAGE (guide §2.4 — an accidental
+            // shuffle on data that is already effectively unique)
+            val ids = idxRows.select(col("id").as(idCol))
             (corpus.join(ids, Seq(idCol), "left_semi"), corpus.schema)
           }
         val residual = rows.filter(compile(req.selector, schema))
@@ -1131,7 +1135,8 @@ object Mango {
         (decoded, StructType(StructField(idCol, idType) +:
           keySchema.fields.toSeq.filterNot(_.name == idCol)))
       } else {
-        val ids = idxRows.select(col("id").as(idCol)).distinct()
+        // no distinct before a LEFT SEMI join (see the pager note)
+        val ids = idxRows.select(col("id").as(idCol))
         (docs.join(ids, Seq(idCol), "left_semi"), docs.schema)
       }
     val filtered = rows.filter(compile(req.selector, schema))
@@ -1914,7 +1919,8 @@ object Mango {
           "branch needs a positive term or phrase (NOT clauses and " +
           "ranges only restrict candidates)"))
     val idType = docs.schema(idCol).dataType
-    val ids = probe.distinct().select(col("doc_id").cast(idType).as(idCol))
+    // no distinct before a LEFT SEMI join (see the pager note)
+    val ids = probe.select(col("doc_id").cast(idType).as(idCol))
     val cand = docs.join(ids, Seq(idCol), "left_semi")
       .filter(compileTq(tq, docs, index.fields, analyzer))
     val filtered = residual match {

@@ -307,17 +307,26 @@ object Pipeline {
     val cids = (changedDocs.select(id.cast("long").as("doc_id"))
         .distinct() unionByName deletedIds.toDF("doc_id"))
       .distinct().localCheckpoint()
+    // every intermediate checkpoint is registered here and released in
+    // the finally: a leaked checkpoint block survives the call and,
+    // over a long-lived session (the bench, a streaming driver),
+    // accumulated blocks crowd the unified memory region and slow
+    // every later job (guide §5 — cached data competes with execution
+    // memory; unpersist when done)
+    val pins = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pins += df; df }
     try {
       val bs = cids.withColumn("_b", IndexStore.idBucket(col("doc_id"), nB))
         .select(col("_b")).distinct().collect().map(_.getInt(0)).toSeq
       if (bs.isEmpty) return 0L // empty batch: the no-op re-release
       // PIN the pre-swap rows the later stages need: old fps of the
       // changed docs (their lineage reads the about-to-swap buckets)
-      val oldRows = IndexStore.readBuckets(spark, docsDir(path), "_b", bs)
+      val oldRows = pin(IndexStore.readBuckets(spark, docsDir(path),
+          "_b", bs)
         .filter(col("_b").isin(bs: _*))
         .join(cids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("_fp"), col("q_keep"))
-        .localCheckpoint() // pre-swap pin AND lineage cut
+        .localCheckpoint()) // pre-swap pin AND lineage cut
       // ---- docs/ swap (bucket-local)
       val survivors = IndexStore.readBuckets(spark, docsDir(path), "_b", bs)
         .filter(col("_b").isin(bs: _*))
@@ -326,19 +335,19 @@ object Pipeline {
         survivors.unionByName(newV.select(survivors.columns.map(col): _*)),
         docsDir(path), "_b", bs, Seq(col("_b"), col("doc_id")))
       // ---- affected fp groups: entered or left by a changed doc
-      val affFps = (oldRows.filter(col("q_keep")).select(col("_fp"))
+      val affFps = pin((oldRows.filter(col("q_keep")).select(col("_fp"))
           unionByName newV.filter(col("q_keep")).select(col("_fp")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint())
       val fbs = affFps.withColumn("_fb", IndexStore.idBucket(col("_fp"), nB))
         .select(col("_fb")).distinct().collect().map(_.getInt(0)).toSeq
       val dedupWork: Long = if (fbs.isEmpty) 0L else {
         // keepers BEFORE the swap (pin — same pre-swap discipline)
-        val oldKeepers = IndexStore.readBuckets(spark, fpsDir(path),
+        val oldKeepers = pin(IndexStore.readBuckets(spark, fpsDir(path),
             "_fb", fbs)
           .filter(col("_fb").isin(fbs: _*))
           .join(affFps, Seq("_fp"), "left_semi")
           .groupBy(col("_fp")).agg(min(col("doc_id")).as("old_k"))
-          .localCheckpoint() // pre-swap pin AND lineage cut
+          .localCheckpoint()) // pre-swap pin AND lineage cut
         // ---- fps/ swap: drop the changed ids' rows, add new q-kept
         val fpSurv = IndexStore.readBuckets(spark, fpsDir(path),
             "_fb", fbs)
@@ -358,8 +367,8 @@ object Pipeline {
           .filter(col("_fb").isin(fbs: _*))
           .join(affFps, Seq("_fp"), "left_semi")
           .groupBy(col("_fp")).agg(min(col("doc_id")).as("new_k"))
-        val diff = oldKeepers.join(newKeepers, Seq("_fp"), "full_outer")
-          .localCheckpoint();
+        val diff = pin(oldKeepers.join(newKeepers, Seq("_fp"),
+          "full_outer").localCheckpoint());
         {
           // keeper churn is decided at the ID level, not per fp slot:
           // a changed doc whose old fp group vanished and whose new
@@ -377,8 +386,8 @@ object Pipeline {
           // content changed in this batch (same keeper id, new bands)
           val promoted = newSet.join(oldSet, Seq("doc_id"), "left_anti")
           val touched = newSet.join(cids, Seq("doc_id"), "left_semi")
-          val upsertIds = promoted.unionByName(touched).distinct()
-            .localCheckpoint()
+          val upsertIds = pin(promoted.unionByName(touched).distinct()
+            .localCheckpoint())
           val nUp = upsertIds.count()
           if (nUp > 0 || retired.nonEmpty) {
             val ubs = upsertIds
@@ -388,12 +397,12 @@ object Pipeline {
             // checkpoint again at the operator boundary: everything
             // DedupIndex.upsert builds references this relation many
             // times over
-            val upsertDocs = IndexStore.readBuckets(spark,
+            val upsertDocs = pin(IndexStore.readBuckets(spark,
                 docsDir(path), "_b", ubs)
               .filter(col("_b").isin(ubs: _*))
               .join(upsertIds, Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("text"))
-              .localCheckpoint()
+              .localCheckpoint())
             DedupIndex.upsert(spark, dedupDir(path), upsertDocs,
               col("doc_id"), col("text"), deletedIds = retired,
               newSeq = newSeq)
@@ -405,7 +414,10 @@ object Pipeline {
         IndexStore.writeMeta(spark, path,
           IndexStore.readMeta(spark, path).copy(updateSeq = newSeq))
       dedupWork
-    } finally { newV.unpersist(); cids.unpersist() }
+    } finally {
+      newV.unpersist(); cids.unpersist()
+      pins.foreach(_.unpersist())
+    }
   }
 
   /** Serve the release from the MAINTAINED state: reconstruct the

@@ -376,24 +376,31 @@ object TextSearch {
       val ibs = cids
         .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
         .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
-      val oldSide = spark.read.parquet(path + "/ids")
+      val oldSide = IndexStore.readBuckets(spark, path + "/ids", "_ib", ibs)
         .filter(col("_ib").isin(ibs: _*))
         .join(cids, Seq("doc_id"), "left_semi").persist()
-      val oldTbs = oldSide.select(col("_tb")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val newTbs = newTf.select(col("_tb")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      // ONE aggregation per side yields both the touched term buckets
+      // and the exact integer stat deltas (dl is constant per doc, so
+      // per-doc max(dl) == the old distinct-pair count/sum) — the
+      // previous four separate jobs were pure per-micro-batch scheduler
+      // overhead (guide §1.2). Pinned BEFORE any swap: oldSide's
+      // lineage reads the pre-swap sidecar, and a cached partition
+      // lost after the ids/ swap would recompute against the
+      // already-merged sidecar and corrupt n/sum_dl silently.
+      def tbsAndDelta(df: DataFrame): (Seq[Int], Long, Long) = {
+        val r = df.groupBy(col("doc_id"))
+          .agg(max(col("dl")).as("dl"), collect_set(col("_tb")).as("_tbs"))
+          .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
+            flatten(collect_list(col("_tbs"))))
+          .head()
+        (r.getSeq[Int](2).distinct, r.getLong(0), r.getLong(1))
+      }
+      val (oldTbs, remN, remSd) = tbsAndDelta(oldSide)
+      val (newTbs, addN, addSd) = tbsAndDelta(newTf)
       val affected = (oldTbs ++ newTbs).distinct.sorted
-      // the exact integer stat deltas are pinned BEFORE any swap:
-      // oldSide's lineage reads the pre-swap sidecar, and a cached
-      // partition lost after the ids/ swap would recompute against the
-      // already-merged sidecar and corrupt n/sum_dl silently
-      val rem = oldSide.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-      val add = newTf.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       if (affected.nonEmpty) {
-        val survivors = spark.read.parquet(path + "/postings")
+        val survivors = IndexStore.readBuckets(spark, path + "/postings",
+            "_tb", affected)
           .filter(col("_tb").isin(affected: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("term"), col("tf"), col("dl"),
@@ -406,11 +413,12 @@ object TextSearch {
           Seq(col("_tb"), col("term")))
         // dfs re-derived from the rewritten buckets only
         IndexStore.writeSwap(spark, fs,
-          spark.read.parquet(path + "/postings")
+          IndexStore.readBuckets(spark, path + "/postings", "_tb", affected)
             .filter(col("_tb").isin(affected: _*))
             .groupBy(col("_tb"), col("term")).agg(count(lit(1)).as("df")),
           path + "/terms", "_tb", affected, Seq(col("_tb"), col("term")))
-        val sideSurvivors = spark.read.parquet(path + "/ids")
+        val sideSurvivors = IndexStore.readBuckets(spark, path + "/ids",
+            "_ib", ibs)
           .filter(col("_ib").isin(ibs: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("_tb"), col("dl"), col("_ib"))
@@ -424,8 +432,8 @@ object TextSearch {
       // first removed (old dl from the sidecar) then re-added (new dl);
       // rem/add were computed before the swaps above
       writeStats(spark, path,
-        st.getAs[Long]("n") - rem.getLong(0) + add.getLong(0),
-        st.getAs[Long]("sum_dl") - rem.getLong(1) + add.getLong(1), nB,
+        st.getAs[Long]("n") - remN + addN,
+        st.getAs[Long]("sum_dl") - remSd + addSd, nB,
         an)
       oldSide.unpersist()
       val seq = if (newSeq >= 0) newSeq else meta.updateSeq + 1
@@ -797,16 +805,22 @@ object TextSearch {
     val cids = (changedDocs.select(id.cast("string").as("doc_id"))
         .distinct() unionByName deletedIds.toDF("doc_id"))
       .distinct().localCheckpoint()
+    // intermediate checkpoints are released on exit — leaked blocks
+    // crowd the unified memory region over a long-lived session
+    // (guide §5); see the releaseDelta pin discipline
+    val pins = scala.collection.mutable.ListBuffer[DataFrame](newTf, cids)
+    def pin(df: DataFrame): DataFrame = { pins += df; df }
+    try {
     val parts = cids
       .select(PartitionedStore.partitionOf(col("doc_id")).as("_p"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     if (parts.isEmpty) return Nil
     // old side from the sidecar — pruned to the affected partitions,
     // pinned pre-swap (its lineage reads dirs about to rename)
-    val oldSide = spark.read.parquet(path + "/ids")
+    val oldSide = pin(spark.read.parquet(path + "/ids")
       .filter(col("_p").isin(parts: _*))
       .join(cids, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint())
     val affected = (oldSide.select(col("_p"), col("_tb"))
         unionByName newTf.select(col("_p"), col("_tb")))
       .distinct().collect()
@@ -825,10 +839,10 @@ object TextSearch {
         .join(cids, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("term"), col("tf"), col("dl"),
           col("pos"), col("_p"), col("_tb"))
-      val merged = survivors.unionByName(newTf
+      val merged = pin(survivors.unionByName(newTf
           .select(col("doc_id"), col("term"), col("tf"), col("dl"),
             col("pos"), col("_p"), col("_tb")))
-        .localCheckpoint() // pin: terms re-agg below reads post-swap
+        .localCheckpoint()) // pin: terms re-agg below reads post-swap
       swapPairDirs(spark, fs, merged, path + "/postings", affected,
         Seq(col("_p"), col("_tb"), col("term")))
       swapPairDirs(spark, fs,
@@ -877,6 +891,7 @@ object TextSearch {
           col("n_buckets"), col("fmt"), col("an_lc"), col("an_stem"),
           col("an_stop"), col("_p"))
         .localCheckpoint() // pinned before the ids/stats swaps
+      pin(newStats)
       swapPartDirs(spark, fs, idsSurv.unionByName(idsNew),
         path + "/ids", parts, Seq(col("_p"), col("doc_id")))
       val statsParts = (parts ++ newStats.select(col("_p"))
@@ -888,6 +903,7 @@ object TextSearch {
       IndexStore.writeMeta(spark, path,
         IndexStore.readMeta(spark, path).copy(updateSeq = newSeq))
     parts
+    } finally pins.foreach(_.unpersist())
   }
 
   /** Partition-scoped top-k BM25 from a [[buildPartitionedTextIndex]]
@@ -1860,29 +1876,36 @@ object TextSearch {
       val ibs = cids
         .withColumn("_ib", IndexStore.idBucket(col("doc_id"), nB))
         .select(col("_ib")).distinct().collect().map(_.getInt(0)).toSeq
-      val oldSide = spark.read.parquet(path + "/ids")
+      val oldSide = IndexStore.readBuckets(spark, path + "/ids", "_ib", ibs)
         .filter(col("_ib").isin(ibs: _*))
         .join(cids, Seq("doc_id"), "left_semi").persist()
-      val oldTbs = oldSide.select(col("_tb")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val newTbs = newTf.select(col("_tb")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val affected = (oldTbs ++ newTbs).distinct.sorted
-      // per-FIELD exact integer stat deltas, pinned before any swap
-      // (the same lost-cache hazard as upsertTextDocs)
-      def fieldDeltas(df: DataFrame): Map[String, (Long, Long)] =
-        df.select(col("doc_id"), col("field"), col("dl")).distinct()
+      // ONE aggregation per side yields the touched term buckets AND
+      // the per-FIELD exact integer stat deltas (dl is constant per
+      // (doc, field), so per-pair max(dl) == the old distinct-row
+      // count/sum) — four separate jobs per micro-batch fused to two
+      // (guide §1.2). Pinned before any swap (the same lost-cache
+      // hazard as upsertTextDocs).
+      def tbsAndFieldDeltas(df: DataFrame)
+          : (Seq[Int], Map[String, (Long, Long)]) = {
+        val rows = df.groupBy(col("doc_id"), col("field"))
+          .agg(max(col("dl")).as("dl"), collect_set(col("_tb")).as("_tbs"))
           .groupBy(col("field"))
           .agg(fcount(lit(1)).as("_n"),
-            coalesce(sum(col("dl")), lit(0L)).as("_sd"))
+            coalesce(sum(col("dl")), lit(0L)).as("_sd"),
+            flatten(collect_list(col("_tbs"))).as("_alltbs"))
           .collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val rem = fieldDeltas(oldSide)
-      val add = fieldDeltas(newTf)
+        (rows.flatMap(_.getSeq[Int](3)).distinct.toSeq,
+          rows.map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2))).toMap)
+      }
+      val (oldTbs, rem) = tbsAndFieldDeltas(oldSide)
+      val (newTbs, add) = tbsAndFieldDeltas(newTf)
+      val affected = (oldTbs ++ newTbs).distinct.sorted
       if (affected.nonEmpty) {
         val cols = Seq("doc_id", "field", "term", "tf", "dl", "pos", "_tb")
           .map(col)
-        val survivors = spark.read.parquet(path + "/postings")
+        val survivors = IndexStore.readBuckets(spark, path + "/postings",
+            "_tb", affected)
           .filter(col("_tb").isin(affected: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(cols: _*)
@@ -1891,13 +1914,14 @@ object TextSearch {
           path + "/postings", "_tb", affected,
           Seq(col("_tb"), col("term"), col("field")))
         IndexStore.writeSwap(spark, fs,
-          spark.read.parquet(path + "/postings")
+          IndexStore.readBuckets(spark, path + "/postings", "_tb", affected)
             .filter(col("_tb").isin(affected: _*))
             .groupBy(col("_tb"), col("field"), col("term"))
             .agg(fcount(lit(1)).as("df")),
           path + "/terms", "_tb", affected,
           Seq(col("_tb"), col("term"), col("field")))
-        val sideSurvivors = spark.read.parquet(path + "/ids")
+        val sideSurvivors = IndexStore.readBuckets(spark, path + "/ids",
+            "_ib", ibs)
           .filter(col("_ib").isin(ibs: _*))
           .join(cids, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("field"), col("_tb"), col("dl"),
