@@ -195,6 +195,83 @@ object ProbeOne {
           pageN += 1
         }
 
+      // decomposes q101: staging + LSH build + upsert + serve
+      case "q101" =>
+        import graft.operators.Similarity
+        import org.apache.spark.sql.expressions.Window
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val chunked = emb.withColumn("_c",
+          ntile(2).over(Window.orderBy(col("vec_id")))).localCheckpoint()
+        def chunk(i: Int) = chunked.filter(col("_c") === i).drop("_c")
+        val idx = tmp + "/probe_q101_idx"
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(idx), true)
+        phase("q101.build(c1)") {
+          Similarity.buildLshIndex(chunk(1), idx, seq = 1L)
+        }
+        phase("q101.upsert(c2)") {
+          Similarity.upsertLshVectors(spark, idx, chunk(2), newSeq = 2L)
+        }
+        phase("q101.serve") {
+          Similarity.lshTopKIndexed(spark, idx,
+            emb.filter(col("vec_id") < 10), 5)
+            .write.format("noop").mode("overwrite").save()
+        }
+
+      // dump explain("formatted") for the given gates into
+      // SPARK_GRAFT_PLANS_DIR with the SPARK_GRAFT_PLANS_TAG suffix —
+      // the judge-readable plan evidence (plans/r16/<q>_<tag>.txt)
+      case "plans" =>
+        val keys = args(1).split(",").toSet
+        val outDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
+          "plans/r16")
+        val tag = sys.env.getOrElse("SPARK_GRAFT_PLANS_TAG", "after")
+        new java.io.File(outDir).mkdirs()
+        SparkEntry.queries.filter { case (k, _) => keys(k) }
+          .foreach { case (k, fn) =>
+            val txt =
+              try fn(spark, sfDir).queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode
+                  .fromString("formatted"))
+              catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
+            val w = new java.io.PrintWriter(s"$outDir/${k}_$tag.txt",
+              "UTF-8")
+            try w.println(txt) finally w.close()
+            println(s"[probe] plans: $k -> $outDir/${k}_$tag.txt")
+          }
+
+      // dump the SINGLE-PAGE fetch plan of the q180-shaped indexed
+      // bookmark walk (the per-request plan the gate-level dump hides
+      // behind the stitched union of local page rows)
+      case "pageplan" =>
+        import graft.operators.Mango
+        val outDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
+          "plans/r16")
+        val tag = sys.env.getOrElse("SPARK_GRAFT_PLANS_TAG", "after")
+        new java.io.File(outDir).mkdirs()
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val path = tmp + "/probe_q180_pageplan_idx"
+        val idx =
+          if (graft.view.IndexStore.exists(spark, path))
+            Mango.openIndex(spark, path)
+          else Mango.createIndex(spark, orders, "o_orderkey",
+            Seq("o_totalprice"), path, numBuckets = 8)
+        val req = """{"selector": {"o_totalprice": {"$gte": 280000},
+          | "o_orderpriority": {"$regex": "^[1-3]-"}},
+          | "fields": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+          | "sort": [{"o_totalprice": "desc"}], "limit": 800}""".stripMargin
+        val Some((fetch, _, _, pageSize)) =
+          Mango.pagePlanIndexed(spark, orders, "o_orderkey", idx, req,
+            bookmark = None)
+        val txt = fetch.limit(pageSize + 1).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        val w = new java.io.PrintWriter(
+          s"$outDir/q180_page_fetch_$tag.txt", "UTF-8")
+        try w.println(txt) finally w.close()
+        println(s"[probe] pageplan -> $outDir/q180_page_fetch_$tag.txt")
+
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

@@ -1314,7 +1314,12 @@ object Replication {
       if (!fs.exists(p)) Seq.empty[String]
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
         .map(_.getPath)
-        .filter(d => fs.exists(new Path(d, "_graft_meta")))
+        // a half-destroyed store parked at `<name>.__deleting` (the
+        // destroyTarget crash window) still holds a _graft_meta — it
+        // must not list as a database under the mangled name: after
+        // the destroy rename, no namespace probe may see the db
+        .filter(d => !d.getName.endsWith(".__deleting") &&
+          fs.exists(new Path(d, "_graft_meta")))
         .map(_.getName).sorted
     names.toDF("db_name")
   }
@@ -1439,6 +1444,11 @@ object Replication {
     val seq: Long =
       if (targetExists(spark, path)) {
         val s = IndexStore.readMeta(spark, path).updateSeq + 1
+        // a stale half dir (crash between rename and breadcrumb, then
+        // re-create) would wedge the rename below — its seq is
+        // superseded by the live meta just read, so drop it first
+        if (fs.exists(half) && !fs.delete(half, true))
+          throw new IOException(s"destroy: could not drop stale $half")
         if (!fs.rename(p, half))
           throw new IOException(s"destroy rename failed: $p -> $half")
         s

@@ -877,9 +877,28 @@ class ReplicationSpec extends SparkSpecBase {
     val fs = graft.view.IndexStore.fsFor(spark, pb)
     assert(fs.rename(new org.apache.hadoop.fs.Path(pb),
       new org.apache.hadoop.fs.Path(pb + ".__deleting")))
+    // MID-crash-window: the half-destroyed dir still holds a
+    // _graft_meta, but it must never list as a db under the mangled
+    // name — the destroy rename's whole point is that every namespace
+    // probe goes blind at that instant
+    assert(Replication.allDbs(spark, dir).isEmpty,
+      "_all_dbs must not list a half-destroyed `.__deleting` store")
     assert(Replication.destroyTarget(spark, pb) == 12L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(pb + ".__deleting")),
       "retry must clear the half-deleted dir")
+    // crash between rename and breadcrumb, then RE-CREATE, then a
+    // destroy of the live store: the stale half dir (its seq
+    // superseded by the live meta) must not wedge the rename
+    val pc = s"$dir/dbc"
+    Replication.createTarget(spark, pc, a, cols._1, cols._2, cols._3,
+      cols._4, cols._5, numBuckets = 2, seq = 20L)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(pc),
+      new org.apache.hadoop.fs.Path(pc + ".__deleting")))
+    Replication.createTarget(spark, pc, a, cols._1, cols._2, cols._3,
+      cols._4, cols._5, numBuckets = 2, seq = 30L)
+    assert(Replication.destroyTarget(spark, pc) == 31L,
+      "destroy after recreate-over-stale-half must use the live seq")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pc + ".__deleting")))
     assert(Replication.dbUpdates(spark, Seq("dbb" -> pb), since = 0L)
       .collect().map(r => r.getString(1)).toSeq == Seq("deleted"))
     // recreate consumes the breadcrumb: the full CouchDB event cycle
