@@ -59,15 +59,54 @@ object Bench {
     // one-time build cost is reported on its own lines. The serve-side
     // queries below detect the freshly built artifacts (paths are keyed
     // by dataset identity) and skip their lazy build.
-    val builds = (only match {
+    val buildFns = only match {
       case Some(_) => Map.empty[String, (SparkSession, String) => Unit]
       case None => SparkEntry.indexBuilds
-    }).map { case (name, fn) =>
+    }
+    // The builds are independent one-time jobs against tiny-per-job
+    // data whose cost is dominated by driver latency (planning, FS
+    // listing, commit), so run them OVERLAPPED from a small thread
+    // pool (guide §2.6: concurrent jobs back-fill each other's
+    // stragglers and driver gaps). The two cross-build artifact
+    // dependencies ([[SparkEntry.buildPrereqs]]) are honored via
+    // CompletableFuture chaining — a dependent build starts only
+    // after its prerequisite finished (waiting happens in the CF
+    // graph, never on a pool thread, so the pool cannot deadlock).
+    // Per-build seconds are still each build's own wall clock; under
+    // overlap they include contention, so the per-build figures are
+    // upper bounds while the PHASE wall (stderr) is what a deployment
+    // pays. SPARK_GRAFT_BUILD_THREADS=1 restores the serial phase.
+    val buildThreads = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BUILD_THREADS", "4").toInt)
+    def runBuild(name: String,
+                 fn: (SparkSession, String) => Unit): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    val builds: Map[String, Double] =
+      if (buildThreads <= 1 || buildFns.size <= 1)
+        buildFns.map { case (n, fn) => n -> runBuild(n, fn) }.toMap
+      else {
+        import java.util.concurrent.{CompletableFuture, Executors}
+        val pool = Executors.newFixedThreadPool(buildThreads)
+        try {
+          val cfs = scala.collection.mutable
+            .Map[String, CompletableFuture[java.lang.Double]]()
+          def cfFor(name: String): CompletableFuture[java.lang.Double] =
+            cfs.getOrElseUpdate(name, {
+              val deps = SparkEntry.buildPrereqs.getOrElse(name, Nil)
+                .filter(buildFns.contains).map(cfFor)
+              CompletableFuture.allOf(deps: _*).thenApplyAsync(
+                _ => java.lang.Double.valueOf(
+                  runBuild(name, buildFns(name))),
+                pool)
+            })
+          buildFns.keys.foreach(cfFor)
+          buildFns.keys.map(n => n -> cfs(n).join().doubleValue()).toMap
+        } finally pool.shutdown()
+      }
     phase("builds")
     // Sandbox hosts show large external load swings (same query 1 s ↔
     // 15 s run-to-run with an idle container); time each query across

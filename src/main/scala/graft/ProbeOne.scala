@@ -204,19 +204,23 @@ object ProbeOne {
           ntile(2).over(Window.orderBy(col("vec_id")))).localCheckpoint()
         def chunk(i: Int) = chunked.filter(col("_c") === i).drop("_c")
         val idx = tmp + "/probe_q101_idx"
-        org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(idx), true)
-        phase("q101.build(c1)") {
-          Similarity.buildLshIndex(chunk(1), idx, seq = 1L)
-        }
-        phase("q101.upsert(c2)") {
-          Similarity.upsertLshVectors(spark, idx, chunk(2), newSeq = 2L)
-        }
-        phase("q101.serve") {
-          Similarity.lshTopKIndexed(spark, idx,
-            emb.filter(col("vec_id") < 10), 5)
-            .write.format("noop").mode("overwrite").save()
+        // two passes: pass 1 pays JVM/codegen warm-up, pass 2 is the
+        // steady-state cost of the layout itself
+        (1 to 2).foreach { p =>
+          org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(idx), true)
+          phase(s"q101.build(c1)#$p") {
+            Similarity.buildLshIndex(chunk(1), idx, seq = 1L)
+          }
+          phase(s"q101.upsert(c2)#$p") {
+            Similarity.upsertLshVectors(spark, idx, chunk(2), newSeq = 2L)
+          }
+          phase(s"q101.serve#$p") {
+            Similarity.lshTopKIndexed(spark, idx,
+              emb.filter(col("vec_id") < 10), 5)
+              .write.format("noop").mode("overwrite").save()
+          }
         }
 
       // dump explain("formatted") for the given gates into

@@ -6149,6 +6149,19 @@ object SparkEntry {
     * from the serve-side queries, so the headline reflects amortized
     * serving and the build cost is reported on its own line — a real
     * deployment builds once and serves many. */
+  /** Cross-build artifact dependencies for [[Bench]]'s overlapped
+    * build phase: a key may start only after its listed builds
+    * finished. Exactly the two shared lazily-built artifacts —
+    * q70 re-serves q60's `txt` text index (its build rebuilds the
+    * SAME path when absent — a write-write race under overlap), and
+    * q247's scheduler sweep replays the q186 changes feed that
+    * q240's staging builds behind its `_graft_built` marker. Serial
+    * runs are order-insensitive either way (each dependent build
+    * constructs the artifact itself when missing). */
+  val buildPrereqs: Map[String, Seq[String]] = Map(
+    "q70_tfidf_ivf" -> Seq("q60_text_search"),
+    "q247_scheduler_jobs" -> Seq("q240_replicator_docs"))
+
   def indexBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     // staged endpoint gates ([[stagedGate]]): the one-time scenario
     // (store create → writes → purge → catch-up / scheduler sweep)

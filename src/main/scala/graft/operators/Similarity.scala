@@ -748,12 +748,27 @@ object Similarity {
 
 
 
+  /** Directory-group count of the persisted LSH layout: the 2^planes
+    * signatures are stored as a SORTED `_sig` column inside
+    * `SigGroups` partition directories (`_kb = _sig mod SigGroups`)
+    * instead of one directory per signature. A constant granularity
+    * factor, not a host tune: it bounds the per-build/per-upsert
+    * directory count (the write-commit + swap-rename cost is per
+    * DIRECTORY, and 2^planes dirs of near-empty files made every
+    * maintenance batch pay 256 renames) while serve-side pruning
+    * keeps both levels — directory pruning on `_kb`, then the pushed
+    * `_sig IN (...)` probe filter prunes row groups within a file
+    * because files are sorted by `_sig`. */
+  private[operators] val SigGroups = 32
+
   /** Signature rows of a corpus batch in the persisted-index shape:
-    * `(_id, n_vec, n_nrm, _kb)` where `_kb` is the signature bucket. */
+    * `(_id, n_vec, _sig, _kb, n_nrm)` where `_sig` is the signature
+    * and `_kb` its directory group. */
   private def lshRows(corpus: DataFrame, planes: Int): DataFrame =
     corpus.select(col("vec_id").as("_id"),
       asDouble(col("embedding")).as("n_vec"),
-      lshSignature(col("embedding"), planes).cast("int").as("_kb"))
+      lshSignature(col("embedding"), planes).cast("int").as("_sig"))
+      .withColumn("_kb", pmod(col("_sig"), lit(SigGroups)).cast("int"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
 
   /** Write the vector by-id sidecar + metadata beside a freshly built
@@ -788,6 +803,7 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     lshRows(corpus, planes)
       .repartition(col("_kb"))
+      .sortWithinPartitions(col("_kb"), col("_sig"), col("_id"))
       .write.mode("overwrite").partitionBy("_kb").parquet(path + "/data")
     writeAnnSidecar(spark, path, idBuckets, seq)
   }
@@ -810,7 +826,7 @@ object Similarity {
     IndexStore.merge(spark, path, meta,
       lshRows(IndexStore.minusDeleted(spark, changed, "vec_id",
         deletedIds), planes),
-      cids, seq, dataSortCols = Seq(col("_kb"), col("_id")))
+      cids, seq, dataSortCols = Seq(col("_kb"), col("_sig"), col("_id")))
   }
 
   /** ANN against a persisted [[buildLshIndex]] index. The probe bucket
@@ -822,12 +838,17 @@ object Similarity {
   def lshTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                      k: Int, planes: Int = 8): DataFrame = {
     val q = probeRows(queries, planes)
-    val buckets = q.select(col("bucket").cast("int")).distinct()
+    val sigs = q.select(col("bucket").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = IndexStore.readBuckets(spark, path + "/data", "_kb", buckets)
-      .filter(col("_kb").isin(buckets: _*))
+    // two-level prune: signature-group directories first, then the
+    // pushed `_sig IN` filter prunes row groups inside each file
+    // (files are `_sig`-sorted by build and upsert)
+    val groups = sigs.map(sg => math.floorMod(sg, SigGroups)).distinct
+    val c = IndexStore.readBuckets(spark, path + "/data", "_kb", groups)
+      .filter(col("_kb").isin(groups: _*))
+      .filter(col("_sig").isin(sigs: _*))
       .select(col("_id").as("n_id"), col("n_vec"), col("n_nrm"),
-        col("_kb").as("bucket"))
+        col("_sig").as("bucket"))
     rankWithinBuckets(c, q, k)
   }
 
