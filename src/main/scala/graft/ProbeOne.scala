@@ -13,12 +13,18 @@ object ProbeOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // mirror Bench's committer-v2 posture so probes measure what the
+    // bench pays; SPARK_GRAFT_COMMITTER_V1=1 flips back for A/B runs
+    val b = if (sys.env.contains("SPARK_GRAFT_COMMITTER_V1")) b0
+    else b0.config(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+      "2")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tmp = System.getProperty("java.io.tmpdir")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

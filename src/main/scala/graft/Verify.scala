@@ -21,6 +21,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // committer v2, mirroring Bench: the per-gate result dumps and
+      // in-gate staging writes skip the sequential driver-side
+      // job-commit rename loop (results unchanged — see Bench)
+      .config(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
