@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract: sbt's default LoggedOutput
+// strategy prefixes every forked-process stdout line with "[info] ",
+// which has broken the driver's JSON parse in every round
+// (BENCH_r*.json: "parsed": null). StdoutOutput passes the forked
+// process's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

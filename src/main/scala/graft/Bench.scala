@@ -194,19 +194,44 @@ object Bench {
       .mkString("{", ",", "}")
     val bs = builds.map { case (k, v) => s"\"build_" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // ADDITIVE fields (the contract's queries/builds keys unchanged):
+    // every raw sample per gate in chronological order, so the min-of-N
+    // sampling policy is reconstructable from the published JSON, and
+    // the per-gate workload-version tags so trend tools can mask the
+    // discontinuity when a gate's WORKLOAD (batch count, page size)
+    // changed in some round rather than its operator.
+    val ss = queries.keys.map { name =>
+      s"\"" + name + "\":" +
+        samples(name).reverse.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val ws = SparkEntry.workloadVersions
+      .filter { case (k, _) => queries.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // The headline total sums PASSING queries only: a -1.0 failure
     // sentinel is a flag, not a duration, and summing it would subtract
     // a second per failure from the published figure.
     val total = results.values.filter(_ >= 0).sum
+    val nFailed = results.values.count(_ < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"index_builds_wall":$buildsWall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_builds":$bs,"index_builds_wall":$buildsWall,"samples":$ss,"workload_versions":$ws,"sf":"$sfDir"}"""
+    // The full contract line (with build.sbt's StdoutOutput it reaches
+    // stdout verbatim — no "[info] " prefix, the parse-breaker of all
+    // 16 prior rounds)...
     println(line)
-    // sbt prefixes stdout with "[info] ", which has broken the driver's
-    // JSON parse every round (BENCH_r*.json: "parsed": null) — also
-    // drop the bare line next to the sources so the exact numbers are
-    // readable without scraping the log tail
-    // subset runs are ad-hoc probes — never clobber the committed
-    // full-suite capture
+    // ...plus a COMPACT summary (≤500 chars) as the LAST stdout line:
+    // the full line is ~15 KB and a tail-bounded reader (the driver
+    // stores a 2000-char tail) can never see its head, so the summary
+    // repeats the headline in a line any reader can hold whole. The
+    // per-query map stays in the full line above and in
+    // BENCH_LOCAL.json; the summary is an ADDITION, nothing removed.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds_wall":$buildsWall,"sf":"$sfDir"}"""
+    println(summary)
+    System.err.println(summary)
+    // drop the bare full line next to the sources so the exact numbers
+    // are readable without scraping the log tail; subset runs are
+    // ad-hoc probes — never clobber the committed full-suite capture
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
       try w.println(line) finally w.close()

@@ -282,6 +282,126 @@ object ProbeOne {
         try w.println(txt) finally w.close()
         println(s"[probe] pageplan -> $outDir/q180_page_fetch_$tag.txt")
 
+      // A/B the PQ serving tiers on the q118 shape: literal-codebook
+      // expressions (36 KB plan, per-query Catalyst+codegen tax) vs
+      // the broadcast tier (tiny plan, same results — bit-identity is
+      // spec-pinned in PqSpec). Decides whether q118's cost is
+      // planning or execution.
+      case "q118ab" =>
+        import graft.operators.Pq
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        def serve(): Unit =
+          Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+            m = 8, ks = 16, refine = 50)
+            .orderBy(col("q_id"), col("rank"))
+            .write.format("noop").mode("overwrite").save()
+        (1 to 3).foreach(i => phase(s"q118.literal#$i")(serve()))
+        val saved = Pq.literalCodebookMax
+        try {
+          Pq.literalCodebookMax = 1
+          (1 to 3).foreach(i => phase(s"q118.broadcast#$i")(serve()))
+        } finally Pq.literalCodebookMax = saved
+
+      // per-ROW cost of the two PQ tiers at 100x the gate corpus:
+      // decides whether the broadcast tier's win is local-only (plan
+      // tax) or holds when execution dominates (the 100 TB question)
+      case "q118rows" =>
+        import graft.operators.Pq
+        val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val big = (0 until 100).map(c => emb1.select(
+            (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _).localCheckpoint()
+        println(s"[probe] rows=${big.count()}")
+        val cbs = Pq.initCodebooks(emb1, m = 8, ks = 16)
+        def enc(): Unit = Pq.encode(big, cbs)
+          .write.format("noop").mode("overwrite").save()
+        val codes = Pq.encode(big, cbs).localCheckpoint()
+        def adc(): Unit = Pq.adcTopK(codes, big,
+            big.filter(col("vec_id") < 10), cbs, k = 5, refine = 50)
+          .write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach(i => phase(s"encode.literal#$i")(enc()))
+        (1 to 2).foreach(i => phase(s"adc.literal#$i")(adc()))
+        val saved = Pq.literalCodebookMax
+        try {
+          Pq.literalCodebookMax = 1
+          (1 to 2).foreach(i => phase(s"encode.broadcast#$i")(enc()))
+          (1 to 2).foreach(i => phase(s"adc.broadcast#$i")(adc()))
+        } finally Pq.literalCodebookMax = saved
+
+      // per-ROW cost of the IVF centroid-assignment tiers at 100x —
+      // the Similarity analogue of q118rows (16 centroids × 64 dims
+      // literal top-1 sort vs the compiled broadcast argmax)
+      case "ivfrows" =>
+        import graft.operators.Similarity
+        val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val big = (0 until 100).map(c => emb1.select(
+            (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _).localCheckpoint()
+        println(s"[probe] rows=${big.count()}")
+        def assign(): Unit = Similarity.clusterAssignProbe(big)
+          .write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach(i => phase(s"ivfassign.literal#$i")(assign()))
+        val saved = Similarity.literalCentroidMax
+        try {
+          Similarity.literalCentroidMax = 0
+          (1 to 2).foreach(i => phase(s"ivfassign.broadcast#$i")(assign()))
+        } finally Similarity.literalCentroidMax = saved
+
+      // re-run the one-time index-build phase exactly as Bench does
+      // (same pool, same prereq chaining) and print per-build walls +
+      // the phase wall — the r16 driver tails showed the 32-core build
+      // phase 10x slower per build than the 8-core leg; this isolates
+      // that measurement from the 25-minute full sweep. Optional
+      // second arg = comma-separated build keys.
+      case "builds" =>
+        val keys = args.drop(1).headOption.map(_.split(",").toSet)
+        val fns = keys match {
+          case Some(ks) => SparkEntry.indexBuilds.filter {
+            case (k, _) => ks(k) }
+          case None => SparkEntry.indexBuilds
+        }
+        val buildThreads = math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_BUILD_THREADS", "4").toInt)
+        def runBuild(name: String,
+                     fn: (SparkSession, String) => Unit): Double = {
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir); true }
+                   catch { case e: Throwable =>
+                     println(s"[build-FAIL] $name: ${e.getMessage}")
+                     false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        val t0 = System.nanoTime()
+        val builds: Map[String, Double] =
+          if (buildThreads <= 1 || fns.size <= 1)
+            fns.map { case (n, fn) => n -> runBuild(n, fn) }.toMap
+          else {
+            import java.util.concurrent.{CompletableFuture, Executors}
+            val pool = Executors.newFixedThreadPool(buildThreads)
+            try {
+              val cfs = scala.collection.mutable
+                .Map[String, CompletableFuture[java.lang.Double]]()
+              def cfFor(name: String): CompletableFuture[java.lang.Double] =
+                cfs.getOrElseUpdate(name, {
+                  val deps = SparkEntry.buildPrereqs.getOrElse(name, Nil)
+                    .filter(fns.contains).map(cfFor)
+                  CompletableFuture.allOf(deps: _*).thenApplyAsync(
+                    _ => java.lang.Double.valueOf(
+                      runBuild(name, fns(name))),
+                    pool)
+                })
+              fns.keys.foreach(cfFor)
+              fns.keys.map(n => n -> cfs(n).join().doubleValue()).toMap
+            } finally pool.shutdown()
+          }
+        builds.toSeq.sortBy(-_._2).foreach { case (n, t) =>
+          println(f"[build] $n $t%8.2f s")
+        }
+        println(f"[build] WALL ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(cpus=$cpus threads=$buildThreads)")
+
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

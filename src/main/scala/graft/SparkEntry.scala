@@ -2367,7 +2367,7 @@ object SparkEntry {
 
   private def q129Build(s: SparkSession, dir: String): Unit = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     val (initial, tail) = q129Log(s, dir)
     ChangesFeed.write(initial, path, width = 128)
     ChangesFeed.append(tail, path)
@@ -2382,7 +2382,7 @@ object SparkEntry {
     * dedup. */
   private def q129(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.since(s, path, 3 * md / 2)
@@ -2396,7 +2396,7 @@ object SparkEntry {
     * ORDER BY seq DESC LIMIT 200. */
   private def q190(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.since(s, path, 3 * md / 2, Some(200), descending = true)
@@ -2410,7 +2410,7 @@ object SparkEntry {
     * struct fields to exercise nested pruning. */
   private def q191(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.sinceWithDocs(s, path, 3 * md / 2, t(s, dir, "documents"),
@@ -2428,7 +2428,7 @@ object SparkEntry {
     * purged store re-purges to the same state. */
   private def q154(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q154chg", dir, "documents")
+    val path = idxPath("q154cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) {
       val (initial, tail) = q129Log(s, dir)
       ChangesFeed.write(initial, path, width = 128)
@@ -2451,7 +2451,7 @@ object SparkEntry {
     * selector. */
   private def q156(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.sinceFiltered(s, path, 3 * md / 2,
@@ -2468,7 +2468,7 @@ object SparkEntry {
     * semi-joined to the emit condition's relational form. */
   private def q168(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val docs = t(s, dir, "documents")
     val md = docs.agg(max(col("doc_id"))).head().getLong(0)
@@ -3049,7 +3049,7 @@ object SparkEntry {
 
   private def q176Build(s: SparkSession, dir: String): Unit = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q176chg", dir, "documents")
+    val path = idxPath("q176cg2", dir, "documents")
     val (initial, tail) = q129Log(s, dir)
     ChangesFeed.write(initial, path, width = 128)
     val push1 = ChangesFeed.resumeDelta(s, path, "gate-replication",
@@ -3061,7 +3061,7 @@ object SparkEntry {
 
   private def q176(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q176chg", dir, "documents")
+    val path = idxPath("q176cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q176Build(s, dir)
     ChangesFeed.resumeDelta(s, path, "gate-replication",
       q176Target(s, dir))
@@ -3117,7 +3117,7 @@ object SparkEntry {
     * doc), built once per SF dir and shared by the replication gates
     * (q186, q192, q193). */
   private def q186Feed(s: SparkSession, dir: String): String = {
-    val path = idxPath("q186chg", dir, "documents")
+    val path = idxPath("q186cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) {
       val src = q186Source(s, dir)
       graft.sources.ChangesFeed.write(
@@ -3221,7 +3221,7 @@ object SparkEntry {
   private def q193(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Replication
     val feedA = q186Feed(s, dir)
-    val feedB = idxPath("q193chgB", dir, "documents")
+    val feedB = idxPath("q193cg2B", dir, "documents")
     if (!hasFile(s, s"$feedB/_graft_built")) {
       val tgt = q186Target(s, dir)
       graft.sources.ChangesFeed.write(
@@ -3297,7 +3297,7 @@ object SparkEntry {
     * checkpoint cut, and dedup with the id restriction. */
   private def q196(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.sinceDocIds(s, path, 3 * md / 2,
@@ -3311,7 +3311,7 @@ object SparkEntry {
     * updates AND deploy removals. */
   private def q272Build(s: SparkSession, dir: String): Unit = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q272chg", dir, "documents")
+    val path = idxPath("q272cg2", dir, "documents")
     if (hasFile(s, s"$path/_graft_built")) return
     val d = t(s, dir, "documents").select(col("doc_id"))
     val md = d.agg(max(col("doc_id"))).head().getLong(0)
@@ -3342,7 +3342,7 @@ object SparkEntry {
   private def q272(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
     q272Build(s, dir)
-    val path = idxPath("q272chg", dir, "documents")
+    val path = idxPath("q272cg2", dir, "documents")
     val md = t(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
     ChangesFeed.sinceDesignDocs(s, path, md)
   }
@@ -4673,26 +4673,58 @@ object SparkEntry {
         "tail" -> TextSearch.Analyzer(stopwords = Seq("stream"))))
   }
 
-  /** Shared scaffold of the purge-propagation gates (q242–q244): a
-    * fresh q146-shaped store (rebuilt per run — purge mutates it) and
-    * a lazy post/pre-purge live-winner id relation derived FROM the
-    * store, so the same expression serves the pre-purge index build
-    * and the post-purge catch-up input. */
-  private def purgeGateStore(tag: String, s: SparkSession, dir: String)
-      : (String, DataFrame, () => DataFrame) = {
-    import graft.operators.{Replication, Revisions}
-    val (leaves, requests) = q146Inputs(s, dir)
-    val st = idxPath(tag, dir, "documents")
-    Replication.createTarget(s, st, leaves, col("doc_id"),
-      col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
-      numBuckets = 16, seq = 11L)
-    val liveWinners = () =>
-      Revisions.summary(Replication.openTarget(s, st), col("id"),
-          col("rev_pos"), col("rev_hash"), col("deleted"))
-        .filter(!col("win_deleted"))
-        .select(col("id").as("doc_id"), col("win_rev"))
-    (st, requests, liveWinners)
-  }
+  /** ONE shared staged scenario for the purge-propagation gates
+    * (q242/q243/q244). Their three stores were IDENTICAL — the same
+    * q146-shaped `createTarget(leaves, 16 buckets, seq 11)` hit by the
+    * same purge request set — so each gate rebuilt ~7 s of store
+    * create + purge that the others had already paid (~2/3 of the
+    * family's one-time staging CPU, the r16 §9f note / r16 VERDICT
+    * item 4). Now the store is created ONCE, all three secondary
+    * indexes (view / mango / text) build over its pre-purge live
+    * winners, ONE `_purge` mutates it, and each index catches up
+    * bucket-locally — exactly the scenario each gate proved before,
+    * over a store whose content is byte-for-byte what each private
+    * store held (deterministic inputs, same bucketing, same seq).
+    * Staged behind a single marker; [[buildPrereqs]] chains the three
+    * build entries so the overlapped build phase cannot race the
+    * marker. Serve paths are unchanged in shape — only the artifact
+    * kinds moved (q242st/q243st/q244st → q24xst etc., fresh keys so
+    * no stale per-gate artifact can be mistaken for the shared one). */
+  private def q24xStage(s: SparkSession, dir: String): Unit =
+    stagedGate(s, idxPath("q24xgate", dir, "documents"), () => {
+      import graft.operators.{Mango, Replication, TextSearch}
+      val (leaves, requests) = q146Inputs(s, dir)
+      val st = idxPath("q24xst", dir, "documents")
+      Replication.createTarget(s, st, leaves, col("doc_id"),
+        col("rev_pos"), col("rev_hash"), col("deleted"), col("ancestors"),
+        numBuckets = 16, seq = 11L)
+      def liveWinners: DataFrame = purgeGateLive(s, st)
+      val docsAll = t(s, dir, "documents")
+      def liveDocs: DataFrame = docsAll.join(
+        liveWinners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // pre-purge index builds — one per gate
+      val vx = idxPath("q24xvx", dir, "documents")
+      def view(docs: DataFrame) =
+        View(docs, col("doc_id"), col("doc_id"), col("win_rev"))
+      view(liveWinners).materialize(vx, numBuckets = 8, seq = 11L)
+      val mgx = idxPath("q24xmg", dir, "documents")
+      val idx = Mango.createIndex(s, liveDocs, "doc_id",
+        Seq("lang", "n_chars"), mgx, numBuckets = 4)
+      val tx = idxPath("q24xtx", dir, "documents")
+      TextSearch.buildTextIndex(liveDocs, col("doc_id"), col("text"), tx)
+      // ONE purge hits the shared store...
+      Replication.purgeTarget(s, st, requests, col("doc_id"),
+        col("rev_pos"), col("rev_hash"))
+      // ...and each index catches up bucket-locally (the lazy
+      // liveWinners/liveDocs defs re-read the store, so the catch-up
+      // inputs see the POST-purge live set, as each gate's private
+      // staging did)
+      view(liveWinners).catchUpPurges(s, vx, st, liveWinners)
+      Mango.catchUpPurges(s, liveDocs, "doc_id", idx, st)
+      TextSearch.catchUpPurges(s, tx, st, liveDocs, col("doc_id"),
+        col("text"))
+      ""
+    })
 
   /** A43: PURGE-AWARE VIEW INDEX ([[graft.view.View.catchUpPurges]])
     * — the `purge_seq` catch-up that closes the GDPR hole a
@@ -4718,23 +4750,12 @@ object SparkEntry {
   }
 
   private def q242Stage(s: SparkSession, dir: String): Unit =
-    stagedGate(s, idxPath("q242gate", dir, "documents"), () => {
-      import graft.operators.Replication
-      val (st, requests, liveWinners) = purgeGateStore("q242st", s, dir)
-      val vx = idxPath("q242vx", dir, "documents")
-      def view(docs: DataFrame) =
-        View(docs, col("doc_id"), col("doc_id"), col("win_rev"))
-      view(liveWinners()).materialize(vx, numBuckets = 8, seq = 11L)
-      Replication.purgeTarget(s, st, requests, col("doc_id"),
-        col("rev_pos"), col("rev_hash"))
-      view(liveWinners()).catchUpPurges(s, vx, st, liveWinners())
-      ""
-    })
+    q24xStage(s, dir)
 
   private def q242(s: SparkSession, dir: String): DataFrame = {
     q242Stage(s, dir)
-    val st = idxPath("q242st", dir, "documents")
-    val vx = idxPath("q242vx", dir, "documents")
+    val st = idxPath("q24xst", dir, "documents")
+    val vx = idxPath("q24xvx", dir, "documents")
     val live = purgeGateLive(s, st)
     View(live, col("doc_id"), col("doc_id"), col("win_rev"))
       .fromIndex(s, vx).query()
@@ -4750,29 +4771,16 @@ object SparkEntry {
     * hide behind the doc join): purged docs must be absent from the
     * index itself. */
   private def q243Stage(s: SparkSession, dir: String): Unit =
-    stagedGate(s, idxPath("q243gate", dir, "documents"), () => {
-      import graft.operators.{Mango, Replication}
-      val (st, requests, liveWinners) = purgeGateStore("q243st", s, dir)
-      val mgx = idxPath("q243mg", dir, "documents")
-      val docsAll = t(s, dir, "documents")
-      def liveDocs: DataFrame = docsAll.join(
-        liveWinners().select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val idx = Mango.createIndex(s, liveDocs, "doc_id",
-        Seq("lang", "n_chars"), mgx, numBuckets = 4)
-      Replication.purgeTarget(s, st, requests, col("doc_id"),
-        col("rev_pos"), col("rev_hash"))
-      Mango.catchUpPurges(s, liveDocs, "doc_id", idx, st)
-      ""
-    })
+    q24xStage(s, dir)
 
   private def q243(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Mango
     q243Stage(s, dir)
-    val st = idxPath("q243st", dir, "documents")
+    val st = idxPath("q24xst", dir, "documents")
     val liveDocs = t(s, dir, "documents").join(
       purgeGateLive(s, st).select(col("doc_id")), Seq("doc_id"),
       "left_semi")
-    val idx = Mango.openIndex(s, idxPath("q243mg", dir, "documents"))
+    val idx = Mango.openIndex(s, idxPath("q24xmg", dir, "documents"))
     Mango.findIndexed(s, liveDocs, "doc_id", idx,
       """{"selector": {"lang": "en", "n_chars": {"$gte": 500}},
         | "fields": ["doc_id", "lang", "n_chars"]}""".stripMargin)
@@ -4788,25 +4796,12 @@ object SparkEntry {
     * purged corpus, which is exactly what the DuckDB oracle
     * computes. */
   private def q244Stage(s: SparkSession, dir: String): Unit =
-    stagedGate(s, idxPath("q244gate", dir, "documents"), () => {
-      import graft.operators.{Replication, TextSearch}
-      val (st, requests, liveWinners) = purgeGateStore("q244st", s, dir)
-      val tx = idxPath("q244tx", dir, "documents")
-      val docsAll = t(s, dir, "documents")
-      def liveDocs: DataFrame = docsAll.join(
-        liveWinners().select(col("doc_id")), Seq("doc_id"), "left_semi")
-      TextSearch.buildTextIndex(liveDocs, col("doc_id"), col("text"), tx)
-      Replication.purgeTarget(s, st, requests, col("doc_id"),
-        col("rev_pos"), col("rev_hash"))
-      TextSearch.catchUpPurges(s, tx, st, liveDocs, col("doc_id"),
-        col("text"))
-      ""
-    })
+    q24xStage(s, dir)
 
   private def q244(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextSearch
     q244Stage(s, dir)
-    val tx = idxPath("q244tx", dir, "documents")
+    val tx = idxPath("q24xtx", dir, "documents")
     TextSearch.searchBoolean(s, tx, must = Seq("hash", "stream"),
       mustNot = Nil, k = 50)
   }
@@ -5117,7 +5112,7 @@ object SparkEntry {
     * leaf list. */
   private def q177(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ChangesFeed
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     ChangesFeed.sinceStyleAllDocs(s, path, -1L, q126Leaves(s, dir),
       col("doc_id"), col("rev_pos"), col("rev_hash"), col("deleted"))
@@ -5313,7 +5308,7 @@ object SparkEntry {
     * holds every rev-1 and the rev-2s of %4 docs; the anti-join is the
     * batch `_revs_diff`. Tombstone changes must appear in the push set. */
   private def q134(s: SparkSession, dir: String): DataFrame = {
-    val path = idxPath("q129chg", dir, "documents")
+    val path = idxPath("q129cg2", dir, "documents")
     if (!hasFile(s, s"$path/_graft_built")) q129Build(s, dir)
     val d = t(s, dir, "documents").select(col("doc_id"))
     def rev(n: Int): Column = concat(lit(s"$n-"),
@@ -5387,7 +5382,7 @@ object SparkEntry {
     val log = initial.unionByName(tail)
     val inDir = idxPath("q138inS", dir, "documents") + "/in"
     stageChunks(s, log, col("seq"), inDir)
-    val feedPath = idxPath("q138chgS", dir, "documents") + "/feed"
+    val feedPath = idxPath("q138cg2S", dir, "documents") + "/feed"
     // append-only store + fresh checkpoint: start from a clean slate so
     // a re-run cannot double-append (upsert-based drives are naturally
     // idempotent; a log is not)
@@ -6130,6 +6125,21 @@ object SparkEntry {
     * latency and the latency barely varies with load or SF, so
     * [[Bench]] times them in fewer passes and skips their sf0.001
     * warm pass (warming would pay the same scheduler wall again). */
+  /** Gates whose WORKLOAD (batch count, page size — not the operator)
+    * last changed in a given round, published additively in the bench
+    * JSON so cross-round trend tools can mask the discontinuity: a
+    * r15→r16 comparison of these gates compares different request
+    * counts, not different code. Gates absent here have carried the
+    * same workload since they were declared. */
+  val workloadVersions: Map[String, String] = Map(
+    "q94_view_maintenance" -> "r16",   // 4 -> 2 micro-batches
+    "q95_streaming_text_index" -> "r16", // 4 -> 2 micro-batches
+    "q102_streaming_simhash" -> "r16", // 4 -> 2 micro-batches
+    "q187_streaming_replication" -> "r16", // 4 -> 2 micro-batches
+    "q166_mango_paged_index" -> "r16", // page size 800 -> 2000
+    "q180_mango_paged_desc" -> "r16",  // page size 800 -> 2000
+    "q171_mango_text_page" -> "r16")   // page size 100 -> 200
+
   val streamingGates: Set[String] = Set(
     "q77_chunked_attachments", "q78_streaming_window",
     "q82_streaming_stats", "q86_streaming_dedup",
@@ -6160,7 +6170,12 @@ object SparkEntry {
     * constructs the artifact itself when missing). */
   val buildPrereqs: Map[String, Seq[String]] = Map(
     "q70_tfidf_ivf" -> Seq("q60_text_search"),
-    "q247_scheduler_jobs" -> Seq("q240_replicator_docs"))
+    "q247_scheduler_jobs" -> Seq("q240_replicator_docs"),
+    // the purge-propagation gates share ONE staged scenario
+    // ([[q24xStage]]) behind one marker — chain their build entries so
+    // the overlapped phase stages once instead of racing the marker
+    "q243_purge_mango_index" -> Seq("q242_purge_view_index"),
+    "q244_purge_text_index" -> Seq("q243_purge_mango_index"))
 
   def indexBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     // staged endpoint gates ([[stagedGate]]): the one-time scenario

@@ -249,28 +249,41 @@ object Dedup {
     * bucket-local scale-safe operators above. */
   def dedupCorpus(docs: DataFrame, id: Column, text: Column,
                   jaccardThreshold: Option[Double] = None): DataFrame = {
+    // ONE fingerprint pass feeds every stage: without the checkpoint
+    // the `fp` subtree (corpus scan + normalize + md5) is embedded in
+    // the exact-keep aggregation, BOTH sides of the exactMap join, the
+    // keeper/shingle pipeline AND the returned mapping — measured ~5
+    // re-executions per call on the gate shapes (guide §1.2). The
+    // returned mapping is materialized as a LEAF (eager checkpoint of
+    // the bounded (doc_id, kept_id) table) so the fp pin can be
+    // RELEASED before returning — no block outlives the call except
+    // the small mapping itself.
     val fp = docs.select(id.cast("long").as("doc_id"),
       Text.fingerprint(text).as("_fp"), text.as("_text"))
-    val keep = fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
-    val exactMap = fp.join(keep, Seq("_fp"))
-    val keepers = exactMap.filter(col("doc_id") === col("_keeper"))
-      .select(col("doc_id"), col("_text"))
-    // precision mode: verify every LSH candidate's exact shingle
-    // Jaccard before it may merge clusters — the standard guard
-    // against LSH false positives chaining unrelated docs together
-    val pairs = jaccardThreshold match {
-      case Some(t) => jaccardPairs(keepers, col("doc_id"), col("_text"), t)
-        .select(col("doc_a"), col("doc_b"))
-      case None => minhashCandidatePairs(keepers, col("doc_id"),
-        col("_text"))
-    }
-    val cc = connectedComponents(pairs)
-      .withColumnRenamed("doc_id", "_keeper")
-      .withColumnRenamed("cluster_id", "_rep")
-    exactMap.select(col("doc_id"), col("_keeper"))
-      .join(cc, Seq("_keeper"), "left")
-      .select(col("doc_id"),
-        coalesce(col("_rep"), col("_keeper")).as("kept_id"))
+      .localCheckpoint()
+    try {
+      val keep = fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
+      val exactMap = fp.join(keep, Seq("_fp"))
+      val keepers = exactMap.filter(col("doc_id") === col("_keeper"))
+        .select(col("doc_id"), col("_text"))
+      // precision mode: verify every LSH candidate's exact shingle
+      // Jaccard before it may merge clusters — the standard guard
+      // against LSH false positives chaining unrelated docs together
+      val pairs = jaccardThreshold match {
+        case Some(t) => jaccardPairs(keepers, col("doc_id"), col("_text"), t)
+          .select(col("doc_a"), col("doc_b"))
+        case None => minhashCandidatePairs(keepers, col("doc_id"),
+          col("_text"))
+      }
+      val cc = connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "_keeper")
+        .withColumnRenamed("cluster_id", "_rep")
+      exactMap.select(col("doc_id"), col("_keeper"))
+        .join(cc, Seq("_keeper"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_rep"), col("_keeper")).as("kept_id"))
+        .localCheckpoint()
+    } finally fp.unpersist()
   }
 
   /** [[dedupCorpus]] with QUALITY-AWARE canonical selection — real

@@ -66,29 +66,42 @@ object Pipeline {
         minTokens, maxTokens, minQuality, allowedLangs,
         maxDupTokenFrac, maxTopBigramFrac, lang = Some(col("lang")))
       .filter(col("keep")).select(col("doc_id"))
+    // pin each stage boundary: without the checkpoints the quality
+    // tokenization forest rides INSIDE every consumer — d1 is embedded
+    // ~4x through [[Dedup.dedupCorpusBest]] (fingerprint pass, shingle
+    // pass, score join, mapping join) plus d2's own semi join, and d2
+    // is embedded twice more (decontamination + the d3 cut), so the
+    // most expensive stage re-ran many times per release (guide §1.2
+    // — don't compute things you throw away). Checkpoint once per
+    // stage boundary; d1/d2 are released as soon as d3 (eager) has
+    // materialized past them.
     val d1 = base.join(kept, Seq("doc_id"), "left_semi")
-    // 2. exact + near-dup dedup, keeping each cluster's best-scored doc
-    val mapping = Dedup.dedupCorpusBest(d1, col("doc_id"), col("text"),
-      col("_score"))
-    val d2 = d1.join(
-      mapping.select(col("kept_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    // 3. benchmark decontamination (distinct n-gram containment)
-    val cont = Dedup.decontaminate(d2, col("doc_id"), col("text"),
-      benchmark, bid, btext, contaminationN)
-    // pin the expensive quality→dedup→decontamination prefix: the
-    // budget count below and the returned plan both consume d3, and
-    // without the checkpoint the whole prefix would execute twice
-    // (the syncBatch persist discipline; localCheckpoint because the
-    // result is returned lazily, so there is no unpersist point)
-    val d3 = d2.join(
-      cont.filter(col("contamination") <= maxContamination)
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    // 4-6. the mix → shuffle → pack tail, shared with the delta
-    // release path so the two can never drift
-    releaseTail(d3, budgetOf(d3.count()), seed, seqLen, nShards)
+    try {
+      // 2. exact + near-dup dedup, keeping each cluster's best doc
+      val mapping = Dedup.dedupCorpusBest(d1, col("doc_id"), col("text"),
+        col("_score"))
+      val d2 = d1.join(
+        mapping.select(col("kept_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      try {
+        // 3. benchmark decontamination (distinct n-gram containment)
+        val cont = Dedup.decontaminate(d2, col("doc_id"), col("text"),
+          benchmark, bid, btext, contaminationN)
+        // d3 stays pinned: the budget count below and the returned
+        // plan both consume it, and the result is returned lazily so
+        // there is no unpersist point
+        val d3 = d2.join(
+          cont.filter(col("contamination") <= maxContamination)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        // 4-6. the mix → shuffle → pack tail, shared with the delta
+        // release path so the two can never drift
+        releaseTail(d3, budgetOf(d3.count()), seed, seqLen, nShards)
+      } finally d2.unpersist()
+    } finally d1.unpersist()
   }
 
   /** Stages 4-6 of the release — temperature-weighted domain mix to
@@ -439,21 +452,28 @@ object Pipeline {
       .groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
     val labels = DedupIndex.clusters(spark, dedupDir(path))
       .select(col("doc_id").as("_keeper"), col("cluster_id").as("_rep"))
+    // pin the doc-verdict ⋈ keeper ⋈ cluster relation: it feeds BOTH
+    // the per-cluster argmax and the survivor cut, and without the pin
+    // the docs/fps/cluster reads run twice (guide §1.2); released as
+    // soon as d3 (eager) has materialized past it
     val mapped = dk.join(keepers, Seq("_fp"))
       .join(labels, Seq("_keeper"), "left")
       .withColumn("_cl", coalesce(col("_rep"), col("_keeper")))
-    // the dedupCorpusBest argmax: min(struct(-score, id)), null
-    // scores coalesced to -Inf so they only win all-null clusters
-    val best = mapped.groupBy(col("_cl"))
-      .agg(min(struct(
-        (-coalesce(col("_score"), lit(Double.NegativeInfinity))).as("n"),
-        col("doc_id").as("i"))).as("_bst"))
-      .select(col("_bst.i").as("doc_id"))
-    val d3 = mapped.join(best, Seq("doc_id"), "left_semi")
-      .filter(col("contamination") <= params.maxContamination)
-      .select(col("doc_id"), col("text"), col("lang"), col("_score"),
-        col("_dom"))
       .localCheckpoint()
-    releaseTail(d3, budgetOf(d3.count()), seed, seqLen, nShards)
+    try {
+      // the dedupCorpusBest argmax: min(struct(-score, id)), null
+      // scores coalesced to -Inf so they only win all-null clusters
+      val best = mapped.groupBy(col("_cl"))
+        .agg(min(struct(
+          (-coalesce(col("_score"), lit(Double.NegativeInfinity))).as("n"),
+          col("doc_id").as("i"))).as("_bst"))
+        .select(col("_bst.i").as("doc_id"))
+      val d3 = mapped.join(best, Seq("doc_id"), "left_semi")
+        .filter(col("contamination") <= params.maxContamination)
+        .select(col("doc_id"), col("text"), col("lang"), col("_score"),
+          col("_dom"))
+        .localCheckpoint()
+      releaseTail(d3, budgetOf(d3.count()), seed, seqLen, nShards)
+    } finally mapped.unpersist()
   }
 }

@@ -51,6 +51,23 @@ object Pq {
     * forces both tiers over the same codebooks. */
   private[graft] var literalCodebookMax: Int = 256
 
+  /** Codeword ceiling for the LITERAL tier of the ASSIGNMENT argmin
+    * ([[codeCol]]) specifically — 0: encode always takes the
+    * broadcast-loop tier. The two literal tiers age differently: the
+    * ADC lookup is a small expression that stays in whole-stage
+    * codegen and beats the broadcast UDF per row (measured 1.5 s vs
+    * 2.4 s over 2M scored pairs), but the assignment block (m·ks
+    * argmin structs, each a sub-dot) blows past the JVM's 64 KB
+    * generated-method limit and runs INTERPRETED — measured 63 µs/row
+    * vs 3.8 µs/row for the compiled broadcast loop at 200k rows, 17x,
+    * on top of a multi-second Catalyst/codegen tax per invocation
+    * that every from-scratch serve and every maintenance micro-batch
+    * paid. Both tiers produce bit-identical codes (spec-pinned:
+    * "broadcast codebook tier == literal tier exactly"), so this is
+    * purely an execution-strategy default. `private[graft]` var as a
+    * test seam. */
+  private[graft] var literalAssignMax: Int = 0
+
   /** Spark's double total order (`nanSafeCompareDoubles`): -0.0 == 0.0,
     * NaN greater than everything — the order the literal path's
     * struct `array_min` applies, so the broadcast loop ties EXACTLY
@@ -139,12 +156,12 @@ object Pq {
   /** The stored code of subspace `j`: argmin codeword by squared L2,
     * ties to the LOWEST code. Literal tier: a fixed fold over the ks
     * candidates keeps it one codegen'd expression. Broadcast tier
-    * (ks > [[literalCodebookMax]]): the subspace's codebook moves into
+    * (ks > [[literalAssignMax]] — the default for encode, see there): the subspace's codebook moves into
     * a broadcast scored by a compiled argmin loop replaying the same
     * `c·c − 2·s·c` sequence and the same min-(d, c) tie rule. */
   private def codeCol(v: Column, cbs: Codebooks, j: Int): Column = {
     val sub = cbs(j).head.length
-    if (cbs(j).length <= literalCodebookMax) {
+    if (cbs(j).length <= literalAssignMax) {
       val s = slice(v, j * sub + 1, sub)
       val scored = cbs(j).zipWithIndex.map { case (cw, c) =>
         struct(adcTerm(s, cw).as("d"), lit(c).as("c"))

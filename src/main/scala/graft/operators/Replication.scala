@@ -433,8 +433,31 @@ object Replication {
     val base = meta.copy(updateSeq = newSeq)
     if (meta.countsSeq != meta.updateSeq || meta.docCount < 0) base
     else {
-      val (od, ox) = winnerCounts(oldTouched)
-      val (nd, nx) = winnerCounts(newTouched)
+      // BOTH sides of the delta in ONE driver action: tag each leaf
+      // relation, resolve winners per (side, id) and count per side in
+      // a single partial-aggregable job — the per-micro-batch
+      // maintenance cost at sf0.1 is driver gaps between tiny jobs
+      // (guide §1.2), so halving the job count halves the exposure.
+      // Winner rule identical to [[Revisions.dbInfo]]'s
+      // max(struct(live, pos, hash)) resolution.
+      val tag = (df: DataFrame, side: Int) =>
+        df.select(lit(side).as("_side"), col("id"),
+          col("rev_pos").cast("long").as("_pos"),
+          col("rev_hash").cast("string").as("_hash"),
+          col("deleted").cast("boolean").as("_del"))
+      val rows = tag(oldTouched, 0).unionByName(tag(newTouched, 1))
+        .groupBy(col("_side"), col("id"))
+        .agg(max(struct((!col("_del")).as("live"), col("_pos").as("pos"),
+          col("_hash").as("hash"))).as("w"))
+        .groupBy(col("_side"))
+        .agg(count(when(col("w.live"), lit(1))).as("dc"),
+          count(when(!col("w.live"), lit(1))).as("xc"))
+        .collect()
+      def cnts(side: Int): (Long, Long) =
+        rows.find(_.getInt(0) == side)
+          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+      val (od, ox) = cnts(0)
+      val (nd, nx) = cnts(1)
       base.copy(docCount = meta.docCount + nd - od,
         delCount = meta.delCount + nx - ox, countsSeq = newSeq)
     }

@@ -663,6 +663,18 @@ object Similarity {
       col("vec_id"), num, den)
   }
 
+  /** Measurement-only seam for [[graft.ProbeOne]]: the bare IVF
+    * corpus-assignment projection over the default 16-centroid
+    * quantizer, so the literal vs broadcast assignment tiers can be
+    * A/B-timed in isolation. Never part of a gate. */
+  private[graft] def clusterAssignProbe(emb: DataFrame): DataFrame = {
+    val cents = initCentroids(emb, 16)
+    emb.withColumn("_v", asDouble(col("embedding")))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+      .select(col("vec_id"),
+        nearestCidCol(col("_v"), col("_nrm"), cents).as("cid"))
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
     * label or an LSH bucket): pairwise only inside blocks, never a full
     * cross product. */

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * checkpoint, receiving each changed document ONCE, at its latest
   * change.
   *
-  * Store layout: hive-partitioned parquet on `_kb = seq div width`,
-  * rows sorted by `seq` within each file — the EventStore discipline
-  * keyed by sequence number instead of time. A `since=N` read then:
+  * Store layout: hive-partitioned parquet on `_kg = seq div
+  * (width·SeqGroup)` — [[SeqGroup]] consecutive `width`-buckets share
+  * one directory — rows sorted by `seq` within each file (the
+  * EventStore discipline keyed by sequence number instead of time).
+  * A `since=N` read then:
   *
-  *  1. prunes to partitions `_kb >= N div width` (directory-level:
-  *     already-replicated history is never listed or scheduled);
+  *  1. prunes to partitions `_kg >= N div (width·SeqGroup)`
+  *     (directory-level: already-replicated history is never listed
+  *     or scheduled);
   *  2. pushes `seq > N` into the scan (seq-sorted files → tight
   *     row-group min/max skip the boundary bucket's replayed prefix);
   *  3. dedups to the latest change per doc with ONE partial-aggregable
@@ -30,25 +33,55 @@ import org.apache.spark.sql.functions._
   * the reference. */
 object ChangesFeed {
 
+  /** Physical GROUPING of seq buckets: one partition directory holds
+    * `SeqGroup` consecutive logical `width`-buckets (`_kg = seq div
+    * (width·SeqGroup)`). A log used to pay one directory per logical
+    * bucket — 157 near-empty dirs for the 128-width gate feeds, each
+    * write committing a file per touched dir — when the reads only
+    * need (1) a directory-level cut of already-replicated history and
+    * (2) tight row-group `seq` min/max inside the tail, which the
+    * per-file seq sort provides at ANY directory width (the same
+    * two-level economics as [[graft.operators.Similarity]]'s LSH
+    * SigGroups and [[graft.operators.DedupIndex]]'s MemberSub). A
+    * CONSTANT granularity factor, never a host tune: directories stay
+    * 8x fewer at every scale, and per-dir file counts grow instead of
+    * dir counts, which is what a filesystem (and a manifest-keeping
+    * table format) wants. Layout fmt 2; fmt-1 stores fail loudly on
+    * read (gate artifact kinds were bumped, so nothing re-serves
+    * one). */
+  val SeqGroup = 8L
+
   private def fsFor(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeMeta(spark: SparkSession, path: String,
                         width: Long): Unit = {
     val out = fsFor(spark, path).create(new Path(path, "_graft_meta"), true)
-    out.write(s"width=$width\n".getBytes("UTF-8"))
+    out.write(s"width=$width\nfmt=2\n".getBytes("UTF-8"))
     out.close()
   }
 
-  /** Whether a feed store exists at `path` (meta stamp present). */
-  def exists(spark: SparkSession, path: String): Boolean =
-    fsFor(spark, path).exists(new Path(path, "_graft_meta"))
+  /** Whether a CURRENT-layout feed store exists at `path` (meta stamp
+    * present and of this code's format — an old-layout store reads as
+    * absent, so exists-guarded writers rebuild instead of appending
+    * into a layout the readers no longer understand). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    fs.exists(new Path(path, "_graft_meta")) &&
+      (try { readWidth(spark, path); true }
+       catch { case _: Exception => false })
+  }
 
   private def readWidth(spark: SparkSession, path: String): Long = {
     val in = fsFor(spark, path).open(new Path(path, "_graft_meta"))
     val txt = new String(in.readAllBytes(), "UTF-8")
     in.close()
-    txt.linesIterator.collectFirst {
+    val lines = txt.linesIterator.toSeq
+    require(lines.contains("fmt=2"),
+      s"changes feed at $path has a pre-grouping layout (fmt 1) — " +
+        "rebuild it (artifact kinds were bumped precisely so a stale " +
+        "store cannot serve)")
+    lines.collectFirst {
       case l if l.startsWith("width=") => l.stripPrefix("width=").toLong
     }.getOrElse(sys.error(s"changes feed at $path: no width in meta"))
   }
@@ -58,9 +91,9 @@ object ChangesFeed {
       .select(col("seq").cast("long").as("seq"), col("id"),
         col("rev").cast("string").as("rev"),
         col("deleted").cast("boolean").as("deleted"))
-      .withColumn("_kb", expr(s"seq div $width"))
-      .repartition(col("_kb"))
-      .sortWithinPartitions(col("_kb"), col("seq"))
+      .withColumn("_kg", expr(s"seq div ${width * SeqGroup}"))
+      .repartition(col("_kg"))
+      .sortWithinPartitions(col("_kg"), col("seq"))
 
   /** Create the store from an initial change log. `changes` must have
     * `(seq, id, rev, deleted)` columns; `width` fixes the seq-bucket
@@ -68,11 +101,11 @@ object ChangesFeed {
   def write(changes: DataFrame, path: String, width: Long = 1024L): Unit = {
     require(width > 0, "changes feed: width must be positive")
     routed(changes, width)
-      .write.mode(SaveMode.Overwrite).partitionBy("_kb").parquet(path)
+      .write.mode(SaveMode.Overwrite).partitionBy("_kg").parquet(path)
     writeMeta(changes.sparkSession, path, width)
   }
 
-  /** Append new changes: rows land in their `_kb` buckets as additional
+  /** Append new changes: rows land in their `_kg` buckets as additional
     * seq-sorted files, no read-modify-write. The single-writer contract
     * is seq UNIQUENESS (the log's identity); physical arrival order is
     * free — routing is content-based, so a late batch lands correctly
@@ -81,7 +114,7 @@ object ChangesFeed {
   def append(changes: DataFrame, path: String): Unit = {
     val width = readWidth(changes.sparkSession, path)
     routed(changes, width)
-      .write.mode(SaveMode.Append).partitionBy("_kb").parquet(path)
+      .write.mode(SaveMode.Append).partitionBy("_kg").parquet(path)
   }
 
   /** The feed since a checkpoint: one row per document changed after
@@ -101,23 +134,23 @@ object ChangesFeed {
     * and the `TakeOrderedAndProject` the plan compiles to keeps the
     * limit partial per partition. */
   /** Open the log pruned at the directory-NAME level to
-    * `_kb >= minKb`: a bare `read.parquet(path)` builds a file index
+    * `_kg >= minKg`: a bare `read.parquet(path)` builds a file index
     * over EVERY seq bucket's files before partition-pruning, so a
     * near-tip checkpoint read over a long log pays the whole table's
     * listing (driver time ∝ log span — the EventStore.readRange
     * finding). One status call lists bucket names; the parquet reader
     * then enumerates files only under the post-checkpoint buckets.
-    * The `_kb` filter is still applied after — correctness never
+    * The `_kg` filter is still applied after — correctness never
     * depends on the listing cut. */
   private def openFrom(spark: SparkSession, path: String,
-                       minKb: Long): DataFrame =
-    graft.view.IndexStore.readWhere(spark, path, "_kb", _ >= minKb)
+                       minKg: Long): DataFrame =
+    graft.view.IndexStore.readWhere(spark, path, "_kg", _ >= minKg)
 
   def since(spark: SparkSession, path: String, sinceSeq: Long,
             limit: Option[Int], descending: Boolean): DataFrame = {
     val width = readWidth(spark, path)
-    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width))
-      .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
+    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width * SeqGroup))
+      .filter(col("_kg") >= Math.floorDiv(sinceSeq, width * SeqGroup) &&
         col("seq") > sinceSeq)
       .groupBy(col("id"))
       .agg(max(struct(col("seq"), col("rev"), col("deleted"))).as("w"))
@@ -159,8 +192,8 @@ object ChangesFeed {
   def sinceDocIds(spark: SparkSession, path: String, sinceSeq: Long,
                   ids: Seq[Any], limit: Option[Int] = None): DataFrame = {
     val width = readWidth(spark, path)
-    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width))
-      .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
+    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width * SeqGroup))
+      .filter(col("_kg") >= Math.floorDiv(sinceSeq, width * SeqGroup) &&
         col("seq") > sinceSeq && col("id").isin(ids: _*))
       .groupBy(col("id"))
       .agg(max(struct(col("seq"), col("rev"), col("deleted"))).as("w"))
@@ -177,8 +210,8 @@ object ChangesFeed {
   def sinceDocIds(spark: SparkSession, path: String, sinceSeq: Long,
                   ids: DataFrame, limit: Option[Int]): DataFrame = {
     val width = readWidth(spark, path)
-    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width))
-      .filter(col("_kb") >= Math.floorDiv(sinceSeq, width) &&
+    val base = openFrom(spark, path, Math.floorDiv(sinceSeq, width * SeqGroup))
+      .filter(col("_kg") >= Math.floorDiv(sinceSeq, width * SeqGroup) &&
         col("seq") > sinceSeq)
       .join(ids.toDF("id").distinct(), Seq("id"), "left_semi")
       .groupBy(col("id"))
@@ -407,14 +440,14 @@ object ChangesFeed {
     val fs = fsFor(spark, path)
     SwapDir.recover(fs, new Path(path))
     val buckets = fs.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kg="))
     val fragmented = buckets.filter { b =>
       fs.listStatus(b.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
     }
     fragmented.map { b =>
       val dirP = b.getPath
-      val kb = dirP.getName.stripPrefix("_kb=").toLong
+      val kb = dirP.getName.stripPrefix("_kg=").toLong
       val tmp = new Path(dirP.getParent, s"_compact_tmp_${dirP.getName}")
       fs.delete(tmp, true)
       spark.read.parquet(dirP.toString)
@@ -468,33 +501,33 @@ object ChangesFeed {
     val fs = fsFor(spark, path)
     SwapDir.recover(fs, new Path(path))
     val affected = locate(spark.read.parquet(path))
-      // partition-column inference may narrow _kb to int — normalize
-      .select(col("_kb").cast("long")).distinct()
+      // partition-column inference may narrow _kg to int — normalize
+      .select(col("_kg").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     affected.map { kb =>
-      val dirP = new Path(path, s"_kb=$kb")
-      val tmp = new Path(dirP.getParent, s"_purge_tmp__kb=$kb")
+      val dirP = new Path(path, s"_kg=$kb")
+      val tmp = new Path(dirP.getParent, s"_purge_tmp__kg=$kb")
       fs.delete(tmp, true)
       keep(spark.read.parquet(dirP.toString))
         .sort(col("seq")).coalesce(1)
         .write.parquet(tmp.toString)
-      SwapDir.publish(fs, dirP, tmp, s"_old_purge__kb=$kb")
+      SwapDir.publish(fs, dirP, tmp, s"_old_purge__kg=$kb")
       kb
     }
   }
 
   /** The current high-water mark (`last_seq`): reads ONLY the greatest
-    * `_kb` partition — O(tail bucket), not O(log). Returns -1 for an
+    * `_kg` partition — O(tail bucket), not O(log). Returns -1 for an
     * empty store. */
   def lastSeq(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path)
     val kbs = fs.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
-      .map(_.getPath.getName.stripPrefix("_kb=").toLong)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kg="))
+      .map(_.getPath.getName.stripPrefix("_kg=").toLong)
     if (kbs.isEmpty) -1L
     else {
       val tail = spark.read.parquet(path)
-        .filter(col("_kb") === kbs.max)
+        .filter(col("_kg") === kbs.max)
         .agg(max(col("seq"))).head()
       if (tail.isNullAt(0)) -1L else tail.getLong(0)
     }

@@ -26,7 +26,7 @@ class ChangesFeedSpec extends SparkSpecBase
       d.filter(col("id") % 5 === 0))
     val dir = java.nio.file.Files.createTempDirectory("chg").toString
     val store = s"$dir/feed"
-    ChangesFeed.write(base, store, width = 64)
+    ChangesFeed.write(base, store, width = 8)
     ChangesFeed.append(tail, store)
     (store, base.unionByName(tail))
   }
@@ -60,14 +60,15 @@ class ChangesFeedSpec extends SparkSpecBase
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty)
-    assert(scans.head.partitionFilters.exists(_.toString.contains("_kb")),
-      "expected a _kb partition filter")
-    // width=64: buckets 0..9 hold the already-replicated prefix; the
-    // checkpoint at 700 must scan exactly the files of buckets >= 10
+    assert(scans.head.partitionFilters.exists(_.toString.contains("_kg")),
+      "expected a _kg partition filter")
+    // width=8, SeqGroup=8 -> 64-seq dirs: dirs 0..9 hold the already-
+    // replicated prefix; the checkpoint at 700 must scan exactly the
+    // files of dirs >= 10
     def bucketFiles(pred: Long => Boolean): Int =
       new java.io.File(store).listFiles()
-        .filter(d => d.getName.startsWith("_kb=") &&
-          pred(d.getName.stripPrefix("_kb=").toLong))
+        .filter(d => d.getName.startsWith("_kg=") &&
+          pred(d.getName.stripPrefix("_kg=").toLong))
         .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
     val scanned = scans.head.metrics("numFiles").value
     assert(scanned == bucketFiles(_ >= 10L) && bucketFiles(_ < 10L) > 0,
@@ -111,12 +112,12 @@ class ChangesFeedSpec extends SparkSpecBase
     val store = s"$dir/feed"
     def gen(lo: Long, hi: Long) = (lo until hi)
       .map(i => (i, i % 20, s"r$i", false)).toDF("seq", "id", "rev", "deleted")
-    ChangesFeed.write(gen(0, 64), store, width = 64)
+    ChangesFeed.write(gen(0, 64), store, width = 8)
     // six appends all land in bucket 1 → fragment it; bucket 0 untouched
     (0 until 6).foreach(j => ChangesFeed.append(gen(64 + j * 4, 68 + j * 4),
       store))
     def files(kb: Long): Seq[String] = {
-      val d = new java.io.File(s"$store/_kb=$kb")
+      val d = new java.io.File(s"$store/_kg=$kb")
       if (!d.exists()) Nil
       else d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
         .sorted.toSeq
@@ -214,7 +215,7 @@ class ChangesFeedSpec extends SparkSpecBase
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def bucketStamp(): Map[String, Seq[(String, Long)]] =
       fs.listStatus(new org.apache.hadoop.fs.Path(store))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kg="))
         .map(b => b.getPath.getName ->
           fs.listStatus(b.getPath).filter(_.isFile)
             .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sortBy(_._1))
@@ -232,7 +233,7 @@ class ChangesFeedSpec extends SparkSpecBase
     assert(feed.map(r => (r._1, r._2)).toSeq == expect)
     // only buckets holding a victim were rewritten; the rest untouched
     val after = bucketStamp()
-    val touched = rewritten.map(kb => s"_kb=$kb").toSet
+    val touched = rewritten.map(kb => s"_kg=$kb").toSet
     for ((b, files) <- before if !touched.contains(b))
       assert(after(b) == files, s"untouched bucket $b must not be rewritten")
     assert(touched.forall(b => after(b) != before(b)))
@@ -257,7 +258,7 @@ class ChangesFeedSpec extends SparkSpecBase
     val fs = new org.apache.hadoop.fs.Path(sb)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(sb))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kb="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_kg="))
       .map(_.getPath).minBy(_.getName)
     assert(fs.rename(bucket, new org.apache.hadoop.fs.Path(sb,
       "_old_purge_" + bucket.getName)))
@@ -391,7 +392,7 @@ class ChangesFeedSpec extends SparkSpecBase
     }
     assert(scans.head.dataFilters.exists(_.toString.contains("id")),
       s"id IN (...) not pushed: ${scans.head.dataFilters}")
-    assert(scans.head.partitionFilters.exists(_.toString.contains("_kb")),
+    assert(scans.head.partitionFilters.exists(_.toString.contains("_kg")),
       "seq-bucket pruning must survive the id restriction")
     // the relation overload returns the same rows
     val viaDf = ChangesFeed.sinceDocIds(spark, store, 450L,

@@ -55,12 +55,20 @@ class PqSpec extends SparkSpecBase {
     // sequence and tie rules exactly
     val cbs = Pq.initCodebooks(emb, m = 8, ks = 16)
     val q = emb.filter(col("vec_id") < 5)
-    val litCodes = Pq.encode(emb, cbs).collect().map(_.toString).sorted.toSeq
-    val litTop = Pq.adcTopK(Pq.encode(emb, cbs), emb, q, cbs,
-      k = 5, refine = 50).collect().map(_.toString).sorted.toSeq
+    // force the literal tier on BOTH paths for the baseline arm
+    // (encode defaults to the broadcast tier since the assignment
+    // argmin left codegen — literalAssignMax = 0)
+    val savedAssign = Pq.literalAssignMax
     val saved = Pq.literalCodebookMax
+    Pq.literalAssignMax = 256
+    val (litCodes, litTop) = try {
+      (Pq.encode(emb, cbs).collect().map(_.toString).sorted.toSeq,
+        Pq.adcTopK(Pq.encode(emb, cbs), emb, q, cbs,
+          k = 5, refine = 50).collect().map(_.toString).sorted.toSeq)
+    } finally Pq.literalAssignMax = savedAssign
     try {
       Pq.literalCodebookMax = 1
+      Pq.literalAssignMax = 0
       val bcCodes = Pq.encode(emb, cbs).collect().map(_.toString).sorted.toSeq
       assert(bcCodes == litCodes, "broadcast encode diverges from literal")
       val bcTop = Pq.adcTopK(Pq.encode(emb, cbs), emb, q, cbs,
@@ -69,6 +77,7 @@ class PqSpec extends SparkSpecBase {
       // and the plan really is UDF-scored, not literal-table-scored
       val plan = Pq.encode(emb, cbs).queryExecution.optimizedPlan.toString()
       assert(plan.contains("UDF"), s"expected broadcast UDF tier in:\n$plan")
-    } finally Pq.literalCodebookMax = saved
+    } finally { Pq.literalCodebookMax = saved
+      Pq.literalAssignMax = savedAssign }
   }
 }
